@@ -1,0 +1,22 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of the Kozhay/meteomatics-e2e-data-pipeline reference.
+
+The reference (read-only at /root/reference) is an Airflow + dbt/Snowflake
+weather ETL; this package re-expresses its dataflow — nested-JSON ingest,
+file-grain incremental staging, a Kimball star schema with window-based
+latest-record dedupe and md5 surrogate keys — idiomatically on the Spark
+DataFrame / Catalyst stack, and extends it with LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal columns) designed for
+100 TB scale.
+
+Layout:
+  session     — SparkSession factory (AQE, UTC, local tuning)
+  functions/  — scalar function library with Snowflake-semantics parity
+  sources/    — bronze JSON reader, fixture generator, parquet table loader
+  operators/  — reusable DataFrame operators (flatten, dedupe, incremental,
+                text dedup/similarity, text analysis, multimodal plumbing)
+  plans/      — pipeline stages (staging, dims, facts, runner) + analytics
+  streaming/  — Structured Streaming availableNow ingest
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,8 @@
+from .dedupe import latest_record_wins, dedupe_by_key
+from .incremental import new_files_only, upsert_by_key
+from .flatten import explode_path
+
+__all__ = [
+    "latest_record_wins", "dedupe_by_key", "new_files_only",
+    "upsert_by_key", "explode_path",
+]

@@ -1,0 +1,503 @@
+"""Driver-contract analytics queries over the TPC-H-ish testdata.
+
+Every operator family from SURVEY.md §2 is exercised here on the driver's
+tables (the weather-fixture pipeline itself is covered by pytest e2e tests in
+``tests/``; this module is the oracle-checked surface). Each ``q_*`` builder
+takes ``(spark, sf_dir)`` and returns a DataFrame; ``ORACLE[name]`` is the
+equivalent DuckDB SQL over the pre-registered views.
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- floating aggregates are ``round()``-ed on both sides (sum-order across
+  partitions is otherwise nondeterministic at the last ulp);
+- window orderings always carry a unique tiebreaker column so both engines
+  produce identical results;
+- integer-typed derivations are cast explicitly (DuckDB ``year()`` returns
+  BIGINT, Spark returns INT, etc.).
+
+Scale notes are inline per query — the plans are written for a 1000-executor
+cluster: dimension joins are broadcast, aggregations are partial-aggregatable
+(map-side combine), filters sit directly on the scan so they push into
+parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.dates import date_key, is_weekend, week_number, weekday_name
+from ..functions.keys import surrogate_key, surrogate_key_sql
+from ..functions.strings import slugify, split_part_compat
+from ..operators.dedupe import latest_record_wins
+from ..sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Aggregation family (SURVEY §2.5 — GROUP BY extensions the star schema
+# implies) — flagship: TPC-H-Q1-shaped pricing summary.
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupBy + 6 aggregates behind a pushed-down date filter.
+
+    Plan shape at scale: parquet scan with PushedFilters on l_shipdate →
+    partial hash agg (map-side combine) → single shuffle on the 2 low-
+    cardinality keys → final agg. No window, no join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Window family (W1 latest-record-wins; O1 top-1-per-group)
+# --------------------------------------------------------------------------
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 analog of fact_weather_params_history.sql:17-24,32 — the
+    'latest issuance wins' dedupe, here as latest order per customer.
+    o_orderkey is the deterministic tiebreaker (documented deviation: the
+    reference leaves dateGenerated ties unspecified)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return latest_record_wins(
+        orders, keys=["o_custkey"], order_desc=["o_orderdate", "o_orderkey"],
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+ORACLE_LATEST_ORDER = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_supplier_running_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-frame window (running sum per supplier). Quantity, not
+    revenue, so the cumulative double stays in a range where round(2) is
+    robust to summation-order ulp differences across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+ORACLE_RUNNING_QTY = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+"""
+
+
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window — days since the customer's previous order (int-typed,
+    no float risk)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.to_date("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), prev).alias("gap_days"),
+    )
+
+
+ORACLE_ORDER_GAPS = """
+SELECT o_custkey, o_orderkey,
+       datediff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                CAST(o_orderdate AS DATE))::INT AS gap_days
+FROM orders
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag(ts) + cumulative sum over gap>30min flags — the
+    batch equivalent of a session window (SURVEY §2.10 is ABSENT in the
+    reference; this is the Spark-native capability the driver contract
+    expects). Single shuffle on user_id; both window passes share it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("__new", new_sess)
+        .withColumn("session_id",
+                    F.sum("__new").over(
+                        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id",
+                F.col("session_id").cast("int").alias("session_id"))
+    )
+
+
+ORACLE_SESSIONIZE = """
+SELECT user_id, event_id,
+       (sum(CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Join family (J1 anti, J3 star/broadcast, semi)
+# --------------------------------------------------------------------------
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/J1: NOT-IN-subquery → left_anti join (the incremental new-files
+    pattern from stg_weather_raw.sql:21-25, applied to customers)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders.select("o_custkey").distinct(),
+                     cust.c_custkey == F.col("o_custkey"),
+                     "left_anti").select("c_custkey", "c_name")
+
+
+ORACLE_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 star join: fact (lineitem→orders) against broadcast dims
+    (customer→nation→region). At 100 TB the dims stay broadcast-able; the
+    only big shuffle is the final 5-group aggregation, which partial-aggs
+    map-side first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_returned_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): order-priority counts for orders with at least one
+    returned lineitem. left_semi avoids materializing the join fanout."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_RETURNED_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / top-k (O-family)
+# --------------------------------------------------------------------------
+
+
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (no full
+    sort; each partition keeps its local top-k, driver merges k·p rows).
+    p_partkey tiebreaker makes the cut deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+    return (
+        rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_PARTS = """
+SELECT p_partkey, p_name, revenue
+FROM (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_partkey
+) JOIN part ON l_partkey = p_partkey
+ORDER BY revenue DESC, p_partkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2.8 — ABSENT in reference; Spark-native capability)
+# --------------------------------------------------------------------------
+
+
+def q_repeat_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers appearing with both a finished ('F') and an open
+    ('O') order."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.intersect(o_cust).withColumnRenamed("o_custkey", "custkey")
+
+
+ORACLE_REPEAT_STATUS = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# --------------------------------------------------------------------------
+# Dimension builders (A1/A2 distinct + C11 surrogate keys + date spine C2-C9)
+# --------------------------------------------------------------------------
+
+
+def q_dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_location analog (dim_location.sql:3-9): SELECT DISTINCT + md5
+    surrogate key with exact dbt_utils sentinel/delimiter parity."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            surrogate_key("r_name", "n_name").alias("geo_key"),
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .distinct()
+    )
+
+
+ORACLE_DIM_GEO = f"""
+SELECT DISTINCT
+       {surrogate_key_sql('r_name', 'n_name')} AS geo_key,
+       r_name AS region_name,
+       n_name AS nation_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_dim_date_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_date analog (dim_date.sql:3-30) over the distinct order dates:
+    integer yyyyMMdd key (C4), calendar parts (C5), weekday name (C6,
+    normalized un-padded — documented deviation from Snowflake's 9-char
+    blank padding), weekend flag (C7), week number since the Monday-of-week
+    containing Jan 1 (C8/C9)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("date_day")
+    return (
+        orders.select(F.to_date("o_orderdate").alias("date_day")).distinct()
+        .select(
+            d,
+            date_key(d).alias("date_key"),
+            F.year(d).alias("year"),
+            F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"),
+            weekday_name(d).alias("weekday"),
+            is_weekend(d).alias("is_weekend"),
+            week_number(d).alias("week_number"),
+        )
+    )
+
+
+ORACLE_DIM_DATE = """
+SELECT date_day,
+       strftime(date_day, '%Y%m%d')::INT AS date_key,
+       year(date_day)::INT   AS year,
+       month(date_day)::INT  AS month,
+       day(date_day)::INT    AS day,
+       dayname(date_day)     AS weekday,
+       isodow(date_day) IN (6, 7) AS is_weekend,
+       (datediff('day',
+                 date_trunc('week', make_date(year(date_day)::INT, 1, 1)),
+                 date_trunc('week', date_day)) // 7 + 1)::INT AS week_number
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date_day FROM orders)
+"""
+
+
+def q_dim_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_weather_condition analog (dim_weather_condition.sql:3-8): distinct
+    code + split_part decomposition (C1) + slug normalization (C13)."""
+    part = load_table(spark, sf_dir, "part")
+    t = F.col("p_type")
+    return (
+        part.select("p_type").distinct()
+        .select(
+            surrogate_key("p_type").alias("type_key"),
+            t.alias("type_code"),
+            split_part_compat(t, " ", 1).alias("type_class"),
+            split_part_compat(t, " ", 2).alias("type_sub"),
+            split_part_compat(t, " ", 3).alias("type_finish"),
+            slugify(t).alias("type_slug"),
+        )
+    )
+
+
+ORACLE_DIM_PART_TYPE = f"""
+SELECT {surrogate_key_sql('p_type')} AS type_key,
+       p_type AS type_code,
+       split_part(p_type, ' ', 1) AS type_class,
+       split_part(p_type, ' ', 2) AS type_sub,
+       split_part(p_type, ' ', 3) AS type_finish,
+       replace(lower(trim(p_type)), ' ', '_') AS type_slug
+FROM (SELECT DISTINCT p_type FROM part)
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: time-bucket rollup + JSON projection (P1/P2 analog)
+# --------------------------------------------------------------------------
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (the batch twin of a tumbling window)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_json_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 analog: semi-structured path projection + cast out of a JSON
+    string column (the VARIANT pattern of stg_weather_raw.sql:15-18).
+    regexp-free of extension dependencies on the oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+ORACLE_EVENTS_JSON = r"""
+SELECT event_id,
+       regexp_extract(props, '"k": (-?\d+)', 1)::INT AS k_value
+FROM events
+"""
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "supplier_running_quantity": q_supplier_running_quantity,
+    "customer_order_gaps": q_customer_order_gaps,
+    "sessionize_events": q_sessionize_events,
+    "customers_without_orders": q_customers_without_orders,
+    "region_revenue": q_region_revenue,
+    "returned_priority_counts": q_returned_priority_counts,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
+    "repeat_status_customers": q_repeat_status_customers,
+    "dim_geo": q_dim_geo,
+    "dim_date_from_orders": q_dim_date_from_orders,
+    "dim_part_type": q_dim_part_type,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "events_json_project": q_events_json_project,
+}
+
+ORACLE = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "latest_order_per_customer": ORACLE_LATEST_ORDER,
+    "supplier_running_quantity": ORACLE_RUNNING_QTY,
+    "customer_order_gaps": ORACLE_ORDER_GAPS,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "customers_without_orders": ORACLE_NO_ORDERS,
+    "region_revenue": ORACLE_REGION_REVENUE,
+    "returned_priority_counts": ORACLE_RETURNED_PRIORITY,
+    "top_parts_by_revenue": ORACLE_TOP_PARTS,
+    "repeat_status_customers": ORACLE_REPEAT_STATUS,
+    "dim_geo": ORACLE_DIM_GEO,
+    "dim_date_from_orders": ORACLE_DIM_DATE,
+    "dim_part_type": ORACLE_DIM_PART_TYPE,
+    "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
+    "events_json_project": ORACLE_EVENTS_JSON,
+}

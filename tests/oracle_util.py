@@ -1,0 +1,74 @@
+"""Local mirror of the driver's DuckDB correctness gate.
+
+Runs a Spark DataFrame and the matching DuckDB SQL over the same parquet
+tables, then compares row count + column names + order-insensitive values.
+Values are compared exactly after canonicalization (floats are expected to
+be pre-rounded inside the queries themselves — that is the parity contract).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # queries pre-round; normalize -0.0 and represent at 9 dp
+        return f"{v + 0.0:.9g}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return v
+
+
+def rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
+    con = duck_con(sf_dir)
+    try:
+        duck = con.execute(sql)
+        duck_cols = [d[0] for d in duck.description]
+        duck_rows = duck.fetchall()
+    finally:
+        con.close()
+
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count differs: spark={len(spark_rows)} duck={len(duck_rows)}"
+
+    s = rows_to_multiset(spark_rows, spark_cols)
+    d = rows_to_multiset(duck_rows, duck_cols)
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:3]
+        return False, f"values differ; first diffs: {diffs}"
+    return True, "ok"
