@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` sink (full execution, no
+driver-side collect — the closest local analog of writing to a lake table).
+A warm-up query runs first so JVM/codegen startup is not attributed to the
+first benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from meteomatics_e2e_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm-up: touch the biggest table so scan/codegen startup is amortized.
+    run(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            run(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - report, keep benching
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,11 +12,9 @@ DataFrame / Catalyst stack, and extends it with LLM-data-pipeline operators
 Layout:
   session     — SparkSession factory (AQE, UTC, local tuning)
   functions/  — scalar function library with Snowflake-semantics parity
-  sources/    — bronze JSON reader, fixture generator, parquet table loader
-  operators/  — reusable DataFrame operators (flatten, dedupe, incremental,
-                text dedup/similarity, text analysis, multimodal plumbing)
-  plans/      — pipeline stages (staging, dims, facts, runner) + analytics
-  streaming/  — Structured Streaming availableNow ingest
+  sources/    — parquet table loader, bronze JSON reader, fixture generator
+  operators/  — reusable DataFrame operators (flatten, dedupe, incremental)
+  plans/      — analytics queries + weather pipeline stages
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

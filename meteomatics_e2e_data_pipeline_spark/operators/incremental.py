@@ -3,16 +3,24 @@
 The reference tracks processed files via the target table itself:
 ``METADATA$FILENAME NOT IN (SELECT file_path FROM {{ this }})`` — P4. Spark
 plans the equivalent ``left_anti`` join as a BroadcastHashJoin when the
-processed-file list is small (it is: one row per file, not per record —
-project + distinct first so only the key column ships to the build side).
+processed-file list is small (one row per *file*, not per record — project +
+distinct first so only the key column ships). No forced ``broadcast()``
+hint: years × thousands of files can exceed the broadcast limit, and
+Catalyst/AQE already pick broadcast-anti when the build side is small.
+
+Write-path semantics on plain parquet (no transactional table format in this
+image): ``append`` is NOT atomic — a retry after a mid-write failure can
+leave duplicates. The reference has the same exposure (dbt incremental on
+top of external files); production deployments should point these operators
+at a transactional format (Delta/Iceberg ``MERGE``) — the call signature is
+format-agnostic.
 """
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -25,23 +33,69 @@ def new_files_only(df: DataFrame, existing: DataFrame | None,
     """
     if existing is None:
         return df
-    seen = F.broadcast(existing.select(file_col).distinct())
+    seen = existing.select(file_col).distinct()
     return df.join(seen, on=file_col, how="left_anti")
 
 
+def read_target(spark: SparkSession, target_path: str) -> DataFrame | None:
+    """Read an existing parquet target, or None if it doesn't exist yet.
+
+    Detection goes through Spark's own Hadoop FileSystem API, so it works
+    against any supported scheme (``file://``, ``s3a://``, ``abfss://``,
+    ...), not just the driver-local filesystem.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        return None
+    try:
+        return spark.read.parquet(target_path)
+    except Exception:
+        # Directory exists but holds no readable parquet yet (e.g. only a
+        # _SUCCESS marker from an aborted write) — treat as first run.
+        return None
+
+
 def upsert_by_key(new: DataFrame, target_path: str, keys: Sequence[str],
-                  spark: SparkSession) -> None:
+                  spark: SparkSession,
+                  prune_filter: Column | None = None) -> None:
     """S8: incremental upsert with a dedupe key onto a plain-parquet target
-    (Delta MERGE fallback per SURVEY.md §2.1 S8 — Delta jars are not in this
-    image, so: anti-join existing keys, then append).
+    (Delta/Iceberg ``MERGE`` is the transactional equivalent; parquet
+    fallback = anti-join existing keys, then append).
 
     Exactly-once at file grain comes from `new_files_only`; this guards the
-    record grain. At scale the anti-join shuffles on the key — acceptable
-    because `new` is one micro-batch, not the full table, and the existing
-    side is pruned to key columns only (column pruning at the parquet scan).
+    record grain. Scale notes: the existing side is pruned to the key
+    columns (parquet column pruning) and — when ``prune_filter`` is given —
+    to only the partitions the new batch could collide with (partition
+    pruning), so the anti-join never rescans the whole history. ``new`` is
+    one micro-batch, so the shuffle is bounded by batch size.
     """
-    if os.path.isdir(target_path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(target_path) for f in fs):
-        existing_keys = spark.read.parquet(target_path).select(*keys).distinct()
-        new = new.join(existing_keys, on=list(keys), how="left_anti")
+    existing = read_target(spark, target_path)
+    if existing is not None:
+        existing_keys = existing.select(*keys)
+        if prune_filter is not None:
+            existing_keys = existing_keys.filter(prune_filter)
+        new = new.join(existing_keys.distinct(), on=list(keys), how="left_anti")
     new.dropDuplicates(list(keys)).write.mode("append").parquet(target_path)
+
+
+def full_refresh(df: DataFrame, target_path: str,
+                 partition_by: Sequence[str] | None = None) -> None:
+    """S9: full-refresh sink (dbt ``materialized='table'`` dims —
+    reference ``dim_location.sql:1`` etc.)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_path)
+
+
+def append_only(df: DataFrame, target_path: str,
+                partition_by: Sequence[str] | None = None) -> None:
+    """S7: incremental append sink (dbt incremental facts with no
+    unique_key — reference ``fact_weather_params_history.sql:1``)."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_path)

@@ -159,7 +159,10 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     expects). Single shuffle on user_id; both window passes share it."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # Fractional-second gap semantics, matching DuckDB's epoch(ts) DOUBLE:
+    # unix_timestamp() truncates to whole seconds and would disagree with the
+    # oracle whenever a gap lands within ~1s of the 1800s boundary.
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         ev.withColumn("__new", new_sess)
@@ -207,10 +210,12 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 star join: fact (lineitem→orders) against broadcast dims
-    (customer→nation→region). At 100 TB the dims stay broadcast-able; the
-    only big shuffle is the final 5-group aggregation, which partial-aggs
-    map-side first."""
+    """J3 star join. Only the fixed-cardinality dims (nation=25, region=5)
+    are force-broadcast; customer grows with scale factor, so it joins as an
+    ordinary shuffle join — AQE converts it to broadcast at runtime when the
+    pruned build side is genuinely small, and never OOMs at 100 TB the way a
+    hard `broadcast(customer)` hint would. The only unavoidable big shuffle
+    is the final 5-group aggregation, which partial-aggs map-side first."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -224,7 +229,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(dim), F.col("o_custkey") == dim.c_custkey)
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
         .groupBy("r_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"),
@@ -275,7 +280,9 @@ GROUP BY o_orderpriority
 def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (no full
     sort; each partition keeps its local top-k, driver merges k·p rows).
-    p_partkey tiebreaker makes the cut deterministic."""
+    p_partkey tiebreaker makes the cut deterministic. No broadcast hint:
+    `part` scales with the data, and post-agg `rev` (≤ distinct partkeys) is
+    the smaller side anyway — AQE picks the physical join at runtime."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (
@@ -284,7 +291,7 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("revenue"))
     )
     return (
-        rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey)
+        rev.join(part, rev.l_partkey == part.p_partkey)
         .select("p_partkey", "p_name", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
         .limit(10)

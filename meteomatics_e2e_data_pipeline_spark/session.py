@@ -36,6 +36,9 @@ def get_spark(app_name: str = "meteomatics_e2e_data_pipeline_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Engine-wide parquet policy: TIMESTAMP(NANOS) columns read as long
+        # (see sources/tables.py — converted to micros with integer math).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

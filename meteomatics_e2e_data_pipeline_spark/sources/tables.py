@@ -16,8 +16,11 @@ TABLE_NAMES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Dimension-sized tables that are always safe to broadcast in joins.
-SMALL_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Tables with FIXED cardinality (do not grow with scale factor) — the only
+# ones that are unconditionally safe to force-broadcast at any data scale.
+# customer/part/supplier grow with SF (multi-GB at 100 TB): join them
+# normally and let AQE convert to broadcast when the pruned side is small.
+SMALL_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -26,9 +29,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the vectorized Spark
-        # reader rejects. Read nanos as long and truncate to micros with
-        # integer arithmetic (a double round-trip would lose precision —
-        # epoch-nanos exceed 2^53). DuckDB truncates NS→US the same way.
+        # reader rejects. Engine-wide policy (also set in the session
+        # factory): read nanos as long, truncate to micros with integer
+        # arithmetic (a double round-trip would lose precision — epoch-nanos
+        # exceed 2^53). DuckDB truncates NS→US the same way. The runtime set
+        # below covers driver-owned sessions that didn't come from
+        # session.get_spark(); it is engine policy, not a per-read toggle,
+        # so it is intentionally not restored afterwards.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
         return (

@@ -34,12 +34,17 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # queries pre-round; normalize -0.0 and represent at 9 dp
-        return f"{v + 0.0:.9g}"
+        # queries pre-round (to <= 6 dp); compare at fixed DECIMAL places,
+        # not significant digits — %.9g would collapse large sums (e.g.
+        # revenue ~5.9e9) to whole-dollar precision and mask cent-level
+        # drift the driver's value-hash gate would catch.
+        return f"{v + 0.0:.6f}"
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
     return v
 
 
