@@ -12,7 +12,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from meteomatics_e2e_data_pipeline_spark.plans import analytics
+from meteomatics_e2e_data_pipeline_spark.plans import analytics, weather
+from meteomatics_e2e_data_pipeline_spark.sources.fixtures import ensure_fixtures
+
+# Bronze fixtures must exist before the driver runs the weather oracle SQL
+# (DuckDB reads the same JSON files); generation is idempotent and cheap.
+ensure_fixtures()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -21,8 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(analytics.QUERIES)
+    out = dict(analytics.QUERIES)
+    out.update(weather.WEATHER_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(analytics.ORACLE)
+    out = dict(analytics.ORACLE)
+    out.update(weather.weather_oracle())
+    return out

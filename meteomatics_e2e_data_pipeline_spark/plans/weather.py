@@ -1,0 +1,331 @@
+"""The weather pipeline itself — bronze scan → staging flatten → star schema.
+
+Spark-first re-expression of the reference's dbt DAG:
+
+- ``stg_weather_raw`` (reference ``stg_weather_raw.sql:28-42``): typed
+  nested read + 3-level explode + lazy-cast projection. One Catalyst
+  ``Generate`` chain — no shuffle at all until something aggregates.
+- ``dim_location`` / ``dim_weather_condition`` (``dim_location.sql:3-9``,
+  ``dim_weather_condition.sql:3-8``): DISTINCT + md5 surrogate keys.
+- ``dim_date`` (``dim_date.sql:3-30``): 3653-row spine with calendar
+  attributes, generated distributed via ``spark.range``.
+- the 4 facts (``fact_weather_params_{history,forecast}.sql``,
+  ``fact_sun_times_{history,forecast}.sql:6-45``): one parameterized
+  builder — they differ only in the parameter IN-list (P6), the
+  history/forecast theta predicate direction (P7) and the value cast.
+  ``current_date()`` is replaced by an explicit ``as_of`` parameter (C10)
+  so results are reproducible (SURVEY.md §4).
+
+Every query here is oracle-checked: the DuckDB side re-reads the *same
+bronze JSON files* with ``read_json`` and re-derives the result in pure
+SQL, so the two engines cross-validate the whole chain from file bytes to
+star-schema rows.
+
+Scale notes: the explode chain pipelines inside one stage (fan-out is
+row-local); the facts' window dedupe shuffles once on (city, parameter,
+reading_datetime); dims are tiny after DISTINCT. At 100 TB the staging
+write partitions by reading date (S10) so fact rebuilds prune to the
+±2/+7-day as_of window instead of rescanning history.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dates import date_key, date_spine, is_weekend, week_number, weekday_name
+from ..functions.keys import surrogate_key, surrogate_key_sql
+from ..functions.strings import split_part_compat
+from ..operators.dedupe import latest_record_wins
+from ..operators.flatten import explode_path
+from ..sources.bronze import read_bronze
+from ..sources.fixtures import default_bronze_root, ensure_fixtures
+
+# Fixed as-of date for reproducible fact outputs: inside the fixtures'
+# run_date range (2025-03-26..29) so the ±2/+7-day window clips real data.
+AS_OF = date(2025, 3, 28)
+SUN_PARAMS = ("sunrise:sql", "sunset:sql")
+
+
+def _bronze_glob() -> str:
+    root = ensure_fixtures()
+    return f"{root}/*/*/*.json"
+
+
+# --------------------------------------------------------------------------
+# Staging
+# --------------------------------------------------------------------------
+
+
+def stg_weather_raw(spark: SparkSession, bronze_path: str | None = None,
+                    existing: DataFrame | None = None) -> DataFrame:
+    """Reference ``stg_weather_raw.sql`` as one declarative plan:
+    metadata-bearing scan (S6) → optional new-files anti-join (P4, when an
+    ``existing`` target is supplied) → flatten ×3 (F1–F3/J2) → typed
+    projection (P1–P2)."""
+    from ..operators.incremental import new_files_only
+
+    raw = read_bronze(spark, bronze_path or _bronze_glob())
+    raw = new_files_only(raw, existing)
+    fl = raw.select(
+        "file_path",
+        "file_modified",
+        "country",
+        "city",
+        F.col("weather.dateGenerated").cast("timestamp").alias("date_generated"),
+        F.col("weather.data").alias("weather_data"),
+    )
+    exploded = explode_path(
+        fl, "weather_data:param", "param.coordinates:coord", "coord.dates:reading",
+    )
+    return exploded.select(
+        "file_path",
+        "file_modified",
+        "country",
+        "city",
+        "date_generated",
+        F.col("param.parameter").alias("parameter"),
+        F.col("coord.lat").alias("latitude"),
+        F.col("coord.lon").alias("longitude"),
+        F.col("reading.date").cast("timestamp").alias("reading_datetime"),
+        F.col("reading.value").alias("reading_value"),
+    )
+
+
+def q_weather_stg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked staging output. ``file_modified`` is excluded from the
+    compared projection only because DuckDB's ``read_json`` cannot observe
+    file mtimes — the column itself is real (see ``stg_weather_raw``)."""
+    return stg_weather_raw(spark).drop("file_modified")
+
+
+# DuckDB re-derivation of the staging chain over the same JSON files.
+_DUCK_COLUMNS = """{city: 'VARCHAR', country: 'VARCHAR',
+  latitude: 'DOUBLE', longitude: 'DOUBLE',
+  weather: 'STRUCT(version VARCHAR, "user" VARCHAR, dateGenerated VARCHAR,
+                   status VARCHAR,
+                   data STRUCT(parameter VARCHAR,
+                               coordinates STRUCT(lat DOUBLE, lon DOUBLE,
+                                 dates STRUCT("date" VARCHAR, value VARCHAR)[])[])[])'}"""
+
+
+def _duck_stg_cte(bronze_root: str) -> str:
+    return f"""
+raw AS (
+  SELECT regexp_replace(filename, '^.*/bronze/', '') AS file_path,
+         city, country, latitude, longitude,
+         CAST(weather.dateGenerated AS TIMESTAMP) AS date_generated,
+         weather.data AS weather_data
+  FROM read_json('{bronze_root}/*/*/*.json',
+                 columns = {_DUCK_COLUMNS}, filename = true)
+),
+l1 AS (SELECT file_path, country, city, date_generated, latitude, longitude,
+              unnest(weather_data) AS param FROM raw),
+l2 AS (SELECT *, unnest(param.coordinates) AS coord FROM l1),
+stg AS (
+  SELECT file_path, country, city, date_generated,
+         param.parameter AS parameter,
+         coord.lat AS latitude, coord.lon AS longitude,
+         CAST(reading."date" AS TIMESTAMP) AS reading_datetime,
+         reading.value AS reading_value
+  FROM (SELECT file_path, country, city, date_generated, param,
+               coord, unnest(coord.dates) AS reading FROM l2)
+)"""
+
+
+def oracle_weather_stg() -> str:
+    root = default_bronze_root()
+    return f"WITH {_duck_stg_cte(str(root))} SELECT * FROM stg"
+
+
+# --------------------------------------------------------------------------
+# Dimensions
+# --------------------------------------------------------------------------
+
+
+def q_weather_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_location.sql:3-9 — DISTINCT location attributes + C11 key."""
+    stg = stg_weather_raw(spark)
+    return stg.select(
+        surrogate_key("country", "city").alias("location_key"),
+        "country", "city", "latitude", "longitude",
+    ).distinct()
+
+
+def oracle_weather_dim_location() -> str:
+    root = default_bronze_root()
+    return f"""WITH {_duck_stg_cte(str(root))}
+SELECT DISTINCT {surrogate_key_sql('country', 'city')} AS location_key,
+       country, city, latitude, longitude
+FROM stg"""
+
+
+def q_weather_dim_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_weather_condition.sql:3-8 — DISTINCT parameter decomposition
+    (C1 split_part) + C11 key."""
+    stg = stg_weather_raw(spark)
+    p = F.col("parameter")
+    return stg.select("parameter").distinct().select(
+        surrogate_key("parameter").alias("condition_key"),
+        p.alias("parameter_code"),
+        split_part_compat(p, ":", 1).alias("parameter_name"),
+        split_part_compat(p, ":", 2).alias("unit"),
+    )
+
+
+def oracle_weather_dim_condition() -> str:
+    root = default_bronze_root()
+    return f"""WITH {_duck_stg_cte(str(root))}
+SELECT {surrogate_key_sql('parameter')} AS condition_key,
+       parameter AS parameter_code,
+       split_part(parameter, ':', 1) AS parameter_name,
+       split_part(parameter, ':', 2) AS unit
+FROM (SELECT DISTINCT parameter FROM stg)"""
+
+
+def q_dim_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_date.sql:3-30 — the full 3653-row calendar from the row-generator
+    spine (S11/F4) with C4–C9 attributes. Weekday names are unpadded
+    (documented deviation from Snowflake's 9-char blank padding)."""
+    d = F.col("date_day")
+    return date_spine(spark).select(
+        d,
+        date_key(d).alias("date_key"),
+        F.year(d).alias("year"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"),
+        weekday_name(d).alias("weekday"),
+        is_weekend(d).alias("is_weekend"),
+        week_number(d).alias("week_number"),
+    )
+
+
+ORACLE_DIM_DATE_SPINE = """
+SELECT date_day,
+       strftime(date_day, '%Y%m%d')::INT AS date_key,
+       year(date_day)::INT   AS year,
+       month(date_day)::INT  AS month,
+       day(date_day)::INT    AS day,
+       dayname(date_day)     AS weekday,
+       isodow(date_day) IN (6, 7) AS is_weekend,
+       (datediff('day',
+                 date_trunc('week', make_date(year(date_day)::INT, 1, 1)),
+                 date_trunc('week', date_day)) // 7 + 1)::INT AS week_number
+FROM (SELECT unnest(generate_series(DATE '2020-01-01',
+                                    DATE '2029-12-31',
+                                    INTERVAL 1 DAY))::DATE AS date_day)
+"""
+
+
+# --------------------------------------------------------------------------
+# Facts — one parameterized builder for all four
+# --------------------------------------------------------------------------
+
+
+def build_fact(stg: DataFrame, *, sun: bool, history: bool,
+               as_of: date = AS_OF) -> DataFrame:
+    """The shared shape of all 4 fact models (reference
+    ``fact_weather_params_history.sql:6-45`` and its 3 siblings):
+
+    1. P5: ``reading_datetime BETWEEN as_of-2d AND as_of+7d`` — an explicit
+       ``as_of`` replaces ``current_date()`` (C10) for reproducibility.
+    2. W1: latest ``date_generated`` wins per (city, parameter,
+       reading_datetime); ``file_path`` is the deterministic tiebreaker
+       (documented deviation — the reference leaves ties unspecified).
+    3. P6: parameter IN / NOT IN ('sunrise:sql','sunset:sql').
+    4. P7: history keeps ``reading_datetime <= date_generated``; forecast
+       keeps ``>``.
+    5. C11 keys + C4 date_key projection; params facts cast the value to
+       double (C12), sun facts keep the datetime string (VARIANT parity).
+
+    The window shuffle is the only exchange; the P5 filter sits on the scan
+    (partition-prunable when staging is stored partitioned by reading date).
+    """
+    lo = datetime.combine(as_of - timedelta(days=2), datetime.min.time())
+    hi = datetime.combine(as_of + timedelta(days=7), datetime.min.time())
+    recent = stg.filter(F.col("reading_datetime").between(F.lit(lo), F.lit(hi)))
+    ranked = latest_record_wins(
+        recent,
+        keys=["city", "parameter", "reading_datetime"],
+        order_desc=["date_generated", "file_path"],
+    )
+    in_list = F.col("parameter").isin(*SUN_PARAMS)
+    param_pred = in_list if sun else ~in_list
+    theta = (F.col("reading_datetime") <= F.col("date_generated")
+             if history else F.col("reading_datetime") > F.col("date_generated"))
+    value = (F.col("reading_value") if sun
+             else F.col("reading_value").cast("double"))
+    return ranked.filter(param_pred & theta).select(
+        surrogate_key("country", "city").alias("location_key"),
+        surrogate_key("parameter").alias("condition_key"),
+        date_key(F.col("reading_datetime")).alias("date_key"),
+        "reading_datetime",
+        value.alias("reading_value"),
+    )
+
+
+def _q_fact(sun: bool, history: bool):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_fact(stg_weather_raw(spark), sun=sun, history=history)
+    return q
+
+
+def _oracle_fact(sun: bool, history: bool) -> str:
+    root = default_bronze_root()
+    lo = (AS_OF - timedelta(days=2)).isoformat()
+    hi = (AS_OF + timedelta(days=7)).isoformat()
+    in_op = "IN" if sun else "NOT IN"
+    theta = "<=" if history else ">"
+    value = "reading_value" if sun else "CAST(reading_value AS DOUBLE)"
+    return f"""WITH {_duck_stg_cte(str(root))},
+recent AS (
+  SELECT * FROM stg
+  WHERE reading_datetime BETWEEN TIMESTAMP '{lo} 00:00:00'
+                             AND TIMESTAMP '{hi} 00:00:00'
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY city, parameter, reading_datetime
+      ORDER BY date_generated DESC, file_path DESC) AS row_num
+  FROM recent
+),
+latest AS (
+  SELECT * FROM ranked
+  WHERE parameter {in_op} ('sunrise:sql', 'sunset:sql')
+    AND reading_datetime {theta} date_generated
+    AND row_num = 1
+)
+SELECT {surrogate_key_sql('country', 'city')} AS location_key,
+       {surrogate_key_sql('parameter')} AS condition_key,
+       strftime(reading_datetime, '%Y%m%d')::INT AS date_key,
+       reading_datetime,
+       {value} AS reading_value
+FROM latest"""
+
+
+WEATHER_QUERIES = {
+    "weather_stg_raw": q_weather_stg,
+    "weather_dim_location": q_weather_dim_location,
+    "weather_dim_condition": q_weather_dim_condition,
+    "dim_date_spine": q_dim_date_spine,
+    "fact_weather_params_history": _q_fact(sun=False, history=True),
+    "fact_weather_params_forecast": _q_fact(sun=False, history=False),
+    "fact_sun_times_history": _q_fact(sun=True, history=True),
+    "fact_sun_times_forecast": _q_fact(sun=True, history=False),
+}
+
+
+def weather_oracle() -> dict[str, str]:
+    """Oracle SQL built lazily so fixture paths resolve at call time."""
+    return {
+        "weather_stg_raw": oracle_weather_stg(),
+        "weather_dim_location": oracle_weather_dim_location(),
+        "weather_dim_condition": oracle_weather_dim_condition(),
+        "dim_date_spine": ORACLE_DIM_DATE_SPINE,
+        "fact_weather_params_history": _oracle_fact(sun=False, history=True),
+        "fact_weather_params_forecast": _oracle_fact(sun=False, history=False),
+        "fact_sun_times_history": _oracle_fact(sun=True, history=True),
+        "fact_sun_times_forecast": _oracle_fact(sun=True, history=False),
+    }
