@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from meteomatics_e2e_data_pipeline_spark.plans import analytics, weather
+from meteomatics_e2e_data_pipeline_spark.plans import analytics, llmdata, weather
 from meteomatics_e2e_data_pipeline_spark.sources.fixtures import ensure_fixtures
 
 # Bronze fixtures must exist before the driver runs the weather oracle SQL
@@ -28,10 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(analytics.QUERIES)
     out.update(weather.WEATHER_QUERIES)
+    out.update(llmdata.LLM_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out = dict(analytics.ORACLE)
     out.update(weather.weather_oracle())
+    out.update(llmdata.llm_oracle())
     return out

@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The Spark-side mechanics are real and tested — schema, partitioning,
+Arrow-batched ``mapInPandas`` signature, deterministic feature extraction.
+The actual media *decode* (image/audio/video libraries are not in this
+container) is stubbed behind clearly-marked ``NotImplementedError``
+functions; swapping the stub for Pillow/torchaudio/pyav changes only the
+inner loop of ``_feature_batches``, not the Spark plan.
+
+Design for 100 TB: payloads never leave the executor as Python objects
+row-by-row — ``mapInPandas`` moves whole Arrow batches, and the feature
+schema is declared up front so downstream stages stay columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, payload_md5 string, fake_frames int"
+)
+
+
+def to_media_table(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   media_type: str = "image/fake") -> DataFrame:
+    """Wrap a source column as an opaque binary payload with a typed
+    metadata struct — the storage shape for any media modality. (Here the
+    payload is the utf-8 text bytes; for real media it is the encoded
+    image/audio/video blob, same schema.)"""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """STUB: real image decode (PIL.Image.open) — library not available in
+    this environment. The Spark plumbing around it is real and tested."""
+    raise NotImplementedError("image decode requires Pillow; not in container")
+
+
+def sample_frames(payload: bytes, every_n: int):  # pragma: no cover - stub
+    """STUB: real video frame sampling (pyav) — not in container."""
+    raise NotImplementedError("video decode requires pyav; not in container")
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction. Deterministic fake features stand
+    in for the decode step (see module docstring); everything else — batch
+    shape, schema, hashing — is exactly what a real extractor does."""
+    import hashlib
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": payloads.map(len).astype("int32"),
+            "payload_md5": payloads.map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest()),
+            "fake_frames": payloads.map(lambda b: len(b) % 7).astype("int32"),
+        })
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Run the (stubbed) extractor over Arrow batches. One narrow pass —
+    no shuffle; parallelism is the input partitioning."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA)

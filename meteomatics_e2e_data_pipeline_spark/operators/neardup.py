@@ -1,0 +1,162 @@
+"""Near-duplicate detection: MinHash + LSH banding, and SimHash.
+
+Designed for the 100 TB shape of the problem:
+
+- **Never all-pairs.** Candidate generation is a self-join on
+  ``(band_id, band_hash)`` — documents only meet if at least one band of
+  their MinHash signatures collides. At N documents the join touches
+  O(N · BANDS) rows hashed into buckets, not O(N²) pairs.
+- **Partial-aggregatable signatures.** The signature is ``min()`` over
+  exploded shingles — a hash aggregate with map-side combine, one shuffle
+  on doc_id, no window, no sort.
+- **Cross-engine reproducible hashing** (``textops.base_hash48``) so the
+  whole sketch is oracle-checkable in DuckDB, not just "plausible".
+
+Default parameters: 24 permutations in 6 bands of 4 rows — the LSH
+S-curve crosses ~50% candidate probability near Jaccard ≈ (1/6)^(1/4) ≈
+0.64, a standard near-dup operating point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import MINHASH_P, base_hash48, tokens, word_shingles
+
+NUM_PERM = 24
+BANDS = 6
+ROWS_PER_BAND = 4
+assert NUM_PERM == BANDS * ROWS_PER_BAND
+
+# Deterministic permutation coefficients (shared with the DuckDB oracle).
+PERM_A = [2 * j + 1 for j in range(NUM_PERM)]          # odd multipliers
+PERM_B = [7919 * j + 104729 for j in range(NUM_PERM)]  # offset per perm
+
+
+def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
+                 n: int) -> DataFrame:
+    """Explode each document into its distinct word n-gram shingles."""
+    return (
+        docs.select(id_col, word_shingles(tokens(F.col(text_col)), n).alias("sh"))
+        .select(id_col, F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """One row per document with columns ``mh_0 .. mh_{NUM_PERM-1}``.
+
+    Single shuffle: explode shingles map-side, hash, then a hash aggregate
+    of NUM_PERM ``min()`` columns grouped by document.
+    """
+    sh = shingle_rows(docs, id_col, text_col, n)
+    h = sh.select(id_col, base_hash48(F.col("shingle")).alias("hv"))
+    aggs = [
+        F.min((F.lit(PERM_A[j]) * F.col("hv") + F.lit(PERM_B[j])) % MINHASH_P)
+        .alias(f"mh_{j}")
+        for j in range(NUM_PERM)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Unpivot signatures into (id, band_id, band_hash) rows; band_hash is
+    md5 over the band's signature values."""
+    bands = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                for r in range(ROWS_PER_BAND)]
+        bands.append(sigs.select(
+            id_col,
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
+        ))
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) whose signatures collide in
+    at least one band. The join shuffles on (band_id, band_hash) — bucket
+    sizes, not document count, bound the pair fan-out."""
+    b = band_rows(sigs, id_col)
+    left = b.withColumnRenamed(id_col, "id_a")
+    right = b.withColumnRenamed(id_col, "id_b")
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """Full near-dup chain: MinHash → LSH candidates → exact Jaccard
+    verification on the candidates only. Returns (doc_a, doc_b, jaccard).
+
+    The verification join is shingle-keyed and touches only candidate
+    documents — at scale this is the small tail of the distribution, not
+    the corpus.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, n)
+    cand = lsh_candidate_pairs(sigs, id_col)
+    sh = shingle_rows(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    bb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        cand.join(a, "id_a").join(bb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+                "jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint over unigram tokens (term-frequency weighted):
+    bit i of the fingerprint is the sign of the sum over tokens of
+    ±1 (bit i of the token hash), weighted by occurrence count.
+
+    Shape: explode tokens → hash → one hash-aggregate with SIMHASH_BITS
+    conditional sums — partial-aggregatable, single shuffle.
+    """
+    tok = (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
+        .select(id_col, base_hash48(F.col("t")).alias("hv"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.cast("bigint").alias("simhash"))

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN is actually deployed on a lake:
+
+- ``knn_bruteforce`` — exact cosine top-k. The query set is broadcast
+  (it is small by construction); each executor scans its slice of the
+  corpus once. O(N·Q) dot products, embarrassingly parallel, no shuffle
+  except the final per-query top-k (TakeOrdered-shaped).
+- ``ivf_assign`` / ``knn_ivf`` — the scale path: a coarse quantizer
+  assigns every vector to its nearest centroid bucket; queries probe only
+  their own bucket, cutting the scan by ~the number of buckets. The
+  centroid set is tiny and broadcast. (A full IVF would train centroids
+  with k-means; the operator takes any centroid DataFrame — training is
+  orthogonal and pluggable.)
+
+All arithmetic is double-precision and sequential over the array
+(``aggregate`` folds left), which makes results bit-comparable with the
+DuckDB oracle's ``list_``-function implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prod = F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                      lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a.cast("array<double>"), F.lit(0.0),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float|double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded).
+
+    ``queries`` is force-broadcast — it is the small side by contract.
+    Output: (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    from pyspark.sql import Window
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cent_id: str = "centroid_id") -> DataFrame:
+    """Assign every vector to its max-cosine centroid (the IVF coarse
+    quantizer). Centroids are broadcast; one pass over the corpus; ties
+    break to the lowest centroid id for determinism."""
+    from pyspark.sql import Window
+    cent = centroids.select(F.col(cent_id), F.col(vec_col).alias("cent_vec"))
+    scored = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .select(id_col, vec_col, cent_id,
+                cosine(F.col(vec_col), F.col("cent_vec")).alias("cs"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col(cent_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col(cent_id).alias("bucket"))
+    )
+
+
+def knn_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+            k: int, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: brute force *within the query's bucket only*.
+
+    Both sides go through the same quantizer, then the search join is
+    equi-keyed on ``bucket`` — a hash join whose probe side is 1/n_buckets
+    of the corpus, which is the whole point at 100 TB.
+    Output: (query_id, neighbor_id, bucket, cos_sim, rank).
+    """
+    from pyspark.sql import Window
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = (ivf_assign(queries, centroids, id_col, vec_col)
+         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+                 "bucket"))
+    c = assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("c_vec"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "bucket",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -1,0 +1,89 @@
+"""Text-analysis building blocks for the LLM-data-pipeline operators.
+
+All pure built-in expressions (whole-stage codegen, no Python in the hot
+path). The md5-derived 48-bit base hash is chosen for *cross-engine
+reproducibility*: Spark's ``xxhash64``/``hash`` and DuckDB's ``hash`` are
+different functions, but ``md5`` hex is identical everywhere, and 12 hex
+digits fit a BIGINT exactly the same way on both sides — so every
+downstream sketch (MinHash, SimHash) is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for MinHash permutations: a prime below 2^48 so that
+# a*h + b (a < 2^6, h < 2^48) stays well inside BIGINT range.
+MINHASH_P = 281474976710597
+
+# Small multilingual stopword tables for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es": ("el", "la", "los", "que", "y", "es", "una"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas"),
+    "zh": ("的", "是", "了", "在", "我", "有", "不"),
+}
+# Deterministic priority when scores tie (argmax order).
+LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def normalize_text(c: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, trim, collapse runs of
+    whitespace. Mirrors what a cleaning stage would emit."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def content_hash(c: Column) -> Column:
+    """Exact-dedup key: md5 of the normalized text."""
+    return F.md5(normalize_text(c))
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(c), r"\s+")
+
+
+def base_hash48(c: Column) -> Column:
+    """48-bit integer hash of a string via md5 — identical in DuckDB as
+    ``('0x' || substr(md5(s), 1, 12))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
+
+
+BASE_HASH48_SQL = "('0x' || substr(md5({c}), 1, 12))::BIGINT"
+
+
+def word_shingles(tok: Column, n: int) -> Column:
+    """Array of word n-gram shingles (space-joined). Empty array when the
+    document has fewer than ``n`` tokens (``sequence`` would otherwise
+    count *down* and produce bogus indices)."""
+    if n == 1:
+        return tok
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(tok, i + k) for k in range(1, n + 1)
+            ]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_score(tok: Column, lang: str) -> Column:
+    """Stopword-hit count for one language over the token array."""
+    arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+
+def lang_guess(tok: Column) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when every
+    score is zero. Ties resolve to the earliest LANG_ORDER entry — the
+    same CASE shape the DuckDB oracle uses, so results match exactly."""
+    scores = {lang: lang_score(tok, lang) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)

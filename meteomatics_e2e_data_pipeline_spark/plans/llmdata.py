@@ -1,0 +1,378 @@
+"""LLM-training-data pipeline queries over the driver's ``documents`` and
+``embeddings`` tables — dedup, near-dup, fingerprinting, text analysis,
+similarity search, multimodal plumbing.
+
+Every query has a full DuckDB oracle. The sketches (MinHash, SimHash) are
+oracle-checkable *bit-for-bit* because the base hash is md5-derived on
+both engines (``operators.textops.base_hash48``); the oracle SQL is
+generated from the same constants (``PERM_A``/``PERM_B``/``MINHASH_P``)
+the Spark operators use, so a drift in either side fails CORRECTNESS.
+
+Scale notes are in the operator modules; the headline ones:
+- near-dup candidates come from an LSH band join, never an all-pairs
+  cross join;
+- MinHash/SimHash signatures are single-shuffle hash aggregates;
+- brute-force kNN broadcasts only the query set; the IVF variant probes
+  1/n_buckets of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import neardup, similarity
+from ..operators.multimodal import extract_features, to_media_table
+from ..operators.textops import (
+    LANG_ORDER, LANG_STOPWORDS, MINHASH_P, content_hash, lang_guess,
+    lang_score, tokens,
+)
+from ..sources.tables import load_table
+
+# Shared query parameters (mirrored into the generated oracle SQL).
+SHINGLE_N = 3
+NEARDUP_THRESHOLD = 0.5
+KNN_QUERY_MAX_ID = 5     # query set: vec_id < 5
+KNN_K = 10
+IVF_CENTROID_MAX_ID = 8  # coarse quantizer: first 8 vectors as centroids
+IVF_K = 5
+
+_DUCK_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+_DUCK_HASH48 = "('0x' || substr(md5({c}), 1, 12))::BIGINT"
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content hash: one row per distinct
+    content, with the canonical (minimum) doc_id and the copy count.
+    Pure hash aggregate — map-side combined, one shuffle on the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(content_hash(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_EXACT_DEDUP = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics + a quality score: token counts,
+    type-token ratio, mean token length, English stopword ratio, BPE-ish
+    subtoken count (greedy ≤4-char alpha chunks). All built-in expressions
+    over one projection — no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    n_distinct = F.size(F.array_distinct(tok))
+    sum_len = F.aggregate(F.transform(tok, F.length),
+                          F.lit(0), lambda a, v: a + v)
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_arr, t)))
+    ttr = n_distinct / n_tok
+    stop_ratio = n_stop / n_tok
+    quality = ttr - stop_ratio + F.log(F.lit(1.0) + n_tok) / 10
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,4}"), 0))
+        .alias("n_subtokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(sum_len / n_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+ORACLE_TEXT_STATS = rf"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tok FROM documents),
+m AS (
+  SELECT doc_id, text, tok,
+         len(tok) AS n_tokens,
+         len(list_distinct(tok)) AS n_distinct_tokens,
+         list_sum(list_transform(tok, x -> length(x))) AS sum_len,
+         len(list_filter(tok, x -> x IN ({_EN_STOP_SQL}))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       n_tokens::INT AS n_tokens,
+       n_distinct_tokens::INT AS n_distinct_tokens,
+       len(regexp_extract_all(text, '[a-z]{{1,4}}'))::INT AS n_subtokens,
+       round(n_distinct_tokens * 1.0 / n_tokens, 6) AS type_token_ratio,
+       round(sum_len * 1.0 / n_tokens, 6) AS avg_token_len,
+       round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round(n_distinct_tokens * 1.0 / n_tokens - n_stop * 1.0 / n_tokens
+             + ln(1.0 + n_tokens) / 10, 6) AS quality_score
+FROM m
+"""
+
+
+def q_docs_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-table language-ID heuristic next to the declared label."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_guess(tok).alias("lang_guess"),
+        lang_score(tok, "en").cast("int").alias("en_hits"),
+    )
+
+
+def _oracle_lang_guess() -> str:
+    scores = {
+        lang: f"len(list_filter(tok, x -> x IN ({', '.join(repr(w) for w in LANG_STOPWORDS[lang])})))"
+        for lang in LANG_ORDER
+    }
+    greatest = f"greatest({', '.join(scores.values())})"
+    whens = "\n       ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS tok FROM documents)
+SELECT doc_id,
+       lang AS declared_lang,
+       CASE WHEN {greatest} = 0 THEN 'und'
+       {whens}
+       END AS lang_guess,
+       {scores['en']}::INT AS en_hits
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Fingerprints: SimHash + MinHash/LSH near-dup pairs
+# --------------------------------------------------------------------------
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.simhash(docs)
+
+
+def _oracle_simhash() -> str:
+    hv = _DUCK_HASH48.format(c="t")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(neardup.SIMHASH_BITS))
+    fp = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END"
+        for i in range(neardup.SIMHASH_BITS))
+    return rf"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
+h AS (SELECT doc_id, {hv} AS hv FROM tok),
+agg AS (SELECT doc_id,
+         {sums}
+        FROM h GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM agg
+"""
+
+
+def q_docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.near_dup_pairs(docs, n=SHINGLE_N,
+                                  threshold=NEARDUP_THRESHOLD)
+
+
+def _oracle_near_dup() -> str:
+    n = SHINGLE_N
+    shingle_parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    hv = _DUCK_HASH48.format(c="shingle")
+    mins = ",\n        ".join(
+        f"min(({neardup.PERM_A[j]} * hv + {neardup.PERM_B[j]}) % {MINHASH_P}) AS mh_{j}"
+        for j in range(neardup.NUM_PERM))
+    band_selects = []
+    for b in range(neardup.BANDS):
+        cols = ", ".join(f"mh_{b * neardup.ROWS_PER_BAND + r}"
+                         for r in range(neardup.ROWS_PER_BAND))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5(concat_ws('-', {cols})) AS band_hash FROM sig")
+    bands_sql = "\n  UNION ALL ".join(band_selects)
+    return rf"""
+WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+sh0 AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - {n - 2}),
+                                     i -> {shingle_parts})) AS shingle
+        FROM tok),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+h AS (SELECT doc_id, {hv} AS hv FROM sh),
+sig AS (SELECT doc_id,
+        {mins}
+        FROM h GROUP BY doc_id),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+         round(coalesce(i.n_inter, 0) * 1.0
+               / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+)
+SELECT * FROM scored WHERE jaccard >= {NEARDUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+def q_emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_bruteforce(emb, queries, KNN_K)
+
+
+_DUCK_COS = ("list_dot_product(qv, cv) / "
+             "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
+
+ORACLE_KNN = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_DUCK_COS} AS cos_raw
+  FROM q, c WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_ivf(emb, queries, centroids, IVF_K)
+
+
+ORACLE_ANN_IVF = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_v
+              FROM embeddings WHERE vec_id < {IVF_CENTROID_MAX_ID}),
+allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored_assign AS (
+  SELECT a.vec_id, a.v, c.centroid_id,
+         list_dot_product(a.v, c.cent_v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(c.cent_v, c.cent_v))) AS cs
+  FROM allv a, cent c
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored_assign)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket
+      FROM assigned WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM assigned),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, q.bucket,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM c JOIN q USING (bucket)
+  WHERE c.neighbor_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, round(cos_raw, 6) AS cos_sim,
+       rank::INT AS rank
+FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata struct + Arrow-batched feature extraction
+    (decode stubbed — see operators/multimodal.py). The one deliberately
+    Python-touching query: media decode is inherently library code, and
+    mapInPandas is the right Spark shape for it."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = to_media_table(docs)
+    return extract_features(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text))::INT AS n_bytes,
+       md5(text) AS payload_md5,
+       (octet_length(encode(text)) % 7)::INT AS fake_frames
+FROM documents
+"""
+
+
+LLM_QUERIES = {
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_text_stats": q_docs_text_stats,
+    "docs_lang_guess": q_docs_lang_guess,
+    "docs_simhash": q_docs_simhash,
+    "docs_near_dup_pairs": q_docs_near_dup_pairs,
+    "emb_knn_bruteforce": q_emb_knn_bruteforce,
+    "emb_ann_ivf": q_emb_ann_ivf,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+def llm_oracle() -> dict[str, str]:
+    return {
+        "docs_exact_dedup": ORACLE_EXACT_DEDUP,
+        "docs_text_stats": ORACLE_TEXT_STATS,
+        "docs_lang_guess": _oracle_lang_guess(),
+        "docs_simhash": _oracle_simhash(),
+        "docs_near_dup_pairs": _oracle_near_dup(),
+        "emb_knn_bruteforce": ORACLE_KNN,
+        "emb_ann_ivf": ORACLE_ANN_IVF,
+        "multimodal_features": ORACLE_MULTIMODAL,
+    }
