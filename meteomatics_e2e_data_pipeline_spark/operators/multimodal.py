@@ -75,5 +75,6 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_features(media: DataFrame) -> DataFrame:
     """Run the (stubbed) extractor over Arrow batches. One narrow pass —
     no shuffle; parallelism is the input partitioning."""
-    return media.select("doc_id", "payload").mapInPandas(
-        _feature_batches, schema=FEATURE_SCHEMA)
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)

@@ -29,17 +29,41 @@ BANDS = 6
 ROWS_PER_BAND = 4
 assert NUM_PERM == BANDS * ROWS_PER_BAND
 
+
+from .textops import spread_for_fanout as _spread
+
 # Deterministic permutation coefficients (shared with the DuckDB oracle).
 PERM_A = [2 * j + 1 for j in range(NUM_PERM)]          # odd multipliers
 PERM_B = [7919 * j + 104729 for j in range(NUM_PERM)]  # offset per perm
 
 
-def shingle_rows(docs: DataFrame, id_col: str, text_col: str,
-                 n: int) -> DataFrame:
-    """Explode each document into its distinct word n-gram shingles."""
+def shingle_hashes(docs: DataFrame, id_col: str, text_col: str,
+                   n: int) -> DataFrame:
+    """Distinct (id, hv) pairs — each document's shingle *set*, hashed.
+
+    Hashing happens before the dedupe shuffle so only 8-byte keys move,
+    never the shingle strings. All downstream set math (MinHash, sizes,
+    intersections) runs on ``hv``; the DuckDB oracle does the same, so a
+    (vanishingly unlikely) 48-bit collision cannot cause a mismatch.
+    """
+    from pyspark.sql import Window
+
+    # posexplode + lead instead of a higher-order transform: every
+    # expression stays inside whole-stage codegen (HOF lambdas are
+    # interpreted), and the window's hash(doc_id) requirement is already
+    # satisfied by _spread's repartition, so no extra shuffle is paid.
+    tok = (
+        _spread(docs.select(id_col, text_col), id_col)
+        .select(id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "t0"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = ["t0"] + [f"t{k}" for k in range(1, n)]
+    for k in range(1, n):
+        tok = tok.withColumn(f"t{k}", F.lead("t0", k).over(w))
     return (
-        docs.select(id_col, word_shingles(tokens(F.col(text_col)), n).alias("sh"))
-        .select(id_col, F.explode("sh").alias("shingle"))
+        tok.filter(F.col(parts[-1]).isNotNull())
+        .select(id_col, F.concat_ws(" ", *parts).alias("shingle"))
+        .select(id_col, base_hash48(F.col("shingle")).alias("hv"))
         .distinct()
     )
 
@@ -51,8 +75,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     Single shuffle: explode shingles map-side, hash, then a hash aggregate
     of NUM_PERM ``min()`` columns grouped by document.
     """
-    sh = shingle_rows(docs, id_col, text_col, n)
-    h = sh.select(id_col, base_hash48(F.col("shingle")).alias("hv"))
+    h = shingle_hashes(docs, id_col, text_col, n)
     aggs = [
         F.min((F.lit(PERM_A[j]) * F.col("hv") + F.lit(PERM_B[j])) % MINHASH_P)
         .alias(f"mh_{j}")
@@ -62,21 +85,21 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Unpivot signatures into (id, band_id, band_hash) rows; band_hash is
-    md5 over the band's signature values."""
-    bands = []
+    """Unpivot signatures into (id, band_id, band_hash) rows in ONE pass —
+    an explode over a literal band array, not a BANDS-way union (a union
+    would re-evaluate the signature aggregation per branch)."""
+    band_structs = []
     for b in range(BANDS):
         cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
                 for r in range(ROWS_PER_BAND)]
-        bands.append(sigs.select(
-            id_col,
+        band_structs.append(F.struct(
             F.lit(b).alias("band_id"),
             F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
         ))
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+    return (
+        sigs.select(id_col, F.explode(F.array(*band_structs)).alias("b"))
+        .select(id_col, "b.band_id", "b.band_hash")
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -106,13 +129,13 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     sigs = minhash_signatures(docs, id_col, text_col, n)
     cand = lsh_candidate_pairs(sigs, id_col)
-    sh = shingle_rows(docs, id_col, text_col, n)
+    sh = shingle_hashes(docs, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    bb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("hv"))
+    bb = sh.select(F.col(id_col).alias("id_b"), F.col("hv"))
     inter = (
-        cand.join(a, "id_a").join(bb, ["id_b", "shingle"])
+        cand.join(a, "id_a").join(bb, ["id_b", "hv"])
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -144,7 +167,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     conditional sums — partial-aggregatable, single shuffle.
     """
     tok = (
-        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
+        _spread(docs.select(id_col, text_col), id_col)
+        .select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
         .select(id_col, base_hash48(F.col("t")).alias("hv"))
     )
     sums = [

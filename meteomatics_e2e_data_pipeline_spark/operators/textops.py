@@ -29,6 +29,23 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "de", "es", "fr", "zh")
 
 
+def spread_for_fanout(df, key: str):
+    """Repartition a too-narrow input before CPU-heavy fan-out.
+
+    Shingling/hashing uses higher-order functions that Spark evaluates
+    interpreted (not codegen), and media extraction runs Python batches —
+    per-core throughput is the bottleneck, so a single-file scan would pin
+    the whole chain to one task. Only rebalances when the scan has fewer
+    partitions than cores: on a real lake (many files / AQE-planned
+    splits) this is a no-op, so the extra shuffle is never paid at the
+    scale where it would hurt.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def normalize_text(c: Column) -> Column:
     """Canonical form for exact dedup: lowercase, trim, collapse runs of
     whitespace. Mirrors what a cleaning stage would emit."""

@@ -214,8 +214,7 @@ sh0 AS (SELECT doc_id,
                unnest(list_transform(range(1, len(w) - {n - 2}),
                                      i -> {shingle_parts})) AS shingle
         FROM tok),
-sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-h AS (SELECT doc_id, {hv} AS hv FROM sh),
+h AS (SELECT DISTINCT doc_id, {hv} AS hv FROM sh0),
 sig AS (SELECT doc_id,
         {mins}
         FROM h GROUP BY doc_id),
@@ -228,12 +227,12 @@ cand AS (
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS n_inter
   FROM cand c
-  JOIN sh x ON x.doc_id = c.id_a
-  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.hv = x.hv
   GROUP BY c.id_a, c.id_b
 ),
 scored AS (

@@ -59,16 +59,11 @@ def _bronze_glob() -> str:
 # --------------------------------------------------------------------------
 
 
-def stg_weather_raw(spark: SparkSession, bronze_path: str | None = None,
-                    existing: DataFrame | None = None) -> DataFrame:
-    """Reference ``stg_weather_raw.sql`` as one declarative plan:
-    metadata-bearing scan (S6) → optional new-files anti-join (P4, when an
-    ``existing`` target is supplied) → flatten ×3 (F1–F3/J2) → typed
-    projection (P1–P2)."""
-    from ..operators.incremental import new_files_only
-
-    raw = read_bronze(spark, bronze_path or _bronze_glob())
-    raw = new_files_only(raw, existing)
+def flatten_bronze(raw: DataFrame) -> DataFrame:
+    """The staging transform proper — flatten ×3 (F1–F3/J2) + typed
+    projection (P1–P2) — factored out so the batch path and the
+    Structured Streaming path share one definition (same plan, the
+    streaming source just swaps the scan node)."""
     fl = raw.select(
         "file_path",
         "file_modified",
@@ -92,6 +87,18 @@ def stg_weather_raw(spark: SparkSession, bronze_path: str | None = None,
         F.col("reading.date").cast("timestamp").alias("reading_datetime"),
         F.col("reading.value").alias("reading_value"),
     )
+
+
+def stg_weather_raw(spark: SparkSession, bronze_path: str | None = None,
+                    existing: DataFrame | None = None) -> DataFrame:
+    """Reference ``stg_weather_raw.sql`` as one declarative plan:
+    metadata-bearing scan (S6) → optional new-files anti-join (P4, when an
+    ``existing`` target is supplied) → flatten ×3 → typed projection."""
+    from ..operators.incremental import new_files_only
+
+    raw = read_bronze(spark, bronze_path or _bronze_glob())
+    raw = new_files_only(raw, existing)
+    return flatten_bronze(raw)
 
 
 def q_weather_stg(spark: SparkSession, sf_dir: str) -> DataFrame:

