@@ -12,9 +12,17 @@ DataFrame / Catalyst stack, and extends it with LLM-data-pipeline operators
 Layout:
   session     — SparkSession factory (AQE, UTC, local tuning)
   functions/  — scalar function library with Snowflake-semantics parity
-  sources/    — parquet table loader, bronze JSON reader, fixture generator
-  operators/  — reusable DataFrame operators (flatten, dedupe, incremental)
-  plans/      — analytics queries + weather pipeline stages
+  sources/    — parquet table loader, bronze JSON reader (typed nested
+                schema + _metadata), fixture generator, ingest layer
+                (fetcher interface, geocode lookup, from_json validation
+                with corrupt channel, bronze sinks)
+  operators/  — reusable DataFrame operators: flatten, dedupe,
+                incremental (anti-join / upsert / sinks), text analysis,
+                MinHash+LSH / SimHash near-dup, cosine kNN + IVF ANN,
+                multimodal binary plumbing (decode stubbed)
+  plans/      — analytics queries, the weather pipeline (staging, dims,
+                facts), LLM-data queries, topological runner + checks
+  streaming   — Structured Streaming availableNow bronze→staging ingest
 """
 
 __version__ = "0.2.0"

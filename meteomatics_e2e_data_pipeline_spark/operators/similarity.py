@@ -90,6 +90,31 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     )
 
 
+def cosine_near_dup_pairs(corpus: DataFrame, centroids: DataFrame,
+                          threshold: float, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup detection, bucketed — the vector twin of
+    MinHash/LSH: vectors only compare within their coarse-quantizer
+    bucket, never all-pairs. Approximate by construction (a pair split
+    across buckets is missed — the standard IVF recall trade-off; raise
+    the bucket count's nprobe or use multiple quantizers to tighten it).
+    Output: (id_a, id_b, bucket, cos_sim) for pairs ≥ threshold.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("vec_a"), "bucket")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", "bucket",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
 def knn_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
             k: int, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:

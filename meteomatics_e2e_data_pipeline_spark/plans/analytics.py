@@ -330,6 +330,44 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 """
 
 
+def q_order_status_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with a finished order but no open order —
+    completes the set-op family (INTERSECT above, EXCEPT here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.subtract(o_cust).withColumnRenamed("o_custkey", "custkey")
+
+
+ORACLE_STATUS_EXCLUSIVE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.5 grouping-sets family): per
+    (event_type, day), per event_type, and grand total in one pass —
+    Spark expands to a single Expand + hash aggregate, still map-side
+    combined."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+"""
+
+
 # --------------------------------------------------------------------------
 # Dimension builders (A1/A2 distinct + C11 surrogate keys + date spine C2-C9)
 # --------------------------------------------------------------------------
@@ -484,6 +522,8 @@ QUERIES = {
     "returned_priority_counts": q_returned_priority_counts,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "repeat_status_customers": q_repeat_status_customers,
+    "order_status_exclusive": q_order_status_exclusive,
+    "events_rollup": q_events_rollup,
     "dim_geo": q_dim_geo,
     "dim_date_from_orders": q_dim_date_from_orders,
     "dim_part_type": q_dim_part_type,
@@ -502,6 +542,8 @@ ORACLE = {
     "returned_priority_counts": ORACLE_RETURNED_PRIORITY,
     "top_parts_by_revenue": ORACLE_TOP_PARTS,
     "repeat_status_customers": ORACLE_REPEAT_STATUS,
+    "order_status_exclusive": ORACLE_STATUS_EXCLUSIVE,
+    "events_rollup": ORACLE_EVENTS_ROLLUP,
     "dim_geo": ORACLE_DIM_GEO,
     "dim_date_from_orders": ORACLE_DIM_DATE,
     "dim_part_type": ORACLE_DIM_PART_TYPE,

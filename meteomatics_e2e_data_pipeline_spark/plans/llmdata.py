@@ -328,6 +328,49 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 
 
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, IVF-bucketed (never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    return similarity.cosine_near_dup_pairs(emb, centroids,
+                                            COSINE_DUP_THRESHOLD)
+
+
+ORACLE_COSINE_NEAR_DUP = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_v
+              FROM embeddings WHERE vec_id < {IVF_CENTROID_MAX_ID}),
+allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored_assign AS (
+  SELECT a.vec_id, a.v, c.centroid_id,
+         list_dot_product(a.v, c.cent_v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(c.cent_v, c.cent_v))) AS cs
+  FROM allv a, cent c
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, centroid_id) AS rn
+        FROM scored_assign)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, bucket, round(cos_raw, 6) AS cos_sim
+FROM pairs WHERE cos_raw >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -360,6 +403,7 @@ LLM_QUERIES = {
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_ann_ivf": q_emb_ann_ivf,
+    "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -373,5 +417,6 @@ def llm_oracle() -> dict[str, str]:
         "docs_near_dup_pairs": _oracle_near_dup(),
         "emb_knn_bruteforce": ORACLE_KNN,
         "emb_ann_ivf": ORACLE_ANN_IVF,
+        "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "multimodal_features": ORACLE_MULTIMODAL,
     }

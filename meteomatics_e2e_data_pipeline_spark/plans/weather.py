@@ -312,7 +312,60 @@ SELECT {surrogate_key_sql('country', 'city')} AS location_key,
 FROM latest"""
 
 
+def q_weather_city_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 star-join consumption over the weather marts: history fact ×
+    broadcast dims → per-(city, parameter_name, date) daily stats. This is
+    the query shape the star schema exists for; both dims are
+    fixed-cardinality and force-broadcast, the only shuffle is the final
+    aggregation."""
+    stg = stg_weather_raw(spark)
+    fact = build_fact(stg, sun=False, history=True)
+    dim_loc = q_weather_dim_location(spark, sf_dir)
+    dim_cond = q_weather_dim_condition(spark, sf_dir)
+    return (
+        fact.join(F.broadcast(dim_loc), "location_key")
+        .join(F.broadcast(dim_cond), "condition_key")
+        .groupBy("city", "parameter_name", "date_key")
+        .agg(F.count(F.lit(1)).alias("n_readings"),
+             F.round(F.min("reading_value"), 2).alias("min_value"),
+             F.round(F.max("reading_value"), 2).alias("max_value"))
+    )
+
+
+def oracle_weather_city_daily() -> str:
+    root = default_bronze_root()
+    lo = (AS_OF - timedelta(days=2)).isoformat()
+    hi = (AS_OF + timedelta(days=7)).isoformat()
+    return f"""WITH {_duck_stg_cte(str(root))},
+recent AS (
+  SELECT * FROM stg
+  WHERE reading_datetime BETWEEN TIMESTAMP '{lo} 00:00:00'
+                             AND TIMESTAMP '{hi} 00:00:00'
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY city, parameter, reading_datetime
+      ORDER BY date_generated DESC, file_path DESC) AS row_num
+  FROM recent
+),
+latest AS (
+  SELECT * FROM ranked
+  WHERE parameter NOT IN ('sunrise:sql', 'sunset:sql')
+    AND reading_datetime <= date_generated
+    AND row_num = 1
+)
+SELECT city,
+       split_part(parameter, ':', 1) AS parameter_name,
+       strftime(reading_datetime, '%Y%m%d')::INT AS date_key,
+       count(*) AS n_readings,
+       round(min(CAST(reading_value AS DOUBLE)), 2) AS min_value,
+       round(max(CAST(reading_value AS DOUBLE)), 2) AS max_value
+FROM latest
+GROUP BY 1, 2, 3"""
+
+
 WEATHER_QUERIES = {
+    "weather_city_daily": q_weather_city_daily,
     "weather_stg_raw": q_weather_stg,
     "weather_dim_location": q_weather_dim_location,
     "weather_dim_condition": q_weather_dim_condition,
@@ -327,6 +380,7 @@ WEATHER_QUERIES = {
 def weather_oracle() -> dict[str, str]:
     """Oracle SQL built lazily so fixture paths resolve at call time."""
     return {
+        "weather_city_daily": oracle_weather_city_daily(),
         "weather_stg_raw": oracle_weather_stg(),
         "weather_dim_location": oracle_weather_dim_location(),
         "weather_dim_condition": oracle_weather_dim_condition(),
