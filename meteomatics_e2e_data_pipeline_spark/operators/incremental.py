@@ -60,7 +60,8 @@ def read_target(spark: SparkSession, target_path: str) -> DataFrame | None:
 
 def upsert_by_key(new: DataFrame, target_path: str, keys: Sequence[str],
                   spark: SparkSession,
-                  prune_filter: Column | None = None) -> None:
+                  prune_filter: Column | None = None,
+                  partition_by: Sequence[str] | None = None) -> None:
     """S8: incremental upsert with a dedupe key onto a plain-parquet target
     (Delta/Iceberg ``MERGE`` is the transactional equivalent; parquet
     fallback = anti-join existing keys, then append).
@@ -78,7 +79,12 @@ def upsert_by_key(new: DataFrame, target_path: str, keys: Sequence[str],
         if prune_filter is not None:
             existing_keys = existing_keys.filter(prune_filter)
         new = new.join(existing_keys.distinct(), on=list(keys), how="left_anti")
-    new.dropDuplicates(list(keys)).write.mode("append").parquet(target_path)
+    writer = new.dropDuplicates(list(keys)).write.mode("append")
+    if partition_by:
+        # S10 clustered layout: directory partitioning so date-keyed
+        # consumers (the as_of-window fact builds) prune at the scan.
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(target_path)
 
 
 def full_refresh(df: DataFrame, target_path: str,

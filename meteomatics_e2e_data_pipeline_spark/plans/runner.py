@@ -61,10 +61,11 @@ def transform(spark: SparkSession, out_dir: str,
     stg_path = os.path.join(out_dir, "stg_weather_raw")
 
     existing = read_target(spark, stg_path)
-    new_stg = weather.stg_weather_raw(spark, bronze_path, existing=existing)
+    new_stg = (weather.stg_weather_raw(spark, bronze_path, existing=existing)
+               .withColumn("reading_date", F.to_date("reading_datetime")))
     upsert_by_key(new_stg, stg_path,
                   keys=["file_path", "parameter", "reading_datetime"],
-                  spark=spark)
+                  spark=spark, partition_by=["reading_date"])
     stg = spark.read.parquet(stg_path)
     counts["stg_weather_raw"] = stg.count()
 
@@ -90,9 +91,17 @@ def transform(spark: SparkSession, out_dir: str,
         "fact_sun_times_history": dict(sun=True, history=True),
         "fact_sun_times_forecast": dict(sun=True, history=False),
     }
+    # Pre-filter on the PARTITION column (reading_date) so the as_of
+    # window prunes directories at the scan — build_fact's own
+    # reading_datetime predicate cannot do that by itself. Semantically
+    # identical: reading_date == to_date(reading_datetime).
+    from datetime import timedelta
+    stg_window = stg.filter(
+        F.col("reading_date").between(F.lit(as_of - timedelta(days=2)),
+                                      F.lit(as_of + timedelta(days=7))))
     for name, kw in facts.items():
         path = os.path.join(out_dir, name)
-        fact = weather.build_fact(stg, as_of=as_of, **kw)
+        fact = weather.build_fact(stg_window, as_of=as_of, **kw)
         fact.write.mode("overwrite").parquet(path)
         counts[name] = spark.read.parquet(path).count()
 

@@ -92,10 +92,28 @@ def test_streaming_available_now_exactly_once(spark, tmp_path):
     assert spark.read.parquet(target).count() == first
 
 
+def test_config_source(tmp_path):
+    from meteomatics_e2e_data_pipeline_spark.sources.config import (
+        DEFAULT_CONFIG, load_api_config,
+    )
+    assert load_api_config() == DEFAULT_CONFIG
+    assert len(DEFAULT_CONFIG["parameters"]) == 10
+    p = tmp_path / "cfg.yaml"
+    p.write_text("time_step: PT6H\nbase_url: https://example.test\n")
+    cfg = load_api_config(str(p))
+    assert cfg["time_step"] == "PT6H"
+    assert cfg["base_url"] == "https://example.test"
+    assert cfg["parameters"] == DEFAULT_CONFIG["parameters"]  # defaulted
+
+
 def test_runner_topological_and_checks(spark, tmp_path):
     out = str(tmp_path / "warehouse")
     counts = transform(spark, out)
     assert counts["stg_weather_raw"] == 18744
+    # S10: staging is directory-partitioned by reading date
+    stg_dirs = [p.name for p in (tmp_path / "warehouse" / "stg_weather_raw").iterdir()
+                if p.is_dir()]
+    assert any(d.startswith("reading_date=") for d in stg_dirs)
     assert counts["dim_location"] == 3
     assert counts["dim_weather_condition"] == 10
     assert counts["dim_date"] == 3653
