@@ -39,6 +39,96 @@ def read_bronze_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (parquet file source).
+
+    The streaming file source requires a *directory*, so the scan targets
+    the scale-factor dir with a glob filter for the events file(s). The
+    driver's events parquet stores TIMESTAMP(NANOS); the streaming reader
+    applies the same nanos→micros integer conversion as the batch loader
+    (`sources.tables.load_table`).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str,
+                         target_path: str, checkpoint_path: str,
+                         watermark: str = "1 hour") -> None:
+    """Watermarked tumbling-window aggregation (the streaming twin of the
+    batch ``events_hourly_rollup`` query): per (hour, event_type) counts
+    and sums, append-mode — a window emits once the watermark passes its
+    end, so late events within the watermark still land in the right
+    bucket and state is bounded (windows older than the watermark are
+    dropped from the store).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "event_type",
+                "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_user_event_totals(spark: SparkSession, sf_dir: str,
+                             checkpoint_path: str, query_name: str) -> None:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running totals maintained in explicit state across
+    micro-batches (the pattern for any bespoke stateful op Spark's
+    built-in windows can't express). Emits one row per user per batch
+    with the cumulative count/value so far; state is keyed by user and
+    updated from Arrow batches. Results go to a memory sink under
+    ``query_name`` (tests/demo; swap the sink for production).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_bronze_to_staging(spark: SparkSession, bronze_glob: str,
                              target_path: str, checkpoint_path: str) -> None:
     """Run one availableNow pass: new bronze files → staging parquet.

@@ -1,0 +1,58 @@
+"""Streaming operators beyond ingest: watermarked windowed aggregation and
+the applyInPandasWithState custom stateful operator — each cross-checked
+against its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+from meteomatics_e2e_data_pipeline_spark.streaming import (
+    stream_events_hourly, stream_user_event_totals,
+)
+
+EVENTS_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_hourly_matches_batch_for_closed_windows(spark, tmp_path):
+    target, ckpt = str(tmp_path / "agg"), str(tmp_path / "ck")
+    stream_events_hourly(spark, EVENTS_DIR, target, ckpt)
+    got = spark.read.parquet(target)
+
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    # Append mode emits only windows the watermark has passed; everything
+    # emitted must equal the batch result for those windows, and only the
+    # trailing windows (within the 1h watermark of max ts) may be pending.
+    max_ts = batch.agg(F.max("hour")).first()[0]
+    emitted = {tuple(r) for r in got.collect()}
+    closed = {tuple(r) for r in batch.collect()
+              if (max_ts - r["hour"]).total_seconds() > 2 * 3600}
+    assert closed <= emitted
+    assert emitted <= {tuple(r) for r in batch.collect()}
+    assert len(emitted) > 0
+
+
+def test_stateful_totals_match_batch(spark, tmp_path):
+    name = "user_totals_test"
+    stream_user_event_totals(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("t"))
+    )
+    expected = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(expected)
+    mismatches = {u: (got[u], expected[u]) for u in expected
+                  if got[u][0] != expected[u][0]
+                  or abs(got[u][1] - expected[u][1]) > 0.01}
+    assert not mismatches
