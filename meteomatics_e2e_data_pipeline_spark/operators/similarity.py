@@ -20,6 +20,8 @@ DuckDB oracle's ``list_``-function implementations.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -87,6 +89,52 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(id_col, vec_col, F.col(cent_id).alias("bucket"))
+    )
+
+
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Vectorized cosine via an Arrow-batched pandas UDF (numpy): the
+    scale path when the corpus side is large — one numpy pass per batch
+    instead of an interpreted per-element fold. Numerically within ~1e-12
+    of `cosine` (numpy may reorder the sum), so use `cosine` where
+    bit-exact oracle parity matters and this where throughput does.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xm = np.stack(xs.to_numpy()).astype(np.float64)
+        ym = np.stack(ys.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", xm, ym)
+        return pd.Series(
+            dots / (np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)))
+
+    return _cos(a, b)
+
+
+def knn_bruteforce_vectorized(corpus: DataFrame, queries: DataFrame, k: int,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """`knn_bruteforce` with the Arrow/numpy cosine — identical output
+    modulo last-ulp ties (tests assert agreement)."""
+    from pyspark.sql import Window
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                cosine_pandas(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
     )
 
 

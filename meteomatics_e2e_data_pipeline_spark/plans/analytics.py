@@ -330,6 +330,33 @@ SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 """
 
 
+def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape): yearly
+    revenue from lineitems whose quantity is below 20% of their part's
+    average. The DataFrame form IS the decorrelation — per-part averages
+    via one partial-agg groupBy, joined back; no per-row subquery
+    execution. The per-part agg output (≤ distinct partkeys) is the small
+    side, so AQE broadcast-converts the join at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = (li.groupBy("l_partkey")
+               .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLE_SMALL_QTY = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lineitems
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
 def q_order_status_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT: customers with a finished order but no open order —
     completes the set-op family (INTERSECT above, EXCEPT here)."""
@@ -523,6 +550,7 @@ QUERIES = {
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "repeat_status_customers": q_repeat_status_customers,
     "order_status_exclusive": q_order_status_exclusive,
+    "small_qty_part_revenue": q_small_qty_part_revenue,
     "events_rollup": q_events_rollup,
     "dim_geo": q_dim_geo,
     "dim_date_from_orders": q_dim_date_from_orders,
@@ -543,6 +571,7 @@ ORACLE = {
     "top_parts_by_revenue": ORACLE_TOP_PARTS,
     "repeat_status_customers": ORACLE_REPEAT_STATUS,
     "order_status_exclusive": ORACLE_STATUS_EXCLUSIVE,
+    "small_qty_part_revenue": ORACLE_SMALL_QTY,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "dim_geo": ORACLE_DIM_GEO,
     "dim_date_from_orders": ORACLE_DIM_DATE,

@@ -280,6 +280,16 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def q_emb_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force kNN — the throughput path for large
+    corpora. Rows-only checked by the driver (numpy's sum order makes
+    last-ulp ties engine-specific); pytest asserts agreement with the
+    oracle-checked built-in variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_bruteforce_vectorized(emb, queries, KNN_K)
+
+
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
@@ -402,6 +412,7 @@ LLM_QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
+    "emb_knn_vectorized": q_emb_knn_vectorized,
     "emb_ann_ivf": q_emb_ann_ivf,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "multimodal_features": q_multimodal_features,

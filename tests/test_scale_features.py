@@ -1,0 +1,106 @@
+"""Scale-path features: bucketed co-located joins (no Exchange), the
+vectorized cosine path, and property-based Snowflake/DuckDB parity of the
+scalar function library."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from meteomatics_e2e_data_pipeline_spark.operators import similarity
+from meteomatics_e2e_data_pipeline_spark.operators.bucketing import (
+    cobucketed_join, write_bucketed,
+)
+from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmp_path):
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "li_b",
+                   str(tmp_path / "li_b"), ["l_orderkey"], 8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders.select("o_orderkey", "o_totalprice")
+                   .withColumnRenamed("o_orderkey", "l_orderkey"), "ord_b",
+                   str(tmp_path / "ord_b"), ["l_orderkey"], 8,
+                   sort_cols=["l_orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cobucketed_join(spark, "li_b", "ord_b", ["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_vectorized_knn_matches_builtin(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+         for r in similarity.knn_bruteforce(emb, q, 10).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+         for r in similarity.knn_bruteforce_vectorized(emb, q, 10).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert abs(a[k][1] - b[k][1]) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Property-based parity: scalar library vs DuckDB on arbitrary inputs
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.dates(min_value=__import__("datetime").date(1990, 1, 5),
+                         max_value=__import__("datetime").date(2100, 12, 28)),
+                min_size=1, max_size=40, unique=True))
+def test_calendar_functions_match_duckdb(spark, dates):
+    from meteomatics_e2e_data_pipeline_spark.functions.dates import (
+        date_key, is_weekend, week_number, weekday_name,
+    )
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    got = {r["d"]: (r["k"], r["w"], r["we"], r["wn"]) for r in df.select(
+        "d", date_key(F.col("d")).alias("k"),
+        weekday_name(F.col("d")).alias("w"),
+        is_weekend(F.col("d")).alias("we"),
+        week_number(F.col("d")).alias("wn")).collect()}
+    con = duckdb.connect()
+    for d in dates:
+        k, w, we, wn = con.execute(f"""
+            SELECT strftime(DATE '{d}', '%Y%m%d')::INT,
+                   dayname(DATE '{d}'),
+                   isodow(DATE '{d}') IN (6,7),
+                   (datediff('day',
+                      date_trunc('week', make_date({d.year}, 1, 1)),
+                      date_trunc('week', DATE '{d}')) // 7 + 1)::INT
+        """).fetchone()
+        assert got[d] == (k, w, we, wn), f"mismatch for {d}"
+    con.close()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                      max_size=30)),
+    min_size=1, max_size=20))
+def test_surrogate_key_matches_duckdb(spark, values):
+    from meteomatics_e2e_data_pipeline_spark.functions.keys import (
+        surrogate_key, surrogate_key_sql,
+    )
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [r["k"] for r in
+           df.select(surrogate_key("s").alias("k")).collect()]
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"s": values}))
+    want = [r[0] for r in con.execute(
+        f"SELECT {surrogate_key_sql('s')} AS k FROM t").fetchall()]
+    con.close()
+    assert got == want
