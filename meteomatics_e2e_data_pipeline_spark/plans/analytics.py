@@ -496,6 +496,29 @@ FROM (SELECT DISTINCT p_type FROM part)
 """
 
 
+def q_events_last_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event picks up the timestamp of the same user's
+    most recent *prior* 'error' event (strict backward match) — the
+    trade-joins-prevailing-quote pattern via operators/asof.py's
+    union-window formulation (one shuffle, no range self-join). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return asof_join(ev, errors, keys=["user_id"], left_ts="ts",
+                     right_ts="ts", payload_cols=["ts"], prefix="prev_") \
+        .select("event_id", "user_id",
+                F.col("prev_ts").alias("prev_error_ts"))
+
+
+ORACLE_LAST_ERROR_ASOF = """
+SELECT e.event_id, e.user_id, r.ts AS prev_error_ts
+FROM events e ASOF LEFT JOIN
+     (SELECT user_id, ts FROM events WHERE event_type = 'error') r
+  ON e.user_id = r.user_id AND e.ts > r.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Events: time-bucket rollup + JSON projection (P1/P2 analog)
 # --------------------------------------------------------------------------
@@ -557,6 +580,7 @@ QUERIES = {
     "dim_part_type": q_dim_part_type,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_json_project": q_events_json_project,
+    "events_last_error_asof": q_events_last_error_asof,
 }
 
 ORACLE = {
@@ -578,4 +602,5 @@ ORACLE = {
     "dim_part_type": ORACLE_DIM_PART_TYPE,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_json_project": ORACLE_EVENTS_JSON,
+    "events_last_error_asof": ORACLE_LAST_ERROR_ASOF,
 }
