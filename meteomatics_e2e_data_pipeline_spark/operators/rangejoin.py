@@ -1,0 +1,45 @@
+"""Interval (range) join — points ⋈ [start, end] intervals, bucketed.
+
+A naive range join plans as BroadcastNestedLoopJoin (O(points ×
+intervals) comparisons — a scale-killer). The standard fix: chop time
+into fixed buckets, expand each interval to the buckets it covers, tag
+each point with its bucket, and equi-join on (keys, bucket) with the
+BETWEEN as a cheap residual filter. The join becomes a hash join whose
+fan-out is bounded by interval length / bucket size, not table sizes.
+
+No duplicates: a point has exactly one bucket, so even an interval
+spanning many buckets meets each point at most once. Overlapping
+intervals legitimately yield one row per overlap (standard interval-join
+semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  keys: Sequence[str], point_ts: str,
+                  start_col: str, end_col: str,
+                  how: str = "inner") -> DataFrame:
+    """Join point rows to interval rows on shared ``keys`` where
+    ``start_col <= point_ts <= end_col``. Day-granularity buckets — pick
+    the bucket size ~ the typical interval length; day matches the
+    daylight/business-hours shape this engine needs.
+    """
+    keys = list(keys)
+    expanded = intervals.withColumn(
+        "__bucket",
+        F.explode(F.expr(
+            f"sequence(to_date({start_col}), to_date({end_col}), interval 1 day)")),
+    )
+    tagged = points.withColumn("__bucket", F.to_date(F.col(point_ts)))
+    joined = tagged.join(expanded, on=keys + ["__bucket"], how=how)
+    return (
+        joined.filter(F.col(point_ts).between(F.col(start_col),
+                                              F.col(end_col)))
+        .drop("__bucket")
+    )

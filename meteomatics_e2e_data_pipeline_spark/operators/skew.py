@@ -1,0 +1,67 @@
+"""Skew-resistant aggregation via salting (two-phase partial combine).
+
+AQE's skew-join handling covers joins; a groupBy whose key distribution
+is dominated by a handful of hot keys still funnels each hot key's whole
+partition through one task at the final aggregate. Salting splits every
+key into ``n_salts`` sub-keys for the first (heavy, map-side-combined)
+aggregate, then re-combines the small salted partials — the hot key's
+work spreads across ``n_salts`` tasks and the second shuffle moves only
+``|keys| × n_salts`` rows.
+
+Results are exactly the aggregate's value for sum/count/min/max (the
+combiners are associative); avg is decomposed into sum+count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PARTIAL = {
+    "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
+}
+_COMBINE = {
+    "sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+}
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str],
+               aggs: dict[str, tuple[str, str]],
+               n_salts: int = 16) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output column → (function, input column) with function
+    in {sum, count, min, max, avg}. Example::
+
+        salted_agg(li, ["l_returnflag"],
+                   {"qty": ("sum", "l_quantity"),
+                    "n": ("count", "l_quantity"),
+                    "avg_qty": ("avg", "l_quantity")})
+    """
+    keys = list(keys)
+    plan: dict[str, tuple[str, str]] = {}
+    avg_outputs: dict[str, tuple[str, str]] = {}
+    for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            plan[f"__{out}_sum"] = ("sum", col)
+            plan[f"__{out}_cnt"] = ("count", col)
+            avg_outputs[out] = (f"__{out}_sum", f"__{out}_cnt")
+        elif fn in _PARTIAL:
+            plan[out] = (fn, col)
+        else:
+            raise ValueError(f"unsupported aggregate {fn!r}")
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                         F.lit(n_salts)))
+    partial = salted.groupBy(*keys, "__salt").agg(*[
+        _PARTIAL[fn](col).alias(out) for out, (fn, col) in plan.items()
+    ])
+    final = partial.groupBy(*keys).agg(*[
+        _COMBINE[fn](out).alias(out) for out, (fn, _) in plan.items()
+    ])
+    for out, (s, c) in avg_outputs.items():
+        final = final.withColumn(out, F.col(s) / F.col(c))
+    return final.drop(*[c for c in final.columns if c.startswith("__")])

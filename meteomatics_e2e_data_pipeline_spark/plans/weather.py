@@ -364,8 +364,69 @@ FROM latest
 GROUP BY 1, 2, 3"""
 
 
+def q_weather_daylight_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: temperature readings ⋈ the same city's [sunrise,
+    sunset] window (intervals derived from the sun-times values) — the
+    bucketed range join of operators/rangejoin.py (equi-join on
+    city+day bucket + BETWEEN residual; never a nested-loop join)."""
+    from ..operators.rangejoin import interval_join
+
+    stg = stg_weather_raw(spark)
+    latest = latest_record_wins(
+        stg, keys=["city", "parameter", "reading_datetime"],
+        order_desc=["date_generated", "file_path"])
+    p = F.col("parameter")
+    sun = latest.filter(p.isin(*SUN_PARAMS))
+    intervals = (
+        sun.groupBy("city", F.to_date("reading_datetime").alias("day"))
+        .agg(F.max(F.when(p == "sunrise:sql", F.col("reading_value")))
+             .cast("timestamp").alias("sunrise"),
+             F.max(F.when(p == "sunset:sql", F.col("reading_value")))
+             .cast("timestamp").alias("sunset"))
+        .drop("day")
+    )
+    temps = latest.filter(p == "t_2m:C").select(
+        "city", "reading_datetime",
+        F.col("reading_value").cast("double").alias("temp_c"))
+    return interval_join(temps, intervals, ["city"], "reading_datetime",
+                         "sunrise", "sunset")
+
+
+def oracle_weather_daylight() -> str:
+    root = default_bronze_root()
+    return f"""WITH {_duck_stg_cte(str(root))},
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY city, parameter, reading_datetime
+        ORDER BY date_generated DESC, file_path DESC) AS rn
+    FROM stg)
+  WHERE rn = 1
+),
+sun AS (
+  SELECT city,
+         CAST(max(CASE WHEN parameter = 'sunrise:sql'
+                       THEN reading_value END) AS TIMESTAMP) AS sunrise,
+         CAST(max(CASE WHEN parameter = 'sunset:sql'
+                       THEN reading_value END) AS TIMESTAMP) AS sunset
+  FROM latest
+  WHERE parameter IN ('sunrise:sql', 'sunset:sql')
+  GROUP BY city, CAST(reading_datetime AS DATE)
+),
+temps AS (
+  SELECT city, reading_datetime,
+         CAST(reading_value AS DOUBLE) AS temp_c
+  FROM latest WHERE parameter = 't_2m:C'
+)
+SELECT t.city, t.reading_datetime, t.temp_c, s.sunrise, s.sunset
+FROM temps t JOIN sun s
+  ON t.city = s.city
+ AND t.reading_datetime BETWEEN s.sunrise AND s.sunset"""
+
+
 WEATHER_QUERIES = {
     "weather_city_daily": q_weather_city_daily,
+    "weather_daylight_readings": q_weather_daylight_readings,
     "weather_stg_raw": q_weather_stg,
     "weather_dim_location": q_weather_dim_location,
     "weather_dim_condition": q_weather_dim_condition,
@@ -381,6 +442,7 @@ def weather_oracle() -> dict[str, str]:
     """Oracle SQL built lazily so fixture paths resolve at call time."""
     return {
         "weather_city_daily": oracle_weather_city_daily(),
+        "weather_daylight_readings": oracle_weather_daylight(),
         "weather_stg_raw": oracle_weather_stg(),
         "weather_dim_location": oracle_weather_dim_location(),
         "weather_dim_condition": oracle_weather_dim_condition(),

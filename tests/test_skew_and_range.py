@@ -1,0 +1,46 @@
+"""Salted aggregation correctness on skewed data; interval-join semantics
+on a hand-checkable fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from meteomatics_e2e_data_pipeline_spark.operators.rangejoin import interval_join
+from meteomatics_e2e_data_pipeline_spark.operators.skew import salted_agg
+
+
+def test_salted_agg_equals_plain(spark):
+    # 90% of rows share one hot key — the exact shape salting exists for
+    rows = [("hot", float(i % 7)) for i in range(9000)]
+    rows += [(f"k{i % 50}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: (r["s"], r["n"], r["mn"], r["mx"], round(r["a"], 9))
+           for r in salted_agg(df, ["k"],
+                               {"s": ("sum", "v"), "n": ("count", "v"),
+                                "mn": ("min", "v"), "mx": ("max", "v"),
+                                "a": ("avg", "v")}).collect()}
+    want = {r["k"]: (r["s"], r["n"], r["mn"], r["mx"], round(r["a"], 9))
+            for r in df.groupBy("k").agg(
+                F.sum("v").alias("s"), F.count("v").alias("n"),
+                F.min("v").alias("mn"), F.max("v").alias("mx"),
+                F.avg("v").alias("a")).collect()}
+    assert got == want
+
+
+def test_interval_join_semantics(spark):
+    T = dt.datetime
+    points = spark.createDataFrame(
+        [("a", T(2025, 1, 1, 10)), ("a", T(2025, 1, 1, 23)),
+         ("a", T(2025, 1, 2, 1)), ("b", T(2025, 1, 1, 10))],
+        "k string, ts timestamp")
+    # one interval crossing midnight (spans 2 day-buckets), key 'b' has none
+    intervals = spark.createDataFrame(
+        [("a", T(2025, 1, 1, 22), T(2025, 1, 2, 2))],
+        "k string, lo timestamp, hi timestamp")
+    got = {(r["k"], r["ts"]) for r in
+           interval_join(points, intervals, ["k"], "ts", "lo", "hi").collect()}
+    assert got == {("a", T(2025, 1, 1, 23)), ("a", T(2025, 1, 2, 1))}
+    # no duplicate rows even though the interval covers two buckets
+    assert interval_join(points, intervals, ["k"], "ts", "lo", "hi").count() == 2
