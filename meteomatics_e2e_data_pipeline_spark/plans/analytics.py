@@ -496,6 +496,37 @@ FROM (SELECT DISTINCT p_type FROM part)
 """
 
 
+def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: the same engine consumed as ANSI SQL text over
+    registered views — what a dbt/Snowflake user of the reference would
+    actually write. Catalyst plans it identically to the DataFrame form
+    (same pushdowns, same broadcast of the fixed-cardinality dims)."""
+    from ..sources.tables import register_tables
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
+
+
+ORACLE_SQL_NATION_REVENUE = """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_events_last_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every event picks up the timestamp of the same user's
     most recent *prior* 'error' event (strict backward match) — the
@@ -581,6 +612,7 @@ QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_json_project": q_events_json_project,
     "events_last_error_asof": q_events_last_error_asof,
+    "sql_nation_revenue": q_sql_nation_revenue,
 }
 
 ORACLE = {
@@ -603,4 +635,5 @@ ORACLE = {
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_json_project": ORACLE_EVENTS_JSON,
     "events_last_error_asof": ORACLE_LAST_ERROR_ASOF,
+    "sql_nation_revenue": ORACLE_SQL_NATION_REVENUE,
 }

@@ -25,7 +25,7 @@ Spark-first re-expression of the reference's extract path
 from __future__ import annotations
 
 import json
-from collections.abc import Callable, Iterable
+from collections.abc import Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,6 +116,31 @@ FIXTURE_GEOCODES = {
 }
 
 
+def with_retries(geocode_fn: Callable[[str], tuple[float, float]],
+                 retries: int = 3, backoff_s: float = 2.0,
+                 sleep: Callable[[float], None] | None = None,
+                 ) -> Callable[[str], tuple[float, float]]:
+    """U1 retry policy (reference ``helper_geocoders.py:5-13``): retry a
+    flaky lookup ``retries`` times with a fixed backoff, raising after
+    exhaustion. ``sleep`` is injectable so tests don't wait."""
+    import time as _time
+    do_sleep = sleep or _time.sleep
+
+    def wrapped(name: str) -> tuple[float, float]:
+        last: Exception | None = None
+        for attempt in range(retries):
+            try:
+                return geocode_fn(name)
+            except Exception as exc:  # noqa: BLE001 - retried, then re-raised
+                last = exc
+                if attempt < retries - 1:
+                    do_sleep(backoff_s)
+        raise RuntimeError(
+            f"Geocoding failed after {retries} attempts: {name}") from last
+
+    return wrapped
+
+
 def geocode_locations(spark: SparkSession, location_names: list[str],
                       geocode_fn: Callable[[str], tuple[float, float]] | None = None,
                       ) -> DataFrame:
@@ -196,11 +221,12 @@ def ingest(spark: SparkSession, run_date: str, bronze_root: str,
            location_names: list[str] | None = None,
            fetcher: Callable[..., dict] | None = None,
            geocode_fn: Callable[[str], tuple[float, float]] | None = None,
-           ) -> tuple[int, int]:
+           quarantine_root: str | None = None) -> tuple[int, int]:
     """The extract DAG as one function (reference
     ``extract_weather_from_meteomatics.py:28-53``): geocode (distinct) →
     fetch per location → validate (corrupt channel) → bronze files.
-    Returns (n_valid, n_quarantined)."""
+    Invalid payloads go to the dead-letter dir when ``quarantine_root``
+    is given. Returns (n_valid, n_quarantined)."""
     names = location_names or [f"{c.capitalize()}, {co.capitalize()}"
                                for c, co, _, _ in LOCATIONS]
     fetch = fetcher or FixtureFetcher()
@@ -213,9 +239,21 @@ def ingest(spark: SparkSession, run_date: str, bronze_root: str,
                                 "raw string")
     valid, quarantine = validate_payloads(spark, raw)
     n_q = quarantine.count()
+    if quarantine_root and n_q:
+        quarantine.write.mode("append").json(
+            f"{quarantine_root}/run_date={run_date}")
     # keep only payloads that passed validation (list is small: 1/location)
     valid_keys = {(r["city"], r["country"]) for r in
                   valid.select("city", "country").collect()}
     good = [p for p in payloads if (p["city"], p["country"]) in valid_keys]
     write_bronze_files(good, run_date, bronze_root)
     return len(good), n_q
+
+
+def backfill_ingest(spark: SparkSession, run_dates: Sequence[str],
+                    bronze_root: str, **kwargs) -> dict[str, tuple[int, int]]:
+    """G4 backfill semantics (reference ``catchup=True`` + templated
+    ``{{ ds }}``): one idempotent ingest per run_date, oldest first —
+    downstream file-grain incrementality makes replays safe."""
+    return {rd: ingest(spark, rd, bronze_root, **kwargs)
+            for rd in sorted(run_dates)}

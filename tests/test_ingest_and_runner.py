@@ -92,6 +92,47 @@ def test_streaming_available_now_exactly_once(spark, tmp_path):
     assert spark.read.parquet(target).count() == first
 
 
+def test_geocode_retry_policy():
+    from meteomatics_e2e_data_pipeline_spark.sources.ingest import with_retries
+    calls, naps = [], []
+
+    def flaky(name):
+        calls.append(name)
+        if len(calls) < 3:
+            raise ConnectionError("geocoder unavailable")
+        return (1.0, 2.0)
+
+    ok = with_retries(flaky, retries=3, backoff_s=2.0, sleep=naps.append)
+    assert ok("Berlin, Germany") == (1.0, 2.0)
+    assert len(calls) == 3 and naps == [2.0, 2.0]
+
+    calls.clear()
+    always_bad = with_retries(lambda n: (_ for _ in ()).throw(OSError("x")),
+                              retries=2, sleep=naps.append)
+    with pytest.raises(RuntimeError, match="failed after 2 attempts"):
+        always_bad("Nowhere, Nil")
+
+
+def test_backfill_and_quarantine(spark, tmp_path):
+    from meteomatics_e2e_data_pipeline_spark.sources.ingest import backfill_ingest
+    bronze = str(tmp_path / "bronze")
+    res = backfill_ingest(spark, ["2025-06-02", "2025-06-01"], bronze)
+    assert res == {"2025-06-01": (3, 0), "2025-06-02": (3, 0)}
+    stg = stg_weather_raw(spark, f"{bronze}/*/*/*.json")
+    assert stg.select("date_generated").distinct().count() == 2
+
+    # corrupt payload lands in the dead-letter dir
+    def bad_fetch(city, country, lat, lon, run_date):
+        return {"city": city, "country": country}  # no weather block
+
+    q_root = str(tmp_path / "dead")
+    n_ok, n_q = ingest(spark, "2025-06-03", bronze, fetcher=bad_fetch,
+                       quarantine_root=q_root)
+    assert (n_ok, n_q) == (0, 3)
+    dead = spark.read.json(f"{q_root}/run_date=2025-06-03")
+    assert dead.count() == 3
+
+
 def test_config_source(tmp_path):
     from meteomatics_e2e_data_pipeline_spark.sources.config import (
         DEFAULT_CONFIG, load_api_config,
