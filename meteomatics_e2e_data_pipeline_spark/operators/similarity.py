@@ -54,6 +54,10 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"))
     from pyspark.sql import Window
+    # Plans as BroadcastNestedLoopJoin — here that IS the right physical
+    # shape: brute force means every corpus row scores against every
+    # broadcast query; there is no equi-key to hash on. The corpus side
+    # streams, nothing shuffles until the per-query top-k.
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
@@ -78,6 +82,9 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     break to the lowest centroid id for determinism."""
     from pyspark.sql import Window
     cent = centroids.select(F.col(cent_id), F.col(vec_col).alias("cent_vec"))
+    # Deliberate broadcast cross join (plans as BNLJ): every vector scores
+    # against every centroid — the quantizer is tiny by contract, so this
+    # is a streaming pass over the corpus, not a shuffle.
     scored = (
         corpus.select(id_col, vec_col)
         .join(F.broadcast(cent))
