@@ -496,6 +496,45 @@ FROM (SELECT DISTINCT p_type FROM part)
 """
 
 
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue, ties included. The scalar max is an aggregate broadcast back
+    against the per-supplier revenue — no global sort, no window over a
+    single partition (the usual Q15 scale trap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1996-03-31").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select(F.col("s_suppkey").alias("suppkey"),
+                F.col("s_name").alias("supplier_name"),
+                "total_revenue")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
 def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-API surface: the same engine consumed as ANSI SQL text over
     registered views — what a dbt/Snowflake user of the reference would
@@ -613,6 +652,7 @@ QUERIES = {
     "events_json_project": q_events_json_project,
     "events_last_error_asof": q_events_last_error_asof,
     "sql_nation_revenue": q_sql_nation_revenue,
+    "top_supplier_revenue": q_top_supplier_revenue,
 }
 
 ORACLE = {
@@ -636,4 +676,5 @@ ORACLE = {
     "events_json_project": ORACLE_EVENTS_JSON,
     "events_last_error_asof": ORACLE_LAST_ERROR_ASOF,
     "sql_nation_revenue": ORACLE_SQL_NATION_REVENUE,
+    "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
 }
