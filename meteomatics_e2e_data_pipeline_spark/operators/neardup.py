@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import MINHASH_P, base_hash48, tokens, word_shingles
+from .textops import MINHASH_P, base_hash48, tokens
 
 NUM_PERM = 24
 BANDS = 6

@@ -109,23 +109,38 @@ def default_bronze_root() -> Path:
     return Path(__file__).resolve().parents[2] / "fixtures" / "bronze"
 
 
-def ensure_fixtures(root: str | os.PathLike | None = None) -> Path:
+def ensure_fixtures(root: str | os.PathLike | None = None,
+                    locations: list[tuple[str, str, float, float]] | None = None,
+                    run_dates: list[str] | None = None) -> Path:
     """Write the bronze fixture lake if absent; idempotent and cheap when
-    it already exists. Returns the root path."""
+    it already exists. Returns the root path. ``locations``/``run_dates``
+    default to the committed fixture set; pass larger lists (e.g. from
+    ``synthetic_locations``) for stress-scale lakes."""
     rootp = Path(root) if root is not None else default_bronze_root()
     marker = rootp / ".complete"
     if marker.exists():
         return rootp
-    for city, country, lat, lon in LOCATIONS:
+    for city, country, lat, lon in (locations or LOCATIONS):
         d = rootp / country / city
         d.mkdir(parents=True, exist_ok=True)
-        for run_date in RUN_DATES:
+        for run_date in (run_dates or RUN_DATES):
             p = d / f"weather_raw_{city}_{country}_{run_date}.json"
             with open(p, "w") as f:
                 json.dump(_payload(city, country, lat, lon, run_date), f)
             os.utime(p, (_FIXED_MTIME, _FIXED_MTIME))
     marker.write_text("ok\n")
     return rootp
+
+
+def synthetic_locations(n: int) -> list[tuple[str, str, float, float]]:
+    """Deterministic synthetic location list for stress-scale lakes."""
+    out = []
+    for i in range(n):
+        f1 = _frac(f"lat|{i}")
+        f2 = _frac(f"lon|{i}")
+        out.append((f"city{i:03d}", f"country{i % 20:02d}",
+                    round(-60 + 120 * f1, 4), round(-180 + 360 * f2, 4)))
+    return out
 
 
 def corrupt_payloads() -> list[str]:
