@@ -496,6 +496,80 @@ FROM (SELECT DISTINCT p_type FROM part)
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping sets over (event_type, weekday) in one
+    Expand + hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("weekday", F.date_format("ts", "EEEE"))
+        .cube("event_type", "weekday")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT event_type, dayname(ts) AS weekday, count(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, dayname(ts))
+"""
+
+
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window: customers bucketed into spend quartiles (order
+    tiebroken by custkey so the bucket boundaries are deterministic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey", "total_spend",
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"))
+
+
+ORACLE_SPEND_QUARTILES = """
+SELECT o_custkey, total_spend,
+       ntile(4) OVER (ORDER BY total_spend DESC, o_custkey)::INT
+         AS spend_quartile
+FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey)
+"""
+
+
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == SQL
+    percentile_cont == DuckDB quantile_cont) of order value per
+    priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+             F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+             F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"))
+    )
+
+
+ORACLE_ORDER_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_event_user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) per event_type — rows-only checked
+    by the driver (HLL sketches differ across engines by construction);
+    pytest asserts the estimate lands within 5% of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
     revenue, ties included. The scalar max is an aggregate broadcast back
@@ -653,6 +727,10 @@ QUERIES = {
     "events_last_error_asof": q_events_last_error_asof,
     "sql_nation_revenue": q_sql_nation_revenue,
     "top_supplier_revenue": q_top_supplier_revenue,
+    "events_cube": q_events_cube,
+    "customer_spend_quartiles": q_customer_spend_quartiles,
+    "order_value_percentiles": q_order_value_percentiles,
+    "event_user_reach_approx": q_event_user_reach_approx,
 }
 
 ORACLE = {
@@ -677,4 +755,10 @@ ORACLE = {
     "events_last_error_asof": ORACLE_LAST_ERROR_ASOF,
     "sql_nation_revenue": ORACLE_SQL_NATION_REVENUE,
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
+    "events_cube": ORACLE_EVENTS_CUBE,
+    "customer_spend_quartiles": ORACLE_SPEND_QUARTILES,
+    "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
+    # event_user_reach_approx: intentionally no oracle — HLL sketches
+    # are engine-specific; the driver records a rows-only check and
+    # tests/test_llm_operators-style tolerance lives in pytest.
 }

@@ -52,6 +52,21 @@ def test_vectorized_knn_matches_builtin(spark, sf_oracle):
         assert abs(a[k][1] - b[k][1]) <= 1e-6
 
 
+def test_approx_distinct_within_tolerance(spark, sf_oracle):
+    from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
+        q_event_user_reach_approx,
+    )
+    approx = {r["event_type"]: r["approx_users"]
+              for r in q_event_user_reach_approx(spark, sf_oracle).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in load_table(spark, sf_oracle, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.05
+
+
 # ---------------------------------------------------------------------------
 # Property-based parity: scalar library vs DuckDB on arbitrary inputs
 # ---------------------------------------------------------------------------
