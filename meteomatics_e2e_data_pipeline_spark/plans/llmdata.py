@@ -338,6 +338,54 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def q_docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf top-k terms per document: term frequency (one grouped
+    count), document frequency (distinct-doc count per term), idf =
+    ln(N/df), top-k by score per doc. Two shuffles (tf, df) + one window
+    on doc_id — textbook distributed tf-idf, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar: one number, computed once
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("tfidf",
+                    F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _oracle_tfidf() -> str:
+    return rf"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rk::INT AS rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
 COSINE_DUP_THRESHOLD = 0.4
 
 
@@ -411,6 +459,7 @@ LLM_QUERIES = {
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
+    "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_knn_vectorized": q_emb_knn_vectorized,
     "emb_ann_ivf": q_emb_ann_ivf,
@@ -426,6 +475,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),
+        "docs_tfidf_top_terms": _oracle_tfidf(),
         "emb_knn_bruteforce": ORACLE_KNN,
         "emb_ann_ivf": ORACLE_ANN_IVF,
         "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
