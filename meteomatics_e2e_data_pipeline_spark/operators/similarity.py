@@ -170,6 +170,53 @@ def cosine_near_dup_pairs(corpus: DataFrame, centroids: DataFrame,
     )
 
 
+def train_ivf_centroids(corpus: DataFrame, k: int, iters: int = 3,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Spherical k-means for the IVF coarse quantizer — an *iterative*
+    algorithm expressed purely in DataFrame ops (SURVEY §2: iterative
+    algorithms are the one family the oracle can't express; checked by
+    cohesion tests instead).
+
+    - deterministic: seeds are the k lowest-id vectors, ties in
+      assignment break to the lowest centroid id — reruns are identical;
+    - each iteration is two shuffles: assign (broadcast centroids, no
+      shuffle) then element-wise mean via posexplode → groupBy
+      (bucket, dim) → re-assemble with sort_array(collect_list);
+    - centroids stay tiny, so every pass over the corpus is a stream.
+
+    Empty buckets keep their previous centroid (standard Lloyd fix).
+    """
+    from pyspark.sql import Window
+
+    centroids = (corpus.orderBy(id_col).limit(k)
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).cast("array<double>").alias(vec_col)))
+    # re-key centroid ids to 0..k-1 for stability across corpora
+    centroids = centroids.select(
+        (F.row_number().over(Window.orderBy("centroid_id")) - 1)
+        .alias("centroid_id"), vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        dims = (
+            assigned.select("bucket", F.posexplode(F.col(vec_col))
+                            .alias("pos", "x"))
+            .groupBy("bucket", "pos").agg(F.avg("x").alias("m"))
+        )
+        new = (
+            dims.groupBy("bucket")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+            .select(F.col("bucket").alias("centroid_id"),
+                    F.expr("transform(pm, s -> s.m)").alias(vec_col))
+        )
+        # carry forward centroids whose bucket went empty
+        kept = centroids.join(new.select("centroid_id"), "centroid_id",
+                              "left_anti")
+        centroids = new.unionByName(kept)
+    return centroids
+
+
 def knn_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
             k: int, id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:

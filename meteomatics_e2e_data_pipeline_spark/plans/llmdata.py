@@ -386,6 +386,18 @@ SELECT doc_id, term, tfidf, rk::INT AS rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
 """
 
 
+def q_emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a *trained* coarse quantizer (3 Lloyd iterations of
+    spherical k-means, pure DataFrame ops). Rows-only checked: iterative
+    training is the one family DuckDB SQL can't express (SURVEY §5);
+    pytest covers determinism + cohesion improvement instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_ivf_centroids(emb, k=IVF_CENTROID_MAX_ID,
+                                               iters=2)
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_ivf(emb, queries, centroids, IVF_K)
+
+
 COSINE_DUP_THRESHOLD = 0.4
 
 
@@ -463,6 +475,7 @@ LLM_QUERIES = {
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_knn_vectorized": q_emb_knn_vectorized,
     "emb_ann_ivf": q_emb_ann_ivf,
+    "emb_ann_ivf_trained": q_emb_ann_ivf_trained,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "multimodal_features": q_multimodal_features,
 }

@@ -52,6 +52,34 @@ def test_vectorized_knn_matches_builtin(spark, sf_oracle):
         assert abs(a[k][1] - b[k][1]) <= 1e-6
 
 
+def test_kmeans_training_improves_cohesion(spark, sf_oracle):
+    """Trained IVF centroids must (a) be deterministic across reruns and
+    (b) pull vectors closer to their centroid than the untrained
+    first-k-vectors quantizer."""
+    from pyspark.sql import functions as F2
+    emb = load_table(spark, sf_oracle, "embeddings")
+
+    def cohesion(centroids):
+        assigned = similarity.ivf_assign(emb, centroids)
+        cent = centroids.select(F2.col("centroid_id").alias("bucket"),
+                                F2.col("embedding").alias("cv"))
+        return (assigned.join(cent, "bucket")
+                .select(similarity.cosine(F2.col("embedding"), F2.col("cv"))
+                        .alias("c"))
+                .agg(F2.avg("c")).first()[0])
+
+    naive = (emb.filter(F2.col("vec_id") < 8)
+             .select(F2.col("vec_id").alias("centroid_id"), "embedding"))
+    trained = similarity.train_ivf_centroids(emb, k=8, iters=3)
+    assert trained.count() == 8
+    assert cohesion(trained) > cohesion(naive)
+
+    again = similarity.train_ivf_centroids(emb, k=8, iters=3)
+    a = sorted(map(repr, trained.collect()))
+    b = sorted(map(repr, again.collect()))
+    assert a == b  # deterministic
+
+
 def test_approx_distinct_within_tolerance(spark, sf_oracle):
     from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
         q_event_user_reach_approx,
