@@ -71,23 +71,6 @@ def base_hash48(c: Column) -> Column:
 BASE_HASH48_SQL = "('0x' || substr(md5({c}), 1, 12))::BIGINT"
 
 
-def word_shingles(tok: Column, n: int) -> Column:
-    """Array of word n-gram shingles (space-joined). Empty array when the
-    document has fewer than ``n`` tokens (``sequence`` would otherwise
-    count *down* and produce bogus indices)."""
-    if n == 1:
-        return tok
-    return F.when(
-        F.size(tok) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
-            lambda i: F.concat_ws(" ", *[
-                F.element_at(tok, i + k) for k in range(1, n + 1)
-            ]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def lang_score(tok: Column, lang: str) -> Column:
     """Stopword-hit count for one language over the token array."""
     arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])

@@ -92,6 +92,30 @@ def test_streaming_available_now_exactly_once(spark, tmp_path):
     assert spark.read.parquet(target).count() == first
 
 
+def test_partitioned_bronze_sink_roundtrip(spark, tmp_path):
+    """S5: the hive-partitioned JSON writer — partition columns are
+    recovered on read via partition discovery."""
+    import json as _json
+    from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
+        FixtureFetcher, validate_payloads, write_bronze_partitioned,
+    )
+    payloads = [FixtureFetcher()(c, co, la, lo, "2025-07-10")
+                for c, co, la, lo in
+                [("tallinn", "estonia", 59.4, 24.8),
+                 ("berlin", "germany", 52.5, 13.4)]]
+    raw = spark.createDataFrame([( _json.dumps(p),) for p in payloads],
+                                "raw string")
+    valid, _ = validate_payloads(spark, raw)
+    out = str(tmp_path / "lake")
+    write_bronze_partitioned(valid, out)
+    back = spark.read.json(out)
+    assert back.count() == 2
+    assert {r["country"] for r in back.select("country").collect()} \
+        == {"estonia", "germany"}
+    # hive layout on disk
+    assert (tmp_path / "lake" / "country=estonia" / "city=tallinn").exists()
+
+
 def test_geocode_retry_policy():
     from meteomatics_e2e_data_pipeline_spark.sources.ingest import with_retries
     calls, naps = [], []
