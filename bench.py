@@ -7,7 +7,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with the `noop` sink (full execution, no
 driver-side collect — the closest local analog of writing to a lake table).
 A warm-up query runs first so JVM/codegen startup is not attributed to the
-first benchmark entry.
+first benchmark entry, and each query reports its best of $BENCH_REPS
+(default 2) runs so one-off JIT/page-cache noise doesn't read as a
+regression.
 """
 
 from __future__ import annotations
@@ -39,16 +41,21 @@ def main() -> None:
     # Warm-up: touch the biggest table so scan/codegen startup is amortized.
     run(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
 
+    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            run(fn(spark, sf_dir))
-        except Exception as exc:  # noqa: BLE001 - report, keep benching
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                run(fn(spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 - report, keep benching
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                best = -1.0
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({

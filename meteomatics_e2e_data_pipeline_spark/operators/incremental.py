@@ -88,20 +88,23 @@ def upsert_by_key(new: DataFrame, target_path: str, keys: Sequence[str],
 
 
 def full_refresh(df: DataFrame, target_path: str,
-                 partition_by: Sequence[str] | None = None) -> None:
+                 partition_by: Sequence[str] | None = None,
+                 fmt: str = "parquet") -> None:
     """S9: full-refresh sink (dbt ``materialized='table'`` dims —
-    reference ``dim_location.sql:1`` etc.)."""
-    writer = df.write.mode("overwrite")
+    reference ``dim_location.sql:1`` etc.). ``fmt`` may be any columnar
+    format the session supports (parquet default, orc tested)."""
+    writer = df.write.mode("overwrite").format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(target_path)
+    writer.save(target_path)
 
 
 def append_only(df: DataFrame, target_path: str,
-                partition_by: Sequence[str] | None = None) -> None:
+                partition_by: Sequence[str] | None = None,
+                fmt: str = "parquet") -> None:
     """S7: incremental append sink (dbt incremental facts with no
     unique_key — reference ``fact_weather_params_history.sql:1``)."""
-    writer = df.write.mode("append")
+    writer = df.write.mode("append").format(fmt)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(target_path)
+    writer.save(target_path)

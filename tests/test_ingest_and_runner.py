@@ -92,6 +92,18 @@ def test_streaming_available_now_exactly_once(spark, tmp_path):
     assert spark.read.parquet(target).count() == first
 
 
+def test_sinks_support_orc(spark, tmp_path):
+    from meteomatics_e2e_data_pipeline_spark.operators.incremental import (
+        append_only, full_refresh,
+    )
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    p = str(tmp_path / "orc_t")
+    full_refresh(df, p, fmt="orc")
+    assert spark.read.orc(p).count() == 2
+    append_only(df, p, fmt="orc")
+    assert spark.read.orc(p).count() == 4
+
+
 def test_partitioned_bronze_sink_roundtrip(spark, tmp_path):
     """S5: the hive-partitioned JSON writer — partition columns are
     recovered on read via partition discovery."""
