@@ -50,11 +50,15 @@ def read_target(spark: SparkSession, target_path: str) -> DataFrame | None:
     fs = hpath.getFileSystem(conf)
     if not fs.exists(hpath):
         return None
+    from pyspark.errors import AnalysisException
     try:
         return spark.read.parquet(target_path)
-    except Exception:
+    except AnalysisException:
         # Directory exists but holds no readable parquet yet (e.g. only a
         # _SUCCESS marker from an aborted write) — treat as first run.
+        # Deliberately narrow: a transient read failure (cloud-store 5xx,
+        # permissions) must PROPAGATE, not silently skip the anti-join
+        # and duplicate records.
         return None
 
 

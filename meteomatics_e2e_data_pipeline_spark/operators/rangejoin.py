@@ -30,16 +30,29 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     the bucket size ~ the typical interval length; day matches the
     daylight/business-hours shape this engine needs.
     """
+    import functools
+
     keys = list(keys)
-    expanded = intervals.withColumn(
+    expanded = intervals.alias("__iv").withColumn(
         "__bucket",
         F.explode(F.expr(
             f"sequence(to_date({start_col}), to_date({end_col}), interval 1 day)")),
     )
-    tagged = points.withColumn("__bucket", F.to_date(F.col(point_ts)))
-    joined = tagged.join(expanded, on=keys + ["__bucket"], how=how)
-    return (
-        joined.filter(F.col(point_ts).between(F.col(start_col),
-                                              F.col(end_col)))
-        .drop("__bucket")
+    tagged = points.alias("__pt").withColumn("__bucket",
+                                             F.to_date(F.col(point_ts)))
+    # The BETWEEN is part of the JOIN CONDITION, not a post-filter —
+    # otherwise outer joins degenerate to inner (an unmatched left row's
+    # NULL start/end would fail the filter and be dropped).
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [tagged[k] == expanded[k] for k in keys]
+        + [tagged["__bucket"] == expanded["__bucket"],
+           tagged[point_ts].between(expanded[start_col],
+                                    expanded[end_col])],
+    )
+    joined = tagged.join(expanded, on=cond, how=how)
+    payload = [c for c in intervals.columns if c not in keys]
+    return joined.select(
+        *[tagged[c] for c in points.columns],
+        *[expanded[c] for c in payload],
     )

@@ -53,9 +53,13 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
         else:
             raise ValueError(f"unsupported aggregate {fn!r}")
 
+    # Round-robin salt, NOT a row hash: identical duplicate rows (the
+    # canonical skew input — retries, log duplication) would all hash to
+    # one bucket and defeat the spread. monotonically_increasing_id is
+    # nondeterministic across runs, which is fine — every salt assignment
+    # yields the same final aggregate (the combiners are associative).
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
-                         F.lit(n_salts)))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
     partial = salted.groupBy(*keys, "__salt").agg(*[
         _PARTIAL[fn](col).alias(out) for out, (fn, col) in plan.items()
     ])

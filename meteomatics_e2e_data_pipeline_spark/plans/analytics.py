@@ -496,6 +496,35 @@ FROM (SELECT DISTINCT p_type FROM part)
 """
 
 
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per day, one count column per event type. The
+    pivot value list is explicit — at scale an implicit pivot costs an
+    extra distinct pass AND makes the output schema data-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events
+GROUP BY 1
+"""
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 2^2 grouping sets over (event_type, weekday) in one
     Expand + hash aggregate."""
@@ -516,7 +545,14 @@ GROUP BY CUBE (event_type, dayname(ts))
 
 def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile window: customers bucketed into spend quartiles (order
-    tiebroken by custkey so the bucket boundaries are deterministic)."""
+    tiebroken by custkey so the bucket boundaries are deterministic).
+
+    Scale note: ntile's global ORDER BY is inherently single-partition —
+    the same cost the oracle's engine pays. Where an approximate split is
+    acceptable at very large SF, compute the three quartile cut points
+    (percentile/approx) and assign buckets by broadcast comparison
+    instead; this query keeps exact ntile semantics deliberately, as the
+    oracle-checkable form."""
     orders = load_table(spark, sf_dir, "orders")
     spend = (orders.groupBy("o_custkey")
              .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
@@ -728,6 +764,7 @@ QUERIES = {
     "sql_nation_revenue": q_sql_nation_revenue,
     "top_supplier_revenue": q_top_supplier_revenue,
     "events_cube": q_events_cube,
+    "events_daily_pivot": q_events_daily_pivot,
     "customer_spend_quartiles": q_customer_spend_quartiles,
     "order_value_percentiles": q_order_value_percentiles,
     "event_user_reach_approx": q_event_user_reach_approx,
@@ -756,6 +793,7 @@ ORACLE = {
     "sql_nation_revenue": ORACLE_SQL_NATION_REVENUE,
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
     "events_cube": ORACLE_EVENTS_CUBE,
+    "events_daily_pivot": ORACLE_EVENTS_PIVOT,
     "customer_spend_quartiles": ORACLE_SPEND_QUARTILES,
     "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
     # event_user_reach_approx: intentionally no oracle — HLL sketches

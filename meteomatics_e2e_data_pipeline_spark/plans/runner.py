@@ -21,8 +21,6 @@ from datetime import date
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.keys import surrogate_key
-from ..functions.strings import split_part_compat
 from ..operators.incremental import read_target, upsert_by_key
 from . import weather
 
@@ -70,14 +68,8 @@ def transform(spark: SparkSession, out_dir: str,
     counts["stg_weather_raw"] = stg.count()
 
     dims: dict[str, DataFrame] = {
-        "dim_location": stg.select(
-            surrogate_key("country", "city").alias("location_key"),
-            "country", "city", "latitude", "longitude").distinct(),
-        "dim_weather_condition": stg.select("parameter").distinct().select(
-            surrogate_key("parameter").alias("condition_key"),
-            F.col("parameter").alias("parameter_code"),
-            split_part_compat(F.col("parameter"), ":", 1).alias("parameter_name"),
-            split_part_compat(F.col("parameter"), ":", 2).alias("unit")),
+        "dim_location": weather.dim_location_from_stg(stg),
+        "dim_weather_condition": weather.dim_condition_from_stg(stg),
         "dim_date": weather.q_dim_date_spine(spark, ""),
     }
     for name, df in dims.items():

@@ -152,13 +152,19 @@ def oracle_weather_stg() -> str:
 # --------------------------------------------------------------------------
 
 
-def q_weather_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dim_location.sql:3-9 — DISTINCT location attributes + C11 key."""
-    stg = stg_weather_raw(spark)
+def dim_location_from_stg(stg: DataFrame) -> DataFrame:
+    """dim_location.sql:3-9 — DISTINCT location attributes + C11 key.
+    Takes the staging frame so callers building several marts share ONE
+    bronze scan (used by the oracle query, the runner, and the star-join
+    queries alike)."""
     return stg.select(
         surrogate_key("country", "city").alias("location_key"),
         "country", "city", "latitude", "longitude",
     ).distinct()
+
+
+def q_weather_dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_location_from_stg(stg_weather_raw(spark))
 
 
 def oracle_weather_dim_location() -> str:
@@ -169,10 +175,9 @@ SELECT DISTINCT {surrogate_key_sql('country', 'city')} AS location_key,
 FROM stg"""
 
 
-def q_weather_dim_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dim_condition_from_stg(stg: DataFrame) -> DataFrame:
     """dim_weather_condition.sql:3-8 — DISTINCT parameter decomposition
     (C1 split_part) + C11 key."""
-    stg = stg_weather_raw(spark)
     p = F.col("parameter")
     return stg.select("parameter").distinct().select(
         surrogate_key("parameter").alias("condition_key"),
@@ -180,6 +185,10 @@ def q_weather_dim_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_part_compat(p, ":", 1).alias("parameter_name"),
         split_part_compat(p, ":", 2).alias("unit"),
     )
+
+
+def q_weather_dim_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_condition_from_stg(stg_weather_raw(spark))
 
 
 def oracle_weather_dim_condition() -> str:
@@ -318,10 +327,15 @@ def q_weather_city_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query shape the star schema exists for; both dims are
     fixed-cardinality and force-broadcast, the only shuffle is the final
     aggregation."""
+    # One logical staging frame feeds fact + both dims. Catalyst still
+    # plans a scan per branch inside a single lazy query (no scan CSE);
+    # the production path (runner.transform) materializes staging once
+    # and reads the marts — this composite exists as the oracle-checkable
+    # end-to-end form.
     stg = stg_weather_raw(spark)
     fact = build_fact(stg, sun=False, history=True)
-    dim_loc = q_weather_dim_location(spark, sf_dir)
-    dim_cond = q_weather_dim_condition(spark, sf_dir)
+    dim_loc = dim_location_from_stg(stg)
+    dim_cond = dim_condition_from_stg(stg)
     return (
         fact.join(F.broadcast(dim_loc), "location_key")
         .join(F.broadcast(dim_cond), "condition_key")

@@ -118,17 +118,28 @@ def ensure_fixtures(root: str | os.PathLike | None = None,
     ``synthetic_locations``) for stress-scale lakes."""
     rootp = Path(root) if root is not None else default_bronze_root()
     marker = rootp / ".complete"
+    locs = locations or LOCATIONS
+    dates = run_dates or RUN_DATES
+    # the marker records WHICH parameter set produced the lake — asking
+    # for a different set against an existing root is a caller bug that
+    # must not silently return mismatched data
+    param_sig = hashlib.md5(
+        repr((sorted(locs), sorted(dates))).encode()).hexdigest()
     if marker.exists():
+        if marker.read_text().strip() != param_sig:
+            raise ValueError(
+                f"fixture lake at {rootp} was generated with different "
+                "locations/run_dates; use a fresh root")
         return rootp
-    for city, country, lat, lon in (locations or LOCATIONS):
+    for city, country, lat, lon in locs:
         d = rootp / country / city
         d.mkdir(parents=True, exist_ok=True)
-        for run_date in (run_dates or RUN_DATES):
+        for run_date in dates:
             p = d / f"weather_raw_{city}_{country}_{run_date}.json"
             with open(p, "w") as f:
                 json.dump(_payload(city, country, lat, lon, run_date), f)
             os.utime(p, (_FIXED_MTIME, _FIXED_MTIME))
-    marker.write_text("ok\n")
+    marker.write_text(param_sig + "\n")
     return rootp
 
 

@@ -183,8 +183,9 @@ def validate_payloads(spark: SparkSession, raw_json: DataFrame,
           & F.col("p.weather").isNotNull()
           & F.col("p.weather.data").isNotNull()
           & (F.size("p.weather.data") > 0))
-    valid = raw_json.withColumn("p", F.from_json(F.col(json_col), RAW_WEATHER_SCHEMA)) \
-        .filter(ok).select("p.*")
+    # both channels derive from the SAME parse — the from_json is the
+    # dominant per-row cost, so it runs once, not once per branch
+    valid = parsed.filter(ok).select("p.*")
     quarantine = (parsed.filter(~ok | F.col("p").isNull())
                   .select(F.col(json_col).alias("corrupt_record")))
     return valid, quarantine

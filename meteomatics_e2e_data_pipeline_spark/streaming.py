@@ -68,6 +68,13 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str,
     end, so late events within the watermark still land in the right
     bucket and state is bounded (windows older than the watermark are
     dropped from the store).
+
+    CAVEAT (inherent to append mode + watermark): the trailing window(s)
+    within ``watermark`` of the newest event stay in state and are NOT in
+    the sink until a later pass moves the watermark past them. The output
+    is therefore the *closed-window* rollup, not a complete snapshot —
+    consumers needing the open tail should union the batch rollup over
+    the uncommitted range.
     """
     ev = read_events_stream(spark, sf_dir)
     agg = (

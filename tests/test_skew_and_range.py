@@ -44,3 +44,12 @@ def test_interval_join_semantics(spark):
     assert got == {("a", T(2025, 1, 1, 23)), ("a", T(2025, 1, 2, 1))}
     # no duplicate rows even though the interval covers two buckets
     assert interval_join(points, intervals, ["k"], "ts", "lo", "hi").count() == 2
+
+    # LEFT join keeps unmatched points with NULL interval payload
+    left = interval_join(points, intervals, ["k"], "ts", "lo", "hi",
+                         how="left").collect()
+    assert len(left) == 4
+    by_key = {(r["k"], r["ts"]): r["lo"] for r in left}
+    assert by_key[("b", T(2025, 1, 1, 10))] is None   # no interval for 'b'
+    assert by_key[("a", T(2025, 1, 1, 10))] is None   # outside the window
+    assert by_key[("a", T(2025, 1, 1, 23))] is not None
