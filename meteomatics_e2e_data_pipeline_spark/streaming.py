@@ -96,6 +96,35 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str,
     q.awaitTermination()
 
 
+def stream_user_sessions(spark: SparkSession, sf_dir: str,
+                         checkpoint_path: str, query_name: str,
+                         gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> None:
+    """Native session windows (``F.session_window``): per-user sessions
+    close after ``gap`` of inactivity; a session emits once the watermark
+    passes its end. This is the streaming twin of the batch
+    ``sessionize_events`` query (lag + cumulative-sum formulation) — same
+    session boundaries, incremental state instead of a global window.
+    Memory sink under ``query_name`` (append mode: closed sessions only).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_user_event_totals(spark: SparkSession, sf_dir: str,
                              checkpoint_path: str, query_name: str) -> None:
     """Custom stateful streaming operator via ``applyInPandasWithState``:

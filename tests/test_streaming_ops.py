@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
 from meteomatics_e2e_data_pipeline_spark.streaming import (
-    stream_events_hourly, stream_user_event_totals,
+    stream_events_hourly, stream_user_event_totals, stream_user_sessions,
 )
 
 EVENTS_DIR = "/root/testdata/sf0.001"
@@ -36,6 +36,43 @@ def test_stream_hourly_matches_batch_for_closed_windows(spark, tmp_path):
     assert closed <= emitted
     assert emitted <= {tuple(r) for r in batch.collect()}
     assert len(emitted) > 0
+
+
+def test_session_windows_match_batch_sessionize(spark, tmp_path):
+    """Closed native session windows must agree with the batch lag+cumsum
+    sessionization: same per-user session count over the closed range."""
+    name = "sessions_test"
+    stream_user_sessions(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    got = spark.sql(f"SELECT * FROM {name}")
+    assert got.count() > 0
+
+    from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
+        q_sessionize_events,
+    )
+    batch = q_sessionize_events(spark, "/root/testdata/sf0.001")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    # sessions that end well before the watermark horizon must match
+    import datetime as dt
+    horizon = max_ts - dt.timedelta(hours=2)
+    closed_stream = got.filter(F.col("session_end") < horizon)
+    # batch: session count per user over events strictly before horizon
+    batch_sessions = (
+        ev.join(batch, ["user_id", "event_id"])
+        .filter(F.col("ts") < F.lit(horizon) - F.expr("INTERVAL 30 MINUTES"))
+        .select("user_id", "session_id").distinct()
+        .groupBy("user_id").count()
+    )
+    stream_counts = {r["user_id"]: r["count"] for r in
+                     closed_stream.groupBy("user_id").count().collect()}
+    batch_counts = {r["user_id"]: r["count"] for r in
+                    batch_sessions.collect()}
+    # closed-session counts may differ by the boundary session per user;
+    # assert they are within 1 for every user and mostly equal
+    diffs = [abs(stream_counts.get(u, 0) - batch_counts[u])
+             for u in batch_counts]
+    assert all(d <= 1 for d in diffs)
+    assert sum(1 for d in diffs if d == 0) >= len(diffs) * 0.8
 
 
 def test_stateful_totals_match_batch(spark, tmp_path):
