@@ -194,7 +194,10 @@ def q_docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold=NEARDUP_THRESHOLD)
 
 
-def _oracle_near_dup() -> str:
+def _minhash_cand_cte() -> str:
+    """Shared CTE chain (tokens → shingle hashes → signatures → bands →
+    candidate pairs), generated from the SAME constants the Spark
+    operators use. Reused by every oracle that consumes LSH candidates."""
     n = SHINGLE_N
     shingle_parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
     hv = _DUCK_HASH48.format(c="shingle")
@@ -208,8 +211,7 @@ def _oracle_near_dup() -> str:
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, md5(concat_ws('-', {cols})) AS band_hash FROM sig")
     bands_sql = "\n  UNION ALL ".join(band_selects)
-    return rf"""
-WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    return rf"""tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
 sh0 AS (SELECT doc_id,
                unnest(list_transform(range(1, len(w) - {n - 2}),
                                      i -> {shingle_parts})) AS shingle
@@ -226,7 +228,12 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _oracle_near_dup() -> str:
+    return rf"""
+WITH {_minhash_cand_cte()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS n_inter
@@ -335,6 +342,39 @@ ranked AS (
 SELECT query_id, neighbor_id, bucket, round(cos_raw, 6) AS cos_sim,
        rank::INT AS rank
 FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+def q_docs_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy verification of LSH candidates via Levenshtein: edit
+    distance runs ONLY on the candidate pairs (the small LSH tail), never
+    all-pairs — O(len²) per pair is affordable exactly because the
+    candidate set is bounded. Outputs a length-normalized similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = neardup.minhash_signatures(docs, n=SHINGLE_N)
+    cand = neardup.lsh_candidate_pairs(sigs)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+                dist.alias("edit_distance"),
+                F.round(1 - dist / max_len, 6).alias("edit_similarity"))
+    )
+
+
+def _oracle_edit_distance() -> str:
+    return rf"""
+WITH {_minhash_cand_cte()}
+SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+       levenshtein(a.text, b.text) AS edit_distance,
+       round(1 - levenshtein(a.text, b.text) * 1.0
+             / greatest(length(a.text), length(b.text)), 6) AS edit_similarity
+FROM cand c
+JOIN documents a ON a.doc_id = c.id_a
+JOIN documents b ON b.doc_id = c.id_b
 """
 
 
@@ -471,6 +511,7 @@ LLM_QUERIES = {
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
+    "docs_near_dup_edit_distance": q_docs_near_dup_edit_distance,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_knn_vectorized": q_emb_knn_vectorized,
@@ -488,6 +529,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),
+        "docs_near_dup_edit_distance": _oracle_edit_distance(),
         "docs_tfidf_top_terms": _oracle_tfidf(),
         "emb_knn_bruteforce": ORACLE_KNN,
         "emb_ann_ivf": ORACLE_ANN_IVF,

@@ -438,9 +438,74 @@ FROM temps t JOIN sun s
  AND t.reading_datetime BETWEEN s.sunrise AND s.sunset"""
 
 
+def q_weather_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy analysis — the analytical payoff of keeping
+    EVERY issuance in staging (not just the latest): for each reading
+    slot, the hindsight value (latest issuance at or after the slot)
+    is compared against every earlier forecast of that slot, and the
+    absolute error is averaged by forecast lead time (bucketed to days).
+    Self-join on the (city, parameter, slot) key — equi-shuffled, no
+    window over the whole table."""
+    stg = stg_weather_raw(spark).filter(
+        ~F.col("parameter").isin(*SUN_PARAMS))
+    keys = ["city", "parameter", "reading_datetime"]
+    actual = latest_record_wins(
+        stg.filter(F.col("date_generated") >= F.col("reading_datetime")),
+        keys=keys, order_desc=["date_generated", "file_path"],
+    ).select(*keys, F.col("reading_value").cast("double").alias("actual"))
+    forecasts = (
+        stg.filter(F.col("date_generated") < F.col("reading_datetime"))
+        .select(*keys, "date_generated",
+                F.col("reading_value").cast("double").alias("predicted"))
+    )
+    lead_days = F.floor(
+        (F.col("reading_datetime").cast("double")
+         - F.col("date_generated").cast("double")) / 86400).cast("int")
+    return (
+        forecasts.join(actual, keys)
+        .withColumn("lead_days", lead_days)
+        .groupBy("parameter", "lead_days")
+        .agg(F.count(F.lit(1)).alias("n_forecasts"),
+             F.round(F.avg(F.abs(F.col("predicted") - F.col("actual"))), 4)
+             .alias("mean_abs_error"))
+    )
+
+
+def oracle_weather_forecast_error() -> str:
+    root = default_bronze_root()
+    return f"""WITH {_duck_stg_cte(str(root))},
+params AS (
+  SELECT * FROM stg
+  WHERE parameter NOT IN ('sunrise:sql', 'sunset:sql')
+),
+actual AS (
+  SELECT city, parameter, reading_datetime,
+         CAST(reading_value AS DOUBLE) AS actual
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY city, parameter, reading_datetime
+            ORDER BY date_generated DESC, file_path DESC) AS rn
+        FROM params WHERE date_generated >= reading_datetime)
+  WHERE rn = 1
+),
+forecasts AS (
+  SELECT city, parameter, reading_datetime, date_generated,
+         CAST(reading_value AS DOUBLE) AS predicted
+  FROM params WHERE date_generated < reading_datetime
+)
+SELECT f.parameter,
+       floor((epoch(f.reading_datetime) - epoch(f.date_generated))
+             / 86400)::INT AS lead_days,
+       count(*) AS n_forecasts,
+       round(avg(abs(f.predicted - a.actual)), 4) AS mean_abs_error
+FROM forecasts f
+JOIN actual a USING (city, parameter, reading_datetime)
+GROUP BY 1, 2"""
+
+
 WEATHER_QUERIES = {
     "weather_city_daily": q_weather_city_daily,
     "weather_daylight_readings": q_weather_daylight_readings,
+    "weather_forecast_error": q_weather_forecast_error,
     "weather_stg_raw": q_weather_stg,
     "weather_dim_location": q_weather_dim_location,
     "weather_dim_condition": q_weather_dim_condition,
@@ -457,6 +522,7 @@ def weather_oracle() -> dict[str, str]:
     return {
         "weather_city_daily": oracle_weather_city_daily(),
         "weather_daylight_readings": oracle_weather_daylight(),
+        "weather_forecast_error": oracle_weather_forecast_error(),
         "weather_stg_raw": oracle_weather_stg(),
         "weather_dim_location": oracle_weather_dim_location(),
         "weather_dim_condition": oracle_weather_dim_condition(),
