@@ -525,6 +525,25 @@ GROUP BY 1
 """
 
 
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the daily pivot folded back to long form — wide
+    metric columns become (metric, n) rows. Row-local Expand, no
+    shuffle beyond the pivot's own aggregation."""
+    wide = q_events_daily_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"], values=list(EVENT_TYPES),
+        variableColumnName="metric", valueColumnName="n",
+    )
+
+
+ORACLE_EVENTS_UNPIVOT = f"""
+WITH wide AS ({ORACLE_EVENTS_PIVOT})
+SELECT day, metric, n
+FROM wide
+UNPIVOT (n FOR metric IN (click, view, purchase, signup, error))
+"""
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE: all 2^2 grouping sets over (event_type, weekday) in one
     Expand + hash aggregate."""
@@ -765,6 +784,7 @@ QUERIES = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "events_cube": q_events_cube,
     "events_daily_pivot": q_events_daily_pivot,
+    "events_unpivot": q_events_unpivot,
     "customer_spend_quartiles": q_customer_spend_quartiles,
     "order_value_percentiles": q_order_value_percentiles,
     "event_user_reach_approx": q_event_user_reach_approx,
@@ -794,6 +814,7 @@ ORACLE = {
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
     "events_cube": ORACLE_EVENTS_CUBE,
     "events_daily_pivot": ORACLE_EVENTS_PIVOT,
+    "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "customer_spend_quartiles": ORACLE_SPEND_QUARTILES,
     "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
     # event_user_reach_approx: intentionally no oracle — HLL sketches
