@@ -71,6 +71,24 @@ def base_hash48(c: Column) -> Column:
 BASE_HASH48_SQL = "('0x' || substr(md5({c}), 1, 12))::BIGINT"
 
 
+def chunk_tokens(tok: Column, chunk_size: int, stride: int) -> Column:
+    """Array of overlapping token chunks (each rejoined with spaces) —
+    the standard training-data chunking shape: windows of ``chunk_size``
+    tokens starting every ``stride`` tokens (overlap = chunk_size −
+    stride). The trailing partial window is kept. Row-local (the chunk
+    fan-out is an explode, not a shuffle)."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    # starts: 0, stride, 2*stride, ... while start < n_tokens
+    return F.transform(
+        F.sequence(F.lit(0),
+                   F.greatest(F.ceil(F.size(tok) / stride).cast("int") - 1,
+                              F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(tok, i * stride + 1, chunk_size)),
+    )
+
+
 def lang_score(tok: Column, lang: str) -> Column:
     """Stopword-hit count for one language over the token array."""
     arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])

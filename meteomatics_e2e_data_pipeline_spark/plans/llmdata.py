@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 from ..operators import neardup, similarity
 from ..operators.multimodal import extract_features, to_media_table
 from ..operators.textops import (
-    LANG_ORDER, LANG_STOPWORDS, MINHASH_P, content_hash, lang_guess,
-    lang_score, tokens,
+    LANG_ORDER, LANG_STOPWORDS, MINHASH_P, chunk_tokens, content_hash,
+    lang_guess, lang_score, tokens,
 )
 from ..sources.tables import load_table
 
@@ -257,6 +257,66 @@ scored AS (
   JOIN sizes nb ON nb.doc_id = c.id_b
 )
 SELECT * FROM scored WHERE jaccard >= {NEARDUP_THRESHOLD}
+"""
+
+
+CHUNK_SIZE, CHUNK_STRIDE = 40, 32  # 8-token overlap
+
+
+def q_docs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training-data prep: overlapping
+    ``CHUNK_SIZE``-token windows every ``CHUNK_STRIDE`` tokens, one row
+    per chunk with a stable (doc_id, chunk_id) key and the chunk's own
+    token count. Pure explode fan-out — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return (
+        docs.select("doc_id", F.posexplode(
+            chunk_tokens(tok, CHUNK_SIZE, CHUNK_STRIDE)).alias("chunk_id", "chunk"))
+        .select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+                "chunk",
+                F.size(F.split(F.col("chunk"), " ")).alias("chunk_tokens"))
+    )
+
+
+ORACLE_DOCS_CHUNKED = rf"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents),
+starts AS (
+  SELECT doc_id, tok,
+         unnest(range(0, greatest(len(tok), 1), {CHUNK_STRIDE})) AS start
+  FROM t
+),
+chunks AS (
+  SELECT doc_id, (start / {CHUNK_STRIDE})::INT AS chunk_id,
+         array_to_string(tok[start + 1 : start + {CHUNK_SIZE}], ' ') AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_id, chunk,
+       len(string_split(chunk, ' '))::INT AS chunk_tokens
+FROM chunks
+"""
+
+
+def q_docs_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus rollup — the summary table a data-prep
+    run reports: document and token volume, mean length."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(n_tok).alias("total_tokens"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+ORACLE_CORPUS_STATS = rf"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(len({_DUCK_TOKENS})) AS total_tokens,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY 1, 2
 """
 
 
@@ -518,6 +578,8 @@ LLM_QUERIES = {
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "docs_near_dup_edit_distance": q_docs_near_dup_edit_distance,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
+    "docs_chunked": q_docs_chunked,
+    "docs_corpus_stats": q_docs_corpus_stats,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_knn_vectorized": q_emb_knn_vectorized,
     "emb_ann_ivf": q_emb_ann_ivf,
@@ -536,6 +598,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_near_dup_pairs": _oracle_near_dup(),
         "docs_near_dup_edit_distance": _oracle_edit_distance(),
         "docs_tfidf_top_terms": _oracle_tfidf(),
+        "docs_chunked": ORACLE_DOCS_CHUNKED,
+        "docs_corpus_stats": ORACLE_CORPUS_STATS,
         "emb_knn_bruteforce": ORACLE_KNN,
         "emb_ann_ivf": ORACLE_ANN_IVF,
         "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
