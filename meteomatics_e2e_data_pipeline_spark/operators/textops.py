@@ -79,11 +79,16 @@ def chunk_tokens(tok: Column, chunk_size: int, stride: int) -> Column:
     fan-out is an explode, not a shuffle)."""
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
-    # starts: 0, stride, 2*stride, ... while start < n_tokens
+    overlap = chunk_size - stride
+    # starts: 0, stride, 2*stride, ... — but a start whose window would
+    # be a strict SUBSET of the previous chunk (possible whenever
+    # n mod stride <= overlap) is not emitted: such a tail chunk adds no
+    # new tokens and would duplicate training content. Chunk count is
+    # ceil((n - overlap) / stride), min 1.
+    n_chunks = F.greatest(
+        F.ceil((F.size(tok) - overlap) / stride).cast("int"), F.lit(1))
     return F.transform(
-        F.sequence(F.lit(0),
-                   F.greatest(F.ceil(F.size(tok) / stride).cast("int") - 1,
-                              F.lit(0))),
+        F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(
             " ", F.slice(tok, i * stride + 1, chunk_size)),
     )

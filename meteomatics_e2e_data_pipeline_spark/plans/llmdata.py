@@ -283,7 +283,8 @@ ORACLE_DOCS_CHUNKED = rf"""
 WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents),
 starts AS (
   SELECT doc_id, tok,
-         unnest(range(0, greatest(len(tok), 1), {CHUNK_STRIDE})) AS start
+         unnest(range(0, greatest(len(tok) - {CHUNK_SIZE - CHUNK_STRIDE}, 1),
+                      {CHUNK_STRIDE})) AS start
   FROM t
 ),
 chunks AS (

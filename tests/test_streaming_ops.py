@@ -49,8 +49,8 @@ def test_session_windows_match_batch_sessionize(spark, tmp_path):
     from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
         q_sessionize_events,
     )
-    batch = q_sessionize_events(spark, "/root/testdata/sf0.001")
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = q_sessionize_events(spark, EVENTS_DIR)
+    ev = load_table(spark, EVENTS_DIR, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
     # sessions that end well before the watermark horizon must match
     import datetime as dt
