@@ -1,0 +1,67 @@
+"""Lake maintenance: small-file compaction.
+
+Incremental appends (``upsert_by_key``/``append_only``) accrete one file
+set per batch; after months of daily runs a partition holds hundreds of
+tiny files and scan cost is dominated by per-file overhead. Compaction
+rewrites a partition's data into a bounded file count.
+
+Safety protocol on plain parquet (no transactional log): write the
+compacted copy to a sibling temp dir first, then swap directories — a
+crash before the swap leaves the original untouched; a crash during the
+swap leaves the temp dir for manual recovery. On Delta/Iceberg, use the
+format's OPTIMIZE instead; this operator is the vanilla-parquet
+equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_files: int = 1) -> dict[str, int]:
+    """Rewrite the parquet data at ``path`` into ``target_files`` files
+    (per partition directory if the layout is partitioned — the
+    repartition key is the partition column set, preserved by the
+    partitioned rewrite). Returns {'files_before', 'files_after',
+    'rows'} for observability."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+
+    def count_files(p) -> int:
+        it = fs.listFiles(p, True)
+        n = 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before = count_files(hpath)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    # detect hive partition columns: directory names like col=value
+    part_cols = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            part_cols.append(name.split("=", 1)[0])
+            break
+
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.repartition(target_files) if not part_cols else \
+        df.repartition(target_files, *part_cols)
+    w = writer.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(tmp)
+
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.rename(hpath, backup)
+    fs.rename(tmp_p, hpath)
+    fs.delete(backup, True)
+    after = count_files(hpath)
+    return {"files_before": before, "files_after": after, "rows": rows}
