@@ -13,6 +13,7 @@ from .similarity import (
 )
 from .textops import content_hash, lang_guess, normalize_text, tokens
 from .multimodal import to_media_table, extract_features
+from .maintenance import compact_parquet
 
 __all__ = [
     "latest_record_wins", "dedupe_by_key", "new_files_only",
@@ -22,4 +23,5 @@ __all__ = [
     "near_dup_pairs", "simhash", "cosine", "knn_bruteforce", "knn_ivf",
     "cosine_near_dup_pairs", "content_hash", "lang_guess",
     "normalize_text", "tokens", "to_media_table", "extract_features",
+    "compact_parquet",
 ]

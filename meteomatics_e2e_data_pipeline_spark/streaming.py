@@ -165,6 +165,32 @@ def stream_user_event_totals(spark: SparkSession, sf_dir: str,
     q.awaitTermination()
 
 
+def stream_bronze_upsert(spark: SparkSession, bronze_glob: str,
+                         target_path: str, checkpoint_path: str,
+                         keys: list[str] | None = None) -> None:
+    """Streaming staging load with RECORD-grain dedupe: every micro-batch
+    goes through ``upsert_by_key`` inside ``foreachBatch`` — the standard
+    streaming-merge pattern. The checkpoint's file log deduplicates at
+    file grain; the upsert's anti-join removes key collisions across
+    differently-named redeliveries (same reading re-fetched into a new
+    file), which a plain file sink would append twice."""
+    from .operators.incremental import upsert_by_key
+
+    ks = keys or ["file_path", "parameter", "reading_datetime"]
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        upsert_by_key(batch_df, target_path, ks, batch_df.sparkSession)
+
+    stg = flatten_bronze(read_bronze_stream(spark, bronze_glob))
+    q = (
+        stg.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_bronze_to_staging(spark: SparkSession, bronze_glob: str,
                              target_path: str, checkpoint_path: str) -> None:
     """Run one availableNow pass: new bronze files → staging parquet.

@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 
 from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
 from meteomatics_e2e_data_pipeline_spark.streaming import (
-    stream_events_hourly, stream_user_event_totals, stream_user_sessions,
+    stream_bronze_upsert, stream_events_hourly, stream_user_event_totals,
+    stream_user_sessions,
 )
 
 EVENTS_DIR = "/root/testdata/sf0.001"
@@ -73,6 +74,31 @@ def test_session_windows_match_batch_sessionize(spark, tmp_path):
              for u in batch_counts]
     assert all(d <= 1 for d in diffs)
     assert sum(1 for d in diffs if d == 0) >= len(diffs) * 0.8
+
+
+def test_stream_upsert_dedupes_renamed_redelivery(spark, tmp_path):
+    """foreachBatch + upsert: a reading redelivered under a DIFFERENT
+    file name (new fetch of the same content) must not duplicate records
+    when the upsert keys exclude file_path."""
+    import shutil
+
+    from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
+        ensure_fixtures,
+    )
+    lake = tmp_path / "lake"
+    ensure_fixtures(lake)
+    target, ckpt = str(tmp_path / "stg"), str(tmp_path / "ck")
+    keys = ["city", "parameter", "reading_datetime", "date_generated"]
+
+    stream_bronze_upsert(spark, f"{lake}/*/*/*.json", target, ckpt, keys)
+    n1 = spark.read.parquet(target).count()
+    assert n1 > 0
+
+    # redeliver one file under a new name -> new file-log entry, same keys
+    src = next((lake / "estonia" / "tallinn").glob("*.json"))
+    shutil.copy(src, src.with_name("weather_raw_redelivered.json"))
+    stream_bronze_upsert(spark, f"{lake}/*/*/*.json", target, ckpt, keys)
+    assert spark.read.parquet(target).count() == n1  # record grain held
 
 
 def test_stateful_totals_match_batch(spark, tmp_path):
