@@ -154,6 +154,48 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+WINNOW_K = 8   # character k-gram length
+WINNOW_W = 4   # winnowing window (positions per window)
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every character ``WINNOW_K``-gram, then keep each
+    ``WINNOW_W``-position window's minimum hash — a deterministic,
+    position-robust fingerprint set guaranteeing any shared substring of
+    length ≥ k+w−1 yields a shared fingerprint.
+
+    Shape: posexplode char positions → substring+hash (codegen) → one
+    sliding-window min per doc (single shuffle on doc_id) → distinct.
+    """
+    from pyspark.sql import Window
+
+    n = F.length(F.col(text_col))
+    pos = (
+        _spread(docs.select(id_col, text_col), id_col)
+        .filter(n >= WINNOW_K)
+        .select(id_col, text_col,
+                F.posexplode(F.sequence(F.lit(1), n - WINNOW_K + 1))
+                .alias("_", "pos"))
+        .select(id_col, "pos",
+                base_hash48(
+                    F.expr(f"substring({text_col}, pos, {WINNOW_K})"))
+                .alias("hv"))
+    )
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(0, WINNOW_W - 1))
+    return (
+        pos.withColumn("wm", F.min("hv").over(w))
+        # the final W-1 windows are partial (fewer than W grams); the
+        # canonical algorithm only keeps full windows
+        .withColumn("__max_pos", F.max("pos").over(Window.partitionBy(id_col)))
+        .filter(F.col("pos") <= F.col("__max_pos") - WINNOW_W + 1)
+        .select(id_col, F.col("wm").alias("fingerprint"))
+        .distinct()
+    )
+
+
 SIMHASH_BITS = 32
 
 

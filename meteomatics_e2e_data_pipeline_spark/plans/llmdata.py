@@ -260,6 +260,47 @@ SELECT * FROM scored WHERE jaccard >= {NEARDUP_THRESHOLD}
 """
 
 
+def q_docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprints — per-doc count plus the
+    minimum fingerprint as a verifiable digest of the set (the full
+    (doc_id, fingerprint) relation is large; the oracle checks the set
+    via count + extremum per document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = neardup.winnow_fingerprints(docs)
+    return (fp.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fingerprints"),
+                 F.min("fingerprint").alias("min_fingerprint"),
+                 F.max("fingerprint").alias("max_fingerprint")))
+
+
+def _oracle_winnow() -> str:
+    k, w = neardup.WINNOW_K, neardup.WINNOW_W
+    hv = _DUCK_HASH48.format(c=f"substring(text, pos, {k})")
+    return rf"""
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) - {k} + 2)) AS pos
+  FROM documents WHERE length(text) >= {k}
+),
+h AS (SELECT doc_id, pos, {hv} AS hv FROM pos),
+wm AS (
+  SELECT doc_id, pos,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wm,
+         max(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM h
+),
+fp AS (
+  SELECT DISTINCT doc_id, wm AS fingerprint
+  FROM wm WHERE pos <= max_pos - {w} + 1
+)
+SELECT doc_id, count(*) AS n_fingerprints,
+       min(fingerprint) AS min_fingerprint,
+       max(fingerprint) AS max_fingerprint
+FROM fp GROUP BY doc_id
+"""
+
+
 CHUNK_SIZE, CHUNK_STRIDE = 40, 32  # 8-token overlap
 
 
@@ -581,6 +622,7 @@ LLM_QUERIES = {
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "docs_chunked": q_docs_chunked,
     "docs_corpus_stats": q_docs_corpus_stats,
+    "docs_winnow_fingerprints": q_docs_winnow_fingerprints,
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_knn_vectorized": q_emb_knn_vectorized,
     "emb_ann_ivf": q_emb_ann_ivf,
@@ -601,6 +643,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_tfidf_top_terms": _oracle_tfidf(),
         "docs_chunked": ORACLE_DOCS_CHUNKED,
         "docs_corpus_stats": ORACLE_CORPUS_STATS,
+        "docs_winnow_fingerprints": _oracle_winnow(),
         "emb_knn_bruteforce": ORACLE_KNN,
         "emb_ann_ivf": ORACLE_ANN_IVF,
         "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
