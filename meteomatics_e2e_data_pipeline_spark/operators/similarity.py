@@ -145,6 +145,71 @@ def knn_bruteforce_vectorized(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+LSH_PLANES = 6  # 2^6 = 64 possible sign buckets
+
+
+def lsh_assign(corpus: DataFrame, n_planes: int = LSH_PLANES,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucketing: bucket = the sign bits of the
+    vector's dot products with ``n_planes`` fixed hyperplanes. The
+    hyperplane weights are *derived from md5 of (plane, dim)* — fully
+    deterministic and reproducible inside plain SQL, so the DuckDB
+    oracle recomputes the identical quantizer with no shipped constants.
+
+    Shape: posexplode dims → per-(vector, plane) weighted sum (hash
+    aggregate) → sign bits → bucket id. Two shuffles, both on small keys.
+    """
+    dims = corpus.select(
+        id_col, F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("d", "x"))
+    planes = dims.select(
+        id_col, "d", "x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"))
+    # weight in [-0.5, 0.5): md5-derived uniform fraction, shifted
+    w = (F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.lit("hp"), F.col("j"), F.col("d"))),
+            1, 12), 16, 10).cast("double") / F.lit(float(2 ** 48)) - 0.5)
+    dots = (planes.withColumn("w", w)
+            .groupBy(id_col, "j")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("dot")))
+    bits = dots.select(
+        id_col,
+        F.when(F.col("dot") >= 0, F.expr("shiftleft(1, j)"))
+        .otherwise(F.lit(0)).alias("bit"))
+    buckets = bits.groupBy(id_col).agg(
+        F.sum("bit").cast("int").alias("bucket"))
+    return corpus.join(buckets, id_col).select(id_col, vec_col, "bucket")
+
+
+def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int,
+            n_planes: int = LSH_PLANES, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via sign-bucket LSH: probe only vectors sharing
+    the query's bucket (1/2^n_planes of the corpus in expectation)."""
+    from pyspark.sql import Window
+    assigned = lsh_assign(corpus, n_planes, id_col, vec_col)
+    q = (lsh_assign(queries, n_planes, id_col, vec_col)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("q_vec"), "bucket"))
+    c = assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("c_vec"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "bucket",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def cosine_near_dup_pairs(corpus: DataFrame, centroids: DataFrame,
                           threshold: float, id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:

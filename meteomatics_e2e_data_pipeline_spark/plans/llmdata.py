@@ -545,6 +545,66 @@ def q_emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(emb, queries, centroids, IVF_K)
 
 
+LSH_K = 5
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets (the alternative coarse
+    quantizer to IVF) — hyperplanes md5-derived, so the oracle rebuilds
+    the identical bucketing in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_lsh(emb, queries, LSH_K)
+
+
+def _oracle_ann_lsh() -> str:
+    n_planes = similarity.LSH_PLANES
+    w = ("(('0x' || substr(md5('hp' || '|' || j || '|' || d), 1, 12))::BIGINT"
+         f" / {float(2 ** 48)} - 0.5)")
+    return f"""
+WITH dims AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+),
+planes AS (
+  SELECT vec_id, v, d, unnest(range(0, {n_planes})) AS j FROM dims
+),
+dots AS (
+  SELECT vec_id, j, sum(v[d + 1] * {w}) AS dot
+  FROM planes GROUP BY vec_id, j
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END)::INT AS bucket
+  FROM dots GROUP BY vec_id
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket
+      FROM assigned WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM assigned),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, q.bucket,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM c JOIN q USING (bucket)
+  WHERE c.neighbor_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, round(cos_raw, 6) AS cos_sim,
+       rank::INT AS rank
+FROM ranked WHERE rank <= {LSH_K}
+"""
+
+
 COSINE_DUP_THRESHOLD = 0.4
 
 
@@ -627,6 +687,7 @@ LLM_QUERIES = {
     "emb_knn_vectorized": q_emb_knn_vectorized,
     "emb_ann_ivf": q_emb_ann_ivf,
     "emb_ann_ivf_trained": q_emb_ann_ivf_trained,
+    "emb_ann_lsh": q_emb_ann_lsh,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "multimodal_features": q_multimodal_features,
 }
@@ -646,6 +707,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_winnow_fingerprints": _oracle_winnow(),
         "emb_knn_bruteforce": ORACLE_KNN,
         "emb_ann_ivf": ORACLE_ANN_IVF,
+        "emb_ann_lsh": _oracle_ann_lsh(),
         "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "multimodal_features": ORACLE_MULTIMODAL,
     }
