@@ -42,6 +42,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# NOTE on the pair-scoring pattern below: each side's norm is computed
+# ONCE per vector (before the join) and the per-pair work is only the
+# dot product — the pair count is quadratic in bucket size, the norm
+# count is not. Same expressions in the same fold order as `cosine()`,
+# so values stay bit-identical and oracle parity is unaffected.
+_PAIR_COS = (lambda: _dot(F.col("q_vec"), F.col("c_vec"))
+             / (F.col("__qn") * F.col("__cn")))
+
+
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded).
@@ -50,9 +59,11 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
     Output: (query_id, neighbor_id, cos_sim, rank).
     """
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec")) \
+        .withColumn("__qn", _norm(F.col("q_vec")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      F.col(vec_col).alias("c_vec")) \
+        .withColumn("__cn", _norm(F.col("c_vec")))
     from pyspark.sql import Window
     # Plans as BroadcastNestedLoopJoin — here that IS the right physical
     # shape: brute force means every corpus row scores against every
@@ -60,8 +71,7 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
     # streams, nothing shuffles until the per-query top-k.
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"))
+        .select("query_id", "neighbor_id", _PAIR_COS().alias("cos_raw"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id"))
@@ -190,14 +200,16 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int,
     assigned = lsh_assign(corpus, n_planes, id_col, vec_col)
     q = (lsh_assign(queries, n_planes, id_col, vec_col)
          .select(F.col(id_col).alias("query_id"),
-                 F.col(vec_col).alias("q_vec"), "bucket"))
-    c = assigned.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("c_vec"), "bucket")
+                 F.col(vec_col).alias("q_vec"), "bucket")
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    c = (assigned.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("c_vec"), "bucket")
+         .withColumn("__cn", _norm(F.col("c_vec"))))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "bucket",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"))
+                _PAIR_COS().alias("cos_raw"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id"))
@@ -221,14 +233,16 @@ def cosine_near_dup_pairs(corpus: DataFrame, centroids: DataFrame,
     Output: (id_a, id_b, bucket, cos_sim) for pairs ≥ threshold.
     """
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    a = assigned.select(F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("vec_a"), "bucket")
-    b = assigned.select(F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vec_b"), "bucket")
+    a = (assigned.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("q_vec"), "bucket")
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    b = (assigned.select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("c_vec"), "bucket")
+         .withColumn("__cn", _norm(F.col("c_vec"))))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_raw", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cos_raw", _PAIR_COS())
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", "bucket",
                 F.round(F.col("cos_raw"), 6).alias("cos_sim"))
@@ -296,14 +310,16 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     q = (ivf_assign(queries, centroids, id_col, vec_col)
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-                 "bucket"))
-    c = assigned.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("c_vec"), "bucket")
+                 "bucket")
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    c = (assigned.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("c_vec"), "bucket")
+         .withColumn("__cn", _norm(F.col("c_vec"))))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "bucket",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_raw"))
+                _PAIR_COS().alias("cos_raw"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id"))
