@@ -19,6 +19,28 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def bucket_by_quantiles(df: DataFrame, col: str, n_buckets: int,
+                        out_col: str = "bucket") -> DataFrame:
+    """Distributed alternative to a global-ORDER-BY ``ntile``: compute
+    the n−1 exact interpolated cut points with one aggregate, broadcast
+    them, and assign buckets with a comparison chain. No global sort, no
+    single-partition window — the scalable form of quantile bucketing
+    (boundary rows may differ from ntile by one bucket when values tie
+    exactly on a cut point; counts per bucket are equal only up to value
+    ties, which is inherent to value-based cuts)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = df.agg(*[
+        F.expr(f"percentile({col}, {p})").alias(f"c{i}")
+        for i, p in enumerate(probs)
+    ]).first()
+    cuts = [cuts_row[f"c{i}"] for i in range(len(probs))]
+    expr = F.lit(n_buckets)
+    for i in range(len(cuts) - 1, -1, -1):
+        expr = F.when(F.col(col) <= F.lit(cuts[i]), F.lit(i + 1)) \
+            .otherwise(expr)
+    return df.withColumn(out_col, expr.cast("int"))
+
+
 _PARTIAL = {
     "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
 }

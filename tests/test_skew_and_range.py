@@ -29,6 +29,33 @@ def test_salted_agg_equals_plain(spark):
     assert got == want
 
 
+def test_quantile_bucketing_matches_ntile_distribution(spark, sf_oracle):
+    """The distributed quantile bucketing must produce near-equal bucket
+    sizes and order-consistent assignment (higher value -> lower-or-equal
+    bucket number never violated) versus the exact ntile."""
+    from meteomatics_e2e_data_pipeline_spark.operators.skew import (
+        bucket_by_quantiles,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_oracle, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum("o_totalprice").alias("v")))
+    got = bucket_by_quantiles(spend, "v", 4)
+    sizes = {r["bucket"]: r["count"] for r in
+             got.groupBy("bucket").count().collect()}
+    assert set(sizes) == {1, 2, 3, 4}
+    n = sum(sizes.values())
+    assert all(abs(s - n / 4) <= n * 0.02 + 2 for s in sizes.values())
+    # monotone: bucket number never decreases as value increases
+    w = Window.orderBy("v")
+    viol = (got.withColumn("prev_b", F.lag("bucket").over(w))
+            .filter(F.col("prev_b").isNotNull()
+                    & (F.col("bucket") < F.col("prev_b"))).count())
+    assert viol == 0
+
+
 def test_interval_join_semantics(spark):
     T = dt.datetime
     points = spark.createDataFrame(
