@@ -355,11 +355,14 @@ def q_docs_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CORPUS_STATS = rf"""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(len({_DUCK_TOKENS})) AS total_tokens,
+       sum(len({_DUCK_TOKENS}))::BIGINT AS total_tokens,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents
 GROUP BY 1, 2
 """
+# ::BIGINT above matters — DuckDB types sum(BIGINT) as HUGEINT (int128), which
+# value-hashes differently from Spark's bigint even when every value matches
+# (verified group-by-group in round 2; see VERDICT.md "What's wrong #1").
 
 
 # --------------------------------------------------------------------------

@@ -54,14 +54,59 @@ def rows_to_multiset(rows, colnames):
     return sorted(out, key=repr)
 
 
+# Type-family check mirroring the driver's value-hash gate.  The round-2
+# evidence pins down its sensitivity: int-width differences pass (spark int vs
+# duck BIGINT was hash-green) but DuckDB HUGEINT fails — pandas has no int128,
+# so fetchdf() coerces it to float64 and the hashed values drift (1234 vs
+# 1234.0).  So we compare representation FAMILIES (int vs float vs text...),
+# and hard-fail any type pandas can't round-trip (HUGEINT, wide DECIMAL).
+_DUCK_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "!int128-coerces-to-float64", "UHUGEINT": "!uint128",
+    "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str",
+    "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+}
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+
+def _type_mismatches(con, sql: str, spark_dtypes: dict[str, str]) -> list[str]:
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return []  # DESCRIBE can't wrap every statement shape; values still compared
+    problems = []
+    for name, duck_type, *_ in desc:
+        fam = _DUCK_FAMILY.get(duck_type.upper().split("(")[0].strip())
+        if fam is None:
+            continue
+        if fam.startswith("!"):
+            problems.append(f"{name}: oracle returns {duck_type} (cast it — the "
+                            f"driver's pandas fetch coerces it and the value "
+                            f"hash will mismatch Spark)")
+            continue
+        spark_fam = _SPARK_FAMILY.get(spark_dtypes.get(name, ""))
+        if spark_fam is not None and spark_fam != fam:
+            problems.append(f"{name}: spark family={spark_fam} duck={duck_type}")
+    return problems
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> tuple[bool, str]:
     con = duck_con(sf_dir)
     try:
+        type_probs = _type_mismatches(con, sql, dict(spark_df.dtypes))
         duck = con.execute(sql)
         duck_cols = [d[0] for d in duck.description]
         duck_rows = duck.fetchall()
     finally:
         con.close()
+
+    if type_probs:
+        return False, f"type mismatch (driver hashes types): {type_probs}"
 
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
