@@ -218,6 +218,72 @@ def write_bronze_partitioned(df: DataFrame, path: str) -> None:
     df.write.mode("append").partitionBy("country", "city").json(path)
 
 
+def fetch_distributed(locations: DataFrame, run_date: str,
+                      fetcher: Callable[..., dict] | None = None,
+                      parallelism: int | None = None) -> DataFrame:
+    """G1 scale path: run the injectable fetcher on EXECUTORS via
+    ``mapInPandas``, so 10k locations fan out across the cluster instead of
+    looping on the driver (the reference README itself flags task-level
+    fan-out as its scaling limit, ``README.md:77-82``).
+
+    ``locations`` is the output of :func:`geocode_locations` (columns city,
+    country, latitude, longitude). Returns one JSON string per location in a
+    ``raw`` column — the same shape the driver-side loop feeds to
+    :func:`validate_payloads`, so the quarantine channel is preserved: a
+    fetch exception does not kill the task, it becomes a payload that fails
+    validation (no ``weather`` field) and lands in quarantine with the error
+    attached.
+
+    ``parallelism`` optionally repartitions first — an IO-bound fetch wants
+    one task per a-few-locations, and a locations frame built from a single
+    file would otherwise fetch serially in one task.
+    """
+    fetch = fetcher or FixtureFetcher()
+    if parallelism:
+        locations = locations.repartition(parallelism)
+
+    def _fetch_batches(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    out.append(json.dumps(fetch(
+                        row.city, row.country,
+                        float(row.latitude), float(row.longitude), run_date)))
+                except Exception as exc:  # noqa: BLE001 - becomes quarantine row
+                    out.append(json.dumps({
+                        "city": row.city, "country": row.country,
+                        "fetch_error": str(exc)}))
+            yield pd.DataFrame({"raw": out})
+
+    return locations.mapInPandas(_fetch_batches, "raw string")
+
+
+def ingest_distributed(spark: SparkSession, run_date: str, bronze_root: str,
+                       location_names: list[str],
+                       fetcher: Callable[..., dict] | None = None,
+                       geocode_fn: Callable[[str], tuple[float, float]] | None = None,
+                       quarantine_root: str | None = None,
+                       parallelism: int | None = None) -> tuple[int, int]:
+    """The extract DAG at cluster scale: geocode (distinct, driver — lookup
+    cardinality is names, not rows) → executor-side fetch → validate →
+    hive-partitioned bronze sink. Same contract as :func:`ingest` but no
+    driver-side loop or collect of payloads."""
+    geo = geocode_locations(spark, location_names, geocode_fn)
+    raw = fetch_distributed(geo, run_date, fetcher, parallelism)
+    valid, quarantine = validate_payloads(spark, raw)
+    n_q = quarantine.count()
+    if quarantine_root and n_q:
+        quarantine.write.mode("append").json(
+            f"{quarantine_root}/run_date={run_date}")
+    valid = valid.withColumn("run_date", F.lit(run_date))
+    write_bronze_partitioned(valid, bronze_root)
+    n_ok = spark.read.json(bronze_root).filter(
+        F.col("run_date") == run_date).count()
+    return n_ok, n_q
+
+
 def ingest(spark: SparkSession, run_date: str, bronze_root: str,
            location_names: list[str] | None = None,
            fetcher: Callable[..., dict] | None = None,

@@ -206,3 +206,73 @@ def test_runner_topological_and_checks(spark, tmp_path):
         check_unique(df, ["k"])
     with pytest.raises(CheckError):
         check_not_null(df, ["k"])
+
+
+def test_fetch_distributed_executor_side(spark):
+    """G1 scale path: fetch runs inside mapInPandas over 100 synthetic
+    locations; every payload validates, nothing hits the driver loop."""
+    from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
+        synthetic_locations,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
+        FixtureFetcher, fetch_distributed, validate_payloads,
+    )
+
+    locs = synthetic_locations(100)
+    geo = spark.createDataFrame(
+        locs, "city string, country string, latitude double, longitude double")
+    raw = fetch_distributed(geo, "2024-01-15", FixtureFetcher(), parallelism=8)
+    assert raw.rdd.getNumPartitions() == 8  # fan-out actually happened
+    valid, quarantine = validate_payloads(spark, raw)
+    assert valid.count() == 100
+    assert quarantine.count() == 0
+    # payload content matches what the driver-side loop would have produced
+    one = valid.filter(F.col("city") == "city007").select(
+        "city", "country", "latitude").collect()
+    assert len(one) == 1 and one[0]["country"] == "country07"
+
+
+def test_fetch_distributed_quarantines_failures(spark):
+    """A fetcher exception must not kill the task — it becomes a payload
+    that fails validation and lands in quarantine with the error attached."""
+    from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
+        synthetic_locations,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
+        FixtureFetcher, fetch_distributed, validate_payloads,
+    )
+
+    inner = FixtureFetcher()
+
+    def flaky(city, country, lat, lon, run_date):
+        if city.endswith(("3", "7")):
+            raise ConnectionError(f"boom for {city}")
+        return inner(city, country, lat, lon, run_date)
+
+    geo = spark.createDataFrame(
+        synthetic_locations(20),
+        "city string, country string, latitude double, longitude double")
+    raw = fetch_distributed(geo, "2024-01-15", flaky)
+    valid, quarantine = validate_payloads(spark, raw)
+    assert valid.count() == 16
+    bad = quarantine.collect()
+    assert len(bad) == 4
+    assert all("boom for" in r["corrupt_record"] for r in bad)
+
+
+def test_ingest_distributed_end_to_end(spark, tmp_path):
+    """geocode → executor fetch → validate → partitioned bronze sink."""
+    from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
+        ingest_distributed,
+    )
+
+    names = ["Berlin, Germany", "Paris, France"]
+    geocodes = {"Berlin, Germany": (52.52, 13.405),
+                "Paris, France": (48.8566, 2.3522)}
+    n_ok, n_q = ingest_distributed(
+        spark, "2024-01-15", str(tmp_path / "bronze"), names,
+        geocode_fn=lambda n: geocodes[n],
+        quarantine_root=str(tmp_path / "dlq"))
+    assert (n_ok, n_q) == (2, 0)
+    # hive layout: country=.../city=... directories exist
+    assert (tmp_path / "bronze" / "country=germany" / "city=berlin").is_dir()
