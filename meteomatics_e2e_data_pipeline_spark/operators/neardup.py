@@ -68,6 +68,18 @@ def shingle_hashes(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def minhash_from_shingles(h: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signatures from an existing (id, hv) shingle-hash frame — lets one
+    materialization of the shingles feed both the signature aggregate and
+    the exact-Jaccard verification join (see :func:`near_dup_pairs`)."""
+    aggs = [
+        F.min((F.lit(PERM_A[j]) * F.col("hv") + F.lit(PERM_B[j])) % MINHASH_P)
+        .alias(f"mh_{j}")
+        for j in range(NUM_PERM)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     """One row per document with columns ``mh_0 .. mh_{NUM_PERM-1}``.
@@ -75,13 +87,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     Single shuffle: explode shingles map-side, hash, then a hash aggregate
     of NUM_PERM ``min()`` columns grouped by document.
     """
-    h = shingle_hashes(docs, id_col, text_col, n)
-    aggs = [
-        F.min((F.lit(PERM_A[j]) * F.col("hv") + F.lit(PERM_B[j])) % MINHASH_P)
-        .alias(f"mh_{j}")
-        for j in range(NUM_PERM)
-    ]
-    return h.groupBy(id_col).agg(*aggs)
+    return minhash_from_shingles(
+        shingle_hashes(docs, id_col, text_col, n), id_col)
 
 
 def band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -105,8 +112,15 @@ def band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) whose signatures collide in
     at least one band. The join shuffles on (band_id, band_hash) — bucket
-    sizes, not document count, bound the pair fan-out."""
-    b = band_rows(sigs, id_col)
+    sizes, not document count, bound the pair fan-out.
+
+    The band rows feed BOTH sides of the self-join, so they are persisted:
+    without it every upstream stage (tokenize → shingle → hash → signature
+    agg) runs twice, once per side. N·BANDS rows of (id, band_id, hash) is
+    a small cache even at corpus scale."""
+    from pyspark import StorageLevel
+
+    b = band_rows(sigs, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     left = b.withColumnRenamed(id_col, "id_a")
     right = b.withColumnRenamed(id_col, "id_b")
     return (
@@ -126,10 +140,21 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     The verification join is shingle-keyed and touches only candidate
     documents — at scale this is the small tail of the distribution, not
     the corpus.
+
+    The shingle-hash subplan is shared by FIVE consumers (the signature
+    aggregate feeding the band self-join, both sides of the intersection
+    join, the size aggregate), so it is persisted — tokenize+shingle+hash
+    runs once, not per consumer (the band rows inside
+    :func:`lsh_candidate_pairs` are persisted for the same reason). On a
+    real lake the same effect is had by materializing signatures to a
+    table between stages; within a single query, persist is the idiomatic
+    form (MEMORY_AND_DISK spills rather than recomputing).
     """
-    sigs = minhash_signatures(docs, id_col, text_col, n)
-    cand = lsh_candidate_pairs(sigs, id_col)
-    sh = shingle_hashes(docs, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    sh = shingle_hashes(docs, id_col, text_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(minhash_from_shingles(sh, id_col), id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), F.col("hv"))
