@@ -158,37 +158,56 @@ def knn_bruteforce_vectorized(corpus: DataFrame, queries: DataFrame, k: int,
 LSH_PLANES = 6  # 2^6 = 64 possible sign buckets
 
 
-def lsh_assign(corpus: DataFrame, n_planes: int = LSH_PLANES,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH bucketing: bucket = the sign bits of the
-    vector's dot products with ``n_planes`` fixed hyperplanes. The
-    hyperplane weights are *derived from md5 of (plane, dim)* — fully
-    deterministic and reproducible inside plain SQL, so the DuckDB
-    oracle recomputes the identical quantizer with no shipped constants.
+def lsh_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """The md5-derived hyperplane weights, computed once driver-side.
 
-    Shape: posexplode dims → per-(vector, plane) weighted sum (hash
-    aggregate) → sign bits → bucket id. Two shuffles, both on small keys.
+    Same constants both engines: ``int(md5(f"hp|{j}|{d}")[:12], 16) / 2^48
+    - 0.5`` equals DuckDB ``('0x'||substr(md5('hp|'||j||'|'||d),1,12))::
+    BIGINT / 2^48 - 0.5`` — md5 is md5, so the oracle can rebuild the
+    identical quantizer in SQL with no shipped constants."""
+    import hashlib
+
+    return [
+        [int(hashlib.md5(f"hp|{j}|{d}".encode()).hexdigest()[:12], 16)
+         / float(2 ** 48) - 0.5
+         for d in range(dim)]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_assign(corpus: DataFrame, n_planes: int = LSH_PLANES,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None) -> DataFrame:
+    """Random-hyperplane LSH bucketing: bucket = the sign bits of the
+    vector's dot products with ``n_planes`` fixed md5-derived hyperplanes
+    (see :func:`lsh_plane_weights`).
+
+    Entirely row-local — ZERO shuffles: each plane's dot is an
+    order-stable sequential fold of the vector against a literal weight
+    array (the earlier shape exploded dims × planes through two shuffles,
+    a 6× row fan-out). Sequential folding also makes the sign bit
+    deterministic and bit-identical to DuckDB's ``list_dot_product``
+    fold, so a dot near 0 cannot flip between engines.
+
+    ``dim`` is read from the first row when not given (one tiny action;
+    pass it explicitly in pipelines that know their embedding width).
     """
-    dims = corpus.select(
-        id_col, F.posexplode(F.col(vec_col).cast("array<double>"))
-        .alias("d", "x"))
-    planes = dims.select(
-        id_col, "d", "x",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("j"))
-    # weight in [-0.5, 0.5): md5-derived uniform fraction, shifted
-    w = (F.conv(F.substring(
-            F.md5(F.concat_ws("|", F.lit("hp"), F.col("j"), F.col("d"))),
-            1, 12), 16, 10).cast("double") / F.lit(float(2 ** 48)) - 0.5)
-    dots = (planes.withColumn("w", w)
-            .groupBy(id_col, "j")
-            .agg(F.sum(F.col("x") * F.col("w")).alias("dot")))
-    bits = dots.select(
-        id_col,
-        F.when(F.col("dot") >= 0, F.expr("shiftleft(1, j)"))
-        .otherwise(F.lit(0)).alias("bit"))
-    buckets = bits.groupBy(id_col).agg(
-        F.sum("bit").cast("int").alias("bucket"))
-    return corpus.join(buckets, id_col).select(id_col, vec_col, "bucket")
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    weights = lsh_plane_weights(n_planes, dim)
+    # One F.expr with the full expression: building this tree from
+    # n_planes × dim F.lit() Column objects costs a py4j round-trip per
+    # node (~2 s of driver time at 6×64); a single SQL string is parsed
+    # JVM-side in one call. repr() of a Python float round-trips exactly,
+    # so the literals are bit-identical to lsh_plane_weights.
+    terms = []
+    for j, wrow in enumerate(weights):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in wrow) + ")"
+        dot = (f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
+               " (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    bucket_sql = "cast((" + " + ".join(terms) + ") as int)"
+    return corpus.select(id_col, vec_col, F.expr(bucket_sql).alias("bucket"))
 
 
 def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int,
@@ -197,8 +216,9 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int,
     """Approximate top-k via sign-bucket LSH: probe only vectors sharing
     the query's bucket (1/2^n_planes of the corpus in expectation)."""
     from pyspark.sql import Window
-    assigned = lsh_assign(corpus, n_planes, id_col, vec_col)
-    q = (lsh_assign(queries, n_planes, id_col, vec_col)
+    dim = len(corpus.select(vec_col).first()[0])  # probe once, reuse
+    assigned = lsh_assign(corpus, n_planes, id_col, vec_col, dim)
+    q = (lsh_assign(queries, n_planes, id_col, vec_col, dim)
          .select(F.col(id_col).alias("query_id"),
                  F.col(vec_col).alias("q_vec"), "bucket")
          .withColumn("__qn", _norm(F.col("q_vec"))))
@@ -292,7 +312,14 @@ def train_ivf_centroids(corpus: DataFrame, k: int, iters: int = 3,
         # carry forward centroids whose bucket went empty
         kept = centroids.join(new.select("centroid_id"), "centroid_id",
                               "left_anti")
-        centroids = new.unionByName(kept)
+        # localCheckpoint truncates the lineage each pass — without it the
+        # plan stacks assign+aggregate+union per iteration and any action
+        # re-executes the whole history (the classic iterative-algorithm
+        # trap; MLlib checkpoints for the same reason). eager=True
+        # materializes k tiny rows now. On a multi-executor cluster prefer
+        # a reliable checkpoint dir (localCheckpoint blocks die with their
+        # executor); in this single-JVM engine local is the right cost.
+        centroids = new.unionByName(kept).localCheckpoint(eager=True)
     return centroids
 
 

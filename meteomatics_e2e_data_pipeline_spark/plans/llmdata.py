@@ -561,30 +561,24 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ann_lsh() -> str:
+    # Mirrors lsh_assign's order-stable form: per plane j, the dot is
+    # list_dot_product(v, weights_j) — a sequential fold, bit-identical to
+    # Spark's aggregate(zip_with(...)) — with weights_j rebuilt from the
+    # same md5 derivation (no shipped constants). Summing per (vec, plane)
+    # groups instead would leave the float accumulation order to the
+    # engine, and a dot near zero could flip its sign bit between engines.
     n_planes = similarity.LSH_PLANES
-    w = ("(('0x' || substr(md5('hp' || '|' || j || '|' || d), 1, 12))::BIGINT"
-         f" / {float(2 ** 48)} - 0.5)")
+    wlist = ("list_transform(range(0, len(v)), d -> "
+             "(('0x' || substr(md5('hp|' || {j} || '|' || d), 1, 12))::BIGINT"
+             f" / {float(2 ** 48)} - 0.5))")
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {wlist.format(j=j)}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes))
     return f"""
-WITH dims AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         unnest(range(0, len(embedding))) AS d
-  FROM embeddings
-),
-planes AS (
-  SELECT vec_id, v, d, unnest(range(0, {n_planes})) AS j FROM dims
-),
-dots AS (
-  SELECT vec_id, j, sum(v[d + 1] * {w}) AS dot
-  FROM planes GROUP BY vec_id, j
-),
-buckets AS (
-  SELECT vec_id,
-         sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END)::INT AS bucket
-  FROM dots GROUP BY vec_id
-),
-assigned AS (
-  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, b.bucket
-  FROM embeddings e JOIN buckets b USING (vec_id)
+WITH assigned AS (
+  SELECT vec_id, v, ({bucket})::INT AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, bucket
       FROM assigned WHERE vec_id < {KNN_QUERY_MAX_ID}),
