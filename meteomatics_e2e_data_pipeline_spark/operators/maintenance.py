@@ -42,13 +42,24 @@ def compact_parquet(spark: SparkSession, path: str,
     before = count_files(hpath)
     df = spark.read.parquet(path)
     rows = df.count()
-    # detect hive partition columns: directory names like col=value
-    part_cols = []
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and "=" in name:
-            part_cols.append(name.split("=", 1)[0])
-            break
+    # Detect hive partition columns by walking ONE leaf file's path and
+    # collecting every col=value segment between the root and the file —
+    # inspecting only the first directory level would rewrite a
+    # multi-level layout (e.g. country=/city=) with just the outer column,
+    # silently collapsing the inner level into data files and losing its
+    # partition pruning.
+    part_cols: list[str] = []
+    it = fs.listFiles(hpath, True)
+    root_uri = hpath.getFileSystem(conf).makeQualified(hpath).toString()
+    while it.hasNext():
+        f = it.next()
+        p = f.getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        rel = p.toString()[len(root_uri):].strip("/")
+        part_cols = [seg.split("=", 1)[0]
+                     for seg in rel.split("/")[:-1] if "=" in seg]
+        break
 
     tmp = path.rstrip("/") + "__compacting"
     writer = df.repartition(target_files) if not part_cols else \

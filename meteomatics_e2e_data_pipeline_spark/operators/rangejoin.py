@@ -32,6 +32,16 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     """
     import functools
 
+    # Only inner/left are sound here: points carry exactly one bucket, but
+    # intervals are EXPLODED one row per covered day — a right/full outer
+    # join would emit an unmatched 5-day interval five times (once per
+    # bucket row with NULL point columns). Re-deduping those is
+    # interval-grain work the caller should do on the un-exploded side.
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left', got {how!r}: "
+            "unmatched intervals would duplicate per day bucket")
+
     keys = list(keys)
     expanded = intervals.alias("__iv").withColumn(
         "__bucket",

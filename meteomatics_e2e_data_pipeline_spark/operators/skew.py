@@ -38,6 +38,11 @@ def bucket_by_quantiles(df: DataFrame, col: str, n_buckets: int,
     for i in range(len(cuts) - 1, -1, -1):
         expr = F.when(F.col(col) <= F.lit(cuts[i]), F.lit(i + 1)) \
             .otherwise(expr)
+    # NULL never satisfies any `<=` cut, so without this guard it would
+    # fall through every WHEN into the top bucket — a silent
+    # misclassification of missing values as maximal ones. NULL in,
+    # NULL bucket out (matching ntile over a NULLS-excluded frame).
+    expr = F.when(F.col(col).isNull(), F.lit(None)).otherwise(expr)
     return df.withColumn(out_col, expr.cast("int"))
 
 

@@ -82,3 +82,24 @@ def test_http_fetcher_raises_on_non_200(fake_requests):
     f = HttpFetcher("https://api.example.com", "u", "p", ["t_2m:C"])
     with pytest.raises(ConnectionError, match="503"):
         f("tallinn", "estonia", 59.4, 24.8, "2025-03-26")
+
+
+def test_compaction_multilevel_partitions(spark, tmp_path):
+    """A two-level hive layout (country=/city=) must survive compaction
+    with BOTH partition columns as directories — detecting only the first
+    level would collapse city into data files and lose its pruning."""
+    p = str(tmp_path / "ml")
+    df = spark.createDataFrame(
+        [(i, f"c{i % 2}", f"t{i % 3}") for i in range(60)],
+        "v int, country string, city string")
+    for _ in range(3):
+        df.repartition(4).write.mode("append") \
+            .partitionBy("country", "city").parquet(p)
+    stats = compact_parquet(spark, p, target_files=1)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == 180
+    # inner level still a directory layout after the rewrite
+    inner = [q.name for q in (tmp_path / "ml" / "country=c0").iterdir()
+             if q.is_dir()]
+    assert sorted(inner) == ["city=t0", "city=t1", "city=t2"]
+    assert spark.read.parquet(p).count() == 180

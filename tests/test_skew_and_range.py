@@ -80,3 +80,31 @@ def test_interval_join_semantics(spark):
     assert by_key[("b", T(2025, 1, 1, 10))] is None   # no interval for 'b'
     assert by_key[("a", T(2025, 1, 1, 10))] is None   # outside the window
     assert by_key[("a", T(2025, 1, 1, 23))] is not None
+
+
+def test_quantile_bucketing_nulls_get_null_bucket(spark):
+    from meteomatics_e2e_data_pipeline_spark.operators.skew import (
+        bucket_by_quantiles,
+    )
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 9)] + [(None,), (None,)], "x double")
+    out = bucket_by_quantiles(df, "x", 4)
+    got = {r["x"]: r["bucket"] for r in out.collect()}
+    assert got[None] is None                      # not the top bucket
+    assert got[8.0] == 4 and got[1.0] == 1        # real values unaffected
+
+
+def test_interval_join_rejects_outer_how(spark):
+    import pytest as _pytest
+    from meteomatics_e2e_data_pipeline_spark.operators.rangejoin import (
+        interval_join,
+    )
+    pts = spark.createDataFrame(
+        [("a", "2024-01-01 12:00:00")], "k string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    ivs = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-05 23:59:59")],
+        "k string, s string, e string") \
+        .withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    with _pytest.raises(ValueError, match="inner.*left"):
+        interval_join(pts, ivs, ["k"], "ts", "s", "e", how="full")
