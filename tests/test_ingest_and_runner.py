@@ -276,3 +276,69 @@ def test_ingest_distributed_end_to_end(spark, tmp_path):
     assert (n_ok, n_q) == (2, 0)
     # hive layout: country=.../city=... directories exist
     assert (tmp_path / "bronze" / "country=germany" / "city=berlin").is_dir()
+
+
+def test_upsert_delta_dispatch(spark, tmp_path, monkeypatch):
+    """fmt='delta' dispatches to a MERGE keyed on the dedupe columns with
+    insert-only-when-not-matched (first-writer-wins, matching the parquet
+    path). Exercised against a stub DeltaTable — the real package isn't in
+    this container (the ImportError path is covered below)."""
+    import sys
+    import types
+
+    calls = {}
+
+    class StubMerge:
+        def whenNotMatchedInsertAll(self):
+            calls["insert_all"] = True
+            return self
+
+        def execute(self):
+            calls["executed"] = True
+
+    class StubTable:
+        @staticmethod
+        def isDeltaTable(spark_, path):
+            calls["checked"] = path
+            return True
+
+        @classmethod
+        def forPath(cls, spark_, path):
+            return cls()
+
+        def alias(self, a):
+            return self
+
+        def merge(self, src, cond):
+            calls["cond"] = cond
+            calls["src_rows"] = src.count()
+            return StubMerge()
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = StubTable
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    from meteomatics_e2e_data_pipeline_spark.operators.incremental import (
+        upsert_by_key,
+    )
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k int, v string")
+    upsert_by_key(df, str(tmp_path / "d"), ["k"], spark, fmt="delta")
+    assert calls["cond"] == "t.k = s.k"
+    assert calls["src_rows"] == 2          # batch deduped before the merge
+    assert calls["insert_all"] and calls["executed"]
+
+
+def test_upsert_delta_missing_package_and_bad_fmt(spark, tmp_path):
+    import pytest as _pytest
+
+    from meteomatics_e2e_data_pipeline_spark.operators.incremental import (
+        upsert_by_key,
+    )
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with _pytest.raises(ImportError, match="delta-spark"):
+        upsert_by_key(df, str(tmp_path / "d"), ["k"], spark, fmt="delta")
+    with _pytest.raises(ValueError, match="parquet.*delta"):
+        upsert_by_key(df, str(tmp_path / "d"), ["k"], spark, fmt="orc")
