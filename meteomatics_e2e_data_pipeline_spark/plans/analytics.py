@@ -603,6 +603,11 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# float note: interpolated percentiles are order-safe — both engines sort
+# the exact values and evaluate one (1-f)*lo + f*hi interpolation, so the
+# double entering round() matches bit-for-bit. Residual exposure is only a
+# shortest-repr 2-dp midpoint (Spark rounds the decimal repr, DuckDB the
+# binary value) — accepted and documented.
 ORACLE_ORDER_PERCENTILES = """
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,

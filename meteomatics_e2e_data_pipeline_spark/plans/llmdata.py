@@ -346,6 +346,12 @@ def q_docs_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(tokens(F.col("text")))
     return (
         docs.groupBy("lang", "source")
+        # float note: avg over INTEGER n_chars is order-safe — both
+        # engines accumulate an exact sum (< 2^53) and perform one
+        # correctly-rounded IEEE division, so the double entering round()
+        # is bit-identical. Residual exposure is only a value whose
+        # shortest decimal repr is an exact 4-dp midpoint (Spark rounds
+        # the repr, DuckDB the binary) — accepted and documented.
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum(n_tok).alias("total_tokens"),
              F.round(F.avg("n_chars"), 4).alias("avg_chars"))

@@ -465,8 +465,18 @@ def q_weather_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         forecasts.join(actual, keys)
         .withColumn("lead_days", lead_days)
         .groupBy("parameter", "lead_days")
+        # The mean is computed as an exact DECIMAL sum divided once as a
+        # double — avg(double) would accumulate in shuffle-partition order
+        # and a reordered partial sum near a 4-dp midpoint could flip the
+        # rounded digit between engines/runs. Each |diff| casts to the
+        # same 6-dp decimal on both sides (deterministic per value), the
+        # decimal sum is order-free, and bigint/bigint-style division of
+        # exact operands is correctly-rounded IEEE in both engines.
         .agg(F.count(F.lit(1)).alias("n_forecasts"),
-             F.round(F.avg(F.abs(F.col("predicted") - F.col("actual"))), 4)
+             F.round(
+                 F.sum(F.abs(F.col("predicted") - F.col("actual"))
+                       .cast("decimal(20,6)")).cast("double")
+                 / F.count(F.lit(1)), 4)
              .alias("mean_abs_error"))
     )
 
@@ -496,7 +506,8 @@ SELECT f.parameter,
        floor((epoch(f.reading_datetime) - epoch(f.date_generated))
              / 86400)::INT AS lead_days,
        count(*) AS n_forecasts,
-       round(avg(abs(f.predicted - a.actual)), 4) AS mean_abs_error
+       round(sum(CAST(abs(f.predicted - a.actual) AS DECIMAL(20,6)))::DOUBLE
+             / count(*), 4) AS mean_abs_error
 FROM forecasts f
 JOIN actual a USING (city, parameter, reading_datetime)
 GROUP BY 1, 2"""

@@ -25,3 +25,21 @@ def test_query_matches_oracle(spark, sf_oracle, name):
         return
     ok, msg = compare(df, ORACLES[name], sf_oracle)
     assert ok, f"{name}: {msg}"
+
+
+def test_parity_mirror_catches_cent_level_drift(spark, sf_oracle):
+    """The local gate must be as strict as the driver's value hash: a
+    deliberately injected cent-level error has to fail, and a HUGEINT
+    oracle type has to be flagged before it ever reaches the driver."""
+    from tests.oracle_util import compare
+
+    df = spark.createDataFrame([("a", 12.34)], "k string, v double")
+    ok, _ = compare(df, "SELECT 'a' AS k, 12.34::DOUBLE AS v", sf_oracle)
+    assert ok
+    ok, msg = compare(df, "SELECT 'a' AS k, 12.35::DOUBLE AS v", sf_oracle)
+    assert not ok and "values differ" in msg
+    # driver failure mode from round 2: HUGEINT coerces to float64 in the
+    # driver's pandas fetch and breaks the hash even when values match
+    big = spark.createDataFrame([(1,)], "v long")
+    ok, msg = compare(big, "SELECT 1::HUGEINT AS v", sf_oracle)
+    assert not ok and "HUGEINT" in msg
