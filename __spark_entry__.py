@@ -38,6 +38,7 @@ _VERIFY_FIRST = (
     "emb_cosine_near_dup",
     "multimodal_features",
     "docs_corpus_stats",  # oracle cast fixed this round (HUGEINT → BIGINT)
+    "docs_jaccard_join",  # new this round (exact prefix-filter join)
 )
 
 

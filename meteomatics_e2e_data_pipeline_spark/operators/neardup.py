@@ -155,8 +155,16 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     sh = shingle_hashes(docs, id_col, text_col, n) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(minhash_from_shingles(sh, id_col), id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return verify_jaccard(cand, sh, id_col, threshold)
 
+
+def verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id",
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over candidate pairs, given the (id, hv) shingle-set
+    frame: intersection counts via a shingle-keyed join on the candidates
+    only, sizes via one aggregate. Returns (doc_a, doc_b, jaccard) for
+    pairs at/above ``threshold``."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("hv"))
     bb = sh.select(F.col(id_col).alias("id_b"), F.col("hv"))
     inter = (
@@ -177,6 +185,54 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
                 "jaccard")
     )
+
+
+def jaccard_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """EXACT n-gram Jaccard self-join via prefix filtering (the
+    AllPairs/PPJoin family) — no sketch, no recall loss, still never
+    all-pairs.
+
+    Order every shingle by global rarity (document frequency asc, hash
+    asc). A document of set size s only needs its first
+    ``s − ceil(t·s) + 1`` rarest shingles as its *prefix*: any pair with
+    Jaccard ≥ t must share ≥ ceil(t·s) elements, which cannot all hide in
+    the ceil(t·s) − 1 suffix positions, and the globally-smallest shared
+    element therefore lands in BOTH prefixes. Candidates = the
+    prefix-to-prefix equi-join on the shingle hash; exact verification
+    runs on candidates only.
+
+    Complements :func:`near_dup_pairs`: MinHash/LSH is constant work per
+    document but probabilistic; this is exact with work proportional to
+    prefix-bucket collision counts (rare-first ordering keeps those
+    buckets small). Both shuffle on shingle-hash keys — never O(N²).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sh = shingle_hashes(docs, id_col, text_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(),
+                                           F.col("hv").asc())
+    prefix = (
+        sh.join(freq, "hv")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(F.col("rk")
+                <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the join
+    pa = prefix.select(F.col(id_col).alias("id_a"), "hv")
+    pb = prefix.select(F.col(id_col).alias("id_b"), "hv")
+    cand = (
+        pa.join(pb, "hv")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard(cand, sh, id_col, threshold)
 
 
 WINNOW_K = 8   # character k-gram length

@@ -199,13 +199,48 @@ def q_docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold=NEARDUP_THRESHOLD)
 
 
+def _shingle_cte() -> str:
+    """tok → shingles → distinct (doc_id, hv) hashes — the shared head of
+    every shingle-set oracle, generated from the same constants as
+    ``neardup.shingle_hashes``."""
+    n = SHINGLE_N
+    shingle_parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    hv = _DUCK_HASH48.format(c="shingle")
+    return rf"""tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+sh0 AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - {n - 2}),
+                                     i -> {shingle_parts})) AS shingle
+        FROM tok),
+h AS (SELECT DISTINCT doc_id, {hv} AS hv FROM sh0)"""
+
+
+def _verify_jaccard_sql(threshold: float) -> str:
+    """Exact-Jaccard verification tail over a ``cand``/``h`` CTE pair —
+    the SQL twin of ``neardup.verify_jaccard``."""
+    return rf"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.hv = x.hv
+  GROUP BY c.id_a, c.id_b
+),
+scored AS (
+  SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+         round(coalesce(i.n_inter, 0) * 1.0
+               / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+)
+SELECT * FROM scored WHERE jaccard >= {threshold}"""
+
+
 def _minhash_cand_cte() -> str:
     """Shared CTE chain (tokens → shingle hashes → signatures → bands →
     candidate pairs), generated from the SAME constants the Spark
     operators use. Reused by every oracle that consumes LSH candidates."""
-    n = SHINGLE_N
-    shingle_parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
-    hv = _DUCK_HASH48.format(c="shingle")
     mins = ",\n        ".join(
         f"min(({neardup.PERM_A[j]} * hv + {neardup.PERM_B[j]}) % {MINHASH_P}) AS mh_{j}"
         for j in range(neardup.NUM_PERM))
@@ -216,12 +251,7 @@ def _minhash_cand_cte() -> str:
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, md5(concat_ws('-', {cols})) AS band_hash FROM sig")
     bands_sql = "\n  UNION ALL ".join(band_selects)
-    return rf"""tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
-sh0 AS (SELECT doc_id,
-               unnest(list_transform(range(1, len(w) - {n - 2}),
-                                     i -> {shingle_parts})) AS shingle
-        FROM tok),
-h AS (SELECT DISTINCT doc_id, {hv} AS hv FROM sh0),
+    return rf"""{_shingle_cte()},
 sig AS (SELECT doc_id,
         {mins}
         FROM h GROUP BY doc_id),
@@ -239,24 +269,38 @@ cand AS (
 def _oracle_near_dup() -> str:
     return rf"""
 WITH {_minhash_cand_cte()},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS n_inter
-  FROM cand c
-  JOIN h x ON x.doc_id = c.id_a
-  JOIN h y ON y.doc_id = c.id_b AND y.hv = x.hv
-  GROUP BY c.id_a, c.id_b
+{_verify_jaccard_sql(NEARDUP_THRESHOLD)}
+"""
+
+
+def q_docs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard set-similarity self-join (prefix filtering —
+    AllPairs/PPJoin). Unlike the MinHash/LSH chain there is no recall
+    loss: the result IS every pair at/above the threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.jaccard_prefix_pairs(docs, n=SHINGLE_N,
+                                        threshold=NEARDUP_THRESHOLD)
+
+
+def _oracle_jaccard_join() -> str:
+    t = NEARDUP_THRESHOLD
+    return rf"""
+WITH {_shingle_cte()},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+freq AS (SELECT hv, count(*) AS df FROM h GROUP BY hv),
+ranked AS (
+  SELECT h.doc_id, h.hv, sz.n_sh,
+         row_number() OVER (PARTITION BY h.doc_id
+                            ORDER BY f.df ASC, h.hv ASC) AS rk
+  FROM h JOIN freq f USING (hv) JOIN sz USING (doc_id)
 ),
-scored AS (
-  SELECT c.id_a AS doc_a, c.id_b AS doc_b,
-         round(coalesce(i.n_inter, 0) * 1.0
-               / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
-  FROM cand c
-  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-  JOIN sizes na ON na.doc_id = c.id_a
-  JOIN sizes nb ON nb.doc_id = c.id_b
-)
-SELECT * FROM scored WHERE jaccard >= {NEARDUP_THRESHOLD}
+pref AS (SELECT doc_id, hv FROM ranked
+         WHERE rk <= n_sh - ceil({t} * n_sh) + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.hv = b.hv AND a.doc_id < b.doc_id
+),
+{_verify_jaccard_sql(t)}
 """
 
 
@@ -681,6 +725,7 @@ LLM_QUERIES = {
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
+    "docs_jaccard_join": q_docs_jaccard_join,
     "docs_near_dup_edit_distance": q_docs_near_dup_edit_distance,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "docs_chunked": q_docs_chunked,
@@ -703,6 +748,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),
+        "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_near_dup_edit_distance": _oracle_edit_distance(),
         "docs_tfidf_top_terms": _oracle_tfidf(),
         "docs_chunked": ORACLE_DOCS_CHUNKED,

@@ -109,3 +109,39 @@ def test_multimodal_plumbing_and_stubs(crafted_docs):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         sample_frames(b"...", 10)
+
+
+def test_jaccard_prefix_join_matches_bruteforce(spark):
+    """Prefix filtering must lose NOTHING: against a brute-force all-pairs
+    Jaccard over a small corpus, the result sets are identical."""
+    import itertools
+
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        jaccard_prefix_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    words = base.split()
+    rows = []
+    for i in range(24):
+        w = list(words)
+        if i % 3 == 1:
+            w[i % len(w)] = f"tweak{i}"          # near-dup of base
+        if i % 3 == 2:
+            w = [f"u{i}w{j}" for j in range(12)]  # unrelated
+        rows.append((i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_prefix_pairs(docs, n=3, threshold=0.5).collect()}
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want[(ia, ib)] = round(j, 6)
+    assert got == want and len(want) > 5
