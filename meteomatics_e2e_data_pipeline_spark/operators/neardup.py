@@ -159,18 +159,40 @@ def near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 
 def verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id",
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   mode: str = "by_pair") -> DataFrame:
     """Exact Jaccard over candidate pairs, given the (id, hv) shingle-set
-    frame: intersection counts via a shingle-keyed join on the candidates
-    only, sizes via one aggregate. Returns (doc_a, doc_b, jaccard) for
-    pairs at/above ``threshold``."""
+    frame. Returns (doc_a, doc_b, jaccard) for pairs at/above
+    ``threshold``.
+
+    Two intersection-counting shapes for two regimes — the crossover is
+    which intermediate is smaller:
+
+    - ``by_pair``: attach each candidate's full shingle sets and count
+      matches — work ∝ |cand| × avg set size. Right when candidates are a
+      tiny tail (LSH banding at high thresholds).
+    - ``inverted``: self-join the shingle index on ``hv`` and count per
+      pair, semi-joined to the candidates before the aggregate — work ∝
+      Σ_hv df², independent of candidate count. Right when the candidate
+      set is broad (prefix filtering at moderate thresholds: at sf0.1 the
+      prefix join yields 409k candidates, 200M rows by_pair vs 1.3M
+      inverted).
+    """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("hv"))
     bb = sh.select(F.col(id_col).alias("id_b"), F.col("hv"))
-    inter = (
-        cand.join(a, "id_a").join(bb, ["id_b", "hv"])
-        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if mode == "inverted":
+        inter = (
+            a.join(bb, "hv")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(cand, ["id_a", "id_b"], "left_semi")
+            .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            cand.join(a, "id_a").join(bb, ["id_b", "hv"])
+            .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -231,8 +253,13 @@ def jaccard_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # verification consumes cand twice (semi-join + outer attach);
+        # without persist the whole prefix chain would run per consumer
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return verify_jaccard(cand, sh, id_col, threshold)
+    # Moderate thresholds make the prefix candidate set broad, so count
+    # intersections from the inverted index (∝ Σ df²), not per pair.
+    return verify_jaccard(cand, sh, id_col, threshold, mode="inverted")
 
 
 WINNOW_K = 8   # character k-gram length
