@@ -41,7 +41,18 @@ def spread_for_fanout(df, key: str):
     scale where it would hurt.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Decide from the SOURCE file listing, not df.rdd.getNumPartitions():
+    # converting to an RDD forces full physical planning (and under AQE
+    # can execute stages) just to ask a question. File count is a cheap
+    # proxy — it under-counts splits of huge files (maxPartitionBytes
+    # would split them anyway), so the worst case is one redundant
+    # key-hash shuffle on a few-files source, paid only where the
+    # downstream is CPU-bound fan-out work.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - non-file sources: leave as-is
+        return df
+    if 0 < n_files < target:
         return df.repartition(target, F.col(key))
     return df
 
