@@ -39,6 +39,7 @@ _VERIFY_FIRST = (
     "multimodal_features",
     "docs_corpus_stats",  # oracle cast fixed this round (HUGEINT → BIGINT)
     "docs_jaccard_join",  # new this round (exact prefix-filter join)
+    "docs_simhash_pairs",  # new this round (exact band-blocked pairing)
 )
 
 

@@ -305,6 +305,9 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 
 SIMHASH_BITS = 32
+SIMHASH_BANDS = 4                      # > max_hamming ⇒ blocking is exact
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
@@ -334,3 +337,48 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
         term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Hamming near-dup pairs over SimHash fingerprints, band-blocked —
+    and EXACT, not probabilistic: with ``SIMHASH_BANDS`` (4) > the Hamming
+    threshold (3), at most 3 differing bits cannot touch all 4 bands, so
+    by pigeonhole every qualifying pair collides on at least one band.
+    Candidates come from the (band, band_value) equi-join (never
+    all-pairs); verification is one ``bit_count(xor)`` per candidate.
+    Output: (doc_a, doc_b, hamming).
+    """
+    from pyspark import StorageLevel
+
+    fp = simhash(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1)).alias("val"))
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = (
+        fp.select(id_col, "simhash",
+                  F.explode(F.array(*band_structs)).alias("bv"))
+        .select(id_col, "simhash", "bv.band", "bv.val")
+    )
+    a = bands.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("sh_a"), "band", "val")
+    b = bands.select(F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("sh_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+                "hamming")
+    )

@@ -175,7 +175,9 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.simhash(docs)
 
 
-def _oracle_simhash() -> str:
+def _simhash_cte() -> str:
+    """tok → per-bit weighted sums → fingerprint, as a ``sim`` CTE —
+    shared by the fingerprint oracle and the pairing oracle."""
     hv = _DUCK_HASH48.format(c="t")
     sums = ",\n         ".join(
         f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -183,13 +185,49 @@ def _oracle_simhash() -> str:
     fp = " + ".join(
         f"CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END"
         for i in range(neardup.SIMHASH_BITS))
-    return rf"""
-WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
-h AS (SELECT doc_id, {hv} AS hv FROM tok),
+    return rf"""tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
+hh AS (SELECT doc_id, {hv} AS hv FROM tok),
 agg AS (SELECT doc_id,
          {sums}
-        FROM h GROUP BY doc_id)
-SELECT doc_id, ({fp})::BIGINT AS simhash FROM agg
+        FROM hh GROUP BY doc_id),
+sim AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM agg)"""
+
+
+def _oracle_simhash() -> str:
+    return rf"""
+WITH {_simhash_cte()}
+SELECT doc_id, simhash FROM sim
+"""
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dup pairs — exact band-blocked pairing (4
+    bands > Hamming threshold 3, so pigeonhole guarantees recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.simhash_pairs(docs)
+
+
+def _oracle_simhash_pairs() -> str:
+    nb = neardup.SIMHASH_BANDS
+    bits = neardup.SIMHASH_BAND_BITS
+    mask = (1 << bits) - 1
+    mh = neardup.SIMHASH_MAX_HAMMING
+    return rf"""
+WITH {_simhash_cte()},
+bands AS (
+  SELECT doc_id, simhash, bx.band,
+         (simhash >> (bx.band * {bits})) & {mask} AS val
+  FROM sim, (SELECT unnest(range(0, {nb})) AS band) bx
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {mh}
 """
 
 
@@ -726,6 +764,7 @@ LLM_QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "docs_jaccard_join": q_docs_jaccard_join,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_near_dup_edit_distance": q_docs_near_dup_edit_distance,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "docs_chunked": q_docs_chunked,
@@ -749,6 +788,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),
         "docs_jaccard_join": _oracle_jaccard_join(),
+        "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_near_dup_edit_distance": _oracle_edit_distance(),
         "docs_tfidf_top_terms": _oracle_tfidf(),
         "docs_chunked": ORACLE_DOCS_CHUNKED,

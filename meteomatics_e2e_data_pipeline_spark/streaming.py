@@ -214,3 +214,30 @@ def stream_bronze_to_staging(spark: SparkSession, bronze_glob: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_exact(docs_stream: DataFrame, ts_col: str,
+                       watermark: str = "1 hour",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    content-hash dedup (``operators/textops.content_hash``): keep the
+    first arrival of each normalized-content hash, dropping re-deliveries
+    that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    the scale-correct form: state holds one entry per DISTINCT hash seen
+    inside the watermark window and is evicted as the watermark advances,
+    so a forever-running ingest keeps bounded state. The trade-off is
+    explicit and standard for streaming dedup: a duplicate arriving later
+    than ``watermark`` after the original is no longer caught by state —
+    that tail is the batch exact-dedup's job downstream (the two
+    operators share the same hash, so their composition is exact).
+    """
+    from .operators.textops import content_hash
+
+    return (
+        docs_stream
+        .withColumn("content_hash", content_hash(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

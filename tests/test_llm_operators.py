@@ -145,3 +145,28 @@ def test_jaccard_prefix_join_matches_bruteforce(spark):
         if j >= 0.5:
             want[(ia, ib)] = round(j, 6)
     assert got == want and len(want) > 5
+
+
+def test_simhash_pairs_band_blocking_is_exact(spark):
+    """4 bands > Hamming threshold 3 ⇒ banding must find exactly the
+    pairs a brute-force all-pairs bit_count(xor) finds."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        simhash, simhash_pairs,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [(i, " ".join(words[j % len(words)]
+                         for j in range(i, i + 6))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["doc_a"], r["doc_b"], r["hamming"])
+           for r in simhash_pairs(docs).collect()}
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = set()
+    for a in fp:
+        for b in fp:
+            if a < b:
+                h = bin(fp[a] ^ fp[b]).count("1")
+                if h <= 3:
+                    want.add((a, b, h))
+    assert got == want and len(want) > 0

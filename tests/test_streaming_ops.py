@@ -119,3 +119,44 @@ def test_stateful_totals_match_batch(spark, tmp_path):
                   if got[u][0] != expected[u][0]
                   or abs(got[u][1] - expected[u][1]) > 0.01}
     assert not mismatches
+
+
+def test_stream_dedup_exact_drops_redelivery(spark, tmp_path):
+    """Duplicate content (even with different doc ids / whitespace) is
+    dropped within the watermark; distinct content survives."""
+    import datetime as dt
+
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_dedup_exact,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "hello world", t0),
+        (2, "  Hello   WORLD ", t0 + dt.timedelta(minutes=1)),  # dup, msgy ws
+        (3, "something else", t0 + dt.timedelta(minutes=2)),
+        (4, "hello world", t0 + dt.timedelta(minutes=3)),       # dup again
+        (5, "third text", t0 + dt.timedelta(minutes=4)),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, ingest_ts timestamp") \
+        .coalesce(1).write.parquet(str(src / "batch0"))
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, ingest_ts timestamp")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    out = stream_dedup_exact(stream, "ingest_ts", watermark="10 minutes")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "deduped"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True)
+         .outputMode("append")
+         .start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(str(tmp_path / "deduped"))
+    texts = sorted(r["text"].strip().lower() for r in got.collect())
+    assert len(texts) == 3                       # one per distinct content
+    assert "something else" in texts and "third text" in texts
