@@ -86,6 +86,17 @@ def merge_delta(new: DataFrame, target_path: str, keys: Sequence[str],
             "in environments without it") from exc
     batch = new.dropDuplicates(list(keys))
     if not DeltaTable.isDeltaTable(spark, target_path):
+        # Only bootstrap a TRULY new target. A non-Delta path that already
+        # holds data (e.g. months of parquet history from fmt='parquet')
+        # must never be silently overwritten with one micro-batch — that
+        # would destroy the history the upsert exists to protect.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath) and fs.listStatus(hpath):
+            raise ValueError(
+                f"{target_path} exists with non-Delta contents; convert it "
+                "explicitly (e.g. CONVERT TO DELTA) or use fmt='parquet'")
         writer = batch.write.format("delta").mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -116,6 +127,14 @@ def upsert_by_key(new: DataFrame, target_path: str, keys: Sequence[str],
     one micro-batch, so the shuffle is bounded by batch size.
     """
     if fmt == "delta":
+        if prune_filter is not None:
+            # Silently ignoring the caller's pruning predicate would void
+            # the "never rescans the whole history" guarantee; Delta MERGE
+            # needs it expressed as a merge-condition conjunct (SQL text
+            # over the target alias), which this wrapper doesn't translate.
+            raise ValueError(
+                "prune_filter is not supported with fmt='delta'; add the "
+                "partition predicate to the MERGE condition instead")
         merge_delta(new, target_path, keys, spark, partition_by)
         return
     if fmt != "parquet":

@@ -12,6 +12,14 @@ Designed for the 100 TB shape of the problem:
 - **Cross-engine reproducible hashing** (``textops.base_hash48``) so the
   whole sketch is oracle-checkable in DuckDB, not just "plausible".
 
+Persist lifetime: the pair operators persist shared subplans
+(MEMORY_AND_DISK) and deliberately do NOT unpersist — the returned frame
+is lazy, so the blocks must outlive this function, and Spark evicts
+memory blocks LRU. The assumption is the usual one-action-per-query
+shape; a long-lived service calling these in a loop should materialize
+signatures to a table between stages instead (see near_dup_pairs notes),
+which is also the right shape at warehouse scale.
+
 Default parameters: 24 permutations in 6 bands of 4 rows — the LSH
 S-curve crosses ~50% candidate probability near Jaccard ≈ (1/6)^(1/4) ≈
 0.64, a standard near-dup operating point.
@@ -352,6 +360,13 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark import StorageLevel
 
+    if max_hamming >= SIMHASH_BANDS:
+        # the pigeonhole guarantee needs bands > threshold; a larger
+        # threshold would silently lose pairs whose differing bits spread
+        # one per band
+        raise ValueError(
+            f"max_hamming must be < {SIMHASH_BANDS} bands for exact "
+            f"blocking, got {max_hamming}")
     fp = simhash(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     band_structs = [
         F.struct(

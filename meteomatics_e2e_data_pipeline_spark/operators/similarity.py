@@ -193,7 +193,14 @@ def lsh_assign(corpus: DataFrame, n_planes: int = LSH_PLANES,
     pass it explicitly in pipelines that know their embedding width).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        row = corpus.select(vec_col).first()
+        if row is None or row[0] is None:
+            # empty corpus (or NULL lead vector): no rows to bucket —
+            # return the empty frame with the output schema instead of
+            # failing a pipeline whose embeddings table isn't populated yet
+            return corpus.select(
+                id_col, vec_col, F.lit(None).cast("int").alias("bucket"))
+        dim = len(row[0])
     weights = lsh_plane_weights(n_planes, dim)
     # One F.expr with the full expression: building this tree from
     # n_planes × dim F.lit() Column objects costs a py4j round-trip per
@@ -216,7 +223,8 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int,
     """Approximate top-k via sign-bucket LSH: probe only vectors sharing
     the query's bucket (1/2^n_planes of the corpus in expectation)."""
     from pyspark.sql import Window
-    dim = len(corpus.select(vec_col).first()[0])  # probe once, reuse
+    row = corpus.select(vec_col).first()  # probe dim once, reuse
+    dim = len(row[0]) if row is not None and row[0] is not None else None
     assigned = lsh_assign(corpus, n_planes, id_col, vec_col, dim)
     q = (lsh_assign(queries, n_planes, id_col, vec_col, dim)
          .select(F.col(id_col).alias("query_id"),

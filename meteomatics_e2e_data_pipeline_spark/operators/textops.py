@@ -50,9 +50,16 @@ def spread_for_fanout(df, key: str):
     # downstream is CPU-bound fan-out work.
     try:
         n_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 - non-file sources: leave as-is
-        return df
-    if 0 < n_files < target:
+    except Exception:  # noqa: BLE001 - treat as unknown source shape
+        n_files = 0
+    if n_files == 0:
+        # non-file source (createDataFrame, in-memory relation): file
+        # count says nothing, so fall back to asking the RDD — these
+        # frames are small/test-shaped, where the planning cost is noise
+        # but losing the spread would serialize the Python fan-out stage
+        n_parts = df.rdd.getNumPartitions()
+        return df.repartition(target, F.col(key)) if n_parts < target else df
+    if n_files < target:
         return df.repartition(target, F.col(key))
     return df
 

@@ -270,17 +270,30 @@ def ingest_distributed(spark: SparkSession, run_date: str, bronze_root: str,
     cardinality is names, not rows) → executor-side fetch → validate →
     hive-partitioned bronze sink. Same contract as :func:`ingest` but no
     driver-side loop or collect of payloads."""
+    from pyspark import StorageLevel
+
     geo = geocode_locations(spark, location_names, geocode_fn)
-    raw = fetch_distributed(geo, run_date, fetcher, parallelism)
-    valid, quarantine = validate_payloads(spark, raw)
-    n_q = quarantine.count()
-    if quarantine_root and n_q:
-        quarantine.write.mode("append").json(
-            f"{quarantine_root}/run_date={run_date}")
-    valid = valid.withColumn("run_date", F.lit(run_date))
-    write_bronze_partitioned(valid, bronze_root)
-    n_ok = spark.read.json(bronze_root).filter(
-        F.col("run_date") == run_date).count()
+    # persist BEFORE the fork into valid/quarantine: the frame feeds three
+    # actions (quarantine count, quarantine write, bronze write) and an
+    # unpersisted fetch would re-invoke the external fetcher per action —
+    # 3× the API burn, and a transiently-flaky location could be counted
+    # quarantined by one action yet written valid by another.
+    raw = fetch_distributed(geo, run_date, fetcher, parallelism) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        valid, quarantine = validate_payloads(spark, raw)
+        n_q = quarantine.count()
+        if quarantine_root and n_q:
+            quarantine.write.mode("append").json(
+                f"{quarantine_root}/run_date={run_date}")
+        valid = valid.withColumn("run_date", F.lit(run_date))
+        write_bronze_partitioned(valid, bronze_root)
+        # count THIS run's valid payloads (from the persisted fetch) — a
+        # re-read of the lake would also count earlier appends of the same
+        # run_date and force a full-lake scan
+        n_ok = valid.count()
+    finally:
+        raw.unpersist()
     return n_ok, n_q
 
 

@@ -66,6 +66,10 @@ _DUCK_FAMILY = {
     "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str",
     "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts",
     "TIMESTAMP WITH TIME ZONE": "ts",
+    # force oracles to cast DECIMAL outputs to ::DOUBLE/::BIGINT
+    # explicitly — the driver's pandas fetch coerces Decimal objects and
+    # the hash diverges from Spark's native type, same class as HUGEINT
+    "DECIMAL": "!decimal-cast-explicitly",
 }
 _SPARK_FAMILY = {
     "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",

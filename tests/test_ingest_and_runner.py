@@ -342,3 +342,71 @@ def test_upsert_delta_missing_package_and_bad_fmt(spark, tmp_path):
         upsert_by_key(df, str(tmp_path / "d"), ["k"], spark, fmt="delta")
     with _pytest.raises(ValueError, match="parquet.*delta"):
         upsert_by_key(df, str(tmp_path / "d"), ["k"], spark, fmt="orc")
+
+
+def test_ingest_distributed_fetches_once_per_location(spark, tmp_path):
+    """The fetch frame is persisted before the valid/quarantine fork, so
+    the external fetcher runs ONCE per location even though three actions
+    consume the result (re-execution would re-burn the API and let a
+    flaky location disagree between the count and the write)."""
+    import uuid
+
+    from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
+        FixtureFetcher, ingest_distributed,
+    )
+
+    marker_dir = tmp_path / "calls"
+    marker_dir.mkdir()
+    inner = FixtureFetcher()
+    mdir = str(marker_dir)
+
+    def counting(city, country, lat, lon, run_date):
+        # executor-side marker (local mode: same filesystem)
+        with open(f"{mdir}/{city}-{uuid.uuid4().hex}", "w"):
+            pass
+        return inner(city, country, lat, lon, run_date)
+
+    geocodes = {"Berlin, Germany": (52.52, 13.405),
+                "Paris, France": (48.8566, 2.3522)}
+    n_ok, n_q = ingest_distributed(
+        spark, "2024-01-15", str(tmp_path / "bronze"),
+        list(geocodes), fetcher=counting, geocode_fn=lambda n: geocodes[n])
+    assert (n_ok, n_q) == (2, 0)
+    calls = sorted(p.name.split("-")[0] for p in marker_dir.iterdir())
+    assert calls == ["berlin", "paris"]  # exactly once each
+
+
+def test_upsert_delta_refuses_to_overwrite_parquet_history(spark, tmp_path,
+                                                           monkeypatch):
+    """A non-Delta target with existing contents must never be silently
+    overwritten by the delta bootstrap path."""
+    import sys
+    import types
+
+    class StubTable:
+        @staticmethod
+        def isDeltaTable(spark_, path):
+            return False
+
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = StubTable
+    delta_mod = types.ModuleType("delta")
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    from meteomatics_e2e_data_pipeline_spark.operators.incremental import (
+        upsert_by_key,
+    )
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    target = str(tmp_path / "hist")
+    df.write.parquet(target)  # pre-existing parquet history
+    with pytest.raises(ValueError, match="non-Delta contents"):
+        upsert_by_key(df, target, ["k"], spark, fmt="delta")
+    assert spark.read.parquet(target).count() == 1  # history intact
+
+    # prune_filter is meaningless for the MERGE wrapper - must not be
+    # silently dropped
+    with pytest.raises(ValueError, match="prune_filter"):
+        upsert_by_key(df, str(tmp_path / "new"), ["k"], spark,
+                      prune_filter=F.col("k") > 0, fmt="delta")

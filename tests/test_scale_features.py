@@ -147,3 +147,21 @@ def test_surrogate_key_matches_duckdb(spark, values):
         f"SELECT {surrogate_key_sql('s')} AS k FROM t").fetchall()]
     con.close()
     assert got == want
+
+
+def test_lsh_assign_empty_corpus_and_simhash_guard(spark):
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        simhash_pairs,
+    )
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        knn_lsh, lsh_assign,
+    )
+
+    empty = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    assert lsh_assign(empty).count() == 0          # no crash, empty out
+    assert knn_lsh(empty, empty, 5).count() == 0
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(docs, max_hamming=4)         # bands no longer exact
