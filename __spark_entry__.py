@@ -40,6 +40,8 @@ _VERIFY_FIRST = (
     "docs_corpus_stats",  # oracle cast fixed this round (HUGEINT → BIGINT)
     "docs_jaccard_join",  # new this round (exact prefix-filter join)
     "docs_simhash_pairs",  # new this round (exact band-blocked pairing)
+    "docs_near_dup_pairs",  # plan changed this round (persisted subplans)
+    "docs_near_dup_edit_distance",  # shares the changed candidate chain
 )
 
 
