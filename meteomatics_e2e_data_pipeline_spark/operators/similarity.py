@@ -86,10 +86,17 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame, k: int,
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               cent_id: str = "centroid_id") -> DataFrame:
-    """Assign every vector to its max-cosine centroid (the IVF coarse
-    quantizer). Centroids are broadcast; one pass over the corpus; ties
-    break to the lowest centroid id for determinism."""
+               cent_id: str = "centroid_id", nprobe: int = 1) -> DataFrame:
+    """Assign every vector to its ``nprobe`` max-cosine centroids (the
+    IVF coarse quantizer). Centroids are broadcast; one pass over the
+    corpus; ties break to the lowest centroid id for determinism.
+
+    ``nprobe=1`` is the storage-side assignment (each vector lives in
+    exactly one bucket). ``nprobe>1`` is the QUERY-side recall lever: a
+    query probes its P nearest buckets, catching neighbors that fell just
+    across a Voronoi boundary — the standard IVF recall/cost dial (probe
+    cost grows linearly with P, recall asymptotes to exact).
+    """
     from pyspark.sql import Window
     cent = centroids.select(F.col(cent_id), F.col(vec_col).alias("cent_vec"))
     # Deliberate broadcast cross join (plans as BNLJ): every vector scores
@@ -104,7 +111,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col(cent_id))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .select(id_col, vec_col, F.col(cent_id).alias("bucket"))
     )
 
@@ -333,17 +340,22 @@ def train_ivf_centroids(corpus: DataFrame, k: int, iters: int = 3,
 
 def knn_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
             k: int, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: brute force *within the query's bucket only*.
+            vec_col: str = "embedding", nprobe: int = 1) -> DataFrame:
+    """Approximate top-k: brute force *within the query's probed buckets
+    only*.
 
-    Both sides go through the same quantizer, then the search join is
-    equi-keyed on ``bucket`` — a hash join whose probe side is 1/n_buckets
-    of the corpus, which is the whole point at 100 TB.
-    Output: (query_id, neighbor_id, bucket, cos_sim, rank).
+    Both sides go through the same quantizer — storage side with one
+    bucket per vector, query side with ``nprobe`` buckets — then the
+    search join is equi-keyed on ``bucket``: a hash join whose probe side
+    is nprobe/n_buckets of the corpus, which is the whole point at
+    100 TB. Raising ``nprobe`` buys recall linearly in probe cost without
+    touching the stored assignment. A neighbor reachable through several
+    probed buckets is counted once (scores dedupe on the pair before
+    ranking). Output: (query_id, neighbor_id, bucket, cos_sim, rank).
     """
     from pyspark.sql import Window
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    q = (ivf_assign(queries, centroids, id_col, vec_col)
+    q = (ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
                  "bucket")
          .withColumn("__qn", _norm(F.col("q_vec"))))
@@ -356,6 +368,11 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
         .select("query_id", "neighbor_id", "bucket",
                 _PAIR_COS().alias("cos_raw"))
     )
+    if nprobe > 1:
+        # a (query, neighbor) pair can meet in at most one bucket today
+        # (storage side holds one bucket per vector), but keep the dedupe
+        # explicit so multi-assignment storage variants stay correct
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id"))
     return (

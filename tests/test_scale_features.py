@@ -165,3 +165,31 @@ def test_lsh_assign_empty_corpus_and_simhash_guard(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_hamming"):
         simhash_pairs(docs, max_hamming=4)         # bands no longer exact
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_smoke):
+    """nprobe is the IVF recall dial: recall vs exact brute force must be
+    monotone in nprobe, and probing every bucket must equal brute force."""
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce, knn_ivf,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n_cent = 8
+    centroids = (emb.filter(F.col("vec_id") < n_cent)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(emb, queries, 5).collect()}
+
+    def recall(nprobe):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in knn_ivf(emb, queries, centroids, 5,
+                                nprobe=nprobe).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r2, r_all = recall(1), recall(2), recall(n_cent)
+    assert r1 <= r2 <= r_all
+    assert r2 > r1 * 0.99          # probing more buckets never hurts
+    assert r_all == 1.0            # all buckets == exact brute force
