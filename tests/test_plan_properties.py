@@ -51,3 +51,16 @@ def test_cli_transform(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["stg_weather_raw"] == 18744
     assert out["dim_date"] == 3653
+
+
+def test_lsh_assign_is_zero_shuffle(spark, sf_smoke):
+    """Round-3 rework: LSH bucketing is entirely row-local — any Exchange
+    in its plan means the dims×planes fan-out regressed."""
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        lsh_assign,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    plan = lsh_assign(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
