@@ -78,3 +78,47 @@ def extract_features(media: DataFrame) -> DataFrame:
     from .textops import spread_for_fanout
     return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
         .mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string, frame_bytes int"
+
+
+def extract_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling plumbing — the 1-to-N ``mapInPandas`` shape (one
+    input payload → several frame rows), which is what a video sampler
+    actually emits. The decode is the deterministic fake standing in for
+    :func:`sample_frames` (pyav absent); frame count and per-frame bytes
+    derive from the payload, so the Spark mechanics — batch iteration,
+    row fan-out inside a batch, declared frame schema, downstream
+    columnar shape — are fully real and tested. Row-local: no shuffle,
+    fan-out happens inside the Arrow batch, never via explode of
+    driver-built rows.
+    """
+    if every_n <= 0:
+        raise ValueError("every_n must be positive")
+
+    def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, md5s, sizes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                # fake "video": one frame per every_n * 16 bytes, ≥ 1
+                n_frames = max(1, len(raw) // (every_n * 16))
+                for i in range(n_frames):
+                    chunk = raw[i * every_n * 16:(i + 1) * every_n * 16]
+                    ids.append(doc_id)
+                    idxs.append(i * every_n)
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+                    sizes.append(len(chunk))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_md5": pd.Series(md5s, dtype="object"),
+                "frame_bytes": pd.Series(sizes, dtype="int32"),
+            })
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_frame_batches, schema=FRAME_SCHEMA)

@@ -170,3 +170,33 @@ def test_simhash_pairs_band_blocking_is_exact(spark):
                 if h <= 3:
                     want.add((a, b, h))
     assert got == want and len(want) > 0
+
+
+def test_multimodal_frame_sampling_fanout(crafted_docs):
+    """extract_frames demonstrates the 1-to-N mapInPandas shape: several
+    frame rows per payload, deterministic across runs, schema declared."""
+    from meteomatics_e2e_data_pipeline_spark.operators.multimodal import (
+        extract_frames, to_media_table,
+    )
+
+    media = to_media_table(crafted_docs, media_type="video/fake")
+    frames = extract_frames(media, every_n=2)
+    rows = frames.collect()
+    assert frames.columns == ["doc_id", "frame_idx", "frame_md5",
+                              "frame_bytes"]
+    n_docs = crafted_docs.count()
+    assert len(rows) >= n_docs                 # >= 1 frame per payload
+    assert len(rows) > n_docs                  # and real fan-out somewhere
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for idxs in per_doc.values():              # stride-spaced frame indices
+        assert sorted(idxs) == [2 * i for i in range(len(idxs))]
+    again = {(r["doc_id"], r["frame_idx"], r["frame_md5"])
+             for r in extract_frames(media, every_n=2).collect()}
+    assert again == {(r["doc_id"], r["frame_idx"], r["frame_md5"])
+                     for r in rows}            # deterministic
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        extract_frames(media, every_n=0)
