@@ -42,6 +42,7 @@ _VERIFY_FIRST = (
     "docs_simhash_pairs",  # new this round (exact band-blocked pairing)
     "docs_near_dup_pairs",  # plan changed this round (persisted subplans)
     "docs_near_dup_edit_distance",  # shares the changed candidate chain
+    "docs_vocabulary",  # new this round (token→id dictionary)
 )
 
 

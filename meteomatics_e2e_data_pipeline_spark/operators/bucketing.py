@@ -41,3 +41,27 @@ def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
     ``.explain``; tests assert it)."""
     return spark.table(left_table).join(spark.table(right_table),
                                         on=list(on), how=how)
+
+
+def write_range_clustered(df: DataFrame, path: str,
+                          cluster_cols: Sequence[str],
+                          n_files: int | None = None) -> None:
+    """Range-clustered parquet layout — the vanilla-parquet cousin of
+    warehouse clustering / Z-ordering for ONE sort dimension: globally
+    range-partition on ``cluster_cols`` and sort within each output file,
+    so every file covers a narrow, non-overlapping slice of the cluster
+    key. Parquet then stores tight min/max stats per file and row group,
+    and any reader filtering on the key skips whole files — the layout
+    pays one shuffle at write time to make every future selective scan
+    prune.
+
+    ``repartitionByRange`` samples the key distribution, so skewed keys
+    still give balanced files (unlike hash-bucketing by a skewed key).
+    Use for the one dominant filter column (event time, date); for
+    multi-key pruning, layer hive partitioning on the coarse key above
+    this on the fine key.
+    """
+    cols = [df[c] for c in cluster_cols]
+    writer = df.repartitionByRange(*( [n_files] if n_files else [] ), *cols) \
+        .sortWithinPartitions(*cols)
+    writer.write.mode("overwrite").parquet(path)

@@ -165,6 +165,44 @@ FROM t
 """
 
 
+VOCAB_SIZE = 1000
+
+
+def q_docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with stable frequency-ranked token ids — the
+    token→id dictionary a training pipeline ships with its tokenizer.
+
+    Scale shape: the explode+count aggregate reduces the corpus to |V|
+    rows (map-side combined); the top-N is a TakeOrdered, and the global
+    id-assigning window runs over only those N rows — the corpus itself
+    never meets a single-partition operator."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(VOCAB_SIZE)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return counts.select(
+        "token", "n_occurrences",
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"))
+
+
+ORACLE_VOCABULARY = rf"""
+WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+counts AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token),
+top AS (SELECT * FROM counts
+        ORDER BY n_occurrences DESC, token LIMIT {VOCAB_SIZE})
+SELECT token, n_occurrences,
+       (row_number() OVER (ORDER BY n_occurrences DESC, token) - 1)::INT
+         AS token_id
+FROM top
+"""
+
+
 # --------------------------------------------------------------------------
 # Fingerprints: SimHash + MinHash/LSH near-dup pairs
 # --------------------------------------------------------------------------
@@ -765,6 +803,7 @@ LLM_QUERIES = {
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
+    "docs_vocabulary": q_docs_vocabulary,
     "docs_near_dup_edit_distance": q_docs_near_dup_edit_distance,
     "docs_tfidf_top_terms": q_docs_tfidf_top_terms,
     "docs_chunked": q_docs_chunked,
@@ -789,6 +828,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_near_dup_pairs": _oracle_near_dup(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
+        "docs_vocabulary": ORACLE_VOCABULARY,
         "docs_near_dup_edit_distance": _oracle_edit_distance(),
         "docs_tfidf_top_terms": _oracle_tfidf(),
         "docs_chunked": ORACLE_DOCS_CHUNKED,

@@ -193,3 +193,28 @@ def test_ivf_nprobe_recall_monotone(spark, sf_smoke):
     assert r1 <= r2 <= r_all
     assert r2 > r1 * 0.99          # probing more buckets never hurts
     assert r_all == 1.0            # all buckets == exact brute force
+
+
+def test_range_clustered_layout_files_are_disjoint(spark, tmp_path):
+    """Every output file must cover a non-overlapping slice of the
+    cluster key — that disjointness is exactly what parquet min/max
+    pruning needs to skip files on a selective scan."""
+    from meteomatics_e2e_data_pipeline_spark.operators.bucketing import (
+        write_range_clustered,
+    )
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k"), F.col("id").alias("v"))
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, ["k"], n_files=8)
+
+    import glob
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        r = spark.read.parquet(f).agg(F.min("k"), F.max("k")).first()
+        spans.append((r[0], r[1]))
+    spans.sort()
+    assert len(spans) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2          # non-overlapping ranges across files
+    assert spark.read.parquet(out).count() == 10_000
