@@ -102,9 +102,14 @@ def chunk_tokens(tok: Column, chunk_size: int, stride: int) -> Column:
     # be a strict SUBSET of the previous chunk (possible whenever
     # n mod stride <= overlap) is not emitted: such a tail chunk adds no
     # new tokens and would duplicate training content. Chunk count is
-    # ceil((n - overlap) / stride), min 1.
+    # ceil((n - overlap) / stride), min 1 — capped at ceil(n / stride)
+    # because with stride > chunk_size (gap sampling, negative overlap)
+    # the first formula counts a start past the end of the array, which
+    # would emit an empty chunk (found by the hypothesis property test).
     n_chunks = F.greatest(
-        F.ceil((F.size(tok) - overlap) / stride).cast("int"), F.lit(1))
+        F.least(F.ceil((F.size(tok) - overlap) / stride),
+                F.ceil(F.size(tok) / stride)).cast("int"),
+        F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(

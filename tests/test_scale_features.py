@@ -218,3 +218,38 @@ def test_range_clustered_layout_files_are_disjoint(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2          # non-overlapping ranges across files
     assert spark.read.parquet(out).count() == 10_000
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=60),    # n tokens
+       st.integers(min_value=1, max_value=12),    # chunk_size
+       st.integers(min_value=1, max_value=12))    # stride
+def test_chunk_tokens_properties(spark, n, chunk_size, stride):
+    """Chunking invariants across the parameter space: chunk count
+    matches the documented formula, every token is covered when
+    stride <= chunk_size, chunks start every `stride` tokens, and no
+    emitted chunk is a strict subset of its predecessor."""
+    import math
+
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        chunk_tokens,
+    )
+
+    toks = [f"t{i}" for i in range(n)]
+    df = spark.createDataFrame([(toks,)], "tok array<string>")
+    chunks = df.select(
+        chunk_tokens(F.col("tok"), chunk_size, stride).alias("c")
+    ).first()["c"]
+
+    overlap = chunk_size - stride
+    want_count = max(1, min(math.ceil((n - overlap) / stride),
+                            math.ceil(n / stride)))
+    assert len(chunks) == want_count
+    split = [c.split(" ") for c in chunks]
+    for i, ch in enumerate(split):
+        assert ch == toks[i * stride: i * stride + chunk_size]
+    if stride <= chunk_size:
+        covered = {t for ch in split for t in ch}
+        assert covered == set(toks)              # full coverage
+    for prev, cur in zip(split, split[1:]):
+        assert not set(cur) <= set(prev) or cur == prev  # no subset tails
