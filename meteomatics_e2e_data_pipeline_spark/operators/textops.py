@@ -65,9 +65,12 @@ def spread_for_fanout(df, key: str):
 
 
 def normalize_text(c: Column) -> Column:
-    """Canonical form for exact dedup: lowercase, trim, collapse runs of
-    whitespace. Mirrors what a cleaning stage would emit."""
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    """Canonical form for exact dedup: lowercase, collapse runs of
+    whitespace, trim. Collapse happens BEFORE trim — Spark's ``trim``
+    strips only 0x20 spaces, so a leading/trailing tab or newline would
+    otherwise survive collapse as a stray space and split a dedup
+    group."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def content_hash(c: Column) -> Column:

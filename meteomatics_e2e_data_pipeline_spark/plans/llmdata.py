@@ -65,7 +65,7 @@ def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EXACT_DEDUP = r"""
-SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies
 FROM documents

@@ -200,3 +200,54 @@ def test_multimodal_frame_sampling_fanout(crafted_docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         extract_frames(media, every_n=0)
+
+
+def test_winnow_fingerprints_match_pure_python(spark):
+    """The distributed winnowing must equal the canonical sequential
+    algorithm: hash every k-gram, take each w-window's min, distinct."""
+    import hashlib
+
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        WINNOW_K, WINNOW_W, winnow_fingerprints,
+    )
+
+    texts = {1: "the quick brown fox jumps over the lazy dog",
+             2: "abcdefgh",                       # exactly k chars: 1 gram
+             3: "short",                          # < k chars: no grams
+             4: "aaaaaaaaaaaaaaaa"}               # degenerate repeats
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id int, text string")
+    got = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    want = {}
+    for doc_id, t in texts.items():
+        grams = [h48(t[i:i + WINNOW_K]) for i in range(len(t) - WINNOW_K + 1)]
+        fps = {min(grams[i:i + WINNOW_W])
+               for i in range(len(grams) - WINNOW_W + 1)}
+        if fps:
+            want[doc_id] = fps
+    assert got == want
+
+
+def test_exact_dedup_invariant_under_formatting(spark):
+    """content_hash must be invariant under the normalizations the
+    cleaner applies (case, leading/trailing/internal whitespace runs) and
+    sensitive to any real content change."""
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        content_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "  hello world\t"), (3, "hello\n\nworld"),
+         (4, "hello worlds")],
+        "doc_id int, text string")
+    hashes = {r["doc_id"]: r["h"] for r in
+              df.select("doc_id", content_hash(F.col("text")).alias("h"))
+              .collect()}
+    assert hashes[1] == hashes[2] == hashes[3]
+    assert hashes[4] != hashes[1]
