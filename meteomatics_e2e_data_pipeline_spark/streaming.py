@@ -241,3 +241,15 @@ def stream_dedup_exact(docs_stream: DataFrame, ts_col: str,
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def stream_enrich(stream: DataFrame, dim: DataFrame,
+                  on: list[str]) -> DataFrame:
+    """Stream-to-static enrichment join — the streaming twin of the star
+    join: each micro-batch hash-joins against the (small, broadcast)
+    dimension; no streaming state is kept because the static side is
+    fully known. This is how a geocode/location dim decorates an ingest
+    stream without a stateful stream-stream join. Left join: an
+    unenriched event must flow through (and be quarantined downstream),
+    not silently vanish on a dim miss."""
+    return stream.join(F.broadcast(dim), on=on, how="left")

@@ -160,3 +160,28 @@ def test_stream_dedup_exact_drops_redelivery(spark, tmp_path):
     texts = sorted(r["text"].strip().lower() for r in got.collect())
     assert len(texts) == 3                       # one per distinct content
     assert "something else" in texts and "third text" in texts
+
+
+def test_stream_enrich_against_static_dim(spark, tmp_path):
+    from meteomatics_e2e_data_pipeline_spark.streaming import stream_enrich
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "berlin"), (2, "paris"), (3, "atlantis")],
+        "event_id long, city string").write.parquet(str(src / "b0"))
+    dim = spark.createDataFrame(
+        [("berlin", 52.52), ("paris", 48.86)], "city string, lat double")
+
+    stream = (spark.readStream.schema("event_id long, city string")
+              .option("recursiveFileLookup", "true").parquet(str(src)))
+    q = (stream_enrich(stream, dim, ["city"])
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+
+    got = {r["city"]: r["lat"] for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {"berlin": 52.52, "paris": 48.86, "atlantis": None}
