@@ -324,17 +324,23 @@ def train_ivf_centroids(corpus: DataFrame, k: int, iters: int = 3,
             .select(F.col("bucket").alias("centroid_id"),
                     F.expr("transform(pm, s -> s.m)").alias(vec_col))
         )
-        # carry forward centroids whose bucket went empty
-        kept = centroids.join(new.select("centroid_id"), "centroid_id",
-                              "left_anti")
         # localCheckpoint truncates the lineage each pass — without it the
         # plan stacks assign+aggregate+union per iteration and any action
         # re-executes the whole history (the classic iterative-algorithm
-        # trap; MLlib checkpoints for the same reason). eager=True
-        # materializes k tiny rows now. On a multi-executor cluster prefer
-        # a reliable checkpoint dir (localCheckpoint blocks die with their
-        # executor); in this single-JVM engine local is the right cost.
-        centroids = new.unionByName(kept).localCheckpoint(eager=True)
+        # trap; MLlib checkpoints for the same reason). Checkpoint NEW
+        # (k tiny rows) rather than the union: new feeds both the union
+        # and the empty-bucket anti-join below, so an unmaterialized plan
+        # would run the full corpus assign+aggregate twice per iteration.
+        # On a multi-executor cluster prefer a reliable checkpoint dir
+        # (localCheckpoint blocks die with their executor); in this
+        # single-JVM engine local is the right cost.
+        new = new.localCheckpoint(eager=True)
+        # carry forward centroids whose bucket went empty; all inputs are
+        # checkpointed (prev centroids / new), so the union's lineage
+        # stays one level deep
+        kept = centroids.join(new.select("centroid_id"), "centroid_id",
+                              "left_anti")
+        centroids = new.unionByName(kept)
     return centroids
 
 
