@@ -43,6 +43,7 @@ _VERIFY_FIRST = (
     "docs_near_dup_pairs",  # plan changed this round (persisted subplans)
     "docs_near_dup_edit_distance",  # shares the changed candidate chain
     "docs_vocabulary",  # new this round (token→id dictionary)
+    "docs_simhash",  # fingerprint widened to 48 bits this round
 )
 
 

@@ -312,7 +312,12 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-SIMHASH_BITS = 32
+# 48 bits: the widest fingerprint whose 2^i bit terms stay inside a
+# signed BIGINT on both engines (the base hash is 48-bit for the same
+# reason). 32 bits saturated on the stress corpus — at 50k docs,
+# hamming<=3 over 32 bits produced ~20M candidate pairs; 48 bits keeps
+# the same banding exactness with far fewer random collisions.
+SIMHASH_BITS = 48
 SIMHASH_BANDS = 4                      # > max_hamming ⇒ blocking is exact
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 SIMHASH_MAX_HAMMING = 3
