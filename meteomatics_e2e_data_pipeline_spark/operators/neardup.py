@@ -251,8 +251,13 @@ def jaccard_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
         sh.join(freq, "hv")
         .withColumn("rk", F.row_number().over(w))
         .join(sizes, id_col)
+        # round-before-ceil guards the prefix bound against upward FP
+        # error (0.07*100 = 7.000000000000001 would ceil to 8 and shorten
+        # the prefix below the lemma's bound, silently dropping qualifying
+        # pairs); the oracle applies the identical guard
         .filter(F.col("rk")
-                <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+                <= F.col("n_sh")
+                - F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9)) + 1)
     ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both sides of the join
     pa = prefix.select(F.col(id_col).alias("id_a"), "hv")
     pb = prefix.select(F.col(id_col).alias("id_b"), "hv")

@@ -97,7 +97,6 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     across a Voronoi boundary — the standard IVF recall/cost dial (probe
     cost grows linearly with P, recall asymptotes to exact).
     """
-    from pyspark.sql import Window
     cent = centroids.select(F.col(cent_id), F.col(vec_col).alias("cent_vec"))
     # Deliberate broadcast cross join (plans as BNLJ): every vector scores
     # against every centroid — the quantizer is tiny by contract, so this
@@ -108,6 +107,23 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
         .select(id_col, vec_col, cent_id,
                 cosine(F.col(vec_col), F.col("cent_vec")).alias("cs"))
     )
+    if nprobe == 1:
+        # Partial-aggregatable argmax: max_by's struct ordering key
+        # (cs, -centroid_id) reproduces the window's (cs DESC, id ASC)
+        # tiebreak — max cs first, then min centroid id; NaN sorts
+        # largest under both shapes. Unlike a row_number window, this
+        # HashAggregate combines map-side: the k·N scored rows collapse
+        # to N *before* the exchange — a k× shuffle reduction on the
+        # storage-assignment path (and once per Lloyd iteration).
+        best = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.struct(F.col(vec_col).alias("v"),
+                         F.col(cent_id).alias("c")),
+                F.struct(F.col("cs").alias("cs"),
+                         (-F.col(cent_id)).alias("nc"))).alias("__b"))
+        return best.select(id_col, F.col("__b.v").alias(vec_col),
+                           F.col("__b.c").alias("bucket"))
+    from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col(cent_id))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -200,10 +216,13 @@ def lsh_assign(corpus: DataFrame, n_planes: int = LSH_PLANES,
     pass it explicitly in pipelines that know their embedding width).
     """
     if dim is None:
-        row = corpus.select(vec_col).first()
-        if row is None or row[0] is None:
-            # empty corpus (or NULL lead vector): no rows to bucket —
-            # return the empty frame with the output schema instead of
+        # Probe the first NON-NULL vector: a NULL lead row must not send
+        # the whole (otherwise valid) corpus down the empty-frame path.
+        row = (corpus.filter(F.col(vec_col).isNotNull())
+               .select(vec_col).first())
+        if row is None:
+            # no non-null vector anywhere: nothing to bucket — return the
+            # empty-bucket frame with the output schema instead of
             # failing a pipeline whose embeddings table isn't populated yet
             return corpus.select(
                 id_col, vec_col, F.lit(None).cast("int").alias("bucket"))
@@ -226,12 +245,19 @@ def lsh_assign(corpus: DataFrame, n_planes: int = LSH_PLANES,
 
 def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int,
             n_planes: int = LSH_PLANES, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
     """Approximate top-k via sign-bucket LSH: probe only vectors sharing
-    the query's bucket (1/2^n_planes of the corpus in expectation)."""
+    the query's bucket (1/2^n_planes of the corpus in expectation).
+
+    Pass ``dim`` (the embedding width, known from table schema/metadata in
+    any real pipeline) to make the whole job graph launch with zero driver
+    actions; when omitted, one non-null row is probed and reused for both
+    sides."""
     from pyspark.sql import Window
-    row = corpus.select(vec_col).first()  # probe dim once, reuse
-    dim = len(row[0]) if row is not None and row[0] is not None else None
+    if dim is None:
+        row = (corpus.filter(F.col(vec_col).isNotNull())
+               .select(vec_col).first())  # probe dim once, reuse both sides
+        dim = len(row[0]) if row is not None else None
     assigned = lsh_assign(corpus, n_planes, id_col, vec_col, dim)
     q = (lsh_assign(queries, n_planes, id_col, vec_col, dim)
          .select(F.col(id_col).alias("query_id"),

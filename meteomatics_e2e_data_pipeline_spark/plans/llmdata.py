@@ -38,6 +38,11 @@ from ..sources.tables import load_table
 SHINGLE_N = 3
 NEARDUP_THRESHOLD = 0.5
 KNN_QUERY_MAX_ID = 5     # query set: vec_id < 5
+# Embedding width, from the embeddings table's catalog contract (all SFs
+# ship array<float>[64]). Passing it explicitly lets the LSH query launch
+# with ZERO driver-side actions (no .first() probe before the job graph);
+# tests/test_llm_operators.py asserts the testdata actually matches.
+EMB_DIM = 64
 KNN_K = 10
 IVF_CENTROID_MAX_ID = 8  # coarse quantizer: first 8 vectors as centroids
 IVF_K = 5
@@ -371,7 +376,7 @@ ranked AS (
   FROM h JOIN freq f USING (hv) JOIN sz USING (doc_id)
 ),
 pref AS (SELECT doc_id, hv FROM ranked
-         WHERE rk <= n_sh - ceil({t} * n_sh) + 1),
+         WHERE rk <= n_sh - ceil(round({t} * n_sh, 9)) + 1),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM pref a JOIN pref b ON a.hv = b.hv AND a.doc_id < b.doc_id
@@ -683,7 +688,7 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical bucketing in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    return similarity.knn_lsh(emb, queries, LSH_K)
+    return similarity.knn_lsh(emb, queries, LSH_K, dim=EMB_DIM)
 
 
 def _oracle_ann_lsh() -> str:

@@ -277,7 +277,13 @@ def ingest_distributed(spark: SparkSession, run_date: str, bronze_root: str,
     # actions (quarantine count, quarantine write, bronze write) and an
     # unpersisted fetch would re-invoke the external fetcher per action —
     # 3× the API burn, and a transiently-flaky location could be counted
-    # quarantined by one action yet written valid by another.
+    # quarantined by one action yet written valid by another. NOTE:
+    # persist REDUCES re-invocation, it does not guarantee exactly-once —
+    # executor loss, cache eviction, or speculative/retried tasks
+    # recompute the partition and re-hit the fetcher. For true
+    # at-most-once fetch semantics, write the raw payloads to durable
+    # storage first and fork valid/quarantine off that materialized copy
+    # (the bronze layer itself plays that role when quarantine is off).
     raw = fetch_distributed(geo, run_date, fetcher, parallelism) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     try:
