@@ -407,3 +407,92 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
                 "hamming")
     )
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 30) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation: every vertex starts labeled with its own id and
+    repeatedly takes the minimum of its own and its neighbors' labels
+    until a fixed point. Deterministic (min is order-free), and the label
+    a component converges to is its minimum vertex id.
+
+    Scale shape (the reference's closest analog is the latest-record-wins
+    window, ``fact_weather_params_history.sql:17-32`` — single-table; this
+    is its graph generalization):
+
+    - each iteration is ONE equi-join (edges × labels on the neighbor key)
+      plus ONE partial-aggregatable ``min`` groupBy — no windows;
+    - ``localCheckpoint`` per iteration truncates lineage, exactly as in
+      :func:`~..similarity.train_ivf_centroids` (the iterative-algorithm
+      trap: an unmaterialized loop re-executes the whole history per
+      action);
+    - iterations needed = graph diameter. Near-dup components are
+      overwhelmingly shallow (stars around a popular document); for
+      adversarial long-chain graphs the large-star/small-star algorithm
+      (Kiveris et al., "Connected Components in MapReduce") halves the
+      diameter per round — a drop-in upgrade behind the same signature;
+    - the edge list is persisted once and re-read per iteration; labels
+      are O(V), edges O(E), never materializing pairs² anything.
+
+    Returns (vertex, label) with one row per distinct endpoint of
+    ``pairs``. Raises if ``max_iter`` passes without convergence rather
+    than returning a half-propagated labeling.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"),
+                                  F.col(src).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (edges.select("u").distinct()
+              .select("u", F.col("u").alias("lbl"))
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            neighbor = (
+                edges.join(labels.withColumnRenamed("u", "v"), "v")
+                .select("u", "lbl")
+            )
+            new_labels = (
+                labels.unionByName(neighbor)
+                .groupBy("u").agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), "u")
+                .filter(F.col("lbl") != F.col("old"))
+                .limit(1).count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — component diameter exceeds the cap; raise "
+            "max_iter or switch to large-star/small-star")
+    finally:
+        edges.unpersist()
+
+
+def dup_clusters(pairs: DataFrame, src: str = "doc_a",
+                 dst: str = "doc_b") -> DataFrame:
+    """Duplicate-cluster canonicalization — the last step of a real dedup
+    pipeline: collapse near-dup PAIRS into connected components and pick
+    one keeper per cluster (min doc id wins, deterministically).
+
+    Output: (doc_id, cluster_id, is_canonical) with one row per document
+    that appears in at least one pair; ``cluster_id`` is the component's
+    minimum doc id, and exactly that document has ``is_canonical = true``.
+    Downstream, the kept corpus is ``docs`` anti-joined to the
+    ``is_canonical = false`` rows.
+    """
+    labels = connected_components(pairs, src, dst)
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("u") == F.col("lbl")).alias("is_canonical"))

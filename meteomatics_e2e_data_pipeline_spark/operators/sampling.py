@@ -1,0 +1,76 @@
+"""Deterministic stratified sampling for training-mix construction.
+
+A training-data pipeline samples each stratum (language × source, domain,
+quality band …) at its own rate, and the sample must be REPRODUCIBLE: the
+same document makes the same in/out decision on every engine, every run,
+every cluster size. Spark's ``sampleBy`` can't promise that (its
+Bernoulli draw depends on partition-internal RNG state, so a repartition
+changes the sample), so the decision here is a pure function of the row:
+
+    keep  ⇔  base_hash48(doc_id || '|' || salt) % BUCKETS < round(rate·BUCKETS)
+
+- ``base_hash48`` is the repo-wide md5-derived 48-bit hash
+  (``textops.base_hash48``), reproducible bit-for-bit in DuckDB — the
+  oracle recomputes the identical threshold test in SQL;
+- the ``salt`` decouples independent samples: two samples with different
+  salts of the same corpus are independent draws, same salt = same rows
+  (the property you want for resumable mix building);
+- rates ride in as a tiny config map, broadcast-joined onto the corpus —
+  row-local decision, ZERO extra shuffles, fully pushdown-friendly;
+- rate resolution is ``round(rate * BUCKETS)`` buckets out of ``BUCKETS``
+  (10 000 → 0.01 % granularity), identical integer in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textops import base_hash48
+
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(id_expr, salt: str):
+    """The 0..SAMPLE_BUCKETS-1 bucket of a row — pure function of
+    (id, salt), identical in DuckDB as
+    ``('0x' || substr(md5(id || '|<salt>'), 1, 12))::BIGINT % 10000``."""
+    return base_hash48(
+        F.concat_ws("|", id_expr.cast("string"), F.lit(salt))
+    ) % SAMPLE_BUCKETS
+
+
+def stratified_sample(df: DataFrame, rates: dict[tuple[str, ...], float],
+                      key_cols: tuple[str, ...] = ("lang", "source"),
+                      id_col: str = "doc_id", salt: str = "mix0",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row of ``df`` with its stratum's rate, deterministically.
+
+    ``rates`` maps stratum key tuples (values of ``key_cols``) to keep
+    rates in [0, 1]; strata absent from the map use ``default_rate``.
+    The rate map is config-sized by contract — it becomes a broadcast
+    dimension joined on the stratum key, so the corpus-side plan is a
+    single scan + filter with no shuffle. Output keeps ``df``'s columns.
+    """
+    for key, rate in rates.items():
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate for {key!r} must be in [0, 1], got {rate}")
+        if len(key) != len(key_cols):
+            raise ValueError(
+                f"stratum key {key!r} does not match key_cols {key_cols}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    rate_rows = [(*key, int(round(rate * SAMPLE_BUCKETS)))
+                 for key, rate in rates.items()]
+    schema = ", ".join(f"{c} string" for c in key_cols) + ", __thr bigint"
+    rdim = spark.createDataFrame(rate_rows, schema=schema)
+    default_thr = int(round(default_rate * SAMPLE_BUCKETS))
+    return (
+        df.join(F.broadcast(rdim), list(key_cols), "left")
+        .withColumn("__thr",
+                    F.coalesce(F.col("__thr"), F.lit(default_thr)))
+        .filter(sample_bucket(F.col(id_col), salt) < F.col("__thr"))
+        .drop("__thr")
+        .select(*df.columns)
+    )

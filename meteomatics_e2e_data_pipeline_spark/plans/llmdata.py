@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import neardup, similarity
+from ..operators import neardup, sampling, similarity
 from ..operators.multimodal import extract_features, to_media_table
 from ..operators.textops import (
     LANG_ORDER, LANG_STOPWORDS, MINHASH_P, chunk_tokens, content_hash,
@@ -776,6 +776,84 @@ FROM pairs WHERE cos_raw >= {COSINE_DUP_THRESHOLD}
 """
 
 
+def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization — near-dup PAIRS collapsed into
+    connected components with a deterministic min-doc-id keeper per
+    cluster (the last step of a real dedup pipeline; the reference's
+    single-table analog is the latest-record-wins window,
+    fact_weather_params_history.sql:17-32). Oracle: DuckDB recursive CTE
+    computes the transitive closure over the same verified pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup.near_dup_pairs(docs, n=SHINGLE_N,
+                                   threshold=NEARDUP_THRESHOLD)
+    return neardup.dup_clusters(pairs)
+
+
+def _oracle_dup_clusters() -> str:
+    # The pair set is the (already hash-green) near-dup oracle, embedded
+    # as a nested-WITH CTE; reachability via a recursive UNION (dedup)
+    # CTE, then cluster id = min reachable vertex (every vertex in a
+    # >=2-component reaches itself through any neighbor, so min(v)
+    # already includes u; least() keeps the expression total anyway).
+    return rf"""
+WITH RECURSIVE pairs AS ({_oracle_near_dup()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id,
+       u = least(u, min(v)) AS is_canonical
+FROM reach GROUP BY u
+"""
+
+
+# Training-mix rates: per-(lang, source) keep rates for the deterministic
+# stratified sample; strata not listed fall back to the default. The salt
+# names the draw — same salt reproduces the identical sample anywhere.
+SAMPLE_RATES: dict[tuple[str, str], float] = {
+    ("en", "src0"): 1.0,
+    ("en", "src1"): 0.5,
+    ("de", "src0"): 0.25,
+    ("fr", "src1"): 0.75,
+    ("zh", "src0"): 0.8,
+}
+SAMPLE_DEFAULT_RATE = 0.2
+SAMPLE_SALT = "mix0"
+
+
+def q_docs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    keep ⇔ md5-derived hash bucket of (doc_id, salt) under the stratum's
+    threshold — exactly reproducible on both engines, unlike sampleBy
+    (whose draw shifts with partitioning). Row-local decision; the rate
+    map is a broadcast dim."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, SAMPLE_RATES, key_cols=("lang", "source"),
+        id_col="doc_id", salt=SAMPLE_SALT,
+        default_rate=SAMPLE_DEFAULT_RATE)
+
+
+def _oracle_sampled() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS
+    whens = "\n         ".join(
+        f"WHEN lang = '{lang}' AND source = '{src}' "
+        f"THEN {int(round(rate * SAMPLE_BUCKETS))}"
+        for (lang, src), rate in SAMPLE_RATES.items())
+    default_thr = int(round(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS))
+    return rf"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(doc_id || '|{SAMPLE_SALT}'), 1, 12))::BIGINT
+      % {SAMPLE_BUCKETS}
+    < CASE {whens}
+         ELSE {default_thr} END
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -806,6 +884,8 @@ LLM_QUERIES = {
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
+    "docs_dup_clusters": q_docs_dup_clusters,
+    "docs_sampled": q_docs_sampled,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -831,6 +911,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),
+        "docs_dup_clusters": _oracle_dup_clusters(),
+        "docs_sampled": _oracle_sampled(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

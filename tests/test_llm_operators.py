@@ -251,3 +251,135 @@ def test_exact_dedup_invariant_under_formatting(spark):
               .collect()}
     assert hashes[1] == hashes[2] == hashes[3]
     assert hashes[4] != hashes[1]
+
+
+def test_dup_clusters_fixed_point_and_cocluster(spark):
+    """Connected-component canonicalization: a chained pair set collapses
+    transitively (1-2, 2-3 => one cluster even though 1-3 never paired),
+    labels are a fixed point (one more propagation changes nothing), and
+    every pair's endpoints land in the same cluster with exactly one
+    canonical doc = the min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 10), (10, 11), (9, 11)],
+        "doc_a bigint, doc_b bigint")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in neardup.dup_clusters(pairs).collect()}
+    assert {k: v[0] for k, v in out.items()} == {
+        1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 10: 9, 11: 9}
+    assert {k for k, v in out.items() if v[1]} == {1, 5, 9}
+    # fixed point: labels propagated once more through the edges are
+    # unchanged (the convergence criterion, re-checked independently)
+    edges = {}
+    for a, b in [(1, 2), (2, 3), (5, 6), (9, 10), (10, 11), (9, 11)]:
+        edges.setdefault(a, set()).add(b)
+        edges.setdefault(b, set()).add(a)
+    for u, nbrs in edges.items():
+        lbl = out[u][0]
+        assert lbl == min([lbl] + [out[v][0] for v in nbrs])
+
+
+def test_dup_clusters_empty_and_convergence_guard(spark):
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert neardup.dup_clusters(empty).count() == 0
+    # a 6-vertex path needs ~5 propagation rounds; max_iter=1 must raise
+    # loudly, never return a half-propagated labeling
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a bigint, doc_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Hash-threshold sampling hits each stratum's rate within tolerance,
+    is bit-reproducible across runs, and decorrelates across salts."""
+    from meteomatics_e2e_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    n = 4000
+    rows = [(i, f"t{i}", ["en", "de"][i % 2], f"src{i % 2}")
+            for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                       "lang string, source string")
+    rates = {("en", "src0"): 0.5, ("de", "src1"): 0.1}
+    kept = stratified_sample(docs, rates, ("lang", "source"),
+                             default_rate=0.0, salt="s1").collect()
+    by_stratum = {}
+    for r in kept:
+        by_stratum.setdefault((r["lang"], r["source"]), []).append(r["doc_id"])
+    # per-stratum empirical rate within ±4 pp of target (2000 draws each)
+    assert abs(len(by_stratum[("en", "src0")]) / 2000 - 0.5) < 0.04
+    assert abs(len(by_stratum[("de", "src1")]) / 2000 - 0.1) < 0.04
+    # rerun: identical rows (the whole point vs sampleBy)
+    again = {r["doc_id"] for r in stratified_sample(
+        docs, rates, ("lang", "source"), default_rate=0.0,
+        salt="s1").collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # different salt: an independent draw (overlap ≈ rate², not 100%)
+    other = {r["doc_id"] for r in stratified_sample(
+        docs, rates, ("lang", "source"), default_rate=0.0,
+        salt="s2").collect()}
+    assert other != again
+    # invalid rates refuse loudly
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {("en", "src0"): 1.5}, ("lang", "source"))
+
+
+def test_emb_dim_catalog_matches_testdata(spark, sf_oracle):
+    """EMB_DIM is passed as catalog truth to skip the driver-side dim
+    probe — it must actually match the shipped embeddings tables."""
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import EMB_DIM
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    row = load_table(spark, sf_oracle, "embeddings") \
+        .select(F.size("embedding").alias("d")).first()
+    assert row["d"] == EMB_DIM
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_jaccard_prefix_pairs_property(spark, data):
+    """Property check: the prefix-filter join is EXACT against a
+    brute-force all-pairs Jaccard on random corpora, including thresholds
+    like 0.07/0.14/0.28 whose rate*size products hit upward FP error in
+    the prefix bound (the round-before-ceil guard)."""
+    import itertools
+
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        jaccard_prefix_pairs,
+    )
+
+    threshold = data.draw(st.sampled_from(
+        [0.07, 0.14, 0.28, 0.3, 0.5, 0.7]))
+    vocab = [f"w{i}" for i in range(12)]
+    n_docs = data.draw(st.integers(min_value=3, max_value=12))
+    rows = []
+    for i in range(n_docs):
+        n_tok = data.draw(st.integers(min_value=3, max_value=20))
+        toks = [vocab[data.draw(st.integers(0, len(vocab) - 1))]
+                for _ in range(n_tok)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           jaccard_prefix_pairs(docs, n=3, threshold=threshold).collect()}
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa | sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            want[(ia, ib)] = round(j, 6)
+    assert got == want
