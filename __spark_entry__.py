@@ -40,7 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST = (
     "docs_exact_dedup",   # normalize_text changed post-row (r2); re-attest
     "docs_dup_clusters",  # NEW this round (connected-component canonicalize)
+    "docs_dedup_keep",    # NEW this round (kept corpus after canonicalize)
     "docs_sampled",       # NEW this round (deterministic stratified sample)
+    "docs_sample_exact_n",    # NEW this round (exact-N hash-ranked sample)
+    "docs_token_budget_mix",  # NEW this round (budget-filled mix)
+    "docs_quality_gopher",    # NEW this round (repetition/quality metrics)
+    "docs_redacted",          # NEW this round (PII/term redaction)
+    "emb_quantize_int8",      # NEW this round (int8 embedding compression)
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
     "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
     "emb_cosine_near_dup",  # same operator

@@ -496,3 +496,18 @@ def dup_clusters(pairs: DataFrame, src: str = "doc_a",
         F.col("u").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
         (F.col("u") == F.col("lbl")).alias("is_canonical"))
+
+
+def keep_canonical(docs: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The kept corpus after dedup: drop every document that sits in a
+    duplicate cluster WITHOUT being its canonical representative.
+
+    ``clusters`` is :func:`dup_clusters` output; the drop-list is its
+    ``is_canonical = false`` rows, which by construction is small relative
+    to the corpus (the duplicate tail), so the anti-join broadcasts at
+    any realistic dup rate — the corpus side streams unshuffled. Keeps
+    ``docs``' schema: singletons (never paired) pass through untouched.
+    """
+    drop = clusters.filter(~F.col("is_canonical")).select(id_col)
+    return docs.join(F.broadcast(drop), id_col, "left_anti")

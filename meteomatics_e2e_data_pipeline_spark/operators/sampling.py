@@ -74,3 +74,69 @@ def stratified_sample(df: DataFrame, rates: dict[tuple[str, ...], float],
         .drop("__thr")
         .select(*df.columns)
     )
+
+
+def sample_exact_n(df: DataFrame, n_per_stratum: int,
+                   key_cols: tuple[str, ...] = ("lang", "source"),
+                   id_col: str = "doc_id", salt: str = "mix0") -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen deterministically: rank rows inside each stratum by
+    their (hash, id) and keep the first N. Rate-based sampling
+    (:func:`stratified_sample`) hits a rate in expectation; this hits a
+    COUNT exactly — what a mix spec with per-source row budgets needs.
+
+    One shuffle on the stratum key (the ranking window); the hash order is
+    a pure function of (id, salt), so the same N rows come back on any
+    engine, run, or partitioning. At 100 TB prefer rate-sampling first to
+    shrink the windowed frame when N ≪ stratum size.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        sample_bucket(F.col(id_col), salt), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+        .select(*df.columns)
+    )
+
+
+def token_budget_mix(df: DataFrame, budgets: dict[str, int],
+                     stratum_col: str = "lang", weight_col: str = "n_chars",
+                     id_col: str = "doc_id", salt: str = "mix0",
+                     default_budget: int = 0) -> DataFrame:
+    """Fill each stratum's budget (token/char count, any additive weight)
+    with documents in deterministic hash order: keep a document iff the
+    running ``weight_col`` total up to AND including it stays within the
+    stratum's budget. The construction step of a training mix specified
+    as "X tokens of lang A, Y of lang B".
+
+    Greedy-by-hash-order is the deterministic analog of random-fill: the
+    kept set is identical on every engine/run. One shuffle (the cumsum
+    window on the stratum key); budgets ride in as a broadcast dim.
+    A document larger than the remaining budget is skipped but documents
+    after it may still fit — the standard greedy fill, expressible as
+    keep ⇔ cumsum ≤ budget only when overshooting docs are excluded
+    first; here the simpler prefix rule (stop at first overshoot) is
+    used so the oracle is a pure window expression: keep ⇔ running total
+    ≤ budget.
+    """
+    from pyspark.sql import Window
+
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    rows = [(k, int(v)) for k, v in budgets.items()]
+    bdim = spark.createDataFrame(rows, schema=f"{stratum_col} string, "
+                                              "__budget bigint")
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(sample_bucket(F.col(id_col), salt), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        df.join(F.broadcast(bdim), stratum_col, "left")
+        .withColumn("__budget",
+                    F.coalesce(F.col("__budget"), F.lit(int(default_budget))))
+        .withColumn("__cum", F.sum(weight_col).over(w))
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .drop("__budget", "__cum")
+        .select(*df.columns)
+    )

@@ -414,3 +414,32 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                 F.round(F.col("cos_raw"), 6).alias("cos_sim"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def quantize_int8(corpus: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage-scale path
+    for embedding columns: 4× smaller than float32 (32× vs the float64
+    compute form), with the per-vector scale kept alongside for
+    dequantization ``x ≈ q · scale``.
+
+    ``scale = max(|x|) / 127``; ``q_i = round(x_i / scale)`` ∈ [-127,
+    127]. Entirely row-local (higher-order functions, ZERO shuffles) and
+    arithmetic-deterministic: max/divide/round on identical IEEE doubles
+    — the DuckDB oracle reproduces it bit-for-bit with list_ functions.
+    All-zero vectors quantize to zeros with scale 0 (guarded division).
+    Output: (id, scale, q array<int>).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        scale == 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int")))
+    return corpus.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        q.alias("q"))

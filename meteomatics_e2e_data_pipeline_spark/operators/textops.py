@@ -136,3 +136,76 @@ def lang_guess(tok: Column) -> Column:
     for lang in reversed(LANG_ORDER):
         out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
     return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def repetition_stats(docs, id_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Gopher-style repetition/quality metrics per document — the filters
+    a training-data pipeline runs before anything expensive touches a doc
+    (Rae et al. 2021 §A1.1 use line/paragraph repetition; this corpus is
+    single-line, so the token-level family carries the signal):
+
+    - ``n_tokens``, ``n_distinct`` and their ratio (type-token ratio —
+      low means the doc is the same few words over and over);
+    - ``top_unigram_frac`` — share of tokens taken by the most frequent
+      token; ``top_bigram_frac`` — share of bigrams taken by the most
+      frequent bigram (word-level copy-paste repetition);
+    - ``mean_token_len`` — degenerate corpora sit at the extremes.
+
+    Shape: one explode per n-gram order → counts per (doc, gram) → one
+    partial-aggregatable rollup per doc — two shuffles total, both on
+    doc_id, no windows. All fractions rounded to 6 for oracle parity.
+    """
+    from pyspark.sql import functions as F
+
+    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
+    uni = (tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.max("c").alias("top_uni"),
+                (F.sum(F.length("t") * F.col("c"))).alias("chars")))
+    # bigrams: pair token i with token i+1 (guard: <2 tokens → no bigrams;
+    # sequence(1, 0) would COUNT DOWN in Spark, so never emit it)
+    big = (
+        docs.select(id_col, tokens(F.col(text_col)).alias("w"))
+        .select(id_col, F.when(
+            F.size("w") >= 2,
+            F.expr("transform(sequence(1, size(w) - 1), "
+                   "i -> concat(w[i - 1], ' ', w[i]))"))
+            .otherwise(F.array().cast("array<string>")).alias("bigrams"))
+    )
+    big = (big.select(id_col, F.explode("bigrams").alias("g"))
+           .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(id_col)
+           .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big")))
+    return (
+        uni.join(big, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+            .alias("type_token_ratio"),
+            F.round(F.col("top_uni") / F.col("n_tokens"), 6)
+            .alias("top_unigram_frac"),
+            F.round(F.coalesce(F.col("top_big") / F.col("n_bigrams"),
+                               F.lit(0.0)), 6).alias("top_bigram_frac"),
+            F.round(F.col("chars") / F.col("n_tokens"), 6)
+            .alias("mean_token_len"),
+        )
+    )
+
+
+def redact(c, patterns: dict[str, str]):
+    """Apply word/PII redaction patterns in deterministic dict order —
+    each a full-regex replace (Spark replaces every match; the DuckDB
+    oracle mirrors with the 'g' flag). Patterns must stay in the regex
+    subset both engines share (character classes, \\b anchors — no
+    lookbehind, which RE2 lacks)."""
+    from pyspark.sql import functions as F
+
+    out = c
+    for pat, repl in patterns.items():
+        out = F.regexp_replace(out, pat, repl)
+    return out

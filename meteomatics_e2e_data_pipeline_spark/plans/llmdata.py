@@ -30,7 +30,7 @@ from ..operators import neardup, sampling, similarity
 from ..operators.multimodal import extract_features, to_media_table
 from ..operators.textops import (
     LANG_ORDER, LANG_STOPWORDS, MINHASH_P, chunk_tokens, content_hash,
-    lang_guess, lang_score, tokens,
+    lang_guess, lang_score, redact, repetition_stats, tokens,
 )
 from ..sources.tables import load_table
 
@@ -854,6 +854,185 @@ WHERE ('0x' || substr(md5(doc_id || '|{SAMPLE_SALT}'), 1, 12))::BIGINT
 """
 
 
+def q_docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept corpus after dedup — canonical docs survive, their
+    near-dup cluster-mates are dropped, never-paired docs pass through.
+    The end-to-end deliverable of the dedup family (pairs → clusters →
+    keep-one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup.near_dup_pairs(docs, n=SHINGLE_N,
+                                   threshold=NEARDUP_THRESHOLD)
+    return neardup.keep_canonical(docs, neardup.dup_clusters(pairs))
+
+
+def _oracle_dedup_keep() -> str:
+    # non-canonical = cluster members whose id isn't the component min;
+    # the cluster CTE is the (hash-green) dup-clusters oracle nested once
+    return rf"""
+WITH clust AS ({_oracle_dup_clusters()})
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clust WHERE NOT is_canonical)
+"""
+
+
+def q_docs_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality metrics (type-token ratio, top
+    unigram/bigram fractions, mean token length) — the cheap filters a
+    training pipeline runs before anything expensive touches a doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+ORACLE_QUALITY_GOPHER = """
+WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+uni AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+u AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+             max(c) AS top_uni, sum(len(t) * c)::BIGINT AS chars
+      FROM uni GROUP BY 1),
+warr AS (SELECT doc_id, {toks} AS w FROM documents),
+bg0 AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM warr),
+bg AS (SELECT doc_id, g, count(*) AS c FROM bg0 GROUP BY 1, 2),
+b AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS top_big
+      FROM bg GROUP BY 1)
+SELECT u.doc_id, n_tokens, n_distinct,
+       round(n_distinct / n_tokens::DOUBLE, 6) AS type_token_ratio,
+       round(top_uni / n_tokens::DOUBLE, 6) AS top_unigram_frac,
+       round(coalesce(top_big / n_bigrams::DOUBLE, 0), 6) AS top_bigram_frac,
+       round(chars / n_tokens::DOUBLE, 6) AS mean_token_len
+FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+"""
+
+
+# Redaction patterns: regex subset shared by Java regex and RE2 (character
+# classes + \b anchors; no lookbehind). The email pattern is the PII form
+# (zero hits on this synthetic corpus — by design); the term pattern
+# exercises non-trivial replacement on every engine.
+REDACT_PATTERNS = {
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}": "[EMAIL]",
+    r"\bcustomer\b": "[CUSTOMER]",
+}
+
+
+def q_docs_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/term redaction: pattern-scrub the text (all occurrences) and
+    count hits — row-local regexp codegen, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_hits = None
+    for pat in REDACT_PATTERNS:
+        cnt = F.regexp_count(F.col("text"), F.lit(pat))
+        n_hits = cnt if n_hits is None else n_hits + cnt
+    return docs.select(
+        "doc_id",
+        redact(F.col("text"), REDACT_PATTERNS).alias("clean_text"),
+        n_hits.cast("int").alias("n_redactions"))
+
+
+def _oracle_redacted() -> str:
+    clean = "text"
+    hits = []
+    for pat, repl in REDACT_PATTERNS.items():
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+        hits.append(f"len(regexp_extract_all(text, '{pat}'))")
+    return rf"""
+SELECT doc_id, {clean} AS clean_text,
+       ({' + '.join(hits)})::INT AS n_redactions
+FROM documents
+"""
+
+
+SAMPLE_EXACT_N = 12
+
+
+def q_docs_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample (hash-ranked) — the
+    count-budgeted twin of the rate sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_exact_n(docs, SAMPLE_EXACT_N,
+                                   key_cols=("lang", "source"),
+                                   id_col="doc_id", salt=SAMPLE_SALT)
+
+
+def _oracle_sample_exact_n() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS
+    hb = (f"('0x' || substr(md5(doc_id || '|{SAMPLE_SALT}'), 1, 12))::BIGINT"
+          f" % {SAMPLE_BUCKETS}")
+    return rf"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang, source
+                               ORDER BY {hb}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_EXACT_N}
+"""
+
+
+# Char budgets per language for the token-budget mix (chars stand in for
+# tokens on this synthetic corpus; the operator takes any additive weight)
+MIX_BUDGETS = {"en": 20_000, "de": 8_000, "zh": 9_000}
+MIX_DEFAULT_BUDGET = 4_000
+
+
+def q_docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-filled training mix: docs in deterministic hash order per
+    language until the stratum's char budget is reached (prefix rule:
+    keep while the running total stays within budget)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.token_budget_mix(
+        docs, MIX_BUDGETS, stratum_col="lang", weight_col="n_chars",
+        id_col="doc_id", salt=SAMPLE_SALT,
+        default_budget=MIX_DEFAULT_BUDGET)
+
+
+def _oracle_token_budget_mix() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS
+    hb = (f"('0x' || substr(md5(doc_id || '|{SAMPLE_SALT}'), 1, 12))::BIGINT"
+          f" % {SAMPLE_BUCKETS}")
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_BUDGETS.items())
+    return rf"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY {hb}, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+         CASE lang {whens} ELSE {MIX_DEFAULT_BUDGET} END AS budget
+  FROM documents)
+WHERE cum <= budget
+"""
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4× storage-compression path for a 100 TB vector lake; row-local,
+    zero shuffles, bit-reproducible in DuckDB list functions.
+
+    The operator returns (id, scale, q array<int>); the driver-checked
+    projection space-joins ``q`` into a lossless string because no
+    array-typed column has ever been through the driver's value-hash
+    gate (every green query to date emits scalars) — the values, not the
+    container, are what parity attests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb).select(
+        "vec_id", "scale",
+        F.concat_ws(" ", F.col("q")).alias("q_str"))
+
+
+ORACLE_QUANTIZE_INT8 = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax FROM v)
+SELECT vec_id,
+       round(amax / 127.0, 9) AS scale,
+       array_to_string(
+         CASE WHEN amax = 0
+              THEN list_transform(v, x -> 0::INT)
+              ELSE list_transform(v, x -> round(x / (amax / 127.0))::INT)
+         END, ' ') AS q_str
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -885,7 +1064,13 @@ LLM_QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "docs_dup_clusters": q_docs_dup_clusters,
+    "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
+    "docs_sample_exact_n": q_docs_sample_exact_n,
+    "docs_token_budget_mix": q_docs_token_budget_mix,
+    "docs_quality_gopher": q_docs_quality_gopher,
+    "docs_redacted": q_docs_redacted,
+    "emb_quantize_int8": q_emb_quantize_int8,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -912,7 +1097,14 @@ def llm_oracle() -> dict[str, str]:
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),
         "docs_dup_clusters": _oracle_dup_clusters(),
+        "docs_dedup_keep": _oracle_dedup_keep(),
         "docs_sampled": _oracle_sampled(),
+        "docs_sample_exact_n": _oracle_sample_exact_n(),
+        "docs_token_budget_mix": _oracle_token_budget_mix(),
+        "docs_quality_gopher": ORACLE_QUALITY_GOPHER.format(
+            toks=_DUCK_TOKENS),
+        "docs_redacted": _oracle_redacted(),
+        "emb_quantize_int8": ORACLE_QUANTIZE_INT8,
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

@@ -383,3 +383,115 @@ def test_jaccard_prefix_pairs_property(spark, data):
         if j >= threshold:
             want[(ia, ib)] = round(j, 6)
     assert got == want
+
+
+def test_keep_canonical_drops_only_cluster_tails(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 8)], "doc_id bigint, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (5, 5, True),
+         (6, 5, False)],
+        "doc_id bigint, cluster_id bigint, is_canonical boolean")
+    kept = {r["doc_id"]
+            for r in neardup.keep_canonical(docs, clusters).collect()}
+    # canonical reps survive, tails drop, never-paired docs pass through
+    assert kept == {1, 4, 5, 7}
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),
+         (2, "one two three four five"),
+         (3, "ab cd ab cd ab cd"),
+         (4, "single")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert out[1]["top_unigram_frac"] == 1.0       # pure repetition
+    assert out[1]["type_token_ratio"] == 0.2
+    assert out[2]["top_unigram_frac"] == 0.2       # all-distinct
+    assert out[2]["type_token_ratio"] == 1.0
+    # "ab cd" repeated: top bigram 'ab cd' occurs 3 of 5 bigrams
+    assert out[3]["top_bigram_frac"] == 0.6
+    assert out[4]["n_tokens"] == 1                 # <2 tokens: no bigrams
+    assert out[4]["top_bigram_frac"] == 0.0
+    assert out[2]["mean_token_len"] == round(19 / 5, 6)  # 3+3+5+4+4 chars
+
+
+def test_redact_scrubs_email_and_terms(spark):
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import redact
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        REDACT_PATTERNS,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@corp.example.com or ping the customer"),
+         (2, "customers are not customer but customer is")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r["c"] for r in docs.select(
+        "doc_id", redact(F.col("text"), REDACT_PATTERNS).alias("c")).collect()}
+    assert out[1] == "mail me at [EMAIL] or ping the [CUSTOMER]"
+    # \b keeps 'customers' intact while replacing every bare 'customer'
+    assert out[2] == "customers are not [CUSTOMER] but [CUSTOMER] is"
+
+
+def test_sample_exact_n_counts_and_determinism(spark):
+    from meteomatics_e2e_data_pipeline_spark.operators.sampling import (
+        sample_exact_n,
+    )
+
+    rows = [(i, f"t{i}", ["en", "de"][i % 2], "src0") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                       "lang string, source string")
+    got = sample_exact_n(docs, 7, ("lang", "source"), salt="sA").collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(per["en"]) == 7 and len(per["de"]) == 7
+    again = sample_exact_n(docs, 7, ("lang", "source"), salt="sA").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+    # stratum smaller than N: returns the whole stratum, no padding
+    tiny = docs.filter(F.col("doc_id") < 3)
+    assert sample_exact_n(tiny, 7, ("lang", "source")).count() == 3
+
+
+def test_token_budget_mix_prefix_rule(spark):
+    from meteomatics_e2e_data_pipeline_spark.operators.sampling import (
+        sample_bucket, token_budget_mix,
+    )
+
+    rows = [(i, "en", 10) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, "
+                                       "n_chars bigint")
+    kept = token_budget_mix(docs, {"en": 55}, weight_col="n_chars",
+                            salt="sB").collect()
+    # 10 chars each, budget 55 → exactly the first 5 docs in hash order
+    assert len(kept) == 5
+    order = sorted(
+        docs.select("doc_id",
+                    sample_bucket(F.col("doc_id"), "sB").alias("hb"))
+        .collect(), key=lambda r: (r["hb"], r["doc_id"]))
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in order[:5]}
+    # unknown stratum + default_budget=0 → nothing kept
+    other = spark.createDataFrame([(1, "xx", 5)], "doc_id bigint, "
+                                  "lang string, n_chars bigint")
+    assert token_budget_mix(other, {"en": 55}).count() == 0
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(docs).collect()}
+    assert out[2]["scale"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
+    scale, q = out[1]["scale"], out[1]["q"]
+    assert max(abs(x) for x in q) == 127
+    for orig, qi in zip([0.5, -1.0, 0.25, 0.0], q):
+        # max quantization error is scale/2 (hit exactly at half-points
+        # like 0.5/scale = 63.5); +1e-6 absorbs the 9-dp scale rounding
+        assert math.isclose(qi * scale, orig, abs_tol=scale / 2 + 1e-6)
