@@ -253,3 +253,34 @@ def stream_enrich(stream: DataFrame, dim: DataFrame,
     unenriched event must flow through (and be quarantined downstream),
     not silently vanish on a dim miss."""
     return stream.join(F.broadcast(dim), on=on, how="left")
+
+
+def stream_stratified_sample(stream: DataFrame,
+                             rates: dict[tuple[str, ...], float],
+                             key_cols: tuple[str, ...] = ("lang", "source"),
+                             id_col: str = "doc_id", salt: str = "mix0",
+                             default_rate: float = 0.0) -> DataFrame:
+    """Streaming twin of :func:`operators.sampling.stratified_sample` —
+    possible precisely BECAUSE the batch operator's keep-decision is a
+    pure row-local function of (id, salt): no state, no watermark, no
+    window, so it composes with any downstream streaming op. A document
+    admitted by the stream sample is the SAME document the batch sample
+    admits (same salt), which is what makes mixed batch/streaming
+    pipelines reconcilable. The rate map joins as a broadcast static
+    dim, same as the batch side."""
+    from .operators.sampling import SAMPLE_BUCKETS, sample_bucket
+
+    spark = stream.sparkSession
+    rate_rows = [(*key, int(round(rate * SAMPLE_BUCKETS)))
+                 for key, rate in rates.items()]
+    schema = ", ".join(f"{c} string" for c in key_cols) + ", __thr bigint"
+    rdim = spark.createDataFrame(rate_rows, schema=schema)
+    default_thr = int(round(default_rate * SAMPLE_BUCKETS))
+    out_cols = stream.columns
+    return (
+        stream.join(F.broadcast(rdim), list(key_cols), "left")
+        .withColumn("__thr", F.coalesce(F.col("__thr"), F.lit(default_thr)))
+        .filter(sample_bucket(F.col(id_col), salt) < F.col("__thr"))
+        .drop("__thr")
+        .select(*out_cols)
+    )

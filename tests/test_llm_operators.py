@@ -495,3 +495,37 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         # max quantization error is scale/2 (hit exactly at half-points
         # like 0.5/scale = 63.5); +1e-6 absorbs the 9-dp scale rounding
         assert math.isclose(qi * scale, orig, abs_tol=scale / 2 + 1e-6)
+
+
+def test_samplers_invariant_under_repartitioning(spark):
+    """The deterministic samplers must return the SAME rows regardless of
+    physical layout — the property sampleBy lacks and the reason these
+    exist. Checked across 1-partition, 13-partition, and range-sorted
+    layouts for all three samplers."""
+    from meteomatics_e2e_data_pipeline_spark.operators.sampling import (
+        sample_exact_n, stratified_sample, token_budget_mix,
+    )
+
+    rows = [(i, f"txt {i}", ["en", "de", "fr"][i % 3], f"src{i % 2}",
+             10 + i % 7) for i in range(400)]
+    schema = ("doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    base = spark.createDataFrame(rows, schema)
+    layouts = [base.coalesce(1), base.repartition(13),
+               base.orderBy(F.col("text").desc())]
+    rates = {("en", "src0"): 0.4, ("de", "src1"): 0.15}
+    budgets = {"en": 700, "de": 300}
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.collect())
+
+    for op in (
+        lambda d: stratified_sample(d, rates, ("lang", "source"),
+                                    default_rate=0.1, salt="sP"),
+        lambda d: sample_exact_n(d, 9, ("lang", "source"), salt="sP"),
+        lambda d: token_budget_mix(d, budgets, default_budget=100,
+                                   salt="sP"),
+    ):
+        results = [ids(op(d)) for d in layouts]
+        assert results[0] == results[1] == results[2]
+        assert 0 < len(results[0]) < 400

@@ -185,3 +185,38 @@ def test_stream_enrich_against_static_dim(spark, tmp_path):
     got = {r["city"]: r["lat"] for r in
            spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {"berlin": 52.52, "paris": 48.86, "atlantis": None}
+
+
+def test_stream_stratified_sample_matches_batch_sample(spark, tmp_path):
+    """The streaming sample admits EXACTLY the rows the batch sample
+    admits (same salt) — the reconcilability contract that makes a
+    mixed batch/streaming mix-building pipeline sound."""
+    from meteomatics_e2e_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_stratified_sample,
+    )
+
+    rows = [(i, f"txt {i}", ["en", "de"][i % 2], "src0") for i in range(300)]
+    schema = "doc_id long, text string, lang string, source string"
+    batch = spark.createDataFrame(rows, schema)
+    rates = {("en", "src0"): 0.5, ("de", "src0"): 0.2}
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(str(src)))
+    q = (stream_stratified_sample(stream, rates, salt="sX")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {r["doc_id"] for r in
+            stratified_sample(batch, rates, salt="sX").collect()}
+    assert got == want and 0 < len(want) < 300
