@@ -47,6 +47,8 @@ _VERIFY_FIRST = (
     "docs_quality_gopher",    # NEW this round (repetition/quality metrics)
     "docs_redacted",          # NEW this round (PII/term redaction)
     "emb_quantize_int8",      # NEW this round (int8 embedding compression)
+    "emb_knn_int8",           # NEW this round (compressed-domain kNN)
+    "multimodal_resized",     # NEW this round (binary-out resize plumbing)
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
     "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
     "emb_cosine_near_dup",  # same operator

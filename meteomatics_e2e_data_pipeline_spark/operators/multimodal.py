@@ -122,3 +122,62 @@ def extract_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     from .textops import spread_for_fanout
     return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
         .mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
+def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
+    """STUB: real image resize (PIL.Image.resize) — library not in this
+    container. The Spark plumbing around it is real and tested."""
+    raise NotImplementedError("image resize requires Pillow; not in container")
+
+
+RESIZE_SCHEMA = ("doc_id bigint, payload binary, width int, height int, "
+                 "n_bytes int")
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing — the binary-in/binary-out ``mapInPandas`` shape:
+    payload → decoded image → resized image → re-encoded payload, with
+    the new dimensions carried as typed columns. The decode/resize inner
+    loop is the deterministic fake standing in for :func:`resize_image`
+    (Pillow absent): the fake emits ``width*height//8`` bytes drawn from
+    an md5-in-counter-mode HEX stream seeded by (payload, target dims),
+    so output size scales with the target roughly as a real re-encode
+    does, and reruns are bit-identical. (Hex text rather than raw digest
+    bytes so the DuckDB oracle — whose ``md5`` takes VARCHAR only — can
+    rebuild the identical payload.) Everything Spark-side — Arrow
+    batches both directions, binary columns in AND out, declared schema,
+    row-local no-shuffle plan — is exactly the real operator's shape.
+    """
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+    n_out = max(1, width * height // 8)
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            outs = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                seed = hashlib.md5(
+                    raw + f"|{width}x{height}".encode()).hexdigest()
+                # deterministic hex stream of the target size (md5 in
+                # counter mode) — the fake stand-in for the re-encode
+                stream = ""
+                ctr = 0
+                while len(stream) < n_out:
+                    stream += hashlib.md5(
+                        f"{seed}|{ctr}".encode()).hexdigest()
+                    ctr += 1
+                outs.append(stream[:n_out].encode())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": pd.Series(outs, dtype="object"),
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "n_bytes": pd.Series([n_out] * len(pdf), dtype="int32"),
+            })
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)

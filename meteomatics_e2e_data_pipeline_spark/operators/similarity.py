@@ -443,3 +443,41 @@ def quantize_int8(corpus: DataFrame, id_col: str = "vec_id",
         F.col(id_col),
         F.round(scale, 9).alias("scale"),
         q.alias("q"))
+
+
+def knn_bruteforce_int8(corpus: DataFrame, queries: DataFrame, k: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Compressed-domain exact-shape kNN: both sides are int8-quantized
+    (:func:`quantize_int8`) and cosine is computed over the INTEGER
+    codes — the per-vector scales cancel in the cosine ratio, so no
+    dequantization happens at search time. This is the 100 TB read-path
+    win: the scan touches 4× fewer bytes and the arithmetic is exact in
+    doubles (|q|≤127 ⇒ every dot ≪ 2^53), at the cost of quantization
+    error in the scores (recall vs full precision is property-tested).
+    Same plan shape as :func:`knn_bruteforce`: broadcast queries, corpus
+    streams, one top-k shuffle. Output: (query_id, neighbor_id, cos_sim,
+    rank).
+    """
+    from pyspark.sql import Window
+    qc = quantize_int8(corpus, id_col, vec_col)
+    qq = quantize_int8(queries, id_col, vec_col)
+    q = (qq.select(F.col(id_col).alias("query_id"),
+                   F.col("q").alias("q_vec"))
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    c = (qc.select(F.col(id_col).alias("neighbor_id"),
+                   F.col("q").alias("c_vec"))
+         .withColumn("__cn", _norm(F.col("c_vec"))))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _PAIR_COS().alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -1033,6 +1033,73 @@ FROM s
 """
 
 
+def q_emb_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain kNN: cosine over the int8 codes (scales cancel
+    in the ratio) — the 4×-fewer-bytes read path; recall vs full
+    precision is property-tested in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_bruteforce_int8(emb, queries, KNN_K)
+
+
+ORACLE_KNN_INT8 = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+quant AS (SELECT vec_id,
+                 CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+                      ELSE list_transform(v, x -> round(x / (amax / 127.0)))
+                 END AS q
+          FROM s),
+q AS (SELECT vec_id AS query_id, q AS qv FROM quant
+      WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, q AS cv FROM quant),
+scored AS (
+  SELECT query_id, neighbor_id, {_DUCK_COS} AS cos_raw
+  FROM q, c WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+RESIZE_W, RESIZE_H = 24, 16  # 48-byte fake payload → exercises 2 md5 blocks
+
+
+def q_multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the media table (binary in → binary out via
+    mapInPandas; decode faked deterministically — Pillow absent). The
+    driver projection md5s the output payload rather than shipping the
+    binary column through the value-hash gate (no binary precedent), the
+    same convention `multimodal_features` set."""
+    from ..operators.multimodal import resize_images
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images(to_media_table(docs), RESIZE_W, RESIZE_H)
+    return out.select(
+        "doc_id", F.md5(F.col("payload")).alias("resized_md5"),
+        "width", "height", "n_bytes")
+
+
+def _oracle_multimodal_resized() -> str:
+    n_out = max(1, RESIZE_W * RESIZE_H // 8)
+    n_blocks = -(-n_out // 32)  # each md5 hex block is 32 chars
+    stream = " || ".join(f"md5(seed || '|{i}')" for i in range(n_blocks))
+    return rf"""
+WITH p AS (SELECT doc_id,
+                  md5(text || '|{RESIZE_W}x{RESIZE_H}') AS seed
+           FROM documents),
+o AS (SELECT doc_id, substr({stream}, 1, {n_out}) AS s FROM p)
+SELECT doc_id, md5(s) AS resized_md5,
+       {RESIZE_W} AS width, {RESIZE_H} AS height, {n_out} AS n_bytes
+FROM o
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -1071,6 +1138,8 @@ LLM_QUERIES = {
     "docs_quality_gopher": q_docs_quality_gopher,
     "docs_redacted": q_docs_redacted,
     "emb_quantize_int8": q_emb_quantize_int8,
+    "emb_knn_int8": q_emb_knn_int8,
+    "multimodal_resized": q_multimodal_resized,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1105,6 +1174,8 @@ def llm_oracle() -> dict[str, str]:
             toks=_DUCK_TOKENS),
         "docs_redacted": _oracle_redacted(),
         "emb_quantize_int8": ORACLE_QUANTIZE_INT8,
+        "emb_knn_int8": ORACLE_KNN_INT8,
+        "multimodal_resized": _oracle_multimodal_resized(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

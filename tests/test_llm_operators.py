@@ -529,3 +529,49 @@ def test_samplers_invariant_under_repartitioning(spark):
         results = [ids(op(d)) for d in layouts]
         assert results[0] == results[1] == results[2]
         assert 0 < len(results[0]) < 400
+
+
+def test_knn_int8_recall_vs_full_precision(spark, sf_oracle):
+    """Compressed-domain kNN must stay close to exact: per-query overlap
+    of the int8 top-k with the full-precision top-k ≥ 80% on real data
+    (int8 keeps ~2 decimal digits of the cosine; only near-ties flip)."""
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {}
+    for r in similarity.knn_bruteforce(emb, queries, 10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in similarity.knn_bruteforce_int8(emb, queries, 10).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)
+    for qid in exact:
+        overlap = len(got[qid] & exact[qid]) / len(exact[qid])
+        assert overlap >= 0.8, (qid, overlap)
+
+
+def test_resize_images_plumbing(crafted_docs):
+    from meteomatics_e2e_data_pipeline_spark.operators.multimodal import (
+        resize_image, resize_images, to_media_table,
+    )
+
+    media = to_media_table(crafted_docs)
+    out = resize_images(media, 24, 16).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r["width"], r["height"]) == (24, 16)
+        assert r["n_bytes"] == 24 * 16 // 8 == len(r["payload"])
+    # deterministic across runs; payload depends on the input bytes
+    again = {r["doc_id"]: bytes(r["payload"])
+             for r in resize_images(media, 24, 16).collect()}
+    assert again == {r["doc_id"]: bytes(r["payload"]) for r in out}
+    assert len(set(again.values())) == 4     # distinct inputs → distinct out
+    # a different target size changes the stream, not just its length
+    small = {r["doc_id"]: bytes(r["payload"])
+             for r in resize_images(media, 8, 8).collect()}
+    assert all(not again[k].startswith(small[k]) for k in small)
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 8, 8)
+    with pytest.raises(ValueError):
+        resize_images(media, 0, 8)
