@@ -49,6 +49,7 @@ _VERIFY_FIRST = (
     "emb_quantize_int8",      # NEW this round (int8 embedding compression)
     "emb_knn_int8",           # NEW this round (compressed-domain kNN)
     "multimodal_resized",     # NEW this round (binary-out resize plumbing)
+    "docs_training_mix",      # NEW this round (quality→dedup→sample chain)
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
     "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
     "emb_cosine_near_dup",  # same operator

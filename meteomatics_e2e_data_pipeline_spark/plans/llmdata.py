@@ -280,14 +280,15 @@ def q_docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold=NEARDUP_THRESHOLD)
 
 
-def _shingle_cte() -> str:
+def _shingle_cte(src: str = "documents") -> str:
     """tok → shingles → distinct (doc_id, hv) hashes — the shared head of
     every shingle-set oracle, generated from the same constants as
-    ``neardup.shingle_hashes``."""
+    ``neardup.shingle_hashes``. ``src`` lets composed pipelines (e.g. the
+    training-mix chain) run the same sketch over a filtered CTE."""
     n = SHINGLE_N
     shingle_parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
     hv = _DUCK_HASH48.format(c="shingle")
-    return rf"""tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    return rf"""tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM {src}),
 sh0 AS (SELECT doc_id,
                unnest(list_transform(range(1, len(w) - {n - 2}),
                                      i -> {shingle_parts})) AS shingle
@@ -318,7 +319,7 @@ scored AS (
 SELECT * FROM scored WHERE jaccard >= {threshold}"""
 
 
-def _minhash_cand_cte() -> str:
+def _minhash_cand_cte(src: str = "documents") -> str:
     """Shared CTE chain (tokens → shingle hashes → signatures → bands →
     candidate pairs), generated from the SAME constants the Spark
     operators use. Reused by every oracle that consumes LSH candidates."""
@@ -332,7 +333,7 @@ def _minhash_cand_cte() -> str:
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, md5(concat_ws('-', {cols})) AS band_hash FROM sig")
     bands_sql = "\n  UNION ALL ".join(band_selects)
-    return rf"""{_shingle_cte()},
+    return rf"""{_shingle_cte(src)},
 sig AS (SELECT doc_id,
         {mins}
         FROM h GROUP BY doc_id),
@@ -347,9 +348,9 @@ cand AS (
 )"""
 
 
-def _oracle_near_dup() -> str:
+def _oracle_near_dup(src: str = "documents") -> str:
     return rf"""
-WITH {_minhash_cand_cte()},
+WITH {_minhash_cand_cte(src)},
 {_verify_jaccard_sql(NEARDUP_THRESHOLD)}
 """
 
@@ -789,14 +790,14 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.dup_clusters(pairs)
 
 
-def _oracle_dup_clusters() -> str:
+def _oracle_dup_clusters(src: str = "documents") -> str:
     # The pair set is the (already hash-green) near-dup oracle, embedded
     # as a nested-WITH CTE; reachability via a recursive UNION (dedup)
     # CTE, then cluster id = min reachable vertex (every vertex in a
     # >=2-component reaches itself through any neighbor, so min(v)
     # already includes u; least() keeps the expression total anyway).
     return rf"""
-WITH RECURSIVE pairs AS ({_oracle_near_dup()}),
+WITH RECURSIVE pairs AS ({_oracle_near_dup(src)}),
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach(u, v) AS (
@@ -885,12 +886,12 @@ def q_docs_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_QUALITY_GOPHER = """
-WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM {src}),
 uni AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
 u AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
              max(c) AS top_uni, sum(len(t) * c)::BIGINT AS chars
       FROM uni GROUP BY 1),
-warr AS (SELECT doc_id, {toks} AS w FROM documents),
+warr AS (SELECT doc_id, {toks} AS w FROM {src}),
 bg0 AS (SELECT doc_id,
                unnest(list_transform(range(1, len(w)),
                                      i -> w[i] || ' ' || w[i + 1])) AS g
@@ -1033,6 +1034,74 @@ FROM s
 """
 
 
+# Training-mix quality gates, picked against the sf0.01 metric
+# distribution so each clause actually bites (TTR p05≈0.31, top-unigram
+# p90≈0.14, n_tokens p05=16): ~20-30% of the corpus drops here.
+MIX_MIN_TOKENS = 12
+MIX_MIN_TTR = 0.34
+MIX_MAX_TOP_UNI = 0.14
+
+
+def q_docs_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline in one plan — the flagship
+    integration of the LLM-data family, in the order a real 100 TB job
+    runs it (cheapest filter first so every later stage sees less data):
+
+    1. quality gate: Gopher-style repetition thresholds;
+    2. near-dup removal: MinHash/LSH pairs → connected components →
+       min-id canonical survives;
+    3. deterministic stratified sample at per-(lang, source) rates.
+
+    Every stage is the already-oracle-checked operator; the composed
+    oracle chains the same CTEs, so the WHOLE pipeline is hash-verified
+    end to end, not just its pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    good = (repetition_stats(docs)
+            .filter((F.col("n_tokens") >= MIX_MIN_TOKENS)
+                    & (F.col("type_token_ratio") >= MIX_MIN_TTR)
+                    & (F.col("top_unigram_frac") <= MIX_MAX_TOP_UNI))
+            .select("doc_id"))
+    docs_f = docs.join(good, "doc_id", "left_semi")
+    pairs = neardup.near_dup_pairs(docs_f, n=SHINGLE_N,
+                                   threshold=NEARDUP_THRESHOLD)
+    kept = neardup.keep_canonical(docs_f, neardup.dup_clusters(pairs))
+    return sampling.stratified_sample(
+        kept, SAMPLE_RATES, key_cols=("lang", "source"),
+        id_col="doc_id", salt=SAMPLE_SALT,
+        default_rate=SAMPLE_DEFAULT_RATE)
+
+
+def _oracle_training_mix() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS
+    qual = ORACLE_QUALITY_GOPHER.format(toks=_DUCK_TOKENS, src="documents")
+    whens = "\n         ".join(
+        f"WHEN lang = '{lang}' AND source = '{src}' "
+        f"THEN {int(round(rate * SAMPLE_BUCKETS))}"
+        for (lang, src), rate in SAMPLE_RATES.items())
+    default_thr = int(round(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS))
+    return rf"""
+WITH qual AS ({qual}),
+docs_f AS (
+  SELECT d.* FROM documents d
+  JOIN qual q ON q.doc_id = d.doc_id
+  WHERE q.n_tokens >= {MIX_MIN_TOKENS}
+    AND q.type_token_ratio >= {MIX_MIN_TTR}
+    AND q.top_unigram_frac <= {MIX_MAX_TOP_UNI}
+),
+clust AS ({_oracle_dup_clusters(src="docs_f")}),
+kept AS (
+  SELECT d.* FROM docs_f d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM clust WHERE NOT is_canonical)
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM kept
+WHERE ('0x' || substr(md5(doc_id || '|{SAMPLE_SALT}'), 1, 12))::BIGINT
+      % {SAMPLE_BUCKETS}
+    < CASE {whens}
+         ELSE {default_thr} END
+"""
+
+
 def q_emb_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain kNN: cosine over the int8 codes (scales cancel
     in the ratio) — the 4×-fewer-bytes read path; recall vs full
@@ -1140,6 +1209,7 @@ LLM_QUERIES = {
     "emb_quantize_int8": q_emb_quantize_int8,
     "emb_knn_int8": q_emb_knn_int8,
     "multimodal_resized": q_multimodal_resized,
+    "docs_training_mix": q_docs_training_mix,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1171,11 +1241,12 @@ def llm_oracle() -> dict[str, str]:
         "docs_sample_exact_n": _oracle_sample_exact_n(),
         "docs_token_budget_mix": _oracle_token_budget_mix(),
         "docs_quality_gopher": ORACLE_QUALITY_GOPHER.format(
-            toks=_DUCK_TOKENS),
+            toks=_DUCK_TOKENS, src="documents"),
         "docs_redacted": _oracle_redacted(),
         "emb_quantize_int8": ORACLE_QUANTIZE_INT8,
         "emb_knn_int8": ORACLE_KNN_INT8,
         "multimodal_resized": _oracle_multimodal_resized(),
+        "docs_training_mix": _oracle_training_mix(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

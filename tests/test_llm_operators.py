@@ -575,3 +575,33 @@ def test_resize_images_plumbing(crafted_docs):
         resize_image(b"\x89PNG", 8, 8)
     with pytest.raises(ValueError):
         resize_images(media, 0, 8)
+
+
+def test_training_mix_pipeline_stages_monotone(spark, sf_oracle):
+    """The composed mix pipeline must be a monotone filter chain: every
+    stage only removes rows, the final mix is a subset of the quality-
+    gated dedup survivors, and reruns are identical (determinism of the
+    whole composition, not just its pieces)."""
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        MIX_MAX_TOP_UNI, MIX_MIN_TOKENS, MIX_MIN_TTR, q_docs_training_mix,
+    )
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        repetition_stats,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    n_docs = docs.count()
+    good = (repetition_stats(docs)
+            .filter((F.col("n_tokens") >= MIX_MIN_TOKENS)
+                    & (F.col("type_token_ratio") >= MIX_MIN_TTR)
+                    & (F.col("top_unigram_frac") <= MIX_MAX_TOP_UNI)))
+    n_good = good.count()
+    mix = q_docs_training_mix(spark, sf_oracle)
+    ids = {r["doc_id"] for r in mix.collect()}
+    assert 0 < len(ids) < n_good < n_docs     # every stage bites
+    good_ids = {r["doc_id"] for r in good.collect()}
+    assert ids <= good_ids                     # mix ⊆ quality survivors
+    again = {r["doc_id"] for r in q_docs_training_mix(spark, sf_oracle)
+             .collect()}
+    assert again == ids
