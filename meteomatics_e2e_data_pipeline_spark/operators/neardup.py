@@ -511,3 +511,51 @@ def keep_canonical(docs: DataFrame, clusters: DataFrame,
     """
     drop = clusters.filter(~F.col("is_canonical")).select(id_col)
     return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def near_dup_pairs_incremental(corpus: DataFrame, batch: DataFrame,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 3,
+                               threshold: float = 0.5) -> DataFrame:
+    """Incremental near-dup: every pair at/above ``threshold`` that
+    TOUCHES the new ``batch`` — batch×corpus plus batch×batch, never
+    corpus×corpus. This is the shape a daily 100 TB ingest actually
+    runs: signatures for the increment only, banded join against the
+    (pre-bandable, in practice pre-materialized) corpus index, so
+    per-day work scales with the increment, not the corpus.
+
+    Candidate recall is identical to running the full self-join and
+    filtering to batch-touching pairs (signatures are per-document, so a
+    pair collides in a band here iff it collides there) — which is
+    exactly how the oracle checks this operator. Verification runs on
+    the union shingle index, candidates only.
+
+    ``corpus`` and ``batch`` must be disjoint in ``id_col``; the output
+    pair is normalized to (least, greatest).
+    """
+    from pyspark import StorageLevel
+
+    sh_c = shingle_hashes(corpus, id_col, text_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh_b = shingle_hashes(batch, id_col, text_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    bands_c = band_rows(minhash_from_shingles(sh_c, id_col), id_col)
+    bands_b = band_rows(minhash_from_shingles(sh_b, id_col), id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds cross AND self join
+    b_side = bands_b.withColumnRenamed(id_col, "id_x")
+    cross = (
+        b_side.join(bands_c.withColumnRenamed(id_col, "id_y"),
+                    ["band_id", "band_hash"])
+        .select(F.least("id_x", "id_y").alias("id_a"),
+                F.greatest("id_x", "id_y").alias("id_b"))
+    )
+    self_ = (
+        b_side.join(bands_b.withColumnRenamed(id_col, "id_y"),
+                    ["band_id", "band_hash"])
+        .filter(F.col("id_x") < F.col("id_y"))
+        .select(F.col("id_x").alias("id_a"), F.col("id_y").alias("id_b"))
+    )
+    cand = cross.unionByName(self_).distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sh_c.unionByName(sh_b)
+    return verify_jaccard(cand, sh, id_col, threshold)

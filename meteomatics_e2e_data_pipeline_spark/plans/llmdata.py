@@ -1102,6 +1102,33 @@ WHERE ('0x' || substr(md5(doc_id || '|{SAMPLE_SALT}'), 1, 12))::BIGINT
 """
 
 
+# "Daily increment" predicate for the incremental-dedup demonstration:
+# 10% of docs by id — scale-factor-independent, so the same query is
+# meaningful at every SF the driver runs.
+INCR_BATCH_MOD = 10
+
+
+def q_docs_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: pairs touching the daily increment only
+    (batch×corpus ∪ batch×batch) — per-day work scales with the
+    increment, never corpus². Oracle: the full self-join pair set
+    filtered to batch-touching pairs (provably the same candidates —
+    signatures are per-document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    return neardup.near_dup_pairs_incremental(
+        corpus, batch, n=SHINGLE_N, threshold=NEARDUP_THRESHOLD)
+
+
+def _oracle_near_dup_incremental() -> str:
+    return rf"""
+WITH full_pairs AS ({_oracle_near_dup()})
+SELECT * FROM full_pairs
+WHERE doc_a % {INCR_BATCH_MOD} = 0 OR doc_b % {INCR_BATCH_MOD} = 0
+"""
+
+
 def q_emb_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain kNN: cosine over the int8 codes (scales cancel
     in the ratio) — the 4×-fewer-bytes read path; recall vs full
@@ -1210,6 +1237,7 @@ LLM_QUERIES = {
     "emb_knn_int8": q_emb_knn_int8,
     "multimodal_resized": q_multimodal_resized,
     "docs_training_mix": q_docs_training_mix,
+    "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1247,6 +1275,7 @@ def llm_oracle() -> dict[str, str]:
         "emb_knn_int8": ORACLE_KNN_INT8,
         "multimodal_resized": _oracle_multimodal_resized(),
         "docs_training_mix": _oracle_training_mix(),
+        "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

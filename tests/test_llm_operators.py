@@ -605,3 +605,28 @@ def test_training_mix_pipeline_stages_monotone(spark, sf_oracle):
     again = {r["doc_id"] for r in q_docs_training_mix(spark, sf_oracle)
              .collect()}
     assert again == ids
+
+
+def test_incremental_near_dup_equals_filtered_full_join(spark):
+    """Batch-vs-corpus incremental dedup must find EXACTLY the full
+    self-join's pairs that touch the batch — including planted dups
+    crossing the split and inside the batch — and nothing corpus-only."""
+    base = BASE
+    rows = []
+    for i in range(30):
+        if i % 5 == 0:
+            rows.append((i, base.replace("lazy", f"v{i % 10}")))  # dup family
+        else:
+            rows.append((i, " ".join(f"u{i}w{j}" for j in range(14))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+           neardup.near_dup_pairs_incremental(corpus, batch, threshold=0.3)
+           .collect()}
+    full = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+            neardup.near_dup_pairs(docs, threshold=0.3).collect()}
+    want = {p for p in full if p[0] % 3 == 0 or p[1] % 3 == 0}
+    assert got == want and len(want) > 0
+    assert any(a % 3 == 0 and b % 3 == 0 for a, b, _ in got)  # batch×batch
+    assert any((a % 3 == 0) != (b % 3 == 0) for a, b, _ in got)  # cross
