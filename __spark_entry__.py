@@ -51,6 +51,7 @@ _VERIFY_FIRST = (
     "multimodal_resized",     # NEW this round (binary-out resize plumbing)
     "docs_training_mix",      # NEW this round (quality→dedup→sample chain)
     "docs_near_dup_incremental",  # NEW this round (batch-vs-corpus dedup)
+    "docs_contamination",     # NEW this round (benchmark n-gram overlap)
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
     "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
     "emb_cosine_near_dup",  # same operator

@@ -559,3 +559,28 @@ def near_dup_pairs_incremental(corpus: DataFrame, batch: DataFrame,
         .persist(StorageLevel.MEMORY_AND_DISK)
     sh = sh_c.unionByName(sh_b)
     return verify_jaccard(cand, sh, id_col, threshold)
+
+
+def contamination_hits(corpus: DataFrame, benchmark: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    DISTINCT benchmark n-grams it contains (the GPT-3/PaLM-style n-gram
+    overlap test; remove or flag any doc with hits before training so
+    eval benchmarks aren't memorized).
+
+    100 TB shape: the benchmark side is eval-suite sized (MBs) — its
+    distinct n-gram hash set broadcasts, so the corpus side is ONE scan:
+    shingle row-locally, broadcast-semi-join (no shuffle), then a
+    map-side-combinable count per doc_id. The corpus is never shuffled on
+    the n-gram key. Reference analog: P4's anti-membership filter
+    (stg_weather_raw.sql:21-25) lifted from file grain to n-gram grain.
+    """
+    bench = (shingle_hashes(benchmark, id_col, text_col, n)
+             .select("hv").distinct())
+    corp = shingle_hashes(corpus, id_col, text_col, n)
+    return (
+        corp.join(F.broadcast(bench), "hv", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

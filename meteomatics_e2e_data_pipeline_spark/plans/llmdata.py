@@ -1129,6 +1129,38 @@ WHERE doc_a % {INCR_BATCH_MOD} = 0 OR doc_b % {INCR_BATCH_MOD} = 0
 """
 
 
+# Benchmark split for the decontamination demonstration: ~1% of docs by
+# id stand in for an eval suite. CONTAM_N uses the corpus-wide shingle
+# order (3) — real pipelines use 8-13-gram windows on natural text; the
+# synthetic corpus' short word-soup docs need the shorter window to
+# exercise the operator non-trivially.
+CONTAM_BENCH_MOD = 97
+CONTAM_N = SHINGLE_N
+
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (n-gram overlap): per corpus doc, the
+    count of distinct benchmark n-grams it contains. The benchmark's
+    n-gram hash set broadcasts; the corpus is scanned once, never
+    shuffled on the n-gram key (operators/neardup.py:contamination_hits).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return neardup.contamination_hits(corpus, bench, n=CONTAM_N)
+
+
+def _oracle_contamination() -> str:
+    return rf"""
+WITH {_shingle_cte()},
+bench AS (SELECT DISTINCT hv FROM h WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+SELECT h.doc_id, count(*) AS n_hits
+FROM h JOIN bench USING (hv)
+WHERE h.doc_id % {CONTAM_BENCH_MOD} <> 0
+GROUP BY h.doc_id
+"""
+
+
 def q_emb_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain kNN: cosine over the int8 codes (scales cancel
     in the ratio) — the 4×-fewer-bytes read path; recall vs full
@@ -1238,6 +1270,7 @@ LLM_QUERIES = {
     "multimodal_resized": q_multimodal_resized,
     "docs_training_mix": q_docs_training_mix,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
+    "docs_contamination": q_docs_contamination,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1276,6 +1309,7 @@ def llm_oracle() -> dict[str, str]:
         "multimodal_resized": _oracle_multimodal_resized(),
         "docs_training_mix": _oracle_training_mix(),
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
+        "docs_contamination": _oracle_contamination(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

@@ -630,3 +630,20 @@ def test_incremental_near_dup_equals_filtered_full_join(spark):
     assert got == want and len(want) > 0
     assert any(a % 3 == 0 and b % 3 == 0 for a, b, _ in got)  # batch×batch
     assert any((a % 3 == 0) != (b % 3 == 0) for a, b, _ in got)  # cross
+
+
+def test_contamination_hits_counts_distinct_benchmark_ngrams(spark):
+    """Hit count = DISTINCT benchmark trigrams present in the doc; docs
+    sharing nothing with the benchmark get no row; repeats in the doc
+    don't inflate the count (shingle SETS on both sides)."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x alpha beta gamma y"),            # 1 hit: "alpha beta gamma"
+         (2, "alpha beta gamma delta trailer"),  # 2 distinct bench trigrams
+         (3, "alpha beta gamma z alpha beta gamma w"),  # repeat → still 1
+         (4, "no overlap here at all")],
+        "doc_id bigint, text string")
+    got = {(r["doc_id"], r["n_hits"]) for r in
+           neardup.contamination_hits(corpus, bench).collect()}
+    assert got == {(1, 1), (2, 2), (3, 1)}
