@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import neardup, sampling, similarity
+from ..operators import neardup, packing, sampling, similarity
 from ..operators.multimodal import extract_features, to_media_table
 from ..operators.textops import (
     LANG_ORDER, LANG_STOPWORDS, MINHASH_P, chunk_tokens, content_hash,
@@ -1161,6 +1161,40 @@ GROUP BY h.doc_id
 """
 
 
+PACK_SEQ_LEN = 2048
+PACK_SALT = "pack0"
+
+
+def q_docs_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: each doc's span in the concatenated training
+    stream chunked into PACK_SEQ_LEN-char sequences. Spark side runs the
+    two-level distributed prefix sum (operators/packing.py) — no global
+    window; the oracle is the single-window semantic spec."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, PACK_SEQ_LEN, salt=PACK_SALT)
+
+
+def _oracle_packed() -> str:
+    hb = f"('0x' || substr(md5(doc_id || '|{PACK_SALT}'), 1, 12))::BIGINT"
+    return rf"""
+WITH b AS (
+  SELECT doc_id, n_chars, {hb} % {sampling.SAMPLE_BUCKETS} AS sb
+  FROM documents WHERE n_chars > 0
+),
+c AS (
+  SELECT doc_id, n_chars,
+         (sum(n_chars) OVER (ORDER BY sb, doc_id
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+  FROM b
+)
+SELECT doc_id,
+       ((cum - n_chars) // {PACK_SEQ_LEN})::BIGINT AS first_seq,
+       ((cum - 1) // {PACK_SEQ_LEN})::BIGINT AS last_seq,
+       ((cum - n_chars) % {PACK_SEQ_LEN})::BIGINT AS seq_offset
+FROM c
+"""
+
+
 def q_emb_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain kNN: cosine over the int8 codes (scales cancel
     in the ratio) — the 4×-fewer-bytes read path; recall vs full
@@ -1271,6 +1305,7 @@ LLM_QUERIES = {
     "docs_training_mix": q_docs_training_mix,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
+    "docs_packed": q_docs_packed,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1310,6 +1345,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_training_mix": _oracle_training_mix(),
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),
+        "docs_packed": _oracle_packed(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

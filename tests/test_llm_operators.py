@@ -647,3 +647,42 @@ def test_contamination_hits_counts_distinct_benchmark_ngrams(spark):
     got = {(r["doc_id"], r["n_hits"]) for r in
            neardup.contamination_hits(corpus, bench).collect()}
     assert got == {(1, 1), (2, 2), (3, 1)}
+
+
+def test_pack_sequences_two_level_prefix_sum_is_exact(spark):
+    """The distributed two-level prefix sum must equal the single-window
+    spec for ANY range count and partitioning, spans must tile the
+    stream contiguously, and zero-weight rows are excluded."""
+    from meteomatics_e2e_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from meteomatics_e2e_data_pipeline_spark.operators.sampling import (
+        SAMPLE_BUCKETS, sample_bucket,
+    )
+
+    rows = [(i, 1 + (i * 37) % 500) for i in range(200)] + [(999, 0)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    L = 256
+    ref = None
+    for n_ranges, n_parts in ((1, 3), (16, 7), (1000, 2)):
+        got = sorted(
+            map(tuple, pack_sequences(docs.repartition(n_parts), L,
+                                      n_ranges=n_ranges).collect()))
+        if ref is None:
+            ref = got
+        assert got == ref, f"n_ranges={n_ranges} diverged"
+    assert len(ref) == 200              # zero-weight row dropped
+    # Reconstruct the spec order and check spans tile [0, total) exactly.
+    meta = docs.filter("n_chars > 0").select(
+        "doc_id", "n_chars",
+        sample_bucket(F.col("doc_id"), "pack0").alias("b")).collect()
+    weights = {r["doc_id"]: r["n_chars"] for r in meta}
+    buckets = {r["doc_id"]: r["b"] for r in meta}
+    order = sorted(weights, key=lambda i: (buckets[i], i))
+    by_id = {t[0]: t for t in ref}
+    cum = 0
+    for i in order:
+        _, first_seq, last_seq, off = by_id[i]
+        assert first_seq == cum // L and off == cum % L
+        cum += weights[i]
+        assert last_seq == (cum - 1) // L
