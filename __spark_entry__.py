@@ -53,6 +53,7 @@ _VERIFY_FIRST = (
     "docs_near_dup_incremental",  # NEW this round (batch-vs-corpus dedup)
     "docs_contamination",     # NEW this round (benchmark n-gram overlap)
     "docs_packed",            # NEW this round (sequence packing)
+    "docs_lang_temperature_sample",  # NEW this round (alpha=0.5 mix)
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
     "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
     "emb_cosine_near_dup",  # same operator

@@ -140,3 +140,58 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, int],
         .drop("__budget", "__cum")
         .select(*df.columns)
     )
+
+
+def temperature_sample(df: DataFrame, frac: float,
+                       key_col: str = "lang", id_col: str = "doc_id",
+                       salt: str = "temp0") -> DataFrame:
+    """Temperature-scaled stratum sampling (mT5/PaLM-style α = 0.5):
+    sample stratum ``l`` with probability ∝ p_l^α so low-resource strata
+    are boosted relative to their natural share, targeting ``frac·N``
+    kept rows overall. rate_l = min(1, target · q_l / n_l) with
+    q_l = p_l^α / Σ_m p_m^α, then the usual deterministic hash-threshold
+    keep (same machinery as :func:`stratified_sample`).
+
+    Cross-engine bit-parity is engineered, not hoped for:
+
+    - α is fixed at 0.5 so p^α is ``sqrt`` — correctly rounded by IEEE
+      754 in BOTH engines, unlike ``pow`` (libm vs Math.pow may differ in
+      the last ulp, which could flip a rounded threshold);
+    - the denominator Σ p_m^α is a SEQUENTIAL fold over the strata
+      sorted by key (collect → array_sort → aggregate), so the
+      float-addition order is pinned; the oracle folds an identically
+      ordered list.
+
+    Plan shape: the stratum-count aggregate is map-side combinable; the
+    rate dim is strata-sized (the single-partition window runs over that
+    config-sized frame, not the corpus); the corpus side is one broadcast
+    join + row-local filter — zero corpus shuffles.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 <= frac <= 1.0):
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    w = Window.partitionBy()
+    rates = (
+        df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__n_total", F.sum("__n").over(w))
+        .withColumn("__pw", F.sqrt(F.col("__n").cast("double")
+                                   / F.col("__n_total").cast("double")))
+        .withColumn("__denom", F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col(key_col), F.col("__pw"))).over(w)),
+            F.lit(0.0), lambda acc, s: acc + s["__pw"]))
+        .withColumn("__target", F.round(F.lit(frac) * F.col("__n_total")))
+        .withColumn("__rate", F.least(
+            F.lit(1.0),
+            F.col("__target") * F.col("__pw") / F.col("__denom")
+            / F.col("__n").cast("double")))
+        .withColumn("__thr",
+                    F.round(F.col("__rate") * SAMPLE_BUCKETS).cast("bigint"))
+        .select(key_col, "__thr")
+    )
+    return (
+        df.join(F.broadcast(rates), key_col)
+        .filter(sample_bucket(F.col(id_col), salt) < F.col("__thr"))
+        .select(*df.columns)
+    )

@@ -1161,6 +1161,38 @@ GROUP BY h.doc_id
 """
 
 
+TEMP_FRAC = 0.5
+TEMP_SALT = "temp0"
+
+
+def q_docs_lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α = 0.5) per-language sample targeting
+    TEMP_FRAC of the corpus: low-resource languages keep a higher share
+    than their natural frequency (operators/sampling.py:
+    temperature_sample — sqrt + order-pinned fold for bit parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (sampling.temperature_sample(docs, TEMP_FRAC, salt=TEMP_SALT)
+            .select("doc_id", "lang"))
+
+
+def _oracle_lang_temperature() -> str:
+    hb = f"('0x' || substr(md5(doc_id || '|{TEMP_SALT}'), 1, 12))::BIGINT"
+    nb = sampling.SAMPLE_BUCKETS
+    return rf"""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+t AS (SELECT lang, n, (sum(n) OVER ())::BIGINT AS n_total FROM c),
+p AS (SELECT lang, n, n_total,
+             sqrt(n::DOUBLE / n_total::DOUBLE) AS pw FROM t),
+d AS (SELECT list_aggregate(list(pw ORDER BY lang), 'sum') AS denom FROM p),
+r AS (SELECT lang,
+             round(least(1.0, round({TEMP_FRAC!r} * n_total) * pw / denom
+                              / n::DOUBLE) * {nb})::BIGINT AS thr
+      FROM p, d)
+SELECT doc_id, lang FROM documents JOIN r USING (lang)
+WHERE {hb} % {nb} < thr
+"""
+
+
 PACK_SEQ_LEN = 2048
 PACK_SALT = "pack0"
 
@@ -1306,6 +1338,7 @@ LLM_QUERIES = {
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
     "docs_packed": q_docs_packed,
+    "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1346,6 +1379,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),
         "docs_packed": _oracle_packed(),
+        "docs_lang_temperature_sample": _oracle_lang_temperature(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

@@ -686,3 +686,31 @@ def test_pack_sequences_two_level_prefix_sum_is_exact(spark):
         assert first_seq == cum // L and off == cum % L
         cum += weights[i]
         assert last_seq == (cum - 1) // L
+
+
+def test_temperature_sample_boosts_low_resource_strata(spark, sf_oracle):
+    """α=0.5 sampling must keep a HIGHER fraction of low-resource
+    languages than of the dominant one, land near the overall target,
+    and be invariant under repartitioning."""
+    from meteomatics_e2e_data_pipeline_spark.operators.sampling import (
+        temperature_sample,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    n_by_lang = {r["lang"]: r["c"] for r in
+                 docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    kept = temperature_sample(docs, 0.5).select("doc_id", "lang")
+    k_by_lang = {r["lang"]: r["c"] for r in
+                 kept.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    n_total = sum(n_by_lang.values())
+    k_total = sum(k_by_lang.values())
+    assert abs(k_total - 0.5 * n_total) < 0.1 * n_total
+    big = max(n_by_lang, key=n_by_lang.get)
+    small = min(n_by_lang, key=n_by_lang.get)
+    rate = {l: k_by_lang.get(l, 0) / n_by_lang[l] for l in n_by_lang}
+    assert rate[small] > rate[big]      # the whole point of temperature
+    again = {r["doc_id"] for r in
+             temperature_sample(docs.repartition(13), 0.5)
+             .select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in kept.select("doc_id").collect()}
