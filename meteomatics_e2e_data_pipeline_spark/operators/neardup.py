@@ -584,3 +584,50 @@ def contamination_hits(corpus: DataFrame, benchmark: DataFrame,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def hot_ngrams(docs: DataFrame, min_df: int, top: int,
+               id_col: str = "doc_id", text_col: str = "text",
+               n: int = 3) -> DataFrame:
+    """Boilerplate / memorization-risk detection: the ``top`` n-grams by
+    document frequency among those appearing in at least ``min_df``
+    distinct documents (headers, license blocks, templated spans — the
+    things repeated verbatim across a crawl).
+
+    100 TB shape — the n-gram STRING universe never shuffles:
+
+    1. count document frequency on the 8-byte ``hv`` hashes
+       (``shingle_hashes`` is already distinct per doc), map-side
+       combinable, then TakeOrderedAndProject for the top set;
+    2. recover the strings for that top set only: a second row-local
+       shingling pass filtered by the broadcast hot-hash set — work
+       ∝ corpus scan, result ∝ ``top``.
+
+    The string↔hash mapping is treated 1:1 (48-bit md5 slice; a
+    collision would merge two n-grams' counts — vanishing at any
+    realistic universe size, and identical on the oracle side which
+    counts the same hashes).
+    """
+    counts = (
+        shingle_hashes(docs, id_col, text_col, n)
+        .groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), "hv")
+        .limit(top)
+    )
+    sh = (
+        _spread(docs.select(id_col, text_col), id_col)
+        .select(F.explode(
+            F.expr(f"transform(sequence(1, greatest(size(split(trim({text_col}),"
+                   f" '\\\\s+')) - {n - 1}, 0)), i -> concat_ws(' ', slice("
+                   f"split(trim({text_col}), '\\\\s+'), i, {n})))"))
+            .alias("ngram"))
+        .select("ngram", base_hash48(F.col("ngram")).alias("hv"))
+    )
+    # Filter by the broadcast hot set BEFORE any dedupe: the distinct
+    # then runs over ≤ top×docs surviving rows, never the string universe.
+    return (
+        sh.join(F.broadcast(counts), "hv")
+        .select("ngram", F.col("df").cast("bigint").alias("df"))
+        .distinct()
+    )

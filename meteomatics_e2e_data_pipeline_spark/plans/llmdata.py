@@ -1161,6 +1161,32 @@ GROUP BY h.doc_id
 """
 
 
+HOT_MIN_DF = 5
+HOT_TOP = 40
+
+
+def q_docs_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: top n-grams by document frequency (df ≥
+    HOT_MIN_DF). Hash-first so the string universe never shuffles;
+    strings are recovered only for the broadcast hot set
+    (operators/neardup.py:hot_ngrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.hot_ngrams(docs, HOT_MIN_DF, HOT_TOP, n=SHINGLE_N)
+
+
+def _oracle_hot_ngrams() -> str:
+    return rf"""
+WITH {_shingle_cte()},
+hot AS (SELECT hv, count(*)::BIGINT AS df FROM h GROUP BY hv
+        HAVING count(*) >= {HOT_MIN_DF}
+        ORDER BY df DESC, hv LIMIT {HOT_TOP}),
+names AS (SELECT DISTINCT {_DUCK_HASH48.format(c="shingle")} AS hv, shingle
+          FROM sh0)
+SELECT DISTINCT n.shingle AS ngram, hot.df
+FROM hot JOIN names n USING (hv)
+"""
+
+
 TEMP_FRAC = 0.5
 TEMP_SALT = "temp0"
 
@@ -1339,6 +1365,7 @@ LLM_QUERIES = {
     "docs_contamination": q_docs_contamination,
     "docs_packed": q_docs_packed,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
+    "docs_hot_ngrams": q_docs_hot_ngrams,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1380,6 +1407,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_contamination": _oracle_contamination(),
         "docs_packed": _oracle_packed(),
         "docs_lang_temperature_sample": _oracle_lang_temperature(),
+        "docs_hot_ngrams": _oracle_hot_ngrams(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

@@ -714,3 +714,17 @@ def test_temperature_sample_boosts_low_resource_strata(spark, sf_oracle):
              temperature_sample(docs.repartition(13), 0.5)
              .select("doc_id").collect()}
     assert again == {r["doc_id"] for r in kept.select("doc_id").collect()}
+
+
+def test_hot_ngrams_finds_planted_boilerplate(spark):
+    """A trigram planted across many docs must surface with its exact
+    document frequency; repeats within one doc don't inflate df."""
+    boiler = "all rights reserved"
+    rows = [(i, f"unique{i} words here {boiler} " + (boiler if i == 0 else ""))
+            for i in range(10)]
+    rows += [(100 + i, f"noise{i} only text") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["ngram"]: r["df"]
+           for r in neardup.hot_ngrams(docs, min_df=10, top=5).collect()}
+    assert got.get(boiler) == 10          # df counts DOCS, not occurrences
+    assert all(df >= 10 for df in got.values())
