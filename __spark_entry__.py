@@ -55,6 +55,8 @@ _VERIFY_FIRST = (
     "docs_packed",            # NEW this round (sequence packing)
     "docs_lang_temperature_sample",  # NEW this round (alpha=0.5 mix)
     "docs_hot_ngrams",        # NEW this round (boilerplate detection)
+    "emb_pq_codes",           # NEW this round (product quantization)
+    "emb_knn_pq",             # NEW this round (PQ/ADC compressed kNN)
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
     "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
     "emb_cosine_near_dup",  # same operator

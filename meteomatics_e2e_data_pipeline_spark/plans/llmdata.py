@@ -1288,6 +1288,85 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+PQ_M = 8        # subspaces → EMB_DIM/PQ_M dims each
+PQ_NCENT = 16   # codebook entries per subspace (4-bit codes)
+PQ_K = 5
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: per subspace, the nearest codebook
+    entry (codebook = subvectors of the first PQ_NCENT corpus vectors).
+    64 float32s compress to PQ_M 4-bit codes — a 64× storage cut. One
+    broadcast fan-out + one partial-aggregatable min_by aggregate
+    (operators/similarity.py:pq_codes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb, PQ_NCENT)
+    return similarity.pq_codes(emb, cb, EMB_DIM, PQ_M)
+
+
+def _pq_cte() -> str:
+    """Shared codes CTE generated from the same constants as the Spark
+    operator: v → cent → per-subspace squared distances → lexicographic
+    [dist, cid] argmin (ties to the lowest centroid id, mirroring
+    min_by's struct key)."""
+    subdim = EMB_DIM // PQ_M
+    dist_exprs = []
+    for j in range(PQ_M):
+        off = j * subdim
+        diff = (f"list_transform(range(1, {subdim + 1}), "
+                f"i -> v[{off} + i] - c[{off} + i])")
+        dist_exprs.append(f"list_dot_product({diff}, {diff}) AS d{j}")
+    argmins = ", ".join(
+        f"(min([d{j}, cid::DOUBLE]))[2]::INT AS c{j}" for j in range(PQ_M))
+    return rf"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id::INT AS cid, v AS c FROM v WHERE vec_id < {PQ_NCENT}),
+pairs AS (SELECT v.vec_id, cid, {", ".join(dist_exprs)} FROM v, cent),
+codes AS (SELECT vec_id, {argmins} FROM pairs GROUP BY vec_id)"""
+
+
+def _oracle_pq_codes() -> str:
+    return f"WITH {_pq_cte()} SELECT * FROM codes"
+
+
+def q_emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: cosine top-k of full-precision queries
+    against the PQ-reconstructed corpus (asymmetric distance — value-
+    identical to the ADC lookup-table formulation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_pq(emb, queries, PQ_K, EMB_DIM, PQ_M, PQ_NCENT)
+
+
+def _oracle_knn_pq() -> str:
+    subdim = EMB_DIM // PQ_M
+    joins = "\n  ".join(
+        f"JOIN cent e{j} ON e{j}.cid = k.c{j}" for j in range(PQ_M))
+    concat = " || ".join(
+        f"e{j}.c[{j * subdim + 1}:{(j + 1) * subdim}]" for j in range(PQ_M))
+    return rf"""
+WITH {_pq_cte()},
+recon AS (
+  SELECT k.vec_id, {concat} AS cv
+  FROM codes k
+  {joins}
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v
+      WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c2 AS (SELECT vec_id AS neighbor_id, cv FROM recon),
+scored AS (
+  SELECT query_id, neighbor_id, {_DUCK_COS.replace("cv", "c2.cv")} AS cos_raw
+  FROM q, c2 WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {PQ_K}
+"""
+
+
 RESIZE_W, RESIZE_H = 24, 16  # 48-byte fake payload → exercises 2 md5 blocks
 
 
@@ -1366,6 +1445,8 @@ LLM_QUERIES = {
     "docs_packed": q_docs_packed,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_hot_ngrams": q_docs_hot_ngrams,
+    "emb_pq_codes": q_emb_pq_codes,
+    "emb_knn_pq": q_emb_knn_pq,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1408,6 +1489,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_packed": _oracle_packed(),
         "docs_lang_temperature_sample": _oracle_lang_temperature(),
         "docs_hot_ngrams": _oracle_hot_ngrams(),
+        "emb_pq_codes": _oracle_pq_codes(),
+        "emb_knn_pq": _oracle_knn_pq(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

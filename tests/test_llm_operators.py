@@ -728,3 +728,32 @@ def test_hot_ngrams_finds_planted_boilerplate(spark):
            for r in neardup.hot_ngrams(docs, min_df=10, top=5).collect()}
     assert got.get(boiler) == 10          # df counts DOCS, not occurrences
     assert all(df >= 10 for df in got.values())
+
+
+def test_pq_codes_identity_and_knn_recall(spark, sf_oracle):
+    """Codebook donor vectors must code to themselves in every subspace
+    (zero distance), their reconstruction must be exact, and PQ kNN must
+    overlap substantially with exact kNN (recall of a 16-entry codebook
+    over this corpus)."""
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cb = similarity.pq_codebook(emb, 16)
+    codes = similarity.pq_codes(emb, cb, 64, 8)
+    donors = codes.filter(F.col("vec_id") < 16).collect()
+    assert all(all(r[f"c{j}"] == r["vec_id"] for j in range(8))
+               for r in donors)
+    recon = {r["vec_id"]: r["embedding"] for r in
+             similarity.pq_reconstruct(codes, cb, 64, 8)
+             .filter(F.col("vec_id") < 16).collect()}
+    orig = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in
+            emb.filter(F.col("vec_id") < 16).collect()}
+    assert all(recon[i] == pytest.approx(orig[i]) for i in recon)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.knn_bruteforce(emb, queries, 5).collect()}
+    pq = {(r["query_id"], r["neighbor_id"]) for r in
+          similarity.knn_pq(emb, queries, 5, 64, 8, 16).collect()}
+    # a 16-entry codebook is deliberately coarse; chance overlap would
+    # be ~1% (5/495 per slot) — 20%+ is unambiguous signal
+    assert len(pq & exact) / len(exact) >= 0.2
