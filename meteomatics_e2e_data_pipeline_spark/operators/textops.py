@@ -209,3 +209,47 @@ def redact(c, patterns: dict[str, str]):
     for pat, repl in patterns.items():
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def quality_percentile_filter(docs, frac: float = 0.25,
+                              key_col: str = "lang",
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              metric_col: str = "type_token_ratio"):
+    """Relative quality gate: drop each stratum's bottom ``frac`` by a
+    repetition metric (absolute thresholds misfire across languages —
+    the cut a multilingual pipeline actually wants is per-stratum).
+
+    Keep rule (exact, engine-independent): keep a doc iff
+    ``metric >= thr`` where ``thr`` is the smallest metric value whose
+    cumulative count reaches ``ceil(frac · n_stratum)`` — i.e. the exact
+    ``frac``-quantile by count, ties kept.
+
+    100 TB shape — the corpus is NEVER windowed: per-(stratum, value)
+    counts are a partial-aggregatable hash aggregate, the cumulative
+    pass runs over the (stratum × distinct rounded metric) frame — at
+    most strata × 10^6 rows for a 6-decimal metric, config-sized
+    relative to the corpus — and the resulting per-stratum thresholds
+    broadcast back for a row-local filter. Contrast with the naive
+    ``percent_rank() OVER (PARTITION BY stratum)``, which sorts the
+    whole corpus in as many tasks as there are strata.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 <= frac < 1.0):
+        raise ValueError(f"frac must be in [0, 1), got {frac}")
+    stats = repetition_stats(docs, id_col, text_col) \
+        .select(id_col, metric_col)
+    sl = stats.join(docs.select(id_col, key_col), id_col)
+    counts = (sl.groupBy(key_col, metric_col)
+              .agg(F.count(F.lit(1)).alias("__c")))
+    w_cum = (Window.partitionBy(key_col).orderBy(metric_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cumul = counts.withColumn("__cumc", F.sum("__c").over(w_cum))
+    n = sl.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    thr = (cumul.join(n, key_col)
+           .filter(F.col("__cumc") >= F.ceil(F.lit(frac) * F.col("__n")))
+           .groupBy(key_col).agg(F.min(metric_col).alias("__thr")))
+    return (sl.join(F.broadcast(thr), key_col)
+            .filter(F.col(metric_col) >= F.col("__thr"))
+            .select(id_col, key_col, metric_col))

@@ -32,6 +32,7 @@ from ..operators.textops import (
     LANG_ORDER, LANG_STOPWORDS, MINHASH_P, chunk_tokens, content_hash,
     lang_guess, lang_score, redact, repetition_stats, tokens,
 )
+from ..operators.textops import quality_percentile_filter as textops_qpf
 from ..sources.tables import load_table
 
 # Shared query parameters (mirrored into the generated oracle SQL).
@@ -1161,6 +1162,44 @@ GROUP BY h.doc_id
 """
 
 
+QP_FRAC = 0.25
+
+
+def q_docs_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language relative quality gate: drop each language's bottom
+    quartile by type-token ratio. Exact count-quantile thresholds from
+    the (lang × distinct metric) frame — the corpus itself is never
+    windowed (operators/textops.py:quality_percentile_filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops_qpf(docs, QP_FRAC)
+
+
+def _oracle_quality_percentile() -> str:
+    return rf"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
+uni AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+u AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct
+      FROM uni GROUP BY 1),
+s AS (SELECT doc_id,
+             round(n_distinct / n_tokens::DOUBLE, 6) AS type_token_ratio
+      FROM u),
+sl AS (SELECT s.doc_id, lang, type_token_ratio
+       FROM s JOIN documents USING (doc_id)),
+counts AS (SELECT lang, type_token_ratio, count(*)::BIGINT AS c
+           FROM sl GROUP BY 1, 2),
+cumul AS (SELECT lang, type_token_ratio,
+                 (sum(c) OVER (PARTITION BY lang ORDER BY type_token_ratio
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS cumc
+          FROM counts),
+n AS (SELECT lang, count(*)::BIGINT AS n FROM sl GROUP BY 1),
+thr AS (SELECT lang, min(type_token_ratio) AS thr
+        FROM cumul JOIN n USING (lang)
+        WHERE cumc >= ceil({QP_FRAC!r} * n) GROUP BY lang)
+SELECT doc_id, lang, type_token_ratio
+FROM sl JOIN thr USING (lang) WHERE type_token_ratio >= thr
+"""
+
+
 HOT_MIN_DF = 5
 HOT_TOP = 40
 
@@ -1445,6 +1484,7 @@ LLM_QUERIES = {
     "docs_packed": q_docs_packed,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_hot_ngrams": q_docs_hot_ngrams,
+    "docs_quality_percentile": q_docs_quality_percentile,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_knn_pq": q_emb_knn_pq,
     "docs_jaccard_join": q_docs_jaccard_join,
@@ -1489,6 +1529,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_packed": _oracle_packed(),
         "docs_lang_temperature_sample": _oracle_lang_temperature(),
         "docs_hot_ngrams": _oracle_hot_ngrams(),
+        "docs_quality_percentile": _oracle_quality_percentile(),
         "emb_pq_codes": _oracle_pq_codes(),
         "emb_knn_pq": _oracle_knn_pq(),
         "docs_jaccard_join": _oracle_jaccard_join(),

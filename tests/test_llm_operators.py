@@ -757,3 +757,30 @@ def test_pq_codes_identity_and_knn_recall(spark, sf_oracle):
     # a 16-entry codebook is deliberately coarse; chance overlap would
     # be ~1% (5/495 per slot) — 20%+ is unambiguous signal
     assert len(pq & exact) / len(exact) >= 0.2
+
+
+def test_quality_percentile_filter_drops_bottom_quartile_per_stratum(spark):
+    """Each stratum independently loses its bottom frac by metric; ties
+    at the threshold are kept; per-stratum survivor count is exact for
+    distinct metric values."""
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        quality_percentile_filter,
+    )
+
+    rows = []
+    # lang A: 8 docs with strictly increasing diversity (ttr)
+    for i in range(8):
+        toks = [f"w{j}" for j in range(i + 2)] + ["pad"] * (9 - i)
+        rows.append((i, " ".join(toks), "A"))
+    # lang B: 4 docs, all identical ttr → no doc falls below the quantile
+    for i in range(4):
+        rows.append((100 + i, "a b c d", "B"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kept = quality_percentile_filter(docs, 0.25)
+    by_lang = {l: sorted(r["doc_id"] for r in g) for l, g in
+               __import__("itertools").groupby(
+                   sorted(kept.collect(), key=lambda r: r["lang"]),
+                   key=lambda r: r["lang"])}
+    assert by_lang["B"] == [100, 101, 102, 103]   # all tied → all kept
+    # lang A: ceil(0.25*8)=2 → threshold = 2nd-lowest ttr; doc 0 dropped
+    assert by_lang["A"] == [1, 2, 3, 4, 5, 6, 7]
