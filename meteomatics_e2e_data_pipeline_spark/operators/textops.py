@@ -253,3 +253,48 @@ def quality_percentile_filter(docs, frac: float = 0.25,
     return (sl.join(F.broadcast(thr), key_col)
             .filter(F.col(metric_col) >= F.col("__thr"))
             .select(id_col, key_col, metric_col))
+
+
+def unigram_logprob(docs, total_tokens: int, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """CCNet-style unigram language-model scoring: per document, the
+    average negative log-likelihood under the corpus' own unigram
+    distribution (p_t = corpus_count_t / total_tokens). Low = bland
+    high-frequency text, high = rare-token soup — both tails are what
+    quality pipelines cut.
+
+    score_d = round(-(Σ_{u ∈ distinct terms of d} tf_u · ln p_u) / n_d, 6)
+
+    Shapes: term frequencies and corpus counts are partial-aggregatable
+    hash aggregates (two shuffles: (doc, term) and term); the per-doc
+    reduction folds tf·ln p in ARRAY-SORTED term order — the same
+    pinned-order sequential fold as ``sampling.temperature_sample`` — so
+    the float sum is engine-independent and the DuckDB oracle (which
+    folds a ``list(... ORDER BY term)``) matches bit-for-bit. The
+    per-doc array is bounded by the doc's distinct-term count, not the
+    vocabulary.
+
+    ``total_tokens`` is the corpus token count (one scalar; compute it
+    once with a count action like tf-idf's n_docs — keeping it an
+    argument keeps this operator action-free).
+    """
+    from pyspark.sql import functions as F
+
+    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
+    tf = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    corpus_c = tf.groupBy("t").agg(F.sum("tf").alias("c"))
+    val = (F.col("tf").cast("double")
+           * F.log(F.col("c").cast("double") / float(total_tokens)))
+    per_term = tf.join(corpus_c, "t").select(
+        id_col, F.col("t"), F.col("tf"), val.alias("v"))
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"),
+             F.aggregate(
+                 F.array_sort(F.collect_list(F.struct(F.col("t"),
+                                                      F.col("v")))),
+                 F.lit(0.0), lambda acc, s: acc + s["v"]).alias("__s"))
+        .select(id_col, F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.round(-F.col("__s") / F.col("n_tokens"), 6)
+                .alias("unigram_nll"))
+    )

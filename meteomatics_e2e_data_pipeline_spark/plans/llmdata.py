@@ -33,6 +33,7 @@ from ..operators.textops import (
     lang_guess, lang_score, redact, repetition_stats, tokens,
 )
 from ..operators.textops import quality_percentile_filter as textops_qpf
+from ..operators.textops import unigram_logprob as textops_unigram
 from ..sources.tables import load_table
 
 # Shared query parameters (mirrored into the generated oracle SQL).
@@ -1162,6 +1163,32 @@ GROUP BY h.doc_id
 """
 
 
+def q_docs_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: per-doc average negative log-likelihood
+    under the corpus' own unigram distribution (CCNet-style signal;
+    operators/textops.py:unigram_logprob — pinned-order fold for float
+    parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))))
+    return textops_unigram(docs, tok.count())
+
+
+def _oracle_unigram_nll() -> str:
+    return rf"""
+WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+cc AS (SELECT t, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS total FROM cc),
+v AS (SELECT doc_id, t,
+             tf::DOUBLE * ln(c::DOUBLE / total::DOUBLE) AS v, tf
+      FROM tf JOIN cc USING (t), tot)
+SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       round(-list_aggregate(list(v ORDER BY t), 'sum')
+             / sum(tf)::BIGINT, 6) AS unigram_nll
+FROM v GROUP BY doc_id
+"""
+
+
 QP_FRAC = 0.25
 
 
@@ -1485,6 +1512,7 @@ LLM_QUERIES = {
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_hot_ngrams": q_docs_hot_ngrams,
     "docs_quality_percentile": q_docs_quality_percentile,
+    "docs_unigram_nll": q_docs_unigram_nll,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_knn_pq": q_emb_knn_pq,
     "docs_jaccard_join": q_docs_jaccard_join,
@@ -1530,6 +1558,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_lang_temperature_sample": _oracle_lang_temperature(),
         "docs_hot_ngrams": _oracle_hot_ngrams(),
         "docs_quality_percentile": _oracle_quality_percentile(),
+        "docs_unigram_nll": _oracle_unigram_nll(),
         "emb_pq_codes": _oracle_pq_codes(),
         "emb_knn_pq": _oracle_knn_pq(),
         "docs_jaccard_join": _oracle_jaccard_join(),

@@ -784,3 +784,24 @@ def test_quality_percentile_filter_drops_bottom_quartile_per_stratum(spark):
     assert by_lang["B"] == [100, 101, 102, 103]   # all tied → all kept
     # lang A: ceil(0.25*8)=2 → threshold = 2nd-lowest ttr; doc 0 dropped
     assert by_lang["A"] == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_unigram_nll_orders_bland_below_rare(spark):
+    """A doc of corpus-dominant tokens must score LOWER (more likely)
+    than a doc of singletons; scores are partitioning-invariant."""
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        unigram_logprob,
+    )
+
+    common = " ".join(["the"] * 10)
+    rare = " ".join(f"zq{i}" for i in range(10))
+    filler = [(i, "the and of to in " * 4) for i in range(10, 20)]
+    docs = spark.createDataFrame(
+        [(1, common), (2, rare)] + filler, "doc_id bigint, text string")
+    total = sum(len(t.split()) for _, t in [(1, common), (2, rare)] + filler)
+    nll = {r["doc_id"]: r["unigram_nll"]
+           for r in unigram_logprob(docs, total).collect()}
+    assert nll[1] < nll[2]
+    nll2 = {r["doc_id"]: r["unigram_nll"]
+            for r in unigram_logprob(docs.repartition(7), total).collect()}
+    assert nll == nll2
