@@ -631,3 +631,43 @@ def hot_ngrams(docs: DataFrame, min_df: int, top: int,
         .select("ngram", F.col("df").cast("bigint").alias("df"))
         .distinct()
     )
+
+
+def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3) -> DataFrame:
+    """Span-level duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    fraction of its n-gram positions whose n-gram also appears in at
+    least one OTHER document. Doc-level dedup misses partially-copied
+    text; this measures it without a suffix array.
+
+    Shape: n-gram occurrences (with multiplicity) stay row-local until
+    ONE equi-join on the 8-byte hash against the document-frequency
+    frame, then a partial-aggregatable per-doc rollup. The df frame is
+    corpus-vocabulary-sized — at warehouse scale swap the join for a
+    broadcast Bloom filter of the df≥2 set (recall-exact for counting
+    up to the filter's false-positive rate); the exact join shape is
+    kept here because it is oracle-checkable.
+    """
+    occ = (
+        _spread(docs.select(id_col, text_col), id_col)
+        .select(id_col, F.explode(
+            F.expr(f"transform(sequence(1, greatest(size(split(trim({text_col}),"
+                   f" '\\\\s+')) - {n - 1}, 0)), i -> concat_ws(' ', slice("
+                   f"split(trim({text_col}), '\\\\s+'), i, {n})))"))
+            .alias("__g"))
+        .select(id_col, base_hash48(F.col("__g")).alias("hv"))
+    )
+    df_ = (occ.select(id_col, "hv").distinct()
+           .groupBy("hv").agg(F.count(F.lit(1)).alias("df")))
+    return (
+        occ.join(df_, "hv")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"))
+        .select(id_col,
+                F.col("n_spans").cast("bigint").alias("n_spans"),
+                F.col("n_dup").cast("bigint").alias("n_dup_spans"),
+                F.round(F.col("n_dup") / F.col("n_spans"), 6)
+                .alias("dup_span_frac"))
+    )

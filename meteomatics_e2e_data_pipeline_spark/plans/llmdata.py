@@ -1163,6 +1163,35 @@ GROUP BY h.doc_id
 """
 
 
+def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication: per doc, the fraction of n-gram positions
+    whose n-gram appears in ≥2 distinct docs (partial-copy signal that
+    doc-level dedup misses; operators/neardup.py:dup_span_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.dup_span_stats(docs, n=SHINGLE_N)
+
+
+def _oracle_dup_spans() -> str:
+    hv = _DUCK_HASH48.format(c="shingle")
+    n = SHINGLE_N
+    parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    return rf"""
+WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+occ0 AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w) - {n - 2}),
+                                      i -> {parts})) AS shingle
+         FROM tok),
+occ AS (SELECT doc_id, {hv} AS hv FROM occ0),
+dfq AS (SELECT hv, count(DISTINCT doc_id)::BIGINT AS df FROM occ GROUP BY hv)
+SELECT doc_id, count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS dup_span_frac
+FROM occ JOIN dfq USING (hv)
+GROUP BY doc_id
+"""
+
+
 def q_docs_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: per-doc average negative log-likelihood
     under the corpus' own unigram distribution (CCNet-style signal;
@@ -1513,6 +1542,7 @@ LLM_QUERIES = {
     "docs_hot_ngrams": q_docs_hot_ngrams,
     "docs_quality_percentile": q_docs_quality_percentile,
     "docs_unigram_nll": q_docs_unigram_nll,
+    "docs_dup_spans": q_docs_dup_spans,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_knn_pq": q_emb_knn_pq,
     "docs_jaccard_join": q_docs_jaccard_join,
@@ -1559,6 +1589,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_hot_ngrams": _oracle_hot_ngrams(),
         "docs_quality_percentile": _oracle_quality_percentile(),
         "docs_unigram_nll": _oracle_unigram_nll(),
+        "docs_dup_spans": _oracle_dup_spans(),
         "emb_pq_codes": _oracle_pq_codes(),
         "emb_knn_pq": _oracle_knn_pq(),
         "docs_jaccard_join": _oracle_jaccard_join(),

@@ -805,3 +805,18 @@ def test_unigram_nll_orders_bland_below_rare(spark):
     nll2 = {r["doc_id"]: r["unigram_nll"]
             for r in unigram_logprob(docs.repartition(7), total).collect()}
     assert nll == nll2
+
+
+def test_dup_span_stats_counts_cross_doc_spans_only(spark):
+    """Only n-grams shared with ANOTHER doc count as duplicated —
+    within-doc repetition alone doesn't; fully-copied docs hit 1.0."""
+    a = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, a), (2, a),                               # full copies
+            (3, "eta theta iota eta theta iota"),         # self-repeat only
+            (4, "unique words that nobody else ever says here")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_frac"])
+           for r in neardup.dup_span_stats(docs).collect()}
+    assert got[1] == (4, 4, 1.0) and got[2] == (4, 4, 1.0)
+    assert got[3][1] == 0          # self-repeat is not cross-doc dup
+    assert got[4][1] == 0
