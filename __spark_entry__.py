@@ -58,6 +58,7 @@ _VERIFY_FIRST = (
     "docs_quality_percentile",  # NEW this round (per-lang quantile gate)
     "docs_unigram_nll",       # NEW this round (unigram-LM scoring)
     "docs_dup_spans",         # NEW this round (span-level dup signal)
+    "docs_oov_rate",          # NEW this round (vocab coverage per lang)
     "emb_pq_codes",           # NEW this round (product quantization)
     "emb_knn_pq",             # NEW this round (PQ/ADC compressed kNN)
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by

@@ -1163,6 +1163,50 @@ GROUP BY h.doc_id
 """
 
 
+def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check: per language, the fraction of token
+    OCCURRENCES outside the top-VOCAB_SIZE corpus vocabulary (the number
+    a tokenizer/vocab decision is judged by). The vocab is a broadcast
+    dim; the token stream is scanned once with a partial-aggregatable
+    per-lang rollup — no shuffle keyed on tokens except inside the
+    vocab-build aggregate itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("token").asc())
+        .limit(VOCAB_SIZE)
+        .select("token", F.lit(1).alias("__inv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
+             .alias("n_oov"))
+        .select("lang",
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.col("n_oov").cast("bigint").alias("n_oov"),
+                F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+                .alias("oov_rate"))
+    )
+
+
+def _oracle_oov_rate() -> str:
+    return rf"""
+WITH tok AS (SELECT lang, unnest({_DUCK_TOKENS}) AS token FROM documents),
+v AS (SELECT token, 1 AS inv FROM (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token LIMIT {VOCAB_SIZE}))
+SELECT lang, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       round(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS oov_rate
+FROM tok LEFT JOIN v USING (token)
+GROUP BY lang
+"""
+
+
 def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication: per doc, the fraction of n-gram positions
     whose n-gram appears in ≥2 distinct docs (partial-copy signal that
@@ -1543,6 +1587,7 @@ LLM_QUERIES = {
     "docs_quality_percentile": q_docs_quality_percentile,
     "docs_unigram_nll": q_docs_unigram_nll,
     "docs_dup_spans": q_docs_dup_spans,
+    "docs_oov_rate": q_docs_oov_rate,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_knn_pq": q_emb_knn_pq,
     "docs_jaccard_join": q_docs_jaccard_join,
@@ -1590,6 +1635,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_quality_percentile": _oracle_quality_percentile(),
         "docs_unigram_nll": _oracle_unigram_nll(),
         "docs_dup_spans": _oracle_dup_spans(),
+        "docs_oov_rate": _oracle_oov_rate(),
         "emb_pq_codes": _oracle_pq_codes(),
         "emb_knn_pq": _oracle_knn_pq(),
         "docs_jaccard_join": _oracle_jaccard_join(),
