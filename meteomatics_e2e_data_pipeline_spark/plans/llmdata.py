@@ -1163,9 +1163,14 @@ GROUP BY h.doc_id
 """
 
 
+# The synthetic corpus has a ~31-token universe, so the coverage demo
+# uses a deliberately tight vocabulary: top-20 tokens in, tail out.
+OOV_VOCAB_TOP = 20
+
+
 def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-coverage check: per language, the fraction of token
-    OCCURRENCES outside the top-VOCAB_SIZE corpus vocabulary (the number
+    OCCURRENCES outside the top-OOV_VOCAB_TOP corpus vocabulary (the number
     a tokenizer/vocab decision is judged by). The vocab is a broadcast
     dim; the token stream is scanned once with a partial-aggregatable
     per-lang rollup — no shuffle keyed on tokens except inside the
@@ -1175,7 +1180,7 @@ def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         tok.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
         .orderBy(F.col("__c").desc(), F.col("token").asc())
-        .limit(VOCAB_SIZE)
+        .limit(OOV_VOCAB_TOP)
         .select("token", F.lit(1).alias("__inv"))
     )
     return (
@@ -1197,7 +1202,7 @@ def _oracle_oov_rate() -> str:
 WITH tok AS (SELECT lang, unnest({_DUCK_TOKENS}) AS token FROM documents),
 v AS (SELECT token, 1 AS inv FROM (
         SELECT token, count(*) AS c FROM tok GROUP BY token
-        ORDER BY c DESC, token LIMIT {VOCAB_SIZE}))
+        ORDER BY c DESC, token LIMIT {OOV_VOCAB_TOP}))
 SELECT lang, count(*)::BIGINT AS n_tokens,
        sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
        round(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END)
