@@ -45,21 +45,22 @@ PERM_A = [2 * j + 1 for j in range(NUM_PERM)]          # odd multipliers
 PERM_B = [7919 * j + 104729 for j in range(NUM_PERM)]  # offset per perm
 
 
-def shingle_hashes(docs: DataFrame, id_col: str, text_col: str,
-                   n: int) -> DataFrame:
-    """Distinct (id, hv) pairs — each document's shingle *set*, hashed.
+def ngram_occurrences(docs: DataFrame, id_col: str, text_col: str,
+                      n: int) -> DataFrame:
+    """One (id, shingle) row per n-gram POSITION (non-distinct) — the
+    shared head of every n-gram operator.
 
-    Hashing happens before the dedupe shuffle so only 8-byte keys move,
-    never the shingle strings. All downstream set math (MinHash, sizes,
-    intersections) runs on ``hv``; the DuckDB oracle does the same, so a
-    (vanishingly unlikely) 48-bit collision cannot cause a mismatch.
+    posexplode + lead instead of a higher-order transform, for two
+    reasons: every expression stays inside whole-stage codegen (HOF
+    lambdas are interpreted), and a lambda that indexes a tokenization
+    ALIAS (``w[i]``) gets the alias inlined by CollapseProject, silently
+    re-running the regex split once per n-gram position (measured ~10×
+    on the bigram variant of this chain). The window's hash(doc_id)
+    requirement is already satisfied by ``_spread``'s repartition, so no
+    extra shuffle is paid.
     """
     from pyspark.sql import Window
 
-    # posexplode + lead instead of a higher-order transform: every
-    # expression stays inside whole-stage codegen (HOF lambdas are
-    # interpreted), and the window's hash(doc_id) requirement is already
-    # satisfied by _spread's repartition, so no extra shuffle is paid.
     tok = (
         _spread(docs.select(id_col, text_col), id_col)
         .select(id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "t0"))
@@ -71,6 +72,20 @@ def shingle_hashes(docs: DataFrame, id_col: str, text_col: str,
     return (
         tok.filter(F.col(parts[-1]).isNotNull())
         .select(id_col, F.concat_ws(" ", *parts).alias("shingle"))
+    )
+
+
+def shingle_hashes(docs: DataFrame, id_col: str, text_col: str,
+                   n: int) -> DataFrame:
+    """Distinct (id, hv) pairs — each document's shingle *set*, hashed.
+
+    Hashing happens before the dedupe shuffle so only 8-byte keys move,
+    never the shingle strings. All downstream set math (MinHash, sizes,
+    intersections) runs on ``hv``; the DuckDB oracle does the same, so a
+    (vanishingly unlikely) 48-bit collision cannot cause a mismatch.
+    """
+    return (
+        ngram_occurrences(docs, id_col, text_col, n)
         .select(id_col, base_hash48(F.col("shingle")).alias("hv"))
         .distinct()
     )
@@ -616,13 +631,9 @@ def hot_ngrams(docs: DataFrame, min_df: int, top: int,
         .limit(top)
     )
     sh = (
-        _spread(docs.select(id_col, text_col), id_col)
-        .select(F.explode(
-            F.expr(f"transform(sequence(1, greatest(size(split(trim({text_col}),"
-                   f" '\\\\s+')) - {n - 1}, 0)), i -> concat_ws(' ', slice("
-                   f"split(trim({text_col}), '\\\\s+'), i, {n})))"))
-            .alias("ngram"))
-        .select("ngram", base_hash48(F.col("ngram")).alias("hv"))
+        ngram_occurrences(docs, id_col, text_col, n)
+        .select(F.col("shingle").alias("ngram"),
+                base_hash48(F.col("shingle")).alias("hv"))
     )
     # Filter by the broadcast hot set BEFORE any dedupe: the distinct
     # then runs over ≤ top×docs surviving rows, never the string universe.
@@ -650,13 +661,8 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
     kept here because it is oracle-checkable.
     """
     occ = (
-        _spread(docs.select(id_col, text_col), id_col)
-        .select(id_col, F.explode(
-            F.expr(f"transform(sequence(1, greatest(size(split(trim({text_col}),"
-                   f" '\\\\s+')) - {n - 1}, 0)), i -> concat_ws(' ', slice("
-                   f"split(trim({text_col}), '\\\\s+'), i, {n})))"))
-            .alias("__g"))
-        .select(id_col, base_hash48(F.col("__g")).alias("hv"))
+        ngram_occurrences(docs, id_col, text_col, n)
+        .select(id_col, base_hash48(F.col("shingle")).alias("hv"))
     )
     df_ = (occ.select(id_col, "hv").distinct()
            .groupBy("hv").agg(F.count(F.lit(1)).alias("df")))
