@@ -44,6 +44,10 @@ def main() -> None:
     # first (that skew read as a phantom ANN regression in round 3).
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         run(spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")))
+    # ... and spin up the Arrow Python workers once, so daemon startup
+    # isn't attributed to whichever mapInPandas query runs first (read
+    # as a phantom multimodal regression in round 4).
+    run(spark.range(32).mapInPandas(lambda it: it, "id long"))
 
     reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     timings: dict[str, float] = {}
