@@ -469,21 +469,28 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
               .localCheckpoint(eager=True))
     try:
         for _ in range(max_iter):
+            # Tag each unioned row with whether it carries the vertex's
+            # OWN current label; the propagation aggregate then yields
+            # both the new label (min over own+neighbors) and the old one
+            # (min over the single own row) in ONE job, so convergence
+            # detection is a filter over the checkpointed O(V) frame —
+            # no separate old-vs-new join job per iteration.
+            own = labels.select("u", "lbl", F.lit(True).alias("__own"))
             neighbor = (
                 edges.join(labels.withColumnRenamed("u", "v"), "v")
-                .select("u", "lbl")
+                .select("u", "lbl", F.lit(False).alias("__own"))
             )
             new_labels = (
-                labels.unionByName(neighbor)
-                .groupBy("u").agg(F.min("lbl").alias("lbl"))
+                own.unionByName(neighbor)
+                .groupBy("u")
+                .agg(F.min("lbl").alias("lbl"),
+                     F.min(F.when(F.col("__own"), F.col("lbl"))).alias("__old"))
+                .select("u", "lbl",
+                        (F.col("lbl") != F.col("__old")).alias("__chg"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("lbl", "old"), "u")
-                .filter(F.col("lbl") != F.col("old"))
-                .limit(1).count()
-            )
-            labels = new_labels
+            changed = new_labels.filter("__chg").limit(1).count()
+            labels = new_labels.select("u", "lbl")
             if changed == 0:
                 return labels
         raise RuntimeError(
