@@ -684,3 +684,29 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
                 F.round(F.col("n_dup") / F.col("n_spans"), 6)
                 .alias("dup_span_frac"))
     )
+
+
+def shingle_hash_array(text_col, n: int):
+    """Row-local shingle-hash ARRAY column — the window-free twin of
+    :func:`ngram_occurrences` for contexts where a window is unavailable
+    (streaming) or a per-row array is wanted outright.
+
+    Built by zip_with-ing the token array against its own shifted
+    slices, which dodges BOTH n-gram performance traps: no window, and
+    no lambda ever indexes a computed alias (the CollapseProject
+    re-evaluation problem — see ``ngram_occurrences``); the tokenizer
+    runs O(n) times per ROW, not per position. Partial tail windows are
+    null-propagated and filtered, so the gram set is exactly
+    ``ngram_occurrences``' (property-tested).
+    """
+    w = tokens(text_col)
+    acc = w
+    for k in range(1, n):
+        shifted = F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0)))
+        acc = F.zip_with(
+            acc, shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(),
+                                F.lit(None).cast("string"))
+            .otherwise(F.concat_ws(" ", a, b)))
+    grams = F.filter(acc, lambda x: x.isNotNull())
+    return F.transform(grams, lambda s: base_hash48(s))

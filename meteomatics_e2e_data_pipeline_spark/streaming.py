@@ -16,6 +16,7 @@ path; only the scan node differs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -284,3 +285,36 @@ def stream_stratified_sample(stream: DataFrame,
         .drop("__thr")
         .select(*out_cols)
     )
+
+
+def stream_contamination_flags(stream: DataFrame, bench_hvs,
+                               text_col: str = "text",
+                               n: int = 3) -> DataFrame:
+    """Streaming twin of :func:`operators.neardup.contamination_hits`:
+    append ``n_hits`` (distinct benchmark n-grams present) to every
+    streamed document. Stateless — no window, no watermark, no shuffle —
+    so it composes with any downstream streaming op, and a doc's count
+    is identical to the batch operator's (same hash definition).
+
+    ``bench_hvs`` is the COLLECTED benchmark n-gram hash set (eval
+    suites are MBs by nature, driver-collectable by contract — the
+    same "ship the benchmark set to every worker" shape PaLM-style
+    decontamination uses). It ships once per executor as a broadcast
+    variable; membership runs in an Arrow-batched pandas UDF over the
+    row-local shingle array (`shingle_hash_array` — window-free by
+    construction).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.neardup import shingle_hash_array
+
+    b = stream.sparkSession.sparkContext.broadcast(frozenset(bench_hvs))
+
+    @pandas_udf("int")
+    def n_hits(hv_arrays: pd.Series) -> pd.Series:
+        s = b.value
+        return hv_arrays.map(
+            lambda arr: 0 if arr is None else len(set(arr) & s))
+
+    return stream.withColumn(
+        "n_hits", n_hits(shingle_hash_array(F.col(text_col), n)))

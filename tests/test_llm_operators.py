@@ -820,3 +820,26 @@ def test_dup_span_stats_counts_cross_doc_spans_only(spark):
     assert got[1] == (4, 4, 1.0) and got[2] == (4, 4, 1.0)
     assert got[3][1] == 0          # self-repeat is not cross-doc dup
     assert got[4][1] == 0
+
+
+def test_shingle_hash_array_equals_ngram_occurrences(spark):
+    """The row-local (window-free) shingle array must contain exactly
+    the grams the posexplode+lead chain produces, per doc, including
+    short-doc edge cases."""
+    rows = [(1, "a b c d e"), (2, "x y"), (3, "only"), (4, "p q r"),
+            (5, "t t t t")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arr = {r["doc_id"]: sorted(r["hvs"]) for r in
+           docs.select("doc_id",
+                       neardup.shingle_hash_array(F.col("text"), 3)
+                       .alias("hvs")).collect()}
+    occ = {}
+    for r in (neardup.ngram_occurrences(docs, "doc_id", "text", 3)
+              .select("doc_id",
+                      F.expr("conv(substring(md5(shingle), 1, 12), 16, 10)")
+                      .cast("bigint").alias("hv")).collect()):
+        occ.setdefault(r["doc_id"], []).append(r["hv"])
+    occ = {k: sorted(v) for k, v in occ.items()}
+    for d in (1, 4, 5):
+        assert arr[d] == occ[d]
+    assert arr[2] == [] and arr[3] == []      # too short for any trigram

@@ -220,3 +220,44 @@ def test_stream_stratified_sample_matches_batch_sample(spark, tmp_path):
     want = {r["doc_id"] for r in
             stratified_sample(batch, rates, salt="sX").collect()}
     assert got == want and 0 < len(want) < 300
+
+
+def test_stream_contamination_flags_match_batch_operator(spark, tmp_path):
+    """The streaming decontamination twin must flag EXACTLY the docs the
+    batch operator counts, with the same hit counts, and clean docs get
+    n_hits = 0 (filterable stateless-ly)."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        contamination_hits, shingle_hashes,
+    )
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_contamination_flags,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    rows = [(1, "x alpha beta gamma y"), (2, "clean words only here"),
+            (3, "beta gamma delta epsilon tail")]
+    schema = "doc_id long, text string"
+    batch = spark.createDataFrame(rows, schema)
+
+    bench_hvs = {r["hv"] for r in
+                 shingle_hashes(bench, "doc_id", "text", 3).collect()}
+    src = tmp_path / "docs"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b0"))
+    stream = (spark.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(str(src)))
+    q = (stream_contamination_flags(stream, bench_hvs)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r["n_hits"] for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {r["doc_id"]: r["n_hits"] for r in
+            contamination_hits(batch, bench).collect()}
+    assert {k: v for k, v in got.items() if v > 0} == want
+    assert got[2] == 0
