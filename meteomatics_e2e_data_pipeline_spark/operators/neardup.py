@@ -132,10 +132,22 @@ def band_rows(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) whose signatures collide in
     at least one band. The join shuffles on (band_id, band_hash) — bucket
     sizes, not document count, bound the pair fan-out.
+
+    ``max_bucket`` is the hot-bucket guard for warehouse scale: a band
+    bucket of B documents emits B² candidate pairs, so one template/
+    boilerplate cluster of 10⁵ docs would emit 10¹⁰ pairs and sink the
+    job. Buckets wider than the cap are dropped BEFORE the self-join (a
+    partial-aggregatable size count + semi-join on the band rows). The
+    recall loss is deliberate and standard: a bucket that hot is almost
+    always exact/near-exact duplication, which the exact-dedup pass
+    (run FIRST in any real pipeline, cf. docs_training_mix ordering)
+    already collapses. Default None = exact behavior, used by the
+    oracle-checked queries.
 
     The band rows feed BOTH sides of the self-join, so they are persisted:
     without it every upstream stage (tokenize → shingle → hash → signature
@@ -143,7 +155,16 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     a small cache even at corpus scale."""
     from pyspark import StorageLevel
 
-    b = band_rows(sigs, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    b = band_rows(sigs, id_col)
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        ok = (b.groupBy("band_id", "band_hash")
+              .agg(F.count(F.lit(1)).alias("__bs"))
+              .filter(F.col("__bs") <= max_bucket)
+              .select("band_id", "band_hash"))
+        b = b.join(ok, ["band_id", "band_hash"], "left_semi")
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
     left = b.withColumnRenamed(id_col, "id_a")
     right = b.withColumnRenamed(id_col, "id_b")
     return (

@@ -843,3 +843,22 @@ def test_shingle_hash_array_equals_ngram_occurrences(spark):
     for d in (1, 4, 5):
         assert arr[d] == occ[d]
     assert arr[2] == [] and arr[3] == []      # too short for any trigram
+
+
+def test_lsh_hot_bucket_cap_drops_only_hot_buckets(spark):
+    """With a bucket cap, a pathological identical-doc cluster stops
+    generating candidates (exact dedup's job) while ordinary near-dup
+    pairs are untouched."""
+    base = BASE
+    rows = [(i, "template boilerplate " + base) for i in range(30)]  # hot
+    rows += [(100, base), (101, base)]   # ordinary 2-doc dup bucket
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = neardup.minhash_signatures(docs)
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                neardup.lsh_candidate_pairs(sigs).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              neardup.lsh_candidate_pairs(sigs, max_bucket=10).collect()}
+    assert (100, 101) in uncapped and (100, 101) in capped
+    hot = {p for p in capped if p[0] < 30 and p[1] < 30}
+    assert hot == set()                      # hot cluster suppressed
+    assert len(capped) < len(uncapped)
