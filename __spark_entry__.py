@@ -61,6 +61,7 @@ _VERIFY_FIRST = (
     "docs_oov_rate",          # NEW this round (vocab coverage per lang)
     "emb_pq_codes",           # NEW this round (product quantization)
     "emb_knn_pq",             # NEW this round (PQ/ADC compressed kNN)
+    "emb_ann_ivfpq",          # NEW this round (IVF-PQ composition)
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
     "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
     "emb_cosine_near_dup",  # same operator

@@ -579,3 +579,51 @@ def knn_pq(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     recon = pq_reconstruct(pq_codes(corpus, cb, dim, m, id_col, vec_col),
                            cb, dim, m, id_col, vec_col)
     return knn_bruteforce(recon, queries, k, id_col, vec_col)
+
+
+def knn_ivfpq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: int, dim: int, m: int = 8, n_cent: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              nprobe: int = 1) -> DataFrame:
+    """IVF-PQ — the FAISS ``IndexIVFPQ`` composition, which is how
+    billion-vector ANN actually ships: the coarse quantizer prunes the
+    scan to the query's ``nprobe`` buckets (1/n_buckets of the corpus),
+    and PQ compresses what is scanned (4-bit codes, 64×), scored
+    asymmetrically against full-precision queries.
+
+    List assignment uses the ORIGINAL vectors (inverted lists are built
+    before compression, per the standard construction); only candidate
+    scoring touches the lossy reconstruction. Both pruning and
+    compression compose multiplicatively on the bytes a query reads.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cb = pq_codebook(corpus, n_cent, id_col, vec_col)
+    recon = pq_reconstruct(pq_codes(corpus, cb, dim, m, id_col, vec_col),
+                           cb, dim, m, id_col, vec_col)
+    c = (recon.join(assigned.select(id_col, "bucket"), id_col)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("c_vec"), "bucket")
+         .withColumn("__cn", _norm(F.col("c_vec"))))
+    q = (ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("q_vec"), "bucket")
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "bucket",
+                _PAIR_COS().alias("cos_raw"))
+    )
+    if nprobe > 1:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -1511,6 +1511,71 @@ FROM ranked WHERE rank <= {PQ_K}
 """
 
 
+def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (FAISS IndexIVFPQ shape): coarse-quantizer
+    pruning × PQ compression, asymmetric scoring
+    (operators/similarity.py:knn_ivfpq)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    return similarity.knn_ivfpq(emb, queries, centroids, IVF_K,
+                                EMB_DIM, PQ_M, PQ_NCENT)
+
+
+def _oracle_ann_ivfpq() -> str:
+    subdim = EMB_DIM // PQ_M
+    joins = "\n  ".join(
+        f"JOIN cent e{j} ON e{j}.cid = k.c{j}" for j in range(PQ_M))
+    concat = " || ".join(
+        f"e{j}.c[{j * subdim + 1}:{(j + 1) * subdim}]" for j in range(PQ_M))
+    return rf"""
+WITH {_pq_cte()},
+recon AS (
+  SELECT k.vec_id, {concat} AS cv
+  FROM codes k
+  {joins}
+),
+icent AS (SELECT vec_id AS centroid_id, v AS cent_v FROM v
+          WHERE vec_id < {IVF_CENTROID_MAX_ID}),
+sa AS (
+  SELECT a.vec_id, c.centroid_id,
+         list_dot_product(a.v, c.cent_v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(c.cent_v, c.cent_v))) AS cs
+  FROM v a, icent c
+),
+assigned AS (
+  SELECT vec_id, centroid_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, centroid_id) AS rn
+        FROM sa)
+  WHERE rn = 1
+),
+q AS (SELECT a.vec_id AS query_id, x.v AS qv, a.bucket
+      FROM assigned a JOIN v x USING (vec_id)
+      WHERE a.vec_id < {KNN_QUERY_MAX_ID}),
+c2 AS (SELECT r.vec_id AS neighbor_id, r.cv, a.bucket
+       FROM recon r JOIN assigned a USING (vec_id)),
+scored AS (
+  SELECT query_id, neighbor_id, q.bucket,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM c2 JOIN q USING (bucket)
+  WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, round(cos_raw, 6) AS cos_sim,
+       rank::INT AS rank
+FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
 RESIZE_W, RESIZE_H = 24, 16  # 48-byte fake payload → exercises 2 md5 blocks
 
 
@@ -1595,6 +1660,7 @@ LLM_QUERIES = {
     "docs_oov_rate": q_docs_oov_rate,
     "emb_pq_codes": q_emb_pq_codes,
     "emb_knn_pq": q_emb_knn_pq,
+    "emb_ann_ivfpq": q_emb_ann_ivfpq,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1643,6 +1709,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_oov_rate": _oracle_oov_rate(),
         "emb_pq_codes": _oracle_pq_codes(),
         "emb_knn_pq": _oracle_knn_pq(),
+        "emb_ann_ivfpq": _oracle_ann_ivfpq(),
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

@@ -862,3 +862,23 @@ def test_lsh_hot_bucket_cap_drops_only_hot_buckets(spark):
     hot = {p for p in capped if p[0] < 30 and p[1] < 30}
     assert hot == set()                      # hot cluster suppressed
     assert len(capped) < len(uncapped)
+
+
+def test_ivfpq_prunes_to_bucket_and_tracks_full_precision_ivf(spark, sf_oracle):
+    """Every IVF-PQ hit must come from the query's own bucket, and the
+    lossy scoring must still substantially agree with full-precision IVF
+    over the same buckets."""
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    pq = similarity.knn_ivfpq(emb, queries, cent, 5, 64, 8, 16).collect()
+    assert len(pq) > 0
+    qbucket = {r["query_id"]: r["bucket"] for r in pq}
+    assert all(r["bucket"] == qbucket[r["query_id"]] for r in pq)
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in
+           similarity.knn_ivf(emb, queries, cent, 5).collect()}
+    hits = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    assert len(hits & ivf) / len(ivf) >= 0.2   # lossy codes, same buckets
