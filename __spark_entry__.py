@@ -62,6 +62,10 @@ _VERIFY_FIRST = (
     "emb_pq_codes",           # NEW this round (product quantization)
     "emb_knn_pq",             # NEW this round (PQ/ADC compressed kNN)
     "emb_ann_ivfpq",          # NEW this round (IVF-PQ composition)
+    "docs_near_dup_pairs",    # shingle chain refactored (ngram_occurrences)
+    "docs_simhash",           # same dependency — re-attest
+    "docs_simhash_pairs",     # same dependency — re-attest
+    "docs_near_dup_edit_distance",  # same dependency — re-attest
     "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
     "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
     "emb_cosine_near_dup",  # same operator
