@@ -62,6 +62,7 @@ _VERIFY_FIRST = (
     "emb_pq_codes",           # NEW this round (product quantization)
     "emb_knn_pq",             # NEW this round (PQ/ADC compressed kNN)
     "emb_ann_ivfpq",          # NEW this round (IVF-PQ composition)
+    "emb_knn_pq_trained",     # NEW this round (trained codebook; rows-only)
     "docs_near_dup_pairs",    # shingle chain refactored (ngram_occurrences)
     "docs_simhash",           # same dependency — re-attest
     "docs_simhash_pairs",     # same dependency — re-attest

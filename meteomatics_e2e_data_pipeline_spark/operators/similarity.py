@@ -627,3 +627,85 @@ def knn_ivfpq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                 F.round(F.col("cos_raw"), 6).alias("cos_sim"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def train_pq_codebook(corpus: DataFrame, dim: int, m: int = 8,
+                      n_cent: int = 16, iters: int = 2,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-subspace L2 k-means for the PQ codebook (the trained tier —
+    same relationship to :func:`pq_codebook` as
+    :func:`train_ivf_centroids` has to the take-first-k quantizer; like
+    all iterative training it is rows-only for the oracle and checked by
+    a Lloyd-monotonicity pytest instead).
+
+    Representation: a trained codebook stays in ``pq_codebook``'s
+    (cid, cvec) shape — entry ``cid``'s subspace-``j`` centroid is the
+    ``j``-th slice of ``cvec`` — so ``pq_codes``/``pq_reconstruct``/
+    ``knn_pq`` consume it unchanged.
+
+    Per iteration: one assignment pass (the partial-aggregatable
+    ``pq_codes`` aggregate), one element-wise mean via posexplode →
+    groupBy (subspace, code, dim) — all map-side combinable — and a
+    config-sized reassembly. Empty (subspace, code) cells carry their
+    previous centroid slice (standard Lloyd fix). ``localCheckpoint``
+    per pass keeps plan depth constant; seeds are the first ``n_cent``
+    vectors, so training from iters=0 IS the untrained codebook and
+    distortion is non-increasing in ``iters``.
+    """
+    subdim, rem = divmod(dim, m)
+    if rem:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    cb = pq_codebook(corpus, n_cent, id_col, vec_col) \
+        .localCheckpoint(eager=True)
+    base = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    for _ in range(iters):
+        codes = pq_codes(corpus, cb, dim, m, id_col, vec_col)
+        subs = (
+            base.join(codes, id_col)
+            .select(F.explode(F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"c{j}").alias("cid"),
+                         F.slice("__v", j * subdim + 1, subdim).alias("sv"))
+                for j in range(m)])).alias("s"))
+            .select("s.j", "s.cid", "s.sv")
+        )
+        dims = (subs.select("j", "cid", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("j", "cid", "pos").agg(F.avg("x").alias("mval")))
+        new_slices = (
+            dims.groupBy("j", "cid")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "mval")))
+                 .alias("pm"))
+            .select("j", "cid",
+                    F.expr("transform(pm, s -> s.mval)").alias("sv")))
+        prev_slices = (
+            cb.select("cid", F.explode(F.array(*[
+                F.struct(F.lit(j).alias("j"),
+                         F.slice("cvec", j * subdim + 1, subdim).alias("sv"))
+                for j in range(m)])).alias("s"))
+            .select(F.col("s.j").alias("j"), "cid",
+                    F.col("s.sv").alias("sv_prev")))
+        merged = (prev_slices.join(new_slices, ["j", "cid"], "left")
+                  .select("j", "cid",
+                          F.coalesce("sv", "sv_prev").alias("sv")))
+        cb = (merged.groupBy("cid")
+              .agg(F.sort_array(F.collect_list(F.struct("j", "sv")))
+                   .alias("js"))
+              .select("cid",
+                      F.expr("flatten(transform(js, s -> s.sv))")
+                      .alias("cvec"))
+              .localCheckpoint(eager=True))
+    return cb
+
+
+def knn_pq_trained(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+                   m: int = 8, n_cent: int = 16, iters: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Compressed-domain kNN over a TRAINED PQ codebook — the
+    quality-tier twin of :func:`knn_pq` (rows-only: iterative k-means is
+    not SQL-expressible; Lloyd monotonicity is pytest-checked)."""
+    cb = train_pq_codebook(corpus, dim, m, n_cent, iters, id_col, vec_col)
+    recon = pq_reconstruct(pq_codes(corpus, cb, dim, m, id_col, vec_col),
+                           cb, dim, m, id_col, vec_col)
+    return knn_bruteforce(recon, queries, k, id_col, vec_col)

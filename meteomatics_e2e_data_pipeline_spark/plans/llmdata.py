@@ -1511,6 +1511,20 @@ FROM ranked WHERE rank <= {PQ_K}
 """
 
 
+PQ_TRAIN_ITERS = 2
+
+
+def q_emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain kNN over a per-subspace-k-means-TRAINED PQ
+    codebook — rows-only by design (iterative Lloyd is not
+    SQL-expressible); distortion monotonicity vs the untrained codebook
+    is pytest-asserted (operators/similarity.py:train_pq_codebook)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_pq_trained(emb, queries, PQ_K, EMB_DIM,
+                                     PQ_M, PQ_NCENT, PQ_TRAIN_ITERS)
+
+
 def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition (FAISS IndexIVFPQ shape): coarse-quantizer
     pruning × PQ compression, asymmetric scoring
@@ -1661,6 +1675,7 @@ LLM_QUERIES = {
     "emb_pq_codes": q_emb_pq_codes,
     "emb_knn_pq": q_emb_knn_pq,
     "emb_ann_ivfpq": q_emb_ann_ivfpq,
+    "emb_knn_pq_trained": q_emb_knn_pq_trained,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,

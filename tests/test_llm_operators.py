@@ -882,3 +882,34 @@ def test_ivfpq_prunes_to_bucket_and_tracks_full_precision_ivf(spark, sf_oracle):
            similarity.knn_ivf(emb, queries, cent, 5).collect()}
     hits = {(r["query_id"], r["neighbor_id"]) for r in pq}
     assert len(hits & ivf) / len(ivf) >= 0.2   # lossy codes, same buckets
+
+
+def test_trained_pq_codebook_reduces_distortion(spark, sf_oracle):
+    """Lloyd monotonicity: training from the take-first-16 seed must not
+    increase total quantization distortion, and usually strictly
+    reduces it; the trained chain stays deterministic."""
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+
+    def distortion(cb):
+        recon = similarity.pq_reconstruct(
+            similarity.pq_codes(emb, cb, 64, 8), cb, 64, 8)
+        orig = emb.select("vec_id",
+                          F.col("embedding").cast("array<double>").alias("o"))
+        return (recon.withColumnRenamed("embedding", "r")
+                .join(orig, "vec_id")
+                .select(F.aggregate(
+                    F.zip_with("o", "r", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda a, t: a + t).alias("d"))
+                .agg(F.sum("d")).first()[0])
+
+    untrained = distortion(similarity.pq_codebook(emb, 16))
+    cb1 = similarity.train_pq_codebook(emb, 64, 8, 16, iters=2)
+    trained = distortion(cb1)
+    assert trained <= untrained * (1 + 1e-9)
+    assert trained < untrained * 0.9          # real movement on this data
+    cb2 = similarity.train_pq_codebook(emb, 64, 8, 16, iters=2)
+    a = sorted(map(tuple, cb1.collect()))
+    b = sorted(map(tuple, cb2.collect()))
+    assert a == b                              # deterministic retrain
