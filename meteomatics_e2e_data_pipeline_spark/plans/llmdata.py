@@ -2,12 +2,13 @@
 ``embeddings`` tables — dedup, near-dup, fingerprinting, text analysis,
 similarity search, multimodal plumbing.
 
-Every query has a full DuckDB oracle except three that are rows-only *by
+Every query has a full DuckDB oracle except four that are rows-only *by
 design*: ``emb_knn_vectorized`` (numpy sum order breaks last-ulp
-bit-parity), ``emb_ann_ivf_trained`` (iterative k-means is not
-SQL-expressible) and ``event_user_reach_approx``-style HLL (engine-
-specific sketches) — each is instead cross-checked in pytest against its
-oracle-checked twin or an exact bound. The sketches (MinHash, SimHash)
+bit-parity), ``emb_ann_ivf_trained`` and ``emb_knn_pq_trained``
+(iterative k-means is not SQL-expressible) and
+``event_user_reach_approx``-style HLL (engine-specific sketches) — each
+is instead cross-checked in pytest against its oracle-checked twin, an
+exact bound, or a Lloyd-monotonicity invariant. The sketches (MinHash, SimHash)
 are oracle-checkable *bit-for-bit* because the base hash is md5-derived
 on both engines (``operators.textops.base_hash48``); the oracle SQL is
 generated from the same constants (``PERM_A``/``PERM_B``/``MINHASH_P``)
