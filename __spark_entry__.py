@@ -63,6 +63,8 @@ _VERIFY_FIRST = (
     "emb_knn_pq",             # NEW this round (PQ/ADC compressed kNN)
     "emb_ann_ivfpq",          # NEW this round (IVF-PQ composition)
     "emb_knn_pq_trained",     # NEW this round (trained codebook; rows-only)
+    "emb_knn_filtered",       # NEW this round (metadata-filtered ANN)
+    "emb_label_centroids",    # NEW this round (centroid/medoid rollup)
     "docs_near_dup_pairs",    # shingle chain refactored (ngram_occurrences)
     "docs_simhash",           # same dependency — re-attest
     "docs_simhash_pairs",     # same dependency — re-attest

@@ -709,3 +709,52 @@ def knn_pq_trained(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     recon = pq_reconstruct(pq_codes(corpus, cb, dim, m, id_col, vec_col),
                            cb, dim, m, id_col, vec_col)
     return knn_bruteforce(recon, queries, k, id_col, vec_col)
+
+
+def label_centroids(emb: DataFrame, label_col: str = "label",
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label cluster summary: member count, element-wise mean
+    embedding, and the medoid (member closest to the mean by cosine,
+    ties to the lowest id) — the aggregate a labeled corpus ships to
+    monitoring/drift dashboards and seed selection.
+
+    Float determinism is engineered with the repo's decimal-sum idiom
+    (cf. weather forecast error): each component casts to an exact
+    DECIMAL, the sum is order-free, one double division, round to 6.
+    The medoid is then scored against that ROUNDED centroid on both
+    engines, so selection can never flip on a partial-sum ulp.
+
+    Shapes: the mean is a posexplode → (label, dim) partial aggregate;
+    the centroid dim is labels-sized and broadcasts back for row-local
+    medoid scoring; medoid selection is a partial-aggregatable max_by.
+    """
+    dims = emb.select(
+        label_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+    cm = (dims.groupBy(label_col, "pos")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.round(F.sum(F.col("x").cast("decimal(25,12)"))
+                       .cast("double") / F.count(F.lit(1)), 6).alias("m")))
+    cent = (cm.groupBy(label_col)
+            .agg(F.max("n").cast("bigint").alias("n_members"),
+                 F.sort_array(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+            .select(label_col, "n_members",
+                    F.expr("transform(pm, s -> s.m)").alias("centroid")))
+    scored = (
+        emb.select(label_col, id_col, vec_col)
+        .join(F.broadcast(cent), label_col)
+        .select(label_col, id_col,
+                cosine(F.col(vec_col), F.col("centroid")).alias("cs"))
+    )
+    med = (scored.groupBy(label_col)
+           .agg(F.max_by(
+               F.struct(F.col(id_col).alias("mid"),
+                        F.col("cs").alias("mcs")),
+               F.struct(F.col("cs"), (-F.col(id_col)).alias("negid")))
+               .alias("m")))
+    return (cent.join(med, label_col)
+            .select(label_col, "n_members", "centroid",
+                    F.col("m.mid").alias("medoid_id"),
+                    F.round(F.col("m.mcs"), 6).alias("medoid_cos")))

@@ -1512,6 +1512,86 @@ FROM ranked WHERE rank <= {PQ_K}
 """
 
 
+FILTER_LANG = "en"
+
+
+def q_emb_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — the vector-DB staple: top-k cosine restricted to
+    corpus vectors whose joined document satisfies a metadata predicate
+    (here lang = 'en'; documents and embeddings share ids by contract).
+    The predicate prunes BEFORE scoring (pre-filtering), so the scan
+    shrinks with selectivity — at 100 TB the metadata join is a
+    semi-join on the shared id, pushed below the BNLJ score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = (docs.filter(F.col("lang") == FILTER_LANG)
+               .select(F.col("doc_id").alias("vec_id")))
+    corpus = emb.join(allowed, "vec_id", "left_semi")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_bruteforce(corpus, queries, KNN_K)
+
+
+ORACLE_KNN_FILTERED = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM documents
+                       WHERE lang = '{FILTER_LANG}')),
+scored AS (
+  SELECT query_id, neighbor_id, {{cos}} AS cos_raw
+  FROM q, c WHERE neighbor_id != query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + medoid summary
+    (operators/similarity.py:label_centroids — decimal-sum order-free
+    means; medoid scored against the rounded centroid on both
+    engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb)
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+dims AS (SELECT label, i AS pos, v[i] AS x
+         FROM v CROSS JOIN range(1, 65) t(i)),
+cm AS (SELECT label, pos, count(*) AS n,
+              round((sum(x::DECIMAL(25,12)))::DOUBLE / count(*), 6) AS m
+       FROM dims GROUP BY 1, 2),
+cent AS (SELECT label, max(n)::BIGINT AS n_members,
+                list(m ORDER BY pos) AS centroid
+         FROM cm GROUP BY label),
+scored AS (
+  SELECT v.label, vec_id,
+         list_dot_product(v.v, c.centroid)
+           / (sqrt(list_dot_product(v.v, v.v))
+              * sqrt(list_dot_product(c.centroid, c.centroid))) AS cs,
+         c.n_members, c.centroid
+  FROM v JOIN cent c USING (label)
+),
+med AS (
+  SELECT label, n_members, centroid, vec_id AS medoid_id,
+         round(cs, 6) AS medoid_cos,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cs DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT label, n_members, centroid, medoid_id, medoid_cos
+FROM med WHERE rn = 1
+"""
+
+
 PQ_TRAIN_ITERS = 2
 
 
@@ -1677,6 +1757,8 @@ LLM_QUERIES = {
     "emb_knn_pq": q_emb_knn_pq,
     "emb_ann_ivfpq": q_emb_ann_ivfpq,
     "emb_knn_pq_trained": q_emb_knn_pq_trained,
+    "emb_knn_filtered": q_emb_knn_filtered,
+    "emb_label_centroids": q_emb_label_centroids,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -1726,6 +1808,8 @@ def llm_oracle() -> dict[str, str]:
         "emb_pq_codes": _oracle_pq_codes(),
         "emb_knn_pq": _oracle_knn_pq(),
         "emb_ann_ivfpq": _oracle_ann_ivfpq(),
+        "emb_knn_filtered": ORACLE_KNN_FILTERED.format(cos=_DUCK_COS),
+        "emb_label_centroids": ORACLE_LABEL_CENTROIDS,
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

@@ -913,3 +913,46 @@ def test_trained_pq_codebook_reduces_distortion(spark, sf_oracle):
     a = sorted(map(tuple, cb1.collect()))
     b = sorted(map(tuple, cb2.collect()))
     assert a == b                              # deterministic retrain
+
+
+def test_filtered_knn_respects_metadata_predicate(spark, sf_oracle):
+    """Every neighbor must satisfy the metadata filter; queries outside
+    the filter still search; ranks are contiguous from 1."""
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        FILTER_LANG, q_emb_knn_filtered,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    rows = q_emb_knn_filtered(spark, sf_oracle).collect()
+    docs = load_table(spark, sf_oracle, "documents")
+    allowed = {r["doc_id"] for r in
+               docs.filter(F.col("lang") == FILTER_LANG).collect()}
+    assert len(rows) > 0
+    assert all(r["neighbor_id"] in allowed for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_label_centroids_medoid_is_closest_member(spark, sf_oracle):
+    """The medoid must be its label's argmax-cosine member vs the
+    rounded centroid, and centroids must average the right members."""
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    out = {r["label"]: r for r in similarity.label_centroids(emb).collect()}
+    counts = {r["label"]: r["c"] for r in
+              emb.groupBy("label").agg(F.count("*").alias("c")).collect()}
+    assert {l: r["n_members"] for l, r in out.items()} == counts
+    import math
+    vecs = [(r["label"], r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.collect()]
+    for lbl, r in out.items():
+        c = r["centroid"]
+        def cos(v):
+            d = sum(a * b for a, b in zip(v, c))
+            return d / (math.sqrt(sum(a * a for a in v))
+                        * math.sqrt(sum(b * b for b in c)))
+        best = max(((cos(v), -vid) for l2, vid, v in vecs if l2 == lbl))
+        assert -best[1] == r["medoid_id"]
