@@ -12,7 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from meteomatics_e2e_data_pipeline_spark.plans import analytics, llmdata, weather
+from meteomatics_e2e_data_pipeline_spark.plans import (
+    analytics, llmdata, timeseries, weather)
 from meteomatics_e2e_data_pipeline_spark.sources.fixtures import ensure_fixtures
 
 # Bronze fixtures must exist before the driver runs the weather oracle SQL
@@ -38,6 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # changed after its last driver row) — plus the queries whose plans changed
 # THIS round (ivf max_by argmax; jaccard ceil guard; new clusters/sampling).
 _VERIFY_FIRST = (
+    "events_gapfill",     # NEW this round (daily spine + forward fill)
+    "events_funnel",      # NEW this round (ordered-step conversion funnel)
+    "events_retention",   # NEW this round (weekly cohort retention)
+    "events_twa",         # NEW this round (time-weighted average)
+    "events_zscore",      # NEW this round (trailing-window anomaly score)
+    "docs_split_assign",  # NEW this round (deterministic train/val/test)
+    "emb_random_projection",  # NEW this round (JL-style reduction)
     "docs_exact_dedup",   # normalize_text changed post-row (r2); re-attest
     "docs_dup_clusters",  # NEW this round (connected-component canonicalize)
     "docs_dedup_keep",    # NEW this round (kept corpus after canonicalize)
@@ -94,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(analytics.QUERIES)
     out.update(weather.WEATHER_QUERIES)
     out.update(llmdata.LLM_QUERIES)
+    out.update(timeseries.TS_QUERIES)
     return _ordered(out)
 
 
@@ -101,4 +110,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(analytics.ORACLE)
     out.update(weather.weather_oracle())
     out.update(llmdata.llm_oracle())
+    out.update(timeseries.ts_oracle())
     return _ordered(out)

@@ -195,3 +195,33 @@ def temperature_sample(df: DataFrame, frac: float,
         .filter(sample_bucket(F.col(id_col), salt) < F.col("__thr"))
         .select(*df.columns)
     )
+
+
+def split_assign(df: DataFrame,
+                 splits: tuple[tuple[str, float], ...] = (
+                     ("train", 0.90), ("val", 0.05), ("test", 0.05)),
+                 id_col: str = "doc_id", salt: str = "split0") -> DataFrame:
+    """Deterministic train/val/test split assignment: every row lands in
+    exactly one split, decided by its hash bucket against the cumulative
+    rate thresholds — a pure function of (id, salt), so the split is
+    stable across engines, runs, repartitions, and INCREMENTAL corpus
+    growth (a new document never moves an old one between splits, which a
+    rank-based split cannot promise).
+
+    ``splits`` is an ordered (name, fraction) spec summing to 1; buckets
+    are carved left-to-right, so ``train`` owns [0, 9000), ``val``
+    [9000, 9500), ``test`` [9500, 10000) at the default spec. Row-local —
+    zero shuffles; the oracle reproduces the identical CASE ladder.
+    """
+    total = sum(r for _, r in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = sample_bucket(F.col(id_col), salt)
+    cum = 0.0
+    expr = None
+    for name, rate in splits:
+        cum += rate
+        thr = int(round(cum * SAMPLE_BUCKETS))
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

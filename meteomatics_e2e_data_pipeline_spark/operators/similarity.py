@@ -181,17 +181,21 @@ def knn_bruteforce_vectorized(corpus: DataFrame, queries: DataFrame, k: int,
 LSH_PLANES = 6  # 2^6 = 64 possible sign buckets
 
 
-def lsh_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+def lsh_plane_weights(n_planes: int, dim: int,
+                      tag: str = "hp") -> list[list[float]]:
     """The md5-derived hyperplane weights, computed once driver-side.
 
-    Same constants both engines: ``int(md5(f"hp|{j}|{d}")[:12], 16) / 2^48
-    - 0.5`` equals DuckDB ``('0x'||substr(md5('hp|'||j||'|'||d),1,12))::
-    BIGINT / 2^48 - 0.5`` — md5 is md5, so the oracle can rebuild the
-    identical quantizer in SQL with no shipped constants."""
+    Same constants both engines: ``int(md5(f"{tag}|{j}|{d}")[:12], 16) /
+    2^48 - 0.5`` equals DuckDB ``('0x'||substr(md5('<tag>|'||j||'|'||d),
+    1,12))::BIGINT / 2^48 - 0.5`` — md5 is md5, so the oracle can rebuild
+    the identical quantizer in SQL with no shipped constants. ``tag``
+    names the draw: the LSH buckets use ``hp``; independent consumers
+    (random projection) pick their own tag so their weights are an
+    independent draw from the same construction."""
     import hashlib
 
     return [
-        [int(hashlib.md5(f"hp|{j}|{d}".encode()).hexdigest()[:12], 16)
+        [int(hashlib.md5(f"{tag}|{j}|{d}".encode()).hexdigest()[:12], 16)
          / float(2 ** 48) - 0.5
          for d in range(dim)]
         for j in range(n_planes)
@@ -758,3 +762,29 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
             .select(label_col, "n_members", "centroid",
                     F.col("m.mid").alias("medoid_id"),
                     F.round(F.col("m.mcs"), 6).alias("medoid_cos")))
+
+
+def random_projection(df: DataFrame, out_dim: int, dim: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      tag: str = "rp") -> DataFrame:
+    """Johnson–Lindenstrauss-style random projection: map each ``dim``-wide
+    embedding to ``out_dim`` coordinates ``p_j = <vec, w_j>`` against fixed
+    md5-derived weight vectors (:func:`lsh_plane_weights` with its own
+    ``tag``) — the cheap dimensionality-reduction front end for downstream
+    ANN / clustering when the raw width is too expensive to shuffle.
+
+    Entirely row-local — ZERO shuffles, same shape as :func:`lsh_assign`:
+    each coordinate is one order-stable sequential fold against a literal
+    weight array inside a single JVM-parsed SQL expression (bit-identical
+    to DuckDB's ``list_dot_product`` fold, so the oracle needs no
+    tolerance). Output: ``id_col`` + ``p0..p{out_dim-1}`` doubles, rounded
+    to 9 dp for display on both engines.
+    """
+    weights = lsh_plane_weights(out_dim, dim, tag)
+    cols = [id_col]
+    for j, wrow in enumerate(weights):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in wrow) + ")"
+        dot = (f"aggregate(zip_with(cast({vec_col} as array<double>), {arr},"
+               " (x, y) -> x * y), 0.0D, (acc, t) -> acc + t)")
+        cols.append(F.expr(f"round({dot}, 9)").alias(f"p{j}"))
+    return df.select(*cols)

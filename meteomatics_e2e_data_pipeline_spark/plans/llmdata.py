@@ -1727,7 +1727,71 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic split assignment + random-projection reduction
+# --------------------------------------------------------------------------
+
+SPLIT_SPEC = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+SPLIT_SALT = "split0"
+
+
+def q_docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment as a pure row function (hash-threshold
+    ladder, operators/sampling.py:split_assign): stable under engine, run,
+    repartition, and corpus growth — the property a rank-based split
+    cannot give. Row-local, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (sampling.split_assign(docs, SPLIT_SPEC, salt=SPLIT_SALT)
+            .select("doc_id", "lang", "source", "split"))
+
+
+def _oracle_split_assign() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS
+    cum, cases = 0.0, []
+    for name, rate in SPLIT_SPEC:
+        cum += rate
+        cases.append(
+            f"WHEN ('0x' || substr(md5(doc_id || '|{SPLIT_SALT}'), 1, 12))"
+            f"::BIGINT % {SAMPLE_BUCKETS}"
+            f" < {int(round(cum * SAMPLE_BUCKETS))} THEN '{name}'")
+    ladder = "\n            ".join(cases)
+    return f"""
+SELECT doc_id, lang, source,
+       CASE {ladder}
+       END AS split
+FROM documents
+"""
+
+
+RP_DIM = 8   # 64 → 8: the JL-style reduction front end for cheap ANN
+
+
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (64 → 8 dims) with
+    md5-derived fixed weights — row-local, zero shuffles; the oracle
+    rebuilds the identical weights and folds (list_dot_product) so the
+    doubles match bit-for-bit before the display round."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, RP_DIM, EMB_DIM)
+
+
+def _oracle_random_projection() -> str:
+    wlist = ("list_transform(range(0, len(v)), d -> "
+             "(('0x' || substr(md5('rp|' || {j} || '|' || d), 1, 12))::BIGINT"
+             f" / {float(2 ** 48)} - 0.5))")
+    cols = ",\n       ".join(
+        f"round(list_dot_product(v, {wlist.format(j=j)}), 9) AS p{j}"
+        for j in range(RP_DIM))
+    return f"""
+SELECT vec_id,
+       {cols}
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+
 LLM_QUERIES = {
+    "docs_split_assign": q_docs_split_assign,
+    "emb_random_projection": q_emb_random_projection,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_text_stats": q_docs_text_stats,
     "docs_lang_guess": q_docs_lang_guess,
@@ -1779,6 +1843,8 @@ LLM_QUERIES = {
 
 def llm_oracle() -> dict[str, str]:
     return {
+        "docs_split_assign": _oracle_split_assign(),
+        "emb_random_projection": _oracle_random_projection(),
         "docs_exact_dedup": ORACLE_EXACT_DEDUP,
         "docs_text_stats": ORACLE_TEXT_STATS,
         "docs_lang_guess": _oracle_lang_guess(),

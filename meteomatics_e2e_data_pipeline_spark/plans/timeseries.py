@@ -1,0 +1,343 @@
+"""Time-series analytics over the ``events`` table — the operator family a
+metrics/observability workload runs on an event lake: gap-fill with forward
+fill, conversion funnels, cohort retention, time-weighted averages, and
+trailing-window anomaly scores.
+
+The reference pipeline has no streaming/time-series surface (its marts are
+daily snapshots — ``fact_weather_params_history.sql`` takes "latest issuance
+wins" per day); these queries are the batch time-series capabilities the
+SURVEY §2.10/§2.13 extension families imply, expressed Spark-first.
+
+Oracle-parity conventions (see ``plans/analytics.py`` module docstring), plus
+two specific to this family:
+
+- "last observation per day" is specified by the oracle as
+  ``row_number() = 1`` under ``ORDER BY ts DESC, event_id DESC``; the Spark
+  plan implements the identical semantics with the partial-aggregatable
+  ``max_by(value, struct(ts, event_id))`` — one map-side-combinable shuffle
+  instead of a window sort (the oracle is the spec, not the plan).
+- float reductions over per-entity interval lists use the pinned-order fold
+  (``sort_array`` + ``aggregate`` vs DuckDB ``list(... ORDER BY ...)`` +
+  ``list_aggregate``) so both engines accumulate in the same order —
+  bit-identical, no tolerance needed (same pattern as
+  ``operators/textops.py:unigram_logprob``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Gap-fill + forward fill (the timeseries "locf" operator)
+# --------------------------------------------------------------------------
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily spine with last-observation-carried-forward.
+
+    Plan shape at scale: one map-side-combinable hash aggregate builds the
+    per-(user, day) last value AND (reused grouping) the per-user min/max
+    day; the spine is a row-local ``sequence`` explode off the per-user
+    bounds (never a driver loop, never a cross join against a global
+    calendar); the fill is one window shuffle on user_id. Spine width is
+    bounded per user, so no task sees more than one user's span.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", F.struct(F.col("ts"), F.col("event_id")))
+             .alias("day_value"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("day"))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNotNull().cast("int").alias("observed"),
+        )
+    )
+
+
+ORACLE_GAPFILL = """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+daily AS (SELECT user_id, day, value AS day_value FROM ranked WHERE rn = 1),
+bounds AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, s.day,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       (d.day_value IS NOT NULL)::INT AS observed
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+"""
+
+
+# --------------------------------------------------------------------------
+# Conversion funnel (ordered-step sequence match)
+# --------------------------------------------------------------------------
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: each step's timestamp is
+    the first occurrence at-or-after the previous step's.
+
+    Plan shape at scale: three aggregations/joins ALL keyed on user_id, so
+    one hash partitioning is reused end-to-end (co-partitioned joins, no
+    re-shuffle); each step's input is pre-filtered to its event type before
+    the join, so only that type's rows move. The per-step frames are
+    user-cardinality, not event-cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t_signup")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .filter(F.col("ts") >= F.col("t_signup"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .filter(F.col("ts") >= F.col("t_click"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+        .select(
+            "user_id", "t_signup", "t_click", "t_purchase",
+            (F.lit(1)
+             + F.col("t_click").isNotNull().cast("int")
+             + F.col("t_purchase").isNotNull().cast("int")).alias("funnel_stage"),
+        )
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t_signup
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+       (1 + (s2.t_click IS NOT NULL)::INT
+          + (s3.t_purchase IS NOT NULL)::INT) AS funnel_stage
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix
+# --------------------------------------------------------------------------
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the Monday of their first
+    event; retained = active (any event) in cohort-week + N.
+
+    Plan shape at scale: first-seen is a min aggregate on user_id; the join
+    back to activity is co-partitioned on user_id; the distinct collapses
+    (cohort, offset, user) BEFORE the count, and both the distinct and the
+    final count are partial-aggregatable. week_offset is pure integer day
+    arithmetic — no engine-specific week numbering in the comparison.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"))
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("day")).cast("date").alias("cohort_week"))
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            F.floor(F.datediff("day", "cohort_week") / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH act AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(day)) AS DATE) AS cohort_week
+  FROM act GROUP BY user_id
+)
+SELECT cohort_week, week_offset, count(*) AS active_users
+FROM (
+  SELECT DISTINCT a.user_id, f.cohort_week,
+         (floor((a.day - f.cohort_week) / 7))::INT AS week_offset
+  FROM act a JOIN first_seen f USING (user_id)
+)
+GROUP BY cohort_week, week_offset
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (interval-weighted mean, pinned-order fold)
+# --------------------------------------------------------------------------
+
+
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value``: each reading is weighted
+    by the seconds until the user's next event (the last reading carries no
+    weight — standard left-closed TWA).
+
+    Float parity: the weighted sums are pinned-order folds over the user's
+    interval list (``sort_array`` + ``aggregate`` here, ``list(... ORDER BY
+    ts, event_id)`` + ``list_aggregate`` in the oracle) — both engines add
+    in the same order, so the quotient is bit-identical before the
+    display ``round``. The collected list is per-user and bounded by that
+    user's event count; for unbounded entities swap the fold for plain
+    ``sum`` + a documented tolerance (the fold is the exactness tier).
+
+    Plan shape at scale: one window shuffle on user_id computes the lead
+    durations; the fold is one hash aggregate on the same key (partitioning
+    reused). Nothing corpus-wide ever sorts globally.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    dur = F.lead(epoch).over(w) - epoch
+    stepped = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("dur", dur)
+        .filter(F.col("dur").isNotNull())
+        .withColumn("wv", F.col("value") * F.col("dur"))
+    )
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "wv", "dur")))
+    fold = lambda field: F.aggregate(  # noqa: E731 - tiny local builder
+        F.transform(arr, lambda s: s[field]),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        stepped.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_intervals"),
+             F.round(fold("wv") / fold("dur"), 6).alias("twa_value"))
+    )
+
+
+ORACLE_TWA = """
+WITH stepped AS (
+  SELECT user_id, ts, event_id, value,
+         lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch(ts) AS dur
+  FROM events
+)
+SELECT user_id, count(*) AS n_intervals,
+       round(list_aggregate(list(value * dur ORDER BY ts, event_id), 'sum')
+             / list_aggregate(list(dur ORDER BY ts, event_id), 'sum'),
+             6) AS twa_value
+FROM stepped WHERE dur IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Trailing-window anomaly score
+# --------------------------------------------------------------------------
+
+
+def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomaly score per event type: z-score of today's
+    count against the trailing 7-row window (current day inclusive).
+
+    Float parity without trusting either engine's stddev kernel: counts are
+    integers, so the window ``sum``/``sum of squares`` are EXACT in double;
+    mean and variance are then derived with the identical explicit formula
+    on both sides — every step is a deterministic IEEE op on identical
+    inputs, so no tolerance and no reliance on Welford-vs-naive agreement.
+    z is NULL until the window is full (fewer than 7 trailing days).
+
+    Plan shape at scale: one hash aggregate to (type, day) — map-side
+    combinable — then one window shuffle on event_type over the tiny
+    (types × days) frame. The raw event table never enters a window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-6, Window.currentRow))
+    nd = F.col("n").cast("double")
+    sum_w = F.sum(nd).over(w)
+    sumsq_w = F.sum(nd * nd).over(w)
+    cnt_w = F.count(F.lit(1)).over(w).cast("double")
+    mean = sum_w / cnt_w
+    var = (sumsq_w - sum_w * sum_w / cnt_w) / (cnt_w - 1)
+    z = F.when((cnt_w == 7) & (var > 0),
+               F.round((nd - mean) / F.sqrt(var), 6))
+    return daily.select("event_type", "day", "n", z.alias("zscore"))
+
+
+ORACLE_ZSCORE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+win AS (
+  SELECT event_type, day, n,
+         sum(n::DOUBLE)        OVER w AS sum_w,
+         sum(n::DOUBLE * n)    OVER w AS sumsq_w,
+         count(*) OVER w               AS cnt_w
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, n,
+       CASE WHEN cnt_w = 7
+             AND (sumsq_w - sum_w * sum_w / cnt_w) / (cnt_w - 1) > 0
+            THEN round((n - sum_w / cnt_w)
+                       / sqrt((sumsq_w - sum_w * sum_w / cnt_w) / (cnt_w - 1)),
+                       6)
+       END AS zscore
+FROM win
+"""
+
+
+TS_QUERIES = {
+    "events_gapfill": q_events_gapfill,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_twa": q_events_twa,
+    "events_zscore": q_events_zscore,
+}
+
+
+def ts_oracle() -> dict[str, str]:
+    return {
+        "events_gapfill": ORACLE_GAPFILL,
+        "events_funnel": ORACLE_FUNNEL,
+        "events_retention": ORACLE_RETENTION,
+        "events_twa": ORACLE_TWA,
+        "events_zscore": ORACLE_ZSCORE,
+    }

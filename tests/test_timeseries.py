@@ -1,0 +1,168 @@
+"""Focused semantics tests for the time-series family (plans/timeseries.py)
+and the new sampling/projection operators — hand-computed fixtures, plan-shape
+guards, and determinism properties. The oracle parity of the full queries is
+covered by tests/test_oracle_parity.py (all entries, sf0.01)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteomatics_e2e_data_pipeline_spark.operators import sampling, similarity
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        # user 1: events on day 1 and day 4 — days 2-3 must be gap-filled
+        (1, _ts("2024-01-01T10:00:00"), 1, "signup", 10.0),
+        (2, _ts("2024-01-01T12:00:00"), 1, "click", 20.0),
+        (3, _ts("2024-01-04T09:00:00"), 1, "purchase", 40.0),
+        # user 2: click BEFORE signup (tests ordered-funnel semantics),
+        # then a click after signup, never purchases
+        (4, _ts("2024-01-02T08:00:00"), 2, "click", 5.0),
+        (5, _ts("2024-01-02T09:00:00"), 2, "signup", 6.0),
+        (6, _ts("2024-01-02T10:00:00"), 2, "click", 7.0),
+        # user 3: signup only
+        (7, _ts("2024-01-10T00:00:00"), 3, "signup", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+def _patch_loader(monkeypatch, df):
+    from meteomatics_e2e_data_pipeline_spark.plans import timeseries
+
+    monkeypatch.setattr(timeseries, "load_table", lambda s, d, n: df)
+    return timeseries
+
+
+def test_gapfill_spine_and_locf(spark, tiny_events, monkeypatch):
+    ts = _patch_loader(monkeypatch, tiny_events)
+    out = {(r["user_id"], str(r["day"])): (r["filled_value"], r["observed"])
+           for r in ts.q_events_gapfill(spark, "unused").collect()}
+    # user 1 spans 4 days; gap days carry the last observed day-value (20.0
+    # = the LATER of day 1's two events, ts tiebreak)
+    assert out[(1, "2024-01-01")] == (20.0, 1)
+    assert out[(1, "2024-01-02")] == (20.0, 0)
+    assert out[(1, "2024-01-03")] == (20.0, 0)
+    assert out[(1, "2024-01-04")] == (40.0, 1)
+    # single-day users produce exactly one spine row
+    assert out[(3, "2024-01-10")] == (1.0, 1)
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_gapfill_daily_agg_is_partial(spark, tiny_events, monkeypatch):
+    ts = _patch_loader(monkeypatch, tiny_events)
+    plan = ts.q_events_gapfill(spark, "unused") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the last-per-day reduction must be the map-side-combinable max_by,
+    # never a row_number window over the raw event table
+    assert "partial_max_by" in plan
+
+
+def test_funnel_ordered_steps(spark, tiny_events, monkeypatch):
+    ts = _patch_loader(monkeypatch, tiny_events)
+    rows = {r["user_id"]: r for r in
+            ts.q_events_funnel(spark, "unused").collect()}
+    # user 1 completes all three steps in order
+    assert rows[1]["funnel_stage"] == 3
+    # user 2's 08:00 click precedes signup and must NOT count; the 10:00
+    # click does; no purchase → stage 2
+    assert rows[2]["funnel_stage"] == 2
+    assert rows[2]["t_click"] == _ts("2024-01-02T10:00:00")
+    assert rows[2]["t_purchase"] is None
+    # user 3 never advances past signup
+    assert rows[3]["funnel_stage"] == 1
+
+
+def test_retention_offsets(spark, tiny_events, monkeypatch):
+    ts = _patch_loader(monkeypatch, tiny_events)
+    out = {(str(r["cohort_week"]), r["week_offset"]): r["active_users"]
+           for r in ts.q_events_retention(spark, "unused").collect()}
+    # every user is active at offset 0 of their own cohort
+    assert out[("2024-01-01", 0)] == 2   # users 1 and 2 (week of Jan 1)
+    assert out[("2024-01-08", 0)] == 1   # user 3
+    # no negative offsets, counts positive
+    assert all(k[1] >= 0 and v > 0 for k, v in out.items())
+
+
+def test_twa_hand_computed(spark, tiny_events, monkeypatch):
+    ts = _patch_loader(monkeypatch, tiny_events)
+    rows = {r["user_id"]: r for r in
+            ts.q_events_twa(spark, "unused").collect()}
+    # user 2: intervals 3600s@5.0 and 3600s@6.0 → twa 5.5
+    assert rows[2]["n_intervals"] == 2
+    assert rows[2]["twa_value"] == pytest.approx(5.5, abs=1e-9)
+    # user 1: 2h@10 then 69h@20 → (2*10 + 69*20)/71
+    assert rows[1]["twa_value"] == pytest.approx((2 * 10 + 69 * 20) / 71,
+                                                 abs=1e-6)
+    # single-event users have no intervals and are excluded
+    assert 3 not in rows
+
+
+def test_zscore_null_until_window_full_and_on_zero_var(spark, monkeypatch):
+    # 9 days of constant counts except a spike on the last day
+    rows = []
+    eid = 0
+    for d in range(1, 10):
+        n = 3 if d < 9 else 9
+        for i in range(n):
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-0{d}T06:00:00")
+                         + dt.timedelta(minutes=i), 1, "click", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    ts = _patch_loader(monkeypatch, ev)
+    out = {str(r["day"]): r for r in
+           ts.q_events_zscore(spark, "unused").collect()}
+    # days 1-6: window not yet full → NULL
+    for d in range(1, 7):
+        assert out[f"2024-01-0{d}"]["zscore"] is None
+    # day 7-8: full window but all counts equal → zero variance → NULL
+    assert out["2024-01-07"]["zscore"] is None
+    assert out["2024-01-08"]["zscore"] is None
+    # day 9: spike → positive z
+    assert out["2024-01-09"]["zscore"] > 2.0
+
+
+def test_split_assign_partition_invariant_and_exhaustive(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"]
+         for r in sampling.split_assign(df).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in sampling.split_assign(df.repartition(7)).collect()}
+    assert a == b                       # layout cannot move the split
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    frac_train = sum(v == "train" for v in a.values()) / n
+    assert 0.85 < frac_train < 0.95     # rate lands near spec
+    # growth stability: the 0..999 prefix keeps identical assignments
+    small = {r["doc_id"]: r["split"] for r in sampling.split_assign(
+        spark.range(0, 1000).select(F.col("id").alias("doc_id"))).collect()}
+    assert all(a[k] == v for k, v in small.items())
+
+
+def test_split_assign_rejects_bad_spec(spark):
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.split_assign(df, (("train", 0.5), ("val", 0.1)))
+
+
+def test_random_projection_rowlocal_and_width(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.random_projection(emb, 4, 64)
+    assert out.columns == ["vec_id", "p0", "p1", "p2", "p3"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan       # zero shuffles — pure row map
+    row = out.orderBy("vec_id").first()
+    # projections are real numbers, not degenerate zeros
+    assert any(abs(row[f"p{j}"]) > 1e-6 for j in range(4))
