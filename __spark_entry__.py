@@ -34,61 +34,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-4 rotation: promote the 8 queries whose newest driver rows date from
-# round 2 (VERDICT r3 directive #2) — docs_exact_dedup first (normalize_text
-# changed after its last driver row) — plus the queries whose plans changed
-# THIS round (ivf max_by argmax; jaccard ceil guard; new clusters/sampling).
+# Round-5 rotation (VERDICT r4 directive #4): lead with the 16 queries
+# repaired by the sources/tables.py events-dtype fix (+ the restructured
+# emb_label_centroids), then every query whose newest driver row dates from
+# round 3 — after this round no query's newest row is older than round 3.
+# Everything green in round 4 rotates to the back (still covered by the
+# local DuckDB mirror, tests/test_oracle_parity.py).
 _VERIFY_FIRST = (
-    "events_gapfill",     # NEW this round (daily spine + forward fill)
-    "events_funnel",      # NEW this round (ordered-step conversion funnel)
-    "events_retention",   # NEW this round (weekly cohort retention)
-    "events_twa",         # NEW this round (time-weighted average)
-    "events_zscore",      # NEW this round (trailing-window anomaly score)
-    "docs_split_assign",  # NEW this round (deterministic train/val/test)
-    "emb_random_projection",  # NEW this round (JL-style reduction)
-    "docs_exact_dedup",   # normalize_text changed post-row (r2); re-attest
-    "docs_dup_clusters",  # NEW this round (connected-component canonicalize)
-    "docs_dedup_keep",    # NEW this round (kept corpus after canonicalize)
-    "docs_sampled",       # NEW this round (deterministic stratified sample)
-    "docs_sample_exact_n",    # NEW this round (exact-N hash-ranked sample)
-    "docs_token_budget_mix",  # NEW this round (budget-filled mix)
-    "docs_quality_gopher",    # NEW this round (repetition/quality metrics)
-    "docs_redacted",          # NEW this round (PII/term redaction)
-    "emb_quantize_int8",      # NEW this round (int8 embedding compression)
-    "emb_knn_int8",           # NEW this round (compressed-domain kNN)
-    "multimodal_resized",     # NEW this round (binary-out resize plumbing)
-    "docs_training_mix",      # NEW this round (quality→dedup→sample chain)
-    "docs_near_dup_incremental",  # NEW this round (batch-vs-corpus dedup)
-    "docs_contamination",     # NEW this round (benchmark n-gram overlap)
-    "docs_packed",            # NEW this round (sequence packing)
-    "docs_lang_temperature_sample",  # NEW this round (alpha=0.5 mix)
-    "docs_hot_ngrams",        # NEW this round (boilerplate detection)
-    "docs_quality_percentile",  # NEW this round (per-lang quantile gate)
-    "docs_unigram_nll",       # NEW this round (unigram-LM scoring)
-    "docs_dup_spans",         # NEW this round (span-level dup signal)
-    "docs_oov_rate",          # NEW this round (vocab coverage per lang)
-    "emb_pq_codes",           # NEW this round (product quantization)
-    "emb_knn_pq",             # NEW this round (PQ/ADC compressed kNN)
-    "emb_ann_ivfpq",          # NEW this round (IVF-PQ composition)
-    "emb_knn_pq_trained",     # NEW this round (trained codebook; rows-only)
-    "emb_knn_filtered",       # NEW this round (metadata-filtered ANN)
-    "emb_label_centroids",    # NEW this round (centroid/medoid rollup)
-    "docs_near_dup_pairs",    # shingle chain refactored (ngram_occurrences)
-    "docs_simhash",           # same dependency — re-attest
-    "docs_simhash_pairs",     # same dependency — re-attest
-    "docs_near_dup_edit_distance",  # same dependency — re-attest
-    "emb_ann_ivf",        # ivf_assign argmax: window → map-side max_by
-    "emb_ann_ivf_trained",  # same operator under every Lloyd iteration
-    "emb_cosine_near_dup",  # same operator
-    "emb_ann_lsh",        # dim now threaded from catalog (no driver probe)
-    "docs_jaccard_join",  # prefix-bound ceil FP guard (both engines)
-    "docs_text_stats",      # r2-dated driver row — rotate in
-    "docs_lang_guess",      # r2-dated driver row — rotate in
-    "docs_tfidf_top_terms",  # r2-dated driver row — rotate in
-    "docs_chunked",          # r2-dated driver row — rotate in
-    "docs_winnow_fingerprints",  # r2-dated driver row — rotate in
-    "emb_knn_bruteforce",    # r2-dated driver row — rotate in
-    "emb_knn_vectorized",    # r2-dated driver row — rotate in
+    # -- repaired this round (events loader dtype branch) --
+    "events_gapfill",     # r4 err: loader regression — repaired
+    "events_funnel",      # r4 err — repaired
+    "events_retention",   # r4 err — repaired
+    "events_twa",         # r4 err — repaired
+    "events_zscore",      # r4 err — repaired
+    "events_rollup",      # broken in r4 bench — repaired
+    "events_hourly_rollup",   # repaired
+    "events_cube",            # repaired
+    "events_daily_pivot",     # repaired
+    "events_unpivot",         # repaired
+    "events_json_project",    # repaired
+    "events_last_error_asof",  # repaired
+    "sessionize_events",      # repaired
+    "event_user_reach_approx",  # repaired (rows-only: HLL sketch)
+    "event_user_reach_exact",   # NEW: exact count_distinct twin w/ oracle
+    "sql_nation_revenue",     # repaired (register_tables loads events)
+    "emb_label_centroids",    # r4 err: array output — now exploded scalar
+    # -- r3-dated driver rows: rotate in so none is older than r3 --
+    "pricing_summary",
+    "latest_order_per_customer",
+    "supplier_running_quantity",
+    "customer_order_gaps",
+    "customers_without_orders",
+    "region_revenue",
+    "returned_priority_counts",
+    "top_parts_by_revenue",
+    "repeat_status_customers",
+    "order_status_exclusive",
+    "small_qty_part_revenue",
+    "dim_geo",
+    "dim_date_from_orders",
+    "dim_part_type",
+    "top_supplier_revenue",
+    "customer_spend_quartiles",
+    "order_value_percentiles",
+    "weather_city_daily",
+    "weather_daylight_readings",
+    "weather_forecast_error",
+    "weather_stg_raw",
+    "weather_dim_location",
+    "weather_dim_condition",
+    "dim_date_spine",
+    "fact_weather_params_history",
+    "fact_weather_params_forecast",
+    "fact_sun_times_history",
+    "fact_sun_times_forecast",
+    "docs_vocabulary",
+    "docs_corpus_stats",
+    "multimodal_features",
 )
 
 

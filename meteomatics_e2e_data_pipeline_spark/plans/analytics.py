@@ -630,6 +630,27 @@ def q_event_user_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_user_reach_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct twin of ``event_user_reach_approx`` — gives
+    the reach metric a hash-checkable driver row; pytest bounds the HLL
+    estimate against this (|approx−exact|/exact ≤ 5%)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_REACH_EXACT = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
     revenue, ties included. The scalar max is an aggregate broadcast back
@@ -793,6 +814,7 @@ QUERIES = {
     "customer_spend_quartiles": q_customer_spend_quartiles,
     "order_value_percentiles": q_order_value_percentiles,
     "event_user_reach_approx": q_event_user_reach_approx,
+    "event_user_reach_exact": q_event_user_reach_exact,
 }
 
 ORACLE = {
@@ -823,6 +845,7 @@ ORACLE = {
     "customer_spend_quartiles": ORACLE_SPEND_QUARTILES,
     "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
     # event_user_reach_approx: intentionally no oracle — HLL sketches
-    # are engine-specific; the driver records a rows-only check and
-    # tests/test_llm_operators-style tolerance lives in pytest.
+    # are engine-specific; the driver records a rows-only check and the
+    # exact twin below (plus a pytest 5% bound) pins the value.
+    "event_user_reach_exact": ORACLE_REACH_EXACT,
 }

@@ -671,14 +671,24 @@ SELECT doc_id, term, tfidf, rk::INT AS rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
 """
 
 
-def q_emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN over a *trained* coarse quantizer (3 Lloyd iterations of
-    spherical k-means, pure DataFrame ops). Rows-only checked: iterative
-    training is the one family DuckDB SQL can't express (SURVEY §5);
-    pytest covers determinism + cohesion improvement instead."""
+# Lloyd iterations for the trained coarse quantizer. This is the bench
+# default and the dominant cost knob of `emb_ann_ivf_trained` (each
+# iteration is one assign-shuffle + one mean-agg over the corpus, ~1 s at
+# sf0.1 local[32]); quality plateaus fast on this data — raise it per
+# deployment if centroid drift warrants.
+IVF_TRAIN_ITERS = 2
+
+
+def q_emb_ann_ivf_trained(spark: SparkSession, sf_dir: str,
+                          iters: int = IVF_TRAIN_ITERS) -> DataFrame:
+    """ANN over a *trained* coarse quantizer (``iters`` Lloyd iterations
+    of spherical k-means, pure DataFrame ops). Rows-only checked:
+    iterative training is the one family DuckDB SQL can't express
+    (SURVEY §5); pytest covers determinism + cohesion improvement +
+    iteration-count monotonicity instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = similarity.train_ivf_centroids(emb, k=IVF_CENTROID_MAX_ID,
-                                               iters=2)
+                                               iters=iters)
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
     return similarity.knn_ivf(emb, queries, centroids, IVF_K)
 
@@ -1555,17 +1565,25 @@ FROM ranked WHERE rank <= {KNN_K}
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid + medoid summary
     (operators/similarity.py:label_centroids — decimal-sum order-free
-    means; medoid scored against the rounded centroid on both
-    engines)."""
+    means; medoid scored against the rounded centroid on both engines).
+    The centroid ARRAY is exploded to scalar ``(label, pos, mean)`` rows
+    so the driver's pandas canonicalizer can hash the result (lists are
+    unhashable there); the operator itself still returns the array
+    form for programmatic use."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.label_centroids(emb)
+    res = similarity.label_centroids(emb)
+    return res.select(
+        "label", "n_members",
+        F.posexplode("centroid").alias("pos", "mean"),
+        "medoid_id", "medoid_cos",
+    ).withColumn("pos", F.col("pos").cast("int"))
 
 
 ORACLE_LABEL_CENTROIDS = """
 WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-dims AS (SELECT label, i AS pos, v[i] AS x
-         FROM v CROSS JOIN range(1, 65) t(i)),
+dims AS (SELECT label, i AS pos, v[i + 1] AS x
+         FROM v CROSS JOIN range(0, 64) t(i)),
 cm AS (SELECT label, pos, count(*) AS n,
               round((sum(x::DECIMAL(25,12)))::DOUBLE / count(*), 6) AS m
        FROM dims GROUP BY 1, 2),
@@ -1577,33 +1595,42 @@ scored AS (
          list_dot_product(v.v, c.centroid)
            / (sqrt(list_dot_product(v.v, v.v))
               * sqrt(list_dot_product(c.centroid, c.centroid))) AS cs,
-         c.n_members, c.centroid
+         c.n_members
   FROM v JOIN cent c USING (label)
 ),
 med AS (
-  SELECT label, n_members, centroid, vec_id AS medoid_id,
+  SELECT label, n_members, vec_id AS medoid_id,
          round(cs, 6) AS medoid_cos,
          row_number() OVER (PARTITION BY label
                             ORDER BY cs DESC, vec_id) AS rn
   FROM scored
 )
-SELECT label, n_members, centroid, medoid_id, medoid_cos
-FROM med WHERE rn = 1
+SELECT m.label, m.n_members, cm.pos::INT AS pos, cm.m AS mean,
+       m.medoid_id, m.medoid_cos
+FROM med m JOIN cm ON cm.label = m.label
+WHERE m.rn = 1
 """
 
 
+# Lloyd iterations per PQ subspace. Bench default and the dominant cost of
+# `emb_knn_pq_trained` (the suite's slowest query): each iteration runs one
+# assign+mean pass over all PQ_M subspaces (~1.2 s/iter at sf0.1 local[32]).
+# Distortion is non-increasing in this count (pytest-asserted); iters=0
+# degenerates to the untrained take-first-k codebook.
 PQ_TRAIN_ITERS = 2
 
 
-def q_emb_knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_knn_pq_trained(spark: SparkSession, sf_dir: str,
+                         iters: int = PQ_TRAIN_ITERS) -> DataFrame:
     """Compressed-domain kNN over a per-subspace-k-means-TRAINED PQ
     codebook — rows-only by design (iterative Lloyd is not
     SQL-expressible); distortion monotonicity vs the untrained codebook
-    is pytest-asserted (operators/similarity.py:train_pq_codebook)."""
+    AND in ``iters`` is pytest-asserted
+    (operators/similarity.py:train_pq_codebook)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
     return similarity.knn_pq_trained(emb, queries, PQ_K, EMB_DIM,
-                                     PQ_M, PQ_NCENT, PQ_TRAIN_ITERS)
+                                     PQ_M, PQ_NCENT, iters)
 
 
 def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

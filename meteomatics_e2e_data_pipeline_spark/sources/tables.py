@@ -28,20 +28,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized Spark
-        # reader rejects. Engine-wide policy (also set in the session
-        # factory): read nanos as long, truncate to micros with integer
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+        # generations and TIMESTAMP(MICROS) in others. Engine-wide policy
+        # (also set in the session factory): nanosAsLong=true so NANOS data
+        # loads as BIGINT epoch-nanos, then truncate to micros with integer
         # arithmetic (a double round-trip would lose precision — epoch-nanos
-        # exceed 2^53). DuckDB truncates NS→US the same way. The runtime set
-        # below covers driver-owned sessions that didn't come from
-        # session.get_spark(); it is engine policy, not a per-read toggle,
-        # so it is intentionally not restored afterwards.
+        # exceed 2^53; DuckDB truncates NS→US the same way). MICROS data is
+        # unaffected by the flag and arrives as a timestamp already — pass
+        # it through. Branching on the *loaded* dtype makes both
+        # generations work and survives the next regeneration.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
-        return (
-            spark.read.parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # normalize to TIMESTAMP (session-TZ) so downstream date/window
+            # arithmetic and the DuckDB oracle agree on one timestamp kind
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

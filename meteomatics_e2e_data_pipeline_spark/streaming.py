@@ -16,6 +16,8 @@ path; only the scan node differs.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,19 +47,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The streaming file source requires a *directory*, so the scan targets
     the scale-factor dir with a glob filter for the events file(s). The
-    driver's events parquet stores TIMESTAMP(NANOS); the streaming reader
-    applies the same nanos→micros integer conversion as the batch loader
-    (`sources.tables.load_table`).
+    driver's events parquet has stored ``ts`` as TIMESTAMP(NANOS) in some
+    data generations and TIMESTAMP(MICROS) in others; the streaming reader
+    probes the actual footer type via a one-off batch read (driver-side,
+    metadata only) and applies the same dtype-branched nanos→micros
+    conversion as the batch loader (`sources.tables.load_table`).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = ("event_id bigint, ts bigint, user_id bigint, "
+    events_path = os.path.join(sf_dir, "events.parquet")
+    ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts", "")
+    schema = (f"event_id bigint, ts {ts_type or 'timestamp'}, user_id bigint, "
               "event_type string, value double, props string")
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str,

@@ -905,9 +905,14 @@ def test_trained_pq_codebook_reduces_distortion(spark, sf_oracle):
                 .agg(F.sum("d")).first()[0])
 
     untrained = distortion(similarity.pq_codebook(emb, 16))
+    one_iter = distortion(similarity.train_pq_codebook(emb, 64, 8, 16,
+                                                       iters=1))
     cb1 = similarity.train_pq_codebook(emb, 64, 8, 16, iters=2)
     trained = distortion(cb1)
-    assert trained <= untrained * (1 + 1e-9)
+    # monotone in the exposed iteration count (plans/llmdata.py
+    # PQ_TRAIN_ITERS): 0 → 1 → 2 never increases distortion
+    assert one_iter <= untrained * (1 + 1e-9)
+    assert trained <= one_iter * (1 + 1e-9)
     assert trained < untrained * 0.9          # real movement on this data
     cb2 = similarity.train_pq_codebook(emb, 64, 8, 16, iters=2)
     a = sorted(map(tuple, cb1.collect()))

@@ -134,6 +134,23 @@ def test_zscore_null_until_window_full_and_on_zero_var(spark, monkeypatch):
     assert out["2024-01-09"]["zscore"] > 2.0
 
 
+# -- real-loader smokes: one per family, NO monkeypatching, so the actual
+# -- load_table path (events dtype branch included) is on the tested path.
+# -- These exist because round 4 shipped a loader that unit tests couldn't
+# -- see fail (every fixture test patches load_table away).
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("qname", [
+    "events_gapfill", "events_funnel", "events_retention",
+    "events_twa", "events_zscore",
+])
+def test_timeseries_real_loader_smoke(spark, qname):
+    from meteomatics_e2e_data_pipeline_spark.plans import timeseries
+    df = timeseries.TS_QUERIES[qname](spark, SF_SMOKE)
+    assert df.count() > 0
+
+
 def test_split_assign_partition_invariant_and_exhaustive(spark):
     df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
     a = {r["doc_id"]: r["split"]
