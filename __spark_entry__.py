@@ -91,6 +91,9 @@ _VERIFY_FIRST = (
     "docs_vocabulary",
     "docs_corpus_stats",
     "multimodal_features",
+    # -- new this round (fills the driver window to exactly 50) --
+    "docs_boilerplate_scrub",  # NEW: C4-style hot-ngram span removal
+    "docs_bm25_search",        # NEW: Okapi BM25 lexical top-k retrieval
 )
 
 

@@ -672,6 +672,88 @@ def hot_ngrams(docs: DataFrame, min_df: int, top: int,
     )
 
 
+def scrub_hot_ngrams(docs: DataFrame, min_df: int, top: int,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    """Boilerplate REMOVAL — the C4-style rewrite step that
+    :func:`hot_ngrams` only detects: every token position covered by any
+    corpus-hot n-gram occurrence is dropped and the remaining tokens are
+    rejoined, per document. (C4 removes boilerplate *lines*; this corpus
+    has no line structure, so the span unit is the n-gram — reference has
+    no text pipeline at all, this is a driver-contract LLM-data op.)
+
+    100 TB shape — no string universe ever shuffles and nothing is
+    quadratic:
+
+    1. hot set: document frequency on 8-byte shingle hashes (map-side
+       combinable) → top-``top`` — a ``top``-bounded set that broadcasts;
+    2. coverage: one posexplode + per-doc ``lead`` window marks hot START
+       positions (same shape as :func:`ngram_occurrences`), each start
+       fans out to its ``n`` covered positions — work ∝ hot occurrences,
+       not positions²;
+    3. rewrite: kept = tokens anti-joined against covered positions on
+       (doc, pos), reassembled with one per-doc sort_array(collect_list)
+       — bounded by document length, shuffled on ``id_col`` only.
+
+    Documents whose every token is covered survive with empty text (the
+    left join back to the corpus), so downstream length filters — not
+    silent row loss — decide their fate.
+
+    Output: ``(id_col, clean_text, n_tokens, n_removed)``.
+    """
+    from pyspark.sql import Window
+
+    hot = (
+        shingle_hashes(docs, id_col, text_col, n)
+        .groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), "hv")
+        .limit(top)
+        .select("hv")
+    )
+    tokpos = (
+        _spread(docs.select(id_col, text_col), id_col)
+        .select(id_col,
+                F.posexplode(tokens(F.col(text_col))).alias("pos", "t0"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    sh = tokpos
+    parts = ["t0"] + [f"t{k}" for k in range(1, n)]
+    for k in range(1, n):
+        sh = sh.withColumn(f"t{k}", F.lead("t0", k).over(w))
+    starts = (
+        sh.filter(F.col(parts[-1]).isNotNull())
+        .select(id_col, "pos",
+                base_hash48(F.concat_ws(" ", *parts)).alias("hv"))
+    )
+    covered = (
+        starts.join(F.broadcast(hot), "hv")
+        .select(id_col,
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "t0"))).alias("ks"))
+        .select(id_col,
+                F.expr("concat_ws(' ', transform(ks, s -> s.t0))")
+                .alias("clean_text"),
+                F.size("ks").cast("bigint").alias("n_kept"))
+    )
+    base = docs.select(
+        id_col, F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(id_col,
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                "n_tokens",
+                (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+                .cast("bigint").alias("n_removed"))
+    )
+
+
 def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 3) -> DataFrame:
     """Span-level duplication signal (Lee et al. 2022, "Deduplicating

@@ -307,3 +307,64 @@ def unigram_logprob(docs, total_tokens: int, id_col: str = "doc_id",
                 F.round(-F.col("__s") / F.col("n_tokens"), 6)
                 .alias("unigram_nll"))
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(docs, query_terms: tuple[str, ...], k: int,
+                k1: float = BM25_K1, b: float = BM25_B,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Okapi BM25 top-``k`` keyword search over the corpus — the lexical
+    retrieval twin of the embedding ANN family (hybrid search runs both
+    and fuses). Pure built-in expressions, no index structure needed:
+
+    score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson-Sparck Jones)
+
+    100 TB shape — the posting list is pruned BEFORE any shuffle: tokens
+    are filtered to the query's terms at the scan (predicate on the
+    exploded token, so only query-term occurrences ever reach the
+    (doc, term) aggregate — work ∝ hits, not corpus vocabulary). Corpus
+    stats (N, avgdl) are one scalar row cross-joined broadcast; df is a
+    ``len(query_terms)``-row broadcast. Top-k is a TakeOrdered (no global
+    sort), tie-broken on ``id_col`` so the cut is deterministic.
+
+    Float determinism: per-term contributions fold in array-sorted term
+    order (same idiom as :func:`unigram_logprob`), so the ≤ |query| sum
+    is engine-order-free; the result rounds to 6 dp.
+    """
+    from pyspark.sql import functions as F
+
+    terms = [str(t) for t in query_terms]
+    if not terms or k <= 0:
+        raise ValueError("query_terms must be non-empty and k positive")
+    dl = docs.select(id_col, F.size(tokens(F.col(text_col))).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
+          .filter(F.col("t").isin(terms))
+          .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf")
+             + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    contrib = idf * F.col("tf") * (k1 + 1) / denom
+    scored = (tf.join(F.broadcast(df_), "t")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .select(id_col, F.col("t"), contrib.alias("v")))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+             F.aggregate(
+                 F.array_sort(F.collect_list(F.struct(F.col("t"),
+                                                      F.col("v")))),
+                 F.lit(0.0), lambda acc, s: acc + s["v"]).alias("__s"))
+        .select(id_col, F.round(F.col("__s"), 6).alias("bm25"),
+                "n_terms_hit")
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )

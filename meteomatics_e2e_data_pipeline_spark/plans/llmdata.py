@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import neardup, packing, sampling, similarity
+from ..operators import neardup, packing, sampling, similarity, textops
 from ..operators.multimodal import extract_features, to_media_table
 from ..operators.textops import (
     LANG_ORDER, LANG_STOPWORDS, MINHASH_P, chunk_tokens, content_hash,
@@ -1342,6 +1342,105 @@ FROM hot JOIN names n USING (hv)
 """
 
 
+def q_docs_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate REMOVAL: drop every token position covered
+    by a corpus-hot n-gram (df ≥ HOT_MIN_DF, top HOT_TOP by df) and
+    rejoin the remainder — the rewrite step `docs_hot_ngrams` only
+    detects (operators/neardup.py:scrub_hot_ngrams)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.scrub_hot_ngrams(docs, HOT_MIN_DF, HOT_TOP, n=SHINGLE_N)
+
+
+def _oracle_boilerplate_scrub() -> str:
+    n = SHINGLE_N
+    shingle_parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    hv = _DUCK_HASH48.format(c=f"({shingle_parts})")
+    return rf"""
+WITH {_shingle_cte()},
+hot AS (SELECT hv FROM h GROUP BY hv
+        HAVING count(*) >= {HOT_MIN_DF}
+        ORDER BY count(*)::BIGINT DESC, hv LIMIT {HOT_TOP}),
+starts AS (
+  SELECT doc_id, u.pos AS pos, u.hv AS hv
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - {n - 2}),
+                                     i -> {{'pos': i, 'hv': {hv}}})) AS u
+        FROM tok)
+),
+cov AS (SELECT DISTINCT s.doc_id, s.pos + t.k AS pos
+        FROM starts s
+        JOIN hot USING (hv)
+        CROSS JOIN range(0, {n}) t(k)),
+tokpos AS (
+  SELECT doc_id, u.pos AS pos, u.t AS t
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                                     i -> {{'pos': i, 't': w[i]}})) AS u
+        FROM tok)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.t
+  FROM tokpos tp ANTI JOIN cov c
+    ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       len(tok.w)::BIGINT AS n_tokens,
+       (len(tok.w) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM tok LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+BM25_QUERY_TERMS = ("spark", "merge", "window")
+BM25_TOP_K = 20
+
+
+def q_docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k keyword retrieval for a fixed query — the
+    lexical twin of the embedding ANN family
+    (operators/textops.py:bm25_search; posting list pruned to query
+    terms before any shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.bm25_search(docs, BM25_QUERY_TERMS, BM25_TOP_K)
+
+
+def _oracle_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    k1, b = textops.BM25_K1, textops.BM25_B
+    return rf"""
+WITH dl AS (SELECT doc_id, len({_DUCK_TOKENS})::BIGINT AS dl FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok
+       WHERE t IN ({terms}) GROUP BY 1, 2),
+df AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT tf.doc_id, tf.t,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) AS v
+  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats s
+),
+agg AS (
+  SELECT doc_id, count(*)::INT AS n_terms_hit,
+         list(struct_pack(t := t, v := v) ORDER BY t) AS tv
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id,
+       round(list_reduce(list_prepend(0.0, list_transform(tv, s -> s.v)),
+                         (a, x) -> a + x), 6) AS bm25,
+       n_terms_hit
+FROM agg
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
 TEMP_FRAC = 0.5
 TEMP_SALT = "temp0"
 
@@ -1840,6 +1939,8 @@ LLM_QUERIES = {
     "docs_packed": q_docs_packed,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_hot_ngrams": q_docs_hot_ngrams,
+    "docs_boilerplate_scrub": q_docs_boilerplate_scrub,
+    "docs_bm25_search": q_docs_bm25_search,
     "docs_quality_percentile": q_docs_quality_percentile,
     "docs_unigram_nll": q_docs_unigram_nll,
     "docs_dup_spans": q_docs_dup_spans,
@@ -1894,6 +1995,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_packed": _oracle_packed(),
         "docs_lang_temperature_sample": _oracle_lang_temperature(),
         "docs_hot_ngrams": _oracle_hot_ngrams(),
+        "docs_boilerplate_scrub": _oracle_boilerplate_scrub(),
+        "docs_bm25_search": _oracle_bm25(),
         "docs_quality_percentile": _oracle_quality_percentile(),
         "docs_unigram_nll": _oracle_unigram_nll(),
         "docs_dup_spans": _oracle_dup_spans(),

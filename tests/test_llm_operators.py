@@ -961,3 +961,53 @@ def test_label_centroids_medoid_is_closest_member(spark, sf_oracle):
                         * math.sqrt(sum(b * b for b in c)))
         best = max(((cos(v), -vid) for l2, vid, v in vecs if l2 == lbl))
         assert -best[1] == r["medoid_id"]
+
+
+def test_scrub_hot_ngrams_removes_covered_positions(spark):
+    """Hand fixture: the trigram 'x y z' is hot (df=3); every position it
+    covers is dropped, partial overlaps handled, fully-covered docs
+    survive with empty text, short docs pass through untouched."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        scrub_hot_ngrams)
+
+    docs = spark.createDataFrame(
+        [(1, "a x y z b"),       # middle span removed
+         (2, "x y z"),           # fully covered -> empty
+         (3, "x y z q x y z"),   # two occurrences
+         (4, "p q"),             # shorter than n: no shingles, untouched
+         (5, "a b c d e")],      # no hot ngram, untouched
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           scrub_hot_ngrams(docs, min_df=3, top=10, n=3).collect()}
+    assert len(out) == 5                      # no silent row loss
+    assert out[1]["clean_text"] == "a b"
+    assert out[1]["n_removed"] == 3
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_removed"] == 3
+    assert out[3]["clean_text"] == "q"
+    assert out[3]["n_removed"] == 6
+    assert out[4]["clean_text"] == "p q" and out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "a b c d e" and out[5]["n_removed"] == 0
+
+
+def test_bm25_ranking_semantics(spark):
+    """tf monotonicity, rare-term boost, and the deterministic top-k cut."""
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        bm25_search)
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple apple pad pad pad pad"),
+         (2, "apple pad pad pad pad pad pad"),
+         (3, "zebra pad pad pad pad pad pad"),
+         (4, "pad pad pad pad pad pad pad"),
+         (5, "pad pad pad pad pad pad pad")],
+        "doc_id long, text string")
+    out = bm25_search(docs, ("apple", "zebra"), k=10).collect()
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert set(scores) == {1, 2, 3}           # zero-hit docs never rank
+    assert scores[1] > scores[2]              # higher tf, same term
+    assert scores[3] > scores[2]              # rarer term outranks common
+    hits = {r["doc_id"]: r["n_terms_hit"] for r in out}
+    assert hits == {1: 1, 2: 1, 3: 1}
+    top1 = bm25_search(docs, ("apple", "zebra"), k=1).collect()
+    assert [r["doc_id"] for r in top1] == [max(scores, key=scores.get)]
