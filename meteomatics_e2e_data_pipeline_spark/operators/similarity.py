@@ -764,6 +764,67 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
                     F.round(F.col("m.mcs"), 6).alias("medoid_cos")))
 
 
+def label_outliers(emb: DataFrame, frac: float = 0.05,
+                   label_col: str = "label", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-label embedding outlier detection: flag the ``frac`` fraction
+    of each label's members FARTHEST from the label centroid (lowest
+    cosine) — the mislabeled-example / drift screen a labeled corpus
+    runs before training.
+
+    Centroids use :func:`label_centroids`' decimal-sum order-free means
+    (rounded to 6 dp) so scoring is engine-identical. The cut is the
+    count-threshold idiom from ``textops.quality_percentile_filter`` —
+    the corpus is NEVER windowed: cumulative counts run over the tiny
+    (label × distinct rounded-cosine) frame, the per-label threshold
+    broadcasts back, and the flag is a row-local comparison. A member is
+    an outlier iff its cosine ≤ max{c : #(cos ≤ c) ≤ ⌈frac·n_label⌉}
+    (ties never straddle the cut; if the lowest cosine bin alone
+    exceeds the budget, the label has no outliers — deterministic on
+    both engines).
+
+    Output: ``(id_col, label_col, cos_to_centroid, is_outlier)`` — all
+    members, flagged.
+    """
+    from pyspark.sql import Window
+
+    dims = emb.select(
+        label_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+    cm = (dims.groupBy(label_col, "pos")
+          .agg(F.round(F.sum(F.col("x").cast("decimal(25,12)"))
+                       .cast("double") / F.count(F.lit(1)), 6).alias("m")))
+    cent = (cm.groupBy(label_col)
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+            .select(label_col,
+                    F.expr("transform(pm, s -> s.m)").alias("centroid")))
+    scored = (
+        emb.select(label_col, id_col, vec_col)
+        .join(F.broadcast(cent), label_col)
+        .select(label_col, id_col,
+                F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+                .alias("cos_to_centroid"))
+    )
+    per_val = (scored.groupBy(label_col, "cos_to_centroid")
+               .agg(F.count(F.lit(1)).alias("__c")))
+    wv = (Window.partitionBy(label_col).orderBy("cos_to_centroid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per_val.withColumn("__cumc", F.sum("__c").over(wv))
+    nl = per_val.groupBy(label_col).agg(F.sum("__c").alias("__n"))
+    thr = (cum.join(nl, label_col)
+           .filter(F.col("__cumc") <= F.ceil(F.lit(frac) * F.col("__n")))
+           .groupBy(label_col)
+           .agg(F.max("cos_to_centroid").alias("__thr")))
+    return (
+        scored.join(F.broadcast(thr), label_col, "left")
+        .select(id_col, label_col, "cos_to_centroid",
+                (F.col("__thr").isNotNull()
+                 & (F.col("cos_to_centroid") <= F.col("__thr")))
+                .alias("is_outlier"))
+    )
+
+
 def random_projection(df: DataFrame, out_dim: int, dim: int,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       tag: str = "rp") -> DataFrame:

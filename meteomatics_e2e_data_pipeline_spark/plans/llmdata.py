@@ -1711,6 +1711,54 @@ WHERE m.rn = 1
 """
 
 
+OUTLIER_FRAC = 0.05
+
+
+def q_emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the 5% of each label's members
+    farthest (lowest cosine) from the label centroid — mislabel/drift
+    screen (operators/similarity.py:label_outliers; count-threshold cut,
+    corpus never windowed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.label_outliers(emb, OUTLIER_FRAC)
+
+
+ORACLE_LABEL_OUTLIERS = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+dims AS (SELECT label, i AS pos, v[i + 1] AS x
+         FROM v CROSS JOIN range(0, 64) t(i)),
+cm AS (SELECT label, pos,
+              round((sum(x::DECIMAL(25,12)))::DOUBLE / count(*), 6) AS m
+       FROM dims GROUP BY 1, 2),
+cent AS (SELECT label, list(m ORDER BY pos) AS centroid
+         FROM cm GROUP BY label),
+scored AS (
+  SELECT v.label, vec_id,
+         round(list_dot_product(v.v, c.centroid)
+               / (sqrt(list_dot_product(v.v, v.v))
+                  * sqrt(list_dot_product(c.centroid, c.centroid))),
+               6) AS cos_to_centroid
+  FROM v JOIN cent c USING (label)
+),
+pv AS (SELECT label, cos_to_centroid, count(*) AS c
+       FROM scored GROUP BY 1, 2),
+cum AS (SELECT label, cos_to_centroid,
+               sum(c) OVER (PARTITION BY label ORDER BY cos_to_centroid
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumc
+        FROM pv),
+nl AS (SELECT label, count(*) AS n FROM scored GROUP BY label),
+thr AS (SELECT cum.label, max(cos_to_centroid) AS thr
+        FROM cum JOIN nl USING (label)
+        WHERE cumc <= ceil({OUTLIER_FRAC} * n)
+        GROUP BY cum.label)
+SELECT s.vec_id, s.label, s.cos_to_centroid,
+       (t.thr IS NOT NULL AND s.cos_to_centroid <= t.thr) AS is_outlier
+FROM scored s LEFT JOIN thr t USING (label)
+"""
+
+
 # Lloyd iterations per PQ subspace. Bench default and the dominant cost of
 # `emb_knn_pq_trained` (the suite's slowest query): each iteration runs one
 # assign+mean pass over all PQ_M subspaces (~1.2 s/iter at sf0.1 local[32]).
@@ -1941,6 +1989,7 @@ LLM_QUERIES = {
     "docs_hot_ngrams": q_docs_hot_ngrams,
     "docs_boilerplate_scrub": q_docs_boilerplate_scrub,
     "docs_bm25_search": q_docs_bm25_search,
+    "emb_label_outliers": q_emb_label_outliers,
     "docs_quality_percentile": q_docs_quality_percentile,
     "docs_unigram_nll": q_docs_unigram_nll,
     "docs_dup_spans": q_docs_dup_spans,
@@ -1997,6 +2046,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_hot_ngrams": _oracle_hot_ngrams(),
         "docs_boilerplate_scrub": _oracle_boilerplate_scrub(),
         "docs_bm25_search": _oracle_bm25(),
+        "emb_label_outliers": ORACLE_LABEL_OUTLIERS,
         "docs_quality_percentile": _oracle_quality_percentile(),
         "docs_unigram_nll": _oracle_unigram_nll(),
         "docs_dup_spans": _oracle_dup_spans(),

@@ -324,12 +324,209 @@ FROM win
 """
 
 
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 14
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily event count per
+    event type — the smoothing baseline dashboards plot against the raw
+    series (and the anomaly denominator when z-scores are too twitchy).
+
+    Semantics: the textbook recurrence ``a_0 = n_0; a_k = α·n_k +
+    (1−α)·a_{k−1}`` restarted over a trailing EWMA_WINDOW-row history
+    (bounded memory: a day's smoothed value depends on at most 14 rows,
+    so backfills reproduce any day's value without replaying all
+    history; weight lost beyond 14 rows is (1−α)^14 ≈ 0.7 %).
+
+    Float parity: the fold is a pinned-order sequential reduction over
+    the frame's rows (day ascending) on BOTH engines — Spark
+    ``aggregate`` over the window-collected list, DuckDB ``list_reduce``
+    over the frame-ordered ``list(...)`` with its first element as the
+    seed —
+    identical IEEE op sequence, no pow(), no tolerance.
+
+    Plan shape at scale: one map-side-combinable hash aggregate to
+    (type, day), then one window over the tiny (types × days) rollup.
+    The raw event table never enters a window; per-row state is a ≤ 14
+    element array.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow))
+    hist = F.array_sort(
+        F.collect_list(
+            F.struct("day", F.col("n").cast("double").alias("n"))).over(w))
+    vals = F.expr("transform(__hist, s -> s.n)")
+    a = EWMA_ALPHA
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1 - a) * acc)
+    return (
+        daily.withColumn("__hist", hist)
+        .select("event_type", "day", "n",
+                F.round(ewma, 6).alias("ewma"))
+    )
+
+
+ORACLE_EWMA = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, n,
+         list(n::DOUBLE) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+         ) AS hist
+  FROM daily
+)
+SELECT event_type, day, n,
+       round(list_reduce(hist,
+                         (a, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * a),
+             6) AS ewma
+FROM win
+"""
+
+
+CORR_TYPE_X = "click"
+CORR_TYPE_Y = "purchase"
+CORR_WINDOW = 7
+
+
+def q_events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing CORR_WINDOW-day Pearson correlation between two event
+    types' daily counts (does purchasing track clicking this week?).
+
+    Days where either type is absent count as 0 (the day spine is the
+    union of days where ANY event occurred — one aggregate provides
+    both series via conditional sums, no join, no gap-fill pass).
+
+    Float parity uses the `events_zscore` trick: the windowed sums
+    (Σx, Σy, Σx², Σy², Σxy, cnt) are integer-exact in double, and the
+    correlation is derived with the identical explicit formula on both
+    engines — no reliance on either engine's corr() kernel. NULL until
+    the window holds CORR_WINDOW days or when either variance is 0.
+
+    Plan shape at scale: one hash aggregate to day grain (map-side
+    combinable), then ONE unpartitioned window over the days-only frame
+    — safe because it is bounded by the calendar (3 650 rows a decade),
+    never by event or type cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin(CORR_TYPE_X, CORR_TYPE_Y))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.when(F.col("event_type") == CORR_TYPE_X, 1)
+                   .otherwise(0)).cast("double").alias("x"),
+             F.sum(F.when(F.col("event_type") == CORR_TYPE_Y, 1)
+                   .otherwise(0)).cast("double").alias("y"))
+    )
+    w = (Window.orderBy("day")
+         .rowsBetween(-(CORR_WINDOW - 1), Window.currentRow))
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    vx = cnt * sxx - sx * sx
+    vy = cnt * syy - sy * sy
+    corr = F.when((cnt == CORR_WINDOW) & (vx > 0) & (vy > 0),
+                  F.round((cnt * sxy - sx * sy) / F.sqrt(vx * vy), 6))
+    return daily.select(
+        "day", F.col("x").cast("bigint").alias("n_x"),
+        F.col("y").cast("bigint").alias("n_y"), corr.alias("rolling_corr"))
+
+
+ORACLE_ROLLING_CORR = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CASE WHEN event_type = '{CORR_TYPE_X}' THEN 1 ELSE 0 END)::DOUBLE AS x,
+         sum(CASE WHEN event_type = '{CORR_TYPE_Y}' THEN 1 ELSE 0 END)::DOUBLE AS y
+  FROM events
+  WHERE event_type IN ('{CORR_TYPE_X}', '{CORR_TYPE_Y}')
+  GROUP BY 1
+),
+win AS (
+  SELECT day, x, y,
+         sum(x)     OVER w AS sx,  sum(y)     OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy, count(*)   OVER w AS cnt
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {CORR_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, x::BIGINT AS n_x, y::BIGINT AS n_y,
+       CASE WHEN cnt = {CORR_WINDOW}
+             AND cnt * sxx - sx * sx > 0
+             AND cnt * syy - sy * sy > 0
+            THEN round((cnt * sxy - sx * sy)
+                       / sqrt((cnt * sxx - sx * sx)
+                              * (cnt * syy - sy * sy)), 6)
+       END AS rolling_corr
+FROM win
+"""
+
+
+HIST_BUCKET_WIDTH = 20.0
+HIST_N_BUCKETS = 10
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: bucket i covers
+    [i·20, (i+1)·20), the last bucket clamps the upper tail (the
+    standard distribution profile an analytics engine ships next to
+    percentiles — cheap enough to run on every ingest batch).
+
+    Plan shape at scale: bucket assignment is row-local arithmetic; the
+    count is ONE map-side-combinable hash aggregate on (type, bucket) —
+    cardinality types × HIST_N_BUCKETS, no window, no sort until the
+    final tiny ORDER of the result."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / HIST_BUCKET_WIDTH),
+        F.lit(HIST_N_BUCKETS - 1)).cast("int")
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "bucket",
+                F.round(F.col("bucket") * HIST_BUCKET_WIDTH, 1).alias("lo"),
+                F.round((F.col("bucket") + 1) * HIST_BUCKET_WIDTH, 1)
+                .alias("hi"), "n")
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = f"""
+SELECT event_type,
+       least(floor(value / {HIST_BUCKET_WIDTH}),
+             {HIST_N_BUCKETS - 1})::INT AS bucket,
+       round(least(floor(value / {HIST_BUCKET_WIDTH}),
+                   {HIST_N_BUCKETS - 1}) * {HIST_BUCKET_WIDTH}, 1) AS lo,
+       round((least(floor(value / {HIST_BUCKET_WIDTH}),
+                    {HIST_N_BUCKETS - 1}) + 1) * {HIST_BUCKET_WIDTH}, 1) AS hi,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3, 4
+"""
+
+
 TS_QUERIES = {
     "events_gapfill": q_events_gapfill,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_twa": q_events_twa,
     "events_zscore": q_events_zscore,
+    "events_ewma": q_events_ewma,
+    "events_rolling_corr": q_events_rolling_corr,
+    "events_value_histogram": q_events_value_histogram,
 }
 
 
@@ -340,4 +537,7 @@ def ts_oracle() -> dict[str, str]:
         "events_retention": ORACLE_RETENTION,
         "events_twa": ORACLE_TWA,
         "events_zscore": ORACLE_ZSCORE,
+        "events_ewma": ORACLE_EWMA,
+        "events_rolling_corr": ORACLE_ROLLING_CORR,
+        "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
     }

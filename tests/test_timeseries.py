@@ -144,6 +144,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 @pytest.mark.parametrize("qname", [
     "events_gapfill", "events_funnel", "events_retention",
     "events_twa", "events_zscore",
+    "events_ewma", "events_rolling_corr", "events_value_histogram",
 ])
 def test_timeseries_real_loader_smoke(spark, qname):
     from meteomatics_e2e_data_pipeline_spark.plans import timeseries
@@ -183,3 +184,92 @@ def test_random_projection_rowlocal_and_width(spark):
     row = out.orderBy("vec_id").first()
     # projections are real numbers, not degenerate zeros
     assert any(abs(row[f"p{j}"]) > 1e-6 for j in range(4))
+
+
+def test_ewma_recurrence_hand_computed(spark, monkeypatch):
+    # one type, three days: counts 2, 4, 8 -> a1=2, a2=.3*4+.7*2=2.6,
+    # a3=.3*8+.7*2.6=4.22
+    rows = []
+    eid = 0
+    for d, n in ((1, 2), (2, 4), (3, 8)):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-0{d}T06:00:00")
+                         + dt.timedelta(minutes=i), 1, "click", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    ts = _patch_loader(monkeypatch, ev)
+    out = {str(r["day"]): r["ewma"] for r in
+           ts.q_events_ewma(spark, "unused").collect()}
+    assert out["2024-01-01"] == pytest.approx(2.0)
+    assert out["2024-01-02"] == pytest.approx(2.6)
+    assert out["2024-01-03"] == pytest.approx(4.22)
+
+
+def test_rolling_corr_perfect_correlation(spark, monkeypatch):
+    # y = 2x daily for 8 days -> corr exactly 1.0 once window fills;
+    # NULL before day 7
+    rows = []
+    eid = 0
+    for d in range(1, 9):
+        for i in range(d):           # clicks: 1,2,...,8
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-0{min(d,9)}T01:00:00")
+                         if d < 10 else None, 1, "click", 1.0))
+        for i in range(2 * d):       # purchases: 2,4,...,16
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-0{min(d,9)}T02:00:00"), 1,
+                         "purchase", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    ts = _patch_loader(monkeypatch, ev)
+    out = {str(r["day"]): r for r in
+           ts.q_events_rolling_corr(spark, "unused").collect()}
+    for d in range(1, 7):
+        assert out[f"2024-01-0{d}"]["rolling_corr"] is None
+    assert out["2024-01-07"]["rolling_corr"] == pytest.approx(1.0)
+    assert out["2024-01-08"]["rolling_corr"] == pytest.approx(1.0)
+    assert out["2024-01-08"]["n_x"] == 8 and out["2024-01-08"]["n_y"] == 16
+
+
+def test_value_histogram_buckets_and_clamp(spark, monkeypatch):
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 1, "click", 0.0),    # bucket 0
+         (2, _ts("2024-01-01T00:01:00"), 1, "click", 19.99),  # bucket 0
+         (3, _ts("2024-01-01T00:02:00"), 1, "click", 20.0),   # bucket 1
+         (4, _ts("2024-01-01T00:03:00"), 1, "click", 500.0),  # clamp -> 9
+         (5, _ts("2024-01-01T00:04:00"), 1, "error", 185.0)], # bucket 9
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    ts = _patch_loader(monkeypatch, ev)
+    out = {(r["event_type"], r["bucket"]): r for r in
+           ts.q_events_value_histogram(spark, "unused").collect()}
+    assert out[("click", 0)]["n"] == 2
+    assert out[("click", 1)]["n"] == 1
+    assert out[("click", 9)]["n"] == 1          # 500 clamps to last bucket
+    assert out[("error", 9)]["lo"] == 180.0 and out[("error", 9)]["hi"] == 200.0
+
+
+def test_label_outliers_flags_farthest(spark):
+    import random
+
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        label_outliers)
+
+    rnd = random.Random(7)
+    rows = []
+    # label 0: 40 vectors near [1,0,...]; one planted far vector (id 999)
+    for i in range(40):
+        v = [1.0] + [rnd.uniform(-0.05, 0.05) for _ in range(7)]
+        rows.append((i, 0, v))
+    rows.append((999, 0, [-1.0] + [0.0] * 7))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    out = {r["vec_id"]: r for r in label_outliers(emb, 0.05).collect()}
+    assert len(out) == 41                         # every member returned
+    assert out[999]["is_outlier"] is True         # the planted far point
+    n_flagged = sum(r["is_outlier"] for r in out.values())
+    assert n_flagged <= 3                         # ~5% of 41, ties allowed
+    assert min(out.values(), key=lambda r: r["cos_to_centroid"])["vec_id"] == 999
