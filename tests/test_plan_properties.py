@@ -29,7 +29,10 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
     allowed = {"emb_knn_bruteforce", "emb_knn_vectorized", "emb_ann_ivf",
                "emb_ann_ivf_trained", "emb_cosine_near_dup", "emb_knn_int8",
                "emb_pq_codes", "emb_knn_pq", "emb_ann_ivfpq",
-               "emb_knn_pq_trained", "emb_knn_filtered"}
+               "emb_knn_pq_trained", "emb_knn_filtered",
+               # 1-row corpus-stats crossJoin (N, avgdl) — bounded by
+               # construction, see PLANS.md round-5 notes
+               "docs_bm25_search"}
     for name in entrymod.queries():
         if "BroadcastNestedLoopJoin" in _plan(spark, name, sf_smoke):
             assert name in allowed, f"unexpected BNLJ in {name}"
