@@ -649,25 +649,45 @@ def train_pq_codebook(corpus: DataFrame, dim: int, m: int = 8,
     ``knn_pq`` consume it unchanged.
 
     Per iteration: one assignment pass (the partial-aggregatable
-    ``pq_codes`` aggregate), one element-wise mean via posexplode →
-    groupBy (subspace, code, dim) — all map-side combinable — and a
-    config-sized reassembly. Empty (subspace, code) cells carry their
-    previous centroid slice (standard Lloyd fix). ``localCheckpoint``
-    per pass keeps plan depth constant; seeds are the first ``n_cent``
-    vectors, so training from iters=0 IS the untrained codebook and
-    distortion is non-increasing in ``iters``.
+    ``pq_codes`` min_by aggregate, with the vector CARRIED through the
+    aggregate — a ``first`` over the per-id-constant ``__v`` — so no
+    separate corpus×corpus join is ever paid: one map-side-combinable
+    shuffle per pass instead of an aggregate plus a two-sided
+    sort-merge join. Locally this trades ~10% CPU (the fan-out rows
+    carry the vector) for the removed join; at cluster scale the
+    removed corpus-sized shuffle dominates), one element-wise mean via
+    posexplode → groupBy (subspace, code, dim) — all map-side combinable
+    — and a config-sized reassembly. Empty (subspace, code) cells carry
+    their previous centroid slice (standard Lloyd fix).
+    ``localCheckpoint`` per pass keeps plan depth constant; ``base`` is
+    persisted across the ``iters`` corpus passes; seeds are the first
+    ``n_cent`` vectors, so training from iters=0 IS the untrained
+    codebook and distortion is non-increasing in ``iters``.
     """
+    from pyspark import StorageLevel
+
     subdim, rem = divmod(dim, m)
     if rem:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     cb = pq_codebook(corpus, n_cent, id_col, vec_col) \
         .localCheckpoint(eager=True)
-    base = corpus.select(
+    base = (corpus.select(
         id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     for _ in range(iters):
-        codes = pq_codes(corpus, cb, dim, m, id_col, vec_col)
+        dists = (
+            base.join(F.broadcast(cb))
+            .select(id_col, "cid", "__v",
+                    *[_sub_sqdist(F.col("__v"), F.col("cvec"), j, subdim)
+                      .alias(f"__d{j}") for j in range(m)])
+        )
+        assigned = dists.groupBy(id_col).agg(
+            F.first("__v").alias("__v"),
+            *[F.min_by(F.col("cid"),
+                       F.struct(F.col(f"__d{j}"), F.col("cid")))
+              .alias(f"c{j}") for j in range(m)])
         subs = (
-            base.join(codes, id_col)
+            assigned
             .select(F.explode(F.array(*[
                 F.struct(F.lit(j).alias("j"), F.col(f"c{j}").alias("cid"),
                          F.slice("__v", j * subdim + 1, subdim).alias("sv"))
@@ -699,6 +719,9 @@ def train_pq_codebook(corpus: DataFrame, dim: int, m: int = 8,
                       F.expr("flatten(transform(js, s -> s.sv))")
                       .alias("cvec"))
               .localCheckpoint(eager=True))
+    # cb is materialized by the eager checkpoint, so the cached corpus
+    # projection can be released before the serve path rescans the corpus
+    base.unpersist()
     return cb
 
 
