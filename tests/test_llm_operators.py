@@ -1011,3 +1011,90 @@ def test_bm25_ranking_semantics(spark):
     assert hits == {1: 1, 2: 1, 3: 1}
     top1 = bm25_search(docs, ("apple", "zebra"), k=1).collect()
     assert [r["doc_id"] for r in top1] == [max(scores, key=scores.get)]
+
+
+def test_scrub_matches_python_reference_on_random_corpora(spark):
+    """Brute-force cross-check: for random word-soup corpora, the Spark
+    scrub must equal a direct python implementation of the spec (hot =
+    top-N n-grams by doc frequency with df >= min_df; every covered
+    token position dropped)."""
+    import hashlib
+    import random
+
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        scrub_hot_ngrams)
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    n, min_df, top = 3, 3, 5
+    for trial in range(3):
+        rows = [(i, " ".join(rnd.choice(vocab)
+                             for _ in range(rnd.randint(1, 18))))
+                for i in range(30)]
+        # python reference
+        df_count: dict[int, int] = {}
+        for _, text in rows:
+            w = text.split()
+            grams = {h48(" ".join(w[j:j + n])) for j in range(len(w) - n + 1)}
+            for g in grams:
+                df_count[g] = df_count.get(g, 0) + 1
+        hot = {g for g, _ in sorted(
+            ((g, c) for g, c in df_count.items() if c >= min_df),
+            key=lambda t: (-t[1], t[0]))[:top]}
+        want = {}
+        for doc_id, text in rows:
+            w = text.split()
+            covered = set()
+            for j in range(len(w) - n + 1):
+                if h48(" ".join(w[j:j + n])) in hot:
+                    covered.update(range(j, j + n))
+            kept = [t for i, t in enumerate(w) if i not in covered]
+            want[doc_id] = (" ".join(kept), len(w), len(w) - len(kept))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+               for r in scrub_hot_ngrams(docs, min_df, top, n=n).collect()}
+        assert got == want, f"trial {trial}"
+
+
+def test_bm25_matches_python_reference_on_random_corpora(spark):
+    """Brute-force cross-check of the BM25 formula and the top-k cut."""
+    import math
+    import random
+
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        BM25_B, BM25_K1, bm25_search)
+
+    rnd = random.Random(13)
+    vocab = [f"w{i}" for i in range(15)]
+    terms = ("w0", "w7", "w14")
+    rows = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(3, 25))))
+            for i in range(40)]
+    dls = {i: len(t.split()) for i, t in rows}
+    avgdl = sum(dls.values()) / len(rows)
+    n_docs = len(rows)
+    tf = {}
+    for i, t in rows:
+        for w in t.split():
+            if w in terms:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    scores = {}
+    for (i, w), f in tf.items():
+        idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+        d = f + BM25_K1 * (1 - BM25_B + BM25_B * dls[i] / avgdl)
+        scores[i] = scores.get(i, 0.0) + idf * f * (BM25_K1 + 1) / d
+    want = sorted(((round(s, 6), i) for i, s in scores.items()),
+                  key=lambda t: (-t[0], t[1]))[:10]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["bm25"], r["doc_id"])
+           for r in bm25_search(docs, terms, k=10).collect()]
+    got = sorted(got, key=lambda t: (-t[0], t[1]))
+    assert [i for _, i in got] == [i for _, i in want]
+    for (gs, _), (ws, _) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=2e-6)
