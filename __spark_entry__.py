@@ -59,7 +59,16 @@ _VERIFY_FIRST = (
     "event_user_reach_exact",   # NEW: exact count_distinct twin w/ oracle
     "sql_nation_revenue",     # repaired (register_tables loads events)
     "emb_label_centroids",    # r4 err: array output — now exploded scalar
+    # -- new this round: never driver-attested, verify before refreshes --
+    "docs_boilerplate_scrub",  # NEW: C4-style hot-ngram span removal
+    "docs_bm25_search",        # NEW: Okapi BM25 lexical top-k retrieval
+    "events_ewma",             # NEW: bounded-history EWMA smoothing
+    "events_rolling_corr",     # NEW: trailing 7-day two-series Pearson
+    "events_value_histogram",  # NEW: clamped fixed-width value buckets
+    "emb_label_outliers",      # NEW: per-label cosine outlier flags
     # -- r3-dated driver rows: rotate in so none is older than r3 --
+    # (the 4 entries past position 50 keep their green r3 rows and stay
+    # covered by the local DuckDB mirror)
     "pricing_summary",
     "latest_order_per_customer",
     "supplier_running_quantity",
@@ -91,9 +100,6 @@ _VERIFY_FIRST = (
     "docs_vocabulary",
     "docs_corpus_stats",
     "multimodal_features",
-    # -- new this round (fills the driver window to exactly 50) --
-    "docs_boilerplate_scrub",  # NEW: C4-style hot-ngram span removal
-    "docs_bm25_search",        # NEW: Okapi BM25 lexical top-k retrieval
 )
 
 
