@@ -1937,6 +1937,79 @@ FROM documents
 """
 
 
+GROUP_SPLIT_SALT = "gsplit0"
+
+
+def q_docs_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-AWARE train/val/test split: the hash ladder
+    keys on ``source`` instead of ``doc_id``, so every document from one
+    source lands in the same split — near-duplicates within a source can
+    never straddle train/test (the contamination mode a row-wise split
+    invites). Same row-local zero-shuffle shape as `docs_split_assign`
+    (operators/sampling.py:split_assign with id_col='source')."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.split_assign(
+        docs.select("doc_id", "lang", "source"),
+        id_col="source", salt=GROUP_SPLIT_SALT)
+
+
+def _oracle_split_by_source() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS
+    cum, cases = 0.0, []
+    for name, rate in SPLIT_SPEC:
+        cum += rate
+        cases.append(
+            f"WHEN ('0x' || substr(md5(source || '|{GROUP_SPLIT_SALT}'), 1, 12))"
+            f"::BIGINT % {SAMPLE_BUCKETS}"
+            f" < {int(round(cum * SAMPLE_BUCKETS))} THEN '{name}'")
+    ladder = "\n            ".join(cases)
+    return f"""
+SELECT doc_id, lang, source,
+       CASE {ladder}
+       END AS split
+FROM documents
+"""
+
+
+def q_emb_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup of the embedding corpus: cosine near-dup pairs
+    (IVF-bucketed, never all-pairs) → connected components → min-id
+    canonical survives — the embedding-space twin of `docs_dedup_keep`
+    (SemDeDup-style, with exact bucketed cosine instead of cluster
+    sampling). Reuses the hash-green pair chain and the
+    min-label-propagation operator unchanged
+    (operators/similarity.py:cosine_near_dup_pairs +
+    operators/neardup.py:dup_clusters/keep_canonical)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    pairs = similarity.cosine_near_dup_pairs(emb, centroids,
+                                             COSINE_DUP_THRESHOLD)
+    clusters = (neardup.dup_clusters(pairs, src="id_a", dst="id_b")
+                .withColumnRenamed("doc_id", "vec_id"))
+    return neardup.keep_canonical(
+        emb.select("vec_id", "label"), clusters, id_col="vec_id")
+
+
+def _oracle_emb_dedup_keep() -> str:
+    return rf"""
+WITH RECURSIVE pairs AS ({ORACLE_COSINE_NEAR_DUP}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+clust AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id,
+                 u = least(u, min(v)) AS is_canonical
+          FROM reach GROUP BY u)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM clust WHERE NOT is_canonical)
+"""
+
+
 RP_DIM = 8   # 64 → 8: the JL-style reduction front end for cheap ANN
 
 
@@ -1990,6 +2063,8 @@ LLM_QUERIES = {
     "docs_boilerplate_scrub": q_docs_boilerplate_scrub,
     "docs_bm25_search": q_docs_bm25_search,
     "emb_label_outliers": q_emb_label_outliers,
+    "docs_split_by_source": q_docs_split_by_source,
+    "emb_dedup_keep": q_emb_dedup_keep,
     "docs_quality_percentile": q_docs_quality_percentile,
     "docs_unigram_nll": q_docs_unigram_nll,
     "docs_dup_spans": q_docs_dup_spans,
@@ -2047,6 +2122,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_boilerplate_scrub": _oracle_boilerplate_scrub(),
         "docs_bm25_search": _oracle_bm25(),
         "emb_label_outliers": ORACLE_LABEL_OUTLIERS,
+        "docs_split_by_source": _oracle_split_by_source(),
+        "emb_dedup_keep": _oracle_emb_dedup_keep(),
         "docs_quality_percentile": _oracle_quality_percentile(),
         "docs_unigram_nll": _oracle_unigram_nll(),
         "docs_dup_spans": _oracle_dup_spans(),

@@ -1098,3 +1098,45 @@ def test_bm25_matches_python_reference_on_random_corpora(spark):
     assert [i for _, i in got] == [i for _, i in want]
     for (gs, _), (ws, _) in zip(got, want):
         assert gs == pytest.approx(ws, abs=2e-6)
+
+
+def test_split_by_source_is_leakage_safe(spark, sf_oracle):
+    """Every document from one source must land in the same split —
+    the group-aware guarantee the row-wise split cannot give."""
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        q_docs_split_by_source)
+
+    rows = q_docs_split_by_source(spark, sf_oracle).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values())
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+    n_docs = load_table(spark, sf_oracle, "documents").count()
+    assert len(rows) == n_docs               # exhaustive, no row loss
+
+
+def test_emb_dedup_keep_drops_only_noncanonical(spark, sf_oracle):
+    """Kept corpus = all vectors minus non-canonical cluster members;
+    every cosine near-dup cluster retains exactly its min-id member."""
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        COSINE_DUP_THRESHOLD, IVF_CENTROID_MAX_ID, q_emb_dedup_keep)
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cent = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
+            .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    pairs = similarity.cosine_near_dup_pairs(emb, cent,
+                                             COSINE_DUP_THRESHOLD)
+    clusters = neardup.dup_clusters(pairs, src="id_a", dst="id_b").collect()
+    kept = {r["vec_id"] for r in q_emb_dedup_keep(spark, sf_oracle).collect()}
+    n_total = emb.count()
+    dropped = {r["doc_id"] for r in clusters if not r["is_canonical"]}
+    canonical = {r["doc_id"] for r in clusters if r["is_canonical"]}
+    assert kept == set(range(n_total)) - dropped
+    assert canonical <= kept
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert min(members) == cid and cid in kept
