@@ -255,6 +255,74 @@ def stream_dedup_exact(docs_stream: DataFrame, ts_col: str,
     )
 
 
+def stream_ewma(spark: SparkSession, sf_dir: str,
+                checkpoint_path: str, query_name: str,
+                alpha: float = 0.3, window: int = 14) -> None:
+    """Streaming twin of the batch ``events_ewma`` query
+    (plans/timeseries.py): per-event-type EWMA of the daily count,
+    maintained as EXPLICIT state across micro-batches via
+    ``applyInPandasWithState`` — the recurrence ``a_k = α·n_k +
+    (1−α)·a_{k−1}`` is sequential over day order, which no built-in
+    streaming window can express.
+
+    State per event type is the (day → count) map — bounded by the
+    calendar, kilobytes per type for years of days — so a late batch
+    that adds events to an already-seen day updates that day's count
+    and every dependent smoothed value downstream of it is re-emitted
+    (update output mode). Each emission recomputes the fold over the
+    trailing ``window`` rows only, matching the batch query's bounded
+    history exactly; a memory sink under ``query_name`` receives the
+    updates (take the LAST row per (event_type, day) when reading).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            days, ns = state.get
+            counts = dict(zip(list(days), list(ns)))
+        else:
+            counts = {}
+        for pdf in pdfs:
+            per_day = pdf["day"].value_counts()
+            for day, n in per_day.items():
+                counts[day] = counts.get(day, 0) + int(n)
+        items = sorted(counts.items())
+        state.update((
+            [d for d, _ in items], [n for _, n in items]))
+        out_days, out_n, out_ewma = [], [], []
+        for i, (d, n) in enumerate(items):
+            hist = [x for _, x in items[max(0, i - window + 1): i + 1]]
+            acc = float(hist[0])
+            for x in hist[1:]:
+                acc = alpha * x + (1 - alpha) * acc
+            out_days.append(d)
+            out_n.append(n)
+            out_ewma.append(round(acc, 6))
+        yield pd.DataFrame({"event_type": key[0], "day": out_days,
+                            "n": out_n, "ewma": out_ewma})
+
+    ev = (read_events_stream(spark, sf_dir)
+          .select("event_type",
+                  F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")))
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, day string, n bigint, "
+                         "ewma double",
+        stateStructType="days array<string>, ns array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_enrich(stream: DataFrame, dim: DataFrame,
                   on: list[str]) -> DataFrame:
     """Stream-to-static enrichment join — the streaming twin of the star

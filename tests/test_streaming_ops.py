@@ -261,3 +261,25 @@ def test_stream_contamination_flags_match_batch_operator(spark, tmp_path):
             contamination_hits(batch, bench).collect()}
     assert {k: v for k, v in got.items() if v > 0} == want
     assert got[2] == 0
+
+
+def test_stream_ewma_matches_batch(spark, tmp_path):
+    from meteomatics_e2e_data_pipeline_spark.plans.timeseries import (
+        q_events_ewma)
+    from meteomatics_e2e_data_pipeline_spark.streaming import stream_ewma
+
+    name = "ewma_stream_test"
+    stream_ewma(spark, "/root/testdata/sf0.001", str(tmp_path / "ck"), name)
+    # update-mode memory sink: last emission per (type, day) wins
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        got[(r["event_type"], r["day"])] = (r["n"], r["ewma"])
+
+    expected = {(r["event_type"], str(r["day"])): (r["n"], r["ewma"])
+                for r in q_events_ewma(spark,
+                                       "/root/testdata/sf0.001").collect()}
+    assert set(got) == set(expected)
+    mismatches = {k: (got[k], expected[k]) for k in expected
+                  if got[k][0] != expected[k][0]
+                  or abs(got[k][1] - expected[k][1]) > 1e-6}
+    assert not mismatches
