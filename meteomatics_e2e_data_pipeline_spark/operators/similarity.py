@@ -342,10 +342,17 @@ def train_ivf_centroids(corpus: DataFrame, k: int, iters: int = 3,
         .alias("centroid_id"), vec_col)
     for _ in range(iters):
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        # decimal-sum means (order-free, rounded to 6 dp): bit-identical
+        # across engines and partitionings, which is what lets the
+        # fixed-iteration oracle unroll this loop in SQL — a float avg()
+        # would drift by partial-sum order and flip downstream
+        # assignments on ties
         dims = (
             assigned.select("bucket", F.posexplode(F.col(vec_col))
                             .alias("pos", "x"))
-            .groupBy("bucket", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("bucket", "pos")
+            .agg(F.round(F.sum(F.col("x").cast("decimal(25,12)"))
+                         .cast("double") / F.count(F.lit(1)), 6).alias("m"))
         )
         new = (
             dims.groupBy("bucket")
@@ -694,8 +701,14 @@ def train_pq_codebook(corpus: DataFrame, dim: int, m: int = 8,
                 for j in range(m)])).alias("s"))
             .select("s.j", "s.cid", "s.sv")
         )
+        # decimal-sum means rounded to 6 dp — order-free and engine-free,
+        # the property that lets the fixed-iteration oracle unroll this
+        # loop in SQL (same idiom as train_ivf_centroids)
         dims = (subs.select("j", "cid", F.posexplode("sv").alias("pos", "x"))
-                .groupBy("j", "cid", "pos").agg(F.avg("x").alias("mval")))
+                .groupBy("j", "cid", "pos")
+                .agg(F.round(F.sum(F.col("x").cast("decimal(25,12)"))
+                             .cast("double") / F.count(F.lit(1)), 6)
+                     .alias("mval")))
         new_slices = (
             dims.groupBy("j", "cid")
             .agg(F.sort_array(F.collect_list(F.struct("pos", "mval")))
