@@ -66,6 +66,10 @@ _VERIFY_FIRST = (
     "events_rolling_corr",     # NEW: trailing 7-day two-series Pearson
     "events_value_histogram",  # NEW: clamped fixed-width value buckets
     "emb_label_outliers",      # NEW: per-label cosine outlier flags
+    "docs_split_by_source",    # NEW: leakage-safe group-aware split
+    "emb_dedup_keep",          # NEW: SemDeDup-style semantic dedup
+    "emb_ann_ivf_trained",     # UPGRADED: unrolled-Lloyd oracle (was rows-only)
+    "emb_knn_pq_trained",      # UPGRADED: unrolled-Lloyd oracle (was rows-only)
     # -- r3-dated driver rows: rotate in so none is older than r3 --
     # (the 4 entries past position 50 keep their green r3 rows and stay
     # covered by the local DuckDB mirror)
