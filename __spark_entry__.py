@@ -68,6 +68,7 @@ _VERIFY_FIRST = (
     "emb_label_outliers",      # NEW: per-label cosine outlier flags
     "docs_split_by_source",    # NEW: leakage-safe group-aware split
     "emb_dedup_keep",          # NEW: SemDeDup-style semantic dedup
+    "docs_weighted_sample",    # NEW: A-ES weighted sample w/o replacement
     "emb_ann_ivf_trained",     # UPGRADED: unrolled-Lloyd oracle (was rows-only)
     "emb_knn_pq_trained",      # UPGRADED: unrolled-Lloyd oracle (was rows-only)
     # -- r3-dated driver rows: rotate in so none is older than r3 --

@@ -225,3 +225,41 @@ def split_assign(df: DataFrame,
         cond = bucket < F.lit(thr)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def weighted_sample_n(df: DataFrame, n: int, weight_col: str,
+                      id_col: str = "doc_id",
+                      salt: str = "ws0") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws u ∈ (0, 1) from its md5 hash and is
+    ranked by key = ln(u) / w — the top ``n`` keys are exactly a weighted
+    sample without replacement (a row's inclusion probability scales with
+    its weight). The standard draw for "sample documents proportional to
+    token count" mix steps.
+
+    Scale shape: the key is row-local (one md5 + one ln, zero shuffles);
+    the top-n is a TakeOrdered with an ``id_col`` tiebreak — no global
+    sort, no window. Deterministic: u is a pure function of (id, salt),
+    so the same sample comes back on any engine, run, or partitioning
+    (the oracle rebuilds the identical keys in SQL). Rows with
+    non-positive weight are excluded (their inclusion probability is 0;
+    ln(u)/w would flip sign and DOMINATE the ranking instead).
+
+    u maps the 48-bit hash to ((h + 1) / (2^48 + 1)) ∈ (0, 1) — both
+    endpoints open, so ln(u) is finite and no weight cancels to
+    key = 0 = certain-selection.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    h = base_hash48(
+        F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
+    u = (h.cast("double") + 1.0) / float(2 ** 48 + 1)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__wkey")
+        .select(*df.columns)
+    )

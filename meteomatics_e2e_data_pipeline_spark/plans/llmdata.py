@@ -2104,6 +2104,33 @@ FROM documents
 """
 
 
+WS_N = 120
+WS_SALT = "ws0"
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-ES keyed on md5-derived u, weight = n_chars) — 'sample
+    documents proportional to length' as one row-local key + TakeOrdered
+    (operators/sampling.py:weighted_sample_n)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample_n(docs, WS_N, "n_chars", salt=WS_SALT)
+
+
+def _oracle_weighted_sample() -> str:
+    denom = float(2 ** 48 + 1)
+    return f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM (
+  SELECT d.*,
+         ln((('0x' || substr(md5(doc_id || '|{WS_SALT}'), 1, 12))::BIGINT
+             + 1.0) / {denom}) / n_chars AS k
+  FROM documents d WHERE n_chars > 0
+  ORDER BY k DESC, doc_id
+  LIMIT {WS_N})
+"""
+
+
 GROUP_SPLIT_SALT = "gsplit0"
 
 
@@ -2232,6 +2259,7 @@ LLM_QUERIES = {
     "emb_label_outliers": q_emb_label_outliers,
     "docs_split_by_source": q_docs_split_by_source,
     "emb_dedup_keep": q_emb_dedup_keep,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "docs_quality_percentile": q_docs_quality_percentile,
     "docs_unigram_nll": q_docs_unigram_nll,
     "docs_dup_spans": q_docs_dup_spans,
@@ -2291,6 +2319,7 @@ def llm_oracle() -> dict[str, str]:
         "emb_label_outliers": ORACLE_LABEL_OUTLIERS,
         "docs_split_by_source": _oracle_split_by_source(),
         "emb_dedup_keep": _oracle_emb_dedup_keep(),
+        "docs_weighted_sample": _oracle_weighted_sample(),
         "docs_quality_percentile": _oracle_quality_percentile(),
         "docs_unigram_nll": _oracle_unigram_nll(),
         "docs_dup_spans": _oracle_dup_spans(),

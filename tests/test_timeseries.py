@@ -273,3 +273,31 @@ def test_label_outliers_flags_farthest(spark):
     n_flagged = sum(r["is_outlier"] for r in out.values())
     assert n_flagged <= 3                         # ~5% of 41, ties allowed
     assert min(out.values(), key=lambda r: r["cos_to_centroid"])["vec_id"] == 999
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    """A-ES semantics: inclusion probability scales with weight — over
+    many salts, heavy rows must be sampled far more often than light
+    ones; same salt → identical sample; non-positive weights excluded."""
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    rows.append((999, 0.0))                   # weight 0: never sampled
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    heavy_hits = light_hits = 0
+    for salt in ("s1", "s2", "s3", "s4", "s5"):
+        got = {r["doc_id"] for r in
+               sampling.weighted_sample_n(df, 50, "w", salt=salt).collect()}
+        assert 999 not in got
+        assert len(got) == 50
+        heavy_hits += sum(1 for i in got if i < 50)
+        light_hits += sum(1 for i in got if i >= 50)
+    # 50 heavy rows at weight 100 vs 450 light at weight 1: the heavy
+    # group must dominate the sample across salts
+    assert heavy_hits > 3 * light_hits
+
+    a = sorted(r["doc_id"] for r in
+               sampling.weighted_sample_n(df, 50, "w", salt="s1").collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.weighted_sample_n(df.repartition(7), 50, "w",
+                                          salt="s1").collect())
+    assert a == b                             # layout-invariant
