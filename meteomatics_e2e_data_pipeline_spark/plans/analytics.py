@@ -651,6 +651,46 @@ GROUP BY event_type
 """
 
 
+def q_event_reach_sketch_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup under the driver's eye (rows-only: HLL
+    binaries are engine-specific): one HLL sketch per (event_type, day)
+    at "ingest" grain, UNIONED up to (event_type, week) — the
+    pre-aggregation pattern where range queries merge kilobyte sketches
+    instead of re-scanning raw events (operators/sketches.py). Its exact
+    twin ``event_reach_weekly_exact`` is hash-checked over the same
+    windows, and pytest bounds the estimates within 5% of exact."""
+    from ..operators.sketches import sketch_rollup, sketch_union
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    daily = sketch_rollup(ev, "user_id", ("event_type", "day"))
+    weekly = daily.withColumn(
+        "week", F.date_trunc("week", F.col("day")).cast("date"))
+    return sketch_union(weekly, ("event_type", "week"))
+
+
+def q_event_reach_weekly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct twin of ``event_reach_sketch_weekly`` over
+    the same (event_type, Monday-week) windows — the hash-checkable
+    driver row bounding the sketch rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type",
+                   F.date_trunc("week", F.col("ts")).cast("date")
+                   .alias("week"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_REACH_WEEKLY_EXACT = """
+SELECT event_type,
+       date_trunc('week', ts)::DATE AS week,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
     revenue, ties included. The scalar max is an aggregate broadcast back
@@ -815,6 +855,8 @@ QUERIES = {
     "order_value_percentiles": q_order_value_percentiles,
     "event_user_reach_approx": q_event_user_reach_approx,
     "event_user_reach_exact": q_event_user_reach_exact,
+    "event_reach_sketch_weekly": q_event_reach_sketch_weekly,
+    "event_reach_weekly_exact": q_event_reach_weekly_exact,
 }
 
 ORACLE = {
@@ -848,4 +890,7 @@ ORACLE = {
     # are engine-specific; the driver records a rows-only check and the
     # exact twin below (plus a pytest 5% bound) pins the value.
     "event_user_reach_exact": ORACLE_REACH_EXACT,
+    # event_reach_sketch_weekly intentionally absent: HLL binaries have
+    # no DuckDB form — rows-only, bounded by the exact twin below.
+    "event_reach_weekly_exact": ORACLE_REACH_WEEKLY_EXACT,
 }

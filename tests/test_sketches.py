@@ -4,13 +4,19 @@ oracle-hashed: merge consistency, accuracy vs exact, and determinism."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from meteomatics_e2e_data_pipeline_spark.operators.sketches import (
     sketch_rollup, sketch_union)
 from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present")
 
 
 def test_daily_sketches_merge_to_whole_range_estimate(spark):
@@ -52,3 +58,18 @@ def test_sketch_rollup_deterministic_and_partial_agg(spark):
     plan = (sketch_rollup(ev, "user_id", ("event_type", "day"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_hll_sketch_agg" in plan  # map-side combinable
+
+
+def test_weekly_driver_entries_agree(spark):
+    """The rows-only driver entry and its exact twin cover the same
+    (event_type, week) windows, and every weekly estimate is within the
+    5% HLL bound of its exact count."""
+    from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
+        q_event_reach_sketch_weekly, q_event_reach_weekly_exact)
+    approx = {(r["event_type"], r["week"]): r["approx_distinct"]
+              for r in q_event_reach_sketch_weekly(spark, SF).collect()}
+    exact = {(r["event_type"], r["week"]): r["n_users"]
+             for r in q_event_reach_weekly_exact(spark, SF).collect()}
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05
