@@ -697,19 +697,21 @@ def q_emb_ann_ivf_trained(spark: SparkSession, sf_dir: str,
     return similarity.knn_ivf(emb, queries, centroids, IVF_K)
 
 
-def _oracle_ann_ivf_trained() -> str:
-    """The IVF_TRAIN_ITERS Lloyd iterations unrolled as SQL CTEs —
-    byte-parity with ``train_ivf_centroids``: seeds are the k lowest-id
-    vectors re-keyed 0..k-1; each round assigns by max cosine (ties to
-    the lowest centroid id), means are decimal(25,12) sums / count
-    rounded to 6, and empty buckets carry the previous centroid."""
-    k, dim, iters = IVF_CENTROID_MAX_ID, EMB_DIM, IVF_TRAIN_ITERS
+def _duck_cos(a: str, b: str) -> str:
+    return (f"list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))")
 
-    def cos(a: str, b: str) -> str:
-        return (f"list_dot_product({a}, {b})"
-                f" / (sqrt(list_dot_product({a}, {a}))"
-                f" * sqrt(list_dot_product({b}, {b})))")
 
+def _lloyd_assign_ctes(k: int, dim: int, iters: int) -> list[str]:
+    """The fixed-count Lloyd loop unrolled as SQL CTEs — byte-parity
+    with ``train_ivf_centroids`` + ``ivf_assign``: seeds are the k
+    lowest-id vectors re-keyed 0..k-1; each round assigns by max cosine
+    (ties to the lowest centroid id), means are decimal(25,12) sums /
+    count rounded to 6, and empty buckets carry the previous centroid.
+    The returned chain ends at ``a{iters}`` — (vec_id, v, bucket), the
+    serve-time assignment of every vector to its trained bucket —
+    shared by every trained-quantizer oracle (ANN and near-dup)."""
     ctes = [
         "allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""cent0 AS (
@@ -718,7 +720,7 @@ def _oracle_ann_ivf_trained() -> str:
     ]
     for i in range(iters + 1):
         ctes.append(f"""s{i} AS (
-  SELECT a.vec_id, a.v, c.cid, {cos('a.v', 'c.cv')} AS cs
+  SELECT a.vec_id, a.v, c.cid, {_duck_cos('a.v', 'c.cv')} AS cs
   FROM allv a, cent{i} c)""")
         ctes.append(f"""a{i} AS (
   SELECT vec_id, v, cid AS bucket
@@ -739,7 +741,15 @@ def _oracle_ann_ivf_trained() -> str:
         ctes.append(f"""cent{i + 1} AS (
   SELECT p.cid, coalesce(n.cv, p.cv) AS cv
   FROM cent{i} p LEFT JOIN nc{i} n USING (cid))""")
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def _oracle_ann_ivf_trained() -> str:
+    """Trained-quantizer ANN oracle on the shared Lloyd CTE chain
+    (see :func:`_lloyd_assign_ctes`)."""
+    k, dim, iters = IVF_CENTROID_MAX_ID, EMB_DIM, IVF_TRAIN_ITERS
+    cos = _duck_cos
+    body = ",\n".join(_lloyd_assign_ctes(k, dim, iters))
     return rf"""
 WITH {body},
 q AS (SELECT vec_id AS query_id, v AS qv, bucket
@@ -820,43 +830,39 @@ COSINE_DUP_THRESHOLD = 0.4
 
 
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, IVF-bucketed (never all-pairs)."""
+    """Embedding-cosine near-dup pairs, IVF-bucketed (never all-pairs).
+
+    Round 6: buckets come from the TRAINED coarse quantizer (the same
+    ``train_ivf_centroids`` Lloyd loop as ``emb_ann_ivf_trained``)
+    instead of the first-``k``-vectors shortcut — trained centroids give
+    materially better bucket balance at scale, which is what bounds the
+    per-bucket pair join. Oracle parity holds because the fixed
+    iteration count unrolls into the shared Lloyd CTE chain."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
-                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    centroids = similarity.train_ivf_centroids(
+        emb, k=IVF_CENTROID_MAX_ID, iters=IVF_TRAIN_ITERS)
     return similarity.cosine_near_dup_pairs(emb, centroids,
                                             COSINE_DUP_THRESHOLD)
 
 
-ORACLE_COSINE_NEAR_DUP = f"""
-WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_v
-              FROM embeddings WHERE vec_id < {IVF_CENTROID_MAX_ID}),
-allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-scored_assign AS (
-  SELECT a.vec_id, a.v, c.centroid_id,
-         list_dot_product(a.v, c.cent_v)
-           / (sqrt(list_dot_product(a.v, a.v))
-              * sqrt(list_dot_product(c.cent_v, c.cent_v))) AS cs
-  FROM allv a, cent c
-),
-assigned AS (
-  SELECT vec_id, v, centroid_id AS bucket
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY cs DESC, centroid_id) AS rn
-        FROM scored_assign)
-  WHERE rn = 1
-),
+def _oracle_cosine_near_dup() -> str:
+    iters = IVF_TRAIN_ITERS
+    body = ",\n".join(
+        _lloyd_assign_ctes(IVF_CENTROID_MAX_ID, EMB_DIM, iters))
+    return f"""
+WITH {body},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v))
-              * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
-  FROM assigned a JOIN assigned b
+         {_duck_cos('a.v', 'b.v')} AS cos_raw
+  FROM a{iters} a JOIN a{iters} b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, bucket, round(cos_raw, 6) AS cos_sim
 FROM pairs WHERE cos_raw >= {COSINE_DUP_THRESHOLD}
 """
+
+
+ORACLE_COSINE_NEAR_DUP = _oracle_cosine_near_dup()
 
 
 def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2173,10 +2179,12 @@ def q_emb_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling). Reuses the hash-green pair chain and the
     min-label-propagation operator unchanged
     (operators/similarity.py:cosine_near_dup_pairs +
-    operators/neardup.py:dup_clusters/keep_canonical)."""
+    operators/neardup.py:dup_clusters/keep_canonical). Round 6: the
+    pair chain buckets on TRAINED centroids (same Lloyd loop as
+    ``emb_ann_ivf_trained``) for bucket balance at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
-                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    centroids = similarity.train_ivf_centroids(
+        emb, k=IVF_CENTROID_MAX_ID, iters=IVF_TRAIN_ITERS)
     pairs = similarity.cosine_near_dup_pairs(emb, centroids,
                                              COSINE_DUP_THRESHOLD)
     clusters = (neardup.dup_clusters(pairs, src="id_a", dst="id_b")
@@ -2187,7 +2195,7 @@ def q_emb_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_emb_dedup_keep() -> str:
     return rf"""
-WITH RECURSIVE pairs AS ({ORACLE_COSINE_NEAR_DUP}),
+WITH RECURSIVE pairs AS MATERIALIZED ({ORACLE_COSINE_NEAR_DUP}),
 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 reach(u, v) AS (

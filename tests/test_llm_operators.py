@@ -1120,12 +1120,13 @@ def test_emb_dedup_keep_drops_only_noncanonical(spark, sf_oracle):
     """Kept corpus = all vectors minus non-canonical cluster members;
     every cosine near-dup cluster retains exactly its min-id member."""
     from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
-        COSINE_DUP_THRESHOLD, IVF_CENTROID_MAX_ID, q_emb_dedup_keep)
+        COSINE_DUP_THRESHOLD, IVF_CENTROID_MAX_ID, IVF_TRAIN_ITERS,
+        q_emb_dedup_keep)
     from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_oracle, "embeddings")
-    cent = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
-            .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cent = similarity.train_ivf_centroids(
+        emb, k=IVF_CENTROID_MAX_ID, iters=IVF_TRAIN_ITERS)
     pairs = similarity.cosine_near_dup_pairs(emb, cent,
                                              COSINE_DUP_THRESHOLD)
     clusters = neardup.dup_clusters(pairs, src="id_a", dst="id_b").collect()
