@@ -445,9 +445,85 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def connected_components_star(pairs: DataFrame, src: str = "doc_a",
+                              dst: str = "doc_b",
+                              max_iter: int = 25) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-graph path behind the same (vertex,
+    label) contract as :func:`connected_components`.
+
+    Min-label propagation needs diameter-many rounds; a path graph of
+    10^6 vertices would need 10^6 joins. Each large-star/small-star
+    round HALVES tree heights instead, converging in O(log d) rounds on
+    any topology:
+
+    - large-star: every node links each strictly-LARGER neighbor to the
+      minimum of its closed neighborhood (one symmetrized groupBy-min +
+      one equi-join);
+    - small-star: every node links its smaller neighbors and itself to
+      the minimum among them (one groupBy-min + one equi-join on the
+      already (hi→lo)-oriented output of large-star).
+
+    Both steps are partial-aggregatable min-reductions plus equi-joins —
+    no windows, nothing corpus-quadratic; the working edge set only
+    shrinks toward one star per component (edges (v, component_min)),
+    from which labels read off directly. Fixed-point detection is a
+    symmetric-difference count on the O(E) edge frame; every round is
+    ``localCheckpoint``-ed to keep plan depth constant, same as the
+    propagation path.
+    """
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .filter(F.col("u") != F.col("v")))
+    verts = (edges.select("u")
+             .unionByName(edges.select(F.col("v").alias("u")))
+             .distinct().localCheckpoint(eager=True))
+    work = (edges.select(F.greatest("u", "v").alias("hi"),
+                         F.least("u", "v").alias("lo"))
+            .distinct().localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # -- large-star --
+        sym = (work.select(F.col("hi").alias("n"), F.col("lo").alias("m"))
+               .unionByName(
+                   work.select(F.col("lo").alias("n"),
+                               F.col("hi").alias("m"))))
+        mins = (sym.groupBy("n").agg(F.min("m").alias("mn"))
+                .select("n", F.least("n", "mn").alias("mn")))
+        large = (sym.filter(F.col("m") > F.col("n"))
+                 .join(mins, "n")
+                 .select(F.col("m").alias("hi"), F.col("mn").alias("lo"))
+                 .filter(F.col("hi") != F.col("lo"))
+                 .distinct())
+        # -- small-star (input already oriented hi → lo) --
+        smins = large.groupBy("hi").agg(F.min("lo").alias("mn"))
+        withm = large.join(smins, "hi")
+        new_work = (
+            withm.select("hi", F.col("mn").alias("lo"))
+            .unionByName(withm.filter(F.col("lo") != F.col("mn"))
+                         .select(F.col("lo").alias("hi"),
+                                 F.col("mn").alias("lo")))
+            .distinct().localCheckpoint(eager=True))
+        changed = (new_work.unionByName(work)
+                   .groupBy("hi", "lo").agg(F.count(F.lit(1)).alias("c"))
+                   .filter("c = 1").limit(1).count())
+        prev, work = work, new_work
+        if changed == 0:
+            # fixed point: every edge is (vertex, component_min)
+            return (verts.join(
+                work.select(F.col("hi").alias("u"),
+                            F.col("lo").alias("lbl")), "u", "left")
+                .select("u", F.coalesce("lbl", F.col("u")).alias("lbl")))
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} "
+        "alternation rounds — raise max_iter (rounds needed are "
+        "logarithmic in component diameter, so this indicates a "
+        "pathological input, not a long chain)")
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b",
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         algorithm: str = "propagation") -> DataFrame:
     """Connected components over an undirected pair list via iterative
     min-label propagation: every vertex starts labeled with its own id and
     repeatedly takes the minimum of its own and its neighbors' labels
@@ -466,9 +542,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
       action);
     - iterations needed = graph diameter. Near-dup components are
       overwhelmingly shallow (stars around a popular document); for
-      adversarial long-chain graphs the large-star/small-star algorithm
-      (Kiveris et al., "Connected Components in MapReduce") halves the
-      diameter per round — a drop-in upgrade behind the same signature;
+      adversarial long-chain graphs pass ``algorithm="star"`` to run
+      :func:`connected_components_star` (large-star/small-star,
+      O(log d) rounds) behind the same contract;
     - the edge list is persisted once and re-read per iteration; labels
       are O(V), edges O(E), never materializing pairs² anything.
 
@@ -477,6 +553,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     than returning a half-propagated labeling.
     """
     from pyspark import StorageLevel
+
+    if algorithm == "star":
+        return connected_components_star(pairs, src, dst)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}; "
+                         "expected 'propagation' or 'star'")
 
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -517,7 +599,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "iterations — component diameter exceeds the cap; raise "
-            "max_iter or switch to large-star/small-star")
+            "max_iter or pass algorithm='star' (large-star/small-star, "
+            "logarithmic rounds)")
     finally:
         edges.unpersist()
 

@@ -293,6 +293,45 @@ def test_dup_clusters_empty_and_convergence_guard(spark):
         connected_components(chain, max_iter=1)
 
 
+def test_star_algorithm_handles_diameter_past_propagation_cap(spark):
+    """Large-star/small-star on a 50-vertex PATH graph — diameter 49,
+    past propagation's default max_iter=30 — must converge (rounds are
+    logarithmic in diameter) and label every vertex with the component
+    min; the same input makes min-label propagation raise, proving the
+    star path covers the adversarial topology and not just stars."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        connected_components,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(50 - 1)], "doc_a bigint, doc_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path)          # diameter 49 > max_iter 30
+    labels = {r["u"]: r["lbl"]
+              for r in connected_components(path,
+                                            algorithm="star").collect()}
+    assert labels == {i: 0 for i in range(50)}
+
+
+def test_star_and_propagation_agree_on_mixed_graph(spark):
+    """Both algorithms produce identical labelings on a graph mixing
+    singleton pairs, a triangle, a star, and a short chain — the shapes
+    real near-dup edge sets contain."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 10), (10, 11), (9, 11),
+         (20, 21), (20, 22), (20, 23), (30, 31), (31, 32), (32, 33)],
+        "doc_a bigint, doc_b bigint")
+    prop = sorted(map(tuple, connected_components(pairs).collect()))
+    star = sorted(map(tuple,
+                      connected_components(pairs,
+                                           algorithm="star").collect()))
+    assert prop == star
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     """Hash-threshold sampling hits each stratum's rate within tolerance,
     is bit-reproducible across runs, and decorrelates across salts."""
