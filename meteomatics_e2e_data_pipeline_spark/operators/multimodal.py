@@ -44,10 +44,94 @@ def to_media_table(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: real image decode (PIL.Image.open) — library not available in
-    this environment. The Spark plumbing around it is real and tested."""
-    raise NotImplementedError("image decode requires Pillow; not in container")
+# ---------------------------------------------------------------------------
+# Pure-stdlib BMP codec (24-bit uncompressed, BITMAPINFOHEADER) — the one
+# format the decode path runs END-TO-END on real pixels without external
+# libraries. Formats needing Pillow/pyav still raise NotImplementedError.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def _is_bmp(raw: bytes) -> bool:
+    """Strict 24-bit-uncompressed-BMP validation — magic alone is not
+    enough (a utf-8 text payload can legitimately start with "BM"), so
+    the declared file size must equal the actual byte length and the
+    header fields must be coherent before the real-pixel path engages."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return False
+    try:
+        file_size = struct.unpack_from("<I", raw, 2)[0]
+        data_offset = struct.unpack_from("<I", raw, 10)[0]
+        hdr_size = struct.unpack_from("<I", raw, 14)[0]
+        width = struct.unpack_from("<i", raw, 18)[0]
+        height = struct.unpack_from("<i", raw, 22)[0]
+        bpp = struct.unpack_from("<H", raw, 28)[0]
+        compression = struct.unpack_from("<I", raw, 30)[0]
+    except struct.error:
+        return False
+    return (file_size == len(raw) and hdr_size == 40 and bpp == 24
+            and compression == 0 and width > 0 and height != 0
+            and 54 <= data_offset < len(raw))
+
+
+def _bmp_decode(raw: bytes):
+    """(width, height, rows) from a 24-bit BMP; rows are top-down lists
+    of (r, g, b) tuples (BMP stores bottom-up BGR with 4-byte row
+    padding — both are undone here)."""
+    if not _is_bmp(raw):
+        raise ValueError("not a valid 24-bit uncompressed BMP")
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    width = struct.unpack_from("<i", raw, 18)[0]
+    height = struct.unpack_from("<i", raw, 22)[0]
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(h):
+        src_y = (h - 1 - y) if bottom_up else y
+        off = data_offset + src_y * stride
+        row = []
+        for x in range(width):
+            b, g, r = raw[off + 3 * x: off + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    return width, h, rows
+
+
+def _bmp_encode(rows) -> bytes:
+    """24-bit bottom-up BMP bytes from top-down (r, g, b) rows."""
+    h, w = len(rows), len(rows[0])
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    pix = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in rows[y]) + pad
+        for y in range(h - 1, -1, -1))
+    header = (struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pix), 2835, 2835, 0, 0))
+    return header + pix
+
+
+def _nn_resize(rows, tw: int, th: int):
+    """Nearest-neighbor resample of top-down pixel rows."""
+    h, w = len(rows), len(rows[0])
+    return [[rows[(y * h) // th][(x * w) // tw] for x in range(tw)]
+            for y in range(th)]
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload to (width, height, rows of (r, g, b)).
+
+    REAL end-to-end for 24-bit uncompressed BMP (pure-stdlib codec
+    above); every other format still requires Pillow, which is not in
+    this container, and raises NotImplementedError — swapping the stub
+    for PIL.Image.open changes only this function, not the Spark plan."""
+    raw = bytes(payload)
+    if _is_bmp(raw):
+        return _bmp_decode(raw)
+    raise NotImplementedError(
+        "only 24-bit BMP decodes without Pillow; not in container")
 
 
 def sample_frames(payload: bytes, every_n: int):  # pragma: no cover - stub
@@ -124,10 +208,15 @@ def extract_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         .mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
 
 
-def resize_image(payload: bytes, width: int, height: int):  # pragma: no cover
-    """STUB: real image resize (PIL.Image.resize) — library not in this
-    container. The Spark plumbing around it is real and tested."""
-    raise NotImplementedError("image resize requires Pillow; not in container")
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload, returning the re-encoded bytes.
+
+    REAL for 24-bit BMP: decode → nearest-neighbor resample → re-encode
+    (pure stdlib, deterministic). Other formats raise
+    NotImplementedError until Pillow is available."""
+    w, h, rows = decode_image(payload)  # raises NotImplementedError if not BMP
+    del w, h
+    return _bmp_encode(_nn_resize(rows, width, height))
 
 
 RESIZE_SCHEMA = ("doc_id bigint, payload binary, width int, height int, "
@@ -135,18 +224,22 @@ RESIZE_SCHEMA = ("doc_id bigint, payload binary, width int, height int, "
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing — the binary-in/binary-out ``mapInPandas`` shape:
+    """Resize — the binary-in/binary-out ``mapInPandas`` shape:
     payload → decoded image → resized image → re-encoded payload, with
-    the new dimensions carried as typed columns. The decode/resize inner
-    loop is the deterministic fake standing in for :func:`resize_image`
-    (Pillow absent): the fake emits ``width*height//8`` bytes drawn from
-    an md5-in-counter-mode HEX stream seeded by (payload, target dims),
-    so output size scales with the target roughly as a real re-encode
+    the new dimensions carried as typed columns.
+
+    Payloads that validate as 24-bit BMP (see :func:`_is_bmp` — strict
+    header coherence, not just magic bytes) take the REAL pixel path:
+    stdlib decode → nearest-neighbor resample → BMP re-encode. Anything
+    else (including the driver's text-bytes payloads) keeps the
+    deterministic fake: ``width*height//8`` bytes from an
+    md5-in-counter-mode HEX stream seeded by (payload, target dims), so
+    output size scales with the target roughly as a real re-encode
     does, and reruns are bit-identical. (Hex text rather than raw digest
     bytes so the DuckDB oracle — whose ``md5`` takes VARCHAR only — can
     rebuild the identical payload.) Everything Spark-side — Arrow
     batches both directions, binary columns in AND out, declared schema,
-    row-local no-shuffle plan — is exactly the real operator's shape.
+    row-local no-shuffle plan — is the same for both paths.
     """
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
@@ -156,26 +249,31 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         import hashlib
 
         for pdf in batches:
-            outs = []
+            outs, sizes = [], []
             for payload in pdf["payload"]:
                 raw = bytes(payload)
-                seed = hashlib.md5(
-                    raw + f"|{width}x{height}".encode()).hexdigest()
-                # deterministic hex stream of the target size (md5 in
-                # counter mode) — the fake stand-in for the re-encode
-                stream = ""
-                ctr = 0
-                while len(stream) < n_out:
-                    stream += hashlib.md5(
-                        f"{seed}|{ctr}".encode()).hexdigest()
-                    ctr += 1
-                outs.append(stream[:n_out].encode())
+                if _is_bmp(raw):
+                    out = resize_image(raw, width, height)
+                else:
+                    seed = hashlib.md5(
+                        raw + f"|{width}x{height}".encode()).hexdigest()
+                    # deterministic hex stream of the target size (md5 in
+                    # counter mode) — the fake stand-in for the re-encode
+                    stream = ""
+                    ctr = 0
+                    while len(stream) < n_out:
+                        stream += hashlib.md5(
+                            f"{seed}|{ctr}".encode()).hexdigest()
+                        ctr += 1
+                    out = stream[:n_out].encode()
+                outs.append(out)
+                sizes.append(len(out))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "payload": pd.Series(outs, dtype="object"),
                 "width": pd.Series([width] * len(pdf), dtype="int32"),
                 "height": pd.Series([height] * len(pdf), dtype="int32"),
-                "n_bytes": pd.Series([n_out] * len(pdf), dtype="int32"),
+                "n_bytes": pd.Series(sizes, dtype="int32"),
             })
 
     from .textops import spread_for_fanout
