@@ -247,14 +247,19 @@ def weighted_sample_n(df: DataFrame, n: int, weight_col: str,
 
     u maps the 48-bit hash to ((h + 1) / (2^48 + 1)) ∈ (0, 1) — both
     endpoints open, so ln(u) is finite and no weight cancels to
-    key = 0 = certain-selection.
+    key = 0 = certain-selection. The key is rounded to 12 dp before
+    ranking: ln() is the one transcendental whose last ulp may differ
+    across libm implementations, and an unrounded key would let a 1-ulp
+    divergence flip the rank-n cut between engines — 12 dp is far below
+    any meaningful weight distinction while making the cut (with the
+    ``id_col`` tiebreak) bit-stable everywhere.
     """
     if n <= 0:
         raise ValueError("n must be positive")
     h = base_hash48(
         F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
     u = (h.cast("double") + 1.0) / float(2 ** 48 + 1)
-    key = F.log(u) / F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("__wkey", key)

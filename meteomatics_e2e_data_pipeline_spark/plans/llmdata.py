@@ -2129,8 +2129,8 @@ def _oracle_weighted_sample() -> str:
 SELECT doc_id, text, lang, source, n_chars
 FROM (
   SELECT d.*,
-         ln((('0x' || substr(md5(doc_id || '|{WS_SALT}'), 1, 12))::BIGINT
-             + 1.0) / {denom}) / n_chars AS k
+         round(ln((('0x' || substr(md5(doc_id || '|{WS_SALT}'), 1, 12))::BIGINT
+             + 1.0) / {denom}) / n_chars, 12) AS k
   FROM documents d WHERE n_chars > 0
   ORDER BY k DESC, doc_id
   LIMIT {WS_N})

@@ -513,8 +513,36 @@ JOIN actual a USING (city, parameter, reading_datetime)
 GROUP BY 1, 2"""
 
 
+def q_sql_weather_city_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weather star consumed through the SQL-text API — the second
+    SQL-surface entry beside ``sql_nation_revenue``: fact + dims are
+    registered as views and the star-join consumption is ANSI SQL, which
+    is what a dbt/Snowflake user of the reference
+    (models/marts/*.sql) would actually write. Catalyst plans it
+    identically to the DataFrame form of ``weather_city_daily`` (same
+    broadcast hints, same single final-aggregation shuffle), and the two
+    entries share one oracle."""
+    stg = stg_weather_raw(spark)
+    build_fact(stg, sun=False, history=True) \
+        .createOrReplaceTempView("fact_weather_params_history_v")
+    dim_location_from_stg(stg).createOrReplaceTempView("dim_location_v")
+    dim_condition_from_stg(stg).createOrReplaceTempView("dim_condition_v")
+    return spark.sql("""
+        SELECT /*+ BROADCAST(l, c) */
+               city, parameter_name, date_key,
+               count(*) AS n_readings,
+               round(min(reading_value), 2) AS min_value,
+               round(max(reading_value), 2) AS max_value
+        FROM fact_weather_params_history_v f
+        JOIN dim_location_v l USING (location_key)
+        JOIN dim_condition_v c USING (condition_key)
+        GROUP BY city, parameter_name, date_key
+    """)
+
+
 WEATHER_QUERIES = {
     "weather_city_daily": q_weather_city_daily,
+    "sql_weather_city_daily": q_sql_weather_city_daily,
     "weather_daylight_readings": q_weather_daylight_readings,
     "weather_forecast_error": q_weather_forecast_error,
     "weather_stg_raw": q_weather_stg,
@@ -532,6 +560,9 @@ def weather_oracle() -> dict[str, str]:
     """Oracle SQL built lazily so fixture paths resolve at call time."""
     return {
         "weather_city_daily": oracle_weather_city_daily(),
+        # the SQL-text twin computes the identical result, so it shares
+        # the DataFrame entry's oracle verbatim
+        "sql_weather_city_daily": oracle_weather_city_daily(),
         "weather_daylight_readings": oracle_weather_daylight(),
         "weather_forecast_error": oracle_weather_forecast_error(),
         "weather_stg_raw": oracle_weather_stg(),

@@ -272,24 +272,29 @@ def stream_ewma(spark: SparkSession, sf_dir: str,
     (update output mode). Each emission recomputes the fold over the
     trailing ``window`` rows only, matching the batch query's bounded
     history exactly; a memory sink under ``query_name`` receives the
-    updates (take the LAST row per (event_type, day) when reading).
+    updates. Every emission carries a per-group monotonically
+    increasing ``seq`` (stored in state), because an update-mode memory
+    sink does NOT guarantee that row order reflects emission order
+    across micro-batches — readers must take the max-``seq`` row per
+    (event_type, day), never the positionally last one.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
         import pandas as pd
         if state.exists:
-            days, ns = state.get
+            days, ns, seq = state.get
             counts = dict(zip(list(days), list(ns)))
         else:
-            counts = {}
+            counts, seq = {}, 0
         for pdf in pdfs:
             per_day = pdf["day"].value_counts()
             for day, n in per_day.items():
                 counts[day] = counts.get(day, 0) + int(n)
+        seq += 1
         items = sorted(counts.items())
         state.update((
-            [d for d, _ in items], [n for _, n in items]))
+            [d for d, _ in items], [n for _, n in items], seq))
         out_days, out_n, out_ewma = [], [], []
         for i, (d, n) in enumerate(items):
             hist = [x for _, x in items[max(0, i - window + 1): i + 1]]
@@ -300,7 +305,8 @@ def stream_ewma(spark: SparkSession, sf_dir: str,
             out_n.append(n)
             out_ewma.append(round(acc, 6))
         yield pd.DataFrame({"event_type": key[0], "day": out_days,
-                            "n": out_n, "ewma": out_ewma})
+                            "n": out_n, "ewma": out_ewma,
+                            "seq": seq})
 
     ev = (read_events_stream(spark, sf_dir)
           .select("event_type",
@@ -308,8 +314,8 @@ def stream_ewma(spark: SparkSession, sf_dir: str,
     out = ev.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType="event_type string, day string, n bigint, "
-                         "ewma double",
-        stateStructType="days array<string>, ns array<bigint>",
+                         "ewma double, seq bigint",
+        stateStructType="days array<string>, ns array<bigint>, seq bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

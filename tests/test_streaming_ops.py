@@ -270,10 +270,14 @@ def test_stream_ewma_matches_batch(spark, tmp_path):
 
     name = "ewma_stream_test"
     stream_ewma(spark, "/root/testdata/sf0.001", str(tmp_path / "ck"), name)
-    # update-mode memory sink: last emission per (type, day) wins
-    got = {}
+    # update-mode memory sink: the sink does not guarantee row order
+    # across micro-batches, so take the max-seq emission per (type, day)
+    got, got_seq = {}, {}
     for r in spark.sql(f"SELECT * FROM {name}").collect():
-        got[(r["event_type"], r["day"])] = (r["n"], r["ewma"])
+        k = (r["event_type"], r["day"])
+        if k not in got_seq or r["seq"] > got_seq[k]:
+            got_seq[k] = r["seq"]
+            got[k] = (r["n"], r["ewma"])
 
     expected = {(r["event_type"], str(r["day"])): (r["n"], r["ewma"])
                 for r in q_events_ewma(spark,
