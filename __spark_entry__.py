@@ -34,68 +34,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-5 rotation (VERDICT r4 directive #4): lead with the 16 queries
-# repaired by the sources/tables.py events-dtype fix (+ the restructured
-# emb_label_centroids), then every query whose newest driver row dates from
-# round 3 — after this round no query's newest row is older than round 3.
-# Everything green in round 4 rotates to the back (still covered by the
-# local DuckDB mirror, tests/test_oracle_parity.py).
+# Round-6 rotation (VERDICT r5 directive #4): lead with everything new or
+# touched by this round's changes, then the r3-dated rows (the oldest
+# attestations left), then the round-4-attested LLM-data block — after this
+# round no query's newest driver row is older than round 4. The 7 r4-dated
+# row-local entries listed at the tail (past position 50) rotate in next
+# round; every rotated-out query stays covered by the local DuckDB mirror
+# (tests/test_oracle_parity.py parametrizes ALL entries).
 _VERIFY_FIRST = (
-    # -- repaired this round (events loader dtype branch) --
-    "events_gapfill",     # r4 err: loader regression — repaired
-    "events_funnel",      # r4 err — repaired
-    "events_retention",   # r4 err — repaired
-    "events_twa",         # r4 err — repaired
-    "events_zscore",      # r4 err — repaired
-    "events_rollup",      # broken in r4 bench — repaired
-    "events_hourly_rollup",   # repaired
-    "events_cube",            # repaired
-    "events_daily_pivot",     # repaired
-    "events_unpivot",         # repaired
-    "events_json_project",    # repaired
-    "events_last_error_asof",  # repaired
-    "sessionize_events",      # repaired
-    "event_user_reach_approx",  # repaired (rows-only: HLL sketch)
-    "event_user_reach_exact",   # NEW: exact count_distinct twin w/ oracle
-    "sql_nation_revenue",     # repaired (register_tables loads events)
-    "emb_label_centroids",    # r4 err: array output — now exploded scalar
-    # -- new this round: never driver-attested, verify before refreshes --
-    "docs_boilerplate_scrub",  # NEW: C4-style hot-ngram span removal
-    "docs_bm25_search",        # NEW: Okapi BM25 lexical top-k retrieval
-    "events_ewma",             # NEW: bounded-history EWMA smoothing
-    "events_rolling_corr",     # NEW: trailing 7-day two-series Pearson
-    "events_value_histogram",  # NEW: clamped fixed-width value buckets
-    "emb_label_outliers",      # NEW: per-label cosine outlier flags
-    "docs_split_by_source",    # NEW: leakage-safe group-aware split
-    "emb_dedup_keep",          # NEW: SemDeDup-style semantic dedup
-    "docs_weighted_sample",    # NEW: A-ES weighted sample w/o replacement
-    "emb_ann_ivf_trained",     # UPGRADED: unrolled-Lloyd oracle (was rows-only)
-    "emb_knn_pq_trained",      # UPGRADED: unrolled-Lloyd oracle (was rows-only)
-    # -- r3-dated driver rows: rotate in so none is older than r3 --
-    # (the 4 entries past position 50 keep their green r3 rows and stay
-    # covered by the local DuckDB mirror)
-    "pricing_summary",
-    "latest_order_per_customer",
-    "supplier_running_quantity",
-    "customer_order_gaps",
-    "customers_without_orders",
-    "region_revenue",
-    "returned_priority_counts",
-    "top_parts_by_revenue",
-    "repeat_status_customers",
-    "order_status_exclusive",
-    "small_qty_part_revenue",
-    "dim_geo",
-    "dim_date_from_orders",
-    "dim_part_type",
-    "top_supplier_revenue",
-    "customer_spend_quartiles",
-    "order_value_percentiles",
-    "weather_city_daily",
-    "weather_daylight_readings",
-    "weather_forecast_error",
-    "weather_stg_raw",
-    "weather_dim_location",
+    # -- new this round: never driver-attested --
+    "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
+    "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
+    "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star
+    # -- operator or oracle changed this round: re-attest first --
+    "docs_bm25_search",        # dl join pruned to the hit set
+    "emb_cosine_near_dup",     # now buckets on trained centroids
+    "emb_dedup_keep",          # now buckets on trained centroids
+    "docs_weighted_sample",    # A-ES key now rounded to 12 dp
+    "multimodal_resized",      # real-pixel BMP path added beside the fake
+    "docs_hot_ngrams",         # r5 bench flag — re-attest + best-of-3 time
+    # -- r3-dated driver rows: the oldest attestations, refresh now --
     "weather_dim_condition",
     "dim_date_spine",
     "fact_weather_params_history",
@@ -105,6 +63,47 @@ _VERIFY_FIRST = (
     "docs_vocabulary",
     "docs_corpus_stats",
     "multimodal_features",
+    # -- r4-attested LLM-data block: refresh so nothing is older than r4 --
+    "docs_exact_dedup",
+    "docs_text_stats",
+    "docs_lang_guess",
+    "docs_simhash",
+    "docs_near_dup_pairs",
+    "docs_dup_clusters",
+    "docs_dedup_keep",
+    "docs_sampled",
+    "docs_token_budget_mix",
+    "docs_quality_gopher",
+    "emb_quantize_int8",
+    "emb_knn_int8",
+    "docs_training_mix",
+    "docs_near_dup_incremental",
+    "docs_contamination",
+    "docs_packed",
+    "docs_lang_temperature_sample",
+    "docs_quality_percentile",
+    "docs_unigram_nll",
+    "docs_dup_spans",
+    "docs_oov_rate",
+    "emb_pq_codes",
+    "emb_knn_pq",
+    "emb_ann_ivfpq",
+    "emb_knn_filtered",
+    "docs_jaccard_join",
+    "docs_simhash_pairs",
+    "docs_near_dup_edit_distance",
+    "docs_tfidf_top_terms",
+    "docs_winnow_fingerprints",
+    "emb_ann_ivf",
+    "emb_ann_lsh",
+    # -- past position 50: r4-green row-local entries deferred to round 7 --
+    "docs_split_assign",
+    "emb_random_projection",
+    "docs_sample_exact_n",
+    "docs_redacted",
+    "docs_chunked",
+    "emb_knn_bruteforce",
+    "emb_knn_vectorized",
 )
 
 

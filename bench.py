@@ -48,6 +48,16 @@ def main() -> None:
     # isn't attributed to whichever mapInPandas query runs first (read
     # as a phantom multimodal regression in round 4).
     run(spark.range(32).mapInPandas(lambda it: it, "id long"))
+    # ... and codegen/JIT-compile the shingle→md5→conv expression chain
+    # shared by the whole n-gram family: its first execution in a fresh
+    # JVM pays a 2-6 s compilation hump (measured; PLANS.md round 6)
+    # that otherwise lands on whichever n-gram query runs first in the
+    # rotation (read as a phantom docs_hot_ngrams regression in r5).
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        hot_ngrams)
+    docs_small = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).limit(256)
+    run(hot_ngrams(docs_small, 2, 5, n=3))
 
     reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     timings: dict[str, float] = {}

@@ -296,8 +296,18 @@ def cosine_near_dup_pairs(corpus: DataFrame, centroids: DataFrame,
     across buckets is missed — the standard IVF recall trade-off; raise
     the bucket count's nprobe or use multiple quantizers to tighten it).
     Output: (id_a, id_b, bucket, cos_sim) for pairs ≥ threshold.
+
+    The quantizer assignment is persisted across its two self-join
+    branches (and across the edge-symmetrization double-read when
+    :func:`~..neardup.dup_clusters` consumes the pairs) — the same
+    materialize-the-shared-stage pattern as the shingle/band frames in
+    ``near_dup_pairs``; on a real lake this is the assignment table
+    written once and read by every consumer.
     """
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    from pyspark import StorageLevel
+
+    assigned = (ivf_assign(corpus, centroids, id_col, vec_col)
+                .persist(StorageLevel.MEMORY_AND_DISK))
     a = (assigned.select(F.col(id_col).alias("id_a"),
                          F.col(vec_col).alias("q_vec"), "bucket")
          .withColumn("__qn", _norm(F.col("q_vec"))))
@@ -741,11 +751,16 @@ def train_pq_codebook(corpus: DataFrame, dim: int, m: int = 8,
 def knn_pq_trained(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                    m: int = 8, n_cent: int = 16, iters: int = 2,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   codebook: DataFrame | None = None) -> DataFrame:
     """Compressed-domain kNN over a TRAINED PQ codebook — the
     quality-tier twin of :func:`knn_pq` (rows-only: iterative k-means is
-    not SQL-expressible; Lloyd monotonicity is pytest-checked)."""
-    cb = train_pq_codebook(corpus, dim, m, n_cent, iters, id_col, vec_col)
+    not SQL-expressible; Lloyd monotonicity is pytest-checked). Pass a
+    pre-trained ``codebook`` (the production shape — codebooks are
+    materialized artifacts, not retrained per query) to skip the
+    training passes; when omitted, trains in-line."""
+    cb = codebook if codebook is not None else train_pq_codebook(
+        corpus, dim, m, n_cent, iters, id_col, vec_col)
     recon = pq_reconstruct(pq_codes(corpus, cb, dim, m, id_col, vec_col),
                            cb, dim, m, id_col, vec_col)
     return knn_bruteforce(recon, queries, k, id_col, vec_col)
