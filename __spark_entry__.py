@@ -46,6 +46,7 @@ _VERIFY_FIRST = (
     "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
     "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
     "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star
+    "docs_hybrid_rrf",            # NEW: BM25 × cosine reciprocal-rank fusion
     # -- operator or oracle changed this round: re-attest first --
     "docs_bm25_search",        # dl join pruned to the hit set
     "emb_cosine_near_dup",     # now buckets on trained centroids

@@ -377,3 +377,41 @@ def bm25_search(docs, query_terms: tuple[str, ...], k: int,
         .orderBy(F.col("bm25").desc(), id_col)
         .limit(k)
     )
+
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def rrf_fuse(rankings, k: int, id_col: str = "doc_id",
+             c: int = RRF_C):
+    """Reciprocal-rank fusion of several ranked candidate lists — the
+    standard hybrid-search combiner (score = Σ 1/(c + rank_i) over the
+    rankings where the document appears). Rank-based, so wildly
+    different score scales (BM25 vs cosine) fuse without normalization.
+
+    Each input frame must carry ``id_col`` and an integer ``rank``
+    column (1-based). 100 TB shape: every input is already a top-k
+    list, so fusion touches |rankings|·k rows — driver-trivial at any
+    corpus size; one tiny hash aggregate, TakeOrdered for the cut.
+
+    Float determinism: with two rankers the fused sum is a single IEEE
+    addition (commutative); the 6-dp display round plus the ``id_col``
+    tiebreak pins the cut for any ranker count.
+    """
+    from functools import reduce
+
+    if not rankings or k <= 0:
+        raise ValueError("rankings must be non-empty and k positive")
+    contribs = [
+        r.select(F.col(id_col),
+                 (F.lit(1.0) / (F.lit(float(c)) + F.col("rank")))
+                 .alias("contrib"))
+        for r in rankings]
+    return (
+        reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("rrf_score"),
+             F.count(F.lit(1)).cast("int").alias("n_rankers"))
+        .orderBy(F.col("rrf_score").desc(), id_col)
+        .limit(k)
+    )

@@ -1509,7 +1509,7 @@ def q_docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bm25_search(docs, BM25_QUERY_TERMS, BM25_TOP_K)
 
 
-def _oracle_bm25() -> str:
+def _oracle_bm25(k: int = BM25_TOP_K) -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     k1, b = textops.BM25_K1, textops.BM25_B
     return rf"""
@@ -1537,7 +1537,65 @@ SELECT doc_id,
        n_terms_hit
 FROM agg
 ORDER BY bm25 DESC, doc_id
-LIMIT {BM25_TOP_K}
+LIMIT {k}
+"""
+
+
+HYBRID_K = 15        # fused result size
+HYBRID_CAND = 30     # per-ranker candidate depth feeding the fusion
+HYBRID_QUERY_VEC = 0  # the query embedding: vec_id 0 (ids align with doc_id)
+
+
+def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the fusion the BM25 and ANN families exist
+    for: the lexical BM25 top-``HYBRID_CAND`` (fixed term query) and the
+    semantic exact-cosine top-``HYBRID_CAND`` (query = embedding of
+    ``vec_id 0``; embeddings ids align with doc ids) are combined by
+    reciprocal-rank fusion (operators/textops.py:rrf_fuse). Rank-based
+    fusion needs no score normalization across the two scales; both
+    candidate lists are k-bounded, so the fusion stage is tiny at any
+    corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = textops.bm25_search(docs, BM25_QUERY_TERMS, HYBRID_CAND)
+    # rank over the already-k-bounded list (rounded score + id tiebreak
+    # — the window spans ≤ HYBRID_CAND rows, never the corpus)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
+    sem = similarity.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC), HYBRID_CAND)
+    sem_r = sem.select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return textops.rrf_fuse([lex_r, sem_r], HYBRID_K)
+
+
+def _oracle_hybrid_rrf() -> str:
+    return rf"""
+WITH lex0 AS ({_oracle_bm25(HYBRID_CAND)}),
+lexr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         FROM lex0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_VEC}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id != {HYBRID_QUERY_VEC}),
+semr AS (
+  SELECT neighbor_id AS doc_id, rank FROM (
+    SELECT neighbor_id,
+           row_number() OVER (ORDER BY {_DUCK_COS} DESC, neighbor_id)
+             AS rank
+    FROM c, q)
+  WHERE rank <= {HYBRID_CAND}
+),
+u AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM lexr
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + rank) FROM semr)
+SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+       count(*)::INT AS n_rankers
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {HYBRID_K}
 """
 
 
@@ -2301,6 +2359,7 @@ LLM_QUERIES = {
     "docs_hot_ngrams": q_docs_hot_ngrams,
     "docs_boilerplate_scrub": q_docs_boilerplate_scrub,
     "docs_bm25_search": q_docs_bm25_search,
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "emb_label_outliers": q_emb_label_outliers,
     "docs_split_by_source": q_docs_split_by_source,
     "emb_dedup_keep": q_emb_dedup_keep,
@@ -2361,6 +2420,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_hot_ngrams": _oracle_hot_ngrams(),
         "docs_boilerplate_scrub": _oracle_boilerplate_scrub(),
         "docs_bm25_search": _oracle_bm25(),
+        "docs_hybrid_rrf": _oracle_hybrid_rrf(),
         "emb_label_outliers": ORACLE_LABEL_OUTLIERS,
         "docs_split_by_source": _oracle_split_by_source(),
         "emb_dedup_keep": _oracle_emb_dedup_keep(),

@@ -111,6 +111,29 @@ def test_multimodal_plumbing_and_stubs(crafted_docs):
         sample_frames(b"...", 10)
 
 
+def test_rrf_fusion_semantics(spark):
+    """Reciprocal-rank fusion: a doc ranked well by BOTH rankers must
+    outscore a doc ranked top by only one; scores are exactly
+    Σ 1/(60+rank); missing-from-one-ranker docs still fuse."""
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id bigint, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2), (10, 3)],
+                              "doc_id bigint, rank int")
+    out = {r["doc_id"]: (r["rrf_score"], r["n_rankers"])
+           for r in rrf_fuse([a, b], k=10).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    assert out[20] == (round(1 / 61 + 1 / 62, 6), 2)   # 2nd + 1st
+    assert out[10] == (round(1 / 61 + 1 / 63, 6), 2)   # 1st + 3rd
+    assert out[30] == (round(1 / 63, 6), 1)            # one ranker only
+    assert out[20][0] > out[10][0] > out[40][0] > out[30][0]
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+
+
 def test_bmp_decode_known_pixels_and_validation():
     """The stdlib BMP codec decodes REAL pixels: a hand-built 2x2
     24-bit BMP (bytes laid out here independently of the encoder —
