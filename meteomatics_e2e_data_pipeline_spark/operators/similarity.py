@@ -766,6 +766,69 @@ def knn_pq_trained(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
     return knn_bruteforce(recon, queries, k, id_col, vec_col)
 
 
+def pairwise_cosine(vectors: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """All directed pairs (id_a, id_b, sim) over a SMALL vector frame
+    (candidate lists, centroid sets — bounded by contract, never a
+    corpus): |V|² rows with the 6-dp-rounded cosine. Feeds
+    :func:`mmr_rerank`'s redundancy term."""
+    a = (vectors.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    b = (vectors.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("c_vec"))
+         .withColumn("__cn", _norm(F.col("c_vec"))))
+    return (a.join(b, F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(_PAIR_COS(), 6).alias("sim")))
+
+
+def mmr_rerank(cands: DataFrame, psim: DataFrame, k: int,
+               lam: float = 0.7, id_col: str = "doc_id",
+               rel_col: str = "rel") -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein '98) —
+    the diversity pass every retrieval stack runs after top-k: greedily
+    pick the candidate maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)``
+    where S is the already-selected set (step 1 scores by relevance
+    alone — no redundancy term exists yet).
+
+    Inputs: ``cands`` (id, rel) — the k-bounded candidate list from any
+    first-stage ranker — and ``psim`` (id_a, id_b, sim), the pairwise
+    similarities among candidates (both directions). The greedy loop is
+    inherently sequential, so it unrolls into ``k`` LAZY DataFrame
+    steps (anti-join remaining → max-redundancy aggregate → argmax via
+    TakeOrdered-1); nothing collects, and every frame is candidate-
+    bounded (≤ |cands| rows), so plan depth k over tiny frames is the
+    whole cost at any corpus size. Ties break on ``id_col``; scores are
+    λ-combinations of two doubles (max is order-free), deterministic
+    cross-engine; round at display only.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    first = (cands.orderBy(F.col(rel_col).desc(), id_col).limit(1)
+             .select(id_col, F.col(rel_col),
+                     F.lit(1).alias("mmr_rank"),
+                     F.col(rel_col).alias("mmr_score")))
+    selected = first
+    for i in range(2, k + 1):
+        rem = cands.join(selected.select(id_col), id_col, "left_anti")
+        red = (rem.join(psim, rem[id_col] == psim["id_a"])
+               .join(selected.select(F.col(id_col).alias("__sid")),
+                     F.col("id_b") == F.col("__sid"))
+               .groupBy(rem[id_col].alias(id_col), rem[rel_col])
+               .agg(F.max("sim").alias("__maxred")))
+        step = (red.select(
+                    id_col, rel_col, F.lit(i).alias("mmr_rank"),
+                    (F.lit(lam) * F.col(rel_col)
+                     - F.lit(1.0 - lam) * F.col("__maxred"))
+                    .alias("mmr_score"))
+                .orderBy(F.col("mmr_score").desc(), id_col).limit(1))
+        selected = selected.unionByName(step)
+    return selected.select(
+        id_col, F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        F.round(F.col("mmr_score"), 6).alias("mmr_score"))
+
+
 def label_centroids(emb: DataFrame, label_col: str = "label",
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

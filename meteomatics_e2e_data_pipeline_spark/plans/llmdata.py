@@ -1599,6 +1599,80 @@ LIMIT {HYBRID_K}
 """
 
 
+MMR_CAND = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank of the top-``MMR_CAND`` cosine candidates
+    for the ``vec_id 0`` query — the post-retrieval pass that trades
+    relevance against redundancy (λ = 0.7). Greedy selection is
+    inherently sequential, so it runs as ``MMR_K`` unrolled LAZY
+    DataFrame steps over the candidate-bounded frames (no collect; see
+    operators/similarity.py:mmr_rerank) and the oracle unrolls the same
+    fixed step count as SQL CTEs — the Lloyd-unroll pattern applied to
+    retrieval."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC)
+    sem = similarity.knn_bruteforce(emb, qv, MMR_CAND)
+    cands = sem.select(F.col("neighbor_id").alias("doc_id"),
+                       F.col("cos_sim").alias("rel"))
+    cvecs = emb.join(
+        sem.select(F.col("neighbor_id").alias("vec_id")),
+        "vec_id", "left_semi")
+    psim = (similarity.pairwise_cosine(cvecs)
+            .withColumnRenamed("id_a", "id_a")
+            .select(F.col("id_a"), F.col("id_b"), F.col("sim")))
+    return similarity.mmr_rerank(cands, psim, MMR_K, MMR_LAMBDA)
+
+
+def _oracle_mmr_rerank() -> str:
+    lam, om = repr(MMR_LAMBDA), repr(1.0 - MMR_LAMBDA)
+    cos_qc = ("list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))"
+              " * sqrt(list_dot_product(cv, cv)))")
+    cos_ab = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+              " * sqrt(list_dot_product(b.v, b.v)))")
+    ctes = [
+        f"""q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = {HYBRID_QUERY_VEC})""",
+        f"""cand AS (
+  SELECT id, round(cos_raw, 6) AS rel FROM (
+    SELECT c.vec_id AS id, {cos_qc} AS cos_raw
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+          WHERE vec_id != {HYBRID_QUERY_VEC}) c, q)
+  ORDER BY cos_raw DESC, id LIMIT {MMR_CAND})""",
+        f"""cv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id IN (SELECT id FROM cand))""",
+        f"""psim AS (SELECT a.id AS ia, b.id AS ib, round({cos_ab}, 6) AS sim
+      FROM cv a JOIN cv b ON a.id != b.id)""",
+        """sel1 AS (SELECT id, rel, 1 AS mmr_rank, rel AS score
+      FROM cand ORDER BY rel DESC, id LIMIT 1)""",
+        "selu1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        ctes.append(f"""rem{i} AS (
+  SELECT * FROM cand
+  WHERE id NOT IN (SELECT id FROM selu{i - 1}))""")
+        ctes.append(f"""sc{i} AS (
+  SELECT r.id, r.rel, {lam} * r.rel - {om} * max(p.sim) AS score
+  FROM rem{i} r JOIN psim p ON p.ia = r.id
+  JOIN selu{i - 1} s ON s.id = p.ib
+  GROUP BY r.id, r.rel)""")
+        ctes.append(f"""sel{i} AS (
+  SELECT id, rel, {i} AS mmr_rank, score FROM sc{i}
+  ORDER BY score DESC, id LIMIT 1)""")
+        ctes.append(f"""selu{i} AS (
+  SELECT * FROM selu{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT id AS doc_id, mmr_rank::INT AS mmr_rank,
+       round(score, 6) AS mmr_score
+FROM selu{MMR_K}
+"""
+
+
 TEMP_FRAC = 0.5
 TEMP_SALT = "temp0"
 
@@ -2360,6 +2434,7 @@ LLM_QUERIES = {
     "docs_boilerplate_scrub": q_docs_boilerplate_scrub,
     "docs_bm25_search": q_docs_bm25_search,
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
+    "emb_mmr_rerank": q_emb_mmr_rerank,
     "emb_label_outliers": q_emb_label_outliers,
     "docs_split_by_source": q_docs_split_by_source,
     "emb_dedup_keep": q_emb_dedup_keep,
@@ -2421,6 +2496,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_boilerplate_scrub": _oracle_boilerplate_scrub(),
         "docs_bm25_search": _oracle_bm25(),
         "docs_hybrid_rrf": _oracle_hybrid_rrf(),
+        "emb_mmr_rerank": _oracle_mmr_rerank(),
         "emb_label_outliers": ORACLE_LABEL_OUTLIERS,
         "docs_split_by_source": _oracle_split_by_source(),
         "emb_dedup_keep": _oracle_emb_dedup_keep(),

@@ -134,6 +134,30 @@ def test_rrf_fusion_semantics(spark):
         rrf_fuse([], k=5)
 
 
+def test_mmr_rerank_demotes_redundant_candidate(spark):
+    """MMR semantics on a crafted case: B outranks C on relevance but
+    is a near-duplicate of the already-selected A, so the diversity
+    term demotes it — selection order must be A, C, B with exactly the
+    λ-combined scores."""
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, 0.9), (2, 0.85), (3, 0.5)], "doc_id bigint, rel double")
+    psim = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (1, 3, 0.1), (3, 1, 0.1),
+         (2, 3, 0.1), (3, 2, 0.1)],
+        "id_a bigint, id_b bigint, sim double")
+    out = {r["mmr_rank"]: (r["doc_id"], r["mmr_score"])
+           for r in mmr_rerank(cands, psim, k=3).collect()}
+    assert out[1] == (1, 0.9)                          # pure relevance
+    assert out[2] == (3, round(0.7 * 0.5 - 0.3 * 0.1, 6))   # diverse C
+    assert out[3] == (2, round(0.7 * 0.85 - 0.3 * 1.0, 6))  # demoted B
+    with pytest.raises(ValueError):
+        mmr_rerank(cands, psim, k=0)
+
+
 def test_bmp_decode_known_pixels_and_validation():
     """The stdlib BMP codec decodes REAL pixels: a hand-built 2x2
     24-bit BMP (bytes laid out here independently of the encoder —
