@@ -48,6 +48,7 @@ _VERIFY_FIRST = (
     "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star
     "docs_hybrid_rrf",            # NEW: BM25 × cosine reciprocal-rank fusion
     "emb_mmr_rerank",             # NEW: MMR diversity rerank (unrolled greedy)
+    "docs_dup_clusters_incremental",  # NEW: incremental label maintenance
     # -- operator or oracle changed this round: re-attest first --
     "docs_bm25_search",        # dl join pruned to the hit set
     "emb_cosine_near_dup",     # now buckets on trained centroids

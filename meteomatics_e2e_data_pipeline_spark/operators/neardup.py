@@ -624,6 +624,49 @@ def dup_clusters(pairs: DataFrame, src: str = "doc_a",
         (F.col("u") == F.col("lbl")).alias("is_canonical"))
 
 
+def dup_clusters_incremental(prev: DataFrame, new_pairs: DataFrame,
+                             src: str = "doc_a", dst: str = "doc_b",
+                             id_col: str = "doc_id",
+                             cluster_col: str = "cluster_id") -> DataFrame:
+    """Fold a batch's near-dup pairs into EXISTING cluster labels — the
+    maintenance step that completes the incremental-dedup story
+    (:func:`near_dup_pairs_incremental` produces exactly its input).
+    Recomputing connected components over the whole corpus per ingest
+    is the 100 TB anti-pattern; here work scales with the increment:
+
+    1. clusters TOUCHED by a new pair are identified by a semi-join of
+       the prior label table against the new pair endpoints;
+    2. only their members re-enter component finding, as (member →
+       prior cluster_id) edges — valid because the prior cluster id IS
+       the component's min doc id, so the old min-label structure is
+       preserved — unioned with the new pairs (which also introduce
+       brand-new documents);
+    3. every untouched label passes through unchanged (no shuffle of
+       the untouched corpus — the anti-join is against the tiny touched
+       cluster-id set, broadcastable).
+
+    Output matches :func:`dup_clusters` exactly: (doc_id, cluster_id,
+    is_canonical) — and because min-label merging is associative, the
+    incremental result is IDENTICAL to a from-scratch batch recompute
+    over the full pair set (the oracle checks precisely that).
+    """
+    ends = (new_pairs.select(F.col(src).alias(id_col))
+            .unionByName(new_pairs.select(F.col(dst).alias(id_col)))
+            .distinct())
+    touched = (prev.join(ends, id_col, "left_semi")
+               .select(cluster_col).distinct())
+    untouched = (prev.join(F.broadcast(touched), cluster_col, "left_anti")
+                 .select(id_col, cluster_col,
+                         (F.col(id_col) == F.col(cluster_col))
+                         .alias("is_canonical")))
+    member_edges = (prev.join(F.broadcast(touched), cluster_col,
+                              "left_semi")
+                    .select(F.col(id_col).alias(src),
+                            F.col(cluster_col).alias(dst)))
+    edges = member_edges.unionByName(new_pairs.select(src, dst))
+    return dup_clusters(edges, src, dst).unionByName(untouched)
+
+
 def keep_canonical(docs: DataFrame, clusters: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """The kept corpus after dedup: drop every document that sits in a

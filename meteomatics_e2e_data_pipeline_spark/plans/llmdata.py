@@ -903,6 +903,27 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.dup_clusters(pairs)
 
 
+def q_docs_dup_clusters_incremental(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Incremental CLUSTER MAINTENANCE — the step after
+    ``docs_near_dup_incremental``: prior labels (built from corpus-only
+    pairs) absorb the batch-touching pairs; only touched clusters
+    re-enter component finding, untouched labels pass through without a
+    shuffle (operators/neardup.py:dup_clusters_incremental). The oracle
+    is the FULL-corpus batch recompute (`_oracle_dup_clusters`) —
+    hash-matching it proves the incremental path is lossless, i.e.
+    per-ingest work ∝ increment with zero drift from the batch truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    prev = neardup.dup_clusters(
+        neardup.near_dup_pairs(corpus, n=SHINGLE_N,
+                               threshold=NEARDUP_THRESHOLD))
+    newp = neardup.near_dup_pairs_incremental(
+        corpus, batch, n=SHINGLE_N, threshold=NEARDUP_THRESHOLD)
+    return neardup.dup_clusters_incremental(prev, newp)
+
+
 def _oracle_dup_clusters(src: str = "documents") -> str:
     # The pair set is the (already hash-green) near-dup oracle, embedded
     # as a nested-WITH CTE; reachability via a recursive UNION (dedup)
@@ -2416,6 +2437,7 @@ LLM_QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "docs_dup_clusters": q_docs_dup_clusters,
+    "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
     "docs_sample_exact_n": q_docs_sample_exact_n,
@@ -2477,6 +2499,9 @@ def llm_oracle() -> dict[str, str]:
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),
         "docs_dup_clusters": _oracle_dup_clusters(),
+        # incremental maintenance must be indistinguishable from the
+        # batch recompute — it shares the batch oracle verbatim
+        "docs_dup_clusters_incremental": _oracle_dup_clusters(),
         "docs_dedup_keep": _oracle_dedup_keep(),
         "docs_sampled": _oracle_sampled(),
         "docs_sample_exact_n": _oracle_sample_exact_n(),

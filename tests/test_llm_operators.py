@@ -441,6 +441,26 @@ def test_star_algorithm_handles_diameter_past_propagation_cap(spark):
     assert labels == {i: 0 for i in range(50)}
 
 
+def test_incremental_cluster_maintenance_matches_batch(spark):
+    """dup_clusters_incremental must be indistinguishable from a batch
+    recompute: new pairs extend an old cluster (1-2-3 gains 4), an
+    untouched cluster (9-10) passes through verbatim, and brand-new
+    docs (20-21) form their own cluster."""
+    prev_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "doc_a bigint, doc_b bigint")
+    new_pairs = spark.createDataFrame(
+        [(3, 4), (20, 21)], "doc_a bigint, doc_b bigint")
+    prev = neardup.dup_clusters(prev_pairs)
+    inc = sorted(map(tuple,
+                     neardup.dup_clusters_incremental(prev,
+                                                      new_pairs).collect()))
+    batch = sorted(map(tuple, neardup.dup_clusters(
+        prev_pairs.unionByName(new_pairs)).collect()))
+    assert inc == batch
+    assert (4, 1, False) in inc and (9, 9, True) in inc \
+        and (20, 20, True) in inc
+
+
 def test_star_and_propagation_agree_on_mixed_graph(spark):
     """Both algorithms produce identical labelings on a graph mixing
     singleton pairs, a triangle, a star, and a short chain — the shapes
