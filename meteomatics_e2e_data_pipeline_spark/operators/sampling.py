@@ -268,3 +268,37 @@ def weighted_sample_n(df: DataFrame, n: int, weight_col: str,
         .drop("__wkey")
         .select(*df.columns)
     )
+
+
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  order_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Per-group frequency cap: keep at most ``cap`` rows per
+    ``group_col`` value, preferring higher ``order_col`` (ties broken by
+    ``id_col`` ascending so the kept set is deterministic). The
+    RefinedWeb/CommonCrawl "domain cap" step — without it a handful of
+    template-heavy domains dominate the training mix no matter how good
+    the per-document quality gate is.
+
+    Scale shape: ONE shuffle keyed on ``group_col`` feeding a rank
+    window. The window frame is a single group's rows, so memory is
+    bounded by the largest group — at crawl scale a hot domain can be
+    that largest group, which is exactly the row-number-window skew case
+    AQE cannot split (windows can't be salted without breaking the
+    rank). When a deployment's domain histogram is badly skewed, cut the
+    tail FIRST with a cheap partial-agg count filter (groups already
+    under the cap never need ranking) — at this corpus' cardinality the
+    single window is the right plan. Emits the surviving rows plus their
+    in-group rank so downstream mix steps can tighten the cap without
+    re-ranking.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .withColumn("cap_rank", F.col("__rk").cast("int"))
+        .drop("__rk")
+    )

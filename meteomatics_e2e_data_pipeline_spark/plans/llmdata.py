@@ -2428,6 +2428,129 @@ FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 """
 
 
+# Per-source frequency cap (RefinedWeb-style "domain cap"): keep at most
+# DOMAIN_CAP docs per source, longest-first. n_chars is the quality proxy
+# here (the synthetic corpus has no URL column; `source` is the domain
+# analog) — in production swap order_col for the Gopher quality score.
+DOMAIN_CAP = 40
+
+
+def q_docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap — operators/sampling.py:cap_per_group.
+    One shuffle on `source` into a rank window; deterministic keep set
+    (n_chars DESC, doc_id ASC)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.cap_per_group(docs, "source", DOMAIN_CAP,
+                               order_col="n_chars", id_col="doc_id")
+        .select("doc_id", "source", "n_chars", "cap_rank")
+    )
+
+
+def _oracle_domain_cap() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rk::INT AS cap_rank
+FROM ranked WHERE rk <= {DOMAIN_CAP}
+"""
+
+
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@k of the IVF index against the
+    brute-force ground truth — THE metric an ANN deployment is tuned by
+    (probe count, bucket count, quantizer training all trade recall for
+    scan bytes; this query is the feedback loop).
+
+    Both sides are existing hash-green queries re-used at the same k:
+    ground truth = exact cosine top-IVF_K, candidate = the one-probe IVF
+    top-IVF_K. Per query: |ANN ∩ truth| / k.
+
+    Scale shape: the expensive inputs are the two kNN queries themselves
+    (each already 100 TB-shaped); the comparison is a join on
+    (query_id, neighbor_id) between two k×|queries| result sets — tiny by
+    construction — then a partial-agg count. In production the ground
+    truth runs on a SAMPLE of queries (recall estimation doesn't need
+    every query); the full-query form here keeps the oracle exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    truth = (similarity.knn_bruteforce(emb, queries_df, IVF_K)
+             .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    ann = similarity.knn_ivf(emb, queries_df, centroids, IVF_K)
+    return (
+        ann.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ann"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"))
+        .select("query_id",
+                F.col("n_ann").cast("bigint").alias("n_ann"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                F.round(F.col("n_hits") / F.lit(float(IVF_K)), 6)
+                .alias("recall_at_k"))
+    )
+
+
+def _oracle_ann_recall() -> str:
+    # Ground truth and ANN sides restated from ORACLE_KNN / ORACLE_ANN_IVF
+    # with the SAME constants, both cut at IVF_K, composed in one WITH.
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_DUCK_COS} DESC, neighbor_id) AS rank
+    FROM q, c WHERE neighbor_id != query_id)
+  WHERE rank <= {IVF_K}
+),
+cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_v
+         FROM embeddings WHERE vec_id < {IVF_CENTROID_MAX_ID}),
+allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket
+  FROM (SELECT a.vec_id, a.v, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(a.v, c.cent_v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(c.cent_v, c.cent_v)))
+                          DESC, c.centroid_id) AS rn
+        FROM allv a, cent c)
+  WHERE rn = 1
+),
+aq AS (SELECT vec_id AS query_id, v AS qv, bucket
+       FROM assigned WHERE vec_id < {KNN_QUERY_MAX_ID}),
+ac AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM assigned),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT aq.query_id, ac.neighbor_id,
+           row_number() OVER (PARTITION BY aq.query_id
+                              ORDER BY {_DUCK_COS} DESC, neighbor_id) AS rank
+    FROM ac JOIN aq USING (bucket)
+    WHERE ac.neighbor_id != aq.query_id)
+  WHERE rank <= {IVF_K}
+)
+SELECT ann.query_id,
+       count(*)::BIGINT AS n_ann,
+       sum(CASE WHEN truth.neighbor_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS n_hits,
+       round(sum(CASE WHEN truth.neighbor_id IS NULL THEN 0 ELSE 1 END)
+             / {float(IVF_K)}, 6) AS recall_at_k
+FROM ann LEFT JOIN truth USING (query_id, neighbor_id)
+GROUP BY ann.query_id
+"""
+
+
 LLM_QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "emb_random_projection": q_emb_random_projection,
@@ -2448,6 +2571,8 @@ LLM_QUERIES = {
     "emb_knn_int8": q_emb_knn_int8,
     "multimodal_resized": q_multimodal_resized,
     "docs_training_mix": q_docs_training_mix,
+    "docs_domain_cap": q_docs_domain_cap,
+    "emb_ann_recall": q_emb_ann_recall,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
     "docs_packed": q_docs_packed,
@@ -2513,6 +2638,8 @@ def llm_oracle() -> dict[str, str]:
         "emb_knn_int8": ORACLE_KNN_INT8,
         "multimodal_resized": _oracle_multimodal_resized(),
         "docs_training_mix": _oracle_training_mix(),
+        "docs_domain_cap": _oracle_domain_cap(),
+        "emb_ann_recall": _oracle_ann_recall(),
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),
         "docs_packed": _oracle_packed(),

@@ -518,12 +518,82 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# Iglewicz–Hoaglin constants for the modified z-score: 0.6745 ≈ Φ⁻¹(0.75)
+# scales MAD to σ-equivalents; |z| > 3.5 is their recommended outlier cut.
+MAD_C = 0.6745
+MAD_Z_CUTOFF = 3.5
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly detection per event type: modified
+    z-score on median/MAD instead of mean/stddev — the estimator of
+    choice when the outliers you're hunting are exactly what would
+    poison a mean/stddev baseline (a single 100× spike inflates stddev
+    enough to hide itself; it barely moves the median).
+
+    Float parity without tolerance: the series is the INTEGER daily
+    count, and every median is an exact half-integer (interpolated
+    midpoint of two integers), so med, MAD and the (n − med) numerator
+    are all exact doubles; the one rounding point is the final 6-dp
+    modified z, and the anomaly flag compares the ROUNDED z on both
+    engines so the cut cannot boundary-flip.
+
+    Plan shape at scale: one map-side-combinable hash aggregate to
+    (type, day), then two per-TYPE aggregates over the tiny daily frame
+    (types × days rows) with broadcast joins back. The raw events table
+    is scanned once and never windowed; `percentile` is exact but runs
+    only on the daily frame, never the event grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    med = (daily.groupBy("event_type")
+           .agg(F.percentile(F.col("n"), F.lit(0.5)).alias("med")))
+    ad = (daily.join(F.broadcast(med), "event_type")
+          .withColumn("__ad", F.abs(F.col("n") - F.col("med"))))
+    mad = (ad.groupBy("event_type")
+           .agg(F.percentile(F.col("__ad"), F.lit(0.5)).alias("mad")))
+    z = F.when(F.col("mad") > 0,
+               F.round(MAD_C * (F.col("n") - F.col("med")) / F.col("mad"), 6))
+    return (
+        ad.join(F.broadcast(mad), "event_type")
+        .select("event_type", "day", "n", "med", "mad",
+                z.alias("robust_z"),
+                F.when(F.col("mad") > 0,
+                       F.abs(z) > MAD_Z_CUTOFF).alias("is_anomaly"))
+    )
+
+
+ORACLE_ANOMALY_MAD = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        FROM daily GROUP BY 1),
+ad AS (
+  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM ad GROUP BY 1)
+SELECT a.event_type, a.day, a.n, a.med, m.mad,
+       CASE WHEN m.mad > 0
+            THEN round({MAD_C} * (a.n - a.med) / m.mad, 6) END AS robust_z,
+       CASE WHEN m.mad > 0
+            THEN abs(round({MAD_C} * (a.n - a.med) / m.mad, 6))
+                 > {MAD_Z_CUTOFF} END AS is_anomaly
+FROM ad a JOIN mad m USING (event_type)
+"""
+
+
 TS_QUERIES = {
     "events_gapfill": q_events_gapfill,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_twa": q_events_twa,
     "events_zscore": q_events_zscore,
+    "events_anomaly_mad": q_events_anomaly_mad,
     "events_ewma": q_events_ewma,
     "events_rolling_corr": q_events_rolling_corr,
     "events_value_histogram": q_events_value_histogram,
@@ -537,6 +607,7 @@ def ts_oracle() -> dict[str, str]:
         "events_retention": ORACLE_RETENTION,
         "events_twa": ORACLE_TWA,
         "events_zscore": ORACLE_ZSCORE,
+        "events_anomaly_mad": ORACLE_ANOMALY_MAD,
         "events_ewma": ORACLE_EWMA,
         "events_rolling_corr": ORACLE_ROLLING_CORR,
         "events_value_histogram": ORACLE_VALUE_HISTOGRAM,

@@ -30,6 +30,9 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                "emb_ann_ivf_trained", "emb_cosine_near_dup", "emb_knn_int8",
                "emb_pq_codes", "emb_knn_pq", "emb_ann_ivfpq",
                "emb_knn_pq_trained", "emb_knn_filtered",
+               # these compose knn_bruteforce / bm25_search, so they
+               # inherit those queries' deliberate bounded BNLJs
+               "emb_ann_recall", "docs_hybrid_rrf", "emb_mmr_rerank",
                # 1-row corpus-stats crossJoin (N, avgdl) — bounded by
                # construction, see PLANS.md round-5 notes
                "docs_bm25_search"}
