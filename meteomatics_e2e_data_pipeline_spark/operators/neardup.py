@@ -939,3 +939,94 @@ def shingle_hash_array(text_col, n: int):
             .otherwise(F.concat_ws(" ", a, b)))
     grams = F.filter(acc, lambda x: x.isNotNull())
     return F.transform(grams, lambda s: base_hash48(s))
+
+
+# Bloom-filter decontamination sizing. 2^16 bits in 32-bit words keeps
+# every shift inside non-negative BIGINT range on both engines (1 << 31
+# fits; a 64-bit word would need 1 << 63, which overflows DuckDB's
+# signed shift). k = 3 probes puts the false-positive rate near
+# (k·n/m)^k — ~1e-4 at a few thousand benchmark n-grams.
+BLOOM_BITS = 1 << 16
+BLOOM_WORD_BITS = 32
+BLOOM_K = 3
+BLOOM_SALT = "bloom"
+
+
+def _bloom_pos(hv, j: int):
+    """Probe position j for shingle hash ``hv`` — md5-derived so DuckDB
+    rebuilds it bit-for-bit: ('0x' || substr(md5(hv || '|' || j ||
+    '|bloom'), 1, 12))::BIGINT % BLOOM_BITS."""
+    key = F.concat_ws("|", hv.cast("string"), F.lit(str(j)),
+                      F.lit(BLOOM_SALT))
+    return base_hash48(key) % BLOOM_BITS
+
+
+def bloom_build(benchmark: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 3) -> list:
+    """Build the benchmark's Bloom filter as a dense list of
+    ``BLOOM_BITS / BLOOM_WORD_BITS`` integer words (driver-side, 8 KB).
+
+    This is :func:`contamination_hits`' scale path: the exact distinct
+    n-gram set of a large eval/benchmark union (or of *prior training
+    runs* in cross-run decontamination) can outgrow a broadcast hash
+    set, but the Bloom summary is FIXED-size regardless of how many
+    n-grams went in — the membership test degrades to a bounded
+    false-positive rate instead of failing to broadcast. The build is
+    one map-side-combinable ``bit_or`` aggregate over ≤ BLOOM_K rows per
+    distinct n-gram; the collect is bounded by the word count (2048),
+    never the benchmark size — same driver-artifact pattern as the
+    trained-quantizer cache (plans/llmdata.py).
+    """
+    bench = (shingle_hashes(benchmark, id_col, text_col, n)
+             .select("hv").distinct())
+    pos = bench.select(F.explode(F.array(
+        *[_bloom_pos(F.col("hv"), j) for j in range(BLOOM_K)])).alias("pos"))
+    words = (
+        # call_function: the python shiftleft wrapper only takes a
+        # literal int shift; the SQL function itself takes any expression
+        pos.select((F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+                   F.call_function(
+                       "shiftleft", F.lit(1).cast("long"),
+                       (F.col("pos") % BLOOM_WORD_BITS).cast("int"))
+                   .alias("mask"))
+        .groupBy("word").agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    dense = [0] * (BLOOM_BITS // BLOOM_WORD_BITS)
+    for r in words:
+        dense[r["word"]] = r["mask"]
+    return dense
+
+
+def bloom_contamination_hits(corpus: DataFrame, benchmark: DataFrame,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             n: int = 3) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: per corpus doc,
+    the count of distinct n-grams the filter reports as benchmark
+    members (a SUPERSET of :func:`contamination_hits` — no false
+    negatives, FP rate set by the sizing constants above; pytest asserts
+    the superset relation against the exact operator).
+
+    100 TB shape: the filter is a fixed 8 KB literal array, so the
+    membership test is fully ROW-LOCAL — three md5 probes + bit tests
+    per distinct n-gram, zero joins, zero broadcast-build shuffle on the
+    corpus side; the only corpus shuffle is the final per-doc count
+    (map-side combinable). Compare: the exact path broadcast-joins a
+    hash set that grows with the benchmark.
+    """
+    dense = bloom_build(benchmark, id_col, text_col, n)
+    filt = F.array(*[F.lit(w).cast("long") for w in dense])
+    corp = shingle_hashes(corpus, id_col, text_col, n)
+    hit = F.lit(1)
+    for j in range(BLOOM_K):
+        pos = _bloom_pos(F.col("hv"), j)
+        word = (pos / BLOOM_WORD_BITS).cast("int")
+        bit = (pos % BLOOM_WORD_BITS).cast("int")
+        probe = F.call_function(
+            "shiftright", F.element_at(filt, word + 1), bit)
+        hit = hit * probe.bitwiseAND(F.lit(1))
+    return (
+        corp.filter(hit == 1)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )

@@ -1295,6 +1295,51 @@ GROUP BY h.doc_id
 """
 
 
+def q_docs_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a fixed-size Bloom filter — the scale
+    path of ``docs_contamination``: when the benchmark/prior-run n-gram
+    set outgrows an exact broadcast hash set, the 8 KB Bloom summary
+    still broadcasts and the membership test stays row-local (bounded
+    false-positive rate, zero false negatives — pytest asserts the
+    per-doc superset relation vs the exact twin). Same bench/corpus
+    split and n as the exact query so the two are directly comparable.
+    operators/neardup.py:bloom_contamination_hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return neardup.bloom_contamination_hits(corpus, bench, n=CONTAM_N)
+
+
+def _oracle_bloom_contamination() -> str:
+    from ..operators.neardup import (
+        BLOOM_BITS, BLOOM_K, BLOOM_SALT, BLOOM_WORD_BITS)
+    pos = ("('0x' || substr(md5(hv::VARCHAR || '|' || j::VARCHAR || "
+           f"'|{BLOOM_SALT}'), 1, 12))::BIGINT % {BLOOM_BITS}")
+    return rf"""
+WITH {_shingle_cte()},
+bench AS (SELECT DISTINCT hv FROM h WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+bp AS (SELECT {pos} AS pos
+       FROM (SELECT hv, unnest(range(0, {BLOOM_K})) AS j FROM bench)),
+bloom AS (SELECT (pos // {BLOOM_WORD_BITS})::INT AS word,
+                 bit_or(1::BIGINT << (pos % {BLOOM_WORD_BITS})::INT) AS mask
+          FROM bp GROUP BY 1),
+cpos AS (SELECT doc_id, hv, {pos} AS pos
+         FROM (SELECT doc_id, hv, unnest(range(0, {BLOOM_K})) AS j
+               FROM h WHERE doc_id % {CONTAM_BENCH_MOD} <> 0)),
+flags AS (
+  SELECT c.doc_id, c.hv,
+         min(CASE WHEN b.mask IS NOT NULL
+                   AND ((b.mask >> (c.pos % {BLOOM_WORD_BITS})::INT) & 1) = 1
+             THEN 1 ELSE 0 END) AS ok
+  FROM cpos c
+  LEFT JOIN bloom b ON b.word = (c.pos // {BLOOM_WORD_BITS})::INT
+  GROUP BY c.doc_id, c.hv
+)
+SELECT doc_id, count(*)::BIGINT AS n_bloom_hits
+FROM flags WHERE ok = 1 GROUP BY doc_id
+"""
+
+
 # The synthetic corpus has a ~31-token universe, so the coverage demo
 # uses a deliberately tight vocabulary: top-20 tokens in, tail out.
 OOV_VOCAB_TOP = 20
@@ -2575,6 +2620,7 @@ LLM_QUERIES = {
     "emb_ann_recall": q_emb_ann_recall,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
+    "docs_bloom_contamination": q_docs_bloom_contamination,
     "docs_packed": q_docs_packed,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
     "docs_hot_ngrams": q_docs_hot_ngrams,
@@ -2642,6 +2688,7 @@ def llm_oracle() -> dict[str, str]:
         "emb_ann_recall": _oracle_ann_recall(),
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),
+        "docs_bloom_contamination": _oracle_bloom_contamination(),
         "docs_packed": _oracle_packed(),
         "docs_lang_temperature_sample": _oracle_lang_temperature(),
         "docs_hot_ngrams": _oracle_hot_ngrams(),

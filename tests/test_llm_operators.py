@@ -8,7 +8,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from meteomatics_e2e_data_pipeline_spark.operators import neardup, similarity
+from meteomatics_e2e_data_pipeline_spark.operators import (
+    neardup, sampling, similarity)
 from meteomatics_e2e_data_pipeline_spark.operators.multimodal import (
     decode_image, extract_features, sample_frames, to_media_table,
 )
@@ -1328,3 +1329,53 @@ def test_emb_dedup_keep_drops_only_noncanonical(spark, sf_oracle):
         by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
     for cid, members in by_cluster.items():
         assert min(members) == cid and cid in kept
+
+
+def test_bloom_contamination_superset_of_exact(spark, sf_oracle):
+    """Bloom membership has no false negatives: every doc's bloom-hit
+    count bounds its exact-hit count from above, and the false-positive
+    surplus stays within the sizing math's envelope."""
+    import __spark_entry__ as entrymod
+
+    exact = {r["doc_id"]: r["n_hits"] for r in
+             entrymod.queries()["docs_contamination"](
+                 spark, sf_oracle).collect()}
+    bloom = {r["doc_id"]: r["n_bloom_hits"] for r in
+             entrymod.queries()["docs_bloom_contamination"](
+                 spark, sf_oracle).collect()}
+    for doc_id, n in exact.items():
+        assert bloom.get(doc_id, 0) >= n, doc_id
+    # FP surplus: distinct flagged grams beyond the exact count, summed.
+    surplus = sum(bloom.values()) - sum(exact.values())
+    total_grams = sum(bloom.values()) + 1
+    assert surplus / total_grams < 0.05
+
+
+def test_cap_per_group_keeps_top_n_deterministically(spark):
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), 100 - i) for i in range(10)],
+        "doc_id long, source string, n_chars long")
+    out = sampling.cap_per_group(df, "source", 3, order_col="n_chars")
+    rows = {(r["source"], r["doc_id"], r["cap_rank"])
+            for r in out.collect()}
+    # source s0 has docs 0,2,4,6,8 with n_chars 100,98,96,94,92 → keep 0,2,4
+    assert rows == {("s0", 0, 1), ("s0", 2, 2), ("s0", 4, 3),
+                    ("s1", 1, 1), ("s1", 3, 2), ("s1", 5, 3)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.cap_per_group(df, "source", 0, order_col="n_chars")
+
+
+def test_ann_recall_bounds(spark, sf_oracle):
+    """recall@k ∈ [0, 1]; the IVF one-probe search can't beat exhaustive
+    search, and every query id appears exactly once."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["emb_ann_recall"](spark, sf_oracle).collect()
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        IVF_K, KNN_QUERY_MAX_ID)
+    assert len(rows) == KNN_QUERY_MAX_ID
+    assert len({r["query_id"] for r in rows}) == KNN_QUERY_MAX_ID
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_ann"] <= IVF_K
+        assert 0.0 <= r["recall_at_k"] <= 1.0
