@@ -37,12 +37,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 rotation (VERDICT r5 directive #4): lead with everything new or
 # touched by this round's changes, then the r3-dated rows (the oldest
 # attestations left), then the round-4-attested LLM-data block — after this
-# round no query's newest driver row is older than round 4. The 7 r4-dated
-# row-local entries listed at the tail (past position 50) rotate in next
-# round; every rotated-out query stays covered by the local DuckDB mirror
-# (tests/test_oracle_parity.py parametrizes ALL entries).
+# round no query's newest driver row is older than round 4. The four
+# mid-round additions (domain cap, ANN recall, MAD anomaly, Bloom
+# decontamination) take the head, displacing 4 more r4-green entries past
+# position 50 alongside the 7 row-local ones already deferred — all 11
+# rotate in next round; every rotated-out query stays covered by the local
+# DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL entries).
 _VERIFY_FIRST = (
     # -- new this round: never driver-attested --
+    "docs_domain_cap",            # NEW: per-source frequency cap
+    "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
+    "events_anomaly_mad",         # NEW: median/MAD modified z-score
+    "docs_bloom_contamination",   # NEW: fixed-size Bloom decontamination
+    "events_zorder_layout",       # NEW: Morton multi-dim clustering key
     "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
     "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
     "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star

@@ -65,3 +65,44 @@ def write_range_clustered(df: DataFrame, path: str,
     writer = df.repartitionByRange(*( [n_files] if n_files else [] ), *cols) \
         .sortWithinPartitions(*cols)
     writer.write.mode("overwrite").parquet(path)
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) interleave of ``len(cols)`` integer columns'
+    low ``bits`` bits — the multi-dimensional clustering key behind
+    warehouse ZORDER layouts: sorting/range-partitioning on the z-value
+    keeps rows close in EVERY interleaved dimension close on disk, so
+    parquet min/max stats prune selective scans on any of the dimensions
+    (single-column range clustering only prunes its one sort key).
+
+    All shift amounts are compile-time literals, so the whole key is one
+    codegen'd integer expression — row-local, zero shuffles; pair with
+    ``write_range_clustered`` on the z column to realize the layout.
+    Inputs are masked to ``bits`` bits (a layout key needs ordering
+    locality, not injectivity); k·bits must stay under 63 for a signed
+    BIGINT z-value.
+    """
+    from pyspark.sql import functions as F
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError("z-value would overflow a signed 64-bit long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * k + i)
+    return z
+
+
+def zorder_key_sql(col_exprs, bits: int = 16) -> str:
+    """The identical Morton interleave as portable SQL text (DuckDB /
+    ANSI bit operators), generated from the same loop so the oracle and
+    the Spark plan can never drift."""
+    terms = []
+    for b in range(bits):
+        for i, c in enumerate(col_exprs):
+            # full-term parens matter: SQL's << binds LOOSER than +, so
+            # an unparenthesized term would shift by the rest of the sum
+            terms.append(
+                f"(((({c}) >> {b}) & 1) << {b * len(col_exprs) + i})")
+    return "(" + " + ".join(terms) + ")"

@@ -826,6 +826,59 @@ FROM events
 """
 
 
+# Z-order layout key: 16 bits per dimension (user, day-index), 32-bit
+# z-value, top 8 bits = the write bucket (≤256 files/tiles). Epoch is
+# before the events table's data start so the day index is non-negative
+# (arithmetic-shift semantics on negatives differ across engines).
+ZORDER_BITS = 16
+ZORDER_EPOCH = "2024-01-01"
+ZORDER_BUCKET_SHIFT = 24
+
+
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering key (Morton/Z-order) over
+    (user_id, day) — the layout step behind warehouse ZORDER BY: sort or
+    range-partition the write on ``zval`` and parquet min/max stats
+    prune selective scans on EITHER dimension, where single-key range
+    clustering (operators/bucketing.py:write_range_clustered) only
+    prunes its one sort column. The key is one codegen'd integer
+    expression (operators/bucketing.py:zorder_key — all shift amounts
+    compile-time literals), so computing it is row-local and free at any
+    scale; ``zbucket`` (top 8 bits) is the file/tile assignment a writer
+    would repartition on. Reference analog: S10's clustered layout
+    lifted from one dimension to two."""
+    from ..operators.bucketing import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", F.col("user_id").cast("long").alias("u"),
+        F.datediff(F.to_date("ts"), F.lit(ZORDER_EPOCH).cast("date"))
+        .cast("long").alias("day_idx"))
+    z = zorder_key([F.col("u"), F.col("day_idx")], ZORDER_BITS)
+    return (
+        base.withColumn("zval", z)
+        .select("event_id", F.col("u").alias("user_id"), "day_idx", "zval",
+                F.shiftright(F.col("zval"), ZORDER_BUCKET_SHIFT)
+                .alias("zbucket"))
+    )
+
+
+def _oracle_zorder_layout() -> str:
+    from ..operators.bucketing import zorder_key_sql
+    z = zorder_key_sql(["u", "d"], ZORDER_BITS)
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id::BIGINT AS u,
+         datediff('day', DATE '{ZORDER_EPOCH}',
+                  CAST(ts AS DATE))::BIGINT AS d
+  FROM events
+)
+SELECT event_id, u AS user_id, d AS day_idx, {z} AS zval,
+       ({z} >> {ZORDER_BUCKET_SHIFT}) AS zbucket
+FROM base
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -857,6 +910,7 @@ QUERIES = {
     "event_user_reach_exact": q_event_user_reach_exact,
     "event_reach_sketch_weekly": q_event_reach_sketch_weekly,
     "event_reach_weekly_exact": q_event_reach_weekly_exact,
+    "events_zorder_layout": q_events_zorder_layout,
 }
 
 ORACLE = {
@@ -893,4 +947,5 @@ ORACLE = {
     # event_reach_sketch_weekly intentionally absent: HLL binaries have
     # no DuckDB form — rows-only, bounded by the exact twin below.
     "event_reach_weekly_exact": ORACLE_REACH_WEEKLY_EXACT,
+    "events_zorder_layout": _oracle_zorder_layout(),
 }

@@ -253,3 +253,51 @@ def test_chunk_tokens_properties(spark, n, chunk_size, stride):
         assert covered == set(toks)              # full coverage
     for prev, cur in zip(split, split[1:]):
         assert not set(cur) <= set(prev) or cur == prev  # no subset tails
+
+
+def test_zorder_key_matches_python_morton_and_prunes_both_dims(spark, tmp_path):
+    """zorder_key must equal a reference Morton interleave, and a
+    z-ordered range-clustered layout must give DISJOINT per-file z-spans
+    (the property parquet min/max pruning needs) while bounding BOTH
+    dimensions per file — the two-dimensional pruning win that
+    single-key range clustering cannot provide."""
+    from meteomatics_e2e_data_pipeline_spark.operators.bucketing import (
+        write_range_clustered, zorder_key)
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+    out_df = df.withColumn("z", zorder_key([F.col("x"), F.col("y")], 6))
+    rows = out_df.collect()
+
+    def morton(x, y, bits=6):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == morton(r["x"], r["y"])
+
+    out = str(tmp_path / "zordered")
+    write_range_clustered(out_df, out, ["z"], n_files=16)
+    import glob
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        r = spark.read.parquet(f).agg(
+            F.min("z"), F.max("z"), F.min("x"), F.max("x"),
+            F.min("y"), F.max("y")).first()
+        spans.append(tuple(r))
+    spans.sort()
+    assert len(spans) >= 8
+    for a, b in zip(spans, spans[1:]):
+        assert a[1] <= b[0]            # z-spans disjoint across files
+    # both dims bounded per file: each file's x- and y-extent must be a
+    # fraction of the full 64-wide domain (a row-id sort would give full
+    # x coverage in every file)
+    for zlo, zhi, xlo, xhi, ylo, yhi in spans:
+        assert xhi - xlo <= 32
+        assert yhi - ylo <= 32
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], 32)
