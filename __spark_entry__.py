@@ -50,6 +50,7 @@ _VERIFY_FIRST = (
     "events_anomaly_mad",         # NEW: median/MAD modified z-score
     "docs_bloom_contamination",   # NEW: fixed-size Bloom decontamination
     "events_zorder_layout",       # NEW: Morton multi-dim clustering key
+    "sql_docs_exact_dedup",       # NEW: SQL-text twin over documents
     "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
     "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
     "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star

@@ -81,6 +81,27 @@ GROUP BY 1
 """
 
 
+def q_sql_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text twin of ``docs_exact_dedup`` — the LLM-data surface
+    consumed as ANSI SQL over registered views (the weather star and
+    TPC-H families already have such twins; this extends the SQL API
+    across the documents table). Catalyst plans it identically to the
+    DataFrame form: one map-side-combined hash aggregate on the
+    normalized content hash. Shares the DataFrame twin's oracle
+    verbatim. Note Spark's ``regexp_replace`` is global by default
+    where DuckDB needs the explicit 'g' flag."""
+    from ..sources.tables import register_tables
+    register_tables(spark, sf_dir)
+    return spark.sql(r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ')))
+                 AS content_hash,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -2600,6 +2621,7 @@ LLM_QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "emb_random_projection": q_emb_random_projection,
     "docs_exact_dedup": q_docs_exact_dedup,
+    "sql_docs_exact_dedup": q_sql_docs_exact_dedup,
     "docs_text_stats": q_docs_text_stats,
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
@@ -2665,6 +2687,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_split_assign": _oracle_split_assign(),
         "emb_random_projection": _oracle_random_projection(),
         "docs_exact_dedup": ORACLE_EXACT_DEDUP,
+        # SQL-text twin shares the DataFrame twin's oracle verbatim
+        "sql_docs_exact_dedup": ORACLE_EXACT_DEDUP,
         "docs_text_stats": ORACLE_TEXT_STATS,
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),
