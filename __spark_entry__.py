@@ -51,6 +51,9 @@ _VERIFY_FIRST = (
     "docs_bloom_contamination",   # NEW: fixed-size Bloom decontamination
     "events_zorder_layout",       # NEW: Morton multi-dim clustering key
     "sql_docs_exact_dedup",       # NEW: SQL-text twin over documents
+    "event_audience_overlap_exact",   # NEW: segment-overlap self-join
+    "event_audience_overlap_approx",  # NEW: HLL incl-excl (rows-only)
+    "events_heavy_hitters",       # NEW: skew diagnostic top-k
     "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
     "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
     "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star

@@ -826,6 +826,124 @@ FROM events
 """
 
 
+def q_event_audience_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event-type pairs: distinct users doing
+    BOTH, plus the Jaccard of the two audiences — the segment-overlap
+    question every analytics warehouse answers (and the exact twin
+    bounding the sketch variant below).
+
+    Scale shape: dedupe to (event_type, user_id) ONCE (map-side
+    combinable), then self-join on user_id — per-user fan-out is bounded
+    by the event-type cardinality (a fixed catalog, not data-sized), so
+    the pair frame is ≤ |users|·|types|² rows and the final aggregate is
+    tiny. The raw event grain never self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    sizes = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    a = d.select(F.col("event_type").alias("type_a"), "user_id")
+    b = d.select(F.col("event_type").alias("type_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n_users").alias("n_b"))
+    return (
+        both.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+        .select("type_a", "type_b", "n_a", "n_b", "n_both",
+                F.round(F.col("n_both")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6)
+                .alias("jaccard"))
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+s AS (SELECT event_type, count(*) AS n_users FROM d GROUP BY 1),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM d a JOIN d b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+       round(n_both * 1.0 / (sa.n_users + sb.n_users - n_both), 6) AS jaccard
+FROM pair
+JOIN s sa ON sa.event_type = type_a
+JOIN s sb ON sb.event_type = type_b
+"""
+
+
+def q_event_audience_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-side audience overlap via HLL inclusion–exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A ∪ B), where the union estimate
+    comes from MERGING the two per-type sketches (``hll_union``) — raw
+    events are scanned exactly once to build one kilobyte sketch per
+    type, and every pairwise overlap after that touches only sketches.
+    That's the 100 TB play: the exact twin's self-join re-scans the
+    distinct frame for every question asked, the sketch table answers
+    all of them from KBs. Rows-only by design (HLL binaries and
+    estimates are engine-specific); ``event_audience_overlap_exact`` is
+    the hash-checked twin and pytest bounds the estimate. The pair join
+    is a deliberate non-equi join over the per-TYPE sketch frame —
+    catalog-sized, never data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = (ev.groupBy("event_type")
+          .agg(F.hll_sketch_agg("user_id").alias("sk"),
+               F.approx_count_distinct("user_id").alias("est")))
+    a = sk.select(F.col("event_type").alias("type_a"),
+                  F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"),
+                  F.col("sk").alias("sk_b"))
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b",
+                F.hll_sketch_estimate("sk_a").alias("est_a"),
+                F.hll_sketch_estimate("sk_b").alias("est_b"),
+                F.hll_sketch_estimate(
+                    F.hll_union("sk_a", "sk_b")).alias("est_union"))
+        .withColumn("est_both",
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"))
+    )
+
+
+HH_K = 20
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: the top-``HH_K`` user_ids by event count with
+    their share of ALL events — the table you read before deciding
+    whether a key needs salting (operators/skew.py) or an AQE skew-join
+    hint. One map-side-combinable count per user + TakeOrdered; the
+    total is a separate scalar aggregate (computed driver-side, one
+    number — the same bounded-scalar pattern as tf-idf's corpus N)."""
+    ev = load_table(spark, sf_dir, "events")
+    total = float(ev.count())
+    return (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(HH_K)
+        .select("user_id", "n_events",
+                F.round(F.col("n_events") / F.lit(total), 6).alias("share"))
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+SELECT user_id, count(*) AS n_events,
+       round(count(*) / (SELECT count(*) FROM events)::DOUBLE, 6) AS share
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT {HH_K}
+"""
+
+
 # Z-order layout key: 16 bits per dimension (user, day-index), 32-bit
 # z-value, top 8 bits = the write bucket (≤256 files/tiles). Epoch is
 # before the events table's data start so the day index is non-negative
@@ -911,6 +1029,9 @@ QUERIES = {
     "event_reach_sketch_weekly": q_event_reach_sketch_weekly,
     "event_reach_weekly_exact": q_event_reach_weekly_exact,
     "events_zorder_layout": q_events_zorder_layout,
+    "event_audience_overlap_exact": q_event_audience_overlap_exact,
+    "event_audience_overlap_approx": q_event_audience_overlap_approx,
+    "events_heavy_hitters": q_events_heavy_hitters,
 }
 
 ORACLE = {
@@ -948,4 +1069,8 @@ ORACLE = {
     # no DuckDB form — rows-only, bounded by the exact twin below.
     "event_reach_weekly_exact": ORACLE_REACH_WEEKLY_EXACT,
     "events_zorder_layout": _oracle_zorder_layout(),
+    "event_audience_overlap_exact": ORACLE_AUDIENCE_OVERLAP,
+    # event_audience_overlap_approx intentionally absent: HLL estimates
+    # are engine-specific — rows-only, bounded by the exact twin + pytest.
+    "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
 }

@@ -33,6 +33,9 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                # these compose knn_bruteforce / bm25_search, so they
                # inherit those queries' deliberate bounded BNLJs
                "emb_ann_recall", "docs_hybrid_rrf", "emb_mmr_rerank",
+               # per-TYPE sketch pair join (catalog-sized, never
+               # data-sized) is a deliberate non-equi join
+               "event_audience_overlap_approx",
                # 1-row corpus-stats crossJoin (N, avgdl) — bounded by
                # construction, see PLANS.md round-5 notes
                "docs_bm25_search"}

@@ -301,3 +301,23 @@ def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
                sampling.weighted_sample_n(df.repartition(7), 50, "w",
                                           salt="s1").collect())
     assert a == b                             # layout-invariant
+
+
+def test_audience_overlap_sketch_tracks_exact(spark, sf_oracle):
+    """HLL inclusion-exclusion overlap stays within the sketch error
+    envelope of the exact self-join twin on every event-type pair."""
+    import __spark_entry__ as entrymod
+
+    ap = entrymod.queries()["event_audience_overlap_approx"](
+        spark, sf_oracle).collect()
+    ex = {(r["type_a"], r["type_b"]): r for r in
+          entrymod.queries()["event_audience_overlap_exact"](
+              spark, sf_oracle).collect()}
+    assert len(ap) == len(ex) > 0
+    for r in ap:
+        x = ex[(r["type_a"], r["type_b"])]
+        union = x["n_a"] + x["n_b"] - x["n_both"]
+        # inclusion-exclusion compounds three estimates' errors — bound
+        # the overlap estimate by 15% of the UNION size (the scale of
+        # the quantities being subtracted), not of the overlap itself
+        assert abs(r["est_both"] - x["n_both"]) <= max(0.15 * union, 3.0)
