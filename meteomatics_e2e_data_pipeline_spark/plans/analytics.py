@@ -826,6 +826,28 @@ FROM events
 """
 
 
+def q_order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via ``approx_percentile`` (Greenwald-
+    Khanna sketch, accuracy 1/1000) — the MERGEABLE, bounded-memory form
+    that actually runs at 100 TB: exact `percentile` materializes every
+    group's values, the GK sketch is fixed-size per group and merges
+    across partitions map-side. Rows-only by design (sketch contents
+    are engine-specific); ``order_value_percentiles`` is the exact
+    hash-green twin and pytest bounds each approximate quantile inside
+    the sketch's rank-error envelope against it."""
+    orders = load_table(spark, sf_dir, "orders")
+    acc = 1000
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})"),
+                     2).alias("p50"),
+             F.round(F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})"),
+                     2).alias("p90"),
+             F.round(F.expr(f"approx_percentile(o_totalprice, 0.99, {acc})"),
+                     2).alias("p99"))
+    )
+
+
 def q_event_audience_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap between event-type pairs: distinct users doing
     BOTH, plus the Jaccard of the two audiences — the segment-overlap
@@ -1029,6 +1051,7 @@ QUERIES = {
     "event_reach_sketch_weekly": q_event_reach_sketch_weekly,
     "event_reach_weekly_exact": q_event_reach_weekly_exact,
     "events_zorder_layout": q_events_zorder_layout,
+    "order_value_percentiles_approx": q_order_value_percentiles_approx,
     "event_audience_overlap_exact": q_event_audience_overlap_exact,
     "event_audience_overlap_approx": q_event_audience_overlap_approx,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -1069,6 +1092,9 @@ ORACLE = {
     # no DuckDB form — rows-only, bounded by the exact twin below.
     "event_reach_weekly_exact": ORACLE_REACH_WEEKLY_EXACT,
     "events_zorder_layout": _oracle_zorder_layout(),
+    # order_value_percentiles_approx intentionally absent: GK-sketch
+    # quantiles are engine-specific — rows-only, bounded by the exact
+    # twin + a pytest rank-error envelope.
     "event_audience_overlap_exact": ORACLE_AUDIENCE_OVERLAP,
     # event_audience_overlap_approx intentionally absent: HLL estimates
     # are engine-specific — rows-only, bounded by the exact twin + pytest.

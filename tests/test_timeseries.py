@@ -321,3 +321,27 @@ def test_audience_overlap_sketch_tracks_exact(spark, sf_oracle):
         # the overlap estimate by 15% of the UNION size (the scale of
         # the quantities being subtracted), not of the overlap itself
         assert abs(r["est_both"] - x["n_both"]) <= max(0.15 * union, 3.0)
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_oracle):
+    """GK-sketch quantiles must land inside the rank-error envelope of
+    the exact distribution: approx pX ∈ [exact p(X−ε), exact p(X+ε)]
+    with ε = 2/accuracy per group and quantile."""
+    import __spark_entry__ as entrymod
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    ap = {r["o_orderpriority"]: r for r in
+          entrymod.queries()["order_value_percentiles_approx"](
+              spark, sf_oracle).collect()}
+    orders = load_table(spark, sf_oracle, "orders")
+    eps = 0.002
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        lo_q, hi_q = max(q - eps, 0.0), min(q + eps, 1.0)
+        env = {r["o_orderpriority"]: (r["lo"], r["hi"]) for r in
+               orders.groupBy("o_orderpriority").agg(
+                   F.expr(f"percentile(o_totalprice, {lo_q})").alias("lo"),
+                   F.expr(f"percentile(o_totalprice, {hi_q})").alias("hi"))
+               .collect()}
+        for grp, r in ap.items():
+            lo, hi = env[grp]
+            assert lo - 0.01 <= r[col] <= hi + 0.01, (grp, col)
