@@ -55,6 +55,8 @@ _VERIFY_FIRST = (
     "event_audience_overlap_approx",  # NEW: HLL incl-excl (rows-only)
     "events_heavy_hitters",       # NEW: skew diagnostic top-k
     "order_value_percentiles_approx",  # NEW: GK sketch (rows-only)
+    "docs_bpe_merges",            # NEW: BPE tokenizer induction
+    "docs_bpe_encode",            # NEW: per-doc counts under the merges
     "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
     "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
     "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star

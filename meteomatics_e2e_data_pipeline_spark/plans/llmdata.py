@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import neardup, packing, sampling, similarity, textops
+from ..operators import bpe, neardup, packing, sampling, similarity, textops
 from ..operators.multimodal import extract_features, to_media_table
 from ..operators.textops import (
     LANG_ORDER, LANG_STOPWORDS, MINHASH_P, chunk_tokens, content_hash,
@@ -100,6 +100,142 @@ def q_sql_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         GROUP BY 1
     """)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer induction (operators/bpe.py)
+# --------------------------------------------------------------------------
+
+# Merge count for the trained tokenizer. Like IVF_TRAIN_ITERS, a fixed
+# unroll knob: each merge is one histogram aggregate + one row-local
+# re-fold, and the oracle unrolls the same count as MATERIALIZED CTEs
+# (materialization matters — each iteration references its predecessor
+# ~8×, so inlined CTEs would expand 8^K-fold).
+BPE_MERGES = 4
+
+# Trained merge tables + segmented vocabs, materialized once per sf_dir
+# (the tokenizer artifact production writes to disk; same cache pattern
+# as the trained quantizer).
+_BPE_CACHE: dict = {}
+
+
+def _bpe_artifacts(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, BPE_MERGES)
+    if key not in _BPE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        hist = bpe.word_histogram(docs)
+        merges, vocab = bpe.bpe_train(hist, BPE_MERGES)
+        _BPE_CACHE[key] = (
+            merges,
+            [(r["word"], int(r["cnt"]), list(r["syms"]))
+             for r in vocab.collect()])
+    return _BPE_CACHE[key]
+
+
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the corpus word histogram — the
+    "induce the tokenizer from the data" step (Sennrich et al. 2016).
+    The corpus is scanned ONCE into the vocabulary-bounded (word, count)
+    histogram; every merge iteration runs on that histogram alone
+    (operators/bpe.py — greedy-leftmost fold, ties lexicographic).
+    Output is the learned merge table, i.e. the tokenizer artifact. The
+    oracle replays the identical training as fixed-unroll MATERIALIZED
+    CTEs, window-closed-form greedy semantics — hash-matching it proves
+    the distributed trainer bit-equals a single-node reference."""
+    merges, _ = _bpe_artifacts(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint")
+
+
+def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under the trained merges — the
+    budget/packing input a tokenizer-aware pipeline computes. The
+    segmentation is applied to the DISTINCT-word vocab (bounded), then
+    broadcast-joined to the token stream: per-doc work is a dictionary
+    lookup, the corpus is never re-folded."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab_rows = _bpe_artifacts(spark, sf_dir)
+    vocab = spark.createDataFrame(
+        vocab_rows, "word string, cnt long, syms array<string>")
+    return bpe.bpe_segment_counts(docs, vocab)
+
+
+def _bpe_iter_cte(i: int) -> str:
+    p = i - 1
+    return f"""
+pe{i} AS (SELECT cnt, syms, unnest(range(1, len(syms))) AS j FROM v{p}),
+pc{i} AS (SELECT syms[j] AS a, syms[j+1] AS b, sum(cnt)::BIGINT AS c
+          FROM pe{i} GROUP BY 1, 2),
+best{i} AS MATERIALIZED (SELECT a, b, c FROM pc{i}
+                         ORDER BY c DESC, a, b LIMIT 1),
+x{i} AS (SELECT word, cnt, syms, unnest(range(1, len(syms)+1)) AS j
+         FROM v{p}),
+y{i} AS (
+  SELECT word, cnt, j, syms[j] AS sym,
+         syms[j] = (SELECT a FROM best{i})
+         AND coalesce(syms[j+1] = (SELECT b FROM best{i}), FALSE) AS mtch
+  FROM x{i}),
+w{i} AS (
+  SELECT word, cnt, j, sym, mtch,
+         coalesce(max(CASE WHEN sym <> (SELECT a FROM best{i}) THEN j END)
+             OVER (PARTITION BY word ORDER BY j
+                   ROWS UNBOUNDED PRECEDING), 0) AS lastnp
+  FROM y{i}),
+s{i} AS (
+  SELECT word, cnt, j, sym,
+         coalesce(mtch AND ((SELECT a FROM best{i})
+                            <> (SELECT b FROM best{i})
+                            OR (j - lastnp) % 2 = 1), FALSE) AS do_merge
+  FROM w{i}),
+o{i} AS (
+  SELECT word, cnt, j, do_merge, sym,
+         coalesce(lag(do_merge) OVER (PARTITION BY word ORDER BY j),
+                  FALSE) AS consumed
+  FROM s{i}),
+v{i} AS MATERIALIZED (
+  SELECT word, cnt,
+         list(CASE WHEN do_merge
+                   THEN (SELECT a FROM best{i}) || (SELECT b FROM best{i})
+                   ELSE sym END ORDER BY j) AS syms
+  FROM o{i} WHERE NOT consumed
+  GROUP BY word, cnt)"""
+
+
+def _bpe_ctes() -> str:
+    # Greedy-leftmost closed form per iteration: when left ≠ right,
+    # adjacent matches cannot overlap, so every match merges; when
+    # left == right, a position merges iff its streak of identical
+    # predecessors (j − last-non-left position) is odd — exactly the
+    # sequential fold's behavior, window-expressible.
+    base = rf"""
+btok AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
+wh AS (SELECT word, count(*) AS cnt FROM btok GROUP BY 1),
+v0 AS MATERIALIZED (SELECT word, cnt, regexp_extract_all(word, '.') AS syms
+                    FROM wh)"""
+    return base + "".join("," + _bpe_iter_cte(i)
+                          for i in range(1, BPE_MERGES + 1))
+
+
+def _oracle_bpe_merges() -> str:
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, c AS pair_count FROM best{i}"
+        for i in range(1, BPE_MERGES + 1))
+    return f"WITH {_bpe_ctes()}\n{sel}"
+
+
+def _oracle_bpe_encode() -> str:
+    return rf"""
+WITH {_bpe_ctes()},
+dtok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS word FROM documents),
+seg AS (SELECT word, len(syms)::BIGINT AS n_sub FROM v{BPE_MERGES})
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(n_sub)::BIGINT AS n_bpe_tokens
+FROM dtok JOIN seg USING (word)
+GROUP BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2669,6 +2805,8 @@ LLM_QUERIES = {
     "emb_random_projection": q_emb_random_projection,
     "docs_exact_dedup": q_docs_exact_dedup,
     "sql_docs_exact_dedup": q_sql_docs_exact_dedup,
+    "docs_bpe_merges": q_docs_bpe_merges,
+    "docs_bpe_encode": q_docs_bpe_encode,
     "docs_text_stats": q_docs_text_stats,
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
@@ -2736,6 +2874,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_exact_dedup": ORACLE_EXACT_DEDUP,
         # SQL-text twin shares the DataFrame twin's oracle verbatim
         "sql_docs_exact_dedup": ORACLE_EXACT_DEDUP,
+        "docs_bpe_merges": _oracle_bpe_merges(),
+        "docs_bpe_encode": _oracle_bpe_encode(),
         "docs_text_stats": ORACLE_TEXT_STATS,
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),

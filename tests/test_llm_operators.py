@@ -1379,3 +1379,65 @@ def test_ann_recall_bounds(spark, sf_oracle):
     for r in rows:
         assert 0 <= r["n_hits"] <= r["n_ann"] <= IVF_K
         assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def _py_bpe_merge(syms, left, right):
+    acc = []
+    for x in syms:
+        if acc and acc[-1] == left and x == right:
+            acc[-1] = left + right
+        else:
+            acc.append(x)
+    return acc
+
+
+def test_bpe_merge_fold_matches_reference(spark):
+    """Greedy-leftmost fold semantics across the tricky shapes:
+    overlapping runs, chained merges, merged-symbol re-triggering."""
+    from meteomatics_e2e_data_pipeline_spark.operators.bpe import merge_fold
+
+    words = ["aaa", "aaaa", "aaaaa", "ab", "ba", "abab", "aabb",
+             "banana", "x", "", "aa", "bb", "abba"]
+    for left, right in [("a", "a"), ("a", "b"), ("b", "a")]:
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        got = {r["word"]: list(r["s"]) for r in df.select(
+            "word",
+            merge_fold(F.regexp_extract_all("word", F.lit("."), 0),
+                       left, right).alias("s")).collect()}
+        for w in words:
+            assert got[w] == _py_bpe_merge(list(w), left, right), \
+                (w, left, right)
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """Full training loop vs a Sennrich-style python reference on a
+    histogram with ties and chained merges."""
+    from meteomatics_e2e_data_pipeline_spark.operators.bpe import bpe_train
+
+    words = {"aaa": 3, "aaaa": 2, "banana": 5, "bandana": 1, "ananas": 2,
+             "bb": 4, "abab": 1}
+
+    def ref(words, k):
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for rank in range(1, k + 1):
+            stats = {}
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    stats[(a, b)] = stats.get((a, b), 0) + words[w]
+            if not stats:
+                break
+            m = max(stats.values())
+            p, q = sorted(p for p, v in stats.items() if v == m)[0]
+            merges.append((rank, p, q, p + q, m))
+            vocab = {w: _py_bpe_merge(s, p, q) for w, s in vocab.items()}
+        return merges, vocab
+
+    rm, rv = ref(words, 5)
+    hist = spark.createDataFrame(list(words.items()), "word string, cnt long")
+    sm, sv = bpe_train(hist, 5)
+    assert sm == rm
+    assert {r["word"]: list(r["syms"]) for r in sv.collect()} == rv
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bpe_train(hist, 0)
