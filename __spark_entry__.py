@@ -37,12 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 rotation (VERDICT r5 directive #4): lead with everything new or
 # touched by this round's changes, then the r3-dated rows (the oldest
 # attestations left), then the round-4-attested LLM-data block — after this
-# round no query's newest driver row is older than round 4. The four
-# mid-round additions (domain cap, ANN recall, MAD anomaly, Bloom
-# decontamination) take the head, displacing 4 more r4-green entries past
-# position 50 alongside the 7 row-local ones already deferred — all 11
-# rotate in next round; every rotated-out query stays covered by the local
-# DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL entries).
+# round no query's newest driver row is older than round 4. The fourteen
+# continuation additions (domain cap, ANN recall, MAD anomaly, Bloom
+# decontamination, z-order, SQL dedup twin, audience overlap ×2, heavy
+# hitters, approx percentiles, BPE ×2) take the head, displacing ~14 more
+# r4-green entries past position 50 alongside the 7 row-local ones already
+# deferred — all rotate in next round; every rotated-out query stays
+# covered by the local DuckDB mirror (tests/test_oracle_parity.py
+# parametrizes ALL entries at sf0.01 every round).
 _VERIFY_FIRST = (
     # -- new this round: never driver-attested --
     "docs_domain_cap",            # NEW: per-source frequency cap
@@ -57,6 +59,7 @@ _VERIFY_FIRST = (
     "order_value_percentiles_approx",  # NEW: GK sketch (rows-only)
     "docs_bpe_merges",            # NEW: BPE tokenizer induction
     "docs_bpe_encode",            # NEW: per-doc counts under the merges
+    "multimodal_audio_features",  # NEW: real WAV decode + signal feats
     "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
     "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
     "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star

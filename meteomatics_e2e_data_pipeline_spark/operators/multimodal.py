@@ -279,3 +279,110 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     from .textops import spread_for_fanout
     return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
         .mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib WAV codec (16-bit PCM mono) — the audio modality's
+# end-to-end path, mirroring the BMP one: encode/decode run on real
+# RIFF/WAVE bytes via the stdlib `wave` module, no torchaudio needed.
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 16_000
+AUDIO_SAMPLES = 160  # 10 ms probe clip per document
+
+
+def synth_samples(doc_id: int, n: int = AUDIO_SAMPLES) -> list[int]:
+    """Deterministic int16 test signal per document — pure integer
+    formula, so the DuckDB oracle regenerates the identical samples and
+    a lossy encode/decode path could never hash-match."""
+    return [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+
+
+def encode_wav(samples, rate: int = AUDIO_RATE) -> bytes:
+    """16-bit PCM mono RIFF/WAVE bytes via the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes):
+    """Decode a WAV payload to (rate, samples). REAL end-to-end for
+    16-bit PCM mono; compressed formats (mp3/opus/...) need external
+    codecs not in this container and raise NotImplementedError —
+    swapping this function for torchaudio/soundfile changes nothing in
+    the Spark plan, exactly like the image decode seam."""
+    import io
+    import wave
+
+    raw = bytes(payload)
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE decodes without external audio codecs")
+    with wave.open(io.BytesIO(raw), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise NotImplementedError("only 16-bit PCM mono supported")
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return rate, list(struct.unpack(f"<{len(frames) // 2}h", frames))
+
+
+AUDIO_SCHEMA = ("doc_id long, sample_rate int, n_samples long, "
+                "duration_s double, rms double, peak long")
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over DECODED samples:
+    duration, RMS energy, absolute peak — the triage features an audio
+    data pipeline gates on (silence/clipping filters) before any model
+    touches the clip. Row-local mapInPandas, no shuffle; RMS is emitted
+    UNROUNDED (integer sum of squares is exact, one sqrt) and display
+    rounding happens plan-side so cross-engine rounding conventions
+    never meet python's banker's rounding."""
+    import math
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("doc_id", "sample_rate", "n_samples",
+                     "duration_s", "rms", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_audio(payload)
+                n = len(samples)
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / float(rate))
+                rows["rms"].append(
+                    math.sqrt(sum(s * s for s in samples) / n) if n else 0.0)
+                rows["peak"].append(max(abs(s) for s in samples) if n else 0)
+            out = pd.DataFrame(rows)
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            yield out
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_batches, schema=AUDIO_SCHEMA)
+
+
+def synth_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of REAL WAV payloads (deterministic per-doc signal,
+    stdlib-encoded) — the audio twin of ``to_media_table``'s text-byte
+    fake: every payload is a decodable RIFF/WAVE file."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [encode_wav(synth_samples(int(d)))
+                        for d in pdf[id_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(docs.select(id_col), id_col) \
+        .mapInPandas(_batches, schema="doc_id long, payload binary")

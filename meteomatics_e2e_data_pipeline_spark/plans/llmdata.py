@@ -2514,6 +2514,42 @@ FROM documents
 """
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end audio path: per document, a deterministic 16-bit
+    PCM clip is stdlib-WAV-encoded, then DECODED back from the RIFF
+    bytes and reduced to triage features (duration/RMS/peak — the
+    silence/clipping gates an audio pipeline filters on). The oracle
+    regenerates the same integer signal from its closed formula and
+    computes the features directly — a hash match therefore proves the
+    encode → decode roundtrip is lossless AND the feature math agrees
+    bit-for-bit (integer sums of squares are exact; one sqrt; rounding
+    happens plan-side, never in python). Row-local mapInPandas ×2, no
+    shuffle. operators/multimodal.py:synth_wav_table/audio_features."""
+    from ..operators.multimodal import audio_features, synth_wav_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = audio_features(synth_wav_table(docs))
+    return feats.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"), "peak")
+
+
+def _oracle_audio_features() -> str:
+    from ..operators.multimodal import AUDIO_RATE, AUDIO_SAMPLES
+    return f"""
+WITH s AS (SELECT doc_id, unnest(range(0, {AUDIO_SAMPLES})) AS i
+           FROM documents),
+v AS (SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) - 32768 AS x FROM s)
+SELECT doc_id, {AUDIO_RATE} AS sample_rate,
+       count(*)::BIGINT AS n_samples,
+       round(count(*) / {float(AUDIO_RATE)}, 6) AS duration_s,
+       round(sqrt(sum(x * x) / count(*)), 6) AS rms,
+       max(abs(x))::BIGINT AS peak
+FROM v GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic split assignment + random-projection reduction
 # --------------------------------------------------------------------------
@@ -2864,6 +2900,7 @@ LLM_QUERIES = {
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
 }
 
 
@@ -2935,4 +2972,5 @@ def llm_oracle() -> dict[str, str]:
         "emb_ann_lsh": _oracle_ann_lsh(),
         "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "multimodal_features": ORACLE_MULTIMODAL,
+        "multimodal_audio_features": _oracle_audio_features(),
     }

@@ -1441,3 +1441,29 @@ def test_bpe_train_matches_reference_trainer(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bpe_train(hist, 0)
+
+
+def test_wav_codec_roundtrip_and_decode_seam():
+    """Stdlib WAV encode→decode is lossless on int16 extremes, and the
+    decode seam rejects non-WAV / non-PCM16-mono payloads the way the
+    image seam rejects non-BMP."""
+    from meteomatics_e2e_data_pipeline_spark.operators.multimodal import (
+        decode_audio, encode_wav, synth_samples)
+
+    for samples in ([0], [-32768, 32767, 0, 1, -1], synth_samples(9)):
+        rate, back = decode_audio(encode_wav(samples))
+        assert rate == 16000 and back == samples
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03not-a-wav-payload")
+    import io
+    import struct as _struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:   # stereo → unsupported
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(_struct.pack("<4h", 1, 2, 3, 4))
+    with pytest.raises(NotImplementedError):
+        decode_audio(buf.getvalue())
