@@ -386,3 +386,96 @@ def synth_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from .textops import spread_for_fanout
     return spread_for_fanout(docs.select(id_col), id_col) \
         .mapInPandas(_batches, schema="doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Concatenated-BMP container — the video modality's end-to-end path: a
+# multi-frame payload whose frame boundaries are REALLY parsed (each
+# frame's declared BMP file size) and whose sampled frames are really
+# pixel-decoded. Compressed video (h264/vp9) still needs pyav and keeps
+# the honest NotImplementedError stub in `sample_frames`.
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES = 3
+FRAME_W = FRAME_H = 2
+
+
+def synth_frame_rows(doc_id: int, f: int):
+    """Deterministic top-down (r, g, b) rows for frame ``f`` of a
+    document's clip — integer formula the oracle regenerates."""
+    return [[(((doc_id * 7 + f * 13 + y * 2 + x) % 256),
+              ((doc_id * 7 + f * 13 + y * 2 + x) % 256 + 1) % 256,
+              ((doc_id * 7 + f * 13 + y * 2 + x) % 256 + 2) % 256)
+             for x in range(FRAME_W)] for y in range(FRAME_H)]
+
+
+def synth_bmp_container(doc_id: int, n_frames: int = VIDEO_FRAMES) -> bytes:
+    """Concatenated-BMP clip payload for one document."""
+    return b"".join(_bmp_encode(synth_frame_rows(doc_id, f))
+                    for f in range(n_frames))
+
+
+def split_bmp_container(raw: bytes) -> list[bytes]:
+    """REAL container demux: walk the payload slicing each frame at its
+    declared BMP file size; anything that doesn't parse as wall-to-wall
+    BMP frames needs pyav and raises, mirroring the other decode seams."""
+    frames, off = [], 0
+    raw = bytes(raw)
+    while off < len(raw):
+        if raw[off:off + 2] != b"BM" or off + 6 > len(raw):
+            raise NotImplementedError(
+                "not a concatenated-BMP container; video needs pyav")
+        size = struct.unpack_from("<I", raw, off + 2)[0]
+        if size < 54 or off + size > len(raw):
+            raise NotImplementedError("corrupt container frame size")
+        frames.append(raw[off:off + size])
+        off += size
+    return frames
+
+
+FRAME_SAMPLE_SCHEMA = ("doc_id long, frame_idx int, width int, "
+                       "height int, pixel_sum long")
+
+
+def sample_container_frames(media: DataFrame, every_n: int) -> DataFrame:
+    """Frame sampling with REAL decode: demux the container, keep every
+    ``every_n``-th frame, pixel-decode the kept frames only (the skip
+    is the whole point — decode cost scales with the sample, not the
+    clip), reduce each to its RGB pixel sum. Row-local mapInPandas
+    fan-out, one output row per sampled frame, no shuffle."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "width",
+                                    "height", "pixel_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_bmp_container(payload)
+                for f_idx in range(0, len(frames), every_n):
+                    w, h, px = _bmp_decode(frames[f_idx])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f_idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(
+                        sum(r + g + b for row in px for (r, g, b) in row))
+            out = pd.DataFrame(rows)
+            for c in ("frame_idx", "width", "height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_batches, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def synth_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real concatenated-BMP clip payloads."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synth_bmp_container(int(d)) for d in pdf[id_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(docs.select(id_col), id_col) \
+        .mapInPandas(_batches, schema="doc_id long, payload binary")

@@ -2535,6 +2535,44 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"), "peak")
 
 
+FRAME_EVERY = 2
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end frame sampling: per document a 3-frame
+    concatenated-BMP clip is synthesized, its frame boundaries are
+    DEMUXED from each frame's declared BMP size, every 2nd frame is
+    pixel-decoded (skipped frames are never decoded — sampling exists
+    to cut decode cost) and reduced to its RGB sum. The oracle
+    regenerates the sampled frames' pixels from the integer formula, so
+    a hash match proves demux + decode + sampling all preserve the
+    signal. Compressed video keeps the honest pyav stub.
+    operators/multimodal.py:synth_video_table/sample_container_frames."""
+    from ..operators.multimodal import (
+        sample_container_frames, synth_video_table)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_container_frames(synth_video_table(docs), FRAME_EVERY)
+
+
+def _oracle_frame_sample() -> str:
+    from ..operators.multimodal import FRAME_H, FRAME_W, VIDEO_FRAMES
+    sampled = list(range(0, VIDEO_FRAMES, FRAME_EVERY))
+    return f"""
+WITH fr AS (SELECT doc_id, unnest({sampled}) AS frame_idx FROM documents),
+py AS (SELECT doc_id, frame_idx, unnest(range(0, {FRAME_H})) AS y FROM fr),
+pxy AS (SELECT doc_id, frame_idx, y, unnest(range(0, {FRAME_W})) AS x
+        FROM py),
+v AS (SELECT doc_id, frame_idx,
+             ((doc_id * 7 + frame_idx * 13 + y * 2 + x) % 256) AS v
+      FROM pxy)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       {FRAME_W} AS width, {FRAME_H} AS height,
+       sum(v + ((v + 1) % 256) + ((v + 2) % 256))::BIGINT AS pixel_sum
+FROM v GROUP BY doc_id, frame_idx
+"""
+
+
 def _oracle_audio_features() -> str:
     from ..operators.multimodal import AUDIO_RATE, AUDIO_SAMPLES
     return f"""
@@ -2901,6 +2939,7 @@ LLM_QUERIES = {
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 
@@ -2973,4 +3012,5 @@ def llm_oracle() -> dict[str, str]:
         "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
         "multimodal_features": ORACLE_MULTIMODAL,
         "multimodal_audio_features": _oracle_audio_features(),
+        "multimodal_frame_sample": _oracle_frame_sample(),
     }

@@ -1467,3 +1467,24 @@ def test_wav_codec_roundtrip_and_decode_seam():
         w.writeframes(_struct.pack("<4h", 1, 2, 3, 4))
     with pytest.raises(NotImplementedError):
         decode_audio(buf.getvalue())
+
+
+def test_bmp_container_demux_and_decode_seam():
+    """Container demux slices frames exactly at declared sizes, decoded
+    pixels match the synth formula, and non-container payloads raise
+    like the other decode seams."""
+    from meteomatics_e2e_data_pipeline_spark.operators import multimodal as M
+
+    raw = M.synth_bmp_container(11)
+    frames = M.split_bmp_container(raw)
+    assert len(frames) == M.VIDEO_FRAMES
+    assert b"".join(frames) == raw
+    for f, fb in enumerate(frames):
+        w, h, px = M._bmp_decode(fb)
+        assert (w, h) == (M.FRAME_W, M.FRAME_H)
+        assert px == M.synth_frame_rows(11, f)
+    with pytest.raises(NotImplementedError):
+        M.split_bmp_container(b"\x00\x00not a container")
+    # trailing garbage after a valid frame must not pass silently
+    with pytest.raises(NotImplementedError):
+        M.split_bmp_container(frames[0] + b"xx")
