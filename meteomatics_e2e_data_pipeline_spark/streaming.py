@@ -403,3 +403,87 @@ def stream_contamination_flags(stream: DataFrame, bench_hvs,
 
     return stream.withColumn(
         "n_hits", n_hits(shingle_hash_array(F.col(text_col), n)))
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str,
+                         checkpoint_path: str, query_name: str,
+                         capacity: int = 32,
+                         n_shards: int = 4) -> None:
+    """Streaming heavy hitters with BOUNDED state: Misra–Gries summaries
+    maintained per user-id shard via ``applyInPandasWithState`` — the
+    streaming twin of the batch ``events_heavy_hitters`` diagnostic,
+    with the property the batch count lacks: state per shard is at most
+    ``capacity`` counters FOREVER, no matter how many distinct users the
+    stream sees (the batch groupBy's state is distinct-key-sized).
+
+    Classic MG guarantees per shard: every key with true frequency
+    > n/(capacity+1) is tracked, and a tracked count underestimates the
+    truth by at most (n − Σcounters)/(capacity+1). Sharding by
+    ``user_id % n_shards`` keeps the summary build parallel (MG
+    summaries of disjoint key ranges concatenate trivially); readers
+    merge shard rows and cut to their top-k. Update-mode memory sink
+    with the per-shard monotone ``seq`` read protocol (see
+    ``stream_ewma`` — sink row order across batches is not guaranteed).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.exists:
+            users, counts, n, dec, seq = state.get
+            mg = dict(zip(list(users), list(counts)))
+            n, dec = int(n), int(dec)
+        else:
+            mg, n, dec, seq = {}, 0, 0, 0
+        for pdf in pdfs:
+            for u, c in pdf["user_id"].value_counts().items():
+                u, c = int(u), int(c)
+                n += c
+                if u in mg:
+                    mg[u] += c
+                elif len(mg) < capacity:
+                    mg[u] = c
+                else:
+                    # decrement-all by the largest stride the new
+                    # arrivals allow — batched MG (Berinde et al.):
+                    # equivalent to c single-item decrement rounds
+                    d = min(c, min(mg.values()))
+                    mg = {k: v - d for k, v in mg.items() if v > d}
+                    dec += d
+                    rem = c - d
+                    if rem:
+                        if len(mg) < capacity:
+                            mg[u] = rem
+                        else:
+                            dec += rem
+        seq += 1
+        items = sorted(mg.items())
+        state.update((
+            [u for u, _ in items], [c for _, c in items], n, dec, seq))
+        yield pd.DataFrame({
+            "shard": key[0],
+            "user_id": [u for u, _ in items],
+            "mg_count": [c for _, c in items],
+            "n_shard": n,
+            "decrements": dec,
+            "seq": seq,
+        })
+
+    ev = (read_events_stream(spark, sf_dir)
+          .select((F.col("user_id") % n_shards).alias("shard"), "user_id"))
+    out = ev.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="shard bigint, user_id bigint, mg_count bigint, "
+                         "n_shard bigint, decrements bigint, seq bigint",
+        stateStructType="users array<bigint>, counts array<bigint>, "
+                        "n bigint, dec bigint, seq bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -287,3 +287,67 @@ def test_stream_ewma_matches_batch(spark, tmp_path):
                   if got[k][0] != expected[k][0]
                   or abs(got[k][1] - expected[k][1]) > 1e-6}
     assert not mismatches
+
+
+def _mg_final_rows(spark, name):
+    """Max-seq emission per shard (update-mode sink read protocol)."""
+    by_shard = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        by_shard.setdefault(r["shard"], []).append(r)
+    out = []
+    for shard, rows in by_shard.items():
+        top = max(r["seq"] for r in rows)
+        out.extend(r for r in rows if r["seq"] == top)
+    return out
+
+
+def test_stream_heavy_hitters_exact_when_capacity_suffices(spark, tmp_path):
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_heavy_hitters)
+
+    sf = "/root/testdata/sf0.001"
+    name = "mg_exact_test"
+    stream_heavy_hitters(spark, sf, str(tmp_path / "ck"), name,
+                         capacity=64, n_shards=4)
+    rows = _mg_final_rows(spark, name)
+    truth = {r["user_id"]: r["n"] for r in
+             load_table(spark, sf, "events")
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert all(r["decrements"] == 0 for r in rows)
+    got = {r["user_id"]: r["mg_count"] for r in rows}
+    assert got == truth                 # capacity >= distinct/shard → exact
+    # shard totals partition the stream
+    n_by_shard = {r["shard"]: r["n_shard"] for r in rows}
+    assert sum(n_by_shard.values()) == sum(truth.values())
+
+
+def test_stream_heavy_hitters_bounded_state_invariants(spark, tmp_path):
+    """capacity=2 forces the Misra-Gries decrement path; the summary
+    must keep its guarantees: counts underestimate by at most the
+    decrement total, and every key more frequent than the decrement
+    total is still tracked."""
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_heavy_hitters)
+
+    sf = "/root/testdata/sf0.001"
+    name = "mg_bounded_test"
+    stream_heavy_hitters(spark, sf, str(tmp_path / "ck"), name,
+                         capacity=2, n_shards=1)
+    rows = _mg_final_rows(spark, name)
+    assert len(rows) <= 2               # state truly bounded
+    truth = {r["user_id"]: r["n"] for r in
+             load_table(spark, sf, "events")
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    dec = rows[0]["decrements"]
+    assert dec > 0                      # the lossy path actually ran
+    got = {r["user_id"]: r["mg_count"] for r in rows}
+    for u, c in got.items():
+        assert c <= truth[u]                      # never overestimates
+        assert truth[u] - c <= dec                # bounded underestimate
+    for u, c in truth.items():
+        if c > dec:
+            assert u in got                       # heavy keys survive
