@@ -45,6 +45,37 @@ def check_unique(df: DataFrame, cols: Sequence[str]) -> None:
         raise CheckError(f"unique violated on {list(cols)}")
 
 
+def check_accepted_values(df: DataFrame, col: str,
+                          values: Sequence) -> None:
+    """dbt ``accepted_values`` — completes the core generic-test family
+    the reference's schema.yml draws from. One aggregate over a
+    row-local membership test; the accepted set is config-sized and
+    rides as a literal, so the check is a single scan like
+    ``check_not_null``. NULLs pass (dbt semantics: pair with not_null
+    when nullability matters)."""
+    bad = (df.filter(~F.col(col).isin(list(values))
+                     & F.col(col).isNotNull())
+           .limit(1).count())
+    if bad:
+        raise CheckError(f"accepted_values violated on {col}")
+
+
+def check_relationships(df: DataFrame, col: str,
+                        to: DataFrame, to_col: str) -> None:
+    """dbt ``relationships`` (referential integrity): every non-null
+    ``col`` value must exist in ``to``'s ``to_col``. Planned as a
+    left-anti join against the DISTINCT key side — Catalyst broadcasts
+    it when dimension-sized, which is the dbt use case (fact FK →
+    dim PK); no row ever leaves the fact scan except violations."""
+    missing = (df.filter(F.col(col).isNotNull())
+               .join(to.select(F.col(to_col).alias(col)).distinct(),
+                     col, "left_anti")
+               .limit(1).count())
+    if missing:
+        raise CheckError(f"relationships violated: {col} not all in "
+                         f"{to_col}")
+
+
 def transform(spark: SparkSession, out_dir: str,
               bronze_path: str | None = None,
               as_of: date = weather.AS_OF,
@@ -102,4 +133,16 @@ def transform(spark: SparkSession, out_dir: str,
         check_not_null(dim_loc, ["location_key"])
         check_unique(dim_loc, ["location_key"])
         check_unique(stg, ["file_path", "parameter", "reading_datetime"])
+        # dbt's remaining core generic tests: every staged parameter
+        # must come from the fixed catalog, and every fact FK must
+        # resolve against the location dimension (referential
+        # integrity — the check a Kimball star is graded by).
+        from ..sources.fixtures import FLOAT_PARAMS
+        check_accepted_values(
+            stg, "parameter",
+            list(FLOAT_PARAMS) + list(weather.SUN_PARAMS))
+        sun_hist = spark.read.parquet(
+            os.path.join(out_dir, "fact_sun_times_history"))
+        check_relationships(sun_hist, "location_key",
+                            dim_loc, "location_key")
     return counts

@@ -10,7 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from meteomatics_e2e_data_pipeline_spark.plans.runner import (
-    CheckError, check_not_null, check_unique, transform,
+    CheckError, check_accepted_values, check_not_null, check_relationships,
+    check_unique, transform,
 )
 from meteomatics_e2e_data_pipeline_spark.plans.weather import stg_weather_raw
 from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
@@ -206,6 +207,16 @@ def test_runner_topological_and_checks(spark, tmp_path):
         check_unique(df, ["k"])
     with pytest.raises(CheckError):
         check_not_null(df, ["k"])
+    # accepted_values: NULLs pass (dbt semantics), out-of-set fails
+    check_accepted_values(df, "k", [1])
+    with pytest.raises(CheckError):
+        check_accepted_values(df, "k", [2])
+    # relationships: orphan FK fails, full coverage passes
+    dim = spark.createDataFrame([(1,)], "k int")
+    check_relationships(df, "k", dim, "k")   # NULL FK passes
+    with pytest.raises(CheckError):
+        check_relationships(df, "k",
+                            spark.createDataFrame([(2,)], "k int"), "k")
 
 
 def test_fetch_distributed_executor_side(spark):
