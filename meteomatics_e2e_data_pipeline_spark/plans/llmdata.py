@@ -102,6 +102,67 @@ def q_sql_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_docs_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    exact-duplicate PAIRS straddle the two sources — the report a
+    corpus curator reads before deciding which feeds to drop or
+    down-weight (mirror sites and scraped re-posts show up as hot
+    off-diagonal cells). Within-source duplication sits on the
+    diagonal.
+
+    Scale shape: one hash aggregate to (content_hash, source, count) —
+    map-side combinable, 16-byte keys — then a self-join ONLY on hashes
+    with ≥2 docs (the duplicate tail, tiny by construction after the
+    having-filter), never on the corpus. Pair counts: cross-source
+    cells are n_a·n_b; the diagonal is C(n,2) per group, summed."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (docs.select(content_hash(F.col("text")).alias("h"), "source")
+         .groupBy("h", "source")
+         .agg(F.count(F.lit(1)).alias("n")))
+    dup_h = (g.groupBy("h").agg(F.sum("n").alias("tot"))
+             .filter(F.col("tot") >= 2).select("h"))
+    gd = g.join(F.broadcast(dup_h), "h")
+    a = gd.select("h", F.col("source").alias("source_a"),
+                  F.col("n").alias("n_a"))
+    b = gd.select("h", F.col("source").alias("source_b"),
+                  F.col("n").alias("n_b"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .withColumn("__pairs",
+                    F.when(F.col("source_a") == F.col("source_b"),
+                           F.col("n_a") * (F.col("n_a") - 1) / 2)
+                    .otherwise(F.col("n_a") * F.col("n_b")))
+        .filter(F.col("__pairs") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("__pairs").cast("bigint").alias("dup_pairs"),
+             F.count_distinct("h").alias("n_shared_contents"))
+    )
+    return pairs
+
+
+def _oracle_cross_source_dup() -> str:
+    return r"""
+WITH g AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+         source, count(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+duph AS (SELECT h FROM g GROUP BY h HAVING sum(n) >= 2),
+gd AS (SELECT g.* FROM g JOIN duph USING (h)),
+p AS (
+  SELECT a.h, a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source THEN a.n * (a.n - 1) / 2
+              ELSE a.n * b.n END AS pairs
+  FROM gd a JOIN gd b ON a.h = b.h AND a.source <= b.source
+)
+SELECT source_a, source_b, sum(pairs)::BIGINT AS dup_pairs,
+       count(DISTINCT h)::BIGINT AS n_shared_contents
+FROM p WHERE pairs > 0
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # BPE tokenizer induction (operators/bpe.py)
 # --------------------------------------------------------------------------
@@ -2879,6 +2940,7 @@ LLM_QUERIES = {
     "emb_random_projection": q_emb_random_projection,
     "docs_exact_dedup": q_docs_exact_dedup,
     "sql_docs_exact_dedup": q_sql_docs_exact_dedup,
+    "docs_cross_source_dup": q_docs_cross_source_dup,
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_bpe_encode": q_docs_bpe_encode,
     "docs_text_stats": q_docs_text_stats,
@@ -2950,6 +3012,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_exact_dedup": ORACLE_EXACT_DEDUP,
         # SQL-text twin shares the DataFrame twin's oracle verbatim
         "sql_docs_exact_dedup": ORACLE_EXACT_DEDUP,
+        "docs_cross_source_dup": _oracle_cross_source_dup(),
         "docs_bpe_merges": _oracle_bpe_merges(),
         "docs_bpe_encode": _oracle_bpe_encode(),
         "docs_text_stats": ORACLE_TEXT_STATS,
