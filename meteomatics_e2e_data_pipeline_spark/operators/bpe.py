@@ -39,9 +39,14 @@ from .textops import tokens
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over the corpus — the ONE corpus-wide aggregate BPE
-    training needs (map-side combinable)."""
+    training needs (map-side combinable). Empty words (whitespace-only
+    documents tokenize to ['']) are excluded: they carry no symbols, and
+    the oracle's position-explode rewrite would silently drop them from
+    the vocabulary while the fold kept them — filter identically on
+    both sides instead."""
     return (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -272,7 +272,8 @@ def _bpe_ctes() -> str:
     # sequential fold's behavior, window-expressible.
     base = rf"""
 btok AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
-wh AS (SELECT word, count(*) AS cnt FROM btok GROUP BY 1),
+wh AS (SELECT word, count(*) AS cnt FROM btok
+       WHERE length(word) > 0 GROUP BY 1),
 v0 AS MATERIALIZED (SELECT word, cnt, regexp_extract_all(word, '.') AS syms
                     FROM wh)"""
     return base + "".join("," + _bpe_iter_cte(i)
