@@ -1009,8 +1009,8 @@ def bloom_contamination_hits(corpus: DataFrame, benchmark: DataFrame | None,
     negatives, FP rate set by the sizing constants above; pytest asserts
     the superset relation against the exact operator).
 
-    100 TB shape: the filter is a fixed 8 KB literal array, so the
-    membership test is fully ROW-LOCAL — three double-hashed integer
+    100 TB shape: the filter ships as one fixed-size hex-string literal
+    inside the plan itself, so the membership test is fully ROW-LOCAL — three double-hashed integer
     probes + bit tests per distinct n-gram (no hashing beyond the
     n-gram's own 48-bit key), zero joins, zero broadcast-build shuffle on the
     corpus side; the only corpus shuffle is the final per-doc count
