@@ -62,6 +62,7 @@ _VERIFY_FIRST = (
     "multimodal_audio_features",  # NEW: real WAV decode + signal feats
     "multimodal_frame_sample",    # NEW: real container demux + sampling
     "docs_cross_source_dup",      # NEW: cross-source duplication matrix
+    "emb_similarity_histogram",   # NEW: dedup-threshold calibration
     "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
     "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
     "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star

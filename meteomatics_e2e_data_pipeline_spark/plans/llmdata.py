@@ -1109,6 +1109,57 @@ FROM pairs WHERE cos_raw >= {COSINE_DUP_THRESHOLD}
 ORACLE_COSINE_NEAR_DUP = _oracle_cosine_near_dup()
 
 
+SIM_HIST_BIN = 10  # 0.1-wide cosine bins
+
+
+def q_emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for the cosine dedup family: the
+    distribution of pair similarities over ALL co-bucket pairs (no
+    threshold) in 0.1-wide bins — the plot you read before picking
+    `COSINE_DUP_THRESHOLD` (a bimodal histogram's valley is the
+    defensible cut; a unimodal one says the corpus has no duplicate
+    mode at all). Same trained-quantizer pair join as the near-dup
+    query, so cost and recall caveats are identical; the histogram adds
+    one map-side-combinable (bin) aggregate. Binning happens on the
+    6-dp-ROUNDED similarity on both engines so no bin edge can flip."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _trained_centroids(spark, sf_dir)
+    pairs = similarity.cosine_near_dup_pairs(emb, centroids,
+                                             threshold=-1.0)
+    bin_ = F.least(F.floor(F.col("cos_sim") * SIM_HIST_BIN),
+                   F.lit(SIM_HIST_BIN - 1)).cast("int")
+    return (
+        pairs.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select("bin",
+                F.round(F.col("bin") / float(SIM_HIST_BIN), 1).alias("lo"),
+                F.round((F.col("bin") + 1) / float(SIM_HIST_BIN), 1)
+                .alias("hi"),
+                "n_pairs")
+    )
+
+
+def _oracle_similarity_histogram() -> str:
+    iters = IVF_TRAIN_ITERS
+    body = ",\n".join(
+        _lloyd_assign_ctes(IVF_CENTROID_MAX_ID, EMB_DIM, iters))
+    return f"""
+WITH {body},
+pairs AS (
+  SELECT round({_duck_cos('a.v', 'b.v')}, 6) AS cos_sim
+  FROM a{iters} a JOIN a{iters} b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+b AS (SELECT least(floor(cos_sim * {SIM_HIST_BIN}),
+                   {SIM_HIST_BIN - 1})::INT AS bin FROM pairs)
+SELECT bin, round(bin / {float(SIM_HIST_BIN)}, 1) AS lo,
+       round((bin + 1) / {float(SIM_HIST_BIN)}, 1) AS hi,
+       count(*) AS n_pairs
+FROM b GROUP BY bin
+"""
+
+
 def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization — near-dup PAIRS collapsed into
     connected components with a deterministic min-doc-id keeper per
@@ -3000,6 +3051,7 @@ LLM_QUERIES = {
     "emb_ann_ivf_trained": q_emb_ann_ivf_trained,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
+    "emb_similarity_histogram": q_emb_similarity_histogram,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -3074,6 +3126,7 @@ def llm_oracle() -> dict[str, str]:
         "emb_ann_ivf_trained": _oracle_ann_ivf_trained(),
         "emb_ann_lsh": _oracle_ann_lsh(),
         "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
+        "emb_similarity_histogram": _oracle_similarity_histogram(),
         "multimodal_features": ORACLE_MULTIMODAL,
         "multimodal_audio_features": _oracle_audio_features(),
         "multimodal_frame_sample": _oracle_frame_sample(),
