@@ -36,6 +36,9 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                # per-TYPE sketch pair join (catalog-sized, never
                # data-sized) is a deliberate non-equi join
                "event_audience_overlap_approx",
+               # threshold-calibration histogram reuses the cosine
+               # near-dup pair join (ivf_assign broadcast scoring)
+               "emb_similarity_histogram",
                # 1-row corpus-stats crossJoin (N, avgdl) — bounded by
                # construction, see PLANS.md round-5 notes
                "docs_bm25_search"}
