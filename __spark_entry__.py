@@ -47,6 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # parametrizes ALL entries at sf0.01 every round).
 _VERIFY_FIRST = (
     # -- new this round: never driver-attested --
+    "important_parts_by_revenue",  # NEW: Q11-shape scalar-agg threshold
+    "large_volume_customers",     # NEW: Q18-shape semi-join on HAVING
+    "sole_return_suppliers",      # NEW: Q21-shape exists/not-exists
+    "events_sliding_reach_7d",    # NEW: sliding count-distinct window
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

@@ -1019,6 +1019,197 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# Correlated-subquery family (TPC-H Q11 / Q18 / Q21 topologies) — the three
+# classic shapes a warehouse user expects: scalar-aggregate threshold,
+# semi-join on a grouped HAVING, and EXISTS + NOT-EXISTS against the same
+# fact. Spark has no correlated-subquery DataFrame syntax; each is
+# re-expressed as the join the optimizer would decorrelate it into.
+# --------------------------------------------------------------------------
+
+# Q11-shape threshold: parts whose revenue exceeds this multiple of the
+# average part revenue (scale-invariant, unlike Q11's literal fraction —
+# 167 parts at sf0.01, 252 at sf0.1).
+IMPORTANT_PART_FACTOR = 1.3
+
+
+def q_important_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total revenue exceeds
+    ``IMPORTANT_PART_FACTOR`` × the average part revenue — the
+    scalar-aggregate-subquery topology. The threshold is a 1-row
+    aggregate OVER the per-part rollup (not the raw fact), broadcast
+    back against it: at 100 TB the rollup is |parts|-sized and the
+    scalar costs one extra reduce, never a second fact scan. Revenue is
+    2-dp-rounded BEFORE the average so both engines threshold identical
+    doubles (sum-order ulps otherwise make the cut nondeterministic);
+    the comparison margin between neighboring parts is ~1e3 while
+    cross-engine avg drift on identical inputs is ≤ ulps — no boundary
+    exposure."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("part_revenue"))
+    )
+    thr = rev.agg(
+        (F.avg("part_revenue") * F.lit(IMPORTANT_PART_FACTOR)).alias("thr"))
+    return (
+        rev.join(F.broadcast(thr), F.col("part_revenue") > F.col("thr"))
+        .join(part, rev.l_partkey == part.p_partkey)
+        .select(F.col("p_partkey").alias("partkey"),
+                F.col("p_name").alias("part_name"),
+                "part_revenue")
+    )
+
+
+ORACLE_IMPORTANT_PARTS = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey AS partkey, p_name AS part_name, part_revenue
+FROM rev JOIN part ON l_partkey = p_partkey
+WHERE part_revenue > {IMPORTANT_PART_FACTOR} * (SELECT avg(part_revenue) FROM rev)
+"""
+
+
+# Q18-shape threshold: orders whose total line quantity exceeds this
+# (874 orders at sf0.01, ~9.2k at sf0.1 — the "large volume" tail).
+LARGE_ORDER_QTY = 200
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind orders whose summed line
+    quantity exceeds ``LARGE_ORDER_QTY`` — the IN-(grouped-HAVING)
+    topology, decorrelated into a join against the qualifying rollup.
+    The quantity rollup is map-side-combinable on l_orderkey and the
+    HAVING filter shrinks it to the tail BEFORE it touches orders, so
+    the expensive fact never joins unfiltered; customer then joins the
+    surviving orders hash-on-key (AQE broadcasts it when the tail is
+    small). Quantities are integral doubles — sum order cannot change
+    the value, so the HAVING cut is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_QTY)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(F.col("c_custkey").alias("custkey"),
+                F.col("c_name").alias("customer_name"),
+                F.col("o_orderkey").alias("orderkey"),
+                F.col("o_orderdate").cast("date").alias("order_date"),
+                F.col("o_totalprice").alias("total_price"),
+                "total_qty")
+    )
+
+
+ORACLE_LARGE_VOLUME = f"""
+SELECT c_custkey AS custkey, c_name AS customer_name,
+       o_orderkey AS orderkey, o_orderdate::DATE AS order_date,
+       o_totalprice AS total_price, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > {LARGE_ORDER_QTY}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 topology (EXISTS + NOT EXISTS against the same fact),
+    keyed on l_returnflag since this schema carries no receipt dates:
+    suppliers who were the ONLY supplier with a returned ('R') line in a
+    multi-supplier order, counted per supplier. The two correlated
+    subqueries decorrelate into a left-semi (another supplier exists in
+    the order) and a left-anti (no OTHER supplier has an R line) against
+    per-order projections — both shuffle-keyed on l_orderkey with the
+    supplier-inequality as the residual condition, so per-key work is
+    bounded by order width (≤7 lines) at any corpus size. The R-side
+    inputs are distinct (orderkey, suppkey) pairs, never raw lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey").distinct())
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2")).distinct()
+    l3 = l1.select(F.col("l_orderkey").alias("o3"),
+                   F.col("l_suppkey").alias("s3"))
+    waiting = (
+        l1.join(l2, (l1.l_orderkey == F.col("o2"))
+                & (l1.l_suppkey != F.col("s2")), "left_semi")
+        .join(l3, (l1.l_orderkey == F.col("o3"))
+              & (l1.l_suppkey != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(F.col("s_suppkey").alias("suppkey"),
+                F.col("s_name").alias("supplier_name"), "numwait")
+    )
+
+
+ORACLE_SOLE_RETURN = """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier_name, count(*) AS numwait
+FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1, 2
+"""
+
+
+def q_events_sliding_reach_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the sliding-window
+    COUNT(DISTINCT) Spark's window frames cannot express (no DISTINCT
+    over a frame). Scale shape: dedupe to (user, day) pairs FIRST (one
+    map-side-combinable pass over the fact), then each pair fans out
+    row-locally to the ≤7 window-end days it covers via
+    explode(sequence(...)) and a single count_distinct per day finishes
+    — the shuffle is 7×|distinct pairs| at day grain, never 7× the raw
+    events. Window-end days are restricted to days observed in the data
+    (semi-join against the day spine) so both engines emit the same
+    domain."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (ev.select("user_id", F.to_date("ts").alias("day")).distinct())
+    days = pairs.select("day").distinct()
+    covered = pairs.select(
+        "user_id",
+        F.explode(F.expr(
+            "sequence(day, date_add(day, 6))")).alias("window_end"))
+    return (
+        covered.join(days, covered.window_end == days.day, "left_semi")
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(F.col("window_end").alias("day"), "users_7d")
+    )
+
+
+ORACLE_SLIDING_REACH = """
+WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+     days AS (SELECT DISTINCT day FROM pairs)
+SELECT d.day, count(DISTINCT p.user_id) AS users_7d
+FROM days d
+JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1055,6 +1246,10 @@ QUERIES = {
     "event_audience_overlap_exact": q_event_audience_overlap_exact,
     "event_audience_overlap_approx": q_event_audience_overlap_approx,
     "events_heavy_hitters": q_events_heavy_hitters,
+    "important_parts_by_revenue": q_important_parts_by_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "sole_return_suppliers": q_sole_return_suppliers,
+    "events_sliding_reach_7d": q_events_sliding_reach_7d,
 }
 
 ORACLE = {
@@ -1099,4 +1294,8 @@ ORACLE = {
     # event_audience_overlap_approx intentionally absent: HLL estimates
     # are engine-specific — rows-only, bounded by the exact twin + pytest.
     "events_heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "important_parts_by_revenue": ORACLE_IMPORTANT_PARTS,
+    "large_volume_customers": ORACLE_LARGE_VOLUME,
+    "sole_return_suppliers": ORACLE_SOLE_RETURN,
+    "events_sliding_reach_7d": ORACLE_SLIDING_REACH,
 }

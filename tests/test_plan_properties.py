@@ -41,7 +41,10 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                "emb_similarity_histogram",
                # 1-row corpus-stats crossJoin (N, avgdl) — bounded by
                # construction, see PLANS.md round-5 notes
-               "docs_bm25_search"}
+               "docs_bm25_search",
+               # 1-row scalar-aggregate threshold join (Q11 topology) —
+               # the broadcast side is a single row by construction
+               "important_parts_by_revenue"}
     for name in entrymod.queries():
         if "BroadcastNestedLoopJoin" in _plan(spark, name, sf_smoke):
             assert name in allowed, f"unexpected BNLJ in {name}"
