@@ -51,6 +51,9 @@ _VERIFY_FIRST = (
     "large_volume_customers",     # NEW: Q18-shape semi-join on HAVING
     "sole_return_suppliers",      # NEW: Q21-shape exists/not-exists
     "events_sliding_reach_7d",    # NEW: sliding count-distinct window
+    "emb_knn_int8_rerank",        # NEW: two-stage int8→exact funnel
+    "docs_bigram_nll",            # NEW: interpolated bigram LM scoring
+    "docs_token_len_histogram",   # NEW: power-of-two length profile
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

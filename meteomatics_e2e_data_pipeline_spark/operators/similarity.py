@@ -504,6 +504,52 @@ def knn_bruteforce_int8(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def knn_int8_rerank(corpus: DataFrame, queries: DataFrame, k: int,
+                    n_candidates: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval funnel: a cheap int8 compressed-domain pass
+    (:func:`knn_bruteforce_int8`) shortlists ``n_candidates`` per query,
+    then ONLY those pairs are re-scored at full precision and re-ranked
+    to top ``k`` — the production recall/cost pattern (coarse scan over
+    4×-fewer bytes, exact math over a per-query-bounded candidate set).
+
+    Scale shapes: the candidate list is |queries|·n_candidates rows —
+    broadcast against the corpus so the full-precision vectors of
+    non-candidates are pruned map-side and never shuffle; queries are
+    broadcast as in every knn operator. Both stage-2 joins are
+    equi-joins (BroadcastHashJoin), so the only nested-loop scan in the
+    plan is stage 1's deliberate compressed-domain pass. Ranking
+    tiebreaks on neighbor_id at both stages, making the funnel
+    deterministic end-to-end. Output: (query_id, neighbor_id, cos_sim,
+    rank) with full-precision cosine.
+    """
+    from pyspark.sql import Window
+
+    cand = knn_bruteforce_int8(corpus, queries, n_candidates,
+                               id_col, vec_col).select(
+        "query_id", "neighbor_id")
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("c_vec"))
+         .withColumn("__cn", _norm(F.col("c_vec"))))
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _PAIR_COS().alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): m sub-codebooks of n_cent entries each → a
 # vector compresses to m small codes (here 8 codes of 16 → 8×4 bits = 4

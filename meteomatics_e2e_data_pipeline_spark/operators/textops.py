@@ -415,3 +415,65 @@ def rrf_fuse(rankings, k: int, id_col: str = "doc_id",
         .orderBy(F.col("rrf_score").desc(), id_col)
         .limit(k)
     )
+
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight on the conditional bigram term
+
+
+def bigram_nll(docs: DataFrame, total_tokens: int, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Interpolated bigram-LM scoring (the KenLM-shaped upgrade of
+    :func:`unigram_logprob`): per document, the average negative
+    log-likelihood of its token bigrams under
+
+        p(w2|w1) = λ·c(w1,w2)/c(w1,·) + (1−λ)·c(w2)/N
+
+    with λ = ``BIGRAM_LAMBDA``, c(w1,·) the corpus count of bigrams
+    starting with w1 and N the corpus token count. The unigram backoff
+    makes every bigram's probability strictly positive, so unseen-pair
+    smoothing never divides by zero. Low scores mean formulaic text,
+    high scores mean token soup — the second-order signal quality
+    pipelines add when unigram NLL saturates.
+
+    Scale shapes: bigrams fan out ROW-LOCALLY from the token array (two
+    aligned slices zipped — no positional self-join, which would shuffle
+    the exploded corpus on (doc, pos)); all three count frames are
+    map-side-combinable hash aggregates keyed on bigrams or words, never
+    documents; the per-doc reduction folds tf·ln p in array-sorted
+    (w1, w2) order — the pinned-order sequential fold that keeps the
+    float sum engine-independent for the DuckDB oracle. Documents with
+    fewer than two tokens have no bigrams and drop out on both engines.
+    """
+    w = tokens(F.col(text_col))
+    tok = docs.select(id_col, w.alias("w")).filter(F.size("w") >= 2)
+    big = tok.select(
+        id_col,
+        F.explode(F.arrays_zip(
+            F.slice(F.col("w"), 1, F.size("w") - 1).alias("w1"),
+            F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2"))).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    tf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    cw1 = cb.groupBy("w1").agg(F.sum("cb").alias("cw1"))
+    cu = (docs.select(F.explode(tokens(F.col(text_col))).alias("w2"))
+          .groupBy("w2").agg(F.count(F.lit(1)).alias("cu")))
+    lam = float(BIGRAM_LAMBDA)
+    p = (F.lit(lam) * (F.col("cb").cast("double") / F.col("cw1").cast("double"))
+         + F.lit(1.0 - lam) * (F.col("cu").cast("double") / F.lit(float(total_tokens))))
+    per_pair = (
+        tf.join(cb, ["w1", "w2"]).join(cw1, "w1").join(cu, "w2")
+        .select(id_col, "w1", "w2", "tf",
+                (F.col("tf").cast("double") * F.log(p)).alias("v"))
+    )
+    return (
+        per_pair.groupBy(id_col)
+        .agg(F.sum("tf").alias("n_bigrams"),
+             F.aggregate(
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("w1"), F.col("w2"), F.col("v")))),
+                 F.lit(0.0), lambda acc, s: acc + s["v"]).alias("__s"))
+        .select(id_col,
+                F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+                F.round(-F.col("__s") / F.col("n_bigrams"), 6)
+                .alias("bigram_nll"))
+    )

@@ -2157,6 +2157,132 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+RERANK_C = 25   # stage-1 shortlist size for the two-stage funnel
+
+
+def q_emb_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval funnel: int8 compressed-domain shortlist of
+    ``RERANK_C`` candidates per query, full-precision cosine re-ranking
+    of only those pairs to top ``KNN_K`` — the coarse-scan → exact-rerank
+    recall/cost pattern every production vector store runs
+    (operators/similarity.py:knn_int8_rerank). The candidate list is
+    broadcast so non-candidate full-precision vectors prune map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_int8_rerank(emb, queries, KNN_K, RERANK_C)
+
+
+ORACLE_KNN_INT8_RERANK = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax FROM v),
+quant AS (SELECT vec_id,
+                 CASE WHEN amax = 0 THEN list_transform(v, x -> 0.0)
+                      ELSE list_transform(v, x -> round(x / (amax / 127.0)))
+                 END AS q
+          FROM s),
+q8 AS (SELECT vec_id AS query_id, q AS qv FROM quant
+       WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c8 AS (SELECT vec_id AS neighbor_id, q AS cv FROM quant),
+coarse AS (
+  SELECT query_id, neighbor_id, {_DUCK_COS} AS cos8
+  FROM q8, c8 WHERE neighbor_id != query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos8 DESC, neighbor_id) AS r8
+        FROM coarse)
+  WHERE r8 <= {RERANK_C}
+),
+exact AS (
+  SELECT query_id, neighbor_id, {_DUCK_COS} AS cos_raw
+  FROM cand
+  JOIN (SELECT vec_id, v AS qv FROM v) q ON q.vec_id = cand.query_id
+  JOIN (SELECT vec_id, v AS cv FROM v) c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def q_docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality score: per-doc average negative
+    log-likelihood of token bigrams under λ·p(w2|w1) + (1−λ)·p(w2) —
+    the KenLM-shaped second-order signal beside ``docs_unigram_nll``
+    (operators/textops.py:bigram_nll — row-local bigram fan-out,
+    pinned-order fold for float parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))))
+    return textops.bigram_nll(docs, tok.count())
+
+
+def _oracle_bigram_nll() -> str:
+    from ..operators.textops import BIGRAM_LAMBDA
+
+    lam = float(BIGRAM_LAMBDA)
+    return rf"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+big AS (SELECT doc_id, w[g] AS w1, w[g + 1] AS w2
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, length(w) - 1)) AS g
+              FROM t WHERE length(w) >= 2)),
+tf AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf FROM big GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, sum(tf)::BIGINT AS cb FROM tf GROUP BY 1, 2),
+cw1 AS (SELECT w1, sum(cb)::BIGINT AS cw1 FROM cb GROUP BY 1),
+tokc AS (SELECT t AS w2, count(*)::BIGINT AS cu
+         FROM (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents) GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)),
+pv AS (SELECT doc_id, w1, w2, tf,
+              tf::DOUBLE * ln({lam!r} * (cb::DOUBLE / cw1::DOUBLE)
+                              + {1.0 - lam!r} * (cu::DOUBLE / n::DOUBLE)) AS v
+       FROM tf JOIN cb USING (w1, w2) JOIN cw1 USING (w1)
+            JOIN tokc USING (w2), tot)
+SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+       round(-list_aggregate(list(v ORDER BY w1, w2), 'sum')
+             / sum(tf)::BIGINT, 6) AS bigram_nll
+FROM pv GROUP BY doc_id
+"""
+
+
+def q_docs_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: per-doc token counts bucketed by power of
+    two (2^b ≤ n < 2^{b+1}) with per-bucket doc counts, extremes, and
+    token mass — the sizing table behind sequence-packing and truncation
+    decisions. The bucket index is integer-exact on both engines
+    (length of the binary representation, never floating log2); one
+    map-side-combinable aggregate per grain, corpus never windowed."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    return (
+        n.withColumn("bucket",
+                     (F.length(F.expr("bin(n_tokens)")) - 1).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_tokens").alias("min_tokens"),
+             F.max("n_tokens").alias("max_tokens"),
+             F.sum("n_tokens").alias("total_tokens"))
+    )
+
+
+ORACLE_TOKEN_LEN_HISTOGRAM = f"""
+WITH n AS (SELECT length({_DUCK_TOKENS})::BIGINT AS n_tokens FROM documents)
+SELECT (length(bin(n_tokens)) - 1)::INT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM n GROUP BY 1
+"""
+
+
 PQ_M = 8        # subspaces → EMB_DIM/PQ_M dims each
 PQ_NCENT = 16   # codebook entries per subspace (4-bit codes)
 PQ_K = 5
@@ -3009,6 +3135,7 @@ LLM_QUERIES = {
     "docs_redacted": q_docs_redacted,
     "emb_quantize_int8": q_emb_quantize_int8,
     "emb_knn_int8": q_emb_knn_int8,
+    "emb_knn_int8_rerank": q_emb_knn_int8_rerank,
     "multimodal_resized": q_multimodal_resized,
     "docs_training_mix": q_docs_training_mix,
     "docs_domain_cap": q_docs_domain_cap,
@@ -3029,6 +3156,8 @@ LLM_QUERIES = {
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_quality_percentile": q_docs_quality_percentile,
     "docs_unigram_nll": q_docs_unigram_nll,
+    "docs_bigram_nll": q_docs_bigram_nll,
+    "docs_token_len_histogram": q_docs_token_len_histogram,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_oov_rate": q_docs_oov_rate,
     "emb_pq_codes": q_emb_pq_codes,
@@ -3085,6 +3214,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_redacted": _oracle_redacted(),
         "emb_quantize_int8": ORACLE_QUANTIZE_INT8,
         "emb_knn_int8": ORACLE_KNN_INT8,
+        "emb_knn_int8_rerank": ORACLE_KNN_INT8_RERANK,
         "multimodal_resized": _oracle_multimodal_resized(),
         "docs_training_mix": _oracle_training_mix(),
         "docs_domain_cap": _oracle_domain_cap(),
@@ -3105,6 +3235,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_weighted_sample": _oracle_weighted_sample(),
         "docs_quality_percentile": _oracle_quality_percentile(),
         "docs_unigram_nll": _oracle_unigram_nll(),
+        "docs_bigram_nll": _oracle_bigram_nll(),
+        "docs_token_len_histogram": ORACLE_TOKEN_LEN_HISTOGRAM,
         "docs_dup_spans": _oracle_dup_spans(),
         "docs_oov_rate": _oracle_oov_rate(),
         "emb_pq_codes": _oracle_pq_codes(),

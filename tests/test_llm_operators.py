@@ -1488,3 +1488,58 @@ def test_bmp_container_demux_and_decode_seam():
     # trailing garbage after a valid frame must not pass silently
     with pytest.raises(NotImplementedError):
         M.split_bmp_container(frames[0] + b"xx")
+
+
+def test_int8_rerank_funnel_properties(spark, sf_oracle):
+    """The two-stage funnel must (a) equal full-precision brute force
+    when the shortlist covers the whole corpus, and (b) achieve high
+    recall@k at the production shortlist size."""
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        knn_bruteforce, knn_int8_rerank)
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        KNN_K, KNN_QUERY_MAX_ID, RERANK_C)
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    n = emb.count()
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in knn_bruteforce(emb, queries, KNN_K).collect()}
+    # (a) shortlist == corpus ⇒ the funnel IS brute force
+    full = {(r.query_id, r.rank): r.neighbor_id
+            for r in knn_int8_rerank(emb, queries, KNN_K, n).collect()}
+    assert full == exact
+    # (b) at the production shortlist the funnel recovers nearly all of
+    # the true top-k (int8 quantization noise can drop a straggler)
+    funnel = knn_int8_rerank(emb, queries, KNN_K, RERANK_C).collect()
+    got = {(r.query_id, r.neighbor_id) for r in funnel}
+    want = {(q, nb) for (q, _), nb in exact.items()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"funnel recall@{KNN_K} = {recall}"
+
+
+def test_bigram_nll_matches_hand_computation(spark):
+    """Interpolated bigram NLL on a 2-doc corpus, checked against the
+    closed-form probabilities computed by hand."""
+    import math
+
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        BIGRAM_LAMBDA, bigram_nll)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    # corpus tokens: a b a b a b c x → N=8; unigrams a:3 b:3 c:1 x:1
+    # bigrams: (a,b)x3 (b,a)x1 (b,c)x1 ; cw1: a·=3, b·=2
+    out = {r.doc_id: r for r in bigram_nll(docs, 8).collect()}
+    lam = BIGRAM_LAMBDA
+    p_ab = lam * (3 / 3) + (1 - lam) * (3 / 8)
+    p_ba = lam * (1 / 2) + (1 - lam) * (3 / 8)
+    p_bc = lam * (1 / 2) + (1 - lam) * (1 / 8)
+    d1 = -(2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    d2 = -(1 * math.log(p_ab) + 1 * math.log(p_bc)) / 2
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 2
+    assert abs(out[1].bigram_nll - round(d1, 6)) < 1e-9
+    assert abs(out[2].bigram_nll - round(d2, 6)) < 1e-9
+    assert 3 not in out  # single-token doc has no bigrams

@@ -28,6 +28,9 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
     # quantizer-assignment similarity queries (see PLANS.md).
     allowed = {"emb_knn_bruteforce", "emb_knn_vectorized", "emb_ann_ivf",
                "emb_ann_ivf_trained", "emb_cosine_near_dup", "emb_knn_int8",
+               # stage-1 of the two-stage funnel is the int8 pass above;
+               # its stage-2 joins are broadcast HASH joins by design
+               "emb_knn_int8_rerank",
                "emb_pq_codes", "emb_knn_pq", "emb_ann_ivfpq",
                "emb_knn_pq_trained", "emb_knn_filtered",
                # these compose knn_bruteforce / bm25_search, so they
