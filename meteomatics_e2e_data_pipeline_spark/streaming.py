@@ -487,3 +487,88 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str,
+                             checkpoint_path: str, query_name: str,
+                             attribution_window: str = "30 minutes",
+                             watermark: str = "1 hour") -> None:
+    """Stream–stream interval join (the attribution shape): every click
+    joins the SAME user's views whose timestamp precedes it by at most
+    ``attribution_window``. Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can size the join
+    state to watermark + window and evict monotonically — unbounded
+    stream-stream joins without a time bound are rejected by the engine
+    for exactly the 100 TB reason. Inner joins emit every match
+    regardless of watermark progress (the watermark only gates state
+    EVICTION), so an availableNow pass over a static directory emits the
+    complete pair set — asserted against the equivalent batch interval
+    join in pytest. Both inputs branch off ONE streaming scan (a
+    streaming self-join), not two separate sources.
+
+    Memory sink under ``query_name``; append mode.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id",
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("click_user"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts")
+               <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")))
+        .select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_sliding_reach(spark: SparkSession, sf_dir: str,
+                         checkpoint_path: str, query_name: str,
+                         watermark: str = "1 day") -> None:
+    """Streaming twin of the batch ``events_sliding_reach_7d`` query:
+    trailing-7-day distinct users via a NATIVE sliding window aggregate
+    (``F.window(ts, '7 days', '1 day')`` — each event lands in exactly 7
+    window states) with ``approx_count_distinct``, because exact
+    streaming COUNT(DISTINCT) would need unbounded per-window identity
+    state — the HLL sketch is the production answer, and pytest bounds
+    it within 5% of the exact batch value per closed window. Sliding
+    windows are epoch-aligned, so a window ENDING at midnight of day
+    D+1 covers days [D−6, D] — the same trailing frame as the batch
+    query's window_end = D. Append mode emits a window once the
+    watermark passes its end.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users_7d"))
+        .select(F.date_sub(F.col("w.end").cast("date"), 1).alias("day"),
+                "approx_users_7d")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -351,3 +351,69 @@ def test_stream_heavy_hitters_bounded_state_invariants(spark, tmp_path):
     for u, c in truth.items():
         if c > dec:
             assert u in got                       # heavy keys survive
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
+    """Inner stream-stream joins emit every match (watermarks only gate
+    state eviction), so one availableNow pass must equal the batch
+    interval join exactly."""
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_click_attribution,
+    )
+
+    name = "attribution_test"
+    stream_click_attribution(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    ev = load_table(spark, EVENTS_DIR, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("view_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts")))
+    batch = (
+        views.join(clicks,
+                   (F.col("user_id") == F.col("click_user"))
+                   & (F.col("click_ts") >= F.col("view_ts"))
+                   & (F.col("click_ts")
+                      <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")))
+        .select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert len(want) > 0
+    assert got == want
+
+
+def test_stream_sliding_reach_tracks_batch_exact(spark, tmp_path):
+    """Closed sliding windows must land within the HLL error envelope of
+    the exact batch trailing-7d distinct count for the same day."""
+    import datetime as dt
+
+    from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
+        q_events_sliding_reach_7d,
+    )
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_sliding_reach,
+    )
+
+    name = "sliding_reach_test"
+    stream_sliding_reach(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    got = {r.day: r.approx_users_7d
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert len(got) > 0
+
+    exact = {r.day: r.users_7d
+             for r in q_events_sliding_reach_7d(spark, EVENTS_DIR).collect()}
+    ev = load_table(spark, EVENTS_DIR, "events")
+    max_day = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    # append mode: only windows closed by the watermark are emitted, and
+    # the streaming frame also covers days before the data start (the
+    # batch query restricts to observed days) — compare the overlap
+    checked = 0
+    for day, approx in got.items():
+        if day in exact and day < max_day - dt.timedelta(days=2):
+            assert abs(approx - exact[day]) / exact[day] <= 0.05, day
+            checked += 1
+    assert checked > 0
