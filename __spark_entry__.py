@@ -54,6 +54,7 @@ _VERIFY_FIRST = (
     "emb_knn_int8_rerank",        # NEW: two-stage int8→exact funnel
     "docs_bigram_nll",            # NEW: interpolated bigram LM scoring
     "docs_token_len_histogram",   # NEW: power-of-two length profile
+    "emb_pca1_projection",        # NEW: power-iteration principal axis
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

@@ -504,6 +504,72 @@ def knn_bruteforce_int8(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def pca1_projection(corpus: DataFrame, dim: int, iters: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    extra_cols: tuple = ("label",)) -> DataFrame:
+    """Principal-axis projection via FIXED-step power iteration — the
+    embedding-whitening/variance-screen primitive (what SemDeDup-style
+    pipelines run before clustering, and the 1-D shadow of a PCA
+    dimensionality cut). Mean-centers the corpus, then iterates
+    v ← normalize(Σ_i (x_i·v)·x_i) from the deterministic seed e₀ for
+    ``iters`` steps, and emits each vector's projection onto the
+    resulting direction. Each step provably raises the captured
+    variance (Rayleigh quotient); convergence to the true top
+    eigenvector needs O(log(dim)/log(λ1/λ2)) steps, so size ``iters``
+    to the corpus' eigengap (the near-isotropic synthetic corpus would
+    need hundreds — the fixed default keeps the demonstration and its
+    unrolled oracle bounded, exactly like the Lloyd-iteration caps).
+
+    Determinism/parity: every cross-row reduction (the per-dimension
+    mean and the per-dimension Σ w·x) is an EXACT decimal(25,12) sum —
+    order-free — rounded to 6 dp on conversion back to double, the same
+    discipline as ``train_ivf_centroids``; normalization is row-free
+    double math (IEEE sqrt/division are correctly rounded), so a DuckDB
+    oracle can unroll the loop as CTEs and hash-match bit-for-bit.
+
+    Scale shapes: each iteration is one corpus stream (broadcast
+    64-double direction, posexplode, map-side-combinable decimal sums to
+    exactly ``dim`` rows) and a ``dim``-row driver collect — the same
+    bounded driver loop as Lloyd training; the corpus is persisted
+    centered so iterations re-scan the projected columns only. Driver
+    state is O(dim·iters), never O(rows).
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    x = corpus.select(id_col, *extra_cols,
+                      F.col(vec_col).cast("array<double>").alias("__v"))
+    mrows = (x.select(F.posexplode("__v").alias("pos", "xj"))
+             .groupBy("pos")
+             .agg(F.sum(F.col("xj").cast("decimal(25,12)")).alias("s"),
+                  F.count(F.lit(1)).alias("n"))
+             .orderBy("pos").collect())
+    mu = [round(float(r["s"]) / float(r["n"]), 6) for r in mrows]
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    xc = (x.withColumn("__c", F.zip_with(F.col("__v"), mu_lit,
+                                         lambda a, b: a - b))
+          .drop("__v").persist(StorageLevel.MEMORY_AND_DISK))
+    v = [1.0] + [0.0] * (dim - 1)
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(float(c)) for c in v])
+        urows = (
+            xc.select(_dot(F.col("__c"), vlit).alias("w"),
+                      F.posexplode("__c").alias("pos", "xj"))
+            .groupBy("pos")
+            .agg(F.sum((F.col("w") * F.col("xj"))
+                       .cast("decimal(25,12)")).alias("s"))
+            .orderBy("pos").collect())
+        u = [round(float(r["s"]), 6) for r in urows]
+        nrm = math.sqrt(sum(c * c for c in u))
+        v = [c / nrm for c in u]
+    vfin = F.array(*[F.lit(float(c)) for c in v])
+    return (
+        xc.select(id_col, *extra_cols,
+                  F.round(_dot(F.col("__c"), vfin), 6).alias("pc1"))
+    )
+
+
 def knn_int8_rerank(corpus: DataFrame, queries: DataFrame, k: int,
                     n_candidates: int, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

@@ -2300,6 +2300,54 @@ FROM n GROUP BY 1
 """
 
 
+PCA_ITERS = 4   # fixed power-iteration steps (oracle unrolls them)
+
+
+def q_emb_pca1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-axis projection via fixed-step power iteration — the
+    variance screen / whitening primitive
+    (operators/similarity.py:pca1_projection). Mean-centering and every
+    Σ w·x are exact decimal sums rounded at 6 dp, normalization is
+    row-free double math, so the fixed-iteration loop unrolls into the
+    DuckDB oracle below exactly like the Lloyd unrolls of the trained
+    ANN queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca1_projection(emb, EMB_DIM, PCA_ITERS)
+
+
+def _oracle_pca1() -> str:
+    dim = EMB_DIM
+    parts = [f"""
+WITH x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+mdims AS (SELECT i AS pos,
+                 round((sum(v[i + 1]::DECIMAL(25,12)))::DOUBLE
+                       / count(*), 6) AS m
+          FROM x CROSS JOIN range(0, {dim}) t(i) GROUP BY 1),
+mu AS (SELECT list(m ORDER BY pos) AS mv FROM mdims),
+xc AS (SELECT vec_id, label,
+              list_transform(range(1, {dim} + 1), i -> v[i] - mv[i]) AS c
+       FROM x, mu),
+v0 AS (SELECT list_transform(range(0, {dim}),
+                             i -> CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END)
+              AS vec)"""]
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(f""",
+w{k} AS (SELECT vec_id, c,
+              list_dot_product(c, (SELECT vec FROM v{k - 1})) AS w FROM xc),
+u{k} AS (SELECT i AS pos,
+              round((sum((w * c[i + 1])::DECIMAL(25,12)))::DOUBLE, 6) AS u
+         FROM w{k} CROSS JOIN range(0, {dim}) t(i) GROUP BY 1),
+n{k} AS (SELECT sqrt(list_aggregate(list(u * u ORDER BY pos), 'sum'))
+                AS nrm FROM u{k}),
+v{k} AS (SELECT list(u / nrm ORDER BY pos) AS vec FROM u{k}, n{k})""")
+    parts.append(f"""
+SELECT vec_id, label,
+       round(list_dot_product(c, (SELECT vec FROM v{PCA_ITERS})), 6) AS pc1
+FROM xc""")
+    return "".join(parts)
+
+
 PQ_M = 8        # subspaces → EMB_DIM/PQ_M dims each
 PQ_NCENT = 16   # codebook entries per subspace (4-bit codes)
 PQ_K = 5
@@ -3153,6 +3201,7 @@ LLM_QUERIES = {
     "emb_quantize_int8": q_emb_quantize_int8,
     "emb_knn_int8": q_emb_knn_int8,
     "emb_knn_int8_rerank": q_emb_knn_int8_rerank,
+    "emb_pca1_projection": q_emb_pca1_projection,
     "multimodal_resized": q_multimodal_resized,
     "docs_training_mix": q_docs_training_mix,
     "docs_domain_cap": q_docs_domain_cap,
@@ -3232,6 +3281,7 @@ def llm_oracle() -> dict[str, str]:
         "emb_quantize_int8": ORACLE_QUANTIZE_INT8,
         "emb_knn_int8": ORACLE_KNN_INT8,
         "emb_knn_int8_rerank": ORACLE_KNN_INT8_RERANK,
+        "emb_pca1_projection": _oracle_pca1(),
         "multimodal_resized": _oracle_multimodal_resized(),
         "docs_training_mix": _oracle_training_mix(),
         "docs_domain_cap": _oracle_domain_cap(),

@@ -1543,3 +1543,40 @@ def test_bigram_nll_matches_hand_computation(spark):
     assert abs(out[1].bigram_nll - round(d1, 6)) < 1e-9
     assert abs(out[2].bigram_nll - round(d2, 6)) < 1e-9
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_pca1_matches_numpy_power_iteration(spark, sf_oracle):
+    """The distributed fixed-step power iteration must reproduce a numpy
+    replica of the same algorithm (projection corr ≈ 1 despite the
+    6-dp parity rounding), and each power step can only RAISE the
+    Rayleigh quotient, so the emitted direction must carry at least the
+    seed axis e₀'s variance. (The synthetic embeddings are near
+    isotropic — eigengap λ1/λ2 ≈ 1.013 — so converging to the true top
+    eigenvector is not an achievable 4-step property; algorithm
+    fidelity and monotonicity are.)"""
+    import numpy as np
+
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        pca1_projection)
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        EMB_DIM, PCA_ITERS)
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    v = np.zeros(EMB_DIM)
+    v[0] = 1.0
+    for _ in range(PCA_ITERS):
+        u = Xc.T @ (Xc @ v)
+        v = u / np.linalg.norm(u)
+    ref = Xc @ v
+
+    got = {r.vec_id: r.pc1
+           for r in pca1_projection(emb, EMB_DIM, PCA_ITERS).collect()}
+    ours = np.array([got[r.vec_id] for r in rows])
+    corr = abs(np.corrcoef(ours, ref)[0, 1])
+    assert corr > 0.9999, corr
+    assert ours.var() >= Xc[:, 0].var() * (1 - 1e-9)
