@@ -55,6 +55,9 @@ _VERIFY_FIRST = (
     "docs_bigram_nll",            # NEW: interpolated bigram LM scoring
     "docs_token_len_histogram",   # NEW: power-of-two length profile
     "emb_pca1_projection",        # NEW: power-iteration principal axis
+    "customer_cohort_retention",  # NEW: first-order-month cohorts
+    "sql_order_grouping_sets",    # NEW: SQL-text GROUPING SETS
+    "orders_data_profile",        # NEW: per-column quality profile
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

@@ -76,3 +76,40 @@ def compact_parquet(spark: SparkSession, path: str,
     fs.delete(backup, True)
     after = count_files(hpath)
     return {"files_before": before, "files_after": after, "rows": rows}
+
+
+def profile_table(df, cols=None):
+    """Data-quality profile: one output row per column with row count,
+    null count, null fraction, and exact distinct count — the summary a
+    warehouse surfaces as ``DESCRIBE``/``ANALYZE`` statistics and the
+    first artifact a curation pipeline materializes per ingest.
+
+    Scale shapes: a SINGLE aggregation pass computes every column's
+    metrics (Spark plans the multi-distinct via one Expand — ~|cols|×
+    row duplication map-side, one shuffle keyed on the expand id; for
+    very wide tables at extreme scale swap exact distincts for
+    approx_count_distinct per column). The per-column unpivot happens on
+    the 1-row aggregate, so it is free. Values (min/max/avg) are left
+    out deliberately: stringified extremes are type- and engine-
+    dependent, while the count metrics are exact and portable.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .cast("bigint").alias(f"__nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}" for c in cols)
+    return (
+        one.select(
+            F.col("__n").alias("n_rows"),
+            F.expr(f"stack({len(cols)}, {stack})")
+            .alias("column", "n_nulls", "n_distinct"))
+        .select("column", "n_rows", "n_nulls", "n_distinct",
+                F.round(F.col("n_nulls") / F.col("n_rows"), 6)
+                .alias("null_frac"))
+    )

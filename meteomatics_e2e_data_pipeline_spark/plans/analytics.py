@@ -1210,6 +1210,102 @@ GROUP BY d.day
 """
 
 
+def q_customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention on orders: customers grouped by first-order
+    month, distinct actives counted at each month offset — the
+    triangle every growth dashboard draws. Month arithmetic stays in
+    integers (year·12+month) so offsets are exact on both engines; the
+    cohort frame is |customers|-sized and joins the fact hash-on-key
+    (the fact is never windowed), then one distinct-count per
+    (cohort, offset) cell finishes map-side-combinable."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("mkey"))
+    cohort = om.groupBy("o_custkey").agg(F.min("mkey").alias("cohort_key"))
+    return (
+        om.join(cohort, "o_custkey")
+        .groupBy("cohort_key", (F.col("mkey") - F.col("cohort_key"))
+                 .alias("month_offset"))
+        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+        .select(F.make_date(F.floor(F.col("cohort_key") / 12).cast("int"),
+                            F.col("cohort_key") % 12 + 1, F.lit(1))
+                .alias("cohort_month"),
+                F.col("month_offset").cast("int").alias("month_offset"),
+                "n_customers")
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH om AS (SELECT o_custkey,
+                   (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT
+                     AS mkey
+            FROM orders),
+cohort AS (SELECT o_custkey, min(mkey) AS cohort_key FROM om GROUP BY 1)
+SELECT make_date((cohort_key // 12)::INT, (cohort_key % 12 + 1)::INT, 1)
+         AS cohort_month,
+       (mkey - cohort_key)::INT AS month_offset,
+       count(DISTINCT om.o_custkey) AS n_customers
+FROM om JOIN cohort USING (o_custkey)
+GROUP BY cohort_key, mkey - cohort_key
+"""
+
+
+def q_sql_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text API: explicit GROUPING SETS over orders — the
+    middle ground rollup/cube can't express (each single-dimension
+    margin WITHOUT the cross cells), plus grouping() flags to
+    disambiguate aggregation NULLs from data NULLs. Same partial-agg
+    Expand strategy as the rollup/cube queries."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       (CASE WHEN grouping(o_orderstatus) THEN 1 ELSE 0 END)::TINYINT
+         AS g_status,
+       (CASE WHEN grouping(o_orderpriority) THEN 1 ELSE 0 END)::TINYINT
+         AS g_priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table — row count,
+    null count/fraction, exact distinct count — the ANALYZE-statistics
+    artifact a curation pipeline materializes per ingest
+    (operators/maintenance.py:profile_table; single multi-distinct
+    aggregation pass, unpivot on the 1-row result)."""
+    from ..operators.maintenance import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+def _oracle_orders_profile() -> str:
+    cols = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+    parts = [f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       round((count(*) - count({c})) / count(*)::DOUBLE, 6) AS null_frac
+FROM orders""" for c in cols]
+    return "\nUNION ALL".join(parts)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1250,6 +1346,9 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "sole_return_suppliers": q_sole_return_suppliers,
     "events_sliding_reach_7d": q_events_sliding_reach_7d,
+    "customer_cohort_retention": q_customer_cohort_retention,
+    "sql_order_grouping_sets": q_sql_order_grouping_sets,
+    "orders_data_profile": q_orders_data_profile,
 }
 
 ORACLE = {
@@ -1298,4 +1397,7 @@ ORACLE = {
     "large_volume_customers": ORACLE_LARGE_VOLUME,
     "sole_return_suppliers": ORACLE_SOLE_RETURN,
     "events_sliding_reach_7d": ORACLE_SLIDING_REACH,
+    "customer_cohort_retention": ORACLE_COHORT_RETENTION,
+    "sql_order_grouping_sets": ORACLE_GROUPING_SETS,
+    "orders_data_profile": _oracle_orders_profile(),
 }
