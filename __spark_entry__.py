@@ -58,6 +58,7 @@ _VERIFY_FIRST = (
     "customer_cohort_retention",  # NEW: first-order-month cohorts
     "sql_order_grouping_sets",    # NEW: SQL-text GROUPING SETS
     "orders_data_profile",        # NEW: per-column quality profile
+    "docs_pagerank",              # NEW: dup-graph centrality
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

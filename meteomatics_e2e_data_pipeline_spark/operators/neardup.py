@@ -1045,3 +1045,61 @@ def bloom_contamination_hits(corpus: DataFrame, benchmark: DataFrame | None,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
     )
+
+
+PAGERANK_D = 0.85
+
+
+def pagerank(pairs: DataFrame, iters: int = 3, d: float = PAGERANK_D,
+             src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """PageRank over the (undirected) duplicate graph — the centrality
+    signal for picking a cluster's canonical representative (the most-
+    connected member rather than min-id) and for spotting template hubs
+    that near-duplicate into everything. Fixed ``iters`` steps of
+
+        pr(v) ← (1−d)/N + d·Σ_{u∼v} pr(u)/deg(u)
+
+    from the uniform start. The symmetric edge set means every node has
+    degree ≥ 1 and receives a contribution each step, so no dangling-
+    mass term is needed.
+
+    Determinism/parity: neighbor sums are exact decimal(38,18) sums of
+    identically-computed doubles, rounded at 12 dp on conversion back —
+    order-free across partitions, so the fixed-iteration loop unrolls
+    into a DuckDB oracle like the Lloyd and power-iteration unrolls.
+    Scale shapes: each step is one shuffle keyed on the destination
+    node (partial-aggregatable); state per iteration is |nodes| rows,
+    localCheckpointed to cut lineage exactly like label propagation in
+    :func:`dup_clusters`. Per-key work is bounded by degree; a template
+    hub with extreme degree is the same skew exposure as the cluster
+    ops (AQE skew-join handles it at scale).
+
+    Output: (doc_id, degree, pagerank) for every node of the graph.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"),
+                                  F.col(src).alias("v")))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    base = (1.0 - d) / n
+    pr = deg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        wt = (pr.join(deg, pr.node == deg.u)
+              .select("u", (F.col("pr") / F.col("deg")).alias("w")))
+        pr = (
+            edges.join(wt, "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.round(F.sum(F.col("w").cast("decimal(38,18)"))
+                         .cast("double"), 12).alias("s"))
+            .select("node",
+                    (F.lit(base) + F.lit(d) * F.col("s")).alias("pr"))
+            .localCheckpoint()
+        )
+    return (
+        pr.join(deg, pr.node == deg.u)
+        .select(F.col("node").alias("doc_id"),
+                F.col("deg").cast("bigint").alias("degree"),
+                F.round("pr", 6).alias("pagerank"))
+    )

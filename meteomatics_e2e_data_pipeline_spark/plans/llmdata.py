@@ -1173,6 +1173,48 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.dup_clusters(pairs)
 
 
+PR_ITERS = 3
+
+
+def q_docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup graph — ranks duplicate-
+    cluster members by connectedness (canonical-pick signal; template
+    hubs surface with top scores). Fixed-step iteration with exact
+    decimal neighbor sums, so the loop unrolls into the DuckDB oracle
+    like the Lloyd/power-iteration unrolls
+    (operators/neardup.py:pagerank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup.near_dup_pairs(docs, n=SHINGLE_N,
+                                   threshold=NEARDUP_THRESHOLD)
+    return neardup.pagerank(pairs, iters=PR_ITERS)
+
+
+def _oracle_pagerank() -> str:
+    from ..operators.neardup import PAGERANK_D
+
+    d = PAGERANK_D
+    parts = [f"""
+WITH pairs AS ({_oracle_near_dup()}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS cnt FROM deg),
+pr0 AS (SELECT u AS node, 1.0 / cnt AS pr FROM deg, nn)"""]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(f""",
+s{k} AS (SELECT e.v AS node,
+              round((sum((p.pr / dg.deg)::DECIMAL(38,18)))::DOUBLE, 12) AS s
+         FROM edges e
+         JOIN pr{k - 1} p ON e.u = p.node
+         JOIN deg dg ON dg.u = e.u
+         GROUP BY e.v),
+pr{k} AS (SELECT node, (1 - {d!r}) / cnt + {d!r} * s AS pr FROM s{k}, nn)""")
+    parts.append(f"""
+SELECT p.node AS doc_id, dg.deg AS degree, round(p.pr, 6) AS pagerank
+FROM pr{PR_ITERS} p JOIN deg dg ON dg.u = p.node""")
+    return "".join(parts)
+
+
 # Prior corpus-only near-dup labels, materialized once per sf_dir (the
 # previous ingest's written label table in production). Tiny by
 # construction — one row per document that sits in a near-dup cluster.
@@ -3191,6 +3233,7 @@ LLM_QUERIES = {
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "docs_dup_clusters": q_docs_dup_clusters,
+    "docs_pagerank": q_docs_pagerank,
     "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
@@ -3268,6 +3311,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),
         "docs_dup_clusters": _oracle_dup_clusters(),
+        "docs_pagerank": _oracle_pagerank(),
         # incremental maintenance must be indistinguishable from the
         # batch recompute — it shares the batch oracle verbatim
         "docs_dup_clusters_incremental": _oracle_dup_clusters(),

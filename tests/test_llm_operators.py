@@ -1580,3 +1580,28 @@ def test_pca1_matches_numpy_power_iteration(spark, sf_oracle):
     corr = abs(np.corrcoef(ours, ref)[0, 1])
     assert corr > 0.9999, corr
     assert ours.var() >= Xc[:, 0].var() * (1 - 1e-9)
+
+
+def test_pagerank_mass_and_hub_ordering(spark):
+    """On a star graph the hub must dominate; total mass stays ~1 (the
+    symmetric graph has no dangling leak) and one closed-form leaf/hub
+    iteration is reproduced exactly."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        PAGERANK_D, pagerank)
+
+    # star: 0 — {1,2,3,4}
+    pairs = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3, 4)], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in pagerank(pairs, iters=3).collect()}
+    assert out[0].degree == 4 and out[1].degree == 1
+    assert out[0].pagerank > out[1].pagerank
+    assert out[1].pagerank == out[2].pagerank == out[3].pagerank
+    mass = sum(r.pagerank for r in out.values())
+    assert abs(mass - 1.0) < 1e-4
+    # closed form after one step from uniform 1/5:
+    #   hub: (1-d)/5 + d * 4 * (1/5)/1 ; leaf: (1-d)/5 + d * (1/5)/4
+    d = PAGERANK_D
+    hub1, leaf1 = (1 - d) / 5 + d * 4 / 5, (1 - d) / 5 + d / 20
+    one = {r.doc_id: r.pagerank
+           for r in pagerank(pairs, iters=1).collect()}
+    assert abs(one[0] - hub1) < 1e-6 and abs(one[1] - leaf1) < 1e-6
