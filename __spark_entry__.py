@@ -36,15 +36,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-6 rotation (VERDICT r5 directive #4): lead with everything new or
 # touched by this round's changes, then the r3-dated rows (the oldest
-# attestations left), then the round-4-attested LLM-data block — after this
-# round no query's newest driver row is older than round 4. The fourteen
-# continuation additions (domain cap, ANN recall, MAD anomaly, Bloom
-# decontamination, z-order, SQL dedup twin, audience overlap ×2, heavy
-# hitters, approx percentiles, BPE ×2) take the head, displacing ~14 more
-# r4-green entries past position 50 alongside the 7 row-local ones already
-# deferred — all rotate in next round; every rotated-out query stays
-# covered by the local DuckDB mirror (tests/test_oracle_parity.py
-# parametrizes ALL entries at sf0.01 every round).
+# attestations left), then the round-4-attested LLM-data block. The round's
+# additions now head the list: twelve second-session queries (Q11/Q18/Q21
+# topologies, sliding reach, int8 rerank funnel, bigram NLL, length
+# histogram, PCA projection, cohort retention, grouping sets, data profile,
+# PageRank) ahead of the fourteen first-session continuation additions —
+# together they push most of the r4-green LLM-data block past position 50;
+# it rotates back in next round, and every rotated-out query stays covered
+# by the local DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL
+# entries at sf0.01 every round).
 _VERIFY_FIRST = (
     # -- new this round: never driver-attested --
     "important_parts_by_revenue",  # NEW: Q11-shape scalar-agg threshold
