@@ -1076,12 +1076,18 @@ def pagerank(pairs: DataFrame, iters: int = 3, d: float = PAGERANK_D,
 
     Output: (doc_id, degree, pagerank) for every node of the graph.
     """
+    # Materialize the edge list ONCE: without this every iteration's
+    # join re-runs whatever pipeline produced `pairs` (for the near-dup
+    # graph that is the full banded discovery — iters× the dominant
+    # cost). Same artifact discipline as the incremental pair cache.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"),
                                   F.col(src).alias("v")))
+        .localCheckpoint()
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")) \
+        .localCheckpoint()
     n = deg.count()
     base = (1.0 - d) / n
     pr = deg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("pr"))
