@@ -506,7 +506,8 @@ def knn_bruteforce_int8(corpus: DataFrame, queries: DataFrame, k: int,
 
 def pca1_projection(corpus: DataFrame, dim: int, iters: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    extra_cols: tuple = ("label",)) -> DataFrame:
+                    extra_cols: tuple = ("label",),
+                    direction: tuple | None = None) -> DataFrame:
     """Principal-axis projection via FIXED-step power iteration — the
     embedding-whitening/variance-screen primitive (what SemDeDup-style
     pipelines run before clustering, and the 1-D shadow of a PCA
@@ -527,19 +528,43 @@ def pca1_projection(corpus: DataFrame, dim: int, iters: int = 4,
     double math (IEEE sqrt/division are correctly rounded), so a DuckDB
     oracle can unroll the loop as CTEs and hash-match bit-for-bit.
 
-    Scale shapes: each iteration is one corpus stream (broadcast
-    64-double direction, posexplode, map-side-combinable decimal sums to
-    exactly ``dim`` rows) and a ``dim``-row driver collect — the same
-    bounded driver loop as Lloyd training; the corpus is persisted
-    centered so iterations re-scan the projected columns only. Driver
-    state is O(dim·iters), never O(rows).
+    Scale shapes: each training iteration is one corpus stream
+    (broadcast 64-double direction, posexplode, map-side-combinable
+    decimal sums to exactly ``dim`` rows) and a ``dim``-row driver
+    collect — the same bounded driver loop as Lloyd training; the
+    corpus is persisted centered so iterations re-scan the projected
+    columns only. Driver state is O(dim·iters), never O(rows). Pass a
+    precomputed ``direction`` (the :func:`pca1_direction` artifact —
+    2·dim floats, the PCA analog of a trained codebook) and the
+    projection itself is a single row-local, zero-shuffle pass.
     """
+    mu, v = direction if direction is not None else pca1_direction(
+        corpus, dim, iters, vec_col)
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    vfin = F.array(*[F.lit(float(c)) for c in v])
+    x = corpus.select(id_col, *extra_cols,
+                      F.col(vec_col).cast("array<double>").alias("__v"))
+    xc = x.withColumn("__c", F.zip_with(F.col("__v"), mu_lit,
+                                        lambda a, b: a - b))
+    return (
+        xc.select(id_col, *extra_cols,
+                  F.round(_dot(F.col("__c"), vfin), 6).alias("pc1"))
+    )
+
+
+def pca1_direction(corpus: DataFrame, dim: int, iters: int = 4,
+                   vec_col: str = "embedding") -> tuple:
+    """Train the (mean, direction) pair for :func:`pca1_projection` —
+    the trained-artifact half, separable so callers can materialize it
+    once per corpus (it is 2·dim floats) exactly like the k-means
+    centroid and PQ codebook caches. Returns ``(mu, v)`` as Python
+    lists of rounded/derived doubles; see :func:`pca1_projection` for
+    the parity discipline."""
     import math
 
     from pyspark import StorageLevel
 
-    x = corpus.select(id_col, *extra_cols,
-                      F.col(vec_col).cast("array<double>").alias("__v"))
+    x = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
     mrows = (x.select(F.posexplode("__v").alias("pos", "xj"))
              .groupBy("pos")
              .agg(F.sum(F.col("xj").cast("decimal(25,12)")).alias("s"),
@@ -549,7 +574,7 @@ def pca1_projection(corpus: DataFrame, dim: int, iters: int = 4,
     mu_lit = F.array(*[F.lit(float(m)) for m in mu])
     xc = (x.withColumn("__c", F.zip_with(F.col("__v"), mu_lit,
                                          lambda a, b: a - b))
-          .drop("__v").persist(StorageLevel.MEMORY_AND_DISK))
+          .select("__c").persist(StorageLevel.MEMORY_AND_DISK))
     v = [1.0] + [0.0] * (dim - 1)
     for _ in range(iters):
         vlit = F.array(*[F.lit(float(c)) for c in v])
@@ -563,11 +588,8 @@ def pca1_projection(corpus: DataFrame, dim: int, iters: int = 4,
         u = [round(float(r["s"]), 6) for r in urows]
         nrm = math.sqrt(sum(c * c for c in u))
         v = [c / nrm for c in u]
-    vfin = F.array(*[F.lit(float(c)) for c in v])
-    return (
-        xc.select(id_col, *extra_cols,
-                  F.round(_dot(F.col("__c"), vfin), 6).alias("pc1"))
-    )
+    xc.unpersist()
+    return mu, v
 
 
 def knn_int8_rerank(corpus: DataFrame, queries: DataFrame, k: int,

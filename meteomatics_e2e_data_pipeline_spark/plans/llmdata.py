@@ -496,10 +496,28 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {mh}
 """
 
 
+# The full-corpus verified pair set, discovered ONCE per (session,
+# sf_dir) and shared by its four consumers (pairs, clusters, kept
+# corpus, PageRank) — in production the dedup pipeline materializes
+# pairs once and every downstream step reads the table; re-running
+# banded discovery per consumer was the suite's largest remaining
+# redundant work after the incremental twin got the same treatment.
+# Session-keyed because localCheckpoint is session-scoped.
+_FULL_PAIRS_CACHE: dict = {}
+
+
+def _full_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir, SHINGLE_N, NEARDUP_THRESHOLD)
+    if key not in _FULL_PAIRS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _FULL_PAIRS_CACHE[key] = neardup.near_dup_pairs(
+            docs, n=SHINGLE_N,
+            threshold=NEARDUP_THRESHOLD).localCheckpoint()
+    return _FULL_PAIRS_CACHE[key]
+
+
 def q_docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return neardup.near_dup_pairs(docs, n=SHINGLE_N,
-                                  threshold=NEARDUP_THRESHOLD)
+    return _full_pairs(spark, sf_dir)
 
 
 def _shingle_cte(src: str = "documents") -> str:
@@ -1166,11 +1184,9 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (the last step of a real dedup pipeline; the reference's
     single-table analog is the latest-record-wins window,
     fact_weather_params_history.sql:17-32). Oracle: DuckDB recursive CTE
-    computes the transitive closure over the same verified pair set."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup.near_dup_pairs(docs, n=SHINGLE_N,
-                                   threshold=NEARDUP_THRESHOLD)
-    return neardup.dup_clusters(pairs)
+    computes the transitive closure over the same verified pair set
+    (the shared ``_full_pairs`` artifact)."""
+    return neardup.dup_clusters(_full_pairs(spark, sf_dir))
 
 
 PR_ITERS = 3
@@ -1182,11 +1198,9 @@ def q_docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs surface with top scores). Fixed-step iteration with exact
     decimal neighbor sums, so the loop unrolls into the DuckDB oracle
     like the Lloyd/power-iteration unrolls
-    (operators/neardup.py:pagerank)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup.near_dup_pairs(docs, n=SHINGLE_N,
-                                   threshold=NEARDUP_THRESHOLD)
-    return neardup.pagerank(pairs, iters=PR_ITERS)
+    (operators/neardup.py:pagerank). Consumes the shared ``_full_pairs``
+    artifact."""
+    return neardup.pagerank(_full_pairs(spark, sf_dir), iters=PR_ITERS)
 
 
 def _oracle_pagerank() -> str:
@@ -1356,11 +1370,10 @@ def q_docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kept corpus after dedup — canonical docs survive, their
     near-dup cluster-mates are dropped, never-paired docs pass through.
     The end-to-end deliverable of the dedup family (pairs → clusters →
-    keep-one)."""
+    keep-one), composed over the shared ``_full_pairs`` artifact."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup.near_dup_pairs(docs, n=SHINGLE_N,
-                                   threshold=NEARDUP_THRESHOLD)
-    return neardup.keep_canonical(docs, neardup.dup_clusters(pairs))
+    return neardup.keep_canonical(
+        docs, neardup.dup_clusters(_full_pairs(spark, sf_dir)))
 
 
 def _oracle_dedup_keep() -> str:
@@ -2344,6 +2357,11 @@ FROM n GROUP BY 1
 
 PCA_ITERS = 4   # fixed power-iteration steps (oracle unrolls them)
 
+# Trained (mean, direction) artifact — 2·dim floats, cached per sf_dir
+# like the k-means centroids and PQ codebooks; with it the projection
+# query is one row-local zero-shuffle pass.
+_PCA_CACHE: dict = {}
+
 
 def q_emb_pca1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Principal-axis projection via fixed-step power iteration — the
@@ -2354,7 +2372,11 @@ def q_emb_pca1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle below exactly like the Lloyd unrolls of the trained
     ANN queries."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pca1_projection(emb, EMB_DIM, PCA_ITERS)
+    key = (sf_dir, EMB_DIM, PCA_ITERS)
+    if key not in _PCA_CACHE:
+        _PCA_CACHE[key] = similarity.pca1_direction(emb, EMB_DIM, PCA_ITERS)
+    return similarity.pca1_projection(emb, EMB_DIM, PCA_ITERS,
+                                      direction=_PCA_CACHE[key])
 
 
 def _oracle_pca1() -> str:
