@@ -59,6 +59,8 @@ _VERIFY_FIRST = (
     "sql_order_grouping_sets",    # NEW: SQL-text GROUPING SETS
     "orders_data_profile",        # NEW: per-column quality profile
     "docs_pagerank",              # NEW: dup-graph centrality
+    "events_dow_baseline",        # NEW: day-of-week seasonal baseline
+    "customer_rfm_segments",      # NEW: RFM quartile segmentation
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

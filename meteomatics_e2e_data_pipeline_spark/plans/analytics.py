@@ -1306,6 +1306,68 @@ FROM orders""" for c in cols]
     return "\nUNION ALL".join(parts)
 
 
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    vs the corpus' max order date), frequency (order count), monetary
+    (2-dp spend), each cut into quartiles by ntile(4) with the custkey
+    tiebreak that makes equal-height bucketing deterministic on both
+    engines; the three digits concatenate into the marketing segment
+    code. Scale shape: one |customers|-sized rollup (map-side
+    combinable), three windows over that rollup — never the fact — and
+    the as-of date is a 1-row scalar collected once like the heavy-
+    hitters total. Like ``customer_spend_quartiles``, the global ntile
+    ORDER BY is inherently single-partition (the oracle's engine pays
+    the same); at very large SF swap in the three quartile cut points
+    via percentile + broadcast comparison — exact ntile is kept
+    deliberately as the oracle-checkable form."""
+    orders = load_table(spark, sf_dir, "orders")
+    asof = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    rollup = (
+        orders.groupBy("o_custkey")
+        .agg(F.datediff(F.lit(asof), F.max(F.to_date("o_orderdate")))
+             .alias("recency_days"),
+             F.count(F.lit(1)).alias("frequency"),
+             F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return (
+        rollup.select(
+            F.col("o_custkey").alias("custkey"),
+            "recency_days", "frequency", "monetary",
+            F.ntile(4).over(w_r).alias("r_quartile"),
+            F.ntile(4).over(w_f).alias("f_quartile"),
+            F.ntile(4).over(w_m).alias("m_quartile"))
+        .withColumn("segment", F.concat_ws(
+            "-", F.col("r_quartile"), F.col("f_quartile"),
+            F.col("m_quartile")))
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH rollup AS (
+  SELECT o_custkey,
+         datediff('day', max(CAST(o_orderdate AS DATE)),
+                  (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))::INT
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days, o_custkey)::INT AS r_quartile,
+       ntile(4) OVER (ORDER BY frequency DESC, o_custkey)::INT AS f_quartile,
+       ntile(4) OVER (ORDER BY monetary DESC, o_custkey)::INT AS m_quartile,
+       concat_ws('-',
+                 ntile(4) OVER (ORDER BY recency_days, o_custkey),
+                 ntile(4) OVER (ORDER BY frequency DESC, o_custkey),
+                 ntile(4) OVER (ORDER BY monetary DESC, o_custkey))
+         AS segment
+FROM rollup
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1349,6 +1411,7 @@ QUERIES = {
     "customer_cohort_retention": q_customer_cohort_retention,
     "sql_order_grouping_sets": q_sql_order_grouping_sets,
     "orders_data_profile": q_orders_data_profile,
+    "customer_rfm_segments": q_customer_rfm_segments,
 }
 
 ORACLE = {
@@ -1400,4 +1463,5 @@ ORACLE = {
     "customer_cohort_retention": ORACLE_COHORT_RETENTION,
     "sql_order_grouping_sets": ORACLE_GROUPING_SETS,
     "orders_data_profile": _oracle_orders_profile(),
+    "customer_rfm_segments": ORACLE_RFM_SEGMENTS,
 }

@@ -587,6 +587,52 @@ FROM ad a JOIN mad m USING (event_type)
 """
 
 
+
+def q_events_dow_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline: each (type, day) daily count
+    against the mean count of the SAME weekday for that type — the
+    deseasonalized ratio that separates "it's just Sunday" from a real
+    shift (the poor man's STL seasonal component). Scale shape: one
+    map-side-combinable daily aggregate, then a (type × 7)-row baseline
+    frame joined back broadcast — the raw events are scanned once and
+    never windowed. Integer sums divide exactly once, rounded at 6 dp
+    on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    )
+    base = (
+        daily.groupBy("event_type", "dow")
+        .agg((F.sum("n").cast("double") / F.count(F.lit(1)))
+             .alias("baseline_raw"))
+    )
+    return (
+        daily.join(F.broadcast(base), ["event_type", "dow"])
+        .select("event_type", "day", "dow", "n",
+                F.round("baseline_raw", 6).alias("baseline"),
+                F.round(F.col("n") / F.col("baseline_raw"), 6)
+                .alias("ratio"))
+    )
+
+
+ORACLE_DOW_BASELINE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+d2 AS (SELECT *, dayofweek(day)::INT AS dow FROM daily),
+base AS (SELECT event_type, dow,
+                sum(n)::DOUBLE / count(*) AS baseline_raw
+         FROM d2 GROUP BY 1, 2)
+SELECT d2.event_type, day, d2.dow, n,
+       round(baseline_raw, 6) AS baseline,
+       round(n / baseline_raw, 6) AS ratio
+FROM d2 JOIN base ON d2.event_type = base.event_type AND d2.dow = base.dow
+"""
+
+
 TS_QUERIES = {
     "events_gapfill": q_events_gapfill,
     "events_funnel": q_events_funnel,
@@ -597,6 +643,7 @@ TS_QUERIES = {
     "events_ewma": q_events_ewma,
     "events_rolling_corr": q_events_rolling_corr,
     "events_value_histogram": q_events_value_histogram,
+    "events_dow_baseline": q_events_dow_baseline,
 }
 
 
@@ -611,4 +658,5 @@ def ts_oracle() -> dict[str, str]:
         "events_ewma": ORACLE_EWMA,
         "events_rolling_corr": ORACLE_ROLLING_CORR,
         "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
+        "events_dow_baseline": ORACLE_DOW_BASELINE,
     }
