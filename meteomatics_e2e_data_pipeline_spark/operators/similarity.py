@@ -289,7 +289,8 @@ def knn_lsh(corpus: DataFrame, queries: DataFrame, k: int,
 
 def cosine_near_dup_pairs(corpus: DataFrame, centroids: DataFrame,
                           threshold: float, id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          pair_scores: DataFrame | None = None) -> DataFrame:
     """Embedding-cosine near-dup detection, bucketed — the vector twin of
     MinHash/LSH: vectors only compare within their coarse-quantizer
     bucket, never all-pairs. Approximate by construction (a pair split
@@ -304,6 +305,26 @@ def cosine_near_dup_pairs(corpus: DataFrame, centroids: DataFrame,
     ``near_dup_pairs``; on a real lake this is the assignment table
     written once and read by every consumer.
     """
+    scores = (pair_scores if pair_scores is not None
+              else cosine_pair_scores(corpus, centroids, id_col, vec_col))
+    return (
+        scores.filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", "bucket",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
+def cosine_pair_scores(corpus: DataFrame, centroids: DataFrame,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """All co-bucket pair scores with the UNROUNDED cosine retained —
+    the scoring half of :func:`cosine_near_dup_pairs`, separable so one
+    materialized pair table can serve every threshold-consuming query
+    (near-dup cut, semantic dedup, calibration histogram). Thresholding
+    must happen on ``cos_raw`` (the raw double both engines compute
+    identically), never on the display-rounded value — a pair whose raw
+    cosine sits just below the cut but rounds up would otherwise flip
+    across engines. Output: (id_a, id_b, bucket, cos_raw)."""
     from pyspark import StorageLevel
 
     assigned = (ivf_assign(corpus, centroids, id_col, vec_col)
@@ -318,9 +339,7 @@ def cosine_near_dup_pairs(corpus: DataFrame, centroids: DataFrame,
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_raw", _PAIR_COS())
-        .filter(F.col("cos_raw") >= threshold)
-        .select("id_a", "id_b", "bucket",
-                F.round(F.col("cos_raw"), 6).alias("cos_sim"))
+        .select("id_a", "id_b", "bucket", "cos_raw")
     )
 
 

@@ -1091,6 +1091,24 @@ FROM ranked WHERE rank <= {LSH_K}
 
 COSINE_DUP_THRESHOLD = 0.4
 
+# The co-bucket cosine pair-score table (raw cosines retained), built
+# once per (session, sf_dir) over the trained quantizer and shared by
+# the near-dup cut, semantic dedup, and the calibration histogram —
+# the embedding-side analog of the `_full_pairs` artifact. Thresholds
+# apply to cos_raw downstream, so every consumer keeps its exact
+# oracle semantics.
+_COS_PAIRS_CACHE: dict = {}
+
+
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir, IVF_TRAIN_ITERS, IVF_CENTROID_MAX_ID)
+    if key not in _COS_PAIRS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = _trained_centroids(spark, sf_dir)
+        _COS_PAIRS_CACHE[key] = similarity.cosine_pair_scores(
+            emb, centroids).localCheckpoint()
+    return _COS_PAIRS_CACHE[key]
+
 
 def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, IVF-bucketed (never all-pairs).
@@ -1100,11 +1118,13 @@ def q_emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the first-``k``-vectors shortcut — trained centroids give
     materially better bucket balance at scale, which is what bounds the
     per-bucket pair join. Oracle parity holds because the fixed
-    iteration count unrolls into the shared Lloyd CTE chain."""
+    iteration count unrolls into the shared Lloyd CTE chain. Consumes
+    the shared ``_cosine_pairs`` score artifact."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _trained_centroids(spark, sf_dir)
-    return similarity.cosine_near_dup_pairs(emb, centroids,
-                                            COSINE_DUP_THRESHOLD)
+    return similarity.cosine_near_dup_pairs(
+        emb, centroids, COSINE_DUP_THRESHOLD,
+        pair_scores=_cosine_pairs(spark, sf_dir))
 
 
 def _oracle_cosine_near_dup() -> str:
@@ -1139,11 +1159,13 @@ def q_emb_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode at all). Same trained-quantizer pair join as the near-dup
     query, so cost and recall caveats are identical; the histogram adds
     one map-side-combinable (bin) aggregate. Binning happens on the
-    6-dp-ROUNDED similarity on both engines so no bin edge can flip."""
+    6-dp-ROUNDED similarity on both engines so no bin edge can flip.
+    Consumes the shared ``_cosine_pairs`` score artifact."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _trained_centroids(spark, sf_dir)
-    pairs = similarity.cosine_near_dup_pairs(emb, centroids,
-                                             threshold=-1.0)
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, centroids, threshold=-1.0,
+        pair_scores=_cosine_pairs(spark, sf_dir))
     bin_ = F.least(F.floor(F.col("cos_sim") * SIM_HIST_BIN),
                    F.lit(SIM_HIST_BIN - 1)).cast("int")
     return (
@@ -3063,11 +3085,13 @@ def q_emb_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:cosine_near_dup_pairs +
     operators/neardup.py:dup_clusters/keep_canonical). Round 6: the
     pair chain buckets on TRAINED centroids (same Lloyd loop as
-    ``emb_ann_ivf_trained``) for bucket balance at scale."""
+    ``emb_ann_ivf_trained``) for bucket balance at scale, and consumes
+    the shared ``_cosine_pairs`` score artifact."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _trained_centroids(spark, sf_dir)
-    pairs = similarity.cosine_near_dup_pairs(emb, centroids,
-                                             COSINE_DUP_THRESHOLD)
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, centroids, COSINE_DUP_THRESHOLD,
+        pair_scores=_cosine_pairs(spark, sf_dir))
     clusters = (neardup.dup_clusters(pairs, src="id_a", dst="id_b")
                 .withColumnRenamed("doc_id", "vec_id"))
     return neardup.keep_canonical(
