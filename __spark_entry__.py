@@ -61,6 +61,7 @@ _VERIFY_FIRST = (
     "docs_pagerank",              # NEW: dup-graph centrality
     "events_dow_baseline",        # NEW: day-of-week seasonal baseline
     "customer_rfm_segments",      # NEW: RFM quartile segmentation
+    "events_type_runs",           # NEW: gaps-and-islands runs
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

@@ -1368,6 +1368,50 @@ FROM rollup
 """
 
 
+def q_events_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, collapse CONSECUTIVE same-type events
+    into runs (island id = row_number − per-type row_number, the classic
+    two-window difference) with start/end/count per run — the
+    state-interval primitive behind SCD2 builds and behavioral streak
+    analysis. Both windows partition by user_id (and the island
+    aggregate by user too), so every shuffle is user-keyed and per-key
+    work is bounded by a user's event count — the fact is never globally
+    windowed. The (ts, event_id) ordering carries a unique tiebreaker,
+    making island boundaries deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        (F.row_number().over(w_all)
+         - F.row_number().over(w_type)).alias("island"))
+    return (
+        runs.groupBy("user_id", "event_type", "island")
+        .agg(F.min("ts").alias("run_start"),
+             F.max("ts").alias("run_end"),
+             F.count(F.lit(1)).cast("bigint").alias("run_length"))
+        .select("user_id", "event_type", "run_start", "run_end",
+                "run_length")
+    )
+
+
+ORACLE_EVENTS_TYPE_RUNS = """
+WITH runs AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS island
+  FROM events
+)
+SELECT user_id, event_type,
+       min(ts) AS run_start, max(ts) AS run_end,
+       count(*)::BIGINT AS run_length
+FROM runs GROUP BY user_id, event_type, island
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1412,6 +1456,7 @@ QUERIES = {
     "sql_order_grouping_sets": q_sql_order_grouping_sets,
     "orders_data_profile": q_orders_data_profile,
     "customer_rfm_segments": q_customer_rfm_segments,
+    "events_type_runs": q_events_type_runs,
 }
 
 ORACLE = {
@@ -1464,4 +1509,5 @@ ORACLE = {
     "sql_order_grouping_sets": ORACLE_GROUPING_SETS,
     "orders_data_profile": _oracle_orders_profile(),
     "customer_rfm_segments": ORACLE_RFM_SEGMENTS,
+    "events_type_runs": ORACLE_EVENTS_TYPE_RUNS,
 }
