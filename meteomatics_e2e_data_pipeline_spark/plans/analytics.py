@@ -1412,6 +1412,41 @@ FROM runs GROUP BY user_id, event_type, island
 """
 
 
+def q_events_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from an event stream: each
+    user's consecutive same-type runs become versioned state intervals
+    with ``valid_from`` / ``valid_to`` (the next state's start — the
+    standard SCD2 close-out) and an ``is_current`` flag on the open
+    interval. Composes the gaps-and-islands collapse with one lead()
+    window — both user-keyed, so the build is one shuffle beyond the
+    runs and never touches the fact globally. This is the CDC→dimension
+    pattern a warehouse runs nightly; MERGE-based incremental
+    maintenance of the same table is exercised by the upsert operator
+    tests (operators/incremental.py)."""
+    runs = q_events_type_runs(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("run_start")
+    return (
+        runs.select(
+            "user_id", F.col("event_type").alias("state"),
+            F.col("run_start").alias("valid_from"),
+            F.lead("run_start").over(w).alias("valid_to"),
+            "run_length")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+ORACLE_USER_STATE_SCD2 = f"""
+WITH runs AS ({ORACLE_EVENTS_TYPE_RUNS.strip()})
+SELECT user_id, event_type AS state, run_start AS valid_from,
+       lead(run_start) OVER (PARTITION BY user_id ORDER BY run_start)
+         AS valid_to,
+       run_length,
+       lead(run_start) OVER (PARTITION BY user_id ORDER BY run_start)
+         IS NULL AS is_current
+FROM runs
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1457,6 +1492,7 @@ QUERIES = {
     "orders_data_profile": q_orders_data_profile,
     "customer_rfm_segments": q_customer_rfm_segments,
     "events_type_runs": q_events_type_runs,
+    "events_user_state_scd2": q_events_user_state_scd2,
 }
 
 ORACLE = {
@@ -1510,4 +1546,5 @@ ORACLE = {
     "orders_data_profile": _oracle_orders_profile(),
     "customer_rfm_segments": ORACLE_RFM_SEGMENTS,
     "events_type_runs": ORACLE_EVENTS_TYPE_RUNS,
+    "events_user_state_scd2": ORACLE_USER_STATE_SCD2,
 }
