@@ -44,7 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # together they push most of the r4-green LLM-data block past position 50;
 # it rotates back in next round, and every rotated-out query stays covered
 # by the local DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL
-# entries at sf0.01 every round).
+# entries at sf0.01 every round). With 38 never-attested entries in the
+# head, the 50-row gate reaches only ~7 of the 9 r3-dated refreshes —
+# docs_corpus_stats and multimodal_features stay r3-attested (local
+# mirror green) and lead the round-7 rotation together with the r4 block.
 _VERIFY_FIRST = (
     # -- new this round: never driver-attested --
     "important_parts_by_revenue",  # NEW: Q11-shape scalar-agg threshold
@@ -91,7 +94,9 @@ _VERIFY_FIRST = (
     "emb_dedup_keep",          # now buckets on trained centroids
     "docs_weighted_sample",    # A-ES key now rounded to 12 dp
     "multimodal_resized",      # real-pixel BMP path added beside the fake
-    "docs_hot_ngrams",         # r5 bench flag — re-attest + best-of-3 time
+    # (docs_hot_ngrams dropped from the re-attest list: its r5 row is
+    # green, the operator is unchanged, and the bench warm-up fix
+    # closed the timing flag — the slot goes to an r3-dated refresh)
     # -- r3-dated driver rows: the oldest attestations, refresh now --
     "weather_dim_condition",
     "dim_date_spine",
