@@ -66,6 +66,7 @@ _VERIFY_FIRST = (
     "customer_rfm_segments",      # NEW: RFM quartile segmentation
     "events_type_runs",           # NEW: gaps-and-islands runs
     "events_user_state_scd2",     # NEW: SCD2 intervals from the stream
+    "dormant_high_value_customers",  # NEW: Q22-shape scalar + anti join
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

@@ -1447,6 +1447,50 @@ FROM runs
 """
 
 
+# Q22-shape dormancy cutoff: customers with no order on/after this
+# date count as dormant (the data spans 1995-2001; 646 qualifying
+# high-balance customers at sf0.1).
+DORMANT_CUTOFF = "2000-01-01"
+
+
+def q_dormant_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 topology: positive-balance average as a scalar
+    threshold, customers above it anti-joined against recent orders
+    ("high-value but dormant"), aggregated per market segment. The
+    threshold is 2-dp-rounded on both engines (the Q11 discipline — a
+    raw double average differs by sum-order ulps across engines); the
+    anti join keys on custkey with the date filter pushed INTO the
+    orders scan, so the fact is pruned before the join. The scalar is
+    collected once driver-side like the heavy-hitters total."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    thr = customer.filter(F.col("c_acctbal") > 0) \
+        .agg(F.round(F.avg("c_acctbal"), 2)).first()[0]
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("timestamp"))
+    return (
+        customer.filter(F.col("c_acctbal") > F.lit(float(thr)))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+    )
+
+
+ORACLE_DORMANT_CUSTOMERS = f"""
+WITH thr AS (SELECT round(avg(c_acctbal), 2) AS a
+             FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer c, thr
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF}')
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1493,6 +1537,7 @@ QUERIES = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "events_type_runs": q_events_type_runs,
     "events_user_state_scd2": q_events_user_state_scd2,
+    "dormant_high_value_customers": q_dormant_high_value_customers,
 }
 
 ORACLE = {
@@ -1547,4 +1592,5 @@ ORACLE = {
     "customer_rfm_segments": ORACLE_RFM_SEGMENTS,
     "events_type_runs": ORACLE_EVENTS_TYPE_RUNS,
     "events_user_state_scd2": ORACLE_USER_STATE_SCD2,
+    "dormant_high_value_customers": ORACLE_DORMANT_CUSTOMERS,
 }
