@@ -67,6 +67,9 @@ _VERIFY_FIRST = (
     "events_type_runs",           # NEW: gaps-and-islands runs
     "events_user_state_scd2",     # NEW: SCD2 intervals from the stream
     "dormant_high_value_customers",  # NEW: Q22-shape scalar + anti join
+    "nation_yoy_revenue",         # NEW: lag-window YoY growth
+    "emb_hard_negatives",         # NEW: contrastive hard-negative mining
+    "docs_split_leakage_check",   # NEW: near-dup pairs crossing splits
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

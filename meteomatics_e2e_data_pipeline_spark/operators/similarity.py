@@ -523,6 +523,47 @@ def knn_bruteforce_int8(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def knn_hard_negatives(corpus: DataFrame, queries: DataFrame, k: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for embedding-model training: per query,
+    the top-``k`` most-similar corpus vectors with a DIFFERENT label —
+    the high-cosine wrong-class examples contrastive training needs
+    (easy negatives teach nothing; hard ones define the margin). Same
+    plan as :func:`knn_bruteforce` — broadcast queries, corpus streams,
+    norms computed once per side — with the label-mismatch filter
+    applied BEFORE the per-query top-k window, so negatives never
+    compete with same-class vectors for the k slots. Output:
+    (query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+    rank)."""
+    from pyspark.sql import Window
+
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(label_col).alias("query_label"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(label_col).alias("neighbor_label"),
+                       F.col(vec_col).alias("c_vec"))
+         .withColumn("__cn", _norm(F.col("c_vec"))))
+    scored = (
+        c.join(F.broadcast(q),
+               F.col("neighbor_label") != F.col("query_label"))
+        .select("query_id", "query_label", "neighbor_id",
+                "neighbor_label", _PAIR_COS().alias("cos_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "query_label", "neighbor_id",
+                "neighbor_label",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def pca1_projection(corpus: DataFrame, dim: int, iters: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     extra_cols: tuple = ("label",),

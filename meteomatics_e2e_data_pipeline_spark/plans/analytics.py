@@ -1491,6 +1491,51 @@ GROUP BY 1
 """
 
 
+def q_nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: per-nation yearly revenue with the lag
+    window and growth ratio — the BI staple. Revenue is 2-dp-rounded
+    BEFORE the lag so the growth division consumes identical doubles on
+    both engines; the window runs over the tiny (nation × year) rollup,
+    never the fact; nation is a fixed-cardinality broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("year")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "nation", "year", "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"))
+
+
+ORACLE_NATION_YOY = """
+WITH rev AS (
+  SELECT n_name AS nation, year(o_orderdate)::INT AS year,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, year, revenue,
+       round((revenue - lag(revenue) OVER w)
+             / lag(revenue) OVER w, 6) AS yoy_growth
+FROM rev
+WINDOW w AS (PARTITION BY nation ORDER BY year)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1538,6 +1583,7 @@ QUERIES = {
     "events_type_runs": q_events_type_runs,
     "events_user_state_scd2": q_events_user_state_scd2,
     "dormant_high_value_customers": q_dormant_high_value_customers,
+    "nation_yoy_revenue": q_nation_yoy_revenue,
 }
 
 ORACLE = {
@@ -1593,4 +1639,5 @@ ORACLE = {
     "events_type_runs": ORACLE_EVENTS_TYPE_RUNS,
     "events_user_state_scd2": ORACLE_USER_STATE_SCD2,
     "dormant_high_value_customers": ORACLE_DORMANT_CUSTOMERS,
+    "nation_yoy_revenue": ORACLE_NATION_YOY,
 }

@@ -2251,6 +2251,38 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, the top-k most-similar
+    corpus vectors with a DIFFERENT label — the contrastive-training
+    feed (operators/similarity.py:knn_hard_negatives; label-mismatch
+    filtered before the top-k window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_hard_negatives(emb, queries, KNN_K)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                  embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+             embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         {_DUCK_COS} AS cos_raw
+  FROM q, c WHERE neighbor_label != query_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cos_raw, 6) AS cos_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 RERANK_C = 25   # stage-1 shortlist size for the two-stage funnel
 
 
@@ -3014,6 +3046,54 @@ FROM documents
 """
 
 
+def q_docs_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: every verified near-dup pair labeled with
+    BOTH members' train/val/test assignment, counted per (split_a,
+    split_b) cell with a leakage flag on the off-diagonal — the
+    check a curation pipeline runs before shipping an eval split (a
+    train↔test near-dup pair is memorization leakage; the group-aware
+    split exists precisely to zero this table's off-diagonal for the
+    grouped key). Consumes the shared ``_full_pairs`` artifact and the
+    row-local split ladder, so the whole audit costs two broadcast
+    joins of the tiny pair set plus one hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = (sampling.split_assign(docs, SPLIT_SPEC, salt=SPLIT_SALT)
+              .select("doc_id", "split"))
+    pairs = _full_pairs(spark, sf_dir)
+    a = splits.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a"))
+    b = splits.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leakage", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _oracle_split_leakage() -> str:
+    from ..operators.sampling import SAMPLE_BUCKETS
+    cum, cases = 0.0, []
+    for name, rate in SPLIT_SPEC:
+        cum += rate
+        cases.append(
+            f"WHEN ('0x' || substr(md5(d || '|{SPLIT_SALT}'), 1, 12))"
+            f"::BIGINT % {SAMPLE_BUCKETS}"
+            f" < {int(round(cum * SAMPLE_BUCKETS))} THEN '{name}'")
+    ladder = " ".join(cases)
+    return rf"""
+WITH pairs AS ({_oracle_near_dup()}),
+sa AS (SELECT doc_a, doc_b,
+              CASE {ladder.replace('(d ', '(doc_a ')} END AS split_a,
+              CASE {ladder.replace('(d ', '(doc_b ')} END AS split_b
+       FROM pairs)
+SELECT split_a, split_b, count(*) AS n_pairs,
+       split_a <> split_b AS is_leakage
+FROM sa GROUP BY 1, 2
+"""
+
+
 WS_N = 120
 WS_SALT = "ws0"
 
@@ -3290,6 +3370,8 @@ LLM_QUERIES = {
     "emb_quantize_int8": q_emb_quantize_int8,
     "emb_knn_int8": q_emb_knn_int8,
     "emb_knn_int8_rerank": q_emb_knn_int8_rerank,
+    "emb_hard_negatives": q_emb_hard_negatives,
+    "docs_split_leakage_check": q_docs_split_leakage_check,
     "emb_pca1_projection": q_emb_pca1_projection,
     "multimodal_resized": q_multimodal_resized,
     "docs_training_mix": q_docs_training_mix,
@@ -3371,6 +3453,8 @@ def llm_oracle() -> dict[str, str]:
         "emb_quantize_int8": ORACLE_QUANTIZE_INT8,
         "emb_knn_int8": ORACLE_KNN_INT8,
         "emb_knn_int8_rerank": ORACLE_KNN_INT8_RERANK,
+        "emb_hard_negatives": ORACLE_HARD_NEGATIVES,
+        "docs_split_leakage_check": _oracle_split_leakage(),
         "emb_pca1_projection": _oracle_pca1(),
         "multimodal_resized": _oracle_multimodal_resized(),
         "docs_training_mix": _oracle_training_mix(),

@@ -31,6 +31,9 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                # stage-1 of the two-stage funnel is the int8 pass above;
                # its stage-2 joins are broadcast HASH joins by design
                "emb_knn_int8_rerank",
+               # label-mismatch broadcast scoring (same bounded
+               # queries-side broadcast as knn_bruteforce)
+               "emb_hard_negatives",
                "emb_pq_codes", "emb_knn_pq", "emb_ann_ivfpq",
                "emb_knn_pq_trained", "emb_knn_filtered",
                # these compose knn_bruteforce / bm25_search, so they
