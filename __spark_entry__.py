@@ -37,17 +37,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 rotation (VERDICT r5 directive #4): lead with everything new or
 # touched by this round's changes, then the r3-dated rows (the oldest
 # attestations left), then the round-4-attested LLM-data block. The round's
-# additions now head the list: twelve second-session queries (Q11/Q18/Q21
-# topologies, sliding reach, int8 rerank funnel, bigram NLL, length
-# histogram, PCA projection, cohort retention, grouping sets, data profile,
-# PageRank) ahead of the fourteen first-session continuation additions —
+# additions now head the list: twenty second-session queries (the four
+# correlated-subquery topologies Q11/Q18/Q21/Q22, sliding reach, int8
+# rerank funnel, bigram NLL, length histogram, PCA projection, cohort
+# retention, grouping sets, data profile, PageRank, day-of-week baseline,
+# RFM, gaps-and-islands + SCD2, YoY growth, hard negatives, split-leakage
+# audit) ahead of the fourteen first-session continuation additions —
 # together they push most of the r4-green LLM-data block past position 50;
 # it rotates back in next round, and every rotated-out query stays covered
 # by the local DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL
-# entries at sf0.01 every round). With 38 never-attested entries in the
-# head, the 50-row gate reaches only ~7 of the 9 r3-dated refreshes —
-# docs_corpus_stats and multimodal_features stay r3-attested (local
-# mirror green) and lead the round-7 rotation together with the r4 block.
+# entries at sf0.01 every round). With 42 never-attested entries in the
+# head, the 50-row gate reaches only 3 of the 9 r3-dated refreshes — the
+# other six (fact_weather_params_forecast, fact_sun_times_*, docs_vocabulary,
+# docs_corpus_stats, multimodal_features) stay r3-attested (local mirror
+# green) and lead the round-7 rotation together with the r4 block.
 _VERIFY_FIRST = (
     # -- new this round: never driver-attested --
     "important_parts_by_revenue",  # NEW: Q11-shape scalar-agg threshold
