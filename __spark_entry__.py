@@ -73,6 +73,8 @@ _VERIFY_FIRST = (
     "nation_yoy_revenue",         # NEW: lag-window YoY growth
     "emb_hard_negatives",         # NEW: contrastive hard-negative mining
     "docs_split_leakage_check",   # NEW: near-dup pairs crossing splits
+    "event_user_cms_estimate",    # NEW: count-min grid vs exact truth
+    "parts_abc_classes",          # NEW: Pareto/ABC cumulative classes
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score
@@ -96,14 +98,18 @@ _VERIFY_FIRST = (
     "emb_mmr_rerank",             # NEW: MMR diversity rerank (unrolled greedy)
     "docs_dup_clusters_incremental",  # NEW: incremental label maintenance
     # -- operator or oracle changed this round: re-attest first --
+    "pricing_summary",         # revenue sums now exact-decimal (midpoint fix)
+    "emb_cosine_near_dup",     # trained centroids + shared score artifact
+    "emb_dedup_keep",          # trained centroids + shared score artifact
     "docs_bm25_search",        # dl join pruned to the hit set
-    "emb_cosine_near_dup",     # now buckets on trained centroids
-    "emb_dedup_keep",          # now buckets on trained centroids
     "docs_weighted_sample",    # A-ES key now rounded to 12 dp
-    "multimodal_resized",      # real-pixel BMP path added beside the fake
-    # (docs_hot_ngrams dropped from the re-attest list: its r5 row is
-    # green, the operator is unchanged, and the bench warm-up fix
-    # closed the timing flag — the slot goes to an r3-dated refresh)
+    "region_revenue",          # revenue sums now exact-decimal
+    # (also changed but past the 50-row gate this round, local mirror
+    # green: top_parts_by_revenue, top_supplier_revenue,
+    # sql_nation_revenue, multimodal_resized, docs_hot_ngrams — they
+    # lead the round-7 rotation with the r3/r4 blocks)
+    "top_parts_by_revenue",    # revenue sums now exact-decimal
+    "top_supplier_revenue",    # revenue sums now exact-decimal
     # -- r3-dated driver rows: the oldest attestations, refresh now --
     "weather_dim_condition",
     "dim_date_spine",

@@ -49,3 +49,64 @@ def sketch_union(sketches: DataFrame,
     return out.select(
         *group_cols,
         F.hll_sketch_estimate("merged").alias("approx_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: a d×w integer grid; every key increments one cell
+# per row (hash_d(key) % w), a point query reads the MINIMUM of its d
+# cells — never an underestimate, overestimate bounded by collisions
+# (≤ εN with w = ⌈e/ε⌉ at failure probability δ = e^-d). Cells are
+# mergeable by plain addition, so per-partition sketches compose like
+# the HLL rollups above. Unlike HLL's engine-specific binary, the grid
+# is DETERMINISTIC integers under the repo's md5-derived hashing — the
+# estimates are fully oracle-checkable.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+CMS_SALT = "cms0"
+
+
+def cms_cells(df: DataFrame, key_col: str, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH, salt: str = CMS_SALT) -> DataFrame:
+    """Build the count-min grid: one row per touched (depth, idx) cell
+    with its count. Row-local ×depth fan-out then ONE map-side-
+    combinable aggregate — the grid is ≤ depth·width rows no matter the
+    input size, and two grids merge by summing matching cells."""
+    from .textops import base_hash48
+
+    rows = df.select(F.col(key_col).cast("string").alias("__k"))
+    exploded = rows.select(
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("depth"),
+        F.col("__k"))
+    idx = (base_hash48(F.concat_ws("|", F.col("__k"), F.lit(salt),
+                                   F.col("depth").cast("string")))
+           % width).cast("int")
+    return (exploded.withColumn("idx", idx)
+            .groupBy("depth", "idx")
+            .agg(F.count(F.lit(1)).alias("cell_n")))
+
+
+def cms_point_estimate(cells: DataFrame, keys: DataFrame, key_col: str,
+                       depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                       salt: str = CMS_SALT) -> DataFrame:
+    """Point-query the grid for each key in ``keys``: min over the d
+    cells the key hashes to. The keys frame is question-sized (dozens),
+    broadcast against the ≤ d·w-row grid — the query path never touches
+    raw data. Output: (key, cms_estimate)."""
+    from .textops import base_hash48
+
+    k = keys.select(F.col(key_col).cast("string").alias("__k")).distinct()
+    probes = k.select(
+        "__k",
+        F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("depth"))
+    idx = (base_hash48(F.concat_ws("|", F.col("__k"), F.lit(salt),
+                                   F.col("depth").cast("string")))
+           % width).cast("int")
+    return (
+        probes.withColumn("idx", idx)
+        .join(cells, ["depth", "idx"])
+        .groupBy("__k")
+        .agg(F.min("cell_n").alias("cms_estimate"))
+        .select(F.col("__k").alias(key_col), "cms_estimate")
+    )

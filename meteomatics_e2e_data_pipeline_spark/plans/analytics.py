@@ -54,8 +54,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price.cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(18,6)")), 2)
+            .cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -67,8 +69,8 @@ SELECT l_returnflag,
        l_linestatus,
        round(sum(l_quantity), 2)                                        AS sum_qty,
        round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS sum_disc_price,
+       round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6)), 2)::DOUBLE AS sum_charge,
        round(avg(l_quantity), 6)                                        AS avg_qty,
        count(*)                                                         AS count_order
 FROM lineitem
@@ -231,7 +233,9 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_orderkey == F.col("o_orderkey"))
         .join(dim, F.col("o_custkey") == dim.c_custkey)
         .groupBy("r_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_lineitems"))
     )
@@ -239,7 +243,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REGION_REVENUE = """
 SELECT r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -287,7 +291,9 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = (
         li.groupBy("l_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
              .alias("revenue"))
     )
     return (
@@ -301,7 +307,7 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOP_PARTS = """
 SELECT p_partkey, p_name, revenue
 FROM (
-  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  SELECT l_partkey, round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue
   FROM lineitem GROUP BY l_partkey
 ) JOIN part ON l_partkey = p_partkey
 ORDER BY revenue DESC, p_partkey
@@ -703,7 +709,9 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1996-01-01").cast("timestamp"),
             F.lit("1996-03-31").cast("timestamp")))
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
              .alias("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -719,7 +727,7 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOP_SUPPLIER = """
 WITH rev AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS total_revenue
   FROM lineitem
   WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
   GROUP BY l_suppkey
@@ -739,7 +747,7 @@ def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return spark.sql("""
         SELECT n_name AS nation,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue,
                count(DISTINCT o_orderkey) AS n_orders
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -751,7 +759,7 @@ def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SQL_NATION_REVENUE = """
 SELECT n_name AS nation,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -966,6 +974,66 @@ LIMIT {HH_K}
 """
 
 
+def q_event_user_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries vs exact truth: the per-user
+    event-count estimate from a 3×256 mergeable integer grid
+    (operators/sketches.py:cms_cells/cms_point_estimate) joined against
+    the exact count for the heavy-hitter user set. Unlike the HLL
+    forms, the grid is deterministic md5-derived integers, so the whole
+    sketch path is hash-checkable — and the overestimate-only guarantee
+    (estimate ≥ exact, the CMS invariant) is visible in the emitted
+    ``overshoot`` column. The grid build is one row-local ×3 fan-out +
+    one map-side-combinable aggregate to ≤768 rows; point queries read
+    the grid, never the raw events."""
+    from ..operators.sketches import cms_cells, cms_point_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+             .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+             .limit(HH_K))
+    cells = cms_cells(ev, "user_id")
+    est = cms_point_estimate(cells, exact, "user_id")
+    return (
+        exact.join(est.withColumn("user_id",
+                                  F.col("user_id").cast("bigint")),
+                   "user_id")
+        .select("user_id", "exact_n", "cms_estimate",
+                (F.col("cms_estimate") - F.col("exact_n"))
+                .alias("overshoot"))
+    )
+
+
+def _oracle_cms_estimate() -> str:
+    from ..operators.sketches import CMS_DEPTH, CMS_SALT, CMS_WIDTH
+
+    h = (f"('0x' || substr(md5(user_id::VARCHAR || '|{CMS_SALT}|' "
+         f"|| d::VARCHAR), 1, 12))::BIGINT % {CMS_WIDTH}")
+    return f"""
+WITH cells AS (
+  SELECT d, ({h})::INT AS idx, count(*)::BIGINT AS cell_n
+  FROM events, range(0, {CMS_DEPTH}) t(d)
+  GROUP BY 1, 2
+),
+heavy AS (
+  SELECT user_id, count(*)::BIGINT AS exact_n
+  FROM events GROUP BY 1
+  ORDER BY exact_n DESC, user_id LIMIT {HH_K}
+),
+probes AS (
+  SELECT user_id, exact_n, d, ({h})::INT AS idx
+  FROM heavy, range(0, {CMS_DEPTH}) t(d)
+),
+est AS (
+  SELECT user_id, min(exact_n) AS exact_n, min(cell_n) AS cms_estimate
+  FROM probes JOIN cells USING (d, idx)
+  GROUP BY user_id
+)
+SELECT user_id, exact_n, cms_estimate,
+       cms_estimate - exact_n AS overshoot
+FROM est
+"""
+
+
 # Z-order layout key: 16 bits per dimension (user, day-index), 32-bit
 # z-value, top 8 bits = the write bucket (≤256 files/tiles). Epoch is
 # before the events table's data start so the day index is non-negative
@@ -1049,7 +1117,9 @@ def q_important_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = (
         li.groupBy("l_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
              .alias("part_revenue"))
     )
     thr = rev.agg(
@@ -1066,7 +1136,7 @@ def q_important_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_IMPORTANT_PARTS = f"""
 WITH rev AS (
   SELECT l_partkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue
+         round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS part_revenue
   FROM lineitem GROUP BY l_partkey
 )
 SELECT p_partkey AS partkey, p_name AS part_name, part_revenue
@@ -1507,8 +1577,9 @@ def q_nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").cast("int").alias("year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2)
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
              .alias("revenue"))
     )
     w = Window.partitionBy("nation").orderBy("year")
@@ -1521,7 +1592,7 @@ def q_nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NATION_YOY = """
 WITH rev AS (
   SELECT n_name AS nation, year(o_orderdate)::INT AS year,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -1533,6 +1604,60 @@ SELECT nation, year, revenue,
              / lag(revenue) OVER w, 6) AS yoy_growth
 FROM rev
 WINDOW w AS (PARTITION BY nation ORDER BY year)
+"""
+
+
+def q_parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classed A
+    while the cumulative share is under 80%, B under 95%, C after — the
+    80/20 inventory cut. The cumulative sum runs over the part-grain
+    rollup (never the fact) ordered by (revenue desc, partkey); the
+    class threshold compares the 6-dp-rounded cumulative share so the
+    cut is identical on both engines. The global running-sum window is
+    single-partition over |parts| rows — same documented trade-off as
+    the ntile queries, with the rollup, not the fact, paying it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
+             .alias("part_revenue"))
+    )
+    total = rev.agg(F.sum("part_revenue").alias("t"))
+    w = Window.orderBy(F.col("part_revenue").desc(), F.col("l_partkey")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        rev.join(F.broadcast(total))
+        .withColumn("cum_share",
+                    F.round(F.sum("part_revenue").over(w) / F.col("t"), 6))
+    )
+    cls = (F.when(F.col("cum_share") <= 0.80, "A")
+           .when(F.col("cum_share") <= 0.95, "B").otherwise("C"))
+    return cum.select(F.col("l_partkey").alias("partkey"),
+                      "part_revenue", "cum_share",
+                      cls.alias("abc_class"))
+
+
+ORACLE_PARTS_ABC = """
+WITH rev AS (
+  SELECT l_partkey,
+         round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)),
+               2)::DOUBLE AS part_revenue
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT l_partkey, part_revenue,
+         round(sum(part_revenue) OVER (ORDER BY part_revenue DESC, l_partkey
+                                       ROWS UNBOUNDED PRECEDING)
+               / (SELECT sum(part_revenue) FROM rev), 6) AS cum_share
+  FROM rev
+)
+SELECT l_partkey AS partkey, part_revenue, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
 """
 
 
@@ -1584,6 +1709,8 @@ QUERIES = {
     "events_user_state_scd2": q_events_user_state_scd2,
     "dormant_high_value_customers": q_dormant_high_value_customers,
     "nation_yoy_revenue": q_nation_yoy_revenue,
+    "event_user_cms_estimate": q_event_user_cms_estimate,
+    "parts_abc_classes": q_parts_abc_classes,
 }
 
 ORACLE = {
@@ -1640,4 +1767,6 @@ ORACLE = {
     "events_user_state_scd2": ORACLE_USER_STATE_SCD2,
     "dormant_high_value_customers": ORACLE_DORMANT_CUSTOMERS,
     "nation_yoy_revenue": ORACLE_NATION_YOY,
+    "event_user_cms_estimate": _oracle_cms_estimate(),
+    "parts_abc_classes": ORACLE_PARTS_ABC,
 }

@@ -50,7 +50,10 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                "docs_bm25_search",
                # 1-row scalar-aggregate threshold join (Q11 topology) —
                # the broadcast side is a single row by construction
-               "important_parts_by_revenue"}
+               "important_parts_by_revenue",
+               # 1-row corpus-total crossJoin feeding the cumulative
+               # share — bounded by construction like bm25's stats row
+               "parts_abc_classes"}
     for name in entrymod.queries():
         if "BroadcastNestedLoopJoin" in _plan(spark, name, sf_smoke):
             assert name in allowed, f"unexpected BNLJ in {name}"

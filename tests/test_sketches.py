@@ -73,3 +73,30 @@ def test_weekly_driver_entries_agree(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) / n <= 0.05
+
+
+def test_cms_grid_merges_and_never_underestimates(spark):
+    """Count-min invariants: cell-wise sum of two disjoint-slice grids
+    equals the whole-input grid (mergeability), and every point
+    estimate is >= the true count (overestimate-only)."""
+    from pyspark.sql import functions as F
+
+    from meteomatics_e2e_data_pipeline_spark.operators.sketches import (
+        cms_cells, cms_point_estimate)
+
+    ev = load_table(spark, SF, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = {(r.depth, r.idx): r.cell_n for r in cms_cells(ev, "user_id").collect()}
+    merged: dict = {}
+    for part in (half_a, half_b):
+        for r in cms_cells(part, "user_id").collect():
+            merged[(r.depth, r.idx)] = merged.get((r.depth, r.idx), 0) + r.cell_n
+    assert merged == whole
+
+    exact = {r.user_id: r.n for r in
+             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    keys = ev.select("user_id").distinct().limit(200)
+    cells = cms_cells(ev, "user_id")
+    for r in cms_point_estimate(cells, keys, "user_id").collect():
+        assert r.cms_estimate >= exact[int(r.user_id)], r
