@@ -572,3 +572,39 @@ def stream_sliding_reach(spark: SparkSession, sf_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cms_cells(spark: SparkSession, sf_dir: str,
+                     checkpoint_path: str, query_name: str) -> None:
+    """Streaming count-min maintenance: the d×w grid updated per
+    micro-batch with a plain streaming groupBy — the rare stateful
+    aggregate whose state is BOUNDED BY CONSTRUCTION (≤ depth·width
+    cells forever, regardless of stream length or key cardinality),
+    which is the whole point of sketch-backed streaming counters vs
+    per-key state. Update mode emits changed cells each batch; readers
+    take the latest value per (depth, idx). pytest asserts the
+    availableNow grid equals the batch grid exactly (the cells are
+    deterministic integers, unlike the HLL binaries).
+    """
+    from .operators.sketches import CMS_DEPTH, CMS_SALT, CMS_WIDTH
+    from .operators.textops import base_hash48
+
+    ev = read_events_stream(spark, sf_dir)
+    exploded = ev.select(
+        F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)]))
+        .alias("depth"),
+        F.col("user_id").cast("string").alias("__k"))
+    idx = (base_hash48(F.concat_ws("|", F.col("__k"), F.lit(CMS_SALT),
+                                   F.col("depth").cast("string")))
+           % CMS_WIDTH).cast("int")
+    grid = (exploded.withColumn("idx", idx)
+            .groupBy("depth", "idx")
+            .agg(F.count(F.lit(1)).alias("cell_n")))
+    q = (
+        grid.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

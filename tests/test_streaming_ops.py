@@ -417,3 +417,24 @@ def test_stream_sliding_reach_tracks_batch_exact(spark, tmp_path):
             assert abs(approx - exact[day]) / exact[day] <= 0.05, day
             checked += 1
     assert checked > 0
+
+
+def test_stream_cms_grid_equals_batch_grid(spark, tmp_path):
+    """The streaming count-min grid (bounded state: <= depth*width
+    cells) must equal the batch grid cell-for-cell after one
+    availableNow pass — the cells are deterministic integers."""
+    from meteomatics_e2e_data_pipeline_spark.operators.sketches import (
+        cms_cells,
+    )
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_cms_cells,
+    )
+
+    name = "cms_stream_test"
+    stream_cms_cells(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    got = {(r.depth, r.idx): r.cell_n
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    ev = load_table(spark, EVENTS_DIR, "events")
+    want = {(r.depth, r.idx): r.cell_n
+            for r in cms_cells(ev, "user_id").collect()}
+    assert got == want and len(got) > 0
