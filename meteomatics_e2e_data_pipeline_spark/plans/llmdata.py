@@ -1586,7 +1586,17 @@ def q_docs_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is the already-oracle-checked operator; the composed
     oracle chains the same CTEs, so the WHOLE pipeline is hash-verified
-    end to end, not just its pieces."""
+    end to end, not just its pieces.
+
+    The dedup stage consumes the shared ``_full_pairs`` artifact
+    restricted to gate-surviving ends rather than re-running banded
+    discovery on the filtered corpus. The restriction is EXACT, not an
+    approximation: MinHash signatures and band hashes are per-document,
+    so a pair collides in a band over the filtered corpus iff it
+    collides over the full corpus, and Jaccard verification is
+    per-pair — hence pairs(filtered) ≡ pairs(full) ∩ (good × good),
+    and the downstream components/canonicals are identical (the
+    unchanged composed oracle hash-verifies exactly that)."""
     docs = load_table(spark, sf_dir, "documents")
     good = (repetition_stats(docs)
             .filter((F.col("n_tokens") >= MIX_MIN_TOKENS)
@@ -1594,8 +1604,12 @@ def q_docs_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("top_unigram_frac") <= MIX_MAX_TOP_UNI))
             .select("doc_id"))
     docs_f = docs.join(good, "doc_id", "left_semi")
-    pairs = neardup.near_dup_pairs(docs_f, n=SHINGLE_N,
-                                   threshold=NEARDUP_THRESHOLD)
+    pairs = (
+        _full_pairs(spark, sf_dir)
+        .join(good.select(F.col("doc_id").alias("doc_a")), "doc_a",
+              "left_semi")
+        .join(good.select(F.col("doc_id").alias("doc_b")), "doc_b",
+              "left_semi"))
     kept = neardup.keep_canonical(docs_f, neardup.dup_clusters(pairs))
     return sampling.stratified_sample(
         kept, SAMPLE_RATES, key_cols=("lang", "source"),
