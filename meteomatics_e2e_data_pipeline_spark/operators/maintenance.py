@@ -113,3 +113,27 @@ def profile_table(df, cols=None):
                 F.round(F.col("n_nulls") / F.col("n_rows"), 6)
                 .alias("null_frac"))
     )
+
+
+def conform_schema(df, target_schema):
+    """Schema conformance for evolved lakes: project ``df`` onto
+    ``target_schema`` — missing columns appear as typed NULLs, present
+    columns are cast to the target type, extra columns are dropped, and
+    output column order matches the target. Combined with
+    ``spark.read.option("mergeSchema", "true")`` this is the read-side
+    half of schema evolution: old files (written before a column
+    existed) and new files conform to one contract without rewriting
+    history. Row-local projection — zero shuffles at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for field in target_schema.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType)
+                        .alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType)
+                        .alias(field.name))
+    return df.select(*cols)

@@ -103,3 +103,37 @@ def test_compaction_multilevel_partitions(spark, tmp_path):
              if q.is_dir()]
     assert sorted(inner) == ["city=t0", "city=t1", "city=t2"]
     assert spark.read.parquet(p).count() == 180
+
+
+def test_conform_schema_handles_evolution(spark, tmp_path):
+    """Old files lacking a column + new files carrying extras must both
+    conform to one target contract: typed NULLs for missing, casts for
+    present, extras dropped, order fixed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from meteomatics_e2e_data_pipeline_spark.operators.maintenance import (
+        conform_schema,
+    )
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    old.write.parquet(str(tmp_path / "t" / "p=old"))
+    new = spark.createDataFrame(
+        [(2, "b", 1.5, "extra")],
+        "id long, name string, score double, junk string")
+    new.write.parquet(str(tmp_path / "t" / "p=new"))
+
+    merged = spark.read.option("mergeSchema", "true") \
+        .parquet(str(tmp_path / "t"))
+    target = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    out = conform_schema(merged, target)
+    assert [f.name for f in out.schema.fields] == ["id", "name", "score"]
+    assert dict(out.dtypes)["score"] == "double"
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[2].score == 1.5
+    assert not hasattr(rows[2], "junk")
