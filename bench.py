@@ -68,7 +68,11 @@ def main() -> None:
         # round 6: its first rep pays 2-6 s of codegen/JIT for the
         # suite's heaviest expression chain (evidence in PLANS.md), so
         # best-of-2 straddles 1.1-1.8 s while steady state is ~1.1 s.
-        noisy = name.startswith("emb_") or name == "docs_hot_ngrams"
+        # docs_jaccard_join joined late in round 6 for the same reason:
+        # fresh-session rep0 measured 15.8 s vs 2.7 s steady (prefix
+        # index build + JIT), so best-of-2 printed anywhere in 1.6-5.5.
+        noisy = (name.startswith("emb_")
+                 or name in ("docs_hot_ngrams", "docs_jaccard_join"))
         n_reps = reps + 1 if noisy else reps
         best = None
         for _ in range(n_reps):
