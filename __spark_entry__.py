@@ -75,6 +75,7 @@ _VERIFY_FIRST = (
     "docs_split_leakage_check",   # NEW: near-dup pairs crossing splits
     "event_user_cms_estimate",    # NEW: count-min grid vs exact truth
     "parts_abc_classes",          # NEW: Pareto/ABC cumulative classes
+    "events_native_sessions",     # NEW: native session_window vs lag oracle
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

@@ -1661,6 +1661,49 @@ FROM cum
 """
 
 
+def q_events_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE batch session windows (``F.session_window`` — the
+    same operator the streaming twin uses), hash-validated against an
+    independent lag+cumsum oracle formulation: a session extends while
+    each gap is < 30 min (an event exactly 1800 s after the previous
+    one starts a NEW session — session_window's half-open
+    [start, last+gap) semantics, which is why the oracle's boundary is
+    ``>= 1800`` where ``sessionize_events``'s classic form uses
+    ``> 1800``). One shuffle on user_id; session_end is last event +
+    gap, the native window's close-out timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id",
+                   F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events")
+    )
+
+
+ORACLE_NATIVE_SESSIONS = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1711,6 +1754,7 @@ QUERIES = {
     "nation_yoy_revenue": q_nation_yoy_revenue,
     "event_user_cms_estimate": q_event_user_cms_estimate,
     "parts_abc_classes": q_parts_abc_classes,
+    "events_native_sessions": q_events_native_sessions,
 }
 
 ORACLE = {
@@ -1769,4 +1813,5 @@ ORACLE = {
     "nation_yoy_revenue": ORACLE_NATION_YOY,
     "event_user_cms_estimate": _oracle_cms_estimate(),
     "parts_abc_classes": ORACLE_PARTS_ABC,
+    "events_native_sessions": ORACLE_NATIVE_SESSIONS,
 }
