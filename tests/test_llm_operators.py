@@ -1605,3 +1605,50 @@ def test_pagerank_mass_and_hub_ordering(spark):
     one = {r.doc_id: r.pagerank
            for r in pagerank(pairs, iters=1).collect()}
     assert abs(one[0] - hub1) < 1e-6 and abs(one[1] - leaf1) < 1e-6
+
+
+def test_bigram_nll_matches_python_reference_on_random_corpora(spark):
+    """Brute-force cross-check of the interpolated bigram formula on a
+    random word-soup corpus (beyond the closed-form hand case)."""
+    import math
+    import random
+    from collections import Counter
+
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        BIGRAM_LAMBDA, bigram_nll)
+
+    rnd = random.Random(29)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(1, 20))))
+            for i in range(60)]
+    toks = {i: t.split() for i, t in rows}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    n_total = sum(uni.values())
+    big = Counter((ws[j], ws[j + 1]) for ws in toks.values()
+                  for j in range(len(ws) - 1))
+    cw1 = Counter()
+    for (w1, _), c in big.items():
+        cw1[w1] += c
+    lam = BIGRAM_LAMBDA
+
+    def doc_nll(ws):
+        pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not pairs:
+            return None
+        per_type = Counter(pairs)
+        s = sum(tf * math.log(lam * (big[p] / cw1[p[0]])
+                              + (1 - lam) * (uni[p[1]] / n_total))
+                for p, tf in sorted(per_type.items()))
+        return round(-s / len(pairs), 6)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.bigram_nll)
+           for r in bigram_nll(docs, n_total).collect()}
+    for i, ws in toks.items():
+        want = doc_nll(ws)
+        if want is None:
+            assert i not in got
+        else:
+            assert got[i][0] == len(ws) - 1
+            assert abs(got[i][1] - want) < 1e-6, (i, got[i], want)

