@@ -88,11 +88,16 @@ def main() -> None:
         timings[name] = round(best, 2)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
-    # The driver records only the LAST 2000 characters of stdout, so order
-    # the per-query map fastest-first: the most expensive queries (the ones
-    # worth grading) land at the END of the single JSON line, inside the
-    # visible tail.  Failed queries (-1.0) sort to the very end so they are
-    # never hidden either.  2-dp rounding keeps ~80 entries inside the tail.
+    # The driver records only the LAST 2000 characters of stdout and tries
+    # to json-parse what it captured.  With 140+ queries the full map no
+    # longer fits, so print TWO lines (the round-5 verdict's suggested
+    # split): first the COMPLETE map (fastest-first, for human readers of
+    # raw stdout), then a final ≤1.9 KB line carrying the suite totals plus
+    # as many of the SLOWEST queries as fit — the driver's tail capture
+    # then contains one complete, parseable JSON object whose map covers
+    # every query worth grading; the omitted entries are the fastest,
+    # their count recorded in "n_fast_omitted".  Failed queries (-1.0)
+    # always stay in the final line.
     ordered = dict(sorted(
         timings.items(),
         key=lambda kv: (kv[1] < 0, kv[1]),
@@ -103,6 +108,27 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": ordered,
+    }))
+    budget = 1900
+    keep: dict[str, float] = {}
+    # walk slowest-first (failures first of all), keep while it fits
+    for name, t in sorted(timings.items(),
+                          key=lambda kv: (kv[1] >= 0, -kv[1])):
+        keep[name] = t
+        if sum(len(k) + 12 for k in keep) > budget - 140:
+            del keep[name]
+            break
+    # fastest-first inside the line so a further truncation still ends
+    # with the slowest entries
+    keep = dict(sorted(keep.items(), key=lambda kv: (kv[1] < 0, kv[1])))
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_fast_omitted": len(timings) - len(keep),
+        "queries": keep,
     }))
 
 
