@@ -76,6 +76,8 @@ _VERIFY_FIRST = (
     "event_user_cms_estimate",    # NEW: count-min grid vs exact truth
     "parts_abc_classes",          # NEW: Pareto/ABC cumulative classes
     "events_native_sessions",     # NEW: native session_window vs lag oracle
+    "parts_bought_together",      # NEW: market-basket pair mining
+    "docs_dup_degree_histogram",  # NEW: dup-graph degree diagnostic
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

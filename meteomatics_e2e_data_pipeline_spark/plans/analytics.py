@@ -1704,6 +1704,44 @@ FROM g GROUP BY user_id, sid
 """
 
 
+BASKET_MIN_COUNT = 3
+
+
+def q_parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring in the same
+    order, kept at support ≥ ``BASKET_MIN_COUNT`` — the co-occurrence
+    core of frequent-itemset analysis. The self-join keys on
+    l_orderkey, so pair fan-out is bounded by order width (≤ 7 lines ⇒
+    ≤ 21 pairs per order at ANY corpus size — the same
+    bounded-per-key-work argument as the Q21 topology); pairs are
+    normalized (a < b) and counted map-side-combinable. A support
+    threshold this shape cannot express cheaply is min-support PRUNING
+    before the join (A-Priori) — unnecessary here because the per-order
+    bound already caps the blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_COUNT)
+    )
+
+
+ORACLE_BOUGHT_TOGETHER = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {BASKET_MIN_COUNT}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1755,6 +1793,7 @@ QUERIES = {
     "event_user_cms_estimate": q_event_user_cms_estimate,
     "parts_abc_classes": q_parts_abc_classes,
     "events_native_sessions": q_events_native_sessions,
+    "parts_bought_together": q_parts_bought_together,
 }
 
 ORACLE = {
@@ -1814,4 +1853,5 @@ ORACLE = {
     "event_user_cms_estimate": _oracle_cms_estimate(),
     "parts_abc_classes": ORACLE_PARTS_ABC,
     "events_native_sessions": ORACLE_NATIVE_SESSIONS,
+    "parts_bought_together": ORACLE_BOUGHT_TOGETHER,
 }

@@ -1211,6 +1211,34 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.dup_clusters(_full_pairs(spark, sf_dir))
 
 
+def q_docs_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the duplicate graph — the diagnostic read
+    BEFORE running components/PageRank at scale (a heavy tail says
+    template hubs exist and the per-key bound needs skew handling; a
+    flat one says plain propagation is safe). Consumes the shared
+    ``_full_pairs`` artifact: one symmetric projection, one degree
+    aggregate, one histogram aggregate — all map-side-combinable, the
+    corpus itself untouched."""
+    pairs = _full_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("doc_a").alias("u"))
+             .unionByName(pairs.select(F.col("doc_b").alias("u"))))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _oracle_dup_degree_histogram() -> str:
+    return rf"""
+WITH pairs AS ({_oracle_near_dup()}),
+edges AS (SELECT doc_a AS u FROM pairs UNION ALL SELECT doc_b FROM pairs),
+deg AS (SELECT u, count(*)::BIGINT AS degree FROM edges GROUP BY 1)
+SELECT degree, count(*)::BIGINT AS n_docs
+FROM deg GROUP BY 1
+"""
+
+
 PR_ITERS = 3
 
 
@@ -3374,6 +3402,7 @@ LLM_QUERIES = {
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_pagerank": q_docs_pagerank,
+    "docs_dup_degree_histogram": q_docs_dup_degree_histogram,
     "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
@@ -3454,6 +3483,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_near_dup_pairs": _oracle_near_dup(),
         "docs_dup_clusters": _oracle_dup_clusters(),
         "docs_pagerank": _oracle_pagerank(),
+        "docs_dup_degree_histogram": _oracle_dup_degree_histogram(),
         # incremental maintenance must be indistinguishable from the
         # batch recompute — it shares the batch oracle verbatim
         "docs_dup_clusters_incremental": _oracle_dup_clusters(),
