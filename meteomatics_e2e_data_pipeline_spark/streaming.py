@@ -608,3 +608,74 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_type_runs(spark: SparkSession, sf_dir: str,
+                     checkpoint_path: str, query_name: str) -> None:
+    """Streaming twin of the batch ``events_type_runs`` gaps-and-islands
+    collapse: per user, maintain the OPEN run (current type, start,
+    last ts, count) as explicit state and emit a run the moment the
+    type changes — the stateful-CDC shape behind live SCD2 maintenance.
+    State per user is ONE tuple forever (the open run), the smallest
+    possible stateful footprint; closed runs leave state immediately.
+
+    Within one micro-batch the group's rows arrive as pandas frames in
+    arbitrary order, so the update sorts its batch by (ts, event_id)
+    before folding — correctness therefore requires in-order ARRIVAL
+    across batches (late events older than the open run are a
+    dead-letter in this twin; the batch query remains the replayable
+    truth, which is exactly the lambda split the SCD2 docstring
+    describes). pytest asserts the availableNow emission equals the
+    batch query's CLOSED runs exactly.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            cur_type, start, last, n = state.get
+        else:
+            cur_type = None
+            start = last = ""
+            n = 0
+        out = []
+        for et, ts in zip(rows["event_type"], rows["ts_s"]):
+            if cur_type is None:
+                cur_type, start, last, n = et, ts, ts, 1
+            elif et == cur_type:
+                last, n = ts, n + 1
+            else:
+                out.append((cur_type, start, last, n))
+                cur_type, start, last, n = et, ts, ts, 1
+        state.update((cur_type, start, last, n))
+        yield pd.DataFrame(
+            {"user_id": key[0],
+             "event_type": [o[0] for o in out],
+             "run_start": [o[1] for o in out],
+             "run_end": [o[2] for o in out],
+             "run_length": [o[3] for o in out]})
+
+    ev = (read_events_stream(spark, sf_dir)
+          .select("user_id", "event_type", "ts", "event_id",
+                  F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                  .alias("ts_s")))
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, event_type string, "
+                         "run_start string, run_end string, "
+                         "run_length bigint",
+        stateStructType="cur_type string, start string, last string, "
+                        "n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -438,3 +438,35 @@ def test_stream_cms_grid_equals_batch_grid(spark, tmp_path):
     want = {(r.depth, r.idx): r.cell_n
             for r in cms_cells(ev, "user_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_type_runs_emits_closed_batch_runs(spark, tmp_path):
+    """Every run the streaming collapse closes must match the batch
+    gaps-and-islands result; only each user's final (still-open) run
+    may be missing from the emission."""
+    from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
+        q_events_type_runs,
+    )
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_type_runs,
+    )
+
+    name = "type_runs_stream_test"
+    stream_type_runs(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    got = {(r.user_id, r.event_type, r.run_start, r.run_end, r.run_length)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    batch = q_events_type_runs(spark, EVENTS_DIR).collect()
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    allruns = {(r.user_id, r.event_type, r.run_start.strftime(fmt),
+                r.run_end.strftime(fmt), r.run_length) for r in batch}
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.run_start > cur.run_start:
+            last_per_user[r.user_id] = r
+    open_runs = {(r.user_id, r.event_type, r.run_start.strftime(fmt),
+                  r.run_end.strftime(fmt), r.run_length)
+                 for r in last_per_user.values()}
+    assert got == allruns - open_runs
+    assert len(got) > 0
