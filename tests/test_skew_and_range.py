@@ -108,3 +108,29 @@ def test_interval_join_rejects_outer_how(spark):
         .withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
     with _pytest.raises(ValueError, match="inner.*left"):
         interval_join(pts, ivs, ["k"], "ts", "s", "e", how="full")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """The salted equi-join must be value-identical to the plain join,
+    including under a deliberately hot key with duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from meteomatics_e2e_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [(1, f"e{i}") for i in range(500)]      # hot key 1
+        + [(k, f"x{k}") for k in range(2, 40)], # long tail
+        "k long, payload string")
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 40)], "k long, attr string")
+    want = {tuple(r) for r in big.join(small, "k").collect()}
+    got_rows = salted_join(big, small, "k", n_salts=8).collect()
+    assert {tuple(r) for r in got_rows} == want
+    assert len(got_rows) == len(want) == 538
+    # plan sanity: the join key carries the salt, so the hot key's rows
+    # spread across salt partitions rather than one task
+    plan = salted_join(big, small, "k", n_salts=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
