@@ -78,6 +78,7 @@ _VERIFY_FIRST = (
     "events_native_sessions",     # NEW: native session_window vs lag oracle
     "parts_bought_together",      # NEW: market-basket pair mining
     "docs_dup_degree_histogram",  # NEW: dup-graph degree diagnostic
+    "nation_trade_matrix",        # NEW: Q7 multi-role dimension joins
     "docs_domain_cap",            # NEW: per-source frequency cap
     "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
     "events_anomaly_mad",         # NEW: median/MAD modified z-score

@@ -1742,6 +1742,54 @@ HAVING count(*) >= {BASKET_MIN_COUNT}
 """
 
 
+def q_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 topology: the same dimension in two ROLES — supplier
+    nation × customer nation revenue matrix, requiring two aliased
+    broadcast joins of the fixed-cardinality nation dim against one
+    fact pipeline (the multi-role dimension pattern every star schema
+    eventually needs). Revenue follows the exact-decimal discipline;
+    both joins broadcast the 25-row dim, so the fact streams once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    supp_nat = nation.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))
+    cust_nat = nation.select(F.col("n_nationkey").alias("cn_key"),
+                             F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nat),
+              supplier.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cust_nat),
+              customer.c_nationkey == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLE_TRADE_MATRIX = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)),
+             2)::DOUBLE AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -1794,6 +1842,7 @@ QUERIES = {
     "parts_abc_classes": q_parts_abc_classes,
     "events_native_sessions": q_events_native_sessions,
     "parts_bought_together": q_parts_bought_together,
+    "nation_trade_matrix": q_nation_trade_matrix,
 }
 
 ORACLE = {
@@ -1854,4 +1903,5 @@ ORACLE = {
     "parts_abc_classes": ORACLE_PARTS_ABC,
     "events_native_sessions": ORACLE_NATIVE_SESSIONS,
     "parts_bought_together": ORACLE_BOUGHT_TOGETHER,
+    "nation_trade_matrix": ORACLE_TRADE_MATRIX,
 }
