@@ -122,3 +122,62 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     salted_small = small.withColumn("__salt", salts)
     out = salted_big.join(salted_small, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def bloom_pruned_join(big: DataFrame, small: DataFrame, key: str,
+                      how: str = "inner") -> DataFrame:
+    """Equi-join with an explicit Bloom runtime filter: the small
+    side's key set compresses into the fixed-size filter from the
+    decontamination family (operators/neardup.py sizing constants), the
+    big side is pruned ROW-LOCALLY before any shuffle, and the real
+    join then removes the bounded false positives — so the result is
+    EXACTLY the plain join while the shuffle carries only probable
+    matches. This is the hand-rolled analog of engine runtime filters
+    (DPP / bloom pushdown) for when the planner can't infer one — e.g.
+    the small side is the output of an arbitrary computation rather
+    than a filtered dim. The filter build's collect is bounded by the
+    word count (8 KB), never the small side's row count.
+    """
+    return bloom_key_prefilter(big, small, key).join(small, key, how)
+
+
+def bloom_key_prefilter(big: DataFrame, small: DataFrame,
+                        key: str) -> DataFrame:
+    """The row-local half of :func:`bloom_pruned_join`: big-side rows
+    whose key the small side's Bloom filter reports as a probable
+    match (no false negatives; bounded false positives). Exposed
+    separately so selectivity is observable and the filter reusable.
+    """
+    from .neardup import BLOOM_BITS, BLOOM_K, BLOOM_WORD_BITS, _bloom_pos
+    from .textops import base_hash48
+
+    hv = base_hash48(F.col(key).cast("string"))
+    pos = (small.select(hv.alias("hv")).distinct()
+           .select(F.explode(F.array(
+               *[_bloom_pos(F.col("hv"), j) for j in range(BLOOM_K)]))
+               .alias("pos")))
+    words = (
+        pos.select((F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+                   F.call_function(
+                       "shiftleft", F.lit(1).cast("long"),
+                       (F.col("pos") % BLOOM_WORD_BITS).cast("int"))
+                   .alias("mask"))
+        .groupBy("word").agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    dense = [0] * (BLOOM_BITS // BLOOM_WORD_BITS)
+    for r in words:
+        dense[r["word"]] = r["mask"]
+    filt = F.lit("".join(f"{w:08x}" for w in dense))
+    probe_hv = base_hash48(F.col(key).cast("string"))
+    hit = F.lit(1)
+    for j in range(BLOOM_K):
+        p = _bloom_pos(probe_hv, j)
+        word = (p / BLOOM_WORD_BITS).cast("int")
+        bit = (p % BLOOM_WORD_BITS).cast("int")
+        mask = F.conv(
+            F.call_function("substring", filt, word * 8 + 1, F.lit(8)),
+            16, 10).cast("long")
+        hit = hit * F.call_function("shiftright", mask, bit) \
+            .bitwiseAND(F.lit(1))
+    return big.filter(hit == 1)

@@ -134,3 +134,35 @@ def test_salted_join_matches_plain_join(spark):
     plan = salted_join(big, small, "k", n_salts=8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_bloom_pruned_join_is_exact_and_prunes(spark):
+    """The Bloom-pruned join must equal the plain join exactly (false
+    positives die in the real join) while the row-local pre-filter
+    passes strictly fewer big-side rows than a full scan."""
+    from pyspark.sql import functions as F
+
+    from meteomatics_e2e_data_pipeline_spark.operators.skew import (
+        bloom_pruned_join,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    urgent = (load_table(spark, sf, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_orderkey").alias("l_orderkey"),
+                      "o_orderpriority"))
+    want = {tuple(r) for r in li.join(urgent, "l_orderkey").collect()}
+    got_df = bloom_pruned_join(li, urgent, "l_orderkey")
+    assert {tuple(r) for r in got_df.collect()} == want
+    # pruning really happened: a 5-key filter passes only a sliver of
+    # the big side before any join
+    from meteomatics_e2e_data_pipeline_spark.operators.skew import (
+        bloom_key_prefilter,
+    )
+    tiny = urgent.limit(5)
+    survivors = bloom_key_prefilter(li, tiny, "l_orderkey").count()
+    assert survivors < li.count() * 0.05
+    # ... and never drops a true match (no false negatives)
+    assert survivors >= li.join(tiny, "l_orderkey").count()
