@@ -107,11 +107,13 @@ _VERIFY_FIRST = (
     "emb_dedup_keep",          # trained centroids + shared score artifact
     "docs_bm25_search",        # dl join pruned to the hit set
     "docs_weighted_sample",    # A-ES key now rounded to 12 dp
+    # (also changed but past the 50-row gate at the final 149-entry
+    # surface — the 45 never-attested entries own the head; all are
+    # local-mirror green and lead the round-7 rotation: emb_dedup_keep,
+    # docs_bm25_search, docs_weighted_sample, region_revenue,
+    # top_parts_by_revenue, top_supplier_revenue, sql_nation_revenue,
+    # multimodal_resized, docs_hot_ngrams)
     "region_revenue",          # revenue sums now exact-decimal
-    # (also changed but past the 50-row gate this round, local mirror
-    # green: top_parts_by_revenue, top_supplier_revenue,
-    # sql_nation_revenue, multimodal_resized, docs_hot_ngrams — they
-    # lead the round-7 rotation with the r3/r4 blocks)
     "top_parts_by_revenue",    # revenue sums now exact-decimal
     "top_supplier_revenue",    # revenue sums now exact-decimal
     # -- r3-dated driver rows: the oldest attestations, refresh now --
