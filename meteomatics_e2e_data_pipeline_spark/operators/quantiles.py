@@ -1,0 +1,194 @@
+"""Scale-safe global-order primitives: exact ntile and exact running
+sums WITHOUT a single-partition window, plus broadcast percentile-cut
+bucketing.
+
+Problem: ``ntile(k) OVER (ORDER BY v)`` and ``sum(w) OVER (ORDER BY v
+ROWS UNBOUNDED PRECEDING)`` funnel every row through ONE task — the
+classic scale-killer, flagged on the quartile/Pareto query family. The
+frames there are dimension-grain rollups, so they run today, but at
+100× the single sort partition is the bottleneck.
+
+Fix, same two-level shape as ``packing.pack_sequences`` but for VALUE
+order instead of a hash-bucket order (where the range id was row-local
+for free):
+
+1. estimate ``n_ranges - 1`` boundary values with one
+   ``approx_percentile`` pass. Accuracy is IRRELEVANT to correctness —
+   any monotone bucketing yields the same final ranks; the estimate
+   only balances the ranges (that is exactly Spark's own
+   ``RangePartitioner`` sampling trick, re-expressed declaratively);
+2. the range id is then a row-local comparison chain, ranges partition
+   the global (value, tiebreak) order;
+3. each range ranks / prefix-sums locally in parallel;
+4. per-range totals — ``n_ranges`` config-sized rows — get a tiny
+   window for exclusive offsets + the grand total, broadcast back;
+5. global rank / cumsum = range offset + local value: row-local.
+
+The input is ``localCheckpoint``-ed so the boundary-estimate job and
+the main job read ONE materialization (the frames are dimension-grain
+rollups — bounded by contract; checkpointing also means the fact is
+scanned once).
+
+Exactness: ranks are integers built from row_number — no floating
+arithmetic — so ``global_ntile`` reproduces SQL ``ntile`` bit-for-bit
+(equal-height buckets, first ``n % k`` buckets one row larger) and the
+single-window oracle stays the semantic spec. For running SUMS the
+caller should pass an exact (decimal / integer) weight column: decimal
+addition is associative, so regrouping per-range cannot drift the way
+reassociated double addition can (see the engine-wide midpoint-parity
+policy in plans/analytics.py).
+
+Ties: the range id is a function of the VALUE alone, so rows tying on
+the value never straddle a boundary and the (value, tiebreak) order is
+respected. A pathologically constant column degrades to one range —
+the same behavior as any range partitioner; callers order by
+near-unique measures (spend, revenue, recency).
+
+``quantile_cut`` is the even cheaper cousin for when equal-height
+semantics are not required: three EXACT interpolated percentile cut
+points via one aggregate + a broadcast comparison — zero windows, zero
+extra shuffles. Spark ``percentile`` and DuckDB ``quantile_cont`` both
+interpolate at ``p * (n - 1)`` over the sorted exact values, so the
+cut points (and therefore the buckets) are oracle-expressible.
+
+Reference parity note: the reference pipeline has no quantile surface
+(its marts are plain GROUP BYs — reference ``models/marts``); this
+module serves the engine's analytics extension with the documented
+100 TB contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_ntile", "global_running_sum", "quantile_cut"]
+
+
+def _range_bucketed(df: DataFrame, value_col: str, descending: bool,
+                    n_ranges: int) -> DataFrame:
+    """Checkpoint ``df`` and add ``__rng``: a row-local range id that is
+    monotone in the requested value order (approx boundaries, exact
+    order)."""
+    if n_ranges < 2:
+        raise ValueError(f"n_ranges must be >= 2, got {n_ranges}")
+    snap = df.localCheckpoint(eager=True)
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    cuts_row = snap.agg(
+        F.percentile_approx(value_col, probs, 10_000).alias("c")).first()
+    raw = [c for c in (cuts_row["c"] or []) if c is not None]
+    cuts = sorted(set(raw), reverse=descending)
+    rng: Column = F.lit(0)
+    for c in cuts:
+        past = (F.col(value_col) < F.lit(c) if descending
+                else F.col(value_col) > F.lit(c))
+        rng = rng + F.when(past, 1).otherwise(0)
+    return snap.withColumn("__rng", rng)
+
+
+def _offsets(base: DataFrame, measure: Column) -> DataFrame:
+    """Exclusive per-range prefix of ``measure`` plus the grand total —
+    a window over ``n_ranges`` config-sized rows, never the data."""
+    totals = base.groupBy("__rng").agg(measure.alias("__tot"))
+    w_off = (Window.orderBy("__rng")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy("__rng")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    zero = F.lit(0).cast(totals.schema["__tot"].dataType)
+    return totals.select(
+        "__rng",
+        F.coalesce(F.sum("__tot").over(w_off), zero).alias("__off"),
+        F.sum("__tot").over(w_all).alias("__n"))
+
+
+def _local_order(value_col: str, tiebreak_col: str,
+                 descending: bool) -> list[Column]:
+    first = (F.col(value_col).desc() if descending
+             else F.col(value_col).asc())
+    return [first, F.col(tiebreak_col).asc()]
+
+
+def global_ntile(df: DataFrame, value_col: str, k: int, tiebreak_col: str,
+                 *, descending: bool = False, out_col: str = "bucket",
+                 n_ranges: int = 64) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY value [DESC], tiebreak)`` with no
+    single-partition stage. Output is bit-identical to the window form:
+    global rank r (from per-range row_number + broadcast offsets) maps
+    through the equal-height formula — the first ``n % k`` buckets hold
+    ``n div k + 1`` rows, the rest ``n div k``. ``value_col`` must be
+    non-null (the rollups this serves aggregate non-null measures)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = _range_bucketed(df, value_col, descending, n_ranges)
+    w_local = Window.partitionBy("__rng").orderBy(
+        *_local_order(value_col, tiebreak_col, descending))
+    local = base.withColumn("__rn", F.row_number().over(w_local))
+    offsets = _offsets(base, F.count(F.lit(1)).cast("bigint"))
+    # Integer-only bucket math (`div` is integral division) — no floats.
+    bucket = F.expr(
+        f"CASE WHEN __r <= __cut THEN (__r - 1) div (__q + 1) + 1 "
+        f"ELSE (__n % {k}) + (__r - __cut - 1) div greatest(__q, 1) + 1 "
+        f"END")
+    return (
+        local.join(F.broadcast(offsets), "__rng")
+        .withColumn("__r", (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .withColumn("__q", F.expr(f"__n div {k}"))
+        .withColumn("__cut", F.expr(f"(__n % {k}) * (__q + 1)"))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__rng", "__rn", "__off", "__n", "__r", "__q", "__cut")
+    )
+
+
+def global_running_sum(df: DataFrame, value_col: str, weight_col: str,
+                       tiebreak_col: str, *, descending: bool = False,
+                       out_col: str = "running_sum",
+                       total_col: str | None = None,
+                       n_ranges: int = 64) -> DataFrame:
+    """Exact ``sum(weight) OVER (ORDER BY value [DESC], tiebreak ROWS
+    UNBOUNDED PRECEDING)`` as per-range local cumsum + broadcast range
+    offsets. Pass an exact-typed ``weight_col`` (decimal / integer) so
+    the regrouped addition is associative and oracle-stable; optionally
+    also emit the grand total (``total_col``) — it falls out of the
+    same config-sized offsets frame for free."""
+    base = _range_bucketed(df, value_col, descending, n_ranges)
+    w_local = (Window.partitionBy("__rng")
+               .orderBy(*_local_order(value_col, tiebreak_col, descending))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = base.withColumn("__cum_local", F.sum(weight_col).over(w_local))
+    offsets = _offsets(base, F.sum(weight_col))
+    out = (local.join(F.broadcast(offsets), "__rng")
+           .withColumn(out_col, F.col("__off") + F.col("__cum_local")))
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__n"))
+    return out.drop("__rng", "__cum_local", "__off", "__n")
+
+
+def quantile_cut(df: DataFrame, value_col: str, probs: list[float], *,
+                 descending: bool = False,
+                 out_col: str = "bucket") -> DataFrame:
+    """Bucket rows against EXACT interpolated percentile cut points —
+    one aggregate, one 1-row broadcast, zero windows. Bucket = 1 + the
+    number of cut points the value falls past, so ties on a cut point
+    share the better bucket (unlike ntile, which splits ties by the
+    tiebreak to equalize heights). ``probs`` must already be ordered to
+    match ``descending`` (e.g. [0.75, 0.5, 0.25] for a descending
+    quartile cut)."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    expected = sorted(probs, reverse=descending)
+    if list(probs) != expected:
+        raise ValueError(
+            f"probs must be sorted {'descending' if descending else 'ascending'}"
+            f" to match the bucket order, got {probs}")
+    cuts = df.agg(*[
+        F.expr(f"percentile({value_col}, {p})").alias(f"__c{i}")
+        for i, p in enumerate(probs)])
+    bucket: Column = F.lit(1)
+    for i in range(len(probs)):
+        past = (F.col(value_col) < F.col(f"__c{i}") if descending
+                else F.col(value_col) > F.col(f"__c{i}"))
+        bucket = bucket + F.when(past, 1).otherwise(0)
+    return (df.join(F.broadcast(cuts))
+            .withColumn(out_col, bucket.cast("int"))
+            .drop(*[f"__c{i}" for i in range(len(probs))]))

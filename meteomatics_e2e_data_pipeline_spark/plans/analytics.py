@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.dates import date_key, is_weekend, week_number, weekday_name
 from ..functions.keys import surrogate_key, surrogate_key_sql
 from ..functions.strings import slugify, split_part_compat
+from ..operators import quantiles
 from ..operators.dedupe import latest_record_wins
 from ..sources.tables import load_table
 
@@ -569,22 +570,30 @@ GROUP BY CUBE (event_type, dayname(ts))
 
 
 def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile window: customers bucketed into spend quartiles (order
-    tiebroken by custkey so the bucket boundaries are deterministic).
+    """Customers bucketed into exact spend quartiles (custkey
+    tiebreak) — ntile SEMANTICS without ntile's single-partition sort.
 
     Scale note: ntile's global ORDER BY is inherently single-partition —
     the same cost the oracle's engine pays. Where an approximate split is
     acceptable at very large SF, compute the three quartile cut points
     (percentile/approx) and assign buckets by broadcast comparison
     instead; this query keeps exact ntile semantics deliberately, as the
-    oracle-checkable form."""
+    oracle-checkable form.
+
+    Scale path (round 7): ``operators/quantiles.global_ntile``
+    range-buckets the rollup on approx-percentile boundaries, ranks
+    each range in parallel, and adds broadcast per-range offsets; the
+    integer rank arithmetic reproduces SQL ntile bit-for-bit, so the
+    single-window oracle stays the semantic spec while no data-sized
+    partition ever sorts alone. ``customer_spend_quartiles_cut`` is
+    the even cheaper broadcast cut-point variant."""
     orders = load_table(spark, sf_dir, "orders")
     spend = (orders.groupBy("o_custkey")
              .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    return spend.select(
-        "o_custkey", "total_spend",
-        F.ntile(4).over(w).cast("int").alias("spend_quartile"))
+    return quantiles.global_ntile(
+        spend, "total_spend", 4, "o_custkey", descending=True,
+        out_col="spend_quartile",
+    ).select("o_custkey", "total_spend", "spend_quartile")
 
 
 ORACLE_SPEND_QUARTILES = """
@@ -593,6 +602,48 @@ SELECT o_custkey, total_spend,
          AS spend_quartile
 FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
       FROM orders GROUP BY o_custkey)
+"""
+
+
+def q_customer_spend_quartiles_cut(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Broadcast-comparison quartiles: three EXACT interpolated
+    percentile cut points in ONE aggregate, buckets assigned by
+    comparison (operators/quantiles.py:quantile_cut) — zero windows of
+    any kind, the preferred form when equal-height bucket sizes are not
+    required (ties on a cut point share the better bucket). Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (both interpolate at
+    p*(n-1) over the sorted exact values — see
+    ``q_order_value_percentiles``), so the cut points are
+    oracle-expressible; spend is the exact-decimal sum per the
+    engine-wide midpoint policy."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.round(F.sum(F.col("o_totalprice")
+                                .cast("decimal(18,2)")), 2)
+                  .cast("double").alias("total_spend")))
+    return quantiles.quantile_cut(
+        spend, "total_spend", [0.75, 0.5, 0.25], descending=True,
+        out_col="spend_quartile",
+    ).select("o_custkey", "total_spend", "spend_quartile")
+
+
+ORACLE_SPEND_QUARTILES_CUT = """
+WITH spend AS (
+  SELECT o_custkey,
+         round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT quantile_cont(total_spend, 0.75) AS c0,
+         quantile_cont(total_spend, 0.50) AS c1,
+         quantile_cont(total_spend, 0.25) AS c2
+  FROM spend
+)
+SELECT o_custkey, total_spend,
+       (1 + (total_spend < c0)::INT + (total_spend < c1)::INT
+          + (total_spend < c2)::INT) AS spend_quartile
+FROM spend, cuts
 """
 
 
@@ -1244,6 +1295,141 @@ GROUP BY 1, 2
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 topology: the per-group correlated scalar — for every
+    PROMO part under size 15, the supplier(s) offering the minimum unit
+    cost (min cost per part computed once on a rollup, joined back on
+    the (part, cost) pair: the standard decorrelation of Q2's
+    ``ps_supplycost = (SELECT min(ps_supplycost) ...)``). The testdata
+    has no partsupp table, so the offer grain is derived from lineitem:
+    unit cost = round(l_extendedprice / l_quantity, 4) (a quotient, so
+    the 4-dp round has no grid-midpoint exposure; min/equality on the
+    identical IEEE doubles is engine-stable). Scale shape: the filtered
+    part dim prunes the fact BEFORE the offer rollup (cheapest filter
+    first), ``best`` re-aggregates the rollup — the fact is scanned
+    once — and the join back is equi on (partkey, cost); nation is
+    broadcast, supplier joins hash-on-key."""
+    part_f = (load_table(spark, sf_dir, "part")
+              .filter((F.col("p_type") == "PROMO") & (F.col("p_size") < 15))
+              .select("p_partkey", "p_name"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
+    offers = (
+        li.join(part_f.select("p_partkey"),
+                li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit).alias("unit_cost"))
+    )
+    best = (offers.groupBy("l_partkey")
+            .agg(F.min("unit_cost").alias("min_unit_cost")))
+    winners = offers.join(
+        best, (offers.l_partkey == best.l_partkey)
+        & (offers.unit_cost == best.min_unit_cost)).drop(best.l_partkey)
+    return (
+        winners.join(part_f, winners.l_partkey == part_f.p_partkey)
+        .join(supplier, winners.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation),
+              supplier.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "p_name", "min_unit_cost",
+                "s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH pf AS (SELECT p_partkey, p_name FROM part
+            WHERE p_type = 'PROMO' AND p_size < 15),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+  FROM lineitem JOIN pf ON l_partkey = p_partkey
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (SELECT l_partkey, min(unit_cost) AS min_unit_cost
+         FROM offers GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_name, b.min_unit_cost,
+       s.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey
+           AND o.unit_cost = b.min_unit_cost
+JOIN pf p ON o.l_partkey = p.p_partkey
+JOIN supplier s ON o.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 topology: the nested semi-join chain behind an
+    aggregate threshold — suppliers who, for at least one large-named
+    part, shipped MORE THAN HALF of that part's total 1997 quantity
+    (Q20's ``ps_availqty > 0.5 * (SELECT sum(l_quantity) ...)`` with
+    the availability side likewise derived from lineitem, partsupp
+    being absent from the testdata). Decorrelation: one date+part
+    pruned pass builds the (part, supplier) quantity rollup; the
+    per-part total RE-AGGREGATES that rollup (the fact is scanned
+    once); the share filter then semi-joins up into the supplier dim.
+    Quantities are small integers in doubles, so the sums and the
+    half-threshold comparison are exact on both engines; the count is
+    per-supplier, making the output |suppliers|-bounded."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit("1997-01-01")
+                   .cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01")
+                     .cast("timestamp"))))
+    part_f = (load_table(spark, sf_dir, "part")
+              .filter(F.col("p_name").startswith("large"))
+              .select("p_partkey"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(part_f, li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    totals = (shipped.groupBy("l_partkey")
+              .agg(F.sum("supp_qty").alias("part_qty")))
+    dominant = (
+        shipped.join(totals, "l_partkey")
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominated_parts"))
+    )
+    return (
+        supplier.join(dominant, supplier.s_suppkey == dominant.l_suppkey)
+        .join(F.broadcast(nation),
+              supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "n_dominated_parts")
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+),
+pf AS (SELECT p_partkey FROM part WHERE p_name LIKE 'large%'),
+shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM li JOIN pf ON l_partkey = p_partkey
+  GROUP BY l_partkey, l_suppkey
+),
+totals AS (SELECT l_partkey, sum(supp_qty) AS part_qty
+           FROM shipped GROUP BY l_partkey),
+dominant AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_dominated_parts
+  FROM shipped JOIN totals USING (l_partkey)
+  WHERE supp_qty > 0.5 * part_qty
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name, d.n_dominated_parts
+FROM supplier s
+JOIN dominant d ON s.s_suppkey = d.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
 def q_events_sliding_reach_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day — the sliding-window
     COUNT(DISTINCT) Spark's window frames cannot express (no DISTINCT
@@ -1383,13 +1569,13 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak that makes equal-height bucketing deterministic on both
     engines; the three digits concatenate into the marketing segment
     code. Scale shape: one |customers|-sized rollup (map-side
-    combinable), three windows over that rollup — never the fact — and
-    the as-of date is a 1-row scalar collected once like the heavy-
-    hitters total. Like ``customer_spend_quartiles``, the global ntile
-    ORDER BY is inherently single-partition (the oracle's engine pays
-    the same); at very large SF swap in the three quartile cut points
-    via percentile + broadcast comparison — exact ntile is kept
-    deliberately as the oracle-checkable form."""
+    combinable), three quartile assignments over that rollup — never
+    the fact — and the as-of date is a 1-row scalar collected once like
+    the heavy-hitters total. Each quartile runs through
+    ``operators/quantiles.global_ntile`` (round 7): range-bucketed
+    parallel ranking + broadcast offsets that reproduce SQL ntile
+    bit-for-bit with NO single-partition sort, so the three-window
+    oracle stays the semantic spec and the plan survives 100×."""
     orders = load_table(spark, sf_dir, "orders")
     asof = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
     rollup = (
@@ -1399,16 +1585,19 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("frequency"),
              F.round(F.sum("o_totalprice"), 2).alias("monetary"))
     )
-    w_r = Window.orderBy("recency_days", "o_custkey")
-    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    quart = quantiles.global_ntile(
+        rollup, "recency_days", 4, "o_custkey", out_col="r_quartile")
+    quart = quantiles.global_ntile(
+        quart, "frequency", 4, "o_custkey", descending=True,
+        out_col="f_quartile")
+    quart = quantiles.global_ntile(
+        quart, "monetary", 4, "o_custkey", descending=True,
+        out_col="m_quartile")
     return (
-        rollup.select(
+        quart.select(
             F.col("o_custkey").alias("custkey"),
             "recency_days", "frequency", "monetary",
-            F.ntile(4).over(w_r).alias("r_quartile"),
-            F.ntile(4).over(w_f).alias("f_quartile"),
-            F.ntile(4).over(w_m).alias("m_quartile"))
+            "r_quartile", "f_quartile", "m_quartile")
         .withColumn("segment", F.concat_ws(
             "-", F.col("r_quartile"), F.col("f_quartile"),
             F.col("m_quartile")))
@@ -1613,9 +1802,14 @@ def q_parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     80/20 inventory cut. The cumulative sum runs over the part-grain
     rollup (never the fact) ordered by (revenue desc, partkey); the
     class threshold compares the 6-dp-rounded cumulative share so the
-    cut is identical on both engines. The global running-sum window is
-    single-partition over |parts| rows — same documented trade-off as
-    the ntile queries, with the rollup, not the fact, paying it."""
+    cut is identical on both engines. The running sum is the two-level
+    distributed prefix sum (operators/quantiles.global_running_sum,
+    round 7): per-range parallel cumsum + broadcast range offsets, the
+    same shape as packing.pack_sequences but over VALUE order — no
+    single-partition window anywhere; the grand total falls out of the
+    config-sized offsets frame, replacing the old separate agg. Sums
+    run in exact DECIMAL so the regrouped addition is associative and
+    the single-window oracle stays the bit-exact spec."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
         li.groupBy("l_partkey")
@@ -1623,15 +1817,19 @@ def q_parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * (1 - F.col("l_discount")))
                            .cast("decimal(18,4)")), 2).cast("double")
              .alias("part_revenue"))
+        # 2-dp doubles are exactly representable as DECIMAL(18,2); the
+        # decimal prefix sum is associative, so the two-level regrouped
+        # addition cannot drift the way reassociated doubles can.
+        .withColumn("__rev_dec",
+                    F.col("part_revenue").cast("decimal(18,2)"))
     )
-    total = rev.agg(F.sum("part_revenue").alias("t"))
-    w = Window.orderBy(F.col("part_revenue").desc(), F.col("l_partkey")) \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = (
-        rev.join(F.broadcast(total))
-        .withColumn("cum_share",
-                    F.round(F.sum("part_revenue").over(w) / F.col("t"), 6))
-    )
+    cum = quantiles.global_running_sum(
+        rev, "part_revenue", "__rev_dec", "l_partkey", descending=True,
+        out_col="__cum", total_col="__t",
+    ).withColumn(
+        "cum_share",
+        F.round(F.col("__cum").cast("double")
+                / F.col("__t").cast("double"), 6))
     cls = (F.when(F.col("cum_share") <= 0.80, "A")
            .when(F.col("cum_share") <= 0.95, "B").otherwise("C"))
     return cum.select(F.col("l_partkey").alias("partkey"),
@@ -1648,9 +1846,11 @@ WITH rev AS (
 ),
 cum AS (
   SELECT l_partkey, part_revenue,
-         round(sum(part_revenue) OVER (ORDER BY part_revenue DESC, l_partkey
-                                       ROWS UNBOUNDED PRECEDING)
-               / (SELECT sum(part_revenue) FROM rev), 6) AS cum_share
+         round((sum(part_revenue::DECIMAL(18,2))
+                  OVER (ORDER BY part_revenue DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING))::DOUBLE
+               / (SELECT sum(part_revenue::DECIMAL(18,2))
+                  FROM rev)::DOUBLE, 6) AS cum_share
   FROM rev
 )
 SELECT l_partkey AS partkey, part_revenue, cum_share,
@@ -1816,6 +2016,7 @@ QUERIES = {
     "events_daily_pivot": q_events_daily_pivot,
     "events_unpivot": q_events_unpivot,
     "customer_spend_quartiles": q_customer_spend_quartiles,
+    "customer_spend_quartiles_cut": q_customer_spend_quartiles_cut,
     "order_value_percentiles": q_order_value_percentiles,
     "event_user_reach_approx": q_event_user_reach_approx,
     "event_user_reach_exact": q_event_user_reach_exact,
@@ -1830,6 +2031,8 @@ QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "sole_return_suppliers": q_sole_return_suppliers,
     "events_sliding_reach_7d": q_events_sliding_reach_7d,
+    "min_cost_supplier": q_min_cost_supplier,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
     "customer_cohort_retention": q_customer_cohort_retention,
     "sql_order_grouping_sets": q_sql_order_grouping_sets,
     "orders_data_profile": q_orders_data_profile,
@@ -1871,6 +2074,7 @@ ORACLE = {
     "events_daily_pivot": ORACLE_EVENTS_PIVOT,
     "events_unpivot": ORACLE_EVENTS_UNPIVOT,
     "customer_spend_quartiles": ORACLE_SPEND_QUARTILES,
+    "customer_spend_quartiles_cut": ORACLE_SPEND_QUARTILES_CUT,
     "order_value_percentiles": ORACLE_ORDER_PERCENTILES,
     # event_user_reach_approx: intentionally no oracle — HLL sketches
     # are engine-specific; the driver records a rows-only check and the
@@ -1891,6 +2095,8 @@ ORACLE = {
     "large_volume_customers": ORACLE_LARGE_VOLUME,
     "sole_return_suppliers": ORACLE_SOLE_RETURN,
     "events_sliding_reach_7d": ORACLE_SLIDING_REACH,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "dominant_part_suppliers": ORACLE_DOMINANT_SUPPLIERS,
     "customer_cohort_retention": ORACLE_COHORT_RETENTION,
     "sql_order_grouping_sets": ORACLE_GROUPING_SETS,
     "orders_data_profile": _oracle_orders_profile(),
