@@ -34,99 +34,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-6 rotation (VERDICT r5 directive #4): lead with everything new or
-# touched by this round's changes, then the r3-dated rows (the oldest
-# attestations left), then the round-4-attested LLM-data block. The round's
-# additions now head the list: twenty second-session queries (the four
-# correlated-subquery topologies Q11/Q18/Q21/Q22, sliding reach, int8
-# rerank funnel, bigram NLL, length histogram, PCA projection, cohort
-# retention, grouping sets, data profile, PageRank, day-of-week baseline,
-# RFM, gaps-and-islands + SCD2, YoY growth, hard negatives, split-leakage
-# audit) ahead of the fourteen first-session continuation additions —
-# together they push most of the r4-green LLM-data block past position 50;
-# it rotates back in next round, and every rotated-out query stays covered
-# by the local DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL
-# entries at sf0.01 every round). With 42 never-attested entries in the
-# head, the 50-row gate reaches only 3 of the 9 r3-dated refreshes — the
-# other six (fact_weather_params_forecast, fact_sun_times_*, docs_vocabulary,
-# docs_corpus_stats, multimodal_features) stay r3-attested (local mirror
-# green) and lead the round-7 rotation together with the r4 block.
+# Round-7 rotation (VERDICT r6 directive #1): new entries first, then
+# everything whose operator or oracle changed THIS round (the quantile
+# family's scale-safe rewiring, the skew-safe domain cap, the native-
+# sessions oracle tiebreak), then the nine r6-flagged stale rows (their
+# operators changed in r6 AFTER their last driver row), then the six
+# r3-dated rows (oldest attestations), then the r4-attested LLM block
+# (the seven entries deferred past the gate in r6 lead it). The r5/r6-
+# green remainder sits past the gate; every rotated-out query stays
+# covered by the local mirror at sf0.01 each round.
 _VERIFY_FIRST = (
     # -- new this round: never driver-attested --
-    "important_parts_by_revenue",  # NEW: Q11-shape scalar-agg threshold
-    "large_volume_customers",     # NEW: Q18-shape semi-join on HAVING
-    "sole_return_suppliers",      # NEW: Q21-shape exists/not-exists
-    "events_sliding_reach_7d",    # NEW: sliding count-distinct window
-    "emb_knn_int8_rerank",        # NEW: two-stage int8→exact funnel
-    "docs_bigram_nll",            # NEW: interpolated bigram LM scoring
-    "docs_token_len_histogram",   # NEW: power-of-two length profile
-    "emb_pca1_projection",        # NEW: power-iteration principal axis
-    "customer_cohort_retention",  # NEW: first-order-month cohorts
-    "sql_order_grouping_sets",    # NEW: SQL-text GROUPING SETS
-    "orders_data_profile",        # NEW: per-column quality profile
-    "docs_pagerank",              # NEW: dup-graph centrality
-    "events_dow_baseline",        # NEW: day-of-week seasonal baseline
-    "customer_rfm_segments",      # NEW: RFM quartile segmentation
-    "events_type_runs",           # NEW: gaps-and-islands runs
-    "events_user_state_scd2",     # NEW: SCD2 intervals from the stream
-    "dormant_high_value_customers",  # NEW: Q22-shape scalar + anti join
-    "nation_yoy_revenue",         # NEW: lag-window YoY growth
-    "emb_hard_negatives",         # NEW: contrastive hard-negative mining
-    "docs_split_leakage_check",   # NEW: near-dup pairs crossing splits
-    "event_user_cms_estimate",    # NEW: count-min grid vs exact truth
-    "parts_abc_classes",          # NEW: Pareto/ABC cumulative classes
-    "events_native_sessions",     # NEW: native session_window vs lag oracle
-    "parts_bought_together",      # NEW: market-basket pair mining
-    "docs_dup_degree_histogram",  # NEW: dup-graph degree diagnostic
-    "nation_trade_matrix",        # NEW: Q7 multi-role dimension joins
-    "docs_domain_cap",            # NEW: per-source frequency cap
-    "emb_ann_recall",             # NEW: IVF recall@k vs brute-force truth
-    "events_anomaly_mad",         # NEW: median/MAD modified z-score
-    "docs_bloom_contamination",   # NEW: fixed-size Bloom decontamination
-    "events_zorder_layout",       # NEW: Morton multi-dim clustering key
-    "sql_docs_exact_dedup",       # NEW: SQL-text twin over documents
-    "event_audience_overlap_exact",   # NEW: segment-overlap self-join
-    "event_audience_overlap_approx",  # NEW: HLL incl-excl (rows-only)
-    "events_heavy_hitters",       # NEW: skew diagnostic top-k
-    "order_value_percentiles_approx",  # NEW: GK sketch (rows-only)
-    "docs_bpe_merges",            # NEW: BPE tokenizer induction
-    "docs_bpe_encode",            # NEW: per-doc counts under the merges
-    "multimodal_audio_features",  # NEW: real WAV decode + signal feats
-    "multimodal_frame_sample",    # NEW: real container demux + sampling
-    "docs_cross_source_dup",      # NEW: cross-source duplication matrix
-    "emb_similarity_histogram",   # NEW: dedup-threshold calibration
-    "event_reach_sketch_weekly",  # NEW: mergeable HLL rollup (rows-only)
-    "event_reach_weekly_exact",   # NEW: exact twin bounding the rollup
-    "sql_weather_city_daily",     # NEW: SQL-text twin of the weather star
-    "docs_hybrid_rrf",            # NEW: BM25 × cosine reciprocal-rank fusion
-    "emb_mmr_rerank",             # NEW: MMR diversity rerank (unrolled greedy)
-    "docs_dup_clusters_incremental",  # NEW: incremental label maintenance
+    "customer_spend_quartiles_cut",  # NEW: broadcast percentile-cut buckets
+    "min_cost_supplier",          # NEW: Q2-shape correlated scalar
+    "dominant_part_suppliers",    # NEW: Q20-shape agg-threshold semi chain
+    "parts_hierarchy_rollup",     # NEW: pointer-doubling BOM walk
+    "multimodal_png_features",    # NEW: real zlib PNG decode, 5 filters
     # -- operator or oracle changed this round: re-attest first --
-    "pricing_summary",         # revenue sums now exact-decimal (midpoint fix)
-    "emb_cosine_near_dup",     # trained centroids + shared score artifact
-    "emb_dedup_keep",          # trained centroids + shared score artifact
-    "docs_bm25_search",        # dl join pruned to the hit set
-    "docs_weighted_sample",    # A-ES key now rounded to 12 dp
-    # (also changed but past the 50-row gate at the final 149-entry
-    # surface — the 45 never-attested entries own the head; all are
-    # local-mirror green and lead the round-7 rotation: emb_dedup_keep,
-    # docs_bm25_search, docs_weighted_sample, region_revenue,
-    # top_parts_by_revenue, top_supplier_revenue, sql_nation_revenue,
-    # multimodal_resized, docs_hot_ngrams)
-    "region_revenue",          # revenue sums now exact-decimal
-    "top_parts_by_revenue",    # revenue sums now exact-decimal
-    "top_supplier_revenue",    # revenue sums now exact-decimal
+    "customer_spend_quartiles",   # scale-safe global_ntile plan (values same)
+    "customer_rfm_segments",      # scale-safe global_ntile ×3 (values same)
+    "parts_abc_classes",          # two-level decimal prefix sum + new oracle
+    "docs_domain_cap",            # skew-safe two-path cap (values same)
+    "events_native_sessions",     # oracle cumsum gains event_id tiebreak
+    # -- r6-flagged: operator changed in r6 after their last driver row --
+    "emb_dedup_keep",             # trained centroids + shared score artifact
+    "docs_bm25_search",           # dl join pruned to the hit set
+    "docs_weighted_sample",       # A-ES key now rounded to 12 dp
+    "region_revenue",             # revenue sums now exact-decimal
+    "top_parts_by_revenue",       # revenue sums now exact-decimal
+    "top_supplier_revenue",       # revenue sums now exact-decimal
+    "sql_nation_revenue",         # revenue sums now exact-decimal
+    "multimodal_resized",         # real BMP decode path
+    "docs_hot_ngrams",            # hash-first df counting rework
     # -- r3-dated driver rows: the oldest attestations, refresh now --
-    "weather_dim_condition",
-    "dim_date_spine",
-    "fact_weather_params_history",
     "fact_weather_params_forecast",
     "fact_sun_times_history",
     "fact_sun_times_forecast",
     "docs_vocabulary",
     "docs_corpus_stats",
     "multimodal_features",
-    # -- r4-attested LLM-data block: refresh so nothing is older than r4 --
+    # -- r4-attested block, the seven entries deferred in round 6 first --
+    "docs_split_assign",
+    "emb_random_projection",
+    "docs_sample_exact_n",
+    "docs_redacted",
+    "docs_chunked",
+    "emb_knn_bruteforce",
+    "emb_knn_vectorized",
+    # -- rest of the r4 block: refresh so nothing stays older than r4 --
     "docs_exact_dedup",
     "docs_text_stats",
     "docs_lang_guess",
@@ -147,6 +102,7 @@ _VERIFY_FIRST = (
     "docs_quality_percentile",
     "docs_unigram_nll",
     "docs_dup_spans",
+    # -- past position 50 at the current surface: r4-green, next in line --
     "docs_oov_rate",
     "emb_pq_codes",
     "emb_knn_pq",
@@ -159,14 +115,6 @@ _VERIFY_FIRST = (
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",
-    # -- past position 50: r4-green row-local entries deferred to round 7 --
-    "docs_split_assign",
-    "emb_random_projection",
-    "docs_sample_exact_n",
-    "docs_redacted",
-    "docs_chunked",
-    "emb_knn_bruteforce",
-    "emb_knn_vectorized",
 )
 
 

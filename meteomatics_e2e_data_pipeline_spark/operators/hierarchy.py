@@ -1,0 +1,88 @@
+"""Recursive-CTE-style hierarchy walks as iterative DataFrame joins.
+
+Spark has no ``WITH RECURSIVE``; the engine's answer is **pointer
+doubling** (recursive squaring): each node keeps a state
+``(jump, depth, anc_sum)`` — its current known ancestor, the edge count
+to it, and the weight sum of the path ``(node, jump]`` — and every
+iteration composes each state with its jump target's state, DOUBLING
+the covered distance. A depth-D hierarchy converges in ⌈log2 D⌉
+rounds, each one equi-join shuffle keyed on the jump pointer — the
+same O(log) round structure as the large-star/small-star components in
+``neardup.py``, and the reason a 100 TB BOM explodes in ~5 rounds
+instead of D sequential self-joins.
+
+Exactness: pass an exact-typed weight (decimal / integer) — doubling
+reassociates the path addition, so float weights could drift vs a
+sequential oracle walk; decimal addition is associative and matches
+the recursive-CTE oracle bit-for-bit.
+
+Each round is ``localCheckpoint``-ed (plan depth stays O(1)) and
+convergence is detected by the monotone total-depth fixpoint, with the
+iteration count exposed for observability, mirroring the dup-cluster
+loops. No reference-repo counterpart (its SQL is non-recursive dbt
+models); this serves the analytics extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ancestor_rollup"]
+
+
+def ancestor_rollup(nodes: DataFrame, id_col: str = "id",
+                    parent_col: str = "parent", weight_col: str = "w",
+                    max_iters: int = 50) -> DataFrame:
+    """Resolve every node's root ancestor, depth, and path-weight sum
+    (own weight + every ancestor's, root included) over a forest given
+    as ``(id, parent, weight)`` rows; roots point at themselves.
+    Returns ``(id, root_key, depth, path_sum)``. Cycles (a malformed
+    "hierarchy") cannot converge and raise after ``max_iters``.
+    """
+    base = nodes.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("parent"),
+        F.col(weight_col).alias("w"))
+    pw = base.select(F.col("id").alias("parent"),
+                     F.col("w").alias("pw"))
+    is_root = F.col("id") == F.col("parent")
+    zero_w = F.lit(0).cast(base.schema["w"].dataType)
+    state = (
+        base.join(pw, "parent")
+        .select(
+            "id",
+            F.when(is_root, F.col("id")).otherwise(F.col("parent"))
+            .alias("jump"),
+            F.when(is_root, 0).otherwise(1).cast("bigint").alias("d"),
+            F.when(is_root, zero_w).otherwise(F.col("pw")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    total_d = state.agg(F.sum("d")).first()[0]
+    for _ in range(max_iters):
+        target = state.select(F.col("id").alias("jid"),
+                              F.col("jump").alias("jjump"),
+                              F.col("d").alias("jd"),
+                              F.col("s").alias("js"))
+        state = (
+            state.join(target, state.jump == target.jid)
+            .select("id", F.col("jjump").alias("jump"),
+                    (F.col("d") + F.col("jd")).alias("d"),
+                    (F.col("s") + F.col("js")).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        new_total = state.agg(F.sum("d")).first()[0]
+        if new_total == total_d:
+            break
+        total_d = new_total
+    else:
+        raise ValueError(
+            f"hierarchy did not converge in {max_iters} doubling rounds "
+            f"— cycle in the parent pointers?")
+    return (
+        base.select("id", "w")
+        .join(state, "id")
+        .select("id", F.col("jump").alias("root_key"),
+                F.col("d").alias("depth"),
+                (F.col("w") + F.col("s")).alias("path_sum"))
+    )

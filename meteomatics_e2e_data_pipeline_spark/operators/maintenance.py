@@ -96,6 +96,14 @@ def profile_table(df, cols=None):
     from pyspark.sql import functions as F
 
     cols = list(cols or df.columns)
+    # Names are interpolated into the stack() SQL below — reject
+    # anything that could misparse there (quotes, backticks, spaces)
+    # with a clear error instead of a malformed expression.
+    import re
+    bad = [c for c in cols if not re.fullmatch(r"[A-Za-z0-9_]+", c)]
+    if bad:
+        raise ValueError(
+            f"profile_table requires [A-Za-z0-9_]+ column names, got {bad}")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))

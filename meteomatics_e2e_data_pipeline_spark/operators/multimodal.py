@@ -120,18 +120,131 @@ def _nn_resize(rows, tw: int, th: int):
             for y in range(th)]
 
 
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (8-bit RGB, all five scanline filters) — the
+# second REAL image format. PNG's pixel stream is zlib-deflated, which
+# the stdlib decompresses, so this is a full decode of genuinely
+# compressed bytes; only palette/interlaced/16-bit variants still defer
+# to Pillow's NotImplementedError seam.
+# ---------------------------------------------------------------------------
+
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _is_png(raw: bytes) -> bool:
+    """Signature + an 8-bit RGB non-interlaced IHDR — the variant the
+    stdlib codec fully handles."""
+    if len(raw) < 33 or raw[:8] != _PNG_SIG or raw[12:16] != b"IHDR":
+        return False
+    depth, ctype, comp, filt, interlace = raw[24:29]
+    return (depth, ctype, comp, filt, interlace) == (8, 2, 0, 0, 0)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_decode(raw: bytes):
+    """(width, height, rows) from an 8-bit RGB PNG: chunk walk → IDAT
+    concat → zlib inflate → per-scanline filter reconstruction (None /
+    Sub / Up / Average / Paeth)."""
+    if not _is_png(raw):
+        raise ValueError("not an 8-bit RGB non-interlaced PNG")
+    w = int.from_bytes(raw[16:20], "big")
+    h = int.from_bytes(raw[20:24], "big")
+    idat = bytearray()
+    off = 8
+    while off + 8 <= len(raw):
+        ln = int.from_bytes(raw[off:off + 4], "big")
+        ctype = raw[off + 4:off + 8]
+        if ctype == b"IDAT":
+            idat += raw[off + 8:off + 8 + ln]
+        if ctype == b"IEND":
+            break
+        off += 12 + ln
+    stream = zlib.decompress(bytes(idat))
+    stride, bpp = w * 3, 3
+    prior = bytearray(stride)
+    rows = []
+    for y in range(h):
+        base = y * (stride + 1)
+        filt = stream[base]
+        line = bytearray(stream[base + 1: base + 1 + stride])
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if filt == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif filt == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif filt == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif filt == 4:
+                line[i] = (line[i] + _paeth(a, b, c)) & 0xFF
+            elif filt != 0:
+                raise ValueError(f"unknown PNG filter {filt}")
+        rows.append([(line[3 * x], line[3 * x + 1], line[3 * x + 2])
+                     for x in range(w)])
+        prior = line
+    return w, h, rows
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big"))
+
+
+def _png_encode(rows, filter_of_row=None) -> bytes:
+    """8-bit RGB PNG bytes from top-down (r, g, b) rows.
+    ``filter_of_row(y)`` picks the scanline filter (default None/0);
+    the synthetic tables rotate through all five so the decode path's
+    filter reconstruction is genuinely exercised end-to-end."""
+    h, w = len(rows), len(rows[0])
+    stride, bpp = w * 3, 3
+    raw_lines = [bytes(v for px in row for v in px) for row in rows]
+    out = bytearray()
+    prior = bytes(stride)
+    for y, line in enumerate(raw_lines):
+        filt = (filter_of_row(y) if filter_of_row else 0) % 5
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            pred = (0, a, b, (a + b) // 2, _paeth(a, b, c))[filt]
+            enc[i] = (line[i] - pred) & 0xFF
+        out += bytes([filt]) + enc
+        prior = line
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes):
     """Decode an image payload to (width, height, rows of (r, g, b)).
 
-    REAL end-to-end for 24-bit uncompressed BMP (pure-stdlib codec
-    above); every other format still requires Pillow, which is not in
+    REAL end-to-end for 24-bit uncompressed BMP and 8-bit RGB PNG
+    (pure-stdlib codecs above — the PNG path inflates real zlib
+    streams); every other format still requires Pillow, which is not in
     this container, and raises NotImplementedError — swapping the stub
     for PIL.Image.open changes only this function, not the Spark plan."""
     raw = bytes(payload)
     if _is_bmp(raw):
         return _bmp_decode(raw)
+    if _is_png(raw):
+        return _png_decode(raw)
     raise NotImplementedError(
-        "only 24-bit BMP decodes without Pillow; not in container")
+        "only 24-bit BMP / 8-bit RGB PNG decode without Pillow; "
+        "not in container")
 
 
 def sample_frames(payload: bytes, every_n: int):  # pragma: no cover - stub
@@ -386,6 +499,75 @@ def synth_wav_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from .textops import spread_for_fanout
     return spread_for_fanout(docs.select(id_col), id_col) \
         .mapInPandas(_batches, schema="doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# PNG round-trip plumbing: a synthetic per-doc RGB image (pure integer
+# pixel formula, so the DuckDB oracle regenerates the channel sums in
+# closed form) encoded as a REAL zlib-deflated PNG with the scanline
+# filter rotating through all five types — the decode path must undo
+# Sub/Up/Average/Paeth reconstruction to hash-match.
+# ---------------------------------------------------------------------------
+
+PNG_W, PNG_H = 16, 12
+
+
+def synth_pixels(doc_id: int, w: int = PNG_W, h: int = PNG_H):
+    """Deterministic RGB grid per document — same role as
+    ``synth_samples`` for audio: a pure integer formula both engines
+    can evaluate."""
+    return [[((doc_id * 31 + y * 7 + x * 3) % 256,
+              (doc_id * 17 + y * 5 + x * 11) % 256,
+              (doc_id * 13 + y * 3 + x * 7) % 256)
+             for x in range(w)] for y in range(h)]
+
+
+def synth_png_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of REAL PNG payloads (deterministic pixels, stdlib
+    zlib-deflated, per-row filter = y % 5)."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _png_encode(synth_pixels(int(d)), filter_of_row=lambda y: y)
+                for d in pdf[id_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(docs.select(id_col), id_col) \
+        .mapInPandas(_batches, schema="doc_id long, payload binary")
+
+
+PNG_FEATURE_SCHEMA = ("doc_id long, width int, height int, "
+                      "sum_r long, sum_g long, sum_b long")
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode + exact integer channel sums — the
+    pixel-statistics profile an image-curation gate runs (dead/flat
+    image detection). Row-local mapInPandas, no shuffle; all outputs
+    are integers so the oracle comparison is exact."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "sum_r", "sum_g", "sum_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_image(payload)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sum(p[0] for r in px for p in r))
+                rows["sum_g"].append(sum(p[1] for r in px for p in r))
+                rows["sum_b"].append(sum(p[2] for r in px for p in r))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_batches, schema=PNG_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -271,7 +271,8 @@ def weighted_sample_n(df: DataFrame, n: int, weight_col: str,
 
 
 def cap_per_group(df: DataFrame, group_col: str, cap: int,
-                  order_col: str, id_col: str = "doc_id") -> DataFrame:
+                  order_col: str, id_col: str = "doc_id", *,
+                  skew_safe: bool = True, n_salts: int = 16) -> DataFrame:
     """Per-group frequency cap: keep at most ``cap`` rows per
     ``group_col`` value, preferring higher ``order_col`` (ties broken by
     ``id_col`` ascending so the kept set is deterministic). The
@@ -279,26 +280,59 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
     template-heavy domains dominate the training mix no matter how good
     the per-document quality gate is.
 
-    Scale shape: ONE shuffle keyed on ``group_col`` feeding a rank
-    window. The window frame is a single group's rows, so memory is
-    bounded by the largest group — at crawl scale a hot domain can be
-    that largest group, which is exactly the row-number-window skew case
-    AQE cannot split (windows can't be salted without breaking the
-    rank). When a deployment's domain histogram is badly skewed, cut the
-    tail FIRST with a cheap partial-agg count filter (groups already
-    under the cap never need ranking) — at this corpus' cardinality the
-    single window is the right plan. Emits the surviving rows plus their
-    in-group rank so downstream mix steps can tighten the cap without
-    re-ranking.
+    Scale shape (skew-safe default): a naive single rank window keyed
+    on ``group_col`` has its memory bounded by the LARGEST group — at
+    crawl scale a hot domain is that group, the row-number-window skew
+    case AQE cannot split (a rank can't be salted without breaking it).
+    This plan keeps every window frame bounded by ``cap`` (or
+    ``cap * n_salts``) rows instead:
+
+    1. partial-agg count per group (map-side combinable), joined back;
+    2. groups already ≤ cap bypass the cap-pruning entirely — every row
+       survives, and their rank windows are ≤ cap rows by definition;
+    3. over-cap groups pre-prune through a SALTED local top-cap: rank
+       within (group, salt(id)) keeps ≤ cap rows per salt — a hot
+       domain's biggest task shrinks n_salts× — then the final exact
+       rank runs over ≤ cap·n_salts survivors per group. A row outside
+       its salt's top-cap can't be in the group's top-cap (its salt
+       already holds cap better rows), so the prune is lossless and the
+       result is bit-identical to the single window (pytest asserts
+       this on a one-hot-domain corpus).
+
+    Emits the surviving rows plus their in-group rank so downstream mix
+    steps can tighten the cap without re-ranking. ``skew_safe=False``
+    selects the naive single-window form (the semantic reference the
+    equivalence test compares against).
     """
     if cap <= 0:
         raise ValueError("cap must be positive")
     from pyspark.sql import Window
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(order_col).desc(), F.col(id_col).asc())
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    if not skew_safe:
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= cap)
+            .withColumn("cap_rank", F.col("__rk").cast("int"))
+            .drop("__rk")
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__gn"))
+    tagged = df.join(counts, group_col)
+    under = (
+        tagged.filter(F.col("__gn") <= cap)
+        .withColumn("cap_rank", F.row_number().over(w).cast("int"))
+    )
+    w_salt = Window.partitionBy(
+        group_col,
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_salts))
+    ).orderBy(*order)
+    over = (
+        tagged.filter(F.col("__gn") > cap)
+        .withColumn("__lrk", F.row_number().over(w_salt))
+        .filter(F.col("__lrk") <= cap)
+        .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= cap)
         .withColumn("cap_rank", F.col("__rk").cast("int"))
-        .drop("__rk")
+        .drop("__lrk", "__rk")
     )
+    return under.unionByName(over).select(*df.columns, "cap_rank")

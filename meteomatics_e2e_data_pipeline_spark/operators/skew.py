@@ -115,7 +115,19 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     the observed hot-key multiplicity, not higher. Round-robin (not
     row-hash) salting spreads identical duplicate rows too, same
     rationale as :func:`salted_agg`.
+
+    Only join modes whose semantics survive the small-side replication
+    are accepted: with the small side repeated ``n_salts``×, an
+    unmatched small row under ``right``/``full`` would emit once per
+    replica, so those modes raise instead of silently multiplying.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} (small-side "
+            f"replication breaks right/full semantics), got {how!r}")
     salted_big = big.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -137,7 +149,18 @@ def bloom_pruned_join(big: DataFrame, small: DataFrame, key: str,
     the small side is the output of an arbitrary computation rather
     than a filtered dim. The filter build's collect is bounded by the
     word count (8 KB), never the small side's row count.
+
+    Because the big side is pre-filtered, any outer ``how`` that must
+    keep unmatched big rows ('left'/'full'/'right') would silently drop
+    the pruned rows — those modes raise; the prune is lossless exactly
+    for the modes that only ever emit matched big rows.
     """
+    allowed = {"inner", "left_semi", "leftsemi", "semi"}
+    if how not in allowed:
+        raise ValueError(
+            f"bloom_pruned_join supports {sorted(allowed)} (the Bloom "
+            f"prefilter drops unmatched big rows, so outer modes would "
+            f"lose them), got {how!r}")
     return bloom_key_prefilter(big, small, key).join(small, key, how)
 
 

@@ -1430,6 +1430,61 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 """
 
 
+def q_parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE-style BOM walk: a synthetic assembly hierarchy over
+    part (parent(k) = (k-1) div 3, root 0 — the testdata carries no
+    explicit BOM edges, so the tree is a deterministic function of the
+    key) resolved by POINTER DOUBLING (operators/hierarchy.py): each
+    node's (root, depth, path cost) lands in ⌈log2 depth⌉ keyed-join
+    rounds instead of depth sequential self-joins — the plan that
+    explodes a 100 TB BOM in ~5 shuffles. Path cost sums
+    p_retailprice in exact DECIMAL (2-dp by construction), so the
+    doubling's reassociated addition matches DuckDB's sequential
+    WITH RECURSIVE walk bit-for-bit; the final cast to double is
+    identical on both engines."""
+    from ..operators.hierarchy import ancestor_rollup
+    part = load_table(spark, sf_dir, "part")
+    nodes = part.select(
+        F.col("p_partkey").cast("bigint").alias("id"),
+        F.when(F.col("p_partkey") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("(p_partkey - 1) div 3").cast("bigint"))
+        .alias("parent"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("w"))
+    out = ancestor_rollup(nodes)
+    return out.select(
+        F.col("id").alias("partkey"),
+        F.col("root_key").cast("bigint").alias("root_key"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("path_sum").cast("double").alias("path_cost"))
+
+
+ORACLE_HIERARCHY_ROLLUP = """
+WITH RECURSIVE nodes AS (
+  SELECT p_partkey::BIGINT AS id,
+         (CASE WHEN p_partkey = 0 THEN 0
+               ELSE (p_partkey - 1) // 3 END)::BIGINT AS parent,
+         p_retailprice::DECIMAL(18,2) AS w
+  FROM part
+),
+walk AS (
+  SELECT id, id AS cur, 0 AS depth, 0::DECIMAL(28,2) AS anc_sum
+  FROM nodes
+  UNION ALL
+  SELECT w.id, n.parent, w.depth + 1,
+         (w.anc_sum + pn.w)::DECIMAL(28,2)
+  FROM walk w
+  JOIN nodes n ON n.id = w.cur
+  JOIN nodes pn ON pn.id = n.parent
+  WHERE w.cur <> 0
+)
+SELECT w.id AS partkey, w.cur::BIGINT AS root_key,
+       w.depth::INT AS depth,
+       (n0.w + w.anc_sum)::DOUBLE AS path_cost
+FROM walk w JOIN nodes n0 ON n0.id = w.id
+WHERE w.cur = 0
+"""
+
+
 def q_events_sliding_reach_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day — the sliding-window
     COUNT(DISTINCT) Spark's window frames cannot express (no DISTINCT
@@ -1885,7 +1940,7 @@ def q_events_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NATIVE_SESSIONS = """
 WITH s AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
               THEN 1 ELSE 0 END AS nw
@@ -1893,7 +1948,7 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 g AS (
-  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM s
 )
@@ -2033,6 +2088,7 @@ QUERIES = {
     "events_sliding_reach_7d": q_events_sliding_reach_7d,
     "min_cost_supplier": q_min_cost_supplier,
     "dominant_part_suppliers": q_dominant_part_suppliers,
+    "parts_hierarchy_rollup": q_parts_hierarchy_rollup,
     "customer_cohort_retention": q_customer_cohort_retention,
     "sql_order_grouping_sets": q_sql_order_grouping_sets,
     "orders_data_profile": q_orders_data_profile,
@@ -2097,6 +2153,7 @@ ORACLE = {
     "events_sliding_reach_7d": ORACLE_SLIDING_REACH,
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "dominant_part_suppliers": ORACLE_DOMINANT_SUPPLIERS,
+    "parts_hierarchy_rollup": ORACLE_HIERARCHY_ROLLUP,
     "customer_cohort_retention": ORACLE_COHORT_RETENTION,
     "sql_order_grouping_sets": ORACLE_GROUPING_SETS,
     "orders_data_profile": _oracle_orders_profile(),

@@ -581,8 +581,10 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str,
     aggregate whose state is BOUNDED BY CONSTRUCTION (≤ depth·width
     cells forever, regardless of stream length or key cardinality),
     which is the whole point of sketch-backed streaming counters vs
-    per-key state. Update mode emits changed cells each batch; readers
-    take the latest value per (depth, idx). pytest asserts the
+    per-key state. Complete mode re-emits the full (bounded) grid each
+    trigger, so readers take the sink as-is — with ≤ d·w cells the
+    rewrite cost is a constant, which is why complete mode (normally a
+    scale smell) is the right choice here. pytest asserts the
     availableNow grid equals the batch grid exactly (the cells are
     deterministic integers, unlike the HLL binaries).
     """

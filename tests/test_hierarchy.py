@@ -1,0 +1,47 @@
+"""operators/hierarchy.py: pointer-doubling ancestor rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteomatics_e2e_data_pipeline_spark.operators.hierarchy import (
+    ancestor_rollup,
+)
+
+
+def _nodes(spark, rows):
+    from decimal import Decimal
+    rows = [(i, p, Decimal(str(w))) for i, p, w in rows]
+    return spark.createDataFrame(
+        rows, "id bigint, parent bigint, w decimal(18,2)")
+
+
+def test_forest_depths_roots_and_path_sums(spark):
+    # two trees:  0 <- 1 <- 2 <- 3 (a chain)  and  10 <- 11, 10 <- 12
+    rows = [(0, 0, 1.00), (1, 0, 2.00), (2, 1, 4.00), (3, 2, 8.00),
+            (10, 10, 100.00), (11, 10, 20.00), (12, 10, 30.00)]
+    out = {r["id"]: (r["root_key"], r["depth"], float(r["path_sum"]))
+           for r in ancestor_rollup(_nodes(spark, rows)).collect()}
+    assert out == {
+        0: (0, 0, 1.00), 1: (0, 1, 3.00), 2: (0, 2, 7.00),
+        3: (0, 3, 15.00),
+        10: (10, 0, 100.00), 11: (10, 1, 120.00), 12: (10, 1, 130.00),
+    }
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    # depth-40 chain: doubling must converge well under 40 iterations —
+    # pass a tight max_iters that only a log-round walk satisfies.
+    rows = [(0, 0, 1.00)] + [(i, i - 1, 1.00) for i in range(1, 41)]
+    out = ancestor_rollup(_nodes(spark, rows), max_iters=8)
+    got = {r["id"]: (r["depth"], float(r["path_sum"]))
+           for r in out.collect()}
+    assert got[40] == (40, 41.00)
+    assert got[1] == (1, 2.00)
+
+
+def test_cycle_raises(spark):
+    rows = [(0, 0, 1.00), (1, 2, 1.00), (2, 1, 1.00)]
+    with pytest.raises(ValueError, match="converge"):
+        ancestor_rollup(_nodes(spark, rows), max_iters=6)

@@ -192,6 +192,35 @@ def test_bmp_decode_known_pixels_and_validation():
         _bmp_decode(b"BM" + b"x" * 60)
 
 
+def test_png_codec_all_filters_and_validation():
+    """The stdlib PNG codec round-trips real zlib-deflated bytes under
+    EVERY scanline filter (encode forces one filter per image, decode
+    must reconstruct), decode_image dispatches on the signature, and
+    near-miss byte strings are rejected."""
+    from meteomatics_e2e_data_pipeline_spark.operators.multimodal import (
+        _is_png, _png_decode, _png_encode, decode_image, synth_pixels,
+    )
+
+    px = synth_pixels(7, w=5, h=4)
+    for filt in range(5):
+        raw = _png_encode(px, filter_of_row=lambda y, f=filt: f)
+        assert _is_png(raw), filt
+        assert _png_decode(raw)[2] == px, f"filter {filt} broken"
+    mixed = _png_encode(px, filter_of_row=lambda y: y)   # rotate filters
+    w, h, rows = decode_image(mixed)
+    assert (w, h, rows) == (5, 4, px)
+    # validator: signature alone is not enough — IHDR variant must match
+    assert not _is_png(b"\x89PNG\r\n\x1a\n" + b"x" * 40)
+    with pytest.raises(ValueError):
+        _png_decode(b"\x89PNG\r\n\x1a\n" + b"x" * 40)
+    # grayscale (color type 0) PNGs defer to the Pillow seam
+    bad = bytearray(_png_encode(px))
+    bad[25] = 0
+    assert not _is_png(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 64)
+
+
 def test_bmp_resize_transforms_real_pixels():
     """Nearest-neighbor resize through the public resize_image API:
     2x2 → 4x4 must replicate each source pixel into its 2x2 quadrant,
@@ -1364,6 +1393,26 @@ def test_cap_per_group_keeps_top_n_deterministically(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampling.cap_per_group(df, "source", 0, order_col="n_chars")
+
+
+def test_cap_per_group_skew_safe_matches_naive_on_hot_domain(spark):
+    """One hot domain (200 rows) among tiny ones: the salted two-stage
+    path must be bit-identical to the single-window form — including
+    n_chars ties straddling the salt buckets and the cap boundary."""
+    rows = [(i, "hot", (100 + i) // 7) for i in range(200)]        # ties
+    rows += [(1000 + i, "s%d" % (i % 5), i) for i in range(15)]    # tails
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    naive = sampling.cap_per_group(
+        df, "source", 5, order_col="n_chars", skew_safe=False)
+    safe = sampling.cap_per_group(
+        df, "source", 5, order_col="n_chars", n_salts=4)
+    key = lambda r: (r["source"], r["cap_rank"])
+    naive_rows = sorted(((r["source"], r["doc_id"], r["cap_rank"])
+                         for r in naive.collect()))
+    safe_rows = sorted(((r["source"], r["doc_id"], r["cap_rank"])
+                        for r in safe.collect()))
+    assert naive_rows == safe_rows
+    assert safe.columns == naive.columns
 
 
 def test_ann_recall_bounds(spark, sf_oracle):

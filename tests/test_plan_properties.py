@@ -51,9 +51,11 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                # 1-row scalar-aggregate threshold join (Q11 topology) —
                # the broadcast side is a single row by construction
                "important_parts_by_revenue",
-               # 1-row corpus-total crossJoin feeding the cumulative
-               # share — bounded by construction like bm25's stats row
-               "parts_abc_classes"}
+               # 1-row percentile-cuts crossJoin (quantile_cut) —
+               # bounded by construction like bm25's stats row
+               # (parts_abc_classes left the list in round 7: its total
+               # now rides the config-sized offsets broadcast instead)
+               "customer_spend_quartiles_cut"}
     for name in entrymod.queries():
         if "BroadcastNestedLoopJoin" in _plan(spark, name, sf_smoke):
             assert name in allowed, f"unexpected BNLJ in {name}"
