@@ -50,6 +50,7 @@ _VERIFY_FIRST = (
     "dominant_part_suppliers",    # NEW: Q20-shape agg-threshold semi chain
     "parts_hierarchy_rollup",     # NEW: pointer-doubling BOM walk
     "multimodal_png_features",    # NEW: real zlib PNG decode, 5 filters
+    "supplier_revenue_ranks",     # NEW: scale-safe global rank/percent_rank
     # -- operator or oracle changed this round: re-attest first --
     "customer_spend_quartiles",   # scale-safe global_ntile plan (values same)
     "customer_rfm_segments",      # scale-safe global_ntile ×3 (values same)

@@ -62,7 +62,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_ntile", "global_running_sum", "quantile_cut"]
+__all__ = ["global_ntile", "global_row_number", "global_running_sum",
+           "quantile_cut"]
 
 
 def _range_bucketed(df: DataFrame, value_col: str, descending: bool,
@@ -109,6 +110,40 @@ def _local_order(value_col: str, tiebreak_col: str,
     return [first, F.col(tiebreak_col).asc()]
 
 
+def _ranked(df: DataFrame, value_col: str, tiebreak_col: str,
+            descending: bool, n_ranges: int) -> DataFrame:
+    """Internal: df + ``__r`` (exact global row_number) + ``__n``
+    (total rows), both bigint, via per-range ranks and broadcast
+    offsets."""
+    base = _range_bucketed(df, value_col, descending, n_ranges)
+    w_local = Window.partitionBy("__rng").orderBy(
+        *_local_order(value_col, tiebreak_col, descending))
+    local = base.withColumn("__rn", F.row_number().over(w_local))
+    offsets = _offsets(base, F.count(F.lit(1)).cast("bigint"))
+    return (
+        local.join(F.broadcast(offsets), "__rng")
+        .withColumn("__r", (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__rng", "__rn", "__off")
+    )
+
+
+def global_row_number(df: DataFrame, value_col: str, tiebreak_col: str,
+                      *, descending: bool = False, out_col: str = "rank",
+                      total_col: str | None = None,
+                      n_ranges: int = 64) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY value [DESC], tiebreak)``
+    with no single-partition sort — the primitive under
+    :func:`global_ntile`, exposed for rank/percent_rank reports
+    (``total_col`` optionally emits the row count n, free from the
+    offsets frame, so percent_rank = (rank-1)/(n-1) stays row-local).
+    ``value_col`` must be non-null."""
+    out = (_ranked(df, value_col, tiebreak_col, descending, n_ranges)
+           .withColumnRenamed("__r", out_col))
+    if total_col is not None:
+        return out.withColumnRenamed("__n", total_col)
+    return out.drop("__n")
+
+
 def global_ntile(df: DataFrame, value_col: str, k: int, tiebreak_col: str,
                  *, descending: bool = False, out_col: str = "bucket",
                  n_ranges: int = 64) -> DataFrame:
@@ -120,23 +155,17 @@ def global_ntile(df: DataFrame, value_col: str, k: int, tiebreak_col: str,
     non-null (the rollups this serves aggregate non-null measures)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    base = _range_bucketed(df, value_col, descending, n_ranges)
-    w_local = Window.partitionBy("__rng").orderBy(
-        *_local_order(value_col, tiebreak_col, descending))
-    local = base.withColumn("__rn", F.row_number().over(w_local))
-    offsets = _offsets(base, F.count(F.lit(1)).cast("bigint"))
     # Integer-only bucket math (`div` is integral division) — no floats.
     bucket = F.expr(
         f"CASE WHEN __r <= __cut THEN (__r - 1) div (__q + 1) + 1 "
         f"ELSE (__n % {k}) + (__r - __cut - 1) div greatest(__q, 1) + 1 "
         f"END")
     return (
-        local.join(F.broadcast(offsets), "__rng")
-        .withColumn("__r", (F.col("__off") + F.col("__rn")).cast("bigint"))
+        _ranked(df, value_col, tiebreak_col, descending, n_ranges)
         .withColumn("__q", F.expr(f"__n div {k}"))
         .withColumn("__cut", F.expr(f"(__n % {k}) * (__q + 1)"))
         .withColumn(out_col, bucket.cast("int"))
-        .drop("__rng", "__rn", "__off", "__n", "__r", "__q", "__cut")
+        .drop("__n", "__r", "__q", "__cut")
     )
 
 

@@ -1458,6 +1458,49 @@ def q_parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path_sum").cast("double").alias("path_cost"))
 
 
+def q_supplier_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank + percent_rank over the supplier-grain revenue
+    rollup WITHOUT a single-partition sort: ``global_row_number``
+    (operators/quantiles.py) builds the exact row_number via
+    range-bucketed parallel ranking + broadcast offsets, and
+    percent_rank = (rank-1)/(n-1) is then row-local (n rides the same
+    config-sized offsets frame). The ORDER BY carries the unique
+    suppkey tiebreak, so window rank == row_number and DuckDB's native
+    percent_rank matches the formula exactly; revenue is the
+    exact-decimal sum per the engine-wide midpoint policy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
+             .alias("revenue"))
+    )
+    ranked = quantiles.global_row_number(
+        rev, "revenue", "l_suppkey", descending=True,
+        out_col="revenue_rank", total_col="__n")
+    return ranked.select(
+        F.col("l_suppkey").alias("suppkey"), "revenue",
+        "revenue_rank",
+        F.round((F.col("revenue_rank") - 1)
+                / (F.col("__n") - 1), 6).alias("pct_rank"))
+
+
+ORACLE_SUPPLIER_RANKS = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)),
+               2)::DOUBLE AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey AS suppkey, revenue,
+       row_number() OVER w AS revenue_rank,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM rev
+WINDOW w AS (ORDER BY revenue DESC, l_suppkey)
+"""
+
+
 ORACLE_HIERARCHY_ROLLUP = """
 WITH RECURSIVE nodes AS (
   SELECT p_partkey::BIGINT AS id,
@@ -2089,6 +2132,7 @@ QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "dominant_part_suppliers": q_dominant_part_suppliers,
     "parts_hierarchy_rollup": q_parts_hierarchy_rollup,
+    "supplier_revenue_ranks": q_supplier_revenue_ranks,
     "customer_cohort_retention": q_customer_cohort_retention,
     "sql_order_grouping_sets": q_sql_order_grouping_sets,
     "orders_data_profile": q_orders_data_profile,
@@ -2154,6 +2198,7 @@ ORACLE = {
     "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
     "dominant_part_suppliers": ORACLE_DOMINANT_SUPPLIERS,
     "parts_hierarchy_rollup": ORACLE_HIERARCHY_ROLLUP,
+    "supplier_revenue_ranks": ORACLE_SUPPLIER_RANKS,
     "customer_cohort_retention": ORACLE_COHORT_RETENTION,
     "sql_order_grouping_sets": ORACLE_GROUPING_SETS,
     "orders_data_profile": _oracle_orders_profile(),
