@@ -51,6 +51,14 @@ _VERIFY_FIRST = (
     "parts_hierarchy_rollup",     # NEW: pointer-doubling BOM walk
     "multimodal_png_features",    # NEW: real zlib PNG decode, 5 filters
     "supplier_revenue_ranks",     # NEW: scale-safe global rank/percent_rank
+    "urgent_shipping_priority",   # NEW: Q3-shape triple-filter chain
+    "local_supplier_volume",      # NEW: Q5-shape dual-dim-path equality
+    "returned_item_losses",       # NEW: Q10-shape pruned top-20
+    "promo_revenue_share",        # NEW: Q14-shape conditional agg series
+    "small_order_revenue",        # NEW: Q17-shape correlated scalar avg
+    "discount_band_revenue",      # NEW: Q6-shape pure pushdown agg
+    "customer_order_distribution",  # NEW: Q13-shape outer-join-ON filter
+    "disjunctive_band_revenue",   # NEW: Q19-shape OR-of-ANDs predicate
     # -- operator or oracle changed this round: re-attest first --
     "customer_spend_quartiles",   # scale-safe global_ntile plan (values same)
     "customer_rfm_segments",      # scale-safe global_ntile ×3 (values same)

@@ -1458,6 +1458,347 @@ def q_parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path_sum").cast("double").alias("path_cost"))
 
 
+def _disc_price():
+    """disc-price expression; built lazily (Column construction needs an
+    active SparkContext, so no module-level columns)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_urgent_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 topology: unshipped-order revenue for one market
+    segment — the classic 3-way fact chain with filters on ALL THREE
+    tables (segment on customer, order date below / ship date above the
+    cut), each pushed into its own scan before any join. Group by the
+    order key + date, top 10 by revenue with the orderkey tiebreak that
+    makes LIMIT deterministic. Exact-decimal revenue per the midpoint
+    policy; the orders side is date-pruned BEFORE joining lineitem."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < cutoff)
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_disc_price().cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(F.col("l_orderkey").alias("orderkey"), "o_orderdate",
+                "revenue")
+    )
+
+
+ORACLE_URGENT_SHIPPING = """
+SELECT l_orderkey AS orderkey, o_orderdate,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)),
+             2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 topology: revenue per nation where the CUSTOMER and the
+    SUPPLIER share that nation (the equality between two different
+    dimension paths of the same fact row is Q5's signature), for one
+    region and a date year. Both nation paths resolve through ONE
+    broadcast nation dim read under two aliases (same multi-role trick
+    as `nation_trade_matrix`); the fact is date-pruned at the scan;
+    region restricts via the broadcast dim chain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1997-01-01")
+                       .cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1998-01-01")
+                         .cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == "ASIA")
+    n_in_region = (nation.join(F.broadcast(region),
+                               nation.n_regionkey == region.r_regionkey)
+                   .select("n_nationkey", "n_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n_in_region),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price().cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"))
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)),
+             2)::DOUBLE AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 topology: customers ranked by revenue lost to returns
+    in one quarter — order-date window pushed into the orders scan,
+    returnflag filter pushed into the lineitem scan, customer + nation
+    dims joined after the fact has been doubly pruned; top 20 with the
+    custkey tiebreak making LIMIT deterministic."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1997-10-01")
+                       .cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1998-01-01")
+                         .cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(_disc_price().cast("decimal(18,4)")), 2)
+             .cast("double").alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "n_name",
+                "c_acctbal", "lost_revenue")
+    )
+
+
+ORACLE_RETURNED_LOSSES = """
+SELECT c_custkey AS custkey, c_name, n_name, c_acctbal,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)),
+             2)::DOUBLE AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 topology generalized to a monthly series: the share of
+    revenue from PROMO-type parts per order month — conditional
+    aggregation (CASE inside SUM) over one fact pass, part type via a
+    part join. Numerator and denominator both sum in exact DECIMAL and
+    the percentage divides the resulting doubles, so both engines
+    compute the identical ratio before the 4-dp display round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _disc_price().cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", disc) \
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.to_date(F.date_trunc("month", "l_shipdate"))
+                 .alias("ship_month"))
+        .agg(F.sum(promo).alias("__promo"), F.sum(disc).alias("__all"))
+        .select("ship_month",
+                F.round(F.lit(100.0) * F.col("__promo").cast("double")
+                        / F.col("__all").cast("double"), 4)
+                .alias("promo_share_pct"))
+    )
+
+
+ORACLE_PROMO_SHARE = """
+SELECT date_trunc('month', l_shipdate)::DATE AS ship_month,
+       round(100.0
+             * sum(CASE WHEN p_type = 'PROMO'
+                        THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,4)
+                        ELSE 0::DECIMAL(18,4) END)::DOUBLE
+             / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE,
+             4) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY date_trunc('month', l_shipdate)::DATE
+"""
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 topology: weekly-order-size revenue loss — lineitems
+    whose quantity sits below 20% of their part's average quantity,
+    summed and divided by 7. The correlated scalar (per-part avg)
+    decorrelates into a part-grain rollup joined back on partkey; the
+    threshold 0.2·avg is exact cross-engine because quantities are
+    small integers in doubles (exact sums, exact counts, identical
+    IEEE division). One fact scan feeds both the rollup and the probe
+    side — Spark reuses the scan; the final sum is exact-decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((F.sum("l_quantity") / F.count(F.lit(1)))
+                    .alias("avg_qty")))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           .cast("decimal(18,2)")).cast("double") / 7.0, 2)
+             .alias("avg_weekly_loss"))
+    )
+
+
+ORACLE_SMALL_ORDER = """
+WITH a AS (
+  SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2)
+         AS avg_weekly_loss
+FROM lineitem JOIN a USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 topology: the pure scan-filter-aggregate — revenue that
+    would be gained by dropping discounts in a band, one year, small
+    quantities. No join, no window: every predicate pushes into the
+    parquet scan and the single SUM partial-aggs map-side; the simplest
+    possible 100 TB plan and the canonical pushdown check. Discounts
+    live on an exact 0.01 grid, so the band endpoints compare exactly;
+    price·discount is a 4-dp grid value summed in exact DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01")
+                   .cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01")
+                     .cast("timestamp"))
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                           .cast("decimal(18,4)")), 2).cast("double")
+             .alias("revenue_effect"))
+    )
+
+
+ORACLE_DISCOUNT_BAND = """
+SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,4)),
+             2)::DOUBLE AS revenue_effect
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q13 topology: the order-count distribution INCLUDING
+    zero-order customers — Q13's signature is the filter living in the
+    OUTER join's ON clause (here: urgent orders excluded), so customers
+    whose every order is filtered out still appear with count 0, which
+    a WHERE clause would silently drop. Two-level aggregation: count
+    per customer (|customers|-bounded), then count-of-counts (tiny).
+    All integers — exact on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(orders,
+                  (cust.c_custkey == orders.o_custkey)
+                  & (orders.o_orderpriority != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (per_cust.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+ORACLE_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+"""
+
+
+def q_disjunctive_band_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q19 topology: the OR-of-ANDs join predicate — three
+    (brand, size-band, quantity-band) alternatives over the part×
+    lineitem join. Catalyst extracts the common conjuncts it can
+    (partkey equi-join key stays a hash join; the disjunction becomes a
+    residual filter), the classic disjunctive-pushdown stress test.
+    Exact-decimal revenue; integer-grid bands compare exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part") \
+        .select("p_partkey", "p_brand", "p_size")
+    alt1 = ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5)
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+    alt2 = ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+    alt3 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15)
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(alt1 | alt2 | alt3)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(_disc_price().cast("decimal(18,4)")), 2)
+             .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLE_DISJUNCTIVE_BAND = """
+SELECT p_brand,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)),
+             2)::DOUBLE AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 15
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY p_brand
+"""
+
+
 def q_supplier_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global rank + percent_rank over the supplier-grain revenue
     rollup WITHOUT a single-partition sort: ``global_row_number``
@@ -2133,6 +2474,14 @@ QUERIES = {
     "dominant_part_suppliers": q_dominant_part_suppliers,
     "parts_hierarchy_rollup": q_parts_hierarchy_rollup,
     "supplier_revenue_ranks": q_supplier_revenue_ranks,
+    "urgent_shipping_priority": q_urgent_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
+    "returned_item_losses": q_returned_item_losses,
+    "promo_revenue_share": q_promo_revenue_share,
+    "small_order_revenue": q_small_order_revenue,
+    "discount_band_revenue": q_discount_band_revenue,
+    "customer_order_distribution": q_customer_order_distribution,
+    "disjunctive_band_revenue": q_disjunctive_band_revenue,
     "customer_cohort_retention": q_customer_cohort_retention,
     "sql_order_grouping_sets": q_sql_order_grouping_sets,
     "orders_data_profile": q_orders_data_profile,
@@ -2199,6 +2548,14 @@ ORACLE = {
     "dominant_part_suppliers": ORACLE_DOMINANT_SUPPLIERS,
     "parts_hierarchy_rollup": ORACLE_HIERARCHY_ROLLUP,
     "supplier_revenue_ranks": ORACLE_SUPPLIER_RANKS,
+    "urgent_shipping_priority": ORACLE_URGENT_SHIPPING,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "returned_item_losses": ORACLE_RETURNED_LOSSES,
+    "promo_revenue_share": ORACLE_PROMO_SHARE,
+    "small_order_revenue": ORACLE_SMALL_ORDER,
+    "discount_band_revenue": ORACLE_DISCOUNT_BAND,
+    "customer_order_distribution": ORACLE_ORDER_DISTRIBUTION,
+    "disjunctive_band_revenue": ORACLE_DISJUNCTIVE_BAND,
     "customer_cohort_retention": ORACLE_COHORT_RETENTION,
     "sql_order_grouping_sets": ORACLE_GROUPING_SETS,
     "orders_data_profile": _oracle_orders_profile(),
