@@ -107,6 +107,31 @@ FROM (
 """
 
 
+def q_latest_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AGGREGATE top-1-per-group strategy (round 7): the same
+    latest-order result as the window form above, computed as
+    ``max(struct(order_cols..., payload))`` + unpack — a plain hash
+    aggregate that partial-aggs MAP-SIDE (each task keeps ONE struct
+    per group) and is therefore immune to the hot-key window skew a
+    rank over a celebrity customer would hit: the hot key collapses to
+    one row per map task before the shuffle. Lexicographic struct max
+    over (orderdate, orderkey) equals the (DESC, DESC) window pick
+    because the tiebreaker makes the ordering total; the oracle keeps
+    the window form as the semantic spec. This is the strategy of
+    choice when only the top-1 is needed and keys can be skewed; the
+    window form generalizes to top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey",
+                            "o_totalprice")).alias("__top"))
+        .select("o_custkey",
+                F.col("__top.o_orderkey").alias("o_orderkey"),
+                F.col("__top.o_orderdate").alias("o_orderdate"),
+                F.col("__top.o_totalprice").alias("o_totalprice"))
+    )
+
+
 def q_supplier_running_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-over-frame window (running sum per supplier). Quantity, not
     revenue, so the cumulative double stays in a range where round(2) is
@@ -2432,6 +2457,7 @@ GROUP BY 1, 2
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
+    "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
     "customer_order_gaps": q_customer_order_gaps,
     "sessionize_events": q_sessionize_events,
@@ -2500,6 +2526,7 @@ QUERIES = {
 ORACLE = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
+    "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,
     "customer_order_gaps": ORACLE_ORDER_GAPS,
     "sessionize_events": ORACLE_SESSIONIZE,

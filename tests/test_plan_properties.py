@@ -18,6 +18,30 @@ def test_pricing_summary_pushes_filter_and_prunes(spark, sf_smoke):
     assert "l_comment" not in plan and "l_shipmode" not in plan
 
 
+def test_discount_band_pushes_every_predicate(spark, sf_smoke):
+    # Q6 shape: all four predicates must reach the parquet scan and the
+    # plan must stay join- and window-free (pure scan → partial agg).
+    # (formatted explain — the compact toString truncates the pushed
+    # filter list for this many predicates)
+    df = entrymod.queries()["discount_band_revenue"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount",
+                 "LessThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert frag in plan, frag
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_latest_order_agg_is_window_free_partial_agg(spark, sf_smoke):
+    # the aggregate top-1 strategy: a map-side partial max per group,
+    # no Window operator anywhere (that's the point vs the rank form).
+    plan = _plan(spark, "latest_order_agg", sf_smoke)
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial max" in plan.lower(), plan
+
+
 def test_no_cartesian_products_anywhere(spark, sf_smoke):
     for name in entrymod.queries():
         assert "CartesianProduct" not in _plan(spark, name, sf_smoke), name
