@@ -1711,6 +1711,42 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 topology: correlated EXISTS with a cross-table theta
+    predicate — orders placed in 1997H1 having AT LEAST ONE lineitem
+    shipped more than 60 days after the order date, counted per
+    priority. The decorrelation is a LEFT SEMI join keyed on the
+    orderkey with the inequality as the join residual: per-key work is
+    bounded by order width, the date filter pushes into the orders
+    scan, and the semi join deduplicates multi-late orders for free
+    (no DISTINCT pass)."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1997-01-01")
+                       .cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1997-07-01")
+                         .cast("timestamp"))))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    late = (orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate")
+           + F.expr("INTERVAL 60 DAYS")), "left_semi"))
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_late_orders")))
+
+
+ORACLE_LATE_SHIPMENTS = """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 topology: the pure scan-filter-aggregate — revenue that
     would be gained by dropping discounts in a band, one year, small
@@ -2506,6 +2542,7 @@ QUERIES = {
     "promo_revenue_share": q_promo_revenue_share,
     "small_order_revenue": q_small_order_revenue,
     "discount_band_revenue": q_discount_band_revenue,
+    "late_shipment_orders": q_late_shipment_orders,
     "customer_order_distribution": q_customer_order_distribution,
     "disjunctive_band_revenue": q_disjunctive_band_revenue,
     "customer_cohort_retention": q_customer_cohort_retention,
@@ -2581,6 +2618,7 @@ ORACLE = {
     "promo_revenue_share": ORACLE_PROMO_SHARE,
     "small_order_revenue": ORACLE_SMALL_ORDER,
     "discount_band_revenue": ORACLE_DISCOUNT_BAND,
+    "late_shipment_orders": ORACLE_LATE_SHIPMENTS,
     "customer_order_distribution": ORACLE_ORDER_DISTRIBUTION,
     "disjunctive_band_revenue": ORACLE_DISJUNCTIVE_BAND,
     "customer_cohort_retention": ORACLE_COHORT_RETENTION,

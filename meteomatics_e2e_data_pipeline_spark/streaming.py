@@ -574,6 +574,49 @@ def stream_sliding_reach(spark: SparkSession, sf_dir: str,
     q.awaitTermination()
 
 
+def stream_sliding_reach_exact(spark: SparkSession, sf_dir: str,
+                               checkpoint_path: str, query_name: str,
+                               watermark: str = "1 day") -> None:
+    """EXACT streaming twin of ``events_sliding_reach_7d`` (the HLL
+    variant above trades exactness for fixed state): each event fans
+    out row-locally to the ≤7 trailing window-end days it covers —
+    the same explode(sequence) trick as the batch plan — the
+    (user, window_end) pairs DEDUPE on the event-time key
+    (``dropDuplicates`` with the watermark column in the key, so state
+    evicts as the watermark passes), and a 1-day tumbling count over
+    the surviving pairs IS the exact distinct-user count per trailing
+    window. Two chained stateful operators (dedupe → windowed agg),
+    supported in append mode on Spark 3.5+/4.x; state is bounded by
+    |distinct (user, day)| inside the watermark horizon — larger than
+    the sketch's fixed state, exact in return, and still shuffle-keyed
+    (never per-window identity lists on one task). pytest asserts
+    closed windows equal the batch query EXACTLY."""
+    ev = read_events_stream(spark, sf_dir)
+    fanned = (
+        ev.select(
+            "user_id",
+            F.explode(F.expr(
+                "sequence(to_date(ts), date_add(to_date(ts), 6))"))
+            .alias("wend"))
+        .select("user_id", F.to_timestamp("wend").alias("wend_ts"))
+        .withWatermark("wend_ts", watermark)
+        .dropDuplicates(["user_id", "wend_ts"])
+    )
+    agg = (
+        fanned.groupBy(F.window("wend_ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("users_7d"))
+        .select(F.col("w.start").cast("date").alias("day"), "users_7d")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_cms_cells(spark: SparkSession, sf_dir: str,
                      checkpoint_path: str, query_name: str) -> None:
     """Streaming count-min maintenance: the d×w grid updated per

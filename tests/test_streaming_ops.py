@@ -419,6 +419,40 @@ def test_stream_sliding_reach_tracks_batch_exact(spark, tmp_path):
     assert checked > 0
 
 
+def test_stream_sliding_reach_exact_equals_batch(spark, tmp_path):
+    """The EXACT streaming twin (dedupe → windowed count, two chained
+    stateful operators): every closed window must equal the batch
+    trailing-7d distinct count bit-for-bit — no error envelope. The
+    streaming frame also emits window-end days before the data start
+    and only windows the watermark closed; compare the overlap with
+    the batch query's observed-day domain."""
+    import datetime as dt
+
+    from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
+        q_events_sliding_reach_7d,
+    )
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_sliding_reach_exact,
+    )
+
+    name = "sliding_reach_exact_test"
+    stream_sliding_reach_exact(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    got = {r.day: r.users_7d
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert len(got) > 0
+
+    exact = {r.day: r.users_7d
+             for r in q_events_sliding_reach_7d(spark, EVENTS_DIR).collect()}
+    ev = load_table(spark, EVENTS_DIR, "events")
+    max_day = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    checked = 0
+    for day, users in got.items():
+        if day in exact and day < max_day - dt.timedelta(days=2):
+            assert users == exact[day], day
+            checked += 1
+    assert checked > 0
+
+
 def test_stream_cms_grid_equals_batch_grid(spark, tmp_path):
     """The streaming count-min grid (bounded state: <= depth*width
     cells) must equal the batch grid cell-for-cell after one
