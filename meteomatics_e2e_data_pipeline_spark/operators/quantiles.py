@@ -67,13 +67,16 @@ __all__ = ["global_ntile", "global_row_number", "global_running_sum",
 
 
 def _range_bucketed(df: DataFrame, value_col: str, descending: bool,
-                    n_ranges: int) -> DataFrame:
+                    n_ranges: int, checkpoint: bool = True) -> DataFrame:
     """Checkpoint ``df`` and add ``__rng``: a row-local range id that is
     monotone in the requested value order (approx boundaries, exact
-    order)."""
+    order). Pass ``checkpoint=False`` when the caller already
+    materialized the frame (e.g. one rollup feeding several quantile
+    passes) — the boundary-estimate action then reads the caller's
+    checkpoint instead of making another copy."""
     if n_ranges < 2:
         raise ValueError(f"n_ranges must be >= 2, got {n_ranges}")
-    snap = df.localCheckpoint(eager=True)
+    snap = df.localCheckpoint(eager=True) if checkpoint else df
     probs = [i / n_ranges for i in range(1, n_ranges)]
     cuts_row = snap.agg(
         F.percentile_approx(value_col, probs, 10_000).alias("c")).first()
@@ -111,11 +114,12 @@ def _local_order(value_col: str, tiebreak_col: str,
 
 
 def _ranked(df: DataFrame, value_col: str, tiebreak_col: str,
-            descending: bool, n_ranges: int) -> DataFrame:
+            descending: bool, n_ranges: int,
+            checkpoint: bool = True) -> DataFrame:
     """Internal: df + ``__r`` (exact global row_number) + ``__n``
     (total rows), both bigint, via per-range ranks and broadcast
     offsets."""
-    base = _range_bucketed(df, value_col, descending, n_ranges)
+    base = _range_bucketed(df, value_col, descending, n_ranges, checkpoint)
     w_local = Window.partitionBy("__rng").orderBy(
         *_local_order(value_col, tiebreak_col, descending))
     local = base.withColumn("__rn", F.row_number().over(w_local))
@@ -129,15 +133,16 @@ def _ranked(df: DataFrame, value_col: str, tiebreak_col: str,
 
 def global_row_number(df: DataFrame, value_col: str, tiebreak_col: str,
                       *, descending: bool = False, out_col: str = "rank",
-                      total_col: str | None = None,
-                      n_ranges: int = 64) -> DataFrame:
+                      total_col: str | None = None, n_ranges: int = 64,
+                      checkpoint: bool = True) -> DataFrame:
     """Exact ``row_number() OVER (ORDER BY value [DESC], tiebreak)``
     with no single-partition sort — the primitive under
     :func:`global_ntile`, exposed for rank/percent_rank reports
     (``total_col`` optionally emits the row count n, free from the
     offsets frame, so percent_rank = (rank-1)/(n-1) stays row-local).
     ``value_col`` must be non-null."""
-    out = (_ranked(df, value_col, tiebreak_col, descending, n_ranges)
+    out = (_ranked(df, value_col, tiebreak_col, descending, n_ranges,
+                   checkpoint)
            .withColumnRenamed("__r", out_col))
     if total_col is not None:
         return out.withColumnRenamed("__n", total_col)
@@ -146,7 +151,7 @@ def global_row_number(df: DataFrame, value_col: str, tiebreak_col: str,
 
 def global_ntile(df: DataFrame, value_col: str, k: int, tiebreak_col: str,
                  *, descending: bool = False, out_col: str = "bucket",
-                 n_ranges: int = 64) -> DataFrame:
+                 n_ranges: int = 64, checkpoint: bool = True) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY value [DESC], tiebreak)`` with no
     single-partition stage. Output is bit-identical to the window form:
     global rank r (from per-range row_number + broadcast offsets) maps
@@ -161,7 +166,8 @@ def global_ntile(df: DataFrame, value_col: str, k: int, tiebreak_col: str,
         f"ELSE (__n % {k}) + (__r - __cut - 1) div greatest(__q, 1) + 1 "
         f"END")
     return (
-        _ranked(df, value_col, tiebreak_col, descending, n_ranges)
+        _ranked(df, value_col, tiebreak_col, descending, n_ranges,
+                checkpoint)
         .withColumn("__q", F.expr(f"__n div {k}"))
         .withColumn("__cut", F.expr(f"(__n % {k}) * (__q + 1)"))
         .withColumn(out_col, bucket.cast("int"))
@@ -172,15 +178,15 @@ def global_ntile(df: DataFrame, value_col: str, k: int, tiebreak_col: str,
 def global_running_sum(df: DataFrame, value_col: str, weight_col: str,
                        tiebreak_col: str, *, descending: bool = False,
                        out_col: str = "running_sum",
-                       total_col: str | None = None,
-                       n_ranges: int = 64) -> DataFrame:
+                       total_col: str | None = None, n_ranges: int = 64,
+                       checkpoint: bool = True) -> DataFrame:
     """Exact ``sum(weight) OVER (ORDER BY value [DESC], tiebreak ROWS
     UNBOUNDED PRECEDING)`` as per-range local cumsum + broadcast range
     offsets. Pass an exact-typed ``weight_col`` (decimal / integer) so
     the regrouped addition is associative and oracle-stable; optionally
     also emit the grand total (``total_col``) — it falls out of the
     same config-sized offsets frame for free."""
-    base = _range_bucketed(df, value_col, descending, n_ranges)
+    base = _range_bucketed(df, value_col, descending, n_ranges, checkpoint)
     w_local = (Window.partitionBy("__rng")
                .orderBy(*_local_order(value_col, tiebreak_col, descending))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -2085,14 +2085,20 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("frequency"),
              F.round(F.sum("o_totalprice"), 2).alias("monetary"))
     )
-    quart = quantiles.global_ntile(
-        rollup, "recency_days", 4, "o_custkey", out_col="r_quartile")
-    quart = quantiles.global_ntile(
-        quart, "frequency", 4, "o_custkey", descending=True,
-        out_col="f_quartile")
-    quart = quantiles.global_ntile(
-        quart, "monetary", 4, "o_custkey", descending=True,
-        out_col="m_quartile")
+    # ONE materialization feeds all three quartile passes (each pass's
+    # boundary estimate + rank reads the same checkpoint; checkpoint=False
+    # skips the per-call copy), and the three (custkey, bucket) frames
+    # join back on the key — custkey-keyed shuffles, no windowed chain.
+    snap = rollup.localCheckpoint(eager=True)
+    quart = snap
+    for value, desc, out in (("recency_days", False, "r_quartile"),
+                             ("frequency", True, "f_quartile"),
+                             ("monetary", True, "m_quartile")):
+        b = quantiles.global_ntile(
+            snap.select("o_custkey", value), value, 4, "o_custkey",
+            descending=desc, out_col=out, checkpoint=False,
+        ).select("o_custkey", out)
+        quart = quart.join(b, "o_custkey")
     return (
         quart.select(
             F.col("o_custkey").alias("custkey"),

@@ -48,6 +48,31 @@ def test_global_ntile_matches_window_ntile(spark, rows, descending):
     assert sorted(got.collect()) == sorted(expected.collect())
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=60),
+       k=st.integers(min_value=1, max_value=7),
+       descending=st.booleans())
+def test_global_ntile_property_matches_window(spark, vals, k, descending):
+    """Randomized equivalence: arbitrary (tie-heavy) integer values,
+    any k, both directions — bit-identical to window ntile."""
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id int, v double")
+    order = [F.col("v").desc() if descending else F.col("v").asc(),
+             F.col("id").asc()]
+    expected = df.select(
+        "id", F.ntile(k).over(Window.orderBy(*order)).alias("b"))
+    got = quantiles.global_ntile(
+        df, "v", k, "id", descending=descending, out_col="b",
+        n_ranges=4).select("id", "b")
+    assert sorted(got.collect()) == sorted(expected.collect())
+
+
 def test_global_running_sum_matches_window_sum(spark):
     rows = [(i, float((i * 37) % 11)) for i in range(40)]  # many ties
     df = _df(spark, rows).withColumn("w", F.col("v").cast("decimal(10,2)"))
