@@ -61,6 +61,8 @@ _VERIFY_FIRST = (
     "disjunctive_band_revenue",   # NEW: Q19-shape OR-of-ANDs predicate
     "latest_order_agg",           # NEW: window-free top-1 via struct max
     "late_shipment_orders",       # NEW: Q4-shape EXISTS w/ theta residual
+    "nation_market_share",        # NEW: Q8-shape conditional share
+    "part_supplier_variety",      # NEW: Q16-shape NOT-IN + count distinct
     # -- operator or oracle changed this round: re-attest first --
     "customer_spend_quartiles",   # scale-safe global_ntile plan (values same)
     "customer_rfm_segments",      # scale-safe global_ntile ×3 (values same)

@@ -1711,6 +1711,105 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 topology: one nation's share of a region's yearly
+    revenue — the deepest star chain in the surface (fact → orders →
+    customer → nation → region on the demand side, fact → supplier →
+    nation on the supply side, the same broadcast nation dim under two
+    roles) with a CONDITIONAL numerator: sum(revenue where supplier
+    nation = GERMANY) / sum(revenue). Both sums are exact DECIMAL per
+    the midpoint policy, the ratio divides the resulting doubles, and
+    the region filter prunes through the broadcast dim chain before
+    the big join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region") \
+        .filter(F.col("r_name") == "EUROPE")
+    cust_nations = (nation.join(F.broadcast(region),
+                                nation.n_regionkey == region.r_regionkey)
+                    .select(F.col("n_nationkey").alias("cn_key")))
+    supp_nation = nation.select(F.col("n_nationkey").alias("sn_key"),
+                                F.col("n_name").alias("supp_nation"))
+    disc = _disc_price().cast("decimal(18,4)")
+    germany = F.when(F.col("supp_nation") == "GERMANY", disc) \
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nations),
+              cust.c_nationkey == F.col("cn_key"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation),
+              supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.sum(germany).alias("__de"), F.sum(disc).alias("__all"))
+        .select("order_year",
+                F.round(F.col("__de").cast("double")
+                        / F.col("__all").cast("double"), 6)
+                .alias("mkt_share"))
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT year(o_orderdate)::INT AS order_year,
+       round(sum(CASE WHEN sn.n_name = 'GERMANY'
+                      THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,4)
+                      ELSE 0::DECIMAL(18,4) END)::DOUBLE
+             / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE,
+             6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'EUROPE'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 topology: supplier variety per part attribute group
+    with a NOT-IN supplier exclusion — suppliers in bad standing
+    (negative account balance, the testdata's analog of Q16's
+    complaint filter) are removed by an ANTI join BEFORE the distinct
+    count, the decorrelated form of ``ps_suppkey NOT IN (...)``. The
+    blacklist is a filtered dim (broadcast-sized); the distinct count
+    shuffles on the (brand, type, size) group key."""
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_partkey", "l_suppkey")
+    part = (load_table(spark, sf_dir, "part")
+            .filter(F.col("p_size").isin(1, 5, 9, 13))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_SUPPLIER_VARIETY = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 topology: correlated EXISTS with a cross-table theta
     predicate — orders placed in 1997H1 having AT LEAST ONE lineitem
@@ -2549,6 +2648,8 @@ QUERIES = {
     "small_order_revenue": q_small_order_revenue,
     "discount_band_revenue": q_discount_band_revenue,
     "late_shipment_orders": q_late_shipment_orders,
+    "nation_market_share": q_nation_market_share,
+    "part_supplier_variety": q_part_supplier_variety,
     "customer_order_distribution": q_customer_order_distribution,
     "disjunctive_band_revenue": q_disjunctive_band_revenue,
     "customer_cohort_retention": q_customer_cohort_retention,
@@ -2625,6 +2726,8 @@ ORACLE = {
     "small_order_revenue": ORACLE_SMALL_ORDER,
     "discount_band_revenue": ORACLE_DISCOUNT_BAND,
     "late_shipment_orders": ORACLE_LATE_SHIPMENTS,
+    "nation_market_share": ORACLE_MARKET_SHARE,
+    "part_supplier_variety": ORACLE_SUPPLIER_VARIETY,
     "customer_order_distribution": ORACLE_ORDER_DISTRIBUTION,
     "disjunctive_band_revenue": ORACLE_DISJUNCTIVE_BAND,
     "customer_cohort_retention": ORACLE_COHORT_RETENTION,
