@@ -63,6 +63,8 @@ _VERIFY_FIRST = (
     "late_shipment_orders",       # NEW: Q4-shape EXISTS w/ theta residual
     "nation_market_share",        # NEW: Q8-shape conditional share
     "part_supplier_variety",      # NEW: Q16-shape NOT-IN + count distinct
+    "docs_dup_triangles",         # NEW: ordered-wedge clique diagnostic
+    "events_stl_decompose",       # NEW: additive trend/seasonal/residual
     # -- operator or oracle changed this round: re-attest first --
     "customer_spend_quartiles",   # scale-safe global_ntile plan (values same)
     "customer_rfm_segments",      # scale-safe global_ntile ×3 (values same)

@@ -1109,3 +1109,31 @@ def pagerank(pairs: DataFrame, iters: int = 3, d: float = PAGERANK_D,
                 F.col("deg").cast("bigint").alias("degree"),
                 F.round("pr", 6).alias("pagerank"))
     )
+
+
+def triangle_list(pairs: DataFrame) -> DataFrame:
+    """Triangles in the (canonically ordered doc_a < doc_b) dup graph —
+    the clique-density diagnostic that separates template FAMILIES
+    (mutually-similar groups: every pair passes verification) from
+    similarity CHAINS (A~B~C without A~C), which components and
+    PageRank cannot distinguish. Returns (doc_a, doc_b, doc_c) with
+    a < b < c, one row per triangle.
+
+    Scale shape: the textbook ordered-wedge join — because edges are
+    canonically ordered, each triangle is produced EXACTLY once (no
+    /6 dedup factor): wedges (a<b<c) form by joining edges on the
+    middle vertex, then a second equi-join checks the closing (a, c)
+    edge. Both joins are keyed shuffles; wedge count is Σ deg² over
+    the verified pair graph, which the near-dup pipeline's hot-bucket
+    cap already bounds (see `docs_dup_degree_histogram` for the skew
+    read-out)."""
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    return (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3"))
+              & (F.col("c") == F.col("c3")), "left_semi")
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                F.col("c").alias("doc_c"))
+    )

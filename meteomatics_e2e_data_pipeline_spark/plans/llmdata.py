@@ -605,6 +605,28 @@ WITH {_minhash_cand_cte(src)},
 """
 
 
+def q_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-graph triangles (round 7): mutually-similar document
+    triples via the ordered-wedge join over the shared verified-pair
+    artifact — the clique-density diagnostic beside the degree
+    histogram and PageRank (operators/neardup.py:triangle_list). The
+    oracle recomputes the pair set from scratch and closes the wedges
+    in SQL."""
+    return neardup.triangle_list(
+        _full_pairs(spark, sf_dir).select("doc_a", "doc_b"))
+
+
+def _oracle_dup_triangles() -> str:
+    return rf"""
+WITH p AS ({_oracle_near_dup()})
+SELECT e1.doc_a, e1.doc_b, e2.doc_b AS doc_c
+FROM p e1
+JOIN p e2 ON e2.doc_a = e1.doc_b
+WHERE EXISTS (SELECT 1 FROM p e3
+              WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+"""
+
+
 def q_docs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard set-similarity self-join (prefix filtering —
     AllPairs/PPJoin). Unlike the MinHash/LSH chain there is no recall
@@ -3446,6 +3468,7 @@ LLM_QUERIES = {
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_pagerank": q_docs_pagerank,
     "docs_dup_degree_histogram": q_docs_dup_degree_histogram,
+    "docs_dup_triangles": q_docs_dup_triangles,
     "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
@@ -3528,6 +3551,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_dup_clusters": _oracle_dup_clusters(),
         "docs_pagerank": _oracle_pagerank(),
         "docs_dup_degree_histogram": _oracle_dup_degree_histogram(),
+        "docs_dup_triangles": _oracle_dup_triangles(),
         # incremental maintenance must be indistinguishable from the
         # batch recompute — it shares the batch oracle verbatim
         "docs_dup_clusters_incremental": _oracle_dup_clusters(),

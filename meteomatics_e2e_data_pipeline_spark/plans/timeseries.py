@@ -617,6 +617,76 @@ def q_events_dow_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition per event type —
+    the STL-lite read a monitoring dashboard draws: trend = centered
+    7-day moving average of the daily count (ROWS BETWEEN 3 PRECEDING
+    AND 3 FOLLOWING, partial at the edges on both engines), seasonal =
+    that type's same-weekday mean minus its grand mean, residual = the
+    leftover. All three terms derive from INTEGER sums divided once
+    (exact sums → one deterministic IEEE division), so no
+    order-dependent double summation exists anywhere — the
+    cross-engine float policy's "ratio of exact sums" pattern applied
+    three times. Scale shape: everything after the one map-side daily
+    aggregate operates on the (type × day)-grain rollup; the MA window
+    partitions by type, bounded by the date range, never the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    )
+    w_ma = (Window.partitionBy("event_type").orderBy("day")
+            .rowsBetween(-3, 3))
+    trend = (F.sum("n").over(w_ma).cast("double")
+             / F.count(F.lit(1)).over(w_ma))
+    dowm = (daily.groupBy("event_type", "dow")
+            .agg(F.sum("n").alias("__ds"), F.count(F.lit(1)).alias("__dc")))
+    grand = (daily.groupBy("event_type")
+             .agg(F.sum("n").alias("__gs"), F.count(F.lit(1)).alias("__gc")))
+    seasonal = (F.col("__ds").cast("double") / F.col("__dc")
+                - F.col("__gs").cast("double") / F.col("__gc"))
+    return (
+        daily.withColumn("__trend", trend)
+        .join(F.broadcast(dowm), ["event_type", "dow"])
+        .join(F.broadcast(grand), ["event_type"])
+        .select(
+            "event_type", "day", "n",
+            F.round("__trend", 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(F.col("n") - F.col("__trend") - seasonal, 6)
+            .alias("residual"))
+    )
+
+
+ORACLE_STL_DECOMPOSE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+d2 AS (SELECT *, (dayofweek(day))::INT AS dow FROM daily),
+ma AS (
+  SELECT *,
+         sum(n) OVER w::DOUBLE / count(*) OVER w AS trend_raw
+  FROM d2
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dowm AS (SELECT event_type, dow, sum(n) AS ds, count(*) AS dc
+         FROM d2 GROUP BY event_type, dow),
+grand AS (SELECT event_type, sum(n) AS gs, count(*) AS gc
+          FROM d2 GROUP BY event_type)
+SELECT ma.event_type, day, n,
+       round(trend_raw, 6) AS trend,
+       round(ds::DOUBLE / dc - gs::DOUBLE / gc, 6) AS seasonal,
+       round(n - trend_raw - (ds::DOUBLE / dc - gs::DOUBLE / gc), 6)
+         AS residual
+FROM ma
+JOIN dowm  ON ma.event_type = dowm.event_type AND ma.dow = dowm.dow
+JOIN grand ON ma.event_type = grand.event_type
+"""
+
+
 ORACLE_DOW_BASELINE = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
@@ -644,6 +714,7 @@ TS_QUERIES = {
     "events_rolling_corr": q_events_rolling_corr,
     "events_value_histogram": q_events_value_histogram,
     "events_dow_baseline": q_events_dow_baseline,
+    "events_stl_decompose": q_events_stl_decompose,
 }
 
 
@@ -659,4 +730,5 @@ def ts_oracle() -> dict[str, str]:
         "events_rolling_corr": ORACLE_ROLLING_CORR,
         "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
         "events_dow_baseline": ORACLE_DOW_BASELINE,
+        "events_stl_decompose": ORACLE_STL_DECOMPOSE,
     }
