@@ -62,26 +62,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_ntile", "global_row_number", "global_running_sum",
-           "quantile_cut"]
+__all__ = ["estimate_range_cuts", "global_ntile", "global_row_number",
+           "global_running_sum", "quantile_cut"]
+
+
+def estimate_range_cuts(df: DataFrame, value_cols: list[str],
+                        n_ranges: int = 64) -> dict[str, list]:
+    """ONE ``approx_percentile`` pass estimating range boundaries for
+    several value columns at once — callers running multiple quantile
+    passes over the same frame (e.g. the three RFM axes) precompute
+    this and hand each list to the per-axis call via ``cuts=``,
+    replacing N boundary actions with one."""
+    row = df.agg(*[
+        F.percentile_approx(c, [i / n_ranges for i in range(1, n_ranges)],
+                            10_000).alias(c)
+        for c in value_cols]).first()
+    return {c: [v for v in (row[c] or []) if v is not None]
+            for c in value_cols}
 
 
 def _range_bucketed(df: DataFrame, value_col: str, descending: bool,
-                    n_ranges: int, checkpoint: bool = True) -> DataFrame:
+                    n_ranges: int, checkpoint: bool = True,
+                    cuts: list | None = None) -> DataFrame:
     """Checkpoint ``df`` and add ``__rng``: a row-local range id that is
     monotone in the requested value order (approx boundaries, exact
     order). Pass ``checkpoint=False`` when the caller already
     materialized the frame (e.g. one rollup feeding several quantile
     passes) — the boundary-estimate action then reads the caller's
-    checkpoint instead of making another copy."""
+    checkpoint instead of making another copy — and ``cuts`` to reuse
+    boundaries from :func:`estimate_range_cuts`."""
     if n_ranges < 2:
         raise ValueError(f"n_ranges must be >= 2, got {n_ranges}")
     snap = df.localCheckpoint(eager=True) if checkpoint else df
-    probs = [i / n_ranges for i in range(1, n_ranges)]
-    cuts_row = snap.agg(
-        F.percentile_approx(value_col, probs, 10_000).alias("c")).first()
-    raw = [c for c in (cuts_row["c"] or []) if c is not None]
-    cuts = sorted(set(raw), reverse=descending)
+    if cuts is None:
+        probs = [i / n_ranges for i in range(1, n_ranges)]
+        cuts_row = snap.agg(
+            F.percentile_approx(value_col, probs, 10_000).alias("c")).first()
+        cuts = [c for c in (cuts_row["c"] or []) if c is not None]
+    cuts = sorted(set(cuts), reverse=descending)
     rng: Column = F.lit(0)
     for c in cuts:
         past = (F.col(value_col) < F.lit(c) if descending
@@ -115,11 +133,12 @@ def _local_order(value_col: str, tiebreak_col: str,
 
 def _ranked(df: DataFrame, value_col: str, tiebreak_col: str,
             descending: bool, n_ranges: int,
-            checkpoint: bool = True) -> DataFrame:
+            checkpoint: bool = True, cuts: list | None = None) -> DataFrame:
     """Internal: df + ``__r`` (exact global row_number) + ``__n``
     (total rows), both bigint, via per-range ranks and broadcast
     offsets."""
-    base = _range_bucketed(df, value_col, descending, n_ranges, checkpoint)
+    base = _range_bucketed(df, value_col, descending, n_ranges, checkpoint,
+                           cuts)
     w_local = Window.partitionBy("__rng").orderBy(
         *_local_order(value_col, tiebreak_col, descending))
     local = base.withColumn("__rn", F.row_number().over(w_local))
@@ -134,7 +153,8 @@ def _ranked(df: DataFrame, value_col: str, tiebreak_col: str,
 def global_row_number(df: DataFrame, value_col: str, tiebreak_col: str,
                       *, descending: bool = False, out_col: str = "rank",
                       total_col: str | None = None, n_ranges: int = 64,
-                      checkpoint: bool = True) -> DataFrame:
+                      checkpoint: bool = True,
+                      cuts: list | None = None) -> DataFrame:
     """Exact ``row_number() OVER (ORDER BY value [DESC], tiebreak)``
     with no single-partition sort — the primitive under
     :func:`global_ntile`, exposed for rank/percent_rank reports
@@ -142,7 +162,7 @@ def global_row_number(df: DataFrame, value_col: str, tiebreak_col: str,
     offsets frame, so percent_rank = (rank-1)/(n-1) stays row-local).
     ``value_col`` must be non-null."""
     out = (_ranked(df, value_col, tiebreak_col, descending, n_ranges,
-                   checkpoint)
+                   checkpoint, cuts)
            .withColumnRenamed("__r", out_col))
     if total_col is not None:
         return out.withColumnRenamed("__n", total_col)
@@ -151,7 +171,8 @@ def global_row_number(df: DataFrame, value_col: str, tiebreak_col: str,
 
 def global_ntile(df: DataFrame, value_col: str, k: int, tiebreak_col: str,
                  *, descending: bool = False, out_col: str = "bucket",
-                 n_ranges: int = 64, checkpoint: bool = True) -> DataFrame:
+                 n_ranges: int = 64, checkpoint: bool = True,
+                 cuts: list | None = None) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY value [DESC], tiebreak)`` with no
     single-partition stage. Output is bit-identical to the window form:
     global rank r (from per-range row_number + broadcast offsets) maps
@@ -167,7 +188,7 @@ def global_ntile(df: DataFrame, value_col: str, k: int, tiebreak_col: str,
         f"END")
     return (
         _ranked(df, value_col, tiebreak_col, descending, n_ranges,
-                checkpoint)
+                checkpoint, cuts)
         .withColumn("__q", F.expr(f"__n div {k}"))
         .withColumn("__cut", F.expr(f"(__n % {k}) * (__q + 1)"))
         .withColumn(out_col, bucket.cast("int"))

@@ -2184,11 +2184,13 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("frequency"),
              F.round(F.sum("o_totalprice"), 2).alias("monetary"))
     )
-    # ONE materialization feeds all three quartile passes (each pass's
-    # boundary estimate + rank reads the same checkpoint; checkpoint=False
-    # skips the per-call copy), and the three (custkey, bucket) frames
-    # join back on the key — custkey-keyed shuffles, no windowed chain.
+    # ONE materialization + ONE combined boundary-estimate pass feed all
+    # three quartile passes (checkpoint=False / cuts= skip the per-call
+    # copy and action), and the three (custkey, bucket) frames join back
+    # on the key — custkey-keyed shuffles, no windowed chain.
     snap = rollup.localCheckpoint(eager=True)
+    cuts = quantiles.estimate_range_cuts(
+        snap, ["recency_days", "frequency", "monetary"])
     quart = snap
     for value, desc, out in (("recency_days", False, "r_quartile"),
                              ("frequency", True, "f_quartile"),
@@ -2196,6 +2198,7 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = quantiles.global_ntile(
             snap.select("o_custkey", value), value, 4, "o_custkey",
             descending=desc, out_col=out, checkpoint=False,
+            cuts=cuts[value],
         ).select("o_custkey", out)
         quart = quart.join(b, "o_custkey")
     return (

@@ -627,6 +627,43 @@ WHERE EXISTS (SELECT 1 FROM p e3
 """
 
 
+def q_docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum ordering (round 7): every document's
+    global position in a shortest-first training order plus its
+    early/mid/late phase — the standard length-curriculum feed, built
+    on the scale-safe primitives (operators/quantiles.py): ONE
+    checkpoint + one boundary estimate feed both the exact global
+    row_number and the exact ntile(3) phase, no single-partition sort
+    anywhere. The doc_id tiebreak makes the order total, so the
+    window-form oracle is bit-identical."""
+    from ..operators import quantiles
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "n_chars")
+    snap = docs.localCheckpoint(eager=True)
+    cuts = quantiles.estimate_range_cuts(snap, ["n_chars"])["n_chars"]
+    ranked = quantiles.global_row_number(
+        snap, "n_chars", "doc_id", out_col="curriculum_rank",
+        checkpoint=False, cuts=cuts)
+    phased = quantiles.global_ntile(
+        snap, "n_chars", 3, "doc_id", out_col="__p", checkpoint=False,
+        cuts=cuts).select("doc_id", "__p")
+    phase = (F.when(F.col("__p") == 1, "early")
+             .when(F.col("__p") == 2, "mid").otherwise("late"))
+    return (ranked.join(phased, "doc_id")
+            .select("doc_id", "n_chars", "curriculum_rank",
+                    phase.alias("phase")))
+
+
+ORACLE_CURRICULUM_ORDER = """
+SELECT doc_id, n_chars,
+       row_number() OVER w AS curriculum_rank,
+       CASE ntile(3) OVER w WHEN 1 THEN 'early' WHEN 2 THEN 'mid'
+            ELSE 'late' END AS phase
+FROM documents
+WINDOW w AS (ORDER BY n_chars, doc_id)
+"""
+
+
 def q_docs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard set-similarity self-join (prefix filtering —
     AllPairs/PPJoin). Unlike the MinHash/LSH chain there is no recall
@@ -3469,6 +3506,7 @@ LLM_QUERIES = {
     "docs_pagerank": q_docs_pagerank,
     "docs_dup_degree_histogram": q_docs_dup_degree_histogram,
     "docs_dup_triangles": q_docs_dup_triangles,
+    "docs_curriculum_order": q_docs_curriculum_order,
     "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
@@ -3552,6 +3590,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_pagerank": _oracle_pagerank(),
         "docs_dup_degree_histogram": _oracle_dup_degree_histogram(),
         "docs_dup_triangles": _oracle_dup_triangles(),
+        "docs_curriculum_order": ORACLE_CURRICULUM_ORDER,
         # incremental maintenance must be indistinguishable from the
         # batch recompute — it shares the batch oracle verbatim
         "docs_dup_clusters_incremental": _oracle_dup_clusters(),
