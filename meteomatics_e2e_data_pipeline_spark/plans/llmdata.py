@@ -639,19 +639,21 @@ def q_docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import quantiles
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "n_chars")
-    snap = docs.localCheckpoint(eager=True)
-    cuts = quantiles.estimate_range_cuts(snap, ["n_chars"])["n_chars"]
+    # ONE rank pass: the ntile phase derives row-locally from
+    # (rank, n) via the same equal-height integer formula the window
+    # ntile uses, so rank + phase cost a single _ranked traversal.
     ranked = quantiles.global_row_number(
-        snap, "n_chars", "doc_id", out_col="curriculum_rank",
-        checkpoint=False, cuts=cuts)
-    phased = quantiles.global_ntile(
-        snap, "n_chars", 3, "doc_id", out_col="__p", checkpoint=False,
-        cuts=cuts).select("doc_id", "__p")
-    phase = (F.when(F.col("__p") == 1, "early")
-             .when(F.col("__p") == 2, "mid").otherwise("late"))
-    return (ranked.join(phased, "doc_id")
-            .select("doc_id", "n_chars", "curriculum_rank",
-                    phase.alias("phase")))
+        docs, "n_chars", "doc_id", out_col="curriculum_rank",
+        total_col="__n")
+    p = F.expr(
+        "CASE WHEN curriculum_rank <= (__n % 3) * (__n div 3 + 1) "
+        "THEN (curriculum_rank - 1) div (__n div 3 + 1) + 1 "
+        "ELSE (__n % 3) + (curriculum_rank - (__n % 3) * (__n div 3 + 1)"
+        " - 1) div greatest(__n div 3, 1) + 1 END")
+    phase = (F.when(p == 1, "early")
+             .when(p == 2, "mid").otherwise("late"))
+    return ranked.select("doc_id", "n_chars", "curriculum_rank",
+                         phase.alias("phase"))
 
 
 ORACLE_CURRICULUM_ORDER = """

@@ -301,3 +301,28 @@ def test_zorder_key_matches_python_morton_and_prunes_both_dims(spark, tmp_path):
 
     with pytest.raises(ValueError):
         zorder_key([F.col("x"), F.col("y")], 32)
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned layout + a selectively FILTERED dim must trigger
+    Catalyst's dynamic partition pruning (the runtime analog of the
+    static pruning the clustered-layout sink exists for): the fact
+    scan's PartitionFilters carry a dynamicpruning subquery, so at
+    100 TB only the months surviving the dim filter are read. (The dim
+    must be a real source with its own filter — a limit over the fact
+    itself does not qualify as a pruning side.)"""
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    (orders.withColumn("om", F.date_format("o_orderdate", "yyyy-MM"))
+     .write.partitionBy("om").parquet(str(tmp_path / "fact")))
+    (orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("om"))
+     .distinct().withColumn("flag", (F.crc32("om") % 2).cast("int"))
+     .write.parquet(str(tmp_path / "dim")))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")) \
+        .filter(F.col("flag") == 1)
+    joined = fact.join(dim, "om").groupBy("om").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() > 0
