@@ -311,6 +311,73 @@ def jaccard_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
     return verify_jaccard(cand, sh, id_col, threshold, mode="inverted")
 
 
+def containment_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 3,
+                             threshold: float = 0.8) -> DataFrame:
+    """EXACT asymmetric CONTAINMENT join: ordered pairs (a, b), a ≠ b,
+    with |A∩B| / |A| ≥ threshold — the short-doc-inside-long-doc case
+    (quotes, excerpts, boilerplate wrappers) that symmetric Jaccard
+    systematically misses (a 100-shingle doc fully contained in a
+    10 000-shingle doc has Jaccard ≈ 0.01).
+
+    Prefix lemma, containment form: a qualifying pair shares
+    ≥ ceil(t·|A|) shingles, which cannot all hide in A's
+    ceil(t·|A|) − 1 most common positions — so A's
+    |A| − ceil(t·|A|) + 1 rarest shingles (global df asc) must include
+    a shared one. Candidates = A-prefix ⋈ the FULL inverted index on
+    the b side (the contained side prunes; the containing side cannot,
+    that's the asymmetry's price — rare-first ordering keeps the probe
+    buckets small, and the hot-shingle tail is exactly what
+    ``hot_ngrams``/``scrub_hot_ngrams`` exist to remove first).
+    Verification counts intersections per candidate (|cand|·|A|-bounded
+    fan-out, keyed shuffles) and applies the INTEGER threshold
+    ``n_inter ≥ ceil(round(t·|A|, 9))`` — no float comparison, same
+    round-before-ceil FP guard as the Jaccard prefix.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sh = shingle_hashes(docs, id_col, text_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(),
+                                           F.col("hv").asc())
+    need = F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 9))
+    prefix = (
+        sh.join(freq, "hv")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(F.col("rk") <= F.col("n_sh") - need + 1)
+        .select(F.col(id_col).alias("id_a"), "hv")
+    )
+    index_b = sh.select(F.col(id_col).alias("id_b"), "hv")
+    cand = (
+        prefix.join(index_b, "hv")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "hv")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "hv")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "hv"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(na, "id_a")
+        .filter(F.col("n_inter")
+                >= F.ceil(F.round(F.lit(threshold) * F.col("n_a"), 9)))
+        .select("id_a", "id_b",
+                F.round(F.col("n_inter") / F.col("n_a"), 6)
+                .alias("containment"))
+    )
+
+
 WINNOW_K = 8   # character k-gram length
 WINNOW_W = 4   # winnowing window (positions per window)
 

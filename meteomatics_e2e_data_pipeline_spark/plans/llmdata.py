@@ -627,6 +627,52 @@ WHERE EXISTS (SELECT 1 FROM p e3
 """
 
 
+CONTAIN_THRESHOLD = 0.8
+
+
+def q_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join (round 7): ordered (a, b) pairs
+    where ≥80% of a's shingles appear in b — the excerpt/quote/
+    boilerplate-wrapper duplication symmetric Jaccard misses
+    (operators/neardup.py:containment_prefix_pairs; A-side prefix
+    pruning, integer threshold, exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.containment_prefix_pairs(
+        docs, n=SHINGLE_N, threshold=CONTAIN_THRESHOLD)
+
+
+def _oracle_containment_pairs() -> str:
+    t = CONTAIN_THRESHOLD
+    return rf"""
+WITH {_shingle_cte()},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+freq AS (SELECT hv, count(*) AS df FROM h GROUP BY hv),
+ranked AS (
+  SELECT h.doc_id, h.hv, sz.n_sh,
+         row_number() OVER (PARTITION BY h.doc_id
+                            ORDER BY f.df ASC, h.hv ASC) AS rk
+  FROM h JOIN freq f USING (hv) JOIN sz USING (doc_id)
+),
+pref AS (SELECT doc_id, hv FROM ranked
+         WHERE rk <= n_sh - ceil(round({t} * n_sh, 9)) + 1),
+cand AS (
+  SELECT DISTINCT p.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref p JOIN h b ON p.hv = b.hv AND p.doc_id <> b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN h ha ON ha.doc_id = c.id_a
+  JOIN h hb ON hb.doc_id = c.id_b AND hb.hv = ha.hv
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter * 1.0 / na.n_sh, 6) AS containment
+FROM inter i JOIN sz na ON na.doc_id = i.id_a
+WHERE i.n_inter >= ceil(round({t} * na.n_sh, 9))
+"""
+
+
 def q_docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-based curriculum ordering (round 7): every document's
     global position in a shortest-first training order plus its
@@ -3509,6 +3555,7 @@ LLM_QUERIES = {
     "docs_dup_degree_histogram": q_docs_dup_degree_histogram,
     "docs_dup_triangles": q_docs_dup_triangles,
     "docs_curriculum_order": q_docs_curriculum_order,
+    "docs_containment_pairs": q_docs_containment_pairs,
     "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
@@ -3593,6 +3640,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_dup_degree_histogram": _oracle_dup_degree_histogram(),
         "docs_dup_triangles": _oracle_dup_triangles(),
         "docs_curriculum_order": ORACLE_CURRICULUM_ORDER,
+        "docs_containment_pairs": _oracle_containment_pairs(),
         # incremental maintenance must be indistinguishable from the
         # batch recompute — it shares the batch oracle verbatim
         "docs_dup_clusters_incremental": _oracle_dup_clusters(),
