@@ -539,6 +539,43 @@ def synth_png_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .mapInPandas(_batches, schema="doc_id long, payload binary")
 
 
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """Decode (any supported format) → nearest-neighbor resample →
+    re-encode as PNG (filter 0) — the PNG counterpart of
+    :func:`resize_image`'s BMP path."""
+    _, _, rows = decode_image(payload)
+    return _png_encode(_nn_resize(rows, width, height))
+
+
+def png_resize_features(media: DataFrame, width: int,
+                        height: int) -> DataFrame:
+    """The full codec round trip under one query: decode the real PNG,
+    nearest-neighbor resample, RE-ENCODE as PNG, decode THAT, and emit
+    the resized image's exact channel sums — a defect anywhere in
+    inflate, filter reconstruction, resampling, or deflate-encode
+    breaks the closed-form oracle. Row-local mapInPandas."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "sum_r", "sum_g", "sum_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_image(resize_png(payload, width, height))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sum(p[0] for r in px for p in r))
+                rows["sum_g"].append(sum(p[1] for r in px for p in r))
+                rows["sum_b"].append(sum(p[2] for r in px for p in r))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_batches, schema=PNG_FEATURE_SCHEMA)
+
+
 PNG_FEATURE_SCHEMA = ("doc_id long, width int, height int, "
                       "sum_r long, sum_g long, sum_b long")
 

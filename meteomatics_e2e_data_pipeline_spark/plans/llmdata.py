@@ -3124,6 +3124,39 @@ GROUP BY d.doc_id
 """
 
 
+PNG_RESIZE_W, PNG_RESIZE_H = 8, 6
+
+
+def q_multimodal_png_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec round trip under one query (round 7): real PNG decode
+    → nearest-neighbor resample → PNG re-encode → decode AGAIN →
+    channel sums of the resized image. The oracle evaluates the
+    closed-form pixel formula at the resampled source coordinates
+    (sx = x·W div TW, sy = y·H div TH), so a defect anywhere in
+    inflate, filter reconstruction, resampling, or deflate-encode
+    hash-mismatches."""
+    from ..operators.multimodal import png_resize_features, synth_png_table
+    docs = load_table(spark, sf_dir, "documents")
+    return png_resize_features(synth_png_table(docs),
+                               PNG_RESIZE_W, PNG_RESIZE_H)
+
+
+def _oracle_png_resized() -> str:
+    from ..operators.multimodal import PNG_H, PNG_W
+    sy = f"((y.y * {PNG_H}) // {PNG_RESIZE_H})"
+    sx = f"((x.x * {PNG_W}) // {PNG_RESIZE_W})"
+    return f"""
+SELECT d.doc_id, {PNG_RESIZE_W} AS width, {PNG_RESIZE_H} AS height,
+       sum((d.doc_id * 31 + {sy} * 7 + {sx} * 3) % 256)::BIGINT AS sum_r,
+       sum((d.doc_id * 17 + {sy} * 5 + {sx} * 11) % 256)::BIGINT AS sum_g,
+       sum((d.doc_id * 13 + {sy} * 3 + {sx} * 7) % 256)::BIGINT AS sum_b
+FROM documents d,
+     generate_series(0, {PNG_RESIZE_H - 1}) y(y),
+     generate_series(0, {PNG_RESIZE_W - 1}) x(x)
+GROUP BY d.doc_id
+"""
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end audio path: per document, a deterministic 16-bit
     PCM clip is stdlib-WAV-encoded, then DECODED back from the RIFF
@@ -3617,6 +3650,7 @@ LLM_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_png_features": q_multimodal_png_features,
+    "multimodal_png_resized": q_multimodal_png_resized,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
@@ -3704,5 +3738,6 @@ def llm_oracle() -> dict[str, str]:
         "multimodal_features": ORACLE_MULTIMODAL,
         "multimodal_audio_features": _oracle_audio_features(),
         "multimodal_png_features": _oracle_png_features(),
+        "multimodal_png_resized": _oracle_png_resized(),
         "multimodal_frame_sample": _oracle_frame_sample(),
     }
