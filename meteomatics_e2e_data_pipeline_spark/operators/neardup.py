@@ -255,7 +255,9 @@ def verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str = "doc_id",
 
 def jaccard_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 3,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         prebuilt_shingles: DataFrame | None = None
+                         ) -> DataFrame:
     """EXACT n-gram Jaccard self-join via prefix filtering (the
     AllPairs/PPJoin family) — no sketch, no recall loss, still never
     all-pairs.
@@ -277,8 +279,13 @@ def jaccard_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sh = shingle_hashes(docs, id_col, text_col, n) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # a prebuilt (already materialized) shingle table skips both the
+    # recompute AND the local persist — the production shape where the
+    # dedup pipeline writes shingles once and every set-similarity
+    # operator reads the table
+    sh = (prebuilt_shingles if prebuilt_shingles is not None
+          else shingle_hashes(docs, id_col, text_col, n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(),
@@ -313,7 +320,9 @@ def jaccard_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def containment_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", n: int = 3,
-                             threshold: float = 0.8) -> DataFrame:
+                             threshold: float = 0.8,
+                             prebuilt_shingles: DataFrame | None = None
+                             ) -> DataFrame:
     """EXACT asymmetric CONTAINMENT join: ordered pairs (a, b), a ≠ b,
     with |A∩B| / |A| ≥ threshold — the short-doc-inside-long-doc case
     (quotes, excerpts, boilerplate wrappers) that symmetric Jaccard
@@ -337,8 +346,9 @@ def containment_prefix_pairs(docs: DataFrame, id_col: str = "doc_id",
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sh = shingle_hashes(docs, id_col, text_col, n) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sh = (prebuilt_shingles if prebuilt_shingles is not None
+          else shingle_hashes(docs, id_col, text_col, n)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("hv").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(),

@@ -515,6 +515,21 @@ def _session_artifacts(spark: SparkSession) -> dict:
     return _DF_ARTIFACTS.setdefault(spark, {})
 
 
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, hv) shingle-set table, built once per
+    (session, sf_dir) — the base artifact the exact set-similarity
+    operators (Jaccard prefix join, containment join) read instead of
+    re-tokenizing the corpus; in production this IS a table the dedup
+    pipeline writes first."""
+    cache = _session_artifacts(spark)
+    key = ("shingles", sf_dir, SHINGLE_N)
+    if key not in cache:
+        docs = load_table(spark, sf_dir, "documents")
+        cache[key] = neardup.shingle_hashes(
+            docs, "doc_id", "text", SHINGLE_N).localCheckpoint()
+    return cache[key]
+
+
 def _full_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = _session_artifacts(spark)
     key = ("full_pairs", sf_dir, SHINGLE_N, NEARDUP_THRESHOLD)
@@ -638,7 +653,8 @@ def q_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning, integer threshold, exact)."""
     docs = load_table(spark, sf_dir, "documents")
     return neardup.containment_prefix_pairs(
-        docs, n=SHINGLE_N, threshold=CONTAIN_THRESHOLD)
+        docs, n=SHINGLE_N, threshold=CONTAIN_THRESHOLD,
+        prebuilt_shingles=_shingles(spark, sf_dir))
 
 
 def _oracle_containment_pairs() -> str:
@@ -717,8 +733,9 @@ def q_docs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     AllPairs/PPJoin). Unlike the MinHash/LSH chain there is no recall
     loss: the result IS every pair at/above the threshold."""
     docs = load_table(spark, sf_dir, "documents")
-    return neardup.jaccard_prefix_pairs(docs, n=SHINGLE_N,
-                                        threshold=NEARDUP_THRESHOLD)
+    return neardup.jaccard_prefix_pairs(
+        docs, n=SHINGLE_N, threshold=NEARDUP_THRESHOLD,
+        prebuilt_shingles=_shingles(spark, sf_dir))
 
 
 def _oracle_jaccard_join() -> str:
