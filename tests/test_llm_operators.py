@@ -1395,6 +1395,33 @@ def test_cap_per_group_keeps_top_n_deterministically(spark):
         sampling.cap_per_group(df, "source", 0, order_col="n_chars")
 
 
+def test_containment_join_finds_asymmetric_pairs_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    (short → long) is 1.0 while Jaccard is far below any useful
+    threshold — the asymmetric case the operator exists for. Also
+    asserts direction (the containing doc does NOT satisfy the reverse
+    containment) and that unrelated docs produce nothing."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        containment_prefix_pairs, jaccard_prefix_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = ("intro words here " + quote
+                + " and then a very long tail " * 5
+                + "closing remark tokens")
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "totally unrelated content "
+                                        "nothing shared at all " * 3)],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_prefix_pairs(docs, threshold=0.8).collect()}
+    assert got.get((1, 2)) == 1.0          # quote fully contained
+    assert (2, 1) not in got               # asymmetry: reverse fails
+    assert all(3 not in k for k in got)    # unrelated stays out
+    jac = jaccard_prefix_pairs(docs, threshold=0.5).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)  # Jaccard misses it
+
+
 def test_cap_per_group_skew_safe_matches_naive_on_hot_domain(spark):
     """One hot domain (200 rows) among tiny ones: the salted two-stage
     path must be bit-identical to the single-window form — including
