@@ -68,6 +68,7 @@ _VERIFY_FIRST = (
     "docs_curriculum_order",      # NEW: scale-safe length curriculum
     "docs_containment_pairs",     # NEW: asymmetric containment join
     "multimodal_png_resized",     # NEW: full PNG codec round trip
+    "docs_jaccard_histogram",     # NEW: text-side threshold calibration
     # -- operator or oracle changed this round: re-attest first --
     "customer_spend_quartiles",   # scale-safe global_ntile plan (values same)
     "customer_rfm_segments",      # scale-safe global_ntile ×3 (values same)

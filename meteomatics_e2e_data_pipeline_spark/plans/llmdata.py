@@ -642,6 +642,35 @@ WHERE EXISTS (SELECT 1 FROM p e3
 """
 
 
+def q_docs_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-similarity histogram for the TEXT dedup threshold — the
+    shingle-side twin of ``emb_similarity_histogram``: verified
+    near-dup pairs bucketed by Jaccard in 0.05 steps, the curve a
+    curator reads to tighten NEARDUP_THRESHOLD. Reuses the shared pair
+    artifact; integer bucket index = floor(round(j/0.05, 9)) with the
+    engine-wide round-before-floor FP guard (0.65/0.05 =
+    13.000000000000002 would floor to 13 either way, but 0.7/0.05 =
+    13.999999999999998 would floor to 13 instead of 14 without it)."""
+    pairs = _full_pairs(spark, sf_dir)
+    bucket = F.floor(F.round(F.col("jaccard") / 0.05, 9)).cast("int")
+    return (
+        pairs.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.round(F.col("bucket") * 0.05, 2).alias("bucket_lo"),
+                "n_pairs")
+    )
+
+
+def _oracle_jaccard_histogram() -> str:
+    return rf"""
+WITH p AS ({_oracle_near_dup()})
+SELECT round((floor(round(jaccard / 0.05, 9))::INT * 0.05)::DOUBLE, 2)
+         AS bucket_lo,
+       count(*) AS n_pairs
+FROM p GROUP BY floor(round(jaccard / 0.05, 9))
+"""
+
+
 CONTAIN_THRESHOLD = 0.8
 
 
@@ -3606,6 +3635,7 @@ LLM_QUERIES = {
     "docs_dup_triangles": q_docs_dup_triangles,
     "docs_curriculum_order": q_docs_curriculum_order,
     "docs_containment_pairs": q_docs_containment_pairs,
+    "docs_jaccard_histogram": q_docs_jaccard_histogram,
     "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
@@ -3692,6 +3722,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_dup_triangles": _oracle_dup_triangles(),
         "docs_curriculum_order": ORACLE_CURRICULUM_ORDER,
         "docs_containment_pairs": _oracle_containment_pairs(),
+        "docs_jaccard_histogram": _oracle_jaccard_histogram(),
         # incremental maintenance must be indistinguishable from the
         # batch recompute — it shares the batch oracle verbatim
         "docs_dup_clusters_incremental": _oracle_dup_clusters(),
