@@ -89,6 +89,25 @@ def test_global_running_sum_matches_window_sum(spark):
     assert tot.pop() == sum(r.w for r in df.collect())
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=0, max_value=20),
+                     min_size=1, max_size=50))
+def test_global_running_sum_property_matches_window(spark, vals):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id int, v double"
+    ).withColumn("w", F.col("v").cast("decimal(10,2)"))
+    win = (Window.orderBy("v", "id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    expected = sorted((r.id, r.c) for r in
+                      df.select("id", F.sum("w").over(win).alias("c"))
+                      .collect())
+    got = sorted((r.id, r.c) for r in quantiles.global_running_sum(
+        df, "v", "w", "id", out_col="c", n_ranges=3)
+        .select("id", "c").collect())
+    assert got == expected
+
+
 def test_quantile_cut_bucket_boundaries(spark):
     # 8 rows 1..8: desc quartile cuts at p75=6.25, p50=4.5, p25=2.75.
     df = _df(spark, [(i, float(i)) for i in range(1, 9)])
