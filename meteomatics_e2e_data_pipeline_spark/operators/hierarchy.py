@@ -38,7 +38,11 @@ def ancestor_rollup(nodes: DataFrame, id_col: str = "id",
     (own weight + every ancestor's, root included) over a forest given
     as ``(id, parent, weight)`` rows; roots point at themselves.
     Returns ``(id, root_key, depth, path_sum)``. Cycles (a malformed
-    "hierarchy") cannot converge and raise after ``max_iters``.
+    "hierarchy") cannot converge and raise after ``max_iters``; orphan
+    pointers (a non-root row whose parent id is absent from the input)
+    are the other malformed shape and raise immediately — an inner
+    join here would silently drop the orphan and drain its whole
+    subtree out of the walk over later rounds.
     """
     base = nodes.select(
         F.col(id_col).alias("id"),
@@ -48,8 +52,17 @@ def ancestor_rollup(nodes: DataFrame, id_col: str = "id",
                      F.col("w").alias("pw"))
     is_root = F.col("id") == F.col("parent")
     zero_w = F.lit(0).cast(base.schema["w"].dataType)
+    joined = base.join(pw, "parent", "left").localCheckpoint(eager=True)
+    n_orphans = joined.where(F.col("pw").isNull()).limit(1).count()
+    if n_orphans:
+        bad = [r.id for r in joined.where(F.col("pw").isNull())
+               .select("id").limit(5).collect()]
+        raise ValueError(
+            f"hierarchy has orphan parent pointers (e.g. node ids "
+            f"{bad}): every non-root row's parent must exist in the "
+            f"input")
     state = (
-        base.join(pw, "parent")
+        joined
         .select(
             "id",
             F.when(is_root, F.col("id")).otherwise(F.col("parent"))

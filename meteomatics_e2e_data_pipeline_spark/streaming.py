@@ -42,7 +42,8 @@ def read_bronze_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
     """Streaming scan of the events table (parquet file source).
 
     The streaming file source requires a *directory*, so the scan targets
@@ -54,15 +55,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion as the batch loader (`sources.tables.load_table`).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events_path = os.path.join(sf_dir, "events.parquet")
+    # Probe via the same glob the stream uses so a split layout
+    # (events_0.parquet, events_1.parquet, … — the multi-batch test
+    # fixture) probes identically to the standard single file.
+    events_path = os.path.join(sf_dir, "events*.parquet")
     ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts", "")
     schema = (f"event_id bigint, ts {ts_type or 'timestamp'}, user_id bigint, "
               "event_type string, value double, props string")
-    stream = (
+    reader = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
     )
+    if max_files_per_trigger is not None:
+        # availableNow honours this as a batch-size cap, so a split
+        # source dir yields a genuinely multi-batch run with the
+        # watermark advancing between batches — the shape that
+        # distinguishes a correct watermark column from one that only
+        # works when everything lands in a single batch.
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
     if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -576,7 +587,9 @@ def stream_sliding_reach(spark: SparkSession, sf_dir: str,
 
 def stream_sliding_reach_exact(spark: SparkSession, sf_dir: str,
                                checkpoint_path: str, query_name: str,
-                               watermark: str = "1 day") -> None:
+                               watermark: str = "7 days",
+                               max_files_per_trigger: int | None = None,
+                               ) -> None:
     """EXACT streaming twin of ``events_sliding_reach_7d`` (the HLL
     variant above trades exactness for fixed state): each event fans
     out row-locally to the ≤7 trailing window-end days it covers —
@@ -589,9 +602,20 @@ def stream_sliding_reach_exact(spark: SparkSession, sf_dir: str,
     supported in append mode on Spark 3.5+/4.x; state is bounded by
     |distinct (user, day)| inside the watermark horizon — larger than
     the sketch's fixed state, exact in return, and still shuffle-keyed
-    (never per-window identity lists on one task). pytest asserts
-    closed windows equal the batch query EXACTLY."""
-    ev = read_events_stream(spark, sf_dir)
+    (never per-window identity lists on one task).
+
+    Watermark subtlety: it is set on ``wend_ts``, which the fan-out
+    shifts up to 6 DAYS AHEAD of the event's real timestamp — a delay
+    that only covered arrival lateness would let the watermark run ~6
+    days ahead of real event time, closing each 1-day window before
+    most of its 7 contributing days had arrived and silently dropping
+    their fanned rows as late. The default therefore covers the
+    forward fan-out PLUS 1 day of real lateness (6+1 = ``7 days``);
+    widen it if callers need more lateness, at proportionally larger
+    dedupe state (the sibling ``stream_sliding_reach`` watermarks raw
+    ``ts`` and has no such shift). pytest asserts closed windows equal
+    the batch query EXACTLY across a multi-file, multi-batch run."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     fanned = (
         ev.select(
             "user_id",

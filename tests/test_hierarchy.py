@@ -45,3 +45,12 @@ def test_cycle_raises(spark):
     rows = [(0, 0, 1.00), (1, 2, 1.00), (2, 1, 1.00)]
     with pytest.raises(ValueError, match="converge"):
         ancestor_rollup(_nodes(spark, rows), max_iters=6)
+
+
+def test_orphan_parent_raises(spark):
+    # node 2 points at parent 99 which is absent from the input — a
+    # malformed forest, like a cycle; must fail loudly instead of
+    # silently dropping node 2 (and draining its subtree, node 3).
+    rows = [(0, 0, 1.00), (1, 0, 2.00), (2, 99, 4.00), (3, 2, 8.00)]
+    with pytest.raises(ValueError, match="orphan"):
+        ancestor_rollup(_nodes(spark, rows))

@@ -422,11 +422,27 @@ def test_stream_sliding_reach_tracks_batch_exact(spark, tmp_path):
 def test_stream_sliding_reach_exact_equals_batch(spark, tmp_path):
     """The EXACT streaming twin (dedupe → windowed count, two chained
     stateful operators): every closed window must equal the batch
-    trailing-7d distinct count bit-for-bit — no error envelope. The
-    streaming frame also emits window-end days before the data start
-    and only windows the watermark closed; compare the overlap with
-    the batch query's observed-day domain."""
-    import datetime as dt
+    trailing-7d distinct count bit-for-bit — no error envelope.
+
+    The source is split into 15 chronological ~2-day files processed
+    with maxFilesPerTrigger=1, so availableNow runs MULTIPLE batches
+    with the watermark advancing between them — the shape that caught
+    the wend_ts watermark defect (a 1-day delay on a column fanned up
+    to 6 days ahead closed each window before most of its contributing
+    days arrived, silently undercounting). Strictness was verified
+    empirically: the batch span must be SHORTER than the fan-out shift
+    minus the delay for the defect to surface (4 ~7.5-day files hide
+    it — each batch outruns the watermark's 5-day lead; 15 2-day files
+    with the old 1-day delay mismatch 27 of 34 closed windows, while
+    the 7-day default mismatches zero). A single-batch run can never
+    detect it because the watermark is 0 during the only batch. EVERY
+    emitted window (append mode emits only closed, final windows) must
+    match the batch value — no skipped tail, no overlap-only
+    comparison."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
         q_events_sliding_reach_7d,
@@ -435,22 +451,68 @@ def test_stream_sliding_reach_exact_equals_batch(spark, tmp_path):
         stream_sliding_reach_exact,
     )
 
+    # Split events chronologically into 4 files with increasing mtimes
+    # (the file source orders new files by modification time). The
+    # sf0.001 events table has only 15 distinct users, so every 7-day
+    # window saturates at 15 and a dropped-late-row undercount would be
+    # invisible; remap user_id := event_id (unique per event) so each
+    # window's distinct-count equals its event count and ANY dropped
+    # row shows up as a deficit.
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pq.read_table(f"{EVENTS_DIR}/events.parquet").sort_by("ts")
+    tbl = tbl.set_column(tbl.schema.get_field_index("user_id"),
+                         "user_id", tbl.column("event_id"))
+    n = tbl.num_rows
+    n_files = 15
+    cuts = [round(i * n / n_files) for i in range(n_files + 1)]
+    for i in range(n_files):
+        path = str(src / f"events_{i:02d}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1_000_000 + i * 60, 1_000_000 + i * 60))
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    pq.write_table(tbl, str(batch_dir / "events.parquet"))
+
     name = "sliding_reach_exact_test"
-    stream_sliding_reach_exact(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    stream_sliding_reach_exact(spark, str(src), str(tmp_path / "ck"), name,
+                               max_files_per_trigger=1)
     got = {r.day: r.users_7d
            for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert len(got) > 0
 
+    # Multi-batch evidence: one commit per micro-batch in the log.
+    commits = [f for f in os.listdir(tmp_path / "ck" / "commits")
+               if not f.startswith(".")]
+    assert len(commits) >= n_files, commits
+
     exact = {r.day: r.users_7d
-             for r in q_events_sliding_reach_7d(spark, EVENTS_DIR).collect()}
-    ev = load_table(spark, EVENTS_DIR, "events")
-    max_day = ev.agg(F.max(F.to_date("ts"))).first()[0]
-    checked = 0
+             for r in q_events_sliding_reach_7d(
+                 spark, str(batch_dir)).collect()}
+    # The batch query restricts window-end days to days observed in the
+    # data; the streaming fan-out also emits unobserved in-between days
+    # (trailing windows whose end day had no events) — those must agree
+    # with a direct pair count, while every observed closed day must
+    # match the batch query exactly.
+    pairs = {(u, d) for u, d in zip(
+        tbl.column("user_id").to_pylist(),
+        pc.cast(tbl.column("ts"), "date32").to_pylist())}
+    import datetime as dt
+    checked_observed = 0
     for day, users in got.items():
-        if day in exact and day < max_day - dt.timedelta(days=2):
+        want = len({u for u, d in pairs
+                    if day - dt.timedelta(days=6) <= d <= day})
+        assert users == want, (day, users, want)
+        if day in exact:
             assert users == exact[day], day
-            checked += 1
-    assert checked > 0
+            checked_observed += 1
+    assert checked_observed >= 5
+    # No closed observed day may be missing from the emission: every
+    # observed day at or below the latest closed day must have emitted.
+    horizon = max(got)
+    for day in exact:
+        if day <= horizon:
+            assert day in got, day
 
 
 def test_stream_cms_grid_equals_batch_grid(spark, tmp_path):
