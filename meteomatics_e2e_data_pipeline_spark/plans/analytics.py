@@ -2598,6 +2598,202 @@ GROUP BY 1, 2
 """
 
 
+def q_nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 topology (product-type profit): a six-relation join —
+    fact × part (pruning filter) × supplier × nation × orders — with
+    profit aggregated by supplier nation × order year. The testdata
+    has no partsupp, so supply cost is SYNTHESIZED deterministically
+    from the (partkey, suppkey) pair via the repo-wide md5 48-bit hash
+    (`operators/textops.base_hash48`, bit-identical in DuckDB): cost
+    cents = hash % 90001 + 10000 → a [100.00, 1000.00] price band, the
+    same cross-engine-reproducible column trick the LSH weights and
+    A-ES sampling keys use. Profit per row =
+    extprice·(1−disc) − cost·qty, computed in identical IEEE doubles
+    on both engines, summed under the exact-decimal discipline.
+    Scale shape: the name-filtered part dim (smallest input) prunes
+    the fact FIRST via a key join; nation broadcasts; orders joins
+    hash-on-key carrying only (orderkey, year); the final rollup is
+    25 nations × ~7 years, partial-agged map-side."""
+    from ..operators.textops import base_hash48
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part_f = (load_table(spark, sf_dir, "part")
+              .filter(F.col("p_name").like("%bolt%"))
+              .select("p_partkey"))
+    sc_cents = (base_hash48(
+        F.concat_ws("|", F.col("l_partkey"), F.col("l_suppkey"),
+                    F.lit("sc"))) % 90001 + 10000)
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - (sc_cents / F.lit(100.0)) * F.col("l_quantity"))
+    return (
+        li.join(part_f, li.l_partkey == part_f.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation),
+              supplier.s_nationkey == nation.n_nationkey)
+        .join(orders.select("o_orderkey",
+                            F.year("o_orderdate").alias("o_year")),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.round(F.sum(profit.cast("decimal(18,4)")), 2)
+             .cast("double").alias("profit"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLE_NATION_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum((l_extendedprice * (1 - l_discount)
+                  - ((('0x' || substr(md5(l_partkey || '|' || l_suppkey
+                                      || '|sc'), 1, 12))::BIGINT % 90001
+                      + 10000) / 100.0) * l_quantity)::DECIMAL(18,4)),
+             2)::DOUBLE AS profit,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 topology (shipping-mode priority matrix): lineitems
+    whose synthesized receipt date fell in 1997, shipped before the
+    commitment and committed before receipt, counted per ship mode
+    split into high- (URGENT/HIGH) vs low-priority orders — the
+    canonical conditional-count-over-join shape. shipmode and the
+    commit/receipt offsets are SYNTHESIZED deterministically from the
+    (orderkey, linenumber) line identity via the md5 48-bit hash,
+    identically in both engines: mode = one of 7 carriers by hash;
+    receipt = shipdate + 1..30 days; commit = shipdate + 1..45 days
+    (independent salts). Scale shape: the date/mode/theta predicates
+    are all row-local on the fact (evaluated in the scan stage before
+    the only join), orders joins hash-on-key carrying two columns, and
+    the final agg is 2 modes × 2 flags."""
+    from ..operators.textops import base_hash48
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _h(salt: str):
+        return base_hash48(F.concat_ws(
+            "|", F.col("l_orderkey"), F.col("l_linenumber"), F.lit(salt)))
+
+    modes = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+    mode = F.element_at(F.array(*[F.lit(m) for m in modes]),
+                        (_h("mode") % 7 + 1).cast("int"))
+    receipt = F.date_add(F.to_date("l_shipdate"),
+                         (_h("rcpt") % 30 + 1).cast("int"))
+    commit = F.date_add(F.to_date("l_shipdate"),
+                        (_h("cmt") % 45 + 1).cast("int"))
+    flagged = (
+        li.select("l_orderkey", mode.alias("shipmode"),
+                  commit.alias("commitdate"), receipt.alias("receiptdate"),
+                  F.to_date("l_shipdate").alias("shipdate"))
+        .filter(F.col("shipmode").isin("MAIL", "SHIP")
+                & (F.col("commitdate") < F.col("receiptdate"))
+                & (F.col("shipdate") < F.col("commitdate"))
+                & (F.col("receiptdate") >= F.lit("1997-01-01").cast("date"))
+                & (F.col("receiptdate") < F.lit("1998-01-01").cast("date")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        flagged.join(orders.select("o_orderkey", "o_orderpriority"),
+                     flagged.l_orderkey == F.col("o_orderkey"))
+        .groupBy("shipmode")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+    )
+
+
+ORACLE_SHIPMODE_MATRIX = """
+WITH flagged AS (
+  SELECT l_orderkey,
+         ['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK']
+           [('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+                                || '|mode'), 1, 12))::BIGINT % 7 + 1]
+           AS shipmode,
+         (l_shipdate + INTERVAL 1 DAY *
+            (('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+                                 || '|cmt'), 1, 12))::BIGINT % 45 + 1)
+          )::DATE AS commitdate,
+         (l_shipdate + INTERVAL 1 DAY *
+            (('0x' || substr(md5(l_orderkey || '|' || l_linenumber
+                                 || '|rcpt'), 1, 12))::BIGINT % 30 + 1)
+          )::DATE AS receiptdate,
+         l_shipdate::DATE AS shipdate
+  FROM lineitem
+)
+SELECT shipmode,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM flagged
+JOIN orders ON l_orderkey = o_orderkey
+WHERE shipmode IN ('MAIL', 'SHIP')
+  AND commitdate < receiptdate
+  AND shipdate < commitdate
+  AND receiptdate >= DATE '1997-01-01'
+  AND receiptdate < DATE '1998-01-01'
+GROUP BY shipmode
+"""
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 topology (revenue view + scalar max): supplier revenue
+    over one quarter, returning the supplier(s) whose revenue equals
+    the global maximum — the view-plus-correlated-scalar shape, here
+    decorrelated the scale-safe way: the quarter-filtered rollup is
+    computed ONCE (revenue under the exact-decimal discipline, so the
+    max-equality join key is deterministic on both engines), the 1-row
+    max re-aggregates it, and winners come back via an EQUI join on
+    the revenue value (hash join on a broadcast 1-row side — never a
+    BroadcastNestedLoopJoin, and never a global window sort). Ties are
+    kept, as in the spec. The fact is scanned once; the date filter is
+    pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
+                           .cast("decimal(18,4)")), 2).cast("double")
+             .alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(best),
+                 rev.total_revenue == best.max_revenue)
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_TOP_REVENUE_SUPPLIERS = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)),
+               2)::DOUBLE AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev
+JOIN (SELECT max(total_revenue) AS max_revenue FROM rev) m
+  ON total_revenue = max_revenue
+JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "latest_order_per_customer": q_latest_order_per_customer,
@@ -2668,6 +2864,9 @@ QUERIES = {
     "events_native_sessions": q_events_native_sessions,
     "parts_bought_together": q_parts_bought_together,
     "nation_trade_matrix": q_nation_trade_matrix,
+    "nation_profit_by_year": q_nation_profit_by_year,
+    "shipmode_priority_matrix": q_shipmode_priority_matrix,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
 }
 
 ORACLE = {
@@ -2746,4 +2945,7 @@ ORACLE = {
     "events_native_sessions": ORACLE_NATIVE_SESSIONS,
     "parts_bought_together": ORACLE_BOUGHT_TOGETHER,
     "nation_trade_matrix": ORACLE_TRADE_MATRIX,
+    "nation_profit_by_year": ORACLE_NATION_PROFIT,
+    "shipmode_priority_matrix": ORACLE_SHIPMODE_MATRIX,
+    "top_revenue_suppliers": ORACLE_TOP_REVENUE_SUPPLIERS,
 }

@@ -545,20 +545,23 @@ def q_docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _full_pairs(spark, sf_dir)
 
 
-def _shingle_cte(src: str = "documents") -> str:
+def _shingle_cte(src: str = "documents", suffix: str = "") -> str:
     """tok → shingles → distinct (doc_id, hv) hashes — the shared head of
     every shingle-set oracle, generated from the same constants as
     ``neardup.shingle_hashes``. ``src`` lets composed pipelines (e.g. the
-    training-mix chain) run the same sketch over a filtered CTE."""
+    training-mix chain) run the same sketch over a filtered CTE;
+    ``suffix`` renames the CTEs (tok2/sh02/h2) so one query can shingle
+    TWO corpora (e.g. raw for the hot set, scrubbed for the join)."""
     n = SHINGLE_N
     shingle_parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
     hv = _DUCK_HASH48.format(c="shingle")
-    return rf"""tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM {src}),
-sh0 AS (SELECT doc_id,
+    s = suffix
+    return rf"""tok{s} AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM {src}),
+sh0{s} AS (SELECT doc_id,
                unnest(list_transform(range(1, len(w) - {n - 2}),
                                      i -> {shingle_parts})) AS shingle
-        FROM tok),
-h AS (SELECT DISTINCT doc_id, {hv} AS hv FROM sh0)"""
+        FROM tok{s}),
+h{s} AS (SELECT DISTINCT doc_id, {hv} AS hv FROM sh0{s})"""
 
 
 def _verify_jaccard_sql(threshold: float) -> str:
@@ -686,35 +689,95 @@ def q_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         prebuilt_shingles=_shingles(spark, sf_dir))
 
 
-def _oracle_containment_pairs() -> str:
-    t = CONTAIN_THRESHOLD
-    return rf"""
-WITH {_shingle_cte()},
-sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
-freq AS (SELECT hv, count(*) AS df FROM h GROUP BY hv),
+def _containment_tail(h: str, t: float) -> str:
+    """Prefix-pruned containment-join CTE tail over a shingle table
+    ``h`` — shared by the raw-corpus containment oracle and the
+    composed scrub-then-contain pipeline (which runs it over the
+    scrubbed corpus's shingles)."""
+    return rf"""sz AS (SELECT doc_id, count(*) AS n_sh FROM {h} GROUP BY doc_id),
+freq AS (SELECT hv, count(*) AS df FROM {h} GROUP BY hv),
 ranked AS (
-  SELECT h.doc_id, h.hv, sz.n_sh,
-         row_number() OVER (PARTITION BY h.doc_id
-                            ORDER BY f.df ASC, h.hv ASC) AS rk
-  FROM h JOIN freq f USING (hv) JOIN sz USING (doc_id)
+  SELECT {h}.doc_id, {h}.hv, sz.n_sh,
+         row_number() OVER (PARTITION BY {h}.doc_id
+                            ORDER BY f.df ASC, {h}.hv ASC) AS rk
+  FROM {h} JOIN freq f USING (hv) JOIN sz USING (doc_id)
 ),
 pref AS (SELECT doc_id, hv FROM ranked
          WHERE rk <= n_sh - ceil(round({t} * n_sh, 9)) + 1),
 cand AS (
   SELECT DISTINCT p.doc_id AS id_a, b.doc_id AS id_b
-  FROM pref p JOIN h b ON p.hv = b.hv AND p.doc_id <> b.doc_id
+  FROM pref p JOIN {h} b ON p.hv = b.hv AND p.doc_id <> b.doc_id
 ),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS n_inter
   FROM cand c
-  JOIN h ha ON ha.doc_id = c.id_a
-  JOIN h hb ON hb.doc_id = c.id_b AND hb.hv = ha.hv
+  JOIN {h} ha ON ha.doc_id = c.id_a
+  JOIN {h} hb ON hb.doc_id = c.id_b AND hb.hv = ha.hv
   GROUP BY c.id_a, c.id_b
 )
 SELECT i.id_a, i.id_b,
        round(i.n_inter * 1.0 / na.n_sh, 6) AS containment
 FROM inter i JOIN sz na ON na.doc_id = i.id_a
-WHERE i.n_inter >= ceil(round({t} * na.n_sh, 9))
+WHERE i.n_inter >= ceil(round({t} * na.n_sh, 9))"""
+
+
+def _oracle_containment_pairs() -> str:
+    return rf"""
+WITH {_shingle_cte()},
+{_containment_tail("h", CONTAIN_THRESHOLD)}
+"""
+
+
+def _scrubbed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hv) shingle table of the BOILERPLATE-SCRUBBED corpus,
+    built once per (session, sf_dir) — the artifact the composed
+    scrub-then-contain pipeline joins on. Scrubbing first is the
+    documented mitigation for the containment join's unprunable b-side
+    (operators/neardup.py:containment_prefix_pairs): the hot shingles
+    that bloat the full inverted index are exactly what the scrub
+    removes, so the index this artifact feeds is both smaller and
+    skew-free."""
+    cache = _session_artifacts(spark)
+    key = ("scrubbed_shingles", sf_dir, SHINGLE_N, HOT_MIN_DF, HOT_TOP)
+    if key not in cache:
+        docs = load_table(spark, sf_dir, "documents")
+        scrubbed = (
+            neardup.scrub_hot_ngrams(docs, HOT_MIN_DF, HOT_TOP,
+                                     n=SHINGLE_N)
+            .select("doc_id", F.col("clean_text").alias("text")))
+        cache[key] = neardup.shingle_hashes(
+            scrubbed, "doc_id", "text", SHINGLE_N).localCheckpoint()
+    return cache[key]
+
+
+def q_docs_scrubbed_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline (round 8): C4-style boilerplate scrub FIRST,
+    then the exact asymmetric containment join over the scrubbed
+    corpus — the production ordering for excerpt detection. The raw
+    corpus's hottest n-grams (headers/footers shared by half the
+    corpus) are precisely the shingles the containment join's b-side
+    index cannot prefix-prune; scrubbing deletes them from every
+    document before shingling, so the join runs over a smaller,
+    skew-free index while STILL catching the real quote/excerpt
+    containments the boilerplate was masking. One shared shingle
+    artifact (``_scrubbed_shingles``) feeds the join; the oracle
+    chains the identical scrub CTEs into the identical containment
+    tail."""
+    return neardup.containment_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), n=SHINGLE_N,
+        threshold=CONTAIN_THRESHOLD,
+        prebuilt_shingles=_scrubbed_shingles(spark, sf_dir))
+
+
+def _oracle_scrubbed_containment() -> str:
+    return rf"""
+WITH {_scrub_ctes()},
+scrubbed AS (
+  SELECT tok.doc_id, coalesce(r.clean_text, '') AS text
+  FROM tok LEFT JOIN rebuilt r USING (doc_id)
+),
+{_shingle_cte("scrubbed", suffix="2")},
+{_containment_tail("h2", CONTAIN_THRESHOLD)}
 """
 
 
@@ -2132,12 +2195,15 @@ def q_docs_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup.scrub_hot_ngrams(docs, HOT_MIN_DF, HOT_TOP, n=SHINGLE_N)
 
 
-def _oracle_boilerplate_scrub() -> str:
+def _scrub_ctes() -> str:
+    """The C4-style scrub chain as a reusable CTE body (tok → hot →
+    covered positions → kept → rebuilt) — shared by the standalone
+    scrub oracle and composed pipelines that continue over the
+    scrubbed corpus (scrub → containment)."""
     n = SHINGLE_N
     shingle_parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
     hv = _DUCK_HASH48.format(c=f"({shingle_parts})")
-    return rf"""
-WITH {_shingle_cte()},
+    return rf"""{_shingle_cte()},
 hot AS (SELECT hv FROM h GROUP BY hv
         HAVING count(*) >= {HOT_MIN_DF}
         ORDER BY count(*)::BIGINT DESC, hv LIMIT {HOT_TOP}),
@@ -2168,7 +2234,12 @@ rebuilt AS (
   SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
          count(*)::BIGINT AS n_kept
   FROM kept GROUP BY doc_id
-)
+)"""
+
+
+def _oracle_boilerplate_scrub() -> str:
+    return rf"""
+WITH {_scrub_ctes()}
 SELECT tok.doc_id,
        coalesce(r.clean_text, '') AS clean_text,
        len(tok.w)::BIGINT AS n_tokens,
@@ -3635,6 +3706,7 @@ LLM_QUERIES = {
     "docs_dup_triangles": q_docs_dup_triangles,
     "docs_curriculum_order": q_docs_curriculum_order,
     "docs_containment_pairs": q_docs_containment_pairs,
+    "docs_scrubbed_containment": q_docs_scrubbed_containment,
     "docs_jaccard_histogram": q_docs_jaccard_histogram,
     "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
@@ -3722,6 +3794,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_dup_triangles": _oracle_dup_triangles(),
         "docs_curriculum_order": ORACLE_CURRICULUM_ORDER,
         "docs_containment_pairs": _oracle_containment_pairs(),
+        "docs_scrubbed_containment": _oracle_scrubbed_containment(),
         "docs_jaccard_histogram": _oracle_jaccard_histogram(),
         # incremental maintenance must be indistinguishable from the
         # batch recompute — it shares the batch oracle verbatim
