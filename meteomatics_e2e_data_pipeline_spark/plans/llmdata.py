@@ -1424,6 +1424,21 @@ FROM b GROUP BY bin
 """
 
 
+def _full_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) over the full corpus's
+    near-dup graph, built once per (session, sf_dir) — the iterative
+    connected-components run is the single most expensive step of the
+    dedup family, so every consumer (the cluster query, the kept
+    corpus, the training-mix pipeline's vertex-deletion recompute)
+    reads this artifact instead of re-looping."""
+    cache = _session_artifacts(spark)
+    key = ("full_clusters", sf_dir, SHINGLE_N, NEARDUP_THRESHOLD)
+    if key not in cache:
+        cache[key] = neardup.dup_clusters(
+            _full_pairs(spark, sf_dir)).localCheckpoint()
+    return cache[key]
+
+
 def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization — near-dup PAIRS collapsed into
     connected components with a deterministic min-doc-id keeper per
@@ -1432,7 +1447,7 @@ def q_docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact_weather_params_history.sql:17-32). Oracle: DuckDB recursive CTE
     computes the transitive closure over the same verified pair set
     (the shared ``_full_pairs`` artifact)."""
-    return neardup.dup_clusters(_full_pairs(spark, sf_dir))
+    return _full_clusters(spark, sf_dir)
 
 
 def q_docs_dup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1647,8 +1662,7 @@ def q_docs_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The end-to-end deliverable of the dedup family (pairs → clusters →
     keep-one), composed over the shared ``_full_pairs`` artifact."""
     docs = load_table(spark, sf_dir, "documents")
-    return neardup.keep_canonical(
-        docs, neardup.dup_clusters(_full_pairs(spark, sf_dir)))
+    return neardup.keep_canonical(docs, _full_clusters(spark, sf_dir))
 
 
 def _oracle_dedup_keep() -> str:
@@ -1662,12 +1676,25 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM clust WHERE NOT is_canonical)
 """
 
 
+def _gopher_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition/quality metrics, built once per
+    (session, sf_dir) — shared by the standalone quality query and the
+    composed training-mix pipeline (whose quality gate is exactly a
+    filter over these rows); in production this is the doc-stats table
+    every downstream curation job reads."""
+    cache = _session_artifacts(spark)
+    key = ("gopher_stats", sf_dir)
+    if key not in cache:
+        docs = load_table(spark, sf_dir, "documents")
+        cache[key] = repetition_stats(docs).localCheckpoint()
+    return cache[key]
+
+
 def q_docs_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/quality metrics (type-token ratio, top
     unigram/bigram fractions, mean token length) — the cheap filters a
     training pipeline runs before anything expensive touches a doc."""
-    docs = load_table(spark, sf_dir, "documents")
-    return repetition_stats(docs)
+    return _gopher_stats(spark, sf_dir)
 
 
 ORACLE_QUALITY_GOPHER = """
@@ -1841,29 +1868,52 @@ def q_docs_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle chains the same CTEs, so the WHOLE pipeline is hash-verified
     end to end, not just its pieces.
 
-    The dedup stage consumes the shared ``_full_pairs`` artifact
-    restricted to gate-surviving ends rather than re-running banded
-    discovery on the filtered corpus. The restriction is EXACT, not an
-    approximation: MinHash signatures and band hashes are per-document,
-    so a pair collides in a band over the filtered corpus iff it
-    collides over the full corpus, and Jaccard verification is
-    per-pair — hence pairs(filtered) ≡ pairs(full) ∩ (good × good),
-    and the downstream components/canonicals are identical (the
-    unchanged composed oracle hash-verifies exactly that)."""
+    Every expensive input is a session-keyed shared artifact: the
+    quality gate filters the ``_gopher_stats`` doc-stats table (round
+    8 — previously re-tokenized the corpus per run), the dedup stage
+    consumes the shared ``_full_pairs`` artifact restricted to
+    gate-surviving ends rather than re-running banded discovery on
+    the filtered corpus, and the component step starts from the
+    shared ``_full_clusters`` labels instead of re-looping. The
+    restriction is EXACT, not an approximation: MinHash signatures
+    and band hashes are per-document, so a pair collides in a band
+    over the filtered corpus iff it collides over the full corpus,
+    and Jaccard verification is per-pair — hence pairs(filtered) ≡
+    pairs(full) ∩ (good × good).
+
+    Component recompute under VERTEX DELETION (round 8): dropping the
+    gate-failing docs can only change components that CONTAINED one
+    (removing a vertex can split its component but cannot touch any
+    other — every edge of an untouched cluster has both endpoints
+    intact, so its member set, min-id label, and canonical flag carry
+    over verbatim). The iterative part therefore re-runs only on the
+    touched clusters' surviving edges — work ∝ affected components,
+    the same maintenance contract as ``dup_clusters_incremental``
+    (edge addition), and the composed oracle (full recompute over
+    docs_f) hash-verifies the equivalence."""
     docs = load_table(spark, sf_dir, "documents")
-    good = (repetition_stats(docs)
+    good = (_gopher_stats(spark, sf_dir)
             .filter((F.col("n_tokens") >= MIX_MIN_TOKENS)
                     & (F.col("type_token_ratio") >= MIX_MIN_TTR)
                     & (F.col("top_unigram_frac") <= MIX_MAX_TOP_UNI))
             .select("doc_id"))
     docs_f = docs.join(good, "doc_id", "left_semi")
-    pairs = (
+    full_cl = _full_clusters(spark, sf_dir)
+    touched = (full_cl.join(good, "doc_id", "left_anti")
+               .select("cluster_id").distinct())
+    intact = full_cl.join(touched, "cluster_id", "left_anti")
+    touched_members = (full_cl.join(touched, "cluster_id", "left_semi")
+                       .select("doc_id"))
+    sub_pairs = (
         _full_pairs(spark, sf_dir)
+        .join(touched_members.select(F.col("doc_id").alias("doc_a")),
+              "doc_a", "left_semi")
         .join(good.select(F.col("doc_id").alias("doc_a")), "doc_a",
               "left_semi")
         .join(good.select(F.col("doc_id").alias("doc_b")), "doc_b",
               "left_semi"))
-    kept = neardup.keep_canonical(docs_f, neardup.dup_clusters(pairs))
+    clusters = intact.unionByName(neardup.dup_clusters(sub_pairs))
+    kept = neardup.keep_canonical(docs_f, clusters)
     return sampling.stratified_sample(
         kept, SAMPLE_RATES, key_cols=("lang", "source"),
         id_col="doc_id", salt=SAMPLE_SALT,
