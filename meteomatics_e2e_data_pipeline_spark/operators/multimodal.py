@@ -698,3 +698,83 @@ def synth_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from .textops import spread_for_fanout
     return spread_for_fanout(docs.select(id_col), id_col) \
         .mapInPandas(_batches, schema="doc_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Gzipped-text payloads — the compressed-text-lake modality: training
+# corpora overwhelmingly arrive as gzip members (WARC/WET, .jsonl.gz);
+# the decode step is therefore part of the measurement pass, not a
+# separate pre-job. Deterministic framing: zlib's gzip encoder (wbits
+# 16+15) writes MTIME=0 and a fixed OS byte, so payload bytes depend
+# only on (text, level) — reproducible across runs and partitions.
+# ---------------------------------------------------------------------------
+
+GZIP_LEVEL = 6
+_GZ_WBITS = 16 + 15   # RFC-1952 gzip framing on encode
+_GUNZIP_WBITS = 32 + 15  # auto-detect gzip or raw zlib on decode
+
+
+def gzip_bytes(text: str, level: int = GZIP_LEVEL) -> bytes:
+    """One deterministic gzip member of the text's UTF-8 bytes."""
+    co = zlib.compressobj(level, zlib.DEFLATED, _GZ_WBITS)
+    return co.compress(text.encode("utf-8")) + co.flush()
+
+
+def gunzip_text(payload: bytes) -> str:
+    """Inflate one gzip (or raw zlib) member back to text."""
+    return zlib.decompress(bytes(payload), _GUNZIP_WBITS).decode("utf-8")
+
+
+def synth_gzip_table(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Compressed-text table (doc_id, payload binary): each document's
+    text as a real gzip member — the ingest-side simulation feeding
+    :func:`gzip_text_features`, same contract as ``synth_png_table``
+    (real stdlib codec, deterministic bytes, row-local mapInPandas)."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [gzip_bytes(t) for t in pdf[text_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    from .textops import spread_for_fanout
+    return (spread_for_fanout(docs.select(id_col, text_col), id_col)
+            .mapInPandas(_batches, schema="doc_id long, payload binary"))
+
+
+GZIP_FEATURE_SCHEMA = ("doc_id long, n_chars long, n_tokens long, "
+                       "n_bytes_raw long, text_md5 string")
+
+
+def gzip_text_features(media: DataFrame) -> DataFrame:
+    """Decompress-and-measure in ONE pass over a compressed-text table:
+    inflate each gzip payload and emit the decoded document's length,
+    whitespace token count, raw byte size, and md5 — every output
+    derives from the ROUND-TRIPPED text, so the oracle (the same
+    measures computed from the uncompressed source column) fails on
+    any inflate defect. Row-local mapInPandas, Arrow-batched; no
+    shuffle — at 100 TB this runs as wide as the scan."""
+    import hashlib
+    import re
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_chars", "n_tokens",
+                                    "n_bytes_raw", "text_md5")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                t = gunzip_text(payload)
+                rows["doc_id"].append(doc_id)
+                rows["n_chars"].append(len(t))
+                # match regexp_split_to_array(trim(text), '\s+') exactly:
+                # re.split on the trimmed text returns [''] for empty
+                # input, length 1, as DuckDB/Spark do
+                rows["n_tokens"].append(len(re.split(r"\s+", t.strip())))
+                rows["n_bytes_raw"].append(len(t.encode("utf-8")))
+                rows["text_md5"].append(
+                    hashlib.md5(t.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(rows)
+
+    from .textops import spread_for_fanout
+    return (spread_for_fanout(media.select("doc_id", "payload"), "doc_id")
+            .mapInPandas(_batches, schema=GZIP_FEATURE_SCHEMA))

@@ -3261,6 +3261,32 @@ FROM documents
 """
 
 
+def q_docs_gzip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text-lake decode (round 8): the corpus stored as real
+    gzip members (deterministic stdlib encoder, MTIME=0 framing —
+    operators/multimodal.py:synth_gzip_table, the ingest simulation)
+    is inflated and measured in ONE pass — length, token count, raw
+    bytes, md5 of the round-tripped text (multimodal.py:
+    gzip_text_features). Every output column derives from the DECODED
+    bytes, so the oracle (same measures straight off the uncompressed
+    source column) hash-fails on any inflate defect — the same
+    round-trip-vs-closed-form contract as the PNG codec family. This
+    mirrors the WARC/WET/.jsonl.gz reality of training-data lakes
+    where decompression is part of every measurement pass."""
+    from ..operators.multimodal import gzip_text_features, synth_gzip_table
+    docs = load_table(spark, sf_dir, "documents")
+    return gzip_text_features(synth_gzip_table(docs))
+
+
+ORACLE_GZIP_DECODE = r"""
+SELECT doc_id, len(text)::BIGINT AS n_chars,
+       len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+       octet_length(encode(text))::BIGINT AS n_bytes_raw,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 def q_multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode (round 7): per-doc deterministic RGB pixels are
     zlib-deflate-encoded into genuine PNG bytes with the scanline
@@ -3818,6 +3844,7 @@ LLM_QUERIES = {
     "emb_similarity_histogram": q_emb_similarity_histogram,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "docs_gzip_decode": q_docs_gzip_decode,
     "multimodal_png_features": q_multimodal_png_features,
     "multimodal_png_resized": q_multimodal_png_resized,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -3908,6 +3935,7 @@ def llm_oracle() -> dict[str, str]:
         "emb_similarity_histogram": _oracle_similarity_histogram(),
         "multimodal_features": ORACLE_MULTIMODAL,
         "multimodal_audio_features": _oracle_audio_features(),
+        "docs_gzip_decode": ORACLE_GZIP_DECODE,
         "multimodal_png_features": _oracle_png_features(),
         "multimodal_png_resized": _oracle_png_resized(),
         "multimodal_frame_sample": _oracle_frame_sample(),

@@ -552,6 +552,61 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str,
     q.awaitTermination()
 
 
+def stream_view_attribution_outer(spark: SparkSession, sf_dir: str,
+                                  checkpoint_path: str, query_name: str,
+                                  attribution_window: str = "30 minutes",
+                                  watermark: str = "1 hour",
+                                  max_files_per_trigger: int | None = None,
+                                  ) -> None:
+    """Stream–stream LEFT OUTER interval join — the unmatched-view side
+    the inner ``stream_click_attribution`` cannot express: every view
+    emits, attributed views carry their click, and views with NO click
+    inside the attribution window emit a null-click row. The null side
+    is the stateful subtlety: a view's non-match is only KNOWABLE once
+    the watermark passes ``view_ts + window`` (no future click can
+    match), so null rows surface a trigger or two after their matched
+    peers — which is exactly why outer stream-stream joins REQUIRE the
+    watermark + time-bound condition Spark enforces (state stays sized
+    to watermark + window and evicts monotonically; the eviction IS the
+    null emission). Matched rows emit as they join, same as the inner
+    twin. Both inputs branch off ONE streaming scan; memory sink,
+    append mode. pytest drives a multi-batch availableNow run and
+    asserts the closed-horizon slice equals the batch LEFT JOIN
+    exactly — matched and null rows both."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id",
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("click_user"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    joined = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts")
+               <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")),
+            "leftOuter")
+        .select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+    )
+    q = (
+        joined.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_sliding_reach(spark: SparkSession, sf_dir: str,
                          checkpoint_path: str, query_name: str,
                          watermark: str = "1 day") -> None:

@@ -1728,3 +1728,24 @@ def test_bigram_nll_matches_python_reference_on_random_corpora(spark):
         else:
             assert got[i][0] == len(ws) - 1
             assert abs(got[i][1] - want) < 1e-6, (i, got[i], want)
+
+
+def test_gzip_codec_deterministic_and_round_trips():
+    """The gzip text codec must emit RFC-1952 members with deterministic
+    bytes (MTIME=0 framing — same text, same payload, across calls),
+    round-trip arbitrary unicode text exactly, and actually compress
+    repetitive text (the property that makes a compressed lake worth
+    having)."""
+    from meteomatics_e2e_data_pipeline_spark.operators.multimodal import (
+        gunzip_text, gzip_bytes,
+    )
+
+    texts = ["hello world", "tok " * 500, "unicode é中文",
+             "", "  spaced   out  "]
+    for t in texts:
+        p = gzip_bytes(t)
+        assert p[:2] == b"\x1f\x8b"          # gzip magic
+        assert p[4:8] == b"\x00\x00\x00\x00"  # MTIME=0: deterministic
+        assert gzip_bytes(t) == p             # byte-stable across calls
+        assert gunzip_text(p) == t
+    assert len(gzip_bytes("tok " * 500)) < len("tok " * 500) / 10

@@ -386,6 +386,73 @@ def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     assert got == want
 
 
+def test_stream_outer_join_matches_batch_left_join(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows emit like
+    the inner twin, and a view's NULL row emits only once the watermark
+    proves no future click can match (state eviction IS the null
+    emission). Drive a multi-batch availableNow run (4 chronological
+    files, maxFilesPerTrigger=1) and assert (a) the matched slice
+    equals the batch inner join exactly and (b) for views old enough
+    that the final watermark closed them, the full outer result —
+    nulls included — equals the batch LEFT JOIN."""
+    import datetime as dt
+    import os
+
+    import pyarrow.parquet as pq
+
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_view_attribution_outer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pq.read_table(f"{EVENTS_DIR}/events.parquet").sort_by("ts")
+    n = tbl.num_rows
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        path = str(src / f"events_{i}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1_000_000 + i * 60, 1_000_000 + i * 60))
+
+    name = "attribution_outer_test"
+    stream_view_attribution_outer(spark, str(src), str(tmp_path / "ck"),
+                                  name, max_files_per_trigger=1)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {tuple(r) for r in rows}
+    got_matched = {t for t in got if t[3] is not None}
+
+    ev = load_table(spark, EVENTS_DIR, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("view_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts")))
+    cond = ((F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts")
+               <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")))
+    batch = (views.join(clicks, cond, "left")
+             .select("user_id", "view_id", "view_ts", "click_id",
+                     "click_ts"))
+    want = {tuple(r) for r in batch.collect()}
+    want_matched = {t for t in want if t[3] is not None}
+    assert len(want_matched) > 0
+    assert got_matched == want_matched
+
+    # Closed horizon: final watermark = max event ts - 1 h; a view is
+    # resolved once watermark > view_ts + 30 min. Stay 1 min clear of
+    # the boundary.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - dt.timedelta(hours=1, minutes=31)
+    got_closed = {t for t in got if t[2] <= horizon}
+    want_closed = {t for t in want if t[2] <= horizon}
+    closed_nulls = {t for t in want_closed if t[3] is None}
+    assert len(closed_nulls) > 0          # the test must exercise nulls
+    assert got_closed == want_closed
+
+
 def test_stream_sliding_reach_tracks_batch_exact(spark, tmp_path):
     """Closed sliding windows must land within the HLL error envelope of
     the exact batch trailing-7d distinct count for the same day."""
