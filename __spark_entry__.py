@@ -34,86 +34,53 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-7 rotation (VERDICT r6 directive #1): new entries first, then
-# everything whose operator or oracle changed THIS round (the quantile
-# family's scale-safe rewiring, the skew-safe domain cap, the native-
-# sessions oracle tiebreak), then the nine r6-flagged stale rows (their
-# operators changed in r6 AFTER their last driver row), then the six
-# r3-dated rows (oldest attestations), then the r4-attested LLM block
-# (the seven entries deferred past the gate in r6 lead it). The r5/r6-
-# green remainder sits past the gate; every rotated-out query stays
-# covered by the local mirror at sf0.01 each round.
+# Round-8 rotation (VERDICT r7 directive #1): new entries first, then
+# everything whose operator, plan, or shared artifact changed THIS
+# round (the quantile family's BOUNDARY_ACCURACY retune, the
+# cluster-artifact rewiring, the hierarchy orphan guard), then
+# docs_jaccard_join (plan changed r7 AFTER its r4 driver row — the
+# r7-flagged stale attestation), then the three r3-dated rows, then
+# the r4-attested block that missed the r7 gate — 50 entries exactly,
+# so after this round no current entry's latest driver row predates
+# its plan and nothing stays older than r4. The r5-r7-green remainder
+# sits past the gate; every rotated-out query stays covered by the
+# local DuckDB mirror at sf0.01 each round.
 _VERIFY_FIRST = (
     # -- new this round: never driver-attested --
-    "customer_spend_quartiles_cut",  # NEW: broadcast percentile-cut buckets
-    "min_cost_supplier",          # NEW: Q2-shape correlated scalar
-    "dominant_part_suppliers",    # NEW: Q20-shape agg-threshold semi chain
-    "parts_hierarchy_rollup",     # NEW: pointer-doubling BOM walk
-    "multimodal_png_features",    # NEW: real zlib PNG decode, 5 filters
-    "supplier_revenue_ranks",     # NEW: scale-safe global rank/percent_rank
-    "urgent_shipping_priority",   # NEW: Q3-shape triple-filter chain
-    "local_supplier_volume",      # NEW: Q5-shape dual-dim-path equality
-    "returned_item_losses",       # NEW: Q10-shape pruned top-20
-    "promo_revenue_share",        # NEW: Q14-shape conditional agg series
-    "small_order_revenue",        # NEW: Q17-shape correlated scalar avg
-    "discount_band_revenue",      # NEW: Q6-shape pure pushdown agg
-    "customer_order_distribution",  # NEW: Q13-shape outer-join-ON filter
-    "disjunctive_band_revenue",   # NEW: Q19-shape OR-of-ANDs predicate
-    "latest_order_agg",           # NEW: window-free top-1 via struct max
-    "late_shipment_orders",       # NEW: Q4-shape EXISTS w/ theta residual
-    "nation_market_share",        # NEW: Q8-shape conditional share
-    "part_supplier_variety",      # NEW: Q16-shape NOT-IN + count distinct
-    "docs_dup_triangles",         # NEW: ordered-wedge clique diagnostic
-    "events_stl_decompose",       # NEW: additive trend/seasonal/residual
-    "docs_curriculum_order",      # NEW: scale-safe length curriculum
-    "docs_containment_pairs",     # NEW: asymmetric containment join
-    "multimodal_png_resized",     # NEW: full PNG codec round trip
-    "docs_jaccard_histogram",     # NEW: text-side threshold calibration
-    # -- operator or oracle changed this round: re-attest first --
-    "customer_spend_quartiles",   # scale-safe global_ntile plan (values same)
-    "customer_rfm_segments",      # scale-safe global_ntile ×3 (values same)
-    "parts_abc_classes",          # two-level decimal prefix sum + new oracle
-    "docs_domain_cap",            # skew-safe two-path cap (values same)
-    "events_native_sessions",     # oracle cumsum gains event_id tiebreak
-    # -- r6-flagged: operator changed in r6 after their last driver row --
-    "emb_dedup_keep",             # trained centroids + shared score artifact
-    "docs_bm25_search",           # dl join pruned to the hit set
-    "docs_weighted_sample",       # A-ES key now rounded to 12 dp
-    "region_revenue",             # revenue sums now exact-decimal
-    "top_parts_by_revenue",       # revenue sums now exact-decimal
-    "top_supplier_revenue",       # revenue sums now exact-decimal
-    "sql_nation_revenue",         # revenue sums now exact-decimal
-    "multimodal_resized",         # real BMP decode path
-    "docs_hot_ngrams",            # hash-first df counting rework
+    "nation_profit_by_year",      # NEW: Q9-shape 6-relation profit rollup
+    "shipmode_priority_matrix",   # NEW: Q12-shape conditional-count matrix
+    "top_revenue_suppliers",      # NEW: Q15-shape revenue view + scalar max
+    "docs_scrubbed_containment",  # NEW: composed scrub -> containment
+    "docs_gzip_decode",           # NEW: gzip corpus decode-and-measure
+    # -- operator / plan / shared artifact changed this round --
+    "docs_training_mix",          # vertex-deletion component recompute
+    "docs_dup_clusters",          # reads the _full_clusters artifact
+    "docs_dedup_keep",            # reads the _full_clusters artifact
+    "docs_quality_gopher",        # reads the _gopher_stats artifact
+    "parts_hierarchy_rollup",     # orphan-pointer guard in the walk init
+    "customer_spend_quartiles",   # BOUNDARY_ACCURACY 10k -> 1k (values same)
+    "customer_rfm_segments",      # BOUNDARY_ACCURACY retune (values same)
+    "parts_abc_classes",          # BOUNDARY_ACCURACY retune (values same)
+    "supplier_revenue_ranks",     # BOUNDARY_ACCURACY retune (values same)
+    "docs_curriculum_order",      # BOUNDARY_ACCURACY retune (values same)
+    "docs_boilerplate_scrub",     # oracle refactored onto _scrub_ctes
+    "docs_containment_pairs",     # oracle refactored onto _containment_tail
+    # -- r7-flagged: plan changed r7 after its r4 driver row --
+    "docs_jaccard_join",
     # -- r3-dated driver rows: the oldest attestations, refresh now --
-    "fact_weather_params_forecast",
-    "fact_sun_times_history",
-    "fact_sun_times_forecast",
-    "docs_vocabulary",
-    "docs_corpus_stats",
-    "multimodal_features",
-    # -- r4-attested block, the seven entries deferred in round 6 first --
-    "docs_split_assign",
-    "emb_random_projection",
-    "docs_sample_exact_n",
-    "docs_redacted",
-    "docs_chunked",
-    "emb_knn_bruteforce",
-    "emb_knn_vectorized",
-    # -- rest of the r4 block: refresh so nothing stays older than r4 --
+    "dim_date_spine",
+    "fact_weather_params_history",
+    "weather_dim_condition",
+    # -- r4-attested block that missed the r7 gate: refresh the rest --
     "docs_exact_dedup",
     "docs_text_stats",
     "docs_lang_guess",
     "docs_simhash",
     "docs_near_dup_pairs",
-    "docs_dup_clusters",
-    "docs_dedup_keep",
     "docs_sampled",
     "docs_token_budget_mix",
-    "docs_quality_gopher",
     "emb_quantize_int8",
     "emb_knn_int8",
-    "docs_training_mix",
     "docs_near_dup_incremental",
     "docs_contamination",
     "docs_packed",
@@ -121,19 +88,20 @@ _VERIFY_FIRST = (
     "docs_quality_percentile",
     "docs_unigram_nll",
     "docs_dup_spans",
-    # -- past position 50 at the current surface: r4-green, next in line --
     "docs_oov_rate",
     "emb_pq_codes",
     "emb_knn_pq",
     "emb_ann_ivfpq",
     "emb_knn_filtered",
-    "docs_jaccard_join",
     "docs_simhash_pairs",
     "docs_near_dup_edit_distance",
     "docs_tfidf_top_terms",
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",
+    # -- fill the gate to exactly 50 with the oldest (r5-dated) rows --
+    "weather_stg_raw",
+    "customers_without_orders",
 )
 
 

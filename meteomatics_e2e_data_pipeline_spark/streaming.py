@@ -84,7 +84,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str,
                          target_path: str, checkpoint_path: str,
-                         watermark: str = "1 hour") -> None:
+                         watermark: str = "1 hour",
+                         max_files_per_trigger: int | None = None) -> None:
     """Watermarked tumbling-window aggregation (the streaming twin of the
     batch ``events_hourly_rollup`` query): per (hour, event_type) counts
     and sums, append-mode — a window emits once the watermark passes its
@@ -99,7 +100,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str,
     consumers needing the open tail should union the batch rollup over
     the uncommitted range.
     """
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -122,7 +123,8 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str,
 def stream_user_sessions(spark: SparkSession, sf_dir: str,
                          checkpoint_path: str, query_name: str,
                          gap: str = "30 minutes",
-                         watermark: str = "1 hour") -> None:
+                         watermark: str = "1 hour",
+                         max_files_per_trigger: int | None = None) -> None:
     """Native session windows (``F.session_window``): per-user sessions
     close after ``gap`` of inactivity; a session emits once the watermark
     passes its end. This is the streaming twin of the batch
@@ -130,7 +132,7 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str,
     session boundaries, incremental state instead of a global window.
     Memory sink under ``query_name`` (append mode: closed sessions only).
     """
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     agg = (
         ev.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -149,7 +151,9 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str,
 
 
 def stream_user_event_totals(spark: SparkSession, sf_dir: str,
-                             checkpoint_path: str, query_name: str) -> None:
+                             checkpoint_path: str, query_name: str,
+                             max_files_per_trigger: int | None = None,
+                             ) -> None:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running totals maintained in explicit state across
     micro-batches (the pattern for any bespoke stateful op Spark's
@@ -170,7 +174,7 @@ def stream_user_event_totals(spark: SparkSession, sf_dir: str,
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "total_value": [round(total, 2)]})
 
-    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger).select("user_id", "value")
     out = ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, n_events bigint, total_value double",
@@ -268,7 +272,8 @@ def stream_dedup_exact(docs_stream: DataFrame, ts_col: str,
 
 def stream_ewma(spark: SparkSession, sf_dir: str,
                 checkpoint_path: str, query_name: str,
-                alpha: float = 0.3, window: int = 14) -> None:
+                alpha: float = 0.3, window: int = 14,
+                max_files_per_trigger: int | None = None) -> None:
     """Streaming twin of the batch ``events_ewma`` query
     (plans/timeseries.py): per-event-type EWMA of the daily count,
     maintained as EXPLICIT state across micro-batches via
@@ -319,7 +324,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str,
                             "n": out_n, "ewma": out_ewma,
                             "seq": seq})
 
-    ev = (read_events_stream(spark, sf_dir)
+    ev = (read_events_stream(spark, sf_dir, max_files_per_trigger)
           .select("event_type",
                   F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")))
     out = ev.groupBy("event_type").applyInPandasWithState(
@@ -419,7 +424,8 @@ def stream_contamination_flags(stream: DataFrame, bench_hvs,
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str,
                          checkpoint_path: str, query_name: str,
                          capacity: int = 32,
-                         n_shards: int = 4) -> None:
+                         n_shards: int = 4,
+                         max_files_per_trigger: int | None = None) -> None:
     """Streaming heavy hitters with BOUNDED state: Misra–Gries summaries
     maintained per user-id shard via ``applyInPandasWithState`` — the
     streaming twin of the batch ``events_heavy_hitters`` diagnostic,
@@ -479,7 +485,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str,
             "seq": seq,
         })
 
-    ev = (read_events_stream(spark, sf_dir)
+    ev = (read_events_stream(spark, sf_dir, max_files_per_trigger)
           .select((F.col("user_id") % n_shards).alias("shard"), "user_id"))
     out = ev.groupBy("shard").applyInPandasWithState(
         update,
@@ -503,7 +509,9 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str,
 def stream_click_attribution(spark: SparkSession, sf_dir: str,
                              checkpoint_path: str, query_name: str,
                              attribution_window: str = "30 minutes",
-                             watermark: str = "1 hour") -> None:
+                             watermark: str = "1 hour",
+                             max_files_per_trigger: int | None = None,
+                             ) -> None:
     """Stream–stream interval join (the attribution shape): every click
     joins the SAME user's views whose timestamp precedes it by at most
     ``attribution_window``. Both sides carry watermarks and the join
@@ -519,7 +527,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str,
 
     Memory sink under ``query_name``; append mode.
     """
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     views = (
         ev.filter(F.col("event_type") == "view")
         .select(F.col("event_id").alias("view_id"), "user_id",
@@ -697,7 +705,8 @@ def stream_sliding_reach_exact(spark: SparkSession, sf_dir: str,
 
 
 def stream_cms_cells(spark: SparkSession, sf_dir: str,
-                     checkpoint_path: str, query_name: str) -> None:
+                     checkpoint_path: str, query_name: str,
+                     max_files_per_trigger: int | None = None) -> None:
     """Streaming count-min maintenance: the d×w grid updated per
     micro-batch with a plain streaming groupBy — the rare stateful
     aggregate whose state is BOUNDED BY CONSTRUCTION (≤ depth·width
@@ -713,7 +722,7 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str,
     from .operators.sketches import CMS_DEPTH, CMS_SALT, CMS_WIDTH
     from .operators.textops import base_hash48
 
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
     exploded = ev.select(
         F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)]))
         .alias("depth"),
@@ -735,7 +744,8 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str,
 
 
 def stream_type_runs(spark: SparkSession, sf_dir: str,
-                     checkpoint_path: str, query_name: str) -> None:
+                     checkpoint_path: str, query_name: str,
+                     max_files_per_trigger: int | None = None) -> None:
     """Streaming twin of the batch ``events_type_runs`` gaps-and-islands
     collapse: per user, maintain the OPEN run (current type, start,
     last ts, count) as explicit state and emit a run the moment the
@@ -781,7 +791,7 @@ def stream_type_runs(spark: SparkSession, sf_dir: str,
              "run_end": [o[2] for o in out],
              "run_length": [o[3] for o in out]})
 
-    ev = (read_events_stream(spark, sf_dir)
+    ev = (read_events_stream(spark, sf_dir, max_files_per_trigger)
           .select("user_id", "event_type", "ts", "event_id",
                   F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
                   .alias("ts_s")))

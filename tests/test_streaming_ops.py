@@ -16,6 +16,42 @@ from meteomatics_e2e_data_pipeline_spark.streaming import (
 EVENTS_DIR = "/root/testdata/sf0.001"
 
 
+def _split_events(tmp_path, n_files: int = 6, remap_user: bool = False):
+    """Write the events table as ``n_files`` chronological parquet files
+    with increasing mtimes (the file source orders new files by
+    modification time) — with ``maxFilesPerTrigger=1`` an availableNow
+    run becomes genuinely MULTI-batch, exercising cross-batch state and
+    watermark advancement that a single-file source structurally cannot
+    (the watermark is 0 during the only batch). ``remap_user`` swaps
+    user_id for the unique event_id so per-window distinct counts never
+    saturate (the sf0.001 table has only 15 users). Returns the source
+    dir path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = pq.read_table(f"{EVENTS_DIR}/events.parquet").sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")])
+    if remap_user:
+        tbl = tbl.set_column(tbl.schema.get_field_index("user_id"),
+                             "user_id", tbl.column("event_id"))
+    n = tbl.num_rows
+    cuts = [round(i * n / n_files) for i in range(n_files + 1)]
+    for i in range(n_files):
+        path = str(src / f"events_{i:02d}.parquet")
+        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        os.utime(path, (1_000_000 + i * 60, 1_000_000 + i * 60))
+    return str(src)
+
+
+def _n_commits(tmp_path) -> int:
+    import os
+    return len([f for f in os.listdir(tmp_path / "ck" / "commits")
+                if not f.startswith(".")])
+
+
 def test_stream_hourly_matches_batch_for_closed_windows(spark, tmp_path):
     target, ckpt = str(tmp_path / "agg"), str(tmp_path / "ck")
     stream_events_hourly(spark, EVENTS_DIR, target, ckpt)
@@ -43,7 +79,12 @@ def test_session_windows_match_batch_sessionize(spark, tmp_path):
     """Closed native session windows must agree with the batch lag+cumsum
     sessionization: same per-user session count over the closed range."""
     name = "sessions_test"
-    stream_user_sessions(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    # Multi-batch: sessions spanning batch boundaries must merge in
+    # state and close only once the watermark passes their end.
+    stream_user_sessions(spark, _split_events(tmp_path),
+                         str(tmp_path / "ck"), name,
+                         max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 6
     got = spark.sql(f"SELECT * FROM {name}")
     assert got.count() > 0
 
@@ -102,10 +143,20 @@ def test_stream_upsert_dedupes_renamed_redelivery(spark, tmp_path):
 
 
 def test_stateful_totals_match_batch(spark, tmp_path):
+    """Multi-batch run: each user emits one row per batch with the
+    cumulative total so far — the FINAL (max-n) emission must equal the
+    batch rollup, proving state genuinely carries across batches (the
+    state.exists branch a single-batch run never takes)."""
     name = "user_totals_test"
-    stream_user_event_totals(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
-    got = {r["user_id"]: (r["n_events"], r["total_value"])
-           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    stream_user_event_totals(spark, _split_events(tmp_path),
+                             str(tmp_path / "ck"), name,
+                             max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 6
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        u = r["user_id"]
+        if u not in got or r["n_events"] > got[u][0]:
+            got[u] = (r["n_events"], r["total_value"])
 
     batch = (
         load_table(spark, "/root/testdata/sf0.001", "events")
@@ -269,7 +320,12 @@ def test_stream_ewma_matches_batch(spark, tmp_path):
     from meteomatics_e2e_data_pipeline_spark.streaming import stream_ewma
 
     name = "ewma_stream_test"
-    stream_ewma(spark, "/root/testdata/sf0.001", str(tmp_path / "ck"), name)
+    # Multi-batch: late batches add counts to already-seen days and the
+    # dependent EWMA tail re-emits — the cross-batch state-merge path a
+    # single-batch run never takes.
+    stream_ewma(spark, _split_events(tmp_path), str(tmp_path / "ck"), name,
+                max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 6
     # update-mode memory sink: the sink does not guarantee row order
     # across micro-batches, so take the max-seq emission per (type, day)
     got, got_seq = {}, {}
@@ -306,13 +362,16 @@ def test_stream_heavy_hitters_exact_when_capacity_suffices(spark, tmp_path):
     from meteomatics_e2e_data_pipeline_spark.streaming import (
         stream_heavy_hitters)
 
-    sf = "/root/testdata/sf0.001"
+    # Multi-batch: the MG summary must merge correctly across batches
+    # (no decrements at this capacity → exact regardless of batching).
     name = "mg_exact_test"
-    stream_heavy_hitters(spark, sf, str(tmp_path / "ck"), name,
-                         capacity=64, n_shards=4)
+    stream_heavy_hitters(spark, _split_events(tmp_path),
+                         str(tmp_path / "ck"), name,
+                         capacity=64, n_shards=4, max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 6
     rows = _mg_final_rows(spark, name)
     truth = {r["user_id"]: r["n"] for r in
-             load_table(spark, sf, "events")
+             load_table(spark, EVENTS_DIR, "events")
              .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
              .collect()}
     assert all(r["decrements"] == 0 for r in rows)
@@ -355,14 +414,20 @@ def test_stream_heavy_hitters_bounded_state_invariants(spark, tmp_path):
 
 def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     """Inner stream-stream joins emit every match (watermarks only gate
-    state eviction), so one availableNow pass must equal the batch
-    interval join exactly."""
+    state eviction), so an availableNow pass must equal the batch
+    interval join exactly — including across MULTIPLE batches, where a
+    click may arrive a batch after its view (the view must still be in
+    state: chronological arrival + the 1 h watermark guarantee every
+    view outlives its 30 min match horizon)."""
     from meteomatics_e2e_data_pipeline_spark.streaming import (
         stream_click_attribution,
     )
 
     name = "attribution_test"
-    stream_click_attribution(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    stream_click_attribution(spark, _split_events(tmp_path),
+                             str(tmp_path / "ck"), name,
+                             max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 6
     got = {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
 
     ev = load_table(spark, EVENTS_DIR, "events")
@@ -396,27 +461,16 @@ def test_stream_outer_join_matches_batch_left_join(spark, tmp_path):
     that the final watermark closed them, the full outer result —
     nulls included — equals the batch LEFT JOIN."""
     import datetime as dt
-    import os
-
-    import pyarrow.parquet as pq
 
     from meteomatics_e2e_data_pipeline_spark.streaming import (
         stream_view_attribution_outer,
     )
 
-    src = tmp_path / "src"
-    src.mkdir()
-    tbl = pq.read_table(f"{EVENTS_DIR}/events.parquet").sort_by("ts")
-    n = tbl.num_rows
-    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
-    for i in range(4):
-        path = str(src / f"events_{i}.parquet")
-        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        os.utime(path, (1_000_000 + i * 60, 1_000_000 + i * 60))
-
+    src = _split_events(tmp_path, n_files=4)
     name = "attribution_outer_test"
-    stream_view_attribution_outer(spark, str(src), str(tmp_path / "ck"),
+    stream_view_attribution_outer(spark, src, str(tmp_path / "ck"),
                                   name, max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 4
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     got = {tuple(r) for r in rows}
     got_matched = {t for t in got if t[3] is not None}
@@ -518,40 +572,25 @@ def test_stream_sliding_reach_exact_equals_batch(spark, tmp_path):
         stream_sliding_reach_exact,
     )
 
-    # Split events chronologically into 4 files with increasing mtimes
-    # (the file source orders new files by modification time). The
-    # sf0.001 events table has only 15 distinct users, so every 7-day
-    # window saturates at 15 and a dropped-late-row undercount would be
-    # invisible; remap user_id := event_id (unique per event) so each
-    # window's distinct-count equals its event count and ANY dropped
-    # row shows up as a deficit.
-    src = tmp_path / "src"
-    src.mkdir()
-    tbl = pq.read_table(f"{EVENTS_DIR}/events.parquet").sort_by("ts")
-    tbl = tbl.set_column(tbl.schema.get_field_index("user_id"),
-                         "user_id", tbl.column("event_id"))
-    n = tbl.num_rows
+    # 15 chronological ~2-day files, user_id remapped to the unique
+    # event_id (the sf0.001 table has only 15 users, so every 7-day
+    # window would saturate at 15 and hide a dropped-late-row
+    # undercount; with unique users each window's distinct-count equals
+    # its event count and ANY dropped row shows up as a deficit).
     n_files = 15
-    cuts = [round(i * n / n_files) for i in range(n_files + 1)]
-    for i in range(n_files):
-        path = str(src / f"events_{i:02d}.parquet")
-        pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
-        os.utime(path, (1_000_000 + i * 60, 1_000_000 + i * 60))
+    src = _split_events(tmp_path, n_files=n_files, remap_user=True)
+    tbl = pq.read_table(src)
     batch_dir = tmp_path / "batch"
     batch_dir.mkdir()
     pq.write_table(tbl, str(batch_dir / "events.parquet"))
 
     name = "sliding_reach_exact_test"
-    stream_sliding_reach_exact(spark, str(src), str(tmp_path / "ck"), name,
+    stream_sliding_reach_exact(spark, src, str(tmp_path / "ck"), name,
                                max_files_per_trigger=1)
     got = {r.day: r.users_7d
            for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert len(got) > 0
-
-    # Multi-batch evidence: one commit per micro-batch in the log.
-    commits = [f for f in os.listdir(tmp_path / "ck" / "commits")
-               if not f.startswith(".")]
-    assert len(commits) >= n_files, commits
+    assert _n_commits(tmp_path) >= n_files
 
     exact = {r.day: r.users_7d
              for r in q_events_sliding_reach_7d(
@@ -594,7 +633,9 @@ def test_stream_cms_grid_equals_batch_grid(spark, tmp_path):
     )
 
     name = "cms_stream_test"
-    stream_cms_cells(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    stream_cms_cells(spark, _split_events(tmp_path), str(tmp_path / "ck"),
+                     name, max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 6
     got = {(r.depth, r.idx): r.cell_n
            for r in spark.sql(f"SELECT * FROM {name}").collect()}
     ev = load_table(spark, EVENTS_DIR, "events")
@@ -615,7 +656,12 @@ def test_stream_type_runs_emits_closed_batch_runs(spark, tmp_path):
     )
 
     name = "type_runs_stream_test"
-    stream_type_runs(spark, EVENTS_DIR, str(tmp_path / "ck"), name)
+    # Multi-batch, chronologically split (the op's documented in-order
+    # arrival contract): runs spanning a batch boundary must survive in
+    # the open-run state and close correctly in a LATER batch.
+    stream_type_runs(spark, _split_events(tmp_path), str(tmp_path / "ck"),
+                     name, max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 6
     got = {(r.user_id, r.event_type, r.run_start, r.run_end, r.run_length)
            for r in spark.sql(f"SELECT * FROM {name}").collect()}
 
