@@ -181,22 +181,40 @@ def test_stream_dedup_exact_drops_redelivery(spark, tmp_path):
         stream_dedup_exact,
     )
 
+    import os
+    import time
+
     src = tmp_path / "docs_in"
     src.mkdir()
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
-    rows = [
+    rows0 = [
         (1, "hello world", t0),
         (2, "  Hello   WORLD ", t0 + dt.timedelta(minutes=1)),  # dup, msgy ws
         (3, "something else", t0 + dt.timedelta(minutes=2)),
         (4, "hello world", t0 + dt.timedelta(minutes=3)),       # dup again
         (5, "third text", t0 + dt.timedelta(minutes=4)),
     ]
-    spark.createDataFrame(rows, "doc_id long, text string, ingest_ts timestamp") \
-        .coalesce(1).write.parquet(str(src / "batch0"))
+    # Second FILE = second micro-batch (maxFilesPerTrigger=1): a
+    # redelivery arriving a batch later but inside the watermark must
+    # be dropped from dedupe STATE, not just batch-locally; one new
+    # content proves the state isn't over-dropping either.
+    rows1 = [
+        (6, "HELLO  world", t0 + dt.timedelta(minutes=6)),      # late dup
+        (7, "fourth text", t0 + dt.timedelta(minutes=7)),
+    ]
+    for i, rows in enumerate([rows0, rows1]):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts timestamp") \
+            .coalesce(1).write.parquet(str(src / f"batch{i}"))
+        for root, _, files in os.walk(str(src / f"batch{i}")):
+            for f in files:
+                os.utime(os.path.join(root, f),
+                         (1_000_000 + i * 60, 1_000_000 + i * 60))
 
     stream = (spark.readStream
               .schema("doc_id long, text string, ingest_ts timestamp")
               .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1)
               .parquet(str(src)))
     out = stream_dedup_exact(stream, "ingest_ts", watermark="10 minutes")
     q = (out.writeStream.format("parquet")
@@ -209,8 +227,14 @@ def test_stream_dedup_exact_drops_redelivery(spark, tmp_path):
 
     got = spark.read.parquet(str(tmp_path / "deduped"))
     texts = sorted(r["text"].strip().lower() for r in got.collect())
-    assert len(texts) == 3                       # one per distinct content
+    assert len(texts) == 4                       # one per distinct content
     assert "something else" in texts and "third text" in texts
+    assert "fourth text" in texts                # new content passes
+    assert sum(1 for t in texts
+               if " ".join(t.split()) == "hello world") == 1  # x-batch drop
+    commits = [f for f in os.listdir(tmp_path / "ckpt" / "commits")
+               if not f.startswith(".")]
+    assert len(commits) >= 2                     # genuinely multi-batch
 
 
 def test_stream_enrich_against_static_dim(spark, tmp_path):
