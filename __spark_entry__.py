@@ -52,6 +52,7 @@ _VERIFY_FIRST = (
     "top_revenue_suppliers",      # NEW: Q15-shape revenue view + scalar max
     "docs_scrubbed_containment",  # NEW: composed scrub -> containment
     "docs_gzip_decode",           # NEW: gzip corpus decode-and-measure
+    "customer_trailing_spend",    # NEW: RANGE-framed 30-day window
     # -- operator / plan / shared artifact changed this round --
     "docs_training_mix",          # vertex-deletion component recompute
     "docs_dup_clusters",          # reads the _full_clusters artifact
@@ -99,9 +100,8 @@ _VERIFY_FIRST = (
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",
-    # -- fill the gate to exactly 50 with the oldest (r5-dated) rows --
+    # -- fill the gate to exactly 50 with the oldest (r5-dated) row --
     "weather_stg_raw",
-    "customers_without_orders",
 )
 
 

@@ -2598,6 +2598,47 @@ GROUP BY 1, 2
 """
 
 
+def q_customer_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed event-time window (round 8): per order, the
+    customer's trailing-30-DAY spend and order count — the frame the
+    ROWS-framed trailing windows elsewhere cannot express (calendar
+    gaps make 30 rows ≠ 30 days; RANGE bounds the frame by the VALUE
+    of the ordering key). Spark's rangeBetween needs a numeric order
+    key, so the date becomes an epoch-day integer — the standard
+    idiom — and the frame is (-29, 0) inclusive. Scale shape: the
+    window is PARTITIONED by customer (never a global sort); the frame
+    sum uses exact DECIMAL(18,2) so the per-frame addition order
+    cannot drift between engines; RANGE peers (same-day orders) are
+    frame-complete on both sides, so no tiebreak is needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_n = F.datediff(F.to_date("o_orderdate"),
+                       F.lit("1970-01-01").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy("day_n")
+         .rangeBetween(-29, 0))
+    return (
+        orders.withColumn("day_n", day_n)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .over(w), 2).cast("double").alias("spend_30d"),
+            F.count(F.lit(1)).over(w).alias("n_orders_30d"))
+    )
+
+
+ORACLE_TRAILING_SPEND = """
+SELECT o_custkey, o_orderkey, o_orderdate::DATE AS order_date,
+       round(sum(o_totalprice::DECIMAL(18,2)) OVER w, 2)::DOUBLE
+         AS spend_30d,
+       count(*) OVER w AS n_orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1970-01-01',
+                               o_orderdate::DATE)
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 topology (product-type profit): a six-relation join —
     fact × part (pruning filter) × supplier × nation × orders — with
@@ -2867,6 +2908,7 @@ QUERIES = {
     "nation_profit_by_year": q_nation_profit_by_year,
     "shipmode_priority_matrix": q_shipmode_priority_matrix,
     "top_revenue_suppliers": q_top_revenue_suppliers,
+    "customer_trailing_spend": q_customer_trailing_spend,
 }
 
 ORACLE = {
@@ -2948,4 +2990,5 @@ ORACLE = {
     "nation_profit_by_year": ORACLE_NATION_PROFIT,
     "shipmode_priority_matrix": ORACLE_SHIPMODE_MATRIX,
     "top_revenue_suppliers": ORACLE_TOP_REVENUE_SUPPLIERS,
+    "customer_trailing_spend": ORACLE_TRAILING_SPEND,
 }
