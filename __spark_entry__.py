@@ -66,6 +66,7 @@ _VERIFY_FIRST = (
     "docs_curriculum_order",      # BOUNDARY_ACCURACY retune (values same)
     "docs_boilerplate_scrub",     # oracle refactored onto _scrub_ctes
     "docs_containment_pairs",     # oracle refactored onto _containment_tail
+    "emb_knn_pq_trained",         # reads the _trained_pq_recon artifact
     # -- r7-flagged: plan changed r7 after its r4 driver row --
     "docs_jaccard_join",
     # -- r3-dated driver rows: the oldest attestations, refresh now --
@@ -100,8 +101,6 @@ _VERIFY_FIRST = (
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",
-    # -- fill the gate to exactly 50 with the oldest (r5-dated) row --
-    "weather_stg_raw",
 )
 
 
