@@ -192,6 +192,69 @@ def stream_user_event_totals(spark: SparkSession, sf_dir: str,
     q.awaitTermination()
 
 
+def stream_user_event_totals_tws(spark: SparkSession, sf_dir: str,
+                                 checkpoint_path: str, query_name: str,
+                                 max_files_per_trigger: int | None = None,
+                                 ) -> None:
+    """Per-user running totals on the ``transformWithStateInPandas``
+    API (Spark 4.x) — the successor to ``applyInPandasWithState`` used
+    by the twin above, and the surface new stateful operators should
+    target: state is declared as NAMED, typed variables on an
+    object-oriented processor (ValueState here; ListState/MapState and
+    event/processing-time timers are the same handle), which gives
+    per-variable TTL and schema evolution instead of one opaque state
+    tuple. Same emission contract as the sibling: one row per user per
+    batch with the cumulative count/value; readers take the max-n row.
+    pytest asserts both twins agree with the batch rollup across a
+    multi-batch run.
+
+    ENV GATE: the TWS state-server protocol needs the ``protobuf``
+    package in the Python workers (its driver worker dies with
+    ``ImportError: google.protobuf`` otherwise). This container lacks
+    it (and pip installs are barred), so the pytest skips there — the
+    ``applyInPandasWithState`` sibling above is the fully-exercised
+    tier, exactly like the Delta/parquet upsert split."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+            n, total = (self._totals.get() if self._totals.exists()
+                        else (0, 0.0))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [round(total, 2)]})
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger) \
+        .select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, "
+                         "total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        out.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_bronze_upsert(spark: SparkSession, bronze_glob: str,
                          target_path: str, checkpoint_path: str,
                          keys: list[str] | None = None) -> None:

@@ -172,6 +172,55 @@ def test_stateful_totals_match_batch(spark, tmp_path):
     assert not mismatches
 
 
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package for "
+           "its state-server protocol (its driver worker dies with "
+           "ImportError: google.protobuf otherwise) — absent in this "
+           "container and pip installs are barred; the op targets the "
+           "API for protobuf-equipped clusters",
+)
+def test_stateful_totals_tws_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas twin (Spark 4 typed-state API): the
+    final per-user emission across a multi-batch run must equal the
+    batch rollup — same contract as the applyInPandasWithState twin,
+    proving the ValueState genuinely carries across batches."""
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_user_event_totals_tws,
+    )
+
+    name = "user_totals_tws_test"
+    stream_user_event_totals_tws(spark, _split_events(tmp_path),
+                                 str(tmp_path / "ck"), name,
+                                 max_files_per_trigger=1)
+    assert _n_commits(tmp_path) >= 6
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        u = r["user_id"]
+        if u not in got or r["n_events"] > got[u][0]:
+            got[u] = (r["n_events"], r["total_value"])
+
+    batch = (
+        load_table(spark, EVENTS_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("t"))
+    )
+    expected = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(expected)
+    assert all(got[u][0] == expected[u][0]
+               and abs(got[u][1] - expected[u][1]) <= 0.01
+               for u in expected)
+
+
 def test_stream_dedup_exact_drops_redelivery(spark, tmp_path):
     """Duplicate content (even with different doc ids / whitespace) is
     dropped within the watermark; distinct content survives."""
