@@ -784,22 +784,28 @@ def pq_reconstruct(codes: DataFrame, codebook: DataFrame, dim: int,
 
 def knn_pq(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
            m: int = 8, n_cent: int = 16, id_col: str = "vec_id",
-           vec_col: str = "embedding") -> DataFrame:
+           vec_col: str = "embedding",
+           recon_corpus: DataFrame | None = None) -> DataFrame:
     """Compressed-domain ANN: exact cosine top-k of full-precision
     queries against the PQ-RECONSTRUCTED corpus (asymmetric distance
     computation). The corpus read path shrinks 64× (4-byte codes);
     recall vs full precision is a property of codebook quality —
-    asserted in pytest against the exact twin."""
-    cb = pq_codebook(corpus, n_cent, id_col, vec_col)
-    recon = pq_reconstruct(pq_codes(corpus, cb, dim, m, id_col, vec_col),
-                           cb, dim, m, id_col, vec_col)
-    return knn_bruteforce(recon, queries, k, id_col, vec_col)
+    asserted in pytest against the exact twin. Pass the pre-encoded
+    ``recon_corpus`` (the production index table — codes are written
+    once at ingest) to skip the encode pass."""
+    if recon_corpus is None:
+        cb = pq_codebook(corpus, n_cent, id_col, vec_col)
+        recon_corpus = pq_reconstruct(
+            pq_codes(corpus, cb, dim, m, id_col, vec_col),
+            cb, dim, m, id_col, vec_col)
+    return knn_bruteforce(recon_corpus, queries, k, id_col, vec_col)
 
 
 def knn_ivfpq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: int, dim: int, m: int = 8, n_cent: int = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              nprobe: int = 1) -> DataFrame:
+              nprobe: int = 1,
+              recon_corpus: DataFrame | None = None) -> DataFrame:
     """IVF-PQ — the FAISS ``IndexIVFPQ`` composition, which is how
     billion-vector ANN actually ships: the coarse quantizer prunes the
     scan to the query's ``nprobe`` buckets (1/n_buckets of the corpus),
@@ -814,10 +820,12 @@ def knn_ivfpq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     from pyspark.sql import Window
 
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    cb = pq_codebook(corpus, n_cent, id_col, vec_col)
-    recon = pq_reconstruct(pq_codes(corpus, cb, dim, m, id_col, vec_col),
-                           cb, dim, m, id_col, vec_col)
-    c = (recon.join(assigned.select(id_col, "bucket"), id_col)
+    if recon_corpus is None:
+        cb = pq_codebook(corpus, n_cent, id_col, vec_col)
+        recon_corpus = pq_reconstruct(
+            pq_codes(corpus, cb, dim, m, id_col, vec_col),
+            cb, dim, m, id_col, vec_col)
+    c = (recon_corpus.join(assigned.select(id_col, "bucket"), id_col)
          .select(F.col(id_col).alias("neighbor_id"),
                  F.col(vec_col).alias("c_vec"), "bucket")
          .withColumn("__cn", _norm(F.col("c_vec"))))

@@ -2831,13 +2831,31 @@ def _oracle_pq_codes() -> str:
     return f"WITH {_pq_cte()} SELECT * FROM codes"
 
 
+def _untrained_pq_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-reconstructed corpus under the UNTRAINED (take-first-ncent)
+    codebook, localCheckpointed once per (session, sf_dir) — shared by
+    the plain PQ kNN and the IVF-PQ composition (both scan this index
+    table; in production the codes are written at ingest)."""
+    cache = _session_artifacts(spark)
+    key = ("pq_recon_untrained", sf_dir, PQ_M, PQ_NCENT)
+    if key not in cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = similarity.pq_codebook(emb, PQ_NCENT)
+        cache[key] = similarity.pq_reconstruct(
+            similarity.pq_codes(emb, cb, EMB_DIM, PQ_M),
+            cb, EMB_DIM, PQ_M).localCheckpoint()
+    return cache[key]
+
+
 def q_emb_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN: cosine top-k of full-precision queries
     against the PQ-reconstructed corpus (asymmetric distance — value-
-    identical to the ADC lookup-table formulation)."""
+    identical to the ADC lookup-table formulation). Reads the shared
+    ``_untrained_pq_recon`` index artifact (round 8)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
-    return similarity.knn_pq(emb, queries, PQ_K, EMB_DIM, PQ_M, PQ_NCENT)
+    return similarity.knn_pq(emb, queries, PQ_K, EMB_DIM, PQ_M, PQ_NCENT,
+                             recon_corpus=_untrained_pq_recon(spark, sf_dir))
 
 
 def _oracle_knn_pq() -> str:
@@ -3169,13 +3187,15 @@ FROM ranked WHERE rank <= {PQ_K}
 def q_emb_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition (FAISS IndexIVFPQ shape): coarse-quantizer
     pruning × PQ compression, asymmetric scoring
-    (operators/similarity.py:knn_ivfpq)."""
+    (operators/similarity.py:knn_ivfpq). Reads the shared
+    ``_untrained_pq_recon`` index artifact (round 8)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
     centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
                  .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    return similarity.knn_ivfpq(emb, queries, centroids, IVF_K,
-                                EMB_DIM, PQ_M, PQ_NCENT)
+    return similarity.knn_ivfpq(
+        emb, queries, centroids, IVF_K, EMB_DIM, PQ_M, PQ_NCENT,
+        recon_corpus=_untrained_pq_recon(spark, sf_dir))
 
 
 def _oracle_ann_ivfpq() -> str:
