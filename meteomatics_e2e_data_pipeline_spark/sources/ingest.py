@@ -104,6 +104,18 @@ class HttpFetcher:
         return {"city": city, "country": country,
                 "latitude": lat, "longitude": lon, "weather": resp.json()}
 
+    @classmethod
+    def from_connection(cls, source, name: str, parameters: list[str],
+                        time_step: str = "PT1H") -> "HttpFetcher":
+        """S3 wiring: build the fetcher from a NAMED connection
+        (``sources.credentials.CredentialSource``) — the engine twin of
+        the reference's ``BaseHook.get_connection("meteomatics_api")``
+        (meteomatics_get_data.py:45-47). Callers carry a connection
+        NAME; host and secrets resolve driver-side at wiring time."""
+        conn = source.get_connection(name)
+        return cls(conn.host, conn.login, conn.password, parameters,
+                   time_step)
+
 
 # --------------------------------------------------------------------------
 # Geocoding (U1): distinct lookup + broadcast back, never per-row
