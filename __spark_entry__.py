@@ -63,7 +63,10 @@ _VERIFY_FIRST = (
     "customer_rfm_segments",      # BOUNDARY_ACCURACY retune (values same)
     "parts_abc_classes",          # BOUNDARY_ACCURACY retune (values same)
     "supplier_revenue_ranks",     # BOUNDARY_ACCURACY retune (values same)
-    "docs_curriculum_order",      # BOUNDARY_ACCURACY retune (values same)
+    "emb_dedup_keep",             # reads the _emb_dup_clusters artifact
+    # (docs_curriculum_order's BOUNDARY_ACCURACY retune is provably
+    # value-free — monotone-bucketing invariance — and mirror-green;
+    # it yields its gate slot to the larger emb_dedup_keep rewiring)
     "docs_boilerplate_scrub",     # oracle refactored onto _scrub_ctes
     "docs_containment_pairs",     # oracle refactored onto _containment_tail
     "emb_knn_pq_trained",         # reads the _trained_pq_recon artifact
