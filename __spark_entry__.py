@@ -53,6 +53,7 @@ _VERIFY_FIRST = (
     "docs_scrubbed_containment",  # NEW: composed scrub -> containment
     "docs_gzip_decode",           # NEW: gzip corpus decode-and-measure
     "customer_trailing_spend",    # NEW: RANGE-framed 30-day window
+    "docs_shuffle_order",         # NEW: deterministic epoch shuffle rank
     # -- operator / plan / shared artifact changed this round --
     "docs_training_mix",          # vertex-deletion component recompute
     "docs_dup_clusters",          # reads the _full_clusters artifact
@@ -61,8 +62,9 @@ _VERIFY_FIRST = (
     "parts_hierarchy_rollup",     # orphan-pointer guard in the walk init
     "customer_spend_quartiles",   # BOUNDARY_ACCURACY 10k -> 1k (values same)
     "customer_rfm_segments",      # BOUNDARY_ACCURACY retune (values same)
-    "parts_abc_classes",          # BOUNDARY_ACCURACY retune (values same)
     "supplier_revenue_ranks",     # BOUNDARY_ACCURACY retune (values same)
+    # (parts_abc_classes' retune is likewise value-free and mirror-
+    # green; its slot goes to the never-attested docs_shuffle_order)
     "emb_dedup_keep",             # reads the _emb_dup_clusters artifact
     # (docs_curriculum_order's BOUNDARY_ACCURACY retune is provably
     # value-free — monotone-bucketing invariance — and mirror-green;

@@ -781,6 +781,46 @@ scrubbed AS (
 """
 
 
+SHUFFLE_EPOCH_SALT = "epoch-1"
+
+
+def q_docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (round 8): every document's global
+    position in a reproducible training-order permutation — order by
+    the md5 48-bit hash of (doc_id, epoch salt), rank with the
+    scale-safe ``global_row_number`` (range-bucketed parallel ranking,
+    no single-partition sort). Changing the salt yields an independent
+    permutation per epoch, which is exactly how large training runs
+    implement multi-epoch shuffling without materializing a random
+    ordering (the hash IS the shuffle, reproducible across retries and
+    restarts — the property `ORDER BY rand()` cannot give)."""
+    from ..operators import quantiles
+    from ..operators.textops import base_hash48
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        base_hash48(F.concat_ws("|", F.col("doc_id"),
+                                F.lit("shuffle"),
+                                F.lit(SHUFFLE_EPOCH_SALT)))
+        .alias("shuffle_key"))
+    return quantiles.global_row_number(
+        keyed, "shuffle_key", "doc_id", out_col="shuffle_pos")
+
+
+ORACLE_SHUFFLE_ORDER = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id || '|shuffle|{SHUFFLE_EPOCH_SALT}'),
+                         1, 12))::BIGINT AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id) AS shuffle_pos
+FROM keyed
+"""
+
+
 def q_docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-based curriculum ordering (round 7): every document's
     global position in a shortest-first training order plus its
@@ -3844,6 +3884,7 @@ LLM_QUERIES = {
     "docs_dup_degree_histogram": q_docs_dup_degree_histogram,
     "docs_dup_triangles": q_docs_dup_triangles,
     "docs_curriculum_order": q_docs_curriculum_order,
+    "docs_shuffle_order": q_docs_shuffle_order,
     "docs_containment_pairs": q_docs_containment_pairs,
     "docs_scrubbed_containment": q_docs_scrubbed_containment,
     "docs_jaccard_histogram": q_docs_jaccard_histogram,
@@ -3933,6 +3974,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_dup_degree_histogram": _oracle_dup_degree_histogram(),
         "docs_dup_triangles": _oracle_dup_triangles(),
         "docs_curriculum_order": ORACLE_CURRICULUM_ORDER,
+        "docs_shuffle_order": ORACLE_SHUFFLE_ORDER,
         "docs_containment_pairs": _oracle_containment_pairs(),
         "docs_scrubbed_containment": _oracle_scrubbed_containment(),
         "docs_jaccard_histogram": _oracle_jaccard_histogram(),
