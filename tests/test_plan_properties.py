@@ -116,3 +116,39 @@ def test_lsh_assign_is_zero_shuffle(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     plan = lsh_assign(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_nation_profit_pushes_part_filter_and_broadcasts(spark, sf_smoke):
+    # Q9 shape: the p_name pruning filter must reach the part scan
+    # (StringContains pushdown) and every join must be a hash join —
+    # the synthesized supply cost is row-local, never a join.
+    df = entrymod.queries()["nation_profit_by_year"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "StringContains(p_name,bolt)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_revenue_suppliers_scalar_max_is_equi_join(spark, sf_smoke):
+    # Q15 shape: the revenue-view + scalar-max decorrelation must stay
+    # an EQUI join on the revenue value (broadcast 1-row max side) —
+    # never a BNLJ and never a global window; the quarter filter
+    # reaches the scan.
+    df = entrymod.queries()["top_revenue_suppliers"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_trailing_spend_window_is_customer_partitioned(spark, sf_smoke):
+    # The RANGE-framed window must be PARTITIONED (per customer) —
+    # a global-order form would funnel all orders through one task.
+    plan = _plan(spark, "customer_trailing_spend", sf_smoke)
+    assert "Window" in plan
+    # the guard: no single-partition exchange feeding the window
+    assert "SinglePartition" not in plan, plan
