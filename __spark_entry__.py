@@ -54,6 +54,7 @@ _VERIFY_FIRST = (
     "docs_gzip_decode",           # NEW: gzip corpus decode-and-measure
     "customer_trailing_spend",    # NEW: RANGE-framed 30-day window
     "docs_shuffle_order",         # NEW: deterministic epoch shuffle rank
+    "events_variant_project",     # NEW: Spark 4 VARIANT typed extraction
     # -- operator / plan / shared artifact changed this round --
     "docs_training_mix",          # vertex-deletion component recompute
     "docs_dup_clusters",          # reads the _full_clusters artifact
@@ -62,13 +63,13 @@ _VERIFY_FIRST = (
     "parts_hierarchy_rollup",     # orphan-pointer guard in the walk init
     "customer_spend_quartiles",   # BOUNDARY_ACCURACY 10k -> 1k (values same)
     "customer_rfm_segments",      # BOUNDARY_ACCURACY retune (values same)
-    "supplier_revenue_ranks",     # BOUNDARY_ACCURACY retune (values same)
-    # (parts_abc_classes' retune is likewise value-free and mirror-
-    # green; its slot goes to the never-attested docs_shuffle_order)
     "emb_dedup_keep",             # reads the _emb_dup_clusters artifact
-    # (docs_curriculum_order's BOUNDARY_ACCURACY retune is provably
-    # value-free — monotone-bucketing invariance — and mirror-green;
-    # it yields its gate slot to the larger emb_dedup_keep rewiring)
+    # (docs_curriculum_order / parts_abc_classes / supplier_revenue_
+    # ranks carry only the BOUNDARY_ACCURACY retune — provably
+    # value-free by monotone-bucketing invariance and mirror-green —
+    # so their gate slots go to the larger emb_dedup_keep rewiring
+    # and the never-attested docs_shuffle_order / events_variant_
+    # project entries)
     "docs_boilerplate_scrub",     # oracle refactored onto _scrub_ctes
     "docs_containment_pairs",     # oracle refactored onto _containment_tail
     "emb_knn_pq_trained",         # reads the _trained_pq_recon artifact

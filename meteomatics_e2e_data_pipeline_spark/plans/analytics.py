@@ -910,6 +910,23 @@ FROM events
 """
 
 
+def q_events_variant_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT twin of ``events_json_project``: ``parse_json``
+    turns the string column into a VariantType value once, and
+    ``variant_get`` does typed path extraction from the binary-encoded
+    form — the open-lakehouse semi-structured type that replaces
+    re-parsing the JSON string on every path access (one parse, many
+    typed reads; at 100 TB the parse is the cost). Same output as the
+    string-path twin, so the same oracle pins both plans to identical
+    values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.variant_get(F.parse_json("props"), "$.k", "int")
+        .alias("k_value"),
+    )
+
+
 def q_order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via ``approx_percentile`` (Greenwald-
     Khanna sketch, accuracy 1/1000) — the MERGEABLE, bounded-memory form
@@ -2855,6 +2872,7 @@ QUERIES = {
     "dim_part_type": q_dim_part_type,
     "events_hourly_rollup": q_events_hourly_rollup,
     "events_json_project": q_events_json_project,
+    "events_variant_project": q_events_variant_project,
     "events_last_error_asof": q_events_last_error_asof,
     "sql_nation_revenue": q_sql_nation_revenue,
     "top_supplier_revenue": q_top_supplier_revenue,
@@ -2931,6 +2949,7 @@ ORACLE = {
     "dim_part_type": ORACLE_DIM_PART_TYPE,
     "events_hourly_rollup": ORACLE_EVENTS_HOURLY,
     "events_json_project": ORACLE_EVENTS_JSON,
+    "events_variant_project": ORACLE_EVENTS_JSON,
     "events_last_error_asof": ORACLE_LAST_ERROR_ASOF,
     "sql_nation_revenue": ORACLE_SQL_NATION_REVENUE,
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER,
