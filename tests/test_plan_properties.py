@@ -152,3 +152,41 @@ def test_trailing_spend_window_is_customer_partitioned(spark, sf_smoke):
     assert "Window" in plan
     # the guard: no single-partition exchange feeding the window
     assert "SinglePartition" not in plan, plan
+
+
+def test_no_data_sized_single_partition_windows(spark, sf_smoke):
+    """Suite-wide hunter: a Window fed by Exchange SinglePartition is
+    the classic scale-killer (all rows sort on one task). The only
+    sanctioned shapes are (a) the quantile family's offsets window —
+    its input is the per-range totals aggregate, n_ranges config-sized
+    rows, recognizable by the __tot column — and (b) queries whose
+    windowed frame is bounded by CONSTRUCTION and documented as such
+    (calendar-grain rollups). Any new name failing here either needs
+    the operators/quantiles.py primitives or a boundedness argument."""
+    allowed = {
+        # day-grain rollup: the windowed frame is one row per calendar
+        # day (bounded by the calendar, not the data; docstring
+        # documents the shape)
+        "events_rolling_corr",
+        # the grand-total window runs over the per-LANGUAGE counts
+        # frame — one row per language in the catalog, the same
+        # config-sized contract as the offsets frame
+        "docs_lang_temperature_sample",
+    }
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_smoke)._jdf.queryExecution() \
+            .executedPlan().toString()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window" not in ln:
+                continue
+            feed = next((l for l in lines[i + 1:i + 4]
+                         if "Exchange" in l), "")
+            if "SinglePartition" not in feed:
+                continue
+            if "__tot" in ln:        # quantile offsets frame
+                continue
+            if name not in allowed:
+                offenders.append((name, ln.strip()[:90]))
+    assert not offenders, offenders
