@@ -55,21 +55,23 @@ _VERIFY_FIRST = (
     "customer_trailing_spend",    # NEW: RANGE-framed 30-day window
     "docs_shuffle_order",         # NEW: deterministic epoch shuffle rank
     "events_variant_project",     # NEW: Spark 4 VARIANT typed extraction
+    "events_rollup_incremental",  # NEW: IVM merge == recompute proof
     # -- operator / plan / shared artifact changed this round --
     "docs_training_mix",          # vertex-deletion component recompute
     "docs_dup_clusters",          # reads the _full_clusters artifact
     "docs_dedup_keep",            # reads the _full_clusters artifact
     "docs_quality_gopher",        # reads the _gopher_stats artifact
     "parts_hierarchy_rollup",     # orphan-pointer guard in the walk init
-    "customer_spend_quartiles",   # BOUNDARY_ACCURACY 10k -> 1k (values same)
     "customer_rfm_segments",      # BOUNDARY_ACCURACY retune (values same)
     "emb_dedup_keep",             # reads the _emb_dup_clusters artifact
     # (docs_curriculum_order / parts_abc_classes / supplier_revenue_
-    # ranks carry only the BOUNDARY_ACCURACY retune — provably
-    # value-free by monotone-bucketing invariance and mirror-green —
-    # so their gate slots go to the larger emb_dedup_keep rewiring
-    # and the never-attested docs_shuffle_order / events_variant_
-    # project entries)
+    # ranks / customer_spend_quartiles carry only the BOUNDARY_ACCURACY
+    # retune — provably value-free by monotone-bucketing invariance
+    # and mirror-green — so their gate slots go to the larger
+    # emb_dedup_keep rewiring and the never-attested
+    # docs_shuffle_order / events_variant_project /
+    # events_rollup_incremental entries; customer_rfm_segments stays
+    # as the family's in-gate retune witness)
     "docs_boilerplate_scrub",     # oracle refactored onto _scrub_ctes
     "docs_containment_pairs",     # oracle refactored onto _containment_tail
     "emb_knn_pq_trained",         # reads the _trained_pq_recon artifact

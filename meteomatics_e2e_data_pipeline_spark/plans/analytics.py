@@ -2656,6 +2656,62 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+IVM_BATCH_MOD = 10  # the same scale-free 10%-by-id increment predicate
+#                     the incremental-dedup family uses
+
+
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a mergeable rollup (round 8):
+    the (event_type, day) count/sum aggregate is maintained by MERGING
+    the stored rollup of the prior corpus with the partial aggregate
+    of the new batch — full outer join on the group key, coalesced
+    partial sums — instead of re-aggregating history. This is THE
+    reason additive aggregates (count/sum/min/max, and any algebraic
+    agg via its partial state) win at 100 TB: maintenance work scales
+    with the increment, the same contract as the incremental-dedup
+    family. sum(value) merges in exact DECIMAL(18,4) partials (double
+    addition is non-associative — merging rounded doubles would drift
+    vs the recompute); the oracle is the FULL recompute over all
+    events, hash-proving merge ≡ recompute."""
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("day", F.to_date("ts")))
+
+    def part(df):
+        return (df.groupBy("event_type", "day")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(18,4)"))
+                     .alias("sum_dec")))
+
+    prior = part(ev.filter(F.col("event_id") % IVM_BATCH_MOD != 0))
+    batch = part(ev.filter(F.col("event_id") % IVM_BATCH_MOD == 0))
+    b = batch.select(F.col("event_type").alias("b_type"),
+                     F.col("day").alias("b_day"),
+                     F.col("n_events").alias("b_n"),
+                     F.col("sum_dec").alias("b_sum"))
+    merged = prior.join(
+        b, (prior.event_type == b.b_type) & (prior.day == b.b_day),
+        "full_outer")
+    zero_n = F.lit(0).cast("bigint")
+    zero_s = F.lit(0).cast("decimal(18,4)")
+    return merged.select(
+        F.coalesce("event_type", "b_type").alias("event_type"),
+        F.coalesce("day", "b_day").alias("day"),
+        (F.coalesce("n_events", zero_n)
+         + F.coalesce("b_n", zero_n)).alias("n_events"),
+        F.round((F.coalesce("sum_dec", zero_s)
+                 + F.coalesce("b_sum", zero_s)), 2).cast("double")
+        .alias("sum_value"))
+
+
+ORACLE_ROLLUP_INCREMENTAL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n_events,
+       round(sum((value)::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 topology (product-type profit): a six-relation join —
     fact × part (pruning filter) × supplier × nation × orders — with
@@ -2927,6 +2983,7 @@ QUERIES = {
     "shipmode_priority_matrix": q_shipmode_priority_matrix,
     "top_revenue_suppliers": q_top_revenue_suppliers,
     "customer_trailing_spend": q_customer_trailing_spend,
+    "events_rollup_incremental": q_events_rollup_incremental,
 }
 
 ORACLE = {
@@ -3010,4 +3067,5 @@ ORACLE = {
     "shipmode_priority_matrix": ORACLE_SHIPMODE_MATRIX,
     "top_revenue_suppliers": ORACLE_TOP_REVENUE_SUPPLIERS,
     "customer_trailing_spend": ORACLE_TRAILING_SPEND,
+    "events_rollup_incremental": ORACLE_ROLLUP_INCREMENTAL,
 }
