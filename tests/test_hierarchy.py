@@ -54,3 +54,41 @@ def test_orphan_parent_raises(spark):
     rows = [(0, 0, 1.00), (1, 0, 2.00), (2, 99, 4.00), (3, 2, 8.00)]
     with pytest.raises(ValueError, match="orphan"):
         ancestor_rollup(_nodes(spark, rows))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data(), n=st.integers(min_value=1, max_value=40))
+def test_ancestor_rollup_matches_python_walk(spark, data, n):
+    """Property: on ANY random forest (parent drawn from earlier ids —
+    acyclic by construction, including degenerate deep chains and
+    star-everything-under-root shapes), pointer doubling must agree
+    with a sequential Python walk on root, depth, and exact path sum."""
+    from decimal import Decimal
+
+    parents = [data.draw(st.integers(min_value=0, max_value=i),
+                         label=f"parent_{i}")
+               for i in range(n)]
+    parents[0] = 0
+    weights = [data.draw(st.integers(min_value=0, max_value=999),
+                         label=f"w_{i}")
+               for i in range(n)]
+    rows = [(i, parents[i] if parents[i] != i else i,
+             Decimal(weights[i]) / 100) for i in range(n)]
+    got = {r["id"]: (r["root_key"], r["depth"], r["path_sum"])
+           for r in ancestor_rollup(_nodes(spark, rows)).collect()}
+
+    def walk(i):
+        depth, s = 0, Decimal(weights[i]) / 100
+        while parents[i] != i:
+            i = parents[i]
+            depth += 1
+            s += Decimal(weights[i]) / 100
+        return i, depth, s
+
+    want = {i: walk(i) for i in range(n)}
+    assert got == want
