@@ -602,6 +602,50 @@ def test_jaccard_prefix_pairs_property(spark, data):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_containment_prefix_pairs_property(spark, data):
+    """Property check: the asymmetric containment join is EXACT against
+    brute-force |A∩B|/|A| over random corpora — both directions of
+    every ordered pair, including threshold/size products that exercise
+    the round-before-ceil FP guard, and corpora where hot shingles make
+    the b-side index maximally unhelpful."""
+    import itertools
+    import math
+
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        containment_prefix_pairs,
+    )
+
+    threshold = data.draw(st.sampled_from([0.07, 0.3, 0.5, 0.8, 0.9]))
+    vocab = [f"w{i}" for i in range(10)]
+    n_docs = data.draw(st.integers(min_value=3, max_value=10))
+    rows = []
+    for i in range(n_docs):
+        n_tok = data.draw(st.integers(min_value=3, max_value=18))
+        toks = [vocab[data.draw(st.integers(0, len(vocab) - 1))]
+                for _ in range(n_tok)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in
+           containment_prefix_pairs(docs, n=3,
+                                    threshold=threshold).collect()}
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.permutations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        if not sa:
+            continue
+        inter = len(sa & sb)
+        if inter >= math.ceil(round(threshold * len(sa), 9)):
+            want[(ia, ib)] = round(inter / len(sa), 6)
+    assert got == want
+
+
 def test_keep_canonical_drops_only_cluster_tails(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(1, 8)], "doc_id bigint, text string")
