@@ -1424,6 +1424,30 @@ def test_bloom_contamination_superset_of_exact(spark, sf_oracle):
     assert surplus / total_grams < 0.05
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_cap_per_group_skew_safe_property(spark, data):
+    """Property: the two-path skew-safe plan is bit-identical to the
+    naive single-window form on random corpora — mixed under/over-cap
+    groups, heavy order-value ties straddling salt buckets, caps of 1,
+    and n_salts smaller than group sizes."""
+    cap = data.draw(st.integers(min_value=1, max_value=4))
+    n_salts = data.draw(st.sampled_from([2, 3, 16]))
+    n_rows = data.draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for i in range(n_rows):
+        g = f"g{data.draw(st.integers(0, 3))}"
+        v = data.draw(st.integers(0, 5))  # few values → many ties
+        rows.append((i, g, v))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    kwargs = dict(group_col="source", cap=cap, order_col="n")
+    safe = {tuple(r) for r in sampling.cap_per_group(
+        df, skew_safe=True, n_salts=n_salts, **kwargs).collect()}
+    naive = {tuple(r) for r in sampling.cap_per_group(
+        df, skew_safe=False, **kwargs).collect()}
+    assert safe == naive
+
+
 def test_cap_per_group_keeps_top_n_deterministically(spark):
     df = spark.createDataFrame(
         [(i, "s%d" % (i % 2), 100 - i) for i in range(10)],
