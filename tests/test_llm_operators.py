@@ -510,6 +510,52 @@ def test_star_and_propagation_agree_on_mixed_graph(spark):
     assert prop == star
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_connected_components_property_vs_union_find(spark, data):
+    """Property: BOTH component algorithms (min-label propagation and
+    large-star/small-star) must equal a Python union-find reference on
+    random graphs — random edge sets over a small vertex universe hit
+    every mix of singleton pairs, chains, cycles, and dense blobs."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        connected_components,
+    )
+
+    n_edges = data.draw(st.integers(min_value=1, max_value=25))
+    edges = []
+    for k in range(n_edges):
+        a = data.draw(st.integers(0, 14), label=f"a{k}")
+        b = data.draw(st.integers(0, 14), label=f"b{k}")
+        if a != b:
+            edges.append((a, b))
+    if not edges:
+        edges = [(0, 1)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+
+    parent = list(range(15))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for e in edges for v in e}
+    want = {v: find(v) for v in verts}
+
+    for algo in ("propagation", "star"):
+        got = {r["u"]: r["lbl"] for r in
+               connected_components(pairs, algorithm=algo).collect()}
+        assert got == want, algo
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     """Hash-threshold sampling hits each stratum's rate within tolerance,
     is bit-reproducible across runs, and decorrelates across salts."""
