@@ -513,6 +513,33 @@ def test_star_and_propagation_agree_on_mixed_graph(spark):
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_incremental_cluster_maintenance_property(spark, data):
+    """Property: folding ANY random batch of new pairs into the labels
+    of ANY random prior pair set equals the batch recompute over the
+    union — merged clusters, brand-new clusters, untouched clusters,
+    and new edges landing entirely inside one old cluster."""
+    def draw_edges(tag, max_e):
+        edges = []
+        for k in range(data.draw(st.integers(0, max_e), label=f"n{tag}")):
+            a = data.draw(st.integers(0, 11), label=f"{tag}a{k}")
+            b = data.draw(st.integers(0, 11), label=f"{tag}b{k}")
+            if a != b:
+                edges.append((a, b))
+        return edges
+
+    prev_e = draw_edges("p", 12) or [(0, 1)]
+    new_e = draw_edges("n", 8) or [(2, 3)]
+    prev_pairs = spark.createDataFrame(prev_e, "doc_a bigint, doc_b bigint")
+    new_pairs = spark.createDataFrame(new_e, "doc_a bigint, doc_b bigint")
+    inc = sorted(map(tuple, neardup.dup_clusters_incremental(
+        neardup.dup_clusters(prev_pairs), new_pairs).collect()))
+    batch = sorted(map(tuple, neardup.dup_clusters(
+        prev_pairs.unionByName(new_pairs)).collect()))
+    assert inc == batch
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.data())
 def test_connected_components_property_vs_union_find(spark, data):
