@@ -109,6 +109,12 @@ _VERIFY_FIRST = (
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",
+    # -- position 51: past this round's gate by design. The spatial
+    # grid query landed after the 50 slots were allocated (all to
+    # changed plans and older attestations); it is mirror-green at
+    # sf0.01 every round and LEADS the round-9 rotation as the one
+    # never-driver-attested entry.
+    "events_spatial_grid",
 )
 
 

@@ -873,6 +873,69 @@ FROM events e ASOF LEFT JOIN
 # --------------------------------------------------------------------------
 
 
+def q_events_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial grid aggregation + 3×3 stencil smoothing (round 8): each
+    user gets a deterministic (lat, lon) from the md5 48-bit hash (the
+    cross-engine synthesized-column idiom), events bin into integer
+    grid cells, and every cell's smoothed density = the sum of its own
+    and its 8 neighbors' counts — the standard heat-map/hot-spot shape.
+
+    Scale shape: binning is row-local (two hash + floor expressions);
+    the per-cell count is one partial-agged groupBy; the NEIGHBORHOOD
+    sum is the stencil trick — each cell row fans out to the 9 cells
+    it contributes to (explode over the fixed 3×3 offsets, work = 9 ×
+    |cells|, never |cells|²) and re-aggregates — a bounded fan-out of
+    the CELL frame, not the event frame, so a trillion events over a
+    360×180 grid smooth in milliseconds. No distance joins, no cross
+    join; the same pattern scales to geohash prefixes at finer zoom."""
+    from ..operators.textops import base_hash48
+
+    ev = load_table(spark, sf_dir, "events")
+    lat_cell = (base_hash48(F.concat_ws(
+        "|", F.col("user_id"), F.lit("lat"))) % 18).cast("bigint")
+    lon_cell = (base_hash48(F.concat_ws(
+        "|", F.col("user_id"), F.lit("lon"))) % 36).cast("bigint")
+    cells = (ev.select(lat_cell.alias("cy"), lon_cell.alias("cx"))
+             .groupBy("cy", "cx")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    contrib = (cells.select(
+        F.explode(F.array(*[
+            F.struct((F.col("cy") + dy).alias("ty"),
+                     (F.col("cx") + dx).alias("tx"))
+            for dy, dx in offsets])).alias("t"),
+        "n_events")
+        .select(F.col("t.ty").alias("cy"), F.col("t.tx").alias("cx"),
+                "n_events")
+        .filter(F.col("cy").between(0, 17) & F.col("cx").between(0, 35))
+        .groupBy("cy", "cx")
+        .agg(F.sum("n_events").alias("smoothed")))
+    return (cells.join(contrib, ["cy", "cx"])
+            .select("cy", "cx", "n_events", "smoothed"))
+
+
+ORACLE_SPATIAL_GRID = """
+WITH cells AS (
+  SELECT ('0x' || substr(md5(user_id || '|lat'), 1, 12))::BIGINT % 18 AS cy,
+         ('0x' || substr(md5(user_id || '|lon'), 1, 12))::BIGINT % 36 AS cx,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT c.cy + d.dy AS cy, c.cx + d.dx AS cx,
+         sum(c.n_events)::BIGINT AS smoothed
+  FROM cells c
+  CROSS JOIN (SELECT dy.x AS dy, dx.x AS dx
+              FROM range(-1, 2) dy(x), range(-1, 2) dx(x)) d
+  WHERE c.cy + d.dy BETWEEN 0 AND 17
+    AND c.cx + d.dx BETWEEN 0 AND 35
+  GROUP BY 1, 2
+)
+SELECT c.cy, c.cx, c.n_events, t.smoothed
+FROM cells c JOIN contrib t USING (cy, cx)
+"""
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (the batch twin of a tumbling window)."""
     ev = load_table(spark, sf_dir, "events")
@@ -2984,6 +3047,7 @@ QUERIES = {
     "top_revenue_suppliers": q_top_revenue_suppliers,
     "customer_trailing_spend": q_customer_trailing_spend,
     "events_rollup_incremental": q_events_rollup_incremental,
+    "events_spatial_grid": q_events_spatial_grid,
 }
 
 ORACLE = {
@@ -3068,4 +3132,5 @@ ORACLE = {
     "top_revenue_suppliers": ORACLE_TOP_REVENUE_SUPPLIERS,
     "customer_trailing_spend": ORACLE_TRAILING_SPEND,
     "events_rollup_incremental": ORACLE_ROLLUP_INCREMENTAL,
+    "events_spatial_grid": ORACLE_SPATIAL_GRID,
 }
