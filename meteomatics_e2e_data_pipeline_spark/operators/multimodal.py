@@ -232,23 +232,39 @@ def _png_encode(rows, filter_of_row=None) -> bytes:
 def decode_image(payload: bytes):
     """Decode an image payload to (width, height, rows of (r, g, b)).
 
-    REAL end-to-end for 24-bit uncompressed BMP and 8-bit RGB PNG
-    (pure-stdlib codecs above — the PNG path inflates real zlib
-    streams); every other format still requires Pillow, which is not in
-    this container, and raises NotImplementedError — swapping the stub
-    for PIL.Image.open changes only this function, not the Spark plan."""
+    REAL end-to-end for 24-bit uncompressed BMP, 8-bit RGB PNG (the
+    codec inflates real zlib streams), and baseline JFIF JPEG (marker
+    parse, Huffman entropy decode, dequant, numpy IDCT — see
+    operators/jpegcodec.py); progressive JPEG and any format beyond
+    these still requires Pillow, which is not in this container, and
+    raises NotImplementedError — swapping the stub for PIL.Image.open
+    changes only this function, not the Spark plan."""
     raw = bytes(payload)
     if _is_bmp(raw):
         return _bmp_decode(raw)
     if _is_png(raw):
         return _png_decode(raw)
+    from .jpegcodec import is_jpeg, jpeg_decode
+    if is_jpeg(raw):
+        return jpeg_decode(raw)
     raise NotImplementedError(
-        "only 24-bit BMP / 8-bit RGB PNG decode without Pillow; "
+        "only BMP / PNG / baseline JPEG decode without Pillow; "
         "not in container")
 
 
-def sample_frames(payload: bytes, every_n: int):  # pragma: no cover - stub
-    """STUB: real video frame sampling (pyav) — not in container."""
+def sample_frames(payload: bytes, every_n: int):
+    """Sample every ``every_n``-th frame of a video payload.
+
+    REAL for MJPEG (concatenated baseline JPEG frames — the demux walks
+    the marker structure, skipped frames are never entropy-decoded);
+    compressed inter-frame video (h264/vp9) needs pyav, which is not in
+    this container, and raises NotImplementedError."""
+    from .jpegcodec import is_jpeg, jpeg_decode, mjpeg_split
+    raw = bytes(payload)
+    if is_jpeg(raw):
+        frames = mjpeg_split(raw)
+        return [(f_idx, jpeg_decode(frames[f_idx]))
+                for f_idx in range(0, len(frames), every_n)]
     raise NotImplementedError("video decode requires pyav; not in container")
 
 
@@ -778,3 +794,132 @@ def gzip_text_features(media: DataFrame) -> DataFrame:
     from .textops import spread_for_fanout
     return (spread_for_fanout(media.select("doc_id", "payload"), "doc_id")
             .mapInPandas(_batches, schema=GZIP_FEATURE_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# JPEG family (round 8): a REAL baseline JFIF codec (operators/
+# jpegcodec.py) closes the "JPEG needs Pillow" gap. The oracle trick for
+# a LOSSY codec: pixels constant within each 8x8 block have all AC
+# coefficients exactly zero, and with the DC quant step at 8 the
+# quantised DC is exactly v-128 — so encode→decode is bit-exact on this
+# family and DuckDB regenerates the channel sums in closed form, while
+# the decoder itself is fully general (random-image unit tests drive
+# every Huffman category / AC run path).
+# ---------------------------------------------------------------------------
+
+JPEG_W = JPEG_H = 16  # 2x2 grid of 8x8 blocks: exercises DC-diff coding
+
+
+def synth_jpeg_gray(doc_id: int, frame: int = 0,
+                    w: int = JPEG_W, h: int = JPEG_H):
+    """Block-constant grayscale plane: block (bx, by) of frame ``frame``
+    has value (doc_id*37 + frame*19 + by*11 + bx*5) % 256 — the pure
+    integer formula both engines evaluate."""
+    import numpy as np
+    plane = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = (doc_id * 37 + frame * 19 + by * 11 + bx * 5) % 256
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+    return plane
+
+
+def synth_jpeg_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of REAL baseline JPEG payloads (Huffman entropy
+    coding, Annex K tables, exact-DC quantisation)."""
+    from .jpegcodec import EXACT_DC_QUANT, jpeg_encode
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [jpeg_encode([synth_jpeg_gray(int(d))],
+                                    quant=EXACT_DC_QUANT)
+                        for d in pdf[id_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(docs.select(id_col), id_col) \
+        .mapInPandas(_batches, schema="doc_id long, payload binary")
+
+
+JPEG_FEATURE_SCHEMA = "doc_id long, width int, height int, sum_gray long"
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG decode + exact integer gray sum — same
+    curation-gate profile as the PNG/BMP paths, through the full
+    Huffman + dequant + IDCT pipeline. Row-local mapInPandas."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "sum_gray")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_image(payload)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_gray"].append(sum(p[0] for r in px for p in r))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_batches, schema=JPEG_FEATURE_SCHEMA)
+
+
+MJPEG_FRAMES = 3
+
+
+def synth_mjpeg_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real MJPEG clips: ``MJPEG_FRAMES`` concatenated
+    baseline JPEG frames per document."""
+    from .jpegcodec import EXACT_DC_QUANT, jpeg_encode
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                b"".join(jpeg_encode([synth_jpeg_gray(int(d), frame=f)],
+                                     quant=EXACT_DC_QUANT)
+                         for f in range(MJPEG_FRAMES))
+                for d in pdf[id_col]]
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": pd.Series(payloads,
+                                                     dtype="object")})
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(docs.select(id_col), id_col) \
+        .mapInPandas(_batches, schema="doc_id long, payload binary")
+
+
+MJPEG_FEATURE_SCHEMA = ("doc_id long, frame_idx int, width int, "
+                        "height int, sum_gray long")
+
+
+def mjpeg_frame_features(media: DataFrame, every_n: int) -> DataFrame:
+    """Video-modality JPEG path: structural MJPEG demux, sample every
+    ``every_n``-th frame, entropy-decode ONLY the sampled frames
+    (sampling exists to cut decode cost), reduce each to its exact gray
+    sum. One output row per sampled frame; row-local mapInPandas."""
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "width",
+                                    "height", "sum_gray")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f_idx, (w, h, px) in sample_frames(payload, every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f_idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_gray"].append(
+                        sum(p[0] for r in px for p in r))
+            out = pd.DataFrame(rows)
+            for c in ("frame_idx", "width", "height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    from .textops import spread_for_fanout
+    return spread_for_fanout(media.select("doc_id", "payload"), "doc_id") \
+        .mapInPandas(_batches, schema=MJPEG_FEATURE_SCHEMA)

@@ -3495,6 +3495,68 @@ FROM v GROUP BY doc_id, frame_idx
 """
 
 
+def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (round 8): per-doc block-constant
+    grayscale pixels are Huffman-entropy-encoded into genuine JFIF
+    bytes (Annex K tables, operators/jpegcodec.py), then decoded back —
+    marker parse, canonical Huffman decode with byte-stuffing, dequant,
+    numpy IDCT — into exact integer gray sums. Block-constant content
+    with DC quant step 8 makes the LOSSY codec bit-exact (all AC
+    coefficients are exactly zero; quantised DC = v-128), so the oracle
+    regenerates the sums from the closed-form block formula while the
+    decoder stays fully general (random-image unit tests cover the AC /
+    run-length / restart paths). The image family is now three-format:
+    BMP uncompressed, PNG deflate, JPEG transform-coded — all without
+    Pillow. Row-local mapInPandas both ways, no shuffle."""
+    from ..operators.multimodal import jpeg_features, synth_jpeg_table
+    docs = load_table(spark, sf_dir, "documents")
+    return jpeg_features(synth_jpeg_table(docs))
+
+
+def _oracle_jpeg_features() -> str:
+    from ..operators.multimodal import JPEG_H, JPEG_W
+    return f"""
+SELECT d.doc_id, {JPEG_W} AS width, {JPEG_H} AS height,
+       sum(64 * ((d.doc_id * 37 + by.by * 11 + bx.bx * 5) % 256))::BIGINT
+           AS sum_gray
+FROM documents d,
+     generate_series(0, {JPEG_H // 8 - 1}) by(by),
+     generate_series(0, {JPEG_W // 8 - 1}) bx(bx)
+GROUP BY d.doc_id
+"""
+
+
+def q_multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG frame sampling (round 8): each doc's clip is 3 concatenated
+    baseline JPEG frames; the demux WALKS the marker structure (segment
+    lengths + entropy-segment stuffing rules — a 0xFFD9 byte pair inside
+    a table can never split a frame early), keeps every 2nd frame, and
+    entropy-decodes ONLY the kept frames. Pairs with the concatenated-
+    BMP container to make the video path two-codec; inter-frame formats
+    (h264/vp9) keep the honest pyav seam.
+    operators/multimodal.py:synth_mjpeg_table/mjpeg_frame_features."""
+    from ..operators.multimodal import mjpeg_frame_features, synth_mjpeg_table
+    docs = load_table(spark, sf_dir, "documents")
+    return mjpeg_frame_features(synth_mjpeg_table(docs), FRAME_EVERY)
+
+
+def _oracle_mjpeg_frames() -> str:
+    from ..operators.multimodal import JPEG_H, JPEG_W, MJPEG_FRAMES
+    sampled = list(range(0, MJPEG_FRAMES, FRAME_EVERY))
+    return f"""
+WITH fr AS (SELECT doc_id, unnest({sampled}) AS frame_idx FROM documents),
+b AS (SELECT doc_id, frame_idx,
+             unnest(range(0, {JPEG_H // 8})) AS by FROM fr),
+bb AS (SELECT doc_id, frame_idx, by,
+              unnest(range(0, {JPEG_W // 8})) AS bx FROM b)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       {JPEG_W} AS width, {JPEG_H} AS height,
+       sum(64 * ((doc_id * 37 + frame_idx * 19 + by * 11 + bx * 5)
+                 % 256))::BIGINT AS sum_gray
+FROM bb GROUP BY doc_id, frame_idx
+"""
+
+
 def _oracle_audio_features() -> str:
     from ..operators.multimodal import AUDIO_RATE, AUDIO_SAMPLES
     return f"""
@@ -3952,6 +4014,8 @@ LLM_QUERIES = {
     "multimodal_png_features": q_multimodal_png_features,
     "multimodal_png_resized": q_multimodal_png_resized,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_jpeg_features": q_multimodal_jpeg_features,
+    "multimodal_mjpeg_frames": q_multimodal_mjpeg_frames,
 }
 
 
@@ -4044,4 +4108,6 @@ def llm_oracle() -> dict[str, str]:
         "multimodal_png_features": _oracle_png_features(),
         "multimodal_png_resized": _oracle_png_resized(),
         "multimodal_frame_sample": _oracle_frame_sample(),
+        "multimodal_jpeg_features": _oracle_jpeg_features(),
+        "multimodal_mjpeg_frames": _oracle_mjpeg_frames(),
     }

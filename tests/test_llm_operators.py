@@ -221,6 +221,143 @@ def test_png_codec_all_filters_and_validation():
         decode_image(b"\x00" * 64)
 
 
+def test_jpeg_codec_exact_on_block_constant():
+    """The baseline JPEG codec is bit-exact on block-constant images
+    (all AC coefficients are exactly zero; DC quant step 8 makes the
+    quantised DC exactly v-128) — the construction the oracle queries
+    rely on — across multiple blocks (DC-diff coding, both diff signs)
+    and through the decode_image dispatch."""
+    import numpy as np
+
+    from meteomatics_e2e_data_pipeline_spark.operators.jpegcodec import (
+        EXACT_DC_QUANT, is_jpeg, jpeg_encode,
+    )
+    from meteomatics_e2e_data_pipeline_spark.operators.multimodal import (
+        decode_image, synth_jpeg_gray,
+    )
+
+    for doc_id in (0, 1, 255, 4999, 123456):
+        plane = synth_jpeg_gray(doc_id)
+        raw = jpeg_encode([plane], quant=EXACT_DC_QUANT)
+        assert is_jpeg(raw)
+        w, h, rows = decode_image(raw)
+        dec = np.array([[p[0] for p in r] for r in rows], dtype=np.uint8)
+        assert (w, h) == (plane.shape[1], plane.shape[0])
+        assert (dec == plane).all(), doc_id
+    # 3-component exactness when Cb = Cr = 128 (zero chroma)
+    g = synth_jpeg_gray(9)
+    raw = jpeg_encode([g, np.full_like(g, 128), np.full_like(g, 128)],
+                      quant=EXACT_DC_QUANT)
+    _, _, rows = decode_image(raw)
+    dec = np.array(rows)
+    assert (dec == g[..., None]).all()
+
+
+def test_jpeg_decoder_general_vs_quant_domain_reference():
+    """The decoder is a GENERAL baseline decoder, not a DC-only special
+    case: random gray and color images (non-multiple-of-8 sizes, with
+    and without restart intervals) decode to exactly the quant-domain
+    reference (pad → FDCT → quantise → dequantise → IDCT per block,
+    computed independently here) — driving the AC Huffman categories,
+    run lengths, EOB, byte stuffing, and RST resync paths."""
+    import numpy as np
+
+    from meteomatics_e2e_data_pipeline_spark.operators.jpegcodec import (
+        STD_QUANT, dequant_idct, fdct_quant, jpeg_decode, jpeg_encode,
+        rgb_to_ycbcr,
+    )
+
+    def reference_plane(plane, quant):
+        h, w = plane.shape
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        pad = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        ref = np.zeros_like(pad)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    dequant_idct(fdct_quant(blk, quant), quant)
+        return ref[:h, :w]
+
+    rng = np.random.default_rng(20260814)
+    for trial in range(4):
+        hh, ww = (int(v) for v in rng.integers(9, 35, 2))
+        img = rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+        raw = jpeg_encode([img], restart_interval=trial % 3)
+        w, h, rows = jpeg_decode(raw)
+        dec = np.array([[p[0] for p in r] for r in rows])
+        assert (w, h) == (ww, hh)
+        assert (dec == reference_plane(img, STD_QUANT)).all(), trial
+    # color: per-plane quant-domain reference + the same YCbCr→RGB math
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    planes = rgb_to_ycbcr(img)
+    raw = jpeg_encode(planes, restart_interval=2)
+    w, h, rows = jpeg_decode(raw)
+    refs = [reference_plane(p, STD_QUANT).astype(np.float64) for p in planes]
+    y, cb, cr = refs[0], refs[1] - 128.0, refs[2] - 128.0
+    exp = np.stack([
+        np.clip(np.rint(y + 1.402 * cr), 0, 255),
+        np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255),
+        np.clip(np.rint(y + 1.772 * cb), 0, 255)], axis=-1).astype(int)
+    assert (np.array(rows) == exp).all()
+
+
+def test_jpeg_unsupported_variants_fail_loudly():
+    """Progressive SOF2 and subsampled chroma are honest seams: they
+    raise NotImplementedError instead of decoding wrongly."""
+    import numpy as np
+
+    from meteomatics_e2e_data_pipeline_spark.operators.jpegcodec import (
+        jpeg_decode, jpeg_encode,
+    )
+
+    raw = bytearray(jpeg_encode([np.zeros((8, 8), dtype=np.uint8)]))
+    sof = raw.index(b"\xff\xc0")
+    progressive = bytes(raw[:sof + 1]) + b"\xc2" + bytes(raw[sof + 2:])
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(progressive)
+    # flip the sampling factors byte (0x11 → 0x22) inside SOF0
+    sub = bytearray(raw)
+    sub[sof + 11] = 0x22
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(sub))
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00" * 16)
+
+
+def test_mjpeg_structural_demux_and_sampling():
+    """The MJPEG demux walks the marker structure — a 0xFFD9 byte pair
+    INSIDE a comment segment must not split a frame early — and
+    sample_frames decodes exactly every n-th frame."""
+    import struct as _struct
+
+    import numpy as np
+
+    from meteomatics_e2e_data_pipeline_spark.operators.jpegcodec import (
+        EXACT_DC_QUANT, jpeg_encode, mjpeg_split,
+    )
+    from meteomatics_e2e_data_pipeline_spark.operators.multimodal import (
+        sample_frames, synth_jpeg_gray,
+    )
+
+    frames = [jpeg_encode([synth_jpeg_gray(3, frame=f)],
+                          quant=EXACT_DC_QUANT) for f in range(3)]
+    # adversarial frame 0: splice a COM segment whose payload contains
+    # a literal EOI byte pair right after SOI
+    com = b"\xff\xfe" + _struct.pack(">H", 6) + b"\xff\xd9\x00\x00"
+    frames[0] = frames[0][:2] + com + frames[0][2:]
+    clip = b"".join(frames)
+    assert mjpeg_split(clip) == frames
+    sampled = sample_frames(clip, 2)
+    assert [f_idx for f_idx, _ in sampled] == [0, 2]
+    for f_idx, (w, h, rows) in sampled:
+        exp = synth_jpeg_gray(3, frame=f_idx)
+        dec = np.array([[p[0] for p in r] for r in rows], dtype=np.uint8)
+        assert (dec == exp).all(), f_idx
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"\x1a\x45\xdf\xa3" + b"\x00" * 32, 2)  # webm magic
+
+
 def test_bmp_resize_transforms_real_pixels():
     """Nearest-neighbor resize through the public resize_image API:
     2x2 → 4x4 must replicate each source pixel into its 2x2 quadrant,
