@@ -767,6 +767,41 @@ def stream_sliding_reach_exact(spark: SparkSession, sf_dir: str,
     q.awaitTermination()
 
 
+def stream_daily_reach_hll(spark: SparkSession, sf_dir: str,
+                           checkpoint_path: str, query_name: str,
+                           watermark: str = "1 day",
+                           max_files_per_trigger: int | None = None,
+                           ) -> None:
+    """Streaming twin of the batch HLL rollup (operators/sketches.py):
+    per-day distinct users maintained as a MERGEABLE DataSketches HLL
+    inside the streaming state store — ``hll_sketch_agg`` is a typed
+    imperative aggregate, so each batch's partial sketch UNIONS into
+    the stored one (register-wise max), exactly the property that lets
+    daily→monthly rollups compose losslessly batch-side. Because the
+    estimate depends only on the merged registers and register union is
+    order-insensitive, a closed window's streaming estimate equals the
+    single-pass batch estimate BIT-FOR-BIT across any batch split —
+    pytest asserts exact equality on a multi-batch run, not a tolerance.
+    Fixed state per window (2^lgk registers), append mode emits on
+    watermark close."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+             .alias("approx_users"))
+        .select(F.col("w.start").cast("date").alias("day"), "approx_users")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_cms_cells(spark: SparkSession, sf_dir: str,
                      checkpoint_path: str, query_name: str,
                      max_files_per_trigger: int | None = None) -> None:

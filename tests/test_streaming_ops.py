@@ -694,6 +694,44 @@ def test_stream_sliding_reach_exact_equals_batch(spark, tmp_path):
             assert day in got, day
 
 
+def test_stream_daily_reach_hll_equals_batch_sketch(spark, tmp_path):
+    """The streaming per-day HLL (mergeable sketch state, unioned
+    across batches by the state store) must equal the batch
+    hll_sketch_agg estimate BIT-FOR-BIT on every closed window of a
+    genuinely multi-batch run — register union is order-insensitive,
+    so any deviation means state was lost or double-counted."""
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_daily_reach_hll,
+    )
+
+    n_files = 8
+    src = _split_events(tmp_path, n_files=n_files, remap_user=True)
+
+    name = "daily_reach_hll_test"
+    stream_daily_reach_hll(spark, src, str(tmp_path / "ck"), name,
+                           max_files_per_trigger=1)
+    got = {r.day: r.approx_users
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert len(got) >= 3
+    assert _n_commits(tmp_path) >= n_files
+
+    batch = (spark.read.parquet(src)
+             .select(F.col("ts").cast("date").alias("day"), "user_id")
+             .groupBy("day")
+             .agg(F.hll_sketch_estimate(
+                 F.hll_sketch_agg("user_id")).alias("approx_users")))
+    want = {r.day: r.approx_users for r in batch.collect()}
+    for day, est in got.items():
+        assert est == want[day], (day, est, want[day])
+    # every batch day at or below the latest closed day must have emitted
+    horizon = max(got)
+    for day in want:
+        if day <= horizon:
+            assert day in got, day
+    # sanity: with unique users per event the estimate tracks volume
+    assert sum(got.values()) > 0
+
+
 def test_stream_cms_grid_equals_batch_grid(spark, tmp_path):
     """The streaming count-min grid (bounded state: <= depth*width
     cells) must equal the batch grid cell-for-cell after one
