@@ -105,19 +105,21 @@ _VERIFY_FIRST = (
     "emb_knn_filtered",
     "docs_simhash_pairs",
     "docs_near_dup_edit_distance",
-    "docs_tfidf_top_terms",
     # -- never-attested entries outrank r4 refreshes ("no attestation"
-    # is strictly staler than an r4 row): the spatial grid query and
-    # the two JPEG-codec queries take the last three gate slots, and
-    # the three displaced r4-dated rows (docs_winnow_fingerprints,
-    # emb_ann_ivf, emb_ann_lsh — operators unchanged since r4, mirror-
-    # green at sf0.01 every round) move just past the gate to LEAD the
-    # round-9 rotation.
+    # is strictly staler than an r4 row): the spatial grid query, the
+    # two JPEG-codec queries, and the dup-graph k-core take the last
+    # four gate slots, and the four displaced r4-dated rows
+    # (docs_tfidf_top_terms, docs_winnow_fingerprints, emb_ann_ivf,
+    # emb_ann_lsh — operators unchanged since r4, mirror-green at
+    # sf0.01 every round) move just past the gate to LEAD the round-9
+    # rotation.
     "events_spatial_grid",
     "multimodal_jpeg_features",
     "multimodal_mjpeg_frames",
+    "docs_dup_kcore",
     # -- position 51+: r4-attested, unchanged, mirror-green; first in
     # line for round 9.
+    "docs_tfidf_top_terms",
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",

@@ -1188,6 +1188,45 @@ def pagerank(pairs: DataFrame, iters: int = 3, d: float = PAGERANK_D,
     )
 
 
+def kcore(pairs: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
+    """k-core of the dup graph by ``rounds`` synchronous peel rounds:
+    drop every vertex of degree < k, recompute degrees, repeat. The
+    surviving dense cores are the template-farm signal — a vertex in
+    chains and trees peels away, one in a mutually-duplicated family
+    does not — complementing triangles (local density) and components
+    (reachability). Returns (doc_id, core_degree) for survivors.
+
+    Fixed ``rounds`` (not run-to-fixpoint) so the loop unrolls into the
+    DuckDB oracle exactly like PageRank/Lloyd; pytest witnesses that
+    the default converges on the test corpora (round r == round r-1)
+    and a hypothesis property test checks the converged result against
+    a true-fixpoint reference on random graphs.
+
+    Scale shape: each round is one map-side-combinable degree aggregate
+    plus two keyed LEFT SEMI joins (edge endpoint ∈ survivors) — no
+    broadcast of vertex sets needed, no all-pairs anything; rounds are
+    ``localCheckpoint``-ed so plan depth stays constant like the other
+    iterative graph loops. Real k-core peel counts are tiny in practice
+    (peeling is monotone: total work is bounded by Σ rounds · |E|)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"),
+                         F.col("doc_a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (edges.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
+            .select(F.col("u").alias("doc_id"), "core_degree"))
+
+
 def triangle_list(pairs: DataFrame) -> DataFrame:
     """Triangles in the (canonically ordered doc_a < doc_b) dup graph —
     the clique-density diagnostic that separates template FAMILIES

@@ -1518,6 +1518,47 @@ FROM deg GROUP BY 1
 """
 
 
+KCORE_K, KCORE_ROUNDS = 2, 4
+
+
+def q_docs_dup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the dup graph (round 8): iteratively peel vertices of
+    degree < 2 for a fixed number of synchronous rounds — what
+    survives are the mutually-duplicated template FAMILIES, with
+    similarity chains and tree fringes peeled away (the diagnostic
+    between the degree histogram's raw tail and the triangle query's
+    strict cliques). Consumes the shared ``_full_pairs`` artifact;
+    fixed rounds unroll into the oracle like PageRank, and
+    tests/test_llm_operators.py witnesses convergence at the default
+    (operators/neardup.py:kcore)."""
+    return neardup.kcore(_full_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+                         k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _oracle_dup_kcore() -> str:
+    # AS MATERIALIZED on every chained CTE: without it DuckDB inlines
+    # each e{r}/k{r} reference and the plan tree grows exponentially in
+    # KCORE_ROUNDS (the near-dup pair subquery would be re-evaluated
+    # 3^rounds times — observed as a multi-minute hang at sf0.01).
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)"]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT u FROM e{r} GROUP BY u "
+            f"HAVING count(*) >= {KCORE_K})")
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{r} e "
+            f"JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u)")
+    body = ",\n".join(ctes)
+    return rf"""
+WITH pairs AS MATERIALIZED ({_oracle_near_dup()}),
+{body}
+SELECT u AS doc_id, count(*)::BIGINT AS core_degree
+FROM e{KCORE_ROUNDS} GROUP BY 1
+"""
+
+
 PR_ITERS = 3
 
 
@@ -3944,6 +3985,7 @@ LLM_QUERIES = {
     "docs_dup_clusters": q_docs_dup_clusters,
     "docs_pagerank": q_docs_pagerank,
     "docs_dup_degree_histogram": q_docs_dup_degree_histogram,
+    "docs_dup_kcore": q_docs_dup_kcore,
     "docs_dup_triangles": q_docs_dup_triangles,
     "docs_curriculum_order": q_docs_curriculum_order,
     "docs_shuffle_order": q_docs_shuffle_order,
@@ -4036,6 +4078,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_dup_clusters": _oracle_dup_clusters(),
         "docs_pagerank": _oracle_pagerank(),
         "docs_dup_degree_histogram": _oracle_dup_degree_histogram(),
+        "docs_dup_kcore": _oracle_dup_kcore(),
         "docs_dup_triangles": _oracle_dup_triangles(),
         "docs_curriculum_order": ORACLE_CURRICULUM_ORDER,
         "docs_shuffle_order": ORACLE_SHUFFLE_ORDER,

@@ -2027,3 +2027,58 @@ def test_gzip_codec_deterministic_and_round_trips():
         assert gzip_bytes(t) == p             # byte-stable across calls
         assert gunzip_text(p) == t
     assert len(gzip_bytes("tok " * 500)) < len("tok " * 500) / 10
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """On a triangle {1,2,3} with a pendant chain 3-4-5 the 2-core is
+    exactly the triangle: 5 peels first (degree 1), then 4 (its degree
+    drops to 1), and the triangle survives with core degree 2 each.
+    Also witnesses that the default KCORE_ROUNDS has converged on this
+    shape — an extra round changes nothing (the fixed-round contract
+    the unrolled DuckDB oracle relies on)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+        "doc_a long, doc_b long")
+    out = {r.doc_id: r.core_degree
+           for r in neardup.kcore(pairs, k=2, rounds=4).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    more = {r.doc_id: r.core_degree
+            for r in neardup.kcore(pairs, k=2, rounds=5).collect()}
+    assert more == out
+    # k above the max degree empties the graph
+    assert neardup.kcore(pairs, k=4, rounds=4).count() == 0
+
+
+from hypothesis import HealthCheck  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_kcore_matches_true_fixpoint_on_random_graphs(spark, data):
+    """kcore with rounds >= n is guaranteed past the fixpoint (each
+    non-final round removes >= 1 vertex); compare against a pure-Python
+    peel-to-fixpoint reference on random graphs — degrees AND
+    membership must match exactly (k-core is unique, so synchronous
+    vs asynchronous peel order cannot matter)."""
+    n = data.draw(st.integers(4, 10))
+    edges = data.draw(st.sets(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1))
+        .filter(lambda t: t[0] < t[1]), min_size=1, max_size=18))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        low = [v for v, ns in adj.items() if len(ns) < 2]
+        if not low:
+            break
+        for v in low:
+            for u in adj.pop(v, set()):
+                if u in adj:
+                    adj[u].discard(v)
+    expected = {v: len(ns) for v, ns in adj.items()}
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    got = {r.doc_id: r.core_degree
+           for r in neardup.kcore(df, k=2, rounds=n).collect()}
+    assert got == expected
