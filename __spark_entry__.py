@@ -103,13 +103,13 @@ _VERIFY_FIRST = (
     "emb_knn_pq",
     "emb_ann_ivfpq",
     "emb_knn_filtered",
-    "docs_simhash_pairs",
-    "docs_near_dup_edit_distance",
     # -- never-attested entries outrank r4 refreshes ("no attestation"
     # is strictly staler than an r4 row): the spatial grid query, the
-    # two JPEG-codec queries, and the dup-graph k-core take the last
-    # four gate slots, and the four displaced r4-dated rows
-    # (docs_tfidf_top_terms, docs_winnow_fingerprints, emb_ann_ivf,
+    # two JPEG-codec queries, the dup-graph k-core, the in-engine
+    # quality classifier, and the tokenizer-fertility query take the
+    # last six gate slots, and the six displaced r4-dated rows
+    # (docs_simhash_pairs, docs_near_dup_edit_distance,
+    # docs_tfidf_top_terms, docs_winnow_fingerprints, emb_ann_ivf,
     # emb_ann_lsh — operators unchanged since r4, mirror-green at
     # sf0.01 every round) move just past the gate to LEAD the round-9
     # rotation.
@@ -117,8 +117,12 @@ _VERIFY_FIRST = (
     "multimodal_jpeg_features",
     "multimodal_mjpeg_frames",
     "docs_dup_kcore",
+    "docs_quality_classifier",
+    "docs_tokenizer_fertility",
     # -- position 51+: r4-attested, unchanged, mirror-green; first in
     # line for round 9.
+    "docs_simhash_pairs",
+    "docs_near_dup_edit_distance",
     "docs_tfidf_top_terms",
     "docs_winnow_fingerprints",
     "emb_ann_ivf",

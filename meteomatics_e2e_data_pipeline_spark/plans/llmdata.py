@@ -29,7 +29,8 @@ import weakref
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import bpe, neardup, packing, sampling, similarity, textops
+from ..operators import (
+    bpe, classifier, neardup, packing, sampling, similarity, textops)
 from ..operators.multimodal import extract_features, to_media_table
 from ..operators.textops import (
     LANG_ORDER, LANG_STOPWORDS, MINHASH_P, chunk_tokens, content_hash,
@@ -358,6 +359,175 @@ SELECT doc_id,
        round(n_distinct_tokens * 1.0 / n_tokens - n_stop * 1.0 / n_tokens
              + ln(1.0 + n_tokens) / 10, 6) AS quality_score
 FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# In-engine quality-classifier training (operators/classifier.py)
+# --------------------------------------------------------------------------
+
+# Fixed-unroll GD knobs (same contract as BPE_MERGES / PQ_TRAIN_ITERS:
+# the oracle replays the identical count as MATERIALIZED CTEs). lr must
+# be exactly binary-representable so the literal parses identically.
+LOGREG_ITERS = 5
+LOGREG_LR = 2.0
+# Teacher gate: the composite quality score from docs_text_stats,
+# thresholded near its corpus median (~50/50 split at sf0.01).
+LOGREG_QUALITY_THRESHOLD = 0.8
+# The teacher's ln(1+n_tok)/10 term is deliberately NOT a feature:
+# libm exp/ln are not correctly-rounded, so feature values would not
+# be bit-identical across engines and the drift would compound through
+# the iteration chain. The linear-length student therefore caps out
+# near 0.87 accuracy against the 0.51 base rate (pytest pins both) —
+# an honest distillation gap, not a training defect.
+LOGREG_FEATURES = ("x0", "x1", "x2", "x3")
+
+_LOGREG_CACHE: dict = {}
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local numeric features + the teacher label: y = 1 iff the
+    docs_text_stats composite quality score clears the threshold. The
+    features (length, type-token ratio, stopword ratio) nearly
+    determine the teacher, so the student's fit is a meaningful
+    semantic check, not just a determinism one."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    n_dist = F.size(F.array_distinct(tok))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_arr, t)))
+    ttr = n_dist / n_tok
+    stop_r = n_stop / n_tok
+    quality = ttr - stop_r + F.log(F.lit(1.0) + n_tok) / 10
+    return docs.select(
+        "doc_id",
+        F.when(quality > LOGREG_QUALITY_THRESHOLD,
+               F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (n_tok / F.lit(100.0)).alias("x1"),
+        ttr.alias("x2"),
+        stop_r.alias("x3"))
+
+
+def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCLM / FineWeb-edu-style quality-classifier stage, trained
+    IN-ENGINE: distill the composite quality gate into a linear model
+    by LOGREG_ITERS rounds of full-batch gradient ascent (one
+    map-side-combinable exact-decimal aggregate per round, k+1-scalar
+    driver artifact — operators/classifier.py), then score every doc
+    row-locally under the trained weights. The algebraic fast-sigmoid
+    link keeps every double bit-identical to the DuckDB oracle's
+    fixed-unroll replay — hash-matching proves the distributed trainer
+    equals a sequential reference bit-for-bit (the pytest twin checks
+    the same against a pure-Python Decimal implementation)."""
+    feat = _logreg_features(spark, sf_dir)
+    key = (sf_dir, LOGREG_ITERS)
+    if key not in _LOGREG_CACHE:
+        _LOGREG_CACHE[key] = classifier.logreg_train(
+            feat, list(LOGREG_FEATURES), "y",
+            iters=LOGREG_ITERS, lr=LOGREG_LR)
+    w = _LOGREG_CACHE[key]
+    return (feat.select(
+        "doc_id",
+        F.col("y").cast("int").alias("label"),
+        classifier.logreg_score(feat, w, list(LOGREG_FEATURES))
+        .alias("score"))
+        .withColumn("pred", (F.col("score") >= F.lit(0.5)).cast("int")))
+
+
+def _logreg_feat_cte() -> str:
+    return rf"""
+ltok AS (SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents),
+lraw AS (
+  SELECT doc_id, len(tok) AS n_tok,
+         len(list_distinct(tok)) * 1.0 / len(tok) AS ttr,
+         len(list_filter(tok, x -> x IN ({_EN_STOP_SQL})))
+           * 1.0 / len(tok) AS stop_r
+  FROM ltok),
+feat AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN (ttr - stop_r + ln(1.0 + n_tok) / 10)
+                   > {LOGREG_QUALITY_THRESHOLD} THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0, n_tok / 100.0 AS x1, ttr AS x2, stop_r AS x3
+  FROM lraw),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM feat)"""
+
+
+def _oracle_quality_classifier() -> str:
+    # Fixed-unroll GD replay. The z / sigma expressions are written in
+    # the exact association order the Spark side builds (left-assoc dot
+    # product, 0.5 + 0.5*z/(1+abs(z))) — every op is IEEE
+    # correctly-rounded, so the doubles match bit-for-bit; gradient
+    # sums are exact DECIMAL(25,12); weights re-quantized to 8 dp
+    # HALF_UP each round, same as the Spark trainer.
+    k = len(LOGREG_FEATURES)
+    ctes = [_logreg_feat_cte().strip(),
+            "w0 AS (SELECT " + ", ".join(
+                f"0.0 AS w{d}" for d in range(k)) + ")"]
+    zexpr = " + ".join(f"w.w{d} * f.x{d}" for d in range(k))
+    for i in range(1, LOGREG_ITERS + 1):
+        ctes.append(f"""z{i} AS (
+  SELECT f.*, {zexpr} AS z FROM feat f, w{i - 1} w)""")
+        ctes.append(f"""p{i} AS (
+  SELECT *, 0.5 + 0.5 * z / (1.0 + abs(z)) AS pr FROM z{i})""")
+        upd = ", ".join(
+            f"round(w.w{d} + ({LOGREG_LR} * "
+            f"(sum(((f.y - f.pr) * f.x{d})::DECIMAL(25,12)))::DOUBLE)"
+            f" / nn.n, 8) AS w{d}"
+            for d in range(k))
+        wcols = ", ".join(f"w.w{d}" for d in range(k))
+        ctes.append(f"""w{i} AS MATERIALIZED (
+  SELECT {upd}
+  FROM p{i} f, w{i - 1} w, nn
+  GROUP BY {wcols}, nn.n)""")
+    body = ",\n".join(ctes)
+    return rf"""
+WITH {body},
+zf AS (SELECT f.doc_id, f.y, {zexpr} AS z
+       FROM feat f, w{LOGREG_ITERS} w),
+sc AS (SELECT doc_id, y::INT AS label,
+              round(0.5 + 0.5 * z / (1.0 + abs(z)), 6) AS score
+       FROM zf)
+SELECT doc_id, label, score, (score >= 0.5)::INT AS pred FROM sc
+"""
+
+
+def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language under the trained BPE merges —
+    the multilingual-pipeline health metric (how many subtokens a word
+    costs per language decides per-language token budgets). The
+    segmented DISTINCT-word vocab (bounded) broadcasts onto the token
+    stream; per-lang work is one map-side-combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab_rows = _bpe_artifacts(spark, sf_dir)
+    vocab = spark.createDataFrame(
+        vocab_rows, "word string, cnt long, syms array<string>")
+    seg = vocab.select("word", F.size("syms").cast("long").alias("n_sub"))
+    tok = docs.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+    return (tok.join(F.broadcast(seg), "word")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sub").alias("n_bpe_tokens"),
+                 F.sum(F.length("word")).cast("long").alias("n_chars"),
+                 F.round(F.sum(F.length("word")) / F.sum("n_sub"), 6)
+                 .alias("chars_per_token"),
+                 F.round(F.sum("n_sub") / F.count(F.lit(1)), 6)
+                 .alias("fertility")))
+
+
+def _oracle_tokenizer_fertility() -> str:
+    return rf"""
+WITH {_bpe_ctes()},
+ftok AS (SELECT lang, unnest({_DUCK_TOKENS}) AS word FROM documents),
+fseg AS (SELECT word, len(syms)::BIGINT AS n_sub FROM v{BPE_MERGES})
+SELECT lang, count(*)::BIGINT AS n_words,
+       sum(n_sub)::BIGINT AS n_bpe_tokens,
+       sum(length(word))::BIGINT AS n_chars,
+       round(sum(length(word)) * 1.0 / sum(n_sub), 6) AS chars_per_token,
+       round(sum(n_sub) * 1.0 / count(*), 6) AS fertility
+FROM ftok JOIN fseg USING (word)
+GROUP BY lang
 """
 
 
@@ -3979,6 +4149,8 @@ LLM_QUERIES = {
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_bpe_encode": q_docs_bpe_encode,
     "docs_text_stats": q_docs_text_stats,
+    "docs_quality_classifier": q_docs_quality_classifier,
+    "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
     "docs_near_dup_pairs": q_docs_near_dup_pairs,
@@ -4072,6 +4244,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_bpe_merges": _oracle_bpe_merges(),
         "docs_bpe_encode": _oracle_bpe_encode(),
         "docs_text_stats": ORACLE_TEXT_STATS,
+        "docs_quality_classifier": _oracle_quality_classifier(),
+        "docs_tokenizer_fertility": _oracle_tokenizer_fertility(),
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),
         "docs_near_dup_pairs": _oracle_near_dup(),

@@ -2082,3 +2082,84 @@ def test_kcore_matches_true_fixpoint_on_random_graphs(spark, data):
     got = {r.doc_id: r.core_degree
            for r in neardup.kcore(df, k=2, rounds=n).collect()}
     assert got == expected
+
+
+def test_logreg_distills_quality_gate(spark, sf_oracle):
+    """The in-engine trained classifier must actually learn the
+    composite quality gate from the linear features: accuracy well
+    above the base rate, capped below perfection by the teacher's
+    log-length term that is deliberately excluded from the features
+    (llmdata.LOGREG_FEATURES comment). Pins both sides of that gap."""
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+
+    df = llmdata.q_docs_quality_classifier(spark, sf_oracle)
+    r = df.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double")).alias("acc"),
+        F.avg(F.col("label").cast("double")).alias("pos_rate"),
+    ).collect()[0]
+    base = max(r["pos_rate"], 1 - r["pos_rate"])
+    assert r["acc"] >= 0.85
+    assert r["acc"] > base + 0.2          # genuinely learned, not majority
+    assert r["acc"] < 1.0                 # the honest distillation gap
+
+
+def test_logreg_train_matches_decimal_reference(spark, sf_oracle):
+    """The distributed trainer must equal a sequential pure-Python
+    replay BIT-FOR-BIT: exact-decimal gradient sums (HALF_UP quantize
+    at 12 dp, the double->DECIMAL(25,12) cast), identical
+    left-associated dot products, algebraic fast sigmoid, and HALF_UP
+    8 dp weight re-quantization per round. Any reassociation,
+    partition-order dependence, or rounding-mode slip in the engine
+    path shows up as a weight mismatch here."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from meteomatics_e2e_data_pipeline_spark.operators.classifier import (
+        logreg_train)
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+
+    feat = llmdata._logreg_features(spark, sf_oracle)
+    cols = list(llmdata.LOGREG_FEATURES)
+    iters, lr = llmdata.LOGREG_ITERS, llmdata.LOGREG_LR
+    got = logreg_train(feat, cols, "y", iters=iters, lr=lr)
+
+    rows = [(r["y"], [r[c] for c in cols]) for r in feat.collect()]
+    q12, q8 = Decimal("1e-12"), Decimal("1e-8")
+    n = float(len(rows))
+    w = [0.0] * len(cols)
+    for _ in range(iters):
+        g = [Decimal(0)] * len(cols)
+        for y, x in rows:
+            z = w[0] * x[0]
+            for wd, xd in zip(w[1:], x[1:]):
+                z = z + wd * xd
+            p = 0.5 + 0.5 * z / (1.0 + abs(z))
+            for d in range(len(cols)):
+                g[d] += Decimal((y - p) * x[d]).quantize(q12, ROUND_HALF_UP)
+        w = [float(Decimal(w[d] + (lr * float(g[d])) / n)
+                   .quantize(q8, ROUND_HALF_UP))
+             for d in range(len(cols))]
+    assert got == w
+
+
+def test_tokenizer_fertility_consistent_with_bpe_encode(spark, sf_oracle):
+    """Per-lang fertility must regroup exactly to the per-doc BPE
+    encode counts (same trained merges), and every ratio must respect
+    the BPE invariants: a word never segments into fewer than 1 or
+    more than len(word) subtokens."""
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    fert = {r["lang"]: r for r in
+            llmdata.q_docs_tokenizer_fertility(spark, sf_oracle).collect()}
+    enc = llmdata.q_docs_bpe_encode(spark, sf_oracle)
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "lang")
+    regroup = {r["lang"]: r for r in
+               (enc.join(docs, "doc_id").groupBy("lang")
+                .agg(F.sum("n_tokens").alias("n_words"),
+                     F.sum("n_bpe_tokens").alias("n_bpe"))).collect()}
+    assert set(fert) == set(regroup)
+    for lang, r in fert.items():
+        assert r["n_words"] == regroup[lang]["n_words"]
+        assert r["n_bpe_tokens"] == regroup[lang]["n_bpe"]
+        assert r["fertility"] >= 1.0           # >=1 subtoken per word
+        assert 1.0 <= r["chars_per_token"]     # merges only shorten
