@@ -102,13 +102,13 @@ _VERIFY_FIRST = (
     "emb_pq_codes",
     "emb_knn_pq",
     "emb_ann_ivfpq",
-    "emb_knn_filtered",
     # -- never-attested entries outrank r4 refreshes ("no attestation"
     # is strictly staler than an r4 row): the spatial grid query, the
     # two JPEG-codec queries, the dup-graph k-core, the in-engine
-    # quality classifier, and the tokenizer-fertility query take the
-    # last six gate slots, and the six displaced r4-dated rows
-    # (docs_simhash_pairs, docs_near_dup_edit_distance,
+    # quality classifier, the tokenizer-fertility query, and the
+    # Z-order layout stats take the last seven gate slots, and the
+    # seven displaced r4-dated rows (emb_knn_filtered,
+    # docs_simhash_pairs, docs_near_dup_edit_distance,
     # docs_tfidf_top_terms, docs_winnow_fingerprints, emb_ann_ivf,
     # emb_ann_lsh — operators unchanged since r4, mirror-green at
     # sf0.01 every round) move just past the gate to LEAD the round-9
@@ -119,8 +119,10 @@ _VERIFY_FIRST = (
     "docs_dup_kcore",
     "docs_quality_classifier",
     "docs_tokenizer_fertility",
+    "events_zorder_stats",
     # -- position 51+: r4-attested, unchanged, mirror-green; first in
     # line for round 9.
+    "emb_knn_filtered",
     "docs_simhash_pairs",
     "docs_near_dup_edit_distance",
     "docs_tfidf_top_terms",

@@ -1,0 +1,51 @@
+"""Z-order (Morton) clustering layout — the multi-dimensional data-
+skipping technique behind Delta's OPTIMIZE ZORDER and Hudi/Iceberg
+sort-order clustering: interleave the bits of two dimension keys so
+that rows close in BOTH dimensions land in the same contiguous key
+range, then bucket the curve into fixed runs. Every bucket of
+2^(2m) consecutive z-values is an ALIGNED 2^m x 2^m square in
+(x, y) space — so a min/max footer per bucket prunes a rectangle
+predicate on either or both dimensions, which a single-column sort
+can only do for its leading column.
+
+Scale shape: the z-value is a pure row-local integer expression
+(2*bits shift/mask/or terms, whole-stage codegen, no UDF); writing
+`df.repartitionByRange(n, zvalue).sortWithinPartitions(zvalue)` gives
+the clustered physical layout at any scale, and the per-bucket
+min/max stats here are ONE map-side-combinable aggregate. Nothing
+here depends on data size; the curve math is per-row.
+
+No counterpart in the reference (its dbt models inherit warehouse
+micro-partitioning); semantics follow the public Morton-code /
+Z-order literature and the Delta OPTIMIZE ZORDER docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def zvalue(x: Column, y: Column, bits: int = 12) -> Column:
+    """Morton interleave of the low ``bits`` bits of two non-negative
+    integer columns: x's bit i lands at position 2i, y's at 2i+1.
+    Built from shift/mask/add terms only — bit-identical in any
+    engine, so the DuckDB oracle reproduces it with the same
+    arithmetic. Inputs must be < 2**bits (the caller picks ``bits``
+    from the dimension domain; no silent masking)."""
+    z: Column | None = None
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = xb + yb
+        z = term if z is None else z + term
+    return z.cast("long")
+
+
+def zvalue_sql(x: str, y: str, bits: int = 12) -> str:
+    """The identical interleave as engine-portable SQL text (DuckDB
+    oracle twin of :func:`zvalue`)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

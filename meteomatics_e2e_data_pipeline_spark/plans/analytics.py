@@ -936,6 +936,65 @@ FROM cells c JOIN contrib t USING (cy, cx)
 """
 
 
+# Z-order layout knobs: dims must stay < 2**Z_BITS (user_id <= 1499,
+# day 0..29 in the testdata; 12 bits leaves 2.7x headroom on user_id),
+# and each bucket of 2**(2*Z_SQUARE_BITS) consecutive z-values is an
+# aligned 4x4 (user, day) square.
+Z_BITS = 12
+Z_SQUARE_BITS = 2
+Z_EPOCH = "2024-01-01"
+
+
+def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering layout stats (the OPTIMIZE ZORDER data-
+    skipping technique): Morton-interleave (user_id, event day), bucket
+    the curve into 2^(2m)-value runs, and emit each bucket's min/max
+    footer per dimension. Because every bucket is an ALIGNED 2^m x 2^m
+    square (sq_x/sq_y witness columns), a min/max footer prunes
+    rectangle predicates on EITHER dimension — the property a
+    single-column sort only gives its leading column; pytest asserts
+    the alignment invariant and the rectangle pruning bound.
+
+    Scale shape: the z-value is a row-local shift/mask expression
+    (whole-stage codegen, operators/zorder.py), stats are one
+    map-side-combinable aggregate; the write path at scale is
+    repartitionByRange(z) + sortWithinPartitions(z)."""
+    from ..operators import zorder
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.to_date(F.lit(Z_EPOCH))).cast("long")
+    z = zorder.zvalue(F.col("user_id"), day, bits=Z_BITS)
+    return (ev.select(
+        F.shiftright(z, 2 * Z_SQUARE_BITS).alias("zbucket"),
+        F.col("user_id"), day.alias("day"))
+        .groupBy("zbucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("user_id").alias("min_uid"),
+             F.max("user_id").alias("max_uid"),
+             F.min("day").alias("min_day"),
+             F.max("day").alias("max_day"))
+        .withColumn("sq_x", F.shiftright(F.col("min_uid"), Z_SQUARE_BITS))
+        .withColumn("sq_y", F.shiftright(F.col("min_day"), Z_SQUARE_BITS)))
+
+
+def _oracle_zorder_stats() -> str:
+    from ..operators.zorder import zvalue_sql
+    return rf"""
+WITH e AS (SELECT user_id, (ts::DATE - DATE '{Z_EPOCH}') AS day FROM events),
+z AS (SELECT user_id, day,
+             {zvalue_sql('user_id', 'day', Z_BITS)}
+               >> {2 * Z_SQUARE_BITS} AS zbucket
+      FROM e)
+SELECT zbucket, count(*)::BIGINT AS n_events,
+       min(user_id) AS min_uid, max(user_id) AS max_uid,
+       min(day) AS min_day, max(day) AS max_day,
+       (min(user_id) >> {Z_SQUARE_BITS}) AS sq_x,
+       (min(day) >> {Z_SQUARE_BITS}) AS sq_y
+FROM z GROUP BY zbucket
+"""
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation (the batch twin of a tumbling window)."""
     ev = load_table(spark, sf_dir, "events")
@@ -3048,6 +3107,7 @@ QUERIES = {
     "customer_trailing_spend": q_customer_trailing_spend,
     "events_rollup_incremental": q_events_rollup_incremental,
     "events_spatial_grid": q_events_spatial_grid,
+    "events_zorder_stats": q_events_zorder_stats,
 }
 
 ORACLE = {
@@ -3133,4 +3193,5 @@ ORACLE = {
     "customer_trailing_spend": ORACLE_TRAILING_SPEND,
     "events_rollup_incremental": ORACLE_ROLLUP_INCREMENTAL,
     "events_spatial_grid": ORACLE_SPATIAL_GRID,
+    "events_zorder_stats": _oracle_zorder_stats(),
 }

@@ -326,3 +326,69 @@ def test_dynamic_partition_pruning_fires_on_partitioned_layout(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert joined.count() > 0
+
+
+def test_zvalue_interleaves_bits():
+    """Known Morton codes: x bits land at even positions, y at odd.
+    z(5, 3) = x0 + y0<<1 + y1<<3 + x2<<4 = 1 + 2 + 8 + 16 = 27."""
+    def ref(x, y, bits=12):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert ref(5, 3) == 27
+    assert ref(0, 0) == 0
+    assert ref(2**12 - 1, 0) == sum(1 << (2 * i) for i in range(12))
+
+
+def test_zorder_buckets_are_aligned_squares(spark, sf_oracle):
+    """The data-skipping guarantee: every z-bucket of 2^(2m) curve
+    values is one ALIGNED 2^m x 2^m (user, day) square — min and max
+    of each dimension share their high bits within any bucket, and the
+    witness columns equal those high bits. Then the pruning bound a
+    min/max footer gives: a rectangle predicate touches at most
+    (spanned x-squares) x (spanned y-squares) buckets."""
+    from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
+        Z_SQUARE_BITS, q_events_zorder_stats)
+
+    rows = q_events_zorder_stats(spark, sf_oracle).collect()
+    assert rows
+    m = Z_SQUARE_BITS
+    for r in rows:
+        assert r["min_uid"] >> m == r["max_uid"] >> m == r["sq_x"]
+        assert r["min_day"] >> m == r["max_day"] >> m == r["sq_y"]
+    # zbucket is a bijection onto (sq_x, sq_y) pairs present
+    assert len({r["zbucket"] for r in rows}) == \
+        len({(r["sq_x"], r["sq_y"]) for r in rows})
+    # rectangle pruning bound: users 100-179, days 5-14
+    u1, u2, d1, d2 = 100, 179, 5, 14
+    touched = [r for r in rows
+               if r["max_uid"] >= u1 and r["min_uid"] <= u2
+               and r["max_day"] >= d1 and r["min_day"] <= d2]
+    bound = ((u2 >> m) - (u1 >> m) + 1) * ((d2 >> m) - (d1 >> m) + 1)
+    assert 0 < len(touched) <= bound
+
+
+def test_zvalue_column_matches_python_reference(spark):
+    """The Spark shift/mask expression equals the integer reference on
+    a corner-heavy grid (0, 1, alternating bits, max)."""
+    from meteomatics_e2e_data_pipeline_spark.operators.zorder import zvalue
+
+    vals = [0, 1, 2, 3, 0b101010101010, 0b010101010101, 2**12 - 1, 29, 1499]
+    df = spark.createDataFrame([(x, y) for x in vals for y in vals],
+                               "x long, y long")
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.select("x", "y",
+                              zvalue(F.col("x"), F.col("y")).alias("z"))
+           .collect()}
+
+    def ref(x, y, bits=12):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x in vals for y in vals}
