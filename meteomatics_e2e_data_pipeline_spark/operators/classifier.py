@@ -34,6 +34,35 @@ WEIGHT_DP = 8     # per-iteration weight quantization (HALF_UP, both engines)
 SCORE_DP = 6      # final score rounding
 
 
+FEATURE_COLS = ("x0", "x1", "x2", "x3")
+
+
+def text_feature_exprs(text_col: Column,
+                       stopwords: tuple[str, ...]) -> dict[str, Column]:
+    """The classifier's row-local feature expressions from raw text:
+    bias, token count / 100, type-token ratio, stopword ratio — plus
+    ``n_tok`` for callers that build a teacher label. One expression
+    tree shared by the batch trainer/scorer and the streaming scorer,
+    so offline and online scores are bit-identical by construction
+    (zero training/serving skew). Every term is integer counts plus a
+    single IEEE division — bit-reproducible across engines; libm
+    functions are deliberately excluded (see the plan-level comment)."""
+    from .textops import tokens
+
+    tok = tokens(text_col)
+    n_tok = F.size(tok)
+    n_dist = F.size(F.array_distinct(tok))
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_arr, t)))
+    return {
+        "x0": F.lit(1.0),
+        "x1": n_tok / F.lit(100.0),
+        "x2": n_dist / n_tok,
+        "x3": n_stop / n_tok,
+        "n_tok": n_tok,
+    }
+
+
 def fast_sigmoid(z: Column) -> Column:
     """Algebraic logistic link 0.5 + 0.5*z/(1+|z|): same range/shape as
     the logistic function, but built only from correctly-rounded IEEE

@@ -380,7 +380,7 @@ LOGREG_QUALITY_THRESHOLD = 0.8
 # the iteration chain. The linear-length student therefore caps out
 # near 0.87 accuracy against the 0.51 base rate (pytest pins both) —
 # an honest distillation gap, not a training defect.
-LOGREG_FEATURES = ("x0", "x1", "x2", "x3")
+LOGREG_FEATURES = classifier.FEATURE_COLS
 
 _LOGREG_CACHE: dict = {}
 
@@ -392,22 +392,14 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     determine the teacher, so the student's fit is a meaningful
     semantic check, not just a determinism one."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    n_tok = F.size(tok)
-    n_dist = F.size(F.array_distinct(tok))
-    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_arr, t)))
-    ttr = n_dist / n_tok
-    stop_r = n_stop / n_tok
-    quality = ttr - stop_r + F.log(F.lit(1.0) + n_tok) / 10
+    fx = classifier.text_feature_exprs(F.col("text"), LANG_STOPWORDS["en"])
+    quality = (fx["x2"] - fx["x3"]
+               + F.log(F.lit(1.0) + fx["n_tok"]) / 10)
     return docs.select(
         "doc_id",
         F.when(quality > LOGREG_QUALITY_THRESHOLD,
                F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
-        F.lit(1.0).alias("x0"),
-        (n_tok / F.lit(100.0)).alias("x1"),
-        ttr.alias("x2"),
-        stop_r.alias("x3"))
+        *[fx[c].alias(c) for c in LOGREG_FEATURES])
 
 
 def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

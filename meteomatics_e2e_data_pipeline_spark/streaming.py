@@ -408,6 +408,31 @@ def stream_ewma(spark: SparkSession, sf_dir: str,
     q.awaitTermination()
 
 
+def stream_quality_scores(stream: DataFrame, weights: list[float],
+                          text_col: str = "text") -> DataFrame:
+    """Serve the batch-trained quality classifier on a document stream
+    — the train-offline / score-online shape every production quality
+    gate runs. Stateless row-local projection (no watermark, no state,
+    composes with any downstream streaming op): the weights are the
+    bounded artifact ``operators/classifier.logreg_train`` produced in
+    batch, and the feature + scoring expression tree is the SAME code
+    the batch scorer uses (`text_feature_exprs` / `logreg_score`), so
+    a document's streaming score is bit-identical to its batch score —
+    zero training/serving skew by construction, which pytest asserts
+    exactly."""
+    from .operators.classifier import (
+        FEATURE_COLS, logreg_score, text_feature_exprs,
+    )
+    from .operators.textops import LANG_STOPWORDS
+
+    fx = text_feature_exprs(F.col(text_col), LANG_STOPWORDS["en"])
+    feat = stream.select("*", *[fx[c].alias(c) for c in FEATURE_COLS])
+    return (feat
+            .withColumn("score",
+                        logreg_score(feat, weights, list(FEATURE_COLS)))
+            .drop(*FEATURE_COLS))
+
+
 def stream_enrich(stream: DataFrame, dim: DataFrame,
                   on: list[str]) -> DataFrame:
     """Stream-to-static enrichment join — the streaming twin of the star

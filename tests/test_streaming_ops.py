@@ -790,3 +790,55 @@ def test_stream_type_runs_emits_closed_batch_runs(spark, tmp_path):
                  for r in last_per_user.values()}
     assert got == allruns - open_runs
     assert len(got) > 0
+
+
+def test_stream_quality_scores_bit_equal_batch(spark, tmp_path):
+    """Train-offline / serve-online skew check: every document's
+    streaming score equals its batch score BIT-FOR-BIT (same weights
+    artifact, same shared expression tree), across multiple
+    micro-batches."""
+    from meteomatics_e2e_data_pipeline_spark.operators.classifier import (
+        FEATURE_COLS, logreg_score, logreg_train, text_feature_exprs,
+    )
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        LANG_STOPWORDS,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_quality_scores,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    fx = text_feature_exprs(F.col("text"), LANG_STOPWORDS["en"])
+    feat = docs.select(
+        "doc_id", (fx["x2"] > 0.5).cast("double").alias("y"),
+        *[fx[c].alias(c) for c in FEATURE_COLS])
+    weights = logreg_train(feat, list(FEATURE_COLS), "y", iters=3, lr=2.0)
+
+    batch_scores = {r["doc_id"]: r["score"] for r in feat.select(
+        "doc_id",
+        logreg_score(feat, weights, list(FEATURE_COLS)).alias("score"))
+        .collect()}
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    docs.filter(F.col("doc_id") >= half).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream_quality_scores(stream, weights)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r["score"] for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == batch_scores          # exact float equality, all docs
+    assert len(got) == docs.count()
