@@ -100,28 +100,30 @@ _VERIFY_FIRST = (
     "docs_dup_spans",
     "docs_oov_rate",
     "emb_pq_codes",
-    "emb_knn_pq",
-    "emb_ann_ivfpq",
     # -- never-attested entries outrank r4 refreshes ("no attestation"
     # is strictly staler than an r4 row): the spatial grid query, the
     # two JPEG-codec queries, the dup-graph k-core, the in-engine
-    # quality classifier, the tokenizer-fertility query, and the
-    # Z-order layout stats take the last seven gate slots, and the
-    # seven displaced r4-dated rows (emb_knn_filtered,
-    # docs_simhash_pairs, docs_near_dup_edit_distance,
-    # docs_tfidf_top_terms, docs_winnow_fingerprints, emb_ann_ivf,
-    # emb_ann_lsh — operators unchanged since r4, mirror-green at
-    # sf0.01 every round) move just past the gate to LEAD the round-9
-    # rotation.
+    # quality classifier with its AUC + calibration evaluations, the
+    # tokenizer-fertility query, and the Z-order layout stats take the
+    # last nine gate slots, and the nine displaced r4-dated rows
+    # (emb_knn_pq, emb_ann_ivfpq, emb_knn_filtered, docs_simhash_pairs,
+    # docs_near_dup_edit_distance, docs_tfidf_top_terms,
+    # docs_winnow_fingerprints, emb_ann_ivf, emb_ann_lsh — operators
+    # unchanged since r4, mirror-green at sf0.01 every round) move just
+    # past the gate to LEAD the round-9 rotation.
     "events_spatial_grid",
     "multimodal_jpeg_features",
     "multimodal_mjpeg_frames",
     "docs_dup_kcore",
     "docs_quality_classifier",
+    "docs_classifier_auc",
+    "docs_classifier_calibration",
     "docs_tokenizer_fertility",
     "events_zorder_stats",
     # -- position 51+: r4-attested, unchanged, mirror-green; first in
     # line for round 9.
+    "emb_knn_pq",
+    "emb_ann_ivfpq",
     "emb_knn_filtered",
     "docs_simhash_pairs",
     "docs_near_dup_edit_distance",

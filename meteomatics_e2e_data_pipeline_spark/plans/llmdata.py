@@ -485,6 +485,93 @@ SELECT doc_id, label, score, (score >= 0.5)::INT AS pred FROM sc
 """
 
 
+def q_docs_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier — the model-
+    evaluation op a classifier-gated pipeline needs before trusting the
+    gate. Computed WITHOUT materializing positive×negative pairs, by
+    the rank-sum identity: AUC = Σ_v np_v·(2·neg_below(v) + nn_v) /
+    (2·npos·nneg), all integer arithmetic until the one final division
+    (ties handled exactly by the ½ convention).
+
+    Scale shape: one groupBy collapses the corpus to the DISTINCT-SCORE
+    frame — bounded by the score VALUE DOMAIN (≤ 10^6+1 six-dp values
+    in [0,1]), not the corpus — then the prefix sum of negatives runs
+    through the range-parallel global_running_sum primitive (no
+    single-partition window), and a final 1-row aggregate. Integer
+    numerator < 2·npos·nneg, so int64 holds past 4B docs."""
+    from ..operators import quantiles
+
+    sc = q_docs_quality_classifier(spark, sf_dir).select("score", "label")
+    byv = (sc.groupBy("score")
+           .agg(F.sum("label").cast("long").alias("np_v"),
+                F.sum(F.lit(1) - F.col("label")).cast("long").alias("nn_v")))
+    cum = quantiles.global_running_sum(byv, "score", "nn_v", "score",
+                                       out_col="cn")
+    return (cum.agg(
+        F.sum("np_v").alias("n_pos"),
+        F.sum("nn_v").alias("n_neg"),
+        F.sum(F.col("np_v")
+              * (F.lit(2) * (F.col("cn") - F.col("nn_v"))
+                 + F.col("nn_v"))).alias("num2"))
+        .select("n_pos", "n_neg",
+                F.round(F.col("num2")
+                        / (F.lit(2) * F.col("n_pos") * F.col("n_neg")), 6)
+                .alias("auc")))
+
+
+def _oracle_classifier_auc() -> str:
+    return rf"""
+WITH csc AS MATERIALIZED ({_oracle_quality_classifier()}),
+byv AS (SELECT score, sum(label)::BIGINT AS np_v,
+               sum(1 - label)::BIGINT AS nn_v
+        FROM csc GROUP BY score),
+cum AS (SELECT score, np_v, nn_v,
+               sum(nn_v) OVER (ORDER BY score
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS cn
+        FROM byv)
+SELECT sum(np_v)::BIGINT AS n_pos, sum(nn_v)::BIGINT AS n_neg,
+       round(sum(np_v * (2 * (cn - nn_v) + nn_v))
+             / (2 * sum(np_v) * sum(nn_v)), 6) AS auc
+FROM cum
+"""
+
+
+CAL_BINS = 10
+
+
+def q_docs_classifier_calibration(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Reliability table for the trained classifier: decile-bin the
+    scores and compare mean predicted score with the empirical positive
+    rate per bin — the calibration readout that decides whether the
+    gate's threshold is trustworthy. Row-local binning + one partial
+    agg; scores sit on the 6-dp grid so the decimal mean is exact."""
+    sc = q_docs_quality_classifier(spark, sf_dir).select("score", "label")
+    b = F.least(F.floor(F.col("score") * CAL_BINS).cast("int"),
+                F.lit(CAL_BINS - 1))
+    return (sc.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("label").cast("long").alias("n_pos"),
+                 F.round(F.sum(F.col("score").cast("decimal(18,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("mean_score"),
+                 F.round(F.sum("label") / F.count(F.lit(1)), 6)
+                 .alias("frac_pos")))
+
+
+def _oracle_classifier_calibration() -> str:
+    return rf"""
+WITH csc AS MATERIALIZED ({_oracle_quality_classifier()})
+SELECT least(floor(score * {CAL_BINS})::INT, {CAL_BINS - 1}) AS bin,
+       count(*)::BIGINT AS n,
+       sum(label)::BIGINT AS n_pos,
+       round((sum(score::DECIMAL(18,6)))::DOUBLE / count(*), 6)
+         AS mean_score,
+       round(sum(label) / count(*), 6) AS frac_pos
+FROM csc GROUP BY 1
+"""
+
+
 def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language under the trained BPE merges —
     the multilingual-pipeline health metric (how many subtokens a word
@@ -4142,6 +4229,8 @@ LLM_QUERIES = {
     "docs_bpe_encode": q_docs_bpe_encode,
     "docs_text_stats": q_docs_text_stats,
     "docs_quality_classifier": q_docs_quality_classifier,
+    "docs_classifier_auc": q_docs_classifier_auc,
+    "docs_classifier_calibration": q_docs_classifier_calibration,
     "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
@@ -4237,6 +4326,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_bpe_encode": _oracle_bpe_encode(),
         "docs_text_stats": ORACLE_TEXT_STATS,
         "docs_quality_classifier": _oracle_quality_classifier(),
+        "docs_classifier_auc": _oracle_classifier_auc(),
+        "docs_classifier_calibration": _oracle_classifier_calibration(),
         "docs_tokenizer_fertility": _oracle_tokenizer_fertility(),
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),

@@ -2163,3 +2163,46 @@ def test_tokenizer_fertility_consistent_with_bpe_encode(spark, sf_oracle):
         assert r["n_bpe_tokens"] == regroup[lang]["n_bpe"]
         assert r["fertility"] >= 1.0           # >=1 subtoken per word
         assert 1.0 <= r["chars_per_token"]     # merges only shorten
+
+
+def test_classifier_auc_matches_pair_counting_reference(spark):
+    """The rank-sum AUC must equal brute-force P(s_pos > s_neg) +
+    0.5*P(=) over all positive x negative pairs (computed in Python on
+    the small corpus), and the classifier must genuinely rank: AUC
+    well above 0.5."""
+    from fractions import Fraction
+
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+
+    sf = "/root/testdata/sf0.001"
+    rows = llmdata.q_docs_quality_classifier(spark, sf) \
+        .select("score", "label").collect()
+    pos = [r["score"] for r in rows if r["label"] == 1]
+    neg = [r["score"] for r in rows if r["label"] == 0]
+    num = sum(2 for p in pos for n in neg if p > n) \
+        + sum(1 for p in pos for n in neg if p == n)
+    want = Fraction(num, 2 * len(pos) * len(neg))
+
+    got = llmdata.q_docs_classifier_auc(spark, sf).collect()[0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - float(want)) < 5e-7   # 6-dp rounding only
+    assert got["auc"] > 0.8
+
+
+def test_classifier_calibration_partitions_corpus(spark):
+    """Calibration bins must partition the scored corpus exactly (no
+    row lost or double-binned), conserve the positive count, and every
+    bin's mean score must actually lie inside the bin's range."""
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+
+    sf = "/root/testdata/sf0.001"
+    scored = llmdata.q_docs_quality_classifier(spark, sf).collect()
+    bins = llmdata.q_docs_classifier_calibration(spark, sf).collect()
+    assert sum(r["n"] for r in bins) == len(scored)
+    assert sum(r["n_pos"] for r in bins) == \
+        sum(r["label"] for r in scored)
+    for r in bins:
+        lo = r["bin"] / llmdata.CAL_BINS
+        hi = (r["bin"] + 1) / llmdata.CAL_BINS if r["bin"] < 9 else 1.0001
+        assert lo <= r["mean_score"] < hi
+        assert 0.0 <= r["frac_pos"] <= 1.0
