@@ -103,6 +103,40 @@ def minhash_from_shingles(h: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return h.groupBy(id_col).agg(*aggs)
 
 
+def _perm_min(hv_array, j: int):
+    a, b = PERM_A[j], PERM_B[j]
+    return F.array_min(
+        F.transform(hv_array, lambda h: (F.lit(a) * h + F.lit(b))
+                    % MINHASH_P))
+
+
+def minhash_sig_exprs(hv_array) -> list:
+    """Row-local minhash signature from a shingle-hash ARRAY column —
+    the shuffle-free twin of :func:`minhash_from_shingles` for contexts
+    without a groupBy (streaming micro-batches, per-row scoring).
+    Bit-identical by construction: min over a multiset equals min over
+    its distinct set, and the permuted-hash arithmetic is the same
+    integer math (property-tested against the aggregate form). Cost is
+    NUM_PERM row-local array traversals — no shuffle at all."""
+    return [_perm_min(hv_array, j).alias(f"mh_{j}")
+            for j in range(NUM_PERM)]
+
+
+def band_key_array() -> "F.Column":
+    """Row-local ``band_id|band_hash`` key array over mh_* columns —
+    the same md5-of-concatenated-rows band hash :func:`band_rows`
+    computes, packaged as one array column so a streaming row can test
+    membership against a prior index without an explode + stateful
+    distinct."""
+    keys = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh_{b * ROWS_PER_BAND + r}").cast("string")
+                for r in range(ROWS_PER_BAND)]
+        keys.append(F.concat_ws(
+            "|", F.lit(b), F.md5(F.concat_ws("-", *cols))))
+    return F.array(*keys)
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     """One row per document with columns ``mh_0 .. mh_{NUM_PERM-1}``.

@@ -509,6 +509,50 @@ def stream_contamination_flags(stream: DataFrame, bench_hvs,
         "n_hits", n_hits(shingle_hash_array(F.col(text_col), n)))
 
 
+def stream_near_dup_flags(stream: DataFrame, prior_band_keys,
+                          n: int = 3, text_col: str = "text") -> DataFrame:
+    """Streaming LSH near-dup flag against the PRIOR corpus index — the
+    online half of the incremental-dedup story: every arriving document
+    gets its MinHash signature computed ROW-LOCALLY (shingle-hash array
+    → permuted mins, operators/neardup.minhash_sig_exprs — bit-equal to
+    the batch groupBy signature, property-tested), its band keys built
+    row-locally, and membership tested against the prior index. Output
+    adds ``n_band_hits`` (bands colliding with the index) and
+    ``near_dup`` — stateless: no watermark, no state, no shuffle, so it
+    composes with the other streaming twins into one pipeline.
+
+    ``prior_band_keys`` is the collected ``band_id|band_hash`` key set
+    of the ALREADY-INGESTED corpus (built in batch by ``band_rows``;
+    refreshed at the batch cadence like the trained-quantizer / Bloom
+    artifacts). Broadcast once per executor. At warehouse scale where
+    even the band-key set outgrows a broadcast, the same 8 KB Bloom
+    summary used for decontamination applies (superset flags, exact
+    confirmation downstream in batch); this exact form is the
+    ≤10^8-key tier. A flagged doc is a CANDIDATE (same LSH semantics
+    as batch) — verification joins stay in the batch layer."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.neardup import (
+        NUM_PERM, band_key_array, minhash_sig_exprs, shingle_hash_array,
+    )
+
+    b = stream.sparkSession.sparkContext.broadcast(
+        frozenset(prior_band_keys))
+
+    @pandas_udf("int")
+    def n_hits(key_arrays: pd.Series) -> pd.Series:
+        s = b.value
+        return key_arrays.map(
+            lambda arr: 0 if arr is None else len(set(arr) & s))
+
+    sigs = stream.select(
+        "*", *minhash_sig_exprs(shingle_hash_array(F.col(text_col), n)))
+    return (sigs.withColumn("__keys", band_key_array())
+            .withColumn("n_band_hits", n_hits(F.col("__keys")))
+            .drop("__keys", *[f"mh_{j}" for j in range(NUM_PERM)])
+            .withColumn("near_dup", F.col("n_band_hits") > 0))
+
+
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str,
                          checkpoint_path: str, query_name: str,
                          capacity: int = 32,

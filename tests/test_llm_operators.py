@@ -2206,3 +2206,26 @@ def test_classifier_calibration_partitions_corpus(spark):
         hi = (r["bin"] + 1) / llmdata.CAL_BINS if r["bin"] < 9 else 1.0001
         assert lo <= r["mean_score"] < hi
         assert 0.0 <= r["frac_pos"] <= 1.0
+
+
+def test_minhash_sig_exprs_bit_equal_aggregate_form(spark, sf_oracle):
+    """The row-local (array) minhash signature must equal the
+    explode+groupBy signature on every document and every permutation —
+    the contract that lets the streaming near-dup flag reuse the batch
+    index."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        NUM_PERM, minhash_sig_exprs, minhash_signatures,
+        shingle_hash_array,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    agg = {r["doc_id"]: tuple(r[f"mh_{j}"] for j in range(NUM_PERM))
+           for r in minhash_signatures(docs).collect()}
+    row = {r["doc_id"]: tuple(r[f"mh_{j}"] for j in range(NUM_PERM))
+           for r in docs.select(
+               "doc_id",
+               *minhash_sig_exprs(shingle_hash_array(F.col("text"), 3)))
+           .filter(F.size(shingle_hash_array(F.col("text"), 3)) > 0)
+           .collect()}
+    assert agg == row

@@ -842,3 +842,62 @@ def test_stream_quality_scores_bit_equal_batch(spark, tmp_path):
            spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == batch_scores          # exact float equality, all docs
     assert len(got) == docs.count()
+
+
+def test_stream_near_dup_flags_match_batch_lsh(spark, tmp_path):
+    """The streaming flag must mark EXACTLY the arriving docs whose
+    band keys collide with the prior corpus index — the same candidate
+    semantics the batch LSH self-join computes — across multiple
+    micro-batches, with non-colliding docs passing through unflagged."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        band_rows, minhash_signatures,
+    )
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_near_dup_flags,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight again and again")
+    prior = spark.createDataFrame(
+        [(100, base), (101, "completely different text about spark "
+                            "catalyst shuffles and broadcast joins ok")],
+        "doc_id long, text string")
+    arrivals = spark.createDataFrame(
+        [(1, base.replace("lazy", "sleepy")),      # near-dup of 100
+         (2, "unrelated fresh words nobody wrote before in any doc "
+             "zeta eta theta iota kappa lambda mu nu xi omicron pi"),
+         (3, base)],                               # exact dup of 100
+        "doc_id long, text string")
+
+    prior_keys = [f"{r['band_id']}|{r['band_hash']}" for r in
+                  band_rows(minhash_signatures(prior)).collect()]
+
+    # batch reference: which arrivals share a band with the prior index
+    arr_bands = band_rows(minhash_signatures(arrivals))
+    pk = spark.createDataFrame([(k,) for k in prior_keys], "k string")
+    want = {r["doc_id"] for r in arr_bands.withColumn(
+        "k", F.concat_ws("|", "band_id", "band_hash"))
+        .join(pk, "k", "left_semi").select("doc_id").distinct().collect()}
+    assert 3 in want            # exact dup always collides
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    arrivals.filter(F.col("doc_id") <= 1).coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    arrivals.filter(F.col("doc_id") > 1).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream_near_dup_flags(stream, prior_keys)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(got) == {1, 2, 3}
+    assert {d for d, r in got.items() if r["near_dup"]} == want
+    assert got[2]["n_band_hits"] == 0
