@@ -371,15 +371,22 @@ FROM m
 # be exactly binary-representable so the literal parses identically.
 LOGREG_ITERS = 5
 LOGREG_LR = 2.0
-# Teacher gate: the composite quality score from docs_text_stats,
-# thresholded near its corpus median (~50/50 split at sf0.01).
-LOGREG_QUALITY_THRESHOLD = 0.8
-# The teacher's ln(1+n_tok)/10 term is deliberately NOT a feature:
-# libm exp/ln are not correctly-rounded, so feature values would not
-# be bit-identical across engines and the drift would compound through
-# the iteration chain. The linear-length student therefore caps out
-# near 0.87 accuracy against the 0.51 base rate (pytest pins both) —
-# an honest distillation gap, not a training defect.
+# Teacher gate: a composite quality score (ttr - stopword ratio + a
+# saturating length bonus), thresholded near its corpus median
+# (~45-50% positive at every sf). The label expression is deliberately
+# LIBM-FREE (r8 advisor finding): the previous ln(1+n_tok)/10 length
+# term meant a doc whose quality landed within 1 ulp of the threshold
+# could flip its label between Spark (java Math.log) and DuckDB (C
+# libm ln), cascading through all GD iterations into every weight and
+# score hash. The replacement n_tok/(n_tok + 400.0) uses only an exact
+# int->double add and one correctly-rounded IEEE division, so both
+# engines compute the identical double and no drift can cross the
+# compare. The bonus is still a NON-LINEAR (saturating) function of
+# the length feature x1 = n_tok/100, so the linear student cannot
+# represent the teacher exactly — the honest distillation gap the
+# accuracy pytest pins is retained (0.88 vs 0.50 base at sf0.01).
+LOGREG_QUALITY_THRESHOLD = 0.52
+LOGREG_LEN_SATURATION = 400.0   # bonus = n_tok / (n_tok + this)
 LOGREG_FEATURES = classifier.FEATURE_COLS
 
 _LOGREG_CACHE: dict = {}
@@ -394,7 +401,8 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fx = classifier.text_feature_exprs(F.col("text"), LANG_STOPWORDS["en"])
     quality = (fx["x2"] - fx["x3"]
-               + F.log(F.lit(1.0) + fx["n_tok"]) / 10)
+               + fx["n_tok"] / (fx["n_tok"]
+                                + F.lit(LOGREG_LEN_SATURATION)))
     return docs.select(
         "doc_id",
         F.when(quality > LOGREG_QUALITY_THRESHOLD,
@@ -439,7 +447,7 @@ lraw AS (
   FROM ltok),
 feat AS MATERIALIZED (
   SELECT doc_id,
-         CASE WHEN (ttr - stop_r + ln(1.0 + n_tok) / 10)
+         CASE WHEN (ttr - stop_r + n_tok / (n_tok + {LOGREG_LEN_SATURATION}))
                    > {LOGREG_QUALITY_THRESHOLD} THEN 1.0 ELSE 0.0 END AS y,
          1.0 AS x0, n_tok / 100.0 AS x1, ttr AS x2, stop_r AS x3
   FROM lraw),
@@ -569,6 +577,107 @@ SELECT least(floor(score * {CAL_BINS})::INT, {CAL_BINS - 1}) AS bin,
          AS mean_score,
        round(sum(label) / count(*), 6) AS frac_pos
 FROM csc GROUP BY 1
+"""
+
+
+def _classifier_threshold_metrics(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Confusion counts at EVERY candidate operating point (predict
+    positive iff score >= t, t ranging over the distinct observed
+    scores), from one pass over the distinct-score frame: suffix
+    TP/FP fall out of the same range-parallel prefix sums the AUC
+    query uses (tp = npos - cum_np + np_v), so the whole threshold
+    sweep costs two global_running_sum passes over a frame bounded by
+    the score VALUE DOMAIN (<= 10^6+1 six-dp values), never the
+    corpus. All counts stay exact int64; each metric is integer
+    arithmetic until one final correctly-rounded IEEE division, so
+    both engines rank candidate thresholds identically."""
+    from ..operators import quantiles
+
+    sc = q_docs_quality_classifier(spark, sf_dir).select("score", "label")
+    byv = (sc.groupBy("score")
+           .agg(F.sum("label").cast("long").alias("np_v"),
+                F.sum(F.lit(1) - F.col("label")).cast("long").alias("nn_v")))
+    cum = quantiles.global_running_sum(byv, "score", "np_v", "score",
+                                       out_col="cp", total_col="npos")
+    cum = quantiles.global_running_sum(cum, "score", "nn_v", "score",
+                                       out_col="cn", total_col="nneg")
+    m0 = cum.select(
+        F.col("score").alias("threshold"),
+        (F.col("npos") - F.col("cp") + F.col("np_v")).alias("tp"),
+        (F.col("nneg") - F.col("cn") + F.col("nn_v")).alias("fp"),
+        (F.col("cp") - F.col("np_v")).alias("fn"),
+        (F.col("cn") - F.col("nn_v")).alias("tn"),
+        "npos", "nneg")
+    return m0.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        ((F.lit(2) * F.col("tp"))
+         / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1"),
+        (F.col("tp") / F.col("npos")
+         - F.col("fp") / F.col("nneg")).alias("j"))
+
+
+def q_docs_classifier_threshold(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Operating-point selection for the trained quality gate — the
+    decision the AUC/calibration readouts exist to inform: sweep every
+    candidate threshold (each distinct score) and report the best-F1
+    and best-Youden-J cuts with their EXACT integer confusion counts.
+    Ties on the metric resolve to the smallest threshold (the most
+    permissive gate among equals), so the argmax is deterministic.
+
+    Scale shape: the sweep is the AUC query's distinct-score frame
+    (bounded by the 6-dp score domain, not the corpus) plus two
+    bounded aggregates per criterion — no per-threshold rescan of the
+    corpus, no single-partition window."""
+    m = _classifier_threshold_metrics(spark, sf_dir) \
+        .localCheckpoint(eager=True)
+    out = None
+    for crit, col in (("f1", "f1"), ("youden", "j")):
+        bm = m.agg(F.max(col).alias("__bm"))
+        mt = m.join(F.broadcast(bm), F.col(col) == F.col("__bm"))
+        bt = mt.agg(F.min("threshold").alias("__bt"))
+        sel = (mt.join(F.broadcast(bt), F.col("threshold") == F.col("__bt"))
+               .select(F.lit(crit).alias("criterion"), "threshold",
+                       "tp", "fp", "fn", "tn",
+                       F.round(F.col(col), 6).alias("metric")))
+        out = sel if out is None else out.unionAll(sel)
+    return out
+
+
+def _oracle_classifier_threshold() -> str:
+    return rf"""
+WITH csc AS MATERIALIZED ({_oracle_quality_classifier()}),
+byv AS (SELECT score, sum(label)::BIGINT AS np_v,
+               sum(1 - label)::BIGINT AS nn_v
+        FROM csc GROUP BY score),
+cum AS (SELECT score, np_v, nn_v,
+               sum(np_v) OVER (ORDER BY score
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS cp,
+               sum(nn_v) OVER (ORDER BY score
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS cn
+        FROM byv),
+tot AS (SELECT sum(np_v)::BIGINT AS npos, sum(nn_v)::BIGINT AS nneg
+        FROM byv),
+m0 AS (SELECT score AS threshold,
+              (npos - cp + np_v) AS tp, (nneg - cn + nn_v) AS fp,
+              (cp - np_v) AS fn, (cn - nn_v) AS tn, npos, nneg
+       FROM cum, tot),
+m AS MATERIALIZED (
+  SELECT threshold, tp, fp, fn, tn,
+         (2 * tp) / (2 * tp + fp + fn) AS f1,
+         tp / npos - fp / nneg AS j
+  FROM m0)
+SELECT 'f1' AS criterion, threshold, tp, fp, fn, tn,
+       round(f1, 6) AS metric
+FROM m WHERE f1 = (SELECT max(f1) FROM m)
+  AND threshold = (SELECT min(threshold) FROM m
+                   WHERE f1 = (SELECT max(f1) FROM m))
+UNION ALL
+SELECT 'youden', threshold, tp, fp, fn, tn, round(j, 6)
+FROM m WHERE j = (SELECT max(j) FROM m)
+  AND threshold = (SELECT min(threshold) FROM m
+                   WHERE j = (SELECT max(j) FROM m))
 """
 
 
@@ -4231,6 +4340,7 @@ LLM_QUERIES = {
     "docs_quality_classifier": q_docs_quality_classifier,
     "docs_classifier_auc": q_docs_classifier_auc,
     "docs_classifier_calibration": q_docs_classifier_calibration,
+    "docs_classifier_threshold": q_docs_classifier_threshold,
     "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
     "docs_lang_guess": q_docs_lang_guess,
     "docs_simhash": q_docs_simhash,
@@ -4328,6 +4438,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_quality_classifier": _oracle_quality_classifier(),
         "docs_classifier_auc": _oracle_classifier_auc(),
         "docs_classifier_calibration": _oracle_classifier_calibration(),
+        "docs_classifier_threshold": _oracle_classifier_threshold(),
         "docs_tokenizer_fertility": _oracle_tokenizer_fertility(),
         "docs_lang_guess": _oracle_lang_guess(),
         "docs_simhash": _oracle_simhash(),

@@ -2088,8 +2088,10 @@ def test_logreg_distills_quality_gate(spark, sf_oracle):
     """The in-engine trained classifier must actually learn the
     composite quality gate from the linear features: accuracy well
     above the base rate, capped below perfection by the teacher's
-    log-length term that is deliberately excluded from the features
-    (llmdata.LOGREG_FEATURES comment). Pins both sides of that gap."""
+    saturating length bonus n/(n+K), which is a nonlinear function of
+    the length feature x1 and so cannot be represented by the linear
+    student (llmdata.LOGREG_QUALITY_THRESHOLD comment — the bonus is
+    libm-free by design, the r8 advisor fix). Pins both sides."""
     from meteomatics_e2e_data_pipeline_spark.plans import llmdata
 
     df = llmdata.q_docs_quality_classifier(spark, sf_oracle)
@@ -2187,6 +2189,46 @@ def test_classifier_auc_matches_pair_counting_reference(spark):
     assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
     assert abs(got["auc"] - float(want)) < 5e-7   # 6-dp rounding only
     assert got["auc"] > 0.8
+
+
+def test_classifier_threshold_matches_bruteforce_sweep(spark):
+    """The selected operating points must equal a brute-force Python
+    sweep over every distinct score (exact Fraction metrics, smallest
+    threshold on ties), with exact confusion counts that add up to the
+    corpus on both selected rows."""
+    from fractions import Fraction
+
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+
+    sf = "/root/testdata/sf0.001"
+    rows = llmdata.q_docs_quality_classifier(spark, sf) \
+        .select("score", "label").collect()
+    scores = sorted({r["score"] for r in rows})
+    npos = sum(r["label"] for r in rows)
+    nneg = len(rows) - npos
+
+    def conf(t):
+        tp = sum(1 for r in rows if r["score"] >= t and r["label"] == 1)
+        fp = sum(1 for r in rows if r["score"] >= t and r["label"] == 0)
+        return tp, fp, npos - tp, nneg - fp
+
+    def best(metric):
+        b = max(scores, key=lambda t: (metric(*conf(t)), -t))
+        return b, conf(b)
+
+    f1 = lambda tp, fp, fn, tn: Fraction(2 * tp, 2 * tp + fp + fn)
+    j = lambda tp, fp, fn, tn: (Fraction(tp, npos) - Fraction(fp, nneg))
+
+    got = {r["criterion"]: r for r in
+           llmdata.q_docs_classifier_threshold(spark, sf).collect()}
+    assert set(got) == {"f1", "youden"}
+    for crit, metric in (("f1", f1), ("youden", j)):
+        t, (tp, fp, fn, tn) = best(metric)
+        r = got[crit]
+        assert (r["threshold"], r["tp"], r["fp"], r["fn"], r["tn"]) == \
+            (t, tp, fp, fn, tn), crit
+        assert r["tp"] + r["fn"] == npos and r["fp"] + r["tn"] == nneg
+        assert abs(r["metric"] - float(metric(tp, fp, fn, tn))) < 5e-7
 
 
 def test_classifier_calibration_partitions_corpus(spark):
