@@ -48,15 +48,21 @@ def ancestor_rollup(nodes: DataFrame, id_col: str = "id",
         F.col(id_col).alias("id"),
         F.col(parent_col).alias("parent"),
         F.col(weight_col).alias("w"))
+    # The orphan test keys on a NON-NULL marker from the parent side,
+    # not on the parent's weight: a parent that EXISTS but carries a
+    # NULL weight is a legitimate row (its subtree's path sums go NULL,
+    # the usual SQL sum-with-null semantics), while "parent row absent"
+    # is the malformed shape — conflating the two via pw.isNull() would
+    # misreport the former as orphaned (r8 advisor finding).
     pw = base.select(F.col("id").alias("parent"),
-                     F.col("w").alias("pw"))
+                     F.col("w").alias("pw"),
+                     F.lit(1).alias("_parent_seen"))
     is_root = F.col("id") == F.col("parent")
     zero_w = F.lit(0).cast(base.schema["w"].dataType)
     joined = base.join(pw, "parent", "left").localCheckpoint(eager=True)
-    n_orphans = joined.where(F.col("pw").isNull()).limit(1).count()
-    if n_orphans:
-        bad = [r.id for r in joined.where(F.col("pw").isNull())
-               .select("id").limit(5).collect()]
+    orphans = joined.where(F.col("_parent_seen").isNull())
+    if orphans.limit(1).count():
+        bad = [r.id for r in orphans.select("id").limit(5).collect()]
         raise ValueError(
             f"hierarchy has orphan parent pointers (e.g. node ids "
             f"{bad}): every non-root row's parent must exist in the "

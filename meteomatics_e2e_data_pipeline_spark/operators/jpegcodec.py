@@ -176,8 +176,16 @@ class _BitReader:
 
     def bit(self) -> int:
         if self._n == 0:
+            # Bounds-check every byte fetch so malformed / truncated
+            # payloads fail with the codec's documented ValueError
+            # contract instead of an executor IndexError (r8 advisor
+            # finding).
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
             b = self.data[self.pos]
             if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("truncated JPEG entropy data")
                 nxt = self.data[self.pos + 1]
                 if nxt == 0x00:
                     self.pos += 2  # stuffed data byte
@@ -356,9 +364,13 @@ def jpeg_decode(raw: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("expected marker")
+        if pos + 1 >= len(raw):
+            raise ValueError("truncated JPEG: marker byte missing")
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(raw):
+            raise ValueError("truncated JPEG: segment header missing")
         length = struct.unpack(">H", raw[pos + 2:pos + 4])[0]
         payload = raw[pos + 4:pos + 2 + length]
         if marker == 0xDB:  # DQT — one or more tables per segment
@@ -383,6 +395,8 @@ def jpeg_decode(raw: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]
                 bits = list(payload[p + 1:p + 17])
                 n = sum(bits)
                 vals = list(payload[p + 17:p + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
                 table: dict[tuple[int, int], int] = {}
                 for sym, (code, ln) in _canonical_codes(bits, vals).items():
                     table[(ln, code)] = sym
@@ -425,7 +439,8 @@ def _decode_scan(raw: bytes, pos: int, scan: list[dict], quants, huff,
     for m in range(bw * bh):
         if restart_interval and m and m % restart_interval == 0:
             reader.byte_align()
-            if raw[reader.pos] == 0xFF and 0xD0 <= raw[reader.pos + 1] <= 0xD7:
+            if (reader.pos + 1 < len(raw) and raw[reader.pos] == 0xFF
+                    and 0xD0 <= raw[reader.pos + 1] <= 0xD7):
                 reader.pos += 2
             preds = [0] * len(scan)
         by, bx = divmod(m, bw)
@@ -444,6 +459,8 @@ def _decode_scan(raw: bytes, pos: int, scan: list[dict], quants, huff,
                     k += 16
                     continue
                 k += run
+                if k >= 64:  # corrupt entropy data, not an index bug
+                    raise ValueError("invalid AC run in JPEG scan")
                 coefs[ZIGZAG[k]] = _extend(reader.bits(cat), cat)
                 k += 1
             block = dequant_idct(coefs.reshape(8, 8), quants[comp["tq"]])
@@ -477,15 +494,23 @@ def _jpeg_frame_end(raw: bytes, start: int) -> int:
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("corrupt MJPEG frame: expected marker")
+        if pos + 1 >= len(raw):
+            raise ValueError("corrupt MJPEG frame: truncated marker")
         marker = raw[pos + 1]
         if marker == 0xD9:
             return pos + 2
+        if pos + 4 > len(raw):
+            raise ValueError("corrupt MJPEG frame: truncated segment")
         length = struct.unpack(">H", raw[pos + 2:pos + 4])[0]
         pos += 2 + length
         if marker == 0xDA:  # entropy data: skip to next real marker
             while True:
+                if pos >= len(raw):
+                    raise ValueError("corrupt MJPEG frame: no EOI")
                 if raw[pos] != 0xFF:
                     pos += 1
+                elif pos + 1 >= len(raw):
+                    raise ValueError("corrupt MJPEG frame: no EOI")
                 elif raw[pos + 1] == 0x00 or 0xD0 <= raw[pos + 1] <= 0xD7:
                     pos += 2  # stuffed byte / restart marker
                 else:

@@ -30,15 +30,28 @@ def zvalue(x: Column, y: Column, bits: int = 12) -> Column:
     integer columns: x's bit i lands at position 2i, y's at 2i+1.
     Built from shift/mask/add terms only — bit-identical in any
     engine, so the DuckDB oracle reproduces it with the same
-    arithmetic. Inputs must be < 2**bits (the caller picks ``bits``
-    from the dimension domain; no silent masking)."""
+    arithmetic. Inputs must sit in [0, 2**bits); a row outside that
+    domain RAISES (per-row guard below) rather than silently masking
+    its high bits — masking would collapse distinct points onto one
+    z-value and break the aligned-square / min-max-pruning invariant
+    the layout stats and file-skipping proofs rely on. The guard is a
+    row-local codegen'd branch; the error path never fires on valid
+    data, so the oracle twin (zvalue_sql) needs no counterpart."""
     z: Column | None = None
     for i in range(bits):
         xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
         yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         term = xb + yb
         z = term if z is None else z + term
-    return z.cast("long")
+    lim = F.lit(1 << bits).cast("long")
+    in_domain = ((x >= 0) & (x < lim) & (y >= 0) & (y < lim))
+    return (
+        F.when(in_domain, z.cast("long"))
+        .otherwise(F.raise_error(F.format_string(
+            "zvalue: input (%s, %s) outside [0, 2^" + str(bits)
+            + ") — pick bits from the dimension domain",
+            x.cast("string"), y.cast("string"))))
+        .cast("long"))
 
 
 def zvalue_sql(x: str, y: str, bits: int = 12) -> str:

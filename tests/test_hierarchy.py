@@ -56,6 +56,24 @@ def test_orphan_parent_raises(spark):
         ancestor_rollup(_nodes(spark, rows))
 
 
+def test_null_weight_parent_is_not_an_orphan(spark):
+    # A parent that EXISTS but carries a NULL weight is a legitimate
+    # forest (r8 advisor finding: the orphan guard must key on row
+    # presence, not on the weight column). The walk must complete, and
+    # the NULL weight propagates into descendants' path sums with the
+    # usual SQL null-sum semantics.
+    rows = [(0, 0, None), (1, 0, 2.00), (2, 1, 4.00)]
+    from decimal import Decimal
+    rows = [(i, p, None if w is None else Decimal(str(w)))
+            for i, p, w in rows]
+    df = spark.createDataFrame(
+        rows, "id bigint, parent bigint, w decimal(18,2)")
+    out = {r["id"]: (r["root_key"], r["depth"],
+                     None if r["path_sum"] is None else float(r["path_sum"]))
+           for r in ancestor_rollup(df).collect()}
+    assert out == {0: (0, 0, None), 1: (0, 1, None), 2: (0, 2, None)}
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -325,6 +325,45 @@ def test_jpeg_unsupported_variants_fail_loudly():
         jpeg_decode(b"\x00" * 16)
 
 
+def test_jpeg_malformed_payloads_raise_valueerror_not_indexerror():
+    """Corrupt entropy data / truncated buffers must fail with the
+    codec's documented ValueError contract, never an executor
+    IndexError (r8 advisor finding): truncated scans, truncated MJPEG
+    frames, and AC runs past coefficient 63 all hit the guards."""
+    import numpy as np
+
+    from meteomatics_e2e_data_pipeline_spark.operators.jpegcodec import (
+        jpeg_decode, jpeg_encode, mjpeg_split,
+    )
+
+    rng = np.random.default_rng(7)
+    plane = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    raw = jpeg_encode([plane])
+
+    # truncate inside the entropy segment at several depths
+    for cut in (len(raw) - 3, len(raw) - 8, len(raw) // 2 + 4):
+        with pytest.raises(ValueError):
+            jpeg_decode(raw[:cut])
+    # flip entropy bytes to force invalid Huffman codes / AC overruns;
+    # any failure mode must surface as ValueError (or decode cleanly if
+    # the flip lands on a self-consistent code) — never IndexError
+    sos = raw.index(b"\xff\xda")
+    for off in range(sos + 14, min(sos + 40, len(raw) - 2)):
+        bad = bytearray(raw)
+        bad[off] ^= 0xFF
+        try:
+            jpeg_decode(bytes(bad))
+        except ValueError:
+            pass
+        except NotImplementedError:
+            pass  # flip may corrupt a marker into an unsupported SOF
+    # MJPEG: truncated frames raise the demux's ValueError
+    for cut in (len(raw) - 2, len(raw) - 6):
+        with pytest.raises(ValueError):
+            mjpeg_split(raw[:cut] if cut != len(raw) - 2
+                        else raw + raw[:cut])
+
+
 def test_mjpeg_structural_demux_and_sampling():
     """The MJPEG demux walks the marker structure — a 0xFFD9 byte pair
     INSIDE a comment segment must not split a frame early — and

@@ -392,3 +392,18 @@ def test_zvalue_column_matches_python_reference(spark):
         return z
 
     assert got == {(x, y): ref(x, y) for x in vals for y in vals}
+
+
+def test_zvalue_raises_on_out_of_domain_inputs(spark):
+    """Values >= 2**bits (or negative) must RAISE, not silently mask
+    their high bits — masking would collapse distinct points onto one
+    z-value and break the aligned-square pruning invariant (r8 advisor
+    finding)."""
+    import pytest
+
+    from meteomatics_e2e_data_pipeline_spark.operators.zorder import zvalue
+
+    for x, y in ((2**12, 0), (0, 2**12), (-1, 5)):
+        df = spark.createDataFrame([(x, y)], "x long, y long")
+        with pytest.raises(Exception, match="zvalue"):
+            df.select(zvalue(F.col("x"), F.col("y")).alias("z")).collect()
