@@ -895,6 +895,50 @@ def test_containment_prefix_pairs_property(spark, data):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_containment_df_cap_is_lossless(spark, data):
+    """The b-side df-cap (each index doc drops its
+    ceil(t*min_n) - 1 most COMMON shingles) must stay EXACT: corpora
+    here are drawn so every doc has >= 6 shingles, making the cap
+    genuinely active (r_cap >= 4 at t=0.8), with a tiny vocab so hot
+    shingles land in every doc's common tail — the adversarial shape
+    for the cap's pigeonhole argument (rarest-shared-shingle s* must
+    survive both the a-prefix and the b-cap)."""
+    import itertools
+    import math
+
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        containment_prefix_pairs,
+    )
+
+    threshold = data.draw(st.sampled_from([0.5, 0.8, 0.95]))
+    vocab = [f"w{i}" for i in range(6)]
+    n_docs = data.draw(st.integers(min_value=3, max_value=8))
+    rows = []
+    for i in range(n_docs):
+        n_tok = data.draw(st.integers(min_value=8, max_value=20))
+        toks = [vocab[data.draw(st.integers(0, len(vocab) - 1))]
+                for _ in range(n_tok)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in
+           containment_prefix_pairs(docs, n=3,
+                                    threshold=threshold).collect()}
+
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.permutations(rows, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        if inter >= math.ceil(round(threshold * len(sa), 9)):
+            want[(ia, ib)] = round(inter / len(sa), 6)
+    assert got == want
+
+
 def test_keep_canonical_drops_only_cluster_tails(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(1, 8)], "doc_id bigint, text string")
