@@ -371,6 +371,74 @@ def test_zorder_buckets_are_aligned_squares(spark, sf_oracle):
     assert 0 < len(touched) <= bound
 
 
+def _parquet_boxes(d, x_col, y_col):
+    """Per-file (min_x, max_x, min_y, max_y) from REAL parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in sorted(glob.glob(str(d) + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        xi, yi = names.index(x_col), names.index(y_col)
+        lo_x = hi_x = lo_y = hi_y = None
+        for rg in range(md.num_row_groups):
+            sx = md.row_group(rg).column(xi).statistics
+            sy = md.row_group(rg).column(yi).statistics
+            lo_x = sx.min if lo_x is None else min(lo_x, sx.min)
+            hi_x = sx.max if hi_x is None else max(hi_x, sx.max)
+            lo_y = sy.min if lo_y is None else min(lo_y, sy.min)
+            hi_y = sy.max if hi_y is None else max(hi_y, sy.max)
+        out[f.rsplit("/", 1)[-1]] = (lo_x, hi_x, lo_y, hi_y)
+    return out
+
+
+def test_zorder_write_path_prunes_files(spark, tmp_path, sf_oracle):
+    """The realized write path must actually skip files: write events
+    z-clustered via zorder_write, read the REAL parquet footers, and
+    check that a min/max-stats reader skips most files for rectangle
+    predicates on (user_id, day) — while the same data written
+    round-robin is unprunable. Also ties the Spark read back to the
+    footer math: the files that contribute rows under the predicate
+    are exactly a subset of the footer-surviving files."""
+    from meteomatics_e2e_data_pipeline_spark.operators.zorder import (
+        zorder_write,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.to_date(F.lit("2024-01-01"))).cast("long")
+    df = ev.select("user_id", day.alias("day"))
+    zdir, rdir = str(tmp_path / "zorder"), str(tmp_path / "roundrobin")
+    zorder_write(df, zdir, "user_id", "day", bits=12, n_files=16)
+    df.repartition(16).write.parquet(rdir)
+
+    zb = _parquet_boxes(zdir, "user_id", "day")
+    rb = _parquet_boxes(rdir, "user_id", "day")
+    assert len(zb) > 1 and len(rb) > 1
+
+    def survivors(boxes, u1, u2, d1, d2):
+        return {f for f, (lx, hx, ly, hy) in boxes.items()
+                if hx >= u1 and lx <= u2 and hy >= d1 and ly <= d2}
+
+    for (u1, u2, d1, d2), max_frac in (((100, 179, 5, 14), 0.5),
+                                       ((0, 49, 0, 3), 0.5)):
+        sz = survivors(zb, u1, u2, d1, d2)
+        sr = survivors(rb, u1, u2, d1, d2)
+        # z-order: a stats reader skips most files; round-robin: none
+        assert 0 < len(sz) <= max_frac * len(zb), (u1, u2, d1, d2)
+        assert len(sr) == len(rb)
+        # Spark read under the predicate touches only surviving files
+        got = {r[0].rsplit("/", 1)[-1] for r in
+               spark.read.parquet(zdir)
+               .filter((F.col("user_id").between(u1, u2))
+                       & (F.col("day").between(d1, d2)))
+               .select(F.input_file_name()).distinct().collect()}
+        assert got <= sz
+
+
 def test_zvalue_column_matches_python_reference(spark):
     """The Spark shift/mask expression equals the integer reference on
     a corner-heavy grid (0, 1, alternating bits, max)."""
