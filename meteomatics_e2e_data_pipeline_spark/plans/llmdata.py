@@ -4274,6 +4274,75 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k for the COMPRESSED tiers — the same index-quality
+    feedback loop ``emb_ann_recall`` gives the IVF index, extended to
+    all three PQ variants (r8 verdict directive #4): per (tier, query),
+    |tier top-k ∩ brute-force top-k| / k for the untrained-codebook PQ
+    scan, the IVF-PQ composition, and the k-means-trained PQ scan. One
+    k-bounded overlap join per tier against a single shared truth set
+    (PQ_K == IVF_K == 5, asserted), so the whole evaluation is three
+    k×|queries| joins plus a partial-agg count — the tier queries
+    themselves read the session index artifacts and stay the only
+    expensive inputs."""
+    assert PQ_K == IVF_K, "tiers share one truth set only if ks match"
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    truth = (similarity.knn_bruteforce(emb, queries_df, PQ_K)
+             .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    tiers = (("ivfpq", q_emb_ann_ivfpq),
+             ("pq", q_emb_knn_pq),
+             ("pq_trained", q_emb_knn_pq_trained))
+    ann = None
+    for tier, fn in tiers:
+        t = fn(spark, sf_dir).select(
+            F.lit(tier).alias("tier"), "query_id", "neighbor_id")
+        ann = t if ann is None else ann.unionAll(t)
+    return (
+        ann.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("tier", "query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ann"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+             .cast("bigint").alias("n_hits"))
+        .withColumn("recall_at_k",
+                    F.round(F.col("n_hits") / F.lit(float(PQ_K)), 6))
+    )
+
+
+def _oracle_pq_recall() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_DUCK_COS} DESC, neighbor_id) AS rank
+    FROM q, c WHERE neighbor_id != query_id)
+  WHERE rank <= {PQ_K}
+),
+ann AS (
+  SELECT 'ivfpq' AS tier, query_id, neighbor_id
+  FROM ({_oracle_ann_ivfpq()})
+  UNION ALL
+  SELECT 'pq', query_id, neighbor_id FROM ({_oracle_knn_pq()})
+  UNION ALL
+  SELECT 'pq_trained', query_id, neighbor_id
+  FROM ({_oracle_knn_pq_trained()})
+)
+SELECT ann.tier, ann.query_id,
+       count(*)::BIGINT AS n_ann,
+       sum(CASE WHEN truth.neighbor_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS n_hits,
+       round(sum(CASE WHEN truth.neighbor_id IS NULL THEN 0 ELSE 1 END)
+             / {float(PQ_K)}, 6) AS recall_at_k
+FROM ann LEFT JOIN truth USING (query_id, neighbor_id)
+GROUP BY ann.tier, ann.query_id
+"""
+
+
 def _oracle_ann_recall() -> str:
     # Ground truth and ANN sides restated from ORACLE_KNN / ORACLE_ANN_IVF
     # with the SAME constants, both cut at IVF_K, composed in one WITH.
@@ -4372,6 +4441,7 @@ LLM_QUERIES = {
     "docs_training_mix": q_docs_training_mix,
     "docs_domain_cap": q_docs_domain_cap,
     "emb_ann_recall": q_emb_ann_recall,
+    "emb_pq_recall": q_emb_pq_recall,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
     "docs_bloom_contamination": q_docs_bloom_contamination,
@@ -4473,6 +4543,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_training_mix": _oracle_training_mix(),
         "docs_domain_cap": _oracle_domain_cap(),
         "emb_ann_recall": _oracle_ann_recall(),
+        "emb_pq_recall": _oracle_pq_recall(),
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),
         "docs_bloom_contamination": _oracle_bloom_contamination(),

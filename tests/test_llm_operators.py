@@ -2274,6 +2274,27 @@ def test_classifier_auc_matches_pair_counting_reference(spark):
     assert got["auc"] > 0.8
 
 
+def test_pq_recall_tiers_beat_chance_with_full_result_sets(spark):
+    """Every compressed tier must return exactly k neighbors per query
+    and recall well above random chance (k/(N-1) ~ 0.01 here): the
+    synthetic embeddings carry no cluster structure, so PQ
+    reconstruction is lossy — but a working ADC scan still recovers a
+    large multiple of chance. Pins mean recall >= 0.2 per tier."""
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+
+    sf = "/root/testdata/sf0.001"
+    rows = llmdata.q_emb_pq_recall(spark, sf).collect()
+    tiers = {r["tier"] for r in rows}
+    assert tiers == {"pq", "ivfpq", "pq_trained"}
+    for t in tiers:
+        tr = [r for r in rows if r["tier"] == t]
+        assert len(tr) == 5                      # one row per query
+        assert all(r["n_ann"] == llmdata.PQ_K for r in tr)
+        assert all(0 <= r["n_hits"] <= llmdata.PQ_K for r in tr)
+        mean = sum(r["recall_at_k"] for r in tr) / len(tr)
+        assert mean >= 0.2, (t, mean)            # >= 20x chance
+
+
 def test_classifier_threshold_matches_bruteforce_sweep(spark):
     """The selected operating points must equal a brute-force Python
     sweep over every distinct score (exact Fraction metrics, smallest
