@@ -34,103 +34,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-8 rotation (VERDICT r7 directive #1): new entries first, then
-# everything whose operator, plan, or shared artifact changed THIS
-# round (the quantile family's BOUNDARY_ACCURACY retune, the
-# cluster-artifact rewiring, the hierarchy orphan guard), then
-# docs_jaccard_join (plan changed r7 AFTER its r4 driver row — the
-# r7-flagged stale attestation), then the three r3-dated rows, then
-# the r4-attested block that missed the r7 gate — 50 entries exactly,
-# so after this round no current entry's latest driver row predates
-# its plan and nothing stays older than r4. The r5-r7-green remainder
-# sits past the gate; every rotated-out query stays covered by the
-# local DuckDB mirror at sf0.01 each round.
+# Round-9 rotation (VERDICT r8 directive #1 + #7), priority order:
+# (1) NEW entries (never driver-attested) and every query whose
+#     operator, plan, label, or shared artifact changed THIS round:
+#     the classifier family (teacher label made libm-free — VALUES
+#     changed), the containment pair (lossless b-side df-cap +
+#     inverted verification — values unchanged, plan new), the
+#     zvalue/hierarchy/jpeg guard carriers (error-path-only changes,
+#     values unchanged, but their plans/UDF bodies are new);
+# (2) the ten r4-dated rows the r8 gate displaced — including
+#     emb_knn_pq / emb_ann_ivfpq / emb_knn_filtered, whose plans were
+#     rewired onto the _untrained_pq_recon artifact in r8 AFTER their
+#     r4 driver rows (the r8 verdict's stale-attestation flag; the r8
+#     gate comment wrongly called them "unchanged since r4" — their
+#     OPERATORS were, their plans were not);
+# (3) 29 of the 39 r5-dated rows, oldest-first debt burn-down, led by
+#     the four the verdict named. The 10 r5 rows that don't fit
+#     (events_retention/twa/zscore, emb_label_centroids/outliers,
+#     event_user_reach_exact, events_ewma/rolling_corr/
+#     value_histogram, docs_split_by_source) lead the round-10
+#     rotation, then the 46 r6-dated rows. Everything past the gate
+#     stays re-verified by the local DuckDB mirror at sf0.01 each
+#     round (tests/test_oracle_parity.py parametrizes ALL entries).
 _VERIFY_FIRST = (
-    # -- new this round: never driver-attested --
-    "nation_profit_by_year",      # NEW: Q9-shape 6-relation profit rollup
-    "shipmode_priority_matrix",   # NEW: Q12-shape conditional-count matrix
-    "top_revenue_suppliers",      # NEW: Q15-shape revenue view + scalar max
-    "docs_scrubbed_containment",  # NEW: composed scrub -> containment
-    "docs_gzip_decode",           # NEW: gzip corpus decode-and-measure
-    "customer_trailing_spend",    # NEW: RANGE-framed 30-day window
-    "docs_shuffle_order",         # NEW: deterministic epoch shuffle rank
-    "events_variant_project",     # NEW: Spark 4 VARIANT typed extraction
-    "events_rollup_incremental",  # NEW: IVM merge == recompute proof
-    # -- operator / plan / shared artifact changed this round --
-    "docs_training_mix",          # vertex-deletion component recompute
-    "docs_dup_clusters",          # reads the _full_clusters artifact
-    "docs_dedup_keep",            # reads the _full_clusters artifact
-    "docs_quality_gopher",        # reads the _gopher_stats artifact
-    "parts_hierarchy_rollup",     # orphan-pointer guard in the walk init
-    "customer_rfm_segments",      # BOUNDARY_ACCURACY retune (values same)
-    "emb_dedup_keep",             # reads the _emb_dup_clusters artifact
-    # (docs_curriculum_order / parts_abc_classes / supplier_revenue_
-    # ranks / customer_spend_quartiles carry only the BOUNDARY_ACCURACY
-    # retune — provably value-free by monotone-bucketing invariance
-    # and mirror-green — so their gate slots go to the larger
-    # emb_dedup_keep rewiring and the never-attested
-    # docs_shuffle_order / events_variant_project /
-    # events_rollup_incremental entries; customer_rfm_segments stays
-    # as the family's in-gate retune witness)
-    "docs_boilerplate_scrub",     # oracle refactored onto _scrub_ctes
-    "docs_containment_pairs",     # oracle refactored onto _containment_tail
-    "emb_knn_pq_trained",         # reads the _trained_pq_recon artifact
-    # -- r7-flagged: plan changed r7 after its r4 driver row --
-    "docs_jaccard_join",
-    # -- r3-dated driver rows: the oldest attestations, refresh now --
-    "dim_date_spine",
-    "fact_weather_params_history",
-    "weather_dim_condition",
-    # -- r4-attested block that missed the r7 gate: refresh the rest --
-    "docs_exact_dedup",
-    "docs_text_stats",
-    "docs_lang_guess",
-    "docs_simhash",
-    "docs_near_dup_pairs",
-    "docs_sampled",
-    "docs_token_budget_mix",
-    "emb_quantize_int8",
-    "emb_knn_int8",
-    "docs_near_dup_incremental",
-    "docs_contamination",
-    "docs_packed",
-    "docs_lang_temperature_sample",
-    "docs_quality_percentile",
-    "docs_unigram_nll",
-    "docs_dup_spans",
-    "docs_oov_rate",
-    "emb_pq_codes",
-    # -- never-attested entries outrank r4 refreshes ("no attestation"
-    # is strictly staler than an r4 row): the spatial grid query, the
-    # two JPEG-codec queries, the dup-graph k-core, the in-engine
-    # quality classifier with its AUC + calibration evaluations, the
-    # tokenizer-fertility query, and the Z-order layout stats take the
-    # last nine gate slots, and the nine displaced r4-dated rows
-    # (emb_knn_pq, emb_ann_ivfpq, emb_knn_filtered, docs_simhash_pairs,
-    # docs_near_dup_edit_distance, docs_tfidf_top_terms,
-    # docs_winnow_fingerprints, emb_ann_ivf, emb_ann_lsh — operators
-    # unchanged since r4, mirror-green at sf0.01 every round) move just
-    # past the gate to LEAD the round-9 rotation.
-    "events_spatial_grid",
-    "multimodal_jpeg_features",
-    "multimodal_mjpeg_frames",
-    "docs_dup_kcore",
-    "docs_quality_classifier",
-    "docs_classifier_auc",
-    "docs_classifier_calibration",
-    "docs_tokenizer_fertility",
-    "events_zorder_stats",
-    # -- position 51+: r4-attested, unchanged, mirror-green; first in
-    # line for round 9.
-    "emb_knn_pq",
-    "emb_ann_ivfpq",
+    # -- (1) new or changed this round --
+    "docs_classifier_threshold",  # NEW: best-F1/Youden-J operating point
+    "emb_pq_recall",              # NEW: recall@k for all three PQ tiers
+    "docs_quality_classifier",    # teacher label made libm-free (r8
+    "docs_classifier_auc",        #   ADVICE medium): n/(n+400) bonus,
+    "docs_classifier_calibration",  # threshold 0.52 — VALUES changed
+    "docs_containment_pairs",     # b-side df-cap + inverted verify
+    "docs_scrubbed_containment",  # composed form of the same operator
+    "events_zorder_stats",        # zvalue domain guard (plan changed)
+    "parts_hierarchy_rollup",     # orphan marker join (plan changed)
+    "multimodal_jpeg_features",   # decoder bounds guards (UDF changed)
+    "multimodal_mjpeg_frames",    # demux bounds guards (UDF changed)
+    # -- (2) the ten r4-dated rows displaced by the r8 gate --
+    "emb_knn_pq",                 # plan rewired r8 AFTER its r4 row
+    "emb_ann_ivfpq",              # plan rewired r8 AFTER its r4 row
     "emb_knn_filtered",
+    "emb_knn_vectorized",
     "docs_simhash_pairs",
     "docs_near_dup_edit_distance",
     "docs_tfidf_top_terms",
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",
+    # -- (3) r5-dated debt burn-down: 29 of 39, verdict-named first --
+    "weather_stg_raw",
+    "weather_dim_location",
+    "weather_daylight_readings",
+    "events_last_error_asof",
+    "latest_order_per_customer",
+    "supplier_running_quantity",
+    "customer_order_gaps",
+    "sessionize_events",
+    "customers_without_orders",
+    "returned_priority_counts",
+    "repeat_status_customers",
+    "dim_geo",
+    "dim_date_from_orders",
+    "dim_part_type",
+    "events_hourly_rollup",
+    "events_json_project",
+    "order_status_exclusive",
+    "small_qty_part_revenue",
+    "events_rollup",
+    "events_cube",
+    "events_daily_pivot",
+    "events_unpivot",
+    "order_value_percentiles",
+    "event_user_reach_approx",
+    "weather_city_daily",
+    "weather_forecast_error",
+    "emb_ann_ivf_trained",
+    "events_gapfill",
+    "events_funnel",
 )
 
 
