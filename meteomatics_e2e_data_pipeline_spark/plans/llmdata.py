@@ -1451,6 +1451,70 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 
 
+IVF_NPROBE = 2
+
+
+def q_emb_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF search (nprobe=2): the query probes its TWO
+    nearest coarse buckets instead of one — the standard recall knob
+    every IVF deployment turns before touching the index (FAISS
+    nprobe). Storage assignment is untouched; the probe side of the
+    bucket-keyed hash join doubles (2/n_buckets of the corpus), and
+    recall per query can only rise: candidates are a superset of the
+    one-probe set, and every brute-force-truth neighbor outscores
+    every non-truth neighbor, so widening candidates never evicts a
+    hit (pytest pins multiprobe recall >= one-probe recall per
+    query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_ivf(emb, queries, centroids, IVF_K,
+                              nprobe=IVF_NPROBE)
+
+
+ORACLE_ANN_IVF_MULTIPROBE = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_v
+              FROM embeddings WHERE vec_id < {IVF_CENTROID_MAX_ID}),
+allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored_assign AS (
+  SELECT a.vec_id, a.v, c.centroid_id,
+         list_dot_product(a.v, c.cent_v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(c.cent_v, c.cent_v))) AS cs
+  FROM allv a, cent c
+),
+ranked_assign AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cs DESC, centroid_id) AS rn
+  FROM scored_assign
+),
+assigned AS (
+  SELECT vec_id, v, centroid_id AS bucket FROM ranked_assign WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv, centroid_id AS bucket
+      FROM ranked_assign
+      WHERE vec_id < {KNN_QUERY_MAX_ID} AND rn <= {IVF_NPROBE}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM assigned),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, q.bucket,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM c JOIN q USING (bucket)
+  WHERE c.neighbor_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, round(cos_raw, 6) AS cos_sim,
+       rank::INT AS rank
+FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
 def q_docs_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy verification of LSH candidates via Levenshtein: edit
     distance runs ONLY on the candidate pairs (the small LSH tail), never
@@ -4442,6 +4506,7 @@ LLM_QUERIES = {
     "docs_domain_cap": q_docs_domain_cap,
     "emb_ann_recall": q_emb_ann_recall,
     "emb_pq_recall": q_emb_pq_recall,
+    "emb_ann_ivf_multiprobe": q_emb_ann_ivf_multiprobe,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
     "docs_bloom_contamination": q_docs_bloom_contamination,
@@ -4544,6 +4609,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_domain_cap": _oracle_domain_cap(),
         "emb_ann_recall": _oracle_ann_recall(),
         "emb_pq_recall": _oracle_pq_recall(),
+        "emb_ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),
         "docs_bloom_contamination": _oracle_bloom_contamination(),

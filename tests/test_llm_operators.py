@@ -2274,6 +2274,51 @@ def test_classifier_auc_matches_pair_counting_reference(spark):
     assert got["auc"] > 0.8
 
 
+def test_multiprobe_ivf_widens_probes_and_never_loses_recall(spark):
+    """nprobe=2 must probe exactly two buckets per query — a strict
+    superset of the one-probe bucket — and per-query recall against
+    the brute-force truth can only rise (every truth neighbor
+    outscores every non-truth neighbor, so widening the candidate set
+    never evicts a hit)."""
+    from meteomatics_e2e_data_pipeline_spark.operators import similarity
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < llmdata.KNN_QUERY_MAX_ID)
+    cents = (emb.filter(F.col("vec_id") < llmdata.IVF_CENTROID_MAX_ID)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+
+    def probe_map(nprobe):
+        rows = similarity.ivf_assign(q, cents, nprobe=nprobe).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["vec_id"], set()).add(r["bucket"])
+        return out
+
+    one, two = probe_map(1), probe_map(2)
+    assert all(len(b) == 1 for b in one.values())
+    assert all(len(b) == 2 for b in two.values())
+    assert all(one[k] <= two[k] for k in one)
+
+    truth = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.knn_bruteforce(emb, q, llmdata.IVF_K).collect()}
+
+    def hits(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], 0)
+            if (r["query_id"], r["neighbor_id"]) in truth:
+                out[r["query_id"]] += 1
+        return out
+
+    h1 = hits(llmdata.q_emb_ann_ivf(spark, sf))
+    h2 = hits(llmdata.q_emb_ann_ivf_multiprobe(spark, sf))
+    assert set(h1) == set(h2)
+    assert all(h2[k] >= h1[k] for k in h1)
+
+
 def test_pq_recall_tiers_beat_chance_with_full_result_sets(spark):
     """Every compressed tier must return exactly k neighbors per query
     and recall well above random chance (k/(N-1) ~ 0.01 here): the

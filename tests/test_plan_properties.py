@@ -51,6 +51,13 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
     # BroadcastNestedLoopJoin is deliberate ONLY in the brute-force /
     # quantizer-assignment similarity queries (see PLANS.md).
     allowed = {"emb_knn_bruteforce", "emb_knn_vectorized", "emb_ann_ivf",
+               # nprobe=2 probe widening — same ivf_assign broadcast
+               # scoring as emb_ann_ivf
+               "emb_ann_ivf_multiprobe",
+               # recall@k over the three PQ tiers — composes the tier
+               # queries + knn_bruteforce truth, inheriting their
+               # deliberate bounded BNLJs
+               "emb_pq_recall",
                "emb_ann_ivf_trained", "emb_cosine_near_dup", "emb_knn_int8",
                # stage-1 of the two-stage funnel is the int8 pass above;
                # its stage-2 joins are broadcast HASH joins by design
