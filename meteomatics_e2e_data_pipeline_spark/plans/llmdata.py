@@ -981,6 +981,102 @@ WITH {_minhash_cand_cte(src)},
 """
 
 
+def q_docs_minhash_calibration(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Sketch-accuracy calibration for the MinHash estimator — the
+    readout that decides whether the estimate can replace exact
+    verification at a given threshold: over every LSH candidate pair,
+    compare the signature-agreement estimate (matching coordinates /
+    NUM_PERM) with the exact shingle Jaccard, bucketed by exact
+    Jaccard in 0.1 steps (n_pairs, mean estimate, mean exact, signed
+    bias per bucket). The E[agreement] = J identity is what LSH
+    banding's collision probabilities are built on; the bias column is
+    its empirical check on this corpus.
+
+    Determinism discipline: per-bucket means avoid cross-row float
+    sums — the estimate aggregates as an INTEGER matching-coordinate
+    sum divided once at the end, and the exact Jaccard (already on the
+    6-dp grid) sums as DECIMAL(18,6) — so both engines aggregate
+    exactly and divide once (correctly rounded). Work is |candidates|
+    row-local comparisons + one partial agg."""
+    sh = _shingles(spark, sf_dir)
+    sigs = neardup.minhash_from_shingles(sh, "doc_id")
+    cand = neardup.lsh_candidate_pairs(sigs, "doc_id")
+    exact = neardup.verify_jaccard(cand, sh, "doc_id", 0.0)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"mh_{j}").alias(f"a{j}")
+                       for j in range(neardup.NUM_PERM)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"mh_{j}").alias(f"b{j}")
+                       for j in range(neardup.NUM_PERM)])
+    nm = None
+    for j in range(neardup.NUM_PERM):
+        t = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        nm = t if nm is None else nm + t
+    pairs = (exact.join(sa, "doc_a").join(sb, "doc_b")
+             .select("doc_a", "doc_b", "jaccard", nm.alias("n_match")))
+    g = (pairs
+         .groupBy(F.floor(F.round(F.col("jaccard") / 0.1, 9)).cast("int")
+                  .alias("bucket"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+              F.round(F.sum("n_match")
+                      / (F.lit(float(neardup.NUM_PERM))
+                         * F.count(F.lit(1))), 6)
+              .alias("mean_est_jaccard"),
+              F.round(F.sum(F.col("jaccard").cast("decimal(18,6)"))
+                      .cast("double") / F.count(F.lit(1)), 6)
+              .alias("mean_exact_jaccard"))
+         .select(F.round(F.col("bucket") * 0.1, 1).alias("bucket_lo"),
+                 "n_pairs", "mean_est_jaccard", "mean_exact_jaccard"))
+    return g.withColumn(
+        "bias", F.round(F.col("mean_est_jaccard")
+                        - F.col("mean_exact_jaccard"), 6))
+
+
+def _oracle_minhash_calibration() -> str:
+    match_expr = " + ".join(
+        f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(neardup.NUM_PERM))
+    return rf"""
+WITH {_minhash_cand_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.hv = x.hv
+  GROUP BY c.id_a, c.id_b
+),
+exact AS (
+  SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+         round(coalesce(i.n_inter, 0) * 1.0
+               / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+),
+m AS (
+  SELECT e.doc_a, e.doc_b, e.jaccard,
+         ({match_expr}) AS n_match
+  FROM exact e
+  JOIN sig sa ON sa.doc_id = e.doc_a
+  JOIN sig sb ON sb.doc_id = e.doc_b
+),
+g AS (
+  SELECT round((floor(round(jaccard / 0.1, 9))::INT * 0.1)::DOUBLE, 1)
+           AS bucket_lo,
+         count(*)::BIGINT AS n_pairs,
+         round(sum(n_match) / ({float(neardup.NUM_PERM)} * count(*)), 6)
+           AS mean_est_jaccard,
+         round((sum(jaccard::DECIMAL(18,6)))::DOUBLE / count(*), 6)
+           AS mean_exact_jaccard
+  FROM m GROUP BY floor(round(jaccard / 0.1, 9))
+)
+SELECT *, round(mean_est_jaccard - mean_exact_jaccard, 6) AS bias FROM g
+"""
+
+
 def q_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-graph triangles (round 7): mutually-similar document
     triples via the ordered-wedge join over the shared verified-pair
@@ -4488,6 +4584,7 @@ LLM_QUERIES = {
     "docs_containment_pairs": q_docs_containment_pairs,
     "docs_scrubbed_containment": q_docs_scrubbed_containment,
     "docs_jaccard_histogram": q_docs_jaccard_histogram,
+    "docs_minhash_calibration": q_docs_minhash_calibration,
     "docs_dup_clusters_incremental": q_docs_dup_clusters_incremental,
     "docs_dedup_keep": q_docs_dedup_keep,
     "docs_sampled": q_docs_sampled,
@@ -4588,6 +4685,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_containment_pairs": _oracle_containment_pairs(),
         "docs_scrubbed_containment": _oracle_scrubbed_containment(),
         "docs_jaccard_histogram": _oracle_jaccard_histogram(),
+        "docs_minhash_calibration": _oracle_minhash_calibration(),
         # incremental maintenance must be indistinguishable from the
         # batch recompute — it shares the batch oracle verbatim
         "docs_dup_clusters_incremental": _oracle_dup_clusters(),

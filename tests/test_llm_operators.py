@@ -2274,6 +2274,29 @@ def test_classifier_auc_matches_pair_counting_reference(spark):
     assert got["auc"] > 0.8
 
 
+def test_minhash_calibration_partitions_candidates(spark):
+    """Calibration buckets must partition the LSH candidate set
+    exactly; estimates and exacts live in [0,1]; and the estimator is
+    nearly unbiased where it matters (the >= 0.9 bucket that banding
+    is tuned for), while the low-Jaccard bucket carries the large
+    positive bias of banding false positives — the exact reason the
+    verification stage exists."""
+    from meteomatics_e2e_data_pipeline_spark.operators import neardup
+    from meteomatics_e2e_data_pipeline_spark.plans import llmdata
+
+    sf = "/root/testdata/sf0.001"
+    sh = llmdata._shingles(spark, sf)
+    n_cand = neardup.lsh_candidate_pairs(
+        neardup.minhash_from_shingles(sh, "doc_id"), "doc_id").count()
+    rows = llmdata.q_docs_minhash_calibration(spark, sf).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_cand
+    for r in rows:
+        assert 0.0 <= r["mean_est_jaccard"] <= 1.0
+        assert 0.0 <= r["mean_exact_jaccard"] <= 1.0
+    top = [r for r in rows if r["bucket_lo"] >= 0.9]
+    assert top and all(abs(r["bias"]) < 0.05 for r in top)
+
+
 def test_multiprobe_ivf_widens_probes_and_never_loses_recall(spark):
     """nprobe=2 must probe exactly two buckets per query — a strict
     superset of the one-probe bucket — and per-query recall against
