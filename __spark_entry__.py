@@ -48,12 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r4 driver rows (the r8 verdict's stale-attestation flag; the r8
 #     gate comment wrongly called them "unchanged since r4" — their
 #     OPERATORS were, their plans were not);
-# (3) 27 of the 39 r5-dated rows, oldest-first debt burn-down, led by
-#     the four the verdict named. The 12 r5 rows that don't fit
-#     (events_gapfill, events_funnel, events_retention/twa/zscore,
-#     emb_label_centroids/outliers, event_user_reach_exact,
-#     events_ewma/rolling_corr/value_histogram, docs_split_by_source)
-#     lead the round-10 rotation, then the 46 r6-dated rows.
+# (3) 26 of the 39 r5-dated rows, oldest-first debt burn-down, led by
+#     the four the verdict named. The 13 r5 rows that don't fit
+#     (emb_ann_ivf_trained, events_gapfill, events_funnel,
+#     events_retention/twa/zscore, emb_label_centroids/outliers,
+#     event_user_reach_exact, events_ewma/rolling_corr/
+#     value_histogram, docs_split_by_source) lead the round-10
+#     rotation, then the 46 r6-dated rows.
 #     Everything past the gate
 #     stays re-verified by the local DuckDB mirror at sf0.01 each
 #     round (tests/test_oracle_parity.py parametrizes ALL entries).
@@ -63,6 +64,7 @@ _VERIFY_FIRST = (
     "emb_pq_recall",              # NEW: recall@k for all three PQ tiers
     "emb_ann_ivf_multiprobe",     # NEW: nprobe=2 probe widening
     "docs_minhash_calibration",   # NEW: sketch estimate-vs-exact bias
+    "events_forecast_backtest",   # NEW: walk-forward seasonal-naive MAPE
     "docs_quality_classifier",    # teacher label made libm-free (r8
     "docs_classifier_auc",        #   ADVICE medium): n/(n+400) bonus,
     "docs_classifier_calibration",  # threshold 0.52 — VALUES changed
@@ -110,7 +112,6 @@ _VERIFY_FIRST = (
     "event_user_reach_approx",
     "weather_city_daily",
     "weather_forecast_error",
-    "emb_ann_ivf_trained",
 )
 
 

@@ -703,6 +703,92 @@ FROM d2 JOIN base ON d2.event_type = base.event_type AND d2.dow = base.dow
 """
 
 
+def q_events_forecast_backtest(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Walk-forward seasonal-naive forecast backtest — the evaluation
+    loop behind every capacity-planning baseline: forecast each
+    (type, day) daily count as the mean of the SAME weekday's counts
+    over STRICTLY PRIOR days (ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING — no leakage by construction), then report per
+    (type, dow) the exact day count, MAPE, and signed mean error.
+
+    Float policy (the module's "ratio of exact sums" pattern): daily
+    counts are integers; the forecast is one exact int-sum / count
+    division; each day's APE and error quantize straight to
+    DECIMAL(18,9) (double→decimal cast: HALF_UP in Spark, to-nearest
+    in DuckDB — same classifier-gradient pattern, midpoints
+    measure-zero) so the cross-day mean is an exact decimal sum with
+    one final division. Scale shape: one map-side daily aggregate;
+    the window runs over the (type × day) rollup — calendar-bounded,
+    partitioned by (type, dow), never the raw events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dow", (F.dayofweek("day") - 1).cast("int"))
+    )
+    w = (Window.partitionBy("event_type", "dow").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    scored = (
+        daily
+        .withColumn("s", F.sum("n").over(w))
+        .withColumn("c", F.count(F.lit(1)).over(w))
+        .filter(F.col("c") >= 1)
+        .select("event_type", "dow",
+                F.col("n").cast("double").alias("a"),
+                (F.col("s").cast("double") / F.col("c")).alias("fc"))
+    )
+    t = scored.select(
+        "event_type", "dow",
+        (F.abs(F.col("a") - F.col("fc")) / F.col("a"))
+        .cast("decimal(18,9)").alias("ape"),
+        (F.col("fc") - F.col("a")).cast("decimal(18,9)").alias("err"))
+    return (
+        t.groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"),
+             F.round(F.sum("ape").cast("double") / F.count(F.lit(1)), 6)
+             .alias("mape"),
+             F.round(F.sum("err").cast("double") / F.count(F.lit(1)), 6)
+             .alias("mean_err"))
+    )
+
+
+ORACLE_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, dayofweek(day) AS dow, day, n,
+         sum(n) OVER (PARTITION BY event_type, dayofweek(day)
+                      ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS s,
+         count(*) OVER (PARTITION BY event_type, dayofweek(day)
+                        ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS c
+  FROM daily
+),
+f AS (
+  SELECT event_type, dow, n::DOUBLE AS a, s::DOUBLE / c AS fc
+  FROM w WHERE c >= 1
+),
+t AS (
+  SELECT event_type, dow,
+         (abs(a - fc) / a)::DECIMAL(18,9) AS ape,
+         (fc - a)::DECIMAL(18,9) AS err
+  FROM f
+)
+SELECT event_type, dow::INT AS dow, count(*)::BIGINT AS n_days,
+       round((sum(ape))::DOUBLE / count(*), 6) AS mape,
+       round((sum(err))::DOUBLE / count(*), 6) AS mean_err
+FROM t GROUP BY 1, 2
+"""
+
+
 TS_QUERIES = {
     "events_gapfill": q_events_gapfill,
     "events_funnel": q_events_funnel,
@@ -715,6 +801,7 @@ TS_QUERIES = {
     "events_value_histogram": q_events_value_histogram,
     "events_dow_baseline": q_events_dow_baseline,
     "events_stl_decompose": q_events_stl_decompose,
+    "events_forecast_backtest": q_events_forecast_backtest,
 }
 
 
@@ -731,4 +818,5 @@ def ts_oracle() -> dict[str, str]:
         "events_value_histogram": ORACLE_VALUE_HISTOGRAM,
         "events_dow_baseline": ORACLE_DOW_BASELINE,
         "events_stl_decompose": ORACLE_STL_DECOMPOSE,
+        "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
     }

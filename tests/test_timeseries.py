@@ -387,3 +387,53 @@ def test_type_runs_and_scd2_match_python_reference(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from and not a.is_current
         assert ivs[-1].valid_to is None and ivs[-1].is_current
+
+
+def test_forecast_backtest_is_walk_forward_no_leakage(spark):
+    """The backtest must equal a sequential Python walk that forecasts
+    each day ONLY from strictly prior same-weekday days (exact
+    Fraction arithmetic, quantized at 9 dp like the engine) — any
+    leakage of the current or future day into the forecast shows up
+    as a mismatch, as would an off-by-one in the frame."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    from meteomatics_e2e_data_pipeline_spark.plans.timeseries import (
+        q_events_forecast_backtest,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"))).collect()
+    series: dict = {}
+    for r in sorted(daily, key=lambda r: r["day"]):
+        dow = (r["day"].isoweekday()) % 7  # Sunday=0, matching dayofweek-1
+        series.setdefault((r["event_type"], dow), []).append(r["n"])
+
+    q9 = Decimal("1e-9")
+    want = {}
+    for (et, dow), ns in series.items():
+        apes, errs = [], []
+        for i in range(1, len(ns)):
+            fc = Fraction(sum(ns[:i]), i)
+            a = Fraction(ns[i])
+            apes.append(Decimal(float(abs(a - fc) / a))
+                        .quantize(q9, ROUND_HALF_UP))
+            errs.append(Decimal(float(fc - a)).quantize(q9, ROUND_HALF_UP))
+        if apes:
+            n = len(apes)
+            want[(et, dow)] = (
+                n,
+                round(float(sum(apes)) / n, 6),
+                round(float(sum(errs)) / n, 6))
+
+    got = {(r["event_type"], r["dow"]):
+           (r["n_days"], r["mape"], r["mean_err"])
+           for r in q_events_forecast_backtest(spark, sf).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 2e-6, k
+        assert abs(got[k][2] - want[k][2]) < 2e-6, k
