@@ -8,11 +8,12 @@ distinct first so only the key column ships). No forced ``broadcast()``
 hint: years × thousands of files can exceed the broadcast limit, and
 Catalyst/AQE already pick broadcast-anti when the build side is small.
 
-Write-path semantics on plain parquet (no transactional table format in this
-image): ``append`` is NOT atomic — a retry after a mid-write failure can
-leave duplicates. The reference has the same exposure (dbt incremental on
-top of external files); production deployments should point these operators
-at a transactional format (Delta/Iceberg ``MERGE``) — the call signature is
+Write-path semantics on plain parquet: ``append`` is NOT atomic — a retry
+after a mid-write failure can leave duplicates. The reference has the same
+exposure (dbt incremental on top of external files). For exactly-once record
+semantics use ``fmt='txlog'`` (the in-repo transaction-log table,
+``operators/txlog.py`` — atomic commit-or-nothing MERGE that runs in this
+image) or ``fmt='delta'`` (delta-spark, env-gated); the call signature is
 format-agnostic.
 """
 
@@ -115,9 +116,11 @@ def upsert_by_key(new: DataFrame, target_path: str, keys: Sequence[str],
                   partition_by: Sequence[str] | None = None,
                   fmt: str = "parquet") -> None:
     """S8: incremental upsert with a dedupe key. ``fmt='parquet'``
-    (default) = anti-join existing keys, then append; ``fmt='delta'``
-    dispatches to :func:`merge_delta` for a transactional MERGE with the
-    same first-writer-wins record semantics.
+    (default) = anti-join existing keys, then append; ``fmt='txlog'``
+    = the in-repo transaction-log table (atomic MERGE, executes
+    everywhere); ``fmt='delta'`` dispatches to :func:`merge_delta` when
+    the delta-spark package is available. All three tiers have the same
+    first-writer-wins record semantics.
 
     Exactly-once at file grain comes from `new_files_only`; this guards the
     record grain. Scale notes: the existing side is pruned to the key
@@ -126,6 +129,31 @@ def upsert_by_key(new: DataFrame, target_path: str, keys: Sequence[str],
     pruning), so the anti-join never rescans the whole history. ``new`` is
     one micro-batch, so the shuffle is bounded by batch size.
     """
+    if fmt == "txlog":
+        # Transactional tier that actually EXECUTES in this image: the
+        # in-repo transaction-log table (operators/txlog.py) gives the
+        # same first-writer-wins MERGE atomically — commit-or-nothing
+        # under mid-write failure, optimistic concurrency across writers,
+        # and stat-pruned collision probes instead of prune_filter.
+        from meteomatics_e2e_data_pipeline_spark.operators.txlog import \
+            TxTable
+        if prune_filter is not None:
+            raise ValueError(
+                "prune_filter is not supported with fmt='txlog'; per-file "
+                "key stats in the transaction log prune the collision "
+                "probe automatically")
+        if partition_by:
+            raise ValueError(
+                "fmt='txlog' lays out files by key-stat ranges, not "
+                "directory partitions; omit partition_by")
+        try:
+            table = TxTable(spark, target_path)
+        except ValueError:
+            TxTable.create(spark, new.dropDuplicates(list(keys)),
+                           target_path, stat_cols=list(keys))
+            return
+        table.merge_upsert(new, keys, update=False)
+        return
     if fmt == "delta":
         if prune_filter is not None:
             # Silently ignoring the caller's pruning predicate would void

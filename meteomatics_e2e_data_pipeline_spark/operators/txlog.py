@@ -1,0 +1,431 @@
+"""Transaction-log parquet tables: atomic MERGE / time travel / file pruning.
+
+Realizes the S8 transactional tier (reference ``stg_weather_raw.sql:3-7`` —
+Snowflake MERGE semantics via dbt ``unique_key``) with an executable local
+implementation instead of the env-gated delta-spark dependency: a versioned
+JSON action log over immutable parquet files, the same core protocol shape
+as the open Delta Lake / Iceberg designs (public specs), reduced to what the
+pipeline needs:
+
+* ``_txlog/%020d.json`` commit files, one JSON action per line
+  (``meta`` / ``add`` / ``remove``); a snapshot at version V is the fold of
+  all commits ``<= V`` (adds minus removes).
+* Commits are published by exclusive-create of the next version file
+  (``FileSystem.create(overwrite=False)``) — the HDFS-atomic primitive.
+  Losing a race re-resolves the snapshot and retries; a retry that finds
+  its *read set* invalidated (a file it planned to remove was already
+  removed) raises :class:`TxConflict` instead of silently double-applying.
+* Data files are immutable and carry per-file min/max stats for the
+  declared ``stat_cols`` in their ``add`` action, so MERGE touches only
+  files whose stat range overlaps the batch — cost ∝ affected files, not
+  table size. At 100 TB this is the difference between rewriting a few
+  collision files and rescanning years of history; the log itself stays
+  driver-sized (one small JSON line per file, exactly like Delta's
+  driver-held snapshot).
+* ``merge_upsert(update=False)`` is the reference's first-writer-wins
+  insert-only MERGE; ``update=True`` is last-wins copy-on-write (rewrites
+  only the files that actually hold colliding keys).
+* Removed files stay on disk so every historical version remains readable
+  (time travel); ``vacuum()`` explicitly deletes files unreferenced by the
+  current version.
+
+Everything data-sized runs as Spark jobs (staging writes, per-file stats via
+``input_file_name`` group-by, key collision probes as semi/anti joins); the
+driver holds only the action log and per-file stat rows (one per file).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from collections.abc import Sequence
+from datetime import date, datetime
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+
+
+class TxConflict(Exception):
+    """A concurrent commit invalidated this transaction's read set."""
+
+
+def _jpath(spark: SparkSession, p: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(p)
+
+
+def _fs(spark: SparkSession, p: str):
+    return _jpath(spark, p).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _json_scalar(v):
+    """JSON-encode a stat value losslessly enough to round-trip compares.
+
+    Stats are *advisory bounds* — a lossy bound may only widen pruning
+    (keep a file), never skip a file that could match, so unknown types
+    degrade to ``None`` (= "no stats, always a candidate")."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    return None
+
+
+class TxTable:
+    """A transaction-log parquet table rooted at ``path``.
+
+    Construct via :meth:`create` (new table) or ``TxTable(spark, path)``
+    (existing). All mutating ops commit atomically; readers always see a
+    complete version.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.log_dir = f"{self.path}/{_LOG_DIR}"
+        if self._latest_version() is None:
+            raise ValueError(f"{path} is not a txlog table (no {_LOG_DIR}); "
+                             "use TxTable.create()")
+
+    # ---------------------------------------------------------------- log IO
+    def _latest_version(self) -> int | None:
+        fs = _fs(self.spark, self.log_dir)
+        ld = _jpath(self.spark, self.log_dir)
+        if not fs.exists(ld):
+            return None
+        best = None
+        for st in fs.listStatus(ld):
+            name = st.getPath().getName()
+            if name.endswith(".json") and name[:-5].isdigit():
+                v = int(name[:-5])
+                best = v if best is None or v > best else best
+        return best
+
+    def _read_commit(self, version: int) -> list[dict]:
+        fs = _fs(self.spark, self.log_dir)
+        p = _jpath(self.spark, f"{self.log_dir}/{version:020d}.json")
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream))
+        finally:
+            stream.close()
+        return [json.loads(line) for line in
+                data.decode("utf-8").splitlines() if line.strip()]
+
+    def _snapshot(self, version: int | None = None):
+        """Fold the log: returns (version, meta, {relpath: add-action})."""
+        latest = self._latest_version()
+        if latest is None:
+            raise ValueError(f"{self.path} has no commits")
+        v = latest if version is None else version
+        if v > latest or v < 0:
+            raise ValueError(f"version {v} out of range 0..{latest}")
+        meta: dict = {}
+        live: dict[str, dict] = {}
+        for i in range(v + 1):
+            for action in self._read_commit(i):
+                if "meta" in action:
+                    meta = action["meta"]
+                elif "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+        return v, meta, live
+
+    def _try_publish(self, version: int, actions: list[dict]) -> bool:
+        """Exclusive-create the commit file; False if the version is taken."""
+        fs = _fs(self.spark, self.log_dir)
+        target = _jpath(self.spark, f"{self.log_dir}/{version:020d}.json")
+        if fs.exists(target):
+            return False
+        payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+        try:
+            out = fs.create(target, False)  # overwrite=False: atomic claim
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def _commit(self, actions: list[dict], read_version: int,
+                validate=None) -> int:
+        """Optimistic publish against the snapshot read at ``read_version``.
+
+        If other writers committed versions ``read_version+1 .. latest``
+        in the meantime, their actions are validated before we publish on
+        top of them: a file we planned to remove that a concurrent commit
+        already removed is always a conflict (file-level write-write, the
+        same rule as the public Delta protocol), and the op-specific
+        ``validate(intervening_actions)`` hook may raise
+        :class:`TxConflict` for semantic conflicts (e.g. a concurrent
+        insert overlapping a merge's key range). A conflict is never
+        silent — the caller re-runs on the fresh snapshot."""
+        removes = {a["remove"]["path"] for a in actions if "remove" in a}
+        checked_through = read_version
+        while True:
+            latest = self._latest_version()
+            assert latest is not None
+            if latest > checked_through:
+                intervening = [a for i in
+                               range(checked_through + 1, latest + 1)
+                               for a in self._read_commit(i)]
+                removed_by_others = {a["remove"]["path"] for a in intervening
+                                     if "remove" in a}
+                clash = removes & removed_by_others
+                if clash:
+                    raise TxConflict(
+                        f"files {sorted(clash)} were already removed by a "
+                        f"concurrent commit; re-run the operation on the "
+                        f"new snapshot of {self.path}")
+                if validate is not None:
+                    validate(intervening)
+                checked_through = latest
+            if self._try_publish(latest + 1, actions):
+                return latest + 1
+
+    # ------------------------------------------------------------- data files
+    def _stage(self, df: DataFrame, stat_cols: Sequence[str]) -> list[dict]:
+        """Write ``df`` as immutable parquet files in the table root and
+        return their ``add`` actions (with per-file min/max stats).
+
+        The staged write and the stats pass are Spark jobs; only one stat
+        row *per file* reaches the driver."""
+        tag = uuid.uuid4().hex[:12]
+        staged = f"{self.path}/_staged_{tag}"
+        df.write.parquet(staged)
+        fs = _fs(self.spark, staged)
+        parts = [st.getPath().getName()
+                 for st in fs.listStatus(_jpath(self.spark, staged))
+                 if st.getPath().getName().endswith(".parquet")]
+        if not parts:
+            fs.delete(_jpath(self.spark, staged), True)
+            return []
+        sdf = self.spark.read.parquet(staged).withColumn(
+            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        stat_rows = {r["_file"]: r for r in
+                     sdf.groupBy("_file").agg(*aggs).collect()}
+        adds = []
+        for name in parts:
+            r = stat_rows.get(name)
+            if r is None:
+                continue  # zero-row part file: nothing to commit
+            final = f"part-{tag}-{name}"
+            ok = fs.rename(_jpath(self.spark, f"{staged}/{name}"),
+                           _jpath(self.spark, f"{self.path}/{final}"))
+            if not ok:
+                raise IOError(f"rename of staged file {name} failed")
+            stats = {c: [_json_scalar(r[f"_min_{c}"]),
+                         _json_scalar(r[f"_max_{c}"])]
+                     for c in stat_cols}
+            adds.append({"add": {"path": final, "numRecords": int(r["_n"]),
+                                 "stats": stats}})
+        fs.delete(_jpath(self.spark, staged), True)
+        return adds
+
+    # ------------------------------------------------------------------ API
+    @staticmethod
+    def create(spark: SparkSession, df: DataFrame, path: str,
+               stat_cols: Sequence[str] = ()) -> "TxTable":
+        """Create a new table at ``path`` from ``df`` (commit 0)."""
+        path = path.rstrip("/")
+        fs = _fs(spark, path)
+        log = _jpath(spark, f"{path}/{_LOG_DIR}")
+        if fs.exists(log):
+            raise ValueError(f"{path} is already a txlog table")
+        fs.mkdirs(log)
+        t = object.__new__(TxTable)
+        t.spark, t.path, t.log_dir = spark, path, f"{path}/{_LOG_DIR}"
+        actions = [{"meta": {"schema": json.loads(df.schema.json()),
+                             "stat_cols": list(stat_cols)}}]
+        actions += t._stage(df, stat_cols)
+        if not t._try_publish(0, actions):
+            raise TxConflict(f"concurrent create of {path}")
+        return t
+
+    @property
+    def version(self) -> int:
+        v = self._latest_version()
+        assert v is not None
+        return v
+
+    def schema(self) -> StructType:
+        _, meta, _ = self._snapshot()
+        return StructType.fromJson(meta["schema"])
+
+    def live_files(self, version: int | None = None) -> list[str]:
+        _, _, live = self._snapshot(version)
+        return sorted(live)
+
+    def history(self) -> list[list[dict]]:
+        return [self._read_commit(i) for i in range(self.version + 1)]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel when ``version`` is given)."""
+        _, meta, live = self._snapshot(version)
+        schema = StructType.fromJson(meta["schema"])
+        if not live:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in sorted(live)])
+
+    def _check_schema(self, df: DataFrame) -> DataFrame:
+        schema = self.schema()
+        want = [f.name for f in schema.fields]
+        have = set(df.columns)
+        if set(want) != have:
+            raise ValueError(f"schema mismatch: table has {want}, "
+                             f"batch has {sorted(have)}")
+        # Positional/nullable drift is tolerated; names+casts are enforced.
+        return df.select(*[F.col(f.name).cast(f.dataType)
+                           for f in schema.fields])
+
+    def append(self, df: DataFrame) -> int:
+        """Atomic append (pure adds never conflict — retried past any
+        concurrent commit)."""
+        rv, meta, _ = self._snapshot()
+        adds = self._stage(self._check_schema(df), meta.get("stat_cols", []))
+        return self._commit(adds, rv) if adds else self.version
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Atomic full replace (S9 semantics, but versioned). Conflicts
+        with ANY concurrent commit: "replace everything as of my read
+        snapshot" is unsound once another writer changed the table."""
+        rv, meta, live = self._snapshot()
+        actions = [{"remove": {"path": p}} for p in sorted(live)]
+        actions += self._stage(self._check_schema(df),
+                               meta.get("stat_cols", []))
+
+        def no_concurrency(intervening):
+            if intervening:
+                raise TxConflict(
+                    f"overwrite of {self.path} raced a concurrent commit; "
+                    "re-run on the new snapshot")
+        return self._commit(actions, rv, validate=no_concurrency)
+
+    @staticmethod
+    def _batch_bounds(batch: DataFrame, keys: Sequence[str]) -> dict:
+        """Per-key [min, max] of the batch — one 2k-scalar agg."""
+        row = batch.agg(*[f for k in keys for f in
+                          (F.min(k).alias(f"lo_{k}"),
+                           F.max(k).alias(f"hi_{k}"))]).collect()[0]
+        return {k: (_json_scalar(row[f"lo_{k}"]),
+                    _json_scalar(row[f"hi_{k}"])) for k in keys}
+
+    @staticmethod
+    def _overlaps(add: dict, keys: Sequence[str], bounds: dict) -> bool:
+        """Can the file's stat ranges intersect the batch's key ranges?
+        Missing/None stats degrade to True (never prune a maybe-match)."""
+        stats = add.get("stats") or {}
+        for k in keys:
+            if k not in stats:
+                continue
+            lo, hi = stats[k]
+            blo, bhi = bounds[k]
+            if lo is None or hi is None or blo is None or bhi is None:
+                continue
+            if hi < blo or lo > bhi:
+                return False
+        return True
+
+    def _candidate_files(self, live: dict[str, dict], keys: Sequence[str],
+                         bounds: dict) -> list[str]:
+        """Files whose per-key stat ranges overlap the batch's key ranges.
+
+        Driver cost: one row per live file (the log is driver-sized by
+        design)."""
+        return sorted(p for p, add in live.items()
+                      if self._overlaps(add, keys, bounds))
+
+    def merge_upsert(self, batch: DataFrame, keys: Sequence[str],
+                     update: bool = False) -> int:
+        """Atomic keyed MERGE.
+
+        ``update=False`` (default): first-writer-wins insert-only — rows
+        whose key already exists are dropped, the rest append (the
+        reference's dbt ``unique_key`` semantics). No file is rewritten.
+
+        ``update=True``: last-wins copy-on-write — existing rows with
+        colliding keys are replaced by the batch row; only files that
+        actually contain a colliding key are rewritten (stat-range prune,
+        then an exact semi-join probe).
+        """
+        keys = list(keys)
+        rv, meta, live = self._snapshot()
+        schema = StructType.fromJson(meta["schema"])
+        batch = self._check_schema(batch).dropDuplicates(keys)
+        bounds = self._batch_bounds(batch, keys)
+        cand = self._candidate_files(live, keys, bounds)
+        stat_cols = meta.get("stat_cols", [])
+
+        def no_key_overlap(intervening):
+            # A concurrent commit that ADDED a file whose key-stat range
+            # overlaps this batch may have inserted/updated one of our
+            # keys — the merge's anti-join/replace decisions are stale.
+            # Conservative (stat-grain) but never silent: caller re-runs.
+            for a in intervening:
+                if "add" in a and self._overlaps(a["add"], keys, bounds):
+                    raise TxConflict(
+                        f"concurrent commit added keys overlapping this "
+                        f"merge's key range on {self.path}; re-run the "
+                        f"merge on the new snapshot")
+
+        if not update:
+            if cand:
+                existing = self.spark.read.schema(schema).parquet(
+                    *[f"{self.path}/{f}" for f in cand]).select(*keys)
+                batch = batch.join(existing.distinct(), on=keys,
+                                   how="left_anti")
+            adds = self._stage(batch, stat_cols)
+            return (self._commit(adds, rv, validate=no_key_overlap)
+                    if adds else self.version)
+        # update=True: find files that REALLY hold colliding keys
+        affected: list[str] = []
+        if cand:
+            cdf = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in cand]).withColumn(
+                "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            # AQE picks broadcast-semi when the batch key set is small
+            # (the common MERGE shape); no forced hint — a bulk backfill
+            # batch can exceed the broadcast limit.
+            affected = [r["_file"] for r in
+                        cdf.select("_file", *keys)
+                        .join(batch.select(*keys).distinct(),
+                              on=keys, how="left_semi")
+                        .select("_file").distinct().collect()]
+        actions = [{"remove": {"path": p}} for p in sorted(affected)]
+        if affected:
+            keep = (self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in sorted(affected)])
+                .join(batch.select(*keys).distinct(), on=keys,
+                      how="left_anti"))
+            new_data = keep.unionByName(batch)
+        else:
+            new_data = batch
+        actions += self._stage(new_data, stat_cols)
+        return self._commit(actions, rv, validate=no_key_overlap)
+
+    def vacuum(self) -> list[str]:
+        """Delete data files unreferenced by the CURRENT version (destroys
+        time travel to versions that needed them). Returns deleted names."""
+        _, _, live = self._snapshot()
+        fs = _fs(self.spark, self.path)
+        deleted = []
+        for st in fs.listStatus(_jpath(self.spark, self.path)):
+            name = st.getPath().getName()
+            if (name.endswith(".parquet") and name.startswith("part-")
+                    and name not in live):
+                fs.delete(st.getPath(), False)
+                deleted.append(name)
+        return sorted(deleted)

@@ -1,0 +1,221 @@
+"""Transaction-log table (operators/txlog.py): the EXECUTED transactional
+S8 tier — atomic MERGE, time travel, crash recovery, optimistic
+concurrency, and stat-pruned copy-on-write (reference semantics:
+``stg_weather_raw.sql:3-7`` Snowflake MERGE via dbt ``unique_key``)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteomatics_e2e_data_pipeline_spark.operators.incremental import \
+    upsert_by_key
+from meteomatics_e2e_data_pipeline_spark.operators.txlog import (
+    TxConflict, TxTable)
+
+
+def _kv(spark, lo, hi, mul=2, parts=4):
+    return (spark.range(lo, hi)
+            .selectExpr("id as k", f"id*{mul} as v").repartition(parts))
+
+
+def test_create_append_read_and_versions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 100), p, stat_cols=["k"])
+    assert t.version == 0
+    assert t.read().count() == 100
+    t.append(_kv(spark, 100, 150))
+    assert t.version == 1
+    assert t.read().count() == 150
+    # time travel: v0 is still exactly the original 100 rows
+    assert t.read(0).count() == 100
+    assert t.read(0).agg(F.max("k")).collect()[0][0] == 99
+    # reopening an existing table resolves the same snapshot
+    assert TxTable(spark, p).read().count() == 150
+
+
+def test_schema_is_enforced_and_empty_table_readable(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.range(5).selectExpr("id as wrong"))
+    t.overwrite(_kv(spark, 0, 0))  # empty overwrite → readable empty table
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "v"]
+    assert t.read(0).count() == 10  # history intact
+
+
+def test_merge_first_wins_matches_parquet_tier(spark, tmp_path):
+    """fmt='txlog' upsert ≡ fmt='parquet' upsert on the same batches —
+    the two S8 tiers agree row-for-row (first-writer-wins)."""
+    pq, tx = str(tmp_path / "pq"), str(tmp_path / "tx")
+    batches = [_kv(spark, 0, 60, mul=2), _kv(spark, 40, 90, mul=5),
+               _kv(spark, 80, 120, mul=9)]
+    for b in batches:
+        upsert_by_key(b, pq, ["k"], spark, fmt="parquet")
+        upsert_by_key(b, tx, ["k"], spark, fmt="txlog")
+    left = spark.read.parquet(pq)
+    right = TxTable(spark, tx).read()
+    assert left.count() == right.count() == 120
+    assert (left.exceptAll(right).count() == 0
+            and right.exceptAll(left).count() == 0)
+
+
+def test_merge_last_wins_rewrites_only_colliding_files(spark, tmp_path):
+    """update=True: batch rows replace colliding keys; files with no
+    colliding key survive untouched (copy-on-write is stat+probe pruned)."""
+    p = str(tmp_path / "t")
+    # 8 range-partitioned files over k∈[0,800) → tight per-file k ranges
+    base = (spark.range(0, 800).selectExpr("id as k", "id*2 as v")
+            .repartitionByRange(8, "k"))
+    t = TxTable.create(spark, base, p, stat_cols=["k"])
+    before = set(t.live_files())
+    t.merge_upsert(_kv(spark, 100, 120, mul=1000, parts=1), ["k"],
+                   update=True)
+    after = set(t.live_files())
+    # narrow batch → most range files untouched
+    assert len(before & after) >= len(before) - 2
+    got = t.read()
+    assert got.count() == 800
+    assert got.filter("k = 110").collect()[0]["v"] == 110_000
+    assert got.filter("k = 500").collect()[0]["v"] == 1000
+    # the exact final state equals the last-wins oracle
+    oracle = (spark.range(0, 800)
+              .selectExpr("id as k",
+                          "case when id between 100 and 119 "
+                          "then id*1000 else id*2 end as v"))
+    assert got.exceptAll(oracle).count() == 0
+    assert oracle.exceptAll(got).count() == 0
+
+
+def test_stat_pruning_limits_collision_probe(spark, tmp_path):
+    """The first-wins collision probe reads only stat-overlapping files."""
+    p = str(tmp_path / "t")
+    base = (spark.range(0, 800).selectExpr("id as k", "id*2 as v")
+            .repartitionByRange(8, "k"))
+    t = TxTable.create(spark, base, p, stat_cols=["k"])
+    _, _, live = t._snapshot()
+    bounds = t._batch_bounds(_kv(spark, 100, 120, parts=1), ["k"])
+    cand = t._candidate_files(live, ["k"], bounds)
+    assert 1 <= len(cand) <= 2, cand  # 20-key batch hits ≤2 range files
+    # every add action carries real stats
+    for add in live.values():
+        lo, hi = add["stats"]["k"]
+        assert lo is not None and hi is not None and lo <= hi
+
+
+def test_crash_recovery_orphan_data_and_torn_commit(spark, tmp_path):
+    """A data file with no committed add (crash between stage and commit)
+    is invisible; a stray non-versioned temp file in the log dir is
+    ignored. Readers only ever see complete versions."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 50, parts=1), p,
+                       stat_cols=["k"])
+    # orphan data file: write a parquet straight into the table root
+    (spark.range(1000, 2000).selectExpr("id as k", "id as v")
+     .coalesce(1).write.parquet(str(tmp_path / "orphan")))
+    orphan = next(f for f in os.listdir(tmp_path / "orphan")
+                  if f.endswith(".parquet"))
+    os.rename(tmp_path / "orphan" / orphan,
+              tmp_path / "t" / f"part-deadbeef-{orphan}")
+    # torn commit attempt: an in-progress temp file in the log dir
+    with open(tmp_path / "t" / "_txlog" / "00000000000000000001.json.tmp",
+              "w") as fh:
+        fh.write('{"add": {"path": "bogus.parquet"')
+    assert t.read().count() == 50
+    assert t.version == 0
+    # the orphan is reclaimed by vacuum
+    assert any("deadbeef" in f for f in t.vacuum())
+
+
+def test_concurrent_append_retries_and_conflicting_merge_raises(
+        spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 50, parts=1), p,
+                       stat_cols=["k"])
+    # another writer claims version 1 (publishes an unrelated add-only
+    # commit); our append must retry and land at version 2
+    t2 = TxTable(spark, p)
+    t2.append(_kv(spark, 200, 210, parts=1))
+    claimed = t.version
+    assert claimed == 1
+    t.append(_kv(spark, 300, 310, parts=1))
+    assert t.version == 2
+    assert t.read().count() == 70
+    # a rewriting merge whose read set was invalidated must raise:
+    # capture the current snapshot, let a concurrent overwrite remove
+    # every file, then try to commit removes planned on the old snapshot.
+    rv, _, live = t._snapshot()
+    stale_removes = [{"remove": {"path": f}} for f in sorted(live)]
+    t2.overwrite(_kv(spark, 0, 5, parts=1))
+    with pytest.raises(TxConflict):
+        t._commit(stale_removes, rv)
+    # overwrite's own validator rejects ANY intervening commit: replay
+    # its actions against a read version that predates the overwrite
+    from meteomatics_e2e_data_pipeline_spark.operators.txlog import \
+        TxConflict as TC
+    stale_rv = rv  # snapshot taken before t2's overwrite landed
+
+    def no_concurrency(intervening):
+        if intervening:
+            raise TC("raced")
+    with pytest.raises(TxConflict):
+        t._commit([], stale_rv, validate=no_concurrency)
+
+
+def test_concurrent_overlapping_merge_conflicts(spark, tmp_path):
+    """Two merges over the same key range cannot both win silently: the
+    second to publish sees the first's overlapping add and raises."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 50, parts=1), p,
+                       stat_cols=["k"])
+    rv, meta, live = t._snapshot()
+    # writer B lands a merge inserting keys 60..70 first
+    TxTable(spark, p).merge_upsert(_kv(spark, 60, 70, parts=1), ["k"])
+    # writer A planned an overlapping merge against the old snapshot;
+    # replay its commit with A's staged adds and old read version
+    batch = _kv(spark, 60, 70, mul=9, parts=1)
+    bounds = t._batch_bounds(batch, ["k"])
+    adds = t._stage(batch, ["k"])
+
+    def no_key_overlap(intervening):
+        for a in intervening:
+            if "add" in a and t._overlaps(a["add"], ["k"], bounds):
+                raise TxConflict("overlap")
+    with pytest.raises(TxConflict):
+        t._commit(adds, rv, validate=no_key_overlap)
+    # a DISJOINT merge against the same old snapshot commits fine
+    t.merge_upsert(_kv(spark, 200, 205, parts=1), ["k"])
+    assert t.read().filter("k >= 200").count() == 5
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 100), p, stat_cols=["k"])
+    t.overwrite(_kv(spark, 0, 10, parts=1))
+    live = set(t.live_files())
+    deleted = set(t.vacuum())
+    assert deleted and not (deleted & live)
+    assert t.read().count() == 10  # current version unaffected
+    data_files = {f for f in os.listdir(tmp_path / "t")
+                  if f.endswith(".parquet")}
+    assert data_files == live
+
+
+def test_history_actions_are_auditable(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 20, parts=1), p,
+                       stat_cols=["k"])
+    t.merge_upsert(_kv(spark, 10, 30, mul=3, parts=1), ["k"], update=True)
+    hist = t.history()
+    assert len(hist) == 2
+    assert "meta" in hist[0][0] and hist[0][0]["meta"]["stat_cols"] == ["k"]
+    ops = {next(iter(a)) for a in hist[1]}
+    assert ops == {"add", "remove"}
+    # actions round-trip through JSON (the on-disk format IS json lines)
+    for commit in hist:
+        for action in commit:
+            json.dumps(action)
