@@ -48,18 +48,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r4 driver rows (the r8 verdict's stale-attestation flag; the r8
 #     gate comment wrongly called them "unchanged since r4" — their
 #     OPERATORS were, their plans were not);
-# (3) 26 of the 39 r5-dated rows, oldest-first debt burn-down, led by
-#     the four the verdict named. The 13 r5 rows that don't fit
-#     (emb_ann_ivf_trained, events_gapfill, events_funnel,
-#     events_retention/twa/zscore, emb_label_centroids/outliers,
-#     event_user_reach_exact, events_ewma/rolling_corr/
-#     value_histogram, docs_split_by_source) lead the round-10
-#     rotation, then the 46 r6-dated rows.
+# (3) 23 of the 39 r5-dated rows, oldest-first debt burn-down, led by
+#     the four the verdict named. The 16 r5 rows that don't fit
+#     (event_user_reach_approx, weather_city_daily,
+#     weather_forecast_error, emb_ann_ivf_trained, events_gapfill,
+#     events_funnel, events_retention/twa/zscore,
+#     emb_label_centroids/outliers, event_user_reach_exact,
+#     events_ewma/rolling_corr/value_histogram, docs_split_by_source)
+#     lead the round-10 rotation, then the 46 r6-dated rows.
 #     Everything past the gate
 #     stays re-verified by the local DuckDB mirror at sf0.01 each
 #     round (tests/test_oracle_parity.py parametrizes ALL entries).
 _VERIFY_FIRST = (
     # -- (1) new or changed this round --
+    "events_cusum_alarms",        # NEW: CUSUM changepoint monitor
+    "docs_ks_drift",              # NEW: exact two-sample KS drift stat
+    "docs_dsir_weights",          # NEW: DSIR importance weights
     "docs_classifier_threshold",  # NEW: best-F1/Youden-J operating point
     "emb_pq_recall",              # NEW: recall@k for all three PQ tiers
     "emb_ann_ivf_multiprobe",     # NEW: nprobe=2 probe widening
@@ -109,9 +113,6 @@ _VERIFY_FIRST = (
     "events_daily_pivot",
     "events_unpivot",
     "order_value_percentiles",
-    "event_user_reach_approx",
-    "weather_city_daily",
-    "weather_forecast_error",
 )
 
 

@@ -4557,6 +4557,151 @@ GROUP BY ann.query_id
 """
 
 
+def q_docs_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the even-
+    and odd-numbered sources' document-length distributions — the
+    distribution-shift monitor a training-data pipeline runs between
+    corpus snapshots (did this crawl's length profile drift from the
+    last one?).
+
+    D = max_v |F̂_a(v) − F̂_b(v)| is computed EXACTLY: with integer
+    cumulative counts, |cum_a·n_b − cum_b·n_a| is an integer numerator
+    over the constant denominator n_a·n_b, so the max and its argmin
+    location are integer comparisons — libm-free, no float until the
+    one display division. Scale shape: the corpus collapses to the
+    DISTINCT-VALUE frame (bounded by the metric's value domain, not the
+    corpus), the two ECDFs are range-parallel prefix sums
+    (global_running_sum — no single-partition window), and the answer
+    is a 1-row aggregate. int64 holds while n_a·n_b < 2^63 (~3B×3B
+    docs with the |Δcum| ≤ max(n_a,n_b) bound)."""
+    from ..operators import quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ga = (F.substring("source", 4, 10).cast("int") % 2 == 0)
+    byv = (docs.groupBy(F.col("n_chars").alias("v"))
+           .agg(F.sum(ga.cast("long")).alias("ca"),
+                F.sum((~ga).cast("long")).alias("cb")))
+    cum = quantiles.global_running_sum(byv, "v", "ca", "v",
+                                       out_col="cuma", total_col="na")
+    cum = quantiles.global_running_sum(cum, "v", "cb", "v",
+                                       out_col="cumb", total_col="nb")
+    num = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    m = (cum.withColumn("num", num)
+         .agg(F.max("na").alias("na"), F.max("nb").alias("nb"),
+              F.max(F.struct(F.col("num").alias("num"),
+                             (-F.col("v")).alias("negv"))).alias("m")))
+    return m.select(
+        "na", "nb",
+        F.col("m.num").cast("bigint").alias("ks_num"),
+        (-F.col("m.negv")).cast("bigint").alias("at_value"),
+        F.round(F.col("m.num").cast("double")
+                / (F.col("na") * F.col("nb")), 6).alias("ks_d"))
+
+
+ORACLE_KS_DRIFT = """
+WITH g AS (
+  SELECT n_chars AS v, ((substr(source, 4))::INT % 2 = 0)::INT AS ga
+  FROM documents
+),
+byv AS (SELECT v, sum(ga)::BIGINT AS ca, sum(1 - ga)::BIGINT AS cb
+        FROM g GROUP BY v),
+cum AS (SELECT v, ca, cb,
+               sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+        FROM byv
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM byv),
+d AS (SELECT v, abs(cuma * nb - cumb * na)::BIGINT AS num FROM cum, tot),
+mx AS (SELECT max(num) AS ks_num FROM d)
+SELECT na::BIGINT AS na, nb::BIGINT AS nb, ks_num::BIGINT AS ks_num,
+       min(v)::BIGINT AS at_value,
+       round(ks_num::DOUBLE / (na * nb), 6) AS ks_d
+FROM d, tot, mx
+WHERE num = ks_num
+GROUP BY na, nb, ks_num
+"""
+
+
+DSIR_BUCKETS = 64
+
+
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed-unigram bag is under a
+    TARGET distribution (here the English subset — the domain we want
+    more of) than under the raw-corpus distribution.
+
+    log w(d) = Σ_b c_b(d) · [ln p̂_tgt(b) − ln p̂_raw(b)], with hashed
+    n-gram buckets b = md5_48(token) mod ``DSIR_BUCKETS`` and add-one
+    smoothed bucket probabilities. The resampling step is the suite's
+    existing weighted-sample/top-k family; the weight is DSIR's novelty.
+
+    Float policy: the per-bucket log-ratio λ_b is computed once on a
+    64-row broadcast frame (ln's last-ulp is engine-specific but the
+    NLL-family precedent applies: values round to 6 dp, no training
+    cascade); the per-doc Σ c_b·λ_b folds in pinned bucket order (the
+    ``unigram_logprob`` idiom) so the float sum is order-identical in
+    both engines. Scale shape: two hash aggregates on (doc, bucket) and
+    (bucket); the bucket histogram is config-sized (64 rows, broadcast);
+    per-doc reduction is a bounded array fold — no shuffle touches raw
+    tokens twice, nothing is corpus²."""
+    B = DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    tb = (docs.select("doc_id", "lang",
+                      F.explode(tokens(F.col("text"))).alias("t"))
+          .select("doc_id", "lang",
+                  (textops.base_hash48(F.col("t")) % B)
+                  .cast("int").alias("b")))
+    n_raw = tb.count()
+    n_tgt = tb.filter(F.col("lang") == "en").count()
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (tb.filter(F.col("lang") == "en")
+           .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    lam = (raw.join(tgt, "b", "left").na.fill(0, ["ct"])
+           .select("b", (F.log((F.col("ct") + 1).cast("double")
+                               / float(n_tgt + B))
+                         - F.log((F.col("cr") + 1).cast("double")
+                                 / float(n_raw + B))).alias("lam")))
+    db = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    per = db.join(F.broadcast(lam), "b").select(
+        "doc_id", "c",
+        F.struct(F.col("b"), (F.col("c").cast("double") * F.col("lam"))
+                 .alias("v")).alias("bv"))
+    return (per.groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.round(F.aggregate(
+                     F.array_sort(F.collect_list("bv")),
+                     F.lit(0.0).cast("double"),
+                     lambda acc, x: acc + x["v"]), 6)
+                 .alias("dsir_logweight")))
+
+
+def _oracle_dsir_weights() -> str:
+    return rf"""
+WITH tok AS (SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS t
+             FROM documents),
+tb AS (SELECT doc_id, lang,
+              ({_DUCK_HASH48.format(c='t')} % {DSIR_BUCKETS})::INT AS b
+       FROM tok),
+nr AS (SELECT count(*)::BIGINT AS n FROM tb),
+nt AS (SELECT count(*)::BIGINT AS n FROM tb WHERE lang = 'en'),
+raw AS (SELECT b, count(*)::BIGINT AS cr FROM tb GROUP BY b),
+tgt AS (SELECT b, count(*)::BIGINT AS ct FROM tb WHERE lang = 'en'
+        GROUP BY b),
+lam AS (SELECT raw.b,
+               ln((coalesce(ct, 0) + 1)::DOUBLE / (nt.n + {DSIR_BUCKETS}))
+               - ln((cr + 1)::DOUBLE / (nr.n + {DSIR_BUCKETS})) AS lam
+        FROM raw LEFT JOIN tgt USING (b), nt, nr),
+db AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM tb GROUP BY 1, 2),
+per AS (SELECT doc_id, b, c, c::DOUBLE * lam AS v
+        FROM db JOIN lam USING (b))
+SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+       round(list_aggregate(list(v ORDER BY b), 'sum'), 6)
+         AS dsir_logweight
+FROM per GROUP BY doc_id
+"""
+
+
 LLM_QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "emb_random_projection": q_emb_random_projection,
@@ -4603,6 +4748,8 @@ LLM_QUERIES = {
     "docs_domain_cap": q_docs_domain_cap,
     "emb_ann_recall": q_emb_ann_recall,
     "emb_pq_recall": q_emb_pq_recall,
+    "docs_ks_drift": q_docs_ks_drift,
+    "docs_dsir_weights": q_docs_dsir_weights,
     "emb_ann_ivf_multiprobe": q_emb_ann_ivf_multiprobe,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
@@ -4707,6 +4854,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_domain_cap": _oracle_domain_cap(),
         "emb_ann_recall": _oracle_ann_recall(),
         "emb_pq_recall": _oracle_pq_recall(),
+        "docs_ks_drift": ORACLE_KS_DRIFT,
+        "docs_dsir_weights": _oracle_dsir_weights(),
         "emb_ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),

@@ -789,6 +789,101 @@ FROM t GROUP BY 1, 2
 """
 
 
+CUSUM_K = 0.5   # CUSUM slack, in σ units
+CUSUM_H = 4     # alarm threshold, in σ units (integer → exact compares)
+
+
+def q_events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular CUSUM changepoint monitor (Page 1954 — the standard
+    drift detector for pipeline health metrics): per (event_type, day),
+    the one-sided upper/lower CUSUM statistics of the standardized
+    daily count, and an alarm flag where either side exceeds
+    ``CUSUM_H``σ.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + z_t - k)`` is not a
+    window function, but its closed form is: with ``R_t = Σ_{j≤t}
+    (z_j - k)``, ``S_t = R_t - min(0, min_{j≤t} R_j)`` — two stacked
+    running aggregates (sum, then min) over the same partitioned
+    window. Float policy: the per-day increment quantizes to
+    DECIMAL(18,9) once (deterministic double ops: mean = exact-int
+    sum / count, σ = sqrt of an exact decimal sum of squared
+    deviations — sqrt is IEEE correctly-rounded in both engines, unlike
+    libm ln/exp), so every running sum/min and the ``> H`` alarm
+    compare are EXACT decimal arithmetic — no cross-engine drift can
+    flip an alarm. Scale shape: one map-side daily rollup, then
+    windows over the (type × day) frame — calendar-bounded,
+    partitioned by event_type, never the raw events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.sum("n").alias("__s"), F.count(F.lit(1)).alias("__c")))
+    m = (daily.join(F.broadcast(stats), "event_type")
+         .withColumn("__mu", F.col("__s").cast("double") / F.col("__c")))
+    dev = F.col("n").cast("double") - F.col("__mu")
+    sig = (m.groupBy("event_type")
+           .agg(F.sum((dev * dev).cast("decimal(25,12)")).alias("__ssq"),
+                F.first("__c").alias("__c"))
+           .select("event_type",
+                   F.sqrt(F.col("__ssq").cast("double") / F.col("__c"))
+                   .alias("__sigma")))
+    z = (F.col("n").cast("double") - F.col("__mu")) / F.col("__sigma")
+    base = (m.join(F.broadcast(sig), "event_type")
+            .select("event_type", "day", "n",
+                    (z - F.lit(CUSUM_K)).cast("decimal(18,9)").alias("__yp"),
+                    (-z - F.lit(CUSUM_K)).cast("decimal(18,9)").alias("__yn")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = (base.withColumn("__rp", F.sum("__yp").over(w))
+         .withColumn("__rn", F.sum("__yn").over(w)))
+    mn = (r.withColumn("__mrp", F.min("__rp").over(w))
+          .withColumn("__mrn", F.min("__rn").over(w)))
+    zero = F.lit(0).cast("decimal(18,9)")
+    sp = F.col("__rp") - F.least(zero, F.col("__mrp"))
+    sn = F.col("__rn") - F.least(zero, F.col("__mrn"))
+    return mn.select(
+        "event_type", "day", "n",
+        F.round(sp.cast("double"), 6).alias("cusum_pos"),
+        F.round(sn.cast("double"), 6).alias("cusum_neg"),
+        ((sp > CUSUM_H) | (sn > CUSUM_H)).cast("int").alias("alarm"))
+
+
+ORACLE_CUSUM_ALARMS = f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+st AS (SELECT event_type, sum(n)::BIGINT AS s, count(*)::BIGINT AS c
+       FROM daily GROUP BY 1),
+m AS (SELECT d.*, s::DOUBLE / c AS mu, c
+      FROM daily d JOIN st USING (event_type)),
+sg AS (SELECT event_type,
+              sqrt((sum(((n - mu) * (n - mu))::DECIMAL(25,12)))::DOUBLE
+                   / any_value(c)) AS sigma
+       FROM m GROUP BY event_type),
+z AS (SELECT m.event_type, day, n,
+             (((n - mu) / sigma) - {CUSUM_K})::DECIMAL(18,9) AS yp,
+             ((-((n - mu) / sigma)) - {CUSUM_K})::DECIMAL(18,9) AS yn
+      FROM m JOIN sg USING (event_type)),
+r AS (SELECT *, sum(yp) OVER w AS rp, sum(yn) OVER w AS rn
+      FROM z
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+mn AS (SELECT *, min(rp) OVER w AS mrp, min(rn) OVER w AS mrn
+       FROM r
+       WINDOW w AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, day, n,
+       round((rp - least(0::DECIMAL(18,9), mrp))::DOUBLE, 6) AS cusum_pos,
+       round((rn - least(0::DECIMAL(18,9), mrn))::DOUBLE, 6) AS cusum_neg,
+       ((rp - least(0::DECIMAL(18,9), mrp)) > {CUSUM_H}
+        OR (rn - least(0::DECIMAL(18,9), mrn)) > {CUSUM_H})::INT AS alarm
+FROM mn
+"""
+
+
 TS_QUERIES = {
     "events_gapfill": q_events_gapfill,
     "events_funnel": q_events_funnel,
@@ -802,6 +897,7 @@ TS_QUERIES = {
     "events_dow_baseline": q_events_dow_baseline,
     "events_stl_decompose": q_events_stl_decompose,
     "events_forecast_backtest": q_events_forecast_backtest,
+    "events_cusum_alarms": q_events_cusum_alarms,
 }
 
 
@@ -819,4 +915,5 @@ def ts_oracle() -> dict[str, str]:
         "events_dow_baseline": ORACLE_DOW_BASELINE,
         "events_stl_decompose": ORACLE_STL_DECOMPOSE,
         "events_forecast_backtest": ORACLE_FORECAST_BACKTEST,
+        "events_cusum_alarms": ORACLE_CUSUM_ALARMS,
     }

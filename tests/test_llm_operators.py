@@ -2443,3 +2443,57 @@ def test_minhash_sig_exprs_bit_equal_aggregate_form(spark, sf_oracle):
            .filter(F.size(shingle_hash_array(F.col("text"), 3)) > 0)
            .collect()}
     assert agg == row
+
+
+# --------------------------------------------------------------------------
+# KS drift + DSIR importance weights (round 9)
+# --------------------------------------------------------------------------
+
+
+def test_ks_drift_matches_bruteforce_ecdf(spark, sf_oracle):
+    """The integer cross-multiplied KS statistic equals the brute-force
+    max |ECDF_a − ECDF_b| computed in Python on the same rows."""
+    import duckdb
+
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import \
+        q_docs_ks_drift
+
+    rows = duckdb.connect().execute(
+        f"SELECT n_chars, (substr(source, 4)::INT % 2 = 0) AS ga "
+        f"FROM read_parquet('{sf_oracle}/documents.parquet')").fetchall()
+    a = sorted(v for v, g in rows if g)
+    b = sorted(v for v, g in rows if not g)
+    vals = sorted(set(a) | set(b))
+    import bisect
+    best_num, best_v = -1, None
+    for v in vals:
+        ca = bisect.bisect_right(a, v)
+        cb = bisect.bisect_right(b, v)
+        num = abs(ca * len(b) - cb * len(a))
+        if num > best_num:
+            best_num, best_v = num, v
+    r = q_docs_ks_drift(spark, sf_oracle).collect()[0]
+    assert (r["na"], r["nb"]) == (len(a), len(b))
+    assert r["ks_num"] == best_num
+    assert r["at_value"] == best_v
+    assert abs(r["ks_d"] - round(best_num / (len(a) * len(b)), 6)) < 1e-9
+
+
+def test_dsir_weights_favor_target_language(spark, sf_oracle):
+    """DSIR sanity: the importance weight is a log-likelihood ratio for
+    the English target distribution, so en docs must score higher on
+    average than non-en docs (discriminative signal, not noise)."""
+    import duckdb
+
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import \
+        q_docs_dsir_weights
+
+    langs = dict(duckdb.connect().execute(
+        f"SELECT doc_id, lang "
+        f"FROM read_parquet('{sf_oracle}/documents.parquet')").fetchall())
+    w = {r["doc_id"]: r["dsir_logweight"]
+         for r in q_docs_dsir_weights(spark, sf_oracle).collect()}
+    assert len(w) == len(langs)
+    en = [w[d] for d, l in langs.items() if l == "en"]
+    other = [w[d] for d, l in langs.items() if l != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other) + 0.1
