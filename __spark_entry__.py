@@ -61,6 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     round (tests/test_oracle_parity.py parametrizes ALL entries).
 _VERIFY_FIRST = (
     # -- (1) new or changed this round --
+    "docs_dup_span_coverage",     # NEW: exact-substring dup coverage
+    "docs_top_dup_spans",         # NEW: corpus top duplicated spans
     "events_cusum_alarms",        # NEW: CUSUM changepoint monitor
     "docs_ks_drift",              # NEW: exact two-sample KS drift stat
     "docs_dsir_weights",          # NEW: DSIR importance weights

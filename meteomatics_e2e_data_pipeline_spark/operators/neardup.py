@@ -1065,19 +1065,17 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def shingle_hash_array(text_col, n: int):
-    """Row-local shingle-hash ARRAY column — the window-free twin of
-    :func:`ngram_occurrences` for contexts where a window is unavailable
-    (streaming) or a per-row array is wanted outright.
-
-    Built by zip_with-ing the token array against its own shifted
+def gram_string_array(text_col, n: int):
+    """Row-local ordered ARRAY of n-gram STRINGS (space-joined), one
+    per token position; index i (0-based) = the gram starting at token
+    i+1. Built by zip_with-ing the token array against its own shifted
     slices, which dodges BOTH n-gram performance traps: no window, and
     no lambda ever indexes a computed alias (the CollapseProject
     re-evaluation problem — see ``ngram_occurrences``); the tokenizer
     runs O(n) times per ROW, not per position. Partial tail windows are
-    null-propagated and filtered, so the gram set is exactly
-    ``ngram_occurrences``' (property-tested).
-    """
+    null-propagated and filtered; the nulls are tail-only (each shifted
+    slice is a strict suffix-trim), so position order survives the
+    filter."""
     w = tokens(text_col)
     acc = w
     for k in range(1, n):
@@ -1087,8 +1085,77 @@ def shingle_hash_array(text_col, n: int):
             lambda a, b: F.when(a.isNull() | b.isNull(),
                                 F.lit(None).cast("string"))
             .otherwise(F.concat_ws(" ", a, b)))
-    grams = F.filter(acc, lambda x: x.isNotNull())
-    return F.transform(grams, lambda s: base_hash48(s))
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def shingle_hash_array(text_col, n: int):
+    """Row-local shingle-hash ARRAY column — the window-free twin of
+    :func:`ngram_occurrences` for contexts where a window is unavailable
+    (streaming) or a per-row array is wanted outright. The gram set is
+    exactly ``ngram_occurrences``' (property-tested); construction notes
+    in :func:`gram_string_array`.
+    """
+    return F.transform(gram_string_array(text_col, n),
+                       lambda s: base_hash48(s))
+
+
+def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", span_len: int = 8
+                      ) -> DataFrame:
+    """Exact-substring duplication COVERAGE (Lee et al. 2022's
+    ExactSubstr metric, window-hash form): per document, how many of
+    its tokens lie inside at least one length-``span_len`` token window
+    that occurs 2+ times in the corpus (counting multiplicity — a
+    within-doc repeat is duplication too, unlike :func:`dup_span_stats`
+    which counts distinct-doc frequency of 3-gram positions).
+
+    The union of overlapping duplicated windows is computed EXACTLY
+    without materializing per-token rows: among a doc's duplicated
+    start positions in order, each contributes
+    ``min(pos − lag(pos), span_len)`` covered tokens (``span_len`` for
+    the first) — the classic merged-interval telescoping sum, here a
+    single per-doc lag window. All integer arithmetic; the only float
+    is the final display ratio.
+
+    Scale shape: grams stay row-local (``shingle_hash_array``); the
+    occurrence count is one map-side-combinable hash agg on the 8-byte
+    hash; one equi-join on that hash brings the count back; the lag
+    window is partitioned per doc (document-bounded, never corpus-
+    ordered). At warehouse scale the count-frame join swaps for a
+    broadcast Bloom of the count≥2 set exactly as ``dup_span_stats``
+    documents.
+    """
+    from pyspark.sql import Window
+
+    sp = (docs.select(
+        id_col,
+        F.posexplode(shingle_hash_array(F.col(text_col), span_len))
+        .alias("pos0", "hv"))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "hv"))
+    cnt = sp.groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
+    dup = (sp.join(cnt, "hv").filter(F.col("c") >= 2)
+           .select(id_col, "pos"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (dup.withColumn(
+        "contrib",
+        F.coalesce(F.least(F.col("pos") - F.lag("pos").over(w),
+                           F.lit(span_len)), F.lit(span_len)))
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("covered"),
+             F.count(F.lit(1)).alias("n_dup")))
+    base = docs.select(
+        id_col,
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"))
+    return (base.join(cov, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.greatest(F.col("n_tokens") - (span_len - 1),
+                               F.lit(0)).cast("bigint").alias("n_spans"),
+                    F.coalesce("n_dup", F.lit(0)).cast("bigint")
+                    .alias("n_dup_positions"),
+                    F.coalesce("covered", F.lit(0)).cast("bigint")
+                    .alias("covered_tokens"),
+                    F.round(F.coalesce("covered", F.lit(0))
+                            / F.col("n_tokens"), 6).alias("dup_coverage")))
 
 
 # Bloom-filter decontamination sizing. 2^16 bits in 32-bit words keeps

@@ -4702,6 +4702,90 @@ FROM per GROUP BY doc_id
 """
 
 
+DUP_SPAN_L = 8
+
+
+def q_docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2022): per doc,
+    the fraction of tokens inside a length-``DUP_SPAN_L`` window that
+    repeats anywhere in the corpus (incl. within-doc). Scale shape and
+    exactness argument in :func:`operators.neardup.dup_span_coverage`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.dup_span_coverage(docs, span_len=DUP_SPAN_L)
+
+
+TOP_DUP_SPANS_K = 20
+
+
+def q_docs_top_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``TOP_DUP_SPANS_K`` most-repeated length-``DUP_SPAN_L``
+    token spans corpus-wide — the triage table a dedup operator
+    produces first (what IS the boilerplate?). Groups on the 8-byte
+    gram hash (never shuffling span text per occurrence), recovers one
+    span string per group via min (deterministic under the negligible
+    md5-48 collision odds), and takes top-k with a deterministic
+    (count DESC, span ASC) tiebreak — Spark's sort-limit is a map-side
+    partial top-k, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id",
+        F.explode(neardup.gram_string_array(F.col("text"), DUP_SPAN_L))
+        .alias("g"))
+    return (sp.groupBy(textops.base_hash48(F.col("g")).alias("hv"))
+            .agg(F.min("g").alias("span"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+            .filter(F.col("n_occurrences") >= 2)
+            .select("span", "n_occurrences", "n_docs")
+            .orderBy(F.desc("n_occurrences"), F.asc("span"))
+            .limit(TOP_DUP_SPANS_K))
+
+
+def _dup_span_cte() -> str:
+    """tok → per-position ``DUP_SPAN_L``-gram CTEs shared by both
+    exact-substring oracles (`sp` carries doc_id, pos, gram string)."""
+    L = DUP_SPAN_L
+    parts = " || ' ' || ".join(f"w[pos + {k}]" for k in range(L))
+    return rf"""tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+pos0 AS (SELECT doc_id, w,
+                unnest(range(1, len(w) - {L - 2})) AS pos
+         FROM tok),
+sp AS (SELECT doc_id, pos, {parts} AS g FROM pos0)"""
+
+
+def _oracle_dup_span_coverage() -> str:
+    L = DUP_SPAN_L
+    return rf"""
+WITH {_dup_span_cte()},
+c AS (SELECT g, count(*) AS c FROM sp GROUP BY g),
+dup AS (SELECT doc_id, pos FROM sp JOIN c USING (g) WHERE c.c >= 2),
+contrib AS (SELECT doc_id,
+                   coalesce(least(pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos), {L}), {L}) AS k
+            FROM dup),
+cov AS (SELECT doc_id, sum(k)::BIGINT AS covered,
+               count(*)::BIGINT AS n_dup
+        FROM contrib GROUP BY doc_id),
+base AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM tok)
+SELECT base.doc_id, n_tokens,
+       greatest(n_tokens - {L - 1}, 0)::BIGINT AS n_spans,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_positions,
+       coalesce(covered, 0)::BIGINT AS covered_tokens,
+       round(coalesce(covered, 0)::DOUBLE / n_tokens, 6) AS dup_coverage
+FROM base LEFT JOIN cov USING (doc_id)
+"""
+
+
+def _oracle_top_dup_spans() -> str:
+    return rf"""
+WITH {_dup_span_cte()}
+SELECT g AS span, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM sp GROUP BY g HAVING count(*) >= 2
+ORDER BY n_occurrences DESC, span ASC LIMIT {TOP_DUP_SPANS_K}
+"""
+
+
 LLM_QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "emb_random_projection": q_emb_random_projection,
@@ -4750,6 +4834,8 @@ LLM_QUERIES = {
     "emb_pq_recall": q_emb_pq_recall,
     "docs_ks_drift": q_docs_ks_drift,
     "docs_dsir_weights": q_docs_dsir_weights,
+    "docs_dup_span_coverage": q_docs_dup_span_coverage,
+    "docs_top_dup_spans": q_docs_top_dup_spans,
     "emb_ann_ivf_multiprobe": q_emb_ann_ivf_multiprobe,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
@@ -4856,6 +4942,8 @@ def llm_oracle() -> dict[str, str]:
         "emb_pq_recall": _oracle_pq_recall(),
         "docs_ks_drift": ORACLE_KS_DRIFT,
         "docs_dsir_weights": _oracle_dsir_weights(),
+        "docs_dup_span_coverage": _oracle_dup_span_coverage(),
+        "docs_top_dup_spans": _oracle_top_dup_spans(),
         "emb_ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),

@@ -2497,3 +2497,61 @@ def test_dsir_weights_favor_target_language(spark, sf_oracle):
     en = [w[d] for d, l in langs.items() if l == "en"]
     other = [w[d] for d, l in langs.items() if l != "en"]
     assert sum(en) / len(en) > sum(other) / len(other) + 0.1
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication coverage (round 9)
+# --------------------------------------------------------------------------
+
+
+def test_dup_span_coverage_matches_bruteforce_interval_union(spark):
+    """The telescoping min(gap, L) sum equals a brute-force per-token
+    interval union on a corpus with engineered overlaps: adjacent dup
+    windows, disjoint dup windows, a within-doc repeat (multiplicity
+    counts even with df=1), and a doc with no dups."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import \
+        dup_span_coverage
+
+    L = 4
+    docs = [
+        # doc 0/1 share tokens a1..a9 (overlapping dup windows)
+        (0, "a1 a2 a3 a4 a5 a6 a7 a8 a9 x0 x1 x2"),
+        (1, "y0 a1 a2 a3 a4 a5 a6 a7 a8 a9 y1 y2"),
+        # doc 2 repeats a 4-gram WITHIN itself, twice, disjointly
+        (2, "b1 b2 b3 b4 z1 z2 z3 z4 z5 b1 b2 b3 b4"),
+        # doc 3: all unique
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8"),
+        # doc 4: shorter than L
+        (4, "d1 d2 d3"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dup_span_coverage(df, span_len=L).collect()}
+
+    # brute force: per-token boolean cover
+    toks = {d: t.split() for d, t in docs}
+    from collections import Counter
+    grams = Counter()
+    for d, w in toks.items():
+        for p in range(len(w) - L + 1):
+            grams[tuple(w[p:p + L])] += 1
+    for d, w in toks.items():
+        cover = [False] * len(w)
+        ndup = 0
+        for p in range(len(w) - L + 1):
+            if grams[tuple(w[p:p + L])] >= 2:
+                ndup += 1
+                for i in range(p, p + L):
+                    cover[i] = True
+        r = got[d]
+        assert r["n_tokens"] == len(w)
+        assert r["n_spans"] == max(len(w) - L + 1, 0)
+        assert r["n_dup_positions"] == ndup, d
+        assert r["covered_tokens"] == sum(cover), d
+        assert abs(r["dup_coverage"]
+                   - round(sum(cover) / len(w), 6)) < 1e-9
+    # the engineered shapes actually occurred
+    assert got[0]["covered_tokens"] == 9      # merged overlapping windows
+    assert got[2]["covered_tokens"] == 8      # two disjoint within-doc
+    assert got[3]["covered_tokens"] == 0
+    assert got[4]["n_spans"] == 0
