@@ -523,6 +523,108 @@ def knn_bruteforce_int8(corpus: DataFrame, queries: DataFrame, k: int,
     )
 
 
+BINARY_WORD_BITS = 32
+
+
+def binary_quantize(corpus: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Sign (1-bit) quantization: a 64-dim float vector compresses to TWO
+    32-bit words packed in BIGINTs — 128× smaller than float32, the most
+    aggressive tier of the quantization family (int8 4×, PQ 64×, binary
+    128×+). Bit ``i`` of a word is set iff the corresponding coordinate
+    is strictly positive (zeros clear — deterministic, no sign(0)
+    ambiguity), so Hamming distance between codes approximates angular
+    distance (Charikar 2002: P[bit differs] = θ/π for random-rotation
+    sign sketches; raw sign bits are the degenerate rotation, good
+    enough for a shortlist that exact rerank then fixes).
+
+    Packing is row-local and JVM-side: each 32-slot half is zip_with'ed
+    against a literal power-of-two array and summed (distinct powers ⇒
+    sum ≡ bitwise OR, no carries; max word = 2³²−1 ≪ 2⁵³ so the
+    arithmetic is exact and the DuckDB oracle reproduces it
+    bit-for-bit). Two words rather than one keeps every shift < 63 in
+    BOTH engines (no sign-bit overflow divergence); general dims extend
+    to ``ceil(dim/32)`` words. Output: (id, code_lo, code_hi).
+    """
+    v = F.col(vec_col).cast("array<double>")
+
+    def pack(offset: int):
+        powers = F.array(*[F.lit(1 << i).cast("bigint")
+                           for i in range(BINARY_WORD_BITS)])
+        half = F.slice(v, offset + 1, BINARY_WORD_BITS)
+        return F.aggregate(
+            F.zip_with(half, powers,
+                       lambda x, p: F.when(x > 0, p)
+                       .otherwise(F.lit(0).cast("bigint"))),
+            F.lit(0).cast("bigint"), lambda a, b: a + b)
+
+    return corpus.select(F.col(id_col),
+                         pack(0).alias("code_lo"),
+                         pack(BINARY_WORD_BITS).alias("code_hi"))
+
+
+def knn_hamming_rerank(corpus: DataFrame, queries: DataFrame, k: int,
+                       n_candidates: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Binary-sketch retrieval funnel: stage 1 shortlists
+    ``n_candidates`` per query by HAMMING distance over the packed sign
+    codes (:func:`binary_quantize`) — two XOR + popcount ops per pair,
+    the cheapest possible scan (16 bytes/vector, whole-stage codegen,
+    no float math) — then stage 2 re-scores only those pairs at full
+    precision, exactly like :func:`knn_int8_rerank`'s stage 2.
+
+    Scale shapes: stage 1 streams the 16-byte codes against broadcast
+    query codes (the coarse scan reads 128× fewer bytes than float32);
+    the candidate set (|queries|·n_candidates rows) is broadcast so
+    full-precision vectors of non-candidates prune map-side and never
+    shuffle; both stage-2 joins are BroadcastHashJoins. Both rankings
+    tiebreak on neighbor_id, making the funnel deterministic. Output:
+    (query_id, neighbor_id, hamming, cos_sim, rank) — ``hamming`` kept
+    so recall diagnostics can see the stage-1 signal.
+    """
+    from pyspark.sql import Window
+
+    bq = binary_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("code_lo").alias("q_lo"), F.col("code_hi").alias("q_hi"))
+    bc = binary_quantize(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("code_lo").alias("c_lo"), F.col("code_hi").alias("c_hi"))
+    ham = (F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+           + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi"))))
+    coarse = (bc.join(F.broadcast(bq),
+                      F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      ham.cast("int").alias("hamming")))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id"))
+    cand = (coarse.withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= n_candidates)
+            .select("query_id", "neighbor_id", "hamming"))
+
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+         .withColumn("__qn", _norm(F.col("q_vec"))))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("c_vec"))
+         .withColumn("__cn", _norm(F.col("c_vec"))))
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", "hamming",
+                _PAIR_COS().alias("cos_raw"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming",
+                F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def knn_hard_negatives(corpus: DataFrame, queries: DataFrame, k: int,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        label_col: str = "label") -> DataFrame:

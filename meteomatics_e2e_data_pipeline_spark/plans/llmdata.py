@@ -3261,6 +3261,62 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def q_emb_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch funnel: sign-bit codes (64 dims → two 32-bit words,
+    128× smaller than float32), Hamming shortlist of ``RERANK_C`` per
+    query via XOR+popcount, full-precision rerank of only those pairs
+    (operators/similarity.py:knn_hamming_rerank). The most aggressive
+    tier of the quantization family (int8 4×, PQ 64×, binary 128×)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return similarity.knn_hamming_rerank(emb, queries, KNN_K, RERANK_C)
+
+
+def _oracle_knn_hamming_rerank() -> str:
+    from ..operators.similarity import BINARY_WORD_BITS as W
+
+    pack_lo = (f"list_sum(list_transform(range(1, {W + 1}), i -> "
+               f"CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1)) "
+               f"ELSE 0::BIGINT END))::BIGINT")
+    pack_hi = (f"list_sum(list_transform(range({W + 1}, {2 * W + 1}), i -> "
+               f"CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - {W + 1})) "
+               f"ELSE 0::BIGINT END))::BIGINT")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bq AS (SELECT vec_id, {pack_lo} AS lo, {pack_hi} AS hi FROM v),
+q1 AS (SELECT vec_id AS query_id, lo, hi FROM bq
+       WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c1 AS (SELECT vec_id AS neighbor_id, lo, hi FROM bq),
+coarse AS (
+  SELECT query_id, neighbor_id,
+         (bit_count(xor(q1.lo, c1.lo)) + bit_count(xor(q1.hi, c1.hi)))::INT
+             AS hamming
+  FROM q1, c1 WHERE neighbor_id != query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, hamming
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming ASC, neighbor_id) AS r1
+        FROM coarse)
+  WHERE r1 <= {RERANK_C}
+),
+exact AS (
+  SELECT query_id, neighbor_id, hamming, {_DUCK_COS} AS cos_raw
+  FROM cand
+  JOIN (SELECT vec_id, v AS qv FROM v) q ON q.vec_id = cand.query_id
+  JOIN (SELECT vec_id, v AS cv FROM v) c ON c.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, hamming, round(cos_raw, 6) AS cos_sim,
+       rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 def q_docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM quality score: per-doc average negative
     log-likelihood of token bigrams under λ·p(w2|w1) + (1−λ)·p(w2) —
@@ -4836,6 +4892,7 @@ LLM_QUERIES = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_dup_span_coverage": q_docs_dup_span_coverage,
     "docs_top_dup_spans": q_docs_top_dup_spans,
+    "emb_knn_hamming_rerank": q_emb_knn_hamming_rerank,
     "emb_ann_ivf_multiprobe": q_emb_ann_ivf_multiprobe,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
@@ -4944,6 +5001,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_dsir_weights": _oracle_dsir_weights(),
         "docs_dup_span_coverage": _oracle_dup_span_coverage(),
         "docs_top_dup_spans": _oracle_top_dup_spans(),
+        "emb_knn_hamming_rerank": _oracle_knn_hamming_rerank(),
         "emb_ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),

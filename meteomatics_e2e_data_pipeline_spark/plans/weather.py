@@ -540,6 +540,63 @@ def q_sql_weather_city_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# --------------------------------------------------------------------------
+# S1 as a native Python Data Source (api_datasource.py)
+# --------------------------------------------------------------------------
+
+
+def q_weather_api_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTTP source as ``spark.read.format("weather_api")`` — the
+    Spark-4 Data Source realization of S1 (one fetch task per
+    (location, run_date), pushdown-prunable). Reads the full fixture
+    backfill range, parses each payload with the strict schema, and
+    summarizes one row per (payload, parameter) — so the oracle, which
+    re-reads the SAME payloads from the fixture lake files, verifies the
+    whole source: partition planning, executor-side fetch, payload
+    bytes, and the typed parse. Fetcher injection, pushdown proof and
+    the quarantine channel are pytest-covered (test_api_datasource.py).
+    """
+    from ..sources.api_datasource import register
+    from ..sources.bronze import RAW_WEATHER_SCHEMA
+    from ..sources.fixtures import RUN_DATES
+
+    register(spark)
+    raw = (spark.read.format("weather_api")
+           .option("start_date", RUN_DATES[0])
+           .option("end_date", RUN_DATES[-1])
+           .load())
+    p = F.from_json(F.col("raw"), RAW_WEATHER_SCHEMA)
+    return (raw.select("city", "country", "latitude", "longitude",
+                       "run_date", p.alias("p"))
+            .select("city", "country", "latitude", "longitude", "run_date",
+                    F.col("p.weather.dateGenerated").cast("timestamp")
+                    .alias("date_generated"),
+                    F.explode("p.weather.data").alias("param"))
+            .select("city", "country", "latitude", "longitude", "run_date",
+                    "date_generated",
+                    F.col("param.parameter").alias("parameter"),
+                    F.size(F.element_at("param.coordinates", 1)["dates"])
+                    .cast("bigint").alias("n_readings")))
+
+
+def oracle_weather_api_source() -> str:
+    root = default_bronze_root()
+    return f"""
+WITH raw AS (
+  SELECT city, country, latitude, longitude,
+         strftime(CAST(weather.dateGenerated AS TIMESTAMP), '%Y-%m-%d')
+             AS run_date,
+         CAST(weather.dateGenerated AS TIMESTAMP) AS date_generated,
+         unnest(weather.data) AS param
+  FROM read_json('{root}/*/*/*.json', columns = {_DUCK_COLUMNS})
+)
+SELECT city, country, latitude, longitude, run_date, date_generated,
+       param.parameter AS parameter,
+       len(param.coordinates[1].dates)::BIGINT AS n_readings
+FROM raw
+"""
+
+
 WEATHER_QUERIES = {
     "weather_city_daily": q_weather_city_daily,
     "sql_weather_city_daily": q_sql_weather_city_daily,
@@ -553,6 +610,7 @@ WEATHER_QUERIES = {
     "fact_weather_params_forecast": _q_fact(sun=False, history=False),
     "fact_sun_times_history": _q_fact(sun=True, history=True),
     "fact_sun_times_forecast": _q_fact(sun=True, history=False),
+    "weather_api_source": q_weather_api_source,
 }
 
 
@@ -573,4 +631,5 @@ def weather_oracle() -> dict[str, str]:
         "fact_weather_params_forecast": _oracle_fact(sun=False, history=False),
         "fact_sun_times_history": _oracle_fact(sun=True, history=True),
         "fact_sun_times_forecast": _oracle_fact(sun=True, history=False),
+        "weather_api_source": oracle_weather_api_source(),
     }

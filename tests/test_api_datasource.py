@@ -1,0 +1,175 @@
+"""S1 as a Python Data Source: planning, pushdown, quarantine, streaming.
+
+The pushdown tests prove pruning at two levels: (1) unit — the reader's
+``pushFilters``/``partitions`` contract without Spark; (2) end-to-end — a
+chaos fetcher that RAISES for every non-allowed city, so a filtered query
+can only succeed if the pushed filter removed those partitions before any
+fetch ran (post-scan filtering would still have executed the failing
+fetch and produced quarantine rows, which the test also distinguishes).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, In, IsNotNull
+
+from meteomatics_e2e_data_pipeline_spark.sources.api_datasource import (
+    WeatherApiReader,
+    WeatherApiStreamReader,
+    register,
+)
+from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
+    LOCATIONS,
+    RUN_DATES,
+    _payload,
+)
+
+FETCHER_MOD = "meteomatics_e2e_data_pipeline_spark.sources.api_datasource"
+
+
+# --------------------------------------------------------------------------
+# Unit: partition planning + pushdown contract (no Spark session needed)
+# --------------------------------------------------------------------------
+
+
+def test_partitions_are_location_x_date_grain():
+    r = WeatherApiReader({"start_date": RUN_DATES[0],
+                          "end_date": RUN_DATES[-1]})
+    parts = r.partitions()
+    assert len(parts) == len(LOCATIONS) * len(RUN_DATES)
+    assert len({(p.city, p.run_date) for p in parts}) == len(parts)
+
+
+def test_pushdown_consumes_prunable_filters_and_returns_rest():
+    r = WeatherApiReader({"start_date": RUN_DATES[0],
+                          "end_date": RUN_DATES[-1]})
+    residual = list(r.pushFilters([
+        EqualTo(("city",), "tallinn"),
+        In(("run_date",), (RUN_DATES[0], RUN_DATES[1])),
+        IsNotNull(("raw",)),                  # not prunable -> returned
+        EqualTo(("latitude",), 59.437),       # not partition-grain -> returned
+    ]))
+    assert {type(f) for f in residual} == {IsNotNull, EqualTo}
+    parts = r.partitions()
+    assert {(p.city, p.run_date) for p in parts} == {
+        ("tallinn", RUN_DATES[0]), ("tallinn", RUN_DATES[1])}
+
+
+def test_pushdown_intersects_conflicting_filters_to_empty():
+    r = WeatherApiReader({"run_date": RUN_DATES[0]})
+    list(r.pushFilters([EqualTo(("city",), "tallinn"),
+                        EqualTo(("city",), "berlin")]))
+    assert r.partitions() == []
+
+
+def test_bad_options_raise():
+    with pytest.raises(ValueError, match="run_date or start_date"):
+        WeatherApiReader({})
+    with pytest.raises(ValueError, match="precedes"):
+        WeatherApiReader({"start_date": RUN_DATES[1],
+                          "end_date": RUN_DATES[0]})
+
+
+# --------------------------------------------------------------------------
+# End-to-end through Spark
+# --------------------------------------------------------------------------
+
+
+def test_batch_read_yields_exact_fixture_payloads(spark):
+    register(spark)
+    df = (spark.read.format("weather_api")
+          .option("run_date", RUN_DATES[0]).load())
+    rows = {r["city"]: r for r in df.collect()}
+    assert set(rows) == {c for c, _, _, _ in LOCATIONS}
+    for city, country, lat, lon in LOCATIONS:
+        r = rows[city]
+        assert (r["country"], r["latitude"], r["longitude"],
+                r["run_date"]) == (country, lat, lon, RUN_DATES[0])
+        # byte-identical to the fixture payload (and thus the lake files)
+        assert json.loads(r["raw"]) == _payload(city, country, lat, lon,
+                                                RUN_DATES[0])
+
+
+def test_pushdown_prunes_before_fetch_chaos_proof(spark):
+    """city='tallinn' must never fetch berlin/amsterdam: the chaos
+    fetcher raises for them, so success + zero quarantine rows proves
+    the filter reached partition planning (post-scan filtering would
+    yield rows whose raw is a fetch_error payload for 'tallinn' only
+    AFTER having fetched — and errored — the other cities' partitions,
+    observable below via the unfiltered read)."""
+    register(spark)
+    reader = (spark.read.format("weather_api")
+              .option("run_date", RUN_DATES[0])
+              .option("fetcher", f"{FETCHER_MOD}:SelectiveFailFetcher")
+              .option("fetcher_args", '{"allow": ["tallinn"]}'))
+    got = reader.load().filter(F.col("city") == "tallinn").collect()
+    assert len(got) == 1
+    assert "fetch_error" not in got[0]["raw"]
+
+    # unfiltered: every partition fetches; failures become quarantine rows
+    all_rows = reader.load().collect()
+    errs = {r["city"] for r in all_rows if "fetch_error" in r["raw"]}
+    assert errs == {c for c, *_ in LOCATIONS} - {"tallinn"}
+    assert len(all_rows) == len(LOCATIONS)   # no task failures either way
+
+
+def test_quarantine_channel_composes_with_validation(spark):
+    """A failing fetch flows through validate_payloads into quarantine —
+    the data source preserves ingest.fetch_distributed's error contract."""
+    from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
+        validate_payloads,
+    )
+
+    register(spark)
+    raw = (spark.read.format("weather_api")
+           .option("run_date", RUN_DATES[0])
+           .option("fetcher", f"{FETCHER_MOD}:SelectiveFailFetcher")
+           .option("fetcher_args", '{"allow": ["tallinn", "berlin"]}')
+           .load())
+    valid, quarantine = validate_payloads(spark, raw)
+    assert sorted(r["city"] for r in valid.select("city").collect()) == \
+        ["berlin", "tallinn"]
+    q = quarantine.collect()
+    assert len(q) == 1 and "amsterdam" in q[0]["corrupt_record"]
+
+
+# --------------------------------------------------------------------------
+# Streaming: one micro-batch per run_date, drained by processAllAvailable
+# --------------------------------------------------------------------------
+
+
+def test_stream_releases_one_date_per_batch(spark, tmp_path):
+    register(spark)
+    df = (spark.readStream.format("weather_api")
+          .option("start_date", RUN_DATES[0])
+          .option("end_date", RUN_DATES[-1]).load())
+    q = (df.writeStream.format("memory").queryName("api_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT city, run_date FROM api_stream").collect()
+    finally:
+        q.stop()
+    assert len(got) == len(LOCATIONS) * len(RUN_DATES)
+    assert {r["run_date"] for r in got} == set(RUN_DATES)
+    # progression happened per-day: the last committed batch covers only
+    # the final date (lastProgress reflects the final micro-batch)
+    dates_per_batch = len({r["run_date"] for r in got
+                           if r["city"] == LOCATIONS[0][0]})
+    assert dates_per_batch == len(RUN_DATES)
+
+
+def test_stream_reader_offset_progression_is_bounded():
+    r = WeatherApiStreamReader({"start_date": RUN_DATES[0],
+                                "end_date": RUN_DATES[-1]})
+    assert r.initialOffset() == {"n_dates": 0}
+    seen = [r.latestOffset()["n_dates"] for _ in range(len(RUN_DATES) + 3)]
+    # monotone, one day per call, capped at the range length
+    assert seen == [1, 2, 3, 4, 4, 4, 4]
+    parts = r.partitions({"n_dates": 1}, {"n_dates": 3})
+    assert {p.run_date for p in parts} == {RUN_DATES[1], RUN_DATES[2]}
+    assert len(parts) == len(LOCATIONS) * 2

@@ -2555,3 +2555,41 @@ def test_dup_span_coverage_matches_bruteforce_interval_union(spark):
     assert got[2]["covered_tokens"] == 8      # two disjoint within-doc
     assert got[3]["covered_tokens"] == 0
     assert got[4]["n_spans"] == 0
+
+
+# --------------------------------------------------------------------------
+# Binary sign quantization + Hamming funnel (round 9)
+# --------------------------------------------------------------------------
+
+
+def test_binary_quantize_packs_sign_bits_exactly(spark):
+    """Engineered vectors: packing equals the hand-computed bit masks;
+    zeros clear their bit; identical vectors have Hamming 0 and land
+    rank-1 in the funnel."""
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        binary_quantize, knn_hamming_rerank)
+
+    def vec(positive_idx):
+        return [1.0 if i in positive_idx else (-1.0 if i != 63 else 0.0)
+                for i in range(64)]
+
+    rows = [
+        (0, vec({0, 3, 35})),          # lo bits 0,3 ; hi bit 3
+        (1, vec({0, 3, 35})),          # identical twin
+        (2, vec(set(range(64)) - {63})),  # all positive except the zero
+        (3, [0.0] * 64),               # all zeros -> both codes 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["code_lo"], r["code_hi"])
+           for r in binary_quantize(df).collect()}
+    assert got[0] == (2**0 + 2**3, 2**3)
+    assert got[1] == got[0]
+    assert got[2] == (2**32 - 1, 2**31 - 1)   # bit 63 is the zero coord
+    assert got[3] == (0, 0)
+
+    # the funnel (like every cosine op here) assumes non-zero vectors
+    nz = df.filter("vec_id != 3")
+    top = knn_hamming_rerank(nz, nz.filter("vec_id = 0"), k=2,
+                             n_candidates=2).collect()
+    by_rank = {r["rank"]: r for r in top}
+    assert by_rank[1]["neighbor_id"] == 1 and by_rank[1]["hamming"] == 0

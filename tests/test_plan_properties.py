@@ -62,6 +62,10 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                # stage-1 of the two-stage funnel is the int8 pass above;
                # its stage-2 joins are broadcast HASH joins by design
                "emb_knn_int8_rerank",
+               # binary funnel: stage-1 Hamming scan is the deliberate
+               # bounded BNLJ (16-byte codes vs broadcast query codes);
+               # stage-2 joins are broadcast HASH joins like int8_rerank
+               "emb_knn_hamming_rerank",
                # label-mismatch broadcast scoring (same bounded
                # queries-side broadcast as knn_bruteforce)
                "emb_hard_negatives",
