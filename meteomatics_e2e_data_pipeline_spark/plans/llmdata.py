@@ -410,6 +410,33 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[fx[c].alias(c) for c in LOGREG_FEATURES])
 
 
+def _classifier_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored-corpus artifact (doc_id, label, score, pred), built once
+    per (session, sf_dir): train (module-cached k+1-scalar weights),
+    score row-locally, localCheckpoint. The whole classifier readout
+    family (AUC, calibration, threshold sweep) reads THIS table instead
+    of re-tokenizing the corpus per readout — in production the gating
+    pipeline writes the scores once and every evaluation reads them."""
+    cache = _session_artifacts(spark)
+    key = ("clf_scored", sf_dir, LOGREG_ITERS)
+    if key not in cache:
+        feat = _logreg_features(spark, sf_dir)
+        wkey = (sf_dir, LOGREG_ITERS)
+        if wkey not in _LOGREG_CACHE:
+            _LOGREG_CACHE[wkey] = classifier.logreg_train(
+                feat, list(LOGREG_FEATURES), "y",
+                iters=LOGREG_ITERS, lr=LOGREG_LR)
+        w = _LOGREG_CACHE[wkey]
+        cache[key] = (feat.select(
+            "doc_id",
+            F.col("y").cast("int").alias("label"),
+            classifier.logreg_score(feat, w, list(LOGREG_FEATURES))
+            .alias("score"))
+            .withColumn("pred", (F.col("score") >= F.lit(0.5)).cast("int"))
+            .localCheckpoint())
+    return cache[key]
+
+
 def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCLM / FineWeb-edu-style quality-classifier stage, trained
     IN-ENGINE: distill the composite quality gate into a linear model
@@ -420,20 +447,9 @@ def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     link keeps every double bit-identical to the DuckDB oracle's
     fixed-unroll replay — hash-matching proves the distributed trainer
     equals a sequential reference bit-for-bit (the pytest twin checks
-    the same against a pure-Python Decimal implementation)."""
-    feat = _logreg_features(spark, sf_dir)
-    key = (sf_dir, LOGREG_ITERS)
-    if key not in _LOGREG_CACHE:
-        _LOGREG_CACHE[key] = classifier.logreg_train(
-            feat, list(LOGREG_FEATURES), "y",
-            iters=LOGREG_ITERS, lr=LOGREG_LR)
-    w = _LOGREG_CACHE[key]
-    return (feat.select(
-        "doc_id",
-        F.col("y").cast("int").alias("label"),
-        classifier.logreg_score(feat, w, list(LOGREG_FEATURES))
-        .alias("score"))
-        .withColumn("pred", (F.col("score") >= F.lit(0.5)).cast("int")))
+    the same against a pure-Python Decimal implementation). Scores are
+    served from the per-session :func:`_classifier_scored` artifact."""
+    return _classifier_scored(spark, sf_dir)
 
 
 def _logreg_feat_cte() -> str:
@@ -587,7 +603,7 @@ def _classifier_threshold_metrics(spark: SparkSession,
     scores), from one pass over the distinct-score frame: suffix
     TP/FP fall out of the same range-parallel prefix sums the AUC
     query uses (tp = npos - cum_np + np_v), so the whole threshold
-    sweep costs two global_running_sum passes over a frame bounded by
+    sweep costs ONE one-pass global_running_sums call over a frame bounded by
     the score VALUE DOMAIN (<= 10^6+1 six-dp values), never the
     corpus. All counts stay exact int64; each metric is integer
     arithmetic until one final correctly-rounded IEEE division, so
@@ -598,10 +614,9 @@ def _classifier_threshold_metrics(spark: SparkSession,
     byv = (sc.groupBy("score")
            .agg(F.sum("label").cast("long").alias("np_v"),
                 F.sum(F.lit(1) - F.col("label")).cast("long").alias("nn_v")))
-    cum = quantiles.global_running_sum(byv, "score", "np_v", "score",
-                                       out_col="cp", total_col="npos")
-    cum = quantiles.global_running_sum(cum, "score", "nn_v", "score",
-                                       out_col="cn", total_col="nneg")
+    cum = quantiles.global_running_sums(
+        byv, "score", {"np_v": "cp", "nn_v": "cn"}, "score",
+        total_cols={"np_v": "npos", "nn_v": "nneg"})
     m0 = cum.select(
         F.col("score").alias("threshold"),
         (F.col("npos") - F.col("cp") + F.col("np_v")).alias("tp"),
@@ -632,17 +647,28 @@ def q_docs_classifier_threshold(spark: SparkSession,
     corpus, no single-partition window."""
     m = _classifier_threshold_metrics(spark, sf_dir) \
         .localCheckpoint(eager=True)
-    out = None
-    for crit, col in (("f1", "f1"), ("youden", "j")):
-        bm = m.agg(F.max(col).alias("__bm"))
-        mt = m.join(F.broadcast(bm), F.col(col) == F.col("__bm"))
-        bt = mt.agg(F.min("threshold").alias("__bt"))
-        sel = (mt.join(F.broadcast(bt), F.col("threshold") == F.col("__bt"))
-               .select(F.lit(crit).alias("criterion"), "threshold",
-                       "tp", "fp", "fn", "tn",
-                       F.round(F.col(col), 6).alias("metric")))
-        out = sel if out is None else out.unionAll(sel)
-    return out
+    # one aggregate finds BOTH criteria's maxima; matching rows tag
+    # themselves via a row-local explode, and the min-threshold tie
+    # break is a broadcast semi-aggregate — 2 bounded jobs total
+    # instead of 2 per criterion.
+    best = m.agg(F.max("f1").alias("__bf1"), F.max("j").alias("__bj"))
+    cand = (m.join(F.broadcast(best))
+            .select("threshold", "tp", "fp", "fn", "tn",
+                    F.explode(F.filter(F.array(
+                        F.when(F.col("f1") == F.col("__bf1"), F.struct(
+                            F.lit("f1").alias("criterion"),
+                            F.col("f1").alias("metric"))),
+                        F.when(F.col("j") == F.col("__bj"), F.struct(
+                            F.lit("youden").alias("criterion"),
+                            F.col("j").alias("metric")))),
+                        lambda x: x.isNotNull())).alias("__c"))
+            .select("__c.criterion", "threshold", "tp", "fp", "fn", "tn",
+                    "__c.metric"))
+    pick = cand.groupBy("criterion").agg(
+        F.min("threshold").alias("threshold"))
+    return (cand.join(F.broadcast(pick), ["criterion", "threshold"])
+            .select("criterion", "threshold", "tp", "fp", "fn", "tn",
+                    F.round(F.col("metric"), 6).alias("metric")))
 
 
 def _oracle_classifier_threshold() -> str:
@@ -4637,10 +4663,9 @@ def q_docs_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     byv = (docs.groupBy(F.col("n_chars").alias("v"))
            .agg(F.sum(ga.cast("long")).alias("ca"),
                 F.sum((~ga).cast("long")).alias("cb")))
-    cum = quantiles.global_running_sum(byv, "v", "ca", "v",
-                                       out_col="cuma", total_col="na")
-    cum = quantiles.global_running_sum(cum, "v", "cb", "v",
-                                       out_col="cumb", total_col="nb")
+    cum = quantiles.global_running_sums(
+        byv, "v", {"ca": "cuma", "cb": "cumb"}, "v",
+        total_cols={"ca": "na", "cb": "nb"})
     num = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
     m = (cum.withColumn("num", num)
          .agg(F.max("na").alias("na"), F.max("nb").alias("nb"),

@@ -90,7 +90,11 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                # bounded by construction like bm25's stats row
                # (parts_abc_classes left the list in round 7: its total
                # now rides the config-sized offsets broadcast instead)
-               "customer_spend_quartiles_cut"}
+               "customer_spend_quartiles_cut",
+               # 1-row best-metric crossJoin (max f1 / max J scalar
+               # frame broadcast against the distinct-score sweep) —
+               # bounded by construction like bm25's stats row
+               "docs_classifier_threshold"}
     for name in entrymod.queries():
         if "BroadcastNestedLoopJoin" in _plan(spark, name, sf_smoke):
             assert name in allowed, f"unexpected BNLJ in {name}"

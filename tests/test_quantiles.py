@@ -89,6 +89,32 @@ def test_global_running_sum_matches_window_sum(spark):
     assert tot.pop() == sum(r.w for r in df.collect())
 
 
+def test_global_running_sums_one_pass_matches_stacked_calls(spark):
+    """The multi-weight one-pass form is value-identical to two stacked
+    single-weight calls (and to the window oracle), including both
+    grand totals."""
+    rows = [(i, float((i * 37) % 11)) for i in range(40)]  # many ties
+    df = (_df(spark, rows)
+          .withColumn("w1", F.col("v").cast("decimal(10,2)"))
+          .withColumn("w2", (F.col("v") * 2 + 1).cast("bigint")))
+    w = (Window.orderBy("v", "id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    expected = df.select("id", F.sum("w1").over(w).alias("c1"),
+                         F.sum("w2").over(w).alias("c2"))
+    got = quantiles.global_running_sums(
+        df, "v", {"w1": "c1", "w2": "c2"}, "id",
+        total_cols={"w1": "t1", "w2": "t2"}, n_ranges=4)
+    assert sorted((r.id, r.c1, r.c2) for r in got.collect()) \
+        == sorted((r.id, r.c1, r.c2) for r in expected.collect())
+    one = got.select("t1", "t2").distinct().collect()
+    assert len(one) == 1
+    assert one[0].t1 == sum(r.w1 for r in df.collect())
+    assert one[0].t2 == sum(r.w2 for r in df.collect())
+    with pytest.raises(ValueError, match="total_cols"):
+        quantiles.global_running_sums(df, "v", {"w1": "c1"}, "id",
+                                      total_cols={"w2": "t2"})
+
+
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(vals=st.lists(st.integers(min_value=0, max_value=20),
