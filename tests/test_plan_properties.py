@@ -3,12 +3,25 @@ documents, asserted so a refactor can't silently lose them."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
 def _plan(spark, name: str, sf: str) -> str:
     df = entrymod.queries()[name](spark, sf)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_smoke) -> "dict[str, str]":
+    """Every query's executed-plan string, built ONCE for the module —
+    the three suite-wide hunters (cartesian, BNLJ, single-partition
+    window) all read this instead of re-planning 200+ queries each
+    (the r8 runtime ledger's named lever: one plan build, three
+    assertions — worth ~100 s of suite time)."""
+    return {name: _plan(spark, name, sf_smoke)
+            for name in entrymod.queries()}
 
 
 def test_pricing_summary_pushes_filter_and_prunes(spark, sf_smoke):
@@ -42,12 +55,12 @@ def test_latest_order_agg_is_window_free_partial_agg(spark, sf_smoke):
     assert "partial_max" in plan or "partial max" in plan.lower(), plan
 
 
-def test_no_cartesian_products_anywhere(spark, sf_smoke):
-    for name in entrymod.queries():
-        assert "CartesianProduct" not in _plan(spark, name, sf_smoke), name
+def test_no_cartesian_products_anywhere(all_plans):
+    for name, plan in all_plans.items():
+        assert "CartesianProduct" not in plan, name
 
 
-def test_bnlj_only_in_intended_queries(spark, sf_smoke):
+def test_bnlj_only_in_intended_queries(all_plans):
     # BroadcastNestedLoopJoin is deliberate ONLY in the brute-force /
     # quantizer-assignment similarity queries (see PLANS.md).
     allowed = {"emb_knn_bruteforce", "emb_knn_vectorized", "emb_ann_ivf",
@@ -95,8 +108,8 @@ def test_bnlj_only_in_intended_queries(spark, sf_smoke):
                # frame broadcast against the distinct-score sweep) —
                # bounded by construction like bm25's stats row
                "docs_classifier_threshold"}
-    for name in entrymod.queries():
-        if "BroadcastNestedLoopJoin" in _plan(spark, name, sf_smoke):
+    for name, plan in all_plans.items():
+        if "BroadcastNestedLoopJoin" in plan:
             assert name in allowed, f"unexpected BNLJ in {name}"
 
 
@@ -169,7 +182,7 @@ def test_trailing_spend_window_is_customer_partitioned(spark, sf_smoke):
     assert "SinglePartition" not in plan, plan
 
 
-def test_no_data_sized_single_partition_windows(spark, sf_smoke):
+def test_no_data_sized_single_partition_windows(all_plans):
     """Suite-wide hunter: a Window fed by Exchange SinglePartition is
     the classic scale-killer (all rows sort on one task). The only
     sanctioned shapes are (a) the quantile family's offsets window —
@@ -189,9 +202,7 @@ def test_no_data_sized_single_partition_windows(spark, sf_smoke):
         "docs_lang_temperature_sample",
     }
     offenders = []
-    for name, fn in entrymod.queries().items():
-        plan = fn(spark, sf_smoke)._jdf.queryExecution() \
-            .executedPlan().toString()
+    for name, plan in all_plans.items():
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
             if "Window" not in ln:
