@@ -206,6 +206,134 @@ def repetition_stats(docs, id_col: str = "doc_id",
     )
 
 
+# n-gram orders for the row-local repetition signals: top-gram char
+# fractions at 3/4 (Gopher's top-2 is repetition_stats' top_bigram_frac)
+# and duplicated-gram char fractions at 5/10 (the Rae et al. 2021 §A1.1
+# dup-n-gram band endpoints).
+REP_TOP_NS = (3, 4)
+REP_DUP_NS = (5, 10)
+
+
+def repetition_signals(docs, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Gopher §A1.1 character-level repetition signals, computed with
+    ZERO shuffles: per document, the fraction of (normalized) characters
+    occupied by the most frequent n-gram (n in :data:`REP_TOP_NS`) and
+    by ALL n-grams occurring 2+ times (n in :data:`REP_DUP_NS`) —
+    occurrence-weighted (count × gram chars; overlapping occurrences
+    are counted per occurrence, the standard cheap-filter form, so a
+    pathological doc can exceed 1.0 rather than hiding its repetition).
+
+    Where :func:`repetition_stats` shuffles gram counts on doc_id, this
+    op never leaves the row: each order's grams are ``array_sort``-ed so
+    equal grams are adjacent, and ONE ``F.aggregate`` run-length scan
+    per order extracts the top-run / duplicated-run character mass —
+    O(g log g) row-local work, a pure projection over the corpus scan
+    (the 100 TB shape: quality gates must not shuffle). The top-gram
+    tiebreak keeps the FIRST maximal run in gram-ascending order, i.e.
+    (count DESC, gram ASC) — deterministic and oracle-matching.
+    Denominator = chars of the single-space token join; empty docs emit
+    0.0 for every fraction.
+
+    Single-tokenize discipline: the token array binds ONCE as a
+    higher-order lambda variable (``transform(array(tokens(text)),
+    w -> struct(...))``) and the result struct leaves through
+    ``F.inline`` — a generator, evaluated once per row. Building each
+    order's grams from a plain projected alias instead re-runs the
+    regex tokenizer inside every slice (CollapseProject inlines the
+    alias — the same trap :func:`repetition_stats` documents); that
+    form measured 5.5 s at sf0.1 vs 2.6 s for this one (the other half
+    of the win is the slice+join gram build below).
+    """
+
+    def grams_of(w, n: int):
+        # one slice + join per position over the BOUND token variable —
+        # O(n · token_len) chars per gram. (gram_string_array's
+        # zip_with chain concatenates through every intermediate order,
+        # O(n²) char copying; with 4 orders up to n=10 that measured
+        # 2× this form. sequence() is guarded: stop < start generates a
+        # DESCENDING sequence, not an empty one.)
+        pos = F.when(
+            F.size(w) >= n,
+            F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(pos, lambda i: F.array_join(F.slice(w, i, n),
+                                                       " "))
+
+    def top_scan(w, denom, n: int):
+        # state: current run (prev gram, length) + best (count, gram)
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("bestc"), F.lit("").alias("bestg"))
+
+        def bestc(s):
+            return F.when(s["run"] > s["bestc"], s["run"]) \
+                .otherwise(s["bestc"])
+
+        def bestg(s):
+            return F.when(s["run"] > s["bestc"], s["prev"]) \
+                .otherwise(s["bestg"])
+
+        def merge(s, g):
+            same = g == s["prev"]
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, s["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint")).alias("run"),
+                F.when(same, s["bestc"]).otherwise(bestc(s)).alias("bestc"),
+                F.when(same, s["bestg"]).otherwise(bestg(s)).alias("bestg"))
+
+        def finish(s):
+            return F.when(
+                denom > 0,
+                F.round(bestc(s) * F.length(bestg(s)) / denom, 6)
+            ).otherwise(F.lit(0.0))
+
+        return F.aggregate(F.array_sort(grams_of(w, n)), init, merge,
+                           finish)
+
+    def dup_scan(w, denom, n: int):
+        # state: current run + char mass of runs with length >= 2
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("dupchars"))
+
+        def flushed(s):
+            return F.when(s["run"] >= 2,
+                          s["dupchars"] + s["run"] * F.length(s["prev"])) \
+                .otherwise(s["dupchars"])
+
+        def merge(s, g):
+            same = g == s["prev"]
+            return F.struct(
+                g.alias("prev"),
+                F.when(same, s["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint")).alias("run"),
+                F.when(same, s["dupchars"]).otherwise(flushed(s))
+                .alias("dupchars"))
+
+        def finish(s):
+            return F.when(denom > 0, F.round(flushed(s) / denom, 6)) \
+                .otherwise(F.lit(0.0))
+
+        return F.aggregate(F.array_sort(grams_of(w, n)), init, merge,
+                           finish)
+
+    def row_struct(w):
+        denom = F.length(F.array_join(w, " "))
+        return F.struct(
+            denom.cast("bigint").alias("n_chars_norm"),
+            *[top_scan(w, denom, n).alias(f"top_{n}gram_char_frac")
+              for n in REP_TOP_NS],
+            *[dup_scan(w, denom, n).alias(f"dup_{n}gram_char_frac")
+              for n in REP_DUP_NS])
+
+    return docs.select(
+        id_col,
+        F.inline(F.transform(F.array(tokens(F.col(text_col))),
+                             row_struct)))
+
+
 def redact(c, patterns: dict[str, str]):
     """Apply word/PII redaction patterns in deterministic dict order —
     each a full-regex replace (Spark replaces every match; the DuckDB

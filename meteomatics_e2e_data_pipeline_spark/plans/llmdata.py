@@ -2322,6 +2322,62 @@ def q_docs_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _gopher_stats(spark, sf_dir)
 
 
+def q_docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 character-level repetition signals — top-n-gram char
+    fraction (n=3,4) and duplicated-n-gram char fraction (n=5,10) — as a
+    ZERO-shuffle pure projection: per-order sorted-gram run-length scans
+    inside one F.aggregate each (operators/textops.py:
+    repetition_signals). Where docs_quality_gopher shuffles gram counts
+    on doc_id, this stays row-local end-to-end — the shape a quality
+    gate must have before it can run ahead of everything else at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_signals(docs)
+
+
+def _oracle_repetition_signals() -> str:
+    from ..operators.textops import REP_DUP_NS, REP_TOP_NS
+
+    ctes, sel, joins = [], [], []
+    for n in (*REP_TOP_NS, *REP_DUP_NS):
+        parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+        ctes.append(f"""g{n} AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - {n - 2}),
+                               i -> {parts})) AS g
+  FROM warr),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2)""")
+    for n in REP_TOP_NS:
+        ctes.append(f"""t{n} AS (
+  SELECT doc_id, c * len(g) AS chars{n}
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, g ASC) AS rn
+        FROM c{n})
+  WHERE rn = 1)""")
+        sel.append(f"coalesce(round(chars{n} / nullif(denom, 0), 6), 0.0)"
+                   f" AS top_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN t{n} USING (doc_id)")
+    for n in REP_DUP_NS:
+        ctes.append(f"""d{n} AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS dchars{n}
+  FROM c{n} GROUP BY 1)""")
+        sel.append(f"coalesce(round(dchars{n} / nullif(denom, 0), 6), 0.0)"
+                   f" AS dup_{n}gram_char_frac")
+        joins.append(f"LEFT JOIN d{n} USING (doc_id)")
+    body = ",\n".join(ctes)
+    return rf"""
+WITH warr AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+base AS (SELECT doc_id,
+                len(array_to_string(w, ' '))::BIGINT AS denom
+         FROM warr),
+{body}
+SELECT doc_id, denom AS n_chars_norm,
+       {", ".join(sel)}
+FROM base {" ".join(joins)}
+"""
+
+
 ORACLE_QUALITY_GOPHER = """
 WITH tok AS (SELECT doc_id, unnest({toks}) AS t FROM {src}),
 uni AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -4917,6 +4973,7 @@ LLM_QUERIES = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_dup_span_coverage": q_docs_dup_span_coverage,
     "docs_top_dup_spans": q_docs_top_dup_spans,
+    "docs_repetition_signals": q_docs_repetition_signals,
     "emb_knn_hamming_rerank": q_emb_knn_hamming_rerank,
     "emb_ann_ivf_multiprobe": q_emb_ann_ivf_multiprobe,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
@@ -5026,6 +5083,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_dsir_weights": _oracle_dsir_weights(),
         "docs_dup_span_coverage": _oracle_dup_span_coverage(),
         "docs_top_dup_spans": _oracle_top_dup_spans(),
+        "docs_repetition_signals": _oracle_repetition_signals(),
         "emb_knn_hamming_rerank": _oracle_knn_hamming_rerank(),
         "emb_ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),

@@ -2557,6 +2557,51 @@ def test_dup_span_coverage_matches_bruteforce_interval_union(spark):
     assert got[4]["n_spans"] == 0
 
 
+def test_repetition_signals_engineered_and_zero_shuffle(spark):
+    """Hand-computable docs: the run-length scans must equal the
+    by-definition values, ties on the top gram resolve to the smaller
+    string, empty docs yield zeros — and the WHOLE plan must be a pure
+    projection (zero Exchange: the op's 100 TB contract)."""
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        repetition_signals,
+    )
+
+    rows = [
+        # "a b c a b c a b c": 3-grams: 'a b c'×3,'b c a'×2,'c a b'×2
+        # top3 = 3*5/17 ; denom=17
+        (1, "a b c a b c a b c"),
+        # no repeated 5-gram or 10-gram, distinct everywhere
+        (2, "q w e r t y u i o p"),
+        # exact doubled half: "x y z v w x y z v w" - the 5-gram
+        # 'x y z v w' occurs 2x -> dup5 = 2*9/19
+        (3, "x y z v w x y z v w"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_signals(df)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    assert got[1]["n_chars_norm"] == 17
+    assert got[1]["top_3gram_char_frac"] == round(3 * 5 / 17, 6)
+    # a 10-token window cannot repeat inside 9 tokens
+    assert got[1]["dup_10gram_char_frac"] == 0.0
+    # the period-3 text DOES repeat 5-grams: 'a b c a b' at pos {1,4},
+    # 'b c a b c' at pos {2,5}; 'c a b c a' (pos 3) is unique ->
+    # 4 duplicated occurrences x 9 chars each over 17 chars
+    assert got[1]["dup_5gram_char_frac"] == round(4 * 9 / 17, 6)
+    assert got[2]["dup_5gram_char_frac"] == 0.0
+    assert got[2]["top_3gram_char_frac"] == round(5 / 19, 6)  # all c=1
+    assert got[3]["dup_5gram_char_frac"] == round(2 * 9 / 19, 6)
+    assert got[4] == {"doc_id": 4, "n_chars_norm": 0,
+                      "top_3gram_char_frac": 0.0,
+                      "top_4gram_char_frac": 0.0,
+                      "dup_5gram_char_frac": 0.0,
+                      "dup_10gram_char_frac": 0.0}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 # --------------------------------------------------------------------------
 # Binary sign quantization + Hamming funnel (round 9)
 # --------------------------------------------------------------------------
