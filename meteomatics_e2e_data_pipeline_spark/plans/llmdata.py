@@ -4641,6 +4641,61 @@ GROUP BY ann.tier, ann.query_id
 """
 
 
+def q_emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k for the binary sign-sketch funnel — the same
+    index-quality feedback the IVF/PQ tiers get, closing the recall
+    story for every ANN tier in the engine: per query,
+    |funnel top-k ∩ brute-force top-k| / k at the funnel's own
+    k=KNN_K. Because stage 2 rescores EXACTLY, recall < 1 only when a
+    true neighbor missed the Hamming shortlist — this readout measures
+    the 128×-compression coarse pass alone, which is what a deployment
+    tunes n_candidates against. One k-bounded overlap join + partial
+    agg; the funnel and truth are the only expensive inputs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    truth = (similarity.knn_bruteforce(emb, queries_df, KNN_K)
+             .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    ann = similarity.knn_hamming_rerank(
+        emb, queries_df, KNN_K, RERANK_C).select("query_id", "neighbor_id")
+    return (
+        ann.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ann"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+             .cast("bigint").alias("n_hits"))
+        .withColumn("recall_at_k",
+                    F.round(F.col("n_hits") / F.lit(float(KNN_K)), 6))
+    )
+
+
+def _oracle_hamming_recall() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {KNN_QUERY_MAX_ID}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_DUCK_COS} DESC, neighbor_id) AS rank
+    FROM q, c WHERE neighbor_id != query_id)
+  WHERE rank <= {KNN_K}
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM ({_oracle_knn_hamming_rerank()})
+)
+SELECT ann.query_id,
+       count(*)::BIGINT AS n_ann,
+       sum(CASE WHEN truth.neighbor_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS n_hits,
+       round(sum(CASE WHEN truth.neighbor_id IS NULL THEN 0 ELSE 1 END)
+             / {float(KNN_K)}, 6) AS recall_at_k
+FROM ann LEFT JOIN truth USING (query_id, neighbor_id)
+GROUP BY ann.query_id
+"""
+
+
 def _oracle_ann_recall() -> str:
     # Ground truth and ANN sides restated from ORACLE_KNN / ORACLE_ANN_IVF
     # with the SAME constants, both cut at IVF_K, composed in one WITH.
@@ -4975,6 +5030,7 @@ LLM_QUERIES = {
     "docs_top_dup_spans": q_docs_top_dup_spans,
     "docs_repetition_signals": q_docs_repetition_signals,
     "emb_knn_hamming_rerank": q_emb_knn_hamming_rerank,
+    "emb_hamming_recall": q_emb_hamming_recall,
     "emb_ann_ivf_multiprobe": q_emb_ann_ivf_multiprobe,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
@@ -5085,6 +5141,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_top_dup_spans": _oracle_top_dup_spans(),
         "docs_repetition_signals": _oracle_repetition_signals(),
         "emb_knn_hamming_rerank": _oracle_knn_hamming_rerank(),
+        "emb_hamming_recall": _oracle_hamming_recall(),
         "emb_ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),

@@ -1818,6 +1818,25 @@ def test_ann_recall_bounds(spark, sf_oracle):
         assert 0.0 <= r["recall_at_k"] <= 1.0
 
 
+def test_hamming_recall_bounds_and_floor(spark, sf_oracle):
+    """Funnel recall@k is a valid fraction per query, every query
+    reports once, and the Hamming shortlist beats random-chance recall
+    by a wide margin even on structureless embeddings (mean >= 0.2 at
+    n_candidates=RERANK_C vs chance ~ k/N ≈ 0.005)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["emb_hamming_recall"](
+        spark, sf_oracle).collect()
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        KNN_K, KNN_QUERY_MAX_ID)
+    assert len(rows) == KNN_QUERY_MAX_ID
+    assert len({r["query_id"] for r in rows}) == KNN_QUERY_MAX_ID
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_ann"] <= KNN_K
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.2
+
+
 def _py_bpe_merge(syms, left, right):
     acc = []
     for x in syms:

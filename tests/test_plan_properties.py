@@ -79,6 +79,9 @@ def test_bnlj_only_in_intended_queries(all_plans):
                # bounded BNLJ (16-byte codes vs broadcast query codes);
                # stage-2 joins are broadcast HASH joins like int8_rerank
                "emb_knn_hamming_rerank",
+               # composes the funnel + knn_bruteforce truth, inheriting
+               # both deliberate bounded BNLJs (like emb_pq_recall)
+               "emb_hamming_recall",
                # label-mismatch broadcast scoring (same bounded
                # queries-side broadcast as knn_bruteforce)
                "emb_hard_negatives",
