@@ -4913,11 +4913,15 @@ def q_docs_top_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``TOP_DUP_SPANS_K`` most-repeated length-``DUP_SPAN_L``
     token spans corpus-wide — the triage table a dedup operator
     produces first (what IS the boilerplate?). Groups on the 8-byte
-    gram hash (never shuffling span text per occurrence), recovers one
-    span string per group via min (deterministic under the negligible
-    md5-48 collision odds), and takes top-k with a deterministic
-    (count DESC, span ASC) tiebreak — Spark's sort-limit is a map-side
-    partial top-k, not a global sort."""
+    gram hash (map-side partial aggregation means span text crosses
+    the wire once per distinct gram per partition — never per
+    occurrence; a two-phase hash-only + rescan variant was measured
+    SLOWER, 4.2 s vs 2.3 s at sf0.1, because the gram+md5 build
+    dominates and it pays that twice), recovers one span string per
+    group via min (deterministic under the negligible md5-48 collision
+    odds), and takes top-k with a deterministic (count DESC, span ASC)
+    tiebreak — Spark's sort-limit is a map-side partial top-k, not a
+    global sort."""
     docs = load_table(spark, sf_dir, "documents")
     sp = docs.select(
         "doc_id",
