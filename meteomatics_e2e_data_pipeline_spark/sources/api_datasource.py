@@ -15,11 +15,12 @@ Catalyst planning like any file source —
   prunes partitions BEFORE any HTTP call happens — the API-call analogue
   of parquet partition pruning. Unsupported filters are returned to Spark
   and re-applied post-scan, so consuming a filter is never lossy;
-- **a bounded streaming source**: one micro-batch per run_date between
-  ``start_date`` and ``end_date`` — the backfill loop
-  (``catchup=True`` in the reference DAG) expressed as offsets, with
-  exactly-once progression owned by the engine's checkpoint, not by task
-  bookkeeping.
+- **a bounded streaming source**: the backfill loop (``catchup=True``
+  in the reference DAG) expressed as offsets over the
+  ``start_date``..``end_date`` run_date range, with exactly-once
+  progression owned by the engine's checkpoint, not by task
+  bookkeeping — a restarted query resumes at the committed day, and
+  extending ``end_date`` on restart streams only the delta.
 
 The fetcher stays injectable (same contract as :mod:`.ingest`): options are
 flat strings, so it is named by import path ``"module:Class"`` and
@@ -198,21 +199,26 @@ class WeatherApiReader(DataSourceReader):
 
 
 class WeatherApiStreamReader(DataSourceStreamReader):
-    """Backfill-as-stream: offsets are run_dates; each ``latestOffset``
-    call releases ONE more day until ``end_date`` — so
-    ``processAllAvailable`` drains the whole catchup range one
-    micro-batch per day, with progression checkpointed by the engine.
-    Within a batch the partition grain is the same (location, run_date)
-    unit as the batch reader, so fetches still fan out to executors.
+    """Backfill-as-stream: the offset is "how many of the configured
+    run_dates are released", and ``latestOffset`` reports the WHOLE
+    configured range immediately — the honest answer for a bounded
+    backfill, and the only restart-safe one in this API. Within a
+    batch the partition grain is the same (location, run_date) unit as
+    the batch reader, so fetches still fan out to executors.
 
-    The advancing cursor lives on the driver-side reader instance. On
-    restart-from-checkpoint the cursor re-starts at 0, BELOW the
-    committed offset; that is safe, not lossy: the engine schedules a
-    batch only when ``latestOffset`` exceeds the checkpointed start, so
-    early triggers are no-ops until the cursor passes the committed
-    count, after which (start, end] deltas resume exactly where the
-    checkpoint left off (``partitions(start, end)`` is pure in its
-    arguments — no day is ever re-released into a new batch).
+    Restart semantics (exactly-once, pytest-proven by
+    ``test_stream_restart_from_checkpoint_extends_backfill_exactly_once``):
+    on restart the engine resumes from the checkpointed offset and
+    plans one batch per (committed, latest] delta — so extending
+    ``end_date`` on a restarted query streams ONLY the new days.
+    A per-call pacing cursor (one day per ``latestOffset`` call) was
+    tried first and is a restart CORRUPTION: a fresh reader's cursor
+    restarts below the committed offset, the engine logs the backward
+    offset as a new batch end, and the next trigger replays an
+    already-committed day under a NEW batch id — which the sink's
+    exactly-once log cannot deduplicate. Offsets must never move
+    backward; without admission-control support in the Python
+    ``DataSourceStreamReader`` API, monotone == report everything.
     """
 
     def __init__(self, options):
@@ -222,15 +228,12 @@ class WeatherApiStreamReader(DataSourceStreamReader):
         if not start:
             raise ValueError("weather_api stream requires start_date")
         self.dates = _dates_between(start, options.get("end_date", start))
-        self._cursor = 0  # index of the next date to release
 
     def initialOffset(self) -> dict:
         return {"n_dates": 0}
 
     def latestOffset(self) -> dict:
-        if self._cursor < len(self.dates):
-            self._cursor += 1
-        return {"n_dates": self._cursor}
+        return {"n_dates": len(self.dates)}
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[FetchPartition]:

@@ -141,7 +141,7 @@ def test_quarantine_channel_composes_with_validation(spark):
 # --------------------------------------------------------------------------
 
 
-def test_stream_releases_one_date_per_batch(spark, tmp_path):
+def test_stream_drains_full_backfill_range(spark, tmp_path):
     register(spark)
     df = (spark.readStream.format("weather_api")
           .option("start_date", RUN_DATES[0])
@@ -156,20 +156,60 @@ def test_stream_releases_one_date_per_batch(spark, tmp_path):
         q.stop()
     assert len(got) == len(LOCATIONS) * len(RUN_DATES)
     assert {r["run_date"] for r in got} == set(RUN_DATES)
-    # progression happened per-day: the last committed batch covers only
-    # the final date (lastProgress reflects the final micro-batch)
-    dates_per_batch = len({r["run_date"] for r in got
-                           if r["city"] == LOCATIONS[0][0]})
-    assert dates_per_batch == len(RUN_DATES)
+    # every (location, day) fetch unit lands exactly once
+    assert len({(r["city"], r["run_date"]) for r in got}) == len(got)
 
 
-def test_stream_reader_offset_progression_is_bounded():
+def test_stream_restart_from_checkpoint_extends_backfill_exactly_once(
+        spark, tmp_path):
+    """The documented restart semantics (api_datasource.py stream
+    reader): a fresh reader's cursor restarts at 0 BELOW the committed
+    offset, the engine schedules batches only past the checkpoint, and
+    extending end_date on restart resumes the backfill where it left
+    off — every (location, run_date) lands EXACTLY once in the file
+    sink across both runs (no loss, no duplicates)."""
+    register(spark)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run(end_date):
+        df = (spark.readStream.format("weather_api")
+              .option("start_date", RUN_DATES[0])
+              .option("end_date", end_date).load())
+        q = (df.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(RUN_DATES[1])                      # first 2 days
+    mid = spark.read.parquet(out).collect()
+    assert {r["run_date"] for r in mid} == set(RUN_DATES[:2])
+    assert len(mid) == len(LOCATIONS) * 2
+
+    run(RUN_DATES[-1])                     # restart, extended range
+    got = spark.read.parquet(out).select("city", "run_date").collect()
+    assert len(got) == len(LOCATIONS) * len(RUN_DATES)
+    pairs = {(r["city"], r["run_date"]) for r in got}
+    assert len(pairs) == len(got)          # exactly once
+    assert {d for _, d in pairs} == set(RUN_DATES)
+
+
+def test_stream_reader_offsets_are_monotone_and_restart_safe():
     r = WeatherApiStreamReader({"start_date": RUN_DATES[0],
                                 "end_date": RUN_DATES[-1]})
     assert r.initialOffset() == {"n_dates": 0}
-    seen = [r.latestOffset()["n_dates"] for _ in range(len(RUN_DATES) + 3)]
-    # monotone, one day per call, capped at the range length
-    assert seen == [1, 2, 3, 4, 4, 4, 4]
+    # the full bounded range is available immediately and NEVER moves
+    # backward — a fresh reader (restart) reports the same offset, so
+    # a checkpointed query can only plan forward deltas
+    seen = [r.latestOffset()["n_dates"] for _ in range(3)]
+    assert seen == [len(RUN_DATES)] * 3
+    fresh = WeatherApiStreamReader({"start_date": RUN_DATES[0],
+                                    "end_date": RUN_DATES[-1]})
+    assert fresh.latestOffset() == {"n_dates": len(RUN_DATES)}
+    # (start, end] delta planning is pure in its arguments
     parts = r.partitions({"n_dates": 1}, {"n_dates": 3})
     assert {p.run_date for p in parts} == {RUN_DATES[1], RUN_DATES[2]}
     assert len(parts) == len(LOCATIONS) * 2
+    assert r.partitions({"n_dates": 2}, {"n_dates": 2}) == []
