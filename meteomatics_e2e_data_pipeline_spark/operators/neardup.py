@@ -1068,14 +1068,41 @@ def dup_span_stats(docs: DataFrame, id_col: str = "doc_id",
 def gram_string_array(text_col, n: int):
     """Row-local ordered ARRAY of n-gram STRINGS (space-joined), one
     per token position; index i (0-based) = the gram starting at token
-    i+1. Built by zip_with-ing the token array against its own shifted
-    slices, which dodges BOTH n-gram performance traps: no window, and
-    no lambda ever indexes a computed alias (the CollapseProject
-    re-evaluation problem — see ``ngram_occurrences``); the tokenizer
-    runs O(n) times per ROW, not per position. Partial tail windows are
-    null-propagated and filtered; the nulls are tail-only (each shifted
-    slice is a strict suffix-trim), so position order survives the
-    filter."""
+    i+1. The token array binds ONCE as a higher-order lambda variable
+    (``transform(array(tokens(text)), w -> ...)``) so the regex
+    tokenizer runs exactly once per ROW — referencing ``tokens(text)``
+    as a plain subexpression instead re-evaluates it wherever
+    CollapseProject inlines it (see ``ngram_occurrences``) — and each
+    gram is ONE slice + join, O(n·token_len) chars. (The previous
+    zip_with-over-shifted-slices chain concatenated through every
+    intermediate order — O(n²) char copying; rewriting it this way
+    halved both 8-gram dup-span queries at sf0.1: coverage 5.0 → 2.5 s,
+    top-spans 2.8 → 1.5 s.)
+    ``sequence()`` is guarded because stop < start generates a
+    DESCENDING sequence, not an empty one."""
+
+    def build(w):
+        pos = F.when(
+            F.size(w) >= n,
+            F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(pos, lambda i: F.array_join(F.slice(w, i, n),
+                                                       " "))
+
+    return F.element_at(F.transform(F.array(tokens(text_col)), build), 1)
+
+
+def gram_string_array_chained(text_col, n: int):
+    """CLOSURE-FREE twin of :func:`gram_string_array` (zip_with chain —
+    the pre-round-9 construction): kept because the fast form's inner
+    lambda closes over the outer ``w`` lambda variable, and Spark 4.1
+    cannot evaluate a pandas UDF whose input contains such a nested
+    closure in a STREAMING plan ([INTERNAL_ERROR] Cannot evaluate
+    expression, reproduced in test_streaming_ops) — batch plans handle
+    it fine. The streaming twins feed their UDFs from this form; a
+    property test pins both forms to identical output. Slower (O(n²)
+    char copying through intermediate orders) but the streaming twins
+    are fixture-scale by design; the batch scans use the fast form."""
     w = tokens(text_col)
     acc = w
     for k in range(1, n):
@@ -1086,6 +1113,13 @@ def gram_string_array(text_col, n: int):
                                 F.lit(None).cast("string"))
             .otherwise(F.concat_ws(" ", a, b)))
     return F.filter(acc, lambda x: x.isNotNull())
+
+
+def shingle_hash_array_chained(text_col, n: int):
+    """Closure-free twin of :func:`shingle_hash_array` for streaming
+    plans (see :func:`gram_string_array_chained`)."""
+    return F.transform(gram_string_array_chained(text_col, n),
+                       lambda s: base_hash48(s))
 
 
 def shingle_hash_array(text_col, n: int):

@@ -490,12 +490,14 @@ def stream_contamination_flags(stream: DataFrame, bench_hvs,
     same "ship the benchmark set to every worker" shape PaLM-style
     decontamination uses). It ships once per executor as a broadcast
     variable; membership runs in an Arrow-batched pandas UDF over the
-    row-local shingle array (`shingle_hash_array` — window-free by
+    row-local shingle array (`shingle_hash_array_chained` — the
+    closure-free streaming-safe form, value-identical to the batch
+    build by property test — window-free by
     construction).
     """
     from pyspark.sql.functions import pandas_udf
 
-    from .operators.neardup import shingle_hash_array
+    from .operators.neardup import shingle_hash_array_chained
 
     b = stream.sparkSession.sparkContext.broadcast(frozenset(bench_hvs))
 
@@ -506,7 +508,7 @@ def stream_contamination_flags(stream: DataFrame, bench_hvs,
             lambda arr: 0 if arr is None else len(set(arr) & s))
 
     return stream.withColumn(
-        "n_hits", n_hits(shingle_hash_array(F.col(text_col), n)))
+        "n_hits", n_hits(shingle_hash_array_chained(F.col(text_col), n)))
 
 
 def stream_near_dup_flags(stream: DataFrame, prior_band_keys,
@@ -533,7 +535,10 @@ def stream_near_dup_flags(stream: DataFrame, prior_band_keys,
     from pyspark.sql.functions import pandas_udf
 
     from .operators.neardup import (
-        NUM_PERM, band_key_array, minhash_sig_exprs, shingle_hash_array,
+        NUM_PERM,
+        band_key_array,
+        minhash_sig_exprs,
+        shingle_hash_array_chained,
     )
 
     b = stream.sparkSession.sparkContext.broadcast(
@@ -546,7 +551,8 @@ def stream_near_dup_flags(stream: DataFrame, prior_band_keys,
             lambda arr: 0 if arr is None else len(set(arr) & s))
 
     sigs = stream.select(
-        "*", *minhash_sig_exprs(shingle_hash_array(F.col(text_col), n)))
+        "*",
+        *minhash_sig_exprs(shingle_hash_array_chained(F.col(text_col), n)))
     return (sigs.withColumn("__keys", band_key_array())
             .withColumn("n_band_hits", n_hits(F.col("__keys")))
             .drop("__keys", *[f"mh_{j}" for j in range(NUM_PERM)])

@@ -2576,6 +2576,27 @@ def test_dup_span_coverage_matches_bruteforce_interval_union(spark):
     assert got[4]["n_spans"] == 0
 
 
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=st.lists(st.text(alphabet="abcx", min_size=1, max_size=4),
+                     min_size=0, max_size=14),
+       n=st.integers(2, 9))
+def test_gram_array_fast_and_chained_forms_identical(spark, toks, n):
+    """The fast slice+join gram build (batch path) and the closure-free
+    zip_with chain (streaming-safe path) must produce IDENTICAL ordered
+    gram and hash arrays — the pin that lets the streaming twins swap
+    builds without drifting from the batch operators."""
+    df = spark.createDataFrame([(" ".join(toks),)], "text string")
+    out = df.select(
+        neardup.gram_string_array(F.col("text"), n).alias("fast"),
+        neardup.gram_string_array_chained(F.col("text"), n).alias("chain"),
+        neardup.shingle_hash_array(F.col("text"), n).alias("fast_h"),
+        neardup.shingle_hash_array_chained(F.col("text"), n)
+        .alias("chain_h")).collect()[0]
+    assert out["fast"] == out["chain"]
+    assert out["fast_h"] == out["chain_h"]
+
+
 def test_repetition_signals_engineered_and_zero_shuffle(spark):
     """Hand-computable docs: the run-length scans must equal the
     by-definition values, ties on the top gram resolve to the smaller
