@@ -71,8 +71,14 @@ def main() -> None:
         # docs_jaccard_join joined late in round 6 for the same reason:
         # fresh-session rep0 measured 15.8 s vs 2.7 s steady (prefix
         # index build + JIT), so best-of-2 printed anywhere in 1.6-5.5.
+        # ... and the round-9 n-gram family for the same JIT hump: the
+        # dup-span/repetition expression chains measured rep0 ~2x their
+        # steady state (PLANS.md round-9 sections).
         noisy = (name.startswith("emb_")
-                 or name in ("docs_hot_ngrams", "docs_jaccard_join"))
+                 or name in ("docs_hot_ngrams", "docs_jaccard_join",
+                             "docs_dup_span_coverage", "docs_top_dup_spans",
+                             "docs_repetition_signals",
+                             "docs_minhash_calibration"))
         n_reps = reps + 1 if noisy else reps
         best = None
         for _ in range(n_reps):
