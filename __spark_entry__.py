@@ -48,12 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r4 driver rows (the r8 verdict's stale-attestation flag; the r8
 #     gate comment wrongly called them "unchanged since r4" — their
 #     OPERATORS were, their plans were not);
-# (3) 17 of the 39 r5-dated rows, oldest-first debt burn-down, led by
-#     the four the verdict named. The 22 r5 rows that don't fit
-#     (small_qty_part_revenue, events_rollup, events_cube,
-#     events_daily_pivot, events_unpivot, order_value_percentiles —
-#     displaced late in r9 by the four newest entries — plus
-#     event_user_reach_approx, weather_city_daily,
+# (3) 16 of the 39 r5-dated rows, oldest-first debt burn-down, led by
+#     the four the verdict named. The 23 r5 rows that don't fit
+#     (order_status_exclusive, small_qty_part_revenue, events_rollup,
+#     events_cube, events_daily_pivot, events_unpivot,
+#     order_value_percentiles — displaced late in r9 by the five newest
+#     entries — plus event_user_reach_approx, weather_city_daily,
 #     weather_forecast_error, emb_ann_ivf_trained, events_gapfill,
 #     events_funnel, events_retention/twa/zscore,
 #     emb_label_centroids/outliers, event_user_reach_exact,
@@ -70,6 +70,7 @@ _VERIFY_FIRST = (
     "weather_api_source",         # NEW: S1 as a Python Data Source
     "docs_repetition_signals",    # NEW: zero-shuffle Gopher dup-gram
     "emb_hamming_recall",         # NEW: recall@k for the binary funnel
+    "emb_matryoshka_recall",      # NEW: truncated-dim recall tradeoff
     "events_cusum_alarms",        # NEW: CUSUM changepoint monitor
     "docs_ks_drift",              # NEW: exact two-sample KS drift stat
     "docs_dsir_weights",          # NEW: DSIR importance weights
@@ -115,7 +116,6 @@ _VERIFY_FIRST = (
     "dim_part_type",
     "events_hourly_rollup",
     "events_json_project",
-    "order_status_exclusive",
 )
 
 

@@ -4696,6 +4696,83 @@ GROUP BY ann.query_id
 """
 
 
+MATRYOSHKA_DIMS = (32, 16, 8)
+
+
+def q_emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation tradeoff (Kusupati et al. 2022): for
+    each prefix dimensionality (32/16/8 of 64), recall@k of brute-force
+    search over the TRUNCATED vectors vs the full-dimension truth — the
+    readout that decides how many leading dimensions a cheap first-pass
+    index can keep (truncation is the zero-compute cousin of the
+    PCA/random-projection reducers already in the family, and the
+    storage story compounds with the int8/PQ/binary tiers).
+
+    Scale shape: truncation is a row-local ``slice``; each tier is the
+    same broadcast-queries brute-force scan reading d/64 of the vector
+    bytes; one k-bounded overlap join per tier + a partial-agg count.
+    On these STRUCTURELESS synthetic embeddings prefix dims carry no
+    privileged variance (unlike MRL-trained embeddings), so measured
+    recall here is the floor a trained embedding would beat."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    truth = (similarity.knn_bruteforce(emb, queries_df, KNN_K)
+             .select("query_id", "neighbor_id", F.lit(1).alias("__hit")))
+    ann = None
+    for d in MATRYOSHKA_DIMS:
+        tc = emb.select("vec_id",
+                        F.slice("embedding", 1, d).alias("embedding"))
+        tq = tc.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+        t = (similarity.knn_bruteforce(tc, tq, KNN_K)
+             .select(F.lit(d).alias("dim"), "query_id", "neighbor_id"))
+        ann = t if ann is None else ann.unionAll(t)
+    return (
+        ann.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("dim", "query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ann"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+             .cast("bigint").alias("n_hits"))
+        .withColumn("recall_at_k",
+                    F.round(F.col("n_hits") / F.lit(float(KNN_K)), 6))
+    )
+
+
+def _oracle_matryoshka_recall() -> str:
+    tiers = "\nUNION ALL\n".join(f"""
+  SELECT {d} AS dim, query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_DUCK_COS} DESC, neighbor_id) AS r
+    FROM (SELECT vec_id AS query_id, qv0[1:{d}] AS qv FROM q0
+          WHERE vec_id < {KNN_QUERY_MAX_ID}) q,
+         (SELECT vec_id AS neighbor_id, qv0[1:{d}] AS cv FROM q0) c
+    WHERE neighbor_id != query_id)
+  WHERE r <= {KNN_K}""" for d in MATRYOSHKA_DIMS)
+    return f"""
+WITH q0 AS (SELECT vec_id, embedding::DOUBLE[] AS qv0 FROM embeddings),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {_DUCK_COS} DESC, neighbor_id) AS r
+    FROM (SELECT vec_id AS query_id, qv0 AS qv FROM q0
+          WHERE vec_id < {KNN_QUERY_MAX_ID}) q,
+         (SELECT vec_id AS neighbor_id, qv0 AS cv FROM q0) c
+    WHERE neighbor_id != query_id)
+  WHERE r <= {KNN_K}
+),
+ann AS ({tiers})
+SELECT ann.dim, ann.query_id,
+       count(*)::BIGINT AS n_ann,
+       sum(CASE WHEN truth.neighbor_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS n_hits,
+       round(sum(CASE WHEN truth.neighbor_id IS NULL THEN 0 ELSE 1 END)
+             / {float(KNN_K)}, 6) AS recall_at_k
+FROM ann LEFT JOIN truth USING (query_id, neighbor_id)
+GROUP BY ann.dim, ann.query_id
+"""
+
+
 def _oracle_ann_recall() -> str:
     # Ground truth and ANN sides restated from ORACLE_KNN / ORACLE_ANN_IVF
     # with the SAME constants, both cut at IVF_K, composed in one WITH.
@@ -5035,6 +5112,7 @@ LLM_QUERIES = {
     "docs_repetition_signals": q_docs_repetition_signals,
     "emb_knn_hamming_rerank": q_emb_knn_hamming_rerank,
     "emb_hamming_recall": q_emb_hamming_recall,
+    "emb_matryoshka_recall": q_emb_matryoshka_recall,
     "emb_ann_ivf_multiprobe": q_emb_ann_ivf_multiprobe,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
@@ -5146,6 +5224,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_repetition_signals": _oracle_repetition_signals(),
         "emb_knn_hamming_rerank": _oracle_knn_hamming_rerank(),
         "emb_hamming_recall": _oracle_hamming_recall(),
+        "emb_matryoshka_recall": _oracle_matryoshka_recall(),
         "emb_ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),

@@ -1837,6 +1837,32 @@ def test_hamming_recall_bounds_and_floor(spark, sf_oracle):
     assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.2
 
 
+def test_matryoshka_recall_monotone_in_dim(spark, sf_oracle):
+    """More kept dimensions can only help on average: per-dim mean
+    recall must be non-decreasing in dim (sampling noise can't break
+    this at sf0.01 — asserted with a small slack), every (dim, query)
+    reports once, and all fractions are valid."""
+    import __spark_entry__ as entrymod
+
+    from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+        KNN_K, KNN_QUERY_MAX_ID, MATRYOSHKA_DIMS)
+
+    rows = entrymod.queries()["emb_matryoshka_recall"](
+        spark, sf_oracle).collect()
+    assert len(rows) == len(MATRYOSHKA_DIMS) * KNN_QUERY_MAX_ID
+    means = {}
+    for d in MATRYOSHKA_DIMS:
+        rs = [r for r in rows if r["dim"] == d]
+        assert len(rs) == KNN_QUERY_MAX_ID
+        for r in rs:
+            assert 0 <= r["n_hits"] <= r["n_ann"] <= KNN_K
+            assert 0.0 <= r["recall_at_k"] <= 1.0
+        means[d] = sum(r["recall_at_k"] for r in rs) / len(rs)
+    ordered = sorted(MATRYOSHKA_DIMS)
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert means[hi] >= means[lo] - 0.05, means
+
+
 def _py_bpe_merge(syms, left, right):
     acc = []
     for x in syms:

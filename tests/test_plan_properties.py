@@ -82,6 +82,9 @@ def test_bnlj_only_in_intended_queries(all_plans):
                # composes the funnel + knn_bruteforce truth, inheriting
                # both deliberate bounded BNLJs (like emb_pq_recall)
                "emb_hamming_recall",
+               # truncated-dim brute-force tiers + truth: the same
+               # deliberate broadcast-queries BNLJs per tier
+               "emb_matryoshka_recall",
                # label-mismatch broadcast scoring (same bounded
                # queries-side broadcast as knn_bruteforce)
                "emb_hard_negatives",
