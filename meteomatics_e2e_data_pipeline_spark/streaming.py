@@ -559,6 +559,40 @@ def stream_near_dup_flags(stream: DataFrame, prior_band_keys,
             .withColumn("near_dup", F.col("n_band_hits") > 0))
 
 
+def stream_training_gate(stream: DataFrame, weights: list[float],
+                         bench_hvs, prior_band_keys,
+                         rates: dict, *, score_threshold: float = 0.5,
+                         text_col: str = "text", contam_n: int = 3,
+                         neardup_n: int = 3, id_col: str = "doc_id",
+                         salt: str = "mix0",
+                         default_rate: float = 0.0) -> DataFrame:
+    """The WHOLE online admission gate as one composed streaming query —
+    quality score → threshold, benchmark decontamination, near-dup
+    flag vs the prior corpus index, deterministic stratified sample —
+    in the cheapest-filter-first order the batch ``docs_training_mix``
+    uses, so every later stage sees less data. Composability is the
+    point: each stage is one of the stateless row-local twins above
+    (no watermark, no state, no shuffle anywhere), so the composition
+    is itself stateless and a document admitted by the stream is
+    EXACTLY the document the same four batch operators admit —
+    pytest runs the same input both ways and asserts the admitted
+    (id, score) sets equal across micro-batches. The broadcast
+    artifacts (weights, benchmark hash set, prior band keys, rate dim)
+    are all batch-produced and bounded — the train-offline /
+    gate-online split a production ingest runs."""
+    scored = stream_quality_scores(stream, weights, text_col)
+    gated = scored.filter(F.col("score") >= F.lit(score_threshold))
+    decon = stream_contamination_flags(gated, bench_hvs, text_col,
+                                       contam_n)
+    clean = decon.filter(F.col("n_hits") == 0).drop("n_hits")
+    flagged = stream_near_dup_flags(clean, prior_band_keys,
+                                    n=neardup_n, text_col=text_col)
+    fresh = (flagged.filter(~F.col("near_dup"))
+             .drop("n_band_hits", "near_dup"))
+    return stream_stratified_sample(fresh, rates, id_col=id_col,
+                                    salt=salt, default_rate=default_rate)
+
+
 def stream_heavy_hitters(spark: SparkSession, sf_dir: str,
                          checkpoint_path: str, query_name: str,
                          capacity: int = 32,

@@ -844,6 +844,96 @@ def test_stream_quality_scores_bit_equal_batch(spark, tmp_path):
     assert len(got) == docs.count()
 
 
+def test_stream_training_gate_composition_matches_batch(spark, tmp_path):
+    """The composed online admission gate (quality threshold →
+    decontamination → near-dup flag → stratified sample) admits
+    EXACTLY the (doc_id, score) set the same four operators admit on
+    the static frame, across multiple micro-batches — and every stage
+    does real work on this fixture (each strictly shrinks the set)."""
+    from meteomatics_e2e_data_pipeline_spark.operators.classifier import (
+        FEATURE_COLS, logreg_train, text_feature_exprs,
+    )
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        band_rows, minhash_signatures, shingle_hashes,
+    )
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        LANG_STOPWORDS,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_training_gate,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "lang", "source")
+
+    # batch-produced artifacts: weights, benchmark n-grams, prior index
+    fx = text_feature_exprs(F.col("text"), LANG_STOPWORDS["en"])
+    feat = docs.select(
+        "doc_id", (fx["x2"] > 0.5).cast("double").alias("y"),
+        *[fx[c].alias(c) for c in FEATURE_COLS])
+    weights = logreg_train(feat, list(FEATURE_COLS), "y", iters=3, lr=2.0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    bench_hvs = [r["hv"] for r in
+                 shingle_hashes(bench, "doc_id", "text", 3)
+                 .select("hv").distinct().collect()]
+    prior = docs.filter(F.col("doc_id") % 5 == 0)
+    prior_keys = [f"{r['band_id']}|{r['band_hash']}" for r in
+                  band_rows(minhash_signatures(prior)).collect()]
+    rates = {("en", "web"): 0.9}
+    kw = dict(score_threshold=0.5, salt="gate0", default_rate=0.5)
+
+    # static reference: the SAME composition over the batch frame
+    want = {(r["doc_id"], r["score"]) for r in stream_training_gate(
+        docs, weights, bench_hvs, prior_keys, rates, **kw).collect()}
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    half = 250
+    docs.filter(F.col("doc_id") < half).coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    docs.filter(F.col("doc_id") >= half).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string, source string")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream_training_gate(stream, weights, bench_hvs, prior_keys,
+                              rates, **kw)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+
+    got = {(r["doc_id"], r["score"]) for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == want
+    assert 0 < len(want) < docs.count()
+
+    # every stage does real work on this fixture: re-run the static
+    # composition stage by stage and require strict shrinkage
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_contamination_flags,
+        stream_near_dup_flags,
+        stream_quality_scores,
+        stream_stratified_sample,
+    )
+    n0 = docs.count()
+    s1 = stream_quality_scores(docs, weights).filter(F.col("score") >= 0.5)
+    n1 = s1.count()
+    s2 = (stream_contamination_flags(s1, bench_hvs)
+          .filter(F.col("n_hits") == 0).drop("n_hits"))
+    n2 = s2.count()
+    s3 = (stream_near_dup_flags(s2, prior_keys)
+          .filter(~F.col("near_dup")).drop("n_band_hits", "near_dup"))
+    n3 = s3.count()
+    n4 = stream_stratified_sample(s3, rates, salt="gate0",
+                                  default_rate=0.5).count()
+    assert n0 > n1 > n2 > n3 > n4 > 0, (n0, n1, n2, n3, n4)
+    assert n4 == len(want)
+
+
 def test_stream_near_dup_flags_match_batch_lsh(spark, tmp_path):
     """The streaming flag must mark EXACTLY the arriving docs whose
     band keys collide with the prior corpus index — the same candidate
