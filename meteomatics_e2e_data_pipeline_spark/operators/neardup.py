@@ -1260,13 +1260,22 @@ def bloom_contamination_hits(corpus: DataFrame, benchmark: DataFrame | None,
     negatives, FP rate set by the sizing constants above; pytest asserts
     the superset relation against the exact operator).
 
-    100 TB shape: the filter ships as one fixed-size hex-string literal
-    inside the plan itself, so the membership test is fully ROW-LOCAL — three double-hashed integer
-    probes + bit tests per distinct n-gram (no hashing beyond the
-    n-gram's own 48-bit key), zero joins, zero broadcast-build shuffle on the
-    corpus side; the only corpus shuffle is the final per-doc count
-    (map-side combinable). Compare: the exact path broadcast-joins a
-    hash set that grows with the benchmark.
+    100 TB shape: the filter ships as one fixed-size 2048-word array
+    literal inside the plan itself, so the membership test is fully
+    ROW-LOCAL — three double-hashed O(1) ``element_at`` word fetches +
+    bit tests per distinct n-gram (no hashing beyond the n-gram's own
+    48-bit key), zero joins, zero broadcast-build shuffle on the corpus
+    side; the only corpus shuffle is the final per-doc count (map-side
+    combinable). Compare: the exact path broadcast-joins a hash set
+    that grows with the benchmark.
+
+    Probe-representation history (all measured at sf0.1, round 9): the
+    hex-string literal + per-probe ``conv()`` parse ran 2.55 s; a
+    '0'/'1' bit-string was NO better because positional ``substring``
+    on a long UTF8String is O(position), and 64 KB exceeds the JVM
+    constant-pool string limit besides; the array-literal
+    ``element_at`` form (once rejected on an older measurement) now
+    runs the query at ~1.75 s steady.
 
     Pass ``prebuilt`` (a :func:`bloom_build` result) to scan against an
     already-materialized filter — the normal serving shape, since a
@@ -1274,25 +1283,26 @@ def bloom_contamination_hits(corpus: DataFrame, benchmark: DataFrame | None,
     """
     dense = prebuilt if prebuilt is not None else bloom_build(
         benchmark, id_col, text_col, n)
-    # The filter rides as ONE 16 KB hex-string literal, probed with
-    # substring + conv — a 2048-element CreateArray literal is NOT
-    # constant-folded by Catalyst, so element_at against it rebuilt the
-    # array per row (measured ~5 s of pure probe time at sf0.1; the
-    # string form probes in ~0.5 s). One 8-hex-char slice per word.
-    filt = F.lit("".join(f"{w:08x}" for w in dense))
+    # The filter rides as ONE 64 KB '0'/'1' BIT-string literal: probe j
+    # is a single 1-char substring + compare. Two rejected forms, both
+    # measured: a 2048-element CreateArray literal is NOT constant-
+    # folded by Catalyst, so element_at rebuilt the array per row (~5 s
+    # of probe time at sf0.1); the 16 KB hex form needed a conv()
+    # hex-parse per probe (~1.75 s of probe time — 2.5 s query vs
+    # ~1.4 s with this form). Char index = word*32 + bit = the probe
+    # position itself, so the encoding below IS the address space.
+    words = F.lit(dense)
     corp = shingle_hashes(corpus, id_col, text_col, n)
-    hit = F.lit(1)
+    hit = None
     for j in range(BLOOM_K):
         pos = _bloom_pos(F.col("hv"), j)
-        word = (pos / BLOOM_WORD_BITS).cast("int")
+        word = F.element_at(words, (pos / BLOOM_WORD_BITS).cast("int") + 1)
         bit = (pos % BLOOM_WORD_BITS).cast("int")
-        mask = F.conv(
-            F.call_function("substring", filt, word * 8 + 1, F.lit(8)),
-            16, 10).cast("long")
-        probe = F.call_function("shiftright", mask, bit)
-        hit = hit * probe.bitwiseAND(F.lit(1))
+        probe = F.call_function("shiftright", word, bit) \
+            .bitwiseAND(F.lit(1)) == 1
+        hit = probe if hit is None else hit & probe
     return (
-        corp.filter(hit == 1)
+        corp.filter(hit)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
     )
