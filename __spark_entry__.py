@@ -48,12 +48,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r4 driver rows (the r8 verdict's stale-attestation flag; the r8
 #     gate comment wrongly called them "unchanged since r4" — their
 #     OPERATORS were, their plans were not);
-# (3) 15 of the 39 r5-dated rows, oldest-first debt burn-down, led by
-#     the four the verdict named. The 24 r5 rows that don't fit
-#     (events_json_project, order_status_exclusive,
-#     small_qty_part_revenue, events_rollup, events_cube,
-#     events_daily_pivot, events_unpivot, order_value_percentiles —
-#     displaced late in r9 by the six newest/changed entries — plus
+# (3) 14 of the 39 r5-dated rows, oldest-first debt burn-down, led by
+#     the four the verdict named. The 25 r5 rows that don't fit
+#     (events_hourly_rollup, events_json_project,
+#     order_status_exclusive, small_qty_part_revenue, events_rollup,
+#     events_cube, events_daily_pivot, events_unpivot,
+#     order_value_percentiles — displaced late in r9 by the seven
+#     newest/changed entries — plus
 #     event_user_reach_approx, weather_city_daily,
 #     weather_forecast_error, emb_ann_ivf_trained, events_gapfill,
 #     events_funnel, events_retention/twa/zscore,
@@ -73,6 +74,7 @@ _VERIFY_FIRST = (
     "emb_hamming_recall",         # NEW: recall@k for the binary funnel
     "emb_matryoshka_recall",      # NEW: truncated-dim recall tradeoff
     "docs_bloom_contamination",   # probe repr changed late r9 (plan new)
+    "docs_contamination_attribution",  # NEW: leak-source triage argmax
     "events_cusum_alarms",        # NEW: CUSUM changepoint monitor
     "docs_ks_drift",              # NEW: exact two-sample KS drift stat
     "docs_dsir_weights",          # NEW: DSIR importance weights
@@ -116,7 +118,6 @@ _VERIFY_FIRST = (
     "dim_geo",
     "dim_date_from_orders",
     "dim_part_type",
-    "events_hourly_rollup",
 )
 
 

@@ -905,6 +905,39 @@ def contamination_hits(corpus: DataFrame, benchmark: DataFrame,
     )
 
 
+def contamination_attribution(corpus: DataFrame, benchmark: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              n: int = 3) -> DataFrame:
+    """Attribution step after :func:`contamination_hits` flags a doc:
+    WHICH benchmark document does each contaminated corpus doc overlap
+    most? Output (doc_id, bench_doc, n_shared) — the triage table a
+    decontamination review reads (is this a benchmark quote, a shared
+    boilerplate header, or a real leak?). Ties resolve to the smallest
+    benchmark id, so the argmax is deterministic.
+
+    100 TB shape: the benchmark (id, hv) pair set broadcasts (eval
+    suites are MBs by contract — same bound as the membership set);
+    the equi-join fans out ONLY over actual benchmark-shared n-grams;
+    the per-(corpus, bench) count and the per-doc argmax are BOTH
+    map-side-combinable aggregates (argmax = max of a (count, -id)
+    struct — no window, no second shuffle beyond the count's own).
+    """
+    bench = (shingle_hashes(benchmark, id_col, text_col, n)
+             .select(F.col(id_col).alias("bench_doc"), "hv"))
+    corp = shingle_hashes(corpus, id_col, text_col, n)
+    shared = (corp.join(F.broadcast(bench), "hv")
+              .groupBy(id_col, "bench_doc")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared")))
+    return (shared.groupBy(id_col)
+            .agg(F.max(F.struct(
+                F.col("n_shared"),
+                (-F.col("bench_doc")).alias("__nb"))).alias("__b"))
+            .select(id_col,
+                    (-F.col("__b.__nb")).cast("bigint").alias("bench_doc"),
+                    F.col("__b.n_shared").alias("n_shared")))
+
+
 def hot_ngrams(docs: DataFrame, min_df: int, top: int,
                id_col: str = "doc_id", text_col: str = "text",
                n: int = 3) -> DataFrame:

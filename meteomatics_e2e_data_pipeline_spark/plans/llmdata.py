@@ -2690,6 +2690,37 @@ GROUP BY h.doc_id
 """
 
 
+def q_docs_contamination_attribution(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """WHICH benchmark doc does each contaminated corpus doc overlap
+    most (distinct shared n-grams, ties → smallest benchmark id)? The
+    triage step after docs_contamination flags a doc — same
+    bench/corpus split and n, so the two tables join directly
+    (operators/neardup.py:contamination_attribution; argmax is a
+    max-of-struct partial agg, no window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return neardup.contamination_attribution(corpus, bench, n=CONTAM_N)
+
+
+def _oracle_contamination_attribution() -> str:
+    return rf"""
+WITH {_shingle_cte()},
+b AS (SELECT doc_id AS bench_doc, hv FROM h
+      WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+c AS (SELECT doc_id, hv FROM h WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+sh AS (SELECT c.doc_id, bench_doc, count(*)::BIGINT AS n_shared
+       FROM c JOIN b USING (hv) GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_shared DESC,
+                                            bench_doc ASC) AS rn
+      FROM sh)
+SELECT doc_id, bench_doc::BIGINT AS bench_doc, n_shared
+FROM r WHERE rn = 1
+"""
+
+
 # Benchmark Bloom filter, built once per sf_dir (8 KB dense word list).
 _BLOOM_CACHE: dict = {}
 
@@ -5116,6 +5147,7 @@ LLM_QUERIES = {
     "emb_ann_ivf_multiprobe": q_emb_ann_ivf_multiprobe,
     "docs_near_dup_incremental": q_docs_near_dup_incremental,
     "docs_contamination": q_docs_contamination,
+    "docs_contamination_attribution": q_docs_contamination_attribution,
     "docs_bloom_contamination": q_docs_bloom_contamination,
     "docs_packed": q_docs_packed,
     "docs_lang_temperature_sample": q_docs_lang_temperature_sample,
@@ -5228,6 +5260,8 @@ def llm_oracle() -> dict[str, str]:
         "emb_ann_ivf_multiprobe": ORACLE_ANN_IVF_MULTIPROBE,
         "docs_near_dup_incremental": _oracle_near_dup_incremental(),
         "docs_contamination": _oracle_contamination(),
+        "docs_contamination_attribution":
+            _oracle_contamination_attribution(),
         "docs_bloom_contamination": _oracle_bloom_contamination(),
         "docs_packed": _oracle_packed(),
         "docs_lang_temperature_sample": _oracle_lang_temperature(),

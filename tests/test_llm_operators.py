@@ -1837,6 +1837,30 @@ def test_hamming_recall_bounds_and_floor(spark, sf_oracle):
     assert sum(r["recall_at_k"] for r in rows) / len(rows) >= 0.2
 
 
+def test_contamination_attribution_argmax_and_ties(spark):
+    """Engineered overlap: the reported benchmark doc is the one
+    sharing the most distinct 3-grams; a tie resolves to the smaller
+    benchmark id; uncontaminated docs emit no row."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        contamination_attribution,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"),   # grams abg bgd gde
+         (101, "alpha beta gamma zeta eta")],       # grams abg bgz gze
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zzz"),  # 3 with 100, 1 w/101
+         (2, "alpha beta gamma qqq"),                # 1 with each -> tie
+         (3, "totally unrelated words here now")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["bench_doc"], r["n_shared"]) for r in
+           contamination_attribution(corpus, bench).collect()}
+    assert got[1] == (100, 3)
+    assert got[2] == (100, 1)       # tie on 1 shared gram -> smaller id
+    assert 3 not in got
+
+
 def test_matryoshka_recall_monotone_in_dim(spark, sf_oracle):
     """More kept dimensions can only help on average: per-dim mean
     recall must be non-decreasing in dim (sampling noise can't break
