@@ -85,7 +85,10 @@ _VERIFY_FIRST = (
     "events_forecast_backtest",   # NEW: walk-forward seasonal-naive MAPE
     "docs_quality_classifier",    # teacher label made libm-free (r8
     "docs_classifier_auc",        #   ADVICE medium): n/(n+400) bonus,
-    "docs_classifier_calibration",  # threshold 0.52 — VALUES changed
+    "docs_classifier_calibration",  # threshold 0.52 — VALUES changed;
+                                  # plans changed AGAIN late r9 (shared
+                                  # scored-corpus artifact + one-pass
+                                  # running sums; ks_drift ditto)
     "docs_containment_pairs",     # b-side df-cap + inverted verify
     "docs_scrubbed_containment",  # composed form of the same operator
     "events_zorder_stats",        # zvalue domain guard (plan changed)
@@ -103,7 +106,7 @@ _VERIFY_FIRST = (
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",
-    # -- (3) r5-dated debt burn-down: 29 of 39, verdict-named first --
+    # -- (3) r5-dated debt burn-down: 14 of 39, verdict-named first --
     "weather_stg_raw",
     "weather_dim_location",
     "weather_daylight_readings",
