@@ -48,12 +48,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     r4 driver rows (the r8 verdict's stale-attestation flag; the r8
 #     gate comment wrongly called them "unchanged since r4" — their
 #     OPERATORS were, their plans were not);
-# (3) 14 of the 39 r5-dated rows, oldest-first debt burn-down, led by
-#     the four the verdict named. The 25 r5 rows that don't fit
-#     (events_hourly_rollup, events_json_project,
+# (3) 13 of the 39 r5-dated rows, oldest-first debt burn-down, led by
+#     the four the verdict named. The 26 r5 rows that don't fit
+#     (dim_part_type, events_hourly_rollup, events_json_project,
 #     order_status_exclusive, small_qty_part_revenue, events_rollup,
 #     events_cube, events_daily_pivot, events_unpivot,
-#     order_value_percentiles — displaced late in r9 by the seven
+#     order_value_percentiles — displaced late in r9 by the eight
 #     newest/changed entries — plus
 #     event_user_reach_approx, weather_city_daily,
 #     weather_forecast_error, emb_ann_ivf_trained, events_gapfill,
@@ -75,6 +75,11 @@ _VERIFY_FIRST = (
     "emb_matryoshka_recall",      # NEW: truncated-dim recall tradeoff
     "docs_bloom_contamination",   # probe repr changed late r9 (plan new)
     "docs_contamination_attribution",  # NEW: leak-source triage argmax
+    "parts_abc_classes",          # global_running_sum now delegates to
+                                  # the one-pass primitive — plan text
+                                  # changed (internal aliases), values
+                                  # identical; rotated in per the
+                                  # no-stale-plan rule
     "events_cusum_alarms",        # NEW: CUSUM changepoint monitor
     "docs_ks_drift",              # NEW: exact two-sample KS drift stat
     "docs_dsir_weights",          # NEW: DSIR importance weights
@@ -106,7 +111,7 @@ _VERIFY_FIRST = (
     "docs_winnow_fingerprints",
     "emb_ann_ivf",
     "emb_ann_lsh",
-    # -- (3) r5-dated debt burn-down: 14 of 39, verdict-named first --
+    # -- (3) r5-dated debt burn-down: 13 of 39, verdict-named first --
     "weather_stg_raw",
     "weather_dim_location",
     "weather_daylight_readings",
@@ -120,7 +125,6 @@ _VERIFY_FIRST = (
     "repeat_status_customers",
     "dim_geo",
     "dim_date_from_orders",
-    "dim_part_type",
 )
 
 
