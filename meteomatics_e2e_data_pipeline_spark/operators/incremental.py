@@ -166,8 +166,8 @@ def upsert_by_key(new: DataFrame, target_path: str, keys: Sequence[str],
         merge_delta(new, target_path, keys, spark, partition_by)
         return
     if fmt != "parquet":
-        raise ValueError(f"upsert_by_key supports fmt='parquet'|'delta', "
-                         f"got {fmt!r}")
+        raise ValueError(f"upsert_by_key supports fmt='parquet'|'txlog'|"
+                         f"'delta', got {fmt!r}")
     existing = read_target(spark, target_path)
     if existing is not None:
         existing_keys = existing.select(*keys)

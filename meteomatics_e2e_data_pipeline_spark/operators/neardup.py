@@ -1316,14 +1316,13 @@ def bloom_contamination_hits(corpus: DataFrame, benchmark: DataFrame | None,
     """
     dense = prebuilt if prebuilt is not None else bloom_build(
         benchmark, id_col, text_col, n)
-    # The filter rides as ONE 64 KB '0'/'1' BIT-string literal: probe j
-    # is a single 1-char substring + compare. Two rejected forms, both
-    # measured: a 2048-element CreateArray literal is NOT constant-
-    # folded by Catalyst, so element_at rebuilt the array per row (~5 s
-    # of probe time at sf0.1); the 16 KB hex form needed a conv()
-    # hex-parse per probe (~1.75 s of probe time — 2.5 s query vs
-    # ~1.4 s with this form). Char index = word*32 + bit = the probe
-    # position itself, so the encoding below IS the address space.
+    # The filter rides as ONE F.lit(list) 32-bit-word ARRAY literal:
+    # probe j is element_at(words, word_idx) >> bit & 1 — O(1) per
+    # probe in Spark 4.1 (see the probe-representation history in the
+    # docstring: the hex-string+conv() form measured 2.55 s and the
+    # '0'/'1' bit-string was no better because positional substring on
+    # a long UTF8String is O(position) and 64 KB breaks the JVM
+    # constant-pool limit; this array form runs ~1.75 s steady).
     words = F.lit(dense)
     corp = shingle_hashes(corpus, id_col, text_col, n)
     hit = None

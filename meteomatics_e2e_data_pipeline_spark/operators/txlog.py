@@ -37,6 +37,7 @@ driver holds only the action log and per-file stat rows (one per file).
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from collections.abc import Sequence
 from datetime import date, datetime
@@ -149,7 +150,13 @@ class TxTable:
         try:
             out = fs.create(target, False)  # overwrite=False: atomic claim
         except Exception:
-            return False
+            # Only a lost race (another writer created the file between our
+            # exists() check and create()) is retryable; any other IO
+            # failure (permissions, disk full) must surface instead of
+            # spinning _commit's optimistic loop forever.
+            if fs.exists(target):
+                return False
+            raise
         try:
             out.write(bytearray(payload.encode("utf-8")))
         finally:
@@ -416,16 +423,27 @@ class TxTable:
         actions += self._stage(new_data, stat_cols)
         return self._commit(actions, rv, validate=no_key_overlap)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_seconds: float = 7 * 24 * 3600) -> list[str]:
         """Delete data files unreferenced by the CURRENT version (destroys
-        time travel to versions that needed them). Returns deleted names."""
+        time travel to versions that needed them). Returns deleted names.
+
+        ``retention_seconds`` mirrors the public Delta retention window: a
+        writer renames staged part files into the table root BEFORE
+        publishing its commit, so an unreferenced-but-young file may belong
+        to an in-flight append/merge. Only files whose modification time is
+        older than the retention threshold are deleted; pass ``0`` only
+        when no writer can be concurrent (e.g. tests). Even with the
+        guard, do not run vacuum concurrently with writers that may stall
+        longer than the retention window."""
         _, _, live = self._snapshot()
         fs = _fs(self.spark, self.path)
+        cutoff_ms = (time.time() - retention_seconds) * 1000.0
         deleted = []
         for st in fs.listStatus(_jpath(self.spark, self.path)):
             name = st.getPath().getName()
             if (name.endswith(".parquet") and name.startswith("part-")
-                    and name not in live):
+                    and name not in live
+                    and st.getModificationTime() < cutoff_ms):
                 fs.delete(st.getPath(), False)
                 deleted.append(name)
         return sorted(deleted)

@@ -230,13 +230,28 @@ class WeatherApiStreamReader(DataSourceStreamReader):
         self.dates = _dates_between(start, options.get("end_date", start))
 
     def initialOffset(self) -> dict:
-        return {"n_dates": 0}
+        return {"n_dates": 0, "start_date": self.dates[0]}
 
     def latestOffset(self) -> dict:
-        return {"n_dates": len(self.dates)}
+        return {"n_dates": len(self.dates), "start_date": self.dates[0]}
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[FetchPartition]:
+        # Offsets are COUNTS into self.dates, so they are only meaningful
+        # against the start_date they were committed under: restarting a
+        # checkpointed query with a changed start_date would silently remap
+        # the committed count to different days (replaying or skipping).
+        # The committed offset therefore carries its start_date and a
+        # mismatch is a hard error; only end_date extension is restart-safe.
+        for off in (start, end):
+            if off.get("start_date", self.dates[0]) != self.dates[0]:
+                raise ValueError(
+                    "weather_api stream restarted with start_date="
+                    f"{self.dates[0]!r} but the checkpointed offset was "
+                    f"committed under start_date={off['start_date']!r}; "
+                    "offsets are day counts and cannot be remapped — keep "
+                    "start_date fixed (only end_date may be extended) or "
+                    "use a fresh checkpoint location")
         released = self.dates[start["n_dates"]:end["n_dates"]]
         return [FetchPartition(c, co, la, lo, d)
                 for c, co, la, lo in self.locations for d in released]

@@ -199,7 +199,7 @@ def test_stream_restart_from_checkpoint_extends_backfill_exactly_once(
 def test_stream_reader_offsets_are_monotone_and_restart_safe():
     r = WeatherApiStreamReader({"start_date": RUN_DATES[0],
                                 "end_date": RUN_DATES[-1]})
-    assert r.initialOffset() == {"n_dates": 0}
+    assert r.initialOffset() == {"n_dates": 0, "start_date": RUN_DATES[0]}
     # the full bounded range is available immediately and NEVER moves
     # backward — a fresh reader (restart) reports the same offset, so
     # a checkpointed query can only plan forward deltas
@@ -207,9 +207,19 @@ def test_stream_reader_offsets_are_monotone_and_restart_safe():
     assert seen == [len(RUN_DATES)] * 3
     fresh = WeatherApiStreamReader({"start_date": RUN_DATES[0],
                                     "end_date": RUN_DATES[-1]})
-    assert fresh.latestOffset() == {"n_dates": len(RUN_DATES)}
+    assert fresh.latestOffset() == {"n_dates": len(RUN_DATES),
+                                    "start_date": RUN_DATES[0]}
     # (start, end] delta planning is pure in its arguments
     parts = r.partitions({"n_dates": 1}, {"n_dates": 3})
     assert {p.run_date for p in parts} == {RUN_DATES[1], RUN_DATES[2]}
     assert len(parts) == len(LOCATIONS) * 2
     assert r.partitions({"n_dates": 2}, {"n_dates": 2}) == []
+    # a checkpointed offset committed under a DIFFERENT start_date is a
+    # hard error, not a silent remap of day counts onto different days
+    moved = WeatherApiStreamReader({"start_date": RUN_DATES[1],
+                                    "end_date": RUN_DATES[-1]})
+    with pytest.raises(ValueError, match="committed under start_date"):
+        moved.partitions({"n_dates": 1, "start_date": RUN_DATES[0]},
+                         moved.latestOffset())
+    # pre-upgrade checkpoints (no start_date key) stay readable
+    assert r.partitions({"n_dates": 0}, {"n_dates": 1}) != []

@@ -127,8 +127,11 @@ def test_crash_recovery_orphan_data_and_torn_commit(spark, tmp_path):
         fh.write('{"add": {"path": "bogus.parquet"')
     assert t.read().count() == 50
     assert t.version == 0
-    # the orphan is reclaimed by vacuum
-    assert any("deadbeef" in f for f in t.vacuum())
+    # the orphan is reclaimed by vacuum — but ONLY once it ages past the
+    # retention window (a young unreferenced file may belong to an
+    # in-flight writer that staged data before publishing its commit)
+    assert t.vacuum() == []
+    assert any("deadbeef" in f for f in t.vacuum(retention_seconds=0))
 
 
 def test_concurrent_append_retries_and_conflicting_merge_raises(
@@ -197,7 +200,8 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     t = TxTable.create(spark, _kv(spark, 0, 100), p, stat_cols=["k"])
     t.overwrite(_kv(spark, 0, 10, parts=1))
     live = set(t.live_files())
-    deleted = set(t.vacuum())
+    assert t.vacuum() == []  # default retention protects young files
+    deleted = set(t.vacuum(retention_seconds=0))
     assert deleted and not (deleted & live)
     assert t.read().count() == 10  # current version unaffected
     data_files = {f for f in os.listdir(tmp_path / "t")
