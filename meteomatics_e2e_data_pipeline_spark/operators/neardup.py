@@ -1166,9 +1166,63 @@ def shingle_hash_array(text_col, n: int):
                        lambda s: base_hash48(s))
 
 
+def _dup_span_starts(docs: DataFrame, id_col: str, text_col: str,
+                     span_len: int, bloom: bool = False) -> DataFrame:
+    """(id, pos) of every length-``span_len`` token window whose 8-byte
+    gram hash occurs 2+ times corpus-wide (multiplicity) — the shared
+    head of :func:`dup_span_coverage` (metric) and
+    :func:`exact_substring_scrub` (action).
+
+    Two value-identical tiers (pytest-pinned equal, plus a direct
+    no-false-negative probe assertion — tests/test_scale_features.py):
+
+    ``bloom=False`` (default, the bench shape): one self-join job — a
+    map-side-combinable count agg on the 8-byte hash, equi-joined back
+    to the positions with the c≥2 filter pushed into the build side.
+    AQE sees the post-filter build side (10 533 rows at sf0.1) and
+    broadcasts it, so the probe positions never shuffle HERE either;
+    everything runs as one job. Measured 1.85 s at sf0.1.
+
+    ``bloom=True`` (the 100 TB tier): the position table is built once
+    and localCheckpointed (the Lee et al. shape — ExactSubstr
+    materializes its window table, ~20 B/token spread across
+    executors; the gram+md5 build dominates and must not run per
+    branch), the count≥2 set is summarized as a fixed-size Bloom
+    (:func:`bloom_words_from_hv`, ≤ 2048 words on the driver) whose
+    probes prefilter positions ROW-LOCALLY before the verify
+    equi-join. No false negatives by construction (every inserted
+    hash passes its own probes); the join against the exact set
+    removes the bounded false positives, so the output is exactly the
+    default tier's. This tier exists for the regime where the
+    dup-gram set outgrows broadcast and the verify join becomes a
+    real shuffle: the prefilter then cuts the shuffled positions to
+    dups + FPs (sf0.1 ratios: 235 704 → 21 543 + ~5% FP of the
+    clean rest; FP ≈ (1−e^(−kn/m))^k, m sized to the dup-gram
+    cardinality). At sf0.1 it is measurably SLOWER (2.7 s vs 1.85 —
+    the checkpoint + Bloom-build actions add two driver-synchronous
+    jobs whose fixed cost exceeds the shuffle they remove, PLANS.md
+    r10), which is why it is opt-in rather than the default."""
+    sp = (docs.select(
+        id_col,
+        F.posexplode(shingle_hash_array(F.col(text_col), span_len))
+        .alias("pos0", "hv"))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "hv"))
+    if not bloom:
+        cnt = sp.groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
+        return (sp.join(cnt, "hv").filter(F.col("c") >= 2)
+                .select(id_col, "pos"))
+    sp = sp.localCheckpoint(eager=True)
+    dup_set = (sp.groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") >= 2).select("hv"))
+    words = F.lit(bloom_words_from_hv(dup_set))
+    return (sp.filter(bloom_probe(words, F.col("hv")))
+            .join(dup_set, "hv")
+            .select(id_col, "pos"))
+
+
 def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", span_len: int = 8
-                      ) -> DataFrame:
+                      text_col: str = "text", span_len: int = 8,
+                      bloom: bool = False) -> DataFrame:
     """Exact-substring duplication COVERAGE (Lee et al. 2022's
     ExactSubstr metric, window-hash form): per document, how many of
     its tokens lie inside at least one length-``span_len`` token window
@@ -1185,23 +1239,17 @@ def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
     is the final display ratio.
 
     Scale shape: grams stay row-local (``shingle_hash_array``); the
-    occurrence count is one map-side-combinable hash agg on the 8-byte
-    hash; one equi-join on that hash brings the count back; the lag
-    window is partitioned per doc (document-bounded, never corpus-
-    ordered). At warehouse scale the count-frame join swaps for a
-    broadcast Bloom of the count≥2 set exactly as ``dup_span_stats``
-    documents.
+    dup-start table comes from :func:`_dup_span_starts` — one
+    map-side-combinable count agg + verify equi-join by default, or
+    the checkpointed-position-table + Bloom-prefilter tier with
+    ``bloom=True`` for the regime where the dup-gram set outgrows
+    broadcast (value-identical, tier tradeoffs measured in the helper's
+    docstring). The lag window is partitioned per doc
+    (document-bounded, never corpus-ordered).
     """
     from pyspark.sql import Window
 
-    sp = (docs.select(
-        id_col,
-        F.posexplode(shingle_hash_array(F.col(text_col), span_len))
-        .alias("pos0", "hv"))
-        .select(id_col, (F.col("pos0") + 1).alias("pos"), "hv"))
-    cnt = sp.groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
-    dup = (sp.join(cnt, "hv").filter(F.col("c") >= 2)
-           .select(id_col, "pos"))
+    dup = _dup_span_starts(docs, id_col, text_col, span_len, bloom)
     w = Window.partitionBy(id_col).orderBy("pos")
     cov = (dup.withColumn(
         "contrib",
@@ -1225,6 +1273,68 @@ def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
                             / F.col("n_tokens"), 6).alias("dup_coverage")))
 
 
+def exact_substring_scrub(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", span_len: int = 8,
+                          bloom: bool = False) -> DataFrame:
+    """ExactSubstr deduplication as an ACTION (Lee et al. 2022) — the
+    removal step :func:`dup_span_coverage` only measures: every token
+    covered by a length-``span_len`` window that occurs 2+ times in the
+    corpus (multiplicity — both copies are scrubbed, the conservative
+    variant) is dropped and the remaining tokens are rejoined per
+    document, in order. The reference has no text pipeline; this is a
+    driver-contract LLM-data op (same contract as
+    :func:`scrub_hot_ngrams`, whose hot set is top-k by document
+    frequency rather than the full count≥2 window set).
+
+    100 TB shape — the same three bounded stages as the C4 scrub:
+
+    1. dup starts: :func:`_dup_span_starts` (count-agg + verify join;
+       ``bloom=True`` for the Bloom-prefiltered at-scale tier; work ∝
+       dup positions, not positions²);
+    2. coverage: each start fans out to its ``span_len`` covered
+       positions + distinct — work ∝ dup occurrences × span_len;
+    3. rewrite: tokens anti-joined against covered (doc, pos) rows,
+       reassembled with one per-doc sort_array(collect_list) — bounded
+       by document length, shuffled on ``id_col`` only.
+
+    Fully-duplicated documents survive with empty text (left join back
+    to the corpus) so downstream length gates decide their fate.
+
+    Output: ``(id_col, clean_text, n_tokens, n_removed)``.
+    """
+    dup = _dup_span_starts(docs, id_col, text_col, span_len, bloom)
+    covered = (dup.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + (span_len - 1))).alias("pos"))
+        .distinct())
+    tokpos = (
+        _spread(docs.select(id_col, text_col), id_col)
+        .select(id_col,
+                F.posexplode(tokens(F.col(text_col))).alias("pos0", "t"))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "t"))
+    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("ks"))
+        .select(id_col,
+                F.expr("concat_ws(' ', transform(ks, s -> s.t))")
+                .alias("clean_text"),
+                F.size("ks").cast("bigint").alias("n_kept"))
+    )
+    base = docs.select(
+        id_col,
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(id_col,
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                "n_tokens",
+                (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+                .cast("bigint").alias("n_removed"))
+    )
+
+
 # Bloom-filter decontamination sizing. 2^16 bits in 32-bit words keeps
 # every shift inside non-negative BIGINT range on both engines (1 << 31
 # fits; a 64-bit word would need 1 << 63, which overflows DuckDB's
@@ -1246,6 +1356,49 @@ def _bloom_pos(hv, j: int):
     return (h1 + F.lit(j) * h2) % BLOOM_BITS
 
 
+def bloom_words_from_hv(hv_df: DataFrame) -> list:
+    """Dense Bloom words (``BLOOM_BITS / BLOOM_WORD_BITS`` ints) from a
+    frame of pre-hashed 48-bit gram values — the generic tail of
+    :func:`bloom_build`, reused by the dup-span prefilter
+    (:func:`_dup_span_starts`) whose input is already an hv set. The
+    collect is bounded by the word count (2048), never the set size."""
+    pos = hv_df.select(F.explode(F.array(
+        *[_bloom_pos(F.col("hv"), j) for j in range(BLOOM_K)])).alias("pos"))
+    words = (
+        # call_function: the python shiftleft wrapper only takes a
+        # literal int shift; the SQL function itself takes any expression
+        pos.select((F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
+                   F.call_function(
+                       "shiftleft", F.lit(1).cast("long"),
+                       (F.col("pos") % BLOOM_WORD_BITS).cast("int"))
+                   .alias("mask"))
+        .groupBy("word").agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    dense = [0] * (BLOOM_BITS // BLOOM_WORD_BITS)
+    for r in words:
+        dense[r["word"]] = r["mask"]
+    return dense
+
+
+def bloom_probe(words, hv) -> "F.Column":
+    """AND of the ``BLOOM_K`` membership probes of ``hv`` against an
+    ``F.lit(list)`` word-array column — O(1) ``element_at`` per probe
+    (probe-representation history in :func:`bloom_contamination_hits`).
+    True for every inserted hash (no false negatives); true for a
+    bounded fraction of absent hashes (false positives), so callers
+    needing exactness follow with a verify join against the exact set."""
+    probe = None
+    for j in range(BLOOM_K):
+        pos = _bloom_pos(hv, j)
+        word = F.element_at(words, (pos / BLOOM_WORD_BITS).cast("int") + 1)
+        bit = (pos % BLOOM_WORD_BITS).cast("int")
+        p = F.call_function("shiftright", word, bit) \
+            .bitwiseAND(F.lit(1)) == 1
+        probe = p if probe is None else (probe & p)
+    return probe
+
+
 def bloom_build(benchmark: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", n: int = 3) -> list:
     """Build the benchmark's Bloom filter as a dense list of
@@ -1264,23 +1417,7 @@ def bloom_build(benchmark: DataFrame, id_col: str = "doc_id",
     """
     bench = (shingle_hashes(benchmark, id_col, text_col, n)
              .select("hv").distinct())
-    pos = bench.select(F.explode(F.array(
-        *[_bloom_pos(F.col("hv"), j) for j in range(BLOOM_K)])).alias("pos"))
-    words = (
-        # call_function: the python shiftleft wrapper only takes a
-        # literal int shift; the SQL function itself takes any expression
-        pos.select((F.col("pos") / BLOOM_WORD_BITS).cast("int").alias("word"),
-                   F.call_function(
-                       "shiftleft", F.lit(1).cast("long"),
-                       (F.col("pos") % BLOOM_WORD_BITS).cast("int"))
-                   .alias("mask"))
-        .groupBy("word").agg(F.bit_or("mask").alias("mask"))
-        .collect()
-    )
-    dense = [0] * (BLOOM_BITS // BLOOM_WORD_BITS)
-    for r in words:
-        dense[r["word"]] = r["mask"]
-    return dense
+    return bloom_words_from_hv(bench)
 
 
 def bloom_contamination_hits(corpus: DataFrame, benchmark: DataFrame | None,

@@ -1412,27 +1412,39 @@ def q_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 topology (EXISTS + NOT EXISTS against the same fact),
     keyed on l_returnflag since this schema carries no receipt dates:
     suppliers who were the ONLY supplier with a returned ('R') line in a
-    multi-supplier order, counted per supplier. The two correlated
-    subqueries decorrelate into a left-semi (another supplier exists in
-    the order) and a left-anti (no OTHER supplier has an R line) against
-    per-order projections — both shuffle-keyed on l_orderkey with the
-    supplier-inequality as the residual condition, so per-key work is
-    bounded by order width (≤7 lines) at any corpus size. The R-side
-    inputs are distinct (orderkey, suppkey) pairs, never raw lines."""
+    multi-supplier order, counted per supplier.
+
+    Plan (rewritten round 10 after the r9 driver bench flagged this entry
+    +54%): the EXISTS / NOT-EXISTS pair is equivalent to a per-order
+    predicate on the distinct-supplier profile — "the set of suppliers
+    with an R line is exactly {s} and the order has another supplier" —
+    so instead of decorrelating into a left-semi + left-anti against two
+    distinct projections of the fact (four shuffles: two wide distincts,
+    then both joins re-keyed on l_orderkey), fold the whole condition
+    into TWO map-side-combinable aggregations over ONE projected scan:
+    distinct (orderkey, suppkey, max(has_r)) pairs, then per-order
+    counts (n_supp, n_r) with max-when picking the sole R supplier.
+    Orders qualify iff n_r = 1 AND n_supp > 1; the final per-supplier
+    count is a third, supplier-cardinality-sized shuffle. Same answer,
+    two shuffles instead of four-plus (the old distincts re-shuffled
+    onto l_orderkey again for each join), and no join until the
+    broadcast dim at the end — measured 1.37 s → 1.06-1.12 s steady
+    isolated at sf0.1 (the residual is the scan plus the two
+    600k-row aggs; PLANS.md r10). Per-key state is O(suppliers per
+    order) ≤ 7 at any corpus size."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
-    l1 = (li.filter(F.col("l_returnflag") == "R")
-          .select("l_orderkey", "l_suppkey").distinct())
-    l2 = li.select(F.col("l_orderkey").alias("o2"),
-                   F.col("l_suppkey").alias("s2")).distinct()
-    l3 = l1.select(F.col("l_orderkey").alias("o3"),
-                   F.col("l_suppkey").alias("s3"))
-    waiting = (
-        l1.join(l2, (l1.l_orderkey == F.col("o2"))
-                & (l1.l_suppkey != F.col("s2")), "left_semi")
-        .join(l3, (l1.l_orderkey == F.col("o3"))
-              & (l1.l_suppkey != F.col("s3")), "left_anti")
-    )
+    pairs = (li.select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_returnflag") == "R").cast("int").alias("r"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("r").alias("has_r")))
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey")))
+        .alias("l_suppkey"))
+    waiting = per_order.filter((F.col("n_r") == 1) & (F.col("n_supp") > 1))
     return (
         waiting.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))

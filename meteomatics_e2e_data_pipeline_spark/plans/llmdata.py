@@ -5090,6 +5090,104 @@ ORDER BY n_occurrences DESC, span ASC LIMIT {TOP_DUP_SPANS_K}
 """
 
 
+def q_docs_exact_substring_scrub(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """ExactSubstr dedup as an ACTION (Lee et al. 2022): drop every
+    token covered by a corpus-repeated length-``DUP_SPAN_L`` window and
+    rejoin the remainder — the removal step ``docs_dup_span_coverage``
+    only measures. Scale shape and Bloom-prefilter exactness argument
+    in :func:`operators.neardup.exact_substring_scrub`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.exact_substring_scrub(docs, span_len=DUP_SPAN_L)
+
+
+def _oracle_exact_substring_scrub() -> str:
+    L = DUP_SPAN_L
+    return rf"""
+WITH {_dup_span_cte()},
+c AS (SELECT g, count(*) AS c FROM sp GROUP BY g),
+dup AS (SELECT doc_id, pos FROM sp JOIN c USING (g) WHERE c.c >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + t.k AS pos
+        FROM dup CROSS JOIN range(0, {L}) t(k)),
+tokpos AS (
+  SELECT doc_id, u.pos AS pos, u.t AS t
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                                     i -> {{'pos': i, 't': w[i]}})) AS u
+        FROM tok)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.t
+  FROM tokpos tp ANTI JOIN cov c2
+    ON c2.doc_id = tp.doc_id AND c2.pos = tp.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT tok.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       len(tok.w)::BIGINT AS n_tokens,
+       (len(tok.w) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM tok LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# Admission ceiling for the coverage gate: rejects the ~9-10% most
+# duplicated documents at every generated SF (distribution measured in
+# PLANS.md r10) — high enough to be a real gate, low enough that every
+# source keeps a population. Compared on the 6-dp ROUNDED coverage both
+# engines already hash-match on (``docs_dup_span_coverage``), so the
+# admission decision can never flip on an unrounded ulp.
+DUP_COVERAGE_MAX = 0.25
+
+
+def q_docs_dup_coverage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ExactSubstr admission gate: per source, how much corpus
+    survives a ``dup_coverage < DUP_COVERAGE_MAX`` cut — the triage
+    table for choosing between scrubbing (``docs_exact_substring_scrub``)
+    and dropping. One coverage pass + an equi-join back to the corpus
+    for ``source`` + a source-cardinality-bounded agg; the only float
+    is the exact-decimal-summed mean of the rounded coverages."""
+    docs = load_table(spark, sf_dir, "documents")
+    cov = neardup.dup_span_coverage(docs, span_len=DUP_SPAN_L)
+    admitted = (cov.filter(F.col("dup_coverage") < DUP_COVERAGE_MAX)
+                .join(docs.select("doc_id", "source"), "doc_id"))
+    return (admitted.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
+                 F.sum("n_tokens").cast("bigint").alias("admitted_tokens"),
+                 F.round(F.sum(F.col("dup_coverage").cast("decimal(25,12)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_coverage")))
+
+
+def _oracle_dup_coverage_gate() -> str:
+    L = DUP_SPAN_L
+    return rf"""
+WITH {_dup_span_cte()},
+c AS (SELECT g, count(*) AS c FROM sp GROUP BY g),
+dup AS (SELECT doc_id, pos FROM sp JOIN c USING (g) WHERE c.c >= 2),
+contrib AS (SELECT doc_id,
+                   coalesce(least(pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos), {L}), {L}) AS k
+            FROM dup),
+cov AS (SELECT doc_id, sum(k)::BIGINT AS covered FROM contrib
+        GROUP BY doc_id),
+base AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM tok),
+scored AS (SELECT base.doc_id, n_tokens,
+                  round(coalesce(covered, 0)::DOUBLE / n_tokens, 6) AS dc
+           FROM base LEFT JOIN cov USING (doc_id)),
+adm AS (SELECT s.doc_id, s.n_tokens, s.dc, d.source
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE s.dc < {DUP_COVERAGE_MAX})
+SELECT source, count(*)::BIGINT AS n_admitted,
+       sum(n_tokens)::BIGINT AS admitted_tokens,
+       round((sum(dc::DECIMAL(25,12)))::DOUBLE / count(*), 6)
+         AS avg_coverage
+FROM adm GROUP BY source
+"""
+
+
 LLM_QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "emb_random_projection": q_emb_random_projection,
@@ -5140,6 +5238,8 @@ LLM_QUERIES = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_dup_span_coverage": q_docs_dup_span_coverage,
     "docs_top_dup_spans": q_docs_top_dup_spans,
+    "docs_exact_substring_scrub": q_docs_exact_substring_scrub,
+    "docs_dup_coverage_gate": q_docs_dup_coverage_gate,
     "docs_repetition_signals": q_docs_repetition_signals,
     "emb_knn_hamming_rerank": q_emb_knn_hamming_rerank,
     "emb_hamming_recall": q_emb_hamming_recall,
@@ -5253,6 +5353,8 @@ def llm_oracle() -> dict[str, str]:
         "docs_dsir_weights": _oracle_dsir_weights(),
         "docs_dup_span_coverage": _oracle_dup_span_coverage(),
         "docs_top_dup_spans": _oracle_top_dup_spans(),
+        "docs_exact_substring_scrub": _oracle_exact_substring_scrub(),
+        "docs_dup_coverage_gate": _oracle_dup_coverage_gate(),
         "docs_repetition_signals": _oracle_repetition_signals(),
         "emb_knn_hamming_rerank": _oracle_knn_hamming_rerank(),
         "emb_hamming_recall": _oracle_hamming_recall(),

@@ -475,3 +475,60 @@ def test_zvalue_raises_on_out_of_domain_inputs(spark):
         df = spark.createDataFrame([(x, y)], "x long, y long")
         with pytest.raises(Exception, match="zvalue"):
             df.select(zvalue(F.col("x"), F.col("y")).alias("z")).collect()
+
+
+def test_dup_span_bloom_tier_is_exact_with_no_false_negatives(
+        spark, sf_smoke):
+    """The Bloom-prefiltered dup-span tier (operators/neardup.py:
+    _dup_span_starts bloom=True) must return EXACTLY the default
+    count-join tier's rows, and the Bloom itself must pass every member
+    of the count>=2 set (no false negatives — the property that makes
+    the verify join sufficient for exactness)."""
+    from meteomatics_e2e_data_pipeline_spark.operators import neardup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    base = neardup._dup_span_starts(docs, "doc_id", "text", 8, bloom=False)
+    tier = neardup._dup_span_starts(docs, "doc_id", "text", 8, bloom=True)
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, tier.collect()))
+    assert a == b and len(a) > 0
+    # direct no-FN assertion: every count>=2 hash passes its own probes
+    sp = docs.select(
+        "doc_id",
+        F.explode(neardup.shingle_hash_array(F.col("text"), 8)).alias("hv"))
+    dup_set = (sp.groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") >= 2).select("hv"))
+    words = F.lit(neardup.bloom_words_from_hv(dup_set))
+    misses = dup_set.filter(
+        ~neardup.bloom_probe(words, F.col("hv"))).count()
+    assert misses == 0
+
+
+def test_exact_substring_scrub_removes_repeats_and_keeps_uniques(spark):
+    """Scrub semantics on a hand-built corpus: a window repeated across
+    two docs is removed from BOTH (conservative multiplicity variant),
+    within-doc repeats are removed, unique text survives verbatim, and a
+    fully-duplicated doc survives as an empty row."""
+    from meteomatics_e2e_data_pipeline_spark.operators import neardup
+
+    span = " ".join(f"w{i}" for i in range(8))          # the dup window
+    uniq_a = " ".join(f"a{i}" for i in range(5))
+    uniq_b = " ".join(f"b{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(1, f"{uniq_a} {span}"),            # cross-doc dup + unique head
+         (2, f"{span} {uniq_b}"),            # cross-doc dup + unique tail
+         (3, span),                          # fully duplicated
+         (4, f"{span} {span}"),              # within-doc repeat
+         (5, "lone words only here")],       # untouched
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           neardup.exact_substring_scrub(docs, span_len=8).collect()}
+    assert got[1]["clean_text"] == uniq_a and got[1]["n_removed"] == 8
+    assert got[2]["clean_text"] == uniq_b and got[2]["n_removed"] == 8
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 8
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 16
+    assert got[5]["clean_text"] == "lone words only here"
+    assert got[5]["n_removed"] == 0
+    assert all(r["n_tokens"] - r["n_removed"] ==
+               (len(r["clean_text"].split()) if r["clean_text"] else 0)
+               for r in got.values())
