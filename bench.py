@@ -78,7 +78,12 @@ def main() -> None:
                  or name in ("docs_hot_ngrams", "docs_jaccard_join",
                              "docs_dup_span_coverage", "docs_top_dup_spans",
                              "docs_repetition_signals",
-                             "docs_minhash_calibration"))
+                             "docs_minhash_calibration",
+                             # round-10 members of the same n-gram/JIT
+                             # family (rep0 pays the gram-chain codegen)
+                             "docs_exact_substring_scrub",
+                             "docs_dup_coverage_gate",
+                             "docs_scrub_effect"))
         n_reps = reps + 1 if noisy else reps
         best = None
         for _ in range(n_reps):

@@ -1335,6 +1335,79 @@ def exact_substring_scrub(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def scrub_effect_summary(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", span_len: int = 8
+                         ) -> DataFrame:
+    """Did the scrub WORK? One corpus-level row comparing exact-substring
+    dup coverage BEFORE vs AFTER one :func:`exact_substring_scrub` pass —
+    the closed-loop composition (action → re-measure) of this family.
+
+    Residual ``covered_after`` is not forced to zero: removing a span
+    makes its neighbors adjacent, which can CREATE new repeated windows
+    across the seam, and text repeated ≥3 times can leave echoes — a
+    one-pass scrub is a contraction, not a fixpoint (Lee et al. iterate).
+    The number this query reports is exactly that residual.
+
+    Scale shape — the dup-start frame is computed ONCE and
+    localCheckpointed (dup-position-sized, ~20 B/row), then reused by
+    BOTH consumers (the before-metric's telescoping lag window and the
+    scrub's covered-position fanout) instead of letting each branch
+    recompute the gram scan; the after-metric necessarily re-shingles
+    the rebuilt text (it is a different corpus). Token-count note: a
+    fully-scrubbed document re-measures as 1 token (tokenizing ''
+    yields [''] on both engines) — the same convention every tokenizer
+    query in this repo uses for empty text.
+
+    Output: ``(tokens_before, covered_before, coverage_before,
+    tokens_after, covered_after, coverage_after)``.
+    """
+    from pyspark.sql import Window
+
+    dup = _dup_span_starts(docs, id_col, text_col, span_len
+                           ).localCheckpoint(eager=True)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    before = (dup.withColumn(
+        "contrib",
+        F.coalesce(F.least(F.col("pos") - F.lag("pos").over(w),
+                           F.lit(span_len)), F.lit(span_len)))
+        .agg(F.coalesce(F.sum("contrib"), F.lit(0)).cast("bigint")
+             .alias("covered_before")))
+    tok_before = docs.agg(
+        F.sum(F.size(tokens(F.col(text_col)))).cast("bigint")
+        .alias("tokens_before"))
+    covered = (dup.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + (span_len - 1))).alias("pos"))
+        .distinct())
+    tokpos = (
+        _spread(docs.select(id_col, text_col), id_col)
+        .select(id_col,
+                F.posexplode(tokens(F.col(text_col))).alias("pos0", "t"))
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "t"))
+    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("ks"))
+        .select(id_col,
+                F.expr("concat_ws(' ', transform(ks, s -> s.t))")
+                .alias("clean_text")))
+    clean = (docs.select(id_col).join(rebuilt, id_col, "left")
+             .select(id_col,
+                     F.coalesce("clean_text", F.lit("")).alias(text_col)))
+    after = (dup_span_coverage(clean, id_col, text_col, span_len)
+             .agg(F.sum("n_tokens").cast("bigint").alias("tokens_after"),
+                  F.sum("covered_tokens").cast("bigint")
+                  .alias("covered_after")))
+    return (tok_before.crossJoin(before).crossJoin(after)
+            .select("tokens_before", "covered_before",
+                    F.round(F.col("covered_before") / F.col("tokens_before"),
+                            6).alias("coverage_before"),
+                    "tokens_after", "covered_after",
+                    F.round(F.col("covered_after") / F.col("tokens_after"),
+                            6).alias("coverage_after")))
+
+
 # Bloom-filter decontamination sizing. 2^16 bits in 32-bit words keeps
 # every shift inside non-negative BIGINT range on both engines (1 << 31
 # fits; a 64-bit word would need 1 << 63, which overflows DuckDB's

@@ -5045,16 +5045,24 @@ def q_docs_top_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(TOP_DUP_SPANS_K))
 
 
-def _dup_span_cte() -> str:
-    """tok → per-position ``DUP_SPAN_L``-gram CTEs shared by both
-    exact-substring oracles (`sp` carries doc_id, pos, gram string)."""
+def _dup_span_cte(src: str = "documents", suffix: str = "") -> str:
+    """tok → per-position ``DUP_SPAN_L``-gram CTEs shared by the
+    exact-substring oracles (`sp` carries doc_id, pos, gram string).
+    ``src``/``suffix`` let a composed oracle (scrub → re-measure) run
+    the same chain over a rebuilt-text CTE without name collisions —
+    same convention as :func:`_shingle_cte`."""
     L = DUP_SPAN_L
+    s = suffix
     parts = " || ' ' || ".join(f"w[pos + {k}]" for k in range(L))
-    return rf"""tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
-pos0 AS (SELECT doc_id, w,
+    tok_src = (f"SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents"
+               if src == "documents" else
+               f"SELECT doc_id, regexp_split_to_array(trim(clean_text), "
+               f"'\\s+') AS w FROM {src}")
+    return rf"""tok{s} AS ({tok_src}),
+pos0{s} AS (SELECT doc_id, w,
                 unnest(range(1, len(w) - {L - 2})) AS pos
-         FROM tok),
-sp AS (SELECT doc_id, pos, {parts} AS g FROM pos0)"""
+         FROM tok{s}),
+sp{s} AS (SELECT doc_id, pos, {parts} AS g FROM pos0{s})"""
 
 
 def _oracle_dup_span_coverage() -> str:
@@ -5188,6 +5196,69 @@ FROM adm GROUP BY source
 """
 
 
+def q_docs_scrub_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop proof for the ExactSubstr family: corpus dup coverage
+    BEFORE vs AFTER one scrub pass in one row (residual ≠ 0 by design —
+    seam-created windows and ≥3× echoes; see
+    :func:`operators.neardup.scrub_effect_summary` for the shared
+    dup-frame scale shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.scrub_effect_summary(docs, span_len=DUP_SPAN_L)
+
+
+def _oracle_scrub_effect() -> str:
+    L = DUP_SPAN_L
+    return rf"""
+WITH {_dup_span_cte()},
+c AS (SELECT g, count(*) AS c FROM sp GROUP BY g),
+dup AS (SELECT doc_id, pos FROM sp JOIN c USING (g) WHERE c.c >= 2),
+contrib AS (SELECT doc_id,
+                   coalesce(least(pos - lag(pos) OVER
+                       (PARTITION BY doc_id ORDER BY pos), {L}), {L}) AS k
+            FROM dup),
+cov_b AS (SELECT coalesce(sum(k), 0)::BIGINT AS covered_before
+          FROM contrib),
+tok_b AS (SELECT sum(len(w))::BIGINT AS tokens_before FROM tok),
+cov AS (SELECT DISTINCT doc_id, pos + t.k AS pos
+        FROM dup CROSS JOIN range(0, {L}) t(k)),
+tokpos AS (
+  SELECT doc_id, u.pos AS pos, u.t AS t
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                                     i -> {{'pos': i, 't': w[i]}})) AS u
+        FROM tok)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.t
+  FROM tokpos tp ANTI JOIN cov cv
+    ON cv.doc_id = tp.doc_id AND cv.pos = tp.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+cleaned AS (
+  SELECT tok.doc_id, coalesce(r.clean_text, '') AS clean_text
+  FROM tok LEFT JOIN rebuilt r USING (doc_id)
+),
+{_dup_span_cte("cleaned", "2")},
+c2 AS (SELECT g, count(*) AS c FROM sp2 GROUP BY g),
+dup2 AS (SELECT doc_id, pos FROM sp2 JOIN c2 USING (g) WHERE c2.c >= 2),
+contrib2 AS (SELECT doc_id,
+                    coalesce(least(pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos), {L}), {L}) AS k
+             FROM dup2),
+cov_a AS (SELECT coalesce(sum(k), 0)::BIGINT AS covered_after
+          FROM contrib2),
+tok_a AS (SELECT sum(len(w))::BIGINT AS tokens_after FROM tok2)
+SELECT tokens_before, covered_before,
+       round(covered_before::DOUBLE / tokens_before, 6) AS coverage_before,
+       tokens_after, covered_after,
+       round(covered_after::DOUBLE / tokens_after, 6) AS coverage_after
+FROM tok_b, cov_b, tok_a, cov_a
+"""
+
+
 LLM_QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "emb_random_projection": q_emb_random_projection,
@@ -5240,6 +5311,7 @@ LLM_QUERIES = {
     "docs_top_dup_spans": q_docs_top_dup_spans,
     "docs_exact_substring_scrub": q_docs_exact_substring_scrub,
     "docs_dup_coverage_gate": q_docs_dup_coverage_gate,
+    "docs_scrub_effect": q_docs_scrub_effect,
     "docs_repetition_signals": q_docs_repetition_signals,
     "emb_knn_hamming_rerank": q_emb_knn_hamming_rerank,
     "emb_hamming_recall": q_emb_hamming_recall,
@@ -5355,6 +5427,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_top_dup_spans": _oracle_top_dup_spans(),
         "docs_exact_substring_scrub": _oracle_exact_substring_scrub(),
         "docs_dup_coverage_gate": _oracle_dup_coverage_gate(),
+        "docs_scrub_effect": _oracle_scrub_effect(),
         "docs_repetition_signals": _oracle_repetition_signals(),
         "emb_knn_hamming_rerank": _oracle_knn_hamming_rerank(),
         "emb_hamming_recall": _oracle_hamming_recall(),

@@ -113,7 +113,10 @@ def test_bnlj_only_in_intended_queries(all_plans):
                # 1-row best-metric crossJoin (max f1 / max J scalar
                # frame broadcast against the distinct-score sweep) —
                # bounded by construction like bm25's stats row
-               "docs_classifier_threshold"}
+               "docs_classifier_threshold",
+               # three 1-row aggregate frames crossJoined into the
+               # before/after summary row — bounded by construction
+               "docs_scrub_effect"}
     for name, plan in all_plans.items():
         if "BroadcastNestedLoopJoin" in plan:
             assert name in allowed, f"unexpected BNLJ in {name}"
