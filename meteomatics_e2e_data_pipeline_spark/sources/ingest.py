@@ -355,3 +355,105 @@ def backfill_ingest(spark: SparkSession, run_dates: Sequence[str],
     downstream file-grain incrementality makes replays safe."""
     return {rd: ingest(spark, rd, bronze_root, **kwargs)
             for rd in sorted(run_dates)}
+
+
+# --------------------------------------------------------------------------
+# Stream → validate → MERGE: the whole extract→stage contract as one call
+# --------------------------------------------------------------------------
+
+# the staging grain of the reference's stg_weather_raw (dbt unique_key over
+# the flattened readings; stg_weather_raw.sql:3-25)
+READING_KEYS = ["city", "run_date", "parameter", "reading_datetime"]
+STAGE_READING_SCHEMA = ("city string, run_date string, parameter string, "
+                        "reading_datetime string, value string")
+
+
+def flatten_api_readings(batch: DataFrame) -> DataFrame:
+    """U2-style typed validation + P1/F1-F3 flatten of raw API payloads
+    to the staging reading grain — the per-batch form of the parse that
+    ``weather_api_source`` verifies against the DuckDB oracle (reference
+    parse: ``stg_weather_raw.sql:12-25``). Rows whose payload is not
+    ``status=OK`` (the quarantine channel's fetch_error payloads) or
+    whose readings are null are dropped here; the quarantine sink keeps
+    the originals."""
+    p = F.from_json(F.col("raw"), RAW_WEATHER_SCHEMA)
+    return (batch.select("city", "run_date", p.alias("p"))
+            .filter(F.col("p.weather.status") == "OK")
+            .select("city", "run_date",
+                    F.explode("p.weather.data").alias("d"))
+            .select("city", "run_date",
+                    F.col("d.parameter").alias("parameter"),
+                    F.explode("d.coordinates").alias("c"))
+            .select("city", "run_date", "parameter",
+                    F.explode("c.dates").alias("r"))
+            .select("city", "run_date", "parameter",
+                    F.col("r.date").alias("reading_datetime"),
+                    F.col("r.value").alias("value"))
+            .filter(F.col("reading_datetime").isNotNull()
+                    & F.col("value").isNotNull()))
+
+
+def stream_ingest_to_txlog(spark: SparkSession, table_path: str,
+                           checkpoint_dir: str, start_date: str,
+                           end_date: str,
+                           options: dict | None = None,
+                           after_batch: Callable[[int], None] | None = None):
+    """The reference's entire extract→stage pipeline
+    (``extract_weather_from_meteomatics.py:43-44`` fetch grain composed
+    with ``stg_weather_raw.sql:3-25`` MERGE semantics) as ONE
+    engine-native call: bounded ``weather_api`` backfill stream → typed
+    payload validation (:func:`flatten_api_readings`) → atomic keyed
+    ``TxTable.merge_upsert`` per micro-batch.
+
+    Exactly-once at the TABLE level does not depend on the stream
+    checkpoint alone: if the process dies between the table commit and
+    the checkpoint commit, the engine replays the batch and the keyed
+    MERGE stages nothing (100% duplicate keys) and publishes no commit —
+    proven with an injected crash in tests/test_e2e_ingest.py. Restarts
+    with an extended ``end_date`` stream only the new days (monotone
+    source offsets). The table is created empty on first use with
+    (city, run_date) file stats, so each merge touches only
+    stat-overlapping files.
+
+    ``after_batch`` runs after each batch's merge publishes (test
+    hook / metrics seam). Returns the terminal streaming exception or
+    ``None`` — callers decide whether a failed run is retryable; the
+    table is consistent either way.
+    """
+    from pyspark.sql.types import StructType
+
+    from ..operators.txlog import TxTable
+    from .api_datasource import register
+
+    register(spark)
+    try:
+        TxTable(spark, table_path)
+    except ValueError:
+        TxTable.create(
+            spark,
+            spark.createDataFrame([], StructType.fromDDL(
+                STAGE_READING_SCHEMA)),
+            table_path, stat_cols=["city", "run_date"])
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        TxTable(spark, table_path).merge_upsert(
+            flatten_api_readings(batch), READING_KEYS)
+        if after_batch is not None:
+            after_batch(batch_id)
+
+    reader = (spark.readStream.format("weather_api")
+              .option("start_date", start_date)
+              .option("end_date", end_date))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    q = (reader.load().writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        exc = q.exception()
+    except Exception as e:  # foreachBatch errors surface here
+        exc = e
+    finally:
+        q.stop()
+    return exc

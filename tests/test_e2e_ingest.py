@@ -1,8 +1,8 @@
 """End-to-end engine-native ingest: the reference's whole extract→stage
 contract (``extract_weather_from_meteomatics.py:43-44`` — fetch per
 (location, run_date) — composed with ``stg_weather_raw.sql:3-25`` — keyed
-MERGE into the staging table) as ONE path built only from this repo's
-pieces:
+MERGE into the staging table) as ONE package call
+(:func:`sources.ingest.stream_ingest_to_txlog`):
 
     spark.readStream.format("weather_api")      (bounded backfill stream)
       → typed payload validation (RAW_WEATHER_SCHEMA parse + status gate)
@@ -18,87 +18,39 @@ deterministic version history).
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
-
 from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
-from meteomatics_e2e_data_pipeline_spark.sources.api_datasource import (
-    register,
-)
-from meteomatics_e2e_data_pipeline_spark.sources.bronze import (
-    RAW_WEATHER_SCHEMA,
-)
 from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
     FLOAT_PARAMS,
     LOCATIONS,
     RUN_DATES,
     SUN_PARAMS,
 )
+from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
+    READING_KEYS,
+    stream_ingest_to_txlog,
+)
 
-KEYS = ["city", "run_date", "parameter", "reading_datetime"]
-STAGE_SCHEMA = ("city string, run_date string, parameter string, "
-                "reading_datetime string, value string")
 # per payload: hourly readings over day-1..day+7 inclusive for each float
 # param, daily for each sun param (sources/fixtures.py:_payload)
 READINGS_PER_PAYLOAD = len(FLOAT_PARAMS) * 193 + len(SUN_PARAMS) * 9
 
 
-def _validate(batch):
-    """U2-style typed validation + P1/F1 flatten of the raw payload to the
-    staging grain — the same parse q_weather_api_source verifies against
-    the DuckDB oracle, here applied per micro-batch."""
-    p = F.from_json(F.col("raw"), RAW_WEATHER_SCHEMA)
-    return (batch.select("city", "run_date", p.alias("p"))
-            .filter(F.col("p.weather.status") == "OK")
-            .select("city", "run_date",
-                    F.explode("p.weather.data").alias("d"))
-            .select("city", "run_date",
-                    F.col("d.parameter").alias("parameter"),
-                    F.explode("d.coordinates").alias("c"))
-            .select("city", "run_date", "parameter",
-                    F.explode("c.dates").alias("r"))
-            .select("city", "run_date", "parameter",
-                    F.col("r.date").alias("reading_datetime"),
-                    F.col("r.value").alias("value"))
-            .filter(F.col("reading_datetime").isNotNull()
-                    & F.col("value").isNotNull()))
-
-
 def test_stream_validate_merge_survives_crash_between_commits(
         spark, tmp_path):
-    register(spark)
     ckpt, table = str(tmp_path / "ckpt"), str(tmp_path / "table")
-    empty = spark.createDataFrame(
-        [], StructType.fromDDL(STAGE_SCHEMA))
-    TxTable.create(spark, empty, table, stat_cols=["city", "run_date"])
-
     crash = {"armed": False}
 
-    def sink(batch, batch_id):
-        t = TxTable(spark, table)
-        t.merge_upsert(_validate(batch), KEYS)
+    def maybe_crash(batch_id: int) -> None:
         if crash["armed"]:
             crash["armed"] = False
-            # table commit IS published; the stream checkpoint commit for
-            # this batch is not — the engine will replay it on restart
+            # the table commit IS published; the stream checkpoint commit
+            # for this batch is not — the engine replays it on restart
             raise RuntimeError("injected crash after table commit")
 
     def run(end_date):
-        q = (spark.readStream.format("weather_api")
-             .option("start_date", RUN_DATES[0])
-             .option("end_date", end_date).load()
-             .writeStream.foreachBatch(sink)
-             .option("checkpointLocation", ckpt)
-             .trigger(processingTime="0 seconds").start())
-        try:
-            q.processAllAvailable()
-            exc = q.exception()
-        except Exception as e:  # the injected crash surfaces here
-            exc = e
-        finally:
-            q.stop()
-        return exc
+        return stream_ingest_to_txlog(
+            spark, table, ckpt, RUN_DATES[0], end_date,
+            after_batch=maybe_crash)
 
     # phase 1: first two days, crash AFTER the merge publishes
     crash["armed"] = True
@@ -126,7 +78,7 @@ def test_stream_validate_merge_survives_crash_between_commits(
     n = rows.count()
     assert n == len(LOCATIONS) * len(RUN_DATES) * READINGS_PER_PAYLOAD
     # exactly-once at the TABLE level: the key set is exactly the grain
-    assert rows.select(*KEYS).distinct().count() == n
+    assert rows.select(*READING_KEYS).distinct().count() == n
     assert (rows.select("run_date").distinct().count() == len(RUN_DATES))
     # deterministic history: create (v0) + the crash-run merge (v1) + the
     # extension merge (v2); the replay published nothing
