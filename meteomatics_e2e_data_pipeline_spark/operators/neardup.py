@@ -1392,9 +1392,15 @@ def scrub_effect_summary(docs: DataFrame, id_col: str = "doc_id",
         .select(id_col,
                 F.expr("concat_ws(' ', transform(ks, s -> s.t))")
                 .alias("clean_text")))
+    # localCheckpoint: the after-metric's self-join + base branch would
+    # otherwise re-execute the whole scrub chain (token explode →
+    # anti-join → per-doc reassembly) three times; the rebuilt corpus is
+    # docs-sized, exactly what a real pipeline would have written to the
+    # lake before re-measuring (measured 3.65 → 2.69 s steady at sf0.1)
     clean = (docs.select(id_col).join(rebuilt, id_col, "left")
              .select(id_col,
-                     F.coalesce("clean_text", F.lit("")).alias(text_col)))
+                     F.coalesce("clean_text", F.lit("")).alias(text_col))
+             .localCheckpoint(eager=True))
     after = (dup_span_coverage(clean, id_col, text_col, span_len)
              .agg(F.sum("n_tokens").cast("bigint").alias("tokens_after"),
                   F.sum("covered_tokens").cast("bigint")
