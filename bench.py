@@ -83,7 +83,11 @@ def main() -> None:
                              # family (rep0 pays the gram-chain codegen)
                              "docs_exact_substring_scrub",
                              "docs_dup_coverage_gate",
-                             "docs_scrub_effect"))
+                             "docs_scrub_effect",
+                             # rep0 additionally pays the session
+                             # pair/cluster artifact build (gate order
+                             # puts it before the other consumers)
+                             "docs_dedup_pipeline"))
         n_reps = reps + 1 if noisy else reps
         best = None
         for _ in range(n_reps):

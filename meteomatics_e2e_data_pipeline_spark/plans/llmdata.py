@@ -5045,18 +5045,22 @@ def q_docs_top_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(TOP_DUP_SPANS_K))
 
 
-def _dup_span_cte(src: str = "documents", suffix: str = "") -> str:
+def _dup_span_cte(src: str = "documents", suffix: str = "",
+                  text_col: str | None = None) -> str:
     """tok → per-position ``DUP_SPAN_L``-gram CTEs shared by the
     exact-substring oracles (`sp` carries doc_id, pos, gram string).
-    ``src``/``suffix`` let a composed oracle (scrub → re-measure) run
-    the same chain over a rebuilt-text CTE without name collisions —
-    same convention as :func:`_shingle_cte`."""
+    ``src``/``suffix`` let a composed oracle (scrub → re-measure, the
+    dedup ladder) run the same chain over a derived CTE without name
+    collisions — same convention as :func:`_shingle_cte`; ``text_col``
+    names the derived CTE's text column (default ``clean_text``, the
+    rebuilt-corpus convention)."""
     L = DUP_SPAN_L
     s = suffix
+    tc = text_col or "clean_text"
     parts = " || ' ' || ".join(f"w[pos + {k}]" for k in range(L))
     tok_src = (f"SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents"
                if src == "documents" else
-               f"SELECT doc_id, regexp_split_to_array(trim(clean_text), "
+               f"SELECT doc_id, regexp_split_to_array(trim({tc}), "
                f"'\\s+') AS w FROM {src}")
     return rf"""tok{s} AS ({tok_src}),
 pos0{s} AS (SELECT doc_id, w,
@@ -5259,6 +5263,112 @@ FROM tok_b, cov_b, tok_a, cov_a
 """
 
 
+# Post-scrub survival floor for the dedup ladder: a doc hollowed out to
+# fewer than this many kept tokens is dropped instead of shipped as a
+# fragment (the "downstream length gate" the scrub docstring defers to).
+DEDUP_LADDER_MIN_KEPT = 10
+
+
+def q_docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DEDUP LADDER as one hash-verified funnel — every dedup
+    granularity this engine implements, applied in the order a real
+    100 TB curation job runs them (coarsest/cheapest first):
+
+    1. document-level EXACT dedup: keep the min doc_id per normalized
+       content hash (one map-side-combinable hash agg);
+    2. document-level NEAR dedup: drop non-canonical members of the
+       shared ``_full_clusters`` MinHash/LSH components. Full-corpus
+       cluster labels restricted to exact survivors are EXACT here:
+       an exact-removed doc has a text-identical survivor with
+       identical shingles and band keys, so adjacency (and hence every
+       component) is preserved through the survivor — and the cluster
+       min id is itself always an exact survivor (a smaller-id
+       identical text would contradict minimality);
+    3. substring-level ExactSubstr scrub over the deduped corpus
+       (counting windows AFTER doc dedup, so removed copies no longer
+       inflate the repeat counts);
+    4. survival gate: docs with < ``DEDUP_LADDER_MIN_KEPT`` kept
+       tokens are dropped.
+
+    Output: one funnel row per source — raw → exact → near → final doc
+    counts plus surviving token mass. Four source-cardinality-bounded
+    aggregates over progressively smaller corpora; the cluster stage
+    reads the session artifact instead of re-looping."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (docs.select(content_hash(F.col("text")).alias("h"), "doc_id")
+             .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id"))
+    exact_kept = docs.join(canon, "doc_id", "left_semi")
+    non_canon = (_full_clusters(spark, sf_dir)
+                 .filter(~F.col("is_canonical")).select("doc_id"))
+    near_kept = exact_kept.join(non_canon, "doc_id", "left_anti")
+    scrub = neardup.exact_substring_scrub(
+        near_kept.select("doc_id", "text"), span_len=DUP_SPAN_L)
+    final = (scrub.withColumn("n_kept",
+                              F.col("n_tokens") - F.col("n_removed"))
+             .filter(F.col("n_kept") >= DEDUP_LADDER_MIN_KEPT))
+    src = docs.select("doc_id", "source")
+    f_raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"))
+    f_exact = exact_kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    f_near = near_kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near"))
+    f_final = (final.join(src, "doc_id").groupBy("source")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_final"),
+                    F.sum("n_kept").cast("bigint").alias("tokens_final")))
+    return (f_raw.join(f_exact, "source").join(f_near, "source")
+            .join(f_final, "source", "left")
+            .select("source", "n_raw", "n_exact", "n_near",
+                    F.coalesce("n_final", F.lit(0)).cast("bigint")
+                    .alias("n_final"),
+                    F.coalesce("tokens_final", F.lit(0)).cast("bigint")
+                    .alias("tokens_final")))
+
+
+def _oracle_dedup_pipeline() -> str:
+    L = DUP_SPAN_L
+    return rf"""
+WITH clust AS ({_oracle_dup_clusters()}),
+ch AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+              doc_id
+       FROM documents),
+canon AS (SELECT min(doc_id) AS doc_id FROM ch GROUP BY h),
+exact_kept AS (SELECT d.* FROM documents d
+               WHERE d.doc_id IN (SELECT doc_id FROM canon)),
+near_kept AS (SELECT e.* FROM exact_kept e
+              WHERE e.doc_id NOT IN
+                (SELECT doc_id FROM clust WHERE NOT is_canonical)),
+{_dup_span_cte("near_kept", "3", text_col="text")},
+c3 AS (SELECT g, count(*) AS c FROM sp3 GROUP BY g),
+dup3 AS (SELECT doc_id, pos FROM sp3 JOIN c3 USING (g) WHERE c3.c >= 2),
+cov3 AS (SELECT DISTINCT doc_id, pos + t.k AS pos
+         FROM dup3 CROSS JOIN range(0, {L}) t(k)),
+scrub AS (SELECT t3.doc_id, len(t3.w)::BIGINT AS n_tokens,
+                 (len(t3.w) - coalesce(cv.n_cov, 0))::BIGINT AS n_kept
+          FROM tok3 t3
+          LEFT JOIN (SELECT doc_id, count(*) AS n_cov FROM cov3
+                     GROUP BY doc_id) cv USING (doc_id)),
+final AS (SELECT s.doc_id, s.n_kept FROM scrub s
+          WHERE s.n_kept >= {DEDUP_LADDER_MIN_KEPT}),
+f_raw AS (SELECT source, count(*)::BIGINT AS n_raw FROM documents
+          GROUP BY source),
+f_exact AS (SELECT source, count(*)::BIGINT AS n_exact FROM exact_kept
+            GROUP BY source),
+f_near AS (SELECT source, count(*)::BIGINT AS n_near FROM near_kept
+           GROUP BY source),
+f_final AS (SELECT d.source, count(*)::BIGINT AS n_final,
+                   sum(f.n_kept)::BIGINT AS tokens_final
+            FROM final f JOIN documents d USING (doc_id)
+            GROUP BY d.source)
+SELECT f_raw.source, n_raw, n_exact, n_near,
+       coalesce(n_final, 0)::BIGINT AS n_final,
+       coalesce(tokens_final, 0)::BIGINT AS tokens_final
+FROM f_raw JOIN f_exact USING (source) JOIN f_near USING (source)
+LEFT JOIN f_final USING (source)
+"""
+
+
 LLM_QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "emb_random_projection": q_emb_random_projection,
@@ -5312,6 +5422,7 @@ LLM_QUERIES = {
     "docs_exact_substring_scrub": q_docs_exact_substring_scrub,
     "docs_dup_coverage_gate": q_docs_dup_coverage_gate,
     "docs_scrub_effect": q_docs_scrub_effect,
+    "docs_dedup_pipeline": q_docs_dedup_pipeline,
     "docs_repetition_signals": q_docs_repetition_signals,
     "emb_knn_hamming_rerank": q_emb_knn_hamming_rerank,
     "emb_hamming_recall": q_emb_hamming_recall,
@@ -5428,6 +5539,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_exact_substring_scrub": _oracle_exact_substring_scrub(),
         "docs_dup_coverage_gate": _oracle_dup_coverage_gate(),
         "docs_scrub_effect": _oracle_scrub_effect(),
+        "docs_dedup_pipeline": _oracle_dedup_pipeline(),
         "docs_repetition_signals": _oracle_repetition_signals(),
         "emb_knn_hamming_rerank": _oracle_knn_hamming_rerank(),
         "emb_hamming_recall": _oracle_hamming_recall(),
