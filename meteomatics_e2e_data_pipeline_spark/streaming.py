@@ -559,6 +559,51 @@ def stream_near_dup_flags(stream: DataFrame, prior_band_keys,
             .withColumn("near_dup", F.col("n_band_hits") > 0))
 
 
+def stream_dup_coverage_gate(stream: DataFrame, bloom_words: list,
+                             max_est_coverage: float,
+                             span_len: int = 8,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Streaming admission by ESTIMATED exact-substring duplication
+    against a batch-built reference dup-set Bloom — the online half of
+    the round-10 ExactSubstr family: the batch side computes the
+    corpus's count≥2 window-hash set and summarizes it as fixed-size
+    Bloom words (:func:`operators.neardup.bloom_words_from_hv` over the
+    count side of ``_dup_span_starts`` — the train-offline /
+    gate-online split), and every ARRIVING document is scored
+    row-locally as the fraction of its length-``span_len`` windows
+    whose hash probes positive. Stateless — no window, no watermark,
+    no shuffle — so it composes with the other gates
+    (:func:`stream_training_gate`).
+
+    The estimate's error has a known SIGN: Bloom false positives can
+    only raise a document's hit fraction (≤ the FP rate ≈
+    (1−e^(−kn/m))^k in expectation), never lower it — so the gate can
+    spuriously REJECT a clean document with probability bounded by the
+    FP tail, but can never ADMIT one whose true window-hit fraction
+    exceeds the threshold. For training-data hygiene that is the safe
+    direction; pytest pins the no-underestimate property per document
+    and multi-batch/static decision equality
+    (tests/test_streaming_ops.py).
+
+    Output: the stream with ``est_dup_coverage`` (6-dp rounded window
+    hit fraction; 0.0 for docs shorter than one window) appended,
+    filtered to ``est_dup_coverage <= max_est_coverage``.
+    """
+    from .operators.neardup import bloom_probe, shingle_hash_array_chained
+
+    words = F.lit(bloom_words)
+    hv_arr = shingle_hash_array_chained(F.col(text_col), span_len)
+    n_windows = F.size(hv_arr)
+    n_hits = F.size(F.filter(hv_arr,
+                             lambda hv: bloom_probe(words, hv)))
+    est = F.when(n_windows > 0,
+                 F.round(n_hits / n_windows, 6)).otherwise(F.lit(0.0))
+    return (stream.withColumn("est_dup_coverage", est)
+            .filter(F.col("est_dup_coverage")
+                    <= F.lit(max_est_coverage)))
+
+
 def stream_training_gate(stream: DataFrame, weights: list[float],
                          bench_hvs, prior_band_keys,
                          rates: dict, *, score_threshold: float = 0.5,

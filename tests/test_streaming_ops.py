@@ -991,3 +991,70 @@ def test_stream_near_dup_flags_match_batch_lsh(spark, tmp_path):
     assert set(got) == {1, 2, 3}
     assert {d for d, r in got.items() if r["near_dup"]} == want
     assert got[2]["n_band_hits"] == 0
+
+
+def test_stream_dup_coverage_gate_matches_static_and_never_underestimates(
+        spark, tmp_path):
+    """The streaming ExactSubstr admission gate: (1) multi-batch
+    streaming decisions EQUAL the same function applied statically;
+    (2) the Bloom estimate never UNDERestimates the true window-hit
+    fraction against the reference dup set (FP bias is one-sided), so
+    the gate can spuriously reject but never wrongly admit; (3) the
+    gate does real work on this fixture (some docs rejected, some
+    admitted)."""
+    from meteomatics_e2e_data_pipeline_spark.operators import neardup
+    from meteomatics_e2e_data_pipeline_spark.sources.tables import load_table
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_dup_coverage_gate,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+
+    # batch-built artifact: the corpus's count>=2 window-hash set → Bloom
+    sp = docs.select(
+        "doc_id",
+        F.explode(neardup.shingle_hash_array(F.col("text"), 8)).alias("hv"))
+    dup_set = (sp.groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") >= 2).select("hv").localCheckpoint())
+    words = neardup.bloom_words_from_hv(dup_set)
+    thresh = 0.2
+
+    # static reference: the SAME function over the batch frame
+    static = stream_dup_coverage_gate(docs, words, thresh)
+    want = {(r["doc_id"], r["est_dup_coverage"]) for r in static.collect()}
+    assert 0 < len(want) < docs.count()      # real admits AND rejects
+
+    # one-sided error: estimate >= true hit fraction for EVERY doc
+    true_frac = (sp.join(dup_set.withColumnRenamed("hv", "hv2"),
+                         F.col("hv") == F.col("hv2"), "left")
+                 .groupBy("doc_id")
+                 .agg(F.round(F.sum(F.col("hv2").isNotNull().cast("int"))
+                              / F.count(F.lit(1)), 6).alias("tf")))
+    est_all = stream_dup_coverage_gate(docs, words, 2.0)  # no rejection
+    joined = est_all.join(true_frac, "doc_id", "left") \
+        .select("doc_id", "est_dup_coverage",
+                F.coalesce("tf", F.lit(0.0)).alias("tf"))
+    bad = joined.filter(F.col("est_dup_coverage")
+                        < F.col("tf") - 1e-9).count()
+    assert bad == 0
+
+    # streaming twin across micro-batches
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream_dup_coverage_gate(stream, words, thresh)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+    got = {(r["doc_id"], r["est_dup_coverage"]) for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == want
