@@ -43,3 +43,21 @@ def test_parity_mirror_catches_cent_level_drift(spark, sf_oracle):
     big = spark.createDataFrame([(1,)], "v long")
     ok, msg = compare(big, "SELECT 1::HUGEINT AS v", sf_oracle)
     assert not ok and "HUGEINT" in msg
+
+
+def test_gate_slots_are_all_oracle_backed_and_unique():
+    """Structural guard on the 50-slot driver gate (r9 verdict #2's
+    wasted-slot flag, made unrepeatable): every one of the first 50
+    queries() entries must have an oracle — a rows-only query in the
+    gate can only ever return `no_oracle` and burns an attestation
+    slot — _VERIFY_FIRST must hold exactly 50 unique existing names,
+    and every declared query must be callable."""
+    import __spark_entry__ as e
+
+    names = list(QUERIES)
+    head = names[:50]
+    assert len(e._VERIFY_FIRST) == 50
+    assert len(set(e._VERIFY_FIRST)) == 50
+    assert all(k in QUERIES for k in e._VERIFY_FIRST)
+    missing = [k for k in head if k not in ORACLES]
+    assert not missing, f"rows-only queries occupy gate slots: {missing}"
