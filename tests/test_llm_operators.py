@@ -2728,3 +2728,47 @@ def test_binary_quantize_packs_sign_bits_exactly(spark):
                              n_candidates=2).collect()
     by_rank = {r["rank"]: r for r in top}
     assert by_rank[1]["neighbor_id"] == 1 and by_rank[1]["hamming"] == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_exact_substring_scrub_property_vs_python_reference(spark, data):
+    """Property check: the distributed ExactSubstr scrub is EXACT
+    against a sequential Python reference (window Counter → covered
+    position union → rebuild) on random small-vocab corpora — small
+    vocab forces real cross- and within-doc window repeats, and the
+    span length is drawn so boundary docs (len < L, len == L) occur."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        exact_substring_scrub,
+    )
+
+    L = data.draw(st.sampled_from([2, 3, 4]))
+    vocab = [f"w{i}" for i in range(data.draw(st.integers(2, 5)))]
+    n_docs = data.draw(st.integers(min_value=2, max_value=8))
+    rows = []
+    for i in range(n_docs):
+        n_tok = data.draw(st.integers(min_value=1, max_value=14))
+        toks = [vocab[data.draw(st.integers(0, len(vocab) - 1))]
+                for _ in range(n_tok)]
+        rows.append((i, " ".join(toks)))
+
+    # independent reference
+    from collections import Counter
+    toks = {i: t.split(" ") for i, t in rows}
+    cnt = Counter()
+    for w in toks.values():
+        for p in range(len(w) - L + 1):
+            cnt[tuple(w[p:p + L])] += 1
+    want = {}
+    for i, w in toks.items():
+        covered = set()
+        for p in range(len(w) - L + 1):
+            if cnt[tuple(w[p:p + L])] >= 2:
+                covered.update(range(p, p + L))
+        kept = [w[j] for j in range(len(w)) if j not in covered]
+        want[i] = (" ".join(kept), len(w), len(covered))
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in exact_substring_scrub(docs, span_len=L).collect()}
+    assert got == want
