@@ -287,6 +287,66 @@ class TxTable:
         return self.spark.read.schema(schema).parquet(
             *[f"{self.path}/{f}" for f in sorted(live)])
 
+    def read_changes(self, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Change-data-feed between snapshots — the public Delta CDF
+        pattern at file grain: every row ADDED and REMOVED by the
+        commits in ``(from_version, to_version]``, tagged with a
+        ``_change_type`` column (``'insert'`` / ``'delete'``). The
+        fold invariant (pytest-pinned, tests/test_txlog.py):
+
+            read(from) ⊎ inserts ∖ deletes == read(to)   (as multisets)
+
+        so a downstream consumer (incremental view maintenance, a
+        sync into another store) can advance from one snapshot to any
+        later one by reading ONLY the delta files — cost ∝ changed
+        data, never table size. Copy-on-write merges surface as the
+        replaced files' rows (deletes) plus the rewritten files' rows
+        (inserts); a row carried unchanged through a rewrite appears
+        on both sides and cancels under the multiset fold, which is
+        exactly what makes the invariant hold without row-level
+        tracking. A file both added AND removed inside the window is
+        transient and excluded from both sides (its surviving rows
+        reach the feed through the files that superseded it).
+
+        Removed files must still exist on disk: change feeds reach
+        only as far back as :meth:`vacuum`'s retention has preserved
+        (same contract as Delta's CDF-vs-vacuum interaction).
+        """
+        latest = self.version
+        to_v = latest if to_version is None else to_version
+        if not 0 <= from_version <= to_v <= latest:
+            raise ValueError(
+                f"change window ({from_version}, {to_v}] out of range "
+                f"0..{latest}")
+        _, meta, _ = self._snapshot(to_v)
+        schema = StructType.fromJson(meta["schema"])
+        adds: list[str] = []
+        removes: list[str] = []
+        for i in range(from_version + 1, to_v + 1):
+            for action in self._read_commit(i):
+                if "add" in action:
+                    adds.append(action["add"]["path"])
+                elif "remove" in action:
+                    removes.append(action["remove"]["path"])
+        transient = set(adds) & set(removes)
+        adds = [p for p in adds if p not in transient]
+        removes = [p for p in removes if p not in transient]
+        out_schema = schema.add("_change_type", "string")
+        frames = []
+        for paths, tag in ((adds, "insert"), (removes, "delete")):
+            if paths:
+                frames.append(
+                    self.spark.read.schema(schema).parquet(
+                        *[f"{self.path}/{f}" for f in sorted(paths)])
+                    .withColumn("_change_type", F.lit(tag)))
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
     def _check_schema(self, df: DataFrame) -> DataFrame:
         schema = self.schema()
         want = [f.name for f in schema.fields]

@@ -223,3 +223,73 @@ def test_history_actions_are_auditable(spark, tmp_path):
     for commit in hist:
         for action in commit:
             json.dumps(action)
+
+
+def _multiset(df, cols=("k", "v")):
+    from collections import Counter
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_read_changes_fold_invariant_and_windows(spark, tmp_path):
+    """CDC between snapshots: for every (from, to) window,
+    read(from) ⊎ inserts ∖ deletes == read(to) as multisets — through
+    appends, insert-only merges, and copy-on-write update merges
+    (where carried rows appear on both sides and cancel)."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 50), p, stat_cols=["k"])   # v0
+    t.append(_kv(spark, 50, 60))                                       # v1
+    t.merge_upsert(_kv(spark, 40, 55, mul=9, parts=1), ["k"],
+                   update=True)                                        # v2
+    t.merge_upsert(_kv(spark, 55, 70, mul=7, parts=1), ["k"])          # v3
+    assert t.version == 3
+
+    for from_v in range(0, 4):
+        for to_v in range(from_v, 4):
+            ch = t.read_changes(from_v, to_v)
+            ins = _multiset(ch.filter("_change_type = 'insert'")
+                            .drop("_change_type"))
+            dels = _multiset(ch.filter("_change_type = 'delete'")
+                             .drop("_change_type"))
+            want = _multiset(t.read(version=to_v))
+            got = _multiset(t.read(version=from_v)) + ins - dels
+            assert got == want, (from_v, to_v)
+
+    # empty window is an empty typed frame with the tag column
+    empty = t.read_changes(2, 2)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v", "_change_type"]
+
+    # the update merge's effect is visible row-level through the fold:
+    # keys 40-49 changed value 2k -> 9k between v1 and v2
+    ch12 = t.read_changes(1, 2)
+    ins12 = _multiset(ch12.filter("_change_type = 'insert'"))
+    assert all((k, 9 * k) in ins12 for k in range(40, 50))
+
+    with pytest.raises(ValueError, match="out of range"):
+        t.read_changes(2, 9)
+
+
+def test_read_changes_drives_incremental_aggregate_maintenance(
+        spark, tmp_path):
+    """The CDC consumer story: a downstream aggregate advanced ONLY by
+    the change feed equals the full recompute over the new snapshot."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 100), p, stat_cols=["k"])
+    base_v = t.version
+    agg0 = {r["b"]: r["s"] for r in
+            t.read().groupBy((F.col("k") % 5).alias("b"))
+            .agg(F.sum("v").alias("s")).collect()}
+    t.append(_kv(spark, 100, 130))
+    t.merge_upsert(_kv(spark, 90, 110, mul=11, parts=1), ["k"],
+                   update=True)
+    delta = (t.read_changes(base_v)
+             .withColumn("sign", F.when(F.col("_change_type") == "insert",
+                                        F.lit(1)).otherwise(F.lit(-1)))
+             .groupBy((F.col("k") % 5).alias("b"))
+             .agg(F.sum(F.col("v") * F.col("sign")).alias("d")))
+    maintained = {r["b"]: agg0.get(r["b"], 0) + r["d"]
+                  for r in delta.collect()}
+    full = {r["b"]: r["s"] for r in
+            t.read().groupBy((F.col("k") % 5).alias("b"))
+            .agg(F.sum("v").alias("s")).collect()}
+    assert maintained == full
