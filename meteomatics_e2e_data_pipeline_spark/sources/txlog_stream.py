@@ -1,0 +1,155 @@
+"""Streaming OUT of a transaction-log table: ``txlog_cdc`` source.
+
+The inverse of :func:`.ingest.stream_ingest_to_txlog` (which streams INTO a
+:class:`~..operators.txlog.TxTable`): a Spark 4 Python DataSource whose
+stream offset is the TABLE VERSION, so each micro-batch is exactly the
+change feed of the commits in ``(committed, latest]`` —
+:meth:`TxTable.read_changes` semantics as a live feed (insert/delete-tagged
+rows, transient files cancelled). This is the public Delta CDF-as-stream
+pattern reduced to the local log: downstream consumers (sync jobs,
+incremental materializations) follow the table without rescanning it.
+
+Offsets are ABSOLUTE versions — deterministic, monotone, and restart-safe
+by construction (unlike the weather stream's day counts, no option can
+remap what a committed offset means), so a checkpointed query resumes at
+the exact commit boundary it left off. ``startingVersion`` (Delta's option
+name) picks where a FRESH query begins: its changes start at
+``startingVersion + 1`` — i.e. the snapshot AT ``startingVersion`` is the
+consumer's assumed base; default 0 (follow everything after the create
+commit; the create's rows themselves are the version-0 snapshot a consumer
+bootstraps from via ``TxTable.read(version=0)``).
+
+Everything here runs WITHOUT a SparkSession: the log is one JSON-lines
+file per version read with plain IO on the driver, and each partition is
+ONE data file read with pyarrow on an executor — the planner never touches
+row data, the workers never touch the log. Vacuumed files limit how far
+back a fresh stream can start, exactly like Delta's CDF-vs-vacuum
+contract (:meth:`TxTable.read_changes` documents it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_txlog"
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
+
+
+def _latest_version(table: str) -> int:
+    log = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log):
+        raise ValueError(f"{table} is not a txlog table (no {_LOG_DIR})")
+    versions = [int(f.split(".")[0]) for f in os.listdir(log)
+                if f.endswith(".json") and f.split(".")[0].isdigit()]
+    if not versions:
+        raise ValueError(f"{table} has no commits")
+    return max(versions)
+
+
+def _read_commit(table: str, version: int) -> list[dict]:
+    with open(_log_path(table, version), encoding="utf-8") as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _table_schema(table: str) -> StructType:
+    # the meta action travels in commit 0 (and any later overwrite of it)
+    meta: dict = {}
+    for action in _read_commit(table, 0):
+        if "meta" in action:
+            meta = action["meta"]
+    if not meta:
+        raise ValueError(f"{table}: commit 0 carries no meta action")
+    return StructType.fromJson(meta["schema"])
+
+
+@dataclass
+class CdcFilePartition(InputPartition):
+    file_path: str
+    change_type: str  # 'insert' | 'delete'
+
+
+class TxLogCdcStreamReader(DataSourceStreamReader):
+    """Offset = {"version": N} — the last commit whose changes have been
+    released. ``latestOffset`` re-lists the log each call, so commits
+    published by any writer appear in the next micro-batch."""
+
+    def __init__(self, schema: StructType, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("txlog_cdc requires option 'path'")
+        self.table = path.rstrip("/")
+        self.start = int(options.get("startingVersion", "0"))
+        latest = _latest_version(self.table)
+        if not 0 <= self.start <= latest:
+            raise ValueError(
+                f"startingVersion {self.start} out of range 0..{latest}")
+        self.fields = [f.name for f in _table_schema(self.table).fields]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self.table)}
+
+    def partitions(self, start: dict, end: dict
+                   ) -> Sequence[CdcFilePartition]:
+        adds: list[str] = []
+        removes: list[str] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            for action in _read_commit(self.table, v):
+                if "add" in action:
+                    adds.append(action["add"]["path"])
+                elif "remove" in action:
+                    removes.append(action["remove"]["path"])
+        transient = set(adds) & set(removes)
+        return ([CdcFilePartition(os.path.join(self.table, p), "insert")
+                 for p in sorted(adds) if p not in transient]
+                + [CdcFilePartition(os.path.join(self.table, p), "delete")
+                   for p in sorted(removes) if p not in transient])
+
+    def read(self, partition: CdcFilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.file_path)
+        cols = [table.column(name).to_pylist() for name in self.fields]
+        tag = partition.change_type
+        for row in zip(*cols):
+            yield (*row, tag)
+
+    def commit(self, end: dict) -> None:  # engine owns progression
+        pass
+
+
+class TxLogCdcDataSource(DataSource):
+    """``format("txlog_cdc")`` — follow a TxTable's change feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog_cdc"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog_cdc requires option 'path'")
+        return _table_schema(path.rstrip("/")).add("_change_type", "string")
+
+    def streamReader(self, schema: StructType) -> TxLogCdcStreamReader:
+        return TxLogCdcStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Register the source on the live session (idempotent)."""
+    spark.dataSource.register(TxLogCdcDataSource)
