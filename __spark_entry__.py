@@ -36,9 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-10 rotation (VERDICT r9 directives #2 + its rows-only fix),
 # priority order:
-# (1) the 4 NEW entries (docs_exact_substring_scrub, the composed
+# (1) the 5 NEW entries (docs_exact_substring_scrub, the composed
 #     docs_dup_coverage_gate, the closed-loop docs_scrub_effect, the
-#     full-ladder docs_dedup_pipeline funnel) and
+#     full-ladder docs_dedup_pipeline funnel, the vector-modality
+#     emb_centroid_drift monitor) and
 #     the 2 plans changed this round
 #     (sole_return_suppliers rewritten join→agg after its +54% driver
 #     flag; docs_dup_span_coverage re-attested on the refactored
@@ -46,8 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     because directive #4's "hash unchanged" deserves a driver row);
 # (2) ALL 25 remaining r5-dated attestations (the complete pre-r6 debt
 #     — zero r5 rows remain after this gate lands green);
-# (3) the first 19 of the 41 r6-dated rows (alphabetical; the
-#     remaining 22 — event_audience_overlap_exact,
+# (3) the first 18 of the 41 r6-dated rows (alphabetical; the
+#     remaining 23 — emb_similarity_histogram, event_audience_overlap_exact,
 #     event_reach_weekly_exact, event_user_cms_estimate, events_anomaly_mad,
 #     events_dow_baseline, events_heavy_hitters,
 #     events_sliding_reach_7d, events_type_runs, events_user_state_scd2,
@@ -70,6 +71,7 @@ _VERIFY_FIRST = (
     "docs_dup_coverage_gate",
     "docs_scrub_effect",
     "docs_dedup_pipeline",
+    "emb_centroid_drift",
     "sole_return_suppliers",
     "docs_dup_span_coverage",
     "dim_part_type",
@@ -115,7 +117,6 @@ _VERIFY_FIRST = (
     "emb_knn_int8_rerank",
     "emb_mmr_rerank",
     "emb_pca1_projection",
-    "emb_similarity_histogram",
 )
 
 

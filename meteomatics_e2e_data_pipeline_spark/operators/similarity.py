@@ -1151,6 +1151,51 @@ def mmr_rerank(cands: DataFrame, psim: DataFrame, k: int,
         F.round(F.col("mmr_score"), 6).alias("mmr_score"))
 
 
+def centroid_drift(emb: DataFrame, split_expr: Column | None = None,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding-distribution drift between two corpus halves — the
+    VECTOR-modality member of the drift family (`docs_ks_drift` is the
+    scalar-text lens, `events_cusum_alarms` the event-count lens): per
+    dimension, the exact-decimal means of split a (``split_expr`` = 0,
+    default ``vec_id % 2``) vs split b and their signed drift, plus the
+    cosine between the two ROUNDED centroids carried on every row.
+    The cosine is computed from the same 6-dp means both engines hash
+    on, folded in pinned ``pos`` order (the :func:`label_centroids`
+    medoid-scoring discipline), so no partial-sum ulp can flip it.
+
+    Scale shape: posexplode → (split, dim) map-side partial aggregate
+    over a FIXED 2×dims key space (no skew possible); the centroid
+    fold and the cosine are dims-bounded expressions over one
+    collected-struct row that broadcasts back — corpus size only ever
+    touches the first aggregate.
+
+    Output: ``(pos, mean_a, mean_b, drift, centroid_cos)`` — one row
+    per dimension.
+    """
+    split = split_expr if split_expr is not None else (F.col(id_col) % 2)
+    dims = emb.select(
+        split.alias("h"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"))
+    cm = (dims.groupBy("h", "pos")
+          .agg(F.round(F.sum(F.col("x").cast("decimal(25,12)"))
+                       .cast("double") / F.count(F.lit(1)), 6).alias("m")))
+    p = (cm.groupBy("pos")
+         .agg(F.max(F.when(F.col("h") == 0, F.col("m"))).alias("mean_a"),
+              F.max(F.when(F.col("h") == 1, F.col("m"))).alias("mean_b")))
+    cent = (p.agg(F.sort_array(
+        F.collect_list(F.struct("pos", "mean_a", "mean_b"))).alias("pm"))
+        .select(F.expr("transform(pm, s -> s.mean_a)").alias("ca"),
+                F.expr("transform(pm, s -> s.mean_b)").alias("cb"))
+        .select(F.round(cosine(F.col("ca"), F.col("cb")), 6)
+                .alias("centroid_cos")))
+    return (p.crossJoin(F.broadcast(cent))
+            .select("pos", "mean_a", "mean_b",
+                    F.round(F.col("mean_b") - F.col("mean_a"), 6)
+                    .alias("drift"),
+                    "centroid_cos"))
+
+
 def label_centroids(emb: DataFrame, label_col: str = "label",
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

@@ -3696,6 +3696,41 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def q_emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-modality drift monitor: per-dimension exact-decimal means
+    of the two corpus halves (vec_id parity split), signed drift, and
+    the cosine between the rounded centroids — completes the drift
+    family across all three modalities (docs KS, events CUSUM,
+    embeddings here). Scale/determinism notes in
+    :func:`operators.similarity.centroid_drift`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (similarity.centroid_drift(emb)
+            .withColumn("pos", F.col("pos").cast("int")))
+
+
+ORACLE_CENTROID_DRIFT = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+dims AS (SELECT vec_id % 2 AS h, i AS pos, v[i + 1] AS x
+         FROM v CROSS JOIN range(0, 64) t(i)),
+cm AS (SELECT h, pos,
+              round((sum(x::DECIMAL(25,12)))::DOUBLE / count(*), 6) AS m
+       FROM dims GROUP BY 1, 2),
+p AS (SELECT pos, max(CASE WHEN h = 0 THEN m END) AS mean_a,
+             max(CASE WHEN h = 1 THEN m END) AS mean_b
+      FROM cm GROUP BY pos),
+c AS (SELECT list(mean_a ORDER BY pos) AS ca,
+             list(mean_b ORDER BY pos) AS cb FROM p),
+cc AS (SELECT round(list_dot_product(ca, cb)
+                    / (sqrt(list_dot_product(ca, ca))
+                       * sqrt(list_dot_product(cb, cb))), 6)
+         AS centroid_cos FROM c)
+SELECT pos::INT AS pos, mean_a, mean_b,
+       round(mean_b - mean_a, 6) AS drift, centroid_cos
+FROM p, cc
+"""
+
+
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid + medoid summary
     (operators/similarity.py:label_centroids — decimal-sum order-free
@@ -5455,6 +5490,7 @@ LLM_QUERIES = {
     "emb_knn_pq_trained": q_emb_knn_pq_trained,
     "emb_knn_filtered": q_emb_knn_filtered,
     "emb_label_centroids": q_emb_label_centroids,
+    "emb_centroid_drift": q_emb_centroid_drift,
     "docs_jaccard_join": q_docs_jaccard_join,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_vocabulary": q_docs_vocabulary,
@@ -5573,6 +5609,7 @@ def llm_oracle() -> dict[str, str]:
         "emb_ann_ivfpq": _oracle_ann_ivfpq(),
         "emb_knn_filtered": ORACLE_KNN_FILTERED.format(cos=_DUCK_COS),
         "emb_label_centroids": ORACLE_LABEL_CENTROIDS,
+        "emb_centroid_drift": ORACLE_CENTROID_DRIFT,
         "docs_jaccard_join": _oracle_jaccard_join(),
         "docs_simhash_pairs": _oracle_simhash_pairs(),
         "docs_vocabulary": ORACLE_VOCABULARY,

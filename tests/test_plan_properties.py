@@ -116,7 +116,10 @@ def test_bnlj_only_in_intended_queries(all_plans):
                "docs_classifier_threshold",
                # three 1-row aggregate frames crossJoined into the
                # before/after summary row — bounded by construction
-               "docs_scrub_effect"}
+               "docs_scrub_effect",
+               # 1-row centroid-cosine frame crossJoined onto the
+               # dims-bounded per-dimension table
+               "emb_centroid_drift"}
     for name, plan in all_plans.items():
         if "BroadcastNestedLoopJoin" in plan:
             assert name in allowed, f"unexpected BNLJ in {name}"
