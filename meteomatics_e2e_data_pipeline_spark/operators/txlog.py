@@ -28,6 +28,20 @@ pipeline needs:
 * Removed files stay on disk so every historical version remains readable
   (time travel); ``vacuum()`` explicitly deletes files unreferenced by the
   current version.
+* ``_txlog/%020d.checkpoint.json`` snapshot checkpoints (the public Delta
+  checkpoint pattern): every :attr:`TxTable.CHECKPOINT_INTERVAL` commits
+  the folded snapshot is written out, and ``_snapshot`` folds forward from
+  the newest checkpoint at-or-before the target version instead of from
+  commit 0 — O(interval) log reads per operation regardless of table age.
+  Without this, a streaming writer committing once per micro-batch makes
+  every snapshot O(total commits ever): unbounded. Commit files are never
+  deleted (they stay KB-sized and keep time travel / change feeds exact).
+* ``optimize()`` bin-packs small live files into large ones in one atomic
+  commit whose actions carry ``dataChange: false`` (Delta's OPTIMIZE
+  contract): readers see the same rows, and the change feed
+  (:meth:`TxTable.read_changes` / the ``txlog_cdc`` stream) skips
+  compaction churn entirely — a downstream consumer is not re-fed the
+  table because its layout improved.
 
 Everything data-sized runs as Spark jobs (staging writes, per-file stats via
 ``input_file_name`` group-by, key collision probes as semi/anti joins); the
@@ -48,6 +62,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_txlog"
+_CKPT_SUFFIX = ".checkpoint.json"
 
 
 class TxConflict(Exception):
@@ -85,6 +100,12 @@ class TxTable:
     complete version.
     """
 
+    #: Auto-write a snapshot checkpoint every N commits (0 disables).
+    #: 10 matches the public Delta default; at a commit-per-micro-batch
+    #: streaming cadence this bounds every snapshot fold to ≤10 commit
+    #: reads no matter how old the table gets.
+    CHECKPOINT_INTERVAL = 10
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -120,8 +141,76 @@ class TxTable:
         return [json.loads(line) for line in
                 data.decode("utf-8").splitlines() if line.strip()]
 
+    def _checkpoint_versions(self) -> list[int]:
+        fs = _fs(self.spark, self.log_dir)
+        ld = _jpath(self.spark, self.log_dir)
+        out = []
+        for st in fs.listStatus(ld):
+            name = st.getPath().getName()
+            if name.endswith(_CKPT_SUFFIX):
+                stem = name[:-len(_CKPT_SUFFIX)]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def _read_checkpoint(self, version: int):
+        """Load a checkpoint file → (meta, {relpath: add-action})."""
+        fs = _fs(self.spark, self.log_dir)
+        p = _jpath(self.spark,
+                   f"{self.log_dir}/{version:020d}{_CKPT_SUFFIX}")
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream))
+        finally:
+            stream.close()
+        meta: dict = {}
+        live: dict[str, dict] = {}
+        for line in data.decode("utf-8").splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "meta" in action:
+                meta = action["meta"]
+            elif "add" in action:
+                live[action["add"]["path"]] = action["add"]
+        return meta, live
+
+    def write_checkpoint(self, version: int | None = None) -> int:
+        """Materialize the folded snapshot at ``version`` (default: latest)
+        as ``%020d.checkpoint.json`` so later snapshots fold forward from
+        it instead of from commit 0. Idempotent: the content is a pure
+        function of the immutable commits ≤ version, so an
+        already-existing checkpoint is simply kept. Returns the
+        checkpointed version. Commit files are NOT deleted — time travel
+        and change feeds keep reading them."""
+        v, meta, live = self._snapshot(version)
+        fs = _fs(self.spark, self.log_dir)
+        target = _jpath(self.spark, f"{self.log_dir}/{v:020d}{_CKPT_SUFFIX}")
+        if fs.exists(target):
+            return v
+        lines = [json.dumps({"meta": meta}, sort_keys=True)]
+        lines += [json.dumps({"add": live[p]}, sort_keys=True)
+                  for p in sorted(live)]
+        try:
+            out = fs.create(target, False)
+        except Exception:
+            if fs.exists(target):  # lost a benign race to an equal writer
+                return v
+            raise
+        try:
+            out.write(bytearray("\n".join(lines).encode("utf-8")))
+        finally:
+            out.close()
+        return v
+
     def _snapshot(self, version: int | None = None):
-        """Fold the log: returns (version, meta, {relpath: add-action})."""
+        """Fold the log: returns (version, meta, {relpath: add-action}).
+
+        Folds forward from the newest checkpoint at-or-before the target
+        version when one exists — O(CHECKPOINT_INTERVAL) commit reads per
+        call on a checkpointed table instead of O(version)."""
         latest = self._latest_version()
         if latest is None:
             raise ValueError(f"{self.path} has no commits")
@@ -130,7 +219,13 @@ class TxTable:
             raise ValueError(f"version {v} out of range 0..{latest}")
         meta: dict = {}
         live: dict[str, dict] = {}
-        for i in range(v + 1):
+        start = 0
+        ckpts = [c for c in self._checkpoint_versions() if c <= v]
+        if ckpts:
+            meta, live = self._read_checkpoint(ckpts[-1])
+            live = dict(live)
+            start = ckpts[-1] + 1
+        for i in range(start, v + 1):
             for action in self._read_commit(i):
                 if "meta" in action:
                     meta = action["meta"]
@@ -197,12 +292,27 @@ class TxTable:
                     validate(intervening)
                 checked_through = latest
             if self._try_publish(latest + 1, actions):
-                return latest + 1
+                published = latest + 1
+                if (self.CHECKPOINT_INTERVAL
+                        and published % self.CHECKPOINT_INTERVAL == 0):
+                    # Best-effort maintenance: the commit IS published; a
+                    # failed checkpoint only costs fold speed, never
+                    # correctness, and must not make the commit look failed.
+                    try:
+                        self.write_checkpoint(published)
+                    except Exception:
+                        pass
+                return published
 
     # ------------------------------------------------------------- data files
-    def _stage(self, df: DataFrame, stat_cols: Sequence[str]) -> list[dict]:
+    def _stage(self, df: DataFrame, stat_cols: Sequence[str],
+               data_change: bool = True) -> list[dict]:
         """Write ``df`` as immutable parquet files in the table root and
         return their ``add`` actions (with per-file min/max stats).
+
+        ``data_change=False`` tags the adds as layout-only (compaction):
+        change-feed readers skip them. Absent means true, so logs written
+        before this flag existed keep their meaning.
 
         The staged write and the stats pass are Spark jobs; only one stat
         row *per file* reaches the driver."""
@@ -236,8 +346,10 @@ class TxTable:
             stats = {c: [_json_scalar(r[f"_min_{c}"]),
                          _json_scalar(r[f"_max_{c}"])]
                      for c in stat_cols}
-            adds.append({"add": {"path": final, "numRecords": int(r["_n"]),
-                                 "stats": stats}})
+            add = {"path": final, "numRecords": int(r["_n"]), "stats": stats}
+            if not data_change:
+                add["dataChange"] = False
+            adds.append({"add": add})
         fs.delete(_jpath(self.spark, staged), True)
         return adds
 
@@ -325,10 +437,19 @@ class TxTable:
         removes: list[str] = []
         for i in range(from_version + 1, to_v + 1):
             for action in self._read_commit(i):
+                # dataChange=false actions (optimize's compaction swaps)
+                # moved rows between files without changing the table's
+                # contents — the feed skips them. The fold invariant
+                # survives because the swap is row-multiset-identical:
+                # even when a LATER data-changing commit removes a packed
+                # file whose inputs predate the window, the packed file's
+                # delete rows equal the skipped inputs' rows exactly.
                 if "add" in action:
-                    adds.append(action["add"]["path"])
+                    if action["add"].get("dataChange", True):
+                        adds.append(action["add"]["path"])
                 elif "remove" in action:
-                    removes.append(action["remove"]["path"])
+                    if action["remove"].get("dataChange", True):
+                        removes.append(action["remove"]["path"])
         transient = set(adds) & set(removes)
         adds = [p for p in adds if p not in transient]
         removes = [p for p in removes if p not in transient]
@@ -482,6 +603,50 @@ class TxTable:
             new_data = batch
         actions += self._stage(new_data, stat_cols)
         return self._commit(actions, rv, validate=no_key_overlap)
+
+    def optimize(self, target_rows: int = 1_000_000) -> int:
+        """Bin-pack small live files into ~``target_rows``-row files in one
+        atomic commit (the public Delta OPTIMIZE contract).
+
+        Streaming ingest commits one small file per micro-batch; a year of
+        5-minute batches is ~100k files whose open/footer cost dominates
+        every scan. Compaction picks the live files with fewer than
+        ``target_rows`` rows (from the log's per-file ``numRecords`` — no
+        data read to plan), rewrites just those into
+        ``ceil(total_rows / target_rows)`` files, and commits the swap with
+        ``dataChange: false`` on every action: :meth:`read` sees the exact
+        same rows, time travel to older versions still reads the original
+        files, and :meth:`read_changes` / the ``txlog_cdc`` stream emit
+        NOTHING for the compaction commit (a consumer is not re-fed rows
+        because the layout improved). Per-file stats are recomputed for the
+        packed files, so stat-range pruning keeps working after the swap.
+
+        Concurrency: a concurrent merge that rewrites one of the files
+        being compacted removes it first, which invalidates this commit's
+        read set — ``_commit`` raises :class:`TxConflict` (re-run on the
+        fresh snapshot). Concurrent appends/merges over OTHER files
+        commute and need no retry.
+
+        Returns the new version, or the current one when fewer than two
+        files qualify (nothing to pack)."""
+        rv, meta, live = self._snapshot()
+        small = sorted(p for p, add in live.items()
+                       if add.get("numRecords", target_rows) < target_rows)
+        if len(small) < 2:
+            return rv
+        total = sum(live[p].get("numRecords", 0) for p in small)
+        n_out = max(1, -(-total // target_rows))
+        if n_out >= len(small):
+            return rv  # already at (or below) the achievable file count
+        schema = StructType.fromJson(meta["schema"])
+        packed = (self.spark.read.schema(schema)
+                  .parquet(*[f"{self.path}/{f}" for f in small])
+                  .repartition(n_out))
+        actions = [{"remove": {"path": p, "dataChange": False}}
+                   for p in small]
+        actions += self._stage(packed, meta.get("stat_cols", []),
+                               data_change=False)
+        return self._commit(actions, rv)
 
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600) -> list[str]:
         """Delete data files unreferenced by the CURRENT version (destroys

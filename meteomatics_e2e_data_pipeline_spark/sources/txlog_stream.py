@@ -52,8 +52,10 @@ def _latest_version(table: str) -> int:
     log = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log):
         raise ValueError(f"{table} is not a txlog table (no {_LOG_DIR})")
-    versions = [int(f.split(".")[0]) for f in os.listdir(log)
-                if f.endswith(".json") and f.split(".")[0].isdigit()]
+    # f[:-5] (strip ".json") must be ALL digits: "…checkpoint.json"
+    # snapshot files share the directory and must not parse as commits.
+    versions = [int(f[:-5]) for f in os.listdir(log)
+                if f.endswith(".json") and f[:-5].isdigit()]
     if not versions:
         raise ValueError(f"{table} has no commits")
     return max(versions)
@@ -110,10 +112,15 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         removes: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             for action in _read_commit(self.table, v):
+                # Same dataChange filter as TxTable.read_changes: a
+                # compaction swap (optimize) moved rows between files
+                # without changing the table — the stream stays quiet.
                 if "add" in action:
-                    adds.append(action["add"]["path"])
+                    if action["add"].get("dataChange", True):
+                        adds.append(action["add"]["path"])
                 elif "remove" in action:
-                    removes.append(action["remove"]["path"])
+                    if action["remove"].get("dataChange", True):
+                        removes.append(action["remove"]["path"])
         transient = set(adds) & set(removes)
         return ([CdcFilePartition(os.path.join(self.table, p), "insert")
                  for p in sorted(adds) if p not in transient]

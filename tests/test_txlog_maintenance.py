@@ -1,0 +1,183 @@
+"""Log-maintenance tier of the transaction-log table
+(operators/txlog.py): snapshot checkpoints (fold cost bounded by the
+checkpoint interval, not table age) and OPTIMIZE small-file compaction
+(dataChange=false — layout-only, invisible to change feeds). Both follow
+the PUBLIC Delta Lake protocol shapes; no vendor code involved."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
+from meteomatics_e2e_data_pipeline_spark.sources.txlog_stream import (
+    TxLogCdcStreamReader,
+)
+
+
+def _kv(spark, lo, hi, mul=2, parts=1):
+    return (spark.range(lo, hi)
+            .selectExpr("id as k", f"id*{mul} as v").repartition(parts))
+
+
+def _ms(df, cols=("k", "v")):
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _ckpt_files(path):
+    log = os.path.join(path, "_txlog")
+    return sorted(f for f in os.listdir(log)
+                  if f.endswith(".checkpoint.json"))
+
+
+def test_checkpoints_bound_snapshot_fold_and_stay_exact(spark, tmp_path):
+    """Auto-checkpoints land every CHECKPOINT_INTERVAL commits; a
+    snapshot folds forward from the newest one at-or-before the target
+    version (≤ interval commit reads per op, however old the table),
+    and every answer — latest, mid-history, pre-first-checkpoint — is
+    identical to the fold-from-zero it replaced."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])  # v0
+    for i in range(1, 25):                                   # v1..v24
+        t.append(_kv(spark, i * 10, i * 10 + 10))
+    assert t.version == 24
+    assert _ckpt_files(p) == ["00000000000000000010.checkpoint.json",
+                              "00000000000000000020.checkpoint.json"]
+
+    # commit reads per snapshot: only the tail past the newest checkpoint
+    fresh = TxTable(spark, p)
+    reads = []
+    orig = TxTable._read_commit
+    fresh._read_commit = lambda v: (reads.append(v), orig(fresh, v))[1]
+    fresh.live_files()                      # latest = 24, checkpoint at 20
+    assert reads == [21, 22, 23, 24]
+    reads.clear()
+    fresh._snapshot(version=13)             # checkpoint at 10
+    assert reads == [11, 12, 13]
+    reads.clear()
+    fresh._snapshot(version=7)              # before any checkpoint
+    assert reads == list(range(8))
+
+    # exactness: every fold equals the checkpoint-free fold
+    def fold_from_zero(tbl, v):
+        ckpts = tbl._checkpoint_versions
+        tbl._checkpoint_versions = lambda: []
+        try:
+            return tbl._snapshot(version=v)
+        finally:
+            tbl._checkpoint_versions = ckpts
+
+    for v in (0, 7, 10, 13, 20, 24):
+        assert t._snapshot(version=v) == fold_from_zero(t, v)
+    assert t.read().count() == 250
+    assert t.read(version=13).count() == 140
+
+    # explicit checkpoint at an off-interval version is idempotent and
+    # immediately picked up
+    assert t.write_checkpoint() == 24
+    assert t.write_checkpoint() == 24      # second call: no-op, same v
+    reads.clear()
+    fresh._checkpoint_versions = TxTable._checkpoint_versions.__get__(fresh)
+    fresh.live_files()
+    assert reads == []                     # folded purely from checkpoint 24
+
+
+def test_optimize_packs_small_files_without_changing_rows(spark, tmp_path):
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 40, parts=4), p,
+                       stat_cols=["k"])                       # 4 files
+    t.append(_kv(spark, 40, 60, parts=2))                     # +2 files
+    before = _ms(t.read())
+    pre_v, pre_files = t.version, t.live_files()
+    assert len(pre_files) == 6
+
+    v = t.optimize(target_rows=1_000)
+    assert v == pre_v + 1
+    assert len(t.live_files()) == 1
+    assert _ms(t.read()) == before                    # rows identical
+    assert _ms(t.read(version=pre_v)) == before       # time travel intact
+    assert t.live_files(version=pre_v) == pre_files
+
+    # the compaction commit is layout-only and says so
+    actions = t.history()[v]
+    assert actions and all(
+        (a.get("add") or a.get("remove")).get("dataChange", True) is False
+        for a in actions)
+    # packed file keeps stats so later MERGEs still stat-prune
+    packed_add = next(a["add"] for a in actions if "add" in a)
+    assert packed_add["stats"]["k"] == [0, 59]
+    assert packed_add["numRecords"] == 60
+
+    # nothing left to pack: no-op, version unchanged
+    assert t.optimize(target_rows=1_000) == v
+    # files all at/above target: also a no-op
+    assert t.optimize(target_rows=10) == v
+
+    # old small files become vacuumable once unreferenced
+    deleted = t.vacuum(retention_seconds=0)
+    assert sorted(deleted) == sorted(pre_files)
+    assert _ms(t.read()) == before
+
+
+def test_optimize_is_invisible_to_change_feeds(spark, tmp_path):
+    """read_changes and the txlog_cdc stream skip dataChange=false
+    actions: a window holding only the compaction is empty, the fold
+    invariant holds across every window spanning it — including the
+    nasty case where a LATER merge rewrites the packed file, so the
+    feed's deletes name a file whose inputs predate the window."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 30, parts=3), p,
+                       stat_cols=["k"])                            # v0
+    t.append(_kv(spark, 30, 40))                                   # v1
+    assert t.optimize(target_rows=1_000) == 2                      # v2
+    t.append(_kv(spark, 40, 50))                                   # v3
+    t.merge_upsert(_kv(spark, 20, 45, mul=9), ["k"], update=True)  # v4
+    assert t.version == 4
+
+    assert t.read_changes(1, 2).count() == 0       # optimize-only window
+    assert t.read_changes(1, 2).columns == ["k", "v", "_change_type"]
+
+    for from_v in range(5):
+        for to_v in range(from_v, 5):
+            ch = t.read_changes(from_v, to_v)
+            ins = _ms(ch.filter("_change_type = 'insert'")
+                      .drop("_change_type"))
+            dels = _ms(ch.filter("_change_type = 'delete'")
+                       .drop("_change_type"))
+            got = _ms(t.read(version=from_v)) + ins - dels
+            assert got == _ms(t.read(version=to_v)), (from_v, to_v)
+
+    # the streaming twin plans the same quiet batches
+    r = TxLogCdcStreamReader(None, {"path": p})
+    assert r.partitions({"version": 1}, {"version": 2}) == []
+    rows = Counter(row for pt in r.partitions({"version": 0},
+                                              {"version": 4})
+                   for row in r.read(pt))
+    want = Counter((row["k"], row["v"], row["_change_type"])
+                   for row in t.read_changes(0, 4).collect())
+    assert rows == want
+    # checkpoint files in the log dir never parse as stream commits
+    t.write_checkpoint()
+    assert r.latestOffset() == {"version": 4}
+
+
+def test_optimize_commutes_with_concurrent_appends(spark, tmp_path):
+    """A compaction publishes on top of a concurrent append without
+    conflict (disjoint files commute); the appended rows and the packed
+    rows both survive."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 20, parts=2), p,
+                       stat_cols=["k"])
+    rv, meta, live = t._snapshot()
+    small = sorted(live)
+    packed = (t.spark.read.schema(t.schema())
+              .parquet(*[f"{p}/{f}" for f in small]).repartition(1))
+    actions = [{"remove": {"path": f, "dataChange": False}} for f in small]
+    actions += t._stage(packed, meta["stat_cols"], data_change=False)
+    TxTable(spark, p).append(_kv(spark, 100, 110))   # concurrent writer
+    v = t._commit(actions, rv)                       # retries, no conflict
+    assert v == 2
+    assert _ms(t.read()) == (
+        Counter({(k, 2 * k): 1 for k in range(20)})
+        + Counter({(k, 2 * k): 1 for k in range(100, 110)}))
+    assert len(t.live_files()) == 2   # packed file + concurrent append
