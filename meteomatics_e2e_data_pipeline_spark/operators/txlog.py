@@ -604,9 +604,22 @@ class TxTable:
         actions += self._stage(new_data, stat_cols)
         return self._commit(actions, rv, validate=no_key_overlap)
 
-    def optimize(self, target_rows: int = 1_000_000) -> int:
+    def optimize(self, target_rows: int = 1_000_000,
+                 zorder_by: Sequence[str] | None = None,
+                 zorder_bits: int = 12) -> int:
         """Bin-pack small live files into ~``target_rows``-row files in one
         atomic commit (the public Delta OPTIMIZE contract).
+
+        ``zorder_by=(x_col, y_col)`` additionally clusters the packed
+        rows on the Morton curve (Delta's OPTIMIZE ZORDER BY): the
+        rewrite range-partitions on :func:`..zorder.zvalue` and sorts
+        within files, so every packed file's (x, y) min/max stats form a
+        bounded rectangle and :meth:`merge_upsert`'s stat-range pruning
+        skips files on EITHER dimension — turning the compaction pass
+        into a data-skipping upgrade for the same single shuffle. The
+        columns must be non-negative integers below ``2**zorder_bits``
+        (the :func:`..zorder.zvalue` domain contract; out-of-domain rows
+        raise rather than silently corrupt the layout).
 
         Streaming ingest commits one small file per micro-batch; a year of
         5-minute batches is ~100k files whose open/footer cost dominates
@@ -636,12 +649,22 @@ class TxTable:
             return rv
         total = sum(live[p].get("numRecords", 0) for p in small)
         n_out = max(1, -(-total // target_rows))
-        if n_out >= len(small):
+        if zorder_by is None and n_out >= len(small):
             return rv  # already at (or below) the achievable file count
         schema = StructType.fromJson(meta["schema"])
-        packed = (self.spark.read.schema(schema)
-                  .parquet(*[f"{self.path}/{f}" for f in small])
-                  .repartition(n_out))
+        packed = self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in small])
+        if zorder_by is not None:
+            from .zorder import zvalue
+            xc, yc = zorder_by
+            packed = (packed
+                      .withColumn("__z", zvalue(F.col(xc), F.col(yc),
+                                                bits=zorder_bits))
+                      .repartitionByRange(n_out, "__z")
+                      .sortWithinPartitions("__z")
+                      .drop("__z"))
+        else:
+            packed = packed.repartition(n_out)
         actions = [{"remove": {"path": p, "dataChange": False}}
                    for p in small]
         actions += self._stage(packed, meta.get("stat_cols", []),

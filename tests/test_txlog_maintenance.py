@@ -181,3 +181,43 @@ def test_optimize_commutes_with_concurrent_appends(spark, tmp_path):
         Counter({(k, 2 * k): 1 for k in range(20)})
         + Counter({(k, 2 * k): 1 for k in range(100, 110)}))
     assert len(t.live_files()) == 2   # packed file + concurrent append
+
+
+def test_optimize_zorder_turns_compaction_into_data_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: packing on the Morton curve makes every
+    packed file an aligned (x, y) rectangle, so merge-style stat
+    pruning skips files on either dimension. Layout proof on a 64x64
+    grid written as y-stripes (every stripe spans all of x → a box
+    predicate on x prunes NOTHING before, 4/16 files after)."""
+    from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
+
+    def grid_slice(lo, hi):
+        return (spark.range(lo, hi)
+                .selectExpr("cast(id % 64 as long) as x",
+                            "cast(id div 64 as long) as y")
+                .coalesce(1))
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, grid_slice(0, 128), p, stat_cols=["x", "y"])
+    for i in range(1, 32):
+        t.append(grid_slice(i * 128, (i + 1) * 128))
+    assert len(t.live_files()) == 32
+
+    box = {"x": (0, 15), "y": (0, 63)}   # a quarter-width column of the grid
+    _, _, live = t._snapshot()
+    assert len(t._candidate_files(live, ["x", "y"], box)) == 32  # no skip
+
+    before = _ms(t.read(), cols=("x", "y"))
+    v = t.optimize(target_rows=256, zorder_by=("x", "y"), zorder_bits=6)
+    assert v == 32
+    _, _, live = t._snapshot()
+    assert len(live) == 16                        # 4096 rows / 256
+    assert _ms(t.read(), cols=("x", "y")) == before
+    # each file is one aligned 16x16 square; the x∈[0,16) column hits 4
+    cands = t._candidate_files(live, ["x", "y"], box)
+    assert len(cands) == 4
+    # and a 2-D box hits exactly 1
+    one = t._candidate_files(live, ["x", "y"], {"x": (0, 15), "y": (0, 15)})
+    assert len(one) == 1
+    # the commit is still layout-only: feeds stay quiet
+    assert t.read_changes(v - 1, v).count() == 0
