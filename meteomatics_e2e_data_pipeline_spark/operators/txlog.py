@@ -59,7 +59,7 @@ from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_txlog"
 _CKPT_SUFFIX = ".checkpoint.json"
@@ -474,17 +474,73 @@ class TxTable:
         have = set(df.columns)
         if set(want) != have:
             raise ValueError(f"schema mismatch: table has {want}, "
-                             f"batch has {sorted(have)}")
+                             f"batch has {sorted(have)}; pass "
+                             f"merge_schema=True to evolve")
         # Positional/nullable drift is tolerated; names+casts are enforced.
         return df.select(*[F.col(f.name).cast(f.dataType)
                            for f in schema.fields])
 
-    def append(self, df: DataFrame) -> int:
+    def _evolve_schema(self, df: DataFrame, meta: dict
+                       ) -> tuple[DataFrame, dict | None, list]:
+        """``merge_schema=True`` reconciliation (the public Delta
+        ``mergeSchema`` contract): batch columns NEW to the table widen
+        the schema (appended as nullable, batch types); table columns
+        MISSING from the batch are null-filled; existing columns keep the
+        table's type (batch casts to it). Returns the conformed batch,
+        the updated meta action dict (None when the schema is unchanged —
+        no meta churn in the log), and the schema-changing validate hook
+        (two concurrent widenings must not silently drop each other's
+        columns: the last meta action wins wholesale, so a schema change
+        conflicts with ANY intervening meta action)."""
+        schema = StructType.fromJson(meta["schema"])
+        names = {f.name for f in schema.fields}
+        batch_cols = set(df.columns)
+        # new columns arrive nullable regardless of the batch's own
+        # nullability: every pre-existing file reads them as null
+        new_fields = [StructField(f.name, f.dataType, True)
+                      for f in df.schema.fields if f.name not in names]
+        cols = [(F.col(f.name).cast(f.dataType) if f.name in batch_cols
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in schema.fields]
+        for f in new_fields:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        out = df.select(*cols)
+        if not new_fields:
+            return out, None, []
+        evolved = StructType(list(schema.fields) + new_fields)
+        new_meta = dict(meta)
+        new_meta["schema"] = json.loads(evolved.json())
+
+        def no_meta_race(intervening):
+            if any("meta" in a for a in intervening):
+                raise TxConflict(
+                    f"concurrent schema change on {self.path}; re-run so "
+                    f"both column additions survive")
+        return out, new_meta, [no_meta_race]
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Atomic append (pure adds never conflict — retried past any
-        concurrent commit)."""
+        concurrent commit). ``merge_schema=True`` lets a batch with new
+        columns widen the table schema in the same commit (old files
+        read as null for the new columns)."""
         rv, meta, _ = self._snapshot()
-        adds = self._stage(self._check_schema(df), meta.get("stat_cols", []))
-        return self._commit(adds, rv) if adds else self.version
+        validators = []
+        if merge_schema:
+            df, new_meta, validators = self._evolve_schema(df, meta)
+            meta = new_meta or meta
+        else:
+            df = self._check_schema(df)
+            new_meta = None
+        actions = ([{"meta": meta}] if new_meta else [])
+        actions += self._stage(df, meta.get("stat_cols", []))
+        if not actions:
+            return self.version
+
+        def validate(intervening):
+            for v in validators:
+                v(intervening)
+        return self._commit(actions, rv,
+                            validate=validate if validators else None)
 
     def overwrite(self, df: DataFrame) -> int:
         """Atomic full replace (S9 semantics, but versioned). Conflicts
@@ -537,7 +593,8 @@ class TxTable:
                       if self._overlaps(add, keys, bounds))
 
     def merge_upsert(self, batch: DataFrame, keys: Sequence[str],
-                     update: bool = False) -> int:
+                     update: bool = False,
+                     merge_schema: bool = False) -> int:
         """Atomic keyed MERGE.
 
         ``update=False`` (default): first-writer-wins insert-only — rows
@@ -548,11 +605,23 @@ class TxTable:
         colliding keys are replaced by the batch row; only files that
         actually contain a colliding key are rewritten (stat-range prune,
         then an exact semi-join probe).
+
+        ``merge_schema=True``: a batch with new columns widens the table
+        schema in the same commit (old files — including the unrewritten
+        ones — read as null for the new columns).
         """
         keys = list(keys)
         rv, meta, live = self._snapshot()
+        extra_validators = []
+        if merge_schema:
+            batch, new_meta, extra_validators = self._evolve_schema(
+                batch, meta)
+            meta = new_meta or meta
+        else:
+            batch = self._check_schema(batch)
+            new_meta = None
         schema = StructType.fromJson(meta["schema"])
-        batch = self._check_schema(batch).dropDuplicates(keys)
+        batch = batch.dropDuplicates(keys)
         bounds = self._batch_bounds(batch, keys)
         cand = self._candidate_files(live, keys, bounds)
         stat_cols = meta.get("stat_cols", [])
@@ -569,14 +638,22 @@ class TxTable:
                         f"merge's key range on {self.path}; re-run the "
                         f"merge on the new snapshot")
 
+        def validate(intervening):
+            no_key_overlap(intervening)
+            for v in extra_validators:
+                v(intervening)
+
+        meta_actions = [{"meta": meta}] if new_meta else []
         if not update:
             if cand:
                 existing = self.spark.read.schema(schema).parquet(
                     *[f"{self.path}/{f}" for f in cand]).select(*keys)
                 batch = batch.join(existing.distinct(), on=keys,
                                    how="left_anti")
-            adds = self._stage(batch, stat_cols)
-            return (self._commit(adds, rv, validate=no_key_overlap)
+            adds = meta_actions + self._stage(batch, stat_cols)
+            # a pure schema widening (every row was a duplicate) still
+            # commits: the caller asked for the evolved schema
+            return (self._commit(adds, rv, validate=validate)
                     if adds else self.version)
         # update=True: find files that REALLY hold colliding keys
         affected: list[str] = []
@@ -592,7 +669,8 @@ class TxTable:
                         .join(batch.select(*keys).distinct(),
                               on=keys, how="left_semi")
                         .select("_file").distinct().collect()]
-        actions = [{"remove": {"path": p}} for p in sorted(affected)]
+        actions = meta_actions + [
+            {"remove": {"path": p}} for p in sorted(affected)]
         if affected:
             keep = (self.spark.read.schema(schema).parquet(
                 *[f"{self.path}/{f}" for f in sorted(affected)])
@@ -602,7 +680,7 @@ class TxTable:
         else:
             new_data = batch
         actions += self._stage(new_data, stat_cols)
-        return self._commit(actions, rv, validate=no_key_overlap)
+        return self._commit(actions, rv, validate=validate)
 
     def optimize(self, target_rows: int = 1_000_000,
                  zorder_by: Sequence[str] | None = None,

@@ -67,13 +67,36 @@ def _read_commit(table: str, version: int) -> list[dict]:
 
 
 def _table_schema(table: str) -> StructType:
-    # the meta action travels in commit 0 (and any later overwrite of it)
+    """Resolve the CURRENT schema: the newest meta action wins (schema
+    evolution via merge_schema writes a fresh meta in the evolving
+    commit). Bounded scan: start from the newest checkpoint's meta (the
+    checkpoint file carries the folded meta first) and only read the
+    commits past it — same O(interval) contract as TxTable._snapshot,
+    with plain IO only."""
+    log = os.path.join(table, _LOG_DIR)
+    latest = _latest_version(table)
+    ckpts = [int(f[:-len(".checkpoint.json")]) for f in os.listdir(log)
+             if f.endswith(".checkpoint.json")
+             and f[:-len(".checkpoint.json")].isdigit()]
     meta: dict = {}
-    for action in _read_commit(table, 0):
-        if "meta" in action:
-            meta = action["meta"]
+    start = 0
+    if ckpts:
+        cv = max(ckpts)
+        with open(os.path.join(log, f"{cv:020d}.checkpoint.json"),
+                  encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip():
+                    action = json.loads(line)
+                    if "meta" in action:
+                        meta = action["meta"]
+                        break
+        start = cv + 1
+    for v in range(start, latest + 1):
+        for action in _read_commit(table, v):
+            if "meta" in action:
+                meta = action["meta"]
     if not meta:
-        raise ValueError(f"{table}: commit 0 carries no meta action")
+        raise ValueError(f"{table}: no meta action found in the log")
     return StructType.fromJson(meta["schema"])
 
 
@@ -131,7 +154,11 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.file_path)
-        cols = [table.column(name).to_pylist() for name in self.fields]
+        # files written before a merge_schema widening lack the new
+        # columns — they read as null, exactly like the batch reader
+        present = set(table.column_names)
+        cols = [table.column(name).to_pylist() if name in present
+                else [None] * table.num_rows for name in self.fields]
         tag = partition.change_type
         for row in zip(*cols):
             yield (*row, tag)

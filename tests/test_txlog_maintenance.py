@@ -221,3 +221,98 @@ def test_optimize_zorder_turns_compaction_into_data_skipping(spark, tmp_path):
     assert len(one) == 1
     # the commit is still layout-only: feeds stay quiet
     assert t.read_changes(v - 1, v).count() == 0
+
+
+def test_merge_schema_append_widens_and_nullfills(spark, tmp_path):
+    """Delta mergeSchema contract: a batch with a NEW column widens the
+    table schema in the same atomic commit; every pre-existing file
+    reads the new column as null; a batch MISSING a column is
+    null-filled; strict mode still raises."""
+    import pytest
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])  # v0
+    wide = (spark.range(10, 20)
+            .selectExpr("id as k", "id*2 as v", "id*100 as w")
+            .coalesce(1))
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.append(wide)
+    assert t.append(wide, merge_schema=True) == 1
+    assert [f.name for f in t.schema().fields] == ["k", "v", "w"]
+    assert t.schema()["w"].nullable is True
+
+    rows = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert rows[5] == (10, None)        # old file: null-filled
+    assert rows[15] == (30, 1500)       # new file: populated
+    # time travel to v0 keeps the ORIGINAL schema
+    assert t.read(version=0).columns == ["k", "v"]
+
+    # a batch missing v (but no new columns) null-fills WITHOUT meta churn
+    assert t.append(spark.range(20, 25).selectExpr("id as k")
+                    .coalesce(1), merge_schema=True) == 2
+    assert {r["v"] for r in t.read().filter("k >= 20").collect()} == {None}
+    assert not any("meta" in a for a in t.history()[2])
+    # ... while the widening commit DID carry the evolved meta
+    assert any("meta" in a for a in t.history()[1])
+
+    # MERGE keeps working across the evolution (stat pruning included)
+    t.merge_upsert(spark.range(0, 12).selectExpr(
+        "id as k", "id*2 as v", "id*7 as w").coalesce(1), ["k"],
+        update=True)
+    got = {r["k"]: r["w"] for r in t.read().filter("k < 12").collect()}
+    assert got == {k: 7 * k for k in range(12)}
+
+
+def test_merge_schema_concurrent_widenings_conflict(spark, tmp_path):
+    """Two concurrent schema widenings must not silently drop each
+    other's columns: the later publisher sees the intervening meta
+    action and raises (re-run folds both columns in)."""
+    import pytest
+    from meteomatics_e2e_data_pipeline_spark.operators.txlog import \
+        TxConflict
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])
+    rv, meta, _ = t._snapshot()
+    df_a = (spark.range(10, 15)
+            .selectExpr("id as k", "id*2 as v", "id as c1").coalesce(1))
+    out_a, meta_a, vals_a = t._evolve_schema(df_a, meta)
+    # writer B lands its own widening first
+    TxTable(spark, p).append(
+        spark.range(20, 25).selectExpr("id as k", "id*2 as v", "id as c2")
+        .coalesce(1), merge_schema=True)
+
+    def validate(intervening):
+        for v in vals_a:
+            v(intervening)
+    actions = [{"meta": meta_a}] + t._stage(out_a, ["k"])
+    with pytest.raises(TxConflict, match="schema change"):
+        t._commit(actions, rv, validate=validate)
+    # the re-run (fresh snapshot) folds BOTH columns
+    t.append(df_a, merge_schema=True)
+    assert [f.name for f in t.schema().fields] == ["k", "v", "c2", "c1"]
+
+
+def test_merge_schema_visible_to_cdc_stream(spark, tmp_path):
+    """The stream source resolves the LATEST meta (not commit 0's) and
+    null-fills pre-evolution files, so a fresh stream after a widening
+    sees the evolved row shape for ALL change rows."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])  # v0
+    t.append(spark.range(10, 15).selectExpr(
+        "id as k", "id*2 as v", "id*3 as w").coalesce(1),
+        merge_schema=True)                                            # v1
+    t.merge_upsert(spark.range(3, 6).selectExpr(
+        "id as k", "id*9 as v", "id*9 as w").coalesce(1), ["k"],
+        update=True)                                                  # v2
+
+    r = TxLogCdcStreamReader(None, {"path": p})
+    rows = [row for pt in r.partitions({"version": 0}, {"version": 2})
+            for row in r.read(pt)]
+    assert all(len(row) == 4 for row in rows)   # k, v, w, _change_type
+    # v2's deletes come from the ORIGINAL (k, v)-only file: w is null
+    dels = {row[0]: row for row in rows if row[3] == "delete"}
+    assert dels[3] == (3, 6, None, "delete")
+    ins = {row[0]: row for row in rows if row[3] == "insert"}
+    assert ins[4][2] == 36 or ins[4][2] == 12   # rewritten or v1 insert
+    assert (3, 27, 27, "insert") in set(rows)
