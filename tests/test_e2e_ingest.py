@@ -128,3 +128,19 @@ def test_full_relay_api_stream_to_txlog_to_cdc_consumer(spark, tmp_path):
                 TxTable(spark, table).read().groupBy("city", "parameter")
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
         assert maintained == full and maintained
+
+    # table maintenance mid-pipeline: the per-leg merges left one file
+    # each — compact them. A further relay drain must see NOTHING from
+    # the compaction (dataChange=false): the downstream store is not
+    # re-fed because the table's layout improved.
+    t = TxTable(spark, table)
+    assert len(t.live_files()) > 1
+    v = t.optimize(target_rows=1_000_000)
+    assert v == t.version and len(t.live_files()) == 1
+    rows_before = spark.read.parquet(out).count()
+    relay(RUN_DATES[-1])
+    assert spark.read.parquet(out).count() == rows_before
+    full = {(r["city"], r["parameter"]): r["n"] for r in
+            t.read().groupBy("city", "parameter")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert full == maintained
