@@ -1,5 +1,8 @@
-"""Batch reads of a transaction-log table as a first-class source:
-``spark.read.format("txlog").option("path", ...)``.
+"""Batch reads AND writes of a transaction-log table as a first-class
+source: ``spark.read.format("txlog").option("path", ...)`` /
+``df.write.format("txlog").option("path", ...).mode(...)``. The write
+side maps Spark's V2 commit protocol 1:1 onto the log protocol — see
+:class:`TxLogBatchWriter`.
 
 :meth:`~..operators.txlog.TxTable.read` already gives snapshot reads,
 but it hands Spark an explicit file list — data skipping happens only
@@ -41,6 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -49,6 +53,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -179,6 +184,124 @@ class TxLogBatchReader(DataSourceReader):
         yield from zip(*cols)
 
 
+@dataclass
+class TxWriteMessage(WriterCommitMessage):
+    """One staged file per task: its final name + ready-made add action
+    (numRecords + per-stat-col [min, max]), computed IN the task so the
+    driver's commit never touches row data."""
+    add: dict | None  # None: empty partition, nothing staged
+
+
+def _stat_scalar(v):
+    """JSON-encodable advisory bound — plain-IO twin of
+    ``operators.txlog._json_scalar`` (same degrade-to-None contract:
+    a lossy bound may only keep a file, never skip a match)."""
+    import datetime
+    import decimal
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return None
+
+
+class TxLogBatchWriter(DataSourceWriter):
+    """``df.write.format("txlog")`` — Spark's V2 write protocol mapped
+    1:1 onto the transaction-log commit protocol: each task stages ONE
+    immutable parquet file into the table root and sends back its add
+    action as the commit message; the driver's ``commit`` publishes a
+    single JSON commit (exclusive-create, optimistic retry), so the
+    whole distributed write is atomic — a reader sees all files or
+    none, and a failed job's ``abort`` deletes the staged files. Modes:
+    ``append`` (pure adds, never conflicts — retried past concurrent
+    commits) and ``overwrite`` (remove-all + adds; conflicts with ANY
+    intervening commit, the ``TxTable.overwrite`` rule).
+
+    Everything driver-side is plain IO over the JSON log; per-file
+    stats are computed in the task from the rows it writes, so stat
+    pruning (MERGE and the batch reader) works on written data with
+    zero extra passes."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("txlog requires option 'path'")
+        self.table = path.rstrip("/")
+        self.overwrite = overwrite
+        v, meta, live = _fold_snapshot(self.table)
+        self.read_version = v
+        self.live = sorted(live)
+        self.stat_cols = meta.get("stat_cols", [])
+        table_cols = [f.name for f in
+                      StructType.fromJson(meta["schema"]).fields]
+        if [f.name for f in schema.fields] != table_cols:
+            raise ValueError(
+                f"schema mismatch: table {self.table} has {table_cols}, "
+                f"write has {[f.name for f in schema.fields]} (use "
+                f"TxTable.append(merge_schema=True) to evolve)")
+        self.fields = table_cols
+
+    def write(self, iterator) -> TxWriteMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return TxWriteMessage(add=None)
+        cols = list(zip(*rows))
+        table = pa.table(dict(zip(self.fields, cols)))
+        name = f"part-{uuid.uuid4().hex[:12]}-w.parquet"
+        pq.write_table(table, os.path.join(self.table, name))
+        stats = {}
+        for c in self.stat_cols:
+            vals = [v for v in cols[self.fields.index(c)] if v is not None]
+            stats[c] = ([_stat_scalar(min(vals)), _stat_scalar(max(vals))]
+                        if vals else [None, None])
+        return TxWriteMessage(add={"path": name, "numRecords": len(rows),
+                                   "stats": stats})
+
+    def _publish(self, actions: list[dict]) -> None:
+        log = os.path.join(self.table, _LOG_DIR)
+        payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+        while True:
+            latest = _latest_version(self.table)
+            if self.overwrite and latest != self.read_version:
+                raise RuntimeError(
+                    f"overwrite of {self.table} raced a concurrent commit "
+                    f"(v{self.read_version} -> v{latest}); re-run on the "
+                    f"new snapshot")
+            target = os.path.join(log, f"{latest + 1:020d}.json")
+            try:
+                fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                continue  # lost the race: re-check and retry
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(payload)
+            return
+
+    def commit(self, messages) -> None:
+        adds = [{"add": m.add} for m in messages
+                if m is not None and m.add is not None]
+        actions = ([{"remove": {"path": p}} for p in self.live]
+                   if self.overwrite else [])
+        actions += adds
+        if not actions:
+            return  # empty append: nothing to publish
+        self._publish(actions)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.add is not None:
+                try:
+                    os.remove(os.path.join(self.table, m.add["path"]))
+                except OSError:
+                    pass  # best-effort cleanup; vacuum sweeps leftovers
+
+
 class TxLogDataSource(DataSource):
     """``format("txlog")`` — snapshot reads with log-stat file skipping."""
 
@@ -198,6 +321,9 @@ class TxLogDataSource(DataSource):
 
     def reader(self, schema) -> TxLogBatchReader:
         return TxLogBatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> TxLogBatchWriter:
+        return TxLogBatchWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

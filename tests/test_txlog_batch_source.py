@@ -106,3 +106,84 @@ def test_format_txlog_nullfills_pre_evolution_files(spark, tmp_path):
     old = (spark.read.format("txlog").option("path", p)
            .option("versionAsOf", "0").load())
     assert old.columns == ["k", "v"]
+
+
+def test_write_format_txlog_append_is_atomic_and_stat_pruned(spark, tmp_path):
+    """df.write.format("txlog").mode("append"): every task stages one
+    file, ONE commit publishes them all (version bumps exactly once),
+    per-file stats computed in-task feed the same pruning as TxTable
+    staging, and a schema-name mismatch fails before any task runs."""
+    register(spark)
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 16), p, stat_cols=["k"])
+
+    (spark.range(16, 48).selectExpr("id as k", "id*2 as v")
+     .repartition(4)
+     .write.format("txlog").option("path", p).mode("append").save())
+
+    assert t.version == 1
+    assert _ms(t.read()) == Counter({(k, 2 * k): 1 for k in range(48)})
+    adds = [a["add"] for a in t.history()[1] if "add" in a]
+    assert len(adds) == 4                       # one file per task
+    assert all(a["stats"]["k"][0] is not None for a in adds)
+    assert sum(a["numRecords"] for a in adds) == 32
+    # the written files' stats prune like any other txlog file
+    r = TxLogBatchReader({"path": p})
+    list(r.pushFilters([EqualTo(("k",), 0)]))
+    assert len(r.partitions()) == 1             # only the create file
+
+    with pytest.raises(Exception, match="schema mismatch"):
+        (spark.range(5).selectExpr("id as wrong")
+         .write.format("txlog").option("path", p).mode("append").save())
+    assert t.version == 1                       # nothing published
+
+    # empty append publishes nothing
+    (spark.range(0).selectExpr("id as k", "id as v")
+     .write.format("txlog").option("path", p).mode("append").save())
+    assert t.version == 1
+
+
+def test_write_format_txlog_overwrite_and_time_travel(spark, tmp_path):
+    register(spark)
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])
+    (spark.range(100, 105).selectExpr("id as k", "id*3 as v").coalesce(1)
+     .write.format("txlog").option("path", p).mode("overwrite").save())
+    assert t.version == 1
+    assert _ms(t.read()) == Counter({(k, 3 * k): 1 for k in range(100, 105)})
+    assert _ms(t.read(version=0)) == Counter(
+        {(k, 2 * k): 1 for k in range(10)})
+    # round-trip through the reader too
+    got = (spark.read.format("txlog").option("path", p).load())
+    assert _ms(got) == _ms(t.read())
+
+
+def test_writer_commit_retries_past_concurrent_append(spark, tmp_path):
+    """The V2 commit races a TxTable append for the next version: the
+    append claims it first, the writer's publish retries onto the
+    following version — both commits survive, no rows lost."""
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        TxLogBatchWriter, TxWriteMessage,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])
+    w = TxLogBatchWriter({"path": p}, t.schema(), overwrite=False)
+    msgs = [w.write(iter([(50, 100), (51, 102)]))]
+    t.append(_kv(spark, 20, 25))            # concurrent writer wins v1
+    w.commit(msgs)                          # retries, lands at v2
+    assert t.version == 2
+    assert _ms(t.read()) == (
+        Counter({(k, 2 * k): 1 for k in range(10)})
+        + Counter({(k, 2 * k): 1 for k in range(20, 25)})
+        + Counter({(50, 100): 1, (51, 102): 1}))
+    # overwrite mode with the same race REFUSES instead
+    w2 = TxLogBatchWriter({"path": p}, t.schema(), overwrite=True)
+    m2 = [w2.write(iter([(1, 1)]))]
+    t.append(_kv(spark, 30, 31))
+    with pytest.raises(RuntimeError, match="raced a concurrent commit"):
+        w2.commit(m2)
+    w2.abort(m2)                            # staged file cleaned up
+    staged = m2[0].add["path"]
+    import os
+    assert not os.path.exists(os.path.join(p, staged))
