@@ -154,7 +154,8 @@ class TxTable:
         return sorted(out)
 
     def _read_checkpoint(self, version: int):
-        """Load a checkpoint file → (meta, {relpath: add-action})."""
+        """Load a checkpoint file → (meta, {relpath: add-action},
+        {appId: last txn version})."""
         fs = _fs(self.spark, self.log_dir)
         p = _jpath(self.spark,
                    f"{self.log_dir}/{version:020d}{_CKPT_SUFFIX}")
@@ -167,6 +168,7 @@ class TxTable:
             stream.close()
         meta: dict = {}
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
         for line in data.decode("utf-8").splitlines():
             if not line.strip():
                 continue
@@ -175,7 +177,37 @@ class TxTable:
                 meta = action["meta"]
             elif "add" in action:
                 live[action["add"]["path"]] = action["add"]
-        return meta, live
+            elif "txn" in action:
+                txns[action["txn"]["appId"]] = action["txn"]["version"]
+        return meta, live, txns
+
+    def _fold_txns(self, version: int | None = None) -> dict[str, int]:
+        """Latest committed txn version per appId at ``version`` — the
+        public Delta ``txn`` action (idempotent streaming sink dedup).
+        Checkpoint-accelerated like ``_snapshot``; versions only move
+        forward (max-folded defensively)."""
+        latest = self._latest_version()
+        assert latest is not None
+        v = latest if version is None else version
+        txns: dict[str, int] = {}
+        start = 0
+        ckpts = [c for c in self._checkpoint_versions() if c <= v]
+        if ckpts:
+            _, _, txns = self._read_checkpoint(ckpts[-1])
+            txns = dict(txns)
+            start = ckpts[-1] + 1
+        for i in range(start, v + 1):
+            for action in self._read_commit(i):
+                if "txn" in action:
+                    a, ver = action["txn"]["appId"], action["txn"]["version"]
+                    txns[a] = max(ver, txns.get(a, ver))
+        return txns
+
+    def last_txn(self, app_id: str) -> int | None:
+        """The highest txn version committed for ``app_id`` (None if the
+        app never wrote) — an idempotent writer skips any batch whose id
+        is <= this."""
+        return self._fold_txns().get(app_id)
 
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize the folded snapshot at ``version`` (default: latest)
@@ -191,6 +223,9 @@ class TxTable:
         if fs.exists(target):
             return v
         lines = [json.dumps({"meta": meta}, sort_keys=True)]
+        txns = self._fold_txns(v)
+        lines += [json.dumps({"txn": {"appId": a, "version": txns[a]}},
+                             sort_keys=True) for a in sorted(txns)]
         lines += [json.dumps({"add": live[p]}, sort_keys=True)
                   for p in sorted(live)]
         try:
@@ -222,7 +257,7 @@ class TxTable:
         start = 0
         ckpts = [c for c in self._checkpoint_versions() if c <= v]
         if ckpts:
-            meta, live = self._read_checkpoint(ckpts[-1])
+            meta, live, _ = self._read_checkpoint(ckpts[-1])
             live = dict(live)
             start = ckpts[-1] + 1
         for i in range(start, v + 1):

@@ -44,6 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -63,9 +64,11 @@ _CKPT = ".checkpoint.json"
 
 
 def _fold_snapshot(table: str, version: int | None = None):
-    """Plain-IO twin of ``TxTable._snapshot``: (version, meta, live),
-    folding forward from the newest checkpoint at-or-before the target
-    version. Kept session-free so scan planning never needs a JVM."""
+    """Plain-IO twin of ``TxTable._snapshot``: (version, meta, live,
+    txns), folding forward from the newest checkpoint at-or-before the
+    target version. Kept session-free so scan planning never needs a
+    JVM. ``txns`` maps appId → last committed txn version (the Delta
+    ``txn`` action — idempotent streaming sink dedup)."""
     latest = _latest_version(table)
     v = latest if version is None else version
     if not 0 <= v <= latest:
@@ -76,31 +79,35 @@ def _fold_snapshot(table: str, version: int | None = None):
              and int(f[:-len(_CKPT)]) <= v]
     meta: dict = {}
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+
+    def fold(action: dict) -> None:
+        if "meta" in action:
+            meta.clear()
+            meta.update(action["meta"])
+        elif "add" in action:
+            live[action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            live.pop(action["remove"]["path"], None)
+        elif "txn" in action:
+            a, ver = action["txn"]["appId"], action["txn"]["version"]
+            txns[a] = max(ver, txns.get(a, ver))
+
     start = 0
     if ckpts:
         cv = max(ckpts)
         with open(os.path.join(log, f"{cv:020d}{_CKPT}"),
                   encoding="utf-8") as fh:
             for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "meta" in action:
-                    meta = action["meta"]
-                elif "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                if line.strip():
+                    fold(json.loads(line))
         start = cv + 1
     for i in range(start, v + 1):
         for action in _read_commit(table, i):
-            if "meta" in action:
-                meta = action["meta"]
-            elif "add" in action:
-                live[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
+            fold(action)
     if not meta:
         raise ValueError(f"{table}: no meta action found in the log")
-    return v, meta, live
+    return v, meta, live, txns
 
 
 def _range_can_match(lo, hi, f: Filter) -> bool:
@@ -142,7 +149,7 @@ class TxLogBatchReader(DataSourceReader):
         self.table = path.rstrip("/")
         version = options.get("versionAsOf")
         v = int(version) if version is not None else None
-        _, meta, live = _fold_snapshot(self.table, v)
+        _, meta, live, _ = _fold_snapshot(self.table, v)
         self.fields = [f.name for f in
                        StructType.fromJson(meta["schema"]).fields]
         self.live = live
@@ -182,6 +189,26 @@ class TxLogBatchReader(DataSourceReader):
         cols = [table.column(name).to_pylist() if name in present
                 else [None] * table.num_rows for name in self.fields]
         yield from zip(*cols)
+
+
+def _write_checkpoint_plain(table: str, version: int) -> None:
+    """Plain-IO twin of ``TxTable.write_checkpoint`` (meta + txn + add
+    lines, exclusive-create, idempotent) so a pure-DataSource writer
+    keeps the log's O(interval) fold bound without ever owning a
+    session. Best-effort by contract: failure only costs fold speed."""
+    v, meta, live, txns = _fold_snapshot(table, version)
+    target = os.path.join(table, _LOG_DIR, f"{v:020d}{_CKPT}")
+    lines = [json.dumps({"meta": meta}, sort_keys=True)]
+    lines += [json.dumps({"txn": {"appId": a, "version": txns[a]}},
+                         sort_keys=True) for a in sorted(txns)]
+    lines += [json.dumps({"add": live[p]}, sort_keys=True)
+              for p in sorted(live)]
+    try:
+        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except OSError:
+        return  # exists (benign equal-content race) or unwritable
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
 
 
 @dataclass
@@ -230,7 +257,7 @@ class TxLogBatchWriter(DataSourceWriter):
             raise ValueError("txlog requires option 'path'")
         self.table = path.rstrip("/")
         self.overwrite = overwrite
-        v, meta, live = _fold_snapshot(self.table)
+        v, meta, live, _ = _fold_snapshot(self.table)
         self.read_version = v
         self.live = sorted(live)
         self.stat_cols = meta.get("stat_cols", [])
@@ -281,6 +308,11 @@ class TxLogBatchWriter(DataSourceWriter):
                 continue  # lost the race: re-check and retry
             with os.fdopen(fd, "w", encoding="utf-8") as fh:
                 fh.write(payload)
+            if (latest + 1) % 10 == 0:  # TxTable.CHECKPOINT_INTERVAL
+                try:
+                    _write_checkpoint_plain(self.table, latest + 1)
+                except Exception:
+                    pass  # maintenance only; the commit IS published
             return
 
     def commit(self, messages) -> None:
@@ -302,6 +334,79 @@ class TxLogBatchWriter(DataSourceWriter):
                     pass  # best-effort cleanup; vacuum sweeps leftovers
 
 
+class TxLogStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("txlog")`` — an exactly-once streaming
+    sink at the PROTOCOL level (the public Delta idempotent-writes
+    design): every micro-batch commit carries a ``txn`` action
+    ``{appId: <txnAppId option>, version: <batchId>}``, and a commit
+    whose batchId is at-or-below the table's last recorded txn version
+    for that appId publishes NOTHING (staged duplicates deleted). A
+    crash between the table commit and the stream checkpoint commit —
+    the classic double-write window, which keyed MERGE sinks survive
+    only by re-deduplicating rows — replays the batch, hits the txn
+    guard, and the table is untouched: exactly-once without requiring
+    a key. The skip-or-publish decision is re-taken inside the
+    exclusive-create claim loop, so it serializes with every
+    concurrent commit.
+
+    ``txnAppId`` is REQUIRED: it scopes the idempotency ledger, and a
+    default would silently cross-deduplicate unrelated queries writing
+    the same table (two fresh queries both start at batchId 0).
+    Append-only, like any streaming table sink; each task stages one
+    file with in-task stats, identical to the batch writer."""
+
+    def __init__(self, options, schema: StructType):
+        self._delegate = TxLogBatchWriter(options, schema, overwrite=False)
+        self.table = self._delegate.table
+        app_id = options.get("txnAppId")
+        if not app_id:
+            raise ValueError(
+                "txlog streaming sink requires option 'txnAppId' (scopes "
+                "the exactly-once txn ledger; no safe default exists)")
+        self.app_id = app_id
+
+    def write(self, iterator) -> TxWriteMessage:
+        return self._delegate.write(iterator)
+
+    def _drop_staged(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.add is not None:
+                try:
+                    os.remove(os.path.join(self.table, m.add["path"]))
+                except OSError:
+                    pass
+
+    def commit(self, messages, batchId: int) -> None:
+        adds = [{"add": m.add} for m in messages
+                if m is not None and m.add is not None]
+        log = os.path.join(self.table, _LOG_DIR)
+        actions = [{"txn": {"appId": self.app_id,
+                            "version": int(batchId)}}] + adds
+        payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+        while True:
+            latest = _latest_version(self.table)
+            _, _, _, txns = _fold_snapshot(self.table)
+            if txns.get(self.app_id, -1) >= batchId:
+                self._drop_staged(messages)   # replayed batch: no-op
+                return
+            target = os.path.join(log, f"{latest + 1:020d}.json")
+            try:
+                fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                continue  # lost the claim: re-check txn ledger and retry
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(payload)
+            if (latest + 1) % 10 == 0:
+                try:
+                    _write_checkpoint_plain(self.table, latest + 1)
+                except Exception:
+                    pass
+            return
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_staged(messages)
+
+
 class TxLogDataSource(DataSource):
     """``format("txlog")`` — snapshot reads with log-stat file skipping."""
 
@@ -314,7 +419,7 @@ class TxLogDataSource(DataSource):
         if not path:
             raise ValueError("txlog requires option 'path'")
         version = self.options.get("versionAsOf")
-        _, meta, _ = _fold_snapshot(
+        _, meta, _, _ = _fold_snapshot(
             path.rstrip("/"),
             int(version) if version is not None else None)
         return StructType.fromJson(meta["schema"])
@@ -324,6 +429,9 @@ class TxLogDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> TxLogBatchWriter:
         return TxLogBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> TxLogStreamWriter:
+        return TxLogStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

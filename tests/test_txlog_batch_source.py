@@ -187,3 +187,97 @@ def test_writer_commit_retries_past_concurrent_append(spark, tmp_path):
     staged = m2[0].add["path"]
     import os
     assert not os.path.exists(os.path.join(p, staged))
+
+
+def test_stream_sink_txn_guard_makes_replay_a_noop(spark, tmp_path):
+    """Unit contract of the exactly-once streaming sink: a commit whose
+    batchId was already recorded in the table's txn ledger publishes
+    nothing and deletes its staged duplicates — the crash-replay window
+    between table commit and stream checkpoint commit is closed at the
+    protocol level, no key needed."""
+    import os
+
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        TxLogStreamWriter,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 5), p, stat_cols=["k"])
+    with pytest.raises(ValueError, match="txnAppId"):
+        TxLogStreamWriter({"path": p}, t.schema())
+
+    w = TxLogStreamWriter({"path": p, "txnAppId": "q1"}, t.schema())
+    m1 = [w.write(iter([(10, 20), (11, 22)]))]
+    w.commit(m1, 0)
+    assert t.version == 1 and t.last_txn("q1") == 0
+    after_first = _ms(t.read())
+
+    # crash-replay: the engine re-runs batch 0 (new staged files)
+    m1b = [w.write(iter([(10, 20), (11, 22)]))]
+    staged = m1b[0].add["path"]
+    w.commit(m1b, 0)
+    assert t.version == 1                       # nothing published
+    assert _ms(t.read()) == after_first
+    assert not os.path.exists(os.path.join(p, staged))
+
+    # a DIFFERENT appId at batch 0 is NOT deduplicated (ledger scoping)
+    w2 = TxLogStreamWriter({"path": p, "txnAppId": "q2"}, t.schema())
+    w2.commit([w2.write(iter([(30, 60)]))], 0)
+    assert t.version == 2 and t.last_txn("q2") == 0
+    # empty batch still advances the ledger (txn-only commit)
+    w2.commit([], 1)
+    assert t.last_txn("q2") == 1
+    assert _ms(t.read()) == after_first + Counter({(30, 60): 1})
+
+    # the ledger survives checkpointing on BOTH fold paths
+    t.write_checkpoint()
+    assert t.last_txn("q1") == 0 and t.last_txn("q2") == 1
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        _fold_snapshot,
+    )
+    _, _, _, txns = _fold_snapshot(p)
+    assert txns == {"q1": 0, "q2": 1}
+
+
+def test_write_stream_format_txlog_end_to_end(spark, tmp_path):
+    """A real streaming query into the txlog sink: two micro-batches
+    land as two commits with txn actions; restarting the query from its
+    checkpoint with no new input publishes nothing."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+    p = str(tmp_path / "t")
+    TxTable.create(spark, _kv(spark, 0, 0), p, stat_cols=["k"])
+
+    def feed(lo, hi, name):
+        (_kv(spark, lo, hi).write.mode("overwrite")
+         .parquet(os.path.join(src, name)))
+
+    feed(0, 10, "f0")
+    feed(10, 20, "f1")
+
+    def run():
+        q = (spark.readStream.schema("k bigint, v bigint")
+             .option("maxFilesPerTrigger", "1")
+             .parquet(src + "/*")
+             .writeStream.format("txlog")
+             .option("path", p).option("txnAppId", "ingest-1")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run()
+    t = TxTable(spark, p)
+    assert _ms(t.read()) == Counter({(k, 2 * k): 1 for k in range(20)})
+    assert t.last_txn("ingest-1") >= 1          # two batches recorded
+    v_after = t.version
+
+    run()                                       # restart: no new input
+    assert t.version == v_after
+    assert _ms(t.read()) == Counter({(k, 2 * k): 1 for k in range(20)})
+
+    feed(20, 25, "f2")                          # new file: exactly one batch
+    run()
+    assert _ms(t.read()) == Counter({(k, 2 * k): 1 for k in range(25)})
