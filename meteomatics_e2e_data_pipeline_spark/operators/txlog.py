@@ -51,6 +51,7 @@ driver holds only the action log and per-file stat rows (one per file).
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 from collections.abc import Sequence
@@ -191,11 +192,15 @@ class TxTable:
         v = latest if version is None else version
         txns: dict[str, int] = {}
         start = 0
-        ckpts = [c for c in self._checkpoint_versions() if c <= v]
-        if ckpts:
-            _, _, txns = self._read_checkpoint(ckpts[-1])
+        for c in reversed([c for c in self._checkpoint_versions()
+                           if c <= v]):
+            try:
+                _, _, txns = self._read_checkpoint(c)
+            except Exception:
+                continue  # torn/unreadable checkpoint: skip to older
             txns = dict(txns)
-            start = ckpts[-1] + 1
+            start = c + 1
+            break
         for i in range(start, v + 1):
             for action in self._read_commit(i):
                 if "txn" in action:
@@ -218,16 +223,31 @@ class TxTable:
         checkpointed version. Commit files are NOT deleted — time travel
         and change feeds keep reading them."""
         v, meta, live = self._snapshot(version)
-        fs = _fs(self.spark, self.log_dir)
-        target = _jpath(self.spark, f"{self.log_dir}/{v:020d}{_CKPT_SUFFIX}")
-        if fs.exists(target):
-            return v
         lines = [json.dumps({"meta": meta}, sort_keys=True)]
         txns = self._fold_txns(v)
         lines += [json.dumps({"txn": {"appId": a, "version": txns[a]}},
                              sort_keys=True) for a in sorted(txns)]
         lines += [json.dumps({"add": live[p]}, sort_keys=True)
                   for p in sorted(live)]
+        payload = "\n".join(lines)
+        if "://" not in self.log_dir:  # tmp+link: never a torn checkpoint
+            target = f"{self.log_dir}/{v:020d}{_CKPT_SUFFIX}"
+            if os.path.exists(target):
+                return v
+            tmp = f"{self.log_dir}/{uuid.uuid4().hex}.ckpt.tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(payload)
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                pass  # benign race with an equal writer
+            finally:
+                os.unlink(tmp)
+            return v
+        fs = _fs(self.spark, self.log_dir)
+        target = _jpath(self.spark, f"{self.log_dir}/{v:020d}{_CKPT_SUFFIX}")
+        if fs.exists(target):
+            return v
         try:
             out = fs.create(target, False)
         except Exception:
@@ -235,7 +255,7 @@ class TxTable:
                 return v
             raise
         try:
-            out.write(bytearray("\n".join(lines).encode("utf-8")))
+            out.write(bytearray(payload.encode("utf-8")))
         finally:
             out.close()
         return v
@@ -255,11 +275,15 @@ class TxTable:
         meta: dict = {}
         live: dict[str, dict] = {}
         start = 0
-        ckpts = [c for c in self._checkpoint_versions() if c <= v]
-        if ckpts:
-            meta, live, _ = self._read_checkpoint(ckpts[-1])
+        for c in reversed([c for c in self._checkpoint_versions()
+                           if c <= v]):
+            try:
+                meta, live, _ = self._read_checkpoint(c)
+            except Exception:
+                continue  # torn/unreadable checkpoint: older one or full fold
             live = dict(live)
-            start = ckpts[-1] + 1
+            start = c + 1
+            break
         for i in range(start, v + 1):
             for action in self._read_commit(i):
                 if "meta" in action:
@@ -271,12 +295,42 @@ class TxTable:
         return v, meta, live
 
     def _try_publish(self, version: int, actions: list[dict]) -> bool:
-        """Exclusive-create the commit file; False if the version is taken."""
+        """Atomically publish the commit file with its COMPLETE content;
+        False if the version is taken.
+
+        The claim must carry the whole payload in the same atomic step:
+        claim-then-write (``create(overwrite=False)`` + ``write``) leaves
+        a torn, forever-claimed version if the writer dies in between —
+        every later ``_snapshot`` would fail parsing it and no retry
+        could ever publish that version. On local paths the payload is
+        written to a ``.json.tmp`` (ignored by the version listing) and
+        claimed with an atomic hard link — the local-FS model of an
+        object store's put-if-absent, which is how the public Delta
+        design publishes commits on S3/GCS. Non-local stores fall back
+        to claim-then-write (the documented Delta-on-HDFS crash window).
+        """
+        payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+        local = "://" not in self.log_dir
+        if local:
+            target = f"{self.log_dir}/{version:020d}.json"
+            if os.path.exists(target):
+                return False
+            tmp = f"{self.log_dir}/{uuid.uuid4().hex}.json.tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(payload)
+            try:
+                os.link(tmp, target)  # atomic: full content or nothing
+            except FileExistsError:
+                return False
+            except OSError:
+                raise  # real IO failure: surface, don't spin
+            finally:
+                os.unlink(tmp)
+            return True
         fs = _fs(self.spark, self.log_dir)
         target = _jpath(self.spark, f"{self.log_dir}/{version:020d}.json")
         if fs.exists(target):
             return False
-        payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
         try:
             out = fs.create(target, False)  # overwrite=False: atomic claim
         except Exception:

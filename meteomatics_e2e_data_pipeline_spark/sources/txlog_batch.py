@@ -94,14 +94,17 @@ def _fold_snapshot(table: str, version: int | None = None):
             txns[a] = max(ver, txns.get(a, ver))
 
     start = 0
-    if ckpts:
-        cv = max(ckpts)
-        with open(os.path.join(log, f"{cv:020d}{_CKPT}"),
-                  encoding="utf-8") as fh:
-            for line in fh:
-                if line.strip():
-                    fold(json.loads(line))
+    for cv in sorted(ckpts, reverse=True):
+        try:
+            with open(os.path.join(log, f"{cv:020d}{_CKPT}"),
+                      encoding="utf-8") as fh:
+                actions = [json.loads(line) for line in fh if line.strip()]
+        except Exception:
+            continue  # torn/unreadable checkpoint: older one or full fold
+        for action in actions:
+            fold(action)
         start = cv + 1
+        break
     for i in range(start, v + 1):
         for action in _read_commit(table, i):
             fold(action)
@@ -191,6 +194,36 @@ class TxLogBatchReader(DataSourceReader):
         yield from zip(*cols)
 
 
+def _claim_commit(table: str, version: int, payload: str) -> bool:
+    """Atomically publish ``version`` with its COMPLETE content via
+    tmp + hard link (the local-FS model of object-store put-if-absent —
+    claim-then-write would leave a torn, forever-claimed version on a
+    crash). False when the version is already taken (caller re-checks
+    the snapshot and retries). Auto-checkpoints every 10th version
+    (TxTable.CHECKPOINT_INTERVAL), best-effort."""
+    import uuid
+
+    log = os.path.join(table, _LOG_DIR)
+    target = os.path.join(log, f"{version:020d}.json")
+    if os.path.exists(target):
+        return False
+    tmp = os.path.join(log, f"{uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        return False  # lost the race
+    finally:
+        os.unlink(tmp)
+    if version % 10 == 0:
+        try:
+            _write_checkpoint_plain(table, version)
+        except Exception:
+            pass  # maintenance only; the commit IS published
+    return True
+
+
 def _write_checkpoint_plain(table: str, version: int) -> None:
     """Plain-IO twin of ``TxTable.write_checkpoint`` (meta + txn + add
     lines, exclusive-create, idempotent) so a pure-DataSource writer
@@ -203,12 +236,20 @@ def _write_checkpoint_plain(table: str, version: int) -> None:
                          sort_keys=True) for a in sorted(txns)]
     lines += [json.dumps({"add": live[p]}, sort_keys=True)
               for p in sorted(live)]
-    try:
-        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    except OSError:
-        return  # exists (benign equal-content race) or unwritable
-    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+    if os.path.exists(target):
+        return
+    # tmp + hard link: the checkpoint appears with its COMPLETE content
+    # or not at all (a torn checkpoint would poison every later fold)
+    import uuid
+    tmp = os.path.join(table, _LOG_DIR, f"{uuid.uuid4().hex}.ckpt.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines))
+    try:
+        os.link(tmp, target)
+    except OSError:
+        pass  # exists (benign equal-content race) or unwritable
+    finally:
+        os.unlink(tmp)
 
 
 @dataclass
@@ -292,7 +333,6 @@ class TxLogBatchWriter(DataSourceWriter):
                                    "stats": stats})
 
     def _publish(self, actions: list[dict]) -> None:
-        log = os.path.join(self.table, _LOG_DIR)
         payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
         while True:
             latest = _latest_version(self.table)
@@ -301,19 +341,8 @@ class TxLogBatchWriter(DataSourceWriter):
                     f"overwrite of {self.table} raced a concurrent commit "
                     f"(v{self.read_version} -> v{latest}); re-run on the "
                     f"new snapshot")
-            target = os.path.join(log, f"{latest + 1:020d}.json")
-            try:
-                fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-            except FileExistsError:
-                continue  # lost the race: re-check and retry
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                fh.write(payload)
-            if (latest + 1) % 10 == 0:  # TxTable.CHECKPOINT_INTERVAL
-                try:
-                    _write_checkpoint_plain(self.table, latest + 1)
-                except Exception:
-                    pass  # maintenance only; the commit IS published
-            return
+            if _claim_commit(self.table, latest + 1, payload):
+                return
 
     def commit(self, messages) -> None:
         adds = [{"add": m.add} for m in messages
@@ -379,7 +408,6 @@ class TxLogStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         adds = [{"add": m.add} for m in messages
                 if m is not None and m.add is not None]
-        log = os.path.join(self.table, _LOG_DIR)
         actions = [{"txn": {"appId": self.app_id,
                             "version": int(batchId)}}] + adds
         payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
@@ -389,19 +417,9 @@ class TxLogStreamWriter(DataSourceStreamWriter):
             if txns.get(self.app_id, -1) >= batchId:
                 self._drop_staged(messages)   # replayed batch: no-op
                 return
-            target = os.path.join(log, f"{latest + 1:020d}.json")
-            try:
-                fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-            except FileExistsError:
-                continue  # lost the claim: re-check txn ledger and retry
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                fh.write(payload)
-            if (latest + 1) % 10 == 0:
-                try:
-                    _write_checkpoint_plain(self.table, latest + 1)
-                except Exception:
-                    pass
-            return
+            if _claim_commit(self.table, latest + 1, payload):
+                return
+            # lost the claim: re-check the txn ledger and retry
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_staged(messages)

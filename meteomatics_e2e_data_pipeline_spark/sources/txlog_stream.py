@@ -80,17 +80,20 @@ def _table_schema(table: str) -> StructType:
              and f[:-len(".checkpoint.json")].isdigit()]
     meta: dict = {}
     start = 0
-    if ckpts:
-        cv = max(ckpts)
-        with open(os.path.join(log, f"{cv:020d}.checkpoint.json"),
-                  encoding="utf-8") as fh:
-            for line in fh:
-                if line.strip():
-                    action = json.loads(line)
-                    if "meta" in action:
-                        meta = action["meta"]
-                        break
+    for cv in sorted(ckpts, reverse=True):
+        try:
+            with open(os.path.join(log, f"{cv:020d}.checkpoint.json"),
+                      encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        action = json.loads(line)
+                        if "meta" in action:
+                            meta = action["meta"]
+                            break
+        except Exception:
+            continue  # torn/unreadable checkpoint: older one or full scan
         start = cv + 1
+        break
     for v in range(start, latest + 1):
         for action in _read_commit(table, v):
             if "meta" in action:

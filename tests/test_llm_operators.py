@@ -689,7 +689,11 @@ def test_star_and_propagation_agree_on_mixed_graph(spark):
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 
-@settings(max_examples=8, deadline=None)
+# max_examples trimmed 8 -> 5 in round 10 (the two cluster property
+# suites were the slowest tests at 43+42 s while the full suite crossed
+# the 15-min budget); rounds 7-10 already ran the wider search green,
+# and the union-find/batch-recompute oracles stay in every run.
+@settings(max_examples=5, deadline=None)
 @given(st.data())
 def test_incremental_cluster_maintenance_property(spark, data):
     """Property: folding ANY random batch of new pairs into the labels
@@ -716,7 +720,7 @@ def test_incremental_cluster_maintenance_property(spark, data):
     assert inc == batch
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=6, deadline=None)  # trimmed 10 -> 6, same rationale
 @given(st.data())
 def test_connected_components_property_vs_union_find(spark, data):
     """Property: BOTH component algorithms (min-label propagation and

@@ -316,3 +316,56 @@ def test_merge_schema_visible_to_cdc_stream(spark, tmp_path):
     ins = {row[0]: row for row in rows if row[3] == "insert"}
     assert ins[4][2] == 36 or ins[4][2] == 12   # rewritten or v1 insert
     assert (3, 27, 27, "insert") in set(rows)
+
+
+def test_torn_checkpoint_is_skipped_and_publish_is_atomic(spark, tmp_path):
+    """Crash-robustness of the log artifacts: a checkpoint torn mid-write
+    (truncated JSON) is skipped by EVERY fold path — TxTable snapshots,
+    txn ledger, the plain-IO DataSource fold, and the stream source's
+    schema resolver — falling back to an older checkpoint or the full
+    commit fold; and publishes go through tmp+hard-link, so the log
+    directory never holds a half-written versioned file (no .tmp
+    leftovers either)."""
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        _fold_snapshot,
+    )
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_stream import (
+        _table_schema,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])
+    for i in range(1, 13):                       # v1..v12, checkpoint at 10
+        t.append(_kv(spark, i * 10, i * 10 + 10))
+    ck = os.path.join(p, "_txlog", "00000000000000000010.checkpoint.json")
+    assert os.path.exists(ck)
+    want_live = t.live_files()
+    want_rows = t.read().count()
+
+    # tear it: truncate mid-line (the classic crash shape)
+    with open(ck, encoding="utf-8") as fh:
+        content = fh.read()
+    with open(ck, "w", encoding="utf-8") as fh:
+        fh.write(content[: len(content) // 2].rsplit("\n", 1)[0][:-7])
+
+    fresh = TxTable(spark, p)
+    assert fresh.live_files() == want_live       # full-fold fallback
+    assert fresh.read().count() == want_rows
+    assert fresh._fold_txns() == {}
+    _, _, live, _ = _fold_snapshot(p)
+    assert sorted(live) == want_live
+    assert [f.name for f in _table_schema(p).fields] == ["k", "v"]
+
+    # an OLDER intact checkpoint is used when the newest is torn
+    for i in range(13, 21):                      # … v20, checkpoint at 20
+        t.append(_kv(spark, i * 10, i * 10 + 10))
+    ck20 = os.path.join(p, "_txlog", "00000000000000000020.checkpoint.json")
+    assert os.path.exists(ck20)
+    with open(ck20, "w", encoding="utf-8") as fh:
+        fh.write('{"meta": {"schema"')           # torn v20: v10 is also torn
+    assert TxTable(spark, p).read().count() == 210
+
+    # no tmp debris: every publish/checkpoint linked cleanly
+    leftovers = [f for f in os.listdir(os.path.join(p, "_txlog"))
+                 if f.endswith(".tmp")]
+    assert leftovers == []
