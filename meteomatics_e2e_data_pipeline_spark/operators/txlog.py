@@ -479,8 +479,33 @@ class TxTable:
     def history(self) -> list[list[dict]]:
         return [self._read_commit(i) for i in range(self.version + 1)]
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (time travel when ``version`` is given)."""
+    def version_at(self, timestamp: float) -> int:
+        """Resolve ``timestampAsOf``-style time travel: the latest
+        version whose commit file was published at-or-before the given
+        unix timestamp (the public Delta rule — commit mtime IS the
+        commit timestamp). Raises if the table's first commit is later
+        than the timestamp."""
+        fs = _fs(self.spark, self.log_dir)
+        best = None
+        for st in fs.listStatus(_jpath(self.spark, self.log_dir)):
+            name = st.getPath().getName()
+            if name.endswith(".json") and name[:-5].isdigit():
+                v = int(name[:-5])
+                if st.getModificationTime() / 1000.0 <= timestamp and (
+                        best is None or v > best):
+                    best = v
+        if best is None:
+            raise ValueError(
+                f"{self.path}: no commit at or before timestamp "
+                f"{timestamp} (earliest commit is later)")
+        return best
+
+    def read(self, version: int | None = None,
+             timestamp: float | None = None) -> DataFrame:
+        """Snapshot read (time travel when ``version`` or a unix
+        ``timestamp`` is given; version wins if both)."""
+        if version is None and timestamp is not None:
+            version = self.version_at(timestamp)
         _, meta, live = self._snapshot(version)
         schema = StructType.fromJson(meta["schema"])
         if not live:
@@ -861,4 +886,17 @@ class TxTable:
                     and st.getModificationTime() < cutoff_ms):
                 fs.delete(st.getPath(), False)
                 deleted.append(name)
+        # superseded checkpoints are derived artifacts: keep only the
+        # newest. Correctness never depended on them (a fold without a
+        # usable checkpoint falls back to the commits, which are never
+        # deleted) — old-version time travel just folds longer. Same
+        # retention guard so a checkpoint mid-publish by a concurrent
+        # writer survives.
+        ckpts = self._checkpoint_versions()
+        for c in ckpts[:-1]:
+            p = _jpath(self.spark,
+                       f"{self.log_dir}/{c:020d}{_CKPT_SUFFIX}")
+            if fs.getFileStatus(p).getModificationTime() < cutoff_ms:
+                fs.delete(p, False)
+                deleted.append(f"{c:020d}{_CKPT_SUFFIX}")
         return sorted(deleted)

@@ -13,6 +13,9 @@ launches, composing with whatever the query does downstream. Options:
 
 * ``path`` (required) — table root.
 * ``versionAsOf`` — time travel to that snapshot (default: latest).
+* ``timestampAsOf`` — unix timestamp; resolves to the latest version
+  whose commit file mtime is at-or-before it (Delta's rule; the commit
+  mtime IS the commit timestamp). ``versionAsOf`` wins if both given.
 
 Filter pushdown is PRUNING-ONLY and therefore always sound: every
 pushed filter is yielded back to Spark (rows are re-filtered
@@ -113,6 +116,35 @@ def _fold_snapshot(table: str, version: int | None = None):
     return v, meta, live, txns
 
 
+def _version_at(table: str, timestamp: float) -> int:
+    """``timestampAsOf`` resolution, plain IO: the latest version whose
+    commit file mtime is at-or-before the timestamp (the public Delta
+    rule — commit mtime is the commit timestamp)."""
+    log = os.path.join(table, _LOG_DIR)
+    best = None
+    for f in os.listdir(log):
+        if f.endswith(".json") and f[:-5].isdigit():
+            v = int(f[:-5])
+            if os.path.getmtime(os.path.join(log, f)) <= timestamp and (
+                    best is None or v > best):
+                best = v
+    if best is None:
+        raise ValueError(f"{table}: no commit at or before timestamp "
+                         f"{timestamp} (earliest commit is later)")
+    return best
+
+
+def _resolve_version(options, table: str) -> int | None:
+    """versionAsOf wins over timestampAsOf; neither → latest (None)."""
+    version = options.get("versionAsOf")
+    if version is not None:
+        return int(version)
+    ts = options.get("timestampAsOf")
+    if ts is not None:
+        return _version_at(table, float(ts))
+    return None
+
+
 def _range_can_match(lo, hi, f: Filter) -> bool:
     """Can a file whose column spans [lo, hi] hold a row matching f?
     Any uncertainty (absent stats, unknown filter) answers True — the
@@ -150,8 +182,7 @@ class TxLogBatchReader(DataSourceReader):
         if not path:
             raise ValueError("txlog requires option 'path'")
         self.table = path.rstrip("/")
-        version = options.get("versionAsOf")
-        v = int(version) if version is not None else None
+        v = _resolve_version(options, self.table)
         _, meta, live, _ = _fold_snapshot(self.table, v)
         self.fields = [f.name for f in
                        StructType.fromJson(meta["schema"]).fields]
@@ -436,10 +467,9 @@ class TxLogDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("txlog requires option 'path'")
-        version = self.options.get("versionAsOf")
         _, meta, _, _ = _fold_snapshot(
-            path.rstrip("/"),
-            int(version) if version is not None else None)
+            path.rstrip("/"), _resolve_version(self.options,
+                                               path.rstrip("/")))
         return StructType.fromJson(meta["schema"])
 
     def reader(self, schema) -> TxLogBatchReader:

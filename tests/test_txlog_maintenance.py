@@ -369,3 +369,54 @@ def test_torn_checkpoint_is_skipped_and_publish_is_atomic(spark, tmp_path):
     leftovers = [f for f in os.listdir(os.path.join(p, "_txlog"))
                  if f.endswith(".tmp")]
     assert leftovers == []
+
+
+def test_timestamp_time_travel_and_checkpoint_vacuum(spark, tmp_path):
+    """timestampAsOf resolves against commit-file mtimes (Delta's rule);
+    vacuum keeps only the newest checkpoint — old-version time travel
+    falls back to the commit fold and stays exact."""
+    import os
+    import time
+
+    import pytest
+
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        _version_at,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])
+    log = os.path.join(p, "_txlog")
+    for i in range(1, 23):                       # ckpts at 10 and 20
+        t.append(_kv(spark, i * 10, i * 10 + 10))
+    # pin distinct mtimes so midpoints are unambiguous
+    for v in range(23):
+        os.utime(os.path.join(log, f"{v:020d}.json"),
+                 (1_700_000_000 + v * 60,) * 2)
+
+    assert t.version_at(1_700_000_000) == 0
+    assert t.version_at(1_700_000_000 + 5 * 60 + 30) == 5
+    assert t.version_at(time.time()) == 22
+    assert _version_at(p, 1_700_000_000 + 5 * 60 + 30) == 5
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.version_at(1_600_000_000)
+    assert t.read(timestamp=1_700_000_000 + 5 * 60).count() == 60
+
+    # the DataSource option resolves the same version
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        register,
+    )
+    register(spark)
+    df = (spark.read.format("txlog").option("path", p)
+          .option("timestampAsOf", str(1_700_000_000 + 5 * 60)).load())
+    assert df.count() == 60
+
+    # vacuum drops the superseded checkpoint only
+    assert _ckpt_files(p) == ["00000000000000000010.checkpoint.json",
+                              "00000000000000000020.checkpoint.json"]
+    deleted = t.vacuum(retention_seconds=0)
+    assert "00000000000000000010.checkpoint.json" in deleted
+    assert _ckpt_files(p) == ["00000000000000000020.checkpoint.json"]
+    # time travel below the surviving checkpoint still exact (commit fold)
+    assert t.read(version=5).count() == 60
+    assert t.read().count() == 230
