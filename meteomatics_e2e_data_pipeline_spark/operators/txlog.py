@@ -419,7 +419,9 @@ class TxTable:
             "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in stat_cols:
-            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}"),
+                     F.count(F.when(F.col(c).isNull(), 1))
+                     .alias(f"_nulls_{c}")]
         stat_rows = {r["_file"]: r for r in
                      sdf.groupBy("_file").agg(*aggs).collect()}
         adds = []
@@ -435,7 +437,9 @@ class TxTable:
             stats = {c: [_json_scalar(r[f"_min_{c}"]),
                          _json_scalar(r[f"_max_{c}"])]
                      for c in stat_cols}
-            add = {"path": final, "numRecords": int(r["_n"]), "stats": stats}
+            add = {"path": final, "numRecords": int(r["_n"]), "stats": stats,
+                   "nullCounts": {c: int(r[f"_nulls_{c}"])
+                                  for c in stat_cols}}
             if not data_change:
                 add["dataChange"] = False
             adds.append({"add": add})
@@ -455,7 +459,15 @@ class TxTable:
         fs.mkdirs(log)
         t = object.__new__(TxTable)
         t.spark, t.path, t.log_dir = spark, path, f"{path}/{_LOG_DIR}"
-        actions = [{"meta": {"schema": json.loads(df.schema.json()),
+        # the stored schema is all-NULLABLE: parquet files can't enforce
+        # NOT NULL, schema evolution null-fills old files, and a reader
+        # that trusts a non-nullable field over data that can hold nulls
+        # miscompiles (`k is null` constant-folds to false and the
+        # vectorized reader throws on a real null) — the Delta default
+        # absent explicit constraints
+        nullable = StructType([StructField(f.name, f.dataType, True)
+                               for f in df.schema.fields])
+        actions = [{"meta": {"schema": json.loads(nullable.json()),
                              "stat_cols": list(stat_cols)}}]
         actions += t._stage(df, stat_cols)
         if not t._try_publish(0, actions):

@@ -55,6 +55,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -187,6 +189,8 @@ class TxLogBatchReader(DataSourceReader):
         self.fields = [f.name for f in
                        StructType.fromJson(meta["schema"]).fields]
         self.live = live
+        self._prune = str(options.get("statPruning", "true")
+                          ).lower() != "false"
 
     def pushFilters(self, filters: "list[Filter]") -> "Iterator[Filter]":
         """Record every filter for file pruning, and hand every filter
@@ -198,12 +202,47 @@ class TxLogBatchReader(DataSourceReader):
         yield from filters
 
     def partitions(self) -> Sequence[TxFilePartition]:
+        # pushFilters and partitions run in ONE pushdown-worker
+        # invocation (pyspark/sql/worker/data_source_pushdown_filters.py
+        # plans both in the same process); popping scopes the filters to
+        # exactly that invocation. NOTE the engine-level caveat this
+        # CANNOT fix, pinned in
+        # tests/test_txlog_batch_source.py::test_scan_reuse_caveat:
+        # Spark 4.1 caches the planned (read_func, partitions) on the
+        # relation and re-plans ONLY for scans that have filters, so an
+        # UNFILTERED re-scan of the same DataFrame object reuses the
+        # previous filtered scan's partition list without ever calling
+        # back into Python — load() a fresh DataFrame per query (the
+        # normal pattern), or pass option("statPruning", "false").
+        if not self._prune:
+            self.__dict__.pop("_filters", None)
+            return [TxFilePartition(os.path.join(self.table, p))
+                    for p in sorted(self.live)]
+        filters = self.__dict__.pop("_filters", [])
         keep = []
         for path in sorted(self.live):
-            stats = self.live[path].get("stats") or {}
+            add = self.live[path]
+            stats = add.get("stats") or {}
+            nulls = add.get("nullCounts") or {}
+            n = add.get("numRecords")
             ok = True
-            for f in getattr(self, "_filters", []):
+            for f in filters:
                 col = f.attribute[0]
+                # null-count pruning (Delta's nullCount stats): an
+                # IsNull filter can't match a file with zero nulls; an
+                # IsNotNull filter can't match an all-null file. Range
+                # filters are null-rejecting by SQL semantics, so an
+                # all-null file can't match those either.
+                if col in nulls and n is not None:
+                    if isinstance(f, IsNull) and nulls[col] == 0:
+                        ok = False
+                        break
+                    if nulls[col] == n and isinstance(
+                            f, (IsNotNull, EqualTo, In, GreaterThan,
+                                GreaterThanOrEqual, LessThan,
+                                LessThanOrEqual)):
+                        ok = False
+                        break
                 if col not in stats:
                     continue
                 lo, hi = stats[col]
@@ -356,12 +395,15 @@ class TxLogBatchWriter(DataSourceWriter):
         name = f"part-{uuid.uuid4().hex[:12]}-w.parquet"
         pq.write_table(table, os.path.join(self.table, name))
         stats = {}
+        nulls = {}
         for c in self.stat_cols:
-            vals = [v for v in cols[self.fields.index(c)] if v is not None]
+            col = cols[self.fields.index(c)]
+            vals = [v for v in col if v is not None]
             stats[c] = ([_stat_scalar(min(vals)), _stat_scalar(max(vals))]
                         if vals else [None, None])
+            nulls[c] = len(col) - len(vals)
         return TxWriteMessage(add={"path": name, "numRecords": len(rows),
-                                   "stats": stats})
+                                   "stats": stats, "nullCounts": nulls})
 
     def _publish(self, actions: list[dict]) -> None:
         payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)

@@ -281,3 +281,78 @@ def test_write_stream_format_txlog_end_to_end(spark, tmp_path):
     feed(20, 25, "f2")                          # new file: exactly one batch
     run()
     assert _ms(t.read()) == Counter({(k, 2 * k): 1 for k in range(25)})
+
+
+def test_nullcount_pruning_isnull_isnotnull(spark, tmp_path):
+    """nullCount stats (the Delta design): IsNull prunes zero-null
+    files, IsNotNull and every range filter prune all-null files, and
+    mixed files never prune — with end-to-end answers exact."""
+    from pyspark.sql.datasource import IsNull
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(
+        spark,
+        spark.range(0, 10).selectExpr("id as k", "id*2 as v").coalesce(1),
+        p, stat_cols=["k"])                                  # zero nulls
+    t.append(spark.sql(
+        "select cast(null as bigint) k, cast(7 as bigint) v "
+        "from range(4)").coalesce(1))                        # all null
+    t.append(spark.sql(
+        "select if(id % 2 = 0, id + 100, null) k, id as v "
+        "from range(6)").coalesce(1))                        # mixed
+    adds = {a["add"]["path"]: a["add"] for c in t.history() for a in c
+            if "add" in a}
+    assert sorted(a["nullCounts"]["k"] for a in adds.values()) == [0, 3, 4]
+
+    def planned(filters):
+        r = TxLogBatchReader({"path": p})
+        list(r.pushFilters(filters))
+        return len(r.partitions())
+
+    assert planned([IsNull(("k",))]) == 2        # zero-null file pruned
+    assert planned([IsNotNull(("k",))]) == 2     # all-null file pruned
+    assert planned([EqualTo(("k",), 5)]) == 1    # all-null pruned + range
+    assert planned([GreaterThan(("k",), -10)]) == 2  # null-rejecting
+
+    register(spark)
+    df = spark.read.format("txlog").option("path", p).load()
+    assert df.filter("k is null").count() == 7
+    assert df.filter("k is not null").count() == 13
+    assert df.filter("k = 5").count() == 1
+
+
+def test_scan_reuse_caveat(spark, tmp_path):
+    """Engine-level caveat, pinned so a pyspark upgrade that fixes it is
+    noticed: Spark 4.1 caches the planned (read_func, partitions) on
+    the Python-DataSource relation and re-plans ONLY for scans that
+    push filters (pyspark/sql/worker/data_source_pushdown_filters.py
+    plans pushFilters+partitions in one invocation; an unfiltered
+    re-scan never calls back into Python). So on a REUSED DataFrame
+    object, an unfiltered scan after a filtered one inherits the
+    filtered partition list. Safe patterns, both proven here: a fresh
+    load() per query is always exact, and statPruning=false makes
+    same-object reuse exact (filters still re-push per filtered query,
+    files are never pruned)."""
+    register(spark)
+    p, t = _striped(spark, tmp_path, stripes=4, rows=8)   # 32 rows
+
+    df = spark.read.format("txlog").option("path", p).load()
+    assert df.filter("k = 3").count() == 1
+    stale = df.count()
+    if stale != 32:
+        # current Spark 4.1 behavior: the cached filtered partitions
+        assert stale == 8, stale
+    # every filtered re-scan of the SAME object re-pushes and is exact
+    assert df.filter("k >= 24").count() == 8
+    assert df.filter("k < 100").count() == 32
+
+    # fresh load per query: always exact
+    fresh = lambda: spark.read.format("txlog").option("path", p).load()
+    assert fresh().filter("k = 3").count() == 1
+    assert fresh().count() == 32
+
+    # statPruning=false: same-object reuse exact, answers unchanged
+    df2 = (spark.read.format("txlog").option("path", p)
+           .option("statPruning", "false").load())
+    assert df2.filter("k = 3").count() == 1
+    assert df2.count() == 32
