@@ -32,6 +32,14 @@ exactly like ``ingest.fetch_distributed``) instead of failing the task.
 NOTE ``pushFilters`` requires ``spark.sql.python.filterPushdown.enabled``;
 :func:`register` sets it on the live session (runtime-settable SQL conf),
 so driver-owned plain sessions work — never rely on factory-only configs.
+
+NOTE (engine caveat, shared with the txlog batch source and pinned in
+``tests/test_txlog_batch_source.py::test_scan_reuse_caveat``): Spark 4.1
+caches the planned partitions on the relation and re-plans only for
+scans that push filters, so an UNFILTERED re-scan of the same DataFrame
+object reuses the previous filtered scan's pruned partition list.
+``load()`` a fresh DataFrame per query; filtered re-scans are always
+exact.
 """
 
 from __future__ import annotations
