@@ -153,18 +153,29 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
                 + [CdcFilePartition(os.path.join(self.table, p), "delete")
                    for p in sorted(removes) if p not in transient])
 
-    def read(self, partition: CdcFilePartition) -> Iterator[tuple]:
+    def read(self, partition: CdcFilePartition) -> Iterator:
+        """Yield Arrow RecordBatches (vectorized engine ingest; same
+        rationale + measurement as the batch source). Files written
+        before a merge_schema widening lack the new columns — they
+        null-fill with the TYPED arrow field; the change tag rides as
+        one constant string column."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(_table_schema(self.table))
         table = pq.read_table(partition.file_path)
-        # files written before a merge_schema widening lack the new
-        # columns — they read as null, exactly like the batch reader
+        n = table.num_rows
         present = set(table.column_names)
-        cols = [table.column(name).to_pylist() if name in present
-                else [None] * table.num_rows for name in self.fields]
-        tag = partition.change_type
-        for row in zip(*cols):
-            yield (*row, tag)
+        cols = {}
+        for i, name in enumerate(self.fields):
+            typ = target.field(i).type
+            cols[name] = (table.column(name).cast(typ).combine_chunks()
+                          if name in present else pa.nulls(n, type=typ))
+        cols["_change_type"] = pa.array([partition.change_type] * n,
+                                        type=pa.string())
+        yield from pa.table(cols).to_batches()
 
     def commit(self, end: dict) -> None:  # engine owns progression
         pass

@@ -150,9 +150,9 @@ def test_optimize_is_invisible_to_change_feeds(spark, tmp_path):
     # the streaming twin plans the same quiet batches
     r = TxLogCdcStreamReader(None, {"path": p})
     assert r.partitions({"version": 1}, {"version": 2}) == []
-    rows = Counter(row for pt in r.partitions({"version": 0},
-                                              {"version": 4})
-                   for row in r.read(pt))
+    rows = Counter(tuple(row.values())
+                   for pt in r.partitions({"version": 0}, {"version": 4})
+                   for b in r.read(pt) for row in b.to_pylist())
     want = Counter((row["k"], row["v"], row["_change_type"])
                    for row in t.read_changes(0, 4).collect())
     assert rows == want
@@ -307,8 +307,9 @@ def test_merge_schema_visible_to_cdc_stream(spark, tmp_path):
         update=True)                                                  # v2
 
     r = TxLogCdcStreamReader(None, {"path": p})
-    rows = [row for pt in r.partitions({"version": 0}, {"version": 2})
-            for row in r.read(pt)]
+    rows = [tuple(row.values())
+            for pt in r.partitions({"version": 0}, {"version": 2})
+            for b in r.read(pt) for row in b.to_pylist()]
     assert all(len(row) == 4 for row in rows)   # k, v, w, _change_type
     # v2's deletes come from the ORIGINAL (k, v)-only file: w is null
     dels = {row[0]: row for row in rows if row[3] == "delete"}

@@ -25,6 +25,12 @@ def _ms(df):
     return Counter((r["k"], r["v"], r["_change_type"]) for r in df.collect())
 
 
+def _reader_rows(r, parts):
+    # read() yields Arrow RecordBatches; flatten to row tuples
+    return [tuple(row.values()) for pt in parts
+            for b in r.read(pt) for row in b.to_pylist()]
+
+
 def test_stream_cdc_batches_follow_commits_exactly_once(spark, tmp_path):
     register(spark)
     p = str(tmp_path / "t")
@@ -73,7 +79,7 @@ def test_stream_cdc_reader_unit_contract(spark, tmp_path):
     assert r.latestOffset() == {"version": 1}
     parts = r.partitions({"version": 0}, {"version": 1})
     assert parts and all(pt.change_type == "insert" for pt in parts)
-    rows = [row for pt in parts for row in r.read(pt)]
+    rows = _reader_rows(r, parts)
     assert sorted(rows) == [(k, 2 * k, "insert") for k in range(10, 20)]
     assert r.partitions({"version": 1}, {"version": 1}) == []
     with pytest.raises(ValueError, match="out of range"):
