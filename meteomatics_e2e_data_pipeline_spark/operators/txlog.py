@@ -170,10 +170,20 @@ class TxTable:
         meta: dict = {}
         live: dict[str, dict] = {}
         txns: dict[str, int] = {}
-        for line in data.decode("utf-8").splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
+        actions = [json.loads(line) for line in
+                   data.decode("utf-8").splitlines() if line.strip()]
+        # Trailer validation: a non-local (claim-then-write) publish that
+        # dies mid-flush can truncate at a newline boundary — the file
+        # still parses line-by-line but silently omits live files, so
+        # every fold built on it would drop rows with no error. The
+        # writer appends {"count": N} last; a checkpoint whose trailer is
+        # missing or wrong is TORN and the caller falls back to an older
+        # checkpoint or the full fold (same path as unparseable files).
+        if not actions or actions[-1].get("count") != len(actions) - 1:
+            raise ValueError(
+                f"checkpoint {version} of {self.path} is torn (missing or "
+                f"mismatched count trailer)")
+        for action in actions[:-1]:
             if "meta" in action:
                 meta = action["meta"]
             elif "add" in action:
@@ -229,6 +239,10 @@ class TxTable:
                              sort_keys=True) for a in sorted(txns)]
         lines += [json.dumps({"add": live[p]}, sort_keys=True)
                   for p in sorted(live)]
+        # Count trailer: lets _read_checkpoint detect a newline-boundary
+        # truncation (possible on the non-local claim-then-write path,
+        # where the publish is not atomic) and treat it as torn.
+        lines.append(json.dumps({"count": len(lines)}))
         payload = "\n".join(lines)
         if "://" not in self.log_dir:  # tmp+link: never a torn checkpoint
             target = f"{self.log_dir}/{v:020d}{_CKPT_SUFFIX}"

@@ -39,6 +39,7 @@ no counterpart (its warehouse prunes micro-partitions server-side).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 from collections.abc import Iterator, Sequence
@@ -104,9 +105,14 @@ def _fold_snapshot(table: str, version: int | None = None):
             with open(os.path.join(log, f"{cv:020d}{_CKPT}"),
                       encoding="utf-8") as fh:
                 actions = [json.loads(line) for line in fh if line.strip()]
+            # A checkpoint truncated at a newline boundary parses fine but
+            # silently omits live files; the writer's {"count": N} trailer
+            # makes that detectable — missing/mismatched trailer == torn.
+            if not actions or actions[-1].get("count") != len(actions) - 1:
+                raise ValueError("torn checkpoint (count trailer)")
         except Exception:
             continue  # torn/unreadable checkpoint: older one or full fold
-        for action in actions:
+        for action in actions[:-1]:
             fold(action)
         start = cv + 1
         break
@@ -321,6 +327,9 @@ def _write_checkpoint_plain(table: str, version: int) -> None:
                          sort_keys=True) for a in sorted(txns)]
     lines += [json.dumps({"add": live[p]}, sort_keys=True)
               for p in sorted(live)]
+    # Count trailer — readers reject a checkpoint truncated at a newline
+    # boundary as torn (matches TxTable.write_checkpoint's format).
+    lines.append(json.dumps({"count": len(lines)}))
     if os.path.exists(target):
         return
     # tmp + hard link: the checkpoint appears with its COMPLETE content
@@ -395,29 +404,68 @@ class TxLogBatchWriter(DataSourceWriter):
                 f"write has {[f.name for f in schema.fields]} (use "
                 f"TxTable.append(merge_schema=True) to evolve)")
         self.fields = table_cols
+        self.schema_json = meta["schema"]
 
     def write(self, iterator) -> TxWriteMessage:
+        """Stream the task partition into ONE parquet file in bounded
+        memory: rows are consumed in fixed-size chunks, each chunk is
+        built as an Arrow RecordBatch against the table's DECLARED
+        schema (never type-inferred — an all-null chunk or a mistyped
+        column is either cast to the stored type or rejected here, so a
+        commit can never poison later schema'd reads), and per-file
+        min/max/null-count stats are folded incrementally."""
         import uuid
 
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-        rows = [tuple(r) for r in iterator]
-        if not rows:
-            return TxWriteMessage(add=None)
-        cols = list(zip(*rows))
-        table = pa.table(dict(zip(self.fields, cols)))
+        arrow_schema = to_arrow_schema(StructType.fromJson(self.schema_json))
+        stat_idx = [(c, self.fields.index(c)) for c in self.stat_cols]
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        nulls = dict.fromkeys(self.stat_cols, 0)
+        n_rows = 0
         name = f"part-{uuid.uuid4().hex[:12]}-w.parquet"
-        pq.write_table(table, os.path.join(self.table, name))
-        stats = {}
-        nulls = {}
-        for c in self.stat_cols:
-            col = cols[self.fields.index(c)]
-            vals = [v for v in col if v is not None]
-            stats[c] = ([_stat_scalar(min(vals)), _stat_scalar(max(vals))]
-                        if vals else [None, None])
-            nulls[c] = len(col) - len(vals)
-        return TxWriteMessage(add={"path": name, "numRecords": len(rows),
+        dest = os.path.join(self.table, name)
+        writer = None
+        try:
+            while True:
+                chunk = list(itertools.islice(iterator, 65536))
+                if not chunk:
+                    break
+                cols = list(zip(*(tuple(r) for r in chunk)))
+                arrays = []
+                for field, col in zip(arrow_schema, cols):
+                    try:
+                        arrays.append(pa.array(col, type=field.type))
+                    except (pa.ArrowInvalid, pa.ArrowTypeError,
+                            OverflowError) as exc:
+                        raise ValueError(
+                            f"column '{field.name}' of the write is not "
+                            f"compatible with the table type {field.type}: "
+                            f"{exc}") from None
+                if writer is None:
+                    writer = pq.ParquetWriter(dest, arrow_schema)
+                writer.write_batch(
+                    pa.RecordBatch.from_arrays(arrays, schema=arrow_schema))
+                n_rows += len(chunk)
+                for c, i in stat_idx:
+                    vals = [v for v in cols[i] if v is not None]
+                    nulls[c] += len(cols[i]) - len(vals)
+                    if vals:
+                        lo, hi = min(vals), max(vals)
+                        mins[c] = lo if c not in mins else min(mins[c], lo)
+                        maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+        finally:
+            if writer is not None:
+                writer.close()
+        if n_rows == 0:
+            return TxWriteMessage(add=None)
+        stats = {c: ([_stat_scalar(mins[c]), _stat_scalar(maxs[c])]
+                     if c in mins else [None, None])
+                 for c in self.stat_cols}
+        return TxWriteMessage(add={"path": name, "numRecords": n_rows,
                                    "stats": stats, "nullCounts": nulls})
 
     def _publish(self, actions: list[dict]) -> None:

@@ -562,7 +562,6 @@ def stream_near_dup_flags(stream: DataFrame, prior_band_keys,
 def stream_dup_coverage_gate(stream: DataFrame, bloom_words: list,
                              max_est_coverage: float,
                              span_len: int = 8,
-                             id_col: str = "doc_id",
                              text_col: str = "text") -> DataFrame:
     """Streaming admission by ESTIMATED exact-substring duplication
     against a batch-built reference dup-set Bloom — the online half of

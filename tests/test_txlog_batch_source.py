@@ -356,3 +356,49 @@ def test_scan_reuse_caveat(spark, tmp_path):
            .option("statPruning", "false").load())
     assert df2.filter("k = 3").count() == 1
     assert df2.count() == 32
+
+
+def test_writer_enforces_declared_types_never_inference(spark, tmp_path):
+    """ADVICE r10 (medium): the V2 writer must build Arrow data against
+    the table's DECLARED schema, never by value inference. Two poison
+    shapes: (a) a write whose column TYPES differ from the table's —
+    rejected at write time with a clear error, nothing committed; (b) a
+    task partition whose column is entirely NULL (inference would emit a
+    null-typed parquet column) — commits a correctly-typed file that
+    every schema'd read path (TxTable.read, the DataSource) reads back."""
+    register(spark)
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 8), p, stat_cols=["k"])
+
+    # (a) right names, wrong type: string into the bigint v column
+    with pytest.raises(Exception, match="not .*compatible|compatible"):
+        (spark.range(3).selectExpr("id as k", "'oops' as v")
+         .write.format("txlog").option("path", p).mode("append").save())
+    assert t.version == 0                        # nothing committed
+
+    # (b) an all-null column (worst case: EVERY task partition all-null)
+    (spark.range(8, 12)
+     .selectExpr("id as k", "cast(null as bigint) as v")
+     .repartition(2)
+     .write.format("txlog").option("path", p).mode("append").save())
+    assert t.version == 1
+    assert _ms(t.read()) == _ms(
+        spark.createDataFrame(
+            [(k, 2 * k) for k in range(8)] + [(k, None) for k in
+                                              range(8, 12)], "k long, v long"))
+    got = spark.read.format("txlog").option("path", p).load()
+    assert _ms(got) == _ms(t.read())
+    # null counts reached the stats (nullCount pruning keeps working)
+    adds = [a["add"] for a in t.history()[1] if "add" in a]
+    assert all(a["stats"]["k"][0] is not None for a in adds)
+
+    # (c) chunked writer equivalence: a >1-chunk partition (the 65536-row
+    # chunk boundary) writes one file with exact rows and stats
+    n = 70000
+    (spark.range(100_000, 100_000 + n)
+     .selectExpr("id as k", "id*2 as v").coalesce(1)
+     .write.format("txlog").option("path", p).mode("append").save())
+    adds = [a["add"] for a in t.history()[2] if "add" in a]
+    assert len(adds) == 1 and adds[0]["numRecords"] == n
+    assert adds[0]["stats"]["k"] == [100_000, 100_000 + n - 1]
+    assert t.read().count() == 12 + n

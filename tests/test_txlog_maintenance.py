@@ -6,8 +6,11 @@ the PUBLIC Delta Lake protocol shapes; no vendor code involved."""
 
 from __future__ import annotations
 
+import json
 import os
 from collections import Counter
+
+import pytest
 
 from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
 from meteomatics_e2e_data_pipeline_spark.sources.txlog_stream import (
@@ -421,3 +424,92 @@ def test_timestamp_time_travel_and_checkpoint_vacuum(spark, tmp_path):
     # time travel below the surviving checkpoint still exact (commit fold)
     assert t.read(version=5).count() == 60
     assert t.read().count() == 230
+
+
+def test_newline_truncated_checkpoint_rejected_by_count_trailer(
+        spark, tmp_path):
+    """The r10-advice crash shape the mid-line tear test can't catch: a
+    checkpoint truncated exactly AT a newline boundary still parses as
+    valid JSON lines but silently omits live files — without detection,
+    every later fold would drop rows with no error. The writer's
+    ``{"count": N}`` trailer makes it torn: both fold paths (TxTable and
+    the plain-IO DataSource twin) must fall back to the full commit fold
+    and stay exact."""
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        _fold_snapshot,
+    )
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])
+    for i in range(1, 11):                       # v1..v10, checkpoint at 10
+        t.append(_kv(spark, i * 10, i * 10 + 10))
+    ck = os.path.join(p, "_txlog", "00000000000000000010.checkpoint.json")
+    with open(ck, encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    assert json.loads(lines[-1]) == {"count": len(lines) - 1}  # trailer
+    want_live, want_rows = t.live_files(), t.read().count()
+
+    # drop the last 3 add lines AND the trailer: every remaining line is
+    # intact JSON — only the count can reveal the omission
+    with open(ck, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines[:-4]) + "\n")
+
+    fresh = TxTable(spark, p)
+    assert fresh.live_files() == want_live       # full-fold fallback
+    assert fresh.read().count() == want_rows
+    _, _, live, _ = _fold_snapshot(p)
+    assert sorted(live) == want_live
+
+    # a truncation that keeps the trailer line itself is caught too
+    # (count no longer matches the surviving line count)
+    with open(ck, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines[:-3] + [lines[-1]]) + "\n")
+    assert TxTable(spark, p).live_files() == want_live
+    _, _, live, _ = _fold_snapshot(p)
+    assert sorted(live) == want_live
+
+
+def test_scheme_path_fallback_publish_and_torn_commit_caveat(
+        spark, tmp_path):
+    """Directive: exercise the NON-local publish branch end-to-end. A
+    ``file://``-scheme'd table takes ``_try_publish``'s claim-then-write
+    Hadoop path (and ``write_checkpoint``'s), which the local suite never
+    reaches. Pins (a) appends/reads/checkpoints work through that branch,
+    (b) a concurrent claim is detected (False, not a torn double-write),
+    and (c) the documented crash window (operators/txlog.py:297-311): a
+    writer dying between claim and write leaves a half-written commit
+    that poisons later folds LOUDLY — recovery = delete the torn version
+    file (the escape hatch; local paths are immune via tmp+hardlink)."""
+    local = tmp_path / "t"
+    p = "file://" + str(local)
+    t = TxTable.create(spark, _kv(spark, 0, 20), p, stat_cols=["k"])
+    assert "://" in t.log_dir                    # fallback branch selected
+    for i in range(1, 11):
+        t.append(_kv(spark, i * 20, i * 20 + 20))
+    assert t.read().count() == 220
+    # checkpoint went through the Hadoop create() branch, trailer intact
+    ck = local / "_txlog" / "00000000000000000010.checkpoint.json"
+    lines = ck.read_text().splitlines()
+    assert json.loads(lines[-1]) == {"count": len(lines) - 1}
+    # trailer-validated fallback works for Hadoop-read checkpoints too:
+    # truncate at a newline boundary, folds stay exact
+    want_live = t.live_files()
+    ck.write_text("\n".join(lines[:-3]) + "\n")
+    assert TxTable(spark, p).live_files() == want_live
+
+    # (b) losing the claim race returns False — no torn double-write
+    nxt = t.version + 1
+    claimed = local / "_txlog" / f"{nxt:020d}.json"
+    claimed.write_text('{"add": {"path": "ghost.parquet", "numRecords"')
+    assert t._try_publish(nxt, [{"remove": {"path": "x"}}]) is False
+
+    # (c) the half-written claim is the documented crash window: folds
+    # fail LOUDLY (never silently drop), and deleting the torn version
+    # file recovers the table
+    with pytest.raises(Exception):
+        TxTable(spark, p).read().count()
+    claimed.unlink()
+    t2 = TxTable(spark, p)
+    assert t2.read().count() == 220
+    t2.append(_kv(spark, 300, 310))              # publishes at the freed slot
+    assert t2.read().count() == 230
