@@ -1414,6 +1414,98 @@ def scrub_effect_summary(docs: DataFrame, id_col: str = "doc_id",
                             6).alias("coverage_after")))
 
 
+def exact_substring_scrub_fixpoint(docs: DataFrame, id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   span_len: int = 8,
+                                   passes: int = 2) -> DataFrame:
+    """Iterated ExactSubstr scrub toward the FIXPOINT (Lee et al. 2022
+    iterate for exactly the reason :func:`scrub_effect_summary`'s
+    residual documents: one pass is a contraction, not a fixpoint —
+    removing a span makes its neighbors adjacent, which can CREATE new
+    repeated windows across the seam, and text repeated ≥3 times leaves
+    echoes). Runs a FIXED ``passes`` scrub passes and reports the
+    residual coverage ladder: one row per pass index 0..``passes``
+    (pass 0 = the untouched corpus), each measuring the corpus as it
+    stood after that many passes. Fixed unroll rather than a
+    data-dependent stop so the plan is deterministic and the DuckDB
+    oracle unrolls the same k passes as CTEs (the repo's trained-tier
+    convention); a converged corpus makes later passes identity, which
+    the ladder shows as repeated zeros — the convergence proof IS the
+    output.
+
+    Scale shape — per pass, the dup-start frame is computed ONCE and
+    localCheckpointed (dup-position-sized), reused by BOTH the pass's
+    telescoping coverage metric and its scrub rewrite (the
+    :func:`scrub_effect_summary` discipline); each rebuilt corpus is
+    localCheckpointed before the next pass re-shingles it (a genuinely
+    different corpus — the re-shingle is irreducible, exactly the
+    iterated cost Lee et al. pay). Work per pass ∝ the REMAINING dup
+    occurrences, so passes get monotonically cheaper; all shuffles stay
+    keyed on the 8-byte hash or ``id_col``. Token convention: a fully
+    scrubbed document re-measures as 1 token (tokenizing '' yields ['']
+    on both engines).
+
+    Output: ``(pass_no, tokens, covered_tokens, coverage)`` — coverage
+    is non-increasing in ``pass_no`` on a plain pairwise-duplicated
+    corpus, but is measured HONESTLY rather than forced monotone: a
+    scrub pass can make two previously-distinct documents identical, a
+    new (even larger) duplicate whose transient residual SPIKE only the
+    next pass removes — both behaviors property-pinned in
+    tests/test_scale_features.py. Tokens, by contrast, only shrink.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    rows: list[DataFrame] = []
+    cur = docs.select(id_col, F.col(text_col).alias(text_col))
+    for p in range(passes + 1):
+        dup = _dup_span_starts(cur, id_col, text_col, span_len
+                               ).localCheckpoint(eager=True)
+        tok_total = cur.agg(
+            F.sum(F.size(tokens(F.col(text_col)))).cast("bigint")
+            .alias("tokens"))
+        covered_total = (dup.withColumn(
+            "contrib",
+            F.coalesce(F.least(F.col("pos") - F.lag("pos").over(w),
+                               F.lit(span_len)), F.lit(span_len)))
+            .agg(F.coalesce(F.sum("contrib"), F.lit(0)).cast("bigint")
+                 .alias("covered_tokens")))
+        rows.append(tok_total.crossJoin(covered_total).select(
+            F.lit(p).cast("bigint").alias("pass_no"), "tokens",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("tokens"), 6)
+            .alias("coverage")))
+        if p == passes:
+            break
+        covered = (dup.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"),
+                                 F.col("pos") + (span_len - 1)))
+            .alias("pos")).distinct())
+        tokpos = (
+            _spread(cur.select(id_col, text_col), id_col)
+            .select(id_col,
+                    F.posexplode(tokens(F.col(text_col)))
+                    .alias("pos0", "t"))
+            .select(id_col, (F.col("pos0") + 1).alias("pos"), "t"))
+        kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
+        rebuilt = (
+            kept.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "t")))
+                 .alias("ks"))
+            .select(id_col,
+                    F.expr("concat_ws(' ', transform(ks, s -> s.t))")
+                    .alias("clean_text")))
+        cur = (cur.select(id_col).join(rebuilt, id_col, "left")
+               .select(id_col,
+                       F.coalesce("clean_text", F.lit(""))
+                       .alias(text_col))
+               .localCheckpoint(eager=True))
+    return reduce(DataFrame.unionAll, rows)
+
+
 # Bloom-filter decontamination sizing. 2^16 bits in 32-bit words keeps
 # every shift inside non-negative BIGINT range on both engines (1 << 31
 # fits; a 64-bit word would need 1 << 63, which overflows DuckDB's

@@ -5298,6 +5298,82 @@ FROM tok_b, cov_b, tok_a, cov_a
 """
 
 
+# Fixed pass count for the iterated-scrub ladder: pass 1 kills the
+# pairwise-dup mass, pass 2 PROVES convergence by re-measuring the
+# scrubbed corpus (measured at sf0.01: coverage 0.089453 → 0.0 → 0.0 —
+# the generated corpus's dups are pairwise and seam windows don't
+# recur, so the ladder's zeros are the fixpoint certificate); a fixed
+# unroll keeps the plan deterministic and the oracle CTE-expressible.
+SCRUB_FIXPOINT_PASSES = 2
+
+
+def q_docs_scrub_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATED ExactSubstr scrub (Lee et al. iterate — one pass is a
+    contraction, not a fixpoint): ``SCRUB_FIXPOINT_PASSES`` passes, one
+    residual-coverage row per pass (pass 0 = untouched corpus). The
+    convergence ladder IS the output; per-pass dup-frame reuse and
+    checkpoint discipline in
+    :func:`operators.neardup.exact_substring_scrub_fixpoint`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup.exact_substring_scrub_fixpoint(
+        docs, span_len=DUP_SPAN_L, passes=SCRUB_FIXPOINT_PASSES)
+
+
+def _oracle_scrub_fixpoint(passes: int = SCRUB_FIXPOINT_PASSES) -> str:
+    """The fixed-k scrub ladder unrolled as CTEs (the repo's trained-tier
+    oracle convention): per pass — count≥2 dup starts, telescoping
+    coverage measure, covered-position fanout, anti-join rewrite — each
+    re-shingled via :func:`_dup_span_cte` over the previous pass's
+    rebuilt corpus."""
+    L = DUP_SPAN_L
+    segs = [_dup_span_cte()]
+    for p in range(passes + 1):
+        s = "" if p == 0 else str(p)
+        segs.append(rf"""c{s} AS (SELECT g, count(*) AS c FROM sp{s} GROUP BY g),
+dup{s} AS (SELECT doc_id, pos FROM sp{s} JOIN c{s} USING (g)
+           WHERE c{s}.c >= 2),
+contrib{s} AS (SELECT doc_id,
+                      coalesce(least(pos - lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos), {L}), {L}) AS k
+               FROM dup{s}),
+m{p} AS (SELECT {p}::BIGINT AS pass_no,
+                (SELECT sum(len(w)) FROM tok{s})::BIGINT AS tokens,
+                coalesce(sum(k), 0)::BIGINT AS covered_tokens
+         FROM contrib{s})""")
+        if p < passes:
+            ns = str(p + 1)
+            segs.append(rf"""cov{s} AS (SELECT DISTINCT doc_id, pos + t.k AS pos
+            FROM dup{s} CROSS JOIN range(0, {L}) t(k)),
+tokpos{s} AS (
+  SELECT doc_id, u.pos AS pos, u.t AS t
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                                     i -> {{'pos': i, 't': w[i]}})) AS u
+        FROM tok{s})
+),
+kept{s} AS (
+  SELECT tp.doc_id, tp.pos, tp.t
+  FROM tokpos{s} tp ANTI JOIN cov{s} cv
+    ON cv.doc_id = tp.doc_id AND cv.pos = tp.pos
+),
+rebuilt{s} AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS clean_text
+  FROM kept{s} GROUP BY doc_id
+),
+cleaned{ns} AS (
+  SELECT tok{s}.doc_id, coalesce(r.clean_text, '') AS clean_text
+  FROM tok{s} LEFT JOIN rebuilt{s} r USING (doc_id)
+)""")
+            segs.append(_dup_span_cte(f"cleaned{ns}", ns))
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{p}"
+                                 for p in range(passes + 1))
+    ctes = ",\n".join(segs)
+    return (f"WITH {ctes}\n"
+            f"SELECT pass_no, tokens, covered_tokens,\n"
+            f"       round(covered_tokens::DOUBLE / tokens, 6) AS coverage\n"
+            f"FROM ({union})")
+
+
 # Post-scrub survival floor for the dedup ladder: a doc hollowed out to
 # fewer than this many kept tokens is dropped instead of shipped as a
 # fragment (the "downstream length gate" the scrub docstring defers to).
@@ -5457,6 +5533,7 @@ LLM_QUERIES = {
     "docs_exact_substring_scrub": q_docs_exact_substring_scrub,
     "docs_dup_coverage_gate": q_docs_dup_coverage_gate,
     "docs_scrub_effect": q_docs_scrub_effect,
+    "docs_scrub_fixpoint": q_docs_scrub_fixpoint,
     "docs_dedup_pipeline": q_docs_dedup_pipeline,
     "docs_repetition_signals": q_docs_repetition_signals,
     "emb_knn_hamming_rerank": q_emb_knn_hamming_rerank,
@@ -5575,6 +5652,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_exact_substring_scrub": _oracle_exact_substring_scrub(),
         "docs_dup_coverage_gate": _oracle_dup_coverage_gate(),
         "docs_scrub_effect": _oracle_scrub_effect(),
+        "docs_scrub_fixpoint": _oracle_scrub_fixpoint(),
         "docs_dedup_pipeline": _oracle_dedup_pipeline(),
         "docs_repetition_signals": _oracle_repetition_signals(),
         "emb_knn_hamming_rerank": _oracle_knn_hamming_rerank(),

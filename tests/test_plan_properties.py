@@ -117,6 +117,9 @@ def test_bnlj_only_in_intended_queries(all_plans):
                # three 1-row aggregate frames crossJoined into the
                # before/after summary row — bounded by construction
                "docs_scrub_effect",
+               # per-pass 1-row tokens × covered crossJoins (the same
+               # bounded scalar-frame shape as docs_scrub_effect)
+               "docs_scrub_fixpoint",
                # 1-row centroid-cosine frame crossJoined onto the
                # dims-bounded per-dimension table
                "emb_centroid_drift"}

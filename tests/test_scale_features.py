@@ -532,3 +532,47 @@ def test_exact_substring_scrub_removes_repeats_and_keeps_uniques(spark):
     assert all(r["n_tokens"] - r["n_removed"] ==
                (len(r["clean_text"].split()) if r["clean_text"] else 0)
                for r in got.values())
+
+
+def test_scrub_fixpoint_residual_non_increasing_and_converges(spark):
+    """Iterated-scrub ladder semantics (directive r10 #4, Lee et al.
+    iterate): on a plain pairwise-dup corpus residual coverage is
+    NON-INCREASING and hits 0 within 2 passes; and the ladder reports
+    the seam case HONESTLY — pass 1's removal can make two
+    previously-distinct documents IDENTICAL, a new (even LARGER)
+    cross-doc duplicate only pass 2 can see, so the transient residual
+    is allowed to rise before converging. That transient spike is
+    exactly why one pass is a contraction, not a fixpoint, and why the
+    ladder (not a single after-number) is the right observable."""
+    from meteomatics_e2e_data_pipeline_spark.operators import neardup
+
+    span = " ".join(f"s{i}" for i in range(4))           # the planted dup
+
+    # plain pairwise corpus (no seams): monotone, converged by pass 1
+    pair = spark.createDataFrame(
+        [(1, f"{span} x1 x2"), (2, f"y1 y2 {span}"), (3, "z1 z2 z3 z4 z5")],
+        ["doc_id", "text"])
+    ladder = [r["coverage"] for r in sorted(
+        neardup.exact_substring_scrub_fixpoint(
+            pair, span_len=4, passes=2).collect(),
+        key=lambda r: r["pass_no"])]
+    assert ladder[0] > 0 and ladder[1] == 0.0 and ladder[2] == 0.0
+    assert all(a >= b for a, b in zip(ladder, ladder[1:])), ladder
+
+    # seam corpus: doc 1 minus the span EQUALS doc 3, so pass 1 creates
+    # a brand-new full-document duplicate (residual spikes), pass 2
+    # removes it, pass 3 certifies the fixpoint
+    docs = spark.createDataFrame(
+        [(1, f"c1 c2 c3 {span} d1 d2 d3"),   # loses span in pass 1 ...
+         (2, span),                          # ... because it repeats here
+         (3, "c1 c2 c3 d1 d2 d3"),           # == doc 1 AFTER pass 1
+         (4, "u1 u2 u3 u4 u5")],             # untouched control
+        ["doc_id", "text"])
+    seam = {r["pass_no"]: r for r in
+            neardup.exact_substring_scrub_fixpoint(
+                docs, span_len=4, passes=3).collect()}
+    cov = [seam[p]["coverage"] for p in range(4)]
+    assert cov[0] > 0 and cov[1] > cov[0], cov   # the honest transient
+    assert cov[2] == 0.0 and cov[3] == 0.0, cov  # fixpoint in 2 passes
+    toks = [seam[p]["tokens"] for p in range(4)]
+    assert all(a >= b for a, b in zip(toks, toks[1:])), toks  # tokens only shrink
