@@ -880,6 +880,107 @@ def near_dup_pairs_incremental(corpus: DataFrame, batch: DataFrame,
     return verify_jaccard(cand, sh, id_col, threshold)
 
 
+def init_near_dup_state(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> dict:
+    """Build the maintained near-dup index state from a corpus snapshot —
+    the batch bootstrap for :func:`fold_cdc_near_dup`. Returns
+    ``{"corpus", "pairs", "clusters"}``, each an eager localCheckpoint
+    (the artifact a real deployment would persist as lake tables between
+    ingests; the fold reads and replaces them wholesale)."""
+    corpus = docs.select(id_col, text_col).localCheckpoint(eager=True)
+    pairs = near_dup_pairs(corpus, id_col, text_col, n, threshold) \
+        .localCheckpoint(eager=True)
+    clusters = dup_clusters(pairs).localCheckpoint(eager=True)
+    return {"corpus": corpus, "pairs": pairs, "clusters": clusters}
+
+
+def fold_cdc_near_dup(changes: DataFrame, state: dict,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, threshold: float = 0.5) -> dict:
+    """Fold ONE change-data-feed window into a maintained near-dup index
+    — the composition of the lakehouse tier's CDC feed
+    (``TxTable.read_changes`` / the ``txlog_cdc`` stream: rows tagged
+    ``_change_type`` insert/delete) with the two incremental dedup
+    operators, so per-ingest work scales with the INCREMENT while the
+    index stays exactly equal to a from-scratch batch recompute
+    (pytest-pinned, tests/test_txlog_stream.py).
+
+    The feed is FILE-grain copy-on-write: a row carried unchanged
+    through a rewrite appears as both delete and insert, so the fold
+    first nets the window (``exceptAll`` both ways) — untouched rows
+    cancel and cost nothing downstream. Then, in CDC order:
+
+    1. DELETE phase (net-deleted ids, which include the old row of
+       every update): pairs touching a deleted id are dropped
+       (broadcast anti-joins); cluster maintenance under vertex
+       deletion — only components that CONTAINED a deleted doc re-run
+       component finding, on their surviving edges (removing a vertex
+       can split its own component but cannot touch any other, since
+       every edge lies within one component); untouched labels pass
+       through without a shuffle.
+    2. INSERT phase (net-inserted docs, including updates' new text):
+       :func:`near_dup_pairs_incremental` (batch×corpus + batch×batch,
+       never corpus×corpus) against the post-delete corpus, then
+       :func:`dup_clusters_incremental` folds the new edges into the
+       surviving labels.
+
+    Exactness: deletes and inserts commute with the batch recompute
+    because min-label components are a pure function of the edge set,
+    and both phases reproduce exactly the edge set of the post-window
+    corpus — pairs(after) = pairs(before) ∖ touching(deleted) ∪
+    touching(inserted), which LSH banding preserves (signatures are
+    per-document). State frames are eagerly localCheckpointed so a
+    streaming driver (foreachBatch over ``txlog_cdc``) can fold window
+    after window without plan growth; a production deployment would
+    persist them to lake tables between batches instead.
+    """
+    corpus, pairs, clusters = (state["corpus"], state["pairs"],
+                               state["clusters"])
+    ins = changes.filter(F.col("_change_type") == "insert") \
+        .select(id_col, text_col)
+    dels = changes.filter(F.col("_change_type") == "delete") \
+        .select(id_col, text_col)
+    net_ins = ins.exceptAll(dels).localCheckpoint(eager=True)
+    net_del = dels.exceptAll(ins).localCheckpoint(eager=True)
+    del_ids = net_del.select(id_col).distinct()
+
+    # 1. vertex deletion
+    pairs_d = (pairs
+               .join(F.broadcast(del_ids.select(
+                   F.col(id_col).alias("doc_a"))), "doc_a", "left_anti")
+               .join(F.broadcast(del_ids.select(
+                   F.col(id_col).alias("doc_b"))), "doc_b", "left_anti")
+               .select(*pairs.columns))  # joins move keys to the front
+    touched = (clusters.join(del_ids, id_col, "left_semi")
+               .select("cluster_id").distinct())
+    intact = clusters.join(F.broadcast(touched), "cluster_id", "left_anti")
+    members = (clusters.join(F.broadcast(touched), "cluster_id",
+                             "left_semi").select(id_col))
+    sub = pairs_d.join(members.select(F.col(id_col).alias("doc_a")),
+                       "doc_a", "left_semi")
+    has_touched = not touched.isEmpty()
+    clusters_d = (dup_clusters(sub).unionByName(intact) if has_touched
+                  else clusters)
+
+    # 2. incremental insertion
+    corpus_after_del = corpus.join(del_ids, id_col, "left_anti")
+    if net_ins.isEmpty():
+        new_corpus = corpus_after_del.localCheckpoint(eager=True)
+        return {"corpus": new_corpus,
+                "pairs": pairs_d.localCheckpoint(eager=True),
+                "clusters": clusters_d.localCheckpoint(eager=True)}
+    new_pairs = near_dup_pairs_incremental(
+        corpus_after_del, net_ins, id_col, text_col, n, threshold)
+    out_pairs = pairs_d.unionByName(new_pairs).localCheckpoint(eager=True)
+    out_clusters = dup_clusters_incremental(
+        clusters_d, new_pairs, id_col=id_col).localCheckpoint(eager=True)
+    new_corpus = corpus_after_del.unionByName(net_ins) \
+        .localCheckpoint(eager=True)
+    return {"corpus": new_corpus, "pairs": out_pairs,
+            "clusters": out_clusters}
+
+
 def contamination_hits(corpus: DataFrame, benchmark: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3) -> DataFrame:

@@ -822,6 +822,60 @@ class TxTable:
         actions += self._stage(new_data, stat_cols)
         return self._commit(actions, rv, validate=validate)
 
+    def delete(self, batch: DataFrame, keys: Sequence[str]) -> int:
+        """Atomic keyed DELETE (copy-on-write, the public Delta DELETE
+        shape): every table row whose key matches a ``batch`` row is
+        removed. Only files that actually hold a matching key are
+        rewritten (stat-range prune, then an exact semi-join probe — the
+        same planner as :meth:`merge_upsert`); a file whose every row
+        matches is removed without a rewrite. The CDC feed surfaces the
+        rewrite as the removed files' rows (deletes) plus the survivors
+        (inserts), which nets to exactly the deleted rows under
+        :meth:`read_changes`' multiset fold — so downstream incremental
+        maintenance sees a clean per-row delete stream.
+
+        Conflicts like a merge: a concurrent commit adding keys inside
+        this delete's key range invalidates the probe (a just-inserted
+        matching row would survive), so it raises :class:`TxConflict`.
+        """
+        keys = list(keys)
+        rv, meta, live = self._snapshot()
+        schema = StructType.fromJson(meta["schema"])
+        key_schema = StructType([f for f in schema.fields
+                                 if f.name in keys])
+        batch = (batch.select(*[F.col(f.name).cast(f.dataType)
+                                for f in key_schema.fields])
+                 .dropDuplicates(keys))
+        bounds = self._batch_bounds(batch, keys)
+        cand = self._candidate_files(live, keys, bounds)
+        stat_cols = meta.get("stat_cols", [])
+
+        def no_key_overlap(intervening):
+            for a in intervening:
+                if "add" in a and self._overlaps(a["add"], keys, bounds):
+                    raise TxConflict(
+                        f"concurrent commit added keys overlapping this "
+                        f"delete's key range on {self.path}; re-run the "
+                        f"delete on the new snapshot")
+
+        if not cand:
+            return self.version  # nothing can match: no-op, no commit
+        cdf = self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in cand]).withColumn(
+            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        affected = [r["_file"] for r in
+                    cdf.select("_file", *keys)
+                    .join(batch, on=keys, how="left_semi")
+                    .select("_file").distinct().collect()]
+        if not affected:
+            return self.version  # stat ranges overlapped, no real match
+        keep = (self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in sorted(affected)])
+            .join(batch, on=keys, how="left_anti"))
+        actions = [{"remove": {"path": p}} for p in sorted(affected)]
+        actions += self._stage(keep, stat_cols)
+        return self._commit(actions, rv, validate=no_key_overlap)
+
     def optimize(self, target_rows: int = 1_000_000,
                  zorder_by: Sequence[str] | None = None,
                  zorder_bits: int = 12) -> int:

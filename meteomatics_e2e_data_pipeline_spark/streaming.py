@@ -1064,3 +1064,54 @@ def stream_type_runs(spark: SparkSession, sf_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cdc_near_dup_maintenance(spark, table_path: str,
+                                    checkpoint_path: str, state: dict,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text", n: int = 3,
+                                    threshold: float = 0.5) -> dict:
+    """CDC → incremental near-dup, wired end to end: one
+    ``availableNow`` pass over a txlog documents table's change feed
+    (the ``txlog_cdc`` source — its offset IS the table version), each
+    micro-batch folded through
+    :func:`operators.neardup.fold_cdc_near_dup` so the maintained
+    (corpus, pairs, clusters) index tracks the table with per-batch
+    work ∝ the increment. ``state`` comes from
+    :func:`operators.neardup.init_near_dup_state` over the table's v0
+    snapshot (the CDC source's initial offset is version 0, so the feed
+    delivers exactly the commits AFTER it); the stream checkpoint makes
+    re-runs resume at the first unseen version — N more commits then
+    one more call folds exactly those (the relay pattern,
+    tests/test_txlog_stream.py proves maintained == batch recompute
+    after commits that include a delete-bearing MERGE and a keyed
+    DELETE).
+
+    In-driver state is deliberate for this composition's scope: each
+    fold ends in eager localCheckpoints, so plan lineage never grows
+    with batch count. A production pipeline would persist the three
+    frames to lake tables inside the same ``foreachBatch`` (with the
+    txlog sink's txn action making the fold exactly-once); the fold
+    itself is already batch-shaped for that.
+
+    Returns the final state dict (also mutated in place).
+    """
+    from .operators.neardup import fold_cdc_near_dup
+    from .sources.txlog_stream import register as register_cdc
+
+    register_cdc(spark)
+
+    def _fold(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # layout-only commits (OPTIMIZE) feed nothing
+        state.update(fold_cdc_near_dup(
+            batch_df, state, id_col, text_col, n, threshold))
+
+    q = (spark.readStream.format("txlog_cdc")
+         .option("path", table_path).load()
+         .writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return state

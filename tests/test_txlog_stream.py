@@ -86,3 +86,114 @@ def test_stream_cdc_reader_unit_contract(spark, tmp_path):
         TxLogCdcStreamReader(None, {"path": p, "startingVersion": "9"})
     with pytest.raises(ValueError, match="not a txlog table"):
         TxLogCdcStreamReader(None, {"path": str(tmp_path / "nope")})
+
+
+def _rows(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_cdc_feeds_incremental_near_dup_maintenance(spark, tmp_path):
+    """Directive r10 #6 — the two halves wired end to end: a txlog
+    documents table's commits flow through the ``txlog_cdc`` feed into
+    the incremental pair join + vertex-deletion cluster maintenance
+    (operators.neardup.fold_cdc_near_dup), and after N commits — an
+    append, a text-UPDATING merge (delete+insert of the same key in CDC
+    terms), and a keyed DELETE — the maintained (corpus, pairs,
+    clusters) index is multiset-EQUAL to a from-scratch batch recompute
+    over the live snapshot. A second run resumes from the stream
+    checkpoint and folds only the new window (the relay pattern)."""
+    from meteomatics_e2e_data_pipeline_spark.operators import neardup
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_cdc_near_dup_maintenance,
+    )
+
+    def doc(pfx, tweak=None):
+        toks = [f"{pfx}{i}" for i in range(10)]
+        if tweak is not None:
+            toks[tweak[0]] = tweak[1]
+        return " ".join(toks)
+
+    sch = "doc_id long, text string"
+    docs0 = spark.createDataFrame(
+        [(1, doc("a")), (2, doc("a", (9, "zz"))), (3, doc("b")),
+         (4, doc("b", (9, "yy"))), (5, doc("c"))], sch)
+    p = str(tmp_path / "docs")
+    t = TxTable.create(spark, docs0.coalesce(2), p,            # v0
+                       stat_cols=["doc_id"])
+    state = neardup.init_near_dup_state(t.read(version=0))
+    assert len(_rows(state["pairs"])) == 2                     # (1,2),(3,4)
+
+    t.append(spark.createDataFrame(                            # v1
+        [(6, doc("a", (0, "qq"))), (7, doc("d"))], sch))
+    t.merge_upsert(spark.createDataFrame(                      # v2: doc 4
+        [(4, doc("d", (9, "ww")))], sch), ["doc_id"],          # leaves the
+        update=True)                                           # b-cluster
+    t.delete(spark.createDataFrame([(2,)], "doc_id long"),     # v3: vertex
+             ["doc_id"])                                       # deletion
+
+    ck = str(tmp_path / "ck")
+    stream_cdc_near_dup_maintenance(spark, p, ck, state)
+
+    def batch_index():
+        pairs = neardup.near_dup_pairs(t.read())
+        return pairs, neardup.dup_clusters(pairs)
+
+    pb, cb = batch_index()
+    assert _rows(state["pairs"]) == _rows(pb)
+    assert _rows(state["clusters"]) == _rows(cb)
+    assert _rows(state["corpus"]) == _rows(t.read())
+    got_pairs = {(a, b) for a, b, _ in _rows(state["pairs"])}
+    assert got_pairs == {(1, 6), (4, 7)}   # 2's edges gone; 4 re-homed
+
+    # relay: more commits, resume from the checkpoint, fold only the
+    # new window — still equal to the batch recompute
+    t.append(spark.createDataFrame([(8, doc("b", (0, "rr")))], sch))  # v4
+    stream_cdc_near_dup_maintenance(spark, p, ck, state)
+    pb2, cb2 = batch_index()
+    assert _rows(state["pairs"]) == _rows(pb2)
+    assert _rows(state["clusters"]) == _rows(cb2)
+    assert {(a, b) for a, b, _ in _rows(state["pairs"])} == {
+        (1, 6), (4, 7), (3, 8)}
+
+    # a third run with NO new commits is a clean no-op
+    stream_cdc_near_dup_maintenance(spark, p, ck, state)
+    assert _rows(state["pairs"]) == _rows(pb2)
+
+
+def test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows(
+        spark, tmp_path):
+    """TxTable.delete: keyed copy-on-write removal — only files holding a
+    matching key are rewritten (stat-pruned), non-matching keys are a
+    committed no-op-free pass, and the CDC window nets to exactly the
+    deleted rows. Conflicts with a concurrent overlapping insert."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 16), p, stat_cols=["k"])  # f0
+    t.append(_kv(spark, 16, 32))                                      # f1
+    v_before = t.version
+    files_before = set(t.live_files())
+
+    t.delete(spark.createDataFrame([(3,), (5,)], "k long"), ["k"])
+    assert t.version == v_before + 1
+    got = Counter((r["k"], r["v"]) for r in t.read().collect())
+    assert got == Counter({(k, 2 * k): 1 for k in range(32) if k not in
+                           (3, 5)})
+    # only the 0..15 file was rewritten; the 16..31 file survived
+    assert len(set(t.live_files()) & files_before) == 1
+    # CDC nets to exactly the deleted rows
+    ch = t.read_changes(v_before)
+    ins = Counter((r["k"], r["v"]) for r in
+                  ch.filter(F.col("_change_type") == "insert").collect())
+    dels = Counter((r["k"], r["v"]) for r in
+                   ch.filter(F.col("_change_type") == "delete").collect())
+    assert dels - ins == Counter({(3, 6): 1, (5, 10): 1})
+    assert ins - dels == Counter()
+
+    # keys that match nothing: no commit at all
+    v = t.version
+    t.delete(spark.createDataFrame([(999,)], "k long"), ["k"])
+    assert t.version == v
+
+    # deleting EVERY row of a file removes it without staging a rewrite
+    t.delete(spark.range(16, 32).selectExpr("id as k"), ["k"])
+    assert Counter(r["k"] for r in t.read().collect()) == Counter(
+        k for k in range(16) if k not in (3, 5))
