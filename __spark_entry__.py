@@ -34,30 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-10 rotation (VERDICT r9 directives #2 + its rows-only fix),
-# priority order:
-# (1) the 5 NEW entries (docs_exact_substring_scrub, the composed
-#     docs_dup_coverage_gate, the closed-loop docs_scrub_effect, the
-#     full-ladder docs_dedup_pipeline funnel, the vector-modality
-#     emb_centroid_drift monitor) and
-#     the 2 plans changed this round
-#     (sole_return_suppliers rewritten join→agg after its +54% driver
-#     flag; docs_dup_span_coverage re-attested on the refactored
-#     _dup_span_starts head — default plan text unchanged, rotated in
-#     because directive #4's "hash unchanged" deserves a driver row);
-# (2) ALL 25 remaining r5-dated attestations (the complete pre-r6 debt
-#     — zero r5 rows remain after this gate lands green);
-# (3) the first 18 of the 41 r6-dated rows (alphabetical; the
-#     remaining 23 — emb_similarity_histogram, event_audience_overlap_exact,
-#     event_reach_weekly_exact, event_user_cms_estimate, events_anomaly_mad,
-#     events_dow_baseline, events_heavy_hitters,
-#     events_sliding_reach_7d, events_type_runs, events_user_state_scd2,
-#     events_zorder_layout, important_parts_by_revenue,
-#     large_volume_customers, multimodal_audio_features,
-#     multimodal_frame_sample, nation_trade_matrix, nation_yoy_revenue,
-#     orders_data_profile, parts_bought_together, pricing_summary,
-#     sql_docs_exact_dedup, sql_order_grouping_sets,
-#     sql_weather_city_daily — lead the round-11 rotation).
+# Round-11 rotation (VERDICT r10 directive #2), priority order:
+# (1) the 1 NEW entry this round (docs_scrub_fixpoint — the iterated
+#     ExactSubstr scrub ladder; coverage 0.089453 → 0 → 0 at sf0.01);
+# (2) ALL 23 remaining r6-dated attestations (the complete pre-r7 debt
+#     — zero pre-r7 rows remain after this gate lands green);
+# (3) the first 26 of the 45 r7-dated rows (alphabetical; the
+#     remaining 19 — late_shipment_orders, latest_order_agg,
+#     local_supplier_volume, min_cost_supplier, multimodal_features,
+#     multimodal_png_features, multimodal_png_resized,
+#     multimodal_resized, nation_market_share, part_supplier_variety,
+#     promo_revenue_share, region_revenue, returned_item_losses,
+#     small_order_revenue, sql_nation_revenue, supplier_revenue_ranks,
+#     top_parts_by_revenue, top_supplier_revenue,
+#     urgent_shipping_priority — lead the round-12 rotation).
 # The 5 rows-only-by-design queries (emb_knn_vectorized,
 # event_user_reach_approx, event_reach_sketch_weekly,
 # order_value_percentiles_approx, event_audience_overlap_approx) are
@@ -67,56 +57,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays re-verified by the local DuckDB mirror at sf0.01 each round
 # (tests/test_oracle_parity.py parametrizes ALL queries).
 _VERIFY_FIRST = (
-    "docs_exact_substring_scrub",
-    "docs_dup_coverage_gate",
-    "docs_scrub_effect",
-    "docs_dedup_pipeline",
-    "emb_centroid_drift",
-    "sole_return_suppliers",
-    "docs_dup_span_coverage",
-    "dim_part_type",
-    "docs_split_by_source",
-    "emb_ann_ivf_trained",
-    "emb_label_centroids",
-    "emb_label_outliers",
-    "event_user_reach_exact",
-    "events_cube",
-    "events_daily_pivot",
-    "events_ewma",
-    "events_funnel",
-    "events_gapfill",
-    "events_hourly_rollup",
-    "events_json_project",
-    "events_retention",
-    "events_rolling_corr",
-    "events_rollup",
-    "events_twa",
-    "events_unpivot",
-    "events_value_histogram",
-    "events_zscore",
-    "order_status_exclusive",
-    "order_value_percentiles",
-    "small_qty_part_revenue",
-    "weather_city_daily",
-    "weather_forecast_error",
-    "customer_cohort_retention",
-    "docs_bigram_nll",
-    "docs_bpe_encode",
-    "docs_bpe_merges",
-    "docs_cross_source_dup",
-    "docs_dup_clusters_incremental",
-    "docs_dup_degree_histogram",
-    "docs_hybrid_rrf",
-    "docs_pagerank",
-    "docs_split_leakage_check",
-    "docs_token_len_histogram",
-    "dormant_high_value_customers",
-    "emb_ann_recall",
-    "emb_cosine_near_dup",
-    "emb_hard_negatives",
-    "emb_knn_int8_rerank",
-    "emb_mmr_rerank",
-    "emb_pca1_projection",
+    "docs_scrub_fixpoint",
+    "emb_similarity_histogram",
+    "event_audience_overlap_exact",
+    "event_reach_weekly_exact",
+    "event_user_cms_estimate",
+    "events_anomaly_mad",
+    "events_dow_baseline",
+    "events_heavy_hitters",
+    "events_sliding_reach_7d",
+    "events_type_runs",
+    "events_user_state_scd2",
+    "events_zorder_layout",
+    "important_parts_by_revenue",
+    "large_volume_customers",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "nation_trade_matrix",
+    "nation_yoy_revenue",
+    "orders_data_profile",
+    "parts_bought_together",
+    "pricing_summary",
+    "sql_docs_exact_dedup",
+    "sql_order_grouping_sets",
+    "sql_weather_city_daily",
+    "customer_order_distribution",
+    "customer_spend_quartiles",
+    "customer_spend_quartiles_cut",
+    "discount_band_revenue",
+    "disjunctive_band_revenue",
+    "docs_bm25_search",
+    "docs_chunked",
+    "docs_corpus_stats",
+    "docs_curriculum_order",
+    "docs_domain_cap",
+    "docs_dup_triangles",
+    "docs_hot_ngrams",
+    "docs_jaccard_histogram",
+    "docs_redacted",
+    "docs_sample_exact_n",
+    "docs_split_assign",
+    "docs_vocabulary",
+    "docs_weighted_sample",
+    "dominant_part_suppliers",
+    "emb_knn_bruteforce",
+    "emb_random_projection",
+    "events_native_sessions",
+    "events_stl_decompose",
+    "fact_sun_times_forecast",
+    "fact_sun_times_history",
+    "fact_weather_params_forecast",
 )
 
 
