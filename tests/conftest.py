@@ -12,6 +12,39 @@ from meteomatics_e2e_data_pipeline_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
+# The weekly lane (pytest -m slow): randomized hypothesis SWEEPS whose
+# operators all keep first-class default-lane coverage — a DuckDB mirror
+# entry at sf0.01 (docs_jaccard_join, docs_containment_pairs,
+# docs_domain_cap, docs_chunked, dim_date_spine, dim_geo,
+# parts_abc_classes, customer_spend_quartiles, events_last_error_asof,
+# parts_hierarchy_rollup, docs_dup_clusters_incremental, ...) and/or a
+# deterministic exactness test. Deliberately NOT listed (they run every
+# time): the union-find components oracle, the ExactSubstr sequential-
+# reference pin, and this round's scrub-fixpoint convergence proof.
+SLOW_PROPERTY_SWEEPS = {
+    "test_incremental_cluster_maintenance_property",
+    "test_jaccard_prefix_pairs_property",
+    "test_containment_prefix_pairs_property",
+    "test_containment_df_cap_is_lossless",
+    "test_cap_per_group_skew_safe_property",
+    "test_kcore_matches_true_fixpoint_on_random_graphs",
+    "test_gram_array_fast_and_chained_forms_identical",
+    "test_calendar_functions_match_duckdb",
+    "test_surrogate_key_matches_duckdb",
+    "test_chunk_tokens_properties",
+    "test_global_ntile_property_matches_window",
+    "test_global_running_sum_property_matches_window",
+    "test_asof_matches_duckdb_on_random_data",
+    "test_ancestor_rollup_matches_python_walk",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = getattr(item, "originalname", None) or item.name
+        if name in SLOW_PROPERTY_SWEEPS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

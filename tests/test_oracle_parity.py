@@ -3,6 +3,8 @@ the local mirror of the driver's CORRECTNESS gate."""
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -17,13 +19,39 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+@pytest.fixture(scope="module")
+def mirror_results(spark, sf_oracle) -> "dict[str, tuple]":
+    """All 200+ mirror comparisons computed ONCE on a thread pool —
+    Spark job submission is thread-safe and the suite's mirror time is
+    dominated by per-job round-trip latency, not CPU, so 8 concurrent
+    collects overlap it (the r10 runtime-budget lever). Each query
+    still gets its own pytest row below: this fixture only moves the
+    WORK, never the verdicts — exceptions are stored per query and
+    re-raised in the owning test. Each compare() opens its own DuckDB
+    connection, so oracle runs are thread-isolated too."""
+    def run(name: str):
+        try:
+            df = QUERIES[name](spark, sf_oracle)
+            if name not in ORACLES:
+                return ("rows_only", df.count())
+            return ("cmp", compare(df, ORACLES[name], sf_oracle))
+        except Exception as ex:  # re-raised by the owning test row
+            return ("err", ex)
+
+    names = sorted(QUERIES)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(zip(names, pool.map(run, names)))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, sf_oracle, name):
-    df = QUERIES[name](spark, sf_oracle)
-    if name not in ORACLES:
-        assert df.count() >= 0  # rows-only check, mirrors the driver
+def test_query_matches_oracle(mirror_results, name):
+    kind, res = mirror_results[name]
+    if kind == "err":
+        raise res
+    if kind == "rows_only":
+        assert res >= 0  # rows-only check, mirrors the driver
         return
-    ok, msg = compare(df, ORACLES[name], sf_oracle)
+    ok, msg = res
     assert ok, f"{name}: {msg}"
 
 

@@ -19,9 +19,16 @@ def all_plans(spark, sf_smoke) -> "dict[str, str]":
     the three suite-wide hunters (cartesian, BNLJ, single-partition
     window) all read this instead of re-planning 200+ queries each
     (the r8 runtime ledger's named lever: one plan build, three
-    assertions — worth ~100 s of suite time)."""
-    return {name: _plan(spark, name, sf_smoke)
-            for name in entrymod.queries()}
+    assertions — worth ~100 s of suite time). Built on a thread pool:
+    planning is driver-side latency (plus the eager-construction
+    queries' small bootstrap jobs), so 8 threads overlap it — measured
+    114 s serial → ~30 s (r11 runtime budget)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = list(entrymod.queries())
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(zip(names, pool.map(
+            lambda n: _plan(spark, n, sf_smoke), names)))
 
 
 def test_pricing_summary_pushes_filter_and_prunes(spark, sf_smoke):
