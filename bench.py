@@ -134,6 +134,11 @@ def main() -> None:
                              "docs_exact_substring_scrub",
                              "docs_dup_coverage_gate",
                              "docs_scrub_effect",
+                             # round-11: the iterated ladder runs FIRST
+                             # in gate order, so rep0 pays the gram-
+                             # chain JIT (isolated: rep0 17.6 s vs
+                             # steady 5.7-6.6)
+                             "docs_scrub_fixpoint",
                              # rep0 additionally pays the session
                              # pair/cluster artifact build (gate order
                              # puts it before the other consumers)
