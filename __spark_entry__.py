@@ -36,16 +36,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-11 rotation (VERDICT r10 directive #2), priority order:
 # (1) the 1 NEW entry this round (docs_scrub_fixpoint — the iterated
-#     ExactSubstr scrub ladder; coverage 0.089453 → 0 → 0 at sf0.01);
+#     ExactSubstr scrub ladder; coverage 0.089453 → 0 → 0 at sf0.01)
+#     and the 1 CHANGED plan (sql_nation_revenue — count(DISTINCT)
+#     folded into a per-order pre-aggregate; oracle kept in the naive
+#     form so the green row proves the rewrite);
 # (2) ALL 23 remaining r6-dated attestations (the complete pre-r7 debt
 #     — zero pre-r7 rows remain after this gate lands green);
-# (3) the first 26 of the 45 r7-dated rows (alphabetical; the
-#     remaining 19 — late_shipment_orders, latest_order_agg,
+# (3) the first 25 of the 45 r7-dated rows (alphabetical; the
+#     remaining 20 — fact_weather_params_forecast,
+#     late_shipment_orders, latest_order_agg,
 #     local_supplier_volume, min_cost_supplier, multimodal_features,
 #     multimodal_png_features, multimodal_png_resized,
 #     multimodal_resized, nation_market_share, part_supplier_variety,
 #     promo_revenue_share, region_revenue, returned_item_losses,
-#     small_order_revenue, sql_nation_revenue, supplier_revenue_ranks,
+#     small_order_revenue, supplier_revenue_ranks,
 #     top_parts_by_revenue, top_supplier_revenue,
 #     urgent_shipping_priority — lead the round-12 rotation).
 # The 5 rows-only-by-design queries (emb_knn_vectorized,
@@ -58,6 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_oracle_parity.py parametrizes ALL queries).
 _VERIFY_FIRST = (
     "docs_scrub_fixpoint",
+    "sql_nation_revenue",
     "emb_similarity_histogram",
     "event_audience_overlap_exact",
     "event_reach_weekly_exact",
@@ -106,7 +111,6 @@ _VERIFY_FIRST = (
     "events_stl_decompose",
     "fact_sun_times_forecast",
     "fact_sun_times_history",
-    "fact_weather_params_forecast",
 )
 
 

