@@ -876,6 +876,124 @@ class TxTable:
         actions += self._stage(keep, stat_cols)
         return self._commit(actions, rv, validate=no_key_overlap)
 
+    def update(self, condition: str, assignments: dict[str, str]) -> int:
+        """Atomic UPDATE (copy-on-write, the public Delta UPDATE shape):
+        every row matching ``condition`` (a SQL boolean expression over
+        the table's columns) has each ``assignments`` column replaced by
+        its SQL expression (evaluated on the OLD row — all reads see
+        pre-update values, standard UPDATE semantics); non-matching rows
+        pass through byte-identical.
+
+        Planner: one probe scan finds the files that actually hold a
+        matching row (column-pruned to the condition's inputs; parquet
+        row-group stats prune inside the scan), and ONLY those files are
+        rewritten — rewrite cost ∝ files containing matches, never table
+        size. Zero matches publishes NO commit. The CDC feed surfaces
+        the rewrite as removed-file rows (deletes) + survivor rows
+        (inserts), netting to exactly the changed rows under
+        :meth:`read_changes`' multiset fold.
+
+        Conflicts: the condition is an arbitrary expression the planner
+        cannot check against a concurrent commit's file STATS, so any
+        intervening data-changing add conflicts (conservative,
+        stat-blind — stricter than :meth:`merge_upsert`'s key-range
+        rule, same as vendor Delta's UPDATE-vs-concurrent-write
+        behavior); layout-only (``dataChange: false``) adds never
+        conflict.
+        """
+        rv, meta, live = self._snapshot()
+        schema = StructType.fromJson(meta["schema"])
+        names = {f.name for f in schema.fields}
+        bad = sorted(set(assignments) - names)
+        if bad:
+            raise ValueError(f"assignments target unknown columns {bad}; "
+                             f"UPDATE cannot add columns")
+        stat_cols = meta.get("stat_cols", [])
+        cond = F.expr(condition)
+
+        def no_data_change(intervening):
+            for a in intervening:
+                if "add" in a and a["add"].get("dataChange", True):
+                    raise TxConflict(
+                        f"concurrent commit added rows while this update's "
+                        f"condition was being probed on {self.path}; re-run "
+                        f"the update on the new snapshot")
+
+        if not live:
+            return self.version
+        cdf = self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in sorted(live)]).withColumn(
+            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        affected = [r["_file"] for r in
+                    cdf.filter(cond).select("_file").distinct().collect()]
+        if not affected:
+            return self.version  # nothing matches: no-op, no commit
+        old = self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in sorted(affected)])
+        rewritten = old.select(*[
+            (F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
+             .otherwise(F.col(f.name)).alias(f.name)
+             if f.name in assignments else F.col(f.name))
+            for f in schema.fields])
+        actions = [{"remove": {"path": p}} for p in sorted(affected)]
+        actions += self._stage(rewritten, stat_cols)
+        return self._commit(actions, rv, validate=no_data_change)
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier snapshot as a NEW commit (the
+        public Delta RESTORE shape): the live file set — and the schema,
+        if it evolved since — becomes exactly ``version``'s, published
+        on top of the current history, so nothing is lost: every version
+        including the pre-restore head stays time-travelable, and the
+        restore itself can be restored away.
+
+        Files the old snapshot held that were since removed are
+        RE-ADDED by reference (their original add actions, stats
+        intact — no data is copied or rewritten; the commit is pure
+        log manipulation, cost independent of data volume). They must
+        still exist physically: a restore past :meth:`vacuum`'s
+        retention fails loudly, listing what's gone (the same
+        RESTORE-vs-vacuum contract as vendor Delta). A re-added file
+        whose original add was layout-only (``dataChange: false``,
+        optimize output) is re-tagged as a data change: relative to the
+        pre-restore table its rows genuinely (re)appear, and the CDC
+        feed must say so — :meth:`read_changes` across the restore nets
+        to exactly the row diff between the two snapshots.
+
+        Conflicts: ANY intervening commit (even layout-only — it may
+        remove files this restore re-adds by reference) invalidates the
+        plan; the caller re-runs against the fresh head.
+        """
+        rv, meta, live = self._snapshot()
+        _, old_meta, old_live = self._snapshot(version)
+        removes = sorted(p for p in live if p not in old_live)
+        readds = {p: a for p, a in old_live.items() if p not in live}
+        fs = _fs(self.spark, self.path)
+        missing = sorted(
+            p for p in readds
+            if not fs.exists(_jpath(self.spark, f"{self.path}/{p}")))
+        if missing:
+            raise ValueError(
+                f"cannot restore {self.path} to version {version}: files "
+                f"{missing} were vacuumed; restores reach only as far back "
+                f"as vacuum retention preserves")
+        actions: list[dict] = (
+            [{"meta": old_meta}] if old_meta != meta else [])
+        actions += [{"remove": {"path": p}} for p in removes]
+        for p in sorted(readds):
+            add = dict(readds[p])
+            add.pop("dataChange", None)  # rows reappear: a data change
+            actions.append({"add": add})
+        if not actions:
+            return self.version  # already at that snapshot: no-op
+
+        def no_concurrency(intervening):
+            raise TxConflict(
+                f"concurrent commit advanced {self.path} past the snapshot "
+                f"this restore was planned on; re-run the restore")
+
+        return self._commit(actions, rv, validate=no_concurrency)
+
     def optimize(self, target_rows: int = 1_000_000,
                  zorder_by: Sequence[str] | None = None,
                  zorder_bits: int = 12) -> int:

@@ -293,3 +293,185 @@ def test_read_changes_drives_incremental_aggregate_maintenance(
             t.read().groupBy((F.col("k") % 5).alias("b"))
             .agg(F.sum("v").alias("s")).collect()}
     assert maintained == full
+
+
+def test_update_rewrites_only_matching_files_and_cdc_nets_changed_rows(
+        spark, tmp_path):
+    """UPDATE: SQL-expression assignments applied to condition-matching
+    rows only; only files actually HOLDING a match are rewritten; a
+    no-match condition publishes no commit; the CDC window nets to
+    exactly (old matching rows out, updated rows in); assignments read
+    OLD row values (standard UPDATE semantics, v = v + k uses the
+    pre-update v); unknown target columns are rejected."""
+    from collections import Counter
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 16, parts=1), p,
+                       stat_cols=["k"])                            # file A
+    t.append(_kv(spark, 16, 32, parts=1))                          # file B
+    v_before = t.version
+    files_before = set(t.live_files())
+
+    t.update("k >= 3 AND k < 6", {"v": "v + k"})
+    assert t.version == v_before + 1
+    got = Counter((r["k"], r["v"]) for r in t.read().collect())
+    want = Counter({(k, 2 * k + (k if 3 <= k < 6 else 0)): 1
+                    for k in range(32)})
+    assert got == want
+    # only file A (0..15) was rewritten; file B (16..31) survived intact
+    assert len(set(t.live_files()) & files_before) == 1
+
+    # CDC nets to exactly the changed rows
+    ch = t.read_changes(v_before)
+    ins = Counter((r["k"], r["v"]) for r in
+                  ch.filter(F.col("_change_type") == "insert").collect())
+    dels = Counter((r["k"], r["v"]) for r in
+                   ch.filter(F.col("_change_type") == "delete").collect())
+    assert dels - ins == Counter({(3, 6): 1, (4, 8): 1, (5, 10): 1})
+    assert ins - dels == Counter({(3, 9): 1, (4, 12): 1, (5, 15): 1})
+
+    # no-match condition: no commit at all
+    v = t.version
+    t.update("k = 999", {"v": "0"})
+    assert t.version == v
+
+    # unknown assignment target: loud, nothing committed
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update("k = 0", {"nope": "1"})
+    assert t.version == v
+
+
+def test_update_conflicts_with_concurrent_insert(spark, tmp_path):
+    """An intervening data-changing add invalidates the update's probe
+    (stat-blind conservative rule); a layout-only commit does not."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 50, parts=4), p,
+                       stat_cols=["k"])
+    t2 = TxTable(spark, p)
+
+    orig = t._snapshot
+
+    def racing_snapshot(version=None):
+        out = orig(version)
+        if not getattr(racing_snapshot, "fired", False):
+            racing_snapshot.fired = True
+            t2.append(_kv(spark, 100, 105, parts=1))
+        return out
+
+    t._snapshot = racing_snapshot
+    with pytest.raises(TxConflict, match="re-run the update"):
+        t.update("k < 5", {"v": "0"})
+    t._snapshot = orig
+
+    # layout-only concurrent commit touching a DIFFERENT file: exempt
+    # from the stat-blind rule (dataChange: false moves rows between
+    # files without changing contents). Simulated as the minimal
+    # compaction no-op — remove + re-add of the same file, both tagged
+    # dataChange: false — so the table stays byte-identical while the
+    # validator sees a layout-only add. (A concurrent optimize of the
+    # SAME files the update rewrites conflicts at file level instead —
+    # the write-write rule, same as vendor Delta.) Two single-key-range
+    # files so the update's target (file A) and the racing layout
+    # commit's target (file B) are deterministically disjoint.
+    p2 = str(tmp_path / "t2")
+    ta = TxTable.create(spark, _kv(spark, 0, 5, parts=1), p2,
+                        stat_cols=["k"])                        # file A
+    file_a = set(ta.live_files())
+    ta.append(_kv(spark, 100, 105, parts=1))                    # file B
+    (file_b,) = set(ta.live_files()) - file_a
+    tb = TxTable(spark, p2)
+    orig2 = ta._snapshot
+
+    def racing_layout(version=None):
+        out = orig2(version)
+        if not getattr(racing_layout, "fired", False):
+            racing_layout.fired = True
+            rv, _, live = tb._snapshot()
+            tb._commit([
+                {"remove": {"path": file_b, "dataChange": False}},
+                {"add": {**live[file_b], "dataChange": False}},
+            ], rv)
+        return out
+
+    ta._snapshot = racing_layout
+    ta.update("k = 1", {"v": "777"})
+    ta._snapshot = orig2
+    assert [r["v"] for r in ta.read().filter(F.col("k") == 1).collect()] \
+        == [777]
+
+
+def test_restore_rewinds_live_set_keeps_history_and_feeds_cdc(
+        spark, tmp_path):
+    """RESTORE: the live set (and schema) returns to the target
+    snapshot's as a NEW commit — pure log manipulation, no data copied;
+    every pre-restore version stays readable; read_changes across the
+    restore nets to the row diff between the snapshots; restoring to
+    the current snapshot is a no-op; a vacuumed target fails loudly."""
+    from collections import Counter
+
+    def ms(df):
+        return Counter((r["k"], r["v"]) for r in df.collect())
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10, parts=1), p,
+                       stat_cols=["k"])                              # v0
+    t.append(_kv(spark, 10, 20, parts=1))                            # v1
+    want_v1 = ms(t.read())
+    t.merge_upsert(_kv(spark, 5, 15, mul=100, parts=1), ["k"],
+                   update=True)                                      # v2
+    t.delete(spark.createDataFrame([(0,)], "k long"), ["k"])         # v3
+    v_head = t.version
+    want_head = ms(t.read())
+
+    t.restore(1)                                                     # v4
+    assert t.version == v_head + 1
+    assert ms(t.read()) == want_v1
+    # nothing lost: the pre-restore head is still time-travelable
+    assert ms(t.read(version=v_head)) == want_head
+    # CDC across the restore nets to the v_head -> v1 row diff
+    ch = t.read_changes(v_head)
+    ins = Counter((r["k"], r["v"]) for r in
+                  ch.filter(F.col("_change_type") == "insert").collect())
+    dels = Counter((r["k"], r["v"]) for r in
+                   ch.filter(F.col("_change_type") == "delete").collect())
+    assert ins - dels == want_v1 - want_head
+    assert dels - ins == want_head - want_v1
+
+    # restore-to-current is a no-op (no commit)
+    v = t.version
+    t.restore(t.version)
+    assert t.version == v
+
+    # and the restore itself can be restored away
+    t.restore(v_head)
+    assert ms(t.read()) == want_head
+
+    # a restore past vacuum retention fails loudly
+    t.overwrite(_kv(spark, 50, 60, parts=1))
+    t.vacuum(retention_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(1)
+
+
+def test_restore_readds_optimized_files_as_data_changes(spark, tmp_path):
+    """A re-added file whose original add was layout-only (optimize
+    output, dataChange: false) must surface in the CDC feed after a
+    restore — relative to the pre-restore table its rows genuinely
+    reappear."""
+    from collections import Counter
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 8, parts=2), p,
+                       stat_cols=["k"])                              # v0
+    t.optimize(target_rows=1_000_000)                                # v1:
+    v_packed = t.version                  # live set = packed file (dc=false)
+    t.overwrite(_kv(spark, 100, 104, parts=1))                       # v2
+    v_over = t.version
+
+    t.restore(v_packed)                                              # v3
+    want = Counter({(k, 2 * k): 1 for k in range(8)})
+    assert Counter((r["k"], r["v"]) for r in t.read().collect()) == want
+    ch = t.read_changes(v_over)
+    ins = Counter((r["k"], r["v"]) for r in
+                  ch.filter(F.col("_change_type") == "insert").collect())
+    assert ins == want  # the packed file's rows ARE in the feed
