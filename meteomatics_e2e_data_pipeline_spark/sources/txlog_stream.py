@@ -112,7 +112,24 @@ class CdcFilePartition(InputPartition):
 class TxLogCdcStreamReader(DataSourceStreamReader):
     """Offset = {"version": N} — the last commit whose changes have been
     released. ``latestOffset`` re-lists the log each call, so commits
-    published by any writer appear in the next micro-batch."""
+    published by any writer appear in the next micro-batch.
+
+    ``maxVersionsPerTrigger`` (the Delta ``maxFilesPerTrigger`` analog at
+    this source's natural grain) bounds each micro-batch to at most that
+    many commits, so catching up a long history runs as bounded chunks
+    instead of one giant batch — per-batch work stays ∝ the cap however
+    far behind the consumer is. The limiter needs the committed offset
+    as its floor; the Python DataSource API reveals it through the
+    ``partitions(start, end)`` / ``commit(end)`` calls, from which the
+    floor ratchets monotonically upward, seeded with ``startingVersion``
+    (exactly the committed offset of a FRESH query). Restart safety is
+    pinned by test against the engine's actual call order: Spark 4.1
+    ALWAYS re-plans the checkpoint-restored offset range (a
+    ``partitions`` call) before first asking ``latestOffset`` — even
+    when the last batch fully committed — so the floor is learned from
+    the true committed offset before the limiter ever answers, and
+    ``min(latest, floor + cap) ≥ floor`` means a released offset can
+    never regress."""
 
     def __init__(self, schema: StructType, options):
         path = options.get("path")
@@ -120,20 +137,35 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
             raise ValueError("txlog_cdc requires option 'path'")
         self.table = path.rstrip("/")
         self.start = int(options.get("startingVersion", "0"))
+        self.max_versions = int(options.get("maxVersionsPerTrigger", "0"))
+        if self.max_versions < 0:
+            raise ValueError("maxVersionsPerTrigger must be >= 1 (or 0 "
+                             "for unbounded)")
+        self._floor: int | None = None  # newest version known released
         latest = _latest_version(self.table)
         if not 0 <= self.start <= latest:
             raise ValueError(
                 f"startingVersion {self.start} out of range 0..{latest}")
         self.fields = [f.name for f in _table_schema(self.table).fields]
 
+    def _ratchet(self, version: int) -> None:
+        if self._floor is None or version > self._floor:
+            self._floor = version
+
     def initialOffset(self) -> dict:
+        self._ratchet(self.start)
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_version(self.table)}
+        latest = _latest_version(self.table)
+        if self.max_versions:
+            floor = self.start if self._floor is None else self._floor
+            return {"version": min(latest, floor + self.max_versions)}
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[CdcFilePartition]:
+        self._ratchet(end["version"])
         adds: list[str] = []
         removes: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
@@ -178,7 +210,7 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         yield from pa.table(cols).to_batches()
 
     def commit(self, end: dict) -> None:  # engine owns progression
-        pass
+        self._ratchet(end["version"])
 
 
 class TxLogCdcDataSource(DataSource):
