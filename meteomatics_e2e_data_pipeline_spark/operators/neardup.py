@@ -943,7 +943,17 @@ def fold_cdc_near_dup(changes: DataFrame, state: dict,
         .select(id_col, text_col)
     net_ins = ins.exceptAll(dels).localCheckpoint(eager=True)
     net_del = dels.exceptAll(ins).localCheckpoint(eager=True)
-    del_ids = net_del.select(id_col).distinct()
+    # Net inserts are treated as UPSERTS: any doc id arriving in the
+    # insert set sheds its existing corpus row and edges in the delete
+    # phase before re-insertion. In the normal (disjoint) case this
+    # matches no rows and costs nothing; it makes the fold IDEMPOTENT —
+    # re-folding an already-applied window reproduces the same state
+    # (pinned by the durable loop's crash-replay test) instead of
+    # violating the incremental join's corpus∩batch=∅ precondition
+    # (under which a doc paired with its own stale copy divides by a
+    # zero union).
+    del_ids = (net_del.select(id_col)
+               .unionByName(net_ins.select(id_col)).distinct())
 
     # 1. vertex deletion
     pairs_d = (pairs

@@ -682,14 +682,31 @@ class TxTable:
         return self._commit(actions, rv,
                             validate=validate if validators else None)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame,
+                  txn: tuple[str, int] | None = None) -> int:
         """Atomic full replace (S9 semantics, but versioned). Conflicts
         with ANY concurrent commit: "replace everything as of my read
-        snapshot" is unsound once another writer changed the table."""
+        snapshot" is unsound once another writer changed the table.
+
+        ``txn=(app_id, version)`` makes the overwrite IDEMPOTENT for a
+        replayed streaming micro-batch (the Delta ``txn``-action
+        pattern, same ledger as the streaming sink): if the table's
+        last committed txn for ``app_id`` is already at-or-past
+        ``version``, the call publishes NOTHING and returns the current
+        version — the batch was applied before the crash. Otherwise the
+        txn action rides in the same atomic commit as the data."""
         rv, meta, live = self._snapshot()
+        if txn is not None:
+            app, ver = txn
+            last = self._fold_txns(rv).get(app)
+            if last is not None and last >= ver:
+                return self.version  # replayed batch: already applied
         actions = [{"remove": {"path": p}} for p in sorted(live)]
         actions += self._stage(self._check_schema(df),
                                meta.get("stat_cols", []))
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0],
+                                    "version": int(txn[1])}})
 
         def no_concurrency(intervening):
             if intervening:

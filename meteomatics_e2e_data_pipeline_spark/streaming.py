@@ -1115,3 +1115,121 @@ def stream_cdc_near_dup_maintenance(spark, table_path: str,
          .start())
     q.awaitTermination()
     return state
+
+
+# Combined near-dup index state as ONE table: a single atomic commit per
+# fold keeps the three frames mutually consistent under any crash (three
+# separate tables could never commit together).
+_NEARDUP_STATE_SCHEMA = ("frame string, doc_id long, text string, "
+                         "doc_a long, doc_b long, jaccard double, "
+                         "cluster_id long, is_canonical boolean")
+
+
+def pack_near_dup_state(spark, state: dict):
+    """(corpus, pairs, clusters) → one frame-discriminated DataFrame."""
+    from pyspark.sql import functions as F
+
+    n = F.lit(None)
+    corpus = state["corpus"].select(
+        F.lit("corpus").alias("frame"), "doc_id", "text",
+        n.cast("long").alias("doc_a"), n.cast("long").alias("doc_b"),
+        n.cast("double").alias("jaccard"),
+        n.cast("long").alias("cluster_id"),
+        n.cast("boolean").alias("is_canonical"))
+    pairs = state["pairs"].select(
+        F.lit("pairs").alias("frame"), n.cast("long").alias("doc_id"),
+        n.cast("string").alias("text"), "doc_a", "doc_b", "jaccard",
+        n.cast("long").alias("cluster_id"),
+        n.cast("boolean").alias("is_canonical"))
+    clusters = state["clusters"].select(
+        F.lit("clusters").alias("frame"), "doc_id",
+        n.cast("string").alias("text"), n.cast("long").alias("doc_a"),
+        n.cast("long").alias("doc_b"), n.cast("double").alias("jaccard"),
+        "cluster_id", "is_canonical")
+    return corpus.unionByName(pairs).unionByName(clusters)
+
+
+def unpack_near_dup_state(packed) -> dict:
+    """One frame-discriminated DataFrame → (corpus, pairs, clusters)."""
+    from pyspark.sql import functions as F
+
+    return {
+        "corpus": packed.filter(F.col("frame") == "corpus")
+        .select("doc_id", "text"),
+        "pairs": packed.filter(F.col("frame") == "pairs")
+        .select("doc_a", "doc_b", "jaccard"),
+        "clusters": packed.filter(F.col("frame") == "clusters")
+        .select("doc_id", "cluster_id", "is_canonical"),
+    }
+
+
+def stream_cdc_near_dup_maintenance_durable(
+        spark, table_path: str, checkpoint_path: str, state_path: str,
+        id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+        threshold: float = 0.5) -> dict:
+    """The LAKEHOUSE-NATIVE near-dup maintenance loop — the production
+    form :func:`stream_cdc_near_dup_maintenance`'s docstring promises:
+    state lives in a txlog table instead of the driver, and the whole
+    cycle is crash-safe end to end:
+
+        txlog documents table → ``txlog_cdc`` feed →
+        :func:`operators.neardup.fold_cdc_near_dup` →
+        one ATOMIC ``overwrite(txn=...)`` of the state table.
+
+    The three state frames (corpus, pairs, clusters) pack into ONE
+    frame-discriminated table so each fold is a single atomic commit —
+    the frames can never be observed mutually inconsistent, under any
+    crash. Exactly-once across the classic two-commit gap (state-table
+    commit published, stream checkpoint commit lost): the replayed
+    micro-batch's overwrite carries ``txn=(app, batch_id)`` and the
+    table's txn ledger makes it publish NOTHING (pytest-pinned with an
+    injected crash, tests/test_txlog_stream.py) — the same Delta
+    ``txn``-action discipline as the streaming sink. A fold reads the
+    state table's CURRENT snapshot; a replay after a successful state
+    commit recomputes from post-batch state, and the discarded result
+    never lands, so convergence needs no compensating logic.
+
+    Bootstrap: a missing state table is built from the documents
+    table's version-0 snapshot (the CDC feed's implied base). Each
+    fold's per-batch work stays ∝ the increment; state history is
+    itself time-travelable (every index version auditable) and
+    compactable with the standard table maintenance (optimize/vacuum/
+    checkpoints). Returns the final unpacked state dict.
+    """
+    import os
+
+    from .operators.neardup import fold_cdc_near_dup, init_near_dup_state
+    from .operators.txlog import TxTable
+    from .sources.txlog_stream import register as register_cdc
+
+    register_cdc(spark)
+    app_id = f"neardup-maintenance:{os.path.basename(state_path)}"
+    if os.path.isdir(os.path.join(state_path, "_txlog")):
+        st = TxTable(spark, state_path)
+    else:
+        boot = init_near_dup_state(
+            TxTable(spark, table_path).read(version=0),
+            id_col, text_col, n, threshold)
+        st = TxTable.create(spark, pack_near_dup_state(spark, boot),
+                            state_path)
+
+    def _fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # layout-only commits (OPTIMIZE) feed nothing
+        last = st.last_txn(app_id)
+        if last is not None and last >= batch_id:
+            return  # replayed batch: already applied, skip the compute
+        state = unpack_near_dup_state(st.read())
+        new = fold_cdc_near_dup(batch_df, state, id_col, text_col, n,
+                                threshold)
+        st.overwrite(pack_near_dup_state(spark, new),
+                     txn=(app_id, batch_id))
+
+    q = (spark.readStream.format("txlog_cdc")
+         .option("path", table_path).load()
+         .writeStream.foreachBatch(_fold)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return unpack_near_dup_state(st.read())

@@ -267,3 +267,94 @@ def test_cdc_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     per_commit = [_ms(t.read_changes(v, v + 1)) for v in range(0, 4)]
     for rows in out.values():
         assert rows in per_commit
+
+
+def test_durable_cdc_near_dup_maintenance_exactly_once_across_crash(
+        spark, tmp_path):
+    """The lakehouse-native maintenance loop: state in ONE
+    frame-discriminated txlog table, one atomic overwrite(txn=...) per
+    fold. A crash injected in the classic two-commit gap (state-table
+    commit published, stream checkpoint commit lost) replays the batch
+    on restart and the txn ledger makes the replay publish NOTHING —
+    the state table history shows exactly one applied commit per
+    effective batch, and the maintained index equals a from-scratch
+    batch recompute after further commits."""
+    import meteomatics_e2e_data_pipeline_spark.operators.txlog as txmod
+    from meteomatics_e2e_data_pipeline_spark.operators import neardup
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        stream_cdc_near_dup_maintenance_durable,
+        unpack_near_dup_state,
+    )
+
+    def doc(pfx, tweak=None):
+        toks = [f"{pfx}{i}" for i in range(10)]
+        if tweak is not None:
+            toks[tweak[0]] = tweak[1]
+        return " ".join(toks)
+
+    sch = "doc_id long, text string"
+    docs0 = spark.createDataFrame(
+        [(1, doc("a")), (2, doc("a", (9, "zz"))), (3, doc("b")),
+         (5, doc("c"))], sch)
+    p = str(tmp_path / "docs")
+    t = TxTable.create(spark, docs0.coalesce(1), p, stat_cols=["doc_id"])
+    t.append(spark.createDataFrame([(6, doc("b", (0, "qq")))], sch))  # v1
+    t.delete(spark.createDataFrame([(2,)], "doc_id long"), ["doc_id"])  # v2
+
+    ck, sp = str(tmp_path / "ck"), str(tmp_path / "state")
+
+    real = txmod.TxTable.overwrite
+    calls = {"n": 0}
+
+    def crashing(self, df, txn=None):
+        v = real(self, df, txn=txn)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after state commit")
+        return v
+
+    txmod.TxTable.overwrite = crashing
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            stream_cdc_near_dup_maintenance_durable(spark, p, ck, sp)
+    finally:
+        txmod.TxTable.overwrite = real
+    st = TxTable(spark, sp)
+    v_crash = st.version          # bootstrap + the one applied fold
+
+    # restart: the batch replays, the txn guard publishes NOTHING new
+    state = stream_cdc_near_dup_maintenance_durable(spark, p, ck, sp)
+    assert TxTable(spark, sp).version == v_crash
+
+    def ms(df):
+        return Counter(tuple(r) for r in df.collect())
+
+    pairs_b = neardup.near_dup_pairs(t.read())
+    assert ms(state["pairs"]) == ms(pairs_b)
+    assert ms(state["clusters"]) == ms(neardup.dup_clusters(pairs_b))
+    assert ms(state["corpus"]) == ms(t.read())
+
+    # fold IDEMPOTENCE (the at-least-once backstop beneath the txn
+    # guard): re-folding the already-applied window against post-batch
+    # state reproduces that state exactly — net inserts are upserts,
+    # so the replayed doc sheds its stale row/edges instead of meeting
+    # its own copy in the incremental join
+    refold = neardup.fold_cdc_near_dup(t.read_changes(0, 2), dict(state))
+    assert ms(refold["pairs"]) == ms(state["pairs"])
+    assert ms(refold["clusters"]) == ms(state["clusters"])
+    assert ms(refold["corpus"]) == ms(state["corpus"])
+
+    # further commits fold from CONSISTENT persisted state
+    t.append(spark.createDataFrame([(7, doc("c", (9, "ww")))], sch))  # v3
+    state = stream_cdc_near_dup_maintenance_durable(spark, p, ck, sp)
+    assert TxTable(spark, sp).version == v_crash + 1
+    pairs_b2 = neardup.near_dup_pairs(t.read())
+    assert ms(state["pairs"]) == ms(pairs_b2)
+    assert ms(state["clusters"]) == ms(neardup.dup_clusters(pairs_b2))
+    assert {(a, b) for a, b, _ in ms(state["pairs"])} == {(3, 6), (5, 7)}
+
+    # the state history is itself auditable: the packed v0 bootstrap
+    # equals the documents table's v0 index
+    boot = unpack_near_dup_state(st.read(version=0))
+    pairs_v0 = neardup.near_dup_pairs(t.read(version=0))
+    assert ms(boot["pairs"]) == ms(pairs_v0)
