@@ -835,13 +835,25 @@ def keep_canonical(docs: DataFrame, clusters: DataFrame,
 def near_dup_pairs_incremental(corpus: DataFrame, batch: DataFrame,
                                id_col: str = "doc_id",
                                text_col: str = "text", n: int = 3,
-                               threshold: float = 0.5) -> DataFrame:
+                               threshold: float = 0.5,
+                               corpus_index: dict | None = None
+                               ) -> DataFrame:
     """Incremental near-dup: every pair at/above ``threshold`` that
     TOUCHES the new ``batch`` — batch×corpus plus batch×batch, never
     corpus×corpus. This is the shape a daily 100 TB ingest actually
     runs: signatures for the increment only, banded join against the
-    (pre-bandable, in practice pre-materialized) corpus index, so
-    per-day work scales with the increment, not the corpus.
+    pre-materialized corpus index, so per-day work scales with the
+    increment, not the corpus.
+
+    ``corpus_index`` is that materialized index:
+    ``{"shingles": (id, hv), "bands": (id, band_id, band_hash)}`` —
+    the frames :func:`init_near_dup_state` builds and
+    :func:`fold_cdc_near_dup` maintains. With it, this function never
+    touches corpus TEXT at all (``corpus`` may even be None): the only
+    corpus-sized work left is the band equi-join probe and the
+    candidate-restricted verify. Without it, the index is computed
+    here from the corpus text (the one-shot form — bit-identical,
+    since ``shingle_hashes`` is a pure function of the text).
 
     Candidate recall is identical to running the full self-join and
     filtering to batch-touching pairs (signatures are per-document, so a
@@ -854,11 +866,15 @@ def near_dup_pairs_incremental(corpus: DataFrame, batch: DataFrame,
     """
     from pyspark import StorageLevel
 
-    sh_c = shingle_hashes(corpus, id_col, text_col, n) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    if corpus_index is not None:
+        sh_c = corpus_index["shingles"]
+        bands_c = corpus_index["bands"]
+    else:
+        sh_c = shingle_hashes(corpus, id_col, text_col, n) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        bands_c = band_rows(minhash_from_shingles(sh_c, id_col), id_col)
     sh_b = shingle_hashes(batch, id_col, text_col, n) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    bands_c = band_rows(minhash_from_shingles(sh_c, id_col), id_col)
     bands_b = band_rows(minhash_from_shingles(sh_b, id_col), id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)  # feeds cross AND self join
     b_side = bands_b.withColumnRenamed(id_col, "id_x")
@@ -885,19 +901,29 @@ def init_near_dup_state(docs: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.5) -> dict:
     """Build the maintained near-dup index state from a corpus snapshot —
     the batch bootstrap for :func:`fold_cdc_near_dup`. Returns
-    ``{"corpus", "pairs", "clusters"}``, each an eager localCheckpoint
-    (the artifact a real deployment would persist as lake tables between
-    ingests; the fold reads and replaces them wholesale)."""
+    ``{"corpus", "pairs", "clusters", "shingles", "bands"}``, each an
+    eager localCheckpoint (the artifact a real deployment would persist
+    as lake tables between ingests; the fold reads and replaces them
+    wholesale). ``shingles``/``bands`` are the MATERIALIZED corpus index
+    — what makes later folds' work truly ∝ the increment: without them
+    every fold would re-shingle and re-band the whole corpus just to
+    join the new batch against it."""
     corpus = docs.select(id_col, text_col).localCheckpoint(eager=True)
+    sh = shingle_hashes(corpus, id_col, text_col, n) \
+        .localCheckpoint(eager=True)
+    bands = band_rows(minhash_from_shingles(sh, id_col), id_col) \
+        .localCheckpoint(eager=True)
     pairs = near_dup_pairs(corpus, id_col, text_col, n, threshold) \
         .localCheckpoint(eager=True)
     clusters = dup_clusters(pairs).localCheckpoint(eager=True)
-    return {"corpus": corpus, "pairs": pairs, "clusters": clusters}
+    return {"corpus": corpus, "pairs": pairs, "clusters": clusters,
+            "shingles": sh, "bands": bands}
 
 
 def fold_cdc_near_dup(changes: DataFrame, state: dict,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3, threshold: float = 0.5) -> dict:
+                      n: int = 3, threshold: float = 0.5,
+                      materialize: bool = True) -> dict:
     """Fold ONE change-data-feed window into a maintained near-dup index
     — the composition of the lakehouse tier's CDC feed
     (``TxTable.read_changes`` / the ``txlog_cdc`` stream: rows tagged
@@ -930,13 +956,30 @@ def fold_cdc_near_dup(changes: DataFrame, state: dict,
     and both phases reproduce exactly the edge set of the post-window
     corpus — pairs(after) = pairs(before) ∖ touching(deleted) ∪
     touching(inserted), which LSH banding preserves (signatures are
-    per-document). State frames are eagerly localCheckpointed so a
-    streaming driver (foreachBatch over ``txlog_cdc``) can fold window
-    after window without plan growth; a production deployment would
-    persist them to lake tables between batches instead.
+    per-document). With ``materialize=True`` (default) the output
+    frames are eagerly localCheckpointed so an IN-MEMORY streaming
+    driver (foreachBatch over ``txlog_cdc``) can fold window after
+    window without plan growth — note this makes every fold pay
+    O(corpus) materialization IO regardless of batch size (measured:
+    the checkpoint discipline, not the compute, dominates small-batch
+    folds). A caller that immediately persists the returned frames to
+    a lake table (the durable loop) should pass ``materialize=False``:
+    the plans then flow straight into the table write — one
+    materialization instead of two — and the next fold reads the
+    TABLE, so lineage never grows anyway.
     """
     corpus, pairs, clusters = (state["corpus"], state["pairs"],
                                state["clusters"])
+    # The materialized corpus index (shingles + band rows). A legacy
+    # state dict without it derives one from the corpus text ONCE —
+    # subsequent folds then carry it forward and never re-shingle the
+    # corpus again.
+    sh_cur = state.get("shingles")
+    if sh_cur is None:
+        sh_cur = shingle_hashes(corpus, id_col, text_col, n)
+    bands_cur = state.get("bands")
+    if bands_cur is None:
+        bands_cur = band_rows(minhash_from_shingles(sh_cur, id_col), id_col)
     ins = changes.filter(F.col("_change_type") == "insert") \
         .select(id_col, text_col)
     dels = changes.filter(F.col("_change_type") == "delete") \
@@ -973,22 +1016,36 @@ def fold_cdc_near_dup(changes: DataFrame, state: dict,
     clusters_d = (dup_clusters(sub).unionByName(intact) if has_touched
                   else clusters)
 
-    # 2. incremental insertion
+    # 2. incremental insertion — against the MAINTAINED index, so the
+    # corpus text is never re-shingled: index maintenance is two
+    # anti-joins (deletes) + increment-sized appends, and the banded
+    # probe joins the batch's bands against the stored corpus bands.
     corpus_after_del = corpus.join(del_ids, id_col, "left_anti")
+    sh_after_del = sh_cur.join(del_ids, id_col, "left_anti")
+    bands_after_del = bands_cur.join(del_ids, id_col, "left_anti")
+    ck = ((lambda df: df.localCheckpoint(eager=True)) if materialize
+          else (lambda df: df))
     if net_ins.isEmpty():
-        new_corpus = corpus_after_del.localCheckpoint(eager=True)
-        return {"corpus": new_corpus,
-                "pairs": pairs_d.localCheckpoint(eager=True),
-                "clusters": clusters_d.localCheckpoint(eager=True)}
+        return {"corpus": ck(corpus_after_del), "pairs": ck(pairs_d),
+                "clusters": ck(clusters_d), "shingles": ck(sh_after_del),
+                "bands": ck(bands_after_del)}
+    # increment-sized and consumed twice (pairs union + cluster fold):
+    # always materialized, independent of the corpus-sized flag
     new_pairs = near_dup_pairs_incremental(
-        corpus_after_del, net_ins, id_col, text_col, n, threshold)
-    out_pairs = pairs_d.unionByName(new_pairs).localCheckpoint(eager=True)
-    out_clusters = dup_clusters_incremental(
-        clusters_d, new_pairs, id_col=id_col).localCheckpoint(eager=True)
-    new_corpus = corpus_after_del.unionByName(net_ins) \
-        .localCheckpoint(eager=True)
+        corpus_after_del, net_ins, id_col, text_col, n, threshold,
+        corpus_index={"shingles": sh_after_del, "bands": bands_after_del}
+    ).localCheckpoint(eager=True)
+    out_pairs = ck(pairs_d.unionByName(new_pairs))
+    out_clusters = ck(dup_clusters_incremental(
+        clusters_d, new_pairs, id_col=id_col))
+    new_corpus = ck(corpus_after_del.unionByName(net_ins))
+    sh_ins = shingle_hashes(net_ins, id_col, text_col, n)
+    out_sh = ck(sh_after_del.unionByName(sh_ins))
+    out_bands = ck(bands_after_del.unionByName(
+        band_rows(minhash_from_shingles(sh_ins, id_col), id_col)))
     return {"corpus": new_corpus, "pairs": out_pairs,
-            "clusters": out_clusters}
+            "clusters": out_clusters, "shingles": out_sh,
+            "bands": out_bands}
 
 
 def contamination_hits(corpus: DataFrame, benchmark: DataFrame,

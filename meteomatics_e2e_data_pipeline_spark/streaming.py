@@ -1118,48 +1118,60 @@ def stream_cdc_near_dup_maintenance(spark, table_path: str,
 
 
 # Combined near-dup index state as ONE table: a single atomic commit per
-# fold keeps the three frames mutually consistent under any crash (three
-# separate tables could never commit together).
+# fold keeps the five frames mutually consistent under any crash (five
+# separate tables could never commit together). The shingle/band frames
+# ARE the materialized corpus index that makes fold work ∝ increment —
+# persisting them is the point: a fold never re-shingles the corpus.
 _NEARDUP_STATE_SCHEMA = ("frame string, doc_id long, text string, "
                          "doc_a long, doc_b long, jaccard double, "
-                         "cluster_id long, is_canonical boolean")
+                         "cluster_id long, is_canonical boolean, "
+                         "hv long, band_id int, band_hash string")
 
 
 def pack_near_dup_state(spark, state: dict):
-    """(corpus, pairs, clusters) → one frame-discriminated DataFrame."""
+    """(corpus, pairs, clusters, shingles, bands) → one
+    frame-discriminated DataFrame."""
     from pyspark.sql import functions as F
 
     n = F.lit(None)
-    corpus = state["corpus"].select(
-        F.lit("corpus").alias("frame"), "doc_id", "text",
-        n.cast("long").alias("doc_a"), n.cast("long").alias("doc_b"),
-        n.cast("double").alias("jaccard"),
-        n.cast("long").alias("cluster_id"),
-        n.cast("boolean").alias("is_canonical"))
-    pairs = state["pairs"].select(
-        F.lit("pairs").alias("frame"), n.cast("long").alias("doc_id"),
-        n.cast("string").alias("text"), "doc_a", "doc_b", "jaccard",
-        n.cast("long").alias("cluster_id"),
-        n.cast("boolean").alias("is_canonical"))
-    clusters = state["clusters"].select(
-        F.lit("clusters").alias("frame"), "doc_id",
-        n.cast("string").alias("text"), n.cast("long").alias("doc_a"),
-        n.cast("long").alias("doc_b"), n.cast("double").alias("jaccard"),
-        "cluster_id", "is_canonical")
-    return corpus.unionByName(pairs).unionByName(clusters)
+    blank = {
+        "doc_id": n.cast("long"), "text": n.cast("string"),
+        "doc_a": n.cast("long"), "doc_b": n.cast("long"),
+        "jaccard": n.cast("double"), "cluster_id": n.cast("long"),
+        "is_canonical": n.cast("boolean"), "hv": n.cast("long"),
+        "band_id": n.cast("int"), "band_hash": n.cast("string"),
+    }
+
+    def frame(tag, df, *cols):
+        sel = [F.lit(tag).alias("frame")]
+        sel += [F.col(c).alias(c) if c in cols else blank[c].alias(c)
+                for c in blank]
+        return df.select(*sel)
+
+    out = frame("corpus", state["corpus"], "doc_id", "text")
+    for tag, cols in (("pairs", ("doc_a", "doc_b", "jaccard")),
+                      ("clusters", ("doc_id", "cluster_id",
+                                    "is_canonical")),
+                      ("shingles", ("doc_id", "hv")),
+                      ("bands", ("doc_id", "band_id", "band_hash"))):
+        out = out.unionByName(frame(tag, state[tag], *cols))
+    return out
 
 
 def unpack_near_dup_state(packed) -> dict:
-    """One frame-discriminated DataFrame → (corpus, pairs, clusters)."""
+    """One frame-discriminated DataFrame → the five state frames."""
     from pyspark.sql import functions as F
 
+    def frame(tag, *cols):
+        return packed.filter(F.col("frame") == tag).select(*cols)
+
     return {
-        "corpus": packed.filter(F.col("frame") == "corpus")
-        .select("doc_id", "text"),
-        "pairs": packed.filter(F.col("frame") == "pairs")
-        .select("doc_a", "doc_b", "jaccard"),
-        "clusters": packed.filter(F.col("frame") == "clusters")
-        .select("doc_id", "cluster_id", "is_canonical"),
+        "corpus": frame("corpus", "doc_id", "text"),
+        "pairs": frame("pairs", "doc_a", "doc_b", "jaccard"),
+        "clusters": frame("clusters", "doc_id", "cluster_id",
+                          "is_canonical"),
+        "shingles": frame("shingles", "doc_id", "hv"),
+        "bands": frame("bands", "doc_id", "band_id", "band_hash"),
     }
 
 
@@ -1220,8 +1232,11 @@ def stream_cdc_near_dup_maintenance_durable(
         if last is not None and last >= batch_id:
             return  # replayed batch: already applied, skip the compute
         state = unpack_near_dup_state(st.read())
+        # materialize=False: the fold's corpus-sized outputs flow
+        # straight into the table write below (one materialization, not
+        # two); the next fold reads the TABLE, so lineage never grows
         new = fold_cdc_near_dup(batch_df, state, id_col, text_col, n,
-                                threshold)
+                                threshold, materialize=False)
         st.overwrite(pack_near_dup_state(spark, new),
                      txn=(app_id, batch_id))
 
