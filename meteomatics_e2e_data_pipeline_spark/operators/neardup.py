@@ -1647,6 +1647,22 @@ def exact_substring_scrub_fixpoint(docs: DataFrame, id_col: str = "doc_id",
             .alias("coverage")))
         if p == passes:
             break
+        if dup.isEmpty():
+            # Converged: the dup-start frame is empty, so this and every
+            # later pass is the identity — emit the remaining ladder rows
+            # from the CURRENT corpus without re-shingling it again (the
+            # isEmpty probe is driver-cheap: dup is already an eager
+            # localCheckpoint). Values are bit-identical to running the
+            # dead passes: tokens unchanged, covered 0, coverage written
+            # as the same round(0/tokens) expression so an empty corpus
+            # still yields NULL on both engines.
+            for q in range(p + 1, passes + 1):
+                rows.append(tok_total.select(
+                    F.lit(q).cast("bigint").alias("pass_no"), "tokens",
+                    F.lit(0).cast("bigint").alias("covered_tokens"),
+                    F.round(F.lit(0).cast("bigint") / F.col("tokens"), 6)
+                    .alias("coverage")))
+            break
         covered = (dup.select(
             id_col,
             F.explode(F.sequence(F.col("pos"),
