@@ -238,3 +238,30 @@ def test_no_data_sized_single_partition_windows(all_plans):
             if name not in allowed:
                 offenders.append((name, ln.strip()[:90]))
     assert not offenders, offenders
+
+
+def test_incremental_near_dup_indexed_probe_is_equi_join_only(spark):
+    """The maintained-index fold path (r11): with corpus_index supplied,
+    near_dup_pairs_incremental's probe must be an EQUI-join on the band
+    keys against the stored index — no CartesianProduct anywhere, and no
+    re-shingling of corpus text (the index frames are checkpoint scans,
+    so corpus text never appears in the plan)."""
+    from meteomatics_e2e_data_pipeline_spark.operators.neardup import (
+        init_near_dup_state,
+        near_dup_pairs_incremental,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(6))) for i in range(6)],
+        "doc_id long, text string")
+    state = init_near_dup_state(docs)
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"w0x{j}" for j in range(6)))],
+        "doc_id long, text string")
+    df = near_dup_pairs_incremental(
+        None, batch,
+        corpus_index={"shingles": state["shingles"],
+                      "bands": state["bands"]})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "band_hash" in plan   # the probe keys reach a join, not a scan
