@@ -893,6 +893,89 @@ class TxTable:
         actions += self._stage(keep, stat_cols)
         return self._commit(actions, rv, validate=no_key_overlap)
 
+    def apply_changes(self, changes: DataFrame, keys: Sequence[str],
+                      txn: tuple[str, int] | None = None) -> int:
+        """Apply one change-data-feed window to THIS table in ONE atomic
+        commit — the CONSUMING end of the CDC story (``read_changes`` /
+        the ``txlog_cdc`` stream produce; this applies): rows tagged
+        ``_change_type='delete'`` are removed by key, rows tagged
+        ``'insert'`` are upserted (last-wins by key), together. Feeding
+        a replica table from a source's change feed with this per
+        micro-batch — ``txn``-guarded exactly like the streaming sink —
+        replicates the source through ANY DML history (append, MERGE,
+        DELETE, UPDATE, RESTORE), pytest-pinned including a crash
+        between the replica commit and the stream checkpoint.
+
+        The window is netted first (``exceptAll`` both ways), so rows
+        carried unchanged through the source's copy-on-write rewrites
+        cancel and cost nothing — the same discipline as
+        :func:`~..operators.neardup.fold_cdc_near_dup`. Then ONE
+        stat-pruned probe finds the files holding any touched key, and
+        one rewrite drops/replaces them: cost ∝ files containing
+        touched keys, never table size. A window that nets to nothing
+        publishes NO commit (a replay of it is identically nothing).
+        Conflicts: a concurrent commit adding keys in the touched range
+        raises :class:`TxConflict` (the merge rule).
+        """
+        keys = list(keys)
+        rv, meta, live = self._snapshot()
+        if txn is not None:
+            app, ver = txn
+            last = self._fold_txns(rv).get(app)
+            if last is not None and last >= ver:
+                return self.version  # replayed batch: already applied
+        schema = StructType.fromJson(meta["schema"])
+        cols = [f.name for f in schema.fields]
+        ins = changes.filter(F.col("_change_type") == "insert") \
+            .select(*cols)
+        dels = changes.filter(F.col("_change_type") == "delete") \
+            .select(*cols)
+        net_ins = ins.exceptAll(dels)
+        net_del = dels.exceptAll(ins)
+        net_ins = self._check_schema(net_ins).dropDuplicates(keys)
+        touched = (net_ins.select(*keys)
+                   .unionByName(net_del.select(*keys)).distinct()
+                   .localCheckpoint(eager=True))
+        if touched.isEmpty():
+            return self.version  # window netted to nothing: no commit
+        bounds = self._batch_bounds(touched, keys)
+        cand = self._candidate_files(live, keys, bounds)
+        stat_cols = meta.get("stat_cols", [])
+
+        def no_key_overlap(intervening):
+            for a in intervening:
+                if "add" in a and self._overlaps(a["add"], keys, bounds):
+                    raise TxConflict(
+                        f"concurrent commit added keys overlapping this "
+                        f"change window on {self.path}; re-run against "
+                        f"the new snapshot")
+
+        affected: list[str] = []
+        if cand:
+            cdf = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in cand]).withColumn(
+                "_file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1))
+            affected = [r["_file"] for r in
+                        cdf.select("_file", *keys)
+                        .join(touched, on=keys, how="left_semi")
+                        .select("_file").distinct().collect()]
+        actions = [{"remove": {"path": p}} for p in sorted(affected)]
+        if affected:
+            keep = (self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in sorted(affected)])
+                .join(touched, on=keys, how="left_anti"))
+            new_data = keep.unionByName(net_ins)
+        else:
+            new_data = net_ins
+        actions += self._stage(new_data, stat_cols)
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0],
+                                    "version": int(txn[1])}})
+        if not actions:
+            return self.version
+        return self._commit(actions, rv, validate=no_key_overlap)
+
     def update(self, condition: str, assignments: dict[str, str]) -> int:
         """Atomic UPDATE (copy-on-write, the public Delta UPDATE shape):
         every row matching ``condition`` (a SQL boolean expression over

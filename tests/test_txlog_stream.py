@@ -358,3 +358,70 @@ def test_durable_cdc_near_dup_maintenance_exactly_once_across_crash(
     boot = unpack_near_dup_state(st.read(version=0))
     pairs_v0 = neardup.near_dup_pairs(t.read(version=0))
     assert ms(boot["pairs"]) == ms(pairs_v0)
+
+
+def test_cdc_replication_via_apply_changes_survives_any_dml_and_crash(
+        spark, tmp_path):
+    """Table replication through the change feed: a replica fed by
+    txlog_cdc → foreachBatch → TxTable.apply_changes(txn=...) equals
+    the source after EVERY kind of DML the format supports — append,
+    updating MERGE, keyed DELETE, expression UPDATE, and RESTORE — and
+    stays exactly-once across a crash injected between the replica
+    commit and the stream checkpoint commit."""
+    import meteomatics_e2e_data_pipeline_spark.operators.txlog as txmod
+
+    src = TxTable.create(spark, _kv(spark, 0, 20), str(tmp_path / "src"),
+                         stat_cols=["k"])                            # v0
+    rep = TxTable.create(spark, src.read(version=0),
+                         str(tmp_path / "rep"), stat_cols=["k"])
+    ck = str(tmp_path / "ck")
+    register(spark)
+
+    def sync(crash_after_apply=False):
+        state = {"n": 0}
+
+        def _apply(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            rep.apply_changes(batch_df, ["k"], txn=("replica", batch_id))
+            state["n"] += 1
+            if crash_after_apply and state["n"] == 1:
+                raise RuntimeError("injected crash after replica commit")
+
+        q = (spark.readStream.format("txlog_cdc")
+             .option("path", src.path).load()
+             .writeStream.foreachBatch(_apply)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def kv(t):
+        return Counter((r["k"], r["v"]) for r in t.read().collect())
+
+    # every DML shape, then one sync with a crash in the two-commit gap
+    src.append(_kv(spark, 20, 30))                                   # v1
+    src.merge_upsert(_kv(spark, 5, 25, mul=9), ["k"], update=True)   # v2
+    with pytest.raises(Exception, match="injected crash"):
+        sync(crash_after_apply=True)
+    v_after_crash = rep.version
+    sync()                                     # replay publishes NOTHING
+    assert rep.version == v_after_crash
+    assert kv(rep) == kv(src)
+
+    src.delete(spark.createDataFrame([(2,), (7,)], "k long"), ["k"])  # v3
+    src.update("k >= 25", {"v": "v + 1000"})                          # v4
+    sync()
+    assert kv(rep) == kv(src)
+
+    v_rollback_target = 2
+    src.restore(v_rollback_target)                                    # v5
+    sync()
+    assert kv(rep) == kv(src)
+    assert kv(rep) == Counter((r["k"], r["v"]) for r in
+                              src.read(version=v_rollback_target)
+                              .collect())
+
+    # a sync with no new commits replicates nothing and commits nothing
+    v = rep.version
+    sync()
+    assert rep.version == v
