@@ -359,6 +359,13 @@ def test_durable_cdc_near_dup_maintenance_exactly_once_across_crash(
     pairs_v0 = neardup.near_dup_pairs(t.read(version=0))
     assert ms(boot["pairs"]) == ms(pairs_v0)
 
+    # the packed table's schema IS the declared contract
+    from pyspark.sql.types import StructType as _St
+    from meteomatics_e2e_data_pipeline_spark.streaming import (
+        _NEARDUP_STATE_SCHEMA,
+    )
+    assert st.schema() == _St.fromDDL(_NEARDUP_STATE_SCHEMA)
+
 
 def test_cdc_replication_via_apply_changes_survives_any_dml_and_crash(
         spark, tmp_path):
