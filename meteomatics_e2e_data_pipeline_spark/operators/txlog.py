@@ -54,6 +54,7 @@ import json
 import os
 import time
 import uuid
+from collections import Counter
 from collections.abc import Sequence
 from datetime import date, datetime
 from decimal import Decimal
@@ -228,8 +229,10 @@ class TxTable:
         """Materialize the folded snapshot at ``version`` (default: latest)
         as ``%020d.checkpoint.json`` so later snapshots fold forward from
         it instead of from commit 0. Idempotent: the content is a pure
-        function of the immutable commits ≤ version, so an
-        already-existing checkpoint is simply kept. Returns the
+        function of the immutable commits ≤ version, so a VALID existing
+        checkpoint is simply kept; a legacy (pre-count-trailer) or torn
+        one is regenerated in place — the upgrade path for tables
+        checkpointed by an older writer. Returns the
         checkpointed version. Commit files are NOT deleted — time travel
         and change feeds keep reading them."""
         v, meta, live = self._snapshot(version)
@@ -247,21 +250,29 @@ class TxTable:
         if "://" not in self.log_dir:  # tmp+link: never a torn checkpoint
             target = f"{self.log_dir}/{v:020d}{_CKPT_SUFFIX}"
             if os.path.exists(target):
-                return v
+                try:
+                    self._read_checkpoint(v)
+                    return v
+                except Exception:
+                    # Legacy (pre-count-trailer) or torn checkpoint:
+                    # regenerate IN PLACE — content is a pure function of
+                    # the immutable commits <= v, so an atomic replace
+                    # with the trailer-carrying form upgrades it instead
+                    # of leaving every fold rejecting it forever.
+                    pass
             tmp = f"{self.log_dir}/{uuid.uuid4().hex}.ckpt.tmp"
             with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write(payload)
-            try:
-                os.link(tmp, target)
-            except FileExistsError:
-                pass  # benign race with an equal writer
-            finally:
-                os.unlink(tmp)
+            os.replace(tmp, target)  # atomic; equal-content races benign
             return v
         fs = _fs(self.spark, self.log_dir)
         target = _jpath(self.spark, f"{self.log_dir}/{v:020d}{_CKPT_SUFFIX}")
         if fs.exists(target):
-            return v
+            try:
+                self._read_checkpoint(v)
+                return v
+            except Exception:
+                fs.delete(target, False)  # legacy/torn: regenerate below
         try:
             out = fs.create(target, False)
         except Exception:
@@ -590,9 +601,16 @@ class TxTable:
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"]["path"])
-        transient = set(adds) & set(removes)
-        adds = [p for p in adds if p not in transient]
-        removes = [p for p in removes if p not in transient]
+        # Net per path by MULTISET count, not set intersection: RESTORE
+        # re-adds a previously removed path, so a window spanning
+        # add(v1) -> delete(v2) -> restore-re-add(v3) has unbalanced
+        # counts (2 adds, 1 remove) whose true net is ONE insert — a
+        # set-based cancel would drop all occurrences and emit an empty
+        # feed, breaking the fold invariant for any catch-up consumer
+        # whose window spans a remove and its later re-add.
+        add_c, rem_c = Counter(adds), Counter(removes)
+        adds = sorted((add_c - rem_c).elements())
+        removes = sorted((rem_c - add_c).elements())
         out_schema = schema.add("_change_type", "string")
         frames = []
         for paths, tag in ((adds, "insert"), (removes, "delete")):
@@ -899,12 +917,28 @@ class TxTable:
         commit — the CONSUMING end of the CDC story (``read_changes`` /
         the ``txlog_cdc`` stream produce; this applies): rows tagged
         ``_change_type='delete'`` are removed by key, rows tagged
-        ``'insert'`` are upserted (last-wins by key), together. Feeding
+        ``'insert'`` are upserted, together. Feeding
         a replica table from a source's change feed with this per
         micro-batch — ``txn``-guarded exactly like the streaming sink —
         replicates the source through ANY DML history (append, MERGE,
-        DELETE, UPDATE, RESTORE), pytest-pinned including a crash
-        between the replica commit and the stream checkpoint.
+        DELETE, UPDATE, RESTORE, and ``merge_schema`` widenings),
+        pytest-pinned including a crash between the replica commit and
+        the stream checkpoint.
+
+        Schema evolution FOLLOWS the source: a window whose feed
+        carries columns beyond the replica's stored schema (a source
+        that widened via ``merge_schema=True``) widens the replica in
+        the SAME atomic commit, so the replica never silently drops a
+        source column; old replica files read the new columns as null,
+        exactly like the source's own files do.
+
+        Replication is key-based, so the SOURCE must be key-unique: a
+        window whose netted inserts hold more than one row for a key
+        (the source itself carries duplicate keys, or appended the same
+        key twice without a rewrite) has no well-defined keyed replica
+        and raises ``ValueError`` instead of silently keeping an
+        arbitrary row. Copy-on-write sources never trip this — a
+        rewritten row's old value arrives as a delete and nets away.
 
         The window is netted first (``exceptAll`` both ways), so rows
         carried unchanged through the source's copy-on-write rewrites
@@ -925,14 +959,43 @@ class TxTable:
             if last is not None and last >= ver:
                 return self.version  # replayed batch: already applied
         schema = StructType.fromJson(meta["schema"])
-        cols = [f.name for f in schema.fields]
+        stored = {f.name for f in schema.fields}
+        feed_cols = [c for c in changes.columns if c != "_change_type"]
+        extra = [c for c in feed_cols if c not in stored]
+        # Net on the FEED's schema (both tags share it), so a widened
+        # source column participates in the cancel before conforming.
         ins = changes.filter(F.col("_change_type") == "insert") \
-            .select(*cols)
+            .select(*feed_cols)
         dels = changes.filter(F.col("_change_type") == "delete") \
-            .select(*cols)
+            .select(*feed_cols)
         net_ins = ins.exceptAll(dels)
         net_del = dels.exceptAll(ins)
-        net_ins = self._check_schema(net_ins).dropDuplicates(keys)
+        evolve_validators: list = []
+        new_meta = None
+        if extra:
+            # Follow the source's widening: evolve the replica schema in
+            # the same commit (nullable, feed types — the merge_schema
+            # contract), instead of silently projecting the column away.
+            net_ins, new_meta, evolve_validators = self._evolve_schema(
+                net_ins, meta)
+            if new_meta is not None:
+                meta = new_meta
+                schema = StructType.fromJson(meta["schema"])
+        else:
+            net_ins = self._check_schema(net_ins)
+        # Keyed replication needs key-unique sources: >1 netted insert
+        # per key means the source holds duplicate keys — keeping an
+        # arbitrary one would silently diverge the replica (see
+        # docstring). One extra 2-col agg, bounded by the window.
+        dup = (net_ins.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            kv = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"apply_changes on {self.path}: change window nets "
+                f">1 insert for key {kv}; keyed replication requires a "
+                f"key-unique source (copy-on-write sources net to one "
+                f"row per key — duplicate appends of a key do not)")
         touched = (net_ins.select(*keys)
                    .unionByName(net_del.select(*keys)).distinct()
                    .localCheckpoint(eager=True))
@@ -960,8 +1023,11 @@ class TxTable:
                         cdf.select("_file", *keys)
                         .join(touched, on=keys, how="left_semi")
                         .select("_file").distinct().collect()]
-        actions = [{"remove": {"path": p}} for p in sorted(affected)]
+        actions = ([{"meta": meta}] if new_meta is not None else [])
+        actions += [{"remove": {"path": p}} for p in sorted(affected)]
         if affected:
+            # Evolved schema null-fills pre-widening survivor files,
+            # same as the source's own post-merge_schema reads.
             keep = (self.spark.read.schema(schema).parquet(
                 *[f"{self.path}/{f}" for f in sorted(affected)])
                 .join(touched, on=keys, how="left_anti"))
@@ -974,7 +1040,12 @@ class TxTable:
                                     "version": int(txn[1])}})
         if not actions:
             return self.version
-        return self._commit(actions, rv, validate=no_key_overlap)
+
+        def validate(intervening):
+            no_key_overlap(intervening)
+            for v in evolve_validators:
+                v(intervening)
+        return self._commit(actions, rv, validate=validate)
 
     def update(self, condition: str, assignments: dict[str, str]) -> int:
         """Atomic UPDATE (copy-on-write, the public Delta UPDATE shape):

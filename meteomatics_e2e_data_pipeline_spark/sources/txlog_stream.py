@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections import Counter
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
@@ -142,6 +143,7 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
             raise ValueError("maxVersionsPerTrigger must be >= 1 (or 0 "
                              "for unbounded)")
         self._floor: int | None = None  # newest version known released
+        self._answered: int | None = None  # last capped latestOffset
         latest = _latest_version(self.table)
         if not 0 <= self.start <= latest:
             raise ValueError(
@@ -160,11 +162,32 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         latest = _latest_version(self.table)
         if self.max_versions:
             floor = self.start if self._floor is None else self._floor
-            return {"version": min(latest, floor + self.max_versions)}
+            ans = min(latest, floor + self.max_versions)
+            if self._answered is not None:  # never regress within-process
+                ans = max(ans, self._answered)
+            self._answered = ans
+            return {"version": ans}
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[CdcFilePartition]:
+        # Defense for the limiter's restart contract (the floor is
+        # learned from the engine's observed call order — Spark 4.1
+        # always re-plans the restored range before asking
+        # latestOffset): if a partitions call ever reveals a committed
+        # offset ABOVE a previously answered capped latestOffset, the
+        # engine changed that order and our capped answer regressed
+        # below its checkpoint — fail LOUDLY instead of replaying or
+        # skipping a committed window.
+        if (self.max_versions and self._answered is not None
+                and start["version"] > self._answered):
+            raise RuntimeError(
+                f"txlog_cdc maxVersionsPerTrigger: engine revealed "
+                f"committed offset {start['version']} above the capped "
+                f"latestOffset answer {self._answered} — the engine's "
+                f"restart call order changed; restart the query without "
+                f"maxVersionsPerTrigger to catch up safely")
+        self._ratchet(start["version"])
         self._ratchet(end["version"])
         adds: list[str] = []
         removes: list[str] = []
@@ -179,11 +202,15 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
                         removes.append(action["remove"]["path"])
-        transient = set(adds) & set(removes)
+        # Multiset netting (same fix as TxTable.read_changes): RESTORE
+        # re-adds a removed path, so add/remove counts inside one window
+        # can be unbalanced — net by Counter difference, never by set
+        # intersection, or a remove + later re-add cancels to nothing.
+        add_c, rem_c = Counter(adds), Counter(removes)
         return ([CdcFilePartition(os.path.join(self.table, p), "insert")
-                 for p in sorted(adds) if p not in transient]
+                 for p in sorted((add_c - rem_c).elements())]
                 + [CdcFilePartition(os.path.join(self.table, p), "delete")
-                   for p in sorted(removes) if p not in transient])
+                   for p in sorted((rem_c - add_c).elements())])
 
     def read(self, partition: CdcFilePartition) -> Iterator:
         """Yield Arrow RecordBatches (vectorized engine ingest; same

@@ -1066,6 +1066,43 @@ def stream_type_runs(spark: SparkSession, sf_dir: str,
     q.awaitTermination()
 
 
+def _checkpoint_max_version(checkpoint_path: str) -> int | None:
+    """Highest txlog version any COMMITTED batch in a stream checkpoint
+    has consumed (None when the checkpoint is fresh or nothing
+    committed). A committed batch is exactly what a restart will NOT
+    replay — a planned-but-uncommitted offsets file replays into
+    ``foreachBatch`` and so never strands in-memory state. Reads the
+    engine's ``offsets/<batchId>`` files (the source's serialized
+    offset JSON — ``{"version": N}`` for txlog_cdc — rides on its own
+    line; the v1 header and watermark-metadata lines are skipped) for
+    batch ids that have a matching ``commits/<batchId>`` entry."""
+    import json
+    import os
+
+    odir = os.path.join(checkpoint_path, "offsets")
+    cdir = os.path.join(checkpoint_path, "commits")
+    if not os.path.isdir(odir) or not os.path.isdir(cdir):
+        return None
+    committed = {n for n in os.listdir(cdir) if n.isdigit()}
+    best: int | None = None
+    for name in os.listdir(odir):
+        if not name.isdigit() or name not in committed:
+            continue
+        with open(os.path.join(odir, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                v = obj.get("version")
+                if isinstance(v, int) and (best is None or v > best):
+                    best = v
+    return best
+
+
 def stream_cdc_near_dup_maintenance(spark, table_path: str,
                                     checkpoint_path: str, state: dict,
                                     id_col: str = "doc_id",
@@ -1094,12 +1131,36 @@ def stream_cdc_near_dup_maintenance(spark, table_path: str,
     txlog sink's txn action making the fold exactly-once); the fold
     itself is already batch-shaped for that.
 
+    Restart guard: driver-memory state + a DURABLE stream checkpoint is
+    a mismatch a restart can silently exploit — a process that
+    re-bootstraps ``state`` from the v0 snapshot while reusing the old
+    ``checkpointLocation`` would skip the already-committed CDC window
+    and serve a permanently stale index with no error. ``state`` may
+    carry ``"base_version"`` (the table version it was built from;
+    defaults to 0, the documented bootstrap contract — this function
+    keeps it ADVANCED to the consumed offset on return, so the relay
+    pattern over the same state dict keeps working); if the existing
+    checkpoint has already COMMITTED an offset ahead of it, this raises
+    and points at :func:`stream_cdc_near_dup_maintenance_durable`,
+    whose state lives in a table and re-reads consistently.
+
     Returns the final state dict (also mutated in place).
     """
     from .operators.neardup import fold_cdc_near_dup
     from .sources.txlog_stream import register as register_cdc
 
     register_cdc(spark)
+    base = int(state.get("base_version", 0))
+    committed = _checkpoint_max_version(checkpoint_path)
+    if committed is not None and committed > base:
+        raise ValueError(
+            f"stream checkpoint {checkpoint_path} already committed the "
+            f"change window up to version {committed}, but the in-memory "
+            f"state was built from version {base}: resuming would skip "
+            f"committed changes and leave the index permanently stale. "
+            f"Rebuild state from the current snapshot with a fresh "
+            f"checkpoint, or use stream_cdc_near_dup_maintenance_durable "
+            f"(table-backed state survives restarts)")
 
     def _fold(batch_df, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1114,6 +1175,9 @@ def stream_cdc_near_dup_maintenance(spark, table_path: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    done = _checkpoint_max_version(checkpoint_path)
+    if done is not None:
+        state["base_version"] = max(base, done)
     return state
 
 
