@@ -475,3 +475,69 @@ def test_restore_readds_optimized_files_as_data_changes(spark, tmp_path):
     ins = Counter((r["k"], r["v"]) for r in
                   ch.filter(F.col("_change_type") == "insert").collect())
     assert ins == want  # the packed file's rows ARE in the feed
+
+
+def test_read_changes_nets_restore_readds_by_multiset(spark, tmp_path):
+    """A window spanning a remove and a later RESTORE re-add of the SAME
+    path has unbalanced add/remove counts (2 adds vs 1 remove); netting
+    by set intersection dropped every occurrence and emitted an empty
+    feed where the true net is one insert — any fresh catch-up consumer
+    over a restore-bearing history built a wrong replica. Multiset
+    netting keeps the fold invariant; the symmetric remove/re-add/remove
+    window nets to one delete."""
+    from collections import Counter
+
+    def ms(df):
+        return Counter((r["k"], r["v"]) for r in df.collect())
+
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10, parts=1), p,
+                       stat_cols=["k"])                              # v0
+    t.append(_kv(spark, 10, 20, parts=1))                            # v1: +f2
+    # delete every row the v1 file holds: f2 is removed, nothing staged
+    t.delete(spark.range(10, 20).selectExpr("id as k"), ["k"])       # v2: -f2
+    t.restore(1)                                                     # v3: +f2
+    ch = t.read_changes(0)  # spans add(v1) -> remove(v2) -> re-add(v3)
+    ins = ms(ch.filter(F.col("_change_type") == "insert"))
+    dels = ms(ch.filter(F.col("_change_type") == "delete"))
+    assert ins - dels == ms(t.read()) - ms(t.read(version=0))
+    assert dels - ins == Counter()
+    assert ins, "restore re-add cancelled to an empty feed"
+
+    # symmetric window (1, 4]: remove(v2) -> re-add(v3) -> remove(v4)
+    t.delete(spark.range(10, 20).selectExpr("id as k"), ["k"])       # v4
+    ch2 = t.read_changes(1)
+    ins2 = ms(ch2.filter(F.col("_change_type") == "insert"))
+    dels2 = ms(ch2.filter(F.col("_change_type") == "delete"))
+    assert dels2 - ins2 == ms(t.read(version=1)) - ms(t.read())
+    assert ins2 - dels2 == Counter()
+    assert dels2, "re-add/remove cancelled to an empty feed"
+
+
+def test_legacy_checkpoint_is_regenerated_in_place(spark, tmp_path):
+    """A checkpoint written before the count trailer existed must not be
+    treated as permanently torn: write_checkpoint regenerates the
+    same-version file (atomic replace) with the trailer, instead of
+    leaving every snapshot fold rejecting it back to commit 0."""
+    p = str(tmp_path / "t")
+    t = TxTable.create(spark, _kv(spark, 0, 10, parts=1), p,
+                       stat_cols=["k"])
+    t.append(_kv(spark, 10, 20, parts=1))
+    v = t.write_checkpoint()
+    ckpt = os.path.join(p, "_txlog", f"{v:020d}.checkpoint.json")
+    with open(ckpt, encoding="utf-8") as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    assert json.loads(lines[-1]).keys() == {"count"}
+    # strip the trailer -> the legacy on-disk format
+    with open(ckpt, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines[:-1]))
+    with pytest.raises(ValueError, match="torn"):
+        t._read_checkpoint(v)
+    # idempotent call upgrades the file in place...
+    assert t.write_checkpoint(v) == v
+    meta, live, _ = t._read_checkpoint(v)
+    assert meta and live
+    # ...and snapshot folds accelerate from it again
+    from collections import Counter
+    assert Counter((r["k"], r["v"]) for r in t.read().collect()) == \
+        Counter((i, i * 2) for i in range(20))
