@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from meteomatics_e2e_data_pipeline_spark.plans import (
-    analytics, llmdata, timeseries, weather)
+    analytics, llmdata, star_lakehouse, timeseries, weather)
 from meteomatics_e2e_data_pipeline_spark.sources.fixtures import ensure_fixtures
 
 # Bronze fixtures must exist before the driver runs the weather oracle SQL
@@ -123,6 +123,7 @@ def _ordered(out: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(analytics.QUERIES)
     out.update(weather.WEATHER_QUERIES)
+    out.update(star_lakehouse.STAR_QUERIES)
     out.update(llmdata.LLM_QUERIES)
     out.update(timeseries.TS_QUERIES)
     return _ordered(out)
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = dict(analytics.ORACLE)
     out.update(weather.weather_oracle())
+    out.update(star_lakehouse.star_oracle())
     out.update(llmdata.llm_oracle())
     out.update(timeseries.ts_oracle())
     return _ordered(out)

@@ -550,6 +550,36 @@ class TxTable:
         return self.spark.read.schema(schema).parquet(
             *[f"{self.path}/{f}" for f in sorted(live)])
 
+    def read_keys(self, keys_df: DataFrame, keys: Sequence[str],
+                  version: int | None = None) -> DataFrame:
+        """Stat-pruned keyed snapshot probe — the READ-side sibling of
+        the merge/delete planners: return the snapshot's rows whose
+        ``keys`` tuple appears in ``keys_df``. One driver-sized stat
+        prune over the log picks the candidate files, then one scan of
+        only those files feeds a semi-join against the (small,
+        broadcast-able) probe — cost ∝ files whose stat ranges overlap
+        the probe's key bounds, never table size. This is what makes
+        incremental view maintenance folds (e.g. the CDC-maintained
+        weather star, plans/star_lakehouse.py) touch state ∝ the
+        increment's keys."""
+        keys = list(keys)
+        v, meta, live = self._snapshot(version)
+        schema = StructType.fromJson(meta["schema"])
+        key_schema = StructType([f for f in schema.fields
+                                 if f.name in keys])
+        probe = (keys_df.select(*[F.col(f.name).cast(f.dataType)
+                                  for f in key_schema.fields])
+                 .dropDuplicates(keys))
+        if not live or probe.isEmpty():
+            return self.spark.createDataFrame([], schema)
+        bounds = self._batch_bounds(probe, keys)
+        cand = self._candidate_files(live, keys, bounds)
+        if not cand:
+            return self.spark.createDataFrame([], schema)
+        return (self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in cand])
+            .join(probe, on=keys, how="left_semi"))
+
     def read_changes(self, from_version: int,
                      to_version: int | None = None) -> DataFrame:
         """Change-data-feed between snapshots — the public Delta CDF

@@ -587,7 +587,7 @@ def test_exact_dedup_invariant_under_formatting(spark):
     assert hashes[4] != hashes[1]
 
 
-def test_dup_clusters_fixed_point_and_cocluster(spark):
+def _heavy_test_dup_clusters_fixed_point_and_cocluster(spark):
     """Connected-component canonicalization: a chained pair set collapses
     transitively (1-2, 2-3 => one cluster even though 1-3 never paired),
     labels are a fixed point (one more propagation changes nothing), and
@@ -627,7 +627,7 @@ def test_dup_clusters_empty_and_convergence_guard(spark):
         connected_components(chain, max_iter=1)
 
 
-def test_star_algorithm_handles_diameter_past_propagation_cap(spark):
+def _heavy_test_star_algorithm_handles_diameter_past_propagation_cap(spark):
     """Large-star/small-star on a 50-vertex PATH graph — diameter 49,
     past propagation's default max_iter=30 — must converge (rounds are
     logarithmic in diameter) and label every vertex with the component
@@ -647,7 +647,7 @@ def test_star_algorithm_handles_diameter_past_propagation_cap(spark):
     assert labels == {i: 0 for i in range(50)}
 
 
-def test_incremental_cluster_maintenance_matches_batch(spark):
+def _heavy_test_incremental_cluster_maintenance_matches_batch(spark):
     """dup_clusters_incremental must be indistinguishable from a batch
     recompute: new pairs extend an old cluster (1-2-3 gains 4), an
     untouched cluster (9-10) passes through verbatim, and brand-new
@@ -1055,7 +1055,7 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         assert math.isclose(qi * scale, orig, abs_tol=scale / 2 + 1e-6)
 
 
-def test_samplers_invariant_under_repartitioning(spark):
+def _heavy_test_samplers_invariant_under_repartitioning(spark):
     """The deterministic samplers must return the SAME rows regardless of
     physical layout — the property sampleBy lacks and the reason these
     exist. Checked across 1-partition, 13-partition, and range-sorted
@@ -1135,7 +1135,7 @@ def test_resize_images_plumbing(crafted_docs):
         resize_images(media, 0, 8)
 
 
-def test_training_mix_pipeline_stages_monotone(spark, sf_oracle):
+def _heavy_test_training_mix_pipeline_stages_monotone(spark, sf_oracle):
     """The composed mix pipeline must be a monotone filter chain: every
     stage only removes rows, the final mix is a subset of the quality-
     gated dedup survivors, and reruns are identical (determinism of the
@@ -1165,7 +1165,7 @@ def test_training_mix_pipeline_stages_monotone(spark, sf_oracle):
     assert again == ids
 
 
-def test_incremental_near_dup_equals_filtered_full_join(spark):
+def _heavy_test_incremental_near_dup_equals_filtered_full_join(spark):
     """Batch-vs-corpus incremental dedup must find EXACTLY the full
     self-join's pairs that touch the batch — including planted dups
     crossing the split and inside the batch — and nothing corpus-only."""
@@ -1442,7 +1442,7 @@ def test_ivfpq_prunes_to_bucket_and_tracks_full_precision_ivf(spark, sf_oracle):
     assert len(hits & ivf) / len(ivf) >= 0.2   # lossy codes, same buckets
 
 
-def test_trained_pq_codebook_reduces_distortion(spark, sf_oracle):
+def _heavy_test_trained_pq_codebook_reduces_distortion(spark, sf_oracle):
     """Lloyd monotonicity: training from the take-first-16 seed must not
     increase total quantization distortion, and usually strictly
     reduces it; the trained chain stays deterministic."""
@@ -1674,7 +1674,7 @@ def test_split_by_source_is_leakage_safe(spark, sf_oracle):
     assert len(rows) == n_docs               # exhaustive, no row loss
 
 
-def test_emb_dedup_keep_drops_only_noncanonical(spark, sf_oracle):
+def _heavy_test_emb_dedup_keep_drops_only_noncanonical(spark, sf_oracle):
     """Kept corpus = all vectors minus non-canonical cluster members;
     every cosine near-dup cluster retains exactly its min-id member."""
     from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
@@ -1701,7 +1701,7 @@ def test_emb_dedup_keep_drops_only_noncanonical(spark, sf_oracle):
         assert min(members) == cid and cid in kept
 
 
-def test_bloom_contamination_superset_of_exact(spark, sf_oracle):
+def _heavy_test_bloom_contamination_superset_of_exact(spark, sf_oracle):
     """Bloom membership has no false negatives: every doc's bloom-hit
     count bounds its exact-hit count from above, and the false-positive
     surplus stays within the sizing math's envelope."""
@@ -2000,7 +2000,7 @@ def test_bmp_container_demux_and_decode_seam():
         M.split_bmp_container(frames[0] + b"xx")
 
 
-def test_int8_rerank_funnel_properties(spark, sf_oracle):
+def _heavy_test_int8_rerank_funnel_properties(spark, sf_oracle):
     """The two-stage funnel must (a) equal full-precision brute force
     when the shortlist covers the whole corpus, and (b) achieve high
     recall@k at the production shortlist size."""
@@ -2055,7 +2055,7 @@ def test_bigram_nll_matches_hand_computation(spark):
     assert 3 not in out  # single-token doc has no bigrams
 
 
-def test_pca1_matches_numpy_power_iteration(spark, sf_oracle):
+def _heavy_test_pca1_matches_numpy_power_iteration(spark, sf_oracle):
     """The distributed fixed-step power iteration must reproduce a numpy
     replica of the same algorithm (projection corr ≈ 1 despite the
     6-dp parity rounding), and each power step can only RAISE the
@@ -2415,7 +2415,7 @@ def test_multiprobe_ivf_widens_probes_and_never_loses_recall(spark):
     assert all(h2[k] >= h1[k] for k in h1)
 
 
-def test_pq_recall_tiers_beat_chance_with_full_result_sets(spark):
+def _heavy_test_pq_recall_tiers_beat_chance_with_full_result_sets(spark):
     """Every compressed tier must return exactly k neighbors per query
     and recall well above random chance (k/(N-1) ~ 0.01 here): the
     synthetic embeddings carry no cluster structure, so PQ
@@ -2776,3 +2776,107 @@ def test_exact_substring_scrub_property_vs_python_reference(spark, data):
     got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
            for r in exact_substring_scrub(docs, span_len=L).collect()}
     assert got == want
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever, same pattern as the oracle
+# mirror): the 12 most expensive independent tests in this module are
+# latency-bound (many small Spark jobs), so ONE module fixture runs them
+# concurrently on a thread pool — Spark job submission is thread-safe —
+# and each keeps its own pytest row below, re-raising its stored
+# exception. Work moves, verdicts don't.
+# ---------------------------------------------------------------------------
+
+_POOLED_HEAVY = {
+    "test_star_algorithm_handles_diameter_past_propagation_cap": (_heavy_test_star_algorithm_handles_diameter_past_propagation_cap, ['spark']),
+    "test_training_mix_pipeline_stages_monotone": (_heavy_test_training_mix_pipeline_stages_monotone, ['spark', 'sf_oracle']),
+    "test_samplers_invariant_under_repartitioning": (_heavy_test_samplers_invariant_under_repartitioning, ['spark']),
+    "test_emb_dedup_keep_drops_only_noncanonical": (_heavy_test_emb_dedup_keep_drops_only_noncanonical, ['spark', 'sf_oracle']),
+    "test_trained_pq_codebook_reduces_distortion": (_heavy_test_trained_pq_codebook_reduces_distortion, ['spark', 'sf_oracle']),
+    "test_pq_recall_tiers_beat_chance_with_full_result_sets": (_heavy_test_pq_recall_tiers_beat_chance_with_full_result_sets, ['spark']),
+    "test_int8_rerank_funnel_properties": (_heavy_test_int8_rerank_funnel_properties, ['spark', 'sf_oracle']),
+    "test_bloom_contamination_superset_of_exact": (_heavy_test_bloom_contamination_superset_of_exact, ['spark', 'sf_oracle']),
+    "test_dup_clusters_fixed_point_and_cocluster": (_heavy_test_dup_clusters_fixed_point_and_cocluster, ['spark']),
+    "test_incremental_cluster_maintenance_matches_batch": (_heavy_test_incremental_cluster_maintenance_matches_batch, ['spark']),
+    "test_pca1_matches_numpy_power_iteration": (_heavy_test_pca1_matches_numpy_power_iteration, ['spark', 'sf_oracle']),
+    "test_incremental_near_dup_equals_filtered_full_join": (_heavy_test_incremental_near_dup_equals_filtered_full_join, ['spark']),
+}
+
+
+@pytest.fixture(scope="module")
+def heavy_results(spark, sf_oracle):
+    from concurrent.futures import ThreadPoolExecutor
+
+    ctx = {"spark": spark, "sf_oracle": sf_oracle}
+
+    def run(item):
+        fn, argnames = item
+        try:
+            fn(*[ctx[a] for a in argnames])
+            return None
+        except BaseException as ex:  # re-raised in the owning test row
+            return ex
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {n: pool.submit(run, it) for n, it in _POOLED_HEAVY.items()}
+        return {n: f.result() for n, f in futs.items()}
+
+
+def test_star_algorithm_handles_diameter_past_propagation_cap(heavy_results):
+    ex = heavy_results["test_star_algorithm_handles_diameter_past_propagation_cap"]
+    if ex is not None:
+        raise ex
+
+def test_training_mix_pipeline_stages_monotone(heavy_results):
+    ex = heavy_results["test_training_mix_pipeline_stages_monotone"]
+    if ex is not None:
+        raise ex
+
+def test_samplers_invariant_under_repartitioning(heavy_results):
+    ex = heavy_results["test_samplers_invariant_under_repartitioning"]
+    if ex is not None:
+        raise ex
+
+def test_emb_dedup_keep_drops_only_noncanonical(heavy_results):
+    ex = heavy_results["test_emb_dedup_keep_drops_only_noncanonical"]
+    if ex is not None:
+        raise ex
+
+def test_trained_pq_codebook_reduces_distortion(heavy_results):
+    ex = heavy_results["test_trained_pq_codebook_reduces_distortion"]
+    if ex is not None:
+        raise ex
+
+def test_pq_recall_tiers_beat_chance_with_full_result_sets(heavy_results):
+    ex = heavy_results["test_pq_recall_tiers_beat_chance_with_full_result_sets"]
+    if ex is not None:
+        raise ex
+
+def test_int8_rerank_funnel_properties(heavy_results):
+    ex = heavy_results["test_int8_rerank_funnel_properties"]
+    if ex is not None:
+        raise ex
+
+def test_bloom_contamination_superset_of_exact(heavy_results):
+    ex = heavy_results["test_bloom_contamination_superset_of_exact"]
+    if ex is not None:
+        raise ex
+
+def test_dup_clusters_fixed_point_and_cocluster(heavy_results):
+    ex = heavy_results["test_dup_clusters_fixed_point_and_cocluster"]
+    if ex is not None:
+        raise ex
+
+def test_incremental_cluster_maintenance_matches_batch(heavy_results):
+    ex = heavy_results["test_incremental_cluster_maintenance_matches_batch"]
+    if ex is not None:
+        raise ex
+
+def test_pca1_matches_numpy_power_iteration(heavy_results):
+    ex = heavy_results["test_pca1_matches_numpy_power_iteration"]
+    if ex is not None:
+        raise ex
+
+def test_incremental_near_dup_equals_filtered_full_join(heavy_results):
+    ex = heavy_results["test_incremental_near_dup_equals_filtered_full_join"]
+    if ex is not None:
+        raise ex

@@ -1,0 +1,123 @@
+"""CDC-maintained weather star schema (plans/star_lakehouse.py): the
+lakehouse tier composed with the reference surface — bronze → txlog
+staging → change-feed folds into the four facts and the dims, proven
+multiset-EQUAL to the batch plans/weather.py rebuild after every ingest,
+including an out-of-order (late-reissuance) ingest and an injected crash
+mid-fold."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from meteomatics_e2e_data_pipeline_spark.operators.dedupe import \
+    latest_record_wins
+from meteomatics_e2e_data_pipeline_spark.plans import star_lakehouse as sl
+from meteomatics_e2e_data_pipeline_spark.plans import weather
+from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
+    default_bronze_root,
+    ensure_fixtures,
+)
+
+
+def _ms(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+def _assert_star_equals_batch(spark, star):
+    """Every maintained table ≡ its batch rebuild over the staging
+    snapshot (the dbt full-refresh semantics the fold must reproduce)."""
+    stg = star.stg.read()
+    for (sun, hist), name in sl.FACT_NAMES.items():
+        want = weather.build_fact(stg, sun=sun, history=hist)
+        got = star.facts[name].read()
+        assert _ms(got) == _ms(want), f"{name} diverged from batch"
+    # winners state ≡ the W1 ranking over the P5 window
+    lo, hi = sl._window_bounds(weather.AS_OF)
+    recent = stg.filter(
+        F.col("reading_datetime").between(F.lit(lo), F.lit(hi)))
+    want_w = latest_record_wins(recent, sl.STG_KEYS, sl.STG_ORDER)
+    assert _ms(star.winners.read()) == _ms(want_w)
+    # dims ≡ the batch DISTINCT projections (append-only history)
+    assert _ms(star.dim_location.read()) == \
+        _ms(weather.dim_location_from_stg(stg))
+    assert _ms(star.dim_condition.read()) == \
+        _ms(weather.dim_condition_from_stg(stg))
+
+
+def test_cdc_maintained_star_equals_batch_rebuild(spark, tmp_path):
+    """N ingests — including run-date 03-27 arriving LAST (a stale
+    late-arriving issuance that must lose the W1 ranking for overlapping
+    readings and win it for its own fresh ones) — each followed by a
+    maintenance fold; the star equals the batch rebuild after every
+    fold. 03-29's ingest also flips forecast rows to history rows for
+    readings both runs cover (the P7 theta is a property of the winner),
+    exercising the cross-fact family move."""
+    root = ensure_fixtures()
+    star = sl.create_weather_star(spark, str(tmp_path / "star"))
+
+    # out-of-order ingest: 26, 28+29 together, then 27 late
+    for pattern in ("*2025-03-26*", "*2025-03-2[89]*", "*2025-03-27*"):
+        v = sl.ingest_bronze_increment(
+            spark, star, f"{root}/*/*/weather_raw_{pattern}.json")
+        applied = sl.maintain_weather_star(spark, star)
+        assert applied == v == star.stg.version
+        _assert_star_equals_batch(spark, star)
+
+    # replaying an already-ingested glob stages nothing, folds nothing
+    v = star.stg.version
+    sl.ingest_bronze_increment(spark, star,
+                               f"{root}/*/*/weather_raw_*.json")
+    assert star.stg.version == v
+    assert sl.maintain_weather_star(spark, star) == v
+
+    # the late 03-27 issuance genuinely contested the window: some of
+    # its readings lost to newer runs (stale reissue) and its fresh
+    # history rows won — i.e. the fact tables are non-trivial
+    assert star.facts["fact_weather_params_history"].read().count() > 0
+    assert star.facts["fact_sun_times_forecast"].read().count() > 0
+
+
+def test_star_fold_is_exactly_once_across_crash_and_bounded_catchup(
+        spark, tmp_path):
+    """A crash between the fact commits and the winners commit replays
+    the fold deterministically: fact tables skip via their txn guard,
+    winners lands, and the star converges to the batch rebuild. A
+    bounded catch-up (versions_per_fold=1) over several staged commits
+    reaches the same state as one big fold."""
+    root = ensure_fixtures()
+    star = sl.create_weather_star(spark, str(tmp_path / "star"))
+    sl.ingest_bronze_increment(
+        spark, star, f"{root}/*/*/weather_raw_*2025-03-26*.json")
+    sl.maintain_weather_star(spark, star)
+
+    sl.ingest_bronze_increment(
+        spark, star, f"{root}/*/*/weather_raw_*2025-03-28*.json")
+
+    real = star.winners.apply_changes
+    calls = {"n": 0}
+
+    def crash_once(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before the winners commit")
+
+    star.winners.apply_changes = crash_once
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sl.maintain_weather_star(spark, star)
+    star.winners.apply_changes = real
+    assert calls["n"] == 1
+    # facts committed, winners floor did not advance — replay converges
+    assert star.applied_version < star.stg.version
+    sl.maintain_weather_star(spark, star)
+    _assert_star_equals_batch(spark, star)
+
+    # bounded catch-up: two more ingest commits, folded one version at
+    # a time, equals the all-at-once fold state
+    for pattern in ("*2025-03-29*", "*2025-03-27*"):
+        sl.ingest_bronze_increment(
+            spark, star, f"{root}/*/*/weather_raw_{pattern}.json")
+    sl.maintain_weather_star(spark, star, versions_per_fold=1)
+    assert star.applied_version == star.stg.version
+    _assert_star_equals_batch(spark, star)

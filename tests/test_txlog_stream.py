@@ -159,6 +159,16 @@ def test_cdc_feeds_incremental_near_dup_maintenance(spark, tmp_path):
     stream_cdc_near_dup_maintenance(spark, p, ck, state)
     assert _rows(state["pairs"]) == _rows(pb2)
 
+    # r11 advice guard: a restart that re-bootstraps driver-memory state
+    # from the v0 snapshot while REUSING this already-committed stream
+    # checkpoint would silently skip the committed CDC window — it must
+    # fail loudly and point at the durable variant. The relay runs above
+    # were legal exactly because the fold kept base_version advanced.
+    assert state["base_version"] == t.version
+    stale = neardup.init_near_dup_state(t.read(version=0))
+    with pytest.raises(ValueError, match="durable"):
+        stream_cdc_near_dup_maintenance(spark, p, ck, stale)
+
 
 def test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows(
         spark, tmp_path):
@@ -433,62 +443,37 @@ def test_cdc_replication_via_apply_changes_survives_any_dml_and_crash(
     sync()
     assert rep.version == v
 
-
-def test_cdc_replication_follows_schema_evolution_and_fresh_catchup(
-        spark, tmp_path):
-    """Two r11-advice regressions pinned together on one DML history
-    containing a delete, a RESTORE re-add, and a merge_schema widening:
-
-    - an incremental replica FOLLOWS the source's widening (the extra
-      feed column evolves the replica schema in the same atomic commit
-      instead of being silently projected away);
-    - a FRESH catch-up replica (startingVersion=0, one availableNow
-      pass) nets the restore window by multiset — the set-intersection
-      bug cancelled the remove/re-add pair to an empty feed and built a
-      replica missing the restored rows.
-    """
-    src = TxTable.create(spark, _kv(spark, 0, 10), str(tmp_path / "src"),
-                         stat_cols=["k"])                            # v0
-    register(spark)
-
-    def sync(rep, ck):
-        def _apply(batch_df, batch_id):
-            if batch_df.isEmpty():
-                return
-            rep.apply_changes(batch_df, ["k"], txn=("rep", batch_id))
-        q = (spark.readStream.format("txlog_cdc")
-             .option("path", src.path).load()
-             .writeStream.foreachBatch(_apply)
-             .option("checkpointLocation", ck)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+    # source widens via merge_schema: replication FOLLOWS the new column
+    # (r11 advice — the old projection silently dropped it), evolving the
+    # replica schema in the same atomic commit
+    src.append(_kv(spark, 50, 55).withColumn("w", F.col("k") * 10),
+               merge_schema=True)                                     # v6
+    sync()
+    assert [f.name for f in rep.schema().fields] == ["k", "v", "w"]
 
     def kvw(t):
         return Counter(tuple(r) for r in
                        t.read().select("k", "v", "w").collect())
 
-    src.append(_kv(spark, 10, 20))                                   # v1
-    src.delete(spark.range(10, 20).selectExpr("id as k"), ["k"])     # v2
-    src.restore(1)                                                   # v3
-
-    # incremental replica: catches up across the restore, then follows
-    # the widening commit
-    rep = TxTable.create(spark, src.read(version=0),
-                         str(tmp_path / "rep"), stat_cols=["k"])
-    ck = str(tmp_path / "ck")
-    sync(rep, ck)
-    assert Counter(map(tuple, rep.read().collect())) == \
-        Counter(map(tuple, src.read().collect()))
-    src.append(_kv(spark, 30, 35).withColumn("w", F.col("k") * 10),
-               merge_schema=True)                                    # v4
-    sync(rep, ck)
-    assert [f.name for f in rep.schema().fields] == ["k", "v", "w"]
     assert kvw(rep) == kvw(src)
 
-    # fresh catch-up replica: the whole history in ONE pass
+    # a FRESH catch-up replica (startingVersion=0, ONE availableNow pass
+    # over the whole restore-bearing, schema-evolving history): the
+    # stream reader must net the remove/re-add pair by multiset — the
+    # set-intersection bug cancelled both and lost the restored rows
     rep2 = TxTable.create(spark, src.read(version=0),
                           str(tmp_path / "rep2"), stat_cols=["k"])
-    sync(rep2, str(tmp_path / "ck2"))
+
+    def _apply2(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            rep2.apply_changes(batch_df, ["k"], txn=("rep2", batch_id))
+
+    q = (spark.readStream.format("txlog_cdc")
+         .option("path", src.path).load()
+         .writeStream.foreachBatch(_apply2)
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
     assert kvw(rep2) == kvw(src)
 
 
@@ -510,40 +495,3 @@ def test_apply_changes_rejects_duplicate_key_window(spark, tmp_path):
         "k long, v long, _change_type string")
     rep.apply_changes(ok, ["k"])
     assert rep.read().filter("k = 7").collect()[0]["v"] == 14
-
-
-def test_inmemory_cdc_maintenance_guards_stale_state(spark, tmp_path):
-    """Driver-memory near-dup state + a durable stream checkpoint: a
-    restart that re-bootstraps state from v0 while reusing the old
-    checkpointLocation would silently skip the committed CDC window and
-    serve a permanently stale index. The guard raises and points at the
-    durable variant; state built from the CURRENT snapshot with
-    base_version set resumes cleanly."""
-    from meteomatics_e2e_data_pipeline_spark.operators import neardup
-    from meteomatics_e2e_data_pipeline_spark.streaming import (
-        stream_cdc_near_dup_maintenance,
-    )
-
-    sch = "doc_id long, text string"
-    docs = spark.createDataFrame(
-        [(i, " ".join(f"w{i}_{j}" for j in range(8))) for i in range(4)],
-        sch)
-    p = str(tmp_path / "docs")
-    t = TxTable.create(spark, docs.coalesce(1), p, stat_cols=["doc_id"])
-    ck = str(tmp_path / "ck")
-
-    state = neardup.init_near_dup_state(t.read(version=0))
-    t.append(spark.createDataFrame(
-        [(9, " ".join(f"x{j}" for j in range(8)))], sch))            # v1
-    stream_cdc_near_dup_maintenance(spark, p, ck, state)
-    assert state["base_version"] >= 1
-
-    # simulated restart: fresh v0 state, old checkpoint -> loud failure
-    stale = neardup.init_near_dup_state(t.read(version=0))
-    with pytest.raises(ValueError, match="durable"):
-        stream_cdc_near_dup_maintenance(spark, p, ck, stale)
-
-    # state rebuilt from the CURRENT snapshot declares its base and runs
-    cur = neardup.init_near_dup_state(t.read())
-    cur["base_version"] = t.version
-    stream_cdc_near_dup_maintenance(spark, p, ck, cur)
