@@ -1048,6 +1048,137 @@ def fold_cdc_near_dup(changes: DataFrame, state: dict,
             "bands": out_bands}
 
 
+def fold_cdc_near_dup_delta(changes: DataFrame, state_table,
+                            id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            threshold: float = 0.5):
+    """The DELTA form of :func:`fold_cdc_near_dup` for TABLE-resident
+    state (the durable lakehouse loop): instead of producing full
+    replacement frames — whose single O(state) overwrite was the r11
+    5×-table's named residual — it returns ``(delete_clauses,
+    inserts)`` for :meth:`~.txlog.TxTable.apply_delta`, so the state
+    WRITE is ∝ the increment's neighborhood too.
+
+    ``state_table`` is the packed frame-discriminated TxTable
+    (``streaming.pack_near_dup_state`` layout). Every state read is
+    either a stat-pruned keyed probe (:meth:`TxTable.read_keys` on the
+    frame + key columns) or the banded index probe itself (batch bands
+    equi-joined against the stored band frame — the index SCAN, which
+    is the incremental join's intended shape). Nothing reconstructs a
+    frame just to rewrite it.
+
+    Exactness matches the in-memory fold's argument, localized:
+
+    - corpus/shingles/bands: a deleted-or-upserted doc's rows are
+      dropped by (frame, doc_id) and the increment's rows appended —
+      identical to anti-join ∪ append.
+    - pairs: an edge dies iff it touches a deleted id (probed from
+      BOTH endpoints), and every new edge touches the batch
+      (signatures are per-document).
+    - clusters: only components containing a deleted id or incident to
+      a new edge can change label or split/merge (every edge lies
+      within one component); those components' members are probed, the
+      surviving sub-edge set plus the new edges re-labels with the
+      same min-label :func:`dup_clusters`, and singletons drop out by
+      deletion — all other labels are untouched and untouched rows are
+      never rewritten.
+    """
+    st = state_table
+    ins = changes.filter(F.col("_change_type") == "insert") \
+        .select(id_col, text_col)
+    dels = changes.filter(F.col("_change_type") == "delete") \
+        .select(id_col, text_col)
+    net_ins = ins.exceptAll(dels).localCheckpoint(eager=True)
+    net_del = dels.exceptAll(ins).localCheckpoint(eager=True)
+    # Upsert discipline (same as the in-memory fold): an id arriving in
+    # the insert set sheds its old rows first, keeping folds idempotent.
+    del_ids = (net_del.select(id_col)
+               .unionByName(net_ins.select(id_col)).distinct()
+               .localCheckpoint(eager=True))
+
+    def fr(tag):
+        return F.lit(tag).alias("frame")
+
+    # New edges: banded probe of the batch against the STORED index
+    # (post-delete view — the anti-joins below are on the probe inputs,
+    # not on a rewritten frame).
+    packed = st.read()
+    sh_c = (packed.filter(F.col("frame") == "shingles")
+            .select(id_col, "hv").join(del_ids, id_col, "left_anti"))
+    bands_c = (packed.filter(F.col("frame") == "bands")
+               .select(id_col, "band_id", "band_hash")
+               .join(del_ids, id_col, "left_anti"))
+    if net_ins.isEmpty():
+        new_pairs = None
+    else:
+        new_pairs = near_dup_pairs_incremental(
+            None, net_ins, id_col, text_col, n, threshold,
+            corpus_index={"shingles": sh_c, "bands": bands_c}
+        ).localCheckpoint(eager=True)
+
+    # Components that can change: those holding a deleted id, plus
+    # those incident to a new edge.
+    ends = del_ids
+    if new_pairs is not None:
+        ends = ends.unionByName(
+            new_pairs.select(F.col("doc_a").alias(id_col))
+            .unionByName(new_pairs.select(F.col("doc_b").alias(id_col)))
+        ).distinct()
+    ends = ends.localCheckpoint(eager=True)
+    touched = (st.read_keys(ends.select(fr("clusters"), F.col(id_col)
+                                        .alias("doc_id")),
+                            ["frame", "doc_id"])
+               .select("cluster_id").distinct())
+    members = (st.read_keys(touched.select(fr("clusters"), "cluster_id"),
+                            ["frame", "cluster_id"])
+               .select("doc_id").localCheckpoint(eager=True))
+    # Surviving edges inside the touched components (doc_a membership
+    # suffices — both endpoints share the component), minus dead ones.
+    sub = (st.read_keys(members.select(fr("pairs"),
+                                       F.col("doc_id").alias("doc_a")),
+                        ["frame", "doc_a"])
+           .select("doc_a", "doc_b", "jaccard")
+           .join(F.broadcast(del_ids.select(F.col(id_col)
+                                            .alias("doc_a"))),
+                 "doc_a", "left_anti")
+           .join(F.broadcast(del_ids.select(F.col(id_col)
+                                            .alias("doc_b"))),
+                 "doc_b", "left_anti")
+           .select("doc_a", "doc_b", "jaccard"))
+    edges = (sub if new_pairs is None
+             else sub.unionByName(new_pairs.select(*sub.columns)))
+    relabeled = dup_clusters(edges)
+
+    # Assemble the per-frame delta for ONE atomic apply_delta commit.
+    def keyed(tag, kdf, *cols):
+        return kdf.select(fr(tag), *cols)
+
+    doc_key = F.col(id_col).alias("doc_id")
+    cluster_dead = (members.select(F.col("doc_id"))
+                    .unionByName(ends.select(doc_key)).distinct())
+    delete_clauses = [
+        (["frame", "doc_id"], keyed("corpus", del_ids, doc_key)),
+        (["frame", "doc_id"], keyed("shingles", del_ids, doc_key)),
+        (["frame", "doc_id"], keyed("bands", del_ids, doc_key)),
+        (["frame", "doc_a"],
+         keyed("pairs", del_ids, F.col(id_col).alias("doc_a"))),
+        (["frame", "doc_b"],
+         keyed("pairs", del_ids, F.col(id_col).alias("doc_b"))),
+        (["frame", "doc_id"], keyed("clusters", cluster_dead, "doc_id")),
+    ]
+    sh_ins = shingle_hashes(net_ins, id_col, text_col, n)
+    from ..streaming import pack_near_dup_state
+    inserts = pack_near_dup_state(st.spark, {
+        "corpus": net_ins,
+        "pairs": (new_pairs if new_pairs is not None
+                  else sub.limit(0)),
+        "clusters": relabeled,
+        "shingles": sh_ins,
+        "bands": band_rows(minhash_from_shingles(sh_ins, id_col), id_col),
+    }).repartition("frame")
+    return delete_clauses, inserts
+
+
 def contamination_hits(corpus: DataFrame, benchmark: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3) -> DataFrame:

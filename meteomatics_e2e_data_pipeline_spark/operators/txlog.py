@@ -1077,6 +1077,98 @@ class TxTable:
                 v(intervening)
         return self._commit(actions, rv, validate=validate)
 
+    def apply_delta(self, deletes: Sequence[tuple[Sequence[str], DataFrame]],
+                    inserts: DataFrame | None = None,
+                    txn: tuple[str, int] | None = None) -> int:
+        """One atomic keyed DELTA commit — the low-level state-
+        maintenance primitive under incremental view maintenance loops
+        (the durable near-dup index): remove every row matching ANY
+        ``(key_cols, keys_df)`` delete clause and add ``inserts``, in a
+        single copy-on-write commit.
+
+        Differences from :meth:`apply_changes` (which consumes a row-
+        level change FEED): clauses may target different key columns —
+        e.g. a pair frame deleted by either endpoint, a per-doc frame
+        deleted by (frame, doc_id) — and ``inserts`` may carry several
+        rows per key (a document's shingle set). No netting, no
+        key-uniqueness: the caller supplies exact deltas.
+
+        Planner: each clause stat-prunes the live set on ITS key bounds
+        and probes only the candidate files for true matches; the union
+        of affected files is rewritten ONCE with all clauses' rows
+        dropped. Cost ∝ files holding matches + inserts, never table
+        size. ``txn`` gives streaming folds the standard idempotent-
+        replay guard. A delta that matches nothing and inserts nothing
+        publishes no commit. Conflicts: a concurrent commit adding keys
+        inside any clause's range raises :class:`TxConflict`.
+        """
+        rv, meta, live = self._snapshot()
+        if txn is not None:
+            app, ver = txn
+            last = self._fold_txns(rv).get(app)
+            if last is not None and last >= ver:
+                return self.version  # replayed batch: already applied
+        schema = StructType.fromJson(meta["schema"])
+        stat_cols = meta.get("stat_cols", [])
+        probes: list[tuple[list[str], DataFrame, dict]] = []
+        affected: set[str] = set()
+        for key_cols, kdf in deletes:
+            key_cols = list(key_cols)
+            key_schema = StructType([f for f in schema.fields
+                                     if f.name in key_cols])
+            probe = (kdf.select(*[F.col(f.name).cast(f.dataType)
+                                  for f in key_schema.fields])
+                     .dropDuplicates(key_cols)
+                     .localCheckpoint(eager=True))
+            if probe.isEmpty():
+                continue
+            bounds = self._batch_bounds(probe, key_cols)
+            cand = self._candidate_files(live, key_cols, bounds)
+            probes.append((key_cols, probe, bounds))
+            if not cand:
+                continue
+            cdf = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in cand]).withColumn(
+                "_file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1))
+            affected.update(
+                r["_file"] for r in
+                cdf.select("_file", *key_cols)
+                .join(probe, on=key_cols, how="left_semi")
+                .select("_file").distinct().collect())
+
+        def no_key_overlap(intervening):
+            for a in intervening:
+                if "add" not in a:
+                    continue
+                for key_cols, _probe, bounds in probes:
+                    if self._overlaps(a["add"], key_cols, bounds):
+                        raise TxConflict(
+                            f"concurrent commit added keys overlapping "
+                            f"this delta's range on {self.path}; re-run "
+                            f"against the new snapshot")
+
+        actions = [{"remove": {"path": p}} for p in sorted(affected)]
+        new_data = None
+        if affected:
+            keep = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in sorted(affected)])
+            for key_cols, probe, _bounds in probes:
+                keep = keep.join(probe, on=key_cols, how="left_anti")
+            new_data = keep
+        if inserts is not None:
+            ins = self._check_schema(inserts)
+            new_data = (ins if new_data is None
+                        else new_data.unionByName(ins))
+        if new_data is not None:
+            actions += self._stage(new_data, stat_cols)
+        if not actions:
+            return self.version  # empty delta: no commit, replay-safe
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0],
+                                    "version": int(txn[1])}})
+        return self._commit(actions, rv, validate=no_key_overlap)
+
     def update(self, condition: str, assignments: dict[str, str]) -> int:
         """Atomic UPDATE (copy-on-write, the public Delta UPDATE shape):
         every row matching ``condition`` (a SQL boolean expression over

@@ -1274,7 +1274,8 @@ def stream_cdc_near_dup_maintenance_durable(
     """
     import os
 
-    from .operators.neardup import fold_cdc_near_dup, init_near_dup_state
+    from .operators.neardup import (fold_cdc_near_dup_delta,
+                                    init_near_dup_state)
     from .operators.txlog import TxTable
     from .sources.txlog_stream import register as register_cdc
 
@@ -1286,8 +1287,18 @@ def stream_cdc_near_dup_maintenance_durable(
         boot = init_near_dup_state(
             TxTable(spark, table_path).read(version=0),
             id_col, text_col, n, threshold)
-        st = TxTable.create(spark, pack_near_dup_state(spark, boot),
-                            state_path)
+        # (frame, key)-RANGE-clustered files + per-frame key stats: a
+        # fold's delete clauses rewrite only the files whose narrow
+        # key range actually holds a touched key — a frame packed into
+        # one wide file would make every keyed delete rewrite the whole
+        # frame, reintroducing the O(state) write this layout removes.
+        packed = pack_near_dup_state(spark, boot)
+        packed = packed.repartitionByRange(
+            "frame", F.coalesce(F.col("doc_id"), F.col("doc_a")))
+        st = TxTable.create(
+            spark, packed, state_path,
+            stat_cols=["frame", "doc_id", "doc_a", "doc_b",
+                       "cluster_id"])
 
     def _fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1295,14 +1306,15 @@ def stream_cdc_near_dup_maintenance_durable(
         last = st.last_txn(app_id)
         if last is not None and last >= batch_id:
             return  # replayed batch: already applied, skip the compute
-        state = unpack_near_dup_state(st.read())
-        # materialize=False: the fold's corpus-sized outputs flow
-        # straight into the table write below (one materialization, not
-        # two); the next fold reads the TABLE, so lineage never grows
-        new = fold_cdc_near_dup(batch_df, state, id_col, text_col, n,
-                                threshold, materialize=False)
-        st.overwrite(pack_near_dup_state(spark, new),
-                     txn=(app_id, batch_id))
+        # Keyed DELTA write (r11 directive #5): the fold emits per-frame
+        # delete clauses + increment-sized inserts, and apply_delta
+        # rewrites only the files holding touched keys in ONE atomic
+        # txn-guarded commit — the old full-state overwrite was the one
+        # O(state) term left in the 5× fold table (PLANS.md r11); write
+        # cost now tracks the increment's neighborhood like the compute.
+        clauses, inserts = fold_cdc_near_dup_delta(
+            batch_df, st, id_col, text_col, n, threshold)
+        st.apply_delta(clauses, inserts, txn=(app_id, batch_id))
 
     q = (spark.readStream.format("txlog_cdc")
          .option("path", table_path).load()

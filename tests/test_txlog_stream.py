@@ -282,8 +282,9 @@ def test_cdc_max_versions_per_trigger_bounds_batches(spark, tmp_path):
 def test_durable_cdc_near_dup_maintenance_exactly_once_across_crash(
         spark, tmp_path):
     """The lakehouse-native maintenance loop: state in ONE
-    frame-discriminated txlog table, one atomic overwrite(txn=...) per
-    fold. A crash injected in the classic two-commit gap (state-table
+    frame-discriminated txlog table, one atomic keyed-delta commit
+    (apply_delta(txn=...)) per fold — write cost tracks the increment's
+    neighborhood, never state size. A crash injected in the classic two-commit gap (state-table
     commit published, stream checkpoint commit lost) replays the batch
     on restart and the txn ledger makes the replay publish NOTHING —
     the state table history shows exactly one applied commit per
@@ -313,22 +314,22 @@ def test_durable_cdc_near_dup_maintenance_exactly_once_across_crash(
 
     ck, sp = str(tmp_path / "ck"), str(tmp_path / "state")
 
-    real = txmod.TxTable.overwrite
+    real = txmod.TxTable.apply_delta
     calls = {"n": 0}
 
-    def crashing(self, df, txn=None):
-        v = real(self, df, txn=txn)
+    def crashing(self, deletes, inserts=None, txn=None):
+        v = real(self, deletes, inserts, txn=txn)
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("injected crash after state commit")
         return v
 
-    txmod.TxTable.overwrite = crashing
+    txmod.TxTable.apply_delta = crashing
     try:
         with pytest.raises(Exception, match="injected crash"):
             stream_cdc_near_dup_maintenance_durable(spark, p, ck, sp)
     finally:
-        txmod.TxTable.overwrite = real
+        txmod.TxTable.apply_delta = real
     st = TxTable(spark, sp)
     v_crash = st.version          # bootstrap + the one applied fold
 
