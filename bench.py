@@ -102,6 +102,14 @@ def main() -> None:
         maintained_star(spark)
     except Exception as exc:  # noqa: BLE001 - warm-up must never kill bench
         print(f"bench: star warm-up failed: {exc}", file=sys.stderr)
+    # ... and the persisted ANN index (same one-time fingerprint-keyed
+    # build-under-/tmp discipline as the star).
+    try:
+        from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+            q_emb_ann_ivf_indexed)
+        run(q_emb_ann_ivf_indexed(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: ann-index warm-up failed: {exc}", file=sys.stderr)
 
     # Environment-state marker: sample the OS counters, then time the
     # frozen calibration plan twice (IO-heavy scan + one shuffle + sum —

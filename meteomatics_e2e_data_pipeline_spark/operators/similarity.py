@@ -425,8 +425,23 @@ def knn_ivf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     probed buckets is counted once (scores dedupe on the pair before
     ranking). Output: (query_id, neighbor_id, bucket, cos_sim, rank).
     """
-    from pyspark.sql import Window
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    return knn_ivf_preassigned(assigned, queries, centroids, k,
+                               id_col, vec_col, nprobe)
+
+
+def knn_ivf_preassigned(assigned: DataFrame, queries: DataFrame,
+                        centroids: DataFrame, k: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        nprobe: int = 1) -> DataFrame:
+    """:func:`knn_ivf` with the STORAGE-side assignment supplied — the
+    serving path over a PERSISTED index (operators/annindex.py): the
+    (id, vector, bucket) frame comes from the maintained index table
+    instead of being recomputed per query, so serving cost is the probe
+    join alone. Bit-identical to :func:`knn_ivf` because the assignment
+    is a deterministic pure function of (vector, centroids)."""
+    from pyspark.sql import Window
     q = (ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
                  "bucket")

@@ -1533,6 +1533,57 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(emb, queries, centroids, IVF_K)
 
 
+def q_emb_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`emb_ann_ivf` served from the PERSISTED CDC-maintained index
+    (operators/annindex.py) instead of assigning at query time: the
+    index table is bootstrapped from a v0 snapshot holding ~80% of the
+    corpus, the rest arrives as a CDC-folded append, and the query
+    reads the maintained assign frame — so the oracle row proves
+    bootstrap + fold + serve end to end against the SAME SQL that
+    checks the in-memory form. Built once per machine into a
+    fingerprint-keyed temp dir (same cache discipline as the weather
+    star; bench warms it explicitly)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators import annindex
+    from ..operators.txlog import TxTable
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding")
+    n = emb.count()
+    src_file = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{src_file}:{os.path.getsize(src_file)}:{n}".encode()
+    ).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_ann_{key}"
+    if not (base / "_DONE").exists():
+        build = Path(tempfile.mkdtemp(prefix="ann_build_",
+                                      dir=tempfile.gettempdir()))
+        cut = int(n * 0.8)
+        centroids = (emb.filter(F.col("vec_id") < IVF_CENTROID_MAX_ID)
+                     .select(F.col("vec_id").alias("centroid_id"),
+                             "embedding"))
+        t = TxTable.create(spark,
+                           emb.filter(F.col("vec_id") < cut).coalesce(2),
+                           str(build / "emb"), stat_cols=["vec_id"])
+        t.append(emb.filter(F.col("vec_id") >= cut).coalesce(1))
+        annindex.stream_cdc_ann_maintenance(
+            spark, t.path, str(build / "ck"), str(build / "ann"),
+            centroids=centroids)
+        (build / "_DONE").touch()
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    st = TxTable(spark, str(base / "ann"))
+    queries = emb.filter(F.col("vec_id") < KNN_QUERY_MAX_ID)
+    return annindex.knn_ivf_from_index(st, queries, IVF_K)
+
+
 ORACLE_ANN_IVF = f"""
 WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cent_v
               FROM embeddings WHERE vec_id < {IVF_CENTROID_MAX_ID}),
@@ -5579,6 +5630,7 @@ LLM_QUERIES = {
     "emb_knn_bruteforce": q_emb_knn_bruteforce,
     "emb_knn_vectorized": q_emb_knn_vectorized,
     "emb_ann_ivf": q_emb_ann_ivf,
+    "emb_ann_ivf_indexed": q_emb_ann_ivf_indexed,
     "emb_ann_ivf_trained": q_emb_ann_ivf_trained,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
@@ -5698,6 +5750,7 @@ def llm_oracle() -> dict[str, str]:
         "docs_winnow_fingerprints": _oracle_winnow(),
         "emb_knn_bruteforce": ORACLE_KNN,
         "emb_ann_ivf": ORACLE_ANN_IVF,
+        "emb_ann_ivf_indexed": ORACLE_ANN_IVF,
         "emb_ann_ivf_trained": _oracle_ann_ivf_trained(),
         "emb_ann_lsh": _oracle_ann_lsh(),
         "emb_cosine_near_dup": ORACLE_COSINE_NEAR_DUP,
