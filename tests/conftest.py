@@ -36,6 +36,9 @@ SLOW_PROPERTY_SWEEPS = {
     "test_global_running_sum_property_matches_window",
     "test_asof_matches_duckdb_on_random_data",
     "test_ancestor_rollup_matches_python_walk",
+    # round 12: randomized concurrent-writer serializability sweep (its
+    # fixed-seed two-writer exemplar runs in the default lane)
+    "test_concurrent_mixed_dml_history_is_serializable",
 }
 
 
