@@ -34,24 +34,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-11 rotation (VERDICT r10 directive #2), priority order:
-# (1) the 1 NEW entry this round (docs_scrub_fixpoint — the iterated
-#     ExactSubstr scrub ladder; coverage 0.089453 → 0 → 0 at sf0.01)
-#     and the 1 CHANGED plan (sql_nation_revenue — count(DISTINCT)
-#     folded into a per-order pre-aggregate; oracle kept in the naive
-#     form so the green row proves the rewrite);
-# (2) ALL 23 remaining r6-dated attestations (the complete pre-r7 debt
-#     — zero pre-r7 rows remain after this gate lands green);
-# (3) the first 25 of the 45 r7-dated rows (alphabetical; the
-#     remaining 20 — fact_weather_params_forecast,
-#     late_shipment_orders, latest_order_agg,
-#     local_supplier_volume, min_cost_supplier, multimodal_features,
-#     multimodal_png_features, multimodal_png_resized,
-#     multimodal_resized, nation_market_share, part_supplier_variety,
-#     promo_revenue_share, region_revenue, returned_item_losses,
-#     small_order_revenue, supplier_revenue_ranks,
-#     top_parts_by_revenue, top_supplier_revenue,
-#     urgent_shipping_priority — lead the round-12 rotation).
+# Round-12 rotation (VERDICT r11 directive #4), priority order:
+# (1) the 3 NEW entries (fact_params_history_maintained /
+#     fact_sun_forecast_maintained — the CDC-maintained star's facts,
+#     checked against the SAME SQL as the batch facts; and
+#     emb_ann_ivf_indexed — IVF served from the persisted
+#     CDC-maintained index table);
+# (2) the 4 plans CHANGED by the knn_ivf -> knn_ivf_preassigned
+#     serving split (emb_ann_ivf, emb_ann_ivf_multiprobe,
+#     emb_ann_ivf_trained, emb_ann_recall — value-identical refactor,
+#     re-attested anyway);
+# (3) ALL 19 remaining r7-dated attestations (the complete pre-r8
+#     debt — zero pre-r8 rows remain after this gate lands green);
+# (4) the first 24 of the 41 r8-dated rows (alphabetical; the
+#     remaining 17 — docs_token_budget_mix, docs_tokenizer_fertility,
+#     docs_training_mix, docs_unigram_nll, emb_dedup_keep,
+#     emb_knn_int8, emb_knn_pq_trained, emb_pq_codes,
+#     emb_quantize_int8, events_rollup_incremental,
+#     events_spatial_grid, events_variant_project,
+#     fact_weather_params_history, nation_profit_by_year,
+#     shipmode_priority_matrix, top_revenue_suppliers,
+#     weather_dim_condition — lead the round-13 rotation).
 # The 5 rows-only-by-design queries (emb_knn_vectorized,
 # event_user_reach_approx, event_reach_sketch_weekly,
 # order_value_percentiles_approx, event_audience_overlap_approx) are
@@ -61,56 +64,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays re-verified by the local DuckDB mirror at sf0.01 each round
 # (tests/test_oracle_parity.py parametrizes ALL queries).
 _VERIFY_FIRST = (
-    "docs_scrub_fixpoint",
-    "sql_nation_revenue",
-    "emb_similarity_histogram",
-    "event_audience_overlap_exact",
-    "event_reach_weekly_exact",
-    "event_user_cms_estimate",
-    "events_anomaly_mad",
-    "events_dow_baseline",
-    "events_heavy_hitters",
-    "events_sliding_reach_7d",
-    "events_type_runs",
-    "events_user_state_scd2",
-    "events_zorder_layout",
-    "important_parts_by_revenue",
-    "large_volume_customers",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "nation_trade_matrix",
-    "nation_yoy_revenue",
-    "orders_data_profile",
-    "parts_bought_together",
-    "pricing_summary",
-    "sql_docs_exact_dedup",
-    "sql_order_grouping_sets",
-    "sql_weather_city_daily",
-    "customer_order_distribution",
-    "customer_spend_quartiles",
-    "customer_spend_quartiles_cut",
-    "discount_band_revenue",
-    "disjunctive_band_revenue",
-    "docs_bm25_search",
-    "docs_chunked",
-    "docs_corpus_stats",
-    "docs_curriculum_order",
-    "docs_domain_cap",
-    "docs_dup_triangles",
-    "docs_hot_ngrams",
-    "docs_jaccard_histogram",
-    "docs_redacted",
-    "docs_sample_exact_n",
-    "docs_split_assign",
-    "docs_vocabulary",
-    "docs_weighted_sample",
-    "dominant_part_suppliers",
-    "emb_knn_bruteforce",
-    "emb_random_projection",
-    "events_native_sessions",
-    "events_stl_decompose",
-    "fact_sun_times_forecast",
-    "fact_sun_times_history",
+    "fact_params_history_maintained",
+    "fact_sun_forecast_maintained",
+    "emb_ann_ivf_indexed",
+    "emb_ann_ivf",
+    "emb_ann_ivf_multiprobe",
+    "emb_ann_ivf_trained",
+    "emb_ann_recall",
+    "fact_weather_params_forecast",
+    "late_shipment_orders",
+    "latest_order_agg",
+    "local_supplier_volume",
+    "min_cost_supplier",
+    "multimodal_features",
+    "multimodal_png_features",
+    "multimodal_png_resized",
+    "multimodal_resized",
+    "nation_market_share",
+    "part_supplier_variety",
+    "promo_revenue_share",
+    "region_revenue",
+    "returned_item_losses",
+    "small_order_revenue",
+    "supplier_revenue_ranks",
+    "top_parts_by_revenue",
+    "top_supplier_revenue",
+    "urgent_shipping_priority",
+    "customer_rfm_segments",
+    "customer_trailing_spend",
+    "dim_date_spine",
+    "docs_boilerplate_scrub",
+    "docs_contamination",
+    "docs_dedup_keep",
+    "docs_dup_clusters",
+    "docs_dup_kcore",
+    "docs_dup_spans",
+    "docs_exact_dedup",
+    "docs_gzip_decode",
+    "docs_jaccard_join",
+    "docs_lang_guess",
+    "docs_lang_temperature_sample",
+    "docs_near_dup_incremental",
+    "docs_near_dup_pairs",
+    "docs_oov_rate",
+    "docs_packed",
+    "docs_quality_gopher",
+    "docs_quality_percentile",
+    "docs_sampled",
+    "docs_shuffle_order",
+    "docs_simhash",
+    "docs_text_stats",
 )
 
 
