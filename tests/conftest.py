@@ -64,3 +64,25 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_oracle() -> str:
     return SF_ORACLE
+
+
+def pool_bodies(fns: "dict[str, object]", max_workers: int = 8):
+    """Run independent heavy test bodies concurrently (the suite's
+    runtime-budget lever): Spark job submission is thread-safe and these
+    bodies are latency-bound (many small jobs), so overlapping them cuts
+    wall-clock without touching any verdict — each body's exception is
+    stored and re-raised in its own pytest row. Bodies must not mutate
+    process-global state (class attributes, spark conf); tests that do
+    stay unpooled."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(fn):
+        try:
+            fn()
+            return None
+        except BaseException as ex:  # re-raised by the owning test row
+            return ex
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(fns))) as pool:
+        futs = {n: pool.submit(run, f) for n, f in fns.items()}
+        return {n: f.result() for n, f in futs.items()}

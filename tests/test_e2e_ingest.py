@@ -18,6 +18,8 @@ deterministic version history).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
@@ -37,7 +39,7 @@ from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
 READINGS_PER_PAYLOAD = len(FLOAT_PARAMS) * 193 + len(SUN_PARAMS) * 9
 
 
-def test_stream_validate_merge_survives_crash_between_commits(
+def _heavy_test_stream_validate_merge_survives_crash_between_commits(
         spark, tmp_path):
     ckpt, table = str(tmp_path / "ckpt"), str(tmp_path / "table")
     crash = {"armed": False}
@@ -90,7 +92,7 @@ def test_stream_validate_merge_survives_crash_between_commits(
             == len(LOCATIONS) * 2 * READINGS_PER_PAYLOAD)
 
 
-def test_full_relay_api_stream_to_txlog_to_cdc_consumer(spark, tmp_path):
+def _heavy_test_full_relay_api_stream_to_txlog_to_cdc_consumer(spark, tmp_path):
     """The whole lakehouse relay from round 10's pieces: the weather API
     streams INTO the transaction-log table (stream_ingest_to_txlog),
     and a second, independent streaming query follows the SAME table
@@ -144,3 +146,41 @@ def test_full_relay_api_stream_to_txlog_to_cdc_consumer(spark, tmp_path):
             t.read().groupBy("city", "parameter")
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert full == maintained
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent bodies run concurrently under one module fixture, each
+# keeping its own pytest row. Tests that mutate process-global state
+# (class attributes, spark conf) are deliberately NOT pooled.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_stream_validate_merge_survives_crash_between_commits": _heavy_test_stream_validate_merge_survives_crash_between_commits,
+    "test_full_relay_api_stream_to_txlog_to_cdc_consumer": _heavy_test_full_relay_api_stream_to_txlog_to_cdc_consumer,
+}
+
+
+@pytest.fixture(scope="module")
+def e2e_pool(spark):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import pool_bodies
+
+    return pool_bodies({
+        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, fn in _POOLED.items()
+    })
+
+
+def test_stream_validate_merge_survives_crash_between_commits(e2e_pool):
+    ex = e2e_pool["test_stream_validate_merge_survives_crash_between_commits"]
+    if ex is not None:
+        raise ex
+
+
+def test_full_relay_api_stream_to_txlog_to_cdc_consumer(e2e_pool):
+    ex = e2e_pool["test_full_relay_api_stream_to_txlog_to_cdc_consumer"]
+    if ex is not None:
+        raise ex
+

@@ -74,6 +74,11 @@ def test_bnlj_only_in_intended_queries(all_plans):
                # nprobe=2 probe widening — same ivf_assign broadcast
                # scoring as emb_ann_ivf
                "emb_ann_ivf_multiprobe",
+               # served from the persisted index: the stored assignment
+               # replaces the corpus-side ivf_assign, but the QUERY side
+               # still quantizes via the same deliberate centroid
+               # broadcast scoring as emb_ann_ivf
+               "emb_ann_ivf_indexed",
                # recall@k over the three PQ tiers — composes the tier
                # queries + knn_bruteforce truth, inheriting their
                # deliberate bounded BNLJs

@@ -47,7 +47,7 @@ def _assert_star_equals_batch(spark, star):
         _ms(weather.dim_condition_from_stg(stg))
 
 
-def test_cdc_maintained_star_equals_batch_rebuild(spark, tmp_path):
+def _heavy_test_cdc_maintained_star_equals_batch_rebuild(spark, tmp_path):
     """N ingests — including run-date 03-27 arriving LAST (a stale
     late-arriving issuance that must lose the W1 ranking for overlapping
     readings and win it for its own fresh ones) — each followed by a
@@ -80,7 +80,7 @@ def test_cdc_maintained_star_equals_batch_rebuild(spark, tmp_path):
     assert star.facts["fact_sun_times_forecast"].read().count() > 0
 
 
-def test_star_fold_is_exactly_once_across_crash_and_bounded_catchup(
+def _heavy_test_star_fold_is_exactly_once_across_crash_and_bounded_catchup(
         spark, tmp_path):
     """A crash between the fact commits and the winners commit replays
     the fold deterministically: fact tables skip via their txn guard,
@@ -121,3 +121,40 @@ def test_star_fold_is_exactly_once_across_crash_and_bounded_catchup(
     sl.maintain_weather_star(spark, star, versions_per_fold=1)
     assert star.applied_version == star.stg.version
     _assert_star_equals_batch(spark, star)
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent bodies run concurrently under one module fixture, each
+# keeping its own pytest row. Tests that mutate process-global state
+# are deliberately NOT pooled.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_cdc_maintained_star_equals_batch_rebuild": _heavy_test_cdc_maintained_star_equals_batch_rebuild,
+    "test_star_fold_is_exactly_once_across_crash_and_bounded_catchup": _heavy_test_star_fold_is_exactly_once_across_crash_and_bounded_catchup,
+}
+
+
+@pytest.fixture(scope="module")
+def star_pool(spark):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import pool_bodies
+
+    return pool_bodies({
+        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, fn in _POOLED.items()
+    })
+
+
+def test_cdc_maintained_star_equals_batch_rebuild(star_pool):
+    ex = star_pool["test_cdc_maintained_star_equals_batch_rebuild"]
+    if ex is not None:
+        raise ex
+
+
+def test_star_fold_is_exactly_once_across_crash_and_bounded_catchup(star_pool):
+    ex = star_pool["test_star_fold_is_exactly_once_across_crash_and_bounded_catchup"]
+    if ex is not None:
+        raise ex

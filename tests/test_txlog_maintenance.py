@@ -33,7 +33,7 @@ def _ckpt_files(path):
                   if f.endswith(".checkpoint.json"))
 
 
-def test_checkpoints_bound_snapshot_fold_and_stay_exact(spark, tmp_path):
+def _heavy_test_checkpoints_bound_snapshot_fold_and_stay_exact(spark, tmp_path):
     """Auto-checkpoints land every CHECKPOINT_INTERVAL commits; a
     snapshot folds forward from the newest one at-or-before the target
     version (≤ interval commit reads per op, however old the table),
@@ -122,7 +122,7 @@ def test_optimize_packs_small_files_without_changing_rows(spark, tmp_path):
     assert _ms(t.read()) == before
 
 
-def test_optimize_is_invisible_to_change_feeds(spark, tmp_path):
+def _heavy_test_optimize_is_invisible_to_change_feeds(spark, tmp_path):
     """read_changes and the txlog_cdc stream skip dataChange=false
     actions: a window holding only the compaction is empty, the fold
     invariant holds across every window spanning it — including the
@@ -186,7 +186,7 @@ def test_optimize_commutes_with_concurrent_appends(spark, tmp_path):
     assert len(t.live_files()) == 2   # packed file + concurrent append
 
 
-def test_optimize_zorder_turns_compaction_into_data_skipping(spark, tmp_path):
+def _heavy_test_optimize_zorder_turns_compaction_into_data_skipping(spark, tmp_path):
     """OPTIMIZE ZORDER BY: packing on the Morton curve makes every
     packed file an aligned (x, y) rectangle, so merge-style stat
     pruning skips files on either dimension. Layout proof on a 64x64
@@ -322,7 +322,7 @@ def test_merge_schema_visible_to_cdc_stream(spark, tmp_path):
     assert (3, 27, 27, "insert") in set(rows)
 
 
-def test_torn_checkpoint_is_skipped_and_publish_is_atomic(spark, tmp_path):
+def _heavy_test_torn_checkpoint_is_skipped_and_publish_is_atomic(spark, tmp_path):
     """Crash-robustness of the log artifacts: a checkpoint torn mid-write
     (truncated JSON) is skipped by EVERY fold path — TxTable snapshots,
     txn ledger, the plain-IO DataSource fold, and the stream source's
@@ -375,7 +375,7 @@ def test_torn_checkpoint_is_skipped_and_publish_is_atomic(spark, tmp_path):
     assert leftovers == []
 
 
-def test_timestamp_time_travel_and_checkpoint_vacuum(spark, tmp_path):
+def _heavy_test_timestamp_time_travel_and_checkpoint_vacuum(spark, tmp_path):
     """timestampAsOf resolves against commit-file mtimes (Delta's rule);
     vacuum keeps only the newest checkpoint — old-version time travel
     falls back to the commit fold and stays exact."""
@@ -426,7 +426,7 @@ def test_timestamp_time_travel_and_checkpoint_vacuum(spark, tmp_path):
     assert t.read().count() == 230
 
 
-def test_newline_truncated_checkpoint_rejected_by_count_trailer(
+def _heavy_test_newline_truncated_checkpoint_rejected_by_count_trailer(
         spark, tmp_path):
     """The r10-advice crash shape the mid-line tear test can't catch: a
     checkpoint truncated exactly AT a newline boundary still parses as
@@ -469,7 +469,7 @@ def test_newline_truncated_checkpoint_rejected_by_count_trailer(
     assert sorted(live) == want_live
 
 
-def test_scheme_path_fallback_publish_and_torn_commit_caveat(
+def _heavy_test_scheme_path_fallback_publish_and_torn_commit_caveat(
         spark, tmp_path):
     """Directive: exercise the NON-local publish branch end-to-end. A
     ``file://``-scheme'd table takes ``_try_publish``'s claim-then-write
@@ -513,3 +513,76 @@ def test_scheme_path_fallback_publish_and_torn_commit_caveat(
     assert t2.read().count() == 220
     t2.append(_kv(spark, 300, 310))              # publishes at the freed slot
     assert t2.read().count() == 230
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent bodies run concurrently under one module fixture, each
+# keeping its own pytest row. Tests that mutate process-global state
+# (class attributes, spark conf) are deliberately NOT pooled.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_optimize_zorder_turns_compaction_into_data_skipping": _heavy_test_optimize_zorder_turns_compaction_into_data_skipping,
+    "test_timestamp_time_travel_and_checkpoint_vacuum": _heavy_test_timestamp_time_travel_and_checkpoint_vacuum,
+    "test_torn_checkpoint_is_skipped_and_publish_is_atomic": _heavy_test_torn_checkpoint_is_skipped_and_publish_is_atomic,
+    "test_checkpoints_bound_snapshot_fold_and_stay_exact": _heavy_test_checkpoints_bound_snapshot_fold_and_stay_exact,
+    "test_optimize_is_invisible_to_change_feeds": _heavy_test_optimize_is_invisible_to_change_feeds,
+    "test_scheme_path_fallback_publish_and_torn_commit_caveat": _heavy_test_scheme_path_fallback_publish_and_torn_commit_caveat,
+    "test_newline_truncated_checkpoint_rejected_by_count_trailer": _heavy_test_newline_truncated_checkpoint_rejected_by_count_trailer,
+}
+
+
+@pytest.fixture(scope="module")
+def maint_pool(spark):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import pool_bodies
+
+    return pool_bodies({
+        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, fn in _POOLED.items()
+    })
+
+
+def test_optimize_zorder_turns_compaction_into_data_skipping(maint_pool):
+    ex = maint_pool["test_optimize_zorder_turns_compaction_into_data_skipping"]
+    if ex is not None:
+        raise ex
+
+
+def test_timestamp_time_travel_and_checkpoint_vacuum(maint_pool):
+    ex = maint_pool["test_timestamp_time_travel_and_checkpoint_vacuum"]
+    if ex is not None:
+        raise ex
+
+
+def test_torn_checkpoint_is_skipped_and_publish_is_atomic(maint_pool):
+    ex = maint_pool["test_torn_checkpoint_is_skipped_and_publish_is_atomic"]
+    if ex is not None:
+        raise ex
+
+
+def test_checkpoints_bound_snapshot_fold_and_stay_exact(maint_pool):
+    ex = maint_pool["test_checkpoints_bound_snapshot_fold_and_stay_exact"]
+    if ex is not None:
+        raise ex
+
+
+def test_optimize_is_invisible_to_change_feeds(maint_pool):
+    ex = maint_pool["test_optimize_is_invisible_to_change_feeds"]
+    if ex is not None:
+        raise ex
+
+
+def test_scheme_path_fallback_publish_and_torn_commit_caveat(maint_pool):
+    ex = maint_pool["test_scheme_path_fallback_publish_and_torn_commit_caveat"]
+    if ex is not None:
+        raise ex
+
+
+def test_newline_truncated_checkpoint_rejected_by_count_trailer(maint_pool):
+    ex = maint_pool["test_newline_truncated_checkpoint_rejected_by_count_trailer"]
+    if ex is not None:
+        raise ex
+

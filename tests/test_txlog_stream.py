@@ -31,7 +31,7 @@ def _reader_rows(r, parts):
             for b in r.read(pt) for row in b.to_pylist()]
 
 
-def test_stream_cdc_batches_follow_commits_exactly_once(spark, tmp_path):
+def _heavy_test_stream_cdc_batches_follow_commits_exactly_once(spark, tmp_path):
     register(spark)
     p = str(tmp_path / "t")
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
@@ -92,7 +92,7 @@ def _rows(df):
     return Counter(tuple(r) for r in df.collect())
 
 
-def test_cdc_feeds_incremental_near_dup_maintenance(spark, tmp_path):
+def _heavy_test_cdc_feeds_incremental_near_dup_maintenance(spark, tmp_path):
     """Directive r10 #6 — the two halves wired end to end: a txlog
     documents table's commits flow through the ``txlog_cdc`` feed into
     the incremental pair join + vertex-deletion cluster maintenance
@@ -170,7 +170,7 @@ def test_cdc_feeds_incremental_near_dup_maintenance(spark, tmp_path):
         stream_cdc_near_dup_maintenance(spark, p, ck, stale)
 
 
-def test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows(
+def _heavy_test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows(
         spark, tmp_path):
     """TxTable.delete: keyed copy-on-write removal — only files holding a
     matching key are rewritten (stat-pruned), non-matching keys are a
@@ -209,7 +209,7 @@ def test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows(
         k for k in range(16) if k not in (3, 5))
 
 
-def test_cdc_max_versions_per_trigger_bounds_batches(spark, tmp_path):
+def _heavy_test_cdc_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     """maxVersionsPerTrigger: the engine-call sequence yields bounded
     offset windows (floor + cap), the floor ratchets monotonically and
     can never regress below a committed offset, a restarted reader's
@@ -378,7 +378,7 @@ def test_durable_cdc_near_dup_maintenance_exactly_once_across_crash(
     assert st.schema() == _St.fromDDL(_NEARDUP_STATE_SCHEMA)
 
 
-def test_cdc_replication_via_apply_changes_survives_any_dml_and_crash(
+def _heavy_test_cdc_replication_via_apply_changes_survives_any_dml_and_crash(
         spark, tmp_path):
     """Table replication through the change feed: a replica fed by
     txlog_cdc → foreachBatch → TxTable.apply_changes(txn=...) equals
@@ -478,7 +478,7 @@ def test_cdc_replication_via_apply_changes_survives_any_dml_and_crash(
     assert kvw(rep2) == kvw(src)
 
 
-def test_apply_changes_rejects_duplicate_key_window(spark, tmp_path):
+def _heavy_test_apply_changes_rejects_duplicate_key_window(spark, tmp_path):
     """Keyed replication requires a key-unique source: a window whose
     netted inserts carry two different values for one key has no
     well-defined replica — apply_changes raises instead of keeping an
@@ -496,3 +496,69 @@ def test_apply_changes_rejects_duplicate_key_window(spark, tmp_path):
         "k long, v long, _change_type string")
     rep.apply_changes(ok, ["k"])
     assert rep.read().filter("k = 7").collect()[0]["v"] == 14
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent bodies run concurrently under one module fixture, each
+# keeping its own pytest row. Tests that mutate process-global state
+# (class attributes, spark conf) are deliberately NOT pooled.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_cdc_feeds_incremental_near_dup_maintenance": _heavy_test_cdc_feeds_incremental_near_dup_maintenance,
+    "test_cdc_replication_via_apply_changes_survives_any_dml_and_crash": _heavy_test_cdc_replication_via_apply_changes_survives_any_dml_and_crash,
+    "test_stream_cdc_batches_follow_commits_exactly_once": _heavy_test_stream_cdc_batches_follow_commits_exactly_once,
+    "test_cdc_max_versions_per_trigger_bounds_batches": _heavy_test_cdc_max_versions_per_trigger_bounds_batches,
+    "test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows": _heavy_test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows,
+    "test_apply_changes_rejects_duplicate_key_window": _heavy_test_apply_changes_rejects_duplicate_key_window,
+}
+
+
+@pytest.fixture(scope="module")
+def stream_pool(spark):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import pool_bodies
+
+    return pool_bodies({
+        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, fn in _POOLED.items()
+    })
+
+
+def test_cdc_feeds_incremental_near_dup_maintenance(stream_pool):
+    ex = stream_pool["test_cdc_feeds_incremental_near_dup_maintenance"]
+    if ex is not None:
+        raise ex
+
+
+def test_cdc_replication_via_apply_changes_survives_any_dml_and_crash(stream_pool):
+    ex = stream_pool["test_cdc_replication_via_apply_changes_survives_any_dml_and_crash"]
+    if ex is not None:
+        raise ex
+
+
+def test_stream_cdc_batches_follow_commits_exactly_once(stream_pool):
+    ex = stream_pool["test_stream_cdc_batches_follow_commits_exactly_once"]
+    if ex is not None:
+        raise ex
+
+
+def test_cdc_max_versions_per_trigger_bounds_batches(stream_pool):
+    ex = stream_pool["test_cdc_max_versions_per_trigger_bounds_batches"]
+    if ex is not None:
+        raise ex
+
+
+def test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows(stream_pool):
+    ex = stream_pool["test_txtable_delete_copy_on_write_and_cdc_nets_exact_rows"]
+    if ex is not None:
+        raise ex
+
+
+def test_apply_changes_rejects_duplicate_key_window(stream_pool):
+    ex = stream_pool["test_apply_changes_rejects_duplicate_key_window"]
+    if ex is not None:
+        raise ex
+
