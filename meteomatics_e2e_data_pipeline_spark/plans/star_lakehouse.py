@@ -377,3 +377,36 @@ def star_oracle() -> dict[str, str]:
         "fact_sun_forecast_maintained": _oracle_fact(sun=True,
                                                      history=False),
     }
+
+
+def run_star_pipeline(spark: SparkSession, root: str, bronze_glob: str,
+                      optimize_every: int = 0,
+                      as_of: date = AS_OF) -> int:
+    """One maintenance CYCLE of the lakehouse star — the reference's
+    Airflow Dataset edge (``extract_weather_from_meteomatics.py:49`` →
+    ``meteomatics_transformation.py:25``) as a single idempotent call:
+
+    1. ingest new bronze files (P4 new-files filter → flatten → append),
+    2. fold the staging change feed into winners/facts/dims,
+    3. every ``optimize_every`` applied versions, compact the
+       fold-grain files (OPTIMIZE is layout-only — dataChange=false —
+       so the maintenance floor and any change-feed consumer are
+       untouched, pytest-pinned),
+    4. run the dbt-equivalent schema tests the reference declares on
+       the marts (``models/marts/schema.yml:7-11``: unique + not_null
+       on dim_location.location_key).
+
+    Returns the applied staging version. Re-running on the same bronze
+    set ingests nothing, folds nothing, and re-checks cleanly."""
+    from .runner import check_not_null, check_unique
+
+    star = create_weather_star(spark, root)
+    ingest_bronze_increment(spark, star, bronze_glob)
+    applied = maintain_weather_star(spark, star, as_of=as_of)
+    if optimize_every and applied and applied % optimize_every == 0:
+        for t in (star.winners, *star.facts.values()):
+            t.optimize()
+    dim = star.dim_location.read()
+    check_unique(dim, ["location_key"])
+    check_not_null(dim, ["location_key", "country", "city"])
+    return applied

@@ -720,7 +720,10 @@ def test_incremental_cluster_maintenance_property(spark, data):
     assert inc == batch
 
 
-@settings(max_examples=6, deadline=None)  # trimmed 10 -> 6, same rationale
+@settings(max_examples=4, deadline=None)  # trimmed 10->6 (r10), 6->4
+# (r12 runtime budget): the sweep re-derives what the deterministic
+# fixed-point/cocluster/star-agreement tests above pin every run; 4
+# random graphs keep the union-find cross-check without ~20 s of lane.
 @given(st.data())
 def test_connected_components_property_vs_union_find(spark, data):
     """Property: BOTH component algorithms (min-label propagation and

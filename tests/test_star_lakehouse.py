@@ -122,6 +122,30 @@ def _heavy_test_star_fold_is_exactly_once_across_crash_and_bounded_catchup(
     assert star.applied_version == star.stg.version
     _assert_star_equals_batch(spark, star)
 
+def _heavy_test_run_star_pipeline_cycles_with_compaction(spark, tmp_path):
+    """The one-call cycle (ingest -> fold -> OPTIMIZE -> dbt-equivalent
+    checks): two cycles with per-version compaction still equal the
+    batch rebuild — compaction's layout-only commits are invisible to
+    the maintenance floor — and a replayed cycle ingests and folds
+    nothing."""
+    root = ensure_fixtures()
+    sroot = str(tmp_path / "star")
+    v1 = sl.run_star_pipeline(
+        spark, sroot, f"{root}/*/*/weather_raw_*2025-03-2[67]*.json",
+        optimize_every=1)
+    v2 = sl.run_star_pipeline(
+        spark, sroot, f"{root}/*/*/weather_raw_*2025-03-2[89]*.json",
+        optimize_every=1)
+    assert v2 > v1
+    star = sl.create_weather_star(spark, sroot)
+    assert star.applied_version == v2 == star.stg.version
+    _assert_star_equals_batch(spark, star)
+    # replay: nothing new, nothing folded, checks still green
+    assert sl.run_star_pipeline(
+        spark, sroot, f"{root}/*/*/weather_raw_*.json") == v2
+    _assert_star_equals_batch(spark, star)
+
+
 # ---------------------------------------------------------------------------
 # Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
 # independent bodies run concurrently under one module fixture, each
@@ -132,6 +156,7 @@ def _heavy_test_star_fold_is_exactly_once_across_crash_and_bounded_catchup(
 _POOLED = {
     "test_cdc_maintained_star_equals_batch_rebuild": _heavy_test_cdc_maintained_star_equals_batch_rebuild,
     "test_star_fold_is_exactly_once_across_crash_and_bounded_catchup": _heavy_test_star_fold_is_exactly_once_across_crash_and_bounded_catchup,
+    "test_run_star_pipeline_cycles_with_compaction": _heavy_test_run_star_pipeline_cycles_with_compaction,
 }
 
 
@@ -156,5 +181,11 @@ def test_cdc_maintained_star_equals_batch_rebuild(star_pool):
 
 def test_star_fold_is_exactly_once_across_crash_and_bounded_catchup(star_pool):
     ex = star_pool["test_star_fold_is_exactly_once_across_crash_and_bounded_catchup"]
+    if ex is not None:
+        raise ex
+
+
+def test_run_star_pipeline_cycles_with_compaction(star_pool):
+    ex = star_pool["test_run_star_pipeline_cycles_with_compaction"]
     if ex is not None:
         raise ex

@@ -485,7 +485,7 @@ def test_stream_heavy_hitters_bounded_state_invariants(spark, tmp_path):
             assert u in got                       # heavy keys survive
 
 
-def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
+def _heavy_test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     """Inner stream-stream joins emit every match (watermarks only gate
     state eviction), so an availableNow pass must equal the batch
     interval join exactly — including across MULTIPLE batches, where a
@@ -524,7 +524,7 @@ def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     assert got == want
 
 
-def test_stream_outer_join_matches_batch_left_join(spark, tmp_path):
+def _heavy_test_stream_outer_join_matches_batch_left_join(spark, tmp_path):
     """LEFT OUTER stream-stream interval join: matched rows emit like
     the inner twin, and a view's NULL row emits only once the watermark
     proves no future click can match (state eviction IS the null
@@ -613,7 +613,7 @@ def test_stream_sliding_reach_tracks_batch_exact(spark, tmp_path):
     assert checked > 0
 
 
-def test_stream_sliding_reach_exact_equals_batch(spark, tmp_path):
+def _heavy_test_stream_sliding_reach_exact_equals_batch(spark, tmp_path):
     """The EXACT streaming twin (dedupe → windowed count, two chained
     stateful operators): every closed window must equal the batch
     trailing-7d distinct count bit-for-bit — no error envelope.
@@ -844,7 +844,7 @@ def test_stream_quality_scores_bit_equal_batch(spark, tmp_path):
     assert len(got) == docs.count()
 
 
-def test_stream_training_gate_composition_matches_batch(spark, tmp_path):
+def _heavy_test_stream_training_gate_composition_matches_batch(spark, tmp_path):
     """The composed online admission gate (quality threshold →
     decontamination → near-dup flag → stratified sample) admits
     EXACTLY the (doc_id, score) set the same four operators admit on
@@ -934,7 +934,7 @@ def test_stream_training_gate_composition_matches_batch(spark, tmp_path):
     assert n4 == len(want)
 
 
-def test_stream_near_dup_flags_match_batch_lsh(spark, tmp_path):
+def _heavy_test_stream_near_dup_flags_match_batch_lsh(spark, tmp_path):
     """The streaming flag must mark EXACTLY the arriving docs whose
     band keys collide with the prior corpus index — the same candidate
     semantics the batch LSH self-join computes — across multiple
@@ -1058,3 +1058,61 @@ def test_stream_dup_coverage_gate_matches_static_and_never_underestimates(
     got = {(r["doc_id"], r["est_dup_coverage"]) for r in
            spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == want
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent availableNow streams with private checkpoints run
+# concurrently under one module fixture, each keeping its own pytest row.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_stream_training_gate_composition_matches_batch": _heavy_test_stream_training_gate_composition_matches_batch,
+    "test_stream_sliding_reach_exact_equals_batch": _heavy_test_stream_sliding_reach_exact_equals_batch,
+    "test_stream_stream_join_matches_batch_interval_join": _heavy_test_stream_stream_join_matches_batch_interval_join,
+    "test_stream_near_dup_flags_match_batch_lsh": _heavy_test_stream_near_dup_flags_match_batch_lsh,
+    "test_stream_outer_join_matches_batch_left_join": _heavy_test_stream_outer_join_matches_batch_left_join,
+}
+
+
+@pytest.fixture(scope="module")
+def sops_pool(spark):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import pool_bodies
+
+    return pool_bodies({
+        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, fn in _POOLED.items()
+    })
+
+
+def test_stream_training_gate_composition_matches_batch(sops_pool):
+    ex = sops_pool["test_stream_training_gate_composition_matches_batch"]
+    if ex is not None:
+        raise ex
+
+
+def test_stream_sliding_reach_exact_equals_batch(sops_pool):
+    ex = sops_pool["test_stream_sliding_reach_exact_equals_batch"]
+    if ex is not None:
+        raise ex
+
+
+def test_stream_stream_join_matches_batch_interval_join(sops_pool):
+    ex = sops_pool["test_stream_stream_join_matches_batch_interval_join"]
+    if ex is not None:
+        raise ex
+
+
+def test_stream_near_dup_flags_match_batch_lsh(sops_pool):
+    ex = sops_pool["test_stream_near_dup_flags_match_batch_lsh"]
+    if ex is not None:
+        raise ex
+
+
+def test_stream_outer_join_matches_batch_left_join(sops_pool):
+    ex = sops_pool["test_stream_outer_join_matches_batch_left_join"]
+    if ex is not None:
+        raise ex
+
