@@ -141,7 +141,7 @@ def test_quarantine_channel_composes_with_validation(spark):
 # --------------------------------------------------------------------------
 
 
-def test_stream_drains_full_backfill_range(spark, tmp_path):
+def _heavy_test_stream_drains_full_backfill_range(spark, tmp_path):
     register(spark)
     df = (spark.readStream.format("weather_api")
           .option("start_date", RUN_DATES[0])
@@ -223,3 +223,34 @@ def test_stream_reader_offsets_are_monotone_and_restart_safe():
                          moved.latestOffset())
     # pre-upgrade checkpoints (no start_date key) stay readable
     assert r.partitions({"n_dates": 0}, {"n_dates": 1}) != []
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent bodies run concurrently under one module fixture, each
+# keeping its own pytest row. Tests that mutate process-global state
+# (sys.modules monkeypatching, class attributes) stay unpooled.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_stream_drains_full_backfill_range": _heavy_test_stream_drains_full_backfill_range,
+}
+
+
+@pytest.fixture(scope="module")
+def api_pool(spark):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import pool_bodies
+
+    return pool_bodies({
+        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, fn in _POOLED.items()
+    })
+
+
+def test_stream_drains_full_backfill_range(api_pool):
+    ex = api_pool["test_stream_drains_full_backfill_range"]
+    if ex is not None:
+        raise ex
+

@@ -50,7 +50,7 @@ def test_validation_corrupt_channel(spark):
     assert valid.first()["city"] == "tallinn"
 
 
-def test_ingest_end_to_end(spark, tmp_path):
+def _heavy_test_ingest_end_to_end(spark, tmp_path):
     bronze = str(tmp_path / "bronze")
     n_ok, n_q = ingest(spark, "2025-04-01", bronze)
     assert (n_ok, n_q) == (3, 0)
@@ -74,7 +74,7 @@ def test_geocode_distinct_lookup(spark):
     assert sorted(calls) == ["Berlin, Germany", "Tallinn, Estonia"]  # 1 each
 
 
-def test_streaming_available_now_exactly_once(spark, tmp_path):
+def _heavy_test_streaming_available_now_exactly_once(spark, tmp_path):
     ensure_fixtures()
     from meteomatics_e2e_data_pipeline_spark.sources.fixtures import (
         default_bronze_root,
@@ -93,7 +93,7 @@ def test_streaming_available_now_exactly_once(spark, tmp_path):
     assert spark.read.parquet(target).count() == first
 
 
-def test_sinks_support_orc(spark, tmp_path):
+def _heavy_test_sinks_support_orc(spark, tmp_path):
     from meteomatics_e2e_data_pipeline_spark.operators.incremental import (
         append_only, full_refresh,
     )
@@ -105,7 +105,7 @@ def test_sinks_support_orc(spark, tmp_path):
     assert spark.read.orc(p).count() == 4
 
 
-def test_partitioned_bronze_sink_roundtrip(spark, tmp_path):
+def _heavy_test_partitioned_bronze_sink_roundtrip(spark, tmp_path):
     """S5: the hive-partitioned JSON writer — partition columns are
     recovered on read via partition discovery."""
     import json as _json
@@ -150,7 +150,7 @@ def test_geocode_retry_policy():
         always_bad("Nowhere, Nil")
 
 
-def test_backfill_and_quarantine(spark, tmp_path):
+def _heavy_test_backfill_and_quarantine(spark, tmp_path):
     from meteomatics_e2e_data_pipeline_spark.sources.ingest import backfill_ingest
     bronze = str(tmp_path / "bronze")
     res = backfill_ingest(spark, ["2025-06-02", "2025-06-01"], bronze)
@@ -184,7 +184,7 @@ def test_config_source(tmp_path):
     assert cfg["parameters"] == DEFAULT_CONFIG["parameters"]  # defaulted
 
 
-def test_runner_topological_and_checks(spark, tmp_path):
+def _heavy_test_runner_topological_and_checks(spark, tmp_path):
     out = str(tmp_path / "warehouse")
     counts = transform(spark, out)
     assert counts["stg_weather_raw"] == 18744
@@ -271,7 +271,7 @@ def test_fetch_distributed_quarantines_failures(spark):
     assert all("boom for" in r["corrupt_record"] for r in bad)
 
 
-def test_ingest_distributed_end_to_end(spark, tmp_path):
+def _heavy_test_ingest_distributed_end_to_end(spark, tmp_path):
     """geocode → executor fetch → validate → partitioned bronze sink."""
     from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
         ingest_distributed,
@@ -355,7 +355,7 @@ def test_upsert_delta_missing_package_and_bad_fmt(spark, tmp_path):
         upsert_by_key(df, str(tmp_path / "d"), ["k"], spark, fmt="orc")
 
 
-def test_ingest_distributed_fetches_once_per_location(spark, tmp_path):
+def _heavy_test_ingest_distributed_fetches_once_per_location(spark, tmp_path):
     """The fetch frame is persisted before the valid/quarantine fork, so
     the external fetcher runs ONCE per location even though three actions
     consume the result (re-execution would re-burn the API and let a
@@ -486,3 +486,83 @@ def test_http_fetcher_from_named_connection():
     assert f.base_url == "https://api.meteomatics.com"
     assert f.auth == ("acme", "s3c")
     assert f.parameters == ["t_2m:C", "precip_1h:mm"]
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent bodies run concurrently under one module fixture, each
+# keeping its own pytest row. Tests that mutate process-global state
+# (sys.modules monkeypatching, class attributes) stay unpooled.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_ingest_end_to_end": _heavy_test_ingest_end_to_end,
+    "test_streaming_available_now_exactly_once": _heavy_test_streaming_available_now_exactly_once,
+    "test_sinks_support_orc": _heavy_test_sinks_support_orc,
+    "test_partitioned_bronze_sink_roundtrip": _heavy_test_partitioned_bronze_sink_roundtrip,
+    "test_backfill_and_quarantine": _heavy_test_backfill_and_quarantine,
+    "test_runner_topological_and_checks": _heavy_test_runner_topological_and_checks,
+    "test_ingest_distributed_end_to_end": _heavy_test_ingest_distributed_end_to_end,
+    "test_ingest_distributed_fetches_once_per_location": _heavy_test_ingest_distributed_fetches_once_per_location,
+}
+
+
+@pytest.fixture(scope="module")
+def runner_pool(spark):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import pool_bodies
+
+    return pool_bodies({
+        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, fn in _POOLED.items()
+    })
+
+
+def test_ingest_end_to_end(runner_pool):
+    ex = runner_pool["test_ingest_end_to_end"]
+    if ex is not None:
+        raise ex
+
+
+def test_streaming_available_now_exactly_once(runner_pool):
+    ex = runner_pool["test_streaming_available_now_exactly_once"]
+    if ex is not None:
+        raise ex
+
+
+def test_sinks_support_orc(runner_pool):
+    ex = runner_pool["test_sinks_support_orc"]
+    if ex is not None:
+        raise ex
+
+
+def test_partitioned_bronze_sink_roundtrip(runner_pool):
+    ex = runner_pool["test_partitioned_bronze_sink_roundtrip"]
+    if ex is not None:
+        raise ex
+
+
+def test_backfill_and_quarantine(runner_pool):
+    ex = runner_pool["test_backfill_and_quarantine"]
+    if ex is not None:
+        raise ex
+
+
+def test_runner_topological_and_checks(runner_pool):
+    ex = runner_pool["test_runner_topological_and_checks"]
+    if ex is not None:
+        raise ex
+
+
+def test_ingest_distributed_end_to_end(runner_pool):
+    ex = runner_pool["test_ingest_distributed_end_to_end"]
+    if ex is not None:
+        raise ex
+
+
+def test_ingest_distributed_fetches_once_per_location(runner_pool):
+    ex = runner_pool["test_ingest_distributed_fetches_once_per_location"]
+    if ex is not None:
+        raise ex
+

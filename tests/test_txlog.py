@@ -22,7 +22,7 @@ def _kv(spark, lo, hi, mul=2, parts=4):
             .selectExpr("id as k", f"id*{mul} as v").repartition(parts))
 
 
-def test_create_append_read_and_versions(spark, tmp_path):
+def _heavy_test_create_append_read_and_versions(spark, tmp_path):
     p = str(tmp_path / "t")
     t = TxTable.create(spark, _kv(spark, 0, 100), p, stat_cols=["k"])
     assert t.version == 0
@@ -37,7 +37,7 @@ def test_create_append_read_and_versions(spark, tmp_path):
     assert TxTable(spark, p).read().count() == 150
 
 
-def test_schema_is_enforced_and_empty_table_readable(spark, tmp_path):
+def _heavy_test_schema_is_enforced_and_empty_table_readable(spark, tmp_path):
     p = str(tmp_path / "t")
     t = TxTable.create(spark, _kv(spark, 0, 10), p, stat_cols=["k"])
     with pytest.raises(ValueError, match="schema mismatch"):
@@ -48,7 +48,7 @@ def test_schema_is_enforced_and_empty_table_readable(spark, tmp_path):
     assert t.read(0).count() == 10  # history intact
 
 
-def test_merge_first_wins_matches_parquet_tier(spark, tmp_path):
+def _heavy_test_merge_first_wins_matches_parquet_tier(spark, tmp_path):
     """fmt='txlog' upsert ≡ fmt='parquet' upsert on the same batches —
     the two S8 tiers agree row-for-row (first-writer-wins)."""
     pq, tx = str(tmp_path / "pq"), str(tmp_path / "tx")
@@ -64,7 +64,7 @@ def test_merge_first_wins_matches_parquet_tier(spark, tmp_path):
             and right.exceptAll(left).count() == 0)
 
 
-def test_merge_last_wins_rewrites_only_colliding_files(spark, tmp_path):
+def _heavy_test_merge_last_wins_rewrites_only_colliding_files(spark, tmp_path):
     """update=True: batch rows replace colliding keys; files with no
     colliding key survive untouched (copy-on-write is stat+probe pruned)."""
     p = str(tmp_path / "t")
@@ -91,7 +91,7 @@ def test_merge_last_wins_rewrites_only_colliding_files(spark, tmp_path):
     assert oracle.exceptAll(got).count() == 0
 
 
-def test_stat_pruning_limits_collision_probe(spark, tmp_path):
+def _heavy_test_stat_pruning_limits_collision_probe(spark, tmp_path):
     """The first-wins collision probe reads only stat-overlapping files."""
     p = str(tmp_path / "t")
     base = (spark.range(0, 800).selectExpr("id as k", "id*2 as v")
@@ -107,7 +107,7 @@ def test_stat_pruning_limits_collision_probe(spark, tmp_path):
         assert lo is not None and hi is not None and lo <= hi
 
 
-def test_crash_recovery_orphan_data_and_torn_commit(spark, tmp_path):
+def _heavy_test_crash_recovery_orphan_data_and_torn_commit(spark, tmp_path):
     """A data file with no committed add (crash between stage and commit)
     is invisible; a stray non-versioned temp file in the log dir is
     ignored. Readers only ever see complete versions."""
@@ -169,7 +169,7 @@ def test_concurrent_append_retries_and_conflicting_merge_raises(
         t._commit([], stale_rv, validate=no_concurrency)
 
 
-def test_concurrent_overlapping_merge_conflicts(spark, tmp_path):
+def _heavy_test_concurrent_overlapping_merge_conflicts(spark, tmp_path):
     """Two merges over the same key range cannot both win silently: the
     second to publish sees the first's overlapping add and raises."""
     p = str(tmp_path / "t")
@@ -195,7 +195,7 @@ def test_concurrent_overlapping_merge_conflicts(spark, tmp_path):
     assert t.read().filter("k >= 200").count() == 5
 
 
-def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+def _heavy_test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     p = str(tmp_path / "t")
     t = TxTable.create(spark, _kv(spark, 0, 100), p, stat_cols=["k"])
     t.overwrite(_kv(spark, 0, 10, parts=1))
@@ -209,7 +209,7 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     assert data_files == live
 
 
-def test_history_actions_are_auditable(spark, tmp_path):
+def _heavy_test_history_actions_are_auditable(spark, tmp_path):
     p = str(tmp_path / "t")
     t = TxTable.create(spark, _kv(spark, 0, 20, parts=1), p,
                        stat_cols=["k"])
@@ -230,7 +230,7 @@ def _multiset(df, cols=("k", "v")):
     return Counter(tuple(r[c] for c in cols) for r in df.collect())
 
 
-def test_read_changes_fold_invariant_and_windows(spark, tmp_path):
+def _heavy_test_read_changes_fold_invariant_and_windows(spark, tmp_path):
     """CDC between snapshots: for every (from, to) window,
     read(from) ⊎ inserts ∖ deletes == read(to) as multisets — through
     appends, insert-only merges, and copy-on-write update merges
@@ -341,7 +341,7 @@ def test_update_rewrites_only_matching_files_and_cdc_nets_changed_rows(
     assert t.version == v
 
 
-def test_update_conflicts_with_concurrent_insert(spark, tmp_path):
+def _heavy_test_update_conflicts_with_concurrent_insert(spark, tmp_path):
     """An intervening data-changing add invalidates the update's probe
     (stat-blind conservative rule); a layout-only commit does not."""
     p = str(tmp_path / "t")
@@ -453,7 +453,7 @@ def test_restore_rewinds_live_set_keeps_history_and_feeds_cdc(
         t.restore(1)
 
 
-def test_restore_readds_optimized_files_as_data_changes(spark, tmp_path):
+def _heavy_test_restore_readds_optimized_files_as_data_changes(spark, tmp_path):
     """A re-added file whose original add was layout-only (optimize
     output, dataChange: false) must surface in the CDC feed after a
     restore — relative to the pre-restore table its rows genuinely
@@ -477,7 +477,7 @@ def test_restore_readds_optimized_files_as_data_changes(spark, tmp_path):
     assert ins == want  # the packed file's rows ARE in the feed
 
 
-def test_read_changes_nets_restore_readds_by_multiset(spark, tmp_path):
+def _heavy_test_read_changes_nets_restore_readds_by_multiset(spark, tmp_path):
     """A window spanning a remove and a later RESTORE re-add of the SAME
     path has unbalanced add/remove counts (2 adds vs 1 remove); netting
     by set intersection dropped every occurrence and emitted an empty
@@ -514,7 +514,7 @@ def test_read_changes_nets_restore_readds_by_multiset(spark, tmp_path):
     assert dels2, "re-add/remove cancelled to an empty feed"
 
 
-def test_legacy_checkpoint_is_regenerated_in_place(spark, tmp_path):
+def _heavy_test_legacy_checkpoint_is_regenerated_in_place(spark, tmp_path):
     """A checkpoint written before the count trailer existed must not be
     treated as permanently torn: write_checkpoint regenerates the
     same-version file (atomic replace) with the trailer, instead of
@@ -541,3 +541,125 @@ def test_legacy_checkpoint_is_regenerated_in_place(spark, tmp_path):
     from collections import Counter
     assert Counter((r["k"], r["v"]) for r in t.read().collect()) == \
         Counter((i, i * 2) for i in range(20))
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent bodies run concurrently under one module fixture, each
+# keeping its own pytest row. Tests that mutate process-global state
+# (sys.modules monkeypatching, class attributes) stay unpooled.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_create_append_read_and_versions": _heavy_test_create_append_read_and_versions,
+    "test_schema_is_enforced_and_empty_table_readable": _heavy_test_schema_is_enforced_and_empty_table_readable,
+    "test_merge_first_wins_matches_parquet_tier": _heavy_test_merge_first_wins_matches_parquet_tier,
+    "test_merge_last_wins_rewrites_only_colliding_files": _heavy_test_merge_last_wins_rewrites_only_colliding_files,
+    "test_stat_pruning_limits_collision_probe": _heavy_test_stat_pruning_limits_collision_probe,
+    "test_crash_recovery_orphan_data_and_torn_commit": _heavy_test_crash_recovery_orphan_data_and_torn_commit,
+    "test_concurrent_overlapping_merge_conflicts": _heavy_test_concurrent_overlapping_merge_conflicts,
+    "test_vacuum_removes_only_unreferenced_files": _heavy_test_vacuum_removes_only_unreferenced_files,
+    "test_history_actions_are_auditable": _heavy_test_history_actions_are_auditable,
+    "test_read_changes_fold_invariant_and_windows": _heavy_test_read_changes_fold_invariant_and_windows,
+    "test_update_conflicts_with_concurrent_insert": _heavy_test_update_conflicts_with_concurrent_insert,
+    "test_restore_readds_optimized_files_as_data_changes": _heavy_test_restore_readds_optimized_files_as_data_changes,
+    "test_read_changes_nets_restore_readds_by_multiset": _heavy_test_read_changes_nets_restore_readds_by_multiset,
+    "test_legacy_checkpoint_is_regenerated_in_place": _heavy_test_legacy_checkpoint_is_regenerated_in_place,
+}
+
+
+@pytest.fixture(scope="module")
+def txlog_pool(spark):
+    import tempfile
+    from pathlib import Path
+
+    from tests.conftest import pool_bodies
+
+    return pool_bodies({
+        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, fn in _POOLED.items()
+    })
+
+
+def test_create_append_read_and_versions(txlog_pool):
+    ex = txlog_pool["test_create_append_read_and_versions"]
+    if ex is not None:
+        raise ex
+
+
+def test_schema_is_enforced_and_empty_table_readable(txlog_pool):
+    ex = txlog_pool["test_schema_is_enforced_and_empty_table_readable"]
+    if ex is not None:
+        raise ex
+
+
+def test_merge_first_wins_matches_parquet_tier(txlog_pool):
+    ex = txlog_pool["test_merge_first_wins_matches_parquet_tier"]
+    if ex is not None:
+        raise ex
+
+
+def test_merge_last_wins_rewrites_only_colliding_files(txlog_pool):
+    ex = txlog_pool["test_merge_last_wins_rewrites_only_colliding_files"]
+    if ex is not None:
+        raise ex
+
+
+def test_stat_pruning_limits_collision_probe(txlog_pool):
+    ex = txlog_pool["test_stat_pruning_limits_collision_probe"]
+    if ex is not None:
+        raise ex
+
+
+def test_crash_recovery_orphan_data_and_torn_commit(txlog_pool):
+    ex = txlog_pool["test_crash_recovery_orphan_data_and_torn_commit"]
+    if ex is not None:
+        raise ex
+
+
+def test_concurrent_overlapping_merge_conflicts(txlog_pool):
+    ex = txlog_pool["test_concurrent_overlapping_merge_conflicts"]
+    if ex is not None:
+        raise ex
+
+
+def test_vacuum_removes_only_unreferenced_files(txlog_pool):
+    ex = txlog_pool["test_vacuum_removes_only_unreferenced_files"]
+    if ex is not None:
+        raise ex
+
+
+def test_history_actions_are_auditable(txlog_pool):
+    ex = txlog_pool["test_history_actions_are_auditable"]
+    if ex is not None:
+        raise ex
+
+
+def test_read_changes_fold_invariant_and_windows(txlog_pool):
+    ex = txlog_pool["test_read_changes_fold_invariant_and_windows"]
+    if ex is not None:
+        raise ex
+
+
+def test_update_conflicts_with_concurrent_insert(txlog_pool):
+    ex = txlog_pool["test_update_conflicts_with_concurrent_insert"]
+    if ex is not None:
+        raise ex
+
+
+def test_restore_readds_optimized_files_as_data_changes(txlog_pool):
+    ex = txlog_pool["test_restore_readds_optimized_files_as_data_changes"]
+    if ex is not None:
+        raise ex
+
+
+def test_read_changes_nets_restore_readds_by_multiset(txlog_pool):
+    ex = txlog_pool["test_read_changes_nets_restore_readds_by_multiset"]
+    if ex is not None:
+        raise ex
+
+
+def test_legacy_checkpoint_is_regenerated_in_place(txlog_pool):
+    ex = txlog_pool["test_legacy_checkpoint_is_regenerated_in_place"]
+    if ex is not None:
+        raise ex
+
