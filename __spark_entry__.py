@@ -35,19 +35,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
 # Round-12 rotation (VERDICT r11 directive #4), priority order:
-# (1) the 3 NEW entries (fact_params_history_maintained /
-#     fact_sun_forecast_maintained — the CDC-maintained star's facts,
-#     checked against the SAME SQL as the batch facts; and
-#     emb_ann_ivf_indexed — IVF served from the persisted
-#     CDC-maintained index table);
+# (1) the 4 NEW entries (fact_params_history_maintained /
+#     fact_sun_forecast_maintained — the CDC-maintained star's facts —
+#     and weather_city_daily_maintained — the J3 star-join consumed
+#     from the maintained tables — all checked against the SAME SQL as
+#     their batch forms; and emb_ann_ivf_indexed — IVF served from the
+#     persisted CDC-maintained index table);
 # (2) the 4 plans CHANGED by the knn_ivf -> knn_ivf_preassigned
 #     serving split (emb_ann_ivf, emb_ann_ivf_multiprobe,
 #     emb_ann_ivf_trained, emb_ann_recall — value-identical refactor,
 #     re-attested anyway);
 # (3) ALL 19 remaining r7-dated attestations (the complete pre-r8
 #     debt — zero pre-r8 rows remain after this gate lands green);
-# (4) the first 24 of the 41 r8-dated rows (alphabetical; the
-#     remaining 17 — docs_token_budget_mix, docs_tokenizer_fertility,
+# (4) the first 23 of the 41 r8-dated rows (alphabetical; the
+#     remaining 18 — docs_text_stats, docs_token_budget_mix, docs_tokenizer_fertility,
 #     docs_training_mix, docs_unigram_nll, emb_dedup_keep,
 #     emb_knn_int8, emb_knn_pq_trained, emb_pq_codes,
 #     emb_quantize_int8, events_rollup_incremental,
@@ -66,6 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST = (
     "fact_params_history_maintained",
     "fact_sun_forecast_maintained",
+    "weather_city_daily_maintained",
     "emb_ann_ivf_indexed",
     "emb_ann_ivf",
     "emb_ann_ivf_multiprobe",
@@ -113,7 +115,6 @@ _VERIFY_FIRST = (
     "docs_sampled",
     "docs_shuffle_order",
     "docs_simhash",
-    "docs_text_stats",
 )
 
 

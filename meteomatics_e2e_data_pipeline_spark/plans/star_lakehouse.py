@@ -361,21 +361,46 @@ def _q_fact_maintained(sun: bool, history: bool):
     return q
 
 
+def q_weather_city_daily_maintained(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The J3 star-join consumption query (`weather_city_daily`) served
+    entirely from the MAINTAINED tables — fact × broadcast dims read
+    from the CDC-folded star instead of being rebuilt from staging; the
+    shared oracle proves the whole maintained star is consumable at
+    value parity with the batch marts."""
+    star = maintained_star(spark)
+    fact = star.facts["fact_weather_params_history"].read()
+    dim_loc = star.dim_location.read()
+    dim_cond = star.dim_condition.read()
+    return (
+        fact.join(F.broadcast(dim_loc), "location_key")
+        .join(F.broadcast(dim_cond), "condition_key")
+        .groupBy("city", "parameter_name", "date_key")
+        .agg(F.count(F.lit(1)).alias("n_readings"),
+             F.round(F.min("reading_value"), 2).alias("min_value"),
+             F.round(F.max("reading_value"), 2).alias("max_value"))
+    )
+
+
 STAR_QUERIES = {
     "fact_params_history_maintained": _q_fact_maintained(False, True),
     "fact_sun_forecast_maintained": _q_fact_maintained(True, False),
+    "weather_city_daily_maintained": q_weather_city_daily_maintained,
 }
 
 
 def star_oracle() -> dict[str, str]:
     """The maintained facts answer to the SAME SQL as the batch facts —
     that identity IS the maintenance proof."""
-    from .weather import _oracle_fact
+    from .weather import _oracle_fact, oracle_weather_city_daily
     return {
         "fact_params_history_maintained": _oracle_fact(sun=False,
                                                        history=True),
         "fact_sun_forecast_maintained": _oracle_fact(sun=True,
                                                      history=False),
+        # the maintained star must be CONSUMABLE at parity: the J3
+        # star-join answers the batch query's oracle verbatim
+        "weather_city_daily_maintained": oracle_weather_city_daily(),
     }
 
 

@@ -86,3 +86,45 @@ def pool_bodies(fns: "dict[str, object]", max_workers: int = 8):
     with ThreadPoolExecutor(max_workers=min(max_workers, len(fns))) as pool:
         futs = {n: pool.submit(run, f) for n, f in fns.items()}
         return {n: f.result() for n, f in futs.items()}
+
+
+
+#: Modules that export a ``_POOLED`` registry of heavy bodies
+#: (name -> fn(spark, tmp_path)) or, for test_llm_operators, a
+#: ``_POOLED_HEAVY`` registry of (fn, argnames). ONE session-scoped
+#: pool runs every registered body together: per-module pools each
+#: formed a serial barrier (module A's pool drains before module B's
+#: starts); merging them lets the whole suite's heavy tail overlap on
+#: 8 threads once, at first touch.
+_POOLED_MODULES = (
+    "tests.test_star_lakehouse",
+    "tests.test_e2e_ingest",
+    "tests.test_txlog_maintenance",
+    "tests.test_txlog_stream",
+    "tests.test_streaming_ops",
+    "tests.test_txlog",
+    "tests.test_api_datasource",
+    "tests.test_ingest_and_runner",
+    "tests.test_llm_operators",
+)
+
+
+@pytest.fixture(scope="session")
+def heavy_session_results(spark):
+    import importlib
+    import tempfile
+    from pathlib import Path
+
+    ctx = {"spark": spark, "sf_oracle": SF_ORACLE}
+    bodies = {}
+    for modname in _POOLED_MODULES:
+        mod = importlib.import_module(modname)
+        for n, item in getattr(mod, "_POOLED", {}).items():
+            fn = item
+            bodies[f"{modname}::{n}"] = (
+                lambda fn=fn: fn(ctx["spark"],
+                                 Path(tempfile.mkdtemp(prefix="pool_"))))
+        for n, (fn, argnames) in getattr(mod, "_POOLED_HEAVY", {}).items():
+            bodies[f"{modname}::{n}"] = (
+                lambda fn=fn, a=tuple(argnames): fn(*[ctx[x] for x in a]))
+    return pool_bodies(bodies, max_workers=12)

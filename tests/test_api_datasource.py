@@ -237,16 +237,9 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def api_pool(spark):
-    import tempfile
-    from pathlib import Path
-
-    from tests.conftest import pool_bodies
-
-    return pool_bodies({
-        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
-        for n, fn in _POOLED.items()
-    })
+def api_pool(heavy_session_results):
+    return {n: heavy_session_results["tests.test_api_datasource::" + n]
+            for n in _POOLED}
 
 
 def test_stream_drains_full_backfill_range(api_pool):

@@ -161,16 +161,9 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def e2e_pool(spark):
-    import tempfile
-    from pathlib import Path
-
-    from tests.conftest import pool_bodies
-
-    return pool_bodies({
-        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
-        for n, fn in _POOLED.items()
-    })
+def e2e_pool(heavy_session_results):
+    return {n: heavy_session_results["tests.test_e2e_ingest::" + n]
+            for n in _POOLED}
 
 
 def test_stream_validate_merge_survives_crash_between_commits(e2e_pool):

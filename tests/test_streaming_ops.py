@@ -1075,16 +1075,9 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def sops_pool(spark):
-    import tempfile
-    from pathlib import Path
-
-    from tests.conftest import pool_bodies
-
-    return pool_bodies({
-        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
-        for n, fn in _POOLED.items()
-    })
+def sops_pool(heavy_session_results):
+    return {n: heavy_session_results["tests.test_streaming_ops::" + n]
+            for n in _POOLED}
 
 
 def test_stream_training_gate_composition_matches_batch(sops_pool):

@@ -568,16 +568,9 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def txlog_pool(spark):
-    import tempfile
-    from pathlib import Path
-
-    from tests.conftest import pool_bodies
-
-    return pool_bodies({
-        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
-        for n, fn in _POOLED.items()
-    })
+def txlog_pool(heavy_session_results):
+    return {n: heavy_session_results["tests.test_txlog::" + n]
+            for n in _POOLED}
 
 
 def test_create_append_read_and_versions(txlog_pool):

@@ -533,16 +533,9 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def maint_pool(spark):
-    import tempfile
-    from pathlib import Path
-
-    from tests.conftest import pool_bodies
-
-    return pool_bodies({
-        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
-        for n, fn in _POOLED.items()
-    })
+def maint_pool(heavy_session_results):
+    return {n: heavy_session_results["tests.test_txlog_maintenance::" + n]
+            for n in _POOLED}
 
 
 def test_optimize_zorder_turns_compaction_into_data_skipping(maint_pool):

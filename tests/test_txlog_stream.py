@@ -280,7 +280,10 @@ def _heavy_test_cdc_max_versions_per_trigger_bounds_batches(spark, tmp_path):
 
 
 def test_durable_cdc_near_dup_maintenance_exactly_once_across_crash(
-        spark, tmp_path):
+        spark, tmp_path, heavy_session_results):
+    # heavy_session_results ordering dependency: this test patches the
+    # CLASS attribute TxTable.apply_delta, so the session pool (whose
+    # bodies call apply_delta) must have fully drained first.
     """The lakehouse-native maintenance loop: state in ONE
     frame-discriminated txlog table, one atomic keyed-delta commit
     (apply_delta(txn=...)) per fold — write cost tracks the increment's
@@ -515,16 +518,9 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def stream_pool(spark):
-    import tempfile
-    from pathlib import Path
-
-    from tests.conftest import pool_bodies
-
-    return pool_bodies({
-        n: (lambda fn=fn: fn(spark, Path(tempfile.mkdtemp(prefix="pool_"))))
-        for n, fn in _POOLED.items()
-    })
+def stream_pool(heavy_session_results):
+    return {n: heavy_session_results["tests.test_txlog_stream::" + n]
+            for n in _POOLED}
 
 
 def test_cdc_feeds_incremental_near_dup_maintenance(stream_pool):
