@@ -51,7 +51,11 @@ def pytest_collection_modifyitems(config, items):
 
 @pytest.fixture(scope="session")
 def spark():
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # local[16] on the 32-core box: the async heavy-body pool and the
+    # serial small-test stream share task slots — 8 slots made them
+    # queue behind each other (r12 runtime ledger); shuffle stays at 8
+    # so per-job task counts (and every plan assertion) are unchanged.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
     s = get_spark("tests", shuffle_partitions=8)
     yield s
 
@@ -91,11 +95,13 @@ def pool_bodies(fns: "dict[str, object]", max_workers: int = 8):
 
 #: Modules that export a ``_POOLED`` registry of heavy bodies
 #: (name -> fn(spark, tmp_path)) or, for test_llm_operators, a
-#: ``_POOLED_HEAVY`` registry of (fn, argnames). ONE session-scoped
-#: pool runs every registered body together: per-module pools each
-#: formed a serial barrier (module A's pool drains before module B's
-#: starts); merging them lets the whole suite's heavy tail overlap on
-#: 8 threads once, at first touch.
+#: ``_POOLED_HEAVY`` registry of (fn, argnames). ONE session pool runs
+#: every registered body: per-module pools each formed a serial drain
+#: barrier, and a single BLOCKING session pool still serialized against
+#: the unpooled tail — so the pool is submitted ASYNCHRONOUSLY at
+#: session start (full default-lane runs only) and drains in the
+#: background while the unpooled tests execute; each module fixture
+#: joins only ITS OWN futures when pytest reaches that module.
 _POOLED_MODULES = (
     "tests.test_star_lakehouse",
     "tests.test_e2e_ingest",
@@ -109,8 +115,7 @@ _POOLED_MODULES = (
 )
 
 
-@pytest.fixture(scope="session")
-def heavy_session_results(spark):
+def _heavy_bodies(spark) -> dict:
     import importlib
     import tempfile
     from pathlib import Path
@@ -119,12 +124,70 @@ def heavy_session_results(spark):
     bodies = {}
     for modname in _POOLED_MODULES:
         mod = importlib.import_module(modname)
-        for n, item in getattr(mod, "_POOLED", {}).items():
-            fn = item
+        for n, fn in getattr(mod, "_POOLED", {}).items():
             bodies[f"{modname}::{n}"] = (
                 lambda fn=fn: fn(ctx["spark"],
                                  Path(tempfile.mkdtemp(prefix="pool_"))))
         for n, (fn, argnames) in getattr(mod, "_POOLED_HEAVY", {}).items():
             bodies[f"{modname}::{n}"] = (
                 lambda fn=fn, a=tuple(argnames): fn(*[ctx[x] for x in a]))
-    return pool_bodies(bodies, max_workers=12)
+    return bodies
+
+
+class _LazyPool:
+    """Submit-on-first-touch future map: a full-lane session submits
+    everything up front (submit_all); a targeted ``-k``/``-m`` session
+    only ever submits the keys its selected shims actually touch."""
+
+    def __init__(self, ex, bodies):
+        self._ex, self._bodies, self._futs = ex, bodies, {}
+
+    def __getitem__(self, key):
+        if key not in self._futs:
+            self._futs[key] = self._ex.submit(self._bodies[key])
+        return self._futs[key]
+
+    def submit_all(self):
+        for k in self._bodies:
+            self[k]
+
+    def keys(self):
+        return self._bodies.keys()
+
+
+@pytest.fixture(scope="session")
+def _heavy_pool(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def wrap(fn):
+        def run():
+            try:
+                fn()
+                return None
+            except BaseException as ex:  # re-raised by the owning row
+                return ex
+        return run
+
+    ex = ThreadPoolExecutor(max_workers=8)
+    pool = _LazyPool(ex, {k: wrap(fn)
+                          for k, fn in _heavy_bodies(spark).items()})
+    yield pool
+    ex.shutdown(wait=True)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _heavy_pool_autostart(request):
+    """Kick the async pool off at session start — but only for full-lane
+    runs (targeted -k / -m slow sessions stay lazy: their pooled shims,
+    if any are selected, build the pool on first access instead)."""
+    if len(request.session.items) > 200:
+        request.getfixturevalue("_heavy_pool").submit_all()
+    yield
+
+
+@pytest.fixture(scope="session")
+def heavy_session_results(_heavy_pool):
+    """ALL bodies joined — the full-drain barrier for tests that mutate
+    process-global state (the durable crash-injection patch)."""
+    _heavy_pool.submit_all()
+    return {k: _heavy_pool[k].result() for k in _heavy_pool.keys()}

@@ -237,9 +237,12 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def api_pool(heavy_session_results):
-    return {n: heavy_session_results["tests.test_api_datasource::" + n]
+def api_pool(_heavy_pool):
+    # touch all (submits on targeted runs), then join only
+    # THIS module futures; the rest keep draining
+    futs = {n: _heavy_pool["tests.test_api_datasource::" + n]
             for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_stream_drains_full_backfill_range(api_pool):

@@ -161,9 +161,12 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def e2e_pool(heavy_session_results):
-    return {n: heavy_session_results["tests.test_e2e_ingest::" + n]
+def e2e_pool(_heavy_pool):
+    # touch all (submits on targeted runs), then join only
+    # THIS module futures; the rest keep draining
+    futs = {n: _heavy_pool["tests.test_e2e_ingest::" + n]
             for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_stream_validate_merge_survives_crash_between_commits(e2e_pool):

@@ -507,9 +507,12 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def runner_pool(heavy_session_results):
-    return {n: heavy_session_results["tests.test_ingest_and_runner::" + n]
+def runner_pool(_heavy_pool):
+    # touch all (submits on targeted runs), then join only
+    # THIS module futures; the rest keep draining
+    futs = {n: _heavy_pool["tests.test_ingest_and_runner::" + n]
             for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_ingest_end_to_end(runner_pool):

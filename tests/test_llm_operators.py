@@ -2806,9 +2806,11 @@ _POOLED_HEAVY = {
 
 
 @pytest.fixture(scope="module")
-def heavy_results(heavy_session_results):
-    return {n: heavy_session_results["tests.test_llm_operators::" + n]
+def heavy_results(_heavy_pool):
+    # touch all (submits on targeted runs), then join only THIS module
+    futs = {n: _heavy_pool["tests.test_llm_operators::" + n]
             for n in _POOLED_HEAVY}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_star_algorithm_handles_diameter_past_propagation_cap(heavy_results):

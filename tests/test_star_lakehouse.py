@@ -167,9 +167,12 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def star_pool(heavy_session_results):
-    return {n: heavy_session_results["tests.test_star_lakehouse::" + n]
+def star_pool(_heavy_pool):
+    # touch all (submits on targeted runs), then join only
+    # THIS module futures; the rest keep draining
+    futs = {n: _heavy_pool["tests.test_star_lakehouse::" + n]
             for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_cdc_maintained_star_equals_batch_rebuild(star_pool):

@@ -1075,9 +1075,12 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def sops_pool(heavy_session_results):
-    return {n: heavy_session_results["tests.test_streaming_ops::" + n]
+def sops_pool(_heavy_pool):
+    # touch all (submits on targeted runs), then join only
+    # THIS module futures; the rest keep draining
+    futs = {n: _heavy_pool["tests.test_streaming_ops::" + n]
             for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_stream_training_gate_composition_matches_batch(sops_pool):

@@ -568,9 +568,12 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def txlog_pool(heavy_session_results):
-    return {n: heavy_session_results["tests.test_txlog::" + n]
+def txlog_pool(_heavy_pool):
+    # touch all (submits on targeted runs), then join only
+    # THIS module futures; the rest keep draining
+    futs = {n: _heavy_pool["tests.test_txlog::" + n]
             for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_create_append_read_and_versions(txlog_pool):

@@ -533,9 +533,12 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def maint_pool(heavy_session_results):
-    return {n: heavy_session_results["tests.test_txlog_maintenance::" + n]
+def maint_pool(_heavy_pool):
+    # touch all (submits on targeted runs), then join only
+    # THIS module futures; the rest keep draining
+    futs = {n: _heavy_pool["tests.test_txlog_maintenance::" + n]
             for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_optimize_zorder_turns_compaction_into_data_skipping(maint_pool):

@@ -518,9 +518,12 @@ _POOLED = {
 
 
 @pytest.fixture(scope="module")
-def stream_pool(heavy_session_results):
-    return {n: heavy_session_results["tests.test_txlog_stream::" + n]
+def stream_pool(_heavy_pool):
+    # touch all (submits on targeted runs), then join only
+    # THIS module futures; the rest keep draining
+    futs = {n: _heavy_pool["tests.test_txlog_stream::" + n]
             for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
 
 
 def test_cdc_feeds_incremental_near_dup_maintenance(stream_pool):
