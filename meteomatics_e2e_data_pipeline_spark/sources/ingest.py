@@ -128,6 +128,38 @@ FIXTURE_GEOCODES = {
 }
 
 
+class NominatimGeocoder:
+    """U1 production geocoder speaking the public Nominatim REST contract
+    (``GET {base}/search?q=<name>&format=json`` → ``[{"lat": "...",
+    "lon": "..."}, ...]``; first hit wins). The reference resolves names
+    through geopy's Nominatim wrapper (``helper_geocoders.py:5-13``);
+    this speaks the same HTTP shape directly so the only client
+    dependency is ``requests`` — and stays injectable, so tests point
+    ``base_url`` at a local server and exercise a REAL socket. Compose
+    with :func:`with_retries` for the reference's retry policy; pass the
+    result to :func:`geocode_locations`, which still calls it once per
+    DISTINCT name (never per data row)."""
+
+    def __init__(self, base_url: str,
+                 user_agent: str = "meteomatics-e2e-data-pipeline"):
+        self.base_url, self.user_agent = base_url.rstrip("/"), user_agent
+
+    def __call__(self, name: str) -> tuple[float, float]:
+        import requests  # lazy: not needed for fixture runs
+
+        resp = requests.get(f"{self.base_url}/search",
+                            params={"q": name, "format": "json"},
+                            headers={"User-Agent": self.user_agent})
+        if resp.status_code != 200:  # retried by with_retries, then fatal
+            raise ConnectionError(
+                f"geocode error: {resp.status_code} - {resp.text}")
+        hits = resp.json()
+        if not hits:  # NOT retried upstream of with_retries: a definitive
+            # empty answer re-raises identically on every attempt
+            raise LookupError(f"no geocode result for {name!r}")
+        return float(hits[0]["lat"]), float(hits[0]["lon"])
+
+
 def with_retries(geocode_fn: Callable[[str], tuple[float, float]],
                  retries: int = 3, backoff_s: float = 2.0,
                  sleep: Callable[[float], None] | None = None,
