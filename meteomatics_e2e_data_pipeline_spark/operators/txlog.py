@@ -63,6 +63,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from .txproto import (TxCorruption, commit_payload, parse_commit_lines,
+                      repair_payload)
+
 _LOG_DIR = "_txlog"
 _CKPT_SUFFIX = ".checkpoint.json"
 
@@ -140,8 +143,54 @@ class TxTable:
                     stream))
         finally:
             stream.close()
-        return [json.loads(line) for line in
-                data.decode("utf-8").splitlines() if line.strip()]
+        return parse_commit_lines(data.decode("utf-8").splitlines(),
+                                  f"{self.path}@v{version}")
+
+    def repair_torn_commit(self, version: int) -> None:
+        """Recover a TORN commit (claim-then-write crash on a non-atomic
+        store) by rewriting it as an explicit empty commit.
+
+        Correctness: the dead writer's ``_commit`` never returned, so no
+        caller was ever acknowledged for this version — an empty commit
+        is the unique history consistent with every observed outcome
+        (the writer's retry, if any, republishes the SAME actions at a
+        later version). CDC readers see version ``version`` as an empty
+        change set, which composes with the fold invariant.
+
+        OPERATIONAL CONTRACT (same as Delta's FSCK): only run this after
+        confirming no writer is still in flight for ``version`` — on a
+        non-atomic store an in-progress publish is indistinguishable
+        from a crashed one. Refuses (ValueError) if the file parses
+        cleanly; idempotent over an already-repaired file is a refusal
+        too (a repaired commit IS clean).
+        """
+        latest = self._latest_version()
+        if latest is None or version < 0 or version > latest:
+            raise ValueError(f"version {version} out of range 0..{latest}")
+        try:
+            self._read_commit(version)
+        except TxCorruption:
+            pass  # genuinely torn: repair below
+        else:
+            raise ValueError(
+                f"{self.path}@v{version} parses cleanly — refusing to "
+                "repair an intact commit")
+        payload = repair_payload()
+        target_name = f"{self.log_dir}/{version:020d}.json"
+        if "://" not in self.log_dir:
+            tmp = f"{self.log_dir}/{uuid.uuid4().hex}.json.tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(payload)
+            os.replace(tmp, target_name)  # atomic swap over the torn file
+            return
+        fs = _fs(self.spark, self.log_dir)
+        out = fs.create(_jpath(self.spark, target_name), True)  # overwrite
+        try:
+            # a crash mid-repair leaves the file torn again — the retry
+            # is idempotent (is_torn still true, same payload rewritten)
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
 
     def _checkpoint_versions(self) -> list[int]:
         fs = _fs(self.spark, self.log_dir)
@@ -332,9 +381,13 @@ class TxTable:
         claimed with an atomic hard link — the local-FS model of an
         object store's put-if-absent, which is how the public Delta
         design publishes commits on S3/GCS. Non-local stores fall back
-        to claim-then-write (the documented Delta-on-HDFS crash window).
+        to claim-then-write (the documented Delta-on-HDFS crash window) —
+        where a death between claim and write leaves a torn file; the
+        count trailer (``txproto.commit_payload``) makes every tear
+        signature detectable at read time and
+        :meth:`repair_torn_commit` recovers the log.
         """
-        payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+        payload = commit_payload(actions)
         local = "://" not in self.log_dir
         if local:
             target = f"{self.log_dir}/{version:020d}.json"

@@ -1556,8 +1556,10 @@ def q_emb_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
     n = emb.count()
     src_file = os.path.join(sf_dir, "embeddings.parquet")
+    from ..operators.txproto import TXPROTO_VERSION
     key = hashlib.md5(
-        f"{src_file}:{os.path.getsize(src_file)}:{n}".encode()
+        f"{src_file}:{os.path.getsize(src_file)}:{n}"
+        f":txproto={TXPROTO_VERSION}".encode()
     ).hexdigest()[:16]
     base = Path(tempfile.gettempdir()) / f"spark_graft_ann_{key}"
     if not (base / "_DONE").exists():

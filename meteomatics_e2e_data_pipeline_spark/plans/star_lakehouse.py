@@ -318,6 +318,10 @@ def _bronze_fingerprint() -> str:
     for p in sorted(root.rglob("*.json")):
         h.update(f"{p.relative_to(root)}:{p.stat().st_size}".encode())
     h.update(f"as_of={AS_OF}".encode())
+    # cached star tables are txlog tables on disk: a commit-format bump
+    # must rebuild them, not hand strict readers a pre-bump log
+    from ..operators.txproto import TXPROTO_VERSION
+    h.update(f"txproto={TXPROTO_VERSION}".encode())
     return h.hexdigest()[:16]
 
 

@@ -42,6 +42,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from ..operators.txproto import parse_commit_lines
+
 _LOG_DIR = "_txlog"
 
 
@@ -63,8 +65,12 @@ def _latest_version(table: str) -> int:
 
 
 def _read_commit(table: str, version: int) -> list[dict]:
+    # Same tear-detecting parse as TxTable._read_commit: this runs inside
+    # executor Python workers, and a torn commit folded silently here
+    # would ship a wrong CDC batch with no error anywhere.
     with open(_log_path(table, version), encoding="utf-8") as fh:
-        return [json.loads(line) for line in fh if line.strip()]
+        return parse_commit_lines(fh.read().splitlines(),
+                                  f"{table}@v{version}")
 
 
 def _table_schema(table: str) -> StructType:
