@@ -1407,6 +1407,103 @@ class TxTable:
                                data_change=False)
         return self._commit(actions, rv)
 
+    def fsck(self, scan_orphans: bool = True,
+             verify_row_counts: bool = False) -> dict:
+        """Audit the table's physical state against its log — the
+        operational complement of :meth:`repair_torn_commit` (the same
+        role Delta's FSCK plays). Read-only; never mutates.
+
+        Checks, in declared-cost order:
+
+        - every commit file parses under the tear-detecting wire format
+          (``torn_commits``) and the version sequence has no holes
+          (``missing_commits``) — O(log) driver-side reads;
+        - every checkpoint validates its count trailer
+          (``torn_checkpoints``) — torn checkpoints only cost fold
+          speed, never correctness, so they are reported, not fatal;
+        - every LIVE file referenced by the current snapshot exists on
+          disk (``missing_files`` — these are data loss: reads will
+          fail; restore from a replica or time-travel past the commit
+          that added them) — one directory listing;
+        - ``scan_orphans``: data files on disk referenced by NO commit
+          in the whole log (``unreferenced_files`` — in-flight writer
+          staging or leaked temp data; :meth:`vacuum` reclaims them
+          after retention). Files referenced only by PAST versions are
+          time-travel state, not orphans, and are not reported;
+        - ``verify_row_counts``: one Spark job reading every live file,
+          comparing actual row counts against the log's ``numRecords``
+          (``rowcount_mismatches``) — the only check that touches data,
+          cost one scan of the live table, one row per FILE collected.
+
+        ``ok`` is True iff nothing torn/missing/mismatched. When a torn
+        commit prevents folding an exact snapshot, ``snapshot_exact`` is
+        False and live-file checks run on the fold that treats the torn
+        commit as empty (the post-repair state).
+        """
+        latest = self._latest_version()
+        assert latest is not None
+        torn_commits, missing_commits = [], []
+        live: dict[str, dict] = {}
+        referenced: set[str] = set()
+        fs = _fs(self.spark, self.log_dir)
+        for v in range(latest + 1):
+            if not fs.exists(_jpath(self.spark,
+                                    f"{self.log_dir}/{v:020d}.json")):
+                missing_commits.append(v)
+                continue
+            try:
+                actions = self._read_commit(v)
+            except TxCorruption:
+                torn_commits.append(v)
+                continue
+            for a in actions:
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                    referenced.add(a["add"]["path"])
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+        torn_checkpoints = []
+        for c in self._checkpoint_versions():
+            try:
+                self._read_checkpoint(c)
+            except Exception:
+                torn_checkpoints.append(c)
+        on_disk = {st.getPath().getName()
+                   for st in _fs(self.spark, self.path).listStatus(
+                       _jpath(self.spark, self.path))
+                   if st.getPath().getName().endswith(".parquet")
+                   and st.getPath().getName().startswith("part-")}
+        missing_files = sorted(set(live) - on_disk)
+        report = {
+            "version": latest,
+            "torn_commits": torn_commits,
+            "missing_commits": missing_commits,
+            "torn_checkpoints": torn_checkpoints,
+            "snapshot_exact": not torn_commits and not missing_commits,
+            "live_files": len(live),
+            "missing_files": missing_files,
+        }
+        if scan_orphans:
+            report["unreferenced_files"] = sorted(on_disk - referenced)
+        present = [p for p in live if p not in set(missing_files)]
+        if verify_row_counts and present:
+            counts = {
+                r["_file"]: r["_n"]
+                for r in self.spark.read.parquet(
+                    *[f"{self.path}/{p}" for p in present])
+                .withColumn("_file", F.element_at(
+                    F.split(F.input_file_name(), "/"), -1))
+                .groupBy("_file").agg(F.count(F.lit(1)).alias("_n"))
+                .collect()}
+            report["rowcount_mismatches"] = sorted(
+                (p, live[p].get("numRecords"), counts.get(p, 0))
+                for p in present
+                if counts.get(p, 0) != live[p].get("numRecords"))
+        report["ok"] = (not torn_commits and not missing_commits
+                        and not missing_files
+                        and not report.get("rowcount_mismatches"))
+        return report
+
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600) -> list[str]:
         """Delete data files unreferenced by the CURRENT version (destroys
         time travel to versions that needed them). Returns deleted names.

@@ -64,6 +64,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from ..operators.txproto import commit_payload
 from .txlog_stream import _LOG_DIR, _latest_version, _read_commit
 
 _CKPT = ".checkpoint.json"
@@ -469,7 +470,7 @@ class TxLogBatchWriter(DataSourceWriter):
                                    "stats": stats, "nullCounts": nulls})
 
     def _publish(self, actions: list[dict]) -> None:
-        payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+        payload = commit_payload(actions)
         while True:
             latest = _latest_version(self.table)
             if self.overwrite and latest != self.read_version:
@@ -546,7 +547,7 @@ class TxLogStreamWriter(DataSourceStreamWriter):
                 if m is not None and m.add is not None]
         actions = [{"txn": {"appId": self.app_id,
                             "version": int(batchId)}}] + adds
-        payload = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+        payload = commit_payload(actions)
         while True:
             latest = _latest_version(self.table)
             _, _, _, txns = _fold_snapshot(self.table)
