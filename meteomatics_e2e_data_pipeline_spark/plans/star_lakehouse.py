@@ -408,9 +408,26 @@ def star_oracle() -> dict[str, str]:
     }
 
 
+def audit_star(star: WeatherStar) -> dict[str, dict]:
+    """``TxTable.fsck`` over every table of the star; raises with the
+    per-table findings if any audit is unclean. Log-and-listing cost
+    only (no data scan): at production scale schedule it like vacuum —
+    periodically, not per cycle — which is why ``run_star_pipeline``
+    gates it behind ``audit=``."""
+    tables = {"stg": star.stg, "winners": star.winners,
+              "dim_location": star.dim_location,
+              "dim_condition": star.dim_condition,
+              **star.facts}
+    reports = {name: t.fsck() for name, t in tables.items()}
+    bad = {name: r for name, r in reports.items() if not r["ok"]}
+    if bad:
+        raise RuntimeError(f"star audit failed: {bad}")
+    return reports
+
+
 def run_star_pipeline(spark: SparkSession, root: str, bronze_glob: str,
                       optimize_every: int = 0,
-                      as_of: date = AS_OF) -> int:
+                      as_of: date = AS_OF, audit: bool = False) -> int:
     """One maintenance CYCLE of the lakehouse star — the reference's
     Airflow Dataset edge (``extract_weather_from_meteomatics.py:49`` →
     ``meteomatics_transformation.py:25``) as a single idempotent call:
@@ -423,7 +440,10 @@ def run_star_pipeline(spark: SparkSession, root: str, bronze_glob: str,
        untouched, pytest-pinned),
     4. run the dbt-equivalent schema tests the reference declares on
        the marts (``models/marts/schema.yml:7-11``: unique + not_null
-       on dim_location.location_key).
+       on dim_location.location_key),
+    5. ``audit=True``: physically audit every star table
+       (:func:`audit_star` → ``TxTable.fsck``) — torn commits, missing
+       or unreferenced files — and raise on findings.
 
     Returns the applied staging version. Re-running on the same bronze
     set ingests nothing, folds nothing, and re-checks cleanly."""
@@ -438,4 +458,6 @@ def run_star_pipeline(spark: SparkSession, root: str, bronze_glob: str,
     dim = star.dim_location.read()
     check_unique(dim, ["location_key"])
     check_not_null(dim, ["location_key", "country", "city"])
+    if audit:
+        audit_star(star)
     return applied

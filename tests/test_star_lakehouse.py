@@ -141,7 +141,7 @@ def _heavy_test_run_star_pipeline_cycles_with_compaction(spark, tmp_path):
         optimize_every=1)
     v2 = sl.run_star_pipeline(
         spark, sroot, f"{root}/*/*/weather_raw_*2025-03-2[89]*.json",
-        optimize_every=1)
+        optimize_every=1, audit=True)
     assert v2 > v1
     star = sl.create_weather_star(spark, sroot)
     assert star.applied_version == v2 == star.stg.version
@@ -150,6 +150,21 @@ def _heavy_test_run_star_pipeline_cycles_with_compaction(spark, tmp_path):
     assert sl.run_star_pipeline(
         spark, sroot, f"{root}/*/*/weather_raw_*.json") == v2
     _assert_star_equals_batch(spark, star)
+    # the audit leg has teeth: tear one fact table's log (a writer dead
+    # inside the claim-then-write window) -> the audit names the table;
+    # repair -> the next audited cycle is green again
+    victim = next(iter(star.facts.values()))
+    torn_v = victim.version + 1
+    with open(f"{victim.log_dir}/{torn_v:020d}.json", "w"):
+        pass
+    try:
+        sl.audit_star(star)
+        raise AssertionError("audit accepted a torn fact log")
+    except RuntimeError as exc:
+        assert "torn_commits" in str(exc)
+    victim.repair_torn_commit(torn_v)
+    assert sl.run_star_pipeline(
+        spark, sroot, f"{root}/*/*/weather_raw_*.json", audit=True) == v2
 
 
 # ---------------------------------------------------------------------------

@@ -197,6 +197,37 @@ def test_fsck_time_travel_files_are_not_orphans(spark, tmp_path):
     assert t.read(version=1).count() == 8
 
 
+def test_torn_claim_blocks_writers_until_repaired_then_race_resumes(
+        spark, tmp_path):
+    """While the log carries a torn tail, EVERY writer fails loudly
+    (TxCorruption at its snapshot read) — no writer builds blindly on a
+    version whose content is unknown. After repair, racing writers
+    resume and the final content is exactly serial replay of their
+    commits."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _make_table(spark, tmp_path, "race")
+    victim = t.version + 1
+    _crash_publish(t, victim, "")
+    for make in (lambda h: h.append(
+                     spark.createDataFrame([(50, 1)], "k int, v int")),
+                 lambda h: h.merge_upsert(
+                     spark.createDataFrame([(0, 9)], "k int, v int"), ["k"],
+                     update=True)):
+        with pytest.raises(TxCorruption):
+            make(TxTable(spark, t.path))
+    t.repair_torn_commit(victim)
+
+    def worker(i):
+        TxTable(spark, t.path).append(spark.createDataFrame(
+            [(100 + i, i)], "k int, v int").coalesce(1))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(worker, range(3)))
+    rows = {(r["k"], r["v"]) for r in TxTable(spark, t.path).read().collect()}
+    assert {(100, 0), (101, 1), (102, 2)} <= rows and len(rows) == 11
+    assert TxTable(spark, t.path).fsck()["ok"]
+
+
 def test_concurrent_commit_surfaces_torn_intervening_version(spark, tmp_path):
     """A writer validating intervening commits must also refuse to build
     on a torn one — optimistic concurrency reads the same wire format."""
