@@ -63,11 +63,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from .txproto import (TxCorruption, commit_payload, parse_commit_lines,
+from .txproto import (TxCorruption, commit_payload,
+                      info_action as _info_action, parse_commit_lines,
                       repair_payload)
 
 _LOG_DIR = "_txlog"
 _CKPT_SUFFIX = ".checkpoint.json"
+
+
+def _bloom_spec(schema: StructType, cols: Sequence[str], m: int,
+                k: int) -> dict | None:
+    """Validate + normalize a bloom opt-in. Integral/string columns
+    only: the write-side (Spark CAST AS STRING) and probe-side (Python
+    str()) value forms must agree byte-for-byte, which floats do not
+    guarantee across engines."""
+    if not cols:
+        return None
+    ok_types = {"byte", "short", "integer", "long", "string"}
+    by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"bloom column {c!r} not in schema")
+        if by_name[c] not in ok_types:
+            raise ValueError(
+                f"bloom column {c!r} has type {by_name[c]}; only "
+                f"integral/string columns hash portably")
+    if m < 8 or k < 1 or k > 8:
+        raise ValueError(f"bloom_bits >= 8 and 1 <= bloom_hashes <= 8 "
+                         f"required, got m={m} k={k}")
+    return {"cols": list(cols), "m": int(m), "k": int(k)}
+
 
 
 class TxConflict(Exception):
@@ -426,7 +451,7 @@ class TxTable:
         return True
 
     def _commit(self, actions: list[dict], read_version: int,
-                validate=None) -> int:
+                validate=None, info: dict | None = None) -> int:
         """Optimistic publish against the snapshot read at ``read_version``.
 
         If other writers committed versions ``read_version+1 .. latest``
@@ -438,6 +463,8 @@ class TxTable:
         :class:`TxConflict` for semantic conflicts (e.g. a concurrent
         insert overlapping a merge's key range). A conflict is never
         silent — the caller re-runs on the fresh snapshot."""
+        if info is not None:
+            actions = actions + [_info_action(**info)]
         removes = {a["remove"]["path"] for a in actions if "remove" in a}
         checked_through = read_version
         while True:
@@ -473,7 +500,8 @@ class TxTable:
 
     # ------------------------------------------------------------- data files
     def _stage(self, df: DataFrame, stat_cols: Sequence[str],
-               data_change: bool = True) -> list[dict]:
+               data_change: bool = True,
+               bloom: dict | None = None) -> list[dict]:
         """Write ``df`` as immutable parquet files in the table root and
         return their ``add`` actions (with per-file min/max stats).
 
@@ -502,6 +530,9 @@ class TxTable:
                      .alias(f"_nulls_{c}")]
         stat_rows = {r["_file"]: r for r in
                      sdf.groupBy("_file").agg(*aggs).collect()}
+        blooms = ({c: self._bloom_bitsets(sdf, c, bloom)
+                   for c in bloom["cols"]}
+                  if bloom and bloom.get("cols") else {})
         adds = []
         for name in parts:
             r = stat_rows.get(name)
@@ -518,6 +549,9 @@ class TxTable:
             add = {"path": final, "numRecords": int(r["_n"]), "stats": stats,
                    "nullCounts": {c: int(r[f"_nulls_{c}"])
                                   for c in stat_cols}}
+            if bloom and bloom.get("cols"):
+                add["bloom"] = {c: blooms[c].get(name, "")
+                                for c in bloom["cols"]}
             if not data_change:
                 add["dataChange"] = False
             adds.append({"add": add})
@@ -527,9 +561,20 @@ class TxTable:
     # ------------------------------------------------------------------ API
     @staticmethod
     def create(spark: SparkSession, df: DataFrame, path: str,
-               stat_cols: Sequence[str] = ()) -> "TxTable":
-        """Create a new table at ``path`` from ``df`` (commit 0)."""
+               stat_cols: Sequence[str] = (),
+               bloom_cols: Sequence[str] = (), bloom_bits: int = 4096,
+               bloom_hashes: int = 3) -> "TxTable":
+        """Create a new table at ``path`` from ``df`` (commit 0).
+
+        ``bloom_cols`` opts columns into per-file Bloom membership
+        filters (see ``_bloom_candidates``): size ``bloom_bits`` so it
+        is ~10 bits per expected distinct key per file (FPR ≈ 1%); an
+        undersized filter saturates and merely stops pruning. Integral
+        and string columns only — the write/probe hash must agree on
+        the value's string form."""
         path = path.rstrip("/")
+        bloom = _bloom_spec(df.schema, bloom_cols, bloom_bits,
+                            bloom_hashes)
         fs = _fs(spark, path)
         log = _jpath(spark, f"{path}/{_LOG_DIR}")
         if fs.exists(log):
@@ -545,11 +590,99 @@ class TxTable:
         # absent explicit constraints
         nullable = StructType([StructField(f.name, f.dataType, True)
                                for f in df.schema.fields])
-        actions = [{"meta": {"schema": json.loads(nullable.json()),
-                             "stat_cols": list(stat_cols)}}]
-        actions += t._stage(df, stat_cols)
+        meta = {"schema": json.loads(nullable.json()),
+                "stat_cols": list(stat_cols)}
+        if bloom:
+            meta["bloom"] = bloom
+        actions = [{"meta": meta}]
+        actions += t._stage(df, stat_cols, bloom=bloom)
+        actions.append(_info_action("create"))
         if not t._try_publish(0, actions):
             raise TxConflict(f"concurrent create of {path}")
+        return t
+
+    @staticmethod
+    def convert(spark: SparkSession, path: str,
+                stat_cols: Sequence[str] = (),
+                bloom_cols: Sequence[str] = (), bloom_bits: int = 4096,
+                bloom_hashes: int = 3) -> "TxTable":
+        """Adopt an existing plain-parquet directory as a txlog table IN
+        PLACE — the public Delta ``CONVERT TO DELTA`` semantics: no data
+        is rewritten or moved; one stats job over the existing files
+        produces commit 0 referencing them by name. That makes adoption
+        of a petabyte directory cost one scan (row counts + min/max for
+        ``stat_cols``, one collected row per FILE — the same discipline
+        as ``_stage``) instead of a rewrite, after which every txlog
+        capability (ACID DML, time travel to the adopted state, CDC,
+        OPTIMIZE, fsck) applies to data written by plain
+        ``df.write.parquet``.
+
+        Hive-partitioned layouts (``key=value`` subdirectories) are
+        rejected: partition values live in directory names, not file
+        contents, and adopting them would need partition-aware add
+        actions this format does not carry — rewrite through
+        :meth:`create` instead."""
+        path = path.rstrip("/")
+        fs = _fs(spark, path)
+        if fs.exists(_jpath(spark, f"{path}/{_LOG_DIR}")):
+            raise ValueError(f"{path} is already a txlog table")
+        parts = []
+        for st in fs.listStatus(_jpath(spark, path)):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if "=" in name:
+                    raise ValueError(
+                        f"{path} is hive-partitioned ({name}): convert "
+                        "supports flat layouts only; rewrite via "
+                        "TxTable.create")
+                continue
+            if name.endswith(".parquet"):
+                parts.append(name)
+        if not parts:
+            raise ValueError(f"no parquet files to convert in {path}")
+        df = spark.read.parquet(path)
+        bloom = _bloom_spec(df.schema, bloom_cols, bloom_bits,
+                            bloom_hashes)
+        nullable = StructType([StructField(f.name, f.dataType, True)
+                               for f in df.schema.fields])
+        sdf = df.withColumn("_file", F.element_at(
+            F.split(F.input_file_name(), "/"), -1))
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"_min_{c}"),
+                     F.max(c).alias(f"_max_{c}"),
+                     F.count(F.when(F.col(c).isNull(), 1))
+                     .alias(f"_nulls_{c}")]
+        stat_rows = {r["_file"]: r for r in
+                     sdf.groupBy("_file").agg(*aggs).collect()}
+        blooms = ({c: TxTable._bloom_bitsets(sdf, c, bloom)
+                   for c in bloom["cols"]} if bloom else {})
+        meta = {"schema": json.loads(nullable.json()),
+                "stat_cols": list(stat_cols)}
+        if bloom:
+            meta["bloom"] = bloom
+        actions = [{"meta": meta}]
+        for name in sorted(parts):
+            r = stat_rows.get(name)
+            if r is None:
+                continue  # zero-row file: nothing worth referencing
+            add = {
+                "path": name, "numRecords": int(r["_n"]),
+                "stats": {c: [_json_scalar(r[f"_min_{c}"]),
+                              _json_scalar(r[f"_max_{c}"])]
+                          for c in stat_cols},
+                "nullCounts": {c: int(r[f"_nulls_{c}"])
+                               for c in stat_cols}}
+            if bloom:
+                add["bloom"] = {c: blooms[c].get(name, "")
+                                for c in bloom["cols"]}
+            actions.append({"add": add})
+        t = object.__new__(TxTable)
+        t.spark, t.path, t.log_dir = spark, path, f"{path}/{_LOG_DIR}"
+        actions.append(_info_action("convert", files=len(actions) - 1))
+        fs.mkdirs(_jpath(spark, t.log_dir))
+        if not t._try_publish(0, actions):
+            raise TxConflict(f"concurrent create/convert of {path}")
         return t
 
     @property
@@ -568,6 +701,27 @@ class TxTable:
 
     def history(self) -> list[list[dict]]:
         return [self._read_commit(i) for i in range(self.version + 1)]
+
+    def describe_history(self) -> list[dict]:
+        """Audit view of the commit log (the public Delta
+        ``DESCRIBE HISTORY`` shape, newest first): one row per version
+        with the recorded operation provenance and action tallies.
+        Commits published before provenance was recorded (or repaired
+        no-ops, which drop the dead writer's info) report op
+        ``"unknown"``. Driver-side log reads only — O(version)."""
+        out = []
+        for v in range(self.version + 1):
+            actions = self._read_commit(v)
+            info = next((a["info"] for a in actions if "info" in a), {})
+            out.append({
+                "version": v,
+                "operation": info.get("op", "unknown"),
+                "timestamp": info.get("ts"),
+                "n_adds": sum(1 for a in actions if "add" in a),
+                "n_removes": sum(1 for a in actions if "remove" in a),
+                "info": info,
+            })
+        return out[::-1]
 
     def version_at(self, timestamp: float) -> int:
         """Resolve ``timestampAsOf``-style time travel: the latest
@@ -627,6 +781,7 @@ class TxTable:
             return self.spark.createDataFrame([], schema)
         bounds = self._batch_bounds(probe, keys)
         cand = self._candidate_files(live, keys, bounds)
+        cand = self._bloom_candidates(cand, live, keys, probe, meta)
         if not cand:
             return self.spark.createDataFrame([], schema)
         return (self.spark.read.schema(schema).parquet(
@@ -773,7 +928,8 @@ class TxTable:
             df = self._check_schema(df)
             new_meta = None
         actions = ([{"meta": meta}] if new_meta else [])
-        actions += self._stage(df, meta.get("stat_cols", []))
+        actions += self._stage(df, meta.get("stat_cols", []),
+                               bloom=meta.get("bloom"))
         if not actions:
             return self.version
 
@@ -781,7 +937,8 @@ class TxTable:
             for v in validators:
                 v(intervening)
         return self._commit(actions, rv,
-                            validate=validate if validators else None)
+                            validate=validate if validators else None,
+                            info={"op": "append"})
 
     def overwrite(self, df: DataFrame,
                   txn: tuple[str, int] | None = None) -> int:
@@ -804,7 +961,8 @@ class TxTable:
                 return self.version  # replayed batch: already applied
         actions = [{"remove": {"path": p}} for p in sorted(live)]
         actions += self._stage(self._check_schema(df),
-                               meta.get("stat_cols", []))
+                               meta.get("stat_cols", []),
+                               bloom=meta.get("bloom"))
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -814,7 +972,102 @@ class TxTable:
                 raise TxConflict(
                     f"overwrite of {self.path} raced a concurrent commit; "
                     "re-run on the new snapshot")
-        return self._commit(actions, rv, validate=no_concurrency)
+        return self._commit(actions, rv, validate=no_concurrency,
+                            info={"op": "overwrite"})
+
+    # ------------------------------------------------------- bloom skipping
+    # Per-file Bloom filters on declared columns (the public Delta bloom
+    # filter index idea): range stats cannot prune point lookups on
+    # high-cardinality keys whose per-file ranges overlap (uuid-like
+    # keys, hash-distributed writes) — a membership bit-set can. Exact-
+    # negative: a cleared bit proves absence, so pruning is always safe;
+    # a saturated filter degrades to "pass everything", never to a wrong
+    # answer. Hashing must agree between the Spark write side and the
+    # Python probe side, so both run md5 over CAST(value AS STRING) utf-8
+    # and slice k 32-bit words from the hex — which is also why bloom
+    # columns are restricted to integral/string types (float formatting
+    # differs between engines).
+
+    @staticmethod
+    def _bloom_positions(value: str, m: int, k: int) -> list[int]:
+        import hashlib
+        h = hashlib.md5(value.encode("utf-8")).hexdigest()
+        return [int(h[8 * i:8 * i + 8], 16) % m for i in range(k)]
+
+    @staticmethod
+    def _bloom_bitsets(sdf: DataFrame, col: str, spec: dict
+                       ) -> dict[str, str]:
+        """One job per bloom column: distinct (file, bit-position) pairs
+        — bounded by files × m rows, never data size — packed driver-side
+        into a base64 bitset per file."""
+        import base64
+        m, k = int(spec.get("m", 4096)), int(spec.get("k", 3))
+        pos = [(F.conv(F.substring("_h", 1 + 8 * i, 8), 16, 10)
+                .cast("long") % m).alias(f"_p{i}") for i in range(k)]
+        pairs = (sdf.select("_file", F.col(col).cast("string").alias("_s"))
+                 .where(F.col("_s").isNotNull())
+                 .select("_file", F.md5("_s").alias("_h"))
+                 .select("_file", *pos)
+                 .select("_file", F.explode(F.array(
+                     *[f"_p{i}" for i in range(k)])).alias("_pos"))
+                 .distinct().collect())
+        sets: dict[str, set] = {}
+        for r in pairs:
+            sets.setdefault(r["_file"], set()).add(int(r["_pos"]))
+        out = {}
+        for f, positions in sets.items():
+            bits = bytearray((m + 7) // 8)
+            for p in positions:
+                bits[p // 8] |= 1 << (p % 8)
+            out[f] = base64.b64encode(bytes(bits)).decode("ascii")
+        return out
+
+    _BLOOM_PROBE_MAX = 1024
+
+    def _bloom_candidates(self, cand: list[str], live: dict,
+                          keys: Sequence[str], probe: DataFrame,
+                          meta: dict) -> list[str]:
+        """Drop range-surviving files whose bloom PROVES no probe key is
+        present. Only fires in the point-lookup regime (≤ 1024 distinct
+        probe keys — the driver holds them anyway for the bit tests);
+        bulk merges keep the range-only path, so the collect here is
+        always bounded. Files/columns without a stored bloom, null probe
+        values, and saturated filters all degrade to "keep"."""
+        import base64
+        spec = (meta or {}).get("bloom") or {}
+        cols = [c for c in keys if c in spec.get("cols", ())]
+        if not cols or not cand:
+            return cand
+        rows = (probe.select(*cols).distinct()
+                .limit(self._BLOOM_PROBE_MAX + 1).collect())
+        if len(rows) > self._BLOOM_PROBE_MAX:
+            return cand  # bulk regime: stats already did the work
+        m, k = int(spec.get("m", 4096)), int(spec.get("k", 3))
+        probes = []  # per row: {col: positions or None}
+        for r in rows:
+            probes.append({c: (None if r[c] is None else
+                               self._bloom_positions(str(r[c]), m, k))
+                           for c in cols})
+        kept = []
+        for path in cand:
+            add = live[path]
+            stored = add.get("bloom") or {}
+            bitsets = {}
+            for c in cols:
+                b64 = stored.get(c)
+                bitsets[c] = base64.b64decode(b64) if b64 else None
+            def row_may_hit(pr) -> bool:
+                for c in cols:
+                    bits, positions = bitsets[c], pr[c]
+                    if bits is None or positions is None:
+                        continue  # unknowable for this column: pass
+                    if not all(bits[p // 8] >> (p % 8) & 1
+                               for p in positions):
+                        return False  # proven absent in this file
+                return True
+            if any(row_may_hit(pr) for pr in probes):
+                kept.append(path)
+        return kept
 
     @staticmethod
     def _batch_bounds(batch: DataFrame, keys: Sequence[str]) -> dict:
@@ -882,6 +1135,7 @@ class TxTable:
         batch = batch.dropDuplicates(keys)
         bounds = self._batch_bounds(batch, keys)
         cand = self._candidate_files(live, keys, bounds)
+        cand = self._bloom_candidates(cand, live, keys, batch, meta)
         stat_cols = meta.get("stat_cols", [])
 
         def no_key_overlap(intervening):
@@ -908,10 +1162,12 @@ class TxTable:
                     *[f"{self.path}/{f}" for f in cand]).select(*keys)
                 batch = batch.join(existing.distinct(), on=keys,
                                    how="left_anti")
-            adds = meta_actions + self._stage(batch, stat_cols)
+            adds = meta_actions + self._stage(
+                batch, stat_cols, bloom=meta.get("bloom"))
             # a pure schema widening (every row was a duplicate) still
             # commits: the caller asked for the evolved schema
-            return (self._commit(adds, rv, validate=validate)
+            return (self._commit(adds, rv, validate=validate,
+                                 info={"op": "merge_upsert"})
                     if adds else self.version)
         # update=True: find files that REALLY hold colliding keys
         affected: list[str] = []
@@ -937,8 +1193,10 @@ class TxTable:
             new_data = keep.unionByName(batch)
         else:
             new_data = batch
-        actions += self._stage(new_data, stat_cols)
-        return self._commit(actions, rv, validate=validate)
+        actions += self._stage(new_data, stat_cols,
+                               bloom=meta.get("bloom"))
+        return self._commit(actions, rv, validate=validate,
+                            info={"op": "merge_upsert"})
 
     def delete(self, batch: DataFrame, keys: Sequence[str]) -> int:
         """Atomic keyed DELETE (copy-on-write, the public Delta DELETE
@@ -966,6 +1224,7 @@ class TxTable:
                  .dropDuplicates(keys))
         bounds = self._batch_bounds(batch, keys)
         cand = self._candidate_files(live, keys, bounds)
+        cand = self._bloom_candidates(cand, live, keys, batch, meta)
         stat_cols = meta.get("stat_cols", [])
 
         def no_key_overlap(intervening):
@@ -991,8 +1250,10 @@ class TxTable:
             *[f"{self.path}/{f}" for f in sorted(affected)])
             .join(batch, on=keys, how="left_anti"))
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
-        actions += self._stage(keep, stat_cols)
-        return self._commit(actions, rv, validate=no_key_overlap)
+        actions += self._stage(keep, stat_cols,
+                               bloom=meta.get("bloom"))
+        return self._commit(actions, rv, validate=no_key_overlap,
+                            info={"op": "delete"})
 
     def apply_changes(self, changes: DataFrame, keys: Sequence[str],
                       txn: tuple[str, int] | None = None) -> int:
@@ -1086,6 +1347,7 @@ class TxTable:
             return self.version  # window netted to nothing: no commit
         bounds = self._batch_bounds(touched, keys)
         cand = self._candidate_files(live, keys, bounds)
+        cand = self._bloom_candidates(cand, live, keys, touched, meta)
         stat_cols = meta.get("stat_cols", [])
 
         def no_key_overlap(intervening):
@@ -1117,7 +1379,8 @@ class TxTable:
             new_data = keep.unionByName(net_ins)
         else:
             new_data = net_ins
-        actions += self._stage(new_data, stat_cols)
+        actions += self._stage(new_data, stat_cols,
+                               bloom=meta.get("bloom"))
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -1128,7 +1391,8 @@ class TxTable:
             no_key_overlap(intervening)
             for v in evolve_validators:
                 v(intervening)
-        return self._commit(actions, rv, validate=validate)
+        return self._commit(actions, rv, validate=validate,
+                            info={"op": "apply_changes"})
 
     def apply_delta(self, deletes: Sequence[tuple[Sequence[str], DataFrame]],
                     inserts: DataFrame | None = None,
@@ -1214,13 +1478,15 @@ class TxTable:
             new_data = (ins if new_data is None
                         else new_data.unionByName(ins))
         if new_data is not None:
-            actions += self._stage(new_data, stat_cols)
+            actions += self._stage(new_data, stat_cols,
+                               bloom=meta.get("bloom"))
         if not actions:
             return self.version  # empty delta: no commit, replay-safe
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
-        return self._commit(actions, rv, validate=no_key_overlap)
+        return self._commit(actions, rv, validate=no_key_overlap,
+                            info={"op": "apply_delta"})
 
     def update(self, condition: str, assignments: dict[str, str]) -> int:
         """Atomic UPDATE (copy-on-write, the public Delta UPDATE shape):
@@ -1282,8 +1548,10 @@ class TxTable:
              if f.name in assignments else F.col(f.name))
             for f in schema.fields])
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
-        actions += self._stage(rewritten, stat_cols)
-        return self._commit(actions, rv, validate=no_data_change)
+        actions += self._stage(rewritten, stat_cols,
+                               bloom=meta.get("bloom"))
+        return self._commit(actions, rv, validate=no_data_change,
+                            info={"op": "update"})
 
     def restore(self, version: int) -> int:
         """RESTORE the table to an earlier snapshot as a NEW commit (the
@@ -1338,7 +1606,8 @@ class TxTable:
                 f"concurrent commit advanced {self.path} past the snapshot "
                 f"this restore was planned on; re-run the restore")
 
-        return self._commit(actions, rv, validate=no_concurrency)
+        return self._commit(actions, rv, validate=no_concurrency,
+                            info={"op": "restore"})
 
     def optimize(self, target_rows: int = 1_000_000,
                  zorder_by: Sequence[str] | None = None,
@@ -1404,8 +1673,9 @@ class TxTable:
         actions = [{"remove": {"path": p, "dataChange": False}}
                    for p in small]
         actions += self._stage(packed, meta.get("stat_cols", []),
-                               data_change=False)
-        return self._commit(actions, rv)
+                               data_change=False,
+                               bloom=meta.get("bloom"))
+        return self._commit(actions, rv, info={"op": "optimize"})
 
     def fsck(self, scan_orphans: bool = True,
              verify_row_counts: bool = False) -> dict:
@@ -1472,7 +1742,7 @@ class TxTable:
                    for st in _fs(self.spark, self.path).listStatus(
                        _jpath(self.spark, self.path))
                    if st.getPath().getName().endswith(".parquet")
-                   and st.getPath().getName().startswith("part-")}
+                   and not st.isDirectory()}  # incl. converted-in names
         missing_files = sorted(set(live) - on_disk)
         report = {
             "version": latest,
@@ -1522,7 +1792,10 @@ class TxTable:
         deleted = []
         for st in fs.listStatus(_jpath(self.spark, self.path)):
             name = st.getPath().getName()
-            if (name.endswith(".parquet") and name.startswith("part-")
+            # any top-level .parquet, not only part-* — converted tables
+            # (TxTable.convert) reference files under their original
+            # names, and those must be reclaimable once superseded
+            if (name.endswith(".parquet") and not st.isDirectory()
                     and name not in live
                     and st.getModificationTime() < cutoff_ms):
                 fs.delete(st.getPath(), False)

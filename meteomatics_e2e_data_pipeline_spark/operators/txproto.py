@@ -40,6 +40,7 @@ pyspark import chain would be dead weight.
 from __future__ import annotations
 
 import json
+import time
 
 # Bumped when the commit-file wire format changes shape. v2 = the
 # required count trailer. Folded into the on-disk artifact cache keys
@@ -57,6 +58,14 @@ class TxCorruption(RuntimeError):
     confirming no writer is in flight for that version, recover with
     ``TxTable.repair_torn_commit(version)``.
     """
+
+
+def info_action(op: str, **extra) -> dict:
+    """Commit provenance (the public Delta commitInfo shape, minimal):
+    which operation produced the commit and when. Snapshot/CDC folds
+    ignore unknown action keys; ``TxTable.describe_history`` surfaces
+    it."""
+    return {"info": {"op": op, "ts": round(time.time(), 3), **extra}}
 
 
 def commit_payload(actions: list[dict]) -> str:

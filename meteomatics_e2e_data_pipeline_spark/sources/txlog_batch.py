@@ -64,7 +64,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..operators.txproto import commit_payload
+from ..operators.txproto import commit_payload, info_action as _info_action
 from .txlog_stream import _LOG_DIR, _latest_version, _read_commit
 
 _CKPT = ".checkpoint.json"
@@ -470,7 +470,8 @@ class TxLogBatchWriter(DataSourceWriter):
                                    "stats": stats, "nullCounts": nulls})
 
     def _publish(self, actions: list[dict]) -> None:
-        payload = commit_payload(actions)
+        payload = commit_payload(actions + [_info_action(
+            "overwrite" if self.overwrite else "append", writer="batch")])
         while True:
             latest = _latest_version(self.table)
             if self.overwrite and latest != self.read_version:
@@ -547,7 +548,8 @@ class TxLogStreamWriter(DataSourceStreamWriter):
                 if m is not None and m.add is not None]
         actions = [{"txn": {"appId": self.app_id,
                             "version": int(batchId)}}] + adds
-        payload = commit_payload(actions)
+        payload = commit_payload(actions + [_info_action(
+            "append", writer="stream", batch_id=int(batchId))])
         while True:
             latest = _latest_version(self.table)
             _, _, _, txns = _fold_snapshot(self.table)

@@ -218,7 +218,7 @@ def _heavy_test_history_actions_are_auditable(spark, tmp_path):
     assert len(hist) == 2
     assert "meta" in hist[0][0] and hist[0][0]["meta"]["stat_cols"] == ["k"]
     ops = {next(iter(a)) for a in hist[1]}
-    assert ops == {"add", "remove"}
+    assert ops == {"add", "remove", "info"}  # info = commit provenance
     # actions round-trip through JSON (the on-disk format IS json lines)
     for commit in hist:
         for action in commit:

@@ -1,0 +1,112 @@
+"""Per-file Bloom membership filters on the txlog tier (the public
+Delta bloom-filter-index idea): range stats cannot prune point lookups
+on keys whose per-file ranges overlap — interleaved/hash-distributed
+writes make every file a range candidate — so declared columns carry a
+per-file bitset that proves ABSENCE. Exactness contract: pruning is
+only ever exact-negative (a cleared bit proves the key absent); a
+saturated or missing filter degrades to keeping the file, never to a
+wrong answer."""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+
+from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
+
+
+def _interleaved(spark, parity, n=60):
+    """Keys of one parity: full range span, so [min,max] overlaps the
+    other parity's file completely — range pruning is blind here."""
+    return (spark.range(n).selectExpr(f"id * 2 + {parity} as k",
+                                      "id as v").coalesce(1))
+
+
+def _make(spark, tmp_path, name="b", **kw):
+    t = TxTable.create(spark, _interleaved(spark, 0),
+                       str(tmp_path / name), stat_cols=["k"],
+                       bloom_cols=["k"], **kw)
+    t.append(_interleaved(spark, 1))
+    return t
+
+
+def test_bloom_prunes_where_ranges_cannot(spark, tmp_path):
+    """Both files span [0..119] in k, so a keyed DELETE of one key
+    range-matches both; the bloom proves the key absent from the other
+    parity's file and exactly one file is rewritten."""
+    t = _make(spark, tmp_path)
+    v = t.delete(spark.createDataFrame([(8,)], "k long"), ["k"])
+    removed = [a["remove"]["path"] for a in t.history()[v] if "remove" in a]
+    assert len(removed) == 1  # range prune alone would rewrite both
+    assert t.read().count() == 119
+    # same via the read-side probe: only one file is scanned
+    hit = t.read_keys(spark.createDataFrame([(7,)], "k long"), ["k"])
+    assert [r["k"] for r in hit.collect()] == [7]
+    assert len(hit.inputFiles()) == 1
+
+
+def test_bloom_has_no_false_negatives(spark, tmp_path):
+    """Every key actually present must pass its file's stored filter —
+    the Spark-side hash (md5 of CAST AS STRING) and the Python probe
+    hash must agree bit-for-bit for every live key."""
+    t = _make(spark, tmp_path)
+    _, meta, live = t._snapshot()
+    spec = meta["bloom"]
+    m, k = spec["m"], spec["k"]
+    for path, add in live.items():
+        bits = base64.b64decode(add["bloom"]["k"])
+        keys = [r["k"] for r in
+                t.spark.read.parquet(f"{t.path}/{path}").collect()]
+        assert keys
+        for key in keys:
+            assert all(bits[p // 8] >> (p % 8) & 1
+                       for p in TxTable._bloom_positions(str(key), m, k)), \
+                f"false negative for k={key} in {path}"
+
+
+def test_saturated_bloom_degrades_to_no_pruning(spark, tmp_path):
+    """An undersized (8-bit) filter saturates: results stay exact, the
+    filter just stops excluding files."""
+    t = _make(spark, tmp_path, name="sat", bloom_bits=8, bloom_hashes=2)
+    t.merge_upsert(spark.createDataFrame([(8, 999)], "k long, v long"),
+                   ["k"], update=True)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[8] == 999 and len(rows) == 120
+
+
+def test_bulk_probe_skips_bloom_path(spark, tmp_path):
+    """Above the point-lookup threshold the probe is never collected —
+    the range path serves bulk merges; results identical."""
+    t = _make(spark, tmp_path, name="bulk")
+    big = (spark.range(3000).selectExpr("id as k", "id + 5 as v")
+           .coalesce(2))
+    t.merge_upsert(big, ["k"], update=True)
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert rows[100] == 105 and rows[2999] == 3004
+
+
+def test_bloom_survives_convert_and_schema_evolution(spark, tmp_path):
+    p = str(tmp_path / "conv")
+    (spark.range(100).selectExpr("id as k", "id as v")
+     .repartitionByRange(2, "v").write.parquet(p))
+    t = TxTable.convert(spark, p, stat_cols=["k"], bloom_cols=["k"])
+    assert all("bloom" in a for a in t._snapshot()[2].values())
+    # widening keeps the spec; new files still carry filters
+    t.append(spark.createDataFrame([(500, 1, "x")],
+                                   "k long, v long, note string"),
+             merge_schema=True)
+    assert t._snapshot()[1]["bloom"]["cols"] == ["k"]
+    newest = [a for a in t.history()[t.version] if "add" in a]
+    assert all("bloom" in a["add"] for a in newest)
+    hit = t.read_keys(spark.createDataFrame([(500,)], "k long"), ["k"])
+    assert len(hit.inputFiles()) == 1
+
+
+def test_bloom_rejects_unhashable_and_unknown_columns(spark, tmp_path):
+    df = spark.range(5).selectExpr("id as k", "cast(id as double) as x")
+    with pytest.raises(ValueError, match="hash portably"):
+        TxTable.create(spark, df, str(tmp_path / "f1"), bloom_cols=["x"])
+    with pytest.raises(ValueError, match="not in schema"):
+        TxTable.create(spark, df, str(tmp_path / "f2"),
+                       bloom_cols=["nope"])

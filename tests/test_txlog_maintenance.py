@@ -103,9 +103,12 @@ def test_optimize_packs_small_files_without_changing_rows(spark, tmp_path):
 
     # the compaction commit is layout-only and says so
     actions = t.history()[v]
-    assert actions and all(
+    moves = [a for a in actions if "add" in a or "remove" in a]
+    assert moves and all(
         (a.get("add") or a.get("remove")).get("dataChange", True) is False
-        for a in actions)
+        for a in moves)
+    assert next(a["info"]["op"] for a in actions
+                if "info" in a) == "optimize"   # provenance recorded
     # packed file keeps stats so later MERGEs still stat-prune
     packed_add = next(a["add"] for a in actions if "add" in a)
     assert packed_add["stats"]["k"] == [0, 59]
