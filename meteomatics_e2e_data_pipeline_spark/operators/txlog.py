@@ -501,7 +501,8 @@ class TxTable:
     # ------------------------------------------------------------- data files
     def _stage(self, df: DataFrame, stat_cols: Sequence[str],
                data_change: bool = True,
-               bloom: dict | None = None) -> list[dict]:
+               bloom: dict | None = None,
+               constraints: dict | None = None) -> list[dict]:
         """Write ``df`` as immutable parquet files in the table root and
         return their ``add`` actions (with per-file min/max stats).
 
@@ -528,8 +529,27 @@ class TxTable:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}"),
                      F.count(F.when(F.col(c).isNull(), 1))
                      .alias(f"_nulls_{c}")]
+        # CHECK constraints ride the same stats pass (zero extra jobs):
+        # SQL semantics — only an expression evaluating to FALSE violates
+        # (NULL passes), matching the public Delta CHECK contract
+        cnames = sorted(constraints or {})
+        for i, cn in enumerate(cnames):
+            aggs.append(F.count(F.when(
+                ~F.coalesce(F.expr(constraints[cn]), F.lit(True)), 1))
+                .alias(f"_viol_{i}"))
         stat_rows = {r["_file"]: r for r in
                      sdf.groupBy("_file").agg(*aggs).collect()}
+        if cnames:
+            viol = {cn: sum(int(r[f"_viol_{i}"])
+                            for r in stat_rows.values())
+                    for i, cn in enumerate(cnames)}
+            bad = {cn: n for cn, n in viol.items() if n}
+            if bad:
+                fs.delete(_jpath(self.spark, staged), True)
+                raise ValueError(
+                    f"CHECK constraint violation on {self.path}: "
+                    + ", ".join(f"{cn!r} ({constraints[cn]}) fails for "
+                                f"{n} row(s)" for cn, n in bad.items()))
         blooms = ({c: self._bloom_bitsets(sdf, c, bloom)
                    for c in bloom["cols"]}
                   if bloom and bloom.get("cols") else {})
@@ -563,7 +583,8 @@ class TxTable:
     def create(spark: SparkSession, df: DataFrame, path: str,
                stat_cols: Sequence[str] = (),
                bloom_cols: Sequence[str] = (), bloom_bits: int = 4096,
-               bloom_hashes: int = 3) -> "TxTable":
+               bloom_hashes: int = 3,
+               constraints: dict[str, str] | None = None) -> "TxTable":
         """Create a new table at ``path`` from ``df`` (commit 0).
 
         ``bloom_cols`` opts columns into per-file Bloom membership
@@ -594,8 +615,11 @@ class TxTable:
                 "stat_cols": list(stat_cols)}
         if bloom:
             meta["bloom"] = bloom
+        if constraints:
+            meta["constraints"] = dict(constraints)
         actions = [{"meta": meta}]
-        actions += t._stage(df, stat_cols, bloom=bloom)
+        actions += t._stage(df, stat_cols, bloom=bloom,
+                            constraints=constraints)
         actions.append(_info_action("create"))
         if not t._try_publish(0, actions):
             raise TxConflict(f"concurrent create of {path}")
@@ -722,6 +746,53 @@ class TxTable:
                 "info": info,
             })
         return out[::-1]
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint (the public Delta
+        ``ADD CONSTRAINT ... CHECK`` semantics): SQL ``expr`` must not
+        evaluate to FALSE for any row — NULL passes, matching the SQL
+        standard. Existing data is validated first (one scan); every
+        later write validates inside its staging stats pass at zero
+        extra job cost. Conflicts with ANY intervening data commit
+        (rows this validation never saw) — re-run on the fresh
+        snapshot."""
+        rv, meta, _ = self._snapshot()
+        cons = dict(meta.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists "
+                             f"({cons[name]})")
+        snap = self.read(version=rv)
+        n_bad = snap.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))).limit(1).count()
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows of "
+                f"{self.path} violate ({expr})")
+        cons[name] = expr
+        new_meta = dict(meta)
+        new_meta["constraints"] = cons
+
+        def no_data_race(intervening):
+            if any(("add" in a and a["add"].get("dataChange", True))
+                   or "remove" in a for a in intervening):
+                raise TxConflict(
+                    f"data changed under add_constraint({name!r}) on "
+                    f"{self.path}; re-run to validate the new rows")
+        return self._commit([{"meta": new_meta}], rv,
+                            validate=no_data_race,
+                            info={"op": "add_constraint", "name": name})
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (meta-only commit)."""
+        rv, meta, _ = self._snapshot()
+        cons = dict(meta.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} on {self.path}")
+        del cons[name]
+        new_meta = dict(meta)
+        new_meta["constraints"] = cons
+        return self._commit([{"meta": new_meta}], rv,
+                            info={"op": "drop_constraint", "name": name})
 
     def version_at(self, timestamp: float) -> int:
         """Resolve ``timestampAsOf``-style time travel: the latest
@@ -929,7 +1000,8 @@ class TxTable:
             new_meta = None
         actions = ([{"meta": meta}] if new_meta else [])
         actions += self._stage(df, meta.get("stat_cols", []),
-                               bloom=meta.get("bloom"))
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
         if not actions:
             return self.version
 
@@ -962,7 +1034,8 @@ class TxTable:
         actions = [{"remove": {"path": p}} for p in sorted(live)]
         actions += self._stage(self._check_schema(df),
                                meta.get("stat_cols", []),
-                               bloom=meta.get("bloom"))
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -1163,7 +1236,8 @@ class TxTable:
                 batch = batch.join(existing.distinct(), on=keys,
                                    how="left_anti")
             adds = meta_actions + self._stage(
-                batch, stat_cols, bloom=meta.get("bloom"))
+                batch, stat_cols, bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
             # a pure schema widening (every row was a duplicate) still
             # commits: the caller asked for the evolved schema
             return (self._commit(adds, rv, validate=validate,
@@ -1194,7 +1268,8 @@ class TxTable:
         else:
             new_data = batch
         actions += self._stage(new_data, stat_cols,
-                               bloom=meta.get("bloom"))
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
         return self._commit(actions, rv, validate=validate,
                             info={"op": "merge_upsert"})
 
@@ -1251,7 +1326,8 @@ class TxTable:
             .join(batch, on=keys, how="left_anti"))
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += self._stage(keep, stat_cols,
-                               bloom=meta.get("bloom"))
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
         return self._commit(actions, rv, validate=no_key_overlap,
                             info={"op": "delete"})
 
@@ -1380,7 +1456,8 @@ class TxTable:
         else:
             new_data = net_ins
         actions += self._stage(new_data, stat_cols,
-                               bloom=meta.get("bloom"))
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -1479,7 +1556,8 @@ class TxTable:
                         else new_data.unionByName(ins))
         if new_data is not None:
             actions += self._stage(new_data, stat_cols,
-                               bloom=meta.get("bloom"))
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
         if not actions:
             return self.version  # empty delta: no commit, replay-safe
         if txn is not None:
@@ -1549,7 +1627,8 @@ class TxTable:
             for f in schema.fields])
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += self._stage(rewritten, stat_cols,
-                               bloom=meta.get("bloom"))
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
         return self._commit(actions, rv, validate=no_data_change,
                             info={"op": "update"})
 
@@ -1674,7 +1753,8 @@ class TxTable:
                    for p in small]
         actions += self._stage(packed, meta.get("stat_cols", []),
                                data_change=False,
-                               bloom=meta.get("bloom"))
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"))
         return self._commit(actions, rv, info={"op": "optimize"})
 
     def fsck(self, scan_orphans: bool = True,

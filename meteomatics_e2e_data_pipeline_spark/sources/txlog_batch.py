@@ -286,6 +286,20 @@ class TxLogBatchReader(DataSourceReader):
         yield from pa.table(dict(zip(self.fields, arrays))).to_batches()
 
 
+def _refuse_constrained(table: str) -> None:
+    """The DataSource writer stages per-task without reading table meta,
+    so it cannot enforce CHECK constraints; writing around them would
+    silently break the invariant TxTable writers uphold — refuse loudly
+    and point at the enforcing path."""
+    _, meta, _, _ = _fold_snapshot(table)
+    cons = meta.get("constraints") or {}
+    if cons:
+        raise ValueError(
+            f"{table} declares CHECK constraints {sorted(cons)}; the "
+            f"txlog DataSource writer does not enforce them - write "
+            f"through TxTable.append/merge_upsert instead")
+
+
 def _claim_commit(table: str, version: int, payload: str) -> bool:
     """Atomically publish ``version`` with its COMPLETE content via
     tmp + hard link (the local-FS model of object-store put-if-absent —
@@ -393,6 +407,7 @@ class TxLogBatchWriter(DataSourceWriter):
             raise ValueError("txlog requires option 'path'")
         self.table = path.rstrip("/")
         self.overwrite = overwrite
+        _refuse_constrained(self.table)  # plan time: before any task IO
         v, meta, live, _ = _fold_snapshot(self.table)
         self.read_version = v
         self.live = sorted(live)
@@ -470,6 +485,7 @@ class TxLogBatchWriter(DataSourceWriter):
                                    "stats": stats, "nullCounts": nulls})
 
     def _publish(self, actions: list[dict]) -> None:
+        _refuse_constrained(self.table)
         payload = commit_payload(actions + [_info_action(
             "overwrite" if self.overwrite else "append", writer="batch")])
         while True:
@@ -546,6 +562,7 @@ class TxLogStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         adds = [{"add": m.add} for m in messages
                 if m is not None and m.add is not None]
+        _refuse_constrained(self.table)
         actions = [{"txn": {"appId": self.app_id,
                             "version": int(batchId)}}] + adds
         payload = commit_payload(actions + [_info_action(

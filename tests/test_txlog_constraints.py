@@ -1,0 +1,107 @@
+"""CHECK constraints on the txlog tier (the public Delta
+``ADD CONSTRAINT ... CHECK`` semantics): declared SQL expressions must
+not evaluate to FALSE for any written row (NULL passes — SQL
+standard). Enforcement rides the staging stats aggregation, so every
+write path validates at ZERO extra job cost; a violation cleans up its
+staged files and leaves the table untouched."""
+
+from __future__ import annotations
+
+import pytest
+
+from meteomatics_e2e_data_pipeline_spark.operators.txlog import (
+    TxConflict, TxTable)
+
+
+def _t(spark, tmp_path, **kw):
+    return TxTable.create(
+        spark, spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        str(tmp_path / "c"), stat_cols=["k"],
+        constraints={"v_pos": "v > 0", "k_not_null": "k IS NOT NULL"},
+        **kw)
+
+
+def test_violating_writes_rejected_table_untouched(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    before = sorted(map(tuple, t.read().collect()))
+    with pytest.raises(ValueError, match="v_pos.*1 row"):
+        t.append(spark.createDataFrame([(3, -5)], "k int, v int"))
+    with pytest.raises(ValueError, match="k_not_null"):
+        t.merge_upsert(spark.createDataFrame([(None, 5)], "k int, v int"),
+                       ["v"], update=True)
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert t.version == 0                      # nothing committed
+    audit = t.fsck()
+    assert audit["ok"] and audit["unreferenced_files"] == []  # staged
+    # files from the rejected writes were cleaned up, not leaked
+
+
+def test_null_check_result_passes_and_conforming_writes_land(spark,
+                                                             tmp_path):
+    t = _t(spark, tmp_path)
+    # v IS NULL -> "v > 0" evaluates NULL -> passes (SQL semantics);
+    # k stays NOT NULL so the row is otherwise legal
+    t.append(spark.createDataFrame([(7, None)], "k int, v int"))
+    t.update("k = 1", {"v": "v + 1"})          # rewrite revalidates too
+    assert {(r["k"], r["v"]) for r in t.read().collect()} \
+        == {(1, 11), (2, 20), (7, None)}
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    with pytest.raises(ValueError, match="existing rows"):
+        t.add_constraint("v_small", "v < 15")  # row (2, 20) violates
+    v = t.add_constraint("v_cap", "v < 1000")
+    assert t.describe_history()[0]["operation"] == "add_constraint"
+    with pytest.raises(ValueError, match="v_cap"):
+        t.append(spark.createDataFrame([(9, 5000)], "k int, v int"))
+    t.drop_constraint("v_cap")
+    t.append(spark.createDataFrame([(9, 5000)], "k int, v int"))
+    assert t.read().count() == 3
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("ghost")
+    assert v == 1
+
+
+def test_add_constraint_conflicts_with_concurrent_data(spark, tmp_path):
+    """The validation scan must cover every row the constraint commits
+    over: data landing between snapshot and publish forces a re-run."""
+    t = _t(spark, tmp_path)
+    rv = t.version
+    # another writer lands data after the snapshot add_constraint reads
+    other = TxTable(spark, t.path)
+    real_snapshot = TxTable._snapshot
+
+    def racing_snapshot(self_, version=None):
+        out = real_snapshot(self_, version)
+        if self_ is t and not getattr(t, "_raced", False):
+            t._raced = True
+            other.append(spark.createDataFrame([(5, 50)], "k int, v int"))
+        return out
+
+    try:
+        TxTable._snapshot = racing_snapshot
+        with pytest.raises(TxConflict, match="re-run"):
+            t.add_constraint("v_cap", "v < 1000")
+    finally:
+        TxTable._snapshot = real_snapshot
+    assert t.version == rv + 1  # only the racer's append landed
+
+
+def test_datasource_writer_refuses_constrained_table(spark, tmp_path):
+    """The DataSource writer stages per-task without table meta, so it
+    cannot enforce CHECK constraints — it must refuse at PLAN time
+    (before any task writes a byte), not write around them."""
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        register)
+    t = _t(spark, tmp_path)
+    register(spark)
+    df = spark.createDataFrame([(3, -1)], "k int, v int")
+    with pytest.raises(Exception, match="does not enforce"):
+        (df.write.format("txlog").mode("append")
+         .option("path", t.path).save())
+    assert t.version == 0 and t.read().count() == 2
+    audit = t.fsck()
+    assert audit["ok"] and audit["unreferenced_files"] == []  # no task IO
