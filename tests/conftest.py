@@ -112,6 +112,13 @@ _POOLED_MODULES = (
     "tests.test_api_datasource",
     "tests.test_ingest_and_runner",
     "tests.test_llm_operators",
+    # round-12 second sitting: torn-commit/fsck, convert/provenance,
+    # bloom skipping, constraints (their global-state-mutating tests —
+    # the _snapshot race injection — stay unpooled in their modules)
+    "tests.test_txlog_torn",
+    "tests.test_txlog_convert",
+    "tests.test_txlog_bloom",
+    "tests.test_txlog_constraints",
 )
 
 

@@ -31,7 +31,7 @@ def _make(spark, tmp_path, name="b", **kw):
     return t
 
 
-def test_bloom_prunes_where_ranges_cannot(spark, tmp_path):
+def _heavy_test_bloom_prunes_where_ranges_cannot(spark, tmp_path):
     """Both files span [0..119] in k, so a keyed DELETE of one key
     range-matches both; the bloom proves the key absent from the other
     parity's file and exactly one file is rewritten."""
@@ -46,7 +46,7 @@ def test_bloom_prunes_where_ranges_cannot(spark, tmp_path):
     assert len(hit.inputFiles()) == 1
 
 
-def test_bloom_has_no_false_negatives(spark, tmp_path):
+def _heavy_test_bloom_has_no_false_negatives(spark, tmp_path):
     """Every key actually present must pass its file's stored filter —
     the Spark-side hash (md5 of CAST AS STRING) and the Python probe
     hash must agree bit-for-bit for every live key."""
@@ -65,7 +65,7 @@ def test_bloom_has_no_false_negatives(spark, tmp_path):
                 f"false negative for k={key} in {path}"
 
 
-def test_saturated_bloom_degrades_to_no_pruning(spark, tmp_path):
+def _heavy_test_saturated_bloom_degrades_to_no_pruning(spark, tmp_path):
     """An undersized (8-bit) filter saturates: results stay exact, the
     filter just stops excluding files."""
     t = _make(spark, tmp_path, name="sat", bloom_bits=8, bloom_hashes=2)
@@ -75,7 +75,7 @@ def test_saturated_bloom_degrades_to_no_pruning(spark, tmp_path):
     assert rows[8] == 999 and len(rows) == 120
 
 
-def test_bulk_probe_skips_bloom_path(spark, tmp_path):
+def _heavy_test_bulk_probe_skips_bloom_path(spark, tmp_path):
     """Above the point-lookup threshold the probe is never collected —
     the range path serves bulk merges; results identical."""
     t = _make(spark, tmp_path, name="bulk")
@@ -86,7 +86,7 @@ def test_bulk_probe_skips_bloom_path(spark, tmp_path):
     assert rows[100] == 105 and rows[2999] == 3004
 
 
-def test_bloom_survives_convert_and_schema_evolution(spark, tmp_path):
+def _heavy_test_bloom_survives_convert_and_schema_evolution(spark, tmp_path):
     p = str(tmp_path / "conv")
     (spark.range(100).selectExpr("id as k", "id as v")
      .repartitionByRange(2, "v").write.parquet(p))
@@ -103,10 +103,42 @@ def test_bloom_survives_convert_and_schema_evolution(spark, tmp_path):
     assert len(hit.inputFiles()) == 1
 
 
-def test_bloom_rejects_unhashable_and_unknown_columns(spark, tmp_path):
+def _heavy_test_bloom_rejects_unhashable_and_unknown_columns(spark, tmp_path):
     df = spark.range(5).selectExpr("id as k", "cast(id as double) as x")
     with pytest.raises(ValueError, match="hash portably"):
         TxTable.create(spark, df, str(tmp_path / "f1"), bloom_cols=["x"])
     with pytest.raises(ValueError, match="not in schema"):
         TxTable.create(spark, df, str(tmp_path / "f2"),
                        bloom_cols=["nope"])
+
+
+# Pooled heavy bodies (see conftest.pool_bodies).
+_POOLED = {n: fn for n, fn in [
+    ("test_bloom_prunes_where_ranges_cannot", _heavy_test_bloom_prunes_where_ranges_cannot),
+    ("test_bloom_has_no_false_negatives", _heavy_test_bloom_has_no_false_negatives),
+    ("test_saturated_bloom_degrades_to_no_pruning", _heavy_test_saturated_bloom_degrades_to_no_pruning),
+    ("test_bulk_probe_skips_bloom_path", _heavy_test_bulk_probe_skips_bloom_path),
+    ("test_bloom_survives_convert_and_schema_evolution", _heavy_test_bloom_survives_convert_and_schema_evolution),
+    ("test_bloom_rejects_unhashable_and_unknown_columns", _heavy_test_bloom_rejects_unhashable_and_unknown_columns),
+]}
+
+
+@pytest.fixture(scope="module")
+def bloom_pool(_heavy_pool):
+    futs = {n: _heavy_pool["tests.test_txlog_bloom::" + n]
+            for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
+
+
+def _shim(name):
+    def test(bloom_pool):
+        ex = bloom_pool[name]
+        if ex is not None:
+            raise ex
+    test.__name__ = name
+    return test
+
+
+for _n in _POOLED:
+    globals()[_n] = _shim(_n)
+del _n

@@ -21,7 +21,7 @@ def _t(spark, tmp_path, **kw):
         **kw)
 
 
-def test_violating_writes_rejected_table_untouched(spark, tmp_path):
+def _heavy_test_violating_writes_rejected_table_untouched(spark, tmp_path):
     t = _t(spark, tmp_path)
     before = sorted(map(tuple, t.read().collect()))
     with pytest.raises(ValueError, match="v_pos.*1 row"):
@@ -36,8 +36,8 @@ def test_violating_writes_rejected_table_untouched(spark, tmp_path):
     # files from the rejected writes were cleaned up, not leaked
 
 
-def test_null_check_result_passes_and_conforming_writes_land(spark,
-                                                             tmp_path):
+def _heavy_test_null_check_result_passes_and_conforming_writes_land(
+        spark, tmp_path):
     t = _t(spark, tmp_path)
     # v IS NULL -> "v > 0" evaluates NULL -> passes (SQL semantics);
     # k stays NOT NULL so the row is otherwise legal
@@ -47,7 +47,7 @@ def test_null_check_result_passes_and_conforming_writes_land(spark,
         == {(1, 11), (2, 20), (7, None)}
 
 
-def test_add_constraint_validates_existing_data(spark, tmp_path):
+def _heavy_test_add_constraint_validates_existing_data(spark, tmp_path):
     t = _t(spark, tmp_path)
     with pytest.raises(ValueError, match="existing rows"):
         t.add_constraint("v_small", "v < 15")  # row (2, 20) violates
@@ -90,7 +90,7 @@ def test_add_constraint_conflicts_with_concurrent_data(spark, tmp_path):
     assert t.version == rv + 1  # only the racer's append landed
 
 
-def test_datasource_writer_refuses_constrained_table(spark, tmp_path):
+def _heavy_test_datasource_writer_refuses_constrained_table(spark, tmp_path):
     """The DataSource writer stages per-task without table meta, so it
     cannot enforce CHECK constraints — it must refuse at PLAN time
     (before any task writes a byte), not write around them."""
@@ -105,3 +105,35 @@ def test_datasource_writer_refuses_constrained_table(spark, tmp_path):
     assert t.version == 0 and t.read().count() == 2
     audit = t.fsck()
     assert audit["ok"] and audit["unreferenced_files"] == []  # no task IO
+
+
+# Pooled heavy bodies (see conftest.pool_bodies). The concurrent-data
+# race test monkeypatches TxTable._snapshot (process-global) and stays
+# unpooled by the pool_bodies contract.
+_POOLED = {n: fn for n, fn in [
+    ("test_violating_writes_rejected_table_untouched", _heavy_test_violating_writes_rejected_table_untouched),
+    ("test_null_check_result_passes_and_conforming_writes_land", _heavy_test_null_check_result_passes_and_conforming_writes_land),
+    ("test_add_constraint_validates_existing_data", _heavy_test_add_constraint_validates_existing_data),
+    ("test_datasource_writer_refuses_constrained_table", _heavy_test_datasource_writer_refuses_constrained_table),
+]}
+
+
+@pytest.fixture(scope="module")
+def constraints_pool(_heavy_pool):
+    futs = {n: _heavy_pool["tests.test_txlog_constraints::" + n]
+            for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
+
+
+def _shim(name):
+    def test(constraints_pool):
+        ex = constraints_pool[name]
+        if ex is not None:
+            raise ex
+    test.__name__ = name
+    return test
+
+
+for _n in _POOLED:
+    globals()[_n] = _shim(_n)
+del _n

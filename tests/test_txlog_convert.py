@@ -19,7 +19,7 @@ def _plain(spark, path, n=300, files=3):
      .repartitionByRange(files, "k").write.parquet(path))
 
 
-def test_convert_adopts_files_in_place_then_full_dml(spark, tmp_path):
+def _heavy_test_convert_adopts_files_in_place_then_full_dml(spark, tmp_path):
     p = str(tmp_path / "plain")
     _plain(spark, p)
     names_before = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
@@ -47,7 +47,7 @@ def test_convert_adopts_files_in_place_then_full_dml(spark, tmp_path):
     assert feed.filter("_change_type = 'insert'").count() == 1
 
 
-def test_convert_keeps_stat_pruning(spark, tmp_path):
+def _heavy_test_convert_keeps_stat_pruning(spark, tmp_path):
     """repartitionByRange gives disjoint per-file k ranges; a keyed
     delete after convert must rewrite ONLY the file whose stats cover
     the key — the adoption recorded real min/max, not placeholders."""
@@ -61,7 +61,7 @@ def test_convert_keeps_stat_pruning(spark, tmp_path):
     assert t.read().count() == 299
 
 
-def test_convert_vacuum_reclaims_superseded_adopted_files(spark, tmp_path):
+def _heavy_test_convert_vacuum_reclaims_superseded_adopted_files(spark, tmp_path):
     p = str(tmp_path / "vac")
     _plain(spark, p, n=60, files=1)
     t = TxTable.convert(spark, p, stat_cols=["k"])
@@ -72,7 +72,7 @@ def test_convert_vacuum_reclaims_superseded_adopted_files(spark, tmp_path):
     assert t.read().count() == 60
 
 
-def test_describe_history_records_operation_provenance(spark, tmp_path):
+def _heavy_test_describe_history_records_operation_provenance(spark, tmp_path):
     """Every commit carries a commitInfo-shaped provenance action;
     describe_history surfaces op + action tallies newest-first — the
     DESCRIBE HISTORY parity view, and the audit trail fsck findings
@@ -106,7 +106,7 @@ def test_describe_history_records_operation_provenance(spark, tmp_path):
         "n_adds": 0, "n_removes": 0, "info": {}}
 
 
-def test_convert_rejects_hive_layout_txlog_and_empty(spark, tmp_path):
+def _heavy_test_convert_rejects_hive_layout_txlog_and_empty(spark, tmp_path):
     hive = str(tmp_path / "hive")
     (spark.range(10).selectExpr("id as k", "id % 2 as d")
      .write.partitionBy("d").parquet(hive))
@@ -123,3 +123,38 @@ def test_convert_rejects_hive_layout_txlog_and_empty(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no parquet files"):
         TxTable.convert(spark, str(empty))
+
+
+# Pooled heavy bodies (see conftest.pool_bodies): independent tmp-table
+# bodies drain concurrently under the session pool, one pytest row each.
+_POOLED = {n: fn for n, fn in [
+    ("test_convert_adopts_files_in_place_then_full_dml", _heavy_test_convert_adopts_files_in_place_then_full_dml),
+    ("test_convert_keeps_stat_pruning", _heavy_test_convert_keeps_stat_pruning),
+    ("test_convert_vacuum_reclaims_superseded_adopted_files", _heavy_test_convert_vacuum_reclaims_superseded_adopted_files),
+    ("test_describe_history_records_operation_provenance", _heavy_test_describe_history_records_operation_provenance),
+    ("test_convert_rejects_hive_layout_txlog_and_empty", _heavy_test_convert_rejects_hive_layout_txlog_and_empty),
+]}
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def convert_pool(_heavy_pool):
+    futs = {n: _heavy_pool["tests.test_txlog_convert::" + n]
+            for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
+
+
+def _shim(name):
+    def test(convert_pool):
+        ex = convert_pool[name]
+        if ex is not None:
+            raise ex
+    test.__name__ = name
+    return test
+
+
+for _n in _POOLED:
+    globals()[_n] = _shim(_n)
+del _n

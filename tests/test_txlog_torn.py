@@ -75,11 +75,7 @@ def _make_table(spark, tmp_path, name):
     return t
 
 
-@pytest.mark.parametrize("partial", [
-    "",                                               # died at the claim
-    '{"add": {"path": "data/part-junk.parq',          # died mid-record
-])
-def test_torn_commit_fails_loudly_then_repairs(spark, tmp_path, partial):
+def _heavy_test_torn_commit_fails_loudly_then_repairs(spark, tmp_path, partial):
     t = _make_table(spark, tmp_path, "torn")
     rows_before = sorted((r["k"], r["v"]) for r in t.read().collect())
     victim = t.version + 1
@@ -110,7 +106,7 @@ def test_torn_commit_fails_loudly_then_repairs(spark, tmp_path, partial):
         == rows_before + [(12, 120)]
 
 
-def test_line_boundary_tear_detected_by_required_trailer(spark, tmp_path):
+def _heavy_test_line_boundary_tear_detected_by_required_trailer(spark, tmp_path):
     """The subtle tear: whole JSON lines survive but the trailer is gone.
     Without a REQUIRED trailer this parses as a valid shorter commit and
     silently drops the tail actions — the hole 'legacy acceptance' would
@@ -129,7 +125,7 @@ def test_line_boundary_tear_detected_by_required_trailer(spark, tmp_path):
     assert t.read().count() == 8
 
 
-def test_repair_is_idempotent_and_bounds_checked(spark, tmp_path):
+def _heavy_test_repair_is_idempotent_and_bounds_checked(spark, tmp_path):
     t = _make_table(spark, tmp_path, "idem")
     victim = t.version + 1
     _crash_publish(t, victim, "")
@@ -140,7 +136,7 @@ def test_repair_is_idempotent_and_bounds_checked(spark, tmp_path):
         t.repair_torn_commit(victim + 7)
 
 
-def test_fsck_healthy_table_is_clean(spark, tmp_path):
+def _heavy_test_fsck_healthy_table_is_clean(spark, tmp_path):
     t = _make_table(spark, tmp_path, "fsck_ok")
     r = t.fsck(verify_row_counts=True)
     assert r["ok"] and r["snapshot_exact"]
@@ -149,7 +145,7 @@ def test_fsck_healthy_table_is_clean(spark, tmp_path):
     assert r["live_files"] == 2 and r["version"] == 1
 
 
-def test_fsck_reports_each_damage_class(spark, tmp_path):
+def _heavy_test_fsck_reports_each_damage_class(spark, tmp_path):
     """One audit surfaces every failure mode distinctly: a torn commit,
     a live file deleted from disk, an unreferenced (in-flight/leaked)
     data file, and a row-count drift inside a live file — each named,
@@ -186,7 +182,7 @@ def test_fsck_reports_each_damage_class(spark, tmp_path):
         assert r2["ok"]
 
 
-def test_fsck_time_travel_files_are_not_orphans(spark, tmp_path):
+def _heavy_test_fsck_time_travel_files_are_not_orphans(spark, tmp_path):
     """Files superseded by a rewrite are historical state (time travel
     still reads them) — fsck must not flag them as unreferenced."""
     t = _make_table(spark, tmp_path, "fsck_tt")
@@ -197,7 +193,7 @@ def test_fsck_time_travel_files_are_not_orphans(spark, tmp_path):
     assert t.read(version=1).count() == 8
 
 
-def test_torn_claim_blocks_writers_until_repaired_then_race_resumes(
+def _heavy_test_torn_claim_blocks_writers_until_repaired_then_race_resumes(
         spark, tmp_path):
     """While the log carries a torn tail, EVERY writer fails loudly
     (TxCorruption at its snapshot read) — no writer builds blindly on a
@@ -228,7 +224,7 @@ def test_torn_claim_blocks_writers_until_repaired_then_race_resumes(
     assert TxTable(spark, t.path).fsck()["ok"]
 
 
-def test_concurrent_commit_surfaces_torn_intervening_version(spark, tmp_path):
+def _heavy_test_concurrent_commit_surfaces_torn_intervening_version(spark, tmp_path):
     """A writer validating intervening commits must also refuse to build
     on a torn one — optimistic concurrency reads the same wire format."""
     t = _make_table(spark, tmp_path, "conc")
@@ -238,3 +234,53 @@ def test_concurrent_commit_surfaces_torn_intervening_version(spark, tmp_path):
     staged = t._stage(inc, ["k"])
     with pytest.raises(TxCorruption):
         t._commit(staged, read_version=stale_version)
+
+
+# ---------------------------------------------------------------------------
+# Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
+# independent tmp-table bodies run concurrently under the session pool,
+# each keeping its own pytest row. The protocol unit tests above are
+# sub-millisecond and stay plain.
+# ---------------------------------------------------------------------------
+
+_POOLED = {
+    "test_torn_commit_fails_loudly_then_repairs_empty":
+        lambda spark, tmp_path: _heavy_test_torn_commit_fails_loudly_then_repairs(
+            spark, tmp_path, ""),
+    "test_torn_commit_fails_loudly_then_repairs_midrecord":
+        lambda spark, tmp_path: _heavy_test_torn_commit_fails_loudly_then_repairs(
+            spark, tmp_path, '{"add": {"path": "data/part-junk.parq'),
+    "test_line_boundary_tear_detected_by_required_trailer":
+        _heavy_test_line_boundary_tear_detected_by_required_trailer,
+    "test_repair_is_idempotent_and_bounds_checked":
+        _heavy_test_repair_is_idempotent_and_bounds_checked,
+    "test_fsck_healthy_table_is_clean": _heavy_test_fsck_healthy_table_is_clean,
+    "test_fsck_reports_each_damage_class":
+        _heavy_test_fsck_reports_each_damage_class,
+    "test_fsck_time_travel_files_are_not_orphans":
+        _heavy_test_fsck_time_travel_files_are_not_orphans,
+    "test_torn_claim_blocks_writers_until_repaired_then_race_resumes":
+        _heavy_test_torn_claim_blocks_writers_until_repaired_then_race_resumes,
+    "test_concurrent_commit_surfaces_torn_intervening_version":
+        _heavy_test_concurrent_commit_surfaces_torn_intervening_version,
+}
+
+
+@pytest.fixture(scope="module")
+def torn_pool(_heavy_pool):
+    futs = {n: _heavy_pool["tests.test_txlog_torn::" + n] for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
+
+
+def _shim(name):
+    def test(torn_pool):
+        ex = torn_pool[name]
+        if ex is not None:
+            raise ex
+    test.__name__ = name
+    return test
+
+
+for _n in _POOLED:
+    globals()[_n] = _shim(_n)
+del _n
