@@ -1782,8 +1782,11 @@ class TxTable:
           time-travel state, not orphans, and are not reported;
         - ``verify_row_counts``: one Spark job reading every live file,
           comparing actual row counts against the log's ``numRecords``
-          (``rowcount_mismatches``) — the only check that touches data,
-          cost one scan of the live table, one row per FILE collected.
+          (``rowcount_mismatches``) AND recorded min/max/null stats
+          against recomputed ones (``stat_mismatches`` — drifted stats
+          silently mis-prune keyed DML, the worst failure class) — the
+          only check that touches data, cost one scan of the live
+          table, one row per FILE collected.
 
         ``ok`` is True iff nothing torn/missing/mismatched. When a torn
         commit prevents folding an exact snapshot, ``snapshot_exact`` is
@@ -1837,21 +1840,56 @@ class TxTable:
             report["unreferenced_files"] = sorted(on_disk - referenced)
         present = [p for p in live if p not in set(missing_files)]
         if verify_row_counts and present:
-            counts = {
-                r["_file"]: r["_n"]
+            # one scan verifies BOTH recorded row counts and recorded
+            # min/max/null stats. Stat drift is the nastier failure:
+            # wrong stats make the merge/delete planners SKIP files that
+            # hold matching keys — silently wrong DML, not a crash.
+            vmeta = (self._snapshot()[1]
+                     if not torn_commits and not missing_commits else {})
+            stat_cols = [c for c in vmeta.get("stat_cols", [])]
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            for c in stat_cols:
+                aggs += [F.min(c).alias(f"_min_{c}"),
+                         F.max(c).alias(f"_max_{c}"),
+                         F.count(F.when(F.col(c).isNull(), 1))
+                         .alias(f"_nulls_{c}")]
+            rows = {
+                r["_file"]: r
                 for r in self.spark.read.parquet(
                     *[f"{self.path}/{p}" for p in present])
                 .withColumn("_file", F.element_at(
                     F.split(F.input_file_name(), "/"), -1))
-                .groupBy("_file").agg(F.count(F.lit(1)).alias("_n"))
+                .groupBy("_file").agg(*aggs)
                 .collect()}
             report["rowcount_mismatches"] = sorted(
-                (p, live[p].get("numRecords"), counts.get(p, 0))
+                (p, live[p].get("numRecords"),
+                 int(rows[p]["_n"]) if p in rows else 0)
                 for p in present
-                if counts.get(p, 0) != live[p].get("numRecords"))
+                if (int(rows[p]["_n"]) if p in rows else 0)
+                != live[p].get("numRecords"))
+            stat_bad = []
+            for p in present:
+                r, rec = rows.get(p), live[p]
+                if r is None:
+                    continue  # already a rowcount mismatch
+                for c in stat_cols:
+                    stats = (rec.get("stats") or {}).get(c)
+                    nulls = (rec.get("nullCounts") or {}).get(c)
+                    if stats is None:
+                        continue  # pre-stat or schema-evolved file: the
+                        # planners already treat missing stats as
+                        # "always overlaps", which is safe
+                    actual = [_json_scalar(r[f"_min_{c}"]),
+                              _json_scalar(r[f"_max_{c}"])]
+                    if stats != actual or (
+                            nulls is not None
+                            and nulls != int(r[f"_nulls_{c}"])):
+                        stat_bad.append((p, c, stats, actual))
+            report["stat_mismatches"] = sorted(stat_bad)
         report["ok"] = (not torn_commits and not missing_commits
                         and not missing_files
-                        and not report.get("rowcount_mismatches"))
+                        and not report.get("rowcount_mismatches")
+                        and not report.get("stat_mismatches"))
         return report
 
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600) -> list[str]:

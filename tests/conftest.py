@@ -39,6 +39,8 @@ SLOW_PROPERTY_SWEEPS = {
     # round 12: randomized concurrent-writer serializability sweep (its
     # fixed-seed two-writer exemplar runs in the default lane)
     "test_concurrent_mixed_dml_history_is_serializable",
+    # round-12 second sitting: randomized bloom-vs-plain equivalence
+    "test_bloom_pruning_equivalence_property",
 }
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import base64
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hs
 
 from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
 
@@ -110,6 +112,58 @@ def _heavy_test_bloom_rejects_unhashable_and_unknown_columns(spark, tmp_path):
     with pytest.raises(ValueError, match="not in schema"):
         TxTable.create(spark, df, str(tmp_path / "f2"),
                        bloom_cols=["nope"])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(hs.data())
+def test_bloom_pruning_equivalence_property(spark, data):
+    """Randomized: any key distribution, any (m, k) sizing — a bloomed
+    table and its bloom-less twin answer every keyed DELETE and
+    read_keys probe identically, and no live key is ever a false
+    negative against its file's stored filter. This is the exactness
+    half of the bloom contract under fuzzing; the pruning half is the
+    deterministic interleaved-parity test above."""
+    import base64
+    import tempfile
+
+    keys = sorted(data.draw(hs.sets(
+        hs.integers(min_value=-10_000, max_value=10_000),
+        min_size=4, max_size=60)))
+    n_files = data.draw(hs.integers(min_value=1, max_value=4))
+    m = data.draw(hs.sampled_from([16, 64, 256, 2048]))
+    k = data.draw(hs.integers(min_value=1, max_value=4))
+    probe = data.draw(hs.lists(
+        hs.one_of(hs.sampled_from(keys),
+                  hs.integers(min_value=-10_000, max_value=10_000)),
+        min_size=1, max_size=8, unique=True))
+    df = spark.createDataFrame([(x, x % 7) for x in keys], "k long, v long")
+    with tempfile.TemporaryDirectory(prefix="bloomprop_") as base:
+        bloomed = TxTable.create(spark, df.repartition(n_files),
+                                 f"{base}/b", stat_cols=["k"],
+                                 bloom_cols=["k"], bloom_bits=m,
+                                 bloom_hashes=k)
+        plain = TxTable.create(spark, df.repartition(n_files),
+                               f"{base}/p", stat_cols=["k"])
+        # no false negatives, whatever the sizing
+        _, meta, live = bloomed._snapshot()
+        for path, add in live.items():
+            bits = base64.b64decode(add["bloom"]["k"])
+            for r in spark.read.parquet(f"{bloomed.path}/{path}").collect():
+                assert all(bits[p // 8] >> (p % 8) & 1
+                           for p in TxTable._bloom_positions(
+                               str(r["k"]), m, k))
+        probe_df = spark.createDataFrame([(x,) for x in probe], "k long")
+        got_b = sorted(map(tuple,
+                           bloomed.read_keys(probe_df, ["k"]).collect()))
+        got_p = sorted(map(tuple,
+                           plain.read_keys(probe_df, ["k"]).collect()))
+        assert got_b == got_p == sorted(
+            (x, x % 7) for x in probe if x in set(keys))
+        bloomed.delete(probe_df, ["k"])
+        plain.delete(probe_df, ["k"])
+        assert sorted(map(tuple, bloomed.read().collect())) \
+            == sorted(map(tuple, plain.read().collect()))
 
 
 # Pooled heavy bodies (see conftest.pool_bodies).

@@ -142,6 +142,7 @@ def _heavy_test_fsck_healthy_table_is_clean(spark, tmp_path):
     assert r["ok"] and r["snapshot_exact"]
     assert r["torn_commits"] == [] and r["missing_files"] == []
     assert r["unreferenced_files"] == [] and r["rowcount_mismatches"] == []
+    assert r["stat_mismatches"] == []
     assert r["live_files"] == 2 and r["version"] == 1
 
 
@@ -173,13 +174,14 @@ def _heavy_test_fsck_reports_each_damage_class(spark, tmp_path):
         os.remove(crc)       # fsck models stores with no checksum layer
     r2 = t.fsck(verify_row_counts=True)
     assert r2["torn_commits"] == [] and r2["snapshot_exact"]
-    # the restored file exists but holds the OTHER file's rows: only the
-    # row-count check can see that, and it names the file
-    if r2["rowcount_mismatches"]:
-        assert [m[0] for m in r2["rowcount_mismatches"]] == [live[0]]
-        assert not r2["ok"]
-    else:  # both files happened to hold equal counts: audit is clean
-        assert r2["ok"]
+    # the restored file exists but holds the OTHER file's rows: the two
+    # files cover disjoint k ranges, so even when row counts happen to
+    # agree the recomputed min/max diverge from the recorded stats —
+    # exactly the drift that would silently mis-prune keyed DML
+    assert not r2["ok"]
+    flagged = ({m[0] for m in r2["rowcount_mismatches"]}
+               | {m[0] for m in r2["stat_mismatches"]})
+    assert flagged == {live[0]}
 
 
 def _heavy_test_fsck_time_travel_files_are_not_orphans(spark, tmp_path):
