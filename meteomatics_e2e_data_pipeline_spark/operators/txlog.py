@@ -1109,8 +1109,8 @@ class TxTable:
         import base64
         spec = (meta or {}).get("bloom") or {}
         cols = [c for c in keys if c in spec.get("cols", ())]
-        if not cols or not cand:
-            return cand
+        if not cols or len(cand) <= 1:
+            return cand  # nothing prunable: skip the probe collect
         rows = (probe.select(*cols).distinct()
                 .limit(self._BLOOM_PROBE_MAX + 1).collect())
         if len(rows) > self._BLOOM_PROBE_MAX:

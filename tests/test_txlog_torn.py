@@ -54,6 +54,26 @@ def test_intact_commit_is_not_torn():
     assert not is_torn(commit_payload([{"add": {"path": "x"}}]).splitlines())
 
 
+def test_every_possible_byte_truncation_reads_as_torn():
+    """The property the trailer design rests on, checked EXHAUSTIVELY:
+    for a representative commit, every strict byte-prefix of the payload
+    is detected as torn — no truncation point yields a 'valid shorter
+    commit' (a prefix either loses the trailer, tears a JSON line, or
+    leaves a count mismatch; the only parse-clean content is the full
+    payload)."""
+    payload = commit_payload([
+        {"meta": {"schema": {"fields": []}, "stat_cols": ["k"]}},
+        {"add": {"path": "part-a.parquet", "numRecords": 3,
+                 "stats": {"k": [0, 9]}}},
+        {"remove": {"path": "part-b.parquet"}},
+        {"txn": {"appId": "app", "version": 4}},
+        {"info": {"op": "append", "ts": 1.0}},
+    ])
+    for cut in range(len(payload)):
+        assert is_torn(payload[:cut].splitlines()), f"cut={cut}"
+    assert not is_torn(payload.splitlines())
+
+
 # ---------------------------------------------------------------- e2e
 
 def _crash_publish(table: TxTable, version: int, partial: str) -> None:
