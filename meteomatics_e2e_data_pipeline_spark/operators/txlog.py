@@ -747,6 +747,27 @@ class TxTable:
             })
         return out[::-1]
 
+    def detail(self) -> dict:
+        """Table summary (the public Delta ``DESCRIBE DETAIL`` shape):
+        current version, live file count, row count from the log's
+        recorded ``numRecords`` (no data scan — the log is the source
+        of truth the audits verify), declared stat/bloom/constraint
+        surface, and checkpoint state. Driver-side log fold only."""
+        v, meta, live = self._snapshot()
+        ckpts = self._checkpoint_versions()
+        return {
+            "path": self.path,
+            "version": v,
+            "num_files": len(live),
+            "num_rows": sum(a.get("numRecords", 0) for a in live.values()),
+            "schema_fields": [f["name"]
+                              for f in meta["schema"].get("fields", [])],
+            "stat_cols": meta.get("stat_cols", []),
+            "bloom": meta.get("bloom"),
+            "constraints": dict(meta.get("constraints") or {}),
+            "checkpoints": ckpts,
+        }
+
     def add_constraint(self, name: str, expr: str) -> int:
         """Add a CHECK constraint (the public Delta
         ``ADD CONSTRAINT ... CHECK`` semantics): SQL ``expr`` must not

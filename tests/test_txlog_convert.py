@@ -125,6 +125,27 @@ def _heavy_test_convert_rejects_hive_layout_txlog_and_empty(spark, tmp_path):
         TxTable.convert(spark, str(empty))
 
 
+def _heavy_test_detail_summarizes_table_surface(spark, tmp_path):
+    """DESCRIBE DETAIL parity: one log fold reports version, files,
+    log-recorded rows, and the declared stat/bloom/constraint surface —
+    no data scan (the audits are what VERIFY the log; detail reports
+    it)."""
+    t = TxTable.create(
+        spark, spark.createDataFrame([(i, i) for i in range(10)],
+                                     "k int, v int").coalesce(2),
+        str(tmp_path / "d"), stat_cols=["k"], bloom_cols=["k"],
+        constraints={"k_nn": "k IS NOT NULL"})
+    t.append(spark.createDataFrame([(99, 9)], "k int, v int").coalesce(1))
+    d = t.detail()
+    assert d["version"] == 1 and d["num_files"] == 3
+    assert d["num_rows"] == 11
+    assert d["schema_fields"] == ["k", "v"]
+    assert d["stat_cols"] == ["k"]
+    assert d["bloom"]["cols"] == ["k"]
+    assert d["constraints"] == {"k_nn": "k IS NOT NULL"}
+    assert d["checkpoints"] == []
+
+
 # Pooled heavy bodies (see conftest.pool_bodies): independent tmp-table
 # bodies drain concurrently under the session pool, one pytest row each.
 _POOLED = {n: fn for n, fn in [
@@ -133,6 +154,7 @@ _POOLED = {n: fn for n, fn in [
     ("test_convert_vacuum_reclaims_superseded_adopted_files", _heavy_test_convert_vacuum_reclaims_superseded_adopted_files),
     ("test_describe_history_records_operation_provenance", _heavy_test_describe_history_records_operation_provenance),
     ("test_convert_rejects_hive_layout_txlog_and_empty", _heavy_test_convert_rejects_hive_layout_txlog_and_empty),
+    ("test_detail_summarizes_table_surface", _heavy_test_detail_summarizes_table_surface),
 ]}
 
 
