@@ -35,12 +35,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
 # Round-12 rotation (VERDICT r11 directive #4), priority order:
-# (1) the 4 NEW entries (fact_params_history_maintained /
+# (1) the 5 NEW entries (fact_params_history_maintained /
 #     fact_sun_forecast_maintained — the CDC-maintained star's facts —
 #     and weather_city_daily_maintained — the J3 star-join consumed
 #     from the maintained tables — all checked against the SAME SQL as
 #     their batch forms; and emb_ann_ivf_indexed — IVF served from the
-#     persisted CDC-maintained index table);
+#     persisted CDC-maintained index table; second sitting added
+#     orders_converted_rollup — a rollup consumed from a TxTable.convert
+#     ADOPTED table, putting the table-format tier itself under the
+#     oracle gate — displacing docs_simhash, the newest r8 row in the
+#     block below, to the round-13 list);
 # (2) the 4 plans CHANGED by the knn_ivf -> knn_ivf_preassigned
 #     serving split (emb_ann_ivf, emb_ann_ivf_multiprobe,
 #     emb_ann_ivf_trained, emb_ann_recall — value-identical refactor,
@@ -55,7 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_spatial_grid, events_variant_project,
 #     fact_weather_params_history, nation_profit_by_year,
 #     shipmode_priority_matrix, top_revenue_suppliers,
-#     weather_dim_condition — lead the round-13 rotation).
+#     weather_dim_condition, and docs_simhash displaced by the
+#     second-sitting convert entry — lead the round-13 rotation).
 # The 5 rows-only-by-design queries (emb_knn_vectorized,
 # event_user_reach_approx, event_reach_sketch_weekly,
 # order_value_percentiles_approx, event_audience_overlap_approx) are
@@ -69,6 +74,7 @@ _VERIFY_FIRST = (
     "fact_sun_forecast_maintained",
     "weather_city_daily_maintained",
     "emb_ann_ivf_indexed",
+    "orders_converted_rollup",
     "emb_ann_ivf",
     "emb_ann_ivf_multiprobe",
     "emb_ann_ivf_trained",
@@ -114,7 +120,6 @@ _VERIFY_FIRST = (
     "docs_quality_percentile",
     "docs_sampled",
     "docs_shuffle_order",
-    "docs_simhash",
 )
 
 

@@ -3058,8 +3058,65 @@ JOIN supplier ON l_suppkey = s_suppkey
 """
 
 
+def q_orders_converted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-format tier under the oracle gate: a plain-parquet
+    copy of orders (4 range-partitioned files) is ADOPTED in place by
+    ``TxTable.convert`` — zero data rewrite, one stats job, min/max
+    stats + a per-file Bloom filter on o_orderkey — and this rollup
+    reads the adopted txlog SNAPSHOT, so adopt → commit-0 → tear-check
+    → snapshot-read is value-hash-checked against the SAME SQL the
+    oracle runs on the original orders view. Built once per (machine,
+    source, wire-format version) into a fingerprinted temp dir (the
+    weather-star cache discipline; concurrent builders race benignly
+    on an atomic dir rename). Scale shape: adoption costs one scan of
+    the directory regardless of size; the rollup is a partial-agg
+    groupBy on a 3-value status key — no skew, no wide shuffle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}".encode()
+    ).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        build = Path(tempfile.mkdtemp(prefix="convert_build_",
+                                      dir=tempfile.gettempdir()))
+        (load_table(spark, sf_dir, "orders")
+         .repartitionByRange(4, "o_orderkey")
+         .write.parquet(str(build / "orders")))
+        TxTable.convert(spark, str(build / "orders"),
+                        stat_cols=["o_orderkey"],
+                        bloom_cols=["o_orderkey"])
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
+    t = TxTable(spark, str(base))
+    return (t.read().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+ORACLE_ORDERS_CONVERTED = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "orders_converted_rollup": q_orders_converted_rollup,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
@@ -3140,6 +3197,7 @@ QUERIES = {
 
 ORACLE = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "orders_converted_rollup": ORACLE_ORDERS_CONVERTED,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
     "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,
