@@ -43,8 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     persisted CDC-maintained index table; second sitting added
 #     orders_converted_rollup — a rollup consumed from a TxTable.convert
 #     ADOPTED table, putting the table-format tier itself under the
-#     oracle gate — displacing docs_simhash, the newest r8 row in the
-#     block below, to the round-13 list);
+#     oracle gate, and orders_converted_pointget — TxTable.read_keys
+#     point lookups through the stat+bloom skipping machinery on the
+#     same adopted table — displacing docs_simhash and
+#     docs_shuffle_order, the two newest r8 rows in the block below,
+#     to the round-13 list);
 # (2) the 4 plans CHANGED by the knn_ivf -> knn_ivf_preassigned
 #     serving split (emb_ann_ivf, emb_ann_ivf_multiprobe,
 #     emb_ann_ivf_trained, emb_ann_recall — value-identical refactor,
@@ -59,8 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     events_spatial_grid, events_variant_project,
 #     fact_weather_params_history, nation_profit_by_year,
 #     shipmode_priority_matrix, top_revenue_suppliers,
-#     weather_dim_condition, and docs_simhash displaced by the
-#     second-sitting convert entry — lead the round-13 rotation).
+#     weather_dim_condition, plus docs_simhash and docs_shuffle_order
+#     displaced by the second-sitting convert entries — lead the
+#     round-13 rotation).
 # The 5 rows-only-by-design queries (emb_knn_vectorized,
 # event_user_reach_approx, event_reach_sketch_weekly,
 # order_value_percentiles_approx, event_audience_overlap_approx) are
@@ -75,6 +79,7 @@ _VERIFY_FIRST = (
     "weather_city_daily_maintained",
     "emb_ann_ivf_indexed",
     "orders_converted_rollup",
+    "orders_converted_pointget",
     "emb_ann_ivf",
     "emb_ann_ivf_multiprobe",
     "emb_ann_ivf_trained",
@@ -119,7 +124,6 @@ _VERIFY_FIRST = (
     "docs_quality_gopher",
     "docs_quality_percentile",
     "docs_sampled",
-    "docs_shuffle_order",
 )
 
 

@@ -3058,19 +3058,9 @@ JOIN supplier ON l_suppkey = s_suppkey
 """
 
 
-def q_orders_converted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The table-format tier under the oracle gate: a plain-parquet
-    copy of orders (4 range-partitioned files) is ADOPTED in place by
-    ``TxTable.convert`` — zero data rewrite, one stats job, min/max
-    stats + a per-file Bloom filter on o_orderkey — and this rollup
-    reads the adopted txlog SNAPSHOT, so adopt → commit-0 → tear-check
-    → snapshot-read is value-hash-checked against the SAME SQL the
-    oracle runs on the original orders view. Built once per (machine,
-    source, wire-format version) into a fingerprinted temp dir (the
-    weather-star cache discipline; concurrent builders race benignly
-    on an atomic dir rename). Scale shape: adoption costs one scan of
-    the directory regardless of size; the rollup is a partial-agg
-    groupBy on a 3-value status key — no skew, no wide shuffle."""
+def _converted_orders(spark: SparkSession, sf_dir: str):
+    """Build-or-reopen the ADOPTED orders table (see
+    :func:`q_orders_converted_rollup` for the full story)."""
     import hashlib
     import os
     import shutil
@@ -3099,11 +3089,53 @@ def q_orders_converted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass  # lost the race: reopen the winner's copy below
         shutil.rmtree(build, ignore_errors=True)
-    t = TxTable(spark, str(base))
+    return TxTable(spark, str(base))
+
+
+def q_orders_converted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-format tier under the oracle gate: a plain-parquet
+    copy of orders (4 range-partitioned files) is ADOPTED in place by
+    ``TxTable.convert`` — zero data rewrite, one stats job, min/max
+    stats + a per-file Bloom filter on o_orderkey — and this rollup
+    reads the adopted txlog SNAPSHOT, so adopt → commit-0 → tear-check
+    → snapshot-read is value-hash-checked against the SAME SQL the
+    oracle runs on the original orders view. Built once per (machine,
+    source, wire-format version) into a fingerprinted temp dir (the
+    weather-star cache discipline; concurrent builders race benignly
+    on an atomic dir rename). Scale shape: adoption costs one scan of
+    the directory regardless of size; the rollup is a partial-agg
+    groupBy on a 3-value status key — no skew, no wide shuffle."""
+    t = _converted_orders(spark, sf_dir)
     return (t.read().groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("o_orderkey").alias("sum_keys"),
                  F.max("o_totalprice").alias("max_price")))
+
+
+POINT_KEYS = [1, 2, 3, 4, 5, 6, 7, 4000, 999_999_999]
+
+
+def q_orders_converted_pointget(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Point lookups on the ADOPTED table through the read-side probe
+    (``TxTable.read_keys``): the fixed key list hits the stat-range
+    prune AND the per-file Bloom filters the adoption recorded, so the
+    gate value-checks the skipping machinery itself — a wrongly-pruned
+    file would drop rows the oracle's ``WHERE IN`` keeps. Keys absent
+    at a given scale factor drop out identically on both sides. Scale
+    shape: cost ∝ files whose stats/bloom admit the probe, never table
+    size."""
+    t = _converted_orders(spark, sf_dir)
+    probe = spark.createDataFrame([(k,) for k in POINT_KEYS],
+                                  "o_orderkey long")
+    return (t.read_keys(probe, ["o_orderkey"])
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+ORACLE_ORDERS_POINTGET = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey IN ({", ".join(str(k) for k in POINT_KEYS)})
+"""
 
 
 ORACLE_ORDERS_CONVERTED = """
@@ -3117,6 +3149,7 @@ FROM orders GROUP BY o_orderstatus
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "orders_converted_rollup": q_orders_converted_rollup,
+    "orders_converted_pointget": q_orders_converted_pointget,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
@@ -3198,6 +3231,7 @@ QUERIES = {
 ORACLE = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "orders_converted_rollup": ORACLE_ORDERS_CONVERTED,
+    "orders_converted_pointget": ORACLE_ORDERS_POINTGET,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
     "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,
