@@ -141,15 +141,21 @@ class NominatimGeocoder:
     DISTINCT name (never per data row)."""
 
     def __init__(self, base_url: str,
-                 user_agent: str = "meteomatics-e2e-data-pipeline"):
+                 user_agent: str = "meteomatics-e2e-data-pipeline",
+                 timeout_s: float = 5.0):
+        # timeout matches the reference geocoder (helper_geocoders.py
+        # timeout=5): a hung server must surface as requests.Timeout so
+        # with_retries gets to retry instead of blocking ingest forever.
         self.base_url, self.user_agent = base_url.rstrip("/"), user_agent
+        self.timeout_s = timeout_s
 
     def __call__(self, name: str) -> tuple[float, float]:
         import requests  # lazy: not needed for fixture runs
 
         resp = requests.get(f"{self.base_url}/search",
                             params={"q": name, "format": "json"},
-                            headers={"User-Agent": self.user_agent})
+                            headers={"User-Agent": self.user_agent},
+                            timeout=self.timeout_s)
         if resp.status_code != 200:  # retried by with_retries, then fatal
             raise ConnectionError(
                 f"geocode error: {resp.status_code} - {resp.text}")

@@ -22,6 +22,7 @@ from __future__ import annotations
 import base64
 import json
 import threading
+import time
 from collections import Counter
 from datetime import datetime, timedelta
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -52,6 +53,7 @@ class _MeteomaticsHandler(BaseHTTPRequestHandler):
 
     fail_cities: set = set()
     flaky_names: set = set()
+    slow_names: set = set()  # geocode names answered only after a long nap
     seen: Counter = Counter()
     _lock = threading.Lock()
 
@@ -79,6 +81,8 @@ class _MeteomaticsHandler(BaseHTTPRequestHandler):
             first = self.seen[f"geocode:{name}"] == 1
         if name in self.flaky_names and first:
             return self._send_json(503, {"error": "transient"})
+        if name in self.slow_names:
+            time.sleep(1.0)  # a hung upstream: client timeout must fire
         coords = FIXTURE_GEOCODES.get(name)
         if coords is None:
             return self._send_json(200, [])  # Nominatim: empty hit list
@@ -129,6 +133,7 @@ def api_server():
 def _reset_server_state():
     _MeteomaticsHandler.fail_cities = set()
     _MeteomaticsHandler.flaky_names = set()
+    _MeteomaticsHandler.slow_names = set()
     _MeteomaticsHandler.seen = Counter()
     yield
 
@@ -231,6 +236,25 @@ def test_nominatim_geocoder_retries_over_socket(spark, api_server):
     assert naps == [0.01]  # exactly one retry, for the flaky name
     assert _MeteomaticsHandler.seen["geocode:Berlin, Germany"] == 2
     assert _MeteomaticsHandler.seen["geocode:Tallinn, Estonia"] == 1
+
+
+def test_nominatim_geocoder_timeout_bounds_a_hung_server(api_server):
+    """A server that accepts the connection and never answers must not
+    wedge the ingest thread: each attempt is capped (the reference
+    geocoder passes timeout=5, helper_geocoders.py) so requests.Timeout
+    feeds with_retries' attempt chain — the failure is loud and bounded
+    instead of an indefinite block with retries never reached."""
+    import requests
+
+    _MeteomaticsHandler.slow_names = {"Berlin, Germany"}
+    assert NominatimGeocoder(api_server).timeout_s == 5.0  # reference value
+    fn = with_retries(NominatimGeocoder(api_server, timeout_s=0.15),
+                      retries=2, backoff_s=0.0, sleep=lambda s: None)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="2 attempts") as exc:
+        fn("Berlin, Germany")
+    assert isinstance(exc.value.__cause__, requests.Timeout)
+    assert time.monotonic() - t0 < 5  # 2 x 0.15s caps, not 2 x 1s naps
 
 
 def test_nominatim_geocoder_empty_hits_fail_loudly(api_server):

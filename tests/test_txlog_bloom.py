@@ -112,6 +112,13 @@ def _heavy_test_bloom_rejects_unhashable_and_unknown_columns(spark, tmp_path):
     with pytest.raises(ValueError, match="not in schema"):
         TxTable.create(spark, df, str(tmp_path / "f2"),
                        bloom_cols=["nope"])
+    # k > 4 would slice past the 32-hex md5 digest BOTH hash sides cut
+    # 8-hex words from (write: SUBSTRING over md5(); probe:
+    # _bloom_positions) — rejected at declaration, not a crash at
+    # create/read_keys time
+    with pytest.raises(ValueError, match="bloom_hashes <= 4"):
+        TxTable.create(spark, df, str(tmp_path / "f3"), bloom_cols=["k"],
+                       bloom_hashes=5)
 
 
 @settings(max_examples=15, deadline=None,

@@ -90,6 +90,38 @@ def test_add_constraint_conflicts_with_concurrent_data(spark, tmp_path):
     assert t.version == rv + 1  # only the racer's append landed
 
 
+def test_staged_write_conflicts_with_concurrent_constraint(spark, tmp_path):
+    """The MIRROR of the race above (Delta's MetadataChanged rule): rows
+    staged against a pre-constraint snapshot must not publish after a
+    concurrent add_constraint lands — they were never validated under
+    the new rule. The commit layer conflicts on ANY intervening meta
+    action for data-staging commits; the re-run then validates (and
+    here refuses) under the fresh constraint set."""
+    t = _t(spark, tmp_path)
+    other = TxTable(spark, t.path)
+    real_stage = TxTable._stage
+
+    def racing_stage(self_, *a, **kw):
+        out = real_stage(self_, *a, **kw)
+        if self_ is t and not getattr(t, "_raced_meta", False):
+            t._raced_meta = True
+            other.add_constraint("v_cap", "v < 25")
+        return out
+
+    try:
+        TxTable._stage = racing_stage
+        with pytest.raises(TxConflict, match="metadata"):
+            t.append(spark.createDataFrame([(3, 30)], "k int, v int"))
+    finally:
+        TxTable._stage = real_stage
+    # the unvalidated row never landed; the re-run enforces the new rule
+    with pytest.raises(ValueError, match="v_cap"):
+        t.append(spark.createDataFrame([(3, 30)], "k int, v int"))
+    t.append(spark.createDataFrame([(3, 3)], "k int, v int"))
+    assert {(r["k"], r["v"]) for r in t.read().collect()} \
+        == {(1, 10), (2, 20), (3, 3)}
+
+
 def _heavy_test_datasource_writer_refuses_constrained_table(spark, tmp_path):
     """The DataSource writer stages per-task without table meta, so it
     cannot enforce CHECK constraints — it must refuse at PLAN time
