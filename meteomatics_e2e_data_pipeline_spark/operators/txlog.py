@@ -63,9 +63,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from .txproto import (TxCorruption, commit_payload,
-                      info_action as _info_action, parse_commit_lines,
-                      repair_payload)
+from .txproto import (BASE_PROTOCOL, PARTITION_PROTOCOL, SUPPORTED_READER,
+                      SUPPORTED_WRITER, TxCorruption, TxProtocolError,
+                      check_protocol, commit_payload,
+                      info_action as _info_action,
+                      parse_partition_values as _parse_partition_values,
+                      parse_commit_lines, protocol_action, repair_payload,
+                      unquote_path as _unq)
 
 _LOG_DIR = "_txlog"
 _CKPT_SUFFIX = ".checkpoint.json"
@@ -88,15 +92,45 @@ def _bloom_spec(schema: StructType, cols: Sequence[str], m: int,
             raise ValueError(
                 f"bloom column {c!r} has type {by_name[c]}; only "
                 f"integral/string columns hash portably")
-    if m < 8 or k < 1 or k > 8:
-        raise ValueError(f"bloom_bits >= 8 and 1 <= bloom_hashes <= 8 "
-                         f"required, got m={m} k={k}")
+    # k is capped at 4 because both hash sides slice 8 hex chars per
+    # hash from ONE 32-char md5 hexdigest (write: SUBSTRING over md5();
+    # probe: _bloom_positions) — a fifth slice would run past the digest
+    # end (null positions on the Spark side, int('') on the probe side).
+    if m < 8 or k < 1 or k > 4:
+        raise ValueError(f"bloom_bits >= 8 and 1 <= bloom_hashes <= 4 "
+                         f"required (4 x 8 hex chars exhaust the md5 "
+                         f"digest both hash sides slice), got m={m} k={k}")
     return {"cols": list(cols), "m": int(m), "k": int(k)}
 
 
 
 class TxConflict(Exception):
     """A concurrent commit invalidated this transaction's read set."""
+
+
+def _merge_dv(cur: dict | None, new: dict) -> dict:
+    """Union two deletion-vector key sets for one file (same keyCols —
+    enforced at commit; a second delete of an already-tombstoned key is
+    deduplicated so CDC never double-emits it)."""
+    if cur is None:
+        return {"keyCols": list(new["keyCols"]),
+                "keys": [list(k) for k in new["keys"]]}
+    if list(cur["keyCols"]) != list(new["keyCols"]):
+        raise ValueError(
+            f"deletion vectors on one file must share key columns "
+            f"({cur['keyCols']} vs {new['keyCols']})")
+    seen = {tuple(k) for k in cur["keys"]}
+    merged = [list(k) for k in cur["keys"]]
+    merged += [list(k) for k in new["keys"] if tuple(k) not in seen]
+    return {"keyCols": list(cur["keyCols"]), "keys": merged}
+
+
+def _dv_minus(cur: dict | None, sub: dict | None) -> list[list]:
+    """Key tuples in ``cur`` not in ``sub`` (both optional DV dicts)."""
+    if cur is None:
+        return []
+    drop = {tuple(k) for k in (sub or {"keys": []})["keys"]}
+    return [list(k) for k in cur["keys"] if tuple(k) not in drop]
 
 
 def _jpath(spark: SparkSession, p: str):
@@ -120,6 +154,8 @@ def _json_scalar(v):
     if isinstance(v, Decimal):
         return str(v)
     return None
+
+
 
 
 class TxTable:
@@ -245,6 +281,7 @@ class TxTable:
         meta: dict = {}
         live: dict[str, dict] = {}
         txns: dict[str, int] = {}
+        proto: dict | None = None
         actions = [json.loads(line) for line in
                    data.decode("utf-8").splitlines() if line.strip()]
         # Trailer validation: a non-local (claim-then-write) publish that
@@ -265,7 +302,9 @@ class TxTable:
                 live[action["add"]["path"]] = action["add"]
             elif "txn" in action:
                 txns[action["txn"]["appId"]] = action["txn"]["version"]
-        return meta, live, txns
+            elif "protocol" in action:
+                proto = action["protocol"]
+        return meta, live, txns, proto
 
     def _fold_txns(self, version: int | None = None) -> dict[str, int]:
         """Latest committed txn version per appId at ``version`` — the
@@ -280,7 +319,7 @@ class TxTable:
         for c in reversed([c for c in self._checkpoint_versions()
                            if c <= v]):
             try:
-                _, _, txns = self._read_checkpoint(c)
+                _, _, txns, _ = self._read_checkpoint(c)
             except Exception:
                 continue  # torn/unreadable checkpoint: skip to older
             txns = dict(txns)
@@ -310,7 +349,15 @@ class TxTable:
         checkpointed version. Commit files are NOT deleted — time travel
         and change feeds keep reading them."""
         v, meta, live = self._snapshot(version)
-        lines = [json.dumps({"meta": meta}, sort_keys=True)]
+        proto = getattr(self, "_proto", None)  # folded by _snapshot(v)
+        # protocol FIRST (the Delta checkpoint convention): it must
+        # survive checkpoint-accelerated folds — a fold starting past
+        # commit 0 would otherwise silently bypass the version gate —
+        # and scanners that stop at the first meta line must have seen
+        # it already.
+        lines = ([json.dumps({"protocol": proto}, sort_keys=True)]
+                 if proto else [])
+        lines.append(json.dumps({"meta": meta}, sort_keys=True))
         txns = self._fold_txns(v)
         lines += [json.dumps({"txn": {"appId": a, "version": txns[a]}},
                              sort_keys=True) for a in sorted(txns)]
@@ -373,11 +420,12 @@ class TxTable:
             raise ValueError(f"version {v} out of range 0..{latest}")
         meta: dict = {}
         live: dict[str, dict] = {}
+        proto: dict | None = None
         start = 0
         for c in reversed([c for c in self._checkpoint_versions()
                            if c <= v]):
             try:
-                meta, live, _ = self._read_checkpoint(c)
+                meta, live, _, proto = self._read_checkpoint(c)
             except Exception:
                 continue  # torn/unreadable checkpoint: older one or full fold
             live = dict(live)
@@ -391,6 +439,25 @@ class TxTable:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                elif "dv" in action:
+                    # deletion vector: accumulate tombstoned keys INTO
+                    # the folded add entry (never mutating shared dicts
+                    # — checkpoints alias them across snapshots). A
+                    # remove clears them; a re-add starts clean.
+                    d = action["dv"]
+                    cur = live.get(d["path"])
+                    if cur is not None:
+                        live[d["path"]] = {
+                            **cur, "dv": _merge_dv(cur.get("dv"), d)}
+                elif "protocol" in action:
+                    proto = action["protocol"]
+        # The protocol gate: checked on EVERY fold (reads and the read
+        # half of writes), at the FOLDED version — time travel to a
+        # pre-upgrade snapshot stays readable by an older client, which
+        # is the public Delta rule. Writers additionally check
+        # minWriter in _commit.
+        check_protocol(proto, f"{self.path}@v{v}", reader=SUPPORTED_READER)
+        self._proto = proto
         return v, meta, live
 
     def _try_publish(self, version: int, actions: list[dict]) -> bool:
@@ -465,7 +532,16 @@ class TxTable:
         silent — the caller re-runs on the fresh snapshot."""
         if info is not None:
             actions = actions + [_info_action(**info)]
+        # minWriter gate: self._proto was folded by the _snapshot this
+        # commit was planned on (every mutator snapshots first); a
+        # concurrent protocol upgrade is caught via the intervening
+        # actions below.
+        check_protocol(getattr(self, "_proto", None), self.path,
+                       writer=SUPPORTED_WRITER)
         removes = {a["remove"]["path"] for a in actions if "remove" in a}
+        dv_targets = {a["dv"]["path"] for a in actions if "dv" in a}
+        stages_rows = any("add" in a and a["add"].get("dataChange", True)
+                          for a in actions)
         checked_through = read_version
         while True:
             latest = self._latest_version()
@@ -476,14 +552,45 @@ class TxTable:
                                for a in self._read_commit(i)]
                 removed_by_others = {a["remove"]["path"] for a in intervening
                                      if "remove" in a}
-                clash = removes & removed_by_others
+                dv_by_others = {a["dv"]["path"] for a in intervening
+                                if "dv" in a}
+                # file-level write-write conflicts, extended to deletion
+                # vectors: tombstoning a file a concurrent commit already
+                # rewrote targets dead data; rewriting a file a concurrent
+                # commit tombstoned would resurrect its deleted rows (the
+                # rewrite was planned against the old DV state).
+                clash = ((removes & removed_by_others)
+                         | (dv_targets & removed_by_others)
+                         | (removes & dv_by_others))
                 if clash:
                     raise TxConflict(
-                        f"files {sorted(clash)} were already removed by a "
-                        f"concurrent commit; re-run the operation on the "
-                        f"new snapshot of {self.path}")
+                        f"files {sorted(clash)} were concurrently "
+                        f"removed/tombstoned; re-run the operation on "
+                        f"the new snapshot of {self.path}")
+                for a in intervening:
+                    if "protocol" in a:
+                        # a concurrent writer upgraded the table (e.g.
+                        # enabled a newer feature): publishing on top is
+                        # only sound if this client writes at that level
+                        check_protocol(a["protocol"], self.path,
+                                       writer=SUPPORTED_WRITER)
+                # op-specific validators first: their conflict messages
+                # are more precise than the generic meta rule below
                 if validate is not None:
                     validate(intervening)
+                # Delta's MetadataChanged rule: a commit that stages NEW
+                # ROWS was validated (CHECK constraints, schema) against
+                # its read snapshot's meta — an intervening meta action
+                # (add_constraint, schema change) means those rows were
+                # never validated under the fresh rules, so publishing
+                # on top would silently break the new invariant.
+                # Layout-only commits (optimize) carry the same rows the
+                # intervening constraint already validated and commute.
+                if stages_rows and any("meta" in a for a in intervening):
+                    raise TxConflict(
+                        f"table metadata of {self.path} changed under this "
+                        f"write (constraint or schema commit); re-run so "
+                        f"the staged rows validate against the new rules")
                 checked_through = latest
             if self._try_publish(latest + 1, actions):
                 published = latest + 1
@@ -502,7 +609,8 @@ class TxTable:
     def _stage(self, df: DataFrame, stat_cols: Sequence[str],
                data_change: bool = True,
                bloom: dict | None = None,
-               constraints: dict | None = None) -> list[dict]:
+               constraints: dict | None = None,
+               partition_cols: Sequence[str] = ()) -> list[dict]:
         """Write ``df`` as immutable parquet files in the table root and
         return their ``add`` actions (with per-file min/max stats).
 
@@ -510,20 +618,56 @@ class TxTable:
         change-feed readers skip them. Absent means true, so logs written
         before this flag existed keep their meaning.
 
+        ``partition_cols``: hive-partitioned staging — files land under
+        their ``key=value/`` subpaths (the partition columns are NOT in
+        the file data, Spark's own ``partitionBy`` layout), the add
+        actions carry ``path`` = relative path and typed
+        ``partitionValues`` (the public Delta add-action shape), and
+        :meth:`_overlaps` treats those values as exact stats.
+
         The staged write and the stats pass are Spark jobs; only one stat
         row *per file* reaches the driver."""
         tag = uuid.uuid4().hex[:12]
         staged = f"{self.path}/_staged_{tag}"
-        df.write.parquet(staged)
+        pcols = list(partition_cols or ())
+        if pcols:
+            df.write.partitionBy(*pcols).parquet(staged)
+        else:
+            df.write.parquet(staged)
         fs = _fs(self.spark, staged)
-        parts = [st.getPath().getName()
-                 for st in fs.listStatus(_jpath(self.spark, staged))
-                 if st.getPath().getName().endswith(".parquet")]
+        if pcols:
+            parts = []  # relative paths incl. key=value/ prefixes
+
+            def walk(prefix: str) -> None:
+                for st in fs.listStatus(_jpath(
+                        self.spark, f"{staged}/{prefix}".rstrip("/"))):
+                    name = st.getPath().getName()
+                    if st.isDirectory():
+                        walk(f"{prefix}{name}/")
+                    elif name.endswith(".parquet"):
+                        parts.append(f"{prefix}{name}")
+            walk("")
+        else:
+            parts = [st.getPath().getName()
+                     for st in fs.listStatus(_jpath(self.spark, staged))
+                     if st.getPath().getName().endswith(".parquet")]
         if not parts:
             fs.delete(_jpath(self.spark, staged), True)
             return []
-        sdf = self.spark.read.parquet(staged).withColumn(
-            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        reader = self.spark.read
+        if pcols:
+            # partition columns come back from the staged paths, typed
+            # by the batch's own schema. _file is the RELATIVE staged
+            # path: partitionBy reuses part numbers across partition
+            # directories, so basenames alone would collide and merge
+            # two files' stats.
+            reader = reader.schema(df.schema).option("basePath", staged)
+            file_expr = F.substring_index(
+                F.input_file_name(), f"_staged_{tag}/", -1)
+        else:
+            file_expr = F.element_at(
+                F.split(F.input_file_name(), "/"), -1)
+        sdf = reader.parquet(staged).withColumn("_file", file_expr)
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in stat_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}"),
@@ -537,7 +681,7 @@ class TxTable:
             aggs.append(F.count(F.when(
                 ~F.coalesce(F.expr(constraints[cn]), F.lit(True)), 1))
                 .alias(f"_viol_{i}"))
-        stat_rows = {r["_file"]: r for r in
+        stat_rows = {_unq(r["_file"]): r for r in
                      sdf.groupBy("_file").agg(*aggs).collect()}
         if cnames:
             viol = {cn: sum(int(r[f"_viol_{i}"])
@@ -553,12 +697,23 @@ class TxTable:
         blooms = ({c: self._bloom_bitsets(sdf, c, bloom)
                    for c in bloom["cols"]}
                   if bloom and bloom.get("cols") else {})
+        ptypes = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        made_dirs: set[str] = set()
         adds = []
-        for name in parts:
+        for i, name in enumerate(sorted(parts)):
             r = stat_rows.get(name)
             if r is None:
                 continue  # zero-row part file: nothing to commit
-            final = f"part-{tag}-{name}"
+            base = name.rsplit("/", 1)[-1]
+            subdir = name[:-len(base)].rstrip("/")
+            # the index makes the final BASENAME globally unique even
+            # though partitionBy reuses part numbers across partition
+            # directories (planners identify probe hits by basename)
+            final = (f"{subdir}/part-{tag}-{i:05d}.parquet" if subdir
+                     else f"part-{tag}-{base}")
+            if subdir and subdir not in made_dirs:
+                fs.mkdirs(_jpath(self.spark, f"{self.path}/{subdir}"))
+                made_dirs.add(subdir)
             ok = fs.rename(_jpath(self.spark, f"{staged}/{name}"),
                            _jpath(self.spark, f"{self.path}/{final}"))
             if not ok:
@@ -569,6 +724,9 @@ class TxTable:
             add = {"path": final, "numRecords": int(r["_n"]), "stats": stats,
                    "nullCounts": {c: int(r[f"_nulls_{c}"])
                                   for c in stat_cols}}
+            if pcols:
+                add["partitionValues"] = _parse_partition_values(
+                    final, pcols, ptypes)
             if bloom and bloom.get("cols"):
                 add["bloom"] = {c: blooms[c].get(name, "")
                                 for c in bloom["cols"]}
@@ -584,7 +742,8 @@ class TxTable:
                stat_cols: Sequence[str] = (),
                bloom_cols: Sequence[str] = (), bloom_bits: int = 4096,
                bloom_hashes: int = 3,
-               constraints: dict[str, str] | None = None) -> "TxTable":
+               constraints: dict[str, str] | None = None,
+               partition_cols: Sequence[str] = ()) -> "TxTable":
         """Create a new table at ``path`` from ``df`` (commit 0).
 
         ``bloom_cols`` opts columns into per-file Bloom membership
@@ -592,8 +751,26 @@ class TxTable:
         is ~10 bits per expected distinct key per file (FPR ≈ 1%); an
         undersized filter saturates and merely stops pruning. Integral
         and string columns only — the write/probe hash must agree on
-        the value's string form."""
+        the value's string form.
+
+        ``partition_cols`` declares a hive-partitioned layout (the
+        reference's own raw-lake shape — ``country/city/`` prefixes,
+        ``meteomatics_get_data.py:116-133``): data files live under
+        ``key=value/`` subpaths without the partition columns in the
+        file data, add actions carry typed ``partitionValues`` (the
+        public Delta shape), every keyed planner partition-prunes
+        BEFORE stat-pruning, and the table's protocol declares
+        minReader 2."""
         path = path.rstrip("/")
+        pcols = list(partition_cols or ())
+        names = [f.name for f in df.schema.fields]
+        bad = sorted(set(pcols) - set(names))
+        if bad:
+            raise ValueError(f"partition columns {bad} not in schema "
+                             f"{names}")
+        if pcols and len(pcols) == len(names):
+            raise ValueError("cannot partition by every column: files "
+                             "would hold no data columns")
         bloom = _bloom_spec(df.schema, bloom_cols, bloom_bits,
                             bloom_hashes)
         fs = _fs(spark, path)
@@ -613,13 +790,20 @@ class TxTable:
                                for f in df.schema.fields])
         meta = {"schema": json.loads(nullable.json()),
                 "stat_cols": list(stat_cols)}
+        if pcols:
+            meta["partition_cols"] = pcols
         if bloom:
             meta["bloom"] = bloom
         if constraints:
             meta["constraints"] = dict(constraints)
-        actions = [{"meta": meta}]
+        # protocol first (the Delta commit-0 convention): a too-old
+        # client refuses at the declared gate before interpreting
+        # anything else
+        actions = [protocol_action(
+            PARTITION_PROTOCOL if pcols else BASE_PROTOCOL),
+            {"meta": meta}]
         actions += t._stage(df, stat_cols, bloom=bloom,
-                            constraints=constraints)
+                            constraints=constraints, partition_cols=pcols)
         actions.append(_info_action("create"))
         if not t._try_publish(0, actions):
             raise TxConflict(f"concurrent create of {path}")
@@ -641,69 +825,101 @@ class TxTable:
         OPTIMIZE, fsck) applies to data written by plain
         ``df.write.parquet``.
 
-        Hive-partitioned layouts (``key=value`` subdirectories) are
-        rejected: partition values live in directory names, not file
-        contents, and adopting them would need partition-aware add
-        actions this format does not carry — rewrite through
-        :meth:`create` instead."""
+        Hive-partitioned layouts (``key=value`` subdirectories — the
+        reference's own raw-lake shape, and exactly what the S5
+        partitioned writer produces) are adopted IN PLACE too: partition
+        columns and their types come from Spark's standard partition
+        discovery over the directory names, every add action carries
+        the file's typed ``partitionValues`` (derived from its path in
+        the same one stats scan), and the table's protocol declares
+        minReader 2. All files must share one consistent partition
+        depth (mixed flat/partitioned directories are ambiguous and
+        refused, matching Spark's own scan behavior)."""
         path = path.rstrip("/")
         fs = _fs(spark, path)
         if fs.exists(_jpath(spark, f"{path}/{_LOG_DIR}")):
             raise ValueError(f"{path} is already a txlog table")
-        parts = []
-        for st in fs.listStatus(_jpath(spark, path)):
-            name = st.getPath().getName()
-            if st.isDirectory():
-                if "=" in name:
-                    raise ValueError(
-                        f"{path} is hive-partitioned ({name}): convert "
-                        "supports flat layouts only; rewrite via "
-                        "TxTable.create")
-                continue
-            if name.endswith(".parquet"):
-                parts.append(name)
+        parts: list[str] = []  # relative paths incl. key=value/ prefixes
+
+        def walk(prefix: str) -> None:
+            for st in fs.listStatus(
+                    _jpath(spark, f"{path}/{prefix}".rstrip("/"))):
+                name = st.getPath().getName()
+                if st.isDirectory():
+                    if name.startswith("_") or name.startswith("."):
+                        continue  # _staged_* leftovers, metadata dirs
+                    walk(f"{prefix}{name}/")
+                elif name.endswith(".parquet"):
+                    parts.append(f"{prefix}{name}")
+        walk("")
         if not parts:
             raise ValueError(f"no parquet files to convert in {path}")
+        # one consistent partition-column sequence across every file
+        # (Spark's own partition discovery requires the same)
+        depths = {tuple(seg.partition("=")[0]
+                        for seg in p.split("/")[:-1]) for p in parts}
+        if len(depths) != 1:
+            raise ValueError(
+                f"{path} mixes partition layouts {sorted(depths)}; "
+                f"convert requires one consistent key=value depth")
+        pcols = list(next(iter(depths)))
+        if any(not c for c in pcols):
+            raise ValueError(
+                f"{path} has non-hive subdirectories "
+                f"({sorted(depths)}); convert adopts flat or key=value "
+                f"layouts only")
+        # Spark's partition discovery supplies partition column TYPES
+        # (year=2021 → int) exactly as a plain read of this lake would.
         df = spark.read.parquet(path)
         bloom = _bloom_spec(df.schema, bloom_cols, bloom_bits,
                             bloom_hashes)
         nullable = StructType([StructField(f.name, f.dataType, True)
                                for f in df.schema.fields])
-        sdf = df.withColumn("_file", F.element_at(
-            F.split(F.input_file_name(), "/"), -1))
+        ptypes = {f.name: f.dataType.typeName() for f in df.schema.fields}
+        # _file = RELATIVE path (adopted Spark layouts reuse part
+        # numbers across partition directories, so basenames collide)
+        sdf = df.withColumn("_file", TxTable._file_expr(len(pcols)))
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in stat_cols:
             aggs += [F.min(c).alias(f"_min_{c}"),
                      F.max(c).alias(f"_max_{c}"),
                      F.count(F.when(F.col(c).isNull(), 1))
                      .alias(f"_nulls_{c}")]
-        stat_rows = {r["_file"]: r for r in
+        stat_rows = {_unq(r["_file"]): r for r in
                      sdf.groupBy("_file").agg(*aggs).collect()}
         blooms = ({c: TxTable._bloom_bitsets(sdf, c, bloom)
                    for c in bloom["cols"]} if bloom else {})
         meta = {"schema": json.loads(nullable.json()),
                 "stat_cols": list(stat_cols)}
+        if pcols:
+            meta["partition_cols"] = pcols
         if bloom:
             meta["bloom"] = bloom
-        actions = [{"meta": meta}]
-        for name in sorted(parts):
-            r = stat_rows.get(name)
+        actions = [protocol_action(
+            PARTITION_PROTOCOL if pcols else BASE_PROTOCOL),
+            {"meta": meta}]
+        for rel in sorted(parts):
+            r = stat_rows.get(rel)
             if r is None:
                 continue  # zero-row file: nothing worth referencing
             add = {
-                "path": name, "numRecords": int(r["_n"]),
+                "path": rel, "numRecords": int(r["_n"]),
                 "stats": {c: [_json_scalar(r[f"_min_{c}"]),
                               _json_scalar(r[f"_max_{c}"])]
                           for c in stat_cols},
                 "nullCounts": {c: int(r[f"_nulls_{c}"])
                                for c in stat_cols}}
+            if pcols:
+                add["partitionValues"] = _parse_partition_values(
+                    rel, pcols, ptypes)
             if bloom:
-                add["bloom"] = {c: blooms[c].get(name, "")
+                add["bloom"] = {c: blooms[c].get(rel, "")
                                 for c in bloom["cols"]}
             actions.append({"add": add})
         t = object.__new__(TxTable)
         t.spark, t.path, t.log_dir = spark, path, f"{path}/{_LOG_DIR}"
-        actions.append(_info_action("convert", files=len(actions) - 1))
+        actions.append(_info_action(
+            "convert", files=sum(1 for a in actions if "add" in a)))
         fs.mkdirs(_jpath(spark, t.log_dir))
         if not t._try_publish(0, actions):
             raise TxConflict(f"concurrent create/convert of {path}")
@@ -758,10 +974,18 @@ class TxTable:
         return {
             "path": self.path,
             "version": v,
+            "protocol": dict(getattr(self, "_proto", None)
+                             or BASE_PROTOCOL),
             "num_files": len(live),
+            # physical rows (the log's numRecords); tombstoned rows are
+            # still on disk until OPTIMIZE materializes them away
             "num_rows": sum(a.get("numRecords", 0) for a in live.values()),
+            "dv_files": sum(1 for a in live.values() if a.get("dv")),
+            "dv_tombstones": sum(len(a["dv"]["keys"])
+                                 for a in live.values() if a.get("dv")),
             "schema_fields": [f["name"]
                               for f in meta["schema"].get("fields", [])],
+            "partition_cols": meta.get("partition_cols", []),
             "stat_cols": meta.get("stat_cols", []),
             "bloom": meta.get("bloom"),
             "constraints": dict(meta.get("constraints") or {}),
@@ -836,18 +1060,138 @@ class TxTable:
                 f"{timestamp} (earliest commit is later)")
         return best
 
+    @staticmethod
+    def _file_expr(n_partition_cols: int):
+        """Column expression for a scanned row's RELATIVE file path: the
+        last ``n_partition_cols + 1`` components of ``input_file_name()``
+        (every live file of a table sits at that uniform depth — flat
+        tables at 1, hive layouts at ``len(partition_cols) + 1``).
+        Values are URI-escaped exactly as ``input_file_name`` renders
+        them; driver-side consumers decode with :func:`_unq` before
+        matching log paths."""
+        depth = n_partition_cols + 1
+        parts = F.split(F.input_file_name(), "/")
+        return F.concat_ws("/", F.slice(parts, -depth, depth))
+
+    def _scan_files(self, meta: dict, paths: Sequence[str],
+                    with_file: bool = False,
+                    dvs: dict | None = None) -> DataFrame:
+        """ONE scan of the given data files under the declared schema —
+        the read primitive every snapshot read and DML planner uses.
+
+        Partitioned tables (``meta['partition_cols']``): data files live
+        under ``key=value/`` subpaths and do NOT contain the partition
+        columns; the scan passes ``basePath`` so Spark materializes them
+        from the paths (typed by the declared schema), then restores the
+        declared column order (Spark appends partition columns last).
+
+        ``with_file=True`` adds a ``_file`` column holding the file's
+        RELATIVE path (URI-escaped; see :meth:`_file_expr`) — planners
+        collect it, decode with :func:`_unq`, and feed the result
+        straight back as remove/rewrite paths.
+
+        ``dvs`` (``{path: dv-dict}`` from :meth:`_live_dvs`) applies
+        deletion vectors merge-on-read: each tombstoned file scans
+        individually (same total IO — each scan reads exactly one file)
+        and anti-joins its broadcast key set, so every read and DML
+        planner sees only VISIBLE rows. Plan size grows with the count
+        of live tombstoned files, which :meth:`optimize` keeps bounded
+        by materializing DVs away."""
+        schema = StructType.fromJson(meta["schema"])
+        cols = [f.name for f in schema.fields]
+        pcols = meta.get("partition_cols") or []
+        reader = self.spark.read.schema(schema)
+        if pcols:
+            reader = reader.option("basePath", self.path)
+
+        def scan(ps: Sequence[str]) -> DataFrame:
+            df = reader.parquet(*[f"{self.path}/{p}" for p in sorted(ps)])
+            if with_file:
+                return df.withColumn("_file", self._file_expr(len(pcols)))
+            return df
+        if with_file:
+            cols = cols + ["_file"]
+        dvs = {p: d for p, d in (dvs or {}).items() if p in set(paths)}
+        if not dvs:
+            return scan(paths).select(*cols)
+        clean = [p for p in paths if p not in dvs]
+        frames = [scan(clean)] if clean else []
+        for p in sorted(dvs):
+            frames.append(scan([p]).join(
+                F.broadcast(self._dv_probe(schema, dvs[p])),
+                on=list(dvs[p]["keyCols"]), how="left_anti"))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.select(*cols)
+
+    def _dv_probe(self, schema: StructType, dv: dict) -> DataFrame:
+        """The (small, driver-held) key frame of one file's deletion
+        vector, typed from the table schema."""
+        fields = {f.name: f for f in schema.fields}
+        probe_schema = StructType([fields[c] for c in dv["keyCols"]])
+        return self.spark.createDataFrame(
+            [tuple(k) for k in dv["keys"]], probe_schema)
+
+    @staticmethod
+    def _live_dvs(live: dict[str, dict]) -> dict[str, dict]:
+        """{path: dv} for the snapshot's tombstoned files (empty when
+        the deletion-vector feature is unused — zero overhead)."""
+        return {p: a["dv"] for p, a in live.items() if a.get("dv")}
+
+    def _list_data_files(self) -> list[tuple[str, int]]:
+        """All ``.parquet`` files under the table root (recursive, so
+        hive-partitioned layouts are covered), as
+        ``(relative_path, mtime_ms)`` — skipping the log dir and
+        in-flight staging dirs. Listing-cost only."""
+        fs = _fs(self.spark, self.path)
+        out: list[tuple[str, int]] = []
+
+        def walk(prefix: str) -> None:
+            base = f"{self.path}/{prefix}".rstrip("/")
+            for st in fs.listStatus(_jpath(self.spark, base)):
+                name = st.getPath().getName()
+                rel = f"{prefix}{name}"
+                if st.isDirectory():
+                    if name == _LOG_DIR or name.startswith("_staged_"):
+                        continue
+                    walk(rel + "/")
+                elif name.endswith(".parquet"):
+                    out.append((rel, st.getModificationTime()))
+        walk("")
+        return out
+
     def read(self, version: int | None = None,
-             timestamp: float | None = None) -> DataFrame:
+             timestamp: float | None = None,
+             partition_values: dict | None = None) -> DataFrame:
         """Snapshot read (time travel when ``version`` or a unix
-        ``timestamp`` is given; version wins if both)."""
+        ``timestamp`` is given; version wins if both).
+
+        ``partition_values={col: value}`` prunes the live set LOG-SIDE
+        before any task is planned: only files whose recorded
+        ``partitionValues`` match every given column are scanned —
+        ``df.inputFiles()`` shows exactly those. (Catalyst additionally
+        partition-prunes ``filter`` predicates on partition columns at
+        plan time via the basePath-derived partition columns; this
+        parameter makes the pruning explicit and assertable.)"""
         if version is None and timestamp is not None:
             version = self.version_at(timestamp)
         _, meta, live = self._snapshot(version)
         schema = StructType.fromJson(meta["schema"])
+        if partition_values:
+            pcols = meta.get("partition_cols") or []
+            bad = sorted(set(partition_values) - set(pcols))
+            if bad:
+                raise ValueError(
+                    f"{self.path} is not partitioned by {bad}; declared "
+                    f"partition columns: {pcols}")
+            live = {p: a for p, a in live.items()
+                    if all((a.get("partitionValues") or {}).get(c) == v
+                           for c, v in partition_values.items())}
         if not live:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[f"{self.path}/{f}" for f in sorted(live)])
+        return self._scan_files(meta, sorted(live),
+                                dvs=self._live_dvs(live))
 
     def read_keys(self, keys_df: DataFrame, keys: Sequence[str],
                   version: int | None = None) -> DataFrame:
@@ -876,9 +1220,8 @@ class TxTable:
         cand = self._bloom_candidates(cand, live, keys, probe, meta)
         if not cand:
             return self.spark.createDataFrame([], schema)
-        return (self.spark.read.schema(schema).parquet(
-            *[f"{self.path}/{f}" for f in cand])
-            .join(probe, on=keys, how="left_semi"))
+        return (self._scan_files(meta, cand, dvs=self._live_dvs(live))
+                .join(probe, on=keys, how="left_semi"))
 
     def read_changes(self, from_version: int,
                      to_version: int | None = None) -> DataFrame:
@@ -916,6 +1259,19 @@ class TxTable:
         schema = StructType.fromJson(meta["schema"])
         adds: list[str] = []
         removes: list[str] = []
+        # Deletion-vector state is tracked THROUGH the walk, seeded from
+        # the window-start snapshot: a dv action emits exactly its newly
+        # tombstoned rows as deletes; a data-changing remove of a
+        # tombstoned file emits only its VISIBLE rows (full file minus
+        # the tombstones accumulated by the removal point — the earlier
+        # tombstones were already emitted as deletes, in this window or
+        # a previous one). Layout-only swaps (optimize, including DV
+        # materialization) stay silent: visible rows are unchanged.
+        _, _, state_live = self._snapshot(from_version)
+        dv_state = {p: a["dv"] for p, a in state_live.items()
+                    if a.get("dv")}
+        partial_dels: list[tuple[str, dict]] = []  # removed w/ tombstones
+        dv_dels: list[tuple[str, dict]] = []       # new tombstones
         for i in range(from_version + 1, to_v + 1):
             for action in self._read_commit(i):
                 # dataChange=false actions (optimize's compaction swaps)
@@ -926,29 +1282,59 @@ class TxTable:
                 # file whose inputs predate the window, the packed file's
                 # delete rows equal the skipped inputs' rows exactly.
                 if "add" in action:
+                    dv_state.pop(action["add"]["path"], None)
                     if action["add"].get("dataChange", True):
                         adds.append(action["add"]["path"])
                 elif "remove" in action:
+                    p = action["remove"]["path"]
+                    dv = dv_state.pop(p, None)
                     if action["remove"].get("dataChange", True):
-                        removes.append(action["remove"]["path"])
+                        if dv:
+                            partial_dels.append((p, dv))
+                        else:
+                            removes.append(p)
+                elif "dv" in action:
+                    d = action["dv"]
+                    cur = dv_state.get(d["path"])
+                    fresh = _dv_minus(d, cur)  # not already tombstoned
+                    if fresh:
+                        dv_dels.append((d["path"],
+                                        {"keyCols": list(d["keyCols"]),
+                                         "keys": fresh}))
+                    dv_state[d["path"]] = _merge_dv(cur, d)
         # Net per path by MULTISET count, not set intersection: RESTORE
         # re-adds a previously removed path, so a window spanning
         # add(v1) -> delete(v2) -> restore-re-add(v3) has unbalanced
         # counts (2 adds, 1 remove) whose true net is ONE insert — a
         # set-based cancel would drop all occurrences and emit an empty
         # feed, breaking the fold invariant for any catch-up consumer
-        # whose window spans a remove and its later re-add.
+        # whose window spans a remove and its later re-add. (Removals of
+        # tombstoned files are partial and never participate in path
+        # netting — their rows are not the full file.)
         add_c, rem_c = Counter(adds), Counter(removes)
         adds = sorted((add_c - rem_c).elements())
         removes = sorted((rem_c - add_c).elements())
-        out_schema = schema.add("_change_type", "string")
+        # StructType.add MUTATES; copy first (schema is reused below for
+        # the deletion-vector probe frames)
+        out_schema = StructType(list(schema.fields)).add(
+            "_change_type", "string")
         frames = []
         for paths, tag in ((adds, "insert"), (removes, "delete")):
             if paths:
                 frames.append(
-                    self.spark.read.schema(schema).parquet(
-                        *[f"{self.path}/{f}" for f in sorted(paths)])
+                    self._scan_files(meta, paths)  # multiset: dups kept
                     .withColumn("_change_type", F.lit(tag)))
+        for p, dv in partial_dels:
+            frames.append(
+                self._scan_files(meta, [p], dvs={p: dv})
+                .withColumn("_change_type", F.lit("delete")))
+        for p, dv in dv_dels:
+            frames.append(
+                self._scan_files(meta, [p])
+                .join(F.broadcast(self._dv_probe(schema, dv)),
+                      on=list(dv["keyCols"]), how="left_semi")
+                .select(*[f.name for f in schema.fields])
+                .withColumn("_change_type", F.lit("delete")))
         if not frames:
             return self.spark.createDataFrame([], out_schema)
         out = frames[0]
@@ -1022,7 +1408,8 @@ class TxTable:
         actions = ([{"meta": meta}] if new_meta else [])
         actions += self._stage(df, meta.get("stat_cols", []),
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                               constraints=meta.get("constraints"),
+                               partition_cols=meta.get("partition_cols"))
         if not actions:
             return self.version
 
@@ -1056,7 +1443,8 @@ class TxTable:
         actions += self._stage(self._check_schema(df),
                                meta.get("stat_cols", []),
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                               constraints=meta.get("constraints"),
+                               partition_cols=meta.get("partition_cols"))
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -1107,7 +1495,7 @@ class TxTable:
                  .distinct().collect())
         sets: dict[str, set] = {}
         for r in pairs:
-            sets.setdefault(r["_file"], set()).add(int(r["_pos"]))
+            sets.setdefault(_unq(r["_file"]), set()).add(int(r["_pos"]))
         out = {}
         for f, positions in sets.items():
             bits = bytearray((m + 7) // 8)
@@ -1175,14 +1563,28 @@ class TxTable:
     @staticmethod
     def _overlaps(add: dict, keys: Sequence[str], bounds: dict) -> bool:
         """Can the file's stat ranges intersect the batch's key ranges?
-        Missing/None stats degrade to True (never prune a maybe-match)."""
+        Missing/None stats degrade to True (never prune a maybe-match).
+
+        ``partitionValues`` participate as EXACT single-value stats
+        (min = max = the value), so partition pruning happens before —
+        and through exactly the same machinery as — stat pruning, in
+        every planner that calls this (merge/delete/apply_changes/
+        read_keys and their conflict validators)."""
         stats = add.get("stats") or {}
+        pv = add.get("partitionValues") or {}
         for k in keys:
+            blo, bhi = bounds[k]
+            if blo is None or bhi is None:
+                continue
+            if k in pv:
+                v = pv[k]
+                if v is not None and (v < blo or v > bhi):
+                    return False
+                continue
             if k not in stats:
                 continue
             lo, hi = stats[k]
-            blo, bhi = bounds[k]
-            if lo is None or hi is None or blo is None or bhi is None:
+            if lo is None or hi is None:
                 continue
             if hi < blo or lo > bhi:
                 return False
@@ -1250,15 +1652,17 @@ class TxTable:
                 v(intervening)
 
         meta_actions = [{"meta": meta}] if new_meta else []
+        dvs = self._live_dvs(live)
         if not update:
             if cand:
-                existing = self.spark.read.schema(schema).parquet(
-                    *[f"{self.path}/{f}" for f in cand]).select(*keys)
+                existing = self._scan_files(meta, cand,
+                                            dvs=dvs).select(*keys)
                 batch = batch.join(existing.distinct(), on=keys,
                                    how="left_anti")
             adds = meta_actions + self._stage(
                 batch, stat_cols, bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                constraints=meta.get("constraints"),
+                partition_cols=meta.get("partition_cols"))
             # a pure schema widening (every row was a duplicate) still
             # commits: the caller asked for the evolved schema
             return (self._commit(adds, rv, validate=validate,
@@ -1267,13 +1671,11 @@ class TxTable:
         # update=True: find files that REALLY hold colliding keys
         affected: list[str] = []
         if cand:
-            cdf = self.spark.read.schema(schema).parquet(
-                *[f"{self.path}/{f}" for f in cand]).withColumn(
-                "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            cdf = self._scan_files(meta, cand, with_file=True, dvs=dvs)
             # AQE picks broadcast-semi when the batch key set is small
             # (the common MERGE shape); no forced hint — a bulk backfill
             # batch can exceed the broadcast limit.
-            affected = [r["_file"] for r in
+            affected = [_unq(r["_file"]) for r in
                         cdf.select("_file", *keys)
                         .join(batch.select(*keys).distinct(),
                               on=keys, how="left_semi")
@@ -1281,37 +1683,73 @@ class TxTable:
         actions = meta_actions + [
             {"remove": {"path": p}} for p in sorted(affected)]
         if affected:
-            keep = (self.spark.read.schema(schema).parquet(
-                *[f"{self.path}/{f}" for f in sorted(affected)])
-                .join(batch.select(*keys).distinct(), on=keys,
-                      how="left_anti"))
+            keep = (self._scan_files(meta, affected, dvs=dvs)
+                    .join(batch.select(*keys).distinct(), on=keys,
+                          how="left_anti"))
             new_data = keep.unionByName(batch)
         else:
             new_data = batch
         actions += self._stage(new_data, stat_cols,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                               constraints=meta.get("constraints"),
+                               partition_cols=meta.get("partition_cols"))
         return self._commit(actions, rv, validate=validate,
                             info={"op": "merge_upsert"})
 
-    def delete(self, batch: DataFrame, keys: Sequence[str]) -> int:
-        """Atomic keyed DELETE (copy-on-write, the public Delta DELETE
-        shape): every table row whose key matches a ``batch`` row is
-        removed. Only files that actually hold a matching key are
-        rewritten (stat-range prune, then an exact semi-join probe — the
-        same planner as :meth:`merge_upsert`); a file whose every row
-        matches is removed without a rewrite. The CDC feed surfaces the
-        rewrite as the removed files' rows (deletes) plus the survivors
-        (inserts), which nets to exactly the deleted rows under
-        :meth:`read_changes`' multiset fold — so downstream incremental
-        maintenance sees a clean per-row delete stream.
+    #: dv mode holds (file, key) tombstones in the driver + the JSON log;
+    #: past this many matched pairs the log line stops being "driver-
+    #: sized" and copy-on-write is the right tool — refused loudly.
+    _DV_MAX_PAIRS = 65536
+
+    def delete(self, batch: DataFrame, keys: Sequence[str],
+               mode: str = "cow") -> int:
+        """Atomic keyed DELETE. Two physical strategies, same logical
+        result:
+
+        ``mode="cow"`` (default — the public Delta DELETE shape): every
+        file holding a matching key is rewritten without the matching
+        rows (stat-range prune, then an exact semi-join probe — the
+        same planner as :meth:`merge_upsert`). The CDC feed surfaces
+        the rewrite as removed-file rows (deletes) plus survivors
+        (inserts), netting to exactly the deleted rows.
+
+        ``mode="dv"`` (merge-on-read, the Iceberg equality-delete /
+        Delta deletion-vector idea): ZERO data files are rewritten —
+        the commit records per-file key tombstones (``dv`` actions),
+        snapshot reads and every DML planner anti-join them, and the
+        CDC feed emits exactly the tombstoned rows as deletes. This is
+        the point-delete answer at 100 TB: a one-row delete in a 1 GB
+        file costs one log line instead of a 1 GB rewrite (copy-on-
+        write's write amplification), at the price of a per-read
+        anti-join that :meth:`optimize` later materializes away.
+        First use upgrades the table protocol to reader/writer 3
+        (plain-IO sources refuse, TxTable reads everything). Key
+        columns must be integral/string/boolean (tombstones live in
+        the JSON log and must compare portably); matched pairs are
+        capped at ``_DV_MAX_PAIRS`` — bulk deletes belong to cow.
 
         Conflicts like a merge: a concurrent commit adding keys inside
         this delete's key range invalidates the probe (a just-inserted
         matching row would survive), so it raises :class:`TxConflict`.
         """
+        if mode not in ("cow", "dv"):
+            raise ValueError(f"delete mode must be 'cow' or 'dv', "
+                             f"got {mode!r}")
         keys = list(keys)
         rv, meta, live = self._snapshot()
+        if mode == "dv":
+            schema_types = {f["name"]: f["type"]
+                            for f in meta["schema"]["fields"]
+                            if isinstance(f.get("type"), str)}
+            ok = {"byte", "short", "integer", "long", "string", "boolean"}
+            bad = sorted(k for k in keys
+                         if schema_types.get(k, "?") not in ok)
+            if bad:
+                raise ValueError(
+                    f"dv delete keys {bad} have non-portable types; "
+                    f"deletion-vector tombstones live in the JSON log "
+                    f"and support integral/string/boolean keys only "
+                    f"(use mode='cow')")
         schema = StructType.fromJson(meta["schema"])
         key_schema = StructType([f for f in schema.fields
                                  if f.name in keys])
@@ -1333,24 +1771,58 @@ class TxTable:
 
         if not cand:
             return self.version  # nothing can match: no-op, no commit
-        cdf = self.spark.read.schema(schema).parquet(
-            *[f"{self.path}/{f}" for f in cand]).withColumn(
-            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
-        affected = [r["_file"] for r in
-                    cdf.select("_file", *keys)
-                    .join(batch, on=keys, how="left_semi")
-                    .select("_file").distinct().collect()]
+        dvs = self._live_dvs(live)
+        cdf = self._scan_files(meta, cand, with_file=True, dvs=dvs)
+        matched = (cdf.select("_file", *keys)
+                   .join(batch, on=keys, how="left_semi"))
+        if mode == "dv":
+            return self._delete_dv(meta, rv, keys, matched,
+                                   no_key_overlap)
+        affected = [_unq(r["_file"]) for r in
+                    matched.select("_file").distinct().collect()]
         if not affected:
             return self.version  # stat ranges overlapped, no real match
-        keep = (self.spark.read.schema(schema).parquet(
-            *[f"{self.path}/{f}" for f in sorted(affected)])
-            .join(batch, on=keys, how="left_anti"))
+        keep = (self._scan_files(meta, affected, dvs=dvs)
+                .join(batch, on=keys, how="left_anti"))
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += self._stage(keep, stat_cols,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                               constraints=meta.get("constraints"),
+                               partition_cols=meta.get("partition_cols"))
         return self._commit(actions, rv, validate=no_key_overlap,
                             info={"op": "delete"})
+
+    def _delete_dv(self, meta: dict, rv: int, keys: list[str],
+                   matched: DataFrame, validate) -> int:
+        """The merge-on-read half of :meth:`delete`: commit per-file key
+        tombstones for the matched (file, key) pairs — no data rewrite.
+        ``matched`` already excludes previously-tombstoned rows (the
+        probe scan is DV-aware), so re-deleting a key is a no-op and
+        CDC never double-emits a delete."""
+        from .txproto import DV_PROTOCOL, needs_upgrade
+        pairs = (matched.select("_file", *keys).distinct()
+                 .limit(self._DV_MAX_PAIRS + 1).collect())
+        if len(pairs) > self._DV_MAX_PAIRS:
+            raise ValueError(
+                f"dv delete matched more than {self._DV_MAX_PAIRS} "
+                f"(file, key) pairs on {self.path}; tombstones of that "
+                f"size stop being driver/log-sized — use mode='cow'")
+        if not pairs:
+            return self.version  # nothing visible matches: no commit
+        by_file: dict[str, list[list]] = {}
+        for r in pairs:
+            by_file.setdefault(_unq(r["_file"]), []).append(
+                [_json_scalar(r[k]) for k in keys])
+        actions = []
+        if needs_upgrade(getattr(self, "_proto", None), DV_PROTOCOL):
+            # feature gate rides the SAME atomic commit as its first use
+            actions.append(protocol_action(DV_PROTOCOL))
+        for path in sorted(by_file):
+            actions.append({"dv": {"path": path, "keyCols": keys,
+                                   "keys": sorted(by_file[path])}})
+        return self._commit(actions, rv, validate=validate,
+                            info={"op": "delete", "mode": "dv",
+                                  "tombstones": len(pairs)})
 
     def apply_changes(self, changes: DataFrame, keys: Sequence[str],
                       txn: tuple[str, int] | None = None) -> int:
@@ -1456,12 +1928,10 @@ class TxTable:
                         f"the new snapshot")
 
         affected: list[str] = []
+        dvs = self._live_dvs(live)
         if cand:
-            cdf = self.spark.read.schema(schema).parquet(
-                *[f"{self.path}/{f}" for f in cand]).withColumn(
-                "_file",
-                F.element_at(F.split(F.input_file_name(), "/"), -1))
-            affected = [r["_file"] for r in
+            cdf = self._scan_files(meta, cand, with_file=True, dvs=dvs)
+            affected = [_unq(r["_file"]) for r in
                         cdf.select("_file", *keys)
                         .join(touched, on=keys, how="left_semi")
                         .select("_file").distinct().collect()]
@@ -1470,15 +1940,15 @@ class TxTable:
         if affected:
             # Evolved schema null-fills pre-widening survivor files,
             # same as the source's own post-merge_schema reads.
-            keep = (self.spark.read.schema(schema).parquet(
-                *[f"{self.path}/{f}" for f in sorted(affected)])
-                .join(touched, on=keys, how="left_anti"))
+            keep = (self._scan_files(meta, affected, dvs=dvs)
+                    .join(touched, on=keys, how="left_anti"))
             new_data = keep.unionByName(net_ins)
         else:
             new_data = net_ins
         actions += self._stage(new_data, stat_cols,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                               constraints=meta.get("constraints"),
+                               partition_cols=meta.get("partition_cols"))
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -1525,6 +1995,7 @@ class TxTable:
                 return self.version  # replayed batch: already applied
         schema = StructType.fromJson(meta["schema"])
         stat_cols = meta.get("stat_cols", [])
+        dvs = self._live_dvs(live)
         probes: list[tuple[list[str], DataFrame, dict]] = []
         affected: set[str] = set()
         for key_cols, kdf in deletes:
@@ -1542,12 +2013,10 @@ class TxTable:
             probes.append((key_cols, probe, bounds))
             if not cand:
                 continue
-            cdf = self.spark.read.schema(schema).parquet(
-                *[f"{self.path}/{f}" for f in cand]).withColumn(
-                "_file",
-                F.element_at(F.split(F.input_file_name(), "/"), -1))
+            cdf = self._scan_files(meta, cand, with_file=True,
+                                   dvs=dvs)
             affected.update(
-                r["_file"] for r in
+                _unq(r["_file"]) for r in
                 cdf.select("_file", *key_cols)
                 .join(probe, on=key_cols, how="left_semi")
                 .select("_file").distinct().collect())
@@ -1566,8 +2035,7 @@ class TxTable:
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         new_data = None
         if affected:
-            keep = self.spark.read.schema(schema).parquet(
-                *[f"{self.path}/{f}" for f in sorted(affected)])
+            keep = self._scan_files(meta, sorted(affected), dvs=dvs)
             for key_cols, probe, _bounds in probes:
                 keep = keep.join(probe, on=key_cols, how="left_anti")
             new_data = keep
@@ -1577,8 +2045,10 @@ class TxTable:
                         else new_data.unionByName(ins))
         if new_data is not None:
             actions += self._stage(new_data, stat_cols,
-                               bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                                   bloom=meta.get("bloom"),
+                                   constraints=meta.get("constraints"),
+                                   partition_cols=meta.get(
+                                       "partition_cols"))
         if not actions:
             return self.version  # empty delta: no commit, replay-safe
         if txn is not None:
@@ -1632,15 +2102,21 @@ class TxTable:
 
         if not live:
             return self.version
-        cdf = self.spark.read.schema(schema).parquet(
-            *[f"{self.path}/{f}" for f in sorted(live)]).withColumn(
-            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
-        affected = [r["_file"] for r in
+        pcols = set(meta.get("partition_cols") or ())
+        moved = sorted(pcols & set(assignments))
+        if moved:
+            raise ValueError(
+                f"UPDATE cannot assign partition columns {moved} of "
+                f"{self.path}: a row changing partitions is a delete + "
+                f"insert (run delete() then append(), or merge_upsert)")
+        dvs = self._live_dvs(live)
+        cdf = self._scan_files(meta, sorted(live), with_file=True,
+                               dvs=dvs)
+        affected = [_unq(r["_file"]) for r in
                     cdf.filter(cond).select("_file").distinct().collect()]
         if not affected:
             return self.version  # nothing matches: no-op, no commit
-        old = self.spark.read.schema(schema).parquet(
-            *[f"{self.path}/{f}" for f in sorted(affected)])
+        old = self._scan_files(meta, sorted(affected), dvs=dvs)
         rewritten = old.select(*[
             (F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
              .otherwise(F.col(f.name)).alias(f.name)
@@ -1649,7 +2125,8 @@ class TxTable:
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += self._stage(rewritten, stat_cols,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                               constraints=meta.get("constraints"),
+                               partition_cols=meta.get("partition_cols"))
         return self._commit(actions, rv, validate=no_data_change,
                             info={"op": "update"})
 
@@ -1697,7 +2174,40 @@ class TxTable:
         for p in sorted(readds):
             add = dict(readds[p])
             add.pop("dataChange", None)  # rows reappear: a data change
+            tgt_dv = add.pop("dv", None)  # re-establish tombstones below
             actions.append({"add": add})
+            if tgt_dv:
+                actions.append({"dv": {"path": p,
+                                       "keyCols": tgt_dv["keyCols"],
+                                       "keys": tgt_dv["keys"]}})
+        # Deletion-vector reconciliation for files live in BOTH
+        # snapshots: target tombstones the current state lacks are
+        # re-applied with a dv action; tombstones that must be UNDONE
+        # (rows re-appearing) need a clean slate — remove + re-add (the
+        # fold clears DVs on re-add) + the target's dv set. Commit
+        # actions fold in order, so this is one atomic commit, and the
+        # CDC walk nets it to exactly the visible row diff.
+        for p in sorted(set(live) & set(old_live)):
+            cur_dv, tgt_dv = live[p].get("dv"), old_live[p].get("dv")
+            cur_keys = {tuple(k) for k in (cur_dv or {"keys": []})["keys"]}
+            tgt_keys = {tuple(k) for k in (tgt_dv or {"keys": []})["keys"]}
+            if cur_keys == tgt_keys:
+                continue
+            if cur_keys <= tgt_keys:
+                extra = _dv_minus(tgt_dv, cur_dv)
+                actions.append({"dv": {"path": p,
+                                       "keyCols": tgt_dv["keyCols"],
+                                       "keys": extra}})
+                continue
+            add = dict(old_live[p])
+            add.pop("dataChange", None)
+            add.pop("dv", None)
+            actions.append({"remove": {"path": p}})
+            actions.append({"add": add})
+            if tgt_dv:
+                actions.append({"dv": {"path": p,
+                                       "keyCols": tgt_dv["keyCols"],
+                                       "keys": tgt_dv["keys"]}})
         if not actions:
             return self.version  # already at that snapshot: no-op
 
@@ -1748,17 +2258,21 @@ class TxTable:
         Returns the new version, or the current one when fewer than two
         files qualify (nothing to pack)."""
         rv, meta, live = self._snapshot()
+        pcols = meta.get("partition_cols") or []
+        dvs = self._live_dvs(live)
+        # tombstoned files ALWAYS qualify: rewriting them materializes
+        # the deletion vectors away (visible rows unchanged, so the
+        # swap stays layout-only and the change feed stays silent)
         small = sorted(p for p, add in live.items()
-                       if add.get("numRecords", target_rows) < target_rows)
-        if len(small) < 2:
+                       if add.get("numRecords", target_rows) < target_rows
+                       or p in dvs)
+        if len(small) < 2 and not (small and small[0] in dvs):
             return rv
         total = sum(live[p].get("numRecords", 0) for p in small)
         n_out = max(1, -(-total // target_rows))
-        if zorder_by is None and n_out >= len(small):
+        if zorder_by is None and not pcols and n_out >= len(small):
             return rv  # already at (or below) the achievable file count
-        schema = StructType.fromJson(meta["schema"])
-        packed = self.spark.read.schema(schema).parquet(
-            *[f"{self.path}/{f}" for f in small])
+        packed = self._scan_files(meta, small, dvs=dvs)
         if zorder_by is not None:
             from .zorder import zvalue
             xc, yc = zorder_by
@@ -1768,6 +2282,12 @@ class TxTable:
                       .repartitionByRange(n_out, "__z")
                       .sortWithinPartitions("__z")
                       .drop("__z"))
+        elif pcols:
+            # partitioned tables pack WITHIN partitions (a packed file
+            # cannot span partition directories): hash-cluster the small
+            # files' rows by partition so the partitionBy write emits
+            # one file per hive partition per holding task
+            packed = packed.repartition(n_out, *pcols)
         else:
             packed = packed.repartition(n_out)
         actions = [{"remove": {"path": p, "dataChange": False}}
@@ -1775,7 +2295,8 @@ class TxTable:
         actions += self._stage(packed, meta.get("stat_cols", []),
                                data_change=False,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"))
+                               constraints=meta.get("constraints"),
+                               partition_cols=pcols)
         return self._commit(actions, rv, info={"op": "optimize"})
 
     def fsck(self, scan_orphans: bool = True,
@@ -1815,10 +2336,12 @@ class TxTable:
         commit as empty (the post-repair state).
         """
         latest = self._latest_version()
-        assert latest is not None
+        if latest is None:  # explicit: an assert strips under python -O
+            raise ValueError(f"{self.path} has no commits")
         torn_commits, missing_commits = [], []
         live: dict[str, dict] = {}
         referenced: set[str] = set()
+        proto: dict | None = None
         fs = _fs(self.spark, self.log_dir)
         for v in range(latest + 1):
             if not fs.exists(_jpath(self.spark,
@@ -1836,18 +2359,31 @@ class TxTable:
                     referenced.add(a["add"]["path"])
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
+                elif "dv" in a:
+                    cur = live.get(a["dv"]["path"])
+                    if cur is not None:
+                        live[a["dv"]["path"]] = {
+                            **cur, "dv": _merge_dv(cur.get("dv"),
+                                                   a["dv"])}
+                elif "protocol" in a:
+                    proto = a["protocol"]
         torn_checkpoints = []
         for c in self._checkpoint_versions():
             try:
                 self._read_checkpoint(c)
             except Exception:
                 torn_checkpoints.append(c)
-        on_disk = {st.getPath().getName()
-                   for st in _fs(self.spark, self.path).listStatus(
-                       _jpath(self.spark, self.path))
-                   if st.getPath().getName().endswith(".parquet")
-                   and not st.isDirectory()}  # incl. converted-in names
+        on_disk = {rel for rel, _mtime in self._list_data_files()}
         missing_files = sorted(set(live) - on_disk)
+        # fsck REPORTS the protocol instead of raising on it (the audit
+        # must stay runnable by any client); reads/writes are where the
+        # gate refuses.
+        supported = True
+        try:
+            check_protocol(proto, self.path, reader=SUPPORTED_READER,
+                           writer=SUPPORTED_WRITER)
+        except TxProtocolError:
+            supported = False
         report = {
             "version": latest,
             "torn_commits": torn_commits,
@@ -1856,7 +2392,12 @@ class TxTable:
             "snapshot_exact": not torn_commits and not missing_commits,
             "live_files": len(live),
             "missing_files": missing_files,
+            "protocol": dict(proto or BASE_PROTOCOL),
+            "protocol_supported": supported,
         }
+        dv_live = [p for p, a in live.items() if a.get("dv")]
+        if dv_live:
+            report["dv_files"] = sorted(dv_live)
         if scan_orphans:
             report["unreferenced_files"] = sorted(on_disk - referenced)
         present = [p for p in live if p not in set(missing_files)]
@@ -1866,7 +2407,8 @@ class TxTable:
             # wrong stats make the merge/delete planners SKIP files that
             # hold matching keys — silently wrong DML, not a crash.
             vmeta = (self._snapshot()[1]
-                     if not torn_commits and not missing_commits else {})
+                     if supported and not torn_commits
+                     and not missing_commits else {})
             stat_cols = [c for c in vmeta.get("stat_cols", [])]
             aggs = [F.count(F.lit(1)).alias("_n")]
             for c in stat_cols:
@@ -1874,12 +2416,17 @@ class TxTable:
                          F.max(c).alias(f"_max_{c}"),
                          F.count(F.when(F.col(c).isNull(), 1))
                          .alias(f"_nulls_{c}")]
+            reader = self.spark.read
+            n_pcols = len(vmeta.get("partition_cols") or ())
+            if n_pcols:
+                # partition columns materialize from paths so their
+                # recorded (exact) values can be re-verified too
+                reader = reader.option("basePath", self.path)
             rows = {
-                r["_file"]: r
-                for r in self.spark.read.parquet(
+                _unq(r["_file"]): r
+                for r in reader.parquet(
                     *[f"{self.path}/{p}" for p in present])
-                .withColumn("_file", F.element_at(
-                    F.split(F.input_file_name(), "/"), -1))
+                .withColumn("_file", self._file_expr(n_pcols))
                 .groupBy("_file").agg(*aggs)
                 .collect()}
             report["rowcount_mismatches"] = sorted(
@@ -1929,16 +2476,13 @@ class TxTable:
         fs = _fs(self.spark, self.path)
         cutoff_ms = (time.time() - retention_seconds) * 1000.0
         deleted = []
-        for st in fs.listStatus(_jpath(self.spark, self.path)):
-            name = st.getPath().getName()
-            # any top-level .parquet, not only part-* — converted tables
-            # (TxTable.convert) reference files under their original
-            # names, and those must be reclaimable once superseded
-            if (name.endswith(".parquet") and not st.isDirectory()
-                    and name not in live
-                    and st.getModificationTime() < cutoff_ms):
-                fs.delete(st.getPath(), False)
-                deleted.append(name)
+        # recursive: partitioned layouts keep data under key=value/
+        # subpaths, and converted tables reference files under their
+        # original names — all must be reclaimable once superseded
+        for rel, mtime in self._list_data_files():
+            if rel not in live and mtime < cutoff_ms:
+                fs.delete(_jpath(self.spark, f"{self.path}/{rel}"), False)
+                deleted.append(rel)
         # superseded checkpoints are derived artifacts: keep only the
         # newest. Correctness never depended on them (a fold without a
         # usable checkpoint falls back to the commits, which are never

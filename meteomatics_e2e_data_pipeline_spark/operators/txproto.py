@@ -48,6 +48,143 @@ import time
 # are rebuilt, not rejected.
 TXPROTO_VERSION = 2
 
+# ---------------------------------------------------------------- protocol
+# The log-level protocol action (the public Delta ``protocol`` action,
+# PROTOCOL.md "Protocol Evolution"): every table declares the MINIMUM
+# reader/writer capability required to fold its log correctly, stamped
+# at commit 0 and upgraded in the same atomic commit as the first use
+# of a newer feature. Clients compare BEFORE acting and refuse with a
+# named error instead of folding a snapshot they cannot interpret —
+# the next wire-format change becomes a declared version gate, not a
+# bet on parser strictness.
+#
+# Version ladder (this format's own history):
+#   reader 1 / writer 2 — base: count-trailer commit wire format;
+#   reader 2 / writer 2 — partitioned tables (``partitionValues`` on
+#                         add actions; data files lack the partition
+#                         columns, so a v1 reader would null-fill them);
+#   reader 3 / writer 3 — deletion vectors (``dv`` actions; a v2
+#                         reader would resurrect deleted rows, a v2
+#                         writer would rewrite files without applying
+#                         live DVs).
+SUPPORTED_READER = 3
+SUPPORTED_WRITER = 3
+BASE_PROTOCOL = {"minReader": 1, "minWriter": 2}
+PARTITION_PROTOCOL = {"minReader": 2, "minWriter": 2}
+DV_PROTOCOL = {"minReader": 3, "minWriter": 3}
+
+
+class TxProtocolError(RuntimeError):
+    """The table's declared protocol exceeds this client's capability.
+
+    Upgrade the client (or read through a TxTable of this package
+    version, which supports everything it writes); never work around
+    this error by parsing the log directly.
+    """
+
+
+def protocol_action(proto: dict) -> dict:
+    return {"protocol": {"minReader": int(proto["minReader"]),
+                         "minWriter": int(proto["minWriter"])}}
+
+
+def needs_upgrade(current: dict | None, wanted: dict) -> bool:
+    """True when a commit must carry a protocol action to raise the
+    table's declared capability to ``wanted``. Tables created before
+    the protocol action existed (current=None) are implicitly base."""
+    cur = current or BASE_PROTOCOL
+    return (int(cur.get("minReader", 1)) < wanted["minReader"]
+            or int(cur.get("minWriter", 1)) < wanted["minWriter"])
+
+
+def merged_protocol(current: dict | None, wanted: dict) -> dict:
+    cur = current or BASE_PROTOCOL
+    return {"minReader": max(int(cur.get("minReader", 1)),
+                             wanted["minReader"]),
+            "minWriter": max(int(cur.get("minWriter", 1)),
+                             wanted["minWriter"])}
+
+
+def check_protocol(proto: dict | None, where: str, *,
+                   reader: int | None = None,
+                   writer: int | None = None) -> None:
+    """Raise :class:`TxProtocolError` when the table's declared protocol
+    exceeds the CLIENT capability passed in ``reader``/``writer`` (None
+    = the client is not acting in that role). A table with no protocol
+    action (pre-protocol logs) is implicitly base and always passes."""
+    if not proto:
+        return
+    need_r = int(proto.get("minReader", 1))
+    need_w = int(proto.get("minWriter", 1))
+    if reader is not None and need_r > reader:
+        raise TxProtocolError(
+            f"{where}: table requires minReader={need_r} but this client "
+            f"supports reader version {reader}; refusing to fold a "
+            f"snapshot it cannot interpret (upgrade the reading client)")
+    if writer is not None and need_w > writer:
+        raise TxProtocolError(
+            f"{where}: table requires minWriter={need_w} but this client "
+            f"supports writer version {writer}; refusing to publish a "
+            f"commit that could corrupt invariants it does not know "
+            f"(upgrade the writing client)")
+
+
+# ------------------------------------------------------- partitioned paths
+# Hive-path helpers shared by every client tier (TxTable planners and
+# the plain-IO DataSources, which run inside executor Python workers —
+# stdlib-only on purpose, like the rest of this module).
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def unquote_path(name: str) -> str:
+    """Decode a scanned file path component (URI-escaped by Spark's
+    ``input_file_name``) back to the on-disk relative path the log
+    references. Hadoop escapes ``%`` itself when writing partition
+    directories, so one unquote is exact."""
+    from urllib.parse import unquote
+    return unquote(name)
+
+
+def partition_scalar(raw: str, type_name: str):
+    """One hive directory-segment value → typed scalar, matching Spark's
+    own path decoding (percent-unescape, the null sentinel) and the
+    stat-value JSON domain — so ``partitionValues`` compare directly
+    against batch bounds with no casts (dates/timestamps stay isoformat
+    strings, whose lexicographic order IS chronological order)."""
+    from urllib.parse import unquote
+    val = unquote(raw)
+    if val == _HIVE_NULL:
+        return None
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(val)
+    if type_name in ("float", "double"):
+        return float(val)
+    if type_name == "boolean":
+        return val.lower() == "true"
+    return val
+
+
+def parse_partition_values(relpath: str, pcols, types: dict) -> dict:
+    """``{col: typed value}`` from a hive relative path
+    ``c1=v1/c2=v2/file.parquet``. Loud on any mismatch — a silently
+    misparsed partition value would mis-prune every keyed operation."""
+    segs = relpath.split("/")[:-1]
+    if len(segs) != len(pcols):
+        raise ValueError(
+            f"path {relpath!r} has {len(segs)} partition segment(s) but "
+            f"the table declares partition columns {list(pcols)}")
+    out = {}
+    for col, seg in zip(pcols, segs):
+        name, eq, raw = seg.partition("=")
+        if not eq or name != col:
+            raise ValueError(
+                f"path segment {seg!r} of {relpath!r} does not match "
+                f"declared partition column {col!r}")
+        out[col] = partition_scalar(raw, types[col])
+    return out
+
+
 _TRAILER_KEY = "commit"
 
 

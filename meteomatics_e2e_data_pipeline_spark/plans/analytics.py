@@ -3138,6 +3138,71 @@ FROM orders WHERE o_orderkey IN ({", ".join(str(k) for k in POINT_KEYS)})
 """
 
 
+_DV_KEYS = [2, 5, 4000]  # tombstoned at build (subset of POINT_KEYS)
+
+
+def q_orders_dv_pointget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read delete tier under the oracle gate: a second
+    adopted orders copy takes a ``mode='dv'`` keyed DELETE of
+    ``_DV_KEYS`` at build time — ZERO data files rewritten, the commit
+    is pure per-file key tombstones (the Iceberg equality-delete /
+    Delta deletion-vector idea) — and the SAME ``read_keys`` probe as
+    ``orders_converted_pointget`` then runs against it. A tombstone
+    ignored anywhere in the stat+bloom+anti-join read path would
+    resurrect a deleted row and break the hash against the oracle's
+    ``IN (...) AND NOT IN (...)``. Scale shape: the point-delete costs
+    one log line instead of a file rewrite; reads pay a broadcast
+    anti-join per tombstoned file until OPTIMIZE materializes it."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:dv"
+        .encode()).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        build = Path(tempfile.mkdtemp(prefix="convert_build_",
+                                      dir=tempfile.gettempdir()))
+        (load_table(spark, sf_dir, "orders")
+         .repartitionByRange(4, "o_orderkey")
+         .write.parquet(str(build / "orders")))
+        t = TxTable.convert(spark, str(build / "orders"),
+                            stat_cols=["o_orderkey"],
+                            bloom_cols=["o_orderkey"])
+        files0 = sorted(t.live_files())
+        t.delete(spark.createDataFrame([(k,) for k in _DV_KEYS],
+                                       "o_orderkey long"),
+                 ["o_orderkey"], mode="dv")
+        # the dv contract, asserted at build: no data file was touched
+        assert sorted(t.live_files()) == files0, \
+            "dv delete must rewrite zero files"
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
+    t = TxTable(spark, str(base))
+    probe = spark.createDataFrame([(k,) for k in POINT_KEYS],
+                                  "o_orderkey long")
+    return (t.read_keys(probe, ["o_orderkey"])
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+ORACLE_ORDERS_DV_POINTGET = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey IN ({", ".join(str(k) for k in POINT_KEYS)})
+  AND o_orderkey NOT IN ({", ".join(str(k) for k in _DV_KEYS)})
+"""
+
+
 ORACLE_ORDERS_CONVERTED = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
@@ -3146,10 +3211,124 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+_PART_ZERO_KEYS = [1, 2, 3, 4, 5, 6, 7]      # merge: price zeroed at build
+_PART_DEL_KEYS = [32, 33]                    # delete: removed at build
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str):
+    """Build-or-reopen the HIVE-PARTITIONED adopted orders table: the
+    reference's own lake layout (``country/city/`` prefixes,
+    ``meteomatics_get_data.py:116-133``) as a ``partitionBy`` write,
+    adopted IN PLACE by ``TxTable.convert`` (partitionValues derived
+    from paths in the one stats scan, reader protocol 2), then mutated
+    through the PARTITIONED DML planners — a last-wins MERGE zeroing
+    ``_PART_ZERO_KEYS``' prices and a keyed DELETE of
+    ``_PART_DEL_KEYS`` — so the gate hashes cover adopt → partition
+    pruning → partition-aware rewrite, not just the happy read path.
+    Same fingerprint-keyed build-once cache as
+    :func:`_converted_orders`."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:hive"
+        .encode()).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        build = Path(tempfile.mkdtemp(prefix="convert_build_",
+                                      dir=tempfile.gettempdir()))
+        (load_table(spark, sf_dir, "orders")
+         .repartition(2, "o_orderstatus")
+         .write.partitionBy("o_orderstatus")
+         .parquet(str(build / "orders")))
+        t = TxTable.convert(spark, str(build / "orders"),
+                            stat_cols=["o_orderkey"])
+        zero = (t.read()
+                .filter(F.col("o_orderkey").isin(_PART_ZERO_KEYS))
+                .withColumn("o_totalprice", F.lit(0.0)))
+        t.merge_upsert(zero, ["o_orderkey"], update=True)
+        t.delete(spark.createDataFrame([(k,) for k in _PART_DEL_KEYS],
+                                       "o_orderkey long"), ["o_orderkey"])
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
+    return TxTable(spark, str(base))
+
+
+def q_orders_partitioned_pruned(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Partition-pruned read of the hive-adopted orders table: the
+    ``partition_values`` probe drops every non-'F' file LOG-SIDE before
+    a task is planned (only ``o_orderstatus=F/`` paths are scanned —
+    inputFiles-asserted in tests/test_txlog_partitioned.py), and the
+    values hash against the oracle's ``WHERE o_orderstatus = 'F'`` over
+    the ORIGINAL orders view, build-time DML included. Scale shape: a
+    partition predicate costs a driver-side dict filter over the log —
+    zero data IO for pruned partitions at any table size."""
+    t = _partitioned_orders(spark, sf_dir)
+    return (t.read(partition_values={"o_orderstatus": "F"})
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+def q_orders_partitioned_rollup(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Full rollup over the hive-adopted + partition-DML'd orders table:
+    hash-checks that the partitioned MERGE rewrote exactly the colliding
+    rows back into their partitions and the keyed DELETE dropped exactly
+    its keys — against the oracle's CASE/NOT IN emulation on the
+    original view."""
+    t = _partitioned_orders(spark, sf_dir)
+    return (t.read().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+_PART_DML_WHERE = (
+    f"o_orderkey NOT IN ({', '.join(str(k) for k in _PART_DEL_KEYS)})")
+_PART_DML_PRICE = (
+    f"CASE WHEN o_orderkey IN "
+    f"({', '.join(str(k) for k in _PART_ZERO_KEYS)}) "
+    f"THEN 0.0 ELSE o_totalprice END")
+
+ORACLE_ORDERS_PARTITIONED_PRUNED = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MAX({_PART_DML_PRICE}) AS max_price
+FROM orders
+WHERE o_orderstatus = 'F' AND {_PART_DML_WHERE}
+GROUP BY o_orderpriority
+"""
+
+ORACLE_ORDERS_PARTITIONED_ROLLUP = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MAX({_PART_DML_PRICE}) AS max_price
+FROM orders
+WHERE {_PART_DML_WHERE}
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "orders_converted_rollup": q_orders_converted_rollup,
     "orders_converted_pointget": q_orders_converted_pointget,
+    "orders_partitioned_pruned": q_orders_partitioned_pruned,
+    "orders_partitioned_rollup": q_orders_partitioned_rollup,
+    "orders_dv_pointget": q_orders_dv_pointget,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
@@ -3232,6 +3411,9 @@ ORACLE = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "orders_converted_rollup": ORACLE_ORDERS_CONVERTED,
     "orders_converted_pointget": ORACLE_ORDERS_POINTGET,
+    "orders_partitioned_pruned": ORACLE_ORDERS_PARTITIONED_PRUNED,
+    "orders_partitioned_rollup": ORACLE_ORDERS_PARTITIONED_ROLLUP,
+    "orders_dv_pointget": ORACLE_ORDERS_DV_POINTGET,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
     "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,

@@ -82,6 +82,14 @@ STG_ORDER = ["date_generated", "file_path"]
 FACT_KEYS = ["location_key", "condition_key", "reading_datetime"]
 
 _APP = "weather_star"
+_ROLLUP_APP = "weather_star_rollup"
+
+#: rollup grain (keys into the fact's own columns; dim attributes join
+#: at serve time so the state table never embeds denormalized names)
+ROLLUP_KEYS = ["location_key", "condition_key", "date_key"]
+_ROLLUP_SCHEMA = ("location_key string, condition_key string, "
+                  "date_key int, n_readings bigint, "
+                  "min_value double, max_value double")
 
 _STG_SCHEMA = ("file_path string, file_modified timestamp, "
                "country string, city string, date_generated timestamp, "
@@ -112,11 +120,21 @@ class WeatherStar:
     facts: dict[str, TxTable]
     dim_location: TxTable
     dim_condition: TxTable
+    #: city-daily rollup MAINTAINED one IVM level deeper: it follows
+    #: fact_weather_params_history's own change feed (the fact is a
+    #: txlog table, so the same CDC machinery composes) — bronze → stg
+    #: → fact → rollup, each hop ∝ its increment.
+    agg_city_daily: TxTable
 
     @property
     def applied_version(self) -> int:
         """Staging version the star has been maintained up to."""
         return self.winners.last_txn(_APP) or 0
+
+    @property
+    def rollup_applied_version(self) -> int:
+        """History-fact version the rollup has been maintained up to."""
+        return self.agg_city_daily.last_txn(_ROLLUP_APP) or 0
 
 
 def _empty(spark: SparkSession, ddl: str) -> DataFrame:

@@ -64,18 +64,30 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..operators.txproto import commit_payload, info_action as _info_action
+from ..operators.txproto import (check_protocol, commit_payload,
+                                 info_action as _info_action)
 from .txlog_stream import _LOG_DIR, _latest_version, _read_commit
 
 _CKPT = ".checkpoint.json"
 
+# This plain-IO source's own capability: it fills partition columns
+# from partitionValues (reader 2) but knows nothing of dv actions
+# (reader/writer 3) — a DV table folded here would resurrect deleted
+# rows, so the protocol gate refuses it (read through TxTable instead).
+_READER_CAP = 2
+_WRITER_CAP = 2
+
 
 def _fold_snapshot(table: str, version: int | None = None):
     """Plain-IO twin of ``TxTable._snapshot``: (version, meta, live,
-    txns), folding forward from the newest checkpoint at-or-before the
+    txns, protocol), folding forward from the newest checkpoint at-or-before the
     target version. Kept session-free so scan planning never needs a
     JVM. ``txns`` maps appId → last committed txn version (the Delta
-    ``txn`` action — idempotent streaming sink dedup)."""
+    ``txn`` action — idempotent streaming sink dedup).
+
+    Checks the folded protocol action against THIS source's reader
+    capability — raises ``TxProtocolError`` instead of folding a
+    snapshot it cannot interpret (e.g. a deletion-vector table)."""
     latest = _latest_version(table)
     v = latest if version is None else version
     if not 0 <= v <= latest:
@@ -87,6 +99,7 @@ def _fold_snapshot(table: str, version: int | None = None):
     meta: dict = {}
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
+    proto: dict = {}
 
     def fold(action: dict) -> None:
         if "meta" in action:
@@ -99,6 +112,9 @@ def _fold_snapshot(table: str, version: int | None = None):
         elif "txn" in action:
             a, ver = action["txn"]["appId"], action["txn"]["version"]
             txns[a] = max(ver, txns.get(a, ver))
+        elif "protocol" in action:
+            proto.clear()
+            proto.update(action["protocol"])
 
     start = 0
     for cv in sorted(ckpts, reverse=True):
@@ -122,7 +138,9 @@ def _fold_snapshot(table: str, version: int | None = None):
             fold(action)
     if not meta:
         raise ValueError(f"{table}: no meta action found in the log")
-    return v, meta, live, txns
+    check_protocol(proto, f"{table} (txlog DataSource)",
+                   reader=_READER_CAP)
+    return v, meta, live, txns, proto
 
 
 def _version_at(table: str, timestamp: float) -> int:
@@ -181,6 +199,11 @@ def _range_can_match(lo, hi, f: Filter) -> bool:
 @dataclass
 class TxFilePartition(InputPartition):
     file_path: str
+    #: {col: typed value} for hive-partitioned tables — the partition
+    #: columns are NOT in the file data; the executor-side read fills
+    #: them as constant arrays (the same job Spark's basePath discovery
+    #: does for its native scans).
+    partition_values: dict | None = None
 
 
 class TxLogBatchReader(DataSourceReader):
@@ -192,9 +215,10 @@ class TxLogBatchReader(DataSourceReader):
             raise ValueError("txlog requires option 'path'")
         self.table = path.rstrip("/")
         v = _resolve_version(options, self.table)
-        _, meta, live, _ = _fold_snapshot(self.table, v)
+        _, meta, live, _, _ = _fold_snapshot(self.table, v)
         self.schema_struct = StructType.fromJson(meta["schema"])
         self.fields = [f.name for f in self.schema_struct.fields]
+        self.partition_cols = meta.get("partition_cols") or []
         self.live = live
         self._prune = str(options.get("statPruning", "true")
                           ).lower() != "false"
@@ -223,18 +247,33 @@ class TxLogBatchReader(DataSourceReader):
         # normal pattern), or pass option("statPruning", "false").
         if not self._prune:
             self.__dict__.pop("_filters", None)
-            return [TxFilePartition(os.path.join(self.table, p))
+            return [TxFilePartition(os.path.join(self.table, p),
+                                    self.live[p].get("partitionValues"))
                     for p in sorted(self.live)]
         filters = self.__dict__.pop("_filters", [])
         keep = []
         for path in sorted(self.live):
             add = self.live[path]
             stats = add.get("stats") or {}
+            pv = add.get("partitionValues") or {}
             nulls = add.get("nullCounts") or {}
             n = add.get("numRecords")
             ok = True
             for f in filters:
                 col = f.attribute[0]
+                if col in pv:
+                    # partition pruning: the recorded value is an EXACT
+                    # single-value stat (lo = hi = value)
+                    val = pv[col]
+                    if val is None:
+                        if not isinstance(f, IsNull):
+                            ok = False
+                            break
+                    elif isinstance(f, IsNull) or not _range_can_match(
+                            val, val, f):
+                        ok = False
+                        break
+                    continue
                 # null-count pruning (Delta's nullCount stats): an
                 # IsNull filter can't match a file with zero nulls; an
                 # IsNotNull filter can't match an all-null file. Range
@@ -258,7 +297,8 @@ class TxLogBatchReader(DataSourceReader):
                     break
             if ok:
                 keep.append(TxFilePartition(
-                    os.path.join(self.table, path)))
+                    os.path.join(self.table, path),
+                    add.get("partitionValues")))
         return keep
 
     def read(self, partition: TxFilePartition) -> Iterator:
@@ -276,11 +316,16 @@ class TxLogBatchReader(DataSourceReader):
         table = pq.read_table(partition.file_path)
         n = table.num_rows
         present = set(table.column_names)
+        pv = partition.partition_values or {}
         arrays = []
         for i, name in enumerate(self.fields):
             typ = target.field(i).type
             if name in present:
                 arrays.append(table.column(name).cast(typ).combine_chunks())
+            elif name in pv:
+                # hive partition column: constant, typed from the path
+                arrays.append(pa.nulls(n, type=typ) if pv[name] is None
+                              else pa.array([pv[name]] * n).cast(typ))
             else:
                 arrays.append(pa.nulls(n, type=typ))
         yield from pa.table(dict(zip(self.fields, arrays))).to_batches()
@@ -291,7 +336,7 @@ def _refuse_constrained(table: str) -> None:
     so it cannot enforce CHECK constraints; writing around them would
     silently break the invariant TxTable writers uphold — refuse loudly
     and point at the enforcing path."""
-    _, meta, _, _ = _fold_snapshot(table)
+    _, meta, _, _, _ = _fold_snapshot(table)
     cons = meta.get("constraints") or {}
     if cons:
         raise ValueError(
@@ -335,9 +380,13 @@ def _write_checkpoint_plain(table: str, version: int) -> None:
     lines, exclusive-create, idempotent) so a pure-DataSource writer
     keeps the log's O(interval) fold bound without ever owning a
     session. Best-effort by contract: failure only costs fold speed."""
-    v, meta, live, txns = _fold_snapshot(table, version)
+    v, meta, live, txns, proto = _fold_snapshot(table, version)
     target = os.path.join(table, _LOG_DIR, f"{v:020d}{_CKPT}")
-    lines = [json.dumps({"meta": meta}, sort_keys=True)]
+    # protocol FIRST (matches TxTable.write_checkpoint): it must survive
+    # checkpoint-accelerated folds or the version gate silently vanishes
+    lines = ([json.dumps({"protocol": proto}, sort_keys=True)]
+             if proto else [])
+    lines.append(json.dumps({"meta": meta}, sort_keys=True))
     lines += [json.dumps({"txn": {"appId": a, "version": txns[a]}},
                          sort_keys=True) for a in sorted(txns)]
     lines += [json.dumps({"add": live[p]}, sort_keys=True)
@@ -408,7 +457,14 @@ class TxLogBatchWriter(DataSourceWriter):
         self.table = path.rstrip("/")
         self.overwrite = overwrite
         _refuse_constrained(self.table)  # plan time: before any task IO
-        v, meta, live, _ = _fold_snapshot(self.table)
+        v, meta, live, _, proto = _fold_snapshot(self.table)
+        check_protocol(proto, f"{self.table} (txlog DataSource writer)",
+                       writer=_WRITER_CAP)
+        if meta.get("partition_cols"):
+            raise ValueError(
+                f"{self.table} is partitioned; the txlog DataSource "
+                f"writer stages flat files without partitionValues - "
+                f"write through TxTable.append/merge_upsert instead")
         self.read_version = v
         self.live = sorted(live)
         self.stat_cols = meta.get("stat_cols", [])
@@ -485,10 +541,14 @@ class TxLogBatchWriter(DataSourceWriter):
                                    "stats": stats, "nullCounts": nulls})
 
     def _publish(self, actions: list[dict]) -> None:
-        _refuse_constrained(self.table)
         payload = commit_payload(actions + [_info_action(
             "overwrite" if self.overwrite else "append", writer="batch")])
         while True:
+            # Re-checked INSIDE the claim loop (not only at plan time):
+            # an add_constraint landing between plan and publish would
+            # otherwise let unvalidated rows commit past the constraint
+            # (the TxTable._commit MetadataChanged rule, mirrored here).
+            _refuse_constrained(self.table)
             latest = _latest_version(self.table)
             if self.overwrite and latest != self.read_version:
                 raise RuntimeError(
@@ -562,14 +622,17 @@ class TxLogStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         adds = [{"add": m.add} for m in messages
                 if m is not None and m.add is not None]
-        _refuse_constrained(self.table)
         actions = [{"txn": {"appId": self.app_id,
                             "version": int(batchId)}}] + adds
         payload = commit_payload(actions + [_info_action(
             "append", writer="stream", batch_id=int(batchId))])
         while True:
+            # Same in-loop re-check as TxLogBatchWriter._publish: a
+            # constraint committed after plan time must refuse this
+            # batch's unvalidated rows, not race past them.
+            _refuse_constrained(self.table)
             latest = _latest_version(self.table)
-            _, _, _, txns = _fold_snapshot(self.table)
+            _, _, _, txns, _ = _fold_snapshot(self.table)
             if txns.get(self.app_id, -1) >= batchId:
                 self._drop_staged(messages)   # replayed batch: no-op
                 return
@@ -592,7 +655,7 @@ class TxLogDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("txlog requires option 'path'")
-        _, meta, _, _ = _fold_snapshot(
+        _, meta, _, _, _ = _fold_snapshot(
             path.rstrip("/"), _resolve_version(self.options,
                                                path.rstrip("/")))
         return StructType.fromJson(meta["schema"])

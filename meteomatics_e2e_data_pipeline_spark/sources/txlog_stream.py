@@ -42,9 +42,16 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..operators.txproto import parse_commit_lines
+from ..operators.txproto import (check_protocol, parse_commit_lines,
+                                 parse_partition_values)
 
 _LOG_DIR = "_txlog"
+
+# This stream's own reader capability: partition columns fill from
+# partitionValues (reader 2); dv actions (reader 3) are NOT understood —
+# a DV table's change feed must be consumed via TxTable.read_changes,
+# which nets deletion-vector rows correctly.
+_READER_CAP = 2
 
 
 def _log_path(table: str, version: int) -> str:
@@ -74,7 +81,11 @@ def _read_commit(table: str, version: int) -> list[dict]:
 
 
 def _table_schema(table: str) -> StructType:
-    """Resolve the CURRENT schema: the newest meta action wins (schema
+    return StructType.fromJson(_table_meta(table)["schema"])
+
+
+def _table_meta(table: str) -> dict:
+    """Resolve the CURRENT table meta: the newest meta action wins (schema
     evolution via merge_schema writes a fresh meta in the evolving
     commit). Bounded scan: start from the newest checkpoint's meta (the
     checkpoint file carries the folded meta first) and only read the
@@ -86,6 +97,7 @@ def _table_schema(table: str) -> StructType:
              if f.endswith(".checkpoint.json")
              and f[:-len(".checkpoint.json")].isdigit()]
     meta: dict = {}
+    proto: dict = {}
     start = 0
     for cv in sorted(ckpts, reverse=True):
         try:
@@ -94,9 +106,11 @@ def _table_schema(table: str) -> StructType:
                 for line in fh:
                     if line.strip():
                         action = json.loads(line)
+                        if "protocol" in action:
+                            proto = action["protocol"]
                         if "meta" in action:
                             meta = action["meta"]
-                            break
+                            break  # protocol precedes meta in checkpoints
         except Exception:
             continue  # torn/unreadable checkpoint: older one or full scan
         start = cv + 1
@@ -105,15 +119,25 @@ def _table_schema(table: str) -> StructType:
         for action in _read_commit(table, v):
             if "meta" in action:
                 meta = action["meta"]
+            elif "protocol" in action:
+                proto = action["protocol"]
     if not meta:
         raise ValueError(f"{table}: no meta action found in the log")
-    return StructType.fromJson(meta["schema"])
+    # version gate: refuses (e.g.) deletion-vector tables instead of
+    # silently streaming resurrected rows
+    check_protocol(proto, f"{table} (txlog_cdc stream)",
+                   reader=_READER_CAP)
+    return meta
 
 
 @dataclass
 class CdcFilePartition(InputPartition):
     file_path: str
     change_type: str  # 'insert' | 'delete'
+    #: {col: typed value} for hive-partitioned tables (partition columns
+    #: are not in the file data; parsed from the file's relative path,
+    #: which add AND remove actions both carry)
+    partition_values: dict | None = None
 
 
 class TxLogCdcStreamReader(DataSourceStreamReader):
@@ -154,7 +178,12 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         if not 0 <= self.start <= latest:
             raise ValueError(
                 f"startingVersion {self.start} out of range 0..{latest}")
-        self.fields = [f.name for f in _table_schema(self.table).fields]
+        meta = _table_meta(self.table)
+        schema = StructType.fromJson(meta["schema"])
+        self.fields = [f.name for f in schema.fields]
+        self.partition_cols = meta.get("partition_cols") or []
+        self.partition_types = {f.name: f.dataType.typeName()
+                                for f in schema.fields}
 
     def _ratchet(self, version: int) -> None:
         if self._floor is None or version > self._floor:
@@ -199,6 +228,15 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         removes: list[str] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             for action in _read_commit(self.table, v):
+                if "dv" in action:
+                    # the table was upgraded to deletion vectors AFTER
+                    # this stream resolved its schema: the protocol gate
+                    # at init never saw it, so refuse here rather than
+                    # silently skipping the deletes
+                    raise RuntimeError(
+                        f"{self.table}@v{v} carries a deletion-vector "
+                        f"action this stream cannot interpret; consume "
+                        f"the change feed via TxTable.read_changes")
                 # Same dataChange filter as TxTable.read_changes: a
                 # compaction swap (optimize) moved rows between files
                 # without changing the table — the stream stays quiet.
@@ -213,9 +251,16 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         # can be unbalanced — net by Counter difference, never by set
         # intersection, or a remove + later re-add cancels to nothing.
         add_c, rem_c = Counter(adds), Counter(removes)
-        return ([CdcFilePartition(os.path.join(self.table, p), "insert")
+
+        def part(p: str, tag: str) -> CdcFilePartition:
+            pv = (parse_partition_values(p, self.partition_cols,
+                                         self.partition_types)
+                  if self.partition_cols else None)
+            return CdcFilePartition(os.path.join(self.table, p), tag, pv)
+
+        return ([part(p, "insert")
                  for p in sorted((add_c - rem_c).elements())]
-                + [CdcFilePartition(os.path.join(self.table, p), "delete")
+                + [part(p, "delete")
                    for p in sorted((rem_c - add_c).elements())])
 
     def read(self, partition: CdcFilePartition) -> Iterator:
@@ -233,11 +278,17 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         table = pq.read_table(partition.file_path)
         n = table.num_rows
         present = set(table.column_names)
+        pv = partition.partition_values or {}
         cols = {}
         for i, name in enumerate(self.fields):
             typ = target.field(i).type
-            cols[name] = (table.column(name).cast(typ).combine_chunks()
-                          if name in present else pa.nulls(n, type=typ))
+            if name in present:
+                cols[name] = table.column(name).cast(typ).combine_chunks()
+            elif name in pv and pv[name] is not None:
+                # hive partition column: constant, typed from the path
+                cols[name] = pa.array([pv[name]] * n).cast(typ)
+            else:
+                cols[name] = pa.nulls(n, type=typ)
         cols["_change_type"] = pa.array([partition.change_type] * n,
                                         type=pa.string())
         yield from pa.table(cols).to_batches()

@@ -121,6 +121,9 @@ _POOLED_MODULES = (
     "tests.test_txlog_convert",
     "tests.test_txlog_bloom",
     "tests.test_txlog_constraints",
+    # round 13: partition-aware txlog (hive layouts) + deletion vectors
+    "tests.test_txlog_partitioned",
+    "tests.test_txlog_dv",
 )
 
 

@@ -216,7 +216,9 @@ def _heavy_test_history_actions_are_auditable(spark, tmp_path):
     t.merge_upsert(_kv(spark, 10, 30, mul=3, parts=1), ["k"], update=True)
     hist = t.history()
     assert len(hist) == 2
-    assert "meta" in hist[0][0] and hist[0][0]["meta"]["stat_cols"] == ["k"]
+    # commit 0 leads with the protocol gate, then the table meta
+    assert "protocol" in hist[0][0]
+    assert "meta" in hist[0][1] and hist[0][1]["meta"]["stat_cols"] == ["k"]
     ops = {next(iter(a)) for a in hist[1]}
     assert ops == {"add", "remove", "info"}  # info = commit provenance
     # actions round-trip through JSON (the on-disk format IS json lines)
@@ -535,8 +537,8 @@ def _heavy_test_legacy_checkpoint_is_regenerated_in_place(spark, tmp_path):
         t._read_checkpoint(v)
     # idempotent call upgrades the file in place...
     assert t.write_checkpoint(v) == v
-    meta, live, _ = t._read_checkpoint(v)
-    assert meta and live
+    meta, live, _, proto = t._read_checkpoint(v)
+    assert meta and live and proto  # protocol survives the regeneration
     # ...and snapshot folds accelerate from it again
     from collections import Counter
     assert Counter((r["k"], r["v"]) for r in t.read().collect()) == \

@@ -235,7 +235,7 @@ def test_stream_sink_txn_guard_makes_replay_a_noop(spark, tmp_path):
     from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
         _fold_snapshot,
     )
-    _, _, _, txns = _fold_snapshot(p)
+    _, _, _, txns, _ = _fold_snapshot(p)
     assert txns == {"q1": 0, "q2": 1}
 
 

@@ -107,11 +107,23 @@ def _heavy_test_describe_history_records_operation_provenance(spark, tmp_path):
 
 
 def _heavy_test_convert_rejects_hive_layout_txlog_and_empty(spark, tmp_path):
+    # hive layouts ADOPT now (round 13 — tests/test_txlog_partitioned.py
+    # covers them); what stays refused is an AMBIGUOUS mix of flat and
+    # partitioned files in one directory (Spark's own scan refuses too)
     hive = str(tmp_path / "hive")
     (spark.range(10).selectExpr("id as k", "id % 2 as d")
      .write.partitionBy("d").parquet(hive))
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        TxTable.convert(spark, hive)
+    t = TxTable.convert(spark, hive)
+    assert t.detail()["partition_cols"] == ["d"]
+    assert t.read().count() == 10
+
+    mixed = str(tmp_path / "mixed")
+    (spark.range(5).selectExpr("id as k", "id % 2 as d")
+     .write.partitionBy("d").parquet(mixed))
+    (spark.range(5).selectExpr("id as k", "id % 2 as d")
+     .coalesce(1).write.mode("append").parquet(mixed))
+    with pytest.raises(ValueError, match="mixes partition layouts"):
+        TxTable.convert(spark, mixed)
 
     p = str(tmp_path / "already")
     _plain(spark, p, n=10, files=1)

@@ -359,7 +359,7 @@ def _heavy_test_torn_checkpoint_is_skipped_and_publish_is_atomic(spark, tmp_path
     assert fresh.live_files() == want_live       # full-fold fallback
     assert fresh.read().count() == want_rows
     assert fresh._fold_txns() == {}
-    _, _, live, _ = _fold_snapshot(p)
+    _, _, live, _, _ = _fold_snapshot(p)
     assert sorted(live) == want_live
     assert [f.name for f in _table_schema(p).fields] == ["k", "v"]
 
@@ -460,7 +460,7 @@ def _heavy_test_newline_truncated_checkpoint_rejected_by_count_trailer(
     fresh = TxTable(spark, p)
     assert fresh.live_files() == want_live       # full-fold fallback
     assert fresh.read().count() == want_rows
-    _, _, live, _ = _fold_snapshot(p)
+    _, _, live, _, _ = _fold_snapshot(p)
     assert sorted(live) == want_live
 
     # a truncation that keeps the trailer line itself is caught too
@@ -468,7 +468,7 @@ def _heavy_test_newline_truncated_checkpoint_rejected_by_count_trailer(
     with open(ck, "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines[:-3] + [lines[-1]]) + "\n")
     assert TxTable(spark, p).live_files() == want_live
-    _, _, live, _ = _fold_snapshot(p)
+    _, _, live, _, _ = _fold_snapshot(p)
     assert sorted(live) == want_live
 
 

@@ -1,0 +1,238 @@
+"""Partition-aware txlog: hive ``key=value`` layouts as first-class
+tables (the public Delta ``partitionValues`` add-action shape, reader
+protocol 2). Coverage contract (VERDICT r12 directive #1):
+
+- ``TxTable.convert`` ADOPTS the reference's own lake layout — the
+  hive-partitioned directories the S5 writer produces
+  (``sources/ingest.py write_partitioned_json`` / Spark ``partitionBy``,
+  reference ``meteomatics_get_data.py:116-133``) — in one stats scan,
+  zero data movement;
+- snapshot reads apply partition pruning BEFORE stat pruning
+  (``inputFiles()``-asserted);
+- keyed DML (MERGE/DELETE/UPDATE/apply_changes) plans through
+  ``partitionValues`` as exact stats and rewrites files back into
+  their partitions;
+- the CDC fold invariant holds across partitioned DML;
+- exotic partition values (escapes, nulls, typed ints) round-trip.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
+
+
+def _lake_df(spark):
+    return spark.createDataFrame(
+        [("DE", 2021, i, i * 10) for i in range(6)]
+        + [("EE", 2022, i, i * 10) for i in range(6, 12)],
+        "country string, year int, k int, v int")
+
+
+def _multiset(df):
+    return Counter(map(tuple, df.collect()))
+
+
+def _heavy_test_create_partitioned_prunes_and_dmls(spark, tmp_path):
+    t = TxTable.create(spark, _lake_df(spark), str(tmp_path / "t"),
+                       stat_cols=["k"], partition_cols=["country"])
+    d = t.detail()
+    assert d["partition_cols"] == ["country"]
+    assert d["protocol"] == {"minReader": 2, "minWriter": 2}
+    assert all("country=" in p for p in t.live_files())
+    # log-side partition pruning: ONLY that country's files are planned
+    de = t.read(partition_values={"country": "DE"})
+    assert de.count() == 6
+    assert de.inputFiles() and all("country=DE" in f
+                                   for f in de.inputFiles())
+    with pytest.raises(ValueError, match="not partitioned by"):
+        t.read(partition_values={"k": 1})
+    # keyed DML: partitionValues act as exact stats in the planner
+    rk = t.read_keys(spark.createDataFrame([("EE", 7)],
+                                           "country string, k int"),
+                     ["country", "k"])
+    assert rk.count() == 1
+    assert all("country=EE" in f for f in rk.inputFiles())
+    schema = "country string, year int, k int, v int"
+    t.merge_upsert(spark.createDataFrame([("DE", 2021, 0, 111)], schema),
+                   ["k"], update=True)
+    assert t.read().filter("k = 0").collect()[0]["v"] == 111
+    t.delete(spark.createDataFrame([(11,)], "k int"), ["k"])
+    assert t.read().count() == 11
+    # UPDATE keeps rows in their partitions; moving them is refused
+    t.update("k = 1", {"v": "v + 1"})
+    assert t.read().filter("k = 1").collect()[0]["v"] == 11
+    with pytest.raises(ValueError, match="partition columns"):
+        t.update("k = 1", {"country": "'FR'"})
+    # rewrites landed back inside key=value dirs, never at the root
+    assert all("country=" in p for p in t.live_files())
+    audit = t.fsck(verify_row_counts=True)
+    assert audit["ok"], audit
+
+
+def _heavy_test_convert_adopts_spark_partitioned_lake(spark, tmp_path):
+    """The flagship adoption story: a plain ``partitionBy`` lake — part
+    numbers COLLIDE across partition dirs, which is why planners key
+    files by relative path — becomes a txlog table in one stats scan,
+    with every capability (pruned reads, DML, time travel, evolution,
+    CDC) live on the adopted files."""
+    lake = str(tmp_path / "lake")
+    _lake_df(spark).repartition(4).write.partitionBy(
+        "country", "year").parquet(lake)
+    t = TxTable.convert(spark, lake, stat_cols=["k"])
+    assert t.detail()["partition_cols"] == ["country", "year"]
+    assert t.detail()["protocol"]["minReader"] == 2
+    assert t.read().count() == 12
+    # discovery typed the partition columns (year=2021 -> int)
+    assert t.schema()["year"].dataType.typeName() == "integer"
+    de = t.read(partition_values={"country": "DE"})
+    assert de.count() == 6 and all("country=DE" in f
+                                   for f in de.inputFiles())
+    # DML on adopted files (zero were rewritten at convert time)
+    before = set(t.live_files())
+    schema = t.read().schema
+    t.merge_upsert(
+        spark.createDataFrame([(2021, 0, 111, "DE")],
+                              "year int, k int, v int, country string")
+        .select(*[f.name for f in schema.fields]), ["k"], update=True)
+    assert t.read().filter("k = 0").collect()[0]["v"] == 111
+    t.delete(spark.createDataFrame([(11,)], "k int"), ["k"])
+    assert t.read().count() == 11
+    # schema evolution null-fills adopted files
+    extra = t.read().limit(0).sparkSession.createDataFrame(
+        [(2023, 50, 500, "FR", "x")],
+        "year int, k int, v int, country string, note string")
+    t.append(extra, merge_schema=True)
+    assert t.read().filter("k = 50").collect()[0]["note"] == "x"
+    assert t.read(partition_values={"country": "FR"}).count() == 1
+    # time travel back to the exact adopted state reads the ORIGINAL
+    # files (adoption moved nothing; DML superseded, never destroyed)
+    v0 = t.read(version=0)
+    assert v0.count() == 12
+    assert {f.rsplit(f"{lake}/", 1)[-1] for f in v0.inputFiles()} \
+        == before
+    audit = t.fsck(verify_row_counts=True)
+    assert audit["ok"], audit
+
+
+def _heavy_test_partitioned_cdc_fold_invariant_and_optimize(
+        spark, tmp_path):
+    t = TxTable.create(spark, _lake_df(spark), str(tmp_path / "t"),
+                       stat_cols=["k"], partition_cols=["country"])
+    schema = "country string, year int, k int, v int"
+    t.append(spark.createDataFrame([("FR", 2023, 50, 500)], schema))
+    t.merge_upsert(spark.createDataFrame([("EE", 2022, 7, 777)], schema),
+                   ["k"], update=True)
+    t.delete(spark.createDataFrame([(3,)], "k int"), ["k"])
+    v_before = t.version
+    # OPTIMIZE packs WITHIN partitions, layout-only
+    t.optimize(target_rows=1000)
+    assert all("country=" in p for p in t.live_files())
+    assert t.read_changes(v_before).count() == 0  # compaction is silent
+    for frm in range(t.version + 1):
+        ch = t.read_changes(frm)
+        ins = _multiset(ch.filter("_change_type = 'insert'")
+                        .drop("_change_type"))
+        dels = _multiset(ch.filter("_change_type = 'delete'")
+                         .drop("_change_type"))
+        assert _multiset(t.read(version=frm)) + ins - dels \
+            == _multiset(t.read()), f"fold invariant broke at {frm}"
+
+
+def _heavy_test_partition_values_roundtrip_exotic(spark, tmp_path):
+    """Escaped values (Spark writes ``a b/c`` as ``a b%2Fc``), NULL
+    (``__HIVE_DEFAULT_PARTITION__``) and typed ints all round-trip
+    through partitionValues, pruning, and keyed DML."""
+    df = spark.createDataFrame(
+        [("a b/c", 1, 5), (None, 2, 6), ("x%20y", 3, 7)],
+        "tag string, k int, v int")
+    t = TxTable.create(spark, df, str(tmp_path / "t"), stat_cols=["k"],
+                       partition_cols=["tag"])
+    assert _multiset(t.read()) == _multiset(df)
+    got = t.read(partition_values={"tag": "a b/c"})
+    assert [r["k"] for r in got.collect()] == [1]
+    t.delete(spark.createDataFrame([(2,)], "k int"), ["k"])
+    rows = t.read().collect()
+    assert sorted(r["k"] for r in rows) == [1, 3]
+    assert t.fsck(verify_row_counts=True)["ok"]
+
+
+def _heavy_test_partitioned_datasources(spark, tmp_path):
+    """The plain-IO tiers over a partitioned table: the batch DataSource
+    fills partition columns from partitionValues and PRUNES files on
+    partition predicates before any task launches; the CDC stream tags
+    partitioned inserts/deletes with path-derived partition values."""
+    from meteomatics_e2e_data_pipeline_spark.sources import (txlog_batch,
+                                                             txlog_stream)
+    txlog_batch.register(spark)
+    txlog_stream.register(spark)
+    lake = str(tmp_path / "lake")
+    _lake_df(spark).repartition(2).write.partitionBy("country").parquet(
+        lake)
+    t = TxTable.convert(spark, lake, stat_cols=["k"])
+    full = spark.read.format("txlog").option("path", t.path).load()
+    assert full.count() == 12
+    assert _multiset(full.select("country", "year", "k", "v")) \
+        == _multiset(_lake_df(spark))
+    # partition predicate prunes at the file level (fresh load per scan)
+    ee = (spark.read.format("txlog").option("path", t.path).load()
+          .filter("country = 'EE'"))
+    assert ee.count() == 6
+    # DataSource writer refuses partitioned tables loudly (it stages
+    # flat files without partitionValues)
+    with pytest.raises(Exception, match="partitioned"):
+        (full.limit(1).write.format("txlog").mode("append")
+         .option("path", t.path).save())
+    # CDC stream: a delete inside one partition streams the rewrite
+    # with partition columns filled from paths
+    t.delete(spark.createDataFrame([(7,)], "k int"), ["k"])
+    q = (spark.readStream.format("txlog_cdc").option("path", t.path)
+         .load().writeStream.format("memory").queryName("cdc_part_ds")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from cdc_part_ds").collect()
+    assert all(r["country"] in ("DE", "EE") for r in rows)
+    net = Counter()
+    for r in rows:
+        key = (r["country"], r["year"], r["k"], r["v"])
+        net[key] += 1 if r["_change_type"] == "insert" else -1
+    netted = {k for k, n in net.items() if n != 0}
+    assert netted == {("EE", 2022, 7, 70)}  # exactly the deleted row
+
+
+_POOLED = {n: fn for n, fn in [
+    ("test_create_partitioned_prunes_and_dmls",
+     _heavy_test_create_partitioned_prunes_and_dmls),
+    ("test_convert_adopts_spark_partitioned_lake",
+     _heavy_test_convert_adopts_spark_partitioned_lake),
+    ("test_partitioned_cdc_fold_invariant_and_optimize",
+     _heavy_test_partitioned_cdc_fold_invariant_and_optimize),
+    ("test_partition_values_roundtrip_exotic",
+     _heavy_test_partition_values_roundtrip_exotic),
+    ("test_partitioned_datasources",
+     _heavy_test_partitioned_datasources),
+]}
+
+
+@pytest.fixture(scope="module")
+def partitioned_pool(_heavy_pool):
+    futs = {n: _heavy_pool["tests.test_txlog_partitioned::" + n]
+            for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
+
+
+def _shim(name):
+    def test(partitioned_pool):
+        ex = partitioned_pool[name]
+        if ex is not None:
+            raise ex
+    test.__name__ = name
+    return test
+
+
+for _n in _POOLED:
+    globals()[_n] = _shim(_n)
+del _n

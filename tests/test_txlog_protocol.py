@@ -1,0 +1,108 @@
+"""The log-level protocol action (the public Delta ``protocol`` action,
+PROTOCOL.md "Protocol Evolution"): every table declares the MINIMUM
+reader/writer capability required to fold its log, stamped at commit 0;
+clients compare before acting and refuse ahead-of-capability tables
+with a NAMED error listing the required version — on read AND write —
+instead of betting on parser strictness. fsck reports the protocol
+(audits stay runnable by any client); checkpoints carry it so
+checkpoint-accelerated folds keep the gate."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
+from meteomatics_e2e_data_pipeline_spark.operators.txproto import (
+    BASE_PROTOCOL, TxProtocolError, commit_payload)
+
+
+def _t(spark, tmp_path, name="p"):
+    return TxTable.create(
+        spark, spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        str(tmp_path / name), stat_cols=["k"])
+
+
+def _stamp(t: TxTable, proto: dict) -> int:
+    """Publish a raw protocol commit, as a FUTURE writer would."""
+    v = t.version + 1
+    with open(os.path.join(t.log_dir, f"{v:020d}.json"), "w",
+              encoding="utf-8") as fh:
+        fh.write(commit_payload([{"protocol": dict(proto)}]))
+    return v
+
+
+def test_commit_zero_declares_base_protocol(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    first = t.history()[0][0]
+    assert first == {"protocol": BASE_PROTOCOL}
+    assert t.detail()["protocol"] == BASE_PROTOCOL
+    audit = t.fsck()
+    assert audit["protocol"] == BASE_PROTOCOL and audit["protocol_supported"]
+
+
+def test_future_reader_version_refused_on_read_named_error(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    _stamp(t, {"minReader": 99, "minWriter": 99})
+    fresh = TxTable(spark, t.path)
+    with pytest.raises(TxProtocolError, match="minReader=99"):
+        fresh.read()
+    with pytest.raises(TxProtocolError, match="minReader=99"):
+        fresh.read_changes(0)
+    # time travel to the PRE-upgrade snapshot stays readable (the
+    # protocol is checked at the FOLDED version — the Delta rule)
+    assert fresh.read(version=0).count() == 2
+    # fsck still runs and REPORTS instead of raising
+    audit = fresh.fsck(verify_row_counts=True)
+    assert audit["protocol"] == {"minReader": 99, "minWriter": 99}
+    assert not audit["protocol_supported"]
+
+
+def test_future_writer_version_refused_on_write_named_error(
+        spark, tmp_path):
+    t = _t(spark, tmp_path)
+    _stamp(t, {"minReader": 1, "minWriter": 99})
+    fresh = TxTable(spark, t.path)
+    assert fresh.read().count() == 2  # still readable: only writes gated
+    with pytest.raises(TxProtocolError, match="minWriter=99"):
+        fresh.append(spark.createDataFrame([(3, 30)], "k int, v int"))
+    with pytest.raises(TxProtocolError, match="minWriter=99"):
+        fresh.delete(spark.createDataFrame([(1,)], "k int"), ["k"])
+    assert fresh.version == 1  # nothing published past the gate
+
+
+def test_datasource_and_cdc_stream_respect_their_own_caps(spark, tmp_path):
+    """The plain-IO sources declare reader capability 2 (partitions yes,
+    deletion vectors no): a table stamped at the DV level refuses with
+    the named error pointing past them, while TxTable (reader 3) still
+    folds it."""
+    from meteomatics_e2e_data_pipeline_spark.sources import (txlog_batch,
+                                                              txlog_stream)
+    t = _t(spark, tmp_path)
+    _stamp(t, {"minReader": 3, "minWriter": 3})
+    txlog_batch.register(spark)
+    txlog_stream.register(spark)
+    with pytest.raises(Exception, match="minReader=3"):
+        (spark.read.format("txlog").option("path", t.path).load().count())
+    with pytest.raises(Exception, match="minReader=3"):
+        spark.readStream.format("txlog_cdc").option("path", t.path).load()
+    assert TxTable(spark, t.path).read().count() == 2  # full client: fine
+
+
+def test_protocol_survives_checkpoint_accelerated_folds(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    _stamp(t, {"minReader": 2, "minWriter": 2})
+    ckpt_v = t.write_checkpoint()
+    meta, live, txns, proto = t._read_checkpoint(ckpt_v)
+    assert proto == {"minReader": 2, "minWriter": 2} and meta and live
+    # a fold that STARTS from the checkpoint (not commit 0) still
+    # carries the gate — the stamped protocol is seen without ever
+    # reading the stamping commit
+    df = spark.createDataFrame([(9, 90)], "k int, v int")
+    fresh = TxTable(spark, t.path)
+    fresh.append(df)
+    assert fresh._proto == {"minReader": 2, "minWriter": 2}
+    text = open(os.path.join(
+        t.log_dir, f"{ckpt_v:020d}.checkpoint.json")).read()
+    assert text.splitlines()[0].startswith('{"protocol"')
