@@ -34,37 +34,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-12 rotation (VERDICT r11 directive #4), priority order:
-# (1) the 5 NEW entries (fact_params_history_maintained /
-#     fact_sun_forecast_maintained — the CDC-maintained star's facts —
-#     and weather_city_daily_maintained — the J3 star-join consumed
-#     from the maintained tables — all checked against the SAME SQL as
-#     their batch forms; and emb_ann_ivf_indexed — IVF served from the
-#     persisted CDC-maintained index table; second sitting added
-#     orders_converted_rollup — a rollup consumed from a TxTable.convert
-#     ADOPTED table, putting the table-format tier itself under the
-#     oracle gate, and orders_converted_pointget — TxTable.read_keys
-#     point lookups through the stat+bloom skipping machinery on the
-#     same adopted table — displacing docs_simhash and
-#     docs_shuffle_order, the two newest r8 rows in the block below,
-#     to the round-13 list);
-# (2) the 4 plans CHANGED by the knn_ivf -> knn_ivf_preassigned
-#     serving split (emb_ann_ivf, emb_ann_ivf_multiprobe,
-#     emb_ann_ivf_trained, emb_ann_recall — value-identical refactor,
-#     re-attested anyway);
-# (3) ALL 19 remaining r7-dated attestations (the complete pre-r8
-#     debt — zero pre-r8 rows remain after this gate lands green);
-# (4) the first 23 of the 41 r8-dated rows (alphabetical; the
-#     remaining 18 — docs_text_stats, docs_token_budget_mix, docs_tokenizer_fertility,
-#     docs_training_mix, docs_unigram_nll, emb_dedup_keep,
-#     emb_knn_int8, emb_knn_pq_trained, emb_pq_codes,
-#     emb_quantize_int8, events_rollup_incremental,
-#     events_spatial_grid, events_variant_project,
-#     fact_weather_params_history, nation_profit_by_year,
-#     shipmode_priority_matrix, top_revenue_suppliers,
-#     weather_dim_condition, plus docs_simhash and docs_shuffle_order
-#     displaced by the second-sitting convert entries — lead the
-#     round-13 rotation).
+# Round-13 rotation (VERDICT r12 directive #4), priority order:
+# (1) the 4 NEW entries: orders_partitioned_pruned /
+#     orders_partitioned_rollup (hive-partitioned ADOPTION via
+#     TxTable.convert + partition-pruned reads + partitioned MERGE/
+#     DELETE, hashed against the original orders view with the
+#     build-time DML emulated in SQL), orders_dv_pointget (read_keys
+#     after a zero-rewrite deletion-vector delete), and
+#     weather_city_daily_rollup_maintained (the rollup maintained one
+#     IVM level DEEPER — from the history fact's own change feed —
+#     answering the batch rollup's oracle verbatim);
+# (2) the 6 entries whose state-build or read path CHANGED this round:
+#     the two converted-orders gates (txlog reads now route through the
+#     partition/DV-aware _scan_files) and the four maintained-star
+#     entries (the cached star rebuilt under the star_layout=2
+#     fingerprint with the rollup folding after each window), plus
+#     emb_ann_ivf_indexed (same txlog read-path change);
+# (3) ALL 20 remaining r8-dated attestations (the complete pre-r9
+#     debt — zero pre-r9 rows remain after this gate lands green);
+# (4) the first 20 of the 46 oracle-backed r9-dated rows
+#     (alphabetical; the remaining 26 lead the round-14 rotation).
 # The 5 rows-only-by-design queries (emb_knn_vectorized,
 # event_user_reach_approx, event_reach_sketch_weekly,
 # order_value_percentiles_approx, event_audience_overlap_approx) are
@@ -74,56 +63,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # stays re-verified by the local DuckDB mirror at sf0.01 each round
 # (tests/test_oracle_parity.py parametrizes ALL queries).
 _VERIFY_FIRST = (
+    # (1) new this round
+    "orders_partitioned_pruned",
+    "orders_partitioned_rollup",
+    "orders_dv_pointget",
+    "weather_city_daily_rollup_maintained",
+    # (2) changed state-build / read path
+    "orders_converted_rollup",
+    "orders_converted_pointget",
     "fact_params_history_maintained",
     "fact_sun_forecast_maintained",
     "weather_city_daily_maintained",
     "emb_ann_ivf_indexed",
-    "orders_converted_rollup",
-    "orders_converted_pointget",
-    "emb_ann_ivf",
-    "emb_ann_ivf_multiprobe",
-    "emb_ann_ivf_trained",
-    "emb_ann_recall",
-    "fact_weather_params_forecast",
-    "late_shipment_orders",
-    "latest_order_agg",
-    "local_supplier_volume",
-    "min_cost_supplier",
-    "multimodal_features",
-    "multimodal_png_features",
-    "multimodal_png_resized",
-    "multimodal_resized",
-    "nation_market_share",
-    "part_supplier_variety",
-    "promo_revenue_share",
-    "region_revenue",
-    "returned_item_losses",
-    "small_order_revenue",
-    "supplier_revenue_ranks",
-    "top_parts_by_revenue",
-    "top_supplier_revenue",
-    "urgent_shipping_priority",
-    "customer_rfm_segments",
-    "customer_trailing_spend",
-    "dim_date_spine",
-    "docs_boilerplate_scrub",
-    "docs_contamination",
-    "docs_dedup_keep",
-    "docs_dup_clusters",
-    "docs_dup_kcore",
-    "docs_dup_spans",
-    "docs_exact_dedup",
-    "docs_gzip_decode",
-    "docs_jaccard_join",
-    "docs_lang_guess",
-    "docs_lang_temperature_sample",
-    "docs_near_dup_incremental",
-    "docs_near_dup_pairs",
-    "docs_oov_rate",
-    "docs_packed",
-    "docs_quality_gopher",
-    "docs_quality_percentile",
-    "docs_sampled",
+    # (3) the 20 remaining r8-dated attestations
+    "docs_shuffle_order",
+    "docs_simhash",
+    "docs_text_stats",
+    "docs_token_budget_mix",
+    "docs_tokenizer_fertility",
+    "docs_training_mix",
+    "docs_unigram_nll",
+    "emb_dedup_keep",
+    "emb_knn_int8",
+    "emb_knn_pq_trained",
+    "emb_pq_codes",
+    "emb_quantize_int8",
+    "events_rollup_incremental",
+    "events_spatial_grid",
+    "events_variant_project",
+    "fact_weather_params_history",
+    "nation_profit_by_year",
+    "shipmode_priority_matrix",
+    "top_revenue_suppliers",
+    "weather_dim_condition",
+    # (4) the alphabetically-first 20 r9-dated rows
+    "customer_order_gaps",
+    "customers_without_orders",
+    "dim_date_from_orders",
+    "dim_geo",
+    "docs_bloom_contamination",
+    "docs_classifier_auc",
+    "docs_classifier_calibration",
+    "docs_classifier_threshold",
+    "docs_containment_pairs",
+    "docs_contamination_attribution",
+    "docs_dsir_weights",
+    "docs_ks_drift",
+    "docs_minhash_calibration",
+    "docs_near_dup_edit_distance",
+    "docs_quality_classifier",
+    "docs_repetition_signals",
+    "docs_scrubbed_containment",
+    "docs_simhash_pairs",
+    "docs_tfidf_top_terms",
+    "docs_top_dup_spans",
 )
 
 

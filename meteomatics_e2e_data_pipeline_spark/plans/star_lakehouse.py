@@ -166,6 +166,8 @@ def create_weather_star(spark: SparkSession, root: str) -> WeatherStar:
                            ["location_key"]),
         dim_condition=table("dim_condition", _DIM_COND_SCHEMA,
                             ["condition_key"]),
+        agg_city_daily=table("agg_city_daily", _ROLLUP_SCHEMA,
+                             ROLLUP_KEYS),
     )
 
 
@@ -295,6 +297,64 @@ def _fold(spark: SparkSession, star: WeatherStar, from_v: int, to_v: int,
             [{"txn": {"appId": _APP, "version": int(to_v)}}], rv)
 
 
+def _rollup_state(fact_rows: DataFrame) -> DataFrame:
+    """Group-state projection of history-fact rows — the same MIN/MAX/
+    COUNT the batch ``q_weather_city_daily`` computes, kept at key grain
+    (dim attributes join at serve time)."""
+    return (fact_rows.groupBy(*ROLLUP_KEYS)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_readings"),
+                 F.min("reading_value").alias("min_value"),
+                 F.max("reading_value").alias("max_value")))
+
+
+def maintain_city_daily_rollup(spark: SparkSession,
+                               star: WeatherStar) -> int:
+    """IVM composed one level DEEPER: the city-daily rollup follows the
+    change feed of ``fact_weather_params_history`` — itself a
+    CDC-maintained txlog table — so the whole chain bronze → stg → fact
+    → rollup advances with per-hop work ∝ that hop's increment.
+
+    MIN/MAX are not difference-maintainable under deletes (removing a
+    group's minimum needs the runner-up), so the fold uses the standard
+    IVM answer for non-distributive aggregates: recompute exactly the
+    TOUCHED groups from the fact snapshot at the window's end —
+    ``read_keys``-pruned, cost ∝ touched groups' rows, never fact size.
+    A group whose rows all disappeared yields no recomputed row and
+    nets to a delete. Exactly-once via the same txn-floor discipline as
+    the star fold (``txn=(_ROLLUP_APP, fact_version)``; a no-change
+    window records a bare txn floor). Late reissuances that flip a key
+    OUT of the history fact (the P7 family flip) arrive here as plain
+    fact deletes — the flip needs no special casing at this level.
+
+    Returns the fact version the rollup is maintained up to."""
+    fact = star.facts["fact_weather_params_history"]
+    roll = star.agg_city_daily
+    frm, to_v = star.rollup_applied_version, fact.version
+    if frm >= to_v:
+        return frm
+    changes = fact.read_changes(frm, to_v)
+    touched = (changes.select(*ROLLUP_KEYS).distinct()
+               .localCheckpoint(eager=True))
+    if touched.isEmpty():
+        rv, _, _ = roll._snapshot()
+        roll._commit([{"txn": {"appId": _ROLLUP_APP,
+                               "version": int(to_v)}}], rv)
+        return to_v
+    group_rows = fact.read_keys(touched, ROLLUP_KEYS, version=to_v)
+    new_state = _rollup_state(group_rows)
+    old_state = roll.read_keys(touched, ROLLUP_KEYS)
+    roll.apply_changes(_feed(new_state, old_state), ROLLUP_KEYS,
+                       txn=(_ROLLUP_APP, to_v))
+    if (roll.last_txn(_ROLLUP_APP) or 0) < to_v:
+        # every touched group recomputed to its existing state (e.g. a
+        # carried-through rewrite): record the floor so later calls
+        # never re-fold this window
+        rv, _, _ = roll._snapshot()
+        roll._commit([{"txn": {"appId": _ROLLUP_APP,
+                               "version": int(to_v)}}], rv)
+    return to_v
+
+
 def maintain_weather_star(spark: SparkSession, star: WeatherStar,
                           to_version: int | None = None,
                           versions_per_fold: int = 0,
@@ -340,6 +400,9 @@ def _bronze_fingerprint() -> str:
     # must rebuild them, not hand strict readers a pre-bump log
     from ..operators.txproto import TXPROTO_VERSION
     h.update(f"txproto={TXPROTO_VERSION}".encode())
+    # star-schema layout version: r13 added the maintained city-daily
+    # rollup table, so pre-r13 cached stars must rebuild
+    h.update(b"star_layout=2")
     return h.hexdigest()[:16]
 
 
@@ -368,6 +431,10 @@ def maintained_star(spark: SparkSession) -> WeatherStar:
             sl_v = ingest_bronze_increment(
                 spark, star, f"{root}/*/*/weather_raw_{pattern}.json")
             maintain_weather_star(spark, star, to_version=sl_v)
+            # the deeper IVM hop folds after EACH star fold, so the
+            # cached rollup has lived through the late-reissuance
+            # family-flip window (fact deletes), not just appends
+            maintain_city_daily_rollup(spark, star)
         (build / "_DONE").touch()
         try:
             os.rename(build, base)
@@ -404,10 +471,33 @@ def q_weather_city_daily_maintained(spark: SparkSession,
     )
 
 
+def q_weather_city_daily_rollup_maintained(spark: SparkSession,
+                                           sf_dir: str) -> DataFrame:
+    """The rollup served from its OWN maintained state table — the IVM
+    chain's deepest hop under the oracle gate: bronze → stg (CDC fold)
+    → fact (apply_changes) → rollup (touched-group recompute), and the
+    final table still answers the batch ``weather_city_daily`` oracle
+    verbatim (dims broadcast-joined at serve time for the names)."""
+    star = maintained_star(spark)
+    roll = star.agg_city_daily.read()
+    return (roll
+            .join(F.broadcast(star.dim_location.read()
+                              .select("location_key", "city")),
+                  "location_key")
+            .join(F.broadcast(star.dim_condition.read()
+                              .select("condition_key", "parameter_name")),
+                  "condition_key")
+            .select("city", "parameter_name", "date_key", "n_readings",
+                    F.round("min_value", 2).alias("min_value"),
+                    F.round("max_value", 2).alias("max_value")))
+
+
 STAR_QUERIES = {
     "fact_params_history_maintained": _q_fact_maintained(False, True),
     "fact_sun_forecast_maintained": _q_fact_maintained(True, False),
     "weather_city_daily_maintained": q_weather_city_daily_maintained,
+    "weather_city_daily_rollup_maintained":
+        q_weather_city_daily_rollup_maintained,
 }
 
 
@@ -423,6 +513,10 @@ def star_oracle() -> dict[str, str]:
         # the maintained star must be CONSUMABLE at parity: the J3
         # star-join answers the batch query's oracle verbatim
         "weather_city_daily_maintained": oracle_weather_city_daily(),
+        # ...and so must the rollup maintained ONE LEVEL DEEPER (from
+        # the fact's own change feed) — same oracle, zero recompute
+        "weather_city_daily_rollup_maintained":
+            oracle_weather_city_daily(),
     }
 
 
@@ -435,6 +529,7 @@ def audit_star(star: WeatherStar) -> dict[str, dict]:
     tables = {"stg": star.stg, "winners": star.winners,
               "dim_location": star.dim_location,
               "dim_condition": star.dim_condition,
+              "agg_city_daily": star.agg_city_daily,
               **star.facts}
     reports = {name: t.fsck() for name, t in tables.items()}
     bad = {name: r for name, r in reports.items() if not r["ok"]}
@@ -470,6 +565,7 @@ def run_star_pipeline(spark: SparkSession, root: str, bronze_glob: str,
     star = create_weather_star(spark, root)
     ingest_bronze_increment(spark, star, bronze_glob)
     applied = maintain_weather_star(spark, star, as_of=as_of)
+    maintain_city_daily_rollup(spark, star)
     if optimize_every and applied and applied % optimize_every == 0:
         for t in (star.winners, *star.facts.values()):
             t.optimize()

@@ -167,6 +167,50 @@ def _heavy_test_run_star_pipeline_cycles_with_compaction(spark, tmp_path):
         spark, sroot, f"{root}/*/*/weather_raw_*.json", audit=True) == v2
 
 
+def _heavy_test_rollup_maintained_from_fact_cdc(spark, tmp_path):
+    """IVM one level DEEPER (r12 directive #7): the city-daily rollup
+    follows fact_weather_params_history's OWN change feed. After every
+    fold — including the late 03-27 reissuance, which reaches the
+    rollup as plain fact deletes (family flips / winner replacements) —
+    the maintained state equals a full recompute over the current fact,
+    i.e. exactly what the batch rollup would build. Replays are no-ops
+    (txn floor), and a fold with no fact changes records only the
+    floor."""
+    root = ensure_fixtures()
+    star = sl.create_weather_star(spark, str(tmp_path / "star"))
+    fact = star.facts["fact_weather_params_history"]
+    for pattern in ("*2025-03-26*", "*2025-03-2[89]*", "*2025-03-27*"):
+        sl.ingest_bronze_increment(
+            spark, star, f"{root}/*/*/weather_raw_{pattern}.json")
+        sl.maintain_weather_star(spark, star)
+        applied = sl.maintain_city_daily_rollup(spark, star)
+        assert applied == fact.version
+        assert _ms(star.agg_city_daily.read()) == \
+            _ms(sl._rollup_state(fact.read()))
+    # exercise the delete path explicitly: drop one reading from the
+    # fact (a keyed DELETE — the same shape a winner replacement takes)
+    # and the touched GROUP recomputes from its remaining rows while
+    # every other group's state is untouched
+    victim = fact.read().limit(1)
+    before = _ms(star.agg_city_daily.read())
+    fact.delete(victim.select(*sl.FACT_KEYS), sl.FACT_KEYS)
+    sl.maintain_city_daily_rollup(spark, star)
+    after = _ms(star.agg_city_daily.read())
+    assert after == _ms(sl._rollup_state(fact.read()))
+    assert after != before  # the victim's group genuinely changed
+    # replay is a pure no-op: same floor, no new rollup version
+    rv = star.agg_city_daily.version
+    assert sl.maintain_city_daily_rollup(spark, star) == fact.version
+    assert star.agg_city_daily.version == rv
+    # a star fold that changes nothing advances only the rollup floor
+    v0 = star.rollup_applied_version
+    fact.optimize(target_rows=10)  # layout-only commits on the fact
+    sl.maintain_city_daily_rollup(spark, star)
+    assert star.rollup_applied_version >= v0
+    assert _ms(star.agg_city_daily.read()) == \
+        _ms(sl._rollup_state(fact.read()))
+
+
 # ---------------------------------------------------------------------------
 # Pooled heavy bodies (runtime-budget lever; see conftest.pool_bodies):
 # independent bodies run concurrently under one module fixture, each
@@ -175,6 +219,7 @@ def _heavy_test_run_star_pipeline_cycles_with_compaction(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 _POOLED = {
+    "test_rollup_maintained_from_fact_cdc": _heavy_test_rollup_maintained_from_fact_cdc,
     "test_cdc_maintained_star_equals_batch_rebuild": _heavy_test_cdc_maintained_star_equals_batch_rebuild,
     "test_star_fold_is_exactly_once_across_crash_and_bounded_catchup": _heavy_test_star_fold_is_exactly_once_across_crash_and_bounded_catchup,
     "test_run_star_pipeline_cycles_with_compaction": _heavy_test_run_star_pipeline_cycles_with_compaction,
@@ -188,6 +233,12 @@ def star_pool(_heavy_pool):
     futs = {n: _heavy_pool["tests.test_star_lakehouse::" + n]
             for n in _POOLED}
     return {n: f.result() for n, f in futs.items()}
+
+
+def test_rollup_maintained_from_fact_cdc(star_pool):
+    ex = star_pool["test_rollup_maintained_from_fact_cdc"]
+    if ex is not None:
+        raise ex
 
 
 def test_cdc_maintained_star_equals_batch_rebuild(star_pool):

@@ -318,12 +318,19 @@ def test_durable_cdc_near_dup_maintenance_exactly_once_across_crash(
     ck, sp = str(tmp_path / "ck"), str(tmp_path / "state")
 
     real = txmod.TxTable.apply_delta
-    calls = {"n": 0}
+    calls = {"crashed": False}
+    state_path = sp.rstrip("/")
 
     def crashing(self, deletes, inserts=None, txn=None):
         v = real(self, deletes, inserts, txn=txn)
-        calls["n"] += 1
-        if calls["n"] == 1:
+        # Scope the injection to THIS test's state table: the patch is
+        # process-global (class attribute), so an apply_delta call from
+        # any concurrent session/thread would otherwise absorb the one
+        # injected crash and this test's fold would sail through — the
+        # r12 "red once under 3 concurrent sessions" flake, fixed at
+        # the mechanism (PLANS.md r13).
+        if self.path == state_path and not calls["crashed"]:
+            calls["crashed"] = True
             raise RuntimeError("injected crash after state commit")
         return v
 
