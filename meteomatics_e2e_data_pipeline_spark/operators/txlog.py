@@ -1799,7 +1799,7 @@ class TxTable:
         ``matched`` already excludes previously-tombstoned rows (the
         probe scan is DV-aware), so re-deleting a key is a no-op and
         CDC never double-emits a delete."""
-        from .txproto import DV_PROTOCOL, needs_upgrade
+        from .txproto import DV_PROTOCOL, merged_protocol, needs_upgrade
         pairs = (matched.select("_file", *keys).distinct()
                  .limit(self._DV_MAX_PAIRS + 1).collect())
         if len(pairs) > self._DV_MAX_PAIRS:
@@ -1814,9 +1814,12 @@ class TxTable:
             by_file.setdefault(_unq(r["_file"]), []).append(
                 [_json_scalar(r[k]) for k in keys])
         actions = []
-        if needs_upgrade(getattr(self, "_proto", None), DV_PROTOCOL):
-            # feature gate rides the SAME atomic commit as its first use
-            actions.append(protocol_action(DV_PROTOCOL))
+        cur_proto = getattr(self, "_proto", None)
+        if needs_upgrade(cur_proto, DV_PROTOCOL):
+            # feature gate rides the SAME atomic commit as its first
+            # use; merged so an already-higher declaration never lowers
+            actions.append(protocol_action(
+                merged_protocol(cur_proto, DV_PROTOCOL)))
         for path in sorted(by_file):
             actions.append({"dv": {"path": path, "keyCols": keys,
                                    "keys": sorted(by_file[path])}})

@@ -124,6 +124,7 @@ _POOLED_MODULES = (
     # round 13: partition-aware txlog (hive layouts) + deletion vectors
     "tests.test_txlog_partitioned",
     "tests.test_txlog_dv",
+    "tests.test_txlog_protocol",
 )
 
 

@@ -33,7 +33,7 @@ def _stamp(t: TxTable, proto: dict) -> int:
     return v
 
 
-def test_commit_zero_declares_base_protocol(spark, tmp_path):
+def _heavy_test_commit_zero_declares_base_protocol(spark, tmp_path):
     t = _t(spark, tmp_path)
     first = t.history()[0][0]
     assert first == {"protocol": BASE_PROTOCOL}
@@ -42,7 +42,7 @@ def test_commit_zero_declares_base_protocol(spark, tmp_path):
     assert audit["protocol"] == BASE_PROTOCOL and audit["protocol_supported"]
 
 
-def test_future_reader_version_refused_on_read_named_error(spark, tmp_path):
+def _heavy_test_future_reader_version_refused_on_read_named_error(spark, tmp_path):
     t = _t(spark, tmp_path)
     _stamp(t, {"minReader": 99, "minWriter": 99})
     fresh = TxTable(spark, t.path)
@@ -59,7 +59,7 @@ def test_future_reader_version_refused_on_read_named_error(spark, tmp_path):
     assert not audit["protocol_supported"]
 
 
-def test_future_writer_version_refused_on_write_named_error(
+def _heavy_test_future_writer_version_refused_on_write_named_error(
         spark, tmp_path):
     t = _t(spark, tmp_path)
     _stamp(t, {"minReader": 1, "minWriter": 99})
@@ -72,7 +72,7 @@ def test_future_writer_version_refused_on_write_named_error(
     assert fresh.version == 1  # nothing published past the gate
 
 
-def test_datasource_and_cdc_stream_respect_their_own_caps(spark, tmp_path):
+def _heavy_test_datasource_and_cdc_stream_respect_their_own_caps(spark, tmp_path):
     """The plain-IO sources declare reader capability 2 (partitions yes,
     deletion vectors no): a table stamped at the DV level refuses with
     the named error pointing past them, while TxTable (reader 3) still
@@ -90,7 +90,7 @@ def test_datasource_and_cdc_stream_respect_their_own_caps(spark, tmp_path):
     assert TxTable(spark, t.path).read().count() == 2  # full client: fine
 
 
-def test_protocol_survives_checkpoint_accelerated_folds(spark, tmp_path):
+def _heavy_test_protocol_survives_checkpoint_accelerated_folds(spark, tmp_path):
     t = _t(spark, tmp_path)
     _stamp(t, {"minReader": 2, "minWriter": 2})
     ckpt_v = t.write_checkpoint()
@@ -106,3 +106,38 @@ def test_protocol_survives_checkpoint_accelerated_folds(spark, tmp_path):
     text = open(os.path.join(
         t.log_dir, f"{ckpt_v:020d}.checkpoint.json")).read()
     assert text.splitlines()[0].startswith('{"protocol"')
+
+
+_POOLED = {n: fn for n, fn in [
+    ("test_commit_zero_declares_base_protocol",
+     _heavy_test_commit_zero_declares_base_protocol),
+    ("test_future_reader_version_refused_on_read_named_error",
+     _heavy_test_future_reader_version_refused_on_read_named_error),
+    ("test_future_writer_version_refused_on_write_named_error",
+     _heavy_test_future_writer_version_refused_on_write_named_error),
+    ("test_datasource_and_cdc_stream_respect_their_own_caps",
+     _heavy_test_datasource_and_cdc_stream_respect_their_own_caps),
+    ("test_protocol_survives_checkpoint_accelerated_folds",
+     _heavy_test_protocol_survives_checkpoint_accelerated_folds),
+]}
+
+
+@pytest.fixture(scope="module")
+def protocol_pool(_heavy_pool):
+    futs = {n: _heavy_pool["tests.test_txlog_protocol::" + n]
+            for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
+
+
+def _shim(name):
+    def test(protocol_pool):
+        ex = protocol_pool[name]
+        if ex is not None:
+            raise ex
+    test.__name__ = name
+    return test
+
+
+for _n in _POOLED:
+    globals()[_n] = _shim(_n)
+del _n
