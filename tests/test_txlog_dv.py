@@ -145,6 +145,43 @@ def _heavy_test_dv_replication_and_plain_io_refusal(spark, tmp_path):
         spark.readStream.format("txlog_cdc").option("path", t.path).load()
 
 
+def _heavy_test_dv_composes_with_partitioned_tables(spark, tmp_path):
+    """The two r13 tiers composed: a deletion-vector delete on a
+    HIVE-PARTITIONED table — tombstones reference key=value relative
+    paths, partition pruning and the merge-on-read anti-join stack,
+    rewrites (merge) land back in their partitions without
+    resurrection, and OPTIMIZE materializes within partitions."""
+    df = spark.createDataFrame(
+        [("DE", i, i * 10) for i in range(8)]
+        + [("EE", i, i * 10) for i in range(8, 16)],
+        "country string, k long, v long")
+    t = TxTable.create(spark, df, str(tmp_path / "t"), stat_cols=["k"],
+                       partition_cols=["country"])
+    files0 = set(t.live_files())
+    t.delete(_keys(spark, 2, 9), ["k"], mode="dv")
+    assert set(t.live_files()) == files0  # zero rewrites, partitioned too
+    assert t.detail()["protocol"] == {"minReader": 3, "minWriter": 3}
+    assert sorted(r["k"] for r in t.read().collect()) \
+        == [i for i in range(16) if i not in (2, 9)]
+    # partition-pruned read still applies the vector
+    de = t.read(partition_values={"country": "DE"})
+    assert sorted(r["k"] for r in de.collect()) == [0, 1, 3, 4, 5, 6, 7]
+    assert all("country=DE" in f for f in de.inputFiles())
+    # merge over a tombstoned key re-inserts INTO its partition
+    t.merge_upsert(spark.createDataFrame([("DE", 2, 999)], df.schema),
+                   ["k"], update=True)
+    got = t.read().filter("k = 2").collect()
+    assert [(r["country"], r["v"]) for r in got] == [("DE", 999)]
+    assert all("country=" in p for p in t.live_files())
+    _fold_ok(t)
+    t.optimize(target_rows=1000)
+    assert t.detail()["dv_files"] == 0
+    assert all("country=" in p for p in t.live_files())
+    assert sorted(r["k"] for r in t.read().collect()) \
+        == [i for i in range(16) if i != 9]
+    assert t.fsck(verify_row_counts=True)["ok"]
+
+
 def _heavy_test_dv_guardrails(spark, tmp_path):
     t = TxTable.create(
         spark,
@@ -171,6 +208,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_dv_restore_reconciles_both_directions),
     ("test_dv_replication_and_plain_io_refusal",
      _heavy_test_dv_replication_and_plain_io_refusal),
+    ("test_dv_composes_with_partitioned_tables",
+     _heavy_test_dv_composes_with_partitioned_tables),
     ("test_dv_guardrails", _heavy_test_dv_guardrails),
 ]}
 
