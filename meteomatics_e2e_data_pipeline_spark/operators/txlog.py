@@ -1457,6 +1457,72 @@ class TxTable:
         return self._commit(actions, rv, validate=no_concurrency,
                             info={"op": "overwrite"})
 
+    def overwrite_partitions(self, df: DataFrame,
+                             partition_values: dict) -> int:
+        """Partition-scoped INSERT OVERWRITE (the public Delta
+        ``replaceWhere`` shape at partition grain): atomically replace
+        every live file whose recorded ``partitionValues`` match ALL
+        the given columns with ``df``'s rows — the daily-reload shape
+        (re-extract one country/day without touching the rest of the
+        lake, no read-modify-write of the whole table).
+
+        ``df`` must BELONG to the target partitions (one cheap
+        validation filter): rows outside would otherwise silently land
+        in other partitions while only the targets were cleared —
+        Delta's replaceWhere constraint, enforced loudly. The CDC feed
+        nets the swap to exactly the row diff (removed files' rows as
+        deletes, staged rows as inserts). Conflicts with any
+        intervening commit that ADDS data into the target partitions
+        (its rows would be silently destroyed by our remove-set) —
+        plus the usual file-level clash rules."""
+        rv, meta, live = self._snapshot()
+        pcols = meta.get("partition_cols") or []
+        if not pcols:
+            raise ValueError(f"{self.path} is not partitioned; use "
+                             f"overwrite() for a full replace")
+        bad = sorted(set(partition_values) - set(pcols))
+        if bad:
+            raise ValueError(f"{self.path} is not partitioned by {bad}; "
+                             f"declared partition columns: {pcols}")
+        df = self._check_schema(df)
+        outside = df
+        for c, v in partition_values.items():
+            outside = outside.filter(~F.col(c).eqNullSafe(F.lit(v)))
+        stray = outside.limit(1).collect()
+        if stray:
+            kv = {c: stray[0][c] for c in partition_values}
+            raise ValueError(
+                f"overwrite_partitions({partition_values}) on "
+                f"{self.path}: the batch holds rows outside the target "
+                f"partitions (e.g. {kv}); replaceWhere semantics refuse "
+                f"them rather than scattering rows the overwrite would "
+                f"not clear")
+
+        def in_target(add: dict) -> bool:
+            pv = add.get("partitionValues") or {}
+            return all(pv.get(c) == v for c, v in partition_values.items())
+
+        targets = sorted(p for p, a in live.items() if in_target(a))
+        actions = [{"remove": {"path": p}} for p in targets]
+        actions += self._stage(df, meta.get("stat_cols", []),
+                               bloom=meta.get("bloom"),
+                               constraints=meta.get("constraints"),
+                               partition_cols=pcols)
+
+        def no_target_writes(intervening):
+            for a in intervening:
+                if "add" in a and a["add"].get("dataChange", True) \
+                        and in_target(a["add"]):
+                    raise TxConflict(
+                        f"concurrent commit added rows into the "
+                        f"partitions this overwrite replaces on "
+                        f"{self.path}; re-run on the new snapshot")
+        return self._commit(actions, rv, validate=no_target_writes,
+                            info={"op": "overwrite_partitions",
+                                  "partitions": {
+                                      k: _json_scalar(v) for k, v
+                                      in partition_values.items()}})
+
     # ------------------------------------------------------- bloom skipping
     # Per-file Bloom filters on declared columns (the public Delta bloom
     # filter index idea): range stats cannot prune point lookups on
@@ -1723,7 +1789,8 @@ class TxTable:
         write's write amplification), at the price of a per-read
         anti-join that :meth:`optimize` later materializes away.
         First use upgrades the table protocol to reader/writer 3
-        (plain-IO sources refuse, TxTable reads everything). Key
+        (every shipped tier — TxTable and both plain-IO DataSources —
+        reads deletion vectors; older clients refuse loudly). Key
         columns must be integral/string/boolean (tombstones live in
         the JSON log and must compare portably); matched pairs are
         capped at ``_DV_MAX_PAIRS`` — bulk deletes belong to cow.

@@ -66,81 +66,27 @@ from pyspark.sql.types import StructType
 
 from ..operators.txproto import (check_protocol, commit_payload,
                                  info_action as _info_action)
-from .txlog_stream import _LOG_DIR, _latest_version, _read_commit
+from .txlog_stream import (_LOG_DIR, _dv_mask, _latest_version,
+                           _read_commit, fold_snapshot)
 
 _CKPT = ".checkpoint.json"
 
-# This plain-IO source's own capability: it fills partition columns
-# from partitionValues (reader 2) but knows nothing of dv actions
-# (reader/writer 3) — a DV table folded here would resurrect deleted
-# rows, so the protocol gate refuses it (read through TxTable instead).
-_READER_CAP = 2
-_WRITER_CAP = 2
+# This plain-IO source's own capability: partition columns fill from
+# partitionValues (reader 2) and deletion vectors apply merge-on-read
+# in the scan workers (reader 3). The writer declares writer 3 because
+# its only two operations are dv-compatible by construction: append
+# never touches existing files, and overwrite removes EVERY live file
+# (which clears their tombstones in the fold) before adding fresh ones.
+_READER_CAP = 3
+_WRITER_CAP = 3
 
 
 def _fold_snapshot(table: str, version: int | None = None):
-    """Plain-IO twin of ``TxTable._snapshot``: (version, meta, live,
-    txns, protocol), folding forward from the newest checkpoint at-or-before the
-    target version. Kept session-free so scan planning never needs a
-    JVM. ``txns`` maps appId → last committed txn version (the Delta
-    ``txn`` action — idempotent streaming sink dedup).
-
-    Checks the folded protocol action against THIS source's reader
-    capability — raises ``TxProtocolError`` instead of folding a
-    snapshot it cannot interpret (e.g. a deletion-vector table)."""
-    latest = _latest_version(table)
-    v = latest if version is None else version
-    if not 0 <= v <= latest:
-        raise ValueError(f"versionAsOf {v} out of range 0..{latest}")
-    log = os.path.join(table, _LOG_DIR)
-    ckpts = [int(f[:-len(_CKPT)]) for f in os.listdir(log)
-             if f.endswith(_CKPT) and f[:-len(_CKPT)].isdigit()
-             and int(f[:-len(_CKPT)]) <= v]
-    meta: dict = {}
-    live: dict[str, dict] = {}
-    txns: dict[str, int] = {}
-    proto: dict = {}
-
-    def fold(action: dict) -> None:
-        if "meta" in action:
-            meta.clear()
-            meta.update(action["meta"])
-        elif "add" in action:
-            live[action["add"]["path"]] = action["add"]
-        elif "remove" in action:
-            live.pop(action["remove"]["path"], None)
-        elif "txn" in action:
-            a, ver = action["txn"]["appId"], action["txn"]["version"]
-            txns[a] = max(ver, txns.get(a, ver))
-        elif "protocol" in action:
-            proto.clear()
-            proto.update(action["protocol"])
-
-    start = 0
-    for cv in sorted(ckpts, reverse=True):
-        try:
-            with open(os.path.join(log, f"{cv:020d}{_CKPT}"),
-                      encoding="utf-8") as fh:
-                actions = [json.loads(line) for line in fh if line.strip()]
-            # A checkpoint truncated at a newline boundary parses fine but
-            # silently omits live files; the writer's {"count": N} trailer
-            # makes that detectable — missing/mismatched trailer == torn.
-            if not actions or actions[-1].get("count") != len(actions) - 1:
-                raise ValueError("torn checkpoint (count trailer)")
-        except Exception:
-            continue  # torn/unreadable checkpoint: older one or full fold
-        for action in actions[:-1]:
-            fold(action)
-        start = cv + 1
-        break
-    for i in range(start, v + 1):
-        for action in _read_commit(table, i):
-            fold(action)
-    if not meta:
-        raise ValueError(f"{table}: no meta action found in the log")
-    check_protocol(proto, f"{table} (txlog DataSource)",
-                   reader=_READER_CAP)
-    return v, meta, live, txns, proto
+    """Shared plain-IO snapshot fold (``txlog_stream.fold_snapshot``)
+    checked at THIS source's reader capability. Returns (version, meta,
+    live, txns, protocol); folded ``add`` entries carry accumulated
+    deletion vectors under ``"dv"``."""
+    return fold_snapshot(table, version, reader_cap=_READER_CAP)
 
 
 def _version_at(table: str, timestamp: float) -> int:
@@ -204,6 +150,9 @@ class TxFilePartition(InputPartition):
     #: them as constant arrays (the same job Spark's basePath discovery
     #: does for its native scans).
     partition_values: dict | None = None
+    #: accumulated deletion vector of this file (tombstoned keys are
+    #: filtered out merge-on-read in the scan worker)
+    dv: dict | None = None
 
 
 class TxLogBatchReader(DataSourceReader):
@@ -248,7 +197,8 @@ class TxLogBatchReader(DataSourceReader):
         if not self._prune:
             self.__dict__.pop("_filters", None)
             return [TxFilePartition(os.path.join(self.table, p),
-                                    self.live[p].get("partitionValues"))
+                                    self.live[p].get("partitionValues"),
+                                    self.live[p].get("dv"))
                     for p in sorted(self.live)]
         filters = self.__dict__.pop("_filters", [])
         keep = []
@@ -298,7 +248,7 @@ class TxLogBatchReader(DataSourceReader):
             if ok:
                 keep.append(TxFilePartition(
                     os.path.join(self.table, path),
-                    add.get("partitionValues")))
+                    add.get("partitionValues"), add.get("dv")))
         return keep
 
     def read(self, partition: TxFilePartition) -> Iterator:
@@ -314,6 +264,11 @@ class TxLogBatchReader(DataSourceReader):
 
         target = to_arrow_schema(self.schema_struct)
         table = pq.read_table(partition.file_path)
+        if partition.dv is not None:
+            # merge-on-read: drop tombstoned keys before projecting
+            table = table.filter(_dv_mask(table, partition.dv,
+                                          partition.partition_values,
+                                          keep_matching=False))
         n = table.num_rows
         present = set(table.column_names)
         pv = partition.partition_values or {}

@@ -48,10 +48,11 @@ from ..operators.txproto import (check_protocol, parse_commit_lines,
 _LOG_DIR = "_txlog"
 
 # This stream's own reader capability: partition columns fill from
-# partitionValues (reader 2); dv actions (reader 3) are NOT understood —
-# a DV table's change feed must be consumed via TxTable.read_changes,
-# which nets deletion-vector rows correctly.
-_READER_CAP = 2
+# partitionValues (reader 2) AND deletion vectors apply merge-on-read
+# in the executor workers (reader 3) — the plain-IO tier reads
+# everything the TxTable writers produce.
+_READER_CAP = 3
+_CKPT = ".checkpoint.json"
 
 
 def _log_path(table: str, version: int) -> str:
@@ -78,6 +79,120 @@ def _read_commit(table: str, version: int) -> list[dict]:
     with open(_log_path(table, version), encoding="utf-8") as fh:
         return parse_commit_lines(fh.read().splitlines(),
                                   f"{table}@v{version}")
+
+
+def _merge_dv_plain(cur: dict | None, new: dict) -> dict:
+    """Plain-IO twin of ``txlog._merge_dv`` (tombstone-set union)."""
+    if cur is None:
+        return {"keyCols": list(new["keyCols"]),
+                "keys": [list(k) for k in new["keys"]]}
+    seen = {tuple(k) for k in cur["keys"]}
+    merged = [list(k) for k in cur["keys"]]
+    merged += [list(k) for k in new["keys"] if tuple(k) not in seen]
+    return {"keyCols": list(cur["keyCols"]), "keys": merged}
+
+
+def fold_snapshot(table: str, version: int | None = None,
+                  reader_cap: int = _READER_CAP):
+    """Plain-IO twin of ``TxTable._snapshot``: (version, meta, live,
+    txns, protocol), folding forward from the newest checkpoint
+    at-or-before the target version — session-free, so scan planning
+    never needs a JVM. Deletion vectors accumulate INTO the folded add
+    entries (``add["dv"]``), exactly like the TxTable fold. Raises
+    ``TxProtocolError`` when the table's declared protocol exceeds
+    ``reader_cap``."""
+    latest = _latest_version(table)
+    v = latest if version is None else version
+    if not 0 <= v <= latest:
+        raise ValueError(f"versionAsOf {v} out of range 0..{latest}")
+    log = os.path.join(table, _LOG_DIR)
+    ckpts = [int(f[:-len(_CKPT)]) for f in os.listdir(log)
+             if f.endswith(_CKPT) and f[:-len(_CKPT)].isdigit()
+             and int(f[:-len(_CKPT)]) <= v]
+    meta: dict = {}
+    live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    proto: dict = {}
+
+    def fold(action: dict) -> None:
+        if "meta" in action:
+            meta.clear()
+            meta.update(action["meta"])
+        elif "add" in action:
+            live[action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            live.pop(action["remove"]["path"], None)
+        elif "dv" in action:
+            cur = live.get(action["dv"]["path"])
+            if cur is not None:
+                live[action["dv"]["path"]] = {
+                    **cur, "dv": _merge_dv_plain(cur.get("dv"),
+                                                 action["dv"])}
+        elif "txn" in action:
+            a, ver = action["txn"]["appId"], action["txn"]["version"]
+            txns[a] = max(ver, txns.get(a, ver))
+        elif "protocol" in action:
+            proto.clear()
+            proto.update(action["protocol"])
+
+    start = 0
+    for cv in sorted(ckpts, reverse=True):
+        try:
+            with open(os.path.join(log, f"{cv:020d}{_CKPT}"),
+                      encoding="utf-8") as fh:
+                actions = [json.loads(line) for line in fh if line.strip()]
+            # count-trailer validation: a newline-boundary truncation
+            # parses fine but silently omits live files — torn.
+            if not actions or actions[-1].get("count") != len(actions) - 1:
+                raise ValueError("torn checkpoint (count trailer)")
+        except Exception:
+            continue  # torn/unreadable checkpoint: older one or full fold
+        for action in actions[:-1]:
+            fold(action)
+        start = cv + 1
+        break
+    for i in range(start, v + 1):
+        for action in _read_commit(table, i):
+            fold(action)
+    if not meta:
+        raise ValueError(f"{table}: no meta action found in the log")
+    check_protocol(proto, f"{table} (plain-IO txlog source)",
+                   reader=reader_cap)
+    return v, meta, live, txns, proto
+
+
+def _key_rows(table, key_cols, partition_values, n):
+    """Per-row key tuples of an Arrow table, with hive partition columns
+    (absent from file data) supplied as constants. Used only on
+    TOMBSTONED files — the clean-file path stays fully vectorized."""
+    cols = []
+    pv = partition_values or {}
+    names = set(table.column_names)
+    for c in key_cols:
+        if c in names:
+            cols.append(table.column(c).to_pylist())
+        else:
+            cols.append([pv.get(c)] * n)
+    return list(zip(*cols)) if cols else [()] * n
+
+
+def _dv_mask(table, dv: dict, partition_values, keep_matching: bool):
+    """Boolean Arrow mask selecting rows whose key tuple IS (semi) or IS
+    NOT (anti) in the deletion vector. Single physical key columns take
+    the vectorized ``is_in`` path; composite / partition-backed keys
+    fall back to per-row tuples — bounded by the tombstoned file's rows,
+    and only ever on tombstoned files."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    key_cols = list(dv["keyCols"])
+    if len(key_cols) == 1 and key_cols[0] in set(table.column_names):
+        col = table.column(key_cols[0])
+        vs = pa.array([k[0] for k in dv["keys"]]).cast(col.type)
+        m = pc.fill_null(pc.is_in(col, value_set=vs), False)
+        return m if keep_matching else pc.invert(m)
+    keyset = {tuple(k) for k in dv["keys"]}
+    rows = _key_rows(table, key_cols, partition_values, table.num_rows)
+    return pa.array([(t in keyset) == keep_matching for t in rows])
 
 
 def _table_schema(table: str) -> StructType:
@@ -123,8 +238,8 @@ def _table_meta(table: str) -> dict:
                 proto = action["protocol"]
     if not meta:
         raise ValueError(f"{table}: no meta action found in the log")
-    # version gate: refuses (e.g.) deletion-vector tables instead of
-    # silently streaming resurrected rows
+    # version gate: a protocol beyond this tier's declared capability
+    # refuses loudly instead of folding a snapshot it cannot interpret
     check_protocol(proto, f"{table} (txlog_cdc stream)",
                    reader=_READER_CAP)
     return meta
@@ -138,6 +253,13 @@ class CdcFilePartition(InputPartition):
     #: are not in the file data; parsed from the file's relative path,
     #: which add AND remove actions both carry)
     partition_values: dict | None = None
+    #: deletion-vector scoping of THIS partition's rows:
+    #:   None            — the whole file,
+    #:   ("anti", dv)    — the file minus tombstoned keys (a removal of
+    #:                     a tombstoned file emits only visible rows),
+    #:   ("semi", dv)    — only tombstoned keys (a dv action emits
+    #:                     exactly its newly deleted rows).
+    dv_filter: tuple | None = None
 
 
 class TxLogCdcStreamReader(DataSourceStreamReader):
@@ -224,44 +346,69 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
                 f"maxVersionsPerTrigger to catch up safely")
         self._ratchet(start["version"])
         self._ratchet(end["version"])
+        # Deletion-vector state tracked THROUGH the walk, seeded from
+        # the window-start snapshot — the same event semantics as
+        # TxTable.read_changes: a dv action emits exactly its newly
+        # tombstoned rows; a data-changing remove of a tombstoned file
+        # emits only its VISIBLE rows; layout-only swaps stay silent.
+        _, _, state_live, _, _ = fold_snapshot(self.table,
+                                               start["version"])
+        dv_state = {p: a["dv"] for p, a in state_live.items()
+                    if a.get("dv")}
         adds: list[str] = []
         removes: list[str] = []
+        partial: list[tuple[str, dict]] = []   # removed w/ tombstones
+        dv_dels: list[tuple[str, dict]] = []   # newly tombstoned keys
         for v in range(start["version"] + 1, end["version"] + 1):
             for action in _read_commit(self.table, v):
-                if "dv" in action:
-                    # the table was upgraded to deletion vectors AFTER
-                    # this stream resolved its schema: the protocol gate
-                    # at init never saw it, so refuse here rather than
-                    # silently skipping the deletes
-                    raise RuntimeError(
-                        f"{self.table}@v{v} carries a deletion-vector "
-                        f"action this stream cannot interpret; consume "
-                        f"the change feed via TxTable.read_changes")
                 # Same dataChange filter as TxTable.read_changes: a
                 # compaction swap (optimize) moved rows between files
                 # without changing the table — the stream stays quiet.
                 if "add" in action:
+                    dv_state.pop(action["add"]["path"], None)
                     if action["add"].get("dataChange", True):
                         adds.append(action["add"]["path"])
                 elif "remove" in action:
+                    rp = action["remove"]["path"]
+                    dv = dv_state.pop(rp, None)
                     if action["remove"].get("dataChange", True):
-                        removes.append(action["remove"]["path"])
+                        if dv:
+                            partial.append((rp, dv))
+                        else:
+                            removes.append(rp)
+                elif "dv" in action:
+                    d = action["dv"]
+                    cur = dv_state.get(d["path"])
+                    seen = ({tuple(k) for k in cur["keys"]}
+                            if cur else set())
+                    fresh = [list(k) for k in d["keys"]
+                             if tuple(k) not in seen]
+                    if fresh:
+                        dv_dels.append((d["path"],
+                                        {"keyCols": list(d["keyCols"]),
+                                         "keys": fresh}))
+                    dv_state[d["path"]] = _merge_dv_plain(cur, d)
         # Multiset netting (same fix as TxTable.read_changes): RESTORE
         # re-adds a removed path, so add/remove counts inside one window
         # can be unbalanced — net by Counter difference, never by set
         # intersection, or a remove + later re-add cancels to nothing.
+        # (Partial removals never participate: their rows are not the
+        # full file.)
         add_c, rem_c = Counter(adds), Counter(removes)
 
-        def part(p: str, tag: str) -> CdcFilePartition:
+        def part(p: str, tag: str, dvf=None) -> CdcFilePartition:
             pv = (parse_partition_values(p, self.partition_cols,
                                          self.partition_types)
                   if self.partition_cols else None)
-            return CdcFilePartition(os.path.join(self.table, p), tag, pv)
+            return CdcFilePartition(os.path.join(self.table, p), tag,
+                                    pv, dvf)
 
         return ([part(p, "insert")
                  for p in sorted((add_c - rem_c).elements())]
                 + [part(p, "delete")
-                   for p in sorted((rem_c - add_c).elements())])
+                   for p in sorted((rem_c - add_c).elements())]
+                + [part(p, "delete", ("anti", dv)) for p, dv in partial]
+                + [part(p, "delete", ("semi", dv)) for p, dv in dv_dels])
 
     def read(self, partition: CdcFilePartition) -> Iterator:
         """Yield Arrow RecordBatches (vectorized engine ingest; same
@@ -276,6 +423,11 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(_table_schema(self.table))
         table = pq.read_table(partition.file_path)
+        if partition.dv_filter is not None:
+            mode, dv = partition.dv_filter
+            table = table.filter(_dv_mask(table, dv,
+                                          partition.partition_values,
+                                          keep_matching=(mode == "semi")))
         n = table.num_rows
         present = set(table.column_names)
         pv = partition.partition_values or {}

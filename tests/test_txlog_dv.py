@@ -12,7 +12,8 @@ protocol 3). The 100 TB point-delete answer: a one-row delete in a
   ``apply_changes`` replicates a source through a dv delete;
 - OPTIMIZE materializes tombstones away silently (layout-only);
 - RESTORE reconciles dv state in both directions;
-- plain-IO sources refuse dv tables at the protocol gate.
+- the plain-IO sources are DV-native (reader 3): the batch DataSource
+  scans merge-on-read and the CDC stream emits dv deletes exactly.
 """
 
 from __future__ import annotations
@@ -124,7 +125,12 @@ def _heavy_test_dv_restore_reconciles_both_directions(spark, tmp_path):
     _fold_ok(t)
 
 
-def _heavy_test_dv_replication_and_plain_io_refusal(spark, tmp_path):
+def _heavy_test_dv_replication_and_plain_io_sources(spark, tmp_path):
+    """The plain-IO tiers are DV-native (reader 3): the batch
+    DataSource's merge-on-read scan equals TxTable.read, its stat
+    pruning stays sound over tombstoned files, and a STREAMED replica
+    (txlog_cdc -> foreachBatch -> apply_changes) follows the source
+    through a deletion-vector delete exactly."""
     from meteomatics_e2e_data_pipeline_spark.sources import (txlog_batch,
                                                              txlog_stream)
     txlog_batch.register(spark)
@@ -133,16 +139,32 @@ def _heavy_test_dv_replication_and_plain_io_refusal(spark, tmp_path):
                        stat_cols=["k"])
     t.append(spark.createDataFrame([(50, 500)], "k long, v long"))
     t.delete(_keys(spark, 4, 50), ["k"], mode="dv")
-    # keyed replica follows the source THROUGH the dv delete
+    # keyed replica via the BATCH feed
     rep = TxTable.create(spark, t.read(version=0), str(tmp_path / "rep"),
                          stat_cols=["k"])
     rep.apply_changes(t.read_changes(0), ["k"])
     assert _multiset(rep.read()) == _multiset(t.read())
-    # plain-IO tiers refuse at the protocol gate with a named error
-    with pytest.raises(Exception, match="minReader=3"):
-        spark.read.format("txlog").option("path", t.path).load().count()
-    with pytest.raises(Exception, match="minReader=3"):
-        spark.readStream.format("txlog_cdc").option("path", t.path).load()
+    # batch DataSource: merge-on-read scan == TxTable.read; a pushed
+    # point filter on a tombstoned key returns nothing (pruning stays
+    # one-sided: the dv mask drops the row even when stats admit it)
+    ds = spark.read.format("txlog").option("path", t.path).load()
+    assert _multiset(ds) == _multiset(t.read())
+    assert (spark.read.format("txlog").option("path", t.path).load()
+            .filter("k = 4").count()) == 0
+    # STREAMED replica through the dv delete
+    rep2 = TxTable.create(spark, t.read(version=0),
+                          str(tmp_path / "rep2"), stat_cols=["k"])
+
+    def _apply(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            rep2.apply_changes(batch_df, ["k"], txn=("dvrep", batch_id))
+
+    q = (spark.readStream.format("txlog_cdc").option("path", t.path)
+         .load().writeStream.foreachBatch(_apply)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert _multiset(rep2.read()) == _multiset(t.read())
 
 
 def _heavy_test_dv_composes_with_partitioned_tables(spark, tmp_path):
@@ -206,8 +228,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_dv_optimize_materializes_silently),
     ("test_dv_restore_reconciles_both_directions",
      _heavy_test_dv_restore_reconciles_both_directions),
-    ("test_dv_replication_and_plain_io_refusal",
-     _heavy_test_dv_replication_and_plain_io_refusal),
+    ("test_dv_replication_and_plain_io_sources",
+     _heavy_test_dv_replication_and_plain_io_sources),
     ("test_dv_composes_with_partitioned_tables",
      _heavy_test_dv_composes_with_partitioned_tables),
     ("test_dv_guardrails", _heavy_test_dv_guardrails),

@@ -160,6 +160,47 @@ def _heavy_test_partition_values_roundtrip_exotic(spark, tmp_path):
     assert t.fsck(verify_row_counts=True)["ok"]
 
 
+def _heavy_test_overwrite_partitions_replacewhere(spark, tmp_path):
+    """Partition-scoped INSERT OVERWRITE (Delta replaceWhere at
+    partition grain): only the target partitions' files are replaced,
+    out-of-partition batch rows refuse loudly, other partitions'
+    files are untouched BY REFERENCE (not rewritten), and the CDC
+    window nets to exactly the row diff."""
+    t = TxTable.create(spark, _lake_df(spark), str(tmp_path / "t"),
+                       stat_cols=["k"], partition_cols=["country"])
+    ee_files = {p for p in t.live_files() if "country=EE" in p}
+    v0 = t.version
+    fresh = spark.createDataFrame(
+        [("DE", 2024, 100, 1000), ("DE", 2024, 101, 1010)],
+        "country string, year int, k int, v int")
+    t.overwrite_partitions(fresh, {"country": "DE"})
+    assert _multiset(t.read(partition_values={"country": "DE"})) \
+        == _multiset(fresh)
+    # EE untouched by reference: same physical files live
+    assert {p for p in t.live_files() if "country=EE" in p} == ee_files
+    assert t.read().count() == 6 + 2
+    # batch rows OUTSIDE the target partitions refuse
+    with pytest.raises(ValueError, match="outside the target"):
+        t.overwrite_partitions(
+            spark.createDataFrame([("FR", 2024, 1, 1)],
+                                  "country string, year int, k int, v int"),
+            {"country": "DE"})
+    # CDC across the overwrite nets to the row diff
+    ch = t.read_changes(v0)
+    ins = _multiset(ch.filter("_change_type = 'insert'")
+                    .drop("_change_type"))
+    dels = _multiset(ch.filter("_change_type = 'delete'")
+                     .drop("_change_type"))
+    assert _multiset(t.read(version=v0)) + ins - dels == _multiset(t.read())
+    # unpartitioned tables refuse (use overwrite())
+    flat = TxTable.create(spark, spark.createDataFrame([(1, 1)],
+                                                       "k int, v int"),
+                          str(tmp_path / "flat"), stat_cols=["k"])
+    with pytest.raises(ValueError, match="not partitioned"):
+        flat.overwrite_partitions(flat.read(), {"k": 1})
+    assert t.fsck(verify_row_counts=True)["ok"]
+
+
 def _heavy_test_partitioned_datasources(spark, tmp_path):
     """The plain-IO tiers over a partitioned table: the batch DataSource
     fills partition columns from partitionValues and PRUNES files on
@@ -212,6 +253,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_partitioned_cdc_fold_invariant_and_optimize),
     ("test_partition_values_roundtrip_exotic",
      _heavy_test_partition_values_roundtrip_exotic),
+    ("test_overwrite_partitions_replacewhere",
+     _heavy_test_overwrite_partitions_replacewhere),
     ("test_partitioned_datasources",
      _heavy_test_partitioned_datasources),
 ]}

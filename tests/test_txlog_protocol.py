@@ -73,21 +73,28 @@ def _heavy_test_future_writer_version_refused_on_write_named_error(
 
 
 def _heavy_test_datasource_and_cdc_stream_respect_their_own_caps(spark, tmp_path):
-    """The plain-IO sources declare reader capability 2 (partitions yes,
-    deletion vectors no): a table stamped at the DV level refuses with
-    the named error pointing past them, while TxTable (reader 3) still
-    folds it."""
+    """Every tier (TxTable reader 3, plain-IO sources reader 3) refuses
+    a table stamped BEYOND its declared capability with the named
+    error; a table at the current ceiling (deletion vectors, 3) reads
+    fine through all of them — the positive half is pinned in
+    tests/test_txlog_dv.py."""
     from meteomatics_e2e_data_pipeline_spark.sources import (txlog_batch,
-                                                              txlog_stream)
+                                                             txlog_stream)
     t = _t(spark, tmp_path)
     _stamp(t, {"minReader": 3, "minWriter": 3})
     txlog_batch.register(spark)
     txlog_stream.register(spark)
-    with pytest.raises(Exception, match="minReader=3"):
+    assert (spark.read.format("txlog").option("path", t.path)
+            .load().count()) == 2          # at the ceiling: supported
+    assert TxTable(spark, t.path).read().count() == 2
+    _stamp(t, {"minReader": 9, "minWriter": 9})
+    fresh = TxTable(spark, t.path)
+    with pytest.raises(Exception, match="minReader=9"):
+        fresh.read()
+    with pytest.raises(Exception, match="minReader=9"):
         (spark.read.format("txlog").option("path", t.path).load().count())
-    with pytest.raises(Exception, match="minReader=3"):
+    with pytest.raises(Exception, match="minReader=9"):
         spark.readStream.format("txlog_cdc").option("path", t.path).load()
-    assert TxTable(spark, t.path).read().count() == 2  # full client: fine
 
 
 def _heavy_test_protocol_survives_checkpoint_accelerated_folds(spark, tmp_path):
