@@ -367,10 +367,12 @@ def _write_checkpoint_plain(table: str, version: int) -> None:
 
 @dataclass
 class TxWriteMessage(WriterCommitMessage):
-    """One staged file per task: its final name + ready-made add action
-    (numRecords + per-stat-col [min, max]), computed IN the task so the
-    driver's commit never touches row data."""
-    add: dict | None  # None: empty partition, nothing staged
+    """The task's staged files as ready-made add actions (numRecords +
+    per-stat-col [min, max] + partitionValues for hive layouts),
+    computed IN the task so the driver's commit never touches row data.
+    Flat tables stage one file per task; partitioned tables one file
+    per (task, partition)."""
+    adds: list | None  # None: empty partition, nothing staged
 
 
 def _stat_scalar(v):
@@ -415,11 +417,7 @@ class TxLogBatchWriter(DataSourceWriter):
         v, meta, live, _, proto = _fold_snapshot(self.table)
         check_protocol(proto, f"{self.table} (txlog DataSource writer)",
                        writer=_WRITER_CAP)
-        if meta.get("partition_cols"):
-            raise ValueError(
-                f"{self.table} is partitioned; the txlog DataSource "
-                f"writer stages flat files without partitionValues - "
-                f"write through TxTable.append/merge_upsert instead")
+        self.partition_cols = meta.get("partition_cols") or []
         self.read_version = v
         self.live = sorted(live)
         self.stat_cols = meta.get("stat_cols", [])
@@ -433,67 +431,134 @@ class TxLogBatchWriter(DataSourceWriter):
         self.fields = table_cols
         self.schema_json = meta["schema"]
 
+    #: per-task cap on simultaneously open partition files: a write
+    #: whose tasks straddle more partitions than this must repartition
+    #: by the partition columns first (the standard Spark discipline —
+    #: matches spark.sql.sources.maxConcurrentWrites-era guidance).
+    _MAX_OPEN_PARTITIONS = 64
+
     def write(self, iterator) -> TxWriteMessage:
-        """Stream the task partition into ONE parquet file in bounded
+        """Stream the task partition into parquet files in bounded
         memory: rows are consumed in fixed-size chunks, each chunk is
-        built as an Arrow RecordBatch against the table's DECLARED
+        built as Arrow RecordBatches against the table's DECLARED
         schema (never type-inferred — an all-null chunk or a mistyped
         column is either cast to the stored type or rejected here, so a
         commit can never poison later schema'd reads), and per-file
-        min/max/null-count stats are folded incrementally."""
+        min/max/null-count stats are folded incrementally.
+
+        Partitioned tables stage one file per (task, partition) under
+        its ``key=value/`` subpath — partition columns are EXCLUDED
+        from the file data (Spark's own partitionBy layout) and ride
+        the add action as typed ``partitionValues``. Directory values
+        are conservatively percent-escaped (a superset of Hive's
+        escaping; both Spark's discovery and the log's path parser
+        decode %XX generically, so over-escaping is round-trip-safe)."""
         import uuid
+        from urllib.parse import quote
 
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        arrow_schema = to_arrow_schema(StructType.fromJson(self.schema_json))
-        stat_idx = [(c, self.fields.index(c)) for c in self.stat_cols]
-        mins: dict[str, object] = {}
-        maxs: dict[str, object] = {}
-        nulls = dict.fromkeys(self.stat_cols, 0)
-        n_rows = 0
-        name = f"part-{uuid.uuid4().hex[:12]}-w.parquet"
-        dest = os.path.join(self.table, name)
-        writer = None
+        full_schema = StructType.fromJson(self.schema_json)
+        pcols = self.partition_cols
+        data_fields = [f for f in full_schema.fields
+                       if f.name not in pcols]
+        arrow_schema = to_arrow_schema(StructType(data_fields))
+        data_names = [f.name for f in data_fields]
+        data_idx = [self.fields.index(n) for n in data_names]
+        p_idx = [self.fields.index(c) for c in pcols]
+        stat_cols = [c for c in self.stat_cols if c in set(data_names)]
+        stat_pos = {c: data_names.index(c) for c in stat_cols}
+
+        def hive_dir(col: str, v) -> str:
+            return f"{col}=" + ("__HIVE_DEFAULT_PARTITION__" if v is None
+                                else quote(str(v), safe=""))
+
+        state: dict[tuple, dict] = {}
+
+        def open_state(pkey: tuple) -> dict:
+            if len(state) >= self._MAX_OPEN_PARTITIONS:
+                raise ValueError(
+                    f"write task touches more than "
+                    f"{self._MAX_OPEN_PARTITIONS} partitions of "
+                    f"{self.table}; repartition the batch by "
+                    f"{pcols} before writing")
+            subdir = "/".join(hive_dir(c, v) for c, v in zip(pcols, pkey))
+            base = f"part-{uuid.uuid4().hex[:12]}-w.parquet"
+            name = f"{subdir}/{base}" if subdir else base
+            dest = os.path.join(self.table, name)
+            if subdir:
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+            return {"name": name, "dest": dest, "writer": None, "n": 0,
+                    "mins": {}, "maxs": {},
+                    "nulls": dict.fromkeys(stat_cols, 0), "pkey": pkey}
+
         try:
             while True:
                 chunk = list(itertools.islice(iterator, 65536))
                 if not chunk:
                     break
-                cols = list(zip(*(tuple(r) for r in chunk)))
-                arrays = []
-                for field, col in zip(arrow_schema, cols):
-                    try:
-                        arrays.append(pa.array(col, type=field.type))
-                    except (pa.ArrowInvalid, pa.ArrowTypeError,
-                            OverflowError) as exc:
-                        raise ValueError(
-                            f"column '{field.name}' of the write is not "
-                            f"compatible with the table type {field.type}: "
-                            f"{exc}") from None
-                if writer is None:
-                    writer = pq.ParquetWriter(dest, arrow_schema)
-                writer.write_batch(
-                    pa.RecordBatch.from_arrays(arrays, schema=arrow_schema))
-                n_rows += len(chunk)
-                for c, i in stat_idx:
-                    vals = [v for v in cols[i] if v is not None]
-                    nulls[c] += len(cols[i]) - len(vals)
-                    if vals:
-                        lo, hi = min(vals), max(vals)
-                        mins[c] = lo if c not in mins else min(mins[c], lo)
-                        maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+                rows = [tuple(r) for r in chunk]
+                if pcols:
+                    groups: dict[tuple, list] = {}
+                    for tr in rows:
+                        groups.setdefault(
+                            tuple(tr[i] for i in p_idx), []).append(tr)
+                else:
+                    groups = {(): rows}
+                for pkey, grows in groups.items():
+                    st = state.get(pkey)
+                    if st is None:
+                        st = state[pkey] = open_state(pkey)
+                    cols = list(zip(*grows))
+                    arrays = []
+                    for field, i in zip(arrow_schema, data_idx):
+                        try:
+                            arrays.append(pa.array(cols[i],
+                                                   type=field.type))
+                        except (pa.ArrowInvalid, pa.ArrowTypeError,
+                                OverflowError) as exc:
+                            raise ValueError(
+                                f"column '{field.name}' of the write is "
+                                f"not compatible with the table type "
+                                f"{field.type}: {exc}") from None
+                    if st["writer"] is None:
+                        st["writer"] = pq.ParquetWriter(st["dest"],
+                                                        arrow_schema)
+                    st["writer"].write_batch(pa.RecordBatch.from_arrays(
+                        arrays, schema=arrow_schema))
+                    st["n"] += len(grows)
+                    for c in stat_cols:
+                        vals = [v for v in cols[self.fields.index(c)]
+                                if v is not None]
+                        st["nulls"][c] += (len(grows) - len(vals))
+                        if vals:
+                            lo, hi = min(vals), max(vals)
+                            st["mins"][c] = (lo if c not in st["mins"]
+                                             else min(st["mins"][c], lo))
+                            st["maxs"][c] = (hi if c not in st["maxs"]
+                                             else max(st["maxs"][c], hi))
         finally:
-            if writer is not None:
-                writer.close()
-        if n_rows == 0:
-            return TxWriteMessage(add=None)
-        stats = {c: ([_stat_scalar(mins[c]), _stat_scalar(maxs[c])]
-                     if c in mins else [None, None])
-                 for c in self.stat_cols}
-        return TxWriteMessage(add={"path": name, "numRecords": n_rows,
-                                   "stats": stats, "nullCounts": nulls})
+            for st in state.values():
+                if st["writer"] is not None:
+                    st["writer"].close()
+        adds = []
+        for st in state.values():
+            if st["n"] == 0:
+                continue
+            add = {"path": st["name"], "numRecords": st["n"],
+                   "stats": {c: ([_stat_scalar(st["mins"][c]),
+                                  _stat_scalar(st["maxs"][c])]
+                                 if c in st["mins"] else [None, None])
+                             for c in stat_cols},
+                   "nullCounts": st["nulls"]}
+            if pcols:
+                add["partitionValues"] = {
+                    c: _stat_scalar(v)
+                    for c, v in zip(pcols, st["pkey"])}
+            adds.append(add)
+        return TxWriteMessage(adds=adds or None)
 
     def _publish(self, actions: list[dict]) -> None:
         payload = commit_payload(actions + [_info_action(
@@ -514,8 +579,8 @@ class TxLogBatchWriter(DataSourceWriter):
                 return
 
     def commit(self, messages) -> None:
-        adds = [{"add": m.add} for m in messages
-                if m is not None and m.add is not None]
+        adds = [{"add": a} for m in messages
+                if m is not None for a in (m.adds or [])]
         actions = ([{"remove": {"path": p}} for p in self.live]
                    if self.overwrite else [])
         actions += adds
@@ -525,9 +590,9 @@ class TxLogBatchWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and m.add is not None:
+            for a in (m.adds or []) if m is not None else []:
                 try:
-                    os.remove(os.path.join(self.table, m.add["path"]))
+                    os.remove(os.path.join(self.table, a["path"]))
                 except OSError:
                     pass  # best-effort cleanup; vacuum sweeps leftovers
 
@@ -568,15 +633,15 @@ class TxLogStreamWriter(DataSourceStreamWriter):
 
     def _drop_staged(self, messages) -> None:
         for m in messages:
-            if m is not None and m.add is not None:
+            for a in (m.adds or []) if m is not None else []:
                 try:
-                    os.remove(os.path.join(self.table, m.add["path"]))
+                    os.remove(os.path.join(self.table, a["path"]))
                 except OSError:
                     pass
 
     def commit(self, messages, batchId: int) -> None:
-        adds = [{"add": m.add} for m in messages
-                if m is not None and m.add is not None]
+        adds = [{"add": a} for m in messages
+                if m is not None for a in (m.adds or [])]
         actions = [{"txn": {"appId": self.app_id,
                             "version": int(batchId)}}] + adds
         payload = commit_payload(actions + [_info_action(

@@ -184,7 +184,7 @@ def test_writer_commit_retries_past_concurrent_append(spark, tmp_path):
     with pytest.raises(RuntimeError, match="raced a concurrent commit"):
         w2.commit(m2)
     w2.abort(m2)                            # staged file cleaned up
-    staged = m2[0].add["path"]
+    staged = m2[0].adds[0]["path"]
     import os
     assert not os.path.exists(os.path.join(p, staged))
 
@@ -214,7 +214,7 @@ def test_stream_sink_txn_guard_makes_replay_a_noop(spark, tmp_path):
 
     # crash-replay: the engine re-runs batch 0 (new staged files)
     m1b = [w.write(iter([(10, 20), (11, 22)]))]
-    staged = m1b[0].add["path"]
+    staged = m1b[0].adds[0]["path"]
     w.commit(m1b, 0)
     assert t.version == 1                       # nothing published
     assert _ms(t.read()) == after_first

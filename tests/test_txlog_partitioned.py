@@ -222,11 +222,22 @@ def _heavy_test_partitioned_datasources(spark, tmp_path):
     ee = (spark.read.format("txlog").option("path", t.path).load()
           .filter("country = 'EE'"))
     assert ee.count() == 6
-    # DataSource writer refuses partitioned tables loudly (it stages
-    # flat files without partitionValues)
-    with pytest.raises(Exception, match="partitioned"):
-        (full.limit(1).write.format("txlog").mode("append")
-         .option("path", t.path).save())
+    # the V2 writer stages per-partition files with typed
+    # partitionValues (partition columns EXCLUDED from file data) —
+    # and the whole txlog tier reads them back
+    fresh = spark.createDataFrame([(2024, 50, 500, "FR"),
+                                   (2024, 51, 510, "DE")],
+                                  "year int, k int, v int, country string")
+    (fresh.select(*full.columns).coalesce(1)
+     .write.format("txlog").mode("append").option("path", t.path).save())
+    newest = [a["add"] for a in t.history()[t.version] if "add" in a]
+    assert {a["partitionValues"]["country"] for a in newest} \
+        == {"FR", "DE"}
+    assert all("country=" in a["path"] for a in newest)
+    fr = t.read(partition_values={"country": "FR"})
+    assert [(r["k"], r["v"]) for r in fr.collect()] == [(50, 500)]
+    assert (spark.read.format("txlog").option("path", t.path).load()
+            .filter("k >= 50").count()) == 2
     # CDC stream: a delete inside one partition streams the rewrite
     # with partition columns filled from paths
     t.delete(spark.createDataFrame([(7,)], "k int"), ["k"])
@@ -235,13 +246,43 @@ def _heavy_test_partitioned_datasources(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     rows = spark.sql("select * from cdc_part_ds").collect()
-    assert all(r["country"] in ("DE", "EE") for r in rows)
+    assert all(r["country"] in ("DE", "EE", "FR") for r in rows)
     net = Counter()
     for r in rows:
         key = (r["country"], r["year"], r["k"], r["v"])
         net[key] += 1 if r["_change_type"] == "insert" else -1
-    netted = {k for k, n in net.items() if n != 0}
-    assert netted == {("EE", 2022, 7, 70)}  # exactly the deleted row
+    # net feed = the V2-written rows (inserts) + exactly the deleted row
+    assert {k for k, n in net.items() if n > 0} \
+        == {("FR", 2024, 50, 500), ("DE", 2024, 51, 510)}
+    assert {k for k, n in net.items() if n < 0} == {("EE", 2022, 7, 70)}
+
+
+def _heavy_test_partitioned_streaming_sink(spark, tmp_path):
+    """Streaming ingest INTO a partitioned lake: the exactly-once V2
+    stream sink stages per-(task, partition) files with typed
+    partitionValues; every reader tier sees the rows in their
+    partitions."""
+    from meteomatics_e2e_data_pipeline_spark.sources import txlog_batch
+    txlog_batch.register(spark)
+    t = TxTable.create(spark, _lake_df(spark).limit(0),
+                       str(tmp_path / "t"), stat_cols=["k"],
+                       partition_cols=["country"])
+    src = str(tmp_path / "src")
+    _lake_df(spark).coalesce(2).write.parquet(src)
+    q = (spark.readStream.schema(_lake_df(spark).schema).parquet(src)
+         .writeStream.format("txlog").option("path", t.path)
+         .option("txnAppId", "part_sink")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _multiset(t.read()) == _multiset(_lake_df(spark))
+    assert all("country=" in p for p in t.live_files())
+    adds = [a["add"] for c in t.history() for a in c if "add" in a]
+    assert {a["partitionValues"]["country"] for a in adds} == {"DE", "EE"}
+    de = t.read(partition_values={"country": "DE"})
+    assert de.count() == 6 and all("country=DE" in f
+                                   for f in de.inputFiles())
+    assert t.fsck(verify_row_counts=True)["ok"]
 
 
 _POOLED = {n: fn for n, fn in [
@@ -257,6 +298,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_overwrite_partitions_replacewhere),
     ("test_partitioned_datasources",
      _heavy_test_partitioned_datasources),
+    ("test_partitioned_streaming_sink",
+     _heavy_test_partitioned_streaming_sink),
 ]}
 
 
