@@ -3238,7 +3238,7 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str):
 
     src = os.path.join(sf_dir, "orders.parquet")
     key = hashlib.md5(
-        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:hive"
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:hive2"
         .encode()).hexdigest()[:16]
     base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
     if not base.exists():
@@ -3256,6 +3256,13 @@ def _partitioned_orders(spark: SparkSession, sf_dir: str):
         t.merge_upsert(zero, ["o_orderkey"], update=True)
         t.delete(spark.createDataFrame([(k,) for k in _PART_DEL_KEYS],
                                        "o_orderkey long"), ["o_orderkey"])
+        # replaceWhere under the gate: atomically replace ONE partition
+        # ('P') with its own rows at doubled price — the daily-reload
+        # shape; the oracle emulates it as a second CASE layer
+        cur_p = t.read(partition_values={"o_orderstatus": "P"})
+        t.overwrite_partitions(
+            cur_p.withColumn("o_totalprice", F.col("o_totalprice") * 2),
+            {"o_orderstatus": "P"})
         try:
             os.rename(build / "orders", base)
         except OSError:
@@ -3298,7 +3305,10 @@ def q_orders_partitioned_rollup(spark: SparkSession, sf_dir: str
 
 _PART_DML_WHERE = (
     f"o_orderkey NOT IN ({', '.join(str(k) for k in _PART_DEL_KEYS)})")
+# DML layers in build order: the MERGE zeroes fixed keys, then the
+# replaceWhere doubles the whole 'P' partition (zeroed rows stay 0.0)
 _PART_DML_PRICE = (
+    f"CASE WHEN o_orderstatus = 'P' THEN 2.0 ELSE 1.0 END * "
     f"CASE WHEN o_orderkey IN "
     f"({', '.join(str(k) for k in _PART_ZERO_KEYS)}) "
     f"THEN 0.0 ELSE o_totalprice END")
