@@ -1,6 +1,7 @@
 """Concurrent-writer stress on the txlog tier (r11 directive #8): N
-threads race mixed DML (appends + updating merges + keyed deletes + an
-optimize) against ONE table through independent TxTable handles; every
+threads race mixed DML (appends + updating merges + keyed deletes in
+both copy-on-write and deletion-vector modes + an optimize) against ONE
+table through independent TxTable handles; every
 committed history must be SERIALIZABLE — the final content equals
 replaying the successful commits' operations in commit order on a fresh
 table — and a conflicting writer may only ever be REJECTED
@@ -37,6 +38,12 @@ def _apply(spark, table: TxTable, op) -> int:
     if kind == "delete":
         return table.delete(
             spark.range(lo, hi).selectExpr("id as k"), ["k"])
+    if kind == "dv_delete":
+        # merge-on-read: tombstones instead of rewrites — must compose
+        # serializably with every rewriting op (the dv/remove clash
+        # rules in _commit are what this sweep exercises)
+        return table.delete(
+            spark.range(lo, hi).selectExpr("id as k"), ["k"], mode="dv")
     return table.optimize(target_rows=1_000_000)  # content no-op
 
 
@@ -83,7 +90,8 @@ def _race_and_check(spark, tmp_base: str, ops: list, n_workers: int):
 
 
 _OP = hs.tuples(
-    hs.sampled_from(["append", "merge", "delete", "optimize"]),
+    hs.sampled_from(["append", "merge", "delete", "dv_delete",
+                     "optimize"]),
     hs.integers(min_value=0, max_value=30),
     hs.integers(min_value=1, max_value=15),
     hs.integers(min_value=1, max_value=9),
@@ -93,7 +101,7 @@ _OP = hs.tuples(
 def test_two_writer_mixed_dml_race_is_serializable(spark, tmp_path):
     """Fixed exemplar in the default lane: overlapping merge + delete +
     append + optimize across two workers."""
-    ops = [("merge", 5, 15, 3), ("delete", 8, 12, 1),
+    ops = [("merge", 5, 15, 3), ("dv_delete", 8, 12, 1),
            ("append", 40, 50, 2), ("optimize", 0, 0, 1)]
     _race_and_check(spark, str(tmp_path), ops, n_workers=2)
 
