@@ -1213,9 +1213,11 @@ class TxTable:
         probe = (keys_df.select(*[F.col(f.name).cast(f.dataType)
                                   for f in key_schema.fields])
                  .dropDuplicates(keys))
-        if not live or probe.isEmpty():
+        if not live:
             return self.spark.createDataFrame([], schema)
-        bounds = self._batch_bounds(probe, keys)
+        n_probe, bounds = self._batch_bounds(probe, keys)
+        if n_probe == 0:
+            return self.spark.createDataFrame([], schema)
         cand = self._candidate_files(live, keys, bounds)
         cand = self._bloom_candidates(cand, live, keys, probe, meta)
         if not cand:
@@ -1618,13 +1620,18 @@ class TxTable:
         return kept
 
     @staticmethod
-    def _batch_bounds(batch: DataFrame, keys: Sequence[str]) -> dict:
-        """Per-key [min, max] of the batch — one 2k-scalar agg."""
-        row = batch.agg(*[f for k in keys for f in
+    def _batch_bounds(batch: DataFrame, keys: Sequence[str]
+                      ) -> tuple[int, dict]:
+        """(row count, per-key [min, max]) of the batch — ONE
+        (2k+1)-scalar agg, so emptiness and bounds cost a single
+        driver-synchronous job (the probe chains are latency-bound)."""
+        row = batch.agg(F.count(F.lit(1)).alias("_n"),
+                        *[f for k in keys for f in
                           (F.min(k).alias(f"lo_{k}"),
                            F.max(k).alias(f"hi_{k}"))]).collect()[0]
-        return {k: (_json_scalar(row[f"lo_{k}"]),
-                    _json_scalar(row[f"hi_{k}"])) for k in keys}
+        return int(row["_n"]), {k: (_json_scalar(row[f"lo_{k}"]),
+                                    _json_scalar(row[f"hi_{k}"]))
+                                for k in keys}
 
     @staticmethod
     def _overlaps(add: dict, keys: Sequence[str], bounds: dict) -> bool:
@@ -1695,7 +1702,7 @@ class TxTable:
             new_meta = None
         schema = StructType.fromJson(meta["schema"])
         batch = batch.dropDuplicates(keys)
-        bounds = self._batch_bounds(batch, keys)
+        _n, bounds = self._batch_bounds(batch, keys)
         cand = self._candidate_files(live, keys, bounds)
         cand = self._bloom_candidates(cand, live, keys, batch, meta)
         stat_cols = meta.get("stat_cols", [])
@@ -1823,7 +1830,7 @@ class TxTable:
         batch = (batch.select(*[F.col(f.name).cast(f.dataType)
                                 for f in key_schema.fields])
                  .dropDuplicates(keys))
-        bounds = self._batch_bounds(batch, keys)
+        _n, bounds = self._batch_bounds(batch, keys)
         cand = self._candidate_files(live, keys, bounds)
         cand = self._bloom_candidates(cand, live, keys, batch, meta)
         stat_cols = meta.get("stat_cols", [])
@@ -1982,9 +1989,9 @@ class TxTable:
         touched = (net_ins.select(*keys)
                    .unionByName(net_del.select(*keys)).distinct()
                    .localCheckpoint(eager=True))
-        if touched.isEmpty():
+        n_touched, bounds = self._batch_bounds(touched, keys)
+        if n_touched == 0:
             return self.version  # window netted to nothing: no commit
-        bounds = self._batch_bounds(touched, keys)
         cand = self._candidate_files(live, keys, bounds)
         cand = self._bloom_candidates(cand, live, keys, touched, meta)
         stat_cols = meta.get("stat_cols", [])
@@ -2076,9 +2083,9 @@ class TxTable:
                                   for f in key_schema.fields])
                      .dropDuplicates(key_cols)
                      .localCheckpoint(eager=True))
-            if probe.isEmpty():
+            n_probe, bounds = self._batch_bounds(probe, key_cols)
+            if n_probe == 0:
                 continue
-            bounds = self._batch_bounds(probe, key_cols)
             cand = self._candidate_files(live, key_cols, bounds)
             probes.append((key_cols, probe, bounds))
             if not cand:

@@ -98,7 +98,7 @@ def _heavy_test_stat_pruning_limits_collision_probe(spark, tmp_path):
             .repartitionByRange(8, "k"))
     t = TxTable.create(spark, base, p, stat_cols=["k"])
     _, _, live = t._snapshot()
-    bounds = t._batch_bounds(_kv(spark, 100, 120, parts=1), ["k"])
+    _n, bounds = t._batch_bounds(_kv(spark, 100, 120, parts=1), ["k"])
     cand = t._candidate_files(live, ["k"], bounds)
     assert 1 <= len(cand) <= 2, cand  # 20-key batch hits ≤2 range files
     # every add action carries real stats
@@ -181,7 +181,7 @@ def _heavy_test_concurrent_overlapping_merge_conflicts(spark, tmp_path):
     # writer A planned an overlapping merge against the old snapshot;
     # replay its commit with A's staged adds and old read version
     batch = _kv(spark, 60, 70, mul=9, parts=1)
-    bounds = t._batch_bounds(batch, ["k"])
+    _n, bounds = t._batch_bounds(batch, ["k"])
     adds = t._stage(batch, ["k"])
 
     def no_key_overlap(intervening):
