@@ -1215,11 +1215,30 @@ class TxTable:
                  .dropDuplicates(keys))
         if not live:
             return self.spark.createDataFrame([], schema)
-        n_probe, bounds = self._batch_bounds(probe, keys)
-        if n_probe == 0:
+        # Point-lookup fast path: ONE bounded collect supplies the
+        # emptiness check, the stat bounds, AND the bloom bit tests —
+        # the probe chain is latency-bound, so every saved driver-
+        # synchronous job shows up directly in lookup time. Bulk
+        # probes (> _BLOOM_PROBE_MAX keys) fall back to the scalar agg
+        # and range-only pruning.
+        rows = probe.limit(self._BLOOM_PROBE_MAX + 1).collect()
+        if not rows:
             return self.spark.createDataFrame([], schema)
+        if len(rows) <= self._BLOOM_PROBE_MAX:
+            bounds = {k: (_json_scalar(min((r[k] for r in rows
+                                            if r[k] is not None),
+                                           default=None)),
+                          _json_scalar(max((r[k] for r in rows
+                                            if r[k] is not None),
+                                           default=None)))
+                      for k in keys}
+            probe_rows = rows
+        else:
+            _n, bounds = self._batch_bounds(probe, keys)
+            probe_rows = None  # bulk regime: bloom pruning opts out
         cand = self._candidate_files(live, keys, bounds)
-        cand = self._bloom_candidates(cand, live, keys, probe, meta)
+        cand = self._bloom_candidates(cand, live, keys, probe, meta,
+                                      probe_rows=probe_rows)
         if not cand:
             return self.spark.createDataFrame([], schema)
         return (self._scan_files(meta, cand, dvs=self._live_dvs(live))
@@ -1576,19 +1595,23 @@ class TxTable:
 
     def _bloom_candidates(self, cand: list[str], live: dict,
                           keys: Sequence[str], probe: DataFrame,
-                          meta: dict) -> list[str]:
+                          meta: dict, probe_rows=None) -> list[str]:
         """Drop range-surviving files whose bloom PROVES no probe key is
         present. Only fires in the point-lookup regime (≤ 1024 distinct
         probe keys — the driver holds them anyway for the bit tests);
         bulk merges keep the range-only path, so the collect here is
-        always bounded. Files/columns without a stored bloom, null probe
-        values, and saturated filters all degrade to "keep"."""
+        always bounded. ``probe_rows`` lets a caller that already holds
+        the collected probe (read_keys' fast path) skip the collect
+        entirely; None means "collect here". Files/columns without a
+        stored bloom, null probe values, and saturated filters all
+        degrade to "keep"."""
         import base64
         spec = (meta or {}).get("bloom") or {}
         cols = [c for c in keys if c in spec.get("cols", ())]
         if not cols or len(cand) <= 1:
             return cand  # nothing prunable: skip the probe collect
-        rows = (probe.select(*cols).distinct()
+        rows = (probe_rows if probe_rows is not None else
+                probe.select(*cols).distinct()
                 .limit(self._BLOOM_PROBE_MAX + 1).collect())
         if len(rows) > self._BLOOM_PROBE_MAX:
             return cand  # bulk regime: stats already did the work
