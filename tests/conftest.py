@@ -41,6 +41,9 @@ SLOW_PROPERTY_SWEEPS = {
     "test_concurrent_mixed_dml_history_is_serializable",
     # round-12 second sitting: randomized bloom-vs-plain equivalence
     "test_bloom_pruning_equivalence_property",
+    # round 13: randomized partitioned-vs-flat DML equivalence (its
+    # fixed exemplar runs in the default lane)
+    "test_partitioned_dml_equals_flat_twin_property",
 }
 
 

@@ -21,6 +21,9 @@ from __future__ import annotations
 from collections import Counter
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hs
+from pyspark.sql import functions as F
 
 from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
 
@@ -285,6 +288,116 @@ def _heavy_test_partitioned_streaming_sink(spark, tmp_path):
     assert t.fsck(verify_row_counts=True)["ok"]
 
 
+# ---------------------------------------------------------------------------
+# Randomized equivalence: a partitioned table and its FLAT twin answer
+# every DML sequence identically. This is the broadest guard on the
+# partition tier's riskiest code — staging into key=value subpaths,
+# partitionValues-as-stats pruning, relpath file identification, and
+# dv/partition composition — under arbitrary interleavings.
+# ---------------------------------------------------------------------------
+
+def _pk(spark, lo, hi, mul=2):
+    return (spark.range(lo, hi)
+            .selectExpr("cast(id % 3 as int) as p", "id as k",
+                        f"id*{mul} as v").coalesce(1))
+
+
+def _twin_apply(spark, part, flat, op):
+    kind = op[0]
+    if kind == "append":
+        _, lo, hi, mul = op
+        batch = _pk(spark, lo, hi, mul)
+        # first-wins on both (plain append would duplicate keys)
+        part.merge_upsert(batch, ["k"])
+        flat.merge_upsert(batch, ["k"])
+    elif kind == "merge":
+        _, lo, hi, mul = op
+        batch = _pk(spark, lo, hi, mul)
+        part.merge_upsert(batch, ["k"], update=True)
+        flat.merge_upsert(batch, ["k"], update=True)
+    elif kind in ("delete", "dv_delete"):
+        _, lo, hi, _ = op
+        keys = spark.range(lo, hi).selectExpr("id as k")
+        part.delete(keys, ["k"],
+                    mode="dv" if kind == "dv_delete" else "cow")
+        flat.delete(keys, ["k"])  # flat twin: content-equal cow
+    elif kind == "update":
+        _, lo, _hi, mul = op
+        part.update(f"k >= {lo}", {"v": f"v + {mul}"})
+        flat.update(f"k >= {lo}", {"v": f"v + {mul}"})
+    elif kind == "replace_part":
+        _, pid, _hi, mul = op
+        pid = pid % 3
+        new = (part.read(partition_values={"p": pid})
+               .withColumn("v", F.col("v") * mul)
+               .localCheckpoint(eager=True))
+        part.overwrite_partitions(new, {"p": pid})
+        # flat emulation: keyed delete of the partition + append
+        old_keys = (flat.read().filter(F.col("p") == pid)
+                    .select("k").localCheckpoint(eager=True))
+        flat.delete(old_keys, ["k"])
+        if not new.isEmpty():
+            flat.append(new)
+    else:  # optimize
+        part.optimize(target_rows=1_000_000)
+        flat.optimize(target_rows=1_000_000)
+
+
+def _twin_race(spark, base, ops):
+    from pyspark.sql import functions as _F
+    part = TxTable.create(spark, _pk(spark, 0, 12), f"{base}/part",
+                          stat_cols=["k"], partition_cols=["p"])
+    flat = TxTable.create(spark, _pk(spark, 0, 12), f"{base}/flat",
+                          stat_cols=["k"])
+    for op in ops:
+        _twin_apply(spark, part, flat, op)
+        assert _multiset(part.read()) == _multiset(flat.read()), op
+        assert all("p=" in f for f in part.live_files())
+    # fold invariant holds across the whole partitioned history
+    end = _multiset(part.read())
+    for frm in range(part.version + 1):
+        ch = part.read_changes(frm)
+        ins = _multiset(ch.filter("_change_type = 'insert'")
+                        .drop("_change_type"))
+        dels = _multiset(ch.filter("_change_type = 'delete'")
+                         .drop("_change_type"))
+        assert _multiset(part.read(version=frm)) + ins - dels == end, frm
+    assert part.fsck(verify_row_counts=True)["ok"]
+
+
+def _heavy_test_partitioned_flat_twin_exemplar(spark, tmp_path):
+    """Fixed exemplar in the default lane: one op of each kind."""
+    from pyspark.sql import functions as _F
+    ops = [("merge", 5, 15, 7), ("dv_delete", 8, 11, 1),
+           ("replace_part", 1, 0, 3), ("update", 4, 0, 100),
+           ("append", 30, 36, 2), ("delete", 0, 3, 1),
+           ("optimize", 0, 0, 1)]
+    _twin_race(spark, str(tmp_path), ops)
+
+
+_TWIN_OP = hs.tuples(
+    hs.sampled_from(["append", "merge", "delete", "dv_delete", "update",
+                     "replace_part", "optimize"]),
+    hs.integers(min_value=0, max_value=30),
+    hs.integers(min_value=1, max_value=12),
+    hs.integers(min_value=1, max_value=9),
+).map(lambda o: (o[0], o[1], o[1] + o[2], o[3]))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(hs.data())
+def test_partitioned_dml_equals_flat_twin_property(spark, data):
+    """Randomized 3-5 op sequences: the partitioned table and its flat
+    twin stay multiset-identical after every op, files always live in
+    their partitions, and the CDC fold invariant holds end to end."""
+    import tempfile
+
+    ops = data.draw(hs.lists(_TWIN_OP, min_size=3, max_size=5))
+    with tempfile.TemporaryDirectory(prefix="ptwin_") as base:
+        _twin_race(spark, base, ops)
+
+
 _POOLED = {n: fn for n, fn in [
     ("test_create_partitioned_prunes_and_dmls",
      _heavy_test_create_partitioned_prunes_and_dmls),
@@ -300,6 +413,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_partitioned_datasources),
     ("test_partitioned_streaming_sink",
      _heavy_test_partitioned_streaming_sink),
+    ("test_partitioned_flat_twin_exemplar",
+     _heavy_test_partitioned_flat_twin_exemplar),
 ]}
 
 
