@@ -344,7 +344,6 @@ def _twin_apply(spark, part, flat, op):
 
 
 def _twin_race(spark, base, ops):
-    from pyspark.sql import functions as _F
     part = TxTable.create(spark, _pk(spark, 0, 12), f"{base}/part",
                           stat_cols=["k"], partition_cols=["p"])
     flat = TxTable.create(spark, _pk(spark, 0, 12), f"{base}/flat",
@@ -366,12 +365,13 @@ def _twin_race(spark, base, ops):
 
 
 def _heavy_test_partitioned_flat_twin_exemplar(spark, tmp_path):
-    """Fixed exemplar in the default lane: one op of each kind."""
-    from pyspark.sql import functions as _F
+    """Fixed exemplar in the default lane: the four riskiest op kinds
+    composed (merge rewrite into partitions, dv tombstones, replaceWhere,
+    dv materialization); append/cow-delete/update on partitioned tables
+    are covered by the dedicated tests above, and the full op mix runs
+    randomized in the slow-lane sweep below."""
     ops = [("merge", 5, 15, 7), ("dv_delete", 8, 11, 1),
-           ("replace_part", 1, 0, 3), ("update", 4, 0, 100),
-           ("append", 30, 36, 2), ("delete", 0, 3, 1),
-           ("optimize", 0, 0, 1)]
+           ("replace_part", 1, 0, 3), ("optimize", 0, 0, 1)]
     _twin_race(spark, str(tmp_path), ops)
 
 
