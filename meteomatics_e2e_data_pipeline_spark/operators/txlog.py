@@ -925,6 +925,65 @@ class TxTable:
             raise TxConflict(f"concurrent create/convert of {path}")
         return t
 
+    def clone(self, target: str,
+              version: int | None = None) -> "TxTable":
+        """SHALLOW CLONE (the public Delta ``CLONE`` semantics): create
+        a new, independent table at ``target`` whose commit 0 references
+        this table's live files BY ABSOLUTE PATH — zero data copied, one
+        KB-sized commit, at any table size. The branch-a-100TB-table
+        move: experiments run DML against the clone (copy-on-write
+        writes NEW local files and drops references to source files —
+        the source is never touched), time travel/CDC/fsck all work,
+        and ``version=`` clones any historical snapshot.
+
+        Stats, Bloom filters, CHECK constraints, and live deletion
+        vectors all carry over. Hive-partitioned sources are refused:
+        partition-column materialization needs one ``basePath``
+        ancestor, which a clone mixing source-rooted and locally
+        rewritten files cannot provide.
+
+        The Delta caveat applies verbatim: ``vacuum`` on the SOURCE
+        does not know about clone references — vacuuming source
+        versions a clone still references breaks the clone (its fsck
+        reports the missing files). Clone from snapshots the source
+        retains."""
+        v, meta, live = self._snapshot(version)
+        if meta.get("partition_cols"):
+            raise ValueError(
+                f"cannot shallow-clone {self.path}: hive-partitioned "
+                f"sources are not cloneable (partition columns "
+                f"materialize via a single basePath ancestor, which a "
+                f"clone cannot provide); copy via "
+                f"TxTable.create(partition_cols=...) instead")
+        target = target.rstrip("/")
+        fs = _fs(self.spark, target)
+        log = _jpath(self.spark, f"{target}/{_LOG_DIR}")
+        if fs.exists(log):
+            raise ValueError(f"{target} is already a txlog table")
+        fs.mkdirs(log)
+        proto = getattr(self, "_proto", None) or BASE_PROTOCOL
+        actions = [protocol_action(proto), {"meta": dict(meta)}]
+        dv_actions = []
+        for p in sorted(live):
+            add = dict(live[p])
+            dv = add.pop("dv", None)
+            add["path"] = self._abs(p)
+            actions.append({"add": add})
+            if dv:
+                # re-established AFTER the add (fold order)
+                dv_actions.append({"dv": {"path": self._abs(p),
+                                          "keyCols": dv["keyCols"],
+                                          "keys": dv["keys"]}})
+        actions += dv_actions
+        actions.append(_info_action("clone", source=self.path,
+                                    source_version=int(v)))
+        t = object.__new__(TxTable)
+        t.spark, t.path, t.log_dir = (self.spark, target,
+                                      f"{target}/{_LOG_DIR}")
+        if not t._try_publish(0, actions):
+            raise TxConflict(f"concurrent create of {target}")
+        return t
+
     @property
     def version(self) -> int:
         v = self._latest_version()
@@ -1060,6 +1119,37 @@ class TxTable:
                 f"{timestamp} (earliest commit is later)")
         return best
 
+    def _abs(self, p: str) -> str:
+        """A live-set path → a readable location. Paths are normally
+        RELATIVE to the table root; shallow clones (:meth:`clone`)
+        reference the source's files by ABSOLUTE path, which passes
+        through untouched."""
+        return p if p.startswith("/") or "://" in p else f"{self.path}/{p}"
+
+    @staticmethod
+    def _path_resolver(paths: Sequence[str], n_partition_cols: int):
+        """Map a scanned ``_file`` value (the last depth components of
+        ``input_file_name``, URI-escaped) back to the LIVE-SET path it
+        came from. Identity for ordinary relative paths; for shallow
+        clones it restores the stored absolute path. Ambiguity (two
+        scanned files sharing the depth-suffix) is refused loudly — a
+        wrong resolution would remove the wrong file."""
+        depth = n_partition_cols + 1
+        m: dict[str, str] = {}
+        for path in paths:
+            suffix = "/".join(path.split("/")[-depth:])
+            if m.get(suffix, path) != path:
+                raise ValueError(
+                    f"scanned files {m[suffix]!r} and {path!r} share the "
+                    f"path suffix {suffix!r}; planners cannot attribute "
+                    f"probe hits unambiguously — OPTIMIZE the table to "
+                    f"rewrite one of them locally")
+            m[suffix] = path
+
+        def resolve(escaped: str) -> str:
+            return m[_unq(escaped)]
+        return resolve
+
     @staticmethod
     def _file_expr(n_partition_cols: int):
         """Column expression for a scanned row's RELATIVE file path: the
@@ -1105,7 +1195,7 @@ class TxTable:
             reader = reader.option("basePath", self.path)
 
         def scan(ps: Sequence[str]) -> DataFrame:
-            df = reader.parquet(*[f"{self.path}/{p}" for p in sorted(ps)])
+            df = reader.parquet(*[self._abs(p) for p in sorted(ps)])
             if with_file:
                 return df.withColumn("_file", self._file_expr(len(pcols)))
             return df
@@ -1767,11 +1857,12 @@ class TxTable:
         # update=True: find files that REALLY hold colliding keys
         affected: list[str] = []
         if cand:
+            resolve = self._path_resolver(cand, len(meta.get("partition_cols") or ()))
             cdf = self._scan_files(meta, cand, with_file=True, dvs=dvs)
             # AQE picks broadcast-semi when the batch key set is small
             # (the common MERGE shape); no forced hint — a bulk backfill
             # batch can exceed the broadcast limit.
-            affected = [_unq(r["_file"]) for r in
+            affected = [resolve(r["_file"]) for r in
                         cdf.select("_file", *keys)
                         .join(batch.select(*keys).distinct(),
                               on=keys, how="left_semi")
@@ -1869,13 +1960,14 @@ class TxTable:
         if not cand:
             return self.version  # nothing can match: no-op, no commit
         dvs = self._live_dvs(live)
+        resolve = self._path_resolver(cand, len(meta.get("partition_cols") or ()))
         cdf = self._scan_files(meta, cand, with_file=True, dvs=dvs)
         matched = (cdf.select("_file", *keys)
                    .join(batch, on=keys, how="left_semi"))
         if mode == "dv":
             return self._delete_dv(meta, rv, keys, matched,
-                                   no_key_overlap)
-        affected = [_unq(r["_file"]) for r in
+                                   no_key_overlap, resolve)
+        affected = [resolve(r["_file"]) for r in
                     matched.select("_file").distinct().collect()]
         if not affected:
             return self.version  # stat ranges overlapped, no real match
@@ -1890,7 +1982,7 @@ class TxTable:
                             info={"op": "delete"})
 
     def _delete_dv(self, meta: dict, rv: int, keys: list[str],
-                   matched: DataFrame, validate) -> int:
+                   matched: DataFrame, validate, resolve) -> int:
         """The merge-on-read half of :meth:`delete`: commit per-file key
         tombstones for the matched (file, key) pairs — no data rewrite.
         ``matched`` already excludes previously-tombstoned rows (the
@@ -1908,7 +2000,7 @@ class TxTable:
             return self.version  # nothing visible matches: no commit
         by_file: dict[str, list[list]] = {}
         for r in pairs:
-            by_file.setdefault(_unq(r["_file"]), []).append(
+            by_file.setdefault(resolve(r["_file"]), []).append(
                 [_json_scalar(r[k]) for k in keys])
         actions = []
         cur_proto = getattr(self, "_proto", None)
@@ -2030,8 +2122,9 @@ class TxTable:
         affected: list[str] = []
         dvs = self._live_dvs(live)
         if cand:
+            resolve = self._path_resolver(cand, len(meta.get("partition_cols") or ()))
             cdf = self._scan_files(meta, cand, with_file=True, dvs=dvs)
-            affected = [_unq(r["_file"]) for r in
+            affected = [resolve(r["_file"]) for r in
                         cdf.select("_file", *keys)
                         .join(touched, on=keys, how="left_semi")
                         .select("_file").distinct().collect()]
@@ -2113,10 +2206,11 @@ class TxTable:
             probes.append((key_cols, probe, bounds))
             if not cand:
                 continue
+            resolve = self._path_resolver(cand, len(meta.get("partition_cols") or ()))
             cdf = self._scan_files(meta, cand, with_file=True,
                                    dvs=dvs)
             affected.update(
-                _unq(r["_file"]) for r in
+                resolve(r["_file"]) for r in
                 cdf.select("_file", *key_cols)
                 .join(probe, on=key_cols, how="left_semi")
                 .select("_file").distinct().collect())
@@ -2210,9 +2304,10 @@ class TxTable:
                 f"{self.path}: a row changing partitions is a delete + "
                 f"insert (run delete() then append(), or merge_upsert)")
         dvs = self._live_dvs(live)
+        resolve = self._path_resolver(sorted(live), len(meta.get("partition_cols") or ()))
         cdf = self._scan_files(meta, sorted(live), with_file=True,
                                dvs=dvs)
-        affected = [_unq(r["_file"]) for r in
+        affected = [resolve(r["_file"]) for r in
                     cdf.filter(cond).select("_file").distinct().collect()]
         if not affected:
             return self.version  # nothing matches: no-op, no commit
@@ -2262,7 +2357,7 @@ class TxTable:
         fs = _fs(self.spark, self.path)
         missing = sorted(
             p for p in readds
-            if not fs.exists(_jpath(self.spark, f"{self.path}/{p}")))
+            if not fs.exists(_jpath(self.spark, self._abs(p))))
         if missing:
             raise ValueError(
                 f"cannot restore {self.path} to version {version}: files "
@@ -2474,7 +2569,12 @@ class TxTable:
             except Exception:
                 torn_checkpoints.append(c)
         on_disk = {rel for rel, _mtime in self._list_data_files()}
-        missing_files = sorted(set(live) - on_disk)
+        dfs = _fs(self.spark, self.path)
+        missing_files = sorted(
+            p for p in live
+            if (not dfs.exists(_jpath(self.spark, self._abs(p)))
+                if (p.startswith("/") or "://" in p)  # cloned: stat it
+                else p not in on_disk))
         # fsck REPORTS the protocol instead of raising on it (the audit
         # must stay runnable by any client); reads/writes are where the
         # gate refuses.
@@ -2522,10 +2622,11 @@ class TxTable:
                 # partition columns materialize from paths so their
                 # recorded (exact) values can be re-verified too
                 reader = reader.option("basePath", self.path)
+            resolve = self._path_resolver(present, n_pcols)
             rows = {
-                _unq(r["_file"]): r
+                resolve(r["_file"]): r
                 for r in reader.parquet(
-                    *[f"{self.path}/{p}" for p in present])
+                    *[self._abs(p) for p in present])
                 .withColumn("_file", self._file_expr(n_pcols))
                 .groupBy("_file").agg(*aggs)
                 .collect()}

@@ -128,6 +128,7 @@ _POOLED_MODULES = (
     "tests.test_txlog_partitioned",
     "tests.test_txlog_dv",
     "tests.test_txlog_protocol",
+    "tests.test_txlog_clone",
 )
 
 
