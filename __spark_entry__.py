@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
 # Round-13 rotation (VERDICT r12 directive #4), priority order:
-# (1) the 4 NEW entries: orders_partitioned_pruned /
+# (1) the 5 NEW entries (orders_cloned_rollup joined in the third
+#     sitting — shallow CLONE divergence under the hash): orders_partitioned_pruned /
 #     orders_partitioned_rollup (hive-partitioned ADOPTION via
 #     TxTable.convert + partition-pruned reads + partitioned MERGE/
 #     DELETE, hashed against the original orders view with the
@@ -67,6 +68,7 @@ _VERIFY_FIRST = (
     "orders_partitioned_pruned",
     "orders_partitioned_rollup",
     "orders_dv_pointget",
+    "orders_cloned_rollup",
     "weather_city_daily_rollup_maintained",
     # (2) changed state-build / read path
     "orders_converted_rollup",
@@ -96,7 +98,7 @@ _VERIFY_FIRST = (
     "shipmode_priority_matrix",
     "top_revenue_suppliers",
     "weather_dim_condition",
-    # (4) the alphabetically-first 20 r9-dated rows
+    # (4) the alphabetically-first 19 r9-dated rows
     "customer_order_gaps",
     "customers_without_orders",
     "dim_date_from_orders",
@@ -116,7 +118,6 @@ _VERIFY_FIRST = (
     "docs_scrubbed_containment",
     "docs_simhash_pairs",
     "docs_tfidf_top_terms",
-    "docs_top_dup_spans",
 )
 
 

@@ -116,10 +116,12 @@ def main() -> None:
     # the cost lands on warm-up, never on the gate queries themselves.
     try:
         from meteomatics_e2e_data_pipeline_spark.plans.analytics import (
-            _converted_orders, _partitioned_orders, q_orders_dv_pointget)
+            _converted_orders, _partitioned_orders, q_orders_cloned_rollup,
+            q_orders_dv_pointget)
         _converted_orders(spark, sf_dir)
         _partitioned_orders(spark, sf_dir)
         run(q_orders_dv_pointget(spark, sf_dir))
+        run(q_orders_cloned_rollup(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         print(f"bench: adopted-orders warm-up failed: {exc}",
               file=sys.stderr)

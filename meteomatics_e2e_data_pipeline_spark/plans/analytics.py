@@ -3203,6 +3203,65 @@ WHERE o_orderkey IN ({", ".join(str(k) for k in POINT_KEYS)})
 """
 
 
+_CLONE_DEL_KEYS = [1, 6, 4000]  # deleted on the CLONE only, at build
+
+
+def q_orders_cloned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE under the oracle gate: the adopted orders table is
+    cloned (zero data copied — commit 0 references the source files by
+    absolute path) and the CLONE takes a keyed DELETE the source never
+    sees; this rollup reads the diverged clone, so the hash covers the
+    absolute-path read route, clone-side copy-on-write, and source
+    isolation (the sibling `orders_converted_rollup` keeps hashing the
+    UNTOUCHED source in the same gate). Build-once per (machine,
+    source, wire version), like every adopted-table gate."""
+    import hashlib
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:clone"
+        .encode()).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        source = _converted_orders(spark, sf_dir)
+        build = Path(tempfile.mkdtemp(prefix="clone_build_",
+                                      dir=tempfile.gettempdir()))
+        cl = source.clone(str(build / "orders"))
+        src_files = set(source.live_files())
+        cl.delete(spark.createDataFrame(
+            [(k,) for k in _CLONE_DEL_KEYS], "o_orderkey long"),
+            ["o_orderkey"])
+        # the isolation contract, asserted at build: the source's live
+        # set is byte-identical after the clone's delete
+        assert set(source.live_files()) == src_files, \
+            "clone DML must never touch the source"
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+    t = TxTable(spark, str(base))
+    return (t.read().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+ORACLE_ORDERS_CLONED = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_orderkey NOT IN ({", ".join(str(k) for k in _CLONE_DEL_KEYS)})
+GROUP BY o_orderstatus
+"""
+
+
 ORACLE_ORDERS_CONVERTED = """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
@@ -3339,6 +3398,7 @@ QUERIES = {
     "orders_partitioned_pruned": q_orders_partitioned_pruned,
     "orders_partitioned_rollup": q_orders_partitioned_rollup,
     "orders_dv_pointget": q_orders_dv_pointget,
+    "orders_cloned_rollup": q_orders_cloned_rollup,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
@@ -3424,6 +3484,7 @@ ORACLE = {
     "orders_partitioned_pruned": ORACLE_ORDERS_PARTITIONED_PRUNED,
     "orders_partitioned_rollup": ORACLE_ORDERS_PARTITIONED_ROLLUP,
     "orders_dv_pointget": ORACLE_ORDERS_DV_POINTGET,
+    "orders_cloned_rollup": ORACLE_ORDERS_CLONED,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
     "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,
