@@ -936,11 +936,10 @@ class TxTable:
         the source is never touched), time travel/CDC/fsck all work,
         and ``version=`` clones any historical snapshot.
 
-        Stats, Bloom filters, CHECK constraints, and live deletion
-        vectors all carry over. Hive-partitioned sources are refused:
-        partition-column materialization needs one ``basePath``
-        ancestor, which a clone mixing source-rooted and locally
-        rewritten files cannot provide.
+        Stats, Bloom filters, CHECK constraints, partition layout,
+        and live deletion vectors all carry over (partitioned scans
+        group by file ROOT so source-rooted and locally rewritten
+        files each get a valid ``basePath`` ancestor).
 
         The Delta caveat applies verbatim: ``vacuum`` on the SOURCE
         does not know about clone references — vacuuming source
@@ -948,13 +947,6 @@ class TxTable:
         reports the missing files). Clone from snapshots the source
         retains."""
         v, meta, live = self._snapshot(version)
-        if meta.get("partition_cols"):
-            raise ValueError(
-                f"cannot shallow-clone {self.path}: hive-partitioned "
-                f"sources are not cloneable (partition columns "
-                f"materialize via a single basePath ancestor, which a "
-                f"clone cannot provide); copy via "
-                f"TxTable.create(partition_cols=...) instead")
         target = target.rstrip("/")
         fs = _fs(self.spark, target)
         log = _jpath(self.spark, f"{target}/{_LOG_DIR}")
@@ -1190,15 +1182,37 @@ class TxTable:
         schema = StructType.fromJson(meta["schema"])
         cols = [f.name for f in schema.fields]
         pcols = meta.get("partition_cols") or []
-        reader = self.spark.read.schema(schema)
-        if pcols:
-            reader = reader.option("basePath", self.path)
+
+        def root_of(p: str) -> str:
+            # partition materialization needs a basePath ANCESTOR of
+            # every scanned file; relative paths root at the table,
+            # shallow-cloned absolute paths at THEIR source root (the
+            # path minus its key=value/file suffix)
+            if not (p.startswith("/") or "://" in p):
+                return self.path
+            return "/".join(p.split("/")[:-(len(pcols) + 1)])
 
         def scan(ps: Sequence[str]) -> DataFrame:
-            df = reader.parquet(*[self._abs(p) for p in sorted(ps)])
-            if with_file:
-                return df.withColumn("_file", self._file_expr(len(pcols)))
-            return df
+            frames = []
+            if pcols:
+                by_root: dict[str, list[str]] = {}
+                for p in sorted(ps):
+                    by_root.setdefault(root_of(p), []).append(p)
+                groups = [(self.spark.read.schema(schema)
+                           .option("basePath", root), grp)
+                          for root, grp in sorted(by_root.items())]
+            else:
+                groups = [(self.spark.read.schema(schema), sorted(ps))]
+            for reader, grp in groups:
+                df = reader.parquet(*[self._abs(p) for p in grp])
+                if with_file:
+                    df = df.withColumn("_file",
+                                       self._file_expr(len(pcols)))
+                frames.append(df)
+            out = frames[0]
+            for fr in frames[1:]:
+                out = out.unionByName(fr)
+            return out
         if with_file:
             cols = cols + ["_file"]
         dvs = {p: d for p, d in (dvs or {}).items() if p in set(paths)}
@@ -2616,20 +2630,31 @@ class TxTable:
                          F.max(c).alias(f"_max_{c}"),
                          F.count(F.when(F.col(c).isNull(), 1))
                          .alias(f"_nulls_{c}")]
-            reader = self.spark.read
             n_pcols = len(vmeta.get("partition_cols") or ())
-            if n_pcols:
-                # partition columns materialize from paths so their
-                # recorded (exact) values can be re-verified too
-                reader = reader.option("basePath", self.path)
             resolve = self._path_resolver(present, n_pcols)
-            rows = {
-                resolve(r["_file"]): r
-                for r in reader.parquet(
-                    *[self._abs(p) for p in present])
-                .withColumn("_file", self._file_expr(n_pcols))
-                .groupBy("_file").agg(*aggs)
-                .collect()}
+            # group by file ROOT (shallow clones reference absolute
+            # source paths; partition materialization needs a basePath
+            # ancestor per group — same discipline as _scan_files)
+            by_root: dict[str, list[str]] = {}
+            for p in present:
+                root = (("/".join(p.split("/")[:-(n_pcols + 1)])
+                         if (p.startswith("/") or "://" in p)
+                         else self.path) if n_pcols else self.path)
+                by_root.setdefault(root, []).append(p)
+            rows = {}
+            for root, grp in sorted(by_root.items()):
+                reader = self.spark.read
+                if n_pcols:
+                    # partition columns materialize from paths so their
+                    # recorded (exact) values can be re-verified too
+                    reader = reader.option("basePath", root)
+                rows.update({
+                    resolve(r["_file"]): r
+                    for r in reader.parquet(
+                        *[self._abs(p) for p in grp])
+                    .withColumn("_file", self._file_expr(n_pcols))
+                    .groupBy("_file").agg(*aggs)
+                    .collect()})
             report["rowcount_mismatches"] = sorted(
                 (p, live[p].get("numRecords"),
                  int(rows[p]["_n"]) if p in rows else 0)

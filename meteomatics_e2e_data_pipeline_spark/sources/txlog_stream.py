@@ -397,9 +397,15 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         add_c, rem_c = Counter(adds), Counter(removes)
 
         def part(p: str, tag: str, dvf=None) -> CdcFilePartition:
-            pv = (parse_partition_values(p, self.partition_cols,
-                                         self.partition_types)
-                  if self.partition_cols else None)
+            pv = None
+            if self.partition_cols:
+                # parse from the TRAILING key=value components so
+                # shallow-cloned absolute paths parse identically to
+                # table-relative ones
+                depth = len(self.partition_cols) + 1
+                tail = "/".join(p.split("/")[-depth:])
+                pv = parse_partition_values(tail, self.partition_cols,
+                                            self.partition_types)
             return CdcFilePartition(os.path.join(self.table, p), tag,
                                     pv, dvf)
 

@@ -9,7 +9,8 @@ data copied, one KB commit at any size. Contract:
 - OPTIMIZE gradually "unclones" (local materialization);
 - the documented Delta caveat: vacuuming the SOURCE past versions a
   clone references breaks the clone, loudly (fsck missing_files);
-- hive-partitioned sources refuse.
+- partitioned sources clone too: per-root basePath grouping keeps
+  partition materialization and pruning exact across mixed roots.
 """
 
 from __future__ import annotations
@@ -96,14 +97,44 @@ def _heavy_test_clone_carries_dv_and_time_travel(spark, tmp_path):
     assert cl.fsck(verify_row_counts=True)["ok"]
 
 
-def _heavy_test_clone_guardrails_and_vacuum_caveat(spark, tmp_path):
-    # partitioned sources refuse
-    part = TxTable.create(
-        spark, spark.createDataFrame([("a", 1, 1), ("b", 2, 2)],
-                                     "p string, k long, v long"),
+def _heavy_test_clone_partitioned_source(spark, tmp_path):
+    """Partitioned sources clone too: partition pruning works across
+    ROOTS (source-rooted clones + locally rewritten files each scan
+    under their own basePath ancestor), and clone DML lands local
+    files in their partitions while the source stays untouched."""
+    src = TxTable.create(
+        spark, spark.createDataFrame(
+            [("a", i, i * 10) for i in range(6)]
+            + [("b", i, i * 10) for i in range(6, 12)],
+            "p string, k long, v long"),
         str(tmp_path / "part"), stat_cols=["k"], partition_cols=["p"])
-    with pytest.raises(ValueError, match="not cloneable"):
-        part.clone(str(tmp_path / "nope"))
+    cl = src.clone(str(tmp_path / "cl"))
+    assert _local_files(cl) == []
+    assert _multiset(cl.read()) == _multiset(src.read())
+    # partition pruning on the clone (absolute source-rooted files)
+    a = cl.read(partition_values={"p": "a"})
+    assert sorted(r["k"] for r in a.collect()) == list(range(6))
+    assert all("/p=a/" in f for f in a.inputFiles())
+    # clone DML: rewrite lands LOCALLY in its partition; source intact
+    cl.merge_upsert(spark.createDataFrame([("a", 2, 999)],
+                                          "p string, k long, v long"),
+                    ["k"], update=True)
+    assert cl.read().filter("k = 2").collect()[0]["v"] == 999
+    assert src.read().filter("k = 2").collect()[0]["v"] == 20
+    local = _local_files(cl)
+    assert local and all(p.startswith("p=") for p in local)
+    # mixed-root partition-pruned read: partition a is now part source
+    # files, part local rewrite — one logical scan, grouped by root
+    a2 = cl.read(partition_values={"p": "a"})
+    assert sorted(r["k"] for r in a2.collect()) == list(range(6))
+    assert cl.fsck(verify_row_counts=True)["ok"]
+    # dv delete on the partitioned clone composes
+    cl.delete(spark.createDataFrame([(8,)], "k long"), ["k"], mode="dv")
+    assert sorted(r["k"] for r in cl.read().collect())         == [i for i in range(12) if i != 8]
+    assert src.read().count() == 12
+
+
+def _heavy_test_clone_guardrails_and_vacuum_caveat(spark, tmp_path):
     # the Delta vacuum caveat, demonstrated loudly: the source
     # supersedes its files and vacuums — the clone's references die
     src = TxTable.create(spark, _kv(spark, parts=1),
@@ -120,6 +151,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_clone_is_zero_copy_and_independent),
     ("test_clone_carries_dv_and_time_travel",
      _heavy_test_clone_carries_dv_and_time_travel),
+    ("test_clone_partitioned_source",
+     _heavy_test_clone_partitioned_source),
     ("test_clone_guardrails_and_vacuum_caveat",
      _heavy_test_clone_guardrails_and_vacuum_caveat),
 ]}
