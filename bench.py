@@ -22,6 +22,16 @@ start. The final JSON line carries ``calib_sec`` ([first, second] —
 steady-state is the second; a second reading well above the historical
 fast-state band means the whole run's numbers are inflated by the box,
 not by plans), ``cached_gb`` and ``load1``.
+
+Round 14 (verdict #1 — the r13 driver sample was load-contaminated
+AFTER the start-of-suite calibration and the artifact could not prove
+it): the frozen plan is ALSO re-timed every ~50 queries
+(``calib_series``) and twice at suite close (``calib_end``, plus
+``load1_end``/``cached_gb_end``), and ``value_per_calib`` divides by
+min(start, close) steady calib — load arriving mid-run is now visible
+in the artifact itself (a close pair or series step well above the
+start pair), and can only deflate the normalized metric's denominator,
+never inflate it invisibly.
 """
 
 from __future__ import annotations
@@ -136,15 +146,25 @@ def main() -> None:
                 .groupBy("l_orderkey")
                 .agg(F.sum("l_quantity").alias("q"),
                      F.sum("l_extendedprice").alias("p")))
-    calib = []
-    for _ in range(2):
+    def time_calib() -> float:
         t0 = time.perf_counter()
         run(calib_df)
-        calib.append(round(time.perf_counter() - t0, 3))
+        return round(time.perf_counter() - t0, 3)
+
+    calib = [time_calib() for _ in range(2)]
 
     reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
+    # Mid-run drift series (round-13 verdict #1): the start-of-suite
+    # calibration is blind to load that arrives AFTER it (BENCH_r13's
+    # driver sample: fast calib pair, then a uniformly ~1.4x-inflated
+    # suite — un-diagnosable from the artifact). Re-run the frozen plan
+    # every ~50 queries and once more at close, so a mid-run slowdown is
+    # VISIBLE in the artifact instead of needing forensics.
+    calib_series: list[list] = []
+    for q_idx, (name, fn) in enumerate(queries.items()):
+        if q_idx and q_idx % 50 == 0:
+            calib_series.append([q_idx, time_calib()])
         # ANN timings proved the noisiest in rounds 2-3 (broadcast +
         # small-ms kernels); one extra rep tightens best-of materially
         # for pennies of wall-clock.  docs_hot_ngrams joined the list in
@@ -191,15 +211,26 @@ def main() -> None:
         timings[name] = round(best, 2)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # Closing state (round-13 verdict #1): a second calib pair + OS
+    # counters AFTER the suite. A close pair well above the start pair
+    # is the signature of load arriving mid-run — the exact blind spot
+    # that made BENCH_r13's driver sample unprovable.
+    calib_end = [time_calib() for _ in range(2)]
+    env_end = _env_state()
     # Calibration-normalized headline (round-12 directive #7): suite
-    # seconds-per-query divided by the steady-state calibration second
-    # (calib[1] — the frozen plan's second run). The box is two-state
-    # (PLANS.md round-10/11 variance tables); dividing by what the SAME
-    # box state does to a FROZEN plan makes round-over-round deltas
-    # read as plan changes instead of page-cache forensics.
+    # seconds-per-query divided by the steady-state calibration second.
+    # The box is two-state (PLANS.md round-10/11 variance tables);
+    # dividing by what the SAME box state does to a FROZEN plan makes
+    # round-over-round deltas read as plan changes instead of page-cache
+    # forensics. Steady calib = min of the start/close second readings
+    # (round-13 verdict #1): a box that was fast at EITHER end gives the
+    # honest denominator, so load arriving after the start sample can no
+    # longer inflate the metric invisibly.
     n_q = max(1, len(timings))
-    value_per_calib = (round((total / n_q) / calib[1], 3)
-                       if calib and calib[1] > 0 else None)
+    steady = min((c for c in (calib[1:2] + calib_end[1:2]) if c > 0),
+                 default=None)
+    value_per_calib = (round((total / n_q) / steady, 3)
+                       if steady else None)
     # The driver records only the LAST 2000 characters of stdout and tries
     # to json-parse what it captured.  With 140+ queries the full map no
     # longer fits, so print TWO lines (the round-5 verdict's suggested
@@ -220,8 +251,12 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "calib_sec": calib,
+        "calib_end": calib_end,
+        "calib_series": calib_series,
         "value_per_calib": value_per_calib,
         **env,
+        "load1_end": env_end["load1"],
+        "cached_gb_end": env_end["cached_gb"],
         "queries": ordered,
     }))
     budget = 1900
@@ -230,8 +265,9 @@ def main() -> None:
     for name, t in sorted(timings.items(),
                           key=lambda kv: (kv[1] >= 0, -kv[1])):
         keep[name] = t
-        # reserve ~230 bytes for the fixed fields incl. the env marker
-        if sum(len(k) + 12 for k in keep) > budget - 230:
+        # reserve ~300 bytes for the fixed fields incl. the start+close
+        # env/calib markers
+        if sum(len(k) + 12 for k in keep) > budget - 300:
             del keep[name]
             break
     # fastest-first inside the line so a further truncation still ends
@@ -245,8 +281,10 @@ def main() -> None:
         "n_queries": len(timings),
         "n_fast_omitted": len(timings) - len(keep),
         "calib_sec": calib,
+        "calib_end": calib_end,
         "value_per_calib": value_per_calib,
         **env,
+        "load1_end": env_end["load1"],
         "queries": keep,
     }))
 

@@ -108,6 +108,51 @@ class TxConflict(Exception):
     """A concurrent commit invalidated this transaction's read set."""
 
 
+def _typed_partition_values(given: dict, meta: dict, table: str) -> dict:
+    """Validate/normalize user-supplied ``{col: value}`` partition
+    selectors against the declared partition column TYPES (the
+    ``partition_scalar`` domain that recorded ``partitionValues`` live
+    in). Recorded values are matched with strict Python equality, so a
+    mistyped selector (``'2021'`` against an int column) would match
+    zero files and silently read empty / overwrite nothing — strings
+    are cast through the same decoder the hive paths use, anything
+    else mistyped raises."""
+    from .txproto import partition_scalar
+    pcols = meta.get("partition_cols") or []
+    bad = sorted(set(given) - set(pcols))
+    if bad:
+        raise ValueError(
+            f"{table} is not partitioned by {bad}; declared "
+            f"partition columns: {pcols}")
+    types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    expect = {"byte": int, "short": int, "integer": int, "long": int,
+              "float": float, "double": float, "boolean": bool}
+    out = {}
+    for c, v in given.items():
+        t = types.get(c)
+        want = expect.get(t, str) if isinstance(t, str) else str
+        if v is None or (isinstance(v, want)
+                         and not (want is int and isinstance(v, bool))):
+            out[c] = v
+        elif isinstance(v, str):
+            try:
+                out[c] = partition_scalar(v, t)
+            except ValueError:
+                raise ValueError(
+                    f"partition value {v!r} for column {c!r} of {table} "
+                    f"does not parse as its declared type {t!r}")
+        elif want is float and isinstance(v, int) and not isinstance(v, bool):
+            out[c] = float(v)
+        else:
+            raise ValueError(
+                f"partition value {v!r} ({type(v).__name__}) for column "
+                f"{c!r} of {table} does not match its declared type "
+                f"{t!r}; recorded partitionValues are typed and compared "
+                f"exactly, so a mistyped selector would silently match "
+                f"zero files")
+    return out
+
+
 def _merge_dv(cur: dict | None, new: dict) -> dict:
     """Union two deletion-vector key sets for one file (same keyCols —
     enforced at commit; a second delete of an already-tombstoned key is
@@ -540,6 +585,8 @@ class TxTable:
                        writer=SUPPORTED_WRITER)
         removes = {a["remove"]["path"] for a in actions if "remove" in a}
         dv_targets = {a["dv"]["path"] for a in actions if "dv" in a}
+        dv_keycols = {a["dv"]["path"]: list(a["dv"]["keyCols"])
+                      for a in actions if "dv" in a}
         stages_rows = any("add" in a and a["add"].get("dataChange", True)
                           for a in actions)
         checked_through = read_version
@@ -567,6 +614,21 @@ class TxTable:
                         f"files {sorted(clash)} were concurrently "
                         f"removed/tombstoned; re-run the operation on "
                         f"the new snapshot of {self.path}")
+                # a concurrent DV on the same file with DIFFERENT key
+                # columns would make the folded tombstone set unmergeable
+                # (one keyed set per file — _merge_dv); publishing on top
+                # would brick every later fold, so conflict instead.
+                keycol_clash = sorted(
+                    a["dv"]["path"] for a in intervening
+                    if "dv" in a and a["dv"]["path"] in dv_keycols
+                    and list(a["dv"]["keyCols"])
+                    != dv_keycols[a["dv"]["path"]])
+                if keycol_clash:
+                    raise TxConflict(
+                        f"files {keycol_clash} received concurrent "
+                        f"deletion vectors with different key columns; "
+                        f"re-run the delete on the new snapshot of "
+                        f"{self.path}")
                 for a in intervening:
                     if "protocol" in a:
                         # a concurrent writer upgraded the table (e.g.
@@ -1283,12 +1345,8 @@ class TxTable:
         _, meta, live = self._snapshot(version)
         schema = StructType.fromJson(meta["schema"])
         if partition_values:
-            pcols = meta.get("partition_cols") or []
-            bad = sorted(set(partition_values) - set(pcols))
-            if bad:
-                raise ValueError(
-                    f"{self.path} is not partitioned by {bad}; declared "
-                    f"partition columns: {pcols}")
+            partition_values = _typed_partition_values(
+                partition_values, meta, self.path)
             live = {p: a for p, a in live.items()
                     if all((a.get("partitionValues") or {}).get(c) == v
                            for c, v in partition_values.items())}
@@ -1605,10 +1663,8 @@ class TxTable:
         if not pcols:
             raise ValueError(f"{self.path} is not partitioned; use "
                              f"overwrite() for a full replace")
-        bad = sorted(set(partition_values) - set(pcols))
-        if bad:
-            raise ValueError(f"{self.path} is not partitioned by {bad}; "
-                             f"declared partition columns: {pcols}")
+        partition_values = _typed_partition_values(
+            partition_values, meta, self.path)
         df = self._check_schema(df)
         outside = df
         for c, v in partition_values.items():
@@ -1980,7 +2036,7 @@ class TxTable:
                    .join(batch, on=keys, how="left_semi"))
         if mode == "dv":
             return self._delete_dv(meta, rv, keys, matched,
-                                   no_key_overlap, resolve)
+                                   no_key_overlap, resolve, dvs)
         affected = [resolve(r["_file"]) for r in
                     matched.select("_file").distinct().collect()]
         if not affected:
@@ -1996,12 +2052,21 @@ class TxTable:
                             info={"op": "delete"})
 
     def _delete_dv(self, meta: dict, rv: int, keys: list[str],
-                   matched: DataFrame, validate, resolve) -> int:
+                   matched: DataFrame, validate, resolve,
+                   dvs: dict[str, dict]) -> int:
         """The merge-on-read half of :meth:`delete`: commit per-file key
         tombstones for the matched (file, key) pairs — no data rewrite.
         ``matched`` already excludes previously-tombstoned rows (the
         probe scan is DV-aware), so re-deleting a key is a no-op and
-        CDC never double-emits a delete."""
+        CDC never double-emits a delete.
+
+        A file's tombstones must all share ONE key-column set (they are
+        folded as a single keyed set — :func:`_merge_dv`), so a delete
+        whose ``keys`` differ from a target file's existing DV keyCols
+        is refused at plan time (and a concurrent such delete is a
+        :class:`TxConflict` — see ``dv_keycols`` in :meth:`_commit`)
+        rather than publishing a commit every later fold would choke
+        on."""
         from .txproto import DV_PROTOCOL, merged_protocol, needs_upgrade
         pairs = (matched.select("_file", *keys).distinct()
                  .limit(self._DV_MAX_PAIRS + 1).collect())
@@ -2016,6 +2081,16 @@ class TxTable:
         for r in pairs:
             by_file.setdefault(resolve(r["_file"]), []).append(
                 [_json_scalar(r[k]) for k in keys])
+        mismatched = sorted(
+            p for p in by_file
+            if p in dvs and list(dvs[p]["keyCols"]) != keys)
+        if mismatched:
+            raise ValueError(
+                f"files {mismatched} already carry deletion vectors "
+                f"keyed by {dvs[mismatched[0]]['keyCols']}; a file's "
+                f"tombstones must share one key-column set — delete "
+                f"with mode='cow', or OPTIMIZE first to materialize "
+                f"the existing tombstones away")
         actions = []
         cur_proto = getattr(self, "_proto", None)
         if needs_upgrade(cur_proto, DV_PROTOCOL):

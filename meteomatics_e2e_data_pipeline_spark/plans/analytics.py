@@ -3245,6 +3245,7 @@ def q_orders_cloned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(build / "orders", base)
         except OSError:
             pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
     t = TxTable(spark, str(base))
     return (t.read().groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n_orders"),

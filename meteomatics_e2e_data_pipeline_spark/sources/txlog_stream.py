@@ -82,10 +82,16 @@ def _read_commit(table: str, version: int) -> list[dict]:
 
 
 def _merge_dv_plain(cur: dict | None, new: dict) -> dict:
-    """Plain-IO twin of ``txlog._merge_dv`` (tombstone-set union)."""
+    """Plain-IO twin of ``txlog._merge_dv`` (tombstone-set union) —
+    raising identically on a keyCols mismatch so the two fold tiers
+    never diverge on a malformed log."""
     if cur is None:
         return {"keyCols": list(new["keyCols"]),
                 "keys": [list(k) for k in new["keys"]]}
+    if list(cur["keyCols"]) != list(new["keyCols"]):
+        raise ValueError(
+            f"deletion vectors on one file must share key columns "
+            f"({cur['keyCols']} vs {new['keyCols']})")
     seen = {tuple(k) for k in cur["keys"]}
     merged = [list(k) for k in cur["keys"]]
     merged += [list(k) for k in new["keys"] if tuple(k) not in seen]

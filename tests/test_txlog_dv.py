@@ -22,7 +22,8 @@ from collections import Counter
 
 import pytest
 
-from meteomatics_e2e_data_pipeline_spark.operators.txlog import TxTable
+from meteomatics_e2e_data_pipeline_spark.operators.txlog import (
+    TxConflict, TxTable)
 
 
 def _kv(spark, n=20, parts=3):
@@ -217,6 +218,34 @@ def _heavy_test_dv_guardrails(spark, tmp_path):
     # a dv delete matching nothing publishes no commit
     v = t.version
     assert t.delete(_keys(spark, 99), ["k"], mode="dv") == v
+    # one keyed tombstone set per file: a second dv delete with
+    # DIFFERENT key columns on an already-tombstoned file refuses at
+    # plan time (an unmergeable log would brick every later fold) ...
+    t2 = TxTable.create(
+        spark,
+        spark.createDataFrame([(i, i + 100) for i in range(8)],
+                              "k long, k2 long").coalesce(1),
+        str(tmp_path / "t2"), stat_cols=["k", "k2"])
+    t2.delete(_keys(spark, 1), ["k"], mode="dv")
+    # single-file table: any k2-keyed delete targets the SAME file the
+    # k-keyed tombstone lives on — exactly the refused shape
+    with pytest.raises(ValueError, match="share one key-column set"):
+        t2.delete(spark.createDataFrame([(102,)], "k2 long"), ["k2"],
+                  mode="dv")
+    # ... and a CONCURRENT such delete (planned before the first
+    # published) is a TxConflict at commit time, not a publish
+    rv2 = t2.version - 1  # snapshot taken before the k-keyed dv landed
+    tombstoned = next(p for p, a in t2._snapshot()[2].items()
+                      if a.get("dv"))
+    with pytest.raises(TxConflict, match="different key columns"):
+        t2._commit([{"dv": {"path": tombstoned, "keyCols": ["k2"],
+                            "keys": [[104]]}}], rv2)
+    # the plain-IO fold raises identically on a malformed log
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_stream import (
+        _merge_dv_plain)
+    with pytest.raises(ValueError, match="share key columns"):
+        _merge_dv_plain({"keyCols": ["k"], "keys": [[1]]},
+                        {"keyCols": ["k2"], "keys": [[2]]})
 
 
 _POOLED = {n: fn for n, fn in [

@@ -161,6 +161,30 @@ def _heavy_test_partition_values_roundtrip_exotic(spark, tmp_path):
     rows = t.read().collect()
     assert sorted(r["k"] for r in rows) == [1, 3]
     assert t.fsck(verify_row_counts=True)["ok"]
+    # typed selectors: recorded partitionValues are typed, so a string
+    # against an int partition column is CAST through the hive decoder
+    # (never silently matching zero files), and an uncastable or
+    # wrong-typed value raises instead of reading empty / overwriting
+    # nothing.
+    ty = TxTable.create(spark, _lake_df(spark), str(tmp_path / "ty"),
+                        stat_cols=["k"], partition_cols=["year"])
+    assert ty.read(partition_values={"year": "2021"}).count() == 6
+    with pytest.raises(ValueError, match="declared type"):
+        ty.read(partition_values={"year": "20x1"})
+    with pytest.raises(ValueError, match="declared type"):
+        ty.read(partition_values={"year": 20.5})
+    with pytest.raises(ValueError, match="declared type"):
+        ty.overwrite_partitions(
+            spark.createDataFrame([("DE", 2021, 0, 0)],
+                                  "country string, year int, k int, v int"),
+            {"year": True})
+    # ... and the cast selector actually REPLACES (6 -> 1 rows in 2021)
+    ty.overwrite_partitions(
+        spark.createDataFrame([("DE", 2021, 0, 0)],
+                              "country string, year int, k int, v int"),
+        {"year": "2021"})
+    assert ty.read(partition_values={"year": 2021}).count() == 1
+    assert ty.read().count() == 7
 
 
 def _heavy_test_overwrite_partitions_replacewhere(spark, tmp_path):
