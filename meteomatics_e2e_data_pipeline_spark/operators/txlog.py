@@ -63,7 +63,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from .txproto import (BASE_PROTOCOL, PARTITION_PROTOCOL, SUPPORTED_READER,
+from .txproto import (BASE_PROTOCOL, COLMAP_PROTOCOL, PARTITION_PROTOCOL,
+                      SUPPORTED_READER,
                       SUPPORTED_WRITER, TxCorruption, TxProtocolError,
                       check_protocol, commit_payload,
                       info_action as _info_action,
@@ -151,6 +152,37 @@ def _typed_partition_values(given: dict, meta: dict, table: str) -> dict:
                 f"exactly, so a mistyped selector would silently match "
                 f"zero files")
     return out
+
+
+def _add_to_logical(inv: dict, add: dict) -> dict:
+    """Translate ONE raw add action's physical-keyed artifacts (stats,
+    nullCounts, bloom bitsets, dv keyCols) into the logical name space
+    of a column-mapped table (``inv`` = physical→logical). Entries for
+    physical columns no longer mapped (DROPPED columns) are excluded —
+    a later re-added column with the same logical name must never
+    inherit a dead column's stats (it has a fresh physical id).
+    ``partitionValues`` pass through untouched: partition columns are
+    unrenameable/undroppable, so physical == logical for them always.
+    Never mutates ``add`` (checkpoints alias these dicts)."""
+    out = dict(add)
+    for key in ("stats", "nullCounts", "bloom"):
+        if add.get(key):
+            out[key] = {inv[c]: v for c, v in add[key].items()
+                        if c in inv}
+    if add.get("dv"):
+        d = add["dv"]
+        out["dv"] = {"keyCols": [inv.get(c, c) for c in d["keyCols"]],
+                     "keys": d["keys"]}
+    return out
+
+
+def _colmap_inverse(meta: dict) -> dict | None:
+    """physical→logical map of a column-mapped table's meta (None when
+    the table has no mapping — the zero-overhead common case)."""
+    cm = meta.get("column_mapping")
+    if not cm:
+        return None
+    return {p: l for l, p in cm.items()}
 
 
 def _merge_dv(cur: dict | None, new: dict) -> dict:
@@ -393,7 +425,7 @@ class TxTable:
         checkpointed by an older writer. Returns the
         checkpointed version. Commit files are NOT deleted — time travel
         and change feeds keep reading them."""
-        v, meta, live = self._snapshot(version)
+        v, meta, live = self._snapshot(version, raw=True)
         proto = getattr(self, "_proto", None)  # folded by _snapshot(v)
         # protocol FIRST (the Delta checkpoint convention): it must
         # survive checkpoint-accelerated folds — a fold starting past
@@ -451,12 +483,23 @@ class TxTable:
             out.close()
         return v
 
-    def _snapshot(self, version: int | None = None):
+    def _snapshot(self, version: int | None = None, raw: bool = False):
         """Fold the log: returns (version, meta, {relpath: add-action}).
 
         Folds forward from the newest checkpoint at-or-before the target
         version when one exists — O(CHECKPOINT_INTERVAL) commit reads per
-        call on a checkpointed table instead of O(version)."""
+        call on a checkpointed table instead of O(version).
+
+        Column-mapped tables (``meta["column_mapping"]``): the LOG keys
+        every per-file artifact (stats, nullCounts, bloom, dv keyCols)
+        by stable PHYSICAL column names so renames never rewrite data or
+        history; the fold translates them to the snapshot's LOGICAL
+        names here, at the one boundary every planner reads through —
+        so all pruning/DML code works purely in logical space.
+        ``raw=True`` skips the translation for callers that write
+        actions BACK to the log (checkpoint, restore, clone) or audit
+        physical state (fsck): re-published actions must stay
+        physical-keyed. Unmapped tables skip translation entirely."""
         latest = self._latest_version()
         if latest is None:
             raise ValueError(f"{self.path} has no commits")
@@ -503,6 +546,11 @@ class TxTable:
         # minWriter in _commit.
         check_protocol(proto, f"{self.path}@v{v}", reader=SUPPORTED_READER)
         self._proto = proto
+        if not raw:
+            inv = _colmap_inverse(meta)
+            if inv:
+                live = {p: _add_to_logical(inv, a)
+                        for p, a in live.items()}
         return v, meta, live
 
     def _try_publish(self, version: int, actions: list[dict]) -> bool:
@@ -672,7 +720,8 @@ class TxTable:
                data_change: bool = True,
                bloom: dict | None = None,
                constraints: dict | None = None,
-               partition_cols: Sequence[str] = ()) -> list[dict]:
+               partition_cols: Sequence[str] = (),
+               colmap: dict | None = None) -> list[dict]:
         """Write ``df`` as immutable parquet files in the table root and
         return their ``add`` actions (with per-file min/max stats).
 
@@ -687,15 +736,26 @@ class TxTable:
         ``partitionValues`` (the public Delta add-action shape), and
         :meth:`_overlaps` treats those values as exact stats.
 
+        ``colmap``: column-mapped staging — the batch arrives in LOGICAL
+        names (every caller conforms it first); files are written under
+        the stable PHYSICAL names and the add actions key stats/bloom by
+        them, so a later rename is pure metadata. The stats/constraint
+        pass itself runs in logical space (constraint expressions are
+        written over logical names).
+
         The staged write and the stats pass are Spark jobs; only one stat
         row *per file* reaches the driver."""
         tag = uuid.uuid4().hex[:12]
         staged = f"{self.path}/_staged_{tag}"
         pcols = list(partition_cols or ())
+        to_phys = (colmap or {}).get
+        phys_df = (df.select(*[F.col(c).alias(to_phys(c, c))
+                               for c in df.columns]) if colmap else df)
         if pcols:
-            df.write.partitionBy(*pcols).parquet(staged)
+            # partition columns are unrenameable (physical == logical)
+            phys_df.write.partitionBy(*pcols).parquet(staged)
         else:
-            df.write.parquet(staged)
+            phys_df.write.parquet(staged)
         fs = _fs(self.spark, staged)
         if pcols:
             parts = []  # relative paths incl. key=value/ prefixes
@@ -723,13 +783,21 @@ class TxTable:
             # path: partitionBy reuses part numbers across partition
             # directories, so basenames alone would collide and merge
             # two files' stats.
-            reader = reader.schema(df.schema).option("basePath", staged)
+            reader = reader.schema(phys_df.schema).option("basePath",
+                                                          staged)
             file_expr = F.substring_index(
                 F.input_file_name(), f"_staged_{tag}/", -1)
         else:
             file_expr = F.element_at(
                 F.split(F.input_file_name(), "/"), -1)
         sdf = reader.parquet(staged).withColumn("_file", file_expr)
+        if colmap:
+            # back to logical for the stats/constraint pass (stat_cols,
+            # bloom cols and CHECK expressions all speak logical names)
+            inv = {p: l for l, p in colmap.items()}
+            sdf = sdf.select(
+                *[F.col(p).alias(inv.get(p, p))
+                  for p in sdf.columns if p != "_file"], "_file")
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in stat_cols:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}"),
@@ -780,17 +848,17 @@ class TxTable:
                            _jpath(self.spark, f"{self.path}/{final}"))
             if not ok:
                 raise IOError(f"rename of staged file {name} failed")
-            stats = {c: [_json_scalar(r[f"_min_{c}"]),
-                         _json_scalar(r[f"_max_{c}"])]
+            stats = {to_phys(c, c): [_json_scalar(r[f"_min_{c}"]),
+                                     _json_scalar(r[f"_max_{c}"])]
                      for c in stat_cols}
             add = {"path": final, "numRecords": int(r["_n"]), "stats": stats,
-                   "nullCounts": {c: int(r[f"_nulls_{c}"])
+                   "nullCounts": {to_phys(c, c): int(r[f"_nulls_{c}"])
                                   for c in stat_cols}}
             if pcols:
                 add["partitionValues"] = _parse_partition_values(
                     final, pcols, ptypes)
             if bloom and bloom.get("cols"):
-                add["bloom"] = {c: blooms[c].get(name, "")
+                add["bloom"] = {to_phys(c, c): blooms[c].get(name, "")
                                 for c in bloom["cols"]}
             if not data_change:
                 add["dataChange"] = False
@@ -1008,7 +1076,7 @@ class TxTable:
         versions a clone still references breaks the clone (its fsck
         reports the missing files). Clone from snapshots the source
         retains."""
-        v, meta, live = self._snapshot(version)
+        v, meta, live = self._snapshot(version, raw=True)
         target = target.rstrip("/")
         fs = _fs(self.spark, target)
         log = _jpath(self.spark, f"{target}/{_LOG_DIR}")
@@ -1102,6 +1170,8 @@ class TxTable:
             "stat_cols": meta.get("stat_cols", []),
             "bloom": meta.get("bloom"),
             "constraints": dict(meta.get("constraints") or {}),
+            "column_mapping": (dict(meta["column_mapping"])
+                               if meta.get("column_mapping") else None),
             "checkpoints": ckpts,
         }
 
@@ -1151,6 +1221,169 @@ class TxTable:
         new_meta["constraints"] = cons
         return self._commit([{"meta": new_meta}], rv,
                             info={"op": "drop_constraint", "name": name})
+
+    # -------------------------------------------------------- column mapping
+    # The public Delta columnMapping ('name' mode) design: data files
+    # and every per-file log artifact (stats, nullCounts, bloom, dv
+    # keyCols) are keyed by STABLE physical column names; the logical
+    # schema maps onto them through meta["column_mapping"]. RENAME and
+    # DROP then become pure metadata commits — zero data rewritten at
+    # any table size — while time travel reads each version under the
+    # names IT declared (the mapping is part of that version's meta).
+    # First use upgrades the protocol to reader/writer 4: a pre-mapping
+    # client reading physical file names as logical would silently miss
+    # the rename, so it must refuse instead.
+
+    @staticmethod
+    def _constraint_refs(meta: dict, col: str) -> list[str]:
+        """Names of CHECK constraints whose expression mentions ``col``
+        (conservative word-boundary match — refusing a rename on a
+        false positive is safe; missing a true reference is not)."""
+        import re as _re
+        pat = _re.compile(rf"\b{_re.escape(col)}\b")
+        return sorted(n for n, expr in
+                      (meta.get("constraints") or {}).items()
+                      if pat.search(expr))
+
+    def _mapping_guard(self, meta: dict, col: str, op: str) -> dict:
+        """Shared refusals for rename/drop + the (possibly fresh)
+        mapping dict. Partition columns are structural (their names
+        live in every data file PATH and in partitionValues — renaming
+        them would need a full-lake rewrite, exactly what column
+        mapping exists to avoid), and constraint expressions are stored
+        SQL text over logical names, so Delta refuses both; so do we."""
+        fields = {f["name"] for f in meta["schema"]["fields"]}
+        if col not in fields:
+            raise ValueError(f"{self.path} has no column {col!r}; "
+                             f"schema: {sorted(fields)}")
+        if col in (meta.get("partition_cols") or []):
+            raise ValueError(
+                f"cannot {op} partition column {col!r} of {self.path}: "
+                f"partition columns are encoded in data file paths and "
+                f"partitionValues (rewrite the table to change them)")
+        refs = self._constraint_refs(meta, col)
+        if refs:
+            raise ValueError(
+                f"cannot {op} column {col!r} of {self.path}: CHECK "
+                f"constraint(s) {refs} reference it (drop them first)")
+        # existing mapping, or a fresh identity mapping (enable-on-
+        # first-use: physical names freeze at their current values, so
+        # every already-written file/stat/bloom key stays correct)
+        return dict(meta.get("column_mapping")
+                    or {f["name"]: f["name"]
+                        for f in meta["schema"]["fields"]})
+
+    def _commit_mapping_meta(self, new_meta: dict, rv: int,
+                             info: dict) -> int:
+        """Publish a column-mapping meta commit, upgrading the protocol
+        in the SAME atomic commit on first use. Conflicts with any
+        intervening meta action (two schema changes must not silently
+        drop each other); intervening DATA commits commute — they
+        staged files under the old physical names, which a rename/drop
+        never touches."""
+        from .txproto import merged_protocol, needs_upgrade
+        actions: list[dict] = []
+        cur_proto = getattr(self, "_proto", None)
+        if needs_upgrade(cur_proto, COLMAP_PROTOCOL):
+            actions.append(protocol_action(
+                merged_protocol(cur_proto, COLMAP_PROTOCOL)))
+        actions.append({"meta": new_meta})
+
+        def no_meta_race(intervening):
+            if any("meta" in a for a in intervening):
+                raise TxConflict(
+                    f"concurrent schema change on {self.path}; re-run "
+                    f"so both changes survive")
+        return self._commit(actions, rv, validate=no_meta_race,
+                            info=info)
+
+    def enable_column_mapping(self) -> int:
+        """Switch the table to column-mapping mode explicitly (renames/
+        drops also enable it on first use). Idempotent. Physical names
+        freeze at the CURRENT logical names, so nothing on disk or in
+        the log changes meaning; the table's declared protocol rises to
+        reader/writer 4 in the same commit."""
+        rv, meta, _ = self._snapshot()
+        if meta.get("column_mapping"):
+            return self.version
+        new_meta = dict(meta)
+        new_meta["column_mapping"] = {f["name"]: f["name"]
+                                      for f in meta["schema"]["fields"]}
+        return self._commit_mapping_meta(
+            new_meta, rv, {"op": "enable_column_mapping"})
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN — one metadata commit, zero data rewritten
+        (the public Delta ``ALTER TABLE ... RENAME COLUMN`` under
+        columnMapping). The column keeps its physical id, so every
+        existing file, stat range, bloom bitset and deletion vector
+        keeps pruning exactly as before; snapshot reads, keyed DML and
+        CDC all speak the new name from this version on, while time
+        travel to earlier versions still answers under the old name."""
+        rv, meta, _ = self._snapshot()
+        cm = self._mapping_guard(meta, old, "rename")
+        fields = {f["name"] for f in meta["schema"]["fields"]}
+        if new in fields:
+            raise ValueError(f"cannot rename {old!r} to {new!r} on "
+                             f"{self.path}: column {new!r} already "
+                             f"exists")
+        if not new or not isinstance(new, str):
+            raise ValueError(f"invalid column name {new!r}")
+        cm[new] = cm.pop(old)
+        new_meta = dict(meta)
+        new_meta["column_mapping"] = cm
+        new_meta["schema"] = {
+            **meta["schema"],
+            "fields": [({**f, "name": new} if f["name"] == old else f)
+                       for f in meta["schema"]["fields"]]}
+        new_meta["stat_cols"] = [new if c == old else c
+                                 for c in meta.get("stat_cols", [])]
+        if meta.get("bloom"):
+            new_meta["bloom"] = {
+                **meta["bloom"],
+                "cols": [new if c == old else c
+                         for c in meta["bloom"]["cols"]]}
+        return self._commit_mapping_meta(
+            new_meta, rv, {"op": "rename_column", "from": old, "to": new})
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN — one metadata commit, zero data rewritten (the
+        public Delta ``ALTER TABLE ... DROP COLUMN`` under
+        columnMapping). The physical column stays in existing files but
+        is invisible to every read from this version on; its stats and
+        bloom entries stop participating in pruning; time travel to
+        earlier versions still reads it. A later re-added column with
+        the same logical name gets a FRESH physical id, so it can never
+        resurrect the dropped column's values. Refused when the column
+        keys a live deletion vector (drop would orphan the tombstones —
+        OPTIMIZE first to materialize them away)."""
+        rv, meta, live = self._snapshot()
+        cm = self._mapping_guard(meta, name, "drop")
+        if len(meta["schema"]["fields"]) == 1:
+            raise ValueError(f"cannot drop the only column of "
+                             f"{self.path}")
+        dv_files = sorted(p for p, a in live.items()
+                          if a.get("dv") and name in a["dv"]["keyCols"])
+        if dv_files:
+            raise ValueError(
+                f"cannot drop column {name!r} of {self.path}: live "
+                f"deletion vectors on {dv_files} are keyed by it "
+                f"(OPTIMIZE first to materialize the tombstones away)")
+        cm.pop(name)
+        new_meta = dict(meta)
+        new_meta["column_mapping"] = cm
+        new_meta["schema"] = {
+            **meta["schema"],
+            "fields": [f for f in meta["schema"]["fields"]
+                       if f["name"] != name]}
+        new_meta["stat_cols"] = [c for c in meta.get("stat_cols", [])
+                                 if c != name]
+        if meta.get("bloom"):
+            cols = [c for c in meta["bloom"]["cols"] if c != name]
+            new_meta["bloom"] = ({**meta["bloom"], "cols": cols}
+                                 if cols else None)
+        return self._commit_mapping_meta(
+            new_meta, rv, {"op": "drop_column", "name": name})
 
     def version_at(self, timestamp: float) -> int:
         """Resolve ``timestampAsOf``-style time travel: the latest
@@ -1244,6 +1477,17 @@ class TxTable:
         schema = StructType.fromJson(meta["schema"])
         cols = [f.name for f in schema.fields]
         pcols = meta.get("partition_cols") or []
+        cm = meta.get("column_mapping")
+        if cm:
+            # column-mapped: files store PHYSICAL names; scan with the
+            # physical twin of the declared schema, alias back to
+            # logical right after (a pure projection — free under
+            # whole-stage codegen, and column pruning pushes through it)
+            read_schema = StructType([
+                StructField(cm.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields])
+        else:
+            read_schema = schema
 
         def root_of(p: str) -> str:
             # partition materialization needs a basePath ANCESTOR of
@@ -1260,16 +1504,22 @@ class TxTable:
                 by_root: dict[str, list[str]] = {}
                 for p in sorted(ps):
                     by_root.setdefault(root_of(p), []).append(p)
-                groups = [(self.spark.read.schema(schema)
+                groups = [(self.spark.read.schema(read_schema)
                            .option("basePath", root), grp)
                           for root, grp in sorted(by_root.items())]
             else:
-                groups = [(self.spark.read.schema(schema), sorted(ps))]
+                groups = [(self.spark.read.schema(read_schema),
+                           sorted(ps))]
             for reader, grp in groups:
                 df = reader.parquet(*[self._abs(p) for p in grp])
                 if with_file:
                     df = df.withColumn("_file",
                                        self._file_expr(len(pcols)))
+                if cm:
+                    df = df.select(
+                        *[F.col(cm.get(f.name, f.name)).alias(f.name)
+                          for f in schema.fields],
+                        *(["_file"] if with_file else []))
                 frames.append(df)
             out = frames[0]
             for fr in frames[1:]:
@@ -1450,7 +1700,10 @@ class TxTable:
         # tombstones were already emitted as deletes, in this window or
         # a previous one). Layout-only swaps (optimize, including DV
         # materialization) stay silent: visible rows are unchanged.
-        _, _, state_live = self._snapshot(from_version)
+        # raw: the walk merges dv actions straight off the commits
+        # (physical keyCols on mapped tables); translation to the
+        # to-version's logical names happens once, at the probe frames
+        _, _, state_live = self._snapshot(from_version, raw=True)
         dv_state = {p: a["dv"] for p, a in state_live.items()
                     if a.get("dv")}
         partial_dels: list[tuple[str, dict]] = []  # removed w/ tombstones
@@ -1507,11 +1760,17 @@ class TxTable:
                 frames.append(
                     self._scan_files(meta, paths)  # multiset: dups kept
                     .withColumn("_change_type", F.lit(tag)))
+        inv = _colmap_inverse(meta) or {}
+
+        def ldv(dv: dict) -> dict:  # physical→to-version logical keyCols
+            return {"keyCols": [inv.get(c, c) for c in dv["keyCols"]],
+                    "keys": dv["keys"]}
         for p, dv in partial_dels:
             frames.append(
-                self._scan_files(meta, [p], dvs={p: dv})
+                self._scan_files(meta, [p], dvs={p: ldv(dv)})
                 .withColumn("_change_type", F.lit("delete")))
         for p, dv in dv_dels:
+            dv = ldv(dv)
             frames.append(
                 self._scan_files(meta, [p])
                 .join(F.broadcast(self._dv_probe(schema, dv)),
@@ -1567,6 +1826,15 @@ class TxTable:
         evolved = StructType(list(schema.fields) + new_fields)
         new_meta = dict(meta)
         new_meta["schema"] = json.loads(evolved.json())
+        if meta.get("column_mapping"):
+            # mapped tables: a new column gets a FRESH physical id —
+            # reusing its logical name would collide with a previously
+            # DROPPED column's physical data in old files (stale values
+            # instead of nulls; the public Delta columnMapping rule)
+            cm = dict(meta["column_mapping"])
+            for f in new_fields:
+                cm[f.name] = f"col-{uuid.uuid4().hex[:16]}"
+            new_meta["column_mapping"] = cm
 
         def no_meta_race(intervening):
             if any("meta" in a for a in intervening):
@@ -1592,7 +1860,8 @@ class TxTable:
         actions += self._stage(df, meta.get("stat_cols", []),
                                bloom=meta.get("bloom"),
                                constraints=meta.get("constraints"),
-                               partition_cols=meta.get("partition_cols"))
+                               partition_cols=meta.get("partition_cols"),
+                               colmap=meta.get("column_mapping"))
         if not actions:
             return self.version
 
@@ -1627,7 +1896,8 @@ class TxTable:
                                meta.get("stat_cols", []),
                                bloom=meta.get("bloom"),
                                constraints=meta.get("constraints"),
-                               partition_cols=meta.get("partition_cols"))
+                               partition_cols=meta.get("partition_cols"),
+                               colmap=meta.get("column_mapping"))
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -1688,7 +1958,8 @@ class TxTable:
         actions += self._stage(df, meta.get("stat_cols", []),
                                bloom=meta.get("bloom"),
                                constraints=meta.get("constraints"),
-                               partition_cols=pcols)
+                               partition_cols=pcols,
+                               colmap=meta.get("column_mapping"))
 
         def no_target_writes(intervening):
             for a in intervening:
@@ -1846,6 +2117,16 @@ class TxTable:
                 return False
         return True
 
+    @staticmethod
+    def _add_logical(meta: dict, add: dict) -> dict:
+        """Translate one RAW add action (an intervening commit's, seen
+        by a conflict validator) into the snapshot's logical name space
+        — identity for unmapped tables. The folded ``live`` set is
+        already translated by :meth:`_snapshot`; only actions read
+        straight off commit files need this."""
+        inv = _colmap_inverse(meta)
+        return _add_to_logical(inv, add) if inv else add
+
     def _candidate_files(self, live: dict[str, dict], keys: Sequence[str],
                          bounds: dict) -> list[str]:
         """Files whose per-key stat ranges overlap the batch's key ranges.
@@ -1896,7 +2177,8 @@ class TxTable:
             # keys — the merge's anti-join/replace decisions are stale.
             # Conservative (stat-grain) but never silent: caller re-runs.
             for a in intervening:
-                if "add" in a and self._overlaps(a["add"], keys, bounds):
+                if "add" in a and self._overlaps(
+                        self._add_logical(meta, a["add"]), keys, bounds):
                     raise TxConflict(
                         f"concurrent commit added keys overlapping this "
                         f"merge's key range on {self.path}; re-run the "
@@ -1918,7 +2200,8 @@ class TxTable:
             adds = meta_actions + self._stage(
                 batch, stat_cols, bloom=meta.get("bloom"),
                 constraints=meta.get("constraints"),
-                partition_cols=meta.get("partition_cols"))
+                partition_cols=meta.get("partition_cols"),
+                colmap=meta.get("column_mapping"))
             # a pure schema widening (every row was a duplicate) still
             # commits: the caller asked for the evolved schema
             return (self._commit(adds, rv, validate=validate,
@@ -1949,7 +2232,8 @@ class TxTable:
         actions += self._stage(new_data, stat_cols,
                                bloom=meta.get("bloom"),
                                constraints=meta.get("constraints"),
-                               partition_cols=meta.get("partition_cols"))
+                               partition_cols=meta.get("partition_cols"),
+                               colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, validate=validate,
                             info={"op": "merge_upsert"})
 
@@ -2021,7 +2305,8 @@ class TxTable:
 
         def no_key_overlap(intervening):
             for a in intervening:
-                if "add" in a and self._overlaps(a["add"], keys, bounds):
+                if "add" in a and self._overlaps(
+                        self._add_logical(meta, a["add"]), keys, bounds):
                     raise TxConflict(
                         f"concurrent commit added keys overlapping this "
                         f"delete's key range on {self.path}; re-run the "
@@ -2047,7 +2332,8 @@ class TxTable:
         actions += self._stage(keep, stat_cols,
                                bloom=meta.get("bloom"),
                                constraints=meta.get("constraints"),
-                               partition_cols=meta.get("partition_cols"))
+                               partition_cols=meta.get("partition_cols"),
+                               colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, validate=no_key_overlap,
                             info={"op": "delete"})
 
@@ -2098,8 +2384,10 @@ class TxTable:
             # use; merged so an already-higher declaration never lowers
             actions.append(protocol_action(
                 merged_protocol(cur_proto, DV_PROTOCOL)))
+        cm = meta.get("column_mapping") or {}
+        phys_keys = [cm.get(k, k) for k in keys]  # log speaks physical
         for path in sorted(by_file):
-            actions.append({"dv": {"path": path, "keyCols": keys,
+            actions.append({"dv": {"path": path, "keyCols": phys_keys,
                                    "keys": sorted(by_file[path])}})
         return self._commit(actions, rv, validate=validate,
                             info={"op": "delete", "mode": "dv",
@@ -2202,7 +2490,8 @@ class TxTable:
 
         def no_key_overlap(intervening):
             for a in intervening:
-                if "add" in a and self._overlaps(a["add"], keys, bounds):
+                if "add" in a and self._overlaps(
+                        self._add_logical(meta, a["add"]), keys, bounds):
                     raise TxConflict(
                         f"concurrent commit added keys overlapping this "
                         f"change window on {self.path}; re-run against "
@@ -2230,7 +2519,8 @@ class TxTable:
         actions += self._stage(new_data, stat_cols,
                                bloom=meta.get("bloom"),
                                constraints=meta.get("constraints"),
-                               partition_cols=meta.get("partition_cols"))
+                               partition_cols=meta.get("partition_cols"),
+                               colmap=meta.get("column_mapping"))
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -2309,7 +2599,8 @@ class TxTable:
                 if "add" not in a:
                     continue
                 for key_cols, _probe, bounds in probes:
-                    if self._overlaps(a["add"], key_cols, bounds):
+                    if self._overlaps(self._add_logical(meta, a["add"]),
+                                      key_cols, bounds):
                         raise TxConflict(
                             f"concurrent commit added keys overlapping "
                             f"this delta's range on {self.path}; re-run "
@@ -2331,7 +2622,8 @@ class TxTable:
                                    bloom=meta.get("bloom"),
                                    constraints=meta.get("constraints"),
                                    partition_cols=meta.get(
-                                       "partition_cols"))
+                                       "partition_cols"),
+                               colmap=meta.get("column_mapping"))
         if not actions:
             return self.version  # empty delta: no commit, replay-safe
         if txn is not None:
@@ -2410,7 +2702,8 @@ class TxTable:
         actions += self._stage(rewritten, stat_cols,
                                bloom=meta.get("bloom"),
                                constraints=meta.get("constraints"),
-                               partition_cols=meta.get("partition_cols"))
+                               partition_cols=meta.get("partition_cols"),
+                               colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, validate=no_data_change,
                             info={"op": "update"})
 
@@ -2439,8 +2732,8 @@ class TxTable:
         remove files this restore re-adds by reference) invalidates the
         plan; the caller re-runs against the fresh head.
         """
-        rv, meta, live = self._snapshot()
-        _, old_meta, old_live = self._snapshot(version)
+        rv, meta, live = self._snapshot(raw=True)
+        _, old_meta, old_live = self._snapshot(version, raw=True)
         removes = sorted(p for p in live if p not in old_live)
         readds = {p: a for p, a in old_live.items() if p not in live}
         fs = _fs(self.spark, self.path)
@@ -2580,7 +2873,8 @@ class TxTable:
                                data_change=False,
                                bloom=meta.get("bloom"),
                                constraints=meta.get("constraints"),
-                               partition_cols=pcols)
+                               partition_cols=pcols,
+                               colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, info={"op": "optimize"})
 
     def fsck(self, scan_orphans: bool = True,
@@ -2626,6 +2920,7 @@ class TxTable:
         live: dict[str, dict] = {}
         referenced: set[str] = set()
         proto: dict | None = None
+        fmeta: dict = {}
         fs = _fs(self.spark, self.log_dir)
         for v in range(latest + 1):
             if not fs.exists(_jpath(self.spark,
@@ -2651,6 +2946,8 @@ class TxTable:
                                                    a["dv"])}
                 elif "protocol" in a:
                     proto = a["protocol"]
+                elif "meta" in a:
+                    fmeta = a["meta"]
         torn_checkpoints = []
         for c in self._checkpoint_versions():
             try:
@@ -2684,6 +2981,8 @@ class TxTable:
             "protocol": dict(proto or BASE_PROTOCOL),
             "protocol_supported": supported,
         }
+        if fmeta.get("column_mapping"):
+            report["column_mapping"] = dict(fmeta["column_mapping"])
         dv_live = [p for p, a in live.items() if a.get("dv")]
         if dv_live:
             report["dv_files"] = sorted(dv_live)
@@ -2698,7 +2997,12 @@ class TxTable:
             vmeta = (self._snapshot()[1]
                      if supported and not torn_commits
                      and not missing_commits else {})
-            stat_cols = [c for c in vmeta.get("stat_cols", [])]
+            # column-mapped tables: this pass reads RAW files (physical
+            # column names) against the RAW fold's add actions (physical
+            # stat keys) — stat_cols translate logical→physical once
+            cmap = vmeta.get("column_mapping") or {}
+            stat_cols = [cmap.get(c, c)
+                         for c in vmeta.get("stat_cols", [])]
             aggs = [F.count(F.lit(1)).alias("_n")]
             for c in stat_cols:
                 aggs += [F.min(c).alias(f"_min_{c}"),

@@ -66,12 +66,20 @@ TXPROTO_VERSION = 2
 #   reader 3 / writer 3 — deletion vectors (``dv`` actions; a v2
 #                         reader would resurrect deleted rows, a v2
 #                         writer would rewrite files without applying
-#                         live DVs).
-SUPPORTED_READER = 3
-SUPPORTED_WRITER = 3
+#                         live DVs);
+#   reader 4 / writer 4 — column mapping (the public Delta
+#                         columnMapping 'name' mode: data files store
+#                         PHYSICAL column names, ``meta["column_
+#                         mapping"]`` maps logical→physical; a v3
+#                         reader would surface physical names and miss
+#                         renames/drops, a v3 writer would stage files
+#                         under logical names old files don't share).
+SUPPORTED_READER = 4
+SUPPORTED_WRITER = 4
 BASE_PROTOCOL = {"minReader": 1, "minWriter": 2}
 PARTITION_PROTOCOL = {"minReader": 2, "minWriter": 2}
 DV_PROTOCOL = {"minReader": 3, "minWriter": 3}
+COLMAP_PROTOCOL = {"minReader": 4, "minWriter": 4}
 
 
 class TxProtocolError(RuntimeError):

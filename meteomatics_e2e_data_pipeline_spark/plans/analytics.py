@@ -3203,6 +3203,72 @@ WHERE o_orderkey IN ({", ".join(str(k) for k in POINT_KEYS)})
 """
 
 
+def q_orders_renamed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping under the oracle gate (round-14): the adopted
+    orders table takes TWO metadata-only schema changes at build —
+    ``rename_column('o_orderkey', 'order_id')`` (the stat+bloom column:
+    pruning must key by the stable PHYSICAL id, not the label) and
+    ``drop_column('o_orderpriority')`` — with ZERO data files rewritten
+    (asserted at build), then this rollup full-scans the renamed
+    snapshot and aggregates under the NEW names. The oracle answers
+    from the ORIGINAL orders view with ``AS`` aliases, so a read path
+    that misapplied the mapping anywhere (scan schema, stats
+    translation, fold) breaks the value hash. Scale shape: each schema
+    change is one KB-sized log line at any table size; the
+    logical↔physical projection is a free select under whole-stage
+    codegen. Reference parity: the reference's own staging model
+    renames API fields (stg_weather_raw.sql param.value:parameter →
+    parameter); this is the lake-side rename."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:renamed"
+        .encode()).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        build = Path(tempfile.mkdtemp(prefix="convert_build_",
+                                      dir=tempfile.gettempdir()))
+        (load_table(spark, sf_dir, "orders")
+         .repartitionByRange(4, "o_orderkey")
+         .write.parquet(str(build / "orders")))
+        t = TxTable.convert(spark, str(build / "orders"),
+                            stat_cols=["o_orderkey"],
+                            bloom_cols=["o_orderkey"])
+        files0 = sorted(t.live_files())
+        t.rename_column("o_orderkey", "order_id")
+        t.drop_column("o_orderpriority")
+        # the column-mapping contract, asserted at build: both schema
+        # changes were pure metadata — no data file touched
+        assert sorted(t.live_files()) == files0, \
+            "rename/drop must rewrite zero files"
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
+    t = TxTable(spark, str(base))
+    return (t.read().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("order_id").alias("sum_ids"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+ORACLE_ORDERS_RENAMED = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_ids,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 _CLONE_DEL_KEYS = [1, 6, 4000]  # deleted on the CLONE only, at build
 
 
@@ -3400,6 +3466,7 @@ QUERIES = {
     "orders_partitioned_rollup": q_orders_partitioned_rollup,
     "orders_dv_pointget": q_orders_dv_pointget,
     "orders_cloned_rollup": q_orders_cloned_rollup,
+    "orders_renamed_rollup": q_orders_renamed_rollup,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
@@ -3486,6 +3553,7 @@ ORACLE = {
     "orders_partitioned_rollup": ORACLE_ORDERS_PARTITIONED_ROLLUP,
     "orders_dv_pointget": ORACLE_ORDERS_DV_POINTGET,
     "orders_cloned_rollup": ORACLE_ORDERS_CLONED,
+    "orders_renamed_rollup": ORACLE_ORDERS_RENAMED,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
     "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,

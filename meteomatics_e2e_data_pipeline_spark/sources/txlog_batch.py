@@ -286,18 +286,62 @@ class TxLogBatchReader(DataSourceReader):
         yield from pa.table(dict(zip(self.fields, arrays))).to_batches()
 
 
-def _refuse_constrained(table: str) -> None:
-    """The DataSource writer stages per-task without reading table meta,
-    so it cannot enforce CHECK constraints; writing around them would
-    silently break the invariant TxTable writers uphold — refuse loudly
-    and point at the enforcing path."""
+def _check_constraints_unchanged(table: str, planned: dict) -> None:
+    """Claim-loop twin of ``TxTable._commit``'s MetadataChanged rule:
+    this write's rows were validated (task-side, in ``write()``) against
+    the PLAN-time constraint set; an ``add_constraint`` landing between
+    plan and publish means they were never validated under the fresh
+    rules, so publishing on top would silently break the new invariant
+    — conflict loudly instead."""
     _, meta, _, _, _ = _fold_snapshot(table)
     cons = meta.get("constraints") or {}
-    if cons:
-        raise ValueError(
-            f"{table} declares CHECK constraints {sorted(cons)}; the "
-            f"txlog DataSource writer does not enforce them - write "
-            f"through TxTable.append/merge_upsert instead")
+    if cons != (planned or {}):
+        raise RuntimeError(
+            f"table metadata of {table} changed under this write "
+            f"(CHECK constraints {sorted(planned or {})} -> "
+            f"{sorted(cons)}); the staged rows were validated under "
+            f"the old rules - re-run the write")
+
+
+def _validate_chunk_constraints(rows: list, fields: list,
+                                arrow_schema, constraints: dict,
+                                table: str) -> None:
+    """Enforce the table's CHECK constraints on one write chunk, inside
+    the Arrow task worker (no JVM there): the chunk is exposed to DuckDB
+    as a zero-copy Arrow table and each expression is evaluated with
+    the SQL CHECK rule (only FALSE violates; NULL passes). Constraint
+    expressions are ANSI-portable by this repo's own discipline (the
+    same expressions are oracle-checked against DuckDB at the gate), so
+    the two engines agree on them by construction."""
+    if not constraints:
+        return
+    import duckdb
+    import pyarrow as pa
+    cols = list(zip(*rows))
+    arrays = []
+    for field, col in zip(arrow_schema, cols):
+        try:
+            arrays.append(pa.array(col, type=field.type))
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as exc:
+            raise ValueError(
+                f"column '{field.name}' of the write is not compatible "
+                f"with the table type {field.type}: {exc}") from None
+    batch_tbl = pa.table(dict(zip(fields, arrays)))
+    con = duckdb.connect()
+    try:
+        con.register("_write_chunk", batch_tbl)
+        for name in sorted(constraints):
+            expr = constraints[name]
+            n_bad = con.execute(
+                f"SELECT count(*) FROM _write_chunk "
+                f"WHERE NOT COALESCE(({expr}), TRUE)").fetchone()[0]
+            if n_bad:
+                raise ValueError(
+                    f"CHECK constraint violation on {table}: {name!r} "
+                    f"({expr}) fails for {n_bad} row(s) in this write "
+                    f"task")
+    finally:
+        con.close()
 
 
 def _claim_commit(table: str, version: int, payload: str) -> bool:
@@ -413,7 +457,6 @@ class TxLogBatchWriter(DataSourceWriter):
             raise ValueError("txlog requires option 'path'")
         self.table = path.rstrip("/")
         self.overwrite = overwrite
-        _refuse_constrained(self.table)  # plan time: before any task IO
         v, meta, live, _, proto = _fold_snapshot(self.table)
         check_protocol(proto, f"{self.table} (txlog DataSource writer)",
                        writer=_WRITER_CAP)
@@ -430,6 +473,11 @@ class TxLogBatchWriter(DataSourceWriter):
                 f"TxTable.append(merge_schema=True) to evolve)")
         self.fields = table_cols
         self.schema_json = meta["schema"]
+        # CHECK constraints are ENFORCED: handed to tasks at plan time,
+        # validated per-chunk in the Arrow worker (write()), re-verified
+        # unchanged inside the claim loop (_publish) — the three pieces
+        # of TxTable's own constraint story, mapped onto V2 writes.
+        self.constraints = dict(meta.get("constraints") or {})
 
     #: per-task cap on simultaneously open partition files: a write
     #: whose tasks straddle more partitions than this must repartition
@@ -465,6 +513,10 @@ class TxLogBatchWriter(DataSourceWriter):
         data_fields = [f for f in full_schema.fields
                        if f.name not in pcols]
         arrow_schema = to_arrow_schema(StructType(data_fields))
+        # constraint validation sees FULL rows (a CHECK may reference
+        # partition columns, which are excluded from the file data)
+        full_arrow_schema = (to_arrow_schema(full_schema)
+                             if self.constraints else None)
         data_names = [f.name for f in data_fields]
         data_idx = [self.fields.index(n) for n in data_names]
         p_idx = [self.fields.index(c) for c in pcols]
@@ -500,6 +552,10 @@ class TxLogBatchWriter(DataSourceWriter):
                 if not chunk:
                     break
                 rows = [tuple(r) for r in chunk]
+                if self.constraints:
+                    _validate_chunk_constraints(
+                        rows, self.fields, full_arrow_schema,
+                        self.constraints, self.table)
                 if pcols:
                     groups: dict[tuple, list] = {}
                     for tr in rows:
@@ -565,10 +621,10 @@ class TxLogBatchWriter(DataSourceWriter):
             "overwrite" if self.overwrite else "append", writer="batch")])
         while True:
             # Re-checked INSIDE the claim loop (not only at plan time):
-            # an add_constraint landing between plan and publish would
-            # otherwise let unvalidated rows commit past the constraint
+            # an add_constraint landing between plan and publish means
+            # this write's rows were validated under the OLD rules
             # (the TxTable._commit MetadataChanged rule, mirrored here).
-            _refuse_constrained(self.table)
+            _check_constraints_unchanged(self.table, self.constraints)
             latest = _latest_version(self.table)
             if self.overwrite and latest != self.read_version:
                 raise RuntimeError(
@@ -650,7 +706,8 @@ class TxLogStreamWriter(DataSourceStreamWriter):
             # Same in-loop re-check as TxLogBatchWriter._publish: a
             # constraint committed after plan time must refuse this
             # batch's unvalidated rows, not race past them.
-            _refuse_constrained(self.table)
+            _check_constraints_unchanged(self.table,
+                                         self._delegate.constraints)
             latest = _latest_version(self.table)
             _, _, _, txns, _ = _fold_snapshot(self.table)
             if txns.get(self.app_id, -1) >= batchId:

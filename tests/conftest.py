@@ -129,6 +129,8 @@ _POOLED_MODULES = (
     "tests.test_txlog_dv",
     "tests.test_txlog_protocol",
     "tests.test_txlog_clone",
+    # round 14: column mapping (rename/drop as metadata commits)
+    "tests.test_txlog_colmap",
 )
 
 

@@ -122,21 +122,50 @@ def test_staged_write_conflicts_with_concurrent_constraint(spark, tmp_path):
         == {(1, 10), (2, 20), (3, 3)}
 
 
-def _heavy_test_datasource_writer_refuses_constrained_table(spark, tmp_path):
-    """The DataSource writer stages per-task without table meta, so it
-    cannot enforce CHECK constraints — it must refuse at PLAN time
-    (before any task writes a byte), not write around them."""
+def _heavy_test_datasource_writer_enforces_constraints(spark, tmp_path):
+    """The V2 DataSource writer ENFORCES CHECK constraints (round-14):
+    the constraint set is handed to tasks at plan time and each Arrow
+    chunk validates before a byte is staged — valid rows land, a
+    violation fails loudly NAMING the constraint, and the table is
+    untouched either way."""
     from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
         register)
     t = _t(spark, tmp_path)
     register(spark)
-    df = spark.createDataFrame([(3, -1)], "k int, v int")
-    with pytest.raises(Exception, match="does not enforce"):
-        (df.write.format("txlog").mode("append")
+    ok = spark.createDataFrame([(3, 30)], "k int, v int")
+    (ok.write.format("txlog").mode("append")
+     .option("path", t.path).save())
+    assert {(r["k"], r["v"]) for r in t.read().collect()} \
+        == {(1, 10), (2, 20), (3, 30)}
+    bad = spark.createDataFrame([(4, 40), (5, -1)], "k int, v int")
+    with pytest.raises(Exception, match="v_pos"):
+        (bad.write.format("txlog").mode("append")
          .option("path", t.path).save())
-    assert t.version == 0 and t.read().count() == 2
-    audit = t.fsck()
-    assert audit["ok"] and audit["unreferenced_files"] == []  # no task IO
+    assert t.read().count() == 3  # violating batch fully rejected
+    # NULL check results pass (SQL CHECK semantics), same as TxTable
+    (spark.createDataFrame([(6, None)], "k int, v int")
+     .write.format("txlog").mode("append")
+     .option("path", t.path).save())
+    assert t.read().count() == 4
+    assert t.fsck(verify_row_counts=True)["ok"]
+
+
+def _heavy_test_datasource_writer_constraint_race_conflicts(
+        spark, tmp_path):
+    """A concurrent add_constraint between the V2 writer's plan and its
+    publish forces the conflict path (the MetadataChanged rule): the
+    staged rows were validated under the OLD rules and must not land."""
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        TxLogBatchWriter)
+    t = _t(spark, tmp_path)
+    w = TxLogBatchWriter({"path": t.path},
+                         spark.createDataFrame([], "k int, v int").schema,
+                         overwrite=False)
+    msg = w.write(iter([(7, 70)]))  # task-side: validates + stages
+    TxTable(spark, t.path).add_constraint("v_cap", "v < 50")
+    with pytest.raises(RuntimeError, match="changed under this write"):
+        w.commit([msg])
+    assert t.read().count() == 2  # the raced batch never landed
 
 
 # Pooled heavy bodies (see conftest.pool_bodies). The concurrent-data
@@ -146,7 +175,8 @@ _POOLED = {n: fn for n, fn in [
     ("test_violating_writes_rejected_table_untouched", _heavy_test_violating_writes_rejected_table_untouched),
     ("test_null_check_result_passes_and_conforming_writes_land", _heavy_test_null_check_result_passes_and_conforming_writes_land),
     ("test_add_constraint_validates_existing_data", _heavy_test_add_constraint_validates_existing_data),
-    ("test_datasource_writer_refuses_constrained_table", _heavy_test_datasource_writer_refuses_constrained_table),
+    ("test_datasource_writer_enforces_constraints", _heavy_test_datasource_writer_enforces_constraints),
+    ("test_datasource_writer_constraint_race_conflicts", _heavy_test_datasource_writer_constraint_race_conflicts),
 ]}
 
 
