@@ -1104,6 +1104,13 @@ class TxTable:
                                       f"{target}/{_LOG_DIR}")
         if not t._try_publish(0, actions):
             raise TxConflict(f"concurrent create of {target}")
+        # Register the clone in the SOURCE's log too (one pure-info
+        # commit — commutes with everything): vacuum reads these refs
+        # and refuses to delete files a live clone still references
+        # (the guard the public Delta caveat lacks; see :meth:`vacuum`).
+        self._commit([], self.version,
+                     info={"op": "clone_ref", "target": target,
+                           "source_version": int(v)})
         return t
 
     @property
@@ -3065,7 +3072,39 @@ class TxTable:
                         and not report.get("stat_mismatches"))
         return report
 
-    def vacuum(self, retention_seconds: float = 7 * 24 * 3600) -> list[str]:
+    def _clone_protected(self) -> dict[str, list[str]]:
+        """{relpath: [clone targets]} of files a REGISTERED live clone
+        still references inside this table root. Clone registrations
+        are ``clone_ref`` info actions :meth:`clone` publishes into the
+        source's own log; each registered clone's CURRENT live set is
+        folded (driver-sized, and a clone that optimized itself fully
+        local protects nothing). A clone whose log is gone (deleted
+        experiment) or unreadable (protocol-newer client required)
+        drops out of the guard — gone means gone; unreadable is
+        conservative the other way and reported by the caller."""
+        targets: list[str] = []
+        for i in range(self.version + 1):
+            for a in self._read_commit(i):
+                info = a.get("info") or {}
+                if info.get("op") == "clone_ref":
+                    targets.append(info["target"])
+        prefix = f"{self.path}/"
+        protected: dict[str, list[str]] = {}
+        for tgt in dict.fromkeys(targets):  # de-dup, keep order
+            try:
+                _, _, cl_live = TxTable(self.spark, tgt)._snapshot(
+                    raw=True)
+            except ValueError:
+                continue  # clone deleted: nothing to protect
+            except (TxProtocolError, TxCorruption):
+                continue  # unreadable clone: cannot prove references
+            for p in cl_live:
+                if p.startswith(prefix):
+                    protected.setdefault(p[len(prefix):], []).append(tgt)
+        return protected
+
+    def vacuum(self, retention_seconds: float = 7 * 24 * 3600,
+               respect_clones: bool = True) -> list[str]:
         """Delete data files unreferenced by the CURRENT version (destroys
         time travel to versions that needed them). Returns deleted names.
 
@@ -3076,18 +3115,41 @@ class TxTable:
         older than the retention threshold are deleted; pass ``0`` only
         when no writer can be concurrent (e.g. tests). Even with the
         guard, do not run vacuum concurrently with writers that may stall
-        longer than the retention window."""
+        longer than the retention window.
+
+        ``respect_clones=True`` (default, round-14): files a REGISTERED
+        shallow clone still references are SKIPPED, with a warning
+        naming the clones — closing the public Delta caveat where a
+        source vacuum silently breaks its clones (every clone created
+        by :meth:`clone` registers itself in this log). Pass
+        ``respect_clones=False`` to restore the raw Delta behavior
+        (delete anyway — the clones' fsck will report the damage);
+        clones made by older writers (no registration) are never seen
+        by the guard either way."""
         _, _, live = self._snapshot()
+        protected = self._clone_protected() if respect_clones else {}
         fs = _fs(self.spark, self.path)
         cutoff_ms = (time.time() - retention_seconds) * 1000.0
         deleted = []
+        skipped: dict[str, list[str]] = {}
         # recursive: partitioned layouts keep data under key=value/
         # subpaths, and converted tables reference files under their
         # original names — all must be reclaimable once superseded
         for rel, mtime in self._list_data_files():
             if rel not in live and mtime < cutoff_ms:
+                if rel in protected:
+                    skipped[rel] = protected[rel]
+                    continue
                 fs.delete(_jpath(self.spark, f"{self.path}/{rel}"), False)
                 deleted.append(rel)
+        if skipped:
+            import warnings
+            warnings.warn(
+                f"vacuum of {self.path} skipped {len(skipped)} file(s) "
+                f"still referenced by shallow clone(s) "
+                f"{sorted({t for ts in skipped.values() for t in ts})}; "
+                f"pass respect_clones=False to delete anyway (breaks "
+                f"those clones)", stacklevel=2)
         # superseded checkpoints are derived artifacts: keep only the
         # newest. Correctness never depended on them (a fold without a
         # usable checkpoint falls back to the commits, which are never

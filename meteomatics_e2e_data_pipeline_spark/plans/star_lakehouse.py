@@ -143,19 +143,32 @@ def _empty(spark: SparkSession, ddl: str) -> DataFrame:
 
 def create_weather_star(spark: SparkSession, root: str) -> WeatherStar:
     """Create (or reopen) the star's tables under ``root``. All tables
-    carry key stats so every fold's probes and rewrites prune."""
-    def table(name: str, ddl: str, stats: Sequence[str]) -> TxTable:
+    carry key stats so every fold's probes and rewrites prune.
+
+    The FACT tables are hive-partitioned by ``date_key`` (S10's
+    cluster-by expressed as partitions, round-14): fact rows only ever
+    change inside the as-of maintenance window (±2/+7 days —
+    ``_window_bounds``), so day-grain partitions align the
+    copy-on-write rewrite boundary with the change locality — a fold's
+    probe scans and rewrites touch ONLY the window's partitions
+    (log-diff-asserted in tests), and at 100 TB the years of closed
+    history are never opened, listed, or rewritten by maintenance.
+    ``reload_fact_day`` (replaceWhere) rides the same layout as the
+    daily-reload alternative."""
+    def table(name: str, ddl: str, stats: Sequence[str],
+              parts: Sequence[str] = ()) -> TxTable:
         path = f"{root}/{name}"
         try:
             return TxTable(spark, path)
         except ValueError:
             return TxTable.create(spark, _empty(spark, ddl), path,
-                                  stat_cols=list(stats))
+                                  stat_cols=list(stats),
+                                  partition_cols=list(parts))
 
     facts = {
         name: table(name,
                     _FACT_SCHEMA.format(vt="string" if sun else "double"),
-                    FACT_KEYS)
+                    FACT_KEYS, parts=["date_key"])
         for (sun, _hist), name in FACT_NAMES.items()
     }
     return WeatherStar(
@@ -355,6 +368,25 @@ def maintain_city_daily_rollup(spark: SparkSession,
     return to_v
 
 
+def reload_fact_day(spark: SparkSession, star: WeatherStar,
+                    fact_name: str, day_key: int) -> int:
+    """The DAILY-RELOAD maintenance alternative (round-14): recompute
+    ONE day of a fact family from the winners state and atomically
+    swap exactly that partition in (``overwrite_partitions`` — the
+    public Delta replaceWhere shape). Where the CDC fold advances by
+    change increments, this advances by partition replacement: simpler
+    to reason about (idempotent re-runs of a day are byte-stable
+    swaps), same end state — pytest pins ``reload ≡ maintained`` on
+    every partition. Cost ∝ one day's rows at any table size; every
+    other partition is untouched BY REFERENCE."""
+    sun, hist = next((s, h) for (s, h), n in FACT_NAMES.items()
+                     if n == fact_name)
+    day_rows = (_fact_rows(star.winners.read(), sun, hist)
+                .filter(F.col("date_key") == F.lit(int(day_key))))
+    return star.facts[fact_name].overwrite_partitions(
+        day_rows, {"date_key": int(day_key)})
+
+
 def maintain_weather_star(spark: SparkSession, star: WeatherStar,
                           to_version: int | None = None,
                           versions_per_fold: int = 0,
@@ -401,8 +433,9 @@ def _bronze_fingerprint() -> str:
     from ..operators.txproto import TXPROTO_VERSION
     h.update(f"txproto={TXPROTO_VERSION}".encode())
     # star-schema layout version: r13 added the maintained city-daily
-    # rollup table, so pre-r13 cached stars must rebuild
-    h.update(b"star_layout=2")
+    # rollup table; r14 partitions the fact tables by date_key — either
+    # change means pre-existing cached stars must rebuild
+    h.update(b"star_layout=3")
     return h.hexdigest()[:16]
 
 

@@ -39,6 +39,70 @@ from meteomatics_e2e_data_pipeline_spark.sources.ingest import (
 READINGS_PER_PAYLOAD = len(FLOAT_PARAMS) * 193 + len(SUN_PARAMS) * 9
 
 
+def _capture_on_failure(fn):
+    """Failure-artifact hook (round-14 verdict #5): these two e2e
+    streaming tests each went red ONCE to a load transient in round 13
+    and the detail was lost to output trimming. On any failure this
+    wrapper preserves everything a post-mortem needs — the full
+    traceback, the stacks of every live thread (a hang/timeout shows
+    WHERE), the box-load counters (the transient hypothesis needs
+    exactly these), and the complete tmp_path tree (txlog commit logs +
+    stream checkpoint offsets/commits — the ground truth of which
+    commits/batches landed) — under /tmp/spark_graft_failures/<test>-
+    <pid>-<seq>/, and re-raises with the artifact dir NAMED in the
+    message so even a trimmed pytest tail points at it."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, tmp_path):
+        try:
+            return fn(spark, tmp_path)
+        except BaseException as exc:
+            import faulthandler
+            import io
+            import os
+            import shutil
+            import traceback
+            base = "/tmp/spark_graft_failures"
+            seq = 0
+            while True:
+                dest = (f"{base}/{fn.__name__.removeprefix('_heavy_')}"
+                        f"-{os.getpid()}-{seq}")
+                if not os.path.exists(dest):
+                    break
+                seq += 1
+            os.makedirs(dest, exist_ok=True)
+            with open(f"{dest}/traceback.txt", "w") as fh:
+                fh.write(traceback.format_exc())
+            buf = io.StringIO()
+            try:
+                faulthandler.dump_traceback(file=buf)
+            except Exception:
+                pass
+            with open(f"{dest}/thread_stacks.txt", "w") as fh:
+                fh.write(buf.getvalue())
+            for proc in ("loadavg", "meminfo"):
+                try:
+                    shutil.copy(f"/proc/{proc}", f"{dest}/{proc}")
+                except OSError:
+                    pass
+            try:
+                shutil.copytree(str(tmp_path), f"{dest}/state",
+                                dirs_exist_ok=True)
+            except OSError:
+                pass
+            msg = (f"{exc} [failure artifacts preserved at {dest}: "
+                   f"traceback, all-thread stacks, loadavg/meminfo, "
+                   f"full checkpoint+table state]")
+            try:
+                new = type(exc)(msg)
+            except Exception:  # exotic ctor (Py4J etc.): keep the info
+                new = RuntimeError(msg)
+            raise new.with_traceback(exc.__traceback__) from None
+    return wrapped
+
+
+@_capture_on_failure
 def _heavy_test_stream_validate_merge_survives_crash_between_commits(
         spark, tmp_path):
     ckpt, table = str(tmp_path / "ckpt"), str(tmp_path / "table")
@@ -92,6 +156,7 @@ def _heavy_test_stream_validate_merge_survives_crash_between_commits(
             == len(LOCATIONS) * 2 * READINGS_PER_PAYLOAD)
 
 
+@_capture_on_failure
 def _heavy_test_full_relay_api_stream_to_txlog_to_cdc_consumer(spark, tmp_path):
     """The whole lakehouse relay from round 10's pieces: the weather API
     streams INTO the transaction-log table (stream_ingest_to_txlog),

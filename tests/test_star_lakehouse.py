@@ -218,7 +218,69 @@ def _heavy_test_rollup_maintained_from_fact_cdc(spark, tmp_path):
 # are deliberately NOT pooled.
 # ---------------------------------------------------------------------------
 
+def _heavy_test_partitioned_facts_fold_locality_and_daily_reload(
+        spark, tmp_path):
+    """Round-14: the fact tables are hive-partitioned by date_key.
+    Pins the three claims that layout buys at 100 TB:
+
+    1. every fact file lives under a ``date_key=`` partition;
+    2. FOLD LOCALITY — a maintenance fold's rewrites (log-diffed
+       live sets) and its probe reads (``inputFiles``) touch ONLY
+       partitions inside the as-of window, never closed history;
+    3. the replaceWhere daily-reload (``reload_fact_day``) reproduces
+       the CDC-maintained state per partition, swapping one partition
+       by reference while all others stay byte-identical."""
+    root = ensure_fixtures()
+    star = sl.create_weather_star(spark, str(tmp_path / "star"))
+    sl.ingest_bronze_increment(
+        spark, star, f"{root}/*/*/weather_raw_*2025-03-2[689]*.json")
+    sl.maintain_weather_star(spark, star)
+    fact = star.facts["fact_weather_params_history"]
+    files_before = set(fact.live_files())
+    assert files_before and all("date_key=" in p for p in files_before)
+    lo, hi = sl._window_bounds(sl.AS_OF)
+    win_days = set()
+    d = lo
+    while d < hi:
+        win_days.add(int(d.strftime("%Y%m%d")))
+        d += __import__("datetime").timedelta(days=1)
+
+    def day_of(path: str) -> int:
+        seg = next(s for s in path.split("/")
+                   if s.startswith("date_key="))
+        return int(seg.split("=")[1])
+
+    # (2a) probe reads prune to the probed day's partition only
+    one_day = sorted(day_of(p) for p in files_before)[0]
+    probe = (fact.read(partition_values={"date_key": one_day})
+             .select(*sl.FACT_KEYS).limit(50))
+    got = fact.read_keys(
+        probe.withColumn("date_key", F.lit(one_day)),
+        sl.FACT_KEYS + ["date_key"])
+    assert got.count() > 0
+    assert {day_of(p) for p in got.inputFiles()} == {one_day}
+    # (2b) the LATE 03-27 fold rewrites only in-window partitions
+    sl.ingest_bronze_increment(
+        spark, star, f"{root}/*/*/weather_raw_*2025-03-27*.json")
+    sl.maintain_weather_star(spark, star)
+    files_after = set(fact.live_files())
+    touched = (files_before - files_after) | (files_after - files_before)
+    assert touched, "the contested fold must rewrite something"
+    assert {day_of(p) for p in touched} <= win_days, \
+        "fold rewrites must stay inside the as-of window's partitions"
+    # (3) daily reload ≡ maintained, per partition, others by reference
+    maintained = _ms(fact.read())
+    other_files = {p for p in fact.live_files() if day_of(p) != one_day}
+    sl.reload_fact_day(spark, star, "fact_weather_params_history",
+                       one_day)
+    assert _ms(fact.read()) == maintained
+    assert {p for p in fact.live_files()
+            if day_of(p) != one_day} == other_files
+    assert fact.fsck(verify_row_counts=True)["ok"]
+
+
 _POOLED = {
+    "test_partitioned_facts_fold_locality_and_daily_reload": _heavy_test_partitioned_facts_fold_locality_and_daily_reload,
     "test_rollup_maintained_from_fact_cdc": _heavy_test_rollup_maintained_from_fact_cdc,
     "test_cdc_maintained_star_equals_batch_rebuild": _heavy_test_cdc_maintained_star_equals_batch_rebuild,
     "test_star_fold_is_exactly_once_across_crash_and_bounded_catchup": _heavy_test_star_fold_is_exactly_once_across_crash_and_bounded_catchup,
@@ -233,6 +295,12 @@ def star_pool(_heavy_pool):
     futs = {n: _heavy_pool["tests.test_star_lakehouse::" + n]
             for n in _POOLED}
     return {n: f.result() for n, f in futs.items()}
+
+
+def test_partitioned_facts_fold_locality_and_daily_reload(star_pool):
+    ex = star_pool["test_partitioned_facts_fold_locality_and_daily_reload"]
+    if ex is not None:
+        raise ex
 
 
 def test_rollup_maintained_from_fact_cdc(star_pool):

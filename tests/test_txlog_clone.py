@@ -135,14 +135,35 @@ def _heavy_test_clone_partitioned_source(spark, tmp_path):
 
 
 def _heavy_test_clone_guardrails_and_vacuum_caveat(spark, tmp_path):
-    # the Delta vacuum caveat, demonstrated loudly: the source
-    # supersedes its files and vacuums — the clone's references die
+    # round-14: the Delta vacuum caveat is now GUARDED — every clone
+    # registers itself in the source's log (clone_ref info action), and
+    # the source's vacuum SKIPS files a registered clone still
+    # references, warning by name. respect_clones=False opts back into
+    # the raw Delta behavior (delete anyway, clone fsck reports it).
+    import warnings
     src = TxTable.create(spark, _kv(spark, parts=1),
                          str(tmp_path / "src"), stat_cols=["k"])
     cl = src.clone(str(tmp_path / "cl"))
     src.overwrite(_kv(spark, 5, parts=1))
-    src.vacuum(retention_seconds=0)
-    audit = cl.fsck()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        deleted = src.vacuum(retention_seconds=0)
+    assert deleted == []  # every candidate was clone-referenced
+    assert any("shallow clone" in str(x.message) for x in w)
+    assert cl.fsck()["ok"]  # the clone SURVIVED the source vacuum
+    assert sorted(map(tuple, cl.read().collect())) \
+        == [(i, i * 10) for i in range(20)]
+    # a DELETED clone stops protecting: its files become reclaimable
+    import shutil
+    shutil.rmtree(str(tmp_path / "cl"))
+    assert src.vacuum(retention_seconds=0)  # now they go
+    # opt-out: respect_clones=False restores the raw Delta behavior
+    src2 = TxTable.create(spark, _kv(spark, parts=1),
+                          str(tmp_path / "src2"), stat_cols=["k"])
+    cl2 = src2.clone(str(tmp_path / "cl2"))
+    src2.overwrite(_kv(spark, 5, parts=1))
+    assert src2.vacuum(retention_seconds=0, respect_clones=False)
+    audit = cl2.fsck()
     assert not audit["ok"] and audit["missing_files"]
 
 
