@@ -34,27 +34,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row from a prior round AND is re-verified every round by the local
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
-# Round-13 rotation (VERDICT r12 directive #4), priority order:
-# (1) the 5 NEW entries (orders_cloned_rollup joined in the third
-#     sitting — shallow CLONE divergence under the hash): orders_partitioned_pruned /
-#     orders_partitioned_rollup (hive-partitioned ADOPTION via
-#     TxTable.convert + partition-pruned reads + partitioned MERGE/
-#     DELETE, hashed against the original orders view with the
-#     build-time DML emulated in SQL), orders_dv_pointget (read_keys
-#     after a zero-rewrite deletion-vector delete), and
-#     weather_city_daily_rollup_maintained (the rollup maintained one
-#     IVM level DEEPER — from the history fact's own change feed —
-#     answering the batch rollup's oracle verbatim);
-# (2) the 6 entries whose state-build or read path CHANGED this round:
-#     the two converted-orders gates (txlog reads now route through the
-#     partition/DV-aware _scan_files) and the four maintained-star
-#     entries (the cached star rebuilt under the star_layout=2
-#     fingerprint with the rollup folding after each window), plus
-#     emb_ann_ivf_indexed (same txlog read-path change);
-# (3) ALL 20 remaining r8-dated attestations (the complete pre-r9
-#     debt — zero pre-r9 rows remain after this gate lands green);
-# (4) the first 20 of the 46 oracle-backed r9-dated rows
-#     (alphabetical; the remaining 26 lead the round-14 rotation).
+# Round-14 rotation (VERDICT r13 directive #2), priority order:
+# (1) the 1 NEW entry: orders_renamed_rollup (column mapping — RENAME
+#     of the stat/bloom key + DROP as pure metadata commits, zero data
+#     rewritten, hashed against the original orders view with AS
+#     aliases);
+# (2) the 11 entries whose state-build or read path CHANGED this
+#     round: the four maintained-star entries (facts now hive-
+#     partitioned by date_key under the star_layout=3 fingerprint,
+#     with the replaceWhere daily-reload alternative pinned); the two
+#     partitioned-orders gates (overwrite_partitions grew typed
+#     selector validation); orders_dv_pointget (DV plan-time keyCols
+#     guard); the two converted-orders gates + emb_ann_ivf_indexed
+#     (every txlog read now routes through the column-mapping-aware
+#     _snapshot/_scan_files); orders_cloned_rollup (clone now
+#     registers a clone_ref in the source log);
+# (3) ALL 27 remaining r9-dated attestations (the complete pre-r10
+#     debt — zero pre-r10 rows remain after this gate lands green);
+# (4) the alphabetically-first 11 of the 48 r10-dated rows (the
+#     remaining 37 lead the round-15 rotation).
 # The 5 rows-only-by-design queries (emb_knn_vectorized,
 # event_user_reach_approx, event_reach_sketch_weekly,
 # order_value_percentiles_approx, event_audience_overlap_approx) are
@@ -65,59 +63,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_oracle_parity.py parametrizes ALL queries).
 _VERIFY_FIRST = (
     # (1) new this round
-    "orders_partitioned_pruned",
-    "orders_partitioned_rollup",
-    "orders_dv_pointget",
-    "orders_cloned_rollup",
-    "weather_city_daily_rollup_maintained",
+    "orders_renamed_rollup",
     # (2) changed state-build / read path
-    "orders_converted_rollup",
-    "orders_converted_pointget",
     "fact_params_history_maintained",
     "fact_sun_forecast_maintained",
     "weather_city_daily_maintained",
+    "weather_city_daily_rollup_maintained",
+    "orders_partitioned_pruned",
+    "orders_partitioned_rollup",
+    "orders_dv_pointget",
+    "orders_converted_rollup",
+    "orders_converted_pointget",
+    "orders_cloned_rollup",
     "emb_ann_ivf_indexed",
-    # (3) the 20 remaining r8-dated attestations
-    "docs_shuffle_order",
-    "docs_simhash",
-    "docs_text_stats",
-    "docs_token_budget_mix",
-    "docs_tokenizer_fertility",
-    "docs_training_mix",
-    "docs_unigram_nll",
-    "emb_dedup_keep",
-    "emb_knn_int8",
-    "emb_knn_pq_trained",
-    "emb_pq_codes",
-    "emb_quantize_int8",
-    "events_rollup_incremental",
-    "events_spatial_grid",
-    "events_variant_project",
-    "fact_weather_params_history",
-    "nation_profit_by_year",
-    "shipmode_priority_matrix",
-    "top_revenue_suppliers",
-    "weather_dim_condition",
-    # (4) the alphabetically-first 19 r9-dated rows
-    "customer_order_gaps",
-    "customers_without_orders",
-    "dim_date_from_orders",
-    "dim_geo",
-    "docs_bloom_contamination",
-    "docs_classifier_auc",
-    "docs_classifier_calibration",
-    "docs_classifier_threshold",
-    "docs_containment_pairs",
-    "docs_contamination_attribution",
-    "docs_dsir_weights",
-    "docs_ks_drift",
-    "docs_minhash_calibration",
-    "docs_near_dup_edit_distance",
-    "docs_quality_classifier",
-    "docs_repetition_signals",
-    "docs_scrubbed_containment",
-    "docs_simhash_pairs",
-    "docs_tfidf_top_terms",
+    # (3) ALL 27 remaining r9-dated attestations
+    "docs_top_dup_spans",
+    "docs_winnow_fingerprints",
+    "emb_ann_ivfpq",
+    "emb_ann_lsh",
+    "emb_hamming_recall",
+    "emb_knn_filtered",
+    "emb_knn_hamming_rerank",
+    "emb_knn_pq",
+    "emb_matryoshka_recall",
+    "emb_pq_recall",
+    "events_cusum_alarms",
+    "events_forecast_backtest",
+    "events_last_error_asof",
+    "events_zorder_stats",
+    "latest_order_per_customer",
+    "multimodal_jpeg_features",
+    "multimodal_mjpeg_frames",
+    "parts_abc_classes",
+    "parts_hierarchy_rollup",
+    "repeat_status_customers",
+    "returned_priority_counts",
+    "sessionize_events",
+    "supplier_running_quantity",
+    "weather_api_source",
+    "weather_daylight_readings",
+    "weather_dim_location",
+    "weather_stg_raw",
+    # (4) the alphabetically-first 11 r10-dated rows
+    "customer_cohort_retention",
+    "dim_part_type",
+    "docs_bigram_nll",
+    "docs_bpe_encode",
+    "docs_bpe_merges",
+    "docs_cross_source_dup",
+    "docs_dedup_pipeline",
+    "docs_dup_clusters_incremental",
+    "docs_dup_coverage_gate",
+    "docs_dup_degree_histogram",
+    "docs_dup_span_coverage",
 )
 
 

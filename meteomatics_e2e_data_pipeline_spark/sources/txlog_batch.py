@@ -77,8 +77,8 @@ _CKPT = ".checkpoint.json"
 # its only two operations are dv-compatible by construction: append
 # never touches existing files, and overwrite removes EVERY live file
 # (which clears their tombstones in the fold) before adding fresh ones.
-_READER_CAP = 3
-_WRITER_CAP = 3
+_READER_CAP = 4  # r14: column mapping understood by both sides
+_WRITER_CAP = 4
 
 
 def _fold_snapshot(table: str, version: int | None = None):
@@ -168,6 +168,10 @@ class TxLogBatchReader(DataSourceReader):
         self.schema_struct = StructType.fromJson(meta["schema"])
         self.fields = [f.name for f in self.schema_struct.fields]
         self.partition_cols = meta.get("partition_cols") or []
+        # column-mapped tables: files + log stats speak PHYSICAL names;
+        # pushed filters and the declared schema speak logical — the
+        # planner translates at lookup, the workers at column access
+        self.colmap = meta.get("column_mapping") or {}
         self.live = live
         self._prune = str(options.get("statPruning", "true")
                           ).lower() != "false"
@@ -210,7 +214,7 @@ class TxLogBatchReader(DataSourceReader):
             n = add.get("numRecords")
             ok = True
             for f in filters:
-                col = f.attribute[0]
+                col = self.colmap.get(f.attribute[0], f.attribute[0])
                 if col in pv:
                     # partition pruning: the recorded value is an EXACT
                     # single-value stat (lo = hi = value)
@@ -275,8 +279,10 @@ class TxLogBatchReader(DataSourceReader):
         arrays = []
         for i, name in enumerate(self.fields):
             typ = target.field(i).type
-            if name in present:
-                arrays.append(table.column(name).cast(typ).combine_chunks())
+            pname = self.colmap.get(name, name)  # file speaks physical
+            if pname in present:
+                arrays.append(table.column(pname).cast(typ)
+                              .combine_chunks())
             elif name in pv:
                 # hive partition column: constant, typed from the path
                 arrays.append(pa.nulls(n, type=typ) if pv[name] is None
@@ -478,6 +484,10 @@ class TxLogBatchWriter(DataSourceWriter):
         # unchanged inside the claim loop (_publish) — the three pieces
         # of TxTable's own constraint story, mapped onto V2 writes.
         self.constraints = dict(meta.get("constraints") or {})
+        # column-mapped tables: tasks stage files under the stable
+        # PHYSICAL names and key their in-task stats by them — the same
+        # write discipline as TxTable._stage
+        self.colmap = dict(meta.get("column_mapping") or {})
 
     #: per-task cap on simultaneously open partition files: a write
     #: whose tasks straddle more partitions than this must repartition
@@ -513,8 +523,15 @@ class TxLogBatchWriter(DataSourceWriter):
         data_fields = [f for f in full_schema.fields
                        if f.name not in pcols]
         arrow_schema = to_arrow_schema(StructType(data_fields))
+        if self.colmap:
+            # column-mapped staging: files store PHYSICAL names (the
+            # batch arrives logical; only the schema labels change)
+            arrow_schema = pa.schema(
+                [pa.field(self.colmap.get(f.name, f.name), f.type)
+                 for f in arrow_schema])
         # constraint validation sees FULL rows (a CHECK may reference
-        # partition columns, which are excluded from the file data)
+        # partition columns, which are excluded from the file data) and
+        # speaks LOGICAL names (constraint expressions are stored SQL)
         full_arrow_schema = (to_arrow_schema(full_schema)
                              if self.constraints else None)
         data_names = [f.name for f in data_fields]
@@ -603,12 +620,15 @@ class TxLogBatchWriter(DataSourceWriter):
         for st in state.values():
             if st["n"] == 0:
                 continue
+            to_phys = self.colmap.get  # log artifacts speak physical
             add = {"path": st["name"], "numRecords": st["n"],
-                   "stats": {c: ([_stat_scalar(st["mins"][c]),
-                                  _stat_scalar(st["maxs"][c])]
-                                 if c in st["mins"] else [None, None])
+                   "stats": {to_phys(c, c): (
+                       [_stat_scalar(st["mins"][c]),
+                        _stat_scalar(st["maxs"][c])]
+                       if c in st["mins"] else [None, None])
                              for c in stat_cols},
-                   "nullCounts": st["nulls"]}
+                   "nullCounts": {to_phys(c, c): v
+                                  for c, v in st["nulls"].items()}}
             if pcols:
                 add["partitionValues"] = {
                     c: _stat_scalar(v)

@@ -51,7 +51,7 @@ _LOG_DIR = "_txlog"
 # partitionValues (reader 2) AND deletion vectors apply merge-on-read
 # in the executor workers (reader 3) — the plain-IO tier reads
 # everything the TxTable writers produce.
-_READER_CAP = 3
+_READER_CAP = 4  # r14: column mapping (reader 4) understood
 _CKPT = ".checkpoint.json"
 
 
@@ -433,7 +433,12 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(_table_schema(self.table))
+        meta = _table_meta(self.table)
+        target = to_arrow_schema(StructType.fromJson(meta["schema"]))
+        # column-mapped tables: files + dv keyCols speak PHYSICAL names;
+        # the feed is emitted under the CURRENT logical names (same
+        # to-version contract as TxTable.read_changes)
+        cmap = meta.get("column_mapping") or {}
         table = pq.read_table(partition.file_path)
         if partition.dv_filter is not None:
             mode, dv = partition.dv_filter
@@ -446,8 +451,10 @@ class TxLogCdcStreamReader(DataSourceStreamReader):
         cols = {}
         for i, name in enumerate(self.fields):
             typ = target.field(i).type
-            if name in present:
-                cols[name] = table.column(name).cast(typ).combine_chunks()
+            pname = cmap.get(name, name)
+            if pname in present:
+                cols[name] = (table.column(pname).cast(typ)
+                              .combine_chunks())
             elif name in pv and pv[name] is not None:
                 # hive partition column: constant, typed from the path
                 cols[name] = pa.array([pv[name]] * n).cast(typ)

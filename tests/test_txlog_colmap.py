@@ -209,20 +209,22 @@ def _heavy_test_guardrails_and_protocol_gate(spark, tmp_path):
         {"country": "DE"})
     assert _multiset(t.read()) == Counter(
         [("DE", 7, 70), ("EE", 2, 20)])
-    # pre-mapping clients refuse: the plain-IO fold caps at reader 3
+    # PRE-mapping clients refuse (the protocol gate: an older reader
+    # would surface physical names as logical and miss the rename) ...
     from meteomatics_e2e_data_pipeline_spark.sources.txlog_stream import (
         fold_snapshot)
     with pytest.raises(TxProtocolError, match="minReader=4"):
-        fold_snapshot(str(tmp_path / "t"))
-    # ... and the V2 DataSource writer refuses too (its plan-time fold
-    # hits the reader gate before the writer gate — either is loud)
+        fold_snapshot(str(tmp_path / "t"), reader_cap=3)
+    # ... while THIS tier's plain-IO DataSources (cap 4) read AND write
+    # mapped tables: the V2 writer stages under physical names
     from meteomatics_e2e_data_pipeline_spark.sources import txlog_batch
     txlog_batch.register(spark)
-    with pytest.raises(Exception, match="minReader=4|minWriter=4"):
-        (spark.createDataFrame([("FR", 3, 30)],
-                               "country string, key_id long, v long")
-         .write.format("txlog").mode("append")
-         .save(str(tmp_path / "t")))
+    (spark.createDataFrame([("FR", 3, 30)],
+                           "country string, key_id long, v long")
+     .write.format("txlog").mode("append").save(str(tmp_path / "t")))
+    assert _multiset(t.read()) == Counter(
+        [("DE", 7, 70), ("EE", 2, 20), ("FR", 3, 30)])
+    assert t.fsck(verify_row_counts=True)["ok"]  # physical stats agree
     # a concurrent schema change conflicts instead of silently losing
     t.drop_constraint("pos_v")
     rv = t.version
@@ -251,6 +253,58 @@ def _heavy_test_clone_carries_mapping(spark, tmp_path):
     assert cl.fsck(verify_row_counts=True)["ok"]
 
 
+def _heavy_test_datasources_speak_logical_names(spark, tmp_path):
+    """Plain-IO DataSource parity with column mapping: the batch reader
+    surfaces LOGICAL names with its pushed-filter file pruning keyed by
+    the PHYSICAL stats; the V2 writer stages under physical names with
+    physical-keyed stats; the txlog_cdc stream emits the feed under the
+    current logical names — all three without a JVM-side fold."""
+    from meteomatics_e2e_data_pipeline_spark.sources import (
+        txlog_batch, txlog_stream)
+    txlog_batch.register(spark)
+    txlog_stream.register(spark)
+    df = (spark.createDataFrame([(i, i * 10) for i in range(40)],
+                                "k long, v long")
+          .repartitionByRange(4, "k"))
+    t = TxTable.create(spark, df, str(tmp_path / "t"), stat_cols=["k"])
+    t.rename_column("k", "order_id")
+    v0 = t.version
+    # batch reader: logical schema, stat pruning through the rename
+    got = (spark.read.format("txlog").option("path", t.path).load()
+           .filter("order_id = 7"))
+    assert [tuple(r) for r in got.collect()] == [(7, 70)]
+    # the planner prunes by the PHYSICAL stats under the logical filter
+    # (Python DataSources expose no inputFiles — count planned
+    # partitions directly, same as test_txlog_batch_source)
+    from pyspark.sql.datasource import EqualTo
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        TxLogBatchReader)
+    r = TxLogBatchReader({"path": t.path})
+    list(r.pushFilters([EqualTo(("order_id",), 7)]))
+    assert len(r.partitions()) == 1  # physical-keyed stats pruned 3/4
+    # V2 writer: stages physical; TxTable and the reader agree
+    (spark.createDataFrame([(100, 1000)], "order_id long, v long")
+     .write.format("txlog").mode("append").save(t.path))
+    assert t.read().filter("order_id = 100").count() == 1
+    assert (spark.read.format("txlog").option("path", t.path).load()
+            .filter("order_id = 100").count() == 1)
+    # CDC stream: the feed speaks the current logical names
+    t.delete(spark.createDataFrame([(100,)], "order_id long"),
+             ["order_id"], mode="dv")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (spark.readStream.format("txlog_cdc").option("path", t.path)
+         .option("startingVersion", v0).load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+    feed = spark.read.parquet(out)
+    assert "order_id" in feed.columns
+    rows = {(r["_change_type"], r["order_id"]) for r in feed.collect()}
+    assert rows == {("insert", 100), ("delete", 100)}
+    assert t.fsck(verify_row_counts=True)["ok"]
+
+
 _POOLED = {n: fn for n, fn in [
     ("test_rename_is_metadata_only",
      _heavy_test_rename_is_metadata_only),
@@ -266,6 +320,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_guardrails_and_protocol_gate),
     ("test_clone_carries_mapping",
      _heavy_test_clone_carries_mapping),
+    ("test_datasources_speak_logical_names",
+     _heavy_test_datasources_speak_logical_names),
 ]}
 
 
