@@ -63,11 +63,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from .genexpr import parse_generation_expr
 from .txproto import (BASE_PROTOCOL, COLMAP_PROTOCOL, PARTITION_PROTOCOL,
                       SUPPORTED_READER,
                       SUPPORTED_WRITER, TxCorruption, TxProtocolError,
+                      WRITE_FEATURES_PROTOCOL,
+                      canon_temporal as _canon,
                       check_protocol, commit_payload,
                       info_action as _info_action,
+                      merged_protocol, needs_upgrade,
                       parse_partition_values as _parse_partition_values,
                       parse_commit_lines, protocol_action, repair_payload,
                       unquote_path as _unq)
@@ -546,6 +550,7 @@ class TxTable:
         # minWriter in _commit.
         check_protocol(proto, f"{self.path}@v{v}", reader=SUPPORTED_READER)
         self._proto = proto
+        self._props = meta.get("properties") or {}
         if not raw:
             inv = _colmap_inverse(meta)
             if inv:
@@ -704,8 +709,12 @@ class TxTable:
                 checked_through = latest
             if self._try_publish(latest + 1, actions):
                 published = latest + 1
-                if (self.CHECKPOINT_INTERVAL
-                        and published % self.CHECKPOINT_INTERVAL == 0):
+                # the checkpointInterval table property overrides the
+                # class-level cadence (alter_properties validates >= 1)
+                interval = int((getattr(self, "_props", None) or {})
+                               .get("checkpointInterval",
+                                    self.CHECKPOINT_INTERVAL or 0))
+                if interval and published % interval == 0:
                     # Best-effort maintenance: the commit IS published; a
                     # failed checkpoint only costs fold speed, never
                     # correctness, and must not make the commit look failed.
@@ -873,7 +882,10 @@ class TxTable:
                bloom_cols: Sequence[str] = (), bloom_bits: int = 4096,
                bloom_hashes: int = 3,
                constraints: dict[str, str] | None = None,
-               partition_cols: Sequence[str] = ()) -> "TxTable":
+               partition_cols: Sequence[str] = (),
+               generated: dict[str, str] | None = None,
+               identity: dict[str, dict] | None = None,
+               properties: dict | None = None) -> "TxTable":
         """Create a new table at ``path`` from ``df`` (commit 0).
 
         ``bloom_cols`` opts columns into per-file Bloom membership
@@ -890,11 +902,58 @@ class TxTable:
         file data, add actions carry typed ``partitionValues`` (the
         public Delta shape), every keyed planner partition-prunes
         BEFORE stat-pruning, and the table's protocol declares
-        minReader 2."""
+        minReader 2.
+
+        ``generated={col: sql_expr}`` declares GENERATED columns (the
+        public Delta ``GENERATED ALWAYS AS (expr)``): a batch may omit
+        the column (computed at write) or provide it (validated —
+        every staged file enforces ``col IS NOT DISTINCT FROM (expr)``
+        through the constraint machinery). A generated PARTITION
+        column additionally prunes from predicates on its BASE column
+        when the expression is a registered monotone shape
+        (``operators/genexpr.py``) — partition by ``year(ts)`` and a
+        filter on ``ts`` still skips partitions, in the keyed DML
+        planners and the ``txlog`` DataSource both.
+
+        ``identity={col: {"start": 1, "step": 1}}`` declares GENERATED
+        ALWAYS AS IDENTITY columns (long): values are engine-assigned
+        on create/append/overwrite, unique and step-directed (gaps
+        allowed — the public Delta identity contract), with the
+        high-water mark advanced in the same atomic commit via the
+        staged files' own stats. Providing the column is an error;
+        concurrent identity appends conflict (MetadataChanged) instead
+        of double-allocating.
+
+        ``properties`` seeds table properties (see
+        :meth:`alter_properties` — ``appendOnly``,
+        ``checkpointInterval``, free-form user keys).
+
+        Any of the three gates the protocol at minWriter 5."""
         path = path.rstrip("/")
         pcols = list(partition_cols or ())
+        gen = dict(generated or {})
+        ident = {c: {"start": int(s.get("start", 1)),
+                     "step": int(s.get("step", 1))}
+                 for c, s in (identity or {}).items()}
+        for c, s in ident.items():
+            if s["step"] == 0:
+                raise ValueError(f"identity column {c!r}: step must be "
+                                 f"nonzero")
+            if c in gen:
+                raise ValueError(f"column {c!r} cannot be both "
+                                 f"generated and identity")
+            if c in pcols:
+                raise ValueError(f"identity column {c!r} cannot be a "
+                                 f"partition column")
+            if c in df.columns:
+                raise ValueError(
+                    f"identity column {c!r} is GENERATED ALWAYS: the "
+                    f"create batch must omit it")
+        for c, expr in gen.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
         names = [f.name for f in df.schema.fields]
-        bad = sorted(set(pcols) - set(names))
+        bad = sorted(set(pcols) - set(names) - set(ident))
         if bad:
             raise ValueError(f"partition columns {bad} not in schema "
                              f"{names}")
@@ -916,24 +975,40 @@ class TxTable:
         # miscompiles (`k is null` constant-folds to false and the
         # vectorized reader throws on a real null) — the Delta default
         # absent explicit constraints
+        stat_cols = list(stat_cols) + [c for c in sorted(ident)
+                                       if c not in stat_cols]
+        pre = {"identity": ident} if ident else {}
+        if ident:
+            df = t._assign_identity(df, pre)
         nullable = StructType([StructField(f.name, f.dataType, True)
                                for f in df.schema.fields])
         meta = {"schema": json.loads(nullable.json()),
-                "stat_cols": list(stat_cols)}
+                "stat_cols": stat_cols}
         if pcols:
             meta["partition_cols"] = pcols
         if bloom:
             meta["bloom"] = bloom
         if constraints:
             meta["constraints"] = dict(constraints)
+        if gen:
+            meta["generated"] = gen
+        if ident:
+            meta["identity"] = ident
+        if properties:
+            meta["properties"] = dict(properties)
         # protocol first (the Delta commit-0 convention): a too-old
         # client refuses at the declared gate before interpreting
         # anything else
-        actions = [protocol_action(
-            PARTITION_PROTOCOL if pcols else BASE_PROTOCOL),
-            {"meta": meta}]
-        actions += t._stage(df, stat_cols, bloom=bloom,
-                            constraints=constraints, partition_cols=pcols)
+        proto = PARTITION_PROTOCOL if pcols else BASE_PROTOCOL
+        if gen or ident or str((properties or {}).get(
+                "appendOnly", "")).lower() in ("true", "1"):
+            proto = merged_protocol(proto, WRITE_FEATURES_PROTOCOL)
+        adds = t._stage(df, stat_cols, bloom=bloom,
+                        constraints=t._write_constraints(meta),
+                        partition_cols=pcols)
+        meta = t._identity_meta(meta, adds) or meta
+        actions = [protocol_action(proto), {"meta": meta}]
+        actions += adds
         actions.append(_info_action("create"))
         if not t._try_publish(0, actions):
             raise TxConflict(f"concurrent create of {path}")
@@ -1229,6 +1304,233 @@ class TxTable:
         return self._commit([{"meta": new_meta}], rv,
                             info={"op": "drop_constraint", "name": name})
 
+    # ------------------------------------- write-side features (writer 5)
+    # Generated columns, identity columns, and table properties — the
+    # public Delta writer-feature trio. All three are WRITE invariants:
+    # data files stay plain (minReader unchanged), but a pre-feature
+    # writer would silently break them, so first use gates minWriter 5
+    # (txproto.WRITE_FEATURES_PROTOCOL).
+
+    def _write_constraints(self, meta: dict) -> dict | None:
+        """The CHECK set every staged file validates against: the
+        user's constraints plus one implicit equality per GENERATED
+        column (the public Delta rule — a provided value must satisfy
+        ``col <=> generation expr``; ``IS NOT DISTINCT FROM`` is the
+        ANSI spelling both Spark and the DuckDB oracle parse). Riding
+        the existing constraint machinery means generation is enforced
+        on EVERY write path — including rows a caller supplied
+        explicitly — at zero extra job cost (the stats pass counts the
+        violations)."""
+        cons = dict(meta.get("constraints") or {})
+        for c, expr in (meta.get("generated") or {}).items():
+            cons[f"generated:{c}"] = (
+                f"{c} IS NOT DISTINCT FROM ({expr})")
+        return cons or None
+
+    def _apply_generated(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Compute every GENERATED column the batch did not provide
+        (provided values are validated by the implicit constraint in
+        :meth:`_write_constraints` instead — never silently
+        overwritten)."""
+        gen = meta.get("generated") or {}
+        if not gen:
+            return df
+        schema = StructType.fromJson(meta["schema"])
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        for c, expr in gen.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr).cast(dtypes[c]))
+        return df
+
+    @staticmethod
+    def _generated_refs(meta: dict, col: str) -> list[str]:
+        """Generated columns whose expression mentions ``col`` (same
+        conservative word-boundary rule as :meth:`_constraint_refs`)."""
+        import re as _re
+        pat = _re.compile(rf"\b{_re.escape(col)}\b")
+        gen = meta.get("generated") or {}
+        return sorted(g for g, expr in gen.items()
+                      if g == col or pat.search(expr))
+
+    def _require_mutable(self, meta: dict, op: str) -> None:
+        """The ``appendOnly`` table property (public Delta
+        ``delta.appendOnly``): data-changing rewrites refuse; appends,
+        insert-only merges, and layout-only OPTIMIZE stay allowed."""
+        props = meta.get("properties") or {}
+        if str(props.get("appendOnly", "")).lower() in ("true", "1"):
+            raise ValueError(
+                f"{op} on append-only table {self.path} "
+                f"(properties['appendOnly']=true; alter_properties("
+                f"unset=['appendOnly']) to re-enable rewrites)")
+
+    def _refuse_identity_dml(self, meta: dict, op: str) -> None:
+        if meta.get("identity"):
+            raise ValueError(
+                f"{op} on identity table {self.path}: identity values "
+                f"are engine-assigned per append (compose append() + "
+                f"delete() — the public Delta MERGE×IDENTITY "
+                f"restriction)")
+
+    def _extend_generated_bounds(self, meta: dict, keys: list,
+                                 bounds: dict) -> tuple[list, dict]:
+        """Derive partition-pruning bounds on GENERATED partition
+        columns from the batch's bounds on their BASE columns (the
+        public Delta "partition pruning using generated columns"
+        design; ``genexpr`` holds the monotone shape registry). Only
+        PARTITION columns derive: partitionValues share the transforms'
+        value domain exactly (ints / hive path strings), so the
+        comparison needs no casts. Strict bounds weaken to inclusive —
+        one-sided, never skips a possible match."""
+        gen = meta.get("generated") or {}
+        pcols = set(meta.get("partition_cols") or ())
+        if not gen or not pcols:
+            return keys, bounds
+        keys2, bounds2 = list(keys), dict(bounds)
+        for g, expr in gen.items():
+            if g not in pcols or g in bounds2:
+                continue
+            t = parse_generation_expr(expr)
+            if t is None or t.base_col not in bounds2:
+                continue
+            lo, hi = bounds2[t.base_col]
+            if lo is None or hi is None:
+                continue
+            dlo, dhi = t.fn(lo), t.fn(hi)
+            if dlo is None or dhi is None:
+                continue
+            if not t.monotone and dlo != dhi:
+                continue  # calendar fields: exact windows only
+            keys2.append(g)
+            bounds2[g] = (dlo, dhi)
+        return keys2, bounds2
+
+    #: Per-partition identity allocation block: ids assign as
+    #: ``next + step * (partition_id * BLOCK + row_index)`` in ONE
+    #: distributed pass (no count pre-job, no driver round-trip); a
+    #: partition holding more than BLOCK rows fails loudly in the
+    #: worker (repartition the batch). Gaps between partitions are
+    #: allowed — the public Delta identity contract guarantees unique,
+    #: step-directed values, not density.
+    _IDENTITY_BLOCK = 1 << 21
+
+    def _assign_identity(self, df: DataFrame, meta: dict) -> DataFrame:
+        """Allocate identity values for every identity column (all of
+        which the batch must OMIT — ``GENERATED ALWAYS``, providing a
+        value is an error). Single Spark pass via ``mapInPandas``."""
+        ident = meta.get("identity") or {}
+        if not ident:
+            return df
+        provided = sorted(set(ident) & set(df.columns))
+        if provided:
+            raise ValueError(
+                f"column(s) {provided} of {self.path} are GENERATED "
+                f"ALWAYS AS IDENTITY: values are engine-assigned and "
+                f"cannot be provided")
+        from pyspark.sql.types import LongType
+        block = self._IDENTITY_BLOCK
+        specs = {}
+        for c, s in ident.items():
+            step = int(s["step"])
+            hwm = s.get("hwm")
+            specs[c] = (int(s["start"]) if hwm is None
+                        else int(hwm) + step, step)
+        out = StructType(list(df.schema.fields)
+                         + [StructField(c, LongType(), False)
+                            for c in sorted(ident)])
+
+        def assign(it):
+            import numpy as np
+            local = 0
+            for pdf in it:
+                n = len(pdf)
+                if n:
+                    pid = int(pdf["_pid"].iloc[0])
+                    if local + n > block:
+                        raise ValueError(
+                            f"identity allocation overflow: a partition "
+                            f"holds more than {block} rows; repartition "
+                            f"the batch before append")
+                    idx = np.arange(local, local + n, dtype="int64")
+                    for c, (nxt, step) in specs.items():
+                        pdf[c] = nxt + step * (pid * block + idx)
+                    local += n
+                yield pdf.drop(columns=["_pid"])
+
+        return (df.withColumn("_pid", F.spark_partition_id())
+                .mapInPandas(assign, schema=out))
+
+    def _identity_meta(self, meta: dict, adds: list[dict]) -> dict | None:
+        """Advance each identity column's high-water mark to the
+        extreme value actually staged — read off the add actions' own
+        stats (identity columns are forced into ``stat_cols`` at
+        create), so the bump costs zero extra jobs. None = nothing
+        staged / nothing moved (no meta churn)."""
+        ident = meta.get("identity") or {}
+        if not ident or not adds:
+            return None
+        cm = meta.get("column_mapping") or {}
+        new = {c: dict(s) for c, s in ident.items()}
+        changed = False
+        for c, s in new.items():
+            step = int(s["step"])
+            pc = cm.get(c, c)
+            vals = [a["add"]["stats"][pc][1 if step > 0 else 0]
+                    for a in adds
+                    if "add" in a and pc in (a["add"].get("stats") or {})]
+            vals = [v for v in vals if v is not None]
+            if not vals:
+                continue
+            ext = int(max(vals) if step > 0 else min(vals))
+            hwm = s.get("hwm")
+            if (hwm is None or (step > 0 and ext > int(hwm))
+                    or (step < 0 and ext < int(hwm))):
+                s["hwm"] = ext
+                changed = True
+        if not changed:
+            return None
+        m2 = dict(meta)
+        m2["identity"] = new
+        return m2
+
+    def alter_properties(self, set_props: dict | None = None,
+                         unset: Sequence[str] = ()) -> int:
+        """Set / unset table properties (one meta commit — the public
+        Delta ``ALTER TABLE SET TBLPROPERTIES`` shape). Recognized:
+
+        - ``appendOnly`` (bool): data-changing rewrites refuse
+          (:meth:`_require_mutable`); setting it upgrades the protocol
+          to writer 5 in the same atomic commit.
+        - ``checkpointInterval`` (int ≥ 1): overrides the class-level
+          auto-checkpoint cadence for this table.
+
+        Unrecognized keys are stored verbatim (user metadata), matching
+        Delta's open property namespace."""
+        rv, meta, _ = self._snapshot()
+        props = dict(meta.get("properties") or {})
+        for k in unset:
+            props.pop(k, None)
+        for k, v in (set_props or {}).items():
+            if k == "checkpointInterval" and int(v) < 1:
+                raise ValueError("checkpointInterval must be >= 1")
+            props[k] = v
+        new_meta = dict(meta)
+        new_meta["properties"] = props
+        actions: list[dict] = []
+        if (str(props.get("appendOnly", "")).lower() in ("true", "1")
+                and needs_upgrade(getattr(self, "_proto", None),
+                                  WRITE_FEATURES_PROTOCOL)):
+            actions.append(protocol_action(merged_protocol(
+                getattr(self, "_proto", None), WRITE_FEATURES_PROTOCOL)))
+        actions.append({"meta": new_meta})
+
+        def no_meta_race(intervening):
+            if any("meta" in a for a in intervening):
+                raise TxConflict(
+                    f"concurrent metadata change on {self.path}; re-run "
+                    f"alter_properties on the new snapshot")
+        return self._commit(actions, rv, validate=no_meta_race,
+                            info={"op": "alter_properties"})
+
     # -------------------------------------------------------- column mapping
     # The public Delta columnMapping ('name' mode) design: data files
     # and every per-file log artifact (stats, nullCounts, bloom, dv
@@ -1273,6 +1575,18 @@ class TxTable:
             raise ValueError(
                 f"cannot {op} column {col!r} of {self.path}: CHECK "
                 f"constraint(s) {refs} reference it (drop them first)")
+        grefs = self._generated_refs(meta, col)
+        if grefs:
+            raise ValueError(
+                f"cannot {op} column {col!r} of {self.path}: generated "
+                f"column expression(s) {grefs} are stored SQL text over "
+                f"logical names (the Delta columnMapping×generated "
+                f"restriction)")
+        if col in (meta.get("identity") or {}):
+            raise ValueError(
+                f"cannot {op} identity column {col!r} of {self.path}: "
+                f"its high-water mark is keyed by name in the table "
+                f"metadata")
         # existing mapping, or a fresh identity mapping (enable-on-
         # first-use: physical names freeze at their current values, so
         # every already-written file/stat/bloom key stays correct)
@@ -1655,7 +1969,8 @@ class TxTable:
         else:
             _n, bounds = self._batch_bounds(probe, keys)
             probe_rows = None  # bulk regime: bloom pruning opts out
-        cand = self._candidate_files(live, keys, bounds)
+        pkeys, pbounds = self._extend_generated_bounds(meta, keys, bounds)
+        cand = self._candidate_files(live, pkeys, pbounds)
         cand = self._bloom_candidates(cand, live, keys, probe, meta,
                                       probe_rows=probe_rows)
         if not cand:
@@ -1857,18 +2172,27 @@ class TxTable:
         read as null for the new columns)."""
         rv, meta, _ = self._snapshot()
         validators = []
+        df = self._apply_generated(df, meta)
+        df = self._assign_identity(df, meta)
         if merge_schema:
             df, new_meta, validators = self._evolve_schema(df, meta)
             meta = new_meta or meta
         else:
             df = self._check_schema(df)
             new_meta = None
-        actions = ([{"meta": meta}] if new_meta else [])
-        actions += self._stage(df, meta.get("stat_cols", []),
-                               bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"),
-                               partition_cols=meta.get("partition_cols"),
-                               colmap=meta.get("column_mapping"))
+        adds = self._stage(df, meta.get("stat_cols", []),
+                           bloom=meta.get("bloom"),
+                           constraints=self._write_constraints(meta),
+                           partition_cols=meta.get("partition_cols"),
+                           colmap=meta.get("column_mapping"))
+        # identity appends carry the advanced high-water mark in the
+        # SAME commit; the MetadataChanged rule (this commit stages
+        # rows, the concurrent one carries meta) turns a concurrent
+        # allocation race into a TxConflict instead of duplicate ids
+        id_meta = self._identity_meta(meta, adds)
+        meta = id_meta or meta
+        actions = ([{"meta": meta}] if (new_meta or id_meta) else [])
+        actions += adds
         if not actions:
             return self.version
 
@@ -1893,18 +2217,25 @@ class TxTable:
         version — the batch was applied before the crash. Otherwise the
         txn action rides in the same atomic commit as the data."""
         rv, meta, live = self._snapshot()
+        self._require_mutable(meta, "overwrite")
         if txn is not None:
             app, ver = txn
             last = self._fold_txns(rv).get(app)
             if last is not None and last >= ver:
                 return self.version  # replayed batch: already applied
+        df = self._apply_generated(df, meta)
+        df = self._assign_identity(df, meta)
         actions = [{"remove": {"path": p}} for p in sorted(live)]
-        actions += self._stage(self._check_schema(df),
-                               meta.get("stat_cols", []),
-                               bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"),
-                               partition_cols=meta.get("partition_cols"),
-                               colmap=meta.get("column_mapping"))
+        adds = self._stage(self._check_schema(df),
+                           meta.get("stat_cols", []),
+                           bloom=meta.get("bloom"),
+                           constraints=self._write_constraints(meta),
+                           partition_cols=meta.get("partition_cols"),
+                           colmap=meta.get("column_mapping"))
+        id_meta = self._identity_meta(meta, adds)
+        if id_meta:
+            actions.append({"meta": id_meta})
+        actions += adds
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -1936,13 +2267,15 @@ class TxTable:
         (its rows would be silently destroyed by our remove-set) —
         plus the usual file-level clash rules."""
         rv, meta, live = self._snapshot()
+        self._require_mutable(meta, "overwrite_partitions")
+        self._refuse_identity_dml(meta, "overwrite_partitions")
         pcols = meta.get("partition_cols") or []
         if not pcols:
             raise ValueError(f"{self.path} is not partitioned; use "
                              f"overwrite() for a full replace")
         partition_values = _typed_partition_values(
             partition_values, meta, self.path)
-        df = self._check_schema(df)
+        df = self._check_schema(self._apply_generated(df, meta))
         outside = df
         for c, v in partition_values.items():
             outside = outside.filter(~F.col(c).eqNullSafe(F.lit(v)))
@@ -1964,7 +2297,7 @@ class TxTable:
         actions = [{"remove": {"path": p}} for p in targets]
         actions += self._stage(df, meta.get("stat_cols", []),
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"),
+                               constraints=self._write_constraints(meta),
                                partition_cols=pcols,
                                colmap=meta.get("column_mapping"))
 
@@ -2110,8 +2443,12 @@ class TxTable:
             blo, bhi = bounds[k]
             if blo is None or bhi is None:
                 continue
+            # both sides canonicalized: stats store isoformat ('T'),
+            # partitionValues store the hive path form (space) — the
+            # spellings mis-order each other (txproto.canon_temporal)
+            blo, bhi = _canon(blo), _canon(bhi)
             if k in pv:
-                v = pv[k]
+                v = _canon(pv[k])
                 if v is not None and (v < blo or v > bhi):
                     return False
                 continue
@@ -2120,7 +2457,7 @@ class TxTable:
             lo, hi = stats[k]
             if lo is None or hi is None:
                 continue
-            if hi < blo or lo > bhi:
+            if _canon(hi) < blo or _canon(lo) > bhi:
                 return False
         return True
 
@@ -2163,6 +2500,10 @@ class TxTable:
         """
         keys = list(keys)
         rv, meta, live = self._snapshot()
+        if update:
+            self._require_mutable(meta, "merge_upsert(update=True)")
+        self._refuse_identity_dml(meta, "merge_upsert")
+        batch = self._apply_generated(batch, meta)
         extra_validators = []
         if merge_schema:
             batch, new_meta, extra_validators = self._evolve_schema(
@@ -2174,7 +2515,8 @@ class TxTable:
         schema = StructType.fromJson(meta["schema"])
         batch = batch.dropDuplicates(keys)
         _n, bounds = self._batch_bounds(batch, keys)
-        cand = self._candidate_files(live, keys, bounds)
+        pkeys, pbounds = self._extend_generated_bounds(meta, keys, bounds)
+        cand = self._candidate_files(live, pkeys, pbounds)
         cand = self._bloom_candidates(cand, live, keys, batch, meta)
         stat_cols = meta.get("stat_cols", [])
 
@@ -2185,7 +2527,7 @@ class TxTable:
             # Conservative (stat-grain) but never silent: caller re-runs.
             for a in intervening:
                 if "add" in a and self._overlaps(
-                        self._add_logical(meta, a["add"]), keys, bounds):
+                        self._add_logical(meta, a["add"]), pkeys, pbounds):
                     raise TxConflict(
                         f"concurrent commit added keys overlapping this "
                         f"merge's key range on {self.path}; re-run the "
@@ -2206,7 +2548,7 @@ class TxTable:
                                    how="left_anti")
             adds = meta_actions + self._stage(
                 batch, stat_cols, bloom=meta.get("bloom"),
-                constraints=meta.get("constraints"),
+                constraints=self._write_constraints(meta),
                 partition_cols=meta.get("partition_cols"),
                 colmap=meta.get("column_mapping"))
             # a pure schema widening (every row was a duplicate) still
@@ -2238,7 +2580,7 @@ class TxTable:
             new_data = batch
         actions += self._stage(new_data, stat_cols,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"),
+                               constraints=self._write_constraints(meta),
                                partition_cols=meta.get("partition_cols"),
                                colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, validate=validate,
@@ -2286,6 +2628,7 @@ class TxTable:
                              f"got {mode!r}")
         keys = list(keys)
         rv, meta, live = self._snapshot()
+        self._require_mutable(meta, "delete")
         if mode == "dv":
             schema_types = {f["name"]: f["type"]
                             for f in meta["schema"]["fields"]
@@ -2306,14 +2649,15 @@ class TxTable:
                                 for f in key_schema.fields])
                  .dropDuplicates(keys))
         _n, bounds = self._batch_bounds(batch, keys)
-        cand = self._candidate_files(live, keys, bounds)
+        pkeys, pbounds = self._extend_generated_bounds(meta, keys, bounds)
+        cand = self._candidate_files(live, pkeys, pbounds)
         cand = self._bloom_candidates(cand, live, keys, batch, meta)
         stat_cols = meta.get("stat_cols", [])
 
         def no_key_overlap(intervening):
             for a in intervening:
                 if "add" in a and self._overlaps(
-                        self._add_logical(meta, a["add"]), keys, bounds):
+                        self._add_logical(meta, a["add"]), pkeys, pbounds):
                     raise TxConflict(
                         f"concurrent commit added keys overlapping this "
                         f"delete's key range on {self.path}; re-run the "
@@ -2338,7 +2682,7 @@ class TxTable:
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += self._stage(keep, stat_cols,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"),
+                               constraints=self._write_constraints(meta),
                                partition_cols=meta.get("partition_cols"),
                                colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, validate=no_key_overlap,
@@ -2442,6 +2786,7 @@ class TxTable:
         """
         keys = list(keys)
         rv, meta, live = self._snapshot()
+        self._require_mutable(meta, "apply_changes")
         if txn is not None:
             app, ver = txn
             last = self._fold_txns(rv).get(app)
@@ -2491,14 +2836,15 @@ class TxTable:
         n_touched, bounds = self._batch_bounds(touched, keys)
         if n_touched == 0:
             return self.version  # window netted to nothing: no commit
-        cand = self._candidate_files(live, keys, bounds)
+        pkeys, pbounds = self._extend_generated_bounds(meta, keys, bounds)
+        cand = self._candidate_files(live, pkeys, pbounds)
         cand = self._bloom_candidates(cand, live, keys, touched, meta)
         stat_cols = meta.get("stat_cols", [])
 
         def no_key_overlap(intervening):
             for a in intervening:
                 if "add" in a and self._overlaps(
-                        self._add_logical(meta, a["add"]), keys, bounds):
+                        self._add_logical(meta, a["add"]), pkeys, pbounds):
                     raise TxConflict(
                         f"concurrent commit added keys overlapping this "
                         f"change window on {self.path}; re-run against "
@@ -2525,7 +2871,7 @@ class TxTable:
             new_data = net_ins
         actions += self._stage(new_data, stat_cols,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"),
+                               constraints=self._write_constraints(meta),
                                partition_cols=meta.get("partition_cols"),
                                colmap=meta.get("column_mapping"))
         if txn is not None:
@@ -2567,6 +2913,7 @@ class TxTable:
         inside any clause's range raises :class:`TxConflict`.
         """
         rv, meta, live = self._snapshot()
+        self._require_mutable(meta, "apply_delta")
         if txn is not None:
             app, ver = txn
             last = self._fold_txns(rv).get(app)
@@ -2588,8 +2935,10 @@ class TxTable:
             n_probe, bounds = self._batch_bounds(probe, key_cols)
             if n_probe == 0:
                 continue
-            cand = self._candidate_files(live, key_cols, bounds)
-            probes.append((key_cols, probe, bounds))
+            pkeys, pbounds = self._extend_generated_bounds(
+                meta, key_cols, bounds)
+            cand = self._candidate_files(live, pkeys, pbounds)
+            probes.append((pkeys, probe, pbounds, key_cols))
             if not cand:
                 continue
             resolve = self._path_resolver(cand, len(meta.get("partition_cols") or ()))
@@ -2605,9 +2954,9 @@ class TxTable:
             for a in intervening:
                 if "add" not in a:
                     continue
-                for key_cols, _probe, bounds in probes:
+                for pkeys, _probe, pbounds, _kc in probes:
                     if self._overlaps(self._add_logical(meta, a["add"]),
-                                      key_cols, bounds):
+                                      pkeys, pbounds):
                         raise TxConflict(
                             f"concurrent commit added keys overlapping "
                             f"this delta's range on {self.path}; re-run "
@@ -2617,17 +2966,17 @@ class TxTable:
         new_data = None
         if affected:
             keep = self._scan_files(meta, sorted(affected), dvs=dvs)
-            for key_cols, probe, _bounds in probes:
+            for _pkeys, probe, _pbounds, key_cols in probes:
                 keep = keep.join(probe, on=key_cols, how="left_anti")
             new_data = keep
         if inserts is not None:
-            ins = self._check_schema(inserts)
+            ins = self._check_schema(self._apply_generated(inserts, meta))
             new_data = (ins if new_data is None
                         else new_data.unionByName(ins))
         if new_data is not None:
             actions += self._stage(new_data, stat_cols,
                                    bloom=meta.get("bloom"),
-                                   constraints=meta.get("constraints"),
+                                   constraints=self._write_constraints(meta),
                                    partition_cols=meta.get(
                                        "partition_cols"),
                                colmap=meta.get("column_mapping"))
@@ -2665,12 +3014,38 @@ class TxTable:
         conflict.
         """
         rv, meta, live = self._snapshot()
+        self._require_mutable(meta, "update")
         schema = StructType.fromJson(meta["schema"])
         names = {f.name for f in schema.fields}
         bad = sorted(set(assignments) - names)
         if bad:
             raise ValueError(f"assignments target unknown columns {bad}; "
                              f"UPDATE cannot add columns")
+        gen = meta.get("generated") or {}
+        locked = sorted((set(gen) | set(meta.get("identity") or {}))
+                        & set(assignments))
+        if locked:
+            raise ValueError(
+                f"UPDATE cannot assign generated/identity columns "
+                f"{locked} of {self.path}: their values are engine-"
+                f"derived (assign the base columns; generated columns "
+                f"recompute automatically)")
+        # generated columns whose expression reads an assigned column
+        # recompute for updated rows (the public Delta rule: updating a
+        # base column updates the generated one); a generated PARTITION
+        # column fed by an assignment means rows change partitions —
+        # refused like any partition-column assignment
+        touched_gen: dict[str, str] = {}
+        pcols_set = set(meta.get("partition_cols") or ())
+        for a in list(assignments):
+            for g in self._generated_refs(meta, a):
+                if g in pcols_set:
+                    raise ValueError(
+                        f"UPDATE assigns {a!r}, which feeds generated "
+                        f"partition column {g!r} of {self.path}: a row "
+                        f"changing partitions is a delete + insert "
+                        f"(run delete() then append())")
+                touched_gen[g] = gen[g]
         stat_cols = meta.get("stat_cols", [])
         cond = F.expr(condition)
 
@@ -2700,15 +3075,29 @@ class TxTable:
         if not affected:
             return self.version  # nothing matches: no-op, no commit
         old = self._scan_files(meta, sorted(affected), dvs=dvs)
+        extra = [cond.alias("_upd")] if touched_gen else []
         rewritten = old.select(*[
             (F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
              .otherwise(F.col(f.name)).alias(f.name)
              if f.name in assignments else F.col(f.name))
-            for f in schema.fields])
+            for f in schema.fields], *extra)
+        if touched_gen:
+            # generated columns recompute over the POST-assignment
+            # values (SQL UPDATE evaluates all assignments against the
+            # old row, so folding the generation expr into the same
+            # projection would read the STALE base column) — second
+            # row-local projection, same stage, no extra job
+            types = {f.name: f.dataType for f in schema.fields}
+            rewritten = rewritten.select(*[
+                (F.when(F.col("_upd"),
+                        F.expr(touched_gen[f.name]).cast(types[f.name]))
+                 .otherwise(F.col(f.name)).alias(f.name)
+                 if f.name in touched_gen else F.col(f.name))
+                for f in schema.fields])
         actions = [{"remove": {"path": p}} for p in sorted(affected)]
         actions += self._stage(rewritten, stat_cols,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"),
+                               constraints=self._write_constraints(meta),
                                partition_cols=meta.get("partition_cols"),
                                colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, validate=no_data_change,
@@ -2879,7 +3268,7 @@ class TxTable:
         actions += self._stage(packed, meta.get("stat_cols", []),
                                data_change=False,
                                bloom=meta.get("bloom"),
-                               constraints=meta.get("constraints"),
+                               constraints=self._write_constraints(meta),
                                partition_cols=pcols,
                                colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, info={"op": "optimize"})

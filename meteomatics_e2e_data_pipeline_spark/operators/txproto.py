@@ -74,12 +74,22 @@ TXPROTO_VERSION = 2
 #                         reader would surface physical names and miss
 #                         renames/drops, a v3 writer would stage files
 #                         under logical names old files don't share).
+#   reader 4 / writer 5 — write-side invariants (generated columns,
+#                         identity columns, the appendOnly property —
+#                         the public Delta writer-feature trio): READS
+#                         are unaffected (files are plain data), but a
+#                         v4 writer would stage rows without computing
+#                         generated columns, allocate no identity
+#                         values / never advance the high-water mark,
+#                         and delete from append-only tables — all
+#                         silent invariant breaks, so writers gate.
 SUPPORTED_READER = 4
-SUPPORTED_WRITER = 4
+SUPPORTED_WRITER = 5
 BASE_PROTOCOL = {"minReader": 1, "minWriter": 2}
 PARTITION_PROTOCOL = {"minReader": 2, "minWriter": 2}
 DV_PROTOCOL = {"minReader": 3, "minWriter": 3}
 COLMAP_PROTOCOL = {"minReader": 4, "minWriter": 4}
+WRITE_FEATURES_PROTOCOL = {"minReader": 1, "minWriter": 5}
 
 
 class TxProtocolError(RuntimeError):
@@ -89,6 +99,23 @@ class TxProtocolError(RuntimeError):
     version, which supports everything it writes); never work around
     this error by parsing the log directly.
     """
+
+
+def canon_temporal(v):
+    """Canonicalize the two string spellings of a timestamp so stat
+    compares stay SOUND: per-file stats store ``datetime.isoformat()``
+    (``T`` separator), while hive partition directory values — and
+    therefore ``partitionValues`` — use Spark's path form (space
+    separator). ``T`` (0x54) sorts AFTER every digit while space (0x20)
+    sorts before, so comparing the two spellings directly mis-orders
+    equal instants — a prune built on that comparison can skip a
+    matching file. Every stat-vs-partitionValue (and derived-bound)
+    compare canonicalizes BOTH sides through this first; non-temporal
+    values pass through untouched."""
+    if (isinstance(v, str) and len(v) >= 11 and v[10] == "T"
+            and v[4] == "-" and v[7] == "-"):
+        return v[:10] + " " + v[11:]
+    return v
 
 
 def protocol_action(proto: dict) -> dict:

@@ -3269,6 +3269,157 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+_GEN_WHERE = ("o_orderdate >= DATE '1994-01-01' "
+              "AND o_orderdate <= DATE '1996-12-31'")
+
+
+def q_orders_generated_pruned(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Generated columns under the oracle gate (round-14): the orders
+    table is created with ``o_year GENERATED ALWAYS AS
+    (year(o_orderdate))`` as its PARTITION column — the batch never
+    carries the column, the engine computes it at write and the lake
+    lands in ``o_year=.../`` directories. The query then reads through
+    the plain-IO ``txlog`` DataSource filtering on the BASE column
+    only: the reader derives the partition bound from the generation
+    expression (``operators/genexpr.py`` — the public Delta "partition
+    pruning using generated columns" design), asserted at build to
+    plan a strict subset of the table's files. The oracle computes
+    ``year(o_orderdate)`` itself from the original view, so a wrong
+    generated value, a mis-derived bound, or a partition-column
+    fill error all break the hash. Scale shape: the filter prunes
+    whole year-partitions driver-side before any task launches —
+    IO for pruned partitions is zero at any per-partition size."""
+    import datetime
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+    from ..sources.txlog_batch import TxLogBatchReader, register
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:gen"
+        .encode()).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        build = Path(tempfile.mkdtemp(prefix="convert_build_",
+                                      dir=tempfile.gettempdir()))
+        t = TxTable.create(
+            spark,
+            load_table(spark, sf_dir, "orders")
+            .repartitionByRange(4, "o_orderkey"),
+            str(build / "orders"), stat_cols=["o_orderkey"],
+            partition_cols=["o_year"],
+            generated={"o_year": "year(o_orderdate)"})
+        # the derivation contract, asserted at build: a base-column
+        # range plans a strict subset of the live files
+        from pyspark.sql.datasource import (GreaterThanOrEqual,
+                                            LessThanOrEqual)
+        r = TxLogBatchReader({"path": t.path})
+        list(r.pushFilters([
+            GreaterThanOrEqual(("o_orderdate",),
+                               datetime.date(1994, 1, 1)),
+            LessThanOrEqual(("o_orderdate",),
+                            datetime.date(1996, 12, 31))]))
+        planned = r.partitions()
+        assert 0 < len(planned) < len(t.live_files()), \
+            "generated-column derivation must prune partitions"
+        assert all(
+            1994 <= int(p.file_path.split("o_year=")[1][:4]) <= 1996
+            for p in planned), "planned files outside the derived years"
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
+    register(spark)
+    return (spark.read.format("txlog").option("path", str(base)).load()
+            .filter(_GEN_WHERE)
+            .groupBy(F.col("o_year").cast("long").alias("o_year"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+ORACLE_ORDERS_GENERATED = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE {_GEN_WHERE}
+GROUP BY 1
+"""
+
+
+def q_orders_identity_audit(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Identity columns under the oracle gate (round-14): the orders
+    table is split in two batches (even/odd ``o_orderkey``) written as
+    create + append into a table with ``row_id GENERATED ALWAYS AS
+    IDENTITY (START 1000 STEP 2)`` — values engine-assigned in one
+    distributed pass, high-water mark advanced in each commit off the
+    staged stats. The audit aggregates what SQL can verify without
+    knowing the assignment: every row got an id (count parity with the
+    oracle), ids are globally UNIQUE across both commits, all respect
+    the start bound and the step's parity, and the data columns are
+    untouched (sum of keys). A double-allocation, a lost hwm bump, or
+    a step violation each break a column. Scale shape: assignment is
+    one ``mapInPandas`` pass (no count pre-job, no driver loop); the
+    hwm rides stats the write computes anyway."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:ident"
+        .encode()).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        build = Path(tempfile.mkdtemp(prefix="convert_build_",
+                                      dir=tempfile.gettempdir()))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice")
+        t = TxTable.create(
+            spark, orders.filter("o_orderkey % 2 = 0").repartition(4),
+            str(build / "orders"), stat_cols=["o_orderkey"],
+            identity={"row_id": {"start": 1000, "step": 2}})
+        t.append(orders.filter("o_orderkey % 2 = 1").repartition(4))
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
+    t = TxTable(spark, str(base))
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        (F.min("row_id") >= F.lit(1000)).alias("ids_from_start"),
+        (F.sum(F.col("row_id") % 2) == F.lit(0)).alias("step_parity"),
+        F.sum("o_orderkey").alias("sum_keys"))
+
+
+ORACLE_ORDERS_IDENTITY = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) AS n_distinct_ids,
+       TRUE AS ids_from_start,
+       TRUE AS step_parity,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+FROM orders
+"""
+
+
 _CLONE_DEL_KEYS = [1, 6, 4000]  # deleted on the CLONE only, at build
 
 
@@ -3287,6 +3438,8 @@ def q_orders_cloned_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
 
     from ..operators.txlog import TxTable
+    import shutil
+
     from ..operators.txproto import TXPROTO_VERSION
 
     src = os.path.join(sf_dir, "orders.parquet")
@@ -3467,6 +3620,8 @@ QUERIES = {
     "orders_dv_pointget": q_orders_dv_pointget,
     "orders_cloned_rollup": q_orders_cloned_rollup,
     "orders_renamed_rollup": q_orders_renamed_rollup,
+    "orders_generated_pruned": q_orders_generated_pruned,
+    "orders_identity_audit": q_orders_identity_audit,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
@@ -3554,6 +3709,8 @@ ORACLE = {
     "orders_dv_pointget": ORACLE_ORDERS_DV_POINTGET,
     "orders_cloned_rollup": ORACLE_ORDERS_CLONED,
     "orders_renamed_rollup": ORACLE_ORDERS_RENAMED,
+    "orders_generated_pruned": ORACLE_ORDERS_GENERATED,
+    "orders_identity_audit": ORACLE_ORDERS_IDENTITY,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
     "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,

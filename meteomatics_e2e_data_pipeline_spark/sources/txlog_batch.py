@@ -64,7 +64,9 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from ..operators.txproto import (check_protocol, commit_payload,
+from ..operators.genexpr import parse_generation_expr
+from ..operators.txproto import (canon_temporal, check_protocol,
+                                 commit_payload,
                                  info_action as _info_action)
 from .txlog_stream import (_LOG_DIR, _dv_mask, _latest_version,
                            _read_commit, fold_snapshot)
@@ -77,8 +79,14 @@ _CKPT = ".checkpoint.json"
 # its only two operations are dv-compatible by construction: append
 # never touches existing files, and overwrite removes EVERY live file
 # (which clears their tombstones in the fold) before adding fresh ones.
-_READER_CAP = 4  # r14: column mapping understood by both sides
-_WRITER_CAP = 4
+# r14: column mapping understood by both sides (4); the writer also
+# honors the writer-feature trio (5) — generated columns VALIDATE
+# per-chunk (the V2 schema contract requires the values present, so
+# the writer enforces rather than computes), appendOnly refuses
+# overwrite mode, and identity tables refuse outright (values are
+# engine-assigned — TxTable.append owns the allocation).
+_READER_CAP = 4
+_WRITER_CAP = 5
 
 
 def _fold_snapshot(table: str, version: int | None = None):
@@ -118,28 +126,85 @@ def _resolve_version(options, table: str) -> int | None:
     return None
 
 
+def _norm_literal(v):
+    """A pushed-filter literal into the log's stat value domain:
+    dates/timestamps arrive as ``datetime`` objects while stats store
+    isoformat strings — without this, every temporal compare raised
+    TypeError and date-column stat pruning silently never fired. The
+    canonicalizer additionally unifies the 'T'/space timestamp
+    spellings (stats vs hive partitionValues — txproto.canon_temporal).
+    Unknown types pass through raw (compare may TypeError → keep)."""
+    n = _stat_scalar(v)
+    return canon_temporal(n) if n is not None else v
+
+
 def _range_can_match(lo, hi, f: Filter) -> bool:
     """Can a file whose column spans [lo, hi] hold a row matching f?
     Any uncertainty (absent stats, unknown filter) answers True — the
     pruning is one-sided by contract."""
     if lo is None or hi is None:
         return True
+    lo, hi = canon_temporal(lo), canon_temporal(hi)
     try:
         if isinstance(f, EqualTo):
-            return lo <= f.value <= hi
+            return lo <= _norm_literal(f.value) <= hi
         if isinstance(f, In):
-            return any(lo <= val <= hi for val in f.value)
+            return any(lo <= _norm_literal(val) <= hi for val in f.value)
         if isinstance(f, GreaterThan):
-            return hi > f.value
+            return hi > _norm_literal(f.value)
         if isinstance(f, GreaterThanOrEqual):
-            return hi >= f.value
+            return hi >= _norm_literal(f.value)
         if isinstance(f, LessThan):
-            return lo < f.value
+            return lo < _norm_literal(f.value)
         if isinstance(f, LessThanOrEqual):
-            return lo <= f.value
+            return lo <= _norm_literal(f.value)
     except TypeError:
         return True  # incomparable literal (e.g. cross-type): keep
     return True
+
+
+def _derived_generated_filters(generated: dict, partition_cols,
+                               filters: "list[Filter]") -> "list[Filter]":
+    """Pruning filters on GENERATED partition columns implied by pushed
+    filters on their BASE columns (the public Delta "partition pruning
+    using generated columns" design; ``operators/genexpr.py`` holds the
+    monotone shape registry). Derived filters participate in file
+    pruning ONLY — they are never yielded back to Spark, and strict
+    comparators weaken to inclusive on the generated side (one-sided:
+    never skips a possible match). Non-monotone calendar fields
+    (month/day/hour) derive from equality/IN predicates only."""
+    if not generated:
+        return []
+    pset = set(partition_cols or ())
+    out: list = []
+    for g, expr in generated.items():
+        if g not in pset:
+            continue
+        t = parse_generation_expr(expr)
+        if t is None:
+            continue
+        for f in filters:
+            if getattr(f, "attribute", None) != (t.base_col,):
+                continue
+            if isinstance(f, EqualTo):
+                v = t.fn(f.value)
+                if v is not None:
+                    out.append(EqualTo((g,), v))
+            elif isinstance(f, In):
+                vs = [t.fn(val) for val in f.value]
+                if vs and all(v is not None for v in vs):
+                    out.append(In((g,), tuple(vs)))
+            elif not t.monotone:
+                continue
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                v = t.fn(f.value)
+                if v is not None:
+                    out.append(GreaterThanOrEqual((g,), v))
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                v = t.fn(f.value)
+                if v is not None:
+                    out.append(LessThanOrEqual((g,), v))
+    return out
 
 
 @dataclass
@@ -172,6 +237,7 @@ class TxLogBatchReader(DataSourceReader):
         # pushed filters and the declared schema speak logical — the
         # planner translates at lookup, the workers at column access
         self.colmap = meta.get("column_mapping") or {}
+        self.generated = meta.get("generated") or {}
         self.live = live
         self._prune = str(options.get("statPruning", "true")
                           ).lower() != "false"
@@ -205,6 +271,12 @@ class TxLogBatchReader(DataSourceReader):
                                     self.live[p].get("dv"))
                     for p in sorted(self.live)]
         filters = self.__dict__.pop("_filters", [])
+        # generated partition columns: predicates on the BASE column
+        # imply predicates on the partition value — derive them before
+        # the per-file pass so partition pruning fires on e.g.
+        # filter(ts BETWEEN ...) over a table partitioned by year(ts)
+        filters = filters + _derived_generated_filters(
+            self.generated, self.partition_cols, filters)
         keep = []
         for path in sorted(self.live):
             add = self.live[path]
@@ -307,6 +379,31 @@ def _check_constraints_unchanged(table: str, planned: dict) -> None:
             f"(CHECK constraints {sorted(planned or {})} -> "
             f"{sorted(cons)}); the staged rows were validated under "
             f"the old rules - re-run the write")
+
+
+def _check_write_rules_unchanged(table: str, planned_cons: dict,
+                                 planned_gen: dict) -> None:
+    """The claim-loop re-check over the FULL write-rule surface: the
+    constraint set, the generated-column expressions, and the two
+    plan-time refusal gates (identity, appendOnly). Any of them
+    changing between plan and publish means this write's rows were
+    validated (or admitted) under stale rules."""
+    _check_constraints_unchanged(table, planned_cons)
+    _, meta, _, _, _ = _fold_snapshot(table)
+    gen = meta.get("generated") or {}
+    if gen != (planned_gen or {}):
+        raise RuntimeError(
+            f"table metadata of {table} changed under this write "
+            f"(generated columns {sorted(planned_gen or {})} -> "
+            f"{sorted(gen)}); re-run the write")
+    if meta.get("identity"):
+        raise RuntimeError(
+            f"{table} gained identity column(s) "
+            f"{sorted(meta['identity'])} under this write; identity "
+            f"values are engine-assigned (TxTable.append) - re-run")
+    # appendOnly arriving mid-write needs no extra rule here: appends
+    # to an append-only table stay legal, and the overwrite path
+    # already refuses on ANY intervening commit (read_version check)
 
 
 def _validate_chunk_constraints(rows: list, fields: list,
@@ -470,6 +567,21 @@ class TxLogBatchWriter(DataSourceWriter):
         self.read_version = v
         self.live = sorted(live)
         self.stat_cols = meta.get("stat_cols", [])
+        # plan-time refusals first (clearer than a schema mismatch):
+        # identity values are engine-assigned, append-only tables
+        # refuse overwrite mode
+        if meta.get("identity"):
+            raise ValueError(
+                f"{self.table} has identity column(s) "
+                f"{sorted(meta['identity'])}: values are engine-"
+                f"assigned — write through TxTable.append instead of "
+                f"the txlog DataSource")
+        props = meta.get("properties") or {}
+        if overwrite and str(props.get("appendOnly", "")
+                             ).lower() in ("true", "1"):
+            raise ValueError(
+                f"overwrite of append-only table {self.table} "
+                f"(properties['appendOnly']=true)")
         table_cols = [f.name for f in
                       StructType.fromJson(meta["schema"]).fields]
         if [f.name for f in schema.fields] != table_cols:
@@ -484,6 +596,16 @@ class TxLogBatchWriter(DataSourceWriter):
         # unchanged inside the claim loop (_publish) — the three pieces
         # of TxTable's own constraint story, mapped onto V2 writes.
         self.constraints = dict(meta.get("constraints") or {})
+        # writer-feature trio (protocol 5), remaining member: generated
+        # columns ride the same per-chunk validator as CHECK
+        # constraints (the V2 schema contract means their values arrive
+        # explicitly — enforce col IS NOT DISTINCT FROM (expr), the
+        # Delta provided-value rule). Identity/appendOnly refused above.
+        self.generated = dict(meta.get("generated") or {})
+        self.enforced = dict(self.constraints)
+        for c, e in self.generated.items():
+            self.enforced[f"generated:{c}"] = (
+                f"{c} IS NOT DISTINCT FROM ({e})")
         # column-mapped tables: tasks stage files under the stable
         # PHYSICAL names and key their in-task stats by them — the same
         # write discipline as TxTable._stage
@@ -533,7 +655,7 @@ class TxLogBatchWriter(DataSourceWriter):
         # partition columns, which are excluded from the file data) and
         # speaks LOGICAL names (constraint expressions are stored SQL)
         full_arrow_schema = (to_arrow_schema(full_schema)
-                             if self.constraints else None)
+                             if self.enforced else None)
         data_names = [f.name for f in data_fields]
         data_idx = [self.fields.index(n) for n in data_names]
         p_idx = [self.fields.index(c) for c in pcols]
@@ -569,10 +691,10 @@ class TxLogBatchWriter(DataSourceWriter):
                 if not chunk:
                     break
                 rows = [tuple(r) for r in chunk]
-                if self.constraints:
+                if self.enforced:
                     _validate_chunk_constraints(
                         rows, self.fields, full_arrow_schema,
-                        self.constraints, self.table)
+                        self.enforced, self.table)
                 if pcols:
                     groups: dict[tuple, list] = {}
                     for tr in rows:
@@ -644,7 +766,8 @@ class TxLogBatchWriter(DataSourceWriter):
             # an add_constraint landing between plan and publish means
             # this write's rows were validated under the OLD rules
             # (the TxTable._commit MetadataChanged rule, mirrored here).
-            _check_constraints_unchanged(self.table, self.constraints)
+            _check_write_rules_unchanged(self.table, self.constraints,
+                                         self.generated)
             latest = _latest_version(self.table)
             if self.overwrite and latest != self.read_version:
                 raise RuntimeError(
@@ -726,8 +849,9 @@ class TxLogStreamWriter(DataSourceStreamWriter):
             # Same in-loop re-check as TxLogBatchWriter._publish: a
             # constraint committed after plan time must refuse this
             # batch's unvalidated rows, not race past them.
-            _check_constraints_unchanged(self.table,
-                                         self._delegate.constraints)
+            _check_write_rules_unchanged(self.table,
+                                         self._delegate.constraints,
+                                         self._delegate.generated)
             latest = _latest_version(self.table)
             _, _, _, txns, _ = _fold_snapshot(self.table)
             if txns.get(self.app_id, -1) >= batchId:

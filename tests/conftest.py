@@ -129,8 +129,10 @@ _POOLED_MODULES = (
     "tests.test_txlog_dv",
     "tests.test_txlog_protocol",
     "tests.test_txlog_clone",
-    # round 14: column mapping (rename/drop as metadata commits)
+    # round 14: column mapping (rename/drop as metadata commits),
+    # then the writer-feature trio (generated/identity/properties)
     "tests.test_txlog_colmap",
+    "tests.test_txlog_features",
 )
 
 

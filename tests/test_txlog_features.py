@@ -1,0 +1,356 @@
+"""Write-side features (protocol writer 5): GENERATED columns,
+IDENTITY columns, and table properties — the public Delta writer-
+feature trio. Contract:
+
+- generated columns compute at write when omitted, VALIDATE when
+  provided (``col IS NOT DISTINCT FROM (expr)`` riding the constraint
+  stats pass — zero extra jobs), recompute under UPDATE of a base
+  column, and — when they are PARTITION columns with a registered
+  monotone expression (operators/genexpr.py) — derive partition
+  pruning from predicates on the BASE column, in the keyed DML
+  planners and the plain-IO ``txlog`` DataSource both;
+- identity columns are GENERATED ALWAYS: engine-assigned in one
+  distributed pass, unique and step-directed (gaps allowed — the
+  public Delta identity contract), high-water mark advanced in the
+  SAME atomic commit off the staged files' own stats, concurrent
+  allocations conflict (MetadataChanged) instead of double-assigning;
+- ``appendOnly`` blocks every data-changing rewrite while appends,
+  insert-only merges and OPTIMIZE stay legal; ``checkpointInterval``
+  overrides the auto-checkpoint cadence per table;
+- first use of any of the three gates minWriter 5; the V2 writer
+  (cap 5) validates generated values per-chunk, refuses identity
+  tables, and refuses overwrite on append-only tables.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from meteomatics_e2e_data_pipeline_spark.operators.txlog import (
+    TxConflict, TxTable)
+from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+    register)
+
+
+def _days(spark, rows):
+    """rows: (k, d-iso, v) triples -> df with a DATE column."""
+    data = [(k, datetime.date.fromisoformat(d), v) for k, d, v in rows]
+    return spark.createDataFrame(data, "k long, d date, v long")
+
+
+_ROWS = [(1, "1994-02-01", 10), (2, "1994-07-09", 20),
+         (3, "1995-03-07", 30), (4, "1995-11-11", 40),
+         (5, "1996-01-30", 50), (6, "1996-06-15", 60)]
+
+
+def _gen_table(spark, tmp_path, name="g", **kw):
+    return TxTable.create(
+        spark, _days(spark, _ROWS), str(tmp_path / name),
+        stat_cols=["k", "d"], partition_cols=["y"],
+        generated={"y": "year(d)"}, **kw)
+
+
+def _heavy_test_generated_compute_validate_and_update(spark, tmp_path):
+    t = _gen_table(spark, tmp_path)
+    got = {(r["k"], r["y"]) for r in t.read().collect()}
+    assert got == {(k, int(d[:4])) for k, d, _v in _ROWS}
+    # providing a CONSISTENT value passes; an inconsistent one names
+    # the implicit generated constraint and leaves the table untouched
+    ok = spark.createDataFrame(
+        [(7, datetime.date(1997, 5, 5), 70, 1997)],
+        "k long, d date, v long, y int")
+    t.append(ok)
+    bad = spark.createDataFrame(
+        [(8, datetime.date(1997, 5, 6), 80, 1912)],
+        "k long, d date, v long, y int")
+    with pytest.raises(ValueError, match="generated:y"):
+        t.append(bad)
+    assert t.read().count() == 7
+    # non-partition generated column: UPDATE of the base recomputes it
+    p2 = str(tmp_path / "g2")
+    t2 = TxTable.create(
+        spark, _days(spark, _ROWS), p2, stat_cols=["k"],
+        generated={"ym": "substring(cast(d as string), 1, 7)"})
+    with pytest.raises(ValueError, match="generated/identity"):
+        t2.update("k = 1", {"ym": "'2001-01'"})
+    t2.update("k = 1", {"d": "date'2001-06-01'"})
+    row = {r["k"]: r["ym"] for r in t2.read().collect()}
+    assert row[1] == "2001-06" and row[2] == "1994-07"
+    # assigning the BASE of a generated PARTITION column = moving rows
+    # across partitions: refused like any partition-column assignment
+    with pytest.raises(ValueError, match="changing partitions"):
+        t.update("k = 1", {"d": "date'2001-06-01'"})
+
+
+def _heavy_test_generated_partition_pruning_in_dml(spark, tmp_path):
+    t = _gen_table(spark, tmp_path)
+    assert len(t.live_files()) >= 3  # one subdir per year at least
+    # a delete keyed on the BASE column with a one-year key range must
+    # only touch that year's partition (derived bound on y)
+    t.delete(spark.createDataFrame(
+        [(datetime.date(1995, 3, 7),)], "d date"), ["d"])
+    removed = [a["remove"]["path"] for a in t.history()[-1]
+               if "remove" in a]
+    assert removed and all(p.startswith("y=1995/") for p in removed)
+    staged = [a["add"]["path"] for a in t.history()[-1] if "add" in a]
+    assert all(p.startswith("y=1995/") for p in staged)
+    assert {r["k"] for r in t.read().collect()} == {1, 2, 4, 5, 6}
+    # merge on the base column: candidate probe stays in-year too
+    t.merge_upsert(_days(spark, [(4, "1995-11-11", 99)]), ["d"],
+                   update=True)
+    touched = [a["remove"]["path"] for a in t.history()[-1]
+               if "remove" in a]
+    assert touched and all(p.startswith("y=1995/") for p in touched)
+    assert {r["v"] for r in t.read().collect()
+            if r["k"] == 4} == {99}
+
+
+def _heavy_test_generated_pruning_in_v2_reader(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        TxLogBatchReader)
+    t = _gen_table(spark, tmp_path)
+    n_all = len(t.live_files())
+    r = TxLogBatchReader({"path": t.path})
+    list(r.pushFilters([EqualTo(("d",), datetime.date(1995, 3, 7))]))
+    pruned = r.partitions()
+    assert 0 < len(pruned) < n_all
+    assert all("/y=1995/" in p.file_path for p in pruned)
+    # range predicate on the base derives an inclusive bound on y
+    r2 = TxLogBatchReader({"path": t.path})
+    list(r2.pushFilters([GreaterThanOrEqual(
+        ("d",), datetime.date(1996, 1, 1))]))
+    p2 = r2.partitions()
+    assert p2 and all("/y=1996/" in p.file_path for p in p2)
+    # and the full scan through Spark still answers correctly
+    register(spark)
+    df = (spark.read.format("txlog").option("path", t.path).load()
+          .filter("d >= date'1996-01-01'"))
+    assert {row["k"] for row in df.collect()} == {5, 6}
+
+
+def _heavy_test_date_stat_pruning_now_fires(spark, tmp_path):
+    """Regression: pushed DATE literals arrive as datetime.date while
+    stats store isoformat strings — before the normalizer the compare
+    raised TypeError and every date filter scanned every file."""
+    from pyspark.sql.datasource import LessThan
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        TxLogBatchReader)
+    p = str(tmp_path / "dates")
+    t = TxTable.create(
+        spark, _days(spark, _ROWS).repartition(3, "k"), p,
+        stat_cols=["d"])
+    r = TxLogBatchReader({"path": p})
+    list(r.pushFilters([LessThan(("d",), datetime.date(1800, 1, 1))]))
+    assert r.partitions() == []  # provably nothing can match
+
+
+def test_timestamp_spelling_canonicalized_in_overlaps():
+    """The 'T'-vs-space timestamp spelling split (isoformat stats vs
+    hive partitionValues) mis-ordered equal instants; _overlaps must
+    canonicalize both sides."""
+    add = {"partitionValues": {"ts": "2021-06-01 00:00:00"}}
+    bounds = {"ts": ("2021-06-01T00:00:00", "2021-06-01T00:00:00")}
+    assert TxTable._overlaps(add, ["ts"], bounds)
+    off = {"ts": ("2021-06-02T00:00:00", "2021-06-03T00:00:00")}
+    assert not TxTable._overlaps(add, ["ts"], off)
+
+
+def _heavy_test_identity_assignment_and_hwm(spark, tmp_path):
+    p = str(tmp_path / "ident")
+    df = spark.createDataFrame([(c,) for c in "abcdef"], "tag string")
+    t = TxTable.create(spark, df.repartition(3), p,
+                       identity={"id": {"start": 100, "step": 3}})
+    rows = t.read().collect()
+    ids = sorted(r["id"] for r in rows)
+    assert len(set(ids)) == 6 and min(ids) >= 100
+    assert all((i - 100) % 3 == 0 for i in ids)
+    _, meta, _ = t._snapshot()
+    assert meta["identity"]["id"]["hwm"] == max(ids)
+    # appends keep allocating ABOVE the committed high-water mark
+    t.append(spark.createDataFrame([("g",), ("h",)], "tag string"))
+    ids2 = sorted(r["id"] for r in t.read().collect())
+    assert len(set(ids2)) == 8
+    assert min(set(ids2) - set(ids)) > max(ids)
+    _, meta, _ = t._snapshot()
+    assert meta["identity"]["id"]["hwm"] == max(ids2)
+    # GENERATED ALWAYS: providing the column refuses, everywhere
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.append(spark.createDataFrame([(1, "x")], "id long, tag string"))
+    with pytest.raises(ValueError, match="identity"):
+        t.merge_upsert(spark.createDataFrame([("z",)], "tag string"),
+                       ["tag"])
+    with pytest.raises(ValueError, match="generated/identity"):
+        t.update("tag = 'a'", {"id": "0"})
+    # deletes keep survivors' ids; overwrite reallocates past the hwm
+    t.delete(spark.createDataFrame([("a",)], "tag string"), ["tag"])
+    assert t.read().count() == 7
+    v_hwm = meta["identity"]["id"]["hwm"]
+    t.overwrite(spark.createDataFrame([("zz",)], "tag string"))
+    (row,) = t.read().collect()
+    assert row["id"] > v_hwm
+
+
+def _heavy_test_identity_concurrent_append_conflicts(spark, tmp_path):
+    p = str(tmp_path / "ident_race")
+    t = TxTable.create(spark, spark.createDataFrame([("a",)],
+                                                    "tag string"),
+                       p, identity={"id": {"start": 1, "step": 1}})
+    racer = TxTable(spark, p)
+    orig = t._try_publish
+
+    def inject(version, actions):
+        if not getattr(t, "_raced", False):
+            t._raced = True
+            racer.append(spark.createDataFrame([("r",)], "tag string"))
+        return orig(version, actions)
+
+    t._try_publish = inject
+    try:
+        with pytest.raises(TxConflict, match="metadata"):
+            t.append(spark.createDataFrame([("b",)], "tag string"))
+    finally:
+        t._try_publish = orig
+    # the racer's allocation landed; ids stay unique after our retry
+    t.append(spark.createDataFrame([("b",)], "tag string"))
+    ids = [r["id"] for r in t.read().collect()]
+    assert len(ids) == len(set(ids)) == 3
+
+
+def _heavy_test_append_only_property(spark, tmp_path):
+    p = str(tmp_path / "ao")
+    t = TxTable.create(
+        spark, spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        p, stat_cols=["k"], properties={"appendOnly": True})
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    t.merge_upsert(spark.createDataFrame([(3, 99), (4, 40)],
+                                         "k long, v long"), ["k"])
+    assert {(r["k"], r["v"]) for r in t.read().collect()} \
+        == {(1, 10), (2, 20), (3, 30), (4, 40)}  # insert-only kept 3
+    one = spark.createDataFrame([(1,)], "k long")
+    for op in (lambda: t.delete(one, ["k"]),
+               lambda: t.delete(one, ["k"], mode="dv"),
+               lambda: t.update("k = 1", {"v": "0"}),
+               lambda: t.overwrite(spark.createDataFrame(
+                   [(9, 90)], "k long, v long")),
+               lambda: t.merge_upsert(spark.createDataFrame(
+                   [(1, 0)], "k long, v long"), ["k"], update=True)):
+        with pytest.raises(ValueError, match="append-only"):
+            op()
+    assert t.optimize(target_rows=10) >= 0  # layout-only stays legal
+    # V2 writer: appends pass, overwrite refuses
+    register(spark)
+    df = spark.createDataFrame([(5, 50)], "k long, v long")
+    df.write.format("txlog").option("path", p).mode("append").save()
+    with pytest.raises(Exception, match="append-only"):
+        (df.write.format("txlog").option("path", p)
+         .mode("overwrite").save())
+    # unsetting the property re-enables rewrites
+    t.alter_properties(unset=["appendOnly"])
+    t.delete(one, ["k"])
+    assert {r["k"] for r in t.read().collect()} == {2, 3, 4, 5}
+
+
+def _heavy_test_checkpoint_interval_property(spark, tmp_path):
+    p = str(tmp_path / "ckpt")
+    t = TxTable.create(
+        spark, spark.createDataFrame([(1,)], "k long"), p,
+        properties={"checkpointInterval": 2})
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+    assert {2, 4} <= set(t._checkpoint_versions())
+    with pytest.raises(ValueError, match="checkpointInterval"):
+        t.alter_properties({"checkpointInterval": 0})
+
+
+def _heavy_test_writer5_protocol_gate_and_v2_writer(spark, tmp_path):
+    from meteomatics_e2e_data_pipeline_spark.operators import txproto
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        TxLogBatchWriter)
+    t = _gen_table(spark, tmp_path, name="gate")
+    t._snapshot()  # create() publishes without folding; fold sets _proto
+    assert t._proto["minWriter"] == 5 and t._proto["minReader"] == 2
+    with pytest.raises(txproto.TxProtocolError, match="minWriter"):
+        txproto.check_protocol(t._proto, t.path, writer=4)
+    # identity tables refuse the V2 writer outright
+    pi = str(tmp_path / "ident_v2")
+    TxTable.create(spark, spark.createDataFrame([("a",)], "tag string"),
+                   pi, identity={"id": {"start": 1, "step": 1}})
+    from pyspark.sql.types import StructType
+    with pytest.raises(ValueError, match="engine-assigned"):
+        TxLogBatchWriter({"path": pi}, StructType(), overwrite=False)
+    # generated tables: the V2 writer VALIDATES provided values
+    register(spark)
+    ok = spark.createDataFrame(
+        [(9, datetime.date(1994, 4, 4), 90, 1994)],
+        "k long, d date, v long, y int")
+    ok.write.format("txlog").option("path", t.path).mode("append").save()
+    bad = ok.withColumn("y", ok.y + 7)
+    with pytest.raises(Exception, match="generated:y"):
+        (bad.write.format("txlog").option("path", t.path)
+         .mode("append").save())
+    assert t.read().filter("k = 9").count() == 1
+
+
+def _heavy_test_generated_identity_colmap_guards(spark, tmp_path):
+    t2 = TxTable.create(
+        spark, _days(spark, _ROWS), str(tmp_path / "cm"),
+        generated={"ym": "substring(cast(d as string), 1, 7)"})
+    with pytest.raises(ValueError, match="generated"):
+        t2.rename_column("d", "day")   # base of a generated expr
+    with pytest.raises(ValueError, match="generated"):
+        t2.drop_column("ym")           # the generated column itself
+    ti = TxTable.create(
+        spark, spark.createDataFrame([("a",)], "tag string"),
+        str(tmp_path / "cmi"), identity={"id": {"start": 1, "step": 1}})
+    with pytest.raises(ValueError, match="identity"):
+        ti.rename_column("id", "rowid")
+    ti.rename_column("tag", "label")   # unrelated columns still rename
+    assert [f.name for f in ti.schema().fields] == ["label", "id"]
+
+
+_POOLED = {n: fn for n, fn in [
+    ("test_generated_compute_validate_and_update",
+     _heavy_test_generated_compute_validate_and_update),
+    ("test_generated_partition_pruning_in_dml",
+     _heavy_test_generated_partition_pruning_in_dml),
+    ("test_generated_pruning_in_v2_reader",
+     _heavy_test_generated_pruning_in_v2_reader),
+    ("test_date_stat_pruning_now_fires",
+     _heavy_test_date_stat_pruning_now_fires),
+    ("test_identity_assignment_and_hwm",
+     _heavy_test_identity_assignment_and_hwm),
+    ("test_identity_concurrent_append_conflicts",
+     _heavy_test_identity_concurrent_append_conflicts),
+    ("test_append_only_property",
+     _heavy_test_append_only_property),
+    ("test_checkpoint_interval_property",
+     _heavy_test_checkpoint_interval_property),
+    ("test_writer5_protocol_gate_and_v2_writer",
+     _heavy_test_writer5_protocol_gate_and_v2_writer),
+    ("test_generated_identity_colmap_guards",
+     _heavy_test_generated_identity_colmap_guards),
+]}
+
+
+@pytest.fixture(scope="module")
+def features_pool(_heavy_pool):
+    futs = {n: _heavy_pool["tests.test_txlog_features::" + n]
+            for n in _POOLED}
+    return {n: f.result() for n, f in futs.items()}
+
+
+def _shim(name):
+    def test(features_pool):
+        ex = features_pool[name]
+        if ex is not None:
+            raise ex
+    test.__name__ = name
+    return test
+
+
+for _n in _POOLED:
+    globals()[_n] = _shim(_n)
+del _n
