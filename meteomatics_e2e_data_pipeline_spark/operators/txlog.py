@@ -1854,13 +1854,44 @@ class TxTable:
         clean = [p for p in paths if p not in dvs]
         frames = [scan(clean)] if clean else []
         for p in sorted(dvs):
-            frames.append(scan([p]).join(
-                F.broadcast(self._dv_probe(schema, dvs[p])),
-                on=list(dvs[p]["keyCols"]), how="left_anti"))
+            frames.append(self._dv_apply(scan([p]), schema, dvs[p]))
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)
         return out.select(*cols)
+
+    #: Tombstone count up to which a file's deletion vector applies as
+    #: a LITERAL anti-predicate instead of a broadcast anti-join: the
+    #: predicate compiles into the scan's whole-stage codegen (and the
+    #: single-key form pushes into parquet row groups) with no join
+    #: stage and no RDD-backed probe job — the common point-delete
+    #: shape. Bigger vectors keep the broadcast anti-join (a literal
+    #: IN over tens of thousands of values bloats the plan).
+    _DV_LITERAL_MAX = 1024
+
+    def _dv_apply(self, df: DataFrame, schema: StructType,
+                  dv: dict) -> DataFrame:
+        """Drop one file's tombstoned keys merge-on-read. Anti-join
+        semantics exactly: a row whose key component is NULL never
+        matches a tombstone and is KEPT (hence the coalesce — ``isin``
+        over a NULL key yields NULL, which a bare NOT-filter would
+        drop)."""
+        kc = list(dv["keyCols"])
+        keys = dv["keys"]
+        if len(keys) > self._DV_LITERAL_MAX:
+            return df.join(F.broadcast(self._dv_probe(schema, dv)),
+                           on=kc, how="left_anti")
+        if len(kc) == 1:
+            hit = F.col(kc[0]).isin([k[0] for k in keys])
+        else:
+            import functools
+            import operator
+            hit = functools.reduce(operator.or_, [
+                functools.reduce(operator.and_,
+                                 [F.col(c) == F.lit(v)
+                                  for c, v in zip(kc, k)])
+                for k in keys])
+        return df.filter(~F.coalesce(hit, F.lit(False)))
 
     def _dv_probe(self, schema: StructType, dv: dict) -> DataFrame:
         """The (small, driver-held) key frame of one file's deletion
@@ -1932,30 +1963,67 @@ class TxTable:
         the merge/delete planners: return the snapshot's rows whose
         ``keys`` tuple appears in ``keys_df``. One driver-sized stat
         prune over the log picks the candidate files, then one scan of
-        only those files feeds a semi-join against the (small,
-        broadcast-able) probe — cost ∝ files whose stat ranges overlap
-        the probe's key bounds, never table size. This is what makes
+        only those files — cost ∝ files whose stat ranges overlap the
+        probe's key bounds, never table size. This is what makes
         incremental view maintenance folds (e.g. the CDC-maintained
         weather star, plans/star_lakehouse.py) touch state ∝ the
-        increment's keys."""
+        increment's keys.
+
+        ``keys_df`` may also be a LIST of key tuples/dicts (≤ 1024 —
+        the point-lookup shape): the probe then never touches Spark at
+        all, and the match applies as a literal IN-predicate pushed
+        into the pruned scan — exactly one Spark job end to end."""
         keys = list(keys)
         v, meta, live = self._snapshot(version)
         schema = StructType.fromJson(meta["schema"])
         key_schema = StructType([f for f in schema.fields
                                  if f.name in keys])
-        probe = (keys_df.select(*[F.col(f.name).cast(f.dataType)
-                                  for f in key_schema.fields])
-                 .dropDuplicates(keys))
-        if not live:
-            return self.spark.createDataFrame([], schema)
-        # Point-lookup fast path: ONE bounded collect supplies the
-        # emptiness check, the stat bounds, AND the bloom bit tests —
-        # the probe chain is latency-bound, so every saved driver-
-        # synchronous job shows up directly in lookup time. Bulk
-        # probes (> _BLOOM_PROBE_MAX keys) fall back to the scalar agg
-        # and range-only pruning.
-        rows = probe.limit(self._BLOOM_PROBE_MAX + 1).collect()
-        if not rows:
+        if isinstance(keys_df, (list, tuple)):
+            # literal probe (the Delta point-lookup shape, ``WHERE key
+            # IN (...)``): rows are (k1, k2, ...) tuples or dicts held
+            # driver-side — ZERO probe-side Spark jobs (PySpark local
+            # frames are RDD-backed, so even a 9-row probe collect is
+            # a full scheduled job otherwise); the whole chain is log
+            # fold → stat+bloom prune → one filtered scan.
+            lits = [r if isinstance(r, dict) else dict(zip(keys, r))
+                    for r in keys_df]
+            if len(lits) > self._BLOOM_PROBE_MAX:
+                raise ValueError(
+                    f"literal probe holds {len(lits)} rows (cap "
+                    f"{self._BLOOM_PROBE_MAX}); pass a DataFrame for "
+                    f"bulk probes")
+            coerce = {"byte": int, "short": int, "integer": int,
+                      "long": int, "float": float, "double": float,
+                      "string": str, "boolean": bool}
+            casts = {f.name: coerce.get(f.dataType.typeName())
+                     for f in key_schema.fields}
+            rows = [{k: (casts[k](r[k])
+                         if casts.get(k) and r[k] is not None else r[k])
+                     for k in keys} for r in lits]
+            probe = None
+        else:
+            cast = keys_df.select(*[F.col(f.name).cast(f.dataType)
+                                    for f in key_schema.fields])
+            # Point-lookup fast path: ONE bounded collect supplies the
+            # emptiness check, the stat bounds, AND the bloom bit
+            # tests — the probe chain is latency-bound, so every saved
+            # driver-synchronous job shows up directly in lookup time.
+            # The collect deliberately runs BEFORE any dropDuplicates
+            # (which would shuffle 32 ways for a KB of rows); a probe
+            # whose ROW count saturates the cap retries once at
+            # distinct grain (big-but-duplicated feeds) before falling
+            # back to the bulk regime (scalar-agg bounds, range-only
+            # pruning, semi-join).
+            rows = cast.limit(self._BLOOM_PROBE_MAX + 1).collect()
+            if len(rows) > self._BLOOM_PROBE_MAX:
+                probe = cast.dropDuplicates(keys)
+                rows = probe.limit(self._BLOOM_PROBE_MAX + 1).collect()
+            else:
+                probe = None
+        if probe is None:
+            rows = list({tuple(r[k] for k in keys): r
+                         for r in rows}.values())
+        if not live or not rows:
             return self.spark.createDataFrame([], schema)
         if len(rows) <= self._BLOOM_PROBE_MAX:
             bounds = {k: (_json_scalar(min((r[k] for r in rows
@@ -1971,12 +2039,43 @@ class TxTable:
             probe_rows = None  # bulk regime: bloom pruning opts out
         pkeys, pbounds = self._extend_generated_bounds(meta, keys, bounds)
         cand = self._candidate_files(live, pkeys, pbounds)
+        # in the point regime probe_rows short-circuits the bloom
+        # probe's own collect, so the DataFrame arg is never touched
         cand = self._bloom_candidates(cand, live, keys, probe, meta,
                                       probe_rows=probe_rows)
         if not cand:
             return self.spark.createDataFrame([], schema)
-        return (self._scan_files(meta, cand, dvs=self._live_dvs(live))
-                .join(probe, on=keys, how="left_semi"))
+        scan = self._scan_files(meta, cand, dvs=self._live_dvs(live))
+        if probe_rows is None:
+            return scan.join(probe, on=keys, how="left_semi")
+        # point regime: the probe is a collected literal set — an
+        # IN-list / equality-disjunction FILTER replaces the semi-join
+        # (no broadcast, no join stage, and the predicate pushes into
+        # the parquet row-group scan). NULL key components can never
+        # match a semi-join, so those probe rows drop here too.
+        # Single-key probes compile to ONE InSet at any probe size;
+        # composite keys cap the disjunction at 256 terms (a thousand-
+        # conjunction OR-tree costs more to codegen than the broadcast
+        # semi-join it replaces) and fall back to the join above it.
+        valid = [r for r in rows
+                 if all(r[k] is not None for k in keys)]
+        if not valid:
+            return self.spark.createDataFrame([], schema)
+        if len(keys) == 1:
+            pred = F.col(keys[0]).isin([r[keys[0]] for r in valid])
+        elif len(valid) <= 256:
+            import functools
+            import operator
+            pred = functools.reduce(operator.or_, [
+                functools.reduce(operator.and_,
+                                 [F.col(k) == F.lit(r[k]) for k in keys])
+                for r in valid])
+        else:
+            probe = self.spark.createDataFrame(
+                [tuple(r[f.name] for f in key_schema.fields)
+                 for r in valid], key_schema)
+            return scan.join(probe, on=keys, how="left_semi")
+        return scan.filter(pred)
 
     def read_changes(self, from_version: int,
                      to_version: int | None = None) -> DataFrame:

@@ -3126,9 +3126,10 @@ def q_orders_converted_pointget(spark: SparkSession, sf_dir: str
     shape: cost ∝ files whose stats/bloom admit the probe, never table
     size."""
     t = _converted_orders(spark, sf_dir)
-    probe = spark.createDataFrame([(k,) for k in POINT_KEYS],
-                                  "o_orderkey long")
-    return (t.read_keys(probe, ["o_orderkey"])
+    # literal probe (r14 probe-chain floor): the lookup is ONE Spark
+    # job — log fold, stat+bloom prune and the IN-predicate are all
+    # driver-side; the predicate pushes into the pruned parquet scan
+    return (t.read_keys([(k,) for k in POINT_KEYS], ["o_orderkey"])
             .select("o_orderkey", "o_orderstatus", "o_totalprice"))
 
 
@@ -3189,9 +3190,8 @@ def q_orders_dv_pointget(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # lost the race: reopen the winner's copy below
         shutil.rmtree(build, ignore_errors=True)
     t = TxTable(spark, str(base))
-    probe = spark.createDataFrame([(k,) for k in POINT_KEYS],
-                                  "o_orderkey long")
-    return (t.read_keys(probe, ["o_orderkey"])
+    # literal probe + literal DV anti-predicate (r14): one Spark job
+    return (t.read_keys([(k,) for k in POINT_KEYS], ["o_orderkey"])
             .select("o_orderkey", "o_orderstatus", "o_totalprice"))
 
 
