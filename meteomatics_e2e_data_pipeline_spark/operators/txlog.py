@@ -630,6 +630,13 @@ class TxTable:
         silent — the caller re-runs on the fresh snapshot."""
         if info is not None:
             actions = actions + [_info_action(**info)]
+        # in-commit timestamps: opt-in via the inCommitTimestamps table
+        # property (the Delta enableInCommitTimestamps design) — gated
+        # here too so ordinary tables never pay the parent-commit read
+        ict = (actions[-1]["info"] if info is not None
+               and str((getattr(self, "_props", None) or {})
+                       .get("inCommitTimestamps", "")
+                       ).lower() in ("true", "1") else None)
         # minWriter gate: self._proto was folded by the _snapshot this
         # commit was planned on (every mutator snapshots first); a
         # concurrent protocol upgrade is caught via the intervening
@@ -707,13 +714,23 @@ class TxTable:
                         f"write (constraint or schema commit); re-run so "
                         f"the staged rows validate against the new rules")
                 checked_through = latest
+            if ict is not None:
+                # in-commit timestamps (the public Delta ICT design):
+                # the provenance ts is re-stamped at publish, clamped
+                # strictly ABOVE the parent commit's, so the log's
+                # timeline is monotone even under clock skew between
+                # writers — and version_at trusts the recorded ts over
+                # file mtimes (robust to log copies/rsync).
+                parent = self._commit_ts(latest)
+                ict["ts"] = round(max(time.time(),
+                                      (parent or 0.0) + 0.001), 3)
             if self._try_publish(latest + 1, actions):
                 published = latest + 1
                 # the checkpointInterval table property overrides the
                 # class-level cadence (alter_properties validates >= 1)
-                interval = int((getattr(self, "_props", None) or {})
-                               .get("checkpointInterval",
-                                    self.CHECKPOINT_INTERVAL or 0))
+                props = getattr(self, "_props", None) or {}
+                interval = int(props.get("checkpointInterval",
+                                         self.CHECKPOINT_INTERVAL or 0))
                 if interval and published % interval == 0:
                     # Best-effort maintenance: the commit IS published; a
                     # failed checkpoint only costs fold speed, never
@@ -722,6 +739,31 @@ class TxTable:
                         self.write_checkpoint(published)
                     except Exception:
                         pass
+                # autoCompact property (the public Delta auto-compaction
+                # design): after a row-staging commit publishes, bin-pack
+                # when the small-file count crosses the threshold — same
+                # best-effort contract as the checkpoint above (a lost
+                # OPTIMIZE race costs nothing; the next write retries).
+                # The reentrancy flag keeps the compaction commit itself
+                # from re-triggering the hook.
+                if (stages_rows
+                        and str(props.get("autoCompact", "")
+                                ).lower() in ("true", "1")
+                        and not getattr(self, "_auto_compacting", False)):
+                    target = int(props.get("autoCompactTargetRows",
+                                           1_000_000))
+                    min_files = int(props.get("autoCompactMinFiles", 16))
+                    self._auto_compacting = True
+                    try:
+                        _, _m, live2 = self._snapshot()
+                        small = [p for p, a in live2.items()
+                                 if a.get("numRecords", target) < target]
+                        if len(small) >= min_files:
+                            self.optimize(target_rows=target)
+                    except Exception:
+                        pass
+                    finally:
+                        self._auto_compacting = False
                 return published
 
     # ------------------------------------------------------------- data files
@@ -1211,17 +1253,38 @@ class TxTable:
         with the recorded operation provenance and action tallies.
         Commits published before provenance was recorded (or repaired
         no-ops, which drop the dead writer's info) report op
-        ``"unknown"``. Driver-side log reads only — O(version)."""
+        ``"unknown"``. Row-level operation metrics (the public Delta
+        ``operationMetrics`` idea) come from the SAME walk: the fold
+        tracks each path's recorded ``numRecords``, so ``rows_removed``
+        prices a remove at what its add declared — no data is read.
+        Driver-side log reads only — O(version)."""
         out = []
+        nrec: dict[str, int] = {}  # path -> numRecords, folded forward
         for v in range(self.version + 1):
             actions = self._read_commit(v)
             info = next((a["info"] for a in actions if "info" in a), {})
+            rows_added = rows_removed = rows_tombstoned = 0
+            for a in actions:
+                if "add" in a:
+                    n = int(a["add"].get("numRecords") or 0)
+                    nrec[a["add"]["path"]] = n
+                    if a["add"].get("dataChange", True):
+                        rows_added += n
+                elif "remove" in a:
+                    n = nrec.get(a["remove"]["path"], 0)
+                    if a["remove"].get("dataChange", True):
+                        rows_removed += n
+                elif "dv" in a:
+                    rows_tombstoned += len(a["dv"].get("keys") or ())
             out.append({
                 "version": v,
                 "operation": info.get("op", "unknown"),
                 "timestamp": info.get("ts"),
                 "n_adds": sum(1 for a in actions if "add" in a),
                 "n_removes": sum(1 for a in actions if "remove" in a),
+                "rows_added": rows_added,
+                "rows_removed": rows_removed,
+                "rows_tombstoned": rows_tombstoned,
                 "info": info,
             })
         return out[::-1]
@@ -1502,6 +1565,12 @@ class TxTable:
           to writer 5 in the same atomic commit.
         - ``checkpointInterval`` (int ≥ 1): overrides the class-level
           auto-checkpoint cadence for this table.
+        - ``autoCompact`` (bool, with ``autoCompactMinFiles`` /
+          ``autoCompactTargetRows``): after a row-staging commit, if
+          the live small-file count reaches the threshold, OPTIMIZE
+          runs best-effort in the same writer (the public Delta
+          auto-compaction design) — streaming ingest stops accreting
+          unbounded micro-batch files without an external compactor.
 
         Unrecognized keys are stored verbatim (user metadata), matching
         Delta's open property namespace."""
@@ -1706,21 +1775,46 @@ class TxTable:
         return self._commit_mapping_meta(
             new_meta, rv, {"op": "drop_column", "name": name})
 
+    def _commit_ts(self, version: int) -> float | None:
+        """The version's recorded in-commit timestamp (provenance
+        ``ts``), None for pre-provenance or repaired commits."""
+        for a in self._read_commit(version):
+            if "info" in a and a["info"].get("ts") is not None:
+                return float(a["info"]["ts"])
+        return None
+
     def version_at(self, timestamp: float) -> int:
         """Resolve ``timestampAsOf``-style time travel: the latest
-        version whose commit file was published at-or-before the given
-        unix timestamp (the public Delta rule — commit mtime IS the
-        commit timestamp). Raises if the table's first commit is later
-        than the timestamp."""
+        version whose commit timestamp is at-or-before the given unix
+        timestamp. Default rule: commit file mtime IS the commit
+        timestamp (the public Delta default). With the
+        ``inCommitTimestamps`` table property enabled (Delta's
+        ``enableInCommitTimestamps``), the RECORDED provenance ts wins
+        instead — publish re-stamps it strictly above the parent's
+        (see :meth:`_commit`), so the timeline is monotone under
+        writer clock skew and survives log copies/rsync that reset
+        mtimes; commits without one fall back to mtime. Either way the
+        effective timeline folds through a running max (Delta's exact
+        monotonicity rule). Raises if the table's first commit is
+        later than the timestamp."""
+        self._snapshot()  # folds _props for the property check
+        use_ict = str((self._props or {}).get("inCommitTimestamps", "")
+                      ).lower() in ("true", "1")
         fs = _fs(self.spark, self.log_dir)
-        best = None
+        mtimes: dict[int, float] = {}
         for st in fs.listStatus(_jpath(self.spark, self.log_dir)):
             name = st.getPath().getName()
             if name.endswith(".json") and name[:-5].isdigit():
-                v = int(name[:-5])
-                if st.getModificationTime() / 1000.0 <= timestamp and (
-                        best is None or v > best):
-                    best = v
+                mtimes[int(name[:-5])] = st.getModificationTime() / 1000.0
+        best = None
+        eff = float("-inf")
+        for v in sorted(mtimes):
+            ts = self._commit_ts(v) if use_ict else None
+            eff = max(eff, mtimes[v] if ts is None else ts)
+            if eff <= timestamp:
+                best = v
+            else:
+                break  # effective timeline is monotone: done
         if best is None:
             raise ValueError(
                 f"{self.path}: no commit at or before timestamp "
@@ -3293,7 +3387,8 @@ class TxTable:
 
     def optimize(self, target_rows: int = 1_000_000,
                  zorder_by: Sequence[str] | None = None,
-                 zorder_bits: int = 12) -> int:
+                 zorder_bits: int = 12,
+                 partition_values: dict | None = None) -> int:
         """Bin-pack small live files into ~``target_rows``-row files in one
         atomic commit (the public Delta OPTIMIZE contract).
 
@@ -3327,10 +3422,22 @@ class TxTable:
         fresh snapshot). Concurrent appends/merges over OTHER files
         commute and need no retry.
 
+        ``partition_values={col: value}`` scopes the pass to the
+        matching partitions (the public Delta ``OPTIMIZE ... WHERE``
+        shape — partition predicates only): a hot partition compacts
+        without replanning the cold lake; values type-validate like
+        every other partition selector.
+
         Returns the new version, or the current one when fewer than two
         files qualify (nothing to pack)."""
         rv, meta, live = self._snapshot()
         pcols = meta.get("partition_cols") or []
+        if partition_values:
+            partition_values = _typed_partition_values(
+                partition_values, meta, self.path)
+            live = {p: a for p, a in live.items()
+                    if all((a.get("partitionValues") or {}).get(c) == v
+                           for c, v in partition_values.items())}
         dvs = self._live_dvs(live)
         # tombstoned files ALWAYS qualify: rewriting them materializes
         # the deletion vectors away (visible rows unchanged, so the

@@ -98,17 +98,33 @@ def _fold_snapshot(table: str, version: int | None = None):
 
 
 def _version_at(table: str, timestamp: float) -> int:
-    """``timestampAsOf`` resolution, plain IO: the latest version whose
-    commit file mtime is at-or-before the timestamp (the public Delta
-    rule — commit mtime is the commit timestamp)."""
+    """``timestampAsOf`` resolution, plain IO — the TxTable.version_at
+    twin. Default: commit file mtime IS the commit timestamp (Delta's
+    default rule). With the ``inCommitTimestamps`` table property on,
+    the RECORDED provenance ts wins instead (publish stamps it strictly
+    above the parent's, so the timeline is monotone and survives log
+    copies that reset mtimes); commits without one fall back to mtime,
+    and either way the effective timeline folds through a running
+    max."""
+    _, meta, _, _, _ = _fold_snapshot(table)
+    use_ict = str((meta.get("properties") or {})
+                  .get("inCommitTimestamps", "")).lower() in ("true", "1")
     log = os.path.join(table, _LOG_DIR)
-    best = None
+    mtimes: dict[int, float] = {}
     for f in os.listdir(log):
         if f.endswith(".json") and f[:-5].isdigit():
-            v = int(f[:-5])
-            if os.path.getmtime(os.path.join(log, f)) <= timestamp and (
-                    best is None or v > best):
-                best = v
+            mtimes[int(f[:-5])] = os.path.getmtime(os.path.join(log, f))
+    best = None
+    eff = float("-inf")
+    for v in sorted(mtimes):
+        ts = (next((a["info"]["ts"] for a in _read_commit(table, v)
+                    if "info" in a and a["info"].get("ts") is not None),
+                   None) if use_ict else None)
+        eff = max(eff, mtimes[v] if ts is None else float(ts))
+        if eff <= timestamp:
+            best = v
+        else:
+            break  # effective timeline is monotone: done
     if best is None:
         raise ValueError(f"{table}: no commit at or before timestamp "
                          f"{timestamp} (earliest commit is later)")

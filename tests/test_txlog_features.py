@@ -311,6 +311,94 @@ def _heavy_test_generated_identity_colmap_guards(spark, tmp_path):
     assert [f.name for f in ti.schema().fields] == ["label", "id"]
 
 
+def _heavy_test_optimize_partition_scoped(spark, tmp_path):
+    t = _gen_table(spark, tmp_path, name="opt")
+    # several small appends into every year-partition
+    for i in range(3):
+        t.append(_days(spark, [(100 + i, "1994-03-01", 1),
+                               (200 + i, "1995-03-01", 1)]))
+    files_before = t.live_files()
+    y95 = [p for p in files_before if p.startswith("y=1995/")]
+    other = sorted(p for p in files_before if not p.startswith("y=1995/"))
+    assert len(y95) >= 3
+    v = t.optimize(target_rows=1000, partition_values={"y": 1995})
+    assert v > 0
+    files_after = t.live_files()
+    assert sorted(p for p in files_after
+                  if not p.startswith("y=1995/")) == other  # untouched
+    assert len([p for p in files_after
+                if p.startswith("y=1995/")]) < len(y95)
+    with pytest.raises(ValueError):
+        t.optimize(partition_values={"y": "not-a-year"})
+
+
+def _heavy_test_describe_history_metrics(spark, tmp_path):
+    p = str(tmp_path / "hist")
+    t = TxTable.create(
+        spark, spark.createDataFrame([(i, i * 10) for i in range(8)],
+                                     "k long, v long"),
+        p, stat_cols=["k"])
+    t.append(spark.createDataFrame([(100, 1), (101, 1)],
+                                   "k long, v long"))
+    t.delete(spark.createDataFrame([(0,), (1,)], "k long"), ["k"])
+    t.delete(spark.createDataFrame([(2,)], "k long"), ["k"], mode="dv")
+    t.optimize(target_rows=1000)
+    hist = {h["version"]: h for h in t.describe_history()}
+    assert hist[0]["rows_added"] == 8 and hist[0]["rows_removed"] == 0
+    assert hist[1]["rows_added"] == 2
+    # cow delete: the rewritten file's survivors come back as adds,
+    # the removed file prices at its recorded numRecords
+    assert (hist[2]["rows_removed"] - hist[2]["rows_added"]) == 2
+    assert hist[3]["rows_tombstoned"] == 1 and hist[3]["n_adds"] == 0
+    assert hist[4]["operation"] == "optimize"
+    assert hist[4]["rows_added"] == 0 and hist[4]["rows_removed"] == 0
+
+
+def _heavy_test_in_commit_timestamps(spark, tmp_path):
+    import os
+    import time as _time
+    p = str(tmp_path / "ict")
+    t = TxTable.create(spark, spark.createDataFrame([(1,)], "k long"),
+                       p, properties={"inCommitTimestamps": True})
+    marks = []
+    for i in range(2, 5):
+        _time.sleep(0.05)
+        marks.append(_time.time())
+        _time.sleep(0.05)
+        t.append(spark.createDataFrame([(i,)], "k long"))
+    ts = [t._commit_ts(v) for v in range(1, t.version + 1)]
+    assert all(a < b for a, b in zip(ts, ts[1:]))  # strictly monotone
+    # recorded timestamps win over mtimes: nuking every mtime to epoch
+    # must not change resolution (the log survived a copy/rsync)
+    for f in os.listdir(t.log_dir):
+        os.utime(os.path.join(t.log_dir, f), (0, 0))
+    # marks[1] was taken between v1's and v2's publishes
+    assert t.version_at(marks[1]) == 1
+    assert {r["k"] for r in t.read(
+        version=t.version_at(marks[2])).collect()} == {1, 2, 3}
+    # the plain-IO twin honors the property the same way
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        _version_at)
+    assert _version_at(p, marks[1]) == 1
+
+
+def _heavy_test_auto_compact_property(spark, tmp_path):
+    p = str(tmp_path / "ac")
+    t = TxTable.create(
+        spark, spark.createDataFrame([(0, 0)], "k long, v long"), p,
+        stat_cols=["k"],
+        properties={"autoCompact": True, "autoCompactMinFiles": 4,
+                    "autoCompactTargetRows": 10_000})
+    for i in range(1, 5):
+        t.append(spark.createDataFrame([(i, i)], "k long, v long")
+                 .coalesce(1))
+    # the threshold-crossing append triggered a best-effort OPTIMIZE
+    assert len(t.live_files()) < 4
+    assert any(h["operation"] == "optimize"
+               for h in t.describe_history())
+    assert {r["k"] for r in t.read().collect()} == set(range(5))
+
+
 _POOLED = {n: fn for n, fn in [
     ("test_generated_compute_validate_and_update",
      _heavy_test_generated_compute_validate_and_update),
@@ -332,6 +420,14 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_writer5_protocol_gate_and_v2_writer),
     ("test_generated_identity_colmap_guards",
      _heavy_test_generated_identity_colmap_guards),
+    ("test_optimize_partition_scoped",
+     _heavy_test_optimize_partition_scoped),
+    ("test_describe_history_metrics",
+     _heavy_test_describe_history_metrics),
+    ("test_in_commit_timestamps",
+     _heavy_test_in_commit_timestamps),
+    ("test_auto_compact_property",
+     _heavy_test_auto_compact_property),
 ]}
 
 
