@@ -2299,6 +2299,129 @@ class TxTable:
             out = out.unionByName(fr)
         return out
 
+    def read_changes_per_commit(self, from_version: int,
+                                to_version: int | None = None,
+                                update_images_for: Sequence[str]
+                                | None = None) -> DataFrame:
+        """Per-commit change feed — the public Delta CDF row shape:
+        every emitted row carries ``_change_type`` AND
+        ``_commit_version``, and commits are NOT netted against each
+        other (a row inserted in v2 and deleted in v5 appears twice,
+        under its own version — what an audit/replication consumer
+        that attributes changes to transactions needs). WITHIN each
+        commit, carried rows cancel by full-row multiset (a
+        copy-on-write rewrite emits only the rows that actually
+        changed — Delta merges write exactly this CDC).
+
+        ``update_images_for=[key cols]`` additionally pairs a key
+        deleted AND inserted by the same commit into
+        ``update_preimage`` / ``update_postimage`` rows (Delta's MERGE
+        CDC tags); unpaired rows keep ``insert``/``delete``.
+
+        Cost ∝ Σ per-commit changed rows (plan size ∝ commits in the
+        window — a bulk catch-up consumer that only needs the net
+        state should use :meth:`read_changes`, whose cross-commit
+        multiset fold is cheaper). Same vacuum-retention contract as
+        :meth:`read_changes`."""
+        latest = self.version
+        to_v = latest if to_version is None else to_version
+        if not 0 <= from_version <= to_v <= latest:
+            raise ValueError(
+                f"change window ({from_version}, {to_v}] out of range "
+                f"0..{latest}")
+        _, meta, _ = self._snapshot(to_v)
+        schema = StructType.fromJson(meta["schema"])
+        cols = [f.name for f in schema.fields]
+        out_schema = StructType(list(schema.fields)).add(
+            "_change_type", "string").add("_commit_version", "long")
+        inv = _colmap_inverse(meta) or {}
+
+        def ldv(dv: dict) -> dict:
+            return {"keyCols": [inv.get(c, c) for c in dv["keyCols"]],
+                    "keys": dv["keys"]}
+        # deletion-vector state must seed from the window start, same
+        # walk discipline as read_changes (raw: dv actions off commits
+        # are physical-keyed on mapped tables)
+        _, _, state_live = self._snapshot(from_version, raw=True)
+        dv_state = {p: a["dv"] for p, a in state_live.items()
+                    if a.get("dv")}
+        frames = []
+        for i in range(from_version + 1, to_v + 1):
+            adds_i: list[str] = []
+            rem_plain: list[str] = []
+            rem_partial: list[tuple[str, dict]] = []
+            dv_dels: list[tuple[str, dict]] = []
+            for action in self._read_commit(i):
+                if "add" in action:
+                    dv_state.pop(action["add"]["path"], None)
+                    if action["add"].get("dataChange", True):
+                        adds_i.append(action["add"]["path"])
+                elif "remove" in action:
+                    p = action["remove"]["path"]
+                    dv = dv_state.pop(p, None)
+                    if action["remove"].get("dataChange", True):
+                        (rem_partial.append((p, dv)) if dv
+                         else rem_plain.append(p))
+                elif "dv" in action:
+                    d = action["dv"]
+                    cur = dv_state.get(d["path"])
+                    fresh = _dv_minus(d, cur)
+                    if fresh:
+                        dv_dels.append((d["path"],
+                                        {"keyCols": list(d["keyCols"]),
+                                         "keys": fresh}))
+                    dv_state[d["path"]] = _merge_dv(cur, d)
+            ins = (self._scan_files(meta, sorted(adds_i)).select(*cols)
+                   if adds_i else None)
+            del_frames = []
+            if rem_plain:
+                del_frames.append(
+                    self._scan_files(meta, sorted(rem_plain))
+                    .select(*cols))
+            for p, dv in rem_partial:
+                del_frames.append(self._scan_files(
+                    meta, [p], dvs={p: ldv(dv)}).select(*cols))
+            for p, dv in dv_dels:
+                dv = ldv(dv)
+                del_frames.append(
+                    self._scan_files(meta, [p])
+                    .join(F.broadcast(self._dv_probe(schema, dv)),
+                          on=list(dv["keyCols"]), how="left_semi")
+                    .select(*cols))
+            dels = None
+            for fr in del_frames:
+                dels = fr if dels is None else dels.unionByName(fr)
+            if ins is not None and dels is not None:
+                # in-commit cancel: rows a rewrite carried unchanged
+                # appear identically on both sides and are NOT changes
+                ins_net = ins.exceptAll(dels)
+                del_net = dels.exceptAll(ins)
+                ins, dels = ins_net, del_net
+            keys = list(update_images_for or ())
+            if keys and ins is not None and dels is not None:
+                upd = (ins.select(*keys).intersect(dels.select(*keys)))
+                pieces = [
+                    (ins.join(upd, on=keys, how="left_anti"), "insert"),
+                    (ins.join(upd, on=keys, how="left_semi"),
+                     "update_postimage"),
+                    (dels.join(upd, on=keys, how="left_anti"), "delete"),
+                    (dels.join(upd, on=keys, how="left_semi"),
+                     "update_preimage"),
+                ]
+            else:
+                pieces = ([(ins, "insert")] if ins is not None else []) \
+                    + ([(dels, "delete")] if dels is not None else [])
+            for fr, tag in pieces:
+                frames.append(fr.withColumn("_change_type", F.lit(tag))
+                              .withColumn("_commit_version",
+                                          F.lit(i).cast("long")))
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
     def _check_schema(self, df: DataFrame) -> DataFrame:
         schema = self.schema()
         want = [f.name for f in schema.fields]

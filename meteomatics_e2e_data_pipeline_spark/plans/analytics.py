@@ -3420,6 +3420,103 @@ FROM orders
 """
 
 
+_CDF_UPD_KEYS = [1, 2, 3]          # totalprice rewritten at build
+_CDF_NEW_KEYS = [900000007, 900000011]  # inserted by the same merge
+_CDF_DEL_KEYS = [4, 5]             # cow-deleted in the next commit
+
+
+def q_orders_cdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit change feed with UPDATE IMAGES under the oracle gate
+    (round-14): the adopted orders table takes ONE keyed MERGE
+    (update=True) that rewrites ``_CDF_UPD_KEYS``' totalprice to a
+    constant and inserts ``_CDF_NEW_KEYS``, then ONE cow DELETE of
+    ``_CDF_DEL_KEYS``. ``read_changes_per_commit(0,
+    update_images_for=[o_orderkey])`` must then emit the public Delta
+    CDF row shape — carried rows cancel in-commit (the merge rewrote
+    whole files, but only the 3+2 changed rows may surface), a key
+    deleted AND inserted by the same commit pairs into
+    ``update_preimage``/``update_postimage`` under THAT commit's
+    ``_commit_version``, and the delete commit's rows stay plain
+    deletes. The oracle prices every branch from the original view
+    with literal keys, so an uncancelled carried row, a mis-paired
+    image, or a wrong version tag breaks the hash. Scale shape: per-
+    commit frames cost ∝ that commit's changed files; in-commit
+    cancel + image pairing shuffle ∝ the commit's changed rows."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:cdf"
+        .encode()).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        build = Path(tempfile.mkdtemp(prefix="convert_build_",
+                                      dir=tempfile.gettempdir()))
+        orders = load_table(spark, sf_dir, "orders")
+        t = TxTable.create(spark,
+                           orders.repartitionByRange(4, "o_orderkey"),
+                           str(build / "orders"),
+                           stat_cols=["o_orderkey"])
+        upd = (orders.filter(F.col("o_orderkey")
+                             .isin(_CDF_UPD_KEYS))
+               .withColumn("o_totalprice", F.lit(1111.0)))
+        # deterministic synthetic inserts: clone the first rows, swap
+        # the key and price
+        firsts = orders.orderBy("o_orderkey").limit(
+            len(_CDF_NEW_KEYS)).collect()
+        new = spark.createDataFrame(
+            [tuple(int(k) if c == "o_orderkey"
+                   else (2222.0 if c == "o_totalprice" else r[c])
+                   for c in orders.columns)
+             for k, r in zip(_CDF_NEW_KEYS, firsts)], orders.schema)
+        t.merge_upsert(upd.unionByName(new), ["o_orderkey"],
+                       update=True)
+        t.delete(spark.createDataFrame(
+            [(k,) for k in _CDF_DEL_KEYS], "o_orderkey long"),
+            ["o_orderkey"])
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
+    t = TxTable(spark, str(base))
+    feed = t.read_changes_per_commit(
+        0, update_images_for=["o_orderkey"])
+    return (feed.groupBy("_change_type", "_commit_version")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+_CDF_UPD_IN = ", ".join(str(k) for k in _CDF_UPD_KEYS)
+_CDF_DEL_IN = ", ".join(str(k) for k in _CDF_DEL_KEYS)
+
+ORACLE_ORDERS_CDF = f"""
+SELECT 'update_preimage' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+       COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MAX(o_totalprice) AS max_price
+FROM orders WHERE o_orderkey IN ({_CDF_UPD_IN})
+UNION ALL
+SELECT 'update_postimage', 1, COUNT(*),
+       CAST(SUM(o_orderkey) AS BIGINT), 1111.0
+FROM orders WHERE o_orderkey IN ({_CDF_UPD_IN})
+UNION ALL
+SELECT 'insert', 1, {len(_CDF_NEW_KEYS)},
+       {sum(_CDF_NEW_KEYS)}, 2222.0
+UNION ALL
+SELECT 'delete', 2, COUNT(*),
+       CAST(SUM(o_orderkey) AS BIGINT), MAX(o_totalprice)
+FROM orders WHERE o_orderkey IN ({_CDF_DEL_IN})
+"""
+
+
 _CLONE_DEL_KEYS = [1, 6, 4000]  # deleted on the CLONE only, at build
 
 
@@ -3622,6 +3719,7 @@ QUERIES = {
     "orders_renamed_rollup": q_orders_renamed_rollup,
     "orders_generated_pruned": q_orders_generated_pruned,
     "orders_identity_audit": q_orders_identity_audit,
+    "orders_cdf_images": q_orders_cdf_images,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
@@ -3711,6 +3809,7 @@ ORACLE = {
     "orders_renamed_rollup": ORACLE_ORDERS_RENAMED,
     "orders_generated_pruned": ORACLE_ORDERS_GENERATED,
     "orders_identity_audit": ORACLE_ORDERS_IDENTITY,
+    "orders_cdf_images": ORACLE_ORDERS_CDF,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
     "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,

@@ -399,6 +399,40 @@ def _heavy_test_auto_compact_property(spark, tmp_path):
     assert {r["k"] for r in t.read().collect()} == set(range(5))
 
 
+def _heavy_test_per_commit_cdf_update_images(spark, tmp_path):
+    p = str(tmp_path / "cdf")
+    t = TxTable.create(
+        spark, spark.createDataFrame(
+            [(i, i * 10, "x") for i in range(8)],
+            "k long, v long, tag string").repartition(2),
+        p, stat_cols=["k"])
+    # v1: merge that UPDATES k=1,2 and INSERTS k=100
+    t.merge_upsert(spark.createDataFrame(
+        [(1, 111, "x"), (2, 222, "x"), (100, 1000, "n")],
+        "k long, v long, tag string"), ["k"], update=True)
+    # v2: dv delete of k=3; v3: cow delete of k=4
+    t.delete(spark.createDataFrame([(3,)], "k long"), ["k"], mode="dv")
+    t.delete(spark.createDataFrame([(4,)], "k long"), ["k"])
+    feed = t.read_changes_per_commit(0, update_images_for=["k"])
+    rows = {(r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in feed.collect()}
+    assert rows == {
+        (1, "update_preimage", 1, 10), (1, "update_postimage", 1, 111),
+        (1, "update_preimage", 2, 20), (1, "update_postimage", 2, 222),
+        (1, "insert", 100, 1000),
+        (2, "delete", 3, 30),
+        (3, "delete", 4, 40),
+    }  # carried rows cancelled in-commit; versions attributed exactly
+    # without pairing, the same window reads as plain inserts/deletes
+    plain = t.read_changes_per_commit(0, 1)
+    tags = {(r["_change_type"], r["k"]) for r in plain.collect()}
+    assert tags == {("insert", 1), ("insert", 2), ("insert", 100),
+                    ("delete", 1), ("delete", 2)}
+    # optimize stays silent in the per-commit feed too
+    t.optimize(target_rows=1000)
+    assert t.read_changes_per_commit(3).count() == 0
+
+
 _POOLED = {n: fn for n, fn in [
     ("test_generated_compute_validate_and_update",
      _heavy_test_generated_compute_validate_and_update),
@@ -428,6 +462,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_in_commit_timestamps),
     ("test_auto_compact_property",
      _heavy_test_auto_compact_property),
+    ("test_per_commit_cdf_update_images",
+     _heavy_test_per_commit_cdf_update_images),
 ]}
 
 
