@@ -1317,6 +1317,10 @@ class TxTable:
             "constraints": dict(meta.get("constraints") or {}),
             "column_mapping": (dict(meta["column_mapping"])
                                if meta.get("column_mapping") else None),
+            "generated": dict(meta.get("generated") or {}) or None,
+            "identity": ({c: dict(s) for c, s in meta["identity"].items()}
+                         if meta.get("identity") else None),
+            "properties": dict(meta.get("properties") or {}) or None,
             "checkpoints": ckpts,
         }
 
@@ -3708,6 +3712,30 @@ class TxTable:
         }
         if fmeta.get("column_mapping"):
             report["column_mapping"] = dict(fmeta["column_mapping"])
+        if fmeta.get("identity"):
+            # log-only audit (zero jobs): every identity high-water mark
+            # must bound the live files' recorded stats — a lost hwm
+            # bump would re-allocate ids already on disk
+            cmap = fmeta.get("column_mapping") or {}
+            bad = []
+            for c, s in fmeta["identity"].items():
+                step, hwm = int(s.get("step", 1)), s.get("hwm")
+                pc = cmap.get(c, c)
+                ext = [a["stats"][pc][1 if step > 0 else 0]
+                       for a in live.values()
+                       if pc in (a.get("stats") or {})
+                       and a["stats"][pc][1 if step > 0 else 0]
+                       is not None]
+                if not ext:
+                    continue
+                lim = max(ext) if step > 0 else min(ext)
+                if hwm is None or (step > 0 and int(hwm) < int(lim)) \
+                        or (step < 0 and int(hwm) > int(lim)):
+                    bad.append((c, hwm, int(lim)))
+            report["identity"] = {c: dict(s)
+                                  for c, s in fmeta["identity"].items()}
+            if bad:
+                report["identity_hwm_violations"] = sorted(bad)
         dv_live = [p for p, a in live.items() if a.get("dv")]
         if dv_live:
             report["dv_files"] = sorted(dv_live)
@@ -3786,6 +3814,7 @@ class TxTable:
             report["stat_mismatches"] = sorted(stat_bad)
         report["ok"] = (not torn_commits and not missing_commits
                         and not missing_files
+                        and not report.get("identity_hwm_violations")
                         and not report.get("rowcount_mismatches")
                         and not report.get("stat_mismatches"))
         return report

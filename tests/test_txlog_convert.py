@@ -103,7 +103,8 @@ def _heavy_test_describe_history_records_operation_provenance(spark, tmp_path):
     t.repair_torn_commit(torn)
     assert t.describe_history()[0] == {
         "version": torn, "operation": "unknown", "timestamp": None,
-        "n_adds": 0, "n_removes": 0, "info": {}}
+        "n_adds": 0, "n_removes": 0, "rows_added": 0,
+        "rows_removed": 0, "rows_tombstoned": 0, "info": {}}
 
 
 def _heavy_test_convert_rejects_hive_layout_txlog_and_empty(spark, tmp_path):

@@ -191,6 +191,16 @@ def _heavy_test_identity_assignment_and_hwm(spark, tmp_path):
     t.overwrite(spark.createDataFrame([("zz",)], "tag string"))
     (row,) = t.read().collect()
     assert row["id"] > v_hwm
+    # fsck audits the hwm against live stats (log-only, zero jobs):
+    # a lost bump would re-allocate ids already on disk
+    rep = t.fsck(scan_orphans=False)
+    assert rep["ok"] and "identity_hwm_violations" not in rep
+    rv, meta, _ = t._snapshot()
+    bad = dict(meta)
+    bad["identity"] = {"id": {"start": 100, "step": 3, "hwm": 0}}
+    t._commit([{"meta": bad}], rv, info={"op": "corrupt_hwm"})
+    rep = t.fsck(scan_orphans=False)
+    assert not rep["ok"] and rep["identity_hwm_violations"]
 
 
 def _heavy_test_identity_concurrent_append_conflicts(spark, tmp_path):
