@@ -1434,9 +1434,9 @@ class TxTable:
         if meta.get("identity"):
             raise ValueError(
                 f"{op} on identity table {self.path}: identity values "
-                f"are engine-assigned per append (compose append() + "
-                f"delete() — the public Delta MERGE×IDENTITY "
-                f"restriction)")
+                f"are engine-assigned and this operation supplies "
+                f"whole-partition row sets (use merge_upsert — matched "
+                f"rows keep their ids, inserts allocate)")
 
     def _extend_generated_bounds(self, meta: dict, keys: list,
                                  bounds: dict) -> tuple[list, dict]:
@@ -2817,12 +2817,39 @@ class TxTable:
         ``merge_schema=True``: a batch with new columns widens the table
         schema in the same commit (old files — including the unrewritten
         ones — read as null for the new columns).
+
+        Identity tables merge natively (beyond the vendor Delta
+        MERGE×IDENTITY restriction): the batch must OMIT the identity
+        columns (GENERATED ALWAYS), matched rows KEEP their existing
+        ids through the rewrite, and inserted rows allocate fresh ones
+        — with the high-water mark advanced in the same commit.
         """
         keys = list(keys)
         rv, meta, live = self._snapshot()
         if update:
             self._require_mutable(meta, "merge_upsert(update=True)")
-        self._refuse_identity_dml(meta, "merge_upsert")
+        ident = meta.get("identity") or {}
+        id_cols = sorted(ident)
+        if ident:
+            bad = sorted(set(id_cols) & set(keys))
+            if bad:
+                raise ValueError(
+                    f"merge keys {bad} of {self.path} are GENERATED "
+                    f"ALWAYS AS IDENTITY: batches cannot carry them, so "
+                    f"they cannot be merge keys")
+            provided = sorted(set(id_cols) & set(batch.columns))
+            if provided:
+                raise ValueError(
+                    f"column(s) {provided} of {self.path} are GENERATED "
+                    f"ALWAYS AS IDENTITY: values are engine-assigned "
+                    f"and cannot be provided")
+            if merge_schema:
+                raise ValueError(
+                    f"merge_schema=True on identity table {self.path} "
+                    f"is not supported (schema evolution would null-"
+                    f"fill the engine-assigned columns); run "
+                    f"append(merge_schema=True) with an empty batch to "
+                    f"evolve first")
         batch = self._apply_generated(batch, meta)
         extra_validators = []
         if merge_schema:
@@ -2830,8 +2857,17 @@ class TxTable:
                 batch, meta)
             meta = new_meta or meta
         else:
-            batch = self._check_schema(batch)
             new_meta = None
+            if ident:
+                # conform to the schema MINUS the identity columns —
+                # ids attach per-row below (kept for matches, allocated
+                # for inserts), then the full-schema conform runs
+                sub = StructType.fromJson(meta["schema"])
+                batch = batch.select(
+                    *[F.col(f.name).cast(f.dataType)
+                      for f in sub.fields if f.name not in ident])
+            else:
+                batch = self._check_schema(batch)
         schema = StructType.fromJson(meta["schema"])
         batch = batch.dropDuplicates(keys)
         _n, bounds = self._batch_bounds(batch, keys)
@@ -2866,11 +2902,20 @@ class TxTable:
                                             dvs=dvs).select(*keys)
                 batch = batch.join(existing.distinct(), on=keys,
                                    how="left_anti")
-            adds = meta_actions + self._stage(
+            if ident:
+                # first-wins: every surviving batch row is an INSERT —
+                # allocate its identity values now
+                batch = self._check_schema(
+                    self._assign_identity(batch, meta))
+            staged = self._stage(
                 batch, stat_cols, bloom=meta.get("bloom"),
                 constraints=self._write_constraints(meta),
                 partition_cols=meta.get("partition_cols"),
                 colmap=meta.get("column_mapping"))
+            id_meta = self._identity_meta(meta, staged)
+            if id_meta:
+                meta_actions = [{"meta": id_meta}]
+            adds = meta_actions + staged
             # a pure schema widening (every row was a duplicate) still
             # commits: the caller asked for the evolved schema
             return (self._commit(adds, rv, validate=validate,
@@ -2889,8 +2934,24 @@ class TxTable:
                         .join(batch.select(*keys).distinct(),
                               on=keys, how="left_semi")
                         .select("_file").distinct().collect()]
-        actions = meta_actions + [
-            {"remove": {"path": p}} for p in sorted(affected)]
+        if ident:
+            # matched rows KEEP their existing identity values (taken
+            # from the rows being replaced — min per key for the
+            # degenerate multi-match case), inserts allocate fresh ones
+            if affected:
+                id_map = (self._scan_files(meta, affected, dvs=dvs)
+                          .groupBy(*keys)
+                          .agg(*[F.min(c).alias(c) for c in id_cols]))
+                matched = batch.join(id_map, on=keys, how="inner")
+                fresh = batch.join(id_map.select(*keys), on=keys,
+                                   how="left_anti")
+            else:
+                matched, fresh = None, batch
+            fresh = self._assign_identity(fresh, meta)
+            batch = (fresh if matched is None
+                     else matched.unionByName(fresh))
+            batch = self._check_schema(batch)
+        actions = [{"remove": {"path": p}} for p in sorted(affected)]
         if affected:
             keep = (self._scan_files(meta, affected, dvs=dvs)
                     .join(batch.select(*keys).distinct(), on=keys,
@@ -2898,11 +2959,15 @@ class TxTable:
             new_data = keep.unionByName(batch)
         else:
             new_data = batch
-        actions += self._stage(new_data, stat_cols,
-                               bloom=meta.get("bloom"),
-                               constraints=self._write_constraints(meta),
-                               partition_cols=meta.get("partition_cols"),
-                               colmap=meta.get("column_mapping"))
+        staged = self._stage(new_data, stat_cols,
+                             bloom=meta.get("bloom"),
+                             constraints=self._write_constraints(meta),
+                             partition_cols=meta.get("partition_cols"),
+                             colmap=meta.get("column_mapping"))
+        id_meta = self._identity_meta(meta, staged)
+        if id_meta:
+            meta_actions = [{"meta": id_meta}]
+        actions = meta_actions + actions + staged
         return self._commit(actions, rv, validate=validate,
                             info={"op": "merge_upsert"})
 

@@ -179,14 +179,26 @@ def _heavy_test_identity_assignment_and_hwm(spark, tmp_path):
     # GENERATED ALWAYS: providing the column refuses, everywhere
     with pytest.raises(ValueError, match="GENERATED ALWAYS"):
         t.append(spark.createDataFrame([(1, "x")], "id long, tag string"))
-    with pytest.raises(ValueError, match="identity"):
-        t.merge_upsert(spark.createDataFrame([("z",)], "tag string"),
+    with pytest.raises(ValueError, match="cannot be provided"):
+        t.merge_upsert(spark.createDataFrame([(1, "z")],
+                                             "id long, tag string"),
                        ["tag"])
+    with pytest.raises(ValueError, match="merge keys"):
+        t.merge_upsert(spark.createDataFrame([("z",)], "tag string"),
+                       ["id"])
     with pytest.raises(ValueError, match="generated/identity"):
         t.update("tag = 'a'", {"id": "0"})
+    # MERGE works natively (beyond the vendor Delta restriction):
+    # first-wins drops the matched key, allocates for the insert only
+    before = {r["tag"]: r["id"] for r in t.read().collect()}
+    t.merge_upsert(spark.createDataFrame([("a",), ("z1",)],
+                                         "tag string"), ["tag"])
+    after = {r["tag"]: r["id"] for r in t.read().collect()}
+    assert after["a"] == before["a"] and after["z1"] > max(before.values())
+    assert len(set(after.values())) == len(after)
     # deletes keep survivors' ids; overwrite reallocates past the hwm
     t.delete(spark.createDataFrame([("a",)], "tag string"), ["tag"])
-    assert t.read().count() == 7
+    assert t.read().count() == 8  # 8 appends + z1 insert - a
     v_hwm = meta["identity"]["id"]["hwm"]
     t.overwrite(spark.createDataFrame([("zz",)], "tag string"))
     (row,) = t.read().collect()
@@ -201,6 +213,31 @@ def _heavy_test_identity_assignment_and_hwm(spark, tmp_path):
     t._commit([{"meta": bad}], rv, info={"op": "corrupt_hwm"})
     rep = t.fsck(scan_orphans=False)
     assert not rep["ok"] and rep["identity_hwm_violations"]
+
+
+def _heavy_test_identity_merge_update_keeps_ids(spark, tmp_path):
+    """update=True MERGE on an identity table: matched rows KEEP their
+    engine-assigned ids through the copy-on-write rewrite, inserts
+    allocate fresh ones, the hwm advances in the same commit."""
+    p = str(tmp_path / "ident_merge")
+    t = TxTable.create(
+        spark, spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "k string, v long")
+        .repartition(2),
+        p, stat_cols=["k"], identity={"rid": {"start": 1, "step": 1}})
+    before = {r["k"]: r["rid"] for r in t.read().collect()}
+    t.merge_upsert(spark.createDataFrame(
+        [("b", 20), ("d", 40)], "k string, v long"), ["k"],
+        update=True)
+    rows = {r["k"]: (r["v"], r["rid"]) for r in t.read().collect()}
+    assert rows["b"][0] == 20 and rows["b"][1] == before["b"]  # kept id
+    assert rows["a"] == (1, before["a"]) and rows["c"] == (3, before["c"])
+    assert rows["d"][0] == 40 and rows["d"][1] > max(before.values())
+    rids = [rid for _v, rid in rows.values()]
+    assert len(set(rids)) == 4
+    _, meta, _ = t._snapshot()
+    assert meta["identity"]["rid"]["hwm"] == max(rids)
+    assert t.fsck(scan_orphans=False)["ok"]
 
 
 def _heavy_test_identity_concurrent_append_conflicts(spark, tmp_path):
@@ -454,6 +491,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_date_stat_pruning_now_fires),
     ("test_identity_assignment_and_hwm",
      _heavy_test_identity_assignment_and_hwm),
+    ("test_identity_merge_update_keeps_ids",
+     _heavy_test_identity_merge_update_keeps_ids),
     ("test_identity_concurrent_append_conflicts",
      _heavy_test_identity_concurrent_append_conflicts),
     ("test_append_only_property",
