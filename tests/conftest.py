@@ -44,6 +44,9 @@ SLOW_PROPERTY_SWEEPS = {
     # round 13: randomized partitioned-vs-flat DML equivalence (its
     # fixed exemplar runs in the default lane)
     "test_partitioned_dml_equals_flat_twin_property",
+    # round 14: randomized generated-partitioned-vs-flat equivalence
+    # (pins the derived-bound pruning; exemplar in the default lane)
+    "test_generated_dml_equals_flat_twin_property",
 }
 
 

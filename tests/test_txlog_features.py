@@ -480,6 +480,126 @@ def _heavy_test_per_commit_cdf_update_images(spark, tmp_path):
     assert t.read_changes_per_commit(3).count() == 0
 
 
+# ---------------------------------------------------------------------------
+# Randomized equivalence: a GENERATED-partitioned table and a flat twin
+# (same generated column, no partitioning) answer every DML sequence
+# identically. This is the broadest guard on the derived-bound pruning
+# (_extend_generated_bounds): a wrong derived bound would make a keyed
+# planner SKIP files holding matching rows — silent divergence, caught
+# here by the multiset compare after every op.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _gmultiset(df):
+    from collections import Counter
+    return Counter(map(tuple, df.collect()))
+
+
+def _gen_rows(spark, lo, hi, mul=2):
+    # d spreads k over ~4 year-partitions, distinct per k
+    return (spark.range(lo, hi).selectExpr(
+        "id as k",
+        "date_add(date'1994-01-01', cast((id * 37) % 1400 as int)) as d",
+        f"id*{mul} as v").coalesce(1))
+
+
+def _gen_twin_apply(spark, part, flat, op):
+    kind, lo, hi, mul = op
+    if kind == "append":
+        batch = _gen_rows(spark, lo, hi, mul)
+        part.merge_upsert(batch, ["k"])      # first-wins on both
+        flat.merge_upsert(batch, ["k"])
+    elif kind == "merge_d":
+        # keyed on the BASE column: exercises the derived y-bounds
+        batch = _gen_rows(spark, lo, hi, mul)
+        part.merge_upsert(batch, ["d"], update=True)
+        flat.merge_upsert(batch, ["d"], update=True)
+    elif kind == "delete_d":
+        keys = _gen_rows(spark, lo, hi).select("d")
+        part.delete(keys, ["d"])
+        flat.delete(keys, ["d"])
+    elif kind == "dv_delete":
+        keys = spark.range(lo, hi).selectExpr("id as k")
+        part.delete(keys, ["k"], mode="dv")
+        flat.delete(keys, ["k"])
+    elif kind == "update":
+        part.update(f"k >= {lo}", {"v": f"v + {mul}"})
+        flat.update(f"k >= {lo}", {"v": f"v + {mul}"})
+    elif kind == "replace_part":
+        y = 1994 + (lo % 4)
+        new = (part.read(partition_values={"y": y})
+               .withColumn("v", F.col("v") * mul)
+               .localCheckpoint(eager=True))
+        part.overwrite_partitions(new, {"y": y})
+        old_keys = (flat.read().filter(F.col("y") == y)
+                    .select("k").localCheckpoint(eager=True))
+        flat.delete(old_keys, ["k"])
+        if not new.isEmpty():
+            flat.append(new)
+    else:  # optimize
+        part.optimize(target_rows=1_000_000)
+        flat.optimize(target_rows=1_000_000)
+
+
+def _gen_twin_race(spark, base, ops):
+    gen = {"y": "year(d)"}
+    part = TxTable.create(spark, _gen_rows(spark, 0, 12),
+                          f"{base}/part", stat_cols=["k", "d"],
+                          partition_cols=["y"], generated=gen)
+    flat = TxTable.create(spark, _gen_rows(spark, 0, 12),
+                          f"{base}/flat", stat_cols=["k", "d"],
+                          generated=gen)
+    for op in ops:
+        _gen_twin_apply(spark, part, flat, op)
+        assert _gmultiset(part.read()) == _gmultiset(flat.read()), op
+        assert all(p.startswith("y=") for p in part.live_files())
+    assert part.fsck(verify_row_counts=True)["ok"]
+    assert flat.fsck(verify_row_counts=True)["ok"]
+
+
+def _heavy_test_generated_twin_exemplar(spark, tmp_path):
+    """Fixed exemplar in the default lane: base-keyed merge (derived
+    y-bounds), base-keyed cow delete, dv tombstones, replaceWhere on
+    the generated partition, compaction. The full randomized mix runs
+    in the slow-lane property below."""
+    ops = [("merge_d", 5, 15, 7), ("delete_d", 8, 11, 1),
+           ("dv_delete", 2, 4, 1), ("replace_part", 0, 0, 3),
+           ("optimize", 0, 0, 1)]
+    _gen_twin_race(spark, str(tmp_path), ops)
+
+
+import pytest as _pytest  # noqa: E402
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hs
+
+    _GEN_OP = hs.tuples(
+        hs.sampled_from(["append", "merge_d", "delete_d", "dv_delete",
+                         "update", "replace_part", "optimize"]),
+        hs.integers(min_value=0, max_value=30),
+        hs.integers(min_value=1, max_value=12),
+        hs.integers(min_value=1, max_value=9),
+    ).map(lambda o: (o[0], o[1], o[1] + o[2], o[3]))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(hs.data())
+    def test_generated_dml_equals_flat_twin_property(spark, data):
+        """Randomized 3-5 op sequences over the generated-partitioned
+        table and its flat twin (slow lane; exemplar above is the
+        default-lane pin)."""
+        import tempfile
+
+        ops = data.draw(hs.lists(_GEN_OP, min_size=3, max_size=5))
+        with tempfile.TemporaryDirectory(prefix="gtwin_") as base:
+            _gen_twin_race(spark, base, ops)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 _POOLED = {n: fn for n, fn in [
     ("test_generated_compute_validate_and_update",
      _heavy_test_generated_compute_validate_and_update),
@@ -513,6 +633,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_auto_compact_property),
     ("test_per_commit_cdf_update_images",
      _heavy_test_per_commit_cdf_update_images),
+    ("test_generated_twin_exemplar",
+     _heavy_test_generated_twin_exemplar),
 ]}
 
 
