@@ -3671,6 +3671,86 @@ class TxTable:
                                colmap=meta.get("column_mapping"))
         return self._commit(actions, rv, info={"op": "optimize"})
 
+    def repartition_table(self, partition_cols: Sequence[str] = (),
+                          target_rows: int = 1_000_000) -> int:
+        """Change the table's partition LAYOUT in one atomic,
+        layout-only commit: every live file is rewritten under the new
+        ``partition_cols`` (empty = flat) with ``dataChange: false`` on
+        every action, so the change feed stays SILENT, the fold
+        invariant holds (the visible row multiset is untouched), and
+        time travel to pre-change versions still reads the original
+        files under the original layout. Live deletion vectors
+        materialize away in the same pass (the OPTIMIZE precedent).
+
+        This is the honest Delta-model answer to partition evolution:
+        one full rewrite — the cost Delta documents for its own
+        "overwrite with new partitioning" procedure — but in place,
+        history-preserving, and invisible to CDC consumers; afterwards
+        every keyed planner partition-prunes on the new layout (and
+        derived bounds fire if the new partition column is GENERATED).
+        Old partition columns return into the data files; new ones
+        move out into ``key=value/`` paths.
+
+        Conflicts with ANY concurrent data-changing commit (the
+        rewrite read the whole table). Partitioning a table whose
+        protocol predates partitions upgrades it in the same commit."""
+        rv, meta, live = self._snapshot()
+        new_p = list(partition_cols or ())
+        names = {f["name"] for f in meta["schema"]["fields"]}
+        bad = sorted(set(new_p) - names)
+        if bad:
+            raise ValueError(f"partition columns {bad} not in schema "
+                             f"{sorted(names)}")
+        overlap = sorted(set(new_p) & set(meta.get("identity") or {}))
+        if overlap:
+            raise ValueError(f"identity column(s) {overlap} cannot be "
+                             f"partition columns")
+        if new_p and len(new_p) == len(names):
+            raise ValueError("cannot partition by every column: files "
+                             "would hold no data columns")
+        if new_p == (meta.get("partition_cols") or []):
+            return self.version
+        new_meta = dict(meta)
+        if new_p:
+            new_meta["partition_cols"] = new_p
+        else:
+            new_meta.pop("partition_cols", None)
+        actions: list[dict] = []
+        if new_p and needs_upgrade(getattr(self, "_proto", None),
+                                   PARTITION_PROTOCOL):
+            actions.append(protocol_action(merged_protocol(
+                getattr(self, "_proto", None), PARTITION_PROTOCOL)))
+        actions.append({"meta": new_meta})
+        if live:
+            data = self._scan_files(meta, sorted(live),
+                                    dvs=self._live_dvs(live))
+            total = sum(a.get("numRecords", 0) for a in live.values())
+            n_out = max(1, -(-total // target_rows))
+            data = (data.repartition(n_out, *new_p) if new_p
+                    else data.repartition(n_out))
+            actions += [{"remove": {"path": p, "dataChange": False}}
+                        for p in sorted(live)]
+            actions += self._stage(
+                data, meta.get("stat_cols", []), data_change=False,
+                bloom=meta.get("bloom"),
+                constraints=self._write_constraints(new_meta),
+                partition_cols=new_p,
+                colmap=meta.get("column_mapping"))
+
+        def no_data_change(intervening):
+            for a in intervening:
+                if (("add" in a and a["add"].get("dataChange", True))
+                        or ("remove" in a
+                            and a["remove"].get("dataChange", True))
+                        or "dv" in a or "meta" in a):
+                    raise TxConflict(
+                        f"concurrent commit changed {self.path} under "
+                        f"this repartition's full-table rewrite; re-run "
+                        f"on the new snapshot")
+        return self._commit(actions, rv, validate=no_data_change,
+                            info={"op": "repartition_table",
+                                  "partition_cols": new_p})
+
     def fsck(self, scan_orphans: bool = True,
              verify_row_counts: bool = False) -> dict:
         """Audit the table's physical state against its log — the

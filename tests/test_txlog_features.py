@@ -480,6 +480,49 @@ def _heavy_test_per_commit_cdf_update_images(spark, tmp_path):
     assert t.read_changes_per_commit(3).count() == 0
 
 
+def _heavy_test_repartition_table_layout_only(spark, tmp_path):
+    """repartition_table: the partition layout changes in ONE
+    layout-only commit — rows identical, CDC silent, time travel reads
+    the old layout, pruning (incl. derived generated bounds) works on
+    the new one, and live deletion vectors materialize away."""
+    p = str(tmp_path / "repart")
+    t = TxTable.create(
+        spark, _days(spark, _ROWS), p, stat_cols=["k", "d"],
+        generated={"y": "year(d)"})  # y is a plain data column so far
+    assert not any("/" in f for f in t.live_files())
+    t.delete(spark.createDataFrame([(2,)], "k long"), ["k"], mode="dv")
+    before = {tuple(r) for r in t.read().collect()}
+    v_flat = t.version
+    v = t.repartition_table(["y"])
+    assert v == v_flat + 1
+    assert {tuple(r) for r in t.read().collect()} == before
+    assert all(f.startswith("y=") for f in t.live_files())
+    assert t.detail()["dv_files"] == 0            # DVs materialized
+    assert t.read_changes_per_commit(v_flat).count() == 0  # CDC silent
+    # whole-history fold: (0, latest] nets to exactly the dv delete —
+    # the layout swap contributed nothing
+    ch = {(r["_change_type"], r["k"])
+          for r in t.read_changes(0).collect()}
+    assert ch == {("delete", 2)}
+    # time travel: the pre-change snapshot reads the FLAT layout
+    assert {tuple(r) for r in t.read(version=v_flat).collect()} == before
+    # derived pruning fires on the new layout: base-keyed delete stays
+    # inside the matching year's partition
+    t.delete(spark.createDataFrame(
+        [(datetime.date(1995, 3, 7),)], "d date"), ["d"])
+    touched = [a["remove"]["path"] for a in t.history()[-1]
+               if "remove" in a]
+    assert touched and all(f.startswith("y=1995/") for f in touched)
+    # protocol upgraded with first partitioning; back to flat works too
+    assert t._proto["minReader"] >= 2
+    t.repartition_table([])
+    assert not any("/" in f for f in t.live_files())
+    assert t.read().count() == len(before) - 1
+    assert t.fsck(verify_row_counts=True)["ok"]
+    with pytest.raises(ValueError, match="not in schema"):
+        t.repartition_table(["nope"])
+
+
 # ---------------------------------------------------------------------------
 # Randomized equivalence: a GENERATED-partitioned table and a flat twin
 # (same generated column, no partitioning) answer every DML sequence
@@ -635,6 +678,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_per_commit_cdf_update_images),
     ("test_generated_twin_exemplar",
      _heavy_test_generated_twin_exemplar),
+    ("test_repartition_table_layout_only",
+     _heavy_test_repartition_table_layout_only),
 ]}
 
 
