@@ -3244,8 +3244,7 @@ class TxTable:
                         cdf.select("_file", *keys)
                         .join(touched, on=keys, how="left_semi")
                         .select("_file").distinct().collect()]
-        actions = ([{"meta": meta}] if new_meta is not None else [])
-        actions += [{"remove": {"path": p}} for p in sorted(affected)]
+        removes = [{"remove": {"path": p}} for p in sorted(affected)]
         if affected:
             # Evolved schema null-fills pre-widening survivor files,
             # same as the source's own post-merge_schema reads.
@@ -3254,11 +3253,19 @@ class TxTable:
             new_data = keep.unionByName(net_ins)
         else:
             new_data = net_ins
-        actions += self._stage(new_data, stat_cols,
-                               bloom=meta.get("bloom"),
-                               constraints=self._write_constraints(meta),
-                               partition_cols=meta.get("partition_cols"),
-                               colmap=meta.get("column_mapping"))
+        staged = self._stage(new_data, stat_cols,
+                             bloom=meta.get("bloom"),
+                             constraints=self._write_constraints(meta),
+                             partition_cols=meta.get("partition_cols"),
+                             colmap=meta.get("column_mapping"))
+        # identity REPLICAS carry the source's engine-assigned ids in
+        # the feed; the replica's own hwm must still track them so a
+        # later direct append cannot re-allocate an id already present
+        id_meta = self._identity_meta(meta, staged)
+        meta = id_meta or meta
+        actions = ([{"meta": meta}]
+                   if (new_meta is not None or id_meta) else [])
+        actions += removes + staged
         if txn is not None:
             actions.append({"txn": {"appId": txn[0],
                                     "version": int(txn[1])}})
@@ -3359,12 +3366,17 @@ class TxTable:
             new_data = (ins if new_data is None
                         else new_data.unionByName(ins))
         if new_data is not None:
-            actions += self._stage(new_data, stat_cols,
-                                   bloom=meta.get("bloom"),
-                                   constraints=self._write_constraints(meta),
-                                   partition_cols=meta.get(
-                                       "partition_cols"),
-                               colmap=meta.get("column_mapping"))
+            staged = self._stage(new_data, stat_cols,
+                                 bloom=meta.get("bloom"),
+                                 constraints=self._write_constraints(meta),
+                                 partition_cols=meta.get(
+                                     "partition_cols"),
+                                 colmap=meta.get("column_mapping"))
+            # identity replicas: track the feed's ids (see apply_changes)
+            id_meta = self._identity_meta(meta, staged)
+            if id_meta:
+                actions.insert(0, {"meta": id_meta})
+            actions += staged
         if not actions:
             return self.version  # empty delta: no commit, replay-safe
         if txn is not None:
