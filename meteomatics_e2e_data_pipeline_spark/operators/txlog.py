@@ -3717,6 +3717,15 @@ class TxTable:
         if overlap:
             raise ValueError(f"identity column(s) {overlap} cannot be "
                              f"partition columns")
+        cm = meta.get("column_mapping") or {}
+        renamed = sorted(c for c in new_p if cm.get(c, c) != c)
+        if renamed:
+            raise ValueError(
+                f"cannot partition {self.path} by renamed column(s) "
+                f"{renamed}: partition columns are encoded by NAME in "
+                f"file paths and partitionValues, which column mapping "
+                f"cannot indirect (the Delta rule — pick columns whose "
+                f"physical name equals the logical one)")
         if new_p and len(new_p) == len(names):
             raise ValueError("cannot partition by every column: files "
                              "would hold no data columns")

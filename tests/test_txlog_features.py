@@ -521,6 +521,11 @@ def _heavy_test_repartition_table_layout_only(spark, tmp_path):
     assert t.fsck(verify_row_counts=True)["ok"]
     with pytest.raises(ValueError, match="not in schema"):
         t.repartition_table(["nope"])
+    # a renamed (column-mapped) column cannot become a partition
+    # column: partition columns are encoded by NAME in paths
+    t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="renamed"):
+        t.repartition_table(["val"])
 
 
 # ---------------------------------------------------------------------------
