@@ -4017,7 +4017,8 @@ class TxTable:
         return protected
 
     def vacuum(self, retention_seconds: float = 7 * 24 * 3600,
-               respect_clones: bool = True) -> list[str]:
+               respect_clones: bool = True,
+               dry_run: bool = False) -> list[str]:
         """Delete data files unreferenced by the CURRENT version (destroys
         time travel to versions that needed them). Returns deleted names.
 
@@ -4038,7 +4039,11 @@ class TxTable:
         ``respect_clones=False`` to restore the raw Delta behavior
         (delete anyway — the clones' fsck will report the damage);
         clones made by older writers (no registration) are never seen
-        by the guard either way."""
+        by the guard either way.
+
+        ``dry_run=True`` (the public Delta ``VACUUM ... DRY RUN``):
+        return the list of files vacuum WOULD delete without touching
+        anything — same retention and clone rules."""
         _, _, live = self._snapshot()
         protected = self._clone_protected() if respect_clones else {}
         fs = _fs(self.spark, self.path)
@@ -4053,7 +4058,9 @@ class TxTable:
                 if rel in protected:
                     skipped[rel] = protected[rel]
                     continue
-                fs.delete(_jpath(self.spark, f"{self.path}/{rel}"), False)
+                if not dry_run:
+                    fs.delete(_jpath(self.spark, f"{self.path}/{rel}"),
+                              False)
                 deleted.append(rel)
         if skipped:
             import warnings
@@ -4074,6 +4081,7 @@ class TxTable:
             p = _jpath(self.spark,
                        f"{self.log_dir}/{c:020d}{_CKPT_SUFFIX}")
             if fs.getFileStatus(p).getModificationTime() < cutoff_ms:
-                fs.delete(p, False)
+                if not dry_run:
+                    fs.delete(p, False)
                 deleted.append(f"{c:020d}{_CKPT_SUFFIX}")
         return sorted(deleted)
