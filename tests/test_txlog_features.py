@@ -480,6 +480,46 @@ def _heavy_test_per_commit_cdf_update_images(spark, tmp_path):
     assert t.read_changes_per_commit(3).count() == 0
 
 
+def _heavy_test_stream_sink_into_generated_table(spark, tmp_path):
+    """Streaming ingest INTO a generated-partitioned table: the V2
+    stream sink validates the provided generated values per-chunk (the
+    batch-writer delegation), stages into the year partitions, and a
+    feed violating the generation expression fails the micro-batch
+    loudly instead of committing."""
+    from meteomatics_e2e_data_pipeline_spark.sources import txlog_batch
+    txlog_batch.register(spark)
+    t = _gen_table(spark, tmp_path, name="sgen")
+    feed = _days(spark, [(50, "1994-05-05", 500),
+                         (51, "1995-06-06", 510)]) \
+        .withColumn("y", F.expr("year(d)"))
+    src = str(tmp_path / "sgen_src")
+    feed.coalesce(1).write.parquet(src)
+    q = (spark.readStream.schema(feed.schema).parquet(src)
+         .writeStream.format("txlog").option("path", t.path)
+         .option("txnAppId", "gen_sink")
+         .option("checkpointLocation", str(tmp_path / "sgen_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["k"], r["y"]) for r in t.read().collect()}
+    assert {(50, 1994), (51, 1995)} <= got
+    files = [f for f in t.live_files()]
+    assert any(f.startswith("y=1994/") for f in files)
+    # a feed with WRONG generated values fails the batch, commits nothing
+    bad = feed.withColumn("y", F.col("y") + 3)
+    src2 = str(tmp_path / "sgen_bad")
+    bad.coalesce(1).write.parquet(src2)
+    v0 = t.version
+    q2 = (spark.readStream.schema(feed.schema).parquet(src2)
+          .writeStream.format("txlog").option("path", t.path)
+          .option("txnAppId", "gen_sink_bad")
+          .option("checkpointLocation", str(tmp_path / "sgen_ck2"))
+          .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="generated:y"):
+        q2.awaitTermination(120)
+    assert t.version == v0 and t.fsck(scan_orphans=True)[
+        "unreferenced_files"] == []
+
+
 def _heavy_test_repartition_table_layout_only(spark, tmp_path):
     """repartition_table: the partition layout changes in ONE
     layout-only commit — rows identical, CDC silent, time travel reads
@@ -685,6 +725,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_generated_twin_exemplar),
     ("test_repartition_table_layout_only",
      _heavy_test_repartition_table_layout_only),
+    ("test_stream_sink_into_generated_table",
+     _heavy_test_stream_sink_into_generated_table),
 ]}
 
 
