@@ -2076,6 +2076,11 @@ class TxTable:
         schema = StructType.fromJson(meta["schema"])
         key_schema = StructType([f for f in schema.fields
                                  if f.name in keys])
+        unknown = sorted(set(keys) - {f.name for f in schema.fields})
+        if unknown:
+            raise ValueError(
+                f"read_keys on {self.path}: key column(s) {unknown} "
+                f"not in schema {[f.name for f in schema.fields]}")
         if isinstance(keys_df, (list, tuple)):
             # literal probe (the Delta point-lookup shape, ``WHERE key
             # IN (...)``): rows are (k1, k2, ...) tuples or dicts held

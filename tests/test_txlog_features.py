@@ -480,6 +480,36 @@ def _heavy_test_per_commit_cdf_update_images(spark, tmp_path):
     assert t.read_changes_per_commit(3).count() == 0
 
 
+def _heavy_test_repartition_races_concurrent_append(spark, tmp_path):
+    """repartition_table reads the WHOLE table, so any concurrent data
+    commit must conflict — never silently drop the racer's rows."""
+    p = str(tmp_path / "race")
+    t = TxTable.create(spark, _days(spark, _ROWS), p,
+                       stat_cols=["k"], generated={"y": "year(d)"})
+    racer = TxTable(spark, p)
+    orig = t._try_publish
+
+    def inject(version, actions):
+        if not getattr(t, "_raced", False):
+            t._raced = True
+            racer.append(_days(spark, [(99, "1997-01-01", 990)]))
+        return orig(version, actions)
+
+    t._try_publish = inject
+    try:
+        with pytest.raises(TxConflict, match="repartition"):
+            t.repartition_table(["y"])
+    finally:
+        t._try_publish = orig
+    # the racer's append survived; a clean retry lands the new layout
+    assert {r["k"] for r in t.read().collect()} \
+        == {1, 2, 3, 4, 5, 6, 99}
+    t.repartition_table(["y"])
+    assert all(f.startswith("y=") for f in t.live_files())
+    assert t.read().count() == 7
+    assert t.fsck(verify_row_counts=True)["ok"]
+
+
 def _heavy_test_stream_sink_into_generated_table(spark, tmp_path):
     """Streaming ingest INTO a generated-partitioned table: the V2
     stream sink validates the provided generated values per-chunk (the
@@ -727,6 +757,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_repartition_table_layout_only),
     ("test_stream_sink_into_generated_table",
      _heavy_test_stream_sink_into_generated_table),
+    ("test_repartition_races_concurrent_append",
+     _heavy_test_repartition_races_concurrent_append),
 ]}
 
 
