@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB mirror (tests/test_oracle_parity.py parametrizes ALL queries).
 #
 # Round-14 rotation (VERDICT r13 directive #2), priority order:
-# (1) the 4 NEW entries: orders_renamed_rollup (column mapping — RENAME
+# (1) the 5 NEW entries: orders_renamed_rollup (column mapping — RENAME
 #     of the stat/bloom key + DROP as pure metadata commits, zero data
 #     rewritten, hashed against the original orders view with AS
 #     aliases); orders_generated_pruned (GENERATED partition column
@@ -45,6 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     commits: global uniqueness, start bound, step parity, hwm);
 #     orders_cdf_images (per-commit CDF with update_preimage/
 #     update_postimage pairing and in-commit carried-row cancel);
+#     orders_repartitioned_rollup (partition layout evolution — the
+#     CDC-silent atomic rewrite, aggregated BY the evolved partition
+#     column with a log-side-pruned filter on it);
 # (2) the 11 entries whose state-build or read path CHANGED this
 #     round: the four maintained-star entries (facts now hive-
 #     partitioned by date_key under the star_layout=3 fingerprint,
@@ -57,8 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     registers a clone_ref in the source log);
 # (3) ALL 27 remaining r9-dated attestations (the complete pre-r10
 #     debt — zero pre-r10 rows remain after this gate lands green);
-# (4) the alphabetically-first 8 of the 48 r10-dated rows (the
-#     remaining 40 lead the round-15 rotation).
+# (4) the alphabetically-first 7 of the 48 r10-dated rows (the
+#     remaining 41 lead the round-15 rotation).
 # The 5 rows-only-by-design queries (emb_knn_vectorized,
 # event_user_reach_approx, event_reach_sketch_weekly,
 # order_value_percentiles_approx, event_audience_overlap_approx) are
@@ -73,6 +76,7 @@ _VERIFY_FIRST = (
     "orders_generated_pruned",
     "orders_identity_audit",
     "orders_cdf_images",
+    "orders_repartitioned_rollup",
     # (2) changed state-build / read path
     "fact_params_history_maintained",
     "fact_sun_forecast_maintained",
@@ -113,7 +117,7 @@ _VERIFY_FIRST = (
     "weather_daylight_readings",
     "weather_dim_location",
     "weather_stg_raw",
-    # (4) the alphabetically-first 8 r10-dated rows
+    # (4) the alphabetically-first 7 r10-dated rows
     "customer_cohort_retention",
     "dim_part_type",
     "docs_bigram_nll",
@@ -121,7 +125,6 @@ _VERIFY_FIRST = (
     "docs_bpe_merges",
     "docs_cross_source_dup",
     "docs_dedup_pipeline",
-    "docs_dup_clusters_incremental",
 )
 
 

@@ -3420,6 +3420,76 @@ FROM orders
 """
 
 
+def q_orders_repartitioned_rollup(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Partition LAYOUT EVOLUTION under the oracle gate (round-14):
+    the orders table is created FLAT, then ``repartition_table(
+    ['o_orderpriority'])`` swaps the layout in one atomic layout-only
+    commit — the build asserts the swap was CDC-SILENT (zero
+    per-commit feed rows) and landed every file under its
+    ``o_orderpriority=.../`` path. This rollup then reads the
+    repartitioned snapshot and aggregates BY the evolved partition
+    column, with a filter on it (pruned log-side by partitionValues);
+    the oracle answers from the original view, so a row lost/duplicated
+    by the rewrite, a mis-parsed partition value, or a wrong
+    partition-column fill all break the hash. Scale shape: the
+    evolution is one rewrite (the Delta-documented cost, made atomic +
+    history-preserving); afterwards the filter is a driver-side dict
+    pass with zero IO for pruned partitions."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..operators.txlog import TxTable
+    from ..operators.txproto import TXPROTO_VERSION
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{src}:{os.path.getsize(src)}:txproto={TXPROTO_VERSION}:repart"
+        .encode()).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / f"spark_graft_convert_{key}"
+    if not base.exists():
+        build = Path(tempfile.mkdtemp(prefix="convert_build_",
+                                      dir=tempfile.gettempdir()))
+        t = TxTable.create(spark,
+                           load_table(spark, sf_dir, "orders")
+                           .repartitionByRange(4, "o_orderkey"),
+                           str(build / "orders"),
+                           stat_cols=["o_orderkey"])
+        v0 = t.version
+        t.repartition_table(["o_orderpriority"], target_rows=200_000)
+        # the layout-evolution contract, asserted at build: the swap is
+        # invisible to CDC and every file lives in its partition
+        assert t.read_changes_per_commit(v0).count() == 0, \
+            "repartition_table must be CDC-silent"
+        assert all(p.startswith("o_orderpriority=")
+                   for p in t.live_files())
+        try:
+            os.rename(build / "orders", base)
+        except OSError:
+            pass  # lost the race: reopen the winner's copy below
+        shutil.rmtree(build, ignore_errors=True)
+    t = TxTable(spark, str(base))
+    return (t.read()
+            .filter(F.col("o_orderpriority") != "3-MEDIUM")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("sum_keys"),
+                 F.max("o_totalprice").alias("max_price")))
+
+
+ORACLE_ORDERS_REPARTITIONED = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_orderpriority <> '3-MEDIUM'
+GROUP BY o_orderpriority
+"""
+
+
 _CDF_UPD_KEYS = [1, 2, 3]          # totalprice rewritten at build
 _CDF_NEW_KEYS = [900000007, 900000011]  # inserted by the same merge
 _CDF_DEL_KEYS = [4, 5]             # cow-deleted in the next commit
@@ -3720,6 +3790,7 @@ QUERIES = {
     "orders_generated_pruned": q_orders_generated_pruned,
     "orders_identity_audit": q_orders_identity_audit,
     "orders_cdf_images": q_orders_cdf_images,
+    "orders_repartitioned_rollup": q_orders_repartitioned_rollup,
     "latest_order_per_customer": q_latest_order_per_customer,
     "latest_order_agg": q_latest_order_agg,
     "supplier_running_quantity": q_supplier_running_quantity,
@@ -3810,6 +3881,7 @@ ORACLE = {
     "orders_generated_pruned": ORACLE_ORDERS_GENERATED,
     "orders_identity_audit": ORACLE_ORDERS_IDENTITY,
     "orders_cdf_images": ORACLE_ORDERS_CDF,
+    "orders_repartitioned_rollup": ORACLE_ORDERS_REPARTITIONED,
     "latest_order_per_customer": ORACLE_LATEST_ORDER,
     "latest_order_agg": ORACLE_LATEST_ORDER,
     "supplier_running_quantity": ORACLE_RUNNING_QTY,
