@@ -145,11 +145,25 @@ def _heavy_test_clone_guardrails_and_vacuum_caveat(spark, tmp_path):
                          str(tmp_path / "src"), stat_cols=["k"])
     cl = src.clone(str(tmp_path / "cl"))
     src.overwrite(_kv(spark, 5, parts=1))
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
+    # record via a pass-through wrapper, NOT catch_warnings: the heavy
+    # pool runs bodies concurrently and catch_warnings swaps
+    # process-global state (another thread's context can swallow the
+    # capture — observed once as a spurious red, the warning itself
+    # attributed to a neighboring test's output)
+    seen: list[str] = []
+    orig_warn = warnings.warn
+
+    def rec(message, *a, **k):
+        seen.append(str(message))
+        return orig_warn(message, *a, **k)
+
+    warnings.warn = rec
+    try:
         deleted = src.vacuum(retention_seconds=0)
+    finally:
+        warnings.warn = orig_warn
     assert deleted == []  # every candidate was clone-referenced
-    assert any("shallow clone" in str(x.message) for x in w)
+    assert any("shallow clone" in m for m in seen)
     assert cl.fsck()["ok"]  # the clone SURVIVED the source vacuum
     assert sorted(map(tuple, cl.read().collect())) \
         == [(i, i * 10) for i in range(20)]
