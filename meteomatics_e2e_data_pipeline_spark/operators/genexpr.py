@@ -74,14 +74,20 @@ class GenTransform:
     generated column's stat domain (returns None when the value cannot
     be interpreted — derivation for that predicate is skipped, sound),
     ``monotone`` says whether range comparators may derive (False =
-    equality/IN only)."""
+    equality/IN only). For non-monotone calendar fields ``enclosing``
+    truncates a base value to the field's ENCLOSING unit (month →
+    year+month, day → date, hour → date+hour): a [lo, hi] window may
+    derive an equality bound only when ``enclosing(lo) == enclosing(hi)``
+    — ``fn(lo) == fn(hi)`` alone admits e.g. 2023-03-05..2024-03-10
+    (both month 3) and would prune partitions holding in-range rows."""
 
-    __slots__ = ("base_col", "fn", "monotone")
+    __slots__ = ("base_col", "fn", "monotone", "enclosing")
 
-    def __init__(self, base_col: str, fn, monotone: bool):
+    def __init__(self, base_col: str, fn, monotone: bool, enclosing=None):
         self.base_col = base_col
         self.fn = fn
         self.monotone = monotone
+        self.enclosing = enclosing
 
 
 def _temporal(v):
@@ -164,8 +170,9 @@ def parse_generation_expr(expr: str) -> GenTransform | None:
             return GenTransform(base, _field("year"), True)
         if fname in ("to_date", "date"):
             return GenTransform(base, _to_date, True)
-        return GenTransform(
-            base, _field({"dayofmonth": "day"}.get(fname, fname)), False)
+        attr = {"dayofmonth": "day"}.get(fname, fname)
+        return GenTransform(base, _field(attr), False,
+                            enclosing=_trunc(attr))
 
     m = re.fullmatch(
         rf"cast\s*\(\s*({_IDENT})\s+as\s+date\s*\)", s, re.I)

@@ -1465,8 +1465,16 @@ class TxTable:
             dlo, dhi = t.fn(lo), t.fn(hi)
             if dlo is None or dhi is None:
                 continue
-            if not t.monotone and dlo != dhi:
-                continue  # calendar fields: exact windows only
+            if not t.monotone:
+                # Calendar fields derive only when [lo, hi] lies inside
+                # ONE enclosing unit: month(lo)==month(hi) alone admits
+                # a window like 2023-03-05..2024-03-10 (both month 3)
+                # and would prune partitions holding in-range base
+                # values (ADVICE r14, high).
+                enc = t.enclosing
+                elo = enc(lo) if enc is not None else None
+                if elo is None or elo != enc(hi):
+                    continue
             keys2.append(g)
             bounds2[g] = (dlo, dhi)
         return keys2, bounds2
@@ -1812,8 +1820,28 @@ class TxTable:
                 mtimes[int(name[:-5])] = st.getModificationTime() / 1000.0
         best = None
         eff = float("-inf")
+        # A commit's recorded ts is publish-clamped ONLY when the
+        # property was enabled BEFORE it (Delta's ictEnablementVersion
+        # rule, ADVICE r14 low): commits published earlier carry
+        # plan-time wall clock — retroactively preferring those would
+        # shift historical time-travel resolution. Fold the property
+        # state through the walk (one commit read per version).
+        ict_on = False
         for v in sorted(mtimes):
-            ts = self._commit_ts(v) if use_ict else None
+            ts = None
+            if use_ict:
+                was_on = ict_on
+                for a in self._read_commit(v):
+                    if (ts is None and "info" in a
+                            and a["info"].get("ts") is not None):
+                        ts = float(a["info"]["ts"])
+                    if "meta" in a:
+                        ict_on = str(
+                            (a["meta"].get("properties") or {})
+                            .get("inCommitTimestamps", "")
+                        ).lower() in ("true", "1")
+                if not was_on:
+                    ts = None
             eff = max(eff, mtimes[v] if ts is None else ts)
             if eff <= timestamp:
                 best = v
@@ -2095,9 +2123,27 @@ class TxTable:
                     f"literal probe holds {len(lits)} rows (cap "
                     f"{self._BLOOM_PROBE_MAX}); pass a DataFrame for "
                     f"bulk probes")
+            # Coercions must match the DataFrame path's cast-to-key-
+            # schema semantics (ADVICE r14, low): a FloatType key probed
+            # with 5.1 must compare as float32 (plain float64 matches
+            # neither the stored stats, the bloom bits, nor the rows),
+            # and bool("false") is True — parse strings.
+            def _f32(v):
+                import struct as _s
+                return _s.unpack("<f", _s.pack("<f", float(v)))[0]
+
+            def _bool(v):
+                if isinstance(v, str):
+                    s = v.strip().lower()
+                    if s in ("true", "t", "1", "yes", "y"):
+                        return True
+                    if s in ("false", "f", "0", "no", "n"):
+                        return False
+                    raise ValueError(f"not a boolean literal: {v!r}")
+                return bool(v)
             coerce = {"byte": int, "short": int, "integer": int,
-                      "long": int, "float": float, "double": float,
-                      "string": str, "boolean": bool}
+                      "long": int, "float": _f32, "double": float,
+                      "string": str, "boolean": _bool}
             casts = {f.name: coerce.get(f.dataType.typeName())
                      for f in key_schema.fields}
             rows = [{k: (casts[k](r[k])
@@ -2164,14 +2210,22 @@ class TxTable:
                  if all(r[k] is not None for k in keys)]
         if not valid:
             return self.spark.createDataFrame([], schema)
+        # Literals cast to the key schema (ADVICE r14, low): foldable
+        # cast(lit) constant-folds to a typed literal, so the predicate
+        # still compiles to InSet / pushes into the parquet scan while
+        # matching the DataFrame probe's cast semantics exactly.
+        dts = {f.name: f.dataType for f in key_schema.fields}
         if len(keys) == 1:
-            pred = F.col(keys[0]).isin([r[keys[0]] for r in valid])
+            k = keys[0]
+            pred = F.col(k).isin(
+                *[F.lit(r[k]).cast(dts[k]) for r in valid])
         elif len(valid) <= 256:
             import functools
             import operator
             pred = functools.reduce(operator.or_, [
-                functools.reduce(operator.and_,
-                                 [F.col(k) == F.lit(r[k]) for k in keys])
+                functools.reduce(
+                    operator.and_,
+                    [F.col(k) == F.lit(r[k]).cast(dts[k]) for k in keys])
                 for r in valid])
         else:
             probe = self.spark.createDataFrame(
@@ -2214,8 +2268,8 @@ class TxTable:
                 f"0..{latest}")
         _, meta, _ = self._snapshot(to_v)
         schema = StructType.fromJson(meta["schema"])
-        adds: list[str] = []
-        removes: list[str] = []
+        adds: list[tuple] = []      # (era, path)
+        removes: list[tuple] = []   # (era, path)
         # Deletion-vector state is tracked THROUGH the walk, seeded from
         # the window-start snapshot: a dv action emits exactly its newly
         # tombstoned rows as deletes; a data-changing remove of a
@@ -2227,11 +2281,21 @@ class TxTable:
         # raw: the walk merges dv actions straight off the commits
         # (physical keyCols on mapped tables); translation to the
         # to-version's logical names happens once, at the probe frames
-        _, _, state_live = self._snapshot(from_version, raw=True)
+        _, meta0, state_live = self._snapshot(from_version, raw=True)
         dv_state = {p: a["dv"] for p, a in state_live.items()
                     if a.get("dv")}
-        partial_dels: list[tuple[str, dict]] = []  # removed w/ tombstones
-        dv_dels: list[tuple[str, dict]] = []       # new tombstones
+        # Partition-layout era tracking (ADVICE r14, medium): files
+        # written before a repartition_table live under the OLD layout's
+        # key=value/ paths and omit the old partition columns from their
+        # data — scanning them with the to-version meta would null-fill
+        # those columns. repartition_table rewrites every live file, so
+        # any file referenced by commit i was written under the layout
+        # in force at commit i: track it through the walk and scan each
+        # era's files with its own partition_cols (to-version logical
+        # schema throughout — column physical names are rename-stable).
+        era = tuple(meta0.get("partition_cols") or ())
+        partial_dels: list[tuple] = []  # (era, path, dv) w/ tombstones
+        dv_dels: list[tuple] = []       # (era, path, dv) new tombstones
         for i in range(from_version + 1, to_v + 1):
             for action in self._read_commit(i):
                 # dataChange=false actions (optimize's compaction swaps)
@@ -2241,24 +2305,27 @@ class TxTable:
                 # even when a LATER data-changing commit removes a packed
                 # file whose inputs predate the window, the packed file's
                 # delete rows equal the skipped inputs' rows exactly.
-                if "add" in action:
+                if "meta" in action:
+                    era = tuple(
+                        action["meta"].get("partition_cols") or ())
+                elif "add" in action:
                     dv_state.pop(action["add"]["path"], None)
                     if action["add"].get("dataChange", True):
-                        adds.append(action["add"]["path"])
+                        adds.append((era, action["add"]["path"]))
                 elif "remove" in action:
                     p = action["remove"]["path"]
                     dv = dv_state.pop(p, None)
                     if action["remove"].get("dataChange", True):
                         if dv:
-                            partial_dels.append((p, dv))
+                            partial_dels.append((era, p, dv))
                         else:
-                            removes.append(p)
+                            removes.append((era, p))
                 elif "dv" in action:
                     d = action["dv"]
                     cur = dv_state.get(d["path"])
                     fresh = _dv_minus(d, cur)  # not already tombstoned
                     if fresh:
-                        dv_dels.append((d["path"],
+                        dv_dels.append((era, d["path"],
                                         {"keyCols": list(d["keyCols"]),
                                          "keys": fresh}))
                     dv_state[d["path"]] = _merge_dv(cur, d)
@@ -2278,25 +2345,36 @@ class TxTable:
         # the deletion-vector probe frames)
         out_schema = StructType(list(schema.fields)).add(
             "_change_type", "string")
+
+        def era_meta(e: tuple) -> dict:
+            # to-version meta with the era's partition layout: old-era
+            # files scan under THEIR directory scheme, project to the
+            # to-version logical schema
+            return (meta if list(e) == (meta.get("partition_cols") or [])
+                    else {**meta, "partition_cols": list(e)})
+
         frames = []
-        for paths, tag in ((adds, "insert"), (removes, "delete")):
-            if paths:
+        for pairs, tag in ((adds, "insert"), (removes, "delete")):
+            groups: dict[tuple, list[str]] = {}
+            for e, p in pairs:          # multiset: dups kept
+                groups.setdefault(e, []).append(p)
+            for e, paths in sorted(groups.items()):
                 frames.append(
-                    self._scan_files(meta, paths)  # multiset: dups kept
+                    self._scan_files(era_meta(e), paths)
                     .withColumn("_change_type", F.lit(tag)))
         inv = _colmap_inverse(meta) or {}
 
         def ldv(dv: dict) -> dict:  # physical→to-version logical keyCols
             return {"keyCols": [inv.get(c, c) for c in dv["keyCols"]],
                     "keys": dv["keys"]}
-        for p, dv in partial_dels:
+        for e, p, dv in partial_dels:
             frames.append(
-                self._scan_files(meta, [p], dvs={p: ldv(dv)})
+                self._scan_files(era_meta(e), [p], dvs={p: ldv(dv)})
                 .withColumn("_change_type", F.lit("delete")))
-        for p, dv in dv_dels:
+        for e, p, dv in dv_dels:
             dv = ldv(dv)
             frames.append(
-                self._scan_files(meta, [p])
+                self._scan_files(era_meta(e), [p])
                 .join(F.broadcast(self._dv_probe(schema, dv)),
                       on=list(dv["keyCols"]), how="left_semi")
                 .select(*[f.name for f in schema.fields])
@@ -2351,9 +2429,20 @@ class TxTable:
         # deletion-vector state must seed from the window start, same
         # walk discipline as read_changes (raw: dv actions off commits
         # are physical-keyed on mapped tables)
-        _, _, state_live = self._snapshot(from_version, raw=True)
+        _, meta0, state_live = self._snapshot(from_version, raw=True)
         dv_state = {p: a["dv"] for p, a in state_live.items()
                     if a.get("dv")}
+        # Partition-layout era tracking — same rule as read_changes
+        # (ADVICE r14, medium): every file referenced by commit i was
+        # written under the layout in force at commit i (repartition_
+        # table rewrites all live files), so scan each commit's files
+        # with that layout, projected to the to-version logical schema.
+        era = tuple(meta0.get("partition_cols") or ())
+
+        def era_meta(e: tuple) -> dict:
+            return (meta if list(e) == (meta.get("partition_cols") or [])
+                    else {**meta, "partition_cols": list(e)})
+
         frames = []
         for i in range(from_version + 1, to_v + 1):
             adds_i: list[str] = []
@@ -2361,7 +2450,10 @@ class TxTable:
             rem_partial: list[tuple[str, dict]] = []
             dv_dels: list[tuple[str, dict]] = []
             for action in self._read_commit(i):
-                if "add" in action:
+                if "meta" in action:
+                    era = tuple(
+                        action["meta"].get("partition_cols") or ())
+                elif "add" in action:
                     dv_state.pop(action["add"]["path"], None)
                     if action["add"].get("dataChange", True):
                         adds_i.append(action["add"]["path"])
@@ -2380,20 +2472,21 @@ class TxTable:
                                         {"keyCols": list(d["keyCols"]),
                                          "keys": fresh}))
                     dv_state[d["path"]] = _merge_dv(cur, d)
-            ins = (self._scan_files(meta, sorted(adds_i)).select(*cols)
+            m_i = era_meta(era)
+            ins = (self._scan_files(m_i, sorted(adds_i)).select(*cols)
                    if adds_i else None)
             del_frames = []
             if rem_plain:
                 del_frames.append(
-                    self._scan_files(meta, sorted(rem_plain))
+                    self._scan_files(m_i, sorted(rem_plain))
                     .select(*cols))
             for p, dv in rem_partial:
                 del_frames.append(self._scan_files(
-                    meta, [p], dvs={p: ldv(dv)}).select(*cols))
+                    m_i, [p], dvs={p: ldv(dv)}).select(*cols))
             for p, dv in dv_dels:
                 dv = ldv(dv)
                 del_frames.append(
-                    self._scan_files(meta, [p])
+                    self._scan_files(m_i, [p])
                     .join(F.broadcast(self._dv_probe(schema, dv)),
                           on=list(dv["keyCols"]), how="left_semi")
                     .select(*cols))

@@ -116,11 +116,26 @@ def _version_at(table: str, timestamp: float) -> int:
             mtimes[int(f[:-5])] = os.path.getmtime(os.path.join(log, f))
     best = None
     eff = float("-inf")
+    # Delta's ictEnablementVersion rule (ADVICE r14 low, same fold as
+    # TxTable.version_at): a commit's recorded ts is publish-clamped
+    # only when the property was already enabled BEFORE it — earlier
+    # commits carry plan-time wall clock and keep their mtimes.
+    ict_on = False
     for v in sorted(mtimes):
-        ts = (next((a["info"]["ts"] for a in _read_commit(table, v)
-                    if "info" in a and a["info"].get("ts") is not None),
-                   None) if use_ict else None)
-        eff = max(eff, mtimes[v] if ts is None else float(ts))
+        ts = None
+        if use_ict:
+            was_on = ict_on
+            for a in _read_commit(table, v):
+                if (ts is None and "info" in a
+                        and a["info"].get("ts") is not None):
+                    ts = float(a["info"]["ts"])
+                if "meta" in a:
+                    ict_on = str((a["meta"].get("properties") or {})
+                                 .get("inCommitTimestamps", "")
+                                 ).lower() in ("true", "1")
+            if not was_on:
+                ts = None
+        eff = max(eff, mtimes[v] if ts is None else ts)
         if eff <= timestamp:
             best = v
         else:

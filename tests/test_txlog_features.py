@@ -107,6 +107,39 @@ def _heavy_test_generated_partition_pruning_in_dml(spark, tmp_path):
             if r["k"] == 4} == {99}
 
 
+def _heavy_test_generated_month_bounds_cross_unit(spark, tmp_path):
+    """Regression (ADVICE r14, high): a keyed-DML batch spanning
+    2023-03-05..2024-03-10 has month(lo)==month(hi)==3 but covers every
+    month in between — deriving m∈[3,3] from the compressed [lo,hi]
+    range pruned partitions (e.g. m=8) holding in-range rows, so
+    deletes silently skipped and merges double-inserted. Non-monotone
+    calendar bounds may derive only when lo and hi share the ENCLOSING
+    unit (same year+month for month)."""
+    p = str(tmp_path / "m")
+    rows = _days(spark, [(1, "2023-03-05", 10), (2, "2023-08-15", 20),
+                         (3, "2024-03-10", 30)])
+    t = TxTable.create(spark, rows, p, stat_cols=["k", "d"],
+                       partition_cols=["m"], generated={"m": "month(d)"})
+    # delete keyed on the base column, batch bounds straddle two years:
+    # month 8's row MUST be found (the buggy derived bound skipped it)
+    t.delete(rows.select("d"), ["d"])
+    assert t.read().count() == 0
+    # merge with the same straddling bounds must update, not duplicate
+    t2 = TxTable.create(
+        spark, rows, str(tmp_path / "m2"), stat_cols=["k", "d"],
+        partition_cols=["m"], generated={"m": "month(d)"})
+    t2.merge_upsert(rows.withColumn("v", rows.v + 1), ["d"], update=True)
+    assert sorted((r["k"], r["v"]) for r in t2.read().collect()) == \
+        [(1, 11), (2, 21), (3, 31)]
+    # a window INSIDE one enclosing unit still derives: the keyed
+    # delete touches only that month's partition files
+    t2.delete(_days(spark, [(1, "2023-03-05", 0),
+                            (9, "2023-03-20", 0)]).select("d"), ["d"])
+    removed = [a["remove"]["path"] for a in t2.history()[-1]
+               if "remove" in a]
+    assert removed and all(f.startswith("m=3/") for f in removed)
+
+
 def _heavy_test_generated_pruning_in_v2_reader(spark, tmp_path):
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
     from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
@@ -429,6 +462,37 @@ def _heavy_test_in_commit_timestamps(spark, tmp_path):
     assert _version_at(p, marks[1]) == 1
 
 
+def _heavy_test_ict_enablement_not_retroactive(spark, tmp_path):
+    """Regression (ADVICE r14, low): enabling inCommitTimestamps must
+    not shift time-travel resolution for commits published BEFORE the
+    property was on — their recorded ts is plan-time wall clock, never
+    publish-clamped; mtime stays their commit timestamp (Delta's
+    ictEnablementVersion rule)."""
+    import os
+    p = str(tmp_path / "ict2")
+    t = TxTable.create(spark, spark.createDataFrame([(1,)], "k long"), p)
+    t.append(spark.createDataFrame([(2,)], "k long"))           # v1
+    # pin the pre-ICT timeline via mtimes (v0 @100s, v1 @200s)
+    for f in os.listdir(t.log_dir):
+        if f.endswith(".json") and f[:-5].isdigit():
+            v = int(f[:-5])
+            if v <= 1:
+                m = 100.0 + 100.0 * v
+                os.utime(os.path.join(t.log_dir, f), (m, m))
+    t.alter_properties({"inCommitTimestamps": True})            # v2
+    t.append(spark.createDataFrame([(3,)], "k long"))           # v3
+    # pre-enablement commits resolve by mtime (the buggy retroactive
+    # preference used their ~now plan-time ts and raised here)
+    assert t.version_at(150.0) == 0
+    assert t.version_at(250.0) == 1
+    # post-enablement commits resolve by their clamped recorded ts
+    assert t.version_at(t._commit_ts(3)) == 3
+    from meteomatics_e2e_data_pipeline_spark.sources.txlog_batch import (
+        _version_at)
+    assert _version_at(p, 150.0) == 0
+    assert _version_at(p, 250.0) == 1
+
+
 def _heavy_test_auto_compact_property(spark, tmp_path):
     p = str(tmp_path / "ac")
     t = TxTable.create(
@@ -589,6 +653,23 @@ def _heavy_test_repartition_table_layout_only(spark, tmp_path):
     assert not any("/" in f for f in t.live_files())
     assert t.read().count() == len(before) - 1
     assert t.fsck(verify_row_counts=True)["ok"]
+    # CDF across the partitioned→flat swap resolves each commit's era
+    # meta (ADVICE r14, medium): the y=1995-era delete's rows carry
+    # their REAL y value — scanning old-era files with the flat
+    # to-version meta used to null-fill the old partition column,
+    # breaking the fold invariant
+    from collections import Counter
+    ch2 = Counter((r["_change_type"], r["k"], r["y"])
+                  for r in t.read_changes(0).collect())
+    assert all(y is not None for _, _, y in ch2)  # no null-filled eras
+    assert ch2[("delete", 2, 1994)] == 1
+    assert ch2[("delete", 3, 1995)] == 1
+    # the copy-on-write rewrite's carried row keeps its real y on BOTH
+    # sides (cancels under the consumer's multiset fold)
+    assert ch2[("insert", 4, 1995)] == ch2[("delete", 4, 1995)] == 1
+    pc = {(r["_change_type"], r["k"], r["y"])
+          for r in t.read_changes_per_commit(0).collect()}
+    assert pc == {("delete", 2, 1994), ("delete", 3, 1995)}
     with pytest.raises(ValueError, match="not in schema"):
         t.repartition_table(["nope"])
     # a renamed (column-mapped) column cannot become a partition
@@ -723,6 +804,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_generated_compute_validate_and_update),
     ("test_generated_partition_pruning_in_dml",
      _heavy_test_generated_partition_pruning_in_dml),
+    ("test_generated_month_bounds_cross_unit",
+     _heavy_test_generated_month_bounds_cross_unit),
     ("test_generated_pruning_in_v2_reader",
      _heavy_test_generated_pruning_in_v2_reader),
     ("test_date_stat_pruning_now_fires",
@@ -747,6 +830,8 @@ _POOLED = {n: fn for n, fn in [
      _heavy_test_describe_history_metrics),
     ("test_in_commit_timestamps",
      _heavy_test_in_commit_timestamps),
+    ("test_ict_enablement_not_retroactive",
+     _heavy_test_ict_enablement_not_retroactive),
     ("test_auto_compact_property",
      _heavy_test_auto_compact_property),
     ("test_per_commit_cdf_update_images",
