@@ -265,9 +265,11 @@ def main() -> None:
     for name, t in sorted(timings.items(),
                           key=lambda kv: (kv[1] >= 0, -kv[1])):
         keep[name] = t
-        # reserve ~300 bytes for the fixed fields incl. the start+close
-        # env/calib markers
-        if sum(len(k) + 12 for k in keep) > budget - 300:
+        # reserve ~380 bytes for the fixed fields incl. the start+close
+        # env/calib markers and the mid-run calib_series (r14 verdict
+        # #1 residual: the drift evidence must live in the PARSED line,
+        # not only in the full line the driver's tail capture truncates)
+        if sum(len(k) + 12 for k in keep) > budget - 380:
             del keep[name]
             break
     # fastest-first inside the line so a further truncation still ends
@@ -282,6 +284,7 @@ def main() -> None:
         "n_fast_omitted": len(timings) - len(keep),
         "calib_sec": calib,
         "calib_end": calib_end,
+        "calib_series": calib_series,
         "value_per_calib": value_per_calib,
         **env,
         "load1_end": env_end["load1"],

@@ -1475,12 +1475,19 @@ def _dup_span_starts(docs: DataFrame, id_col: str, text_col: str,
     Two value-identical tiers (pytest-pinned equal, plus a direct
     no-false-negative probe assertion — tests/test_scale_features.py):
 
-    ``bloom=False`` (default, the bench shape): one self-join job — a
-    map-side-combinable count agg on the 8-byte hash, equi-joined back
-    to the positions with the c≥2 filter pushed into the build side.
-    AQE sees the post-filter build side (10 533 rows at sf0.1) and
-    broadcasts it, so the probe positions never shuffle HERE either;
-    everything runs as one job. Measured 1.85 s at sf0.1.
+    ``bloom=False`` (default, the bench shape): ONE gram scan — the
+    position rows shuffle once by the 8-byte hash and a partition-wide
+    count window (``count(*) over (partition by hv)``) prices each
+    gram in place, then c≥2 filters row-locally. (The pre-r15 form was
+    a count agg + verify equi-join: broadcast-cheap on the join, but
+    the count branch and the probe branch each re-ran the whole
+    tokenize→gram→md5 scan — the single most expensive expression
+    chain in the suite, measured 1.25 s/scan at sf0.1; the window form
+    reads 2.1→1.1 s steady. It also removes the broadcast of the
+    dup-gram set, the scaling cliff the bloom tier existed to dodge.)
+    Skew note: one degenerate gram repeated ~10⁹ times would pin its
+    window partition to one task; the bloom tier below stays the
+    escape hatch there (its verify equi-join is AQE-skew-splittable).
 
     ``bloom=True`` (the 100 TB tier): the position table is built once
     and localCheckpointed (the Lee et al. shape — ExactSubstr
@@ -1501,15 +1508,17 @@ def _dup_span_starts(docs: DataFrame, id_col: str, text_col: str,
     the checkpoint + Bloom-build actions add two driver-synchronous
     jobs whose fixed cost exceeds the shuffle they remove, PLANS.md
     r10), which is why it is opt-in rather than the default."""
-    sp = (docs.select(
+    sp = (_spread(docs.select(id_col, text_col), id_col)
+          .select(
         id_col,
         F.posexplode(shingle_hash_array(F.col(text_col), span_len))
         .alias("pos0", "hv"))
         .select(id_col, (F.col("pos0") + 1).alias("pos"), "hv"))
     if not bloom:
-        cnt = sp.groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
-        return (sp.join(cnt, "hv").filter(F.col("c") >= 2)
-                .select(id_col, "pos"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("hv")
+        return (sp.withColumn("c", F.count(F.lit(1)).over(w))
+                .filter(F.col("c") >= 2).select(id_col, "pos"))
     sp = sp.localCheckpoint(eager=True)
     dup_set = (sp.groupBy("hv").agg(F.count(F.lit(1)).alias("c"))
                .filter(F.col("c") >= 2).select("hv"))
@@ -1538,11 +1547,11 @@ def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
     is the final display ratio.
 
     Scale shape: grams stay row-local (``shingle_hash_array``); the
-    dup-start table comes from :func:`_dup_span_starts` — one
-    map-side-combinable count agg + verify equi-join by default, or
-    the checkpointed-position-table + Bloom-prefilter tier with
-    ``bloom=True`` for the regime where the dup-gram set outgrows
-    broadcast (value-identical, tier tradeoffs measured in the helper's
+    dup-start table comes from :func:`_dup_span_starts` — one gram
+    scan with a single positions-by-hash shuffle and a partition-wide
+    count window by default, or the checkpointed-position-table +
+    Bloom-prefilter tier with ``bloom=True`` for degenerate hot-gram
+    skew (value-identical, tier tradeoffs measured in the helper's
     docstring). The lag window is partitioned per doc
     (document-bounded, never corpus-ordered).
     """
@@ -1572,6 +1581,53 @@ def dup_span_coverage(docs: DataFrame, id_col: str = "doc_id",
                             / F.col("n_tokens"), 6).alias("dup_coverage")))
 
 
+def _scrub_rewrite(docs: DataFrame, dup: DataFrame, id_col: str,
+                   text_col: str, span_len: int) -> DataFrame:
+    """Row-local ExactSubstr rewrite shared by the scrub family: per
+    document, drop every token position covered by a duplicated window
+    and rejoin the rest in order.
+
+    Pre-r15 shape: explode EVERY token into a row, anti-join against
+    the exploded covered positions, then ``collect_list`` + sort back
+    per doc — two corpus-token-sized shuffles. Here the only shuffled
+    rows are the dup STARTS (grouped to one int array per affected
+    doc), joined back to the corpus; coverage expansion, token
+    filtering and reassembly all run row-locally. Per-doc work is
+    O(tokens × covered positions) interpreted-HOF time — bounded by
+    document length at ANY corpus size, so the token-shuffle removal
+    is pure win at scale (measured 2.4 → 2.0 s for the rewrite stage
+    at sf0.1, and it drops two Exchanges + a distinct from the plan).
+
+    Output: one row per input doc —
+    ``(id_col, clean_text, n_tokens, n_kept)`` (n_kept = tokens
+    surviving; untouched docs pass through with n_kept = n_tokens;
+    clean_text is whitespace-normalized, same as the exploded form).
+    """
+    starts = dup.groupBy(id_col).agg(F.collect_list("pos").alias("_ss"))
+    toks = tokens(F.col(text_col))
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.col("_ss"), lambda s: F.sequence(s, s + (span_len - 1)))))
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct((i + 1).alias("pos"),
+                                                t.alias("t"))),
+        lambda s: ~F.array_contains(covered, s["pos"]))
+    # covered positions all lie in [1, n_tokens] (starts ≤ n−L+1), so
+    # n_kept = n_tokens − |covered| without a second filter pass
+    return (_spread(docs.select(id_col, text_col), id_col)
+            .join(starts, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col("_ss").isNull(),
+                       F.concat_ws(" ", toks))
+                .otherwise(F.concat_ws(
+                    " ", F.transform(kept, lambda s: s["t"])))
+                .alias("clean_text"),
+                F.size(toks).cast("bigint").alias("n_tokens"),
+                F.when(F.col("_ss").isNull(), F.size(toks))
+                .otherwise(F.size(toks) - F.size(covered))
+                .cast("bigint").alias("n_kept")))
+
+
 def exact_substring_scrub(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", span_len: int = 8,
                           bloom: bool = False) -> DataFrame:
@@ -1587,14 +1643,15 @@ def exact_substring_scrub(docs: DataFrame, id_col: str = "doc_id",
 
     100 TB shape — the same three bounded stages as the C4 scrub:
 
-    1. dup starts: :func:`_dup_span_starts` (count-agg + verify join;
-       ``bloom=True`` for the Bloom-prefiltered at-scale tier; work ∝
-       dup positions, not positions²);
-    2. coverage: each start fans out to its ``span_len`` covered
-       positions + distinct — work ∝ dup occurrences × span_len;
-    3. rewrite: tokens anti-joined against covered (doc, pos) rows,
-       reassembled with one per-doc sort_array(collect_list) — bounded
-       by document length, shuffled on ``id_col`` only.
+    1. dup starts: :func:`_dup_span_starts` (one gram scan, positions
+       shuffled once by hash, partition-wide count window; ``bloom=True``
+       for the Bloom-prefiltered at-scale tier; work ∝ dup positions,
+       not positions²);
+    2. coverage + rewrite: the dup starts group to one array per
+       affected doc and join back to the corpus; window expansion,
+       token filtering and reassembly run ROW-LOCALLY
+       (:func:`_scrub_rewrite`) — work ∝ document length, zero
+       token-sized shuffles.
 
     Fully-duplicated documents survive with empty text (left join back
     to the corpus) so downstream length gates decide their fate.
@@ -1602,36 +1659,10 @@ def exact_substring_scrub(docs: DataFrame, id_col: str = "doc_id",
     Output: ``(id_col, clean_text, n_tokens, n_removed)``.
     """
     dup = _dup_span_starts(docs, id_col, text_col, span_len, bloom)
-    covered = (dup.select(
-        id_col,
-        F.explode(F.sequence(F.col("pos"),
-                             F.col("pos") + (span_len - 1))).alias("pos"))
-        .distinct())
-    tokpos = (
-        _spread(docs.select(id_col, text_col), id_col)
-        .select(id_col,
-                F.posexplode(tokens(F.col(text_col))).alias("pos0", "t"))
-        .select(id_col, (F.col("pos0") + 1).alias("pos"), "t"))
-    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("ks"))
-        .select(id_col,
-                F.expr("concat_ws(' ', transform(ks, s -> s.t))")
-                .alias("clean_text"),
-                F.size("ks").cast("bigint").alias("n_kept"))
-    )
-    base = docs.select(
-        id_col,
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"))
-    return (
-        base.join(rebuilt, id_col, "left")
-        .select(id_col,
-                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                "n_tokens",
-                (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-                .cast("bigint").alias("n_removed"))
-    )
+    return (_scrub_rewrite(docs, dup, id_col, text_col, span_len)
+            .select(id_col, "clean_text", "n_tokens",
+                    (F.col("n_tokens") - F.col("n_kept"))
+                    .cast("bigint").alias("n_removed")))
 
 
 def scrub_effect_summary(docs: DataFrame, id_col: str = "doc_id",
@@ -1650,7 +1681,7 @@ def scrub_effect_summary(docs: DataFrame, id_col: str = "doc_id",
     Scale shape — the dup-start frame is computed ONCE and
     localCheckpointed (dup-position-sized, ~20 B/row), then reused by
     BOTH consumers (the before-metric's telescoping lag window and the
-    scrub's covered-position fanout) instead of letting each branch
+    row-local :func:`_scrub_rewrite`) instead of letting each branch
     recompute the gram scan; the after-metric necessarily re-shingles
     the rebuilt text (it is a different corpus). Token-count note: a
     fully-scrubbed document re-measures as 1 token (tokenizing ''
@@ -1674,31 +1705,12 @@ def scrub_effect_summary(docs: DataFrame, id_col: str = "doc_id",
     tok_before = docs.agg(
         F.sum(F.size(tokens(F.col(text_col)))).cast("bigint")
         .alias("tokens_before"))
-    covered = (dup.select(
-        id_col,
-        F.explode(F.sequence(F.col("pos"),
-                             F.col("pos") + (span_len - 1))).alias("pos"))
-        .distinct())
-    tokpos = (
-        _spread(docs.select(id_col, text_col), id_col)
-        .select(id_col,
-                F.posexplode(tokens(F.col(text_col))).alias("pos0", "t"))
-        .select(id_col, (F.col("pos0") + 1).alias("pos"), "t"))
-    kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("ks"))
-        .select(id_col,
-                F.expr("concat_ws(' ', transform(ks, s -> s.t))")
-                .alias("clean_text")))
     # localCheckpoint: the after-metric's self-join + base branch would
-    # otherwise re-execute the whole scrub chain (token explode →
-    # anti-join → per-doc reassembly) three times; the rebuilt corpus is
-    # docs-sized, exactly what a real pipeline would have written to the
-    # lake before re-measuring (measured 3.65 → 2.69 s steady at sf0.1)
-    clean = (docs.select(id_col).join(rebuilt, id_col, "left")
-             .select(id_col,
-                     F.coalesce("clean_text", F.lit("")).alias(text_col))
+    # otherwise re-execute the whole scrub rewrite three times; the
+    # rebuilt corpus is docs-sized, exactly what a real pipeline would
+    # have written to the lake before re-measuring
+    clean = (_scrub_rewrite(docs, dup, id_col, text_col, span_len)
+             .select(id_col, F.col("clean_text").alias(text_col))
              .localCheckpoint(eager=True))
     after = (dup_span_coverage(clean, id_col, text_col, span_len)
              .agg(F.sum("n_tokens").cast("bigint").alias("tokens_after"),
@@ -1734,13 +1746,14 @@ def exact_substring_scrub_fixpoint(docs: DataFrame, id_col: str = "doc_id",
 
     Scale shape — per pass, the dup-start frame is computed ONCE and
     localCheckpointed (dup-position-sized), reused by BOTH the pass's
-    telescoping coverage metric and its scrub rewrite (the
-    :func:`scrub_effect_summary` discipline); each rebuilt corpus is
-    localCheckpointed before the next pass re-shingles it (a genuinely
-    different corpus — the re-shingle is irreducible, exactly the
-    iterated cost Lee et al. pay). Work per pass ∝ the REMAINING dup
-    occurrences, so passes get monotonically cheaper; all shuffles stay
-    keyed on the 8-byte hash or ``id_col``. Token convention: a fully
+    telescoping coverage metric and the row-local
+    :func:`_scrub_rewrite` (the :func:`scrub_effect_summary`
+    discipline); each rebuilt corpus is localCheckpointed before the
+    next pass re-shingles it (a genuinely different corpus — the
+    re-shingle is irreducible, exactly the iterated cost Lee et al.
+    pay). Work per pass ∝ the REMAINING dup occurrences, so passes get
+    monotonically cheaper; all shuffles stay keyed on the 8-byte hash
+    or ``id_col``. Token convention: a fully
     scrubbed document re-measures as 1 token (tokenizing '' yields ['']
     on both engines).
 
@@ -1794,29 +1807,8 @@ def exact_substring_scrub_fixpoint(docs: DataFrame, id_col: str = "doc_id",
                     F.round(F.lit(0).cast("bigint") / F.col("tokens"), 6)
                     .alias("coverage")))
             break
-        covered = (dup.select(
-            id_col,
-            F.explode(F.sequence(F.col("pos"),
-                                 F.col("pos") + (span_len - 1)))
-            .alias("pos")).distinct())
-        tokpos = (
-            _spread(cur.select(id_col, text_col), id_col)
-            .select(id_col,
-                    F.posexplode(tokens(F.col(text_col)))
-                    .alias("pos0", "t"))
-            .select(id_col, (F.col("pos0") + 1).alias("pos"), "t"))
-        kept = tokpos.join(covered, [id_col, "pos"], "left_anti")
-        rebuilt = (
-            kept.groupBy(id_col)
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "t")))
-                 .alias("ks"))
-            .select(id_col,
-                    F.expr("concat_ws(' ', transform(ks, s -> s.t))")
-                    .alias("clean_text")))
-        cur = (cur.select(id_col).join(rebuilt, id_col, "left")
-               .select(id_col,
-                       F.coalesce("clean_text", F.lit(""))
-                       .alias(text_col))
+        cur = (_scrub_rewrite(cur, dup, id_col, text_col, span_len)
+               .select(id_col, F.col("clean_text").alias(text_col))
                .localCheckpoint(eager=True))
     return reduce(DataFrame.unionAll, rows)
 

@@ -106,11 +106,23 @@ def _range_bucketed(df: DataFrame, value_col: str, descending: bool,
         raise ValueError(f"n_ranges must be >= 2, got {n_ranges}")
     snap = df.localCheckpoint(eager=True) if checkpoint else df
     if cuts is None:
+        # Lazy boundary estimate (r15): the cut array rides the plan as
+        # a broadcast 1-row cross join instead of a driver-synchronous
+        # ``.first()`` — one fewer blocking job per quantile query
+        # (both the estimate and the main pass still read the ONE
+        # checkpoint). Duplicate cuts are not collapsed here; they only
+        # create empty ranges, and any monotone bucketing reconstructs
+        # identical ranks (module contract above).
         probs = [i / n_ranges for i in range(1, n_ranges)]
         cuts_row = snap.agg(
             F.percentile_approx(value_col, probs,
-                                BOUNDARY_ACCURACY).alias("c")).first()
-        cuts = [c for c in (cuts_row["c"] or []) if c is not None]
+                                BOUNDARY_ACCURACY).alias("__cuts"))
+        past = ((lambda c: F.col(value_col) < c) if descending
+                else (lambda c: F.col(value_col) > c))
+        return (snap.join(F.broadcast(cuts_row))
+                .withColumn("__rng",
+                            F.size(F.filter(F.col("__cuts"), past)))
+                .drop("__cuts"))
     cuts = sorted(set(cuts), reverse=descending)
     rng: Column = F.lit(0)
     for c in cuts:

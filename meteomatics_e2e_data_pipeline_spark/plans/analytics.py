@@ -2336,28 +2336,35 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the three digits concatenate into the marketing segment
     code. Scale shape: one |customers|-sized rollup (map-side
     combinable), three quartile assignments over that rollup — never
-    the fact — and the as-of date is a 1-row scalar collected once like
-    the heavy-hitters total. Each quartile runs through
+    the fact — and the as-of date rides the plan as a broadcast 1-row
+    scalar (r15: the collected-``first()`` form plus a separate
+    boundary-estimate action cost two driver-synchronous jobs per run;
+    now the only construction-time job is the rollup checkpoint — the
+    per-axis boundary estimates are lazy broadcast branches inside
+    ``global_ntile`` itself). Each quartile runs through
     ``operators/quantiles.global_ntile`` (round 7): range-bucketed
     parallel ranking + broadcast offsets that reproduce SQL ntile
     bit-for-bit with NO single-partition sort, so the three-window
     oracle stays the semantic spec and the plan survives 100×."""
     orders = load_table(spark, sf_dir, "orders")
-    asof = orders.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    asof = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("__asof"))
     rollup = (
         orders.groupBy("o_custkey")
-        .agg(F.datediff(F.lit(asof), F.max(F.to_date("o_orderdate")))
-             .alias("recency_days"),
+        .agg(F.max(F.to_date("o_orderdate")).alias("__last"),
              F.count(F.lit(1)).alias("frequency"),
              F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+        .join(F.broadcast(asof))
+        .select("o_custkey",
+                F.datediff(F.col("__asof"), F.col("__last"))
+                .alias("recency_days"),
+                "frequency", "monetary")
     )
-    # ONE materialization + ONE combined boundary-estimate pass feed all
-    # three quartile passes (checkpoint=False / cuts= skip the per-call
-    # copy and action), and the three (custkey, bucket) frames join back
-    # on the key — custkey-keyed shuffles, no windowed chain.
+    # ONE materialization feeds all three quartile passes
+    # (checkpoint=False skips the per-call copy), and the three
+    # (custkey, bucket) frames join back on the key — custkey-keyed
+    # shuffles, no windowed chain.
     snap = rollup.localCheckpoint(eager=True)
-    cuts = quantiles.estimate_range_cuts(
-        snap, ["recency_days", "frequency", "monetary"])
     quart = snap
     for value, desc, out in (("recency_days", False, "r_quartile"),
                              ("frequency", True, "f_quartile"),
@@ -2365,7 +2372,6 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = quantiles.global_ntile(
             snap.select("o_custkey", value), value, 4, "o_custkey",
             descending=desc, out_col=out, checkpoint=False,
-            cuts=cuts[value],
         ).select("o_custkey", out)
         quart = quart.join(b, "o_custkey")
     return (

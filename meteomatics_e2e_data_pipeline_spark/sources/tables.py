@@ -8,6 +8,7 @@ directory-partitioned lake; nothing here assumes local files.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,9 +24,26 @@ TABLE_NAMES = (
 SMALL_TABLES = frozenset({"region", "nation"})
 
 
+# Scan-handle reuse, keyed (session, sf_dir, name). This caches the
+# lazy DataFrame PLAN object only — no rows, no .cache(): every
+# execution still scans the parquet files. Building a fresh handle
+# costs ~100-150 ms of driver work (file listing + footer/schema read
+# over py4j), and a typical star query opens 3-5 tables, so rebuilding
+# identical handles per query was one of the suite's largest fixed
+# costs (guide §5: the driver should do almost no data work — that
+# includes re-doing metadata work). Weak-keyed on the session, same
+# discipline as plans/llmdata._DF_ARTIFACTS.
+_HANDLES: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    cache = _HANDLES.setdefault(spark, {})
+    hit = cache.get((sf_dir, name))
+    if hit is not None:
+        return hit
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
@@ -47,8 +65,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # normalize to TIMESTAMP (session-TZ) so downstream date/window
             # arithmetic and the DuckDB oracle agree on one timestamp kind
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        cache[(sf_dir, name)] = df
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    cache[(sf_dir, name)] = df
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
