@@ -1120,50 +1120,91 @@ def mmr_rerank(cands: DataFrame, psim: DataFrame, k: int,
     Inputs: ``cands`` (id, rel) — the k-bounded candidate list from any
     first-stage ranker — and ``psim`` (id_a, id_b, sim), the pairwise
     similarities among candidates (both directions). The greedy loop is
-    inherently sequential, so it unrolls into ``k`` DataFrame steps
-    (anti-join remaining → max-redundancy aggregate → argmax via
-    TakeOrdered-1); nothing collects to the driver, and every frame is
-    candidate-bounded (≤ |cands| rows) and localCheckpointed so each
-    step runs over materialized leaves — k tiny jobs is the whole cost
-    at any corpus size. Ties break on ``id_col``; scores are
-    λ-combinations of two doubles (max is order-free), deterministic
+    inherently sequential and its inputs are candidate-bounded BY
+    CONTRACT, so the selection runs as one bounded driver fold over the
+    two checkpointed frames (the codebook/centroid-trainer discipline),
+    and the output ranks/scores are recomputed in-plan from the
+    selection — one small job instead of k driver-synchronous join
+    jobs. Ties break on ``id_col``; scores are λ-combinations of
+    6-dp-gridded doubles (max is order-free), deterministic
     cross-engine; round at display only.
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    # Truncate lineage ONCE on the two candidate-bounded inputs: every
-    # unrolled step references both, so without this each of the k steps
-    # re-derives the full first-stage retrieval + pairwise-sim pipeline
-    # (O(k) re-executions of the expensive upstream; measured 7.8 s →
-    # ~2 s at sf0.1). Both frames are ≤ |cands|(²) rows — checkpointing
-    # them is exactly "materialize the candidate list before reranking",
-    # which is what a serving stack does anyway.
+    # Truncate lineage ONCE on the two candidate-bounded inputs (they
+    # are read by the selection fold below AND by the output plan, and
+    # each is ≤ |cands|(²) rows — checkpointing is exactly "materialize
+    # the candidate list before reranking", which a serving stack does
+    # anyway).
     cands = cands.localCheckpoint()
     psim = psim.localCheckpoint()
-    first = (cands.orderBy(F.col(rel_col).desc(), id_col).limit(1)
-             .select(id_col, F.col(rel_col),
-                     F.lit(1).alias("mmr_rank"),
-                     F.col(rel_col).alias("mmr_score")))
-    selected = first.localCheckpoint()
-    for i in range(2, k + 1):
-        rem = cands.join(selected.select(id_col), id_col, "left_anti")
-        red = (rem.join(psim, rem[id_col] == psim["id_a"])
-               .join(selected.select(F.col(id_col).alias("__sid")),
-                     F.col("id_b") == F.col("__sid"))
-               .groupBy(rem[id_col].alias(id_col), rem[rel_col])
-               .agg(F.max("sim").alias("__maxred")))
-        step = (red.select(
-                    id_col, rel_col, F.lit(i).alias("mmr_rank"),
-                    (F.lit(lam) * F.col(rel_col)
-                     - F.lit(1.0 - lam) * F.col("__maxred"))
-                    .alias("mmr_score"))
-                .orderBy(F.col("mmr_score").desc(), id_col).limit(1))
-        # ≤ k rows; keeps step i+1's plan referencing a leaf instead of
-        # the union-of-unions lineage (plan depth stays O(1) per step)
-        selected = selected.unionByName(step).localCheckpoint()
-    return selected.select(
-        id_col, F.col("mmr_rank").cast("int").alias("mmr_rank"),
-        F.round(F.col("mmr_score"), 6).alias("mmr_score"))
+    # Greedy selection is inherently sequential; r15 runs it as ONE
+    # bounded driver fold over the two checkpointed frames (the same
+    # bounded-collect discipline as the codebook/centroid trainers)
+    # instead of k unrolled driver-synchronous join jobs — at k=5 the
+    # unrolled form cost ~7 blocking jobs (~1.9 s) of pure scheduling
+    # latency at ANY corpus size. Both inputs carry 6-dp-rounded
+    # doubles, and λ·rel − (1−λ)·max(sim) is the same IEEE-double
+    # arithmetic the unrolled plan evaluated, so the selected set and
+    # order are bit-identical; ties break on id ascending, as before.
+    # The OUTPUT rows (ranks + scores) are then recomputed IN-PLAN from
+    # the selection, keeping score typing/rounding in Spark.
+    crows = cands.select(id_col, rel_col).collect()
+    rel = {r[id_col]: r[rel_col] for r in crows
+           if r[rel_col] is not None}
+    sims: dict = {}
+    for r in psim.select("id_a", "id_b", "sim").collect():
+        sims.setdefault(r["id_a"], {})[r["id_b"]] = r["sim"]
+    sel: list = []
+    if rel:
+        sel.append(min(rel, key=lambda d: (-rel[d], d)))
+    while rel and len(sel) < k:
+        chosen = set(sel)
+        best = None
+        for d, dr in rel.items():
+            if d in chosen:
+                continue
+            reds = [s for s2, s in sims.get(d, {}).items()
+                    if s2 in chosen]
+            if not reds:
+                continue  # no sim edge to the selected set: ineligible
+                # (the unrolled form's inner joins drop such rows too)
+            score = lam * dr - (1.0 - lam) * max(reds)
+            if best is None or (-score, d) < (-best[0], best[1]):
+                best = (score, d)
+        if best is None:
+            break  # selection can never grow again
+        sel.append(best[1])
+    if not sel:
+        return (cands.select(id_col,
+                             F.lit(1).cast("int").alias("mmr_rank"),
+                             F.round(F.col(rel_col), 6)
+                             .alias("mmr_score"))
+                .limit(0))
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    spark = cands.sparkSession
+    sel_df = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(sel)],
+        StructType([StructField(id_col, cands.schema[id_col].dataType,
+                                False),
+                    StructField("mmr_rank", IntegerType(), False)]))
+    red = (sel_df.join(psim, sel_df[id_col] == psim["id_a"])
+           .join(sel_df.select(F.col(id_col).alias("__pid"),
+                               F.col("mmr_rank").alias("__prank")),
+                 F.col("id_b") == F.col("__pid"))
+           .filter(F.col("__prank") < sel_df["mmr_rank"])
+           .groupBy(sel_df[id_col].alias(id_col))
+           .agg(F.max("sim").alias("__maxred")))
+    return (sel_df.join(cands.select(id_col, rel_col), id_col)
+            .join(red, id_col, "left")
+            .withColumn("mmr_score",
+                        F.when(F.col("mmr_rank") == 1, F.col(rel_col))
+                        .otherwise(F.lit(lam) * F.col(rel_col)
+                                   - F.lit(1.0 - lam)
+                                   * F.col("__maxred")))
+            .select(id_col, F.col("mmr_rank").cast("int")
+                    .alias("mmr_rank"),
+                    F.round(F.col("mmr_score"), 6).alias("mmr_score")))
 
 
 def centroid_drift(emb: DataFrame, split_expr: Column | None = None,
