@@ -119,9 +119,25 @@ def test_bnlj_only_in_intended_queries(all_plans):
                "important_parts_by_revenue",
                # 1-row percentile-cuts crossJoin (quantile_cut) —
                # bounded by construction like bm25's stats row
-               # (parts_abc_classes left the list in round 7: its total
-               # now rides the config-sized offsets broadcast instead)
                "customer_spend_quartiles_cut",
+               # r15 lazy boundary estimate (quantiles._range_bucketed):
+               # every global_ntile / global_row_number /
+               # global_running_sum(s) consumer now carries a 1-row
+               # percentile_approx cuts frame as a broadcast crossJoin
+               # instead of a driver-blocking .first() — the broadcast
+               # side is a single aggregate row BY CONSTRUCTION (an agg
+               # with no grouping keys), never data-sized, so each BNLJ
+               # is bounded exactly like quantile_cut's cuts row above.
+               # Reconciles the round-7 note that parts_abc_classes had
+               # left this list (its total rode the offsets broadcast):
+               # the r15 rework re-adds the boundary-estimate row as an
+               # in-plan broadcast, trading the BNLJ marker for one
+               # fewer blocking job per quantile query (measured: RFM
+               # 3.89→1.86 s in the r15 driver bench).
+               "customer_spend_quartiles", "customer_rfm_segments",
+               "parts_abc_classes", "supplier_revenue_ranks",
+               "docs_classifier_auc", "docs_curriculum_order",
+               "docs_shuffle_order", "docs_ks_drift",
                # 1-row best-metric crossJoin (max f1 / max J scalar
                # frame broadcast against the distinct-score sweep) —
                # bounded by construction like bm25's stats row
