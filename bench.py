@@ -120,6 +120,21 @@ def main() -> None:
         run(q_emb_ann_ivf_indexed(spark, sf_dir))
     except Exception as exc:  # noqa: BLE001
         print(f"bench: ann-index warm-up failed: {exc}", file=sys.stderr)
+    # ... and the shared brute-force ground-truth session artifact the
+    # five recall queries slice (r15 verdict #6/#3: the first recall
+    # consumer to run paid the one-time truth build, making the
+    # family's per-query numbers order-dependent; building it in
+    # warm-up — like the star and the ANN index above — keeps every
+    # recall number attributable to its own query. Declared in the
+    # parsed JSON as "warm_artifacts").
+    warm_artifacts = []
+    try:
+        from meteomatics_e2e_data_pipeline_spark.plans.llmdata import (
+            _bf_truth)
+        _bf_truth(spark, sf_dir)
+        warm_artifacts.append("bf_truth")
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: bf-truth warm-up failed: {exc}", file=sys.stderr)
     # ... and the three adopted-orders tables (flat+bloom, hive-
     # partitioned+DML, deletion-vector) — each is a one-time
     # fingerprint-keyed convert/DML chain under /tmp; build it here so
@@ -265,11 +280,12 @@ def main() -> None:
     for name, t in sorted(timings.items(),
                           key=lambda kv: (kv[1] >= 0, -kv[1])):
         keep[name] = t
-        # reserve ~380 bytes for the fixed fields incl. the start+close
-        # env/calib markers and the mid-run calib_series (r14 verdict
-        # #1 residual: the drift evidence must live in the PARSED line,
-        # not only in the full line the driver's tail capture truncates)
-        if sum(len(k) + 12 for k in keep) > budget - 380:
+        # reserve ~420 bytes for the fixed fields incl. the start+close
+        # env/calib markers, the mid-run calib_series (r14 verdict #1
+        # residual: the drift evidence must live in the PARSED line,
+        # not only in the full line the driver's tail capture
+        # truncates) and the r16 warm_artifacts declaration
+        if sum(len(k) + 12 for k in keep) > budget - 420:
             del keep[name]
             break
     # fastest-first inside the line so a further truncation still ends
@@ -282,6 +298,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_fast_omitted": len(timings) - len(keep),
+        "warm_artifacts": warm_artifacts,
         "calib_sec": calib,
         "calib_end": calib_end,
         "calib_series": calib_series,

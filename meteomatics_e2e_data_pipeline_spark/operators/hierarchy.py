@@ -16,11 +16,21 @@ reassociates the path addition, so float weights could drift vs a
 sequential oracle walk; decimal addition is associative and matches
 the recursive-CTE oracle bit-for-bit.
 
-Each round is ``localCheckpoint``-ed (plan depth stays O(1)) and
-convergence is detected by the monotone total-depth fixpoint, with the
-iteration count exposed for observability, mirroring the dup-cluster
-loops. No reference-repo counterpart (its SQL is non-recursive dbt
-models); this serves the analytics extension surface.
+Driver-job budget (r16, guide §5): ONE blocking job per round. Each
+round's state is LAZILY localCheckpointed — the plan truncates to a
+flat LogicalRDD immediately (the state appears twice per round, as
+itself and as its own join target, so an untruncated plan would double
+per round and Catalyst's tree walks would go exponential in depth) and
+the convergence aggregate rides the job that materializes it. The r15
+form paid TWO jobs per round (eager localCheckpoint + a separate
+fixpoint agg) plus a standalone orphan-check job and needed one extra
+no-change round to detect the fixpoint. The state now carries
+``at_root`` ("my jump pointer is a root"), which composes exactly (new
+at_root = target's at_root), so the loop stops the same round
+convergence happens; the orphan test rides the first aggregate.
+
+No reference-repo counterpart (its SQL is non-recursive dbt models);
+this serves the analytics extension surface.
 """
 
 from __future__ import annotations
@@ -54,50 +64,70 @@ def ancestor_rollup(nodes: DataFrame, id_col: str = "id",
     # the usual SQL sum-with-null semantics), while "parent row absent"
     # is the malformed shape — conflating the two via pw.isNull() would
     # misreport the former as orphaned (r8 advisor finding).
+    # ``p_is_root`` seeds the at_root convergence flag: a non-root
+    # node's initial jump is its parent, so it is settled iff the
+    # parent is a root — known from the parent row itself.
     pw = base.select(F.col("id").alias("parent"),
                      F.col("w").alias("pw"),
-                     F.lit(1).alias("_parent_seen"))
+                     F.lit(1).alias("_parent_seen"),
+                     (F.col("parent") == F.col("id")).alias("p_is_root"))
     is_root = F.col("id") == F.col("parent")
     zero_w = F.lit(0).cast(base.schema["w"].dataType)
-    joined = base.join(pw, "parent", "left").localCheckpoint(eager=True)
-    orphans = joined.where(F.col("_parent_seen").isNull())
-    if orphans.limit(1).count():
-        bad = [r.id for r in orphans.select("id").limit(5).collect()]
-        raise ValueError(
-            f"hierarchy has orphan parent pointers (e.g. node ids "
-            f"{bad}): every non-root row's parent must exist in the "
-            f"input")
     state = (
-        joined
+        base.join(pw, "parent", "left")
         .select(
             "id",
             F.when(is_root, F.col("id")).otherwise(F.col("parent"))
             .alias("jump"),
             F.when(is_root, 0).otherwise(1).cast("bigint").alias("d"),
-            F.when(is_root, zero_w).otherwise(F.col("pw")).alias("s"))
-        .localCheckpoint(eager=True)
+            F.when(is_root, zero_w).otherwise(F.col("pw")).alias("s"),
+            F.when(is_root, F.lit(True))
+            .otherwise(F.coalesce(F.col("p_is_root"), F.lit(False)))
+            .alias("at_root"),
+            # roots always self-match in pw, so "marker absent" alone is
+            # the orphan signal (a NULL parent also lands here — ``~is_root``
+            # would go NULL on it and hide the orphan from max())
+            F.col("_parent_seen").isNull().alias("__orphan"))
+        .localCheckpoint(eager=False)
     )
-    total_d = state.agg(F.sum("d")).first()[0]
-    for _ in range(max_iters):
+    # one job: materializes the state's checkpoint AND answers both the
+    # orphan test and "how many nodes still point below a root"
+    row = state.agg(
+        F.max(F.col("__orphan").cast("int")).alias("bad"),
+        F.sum((~F.col("at_root")).cast("int")).alias("unresolved")).first()
+    if row["bad"]:
+        bad = [r.id for r in state.where("__orphan")
+               .select("id").limit(5).collect()]
+        raise ValueError(
+            f"hierarchy has orphan parent pointers (e.g. node ids "
+            f"{bad}): every non-root row's parent must exist in the "
+            f"input")
+    unresolved = row["unresolved"] or 0
+    iters = 0
+    while unresolved:
+        if iters >= max_iters:
+            raise ValueError(
+                f"hierarchy did not converge in {max_iters} doubling "
+                f"rounds — cycle in the parent pointers?")
+        iters += 1
         target = state.select(F.col("id").alias("jid"),
                               F.col("jump").alias("jjump"),
                               F.col("d").alias("jd"),
-                              F.col("s").alias("js"))
-        state = (
+                              F.col("s").alias("js"),
+                              F.col("at_root").alias("jat_root"))
+        new_state = (
             state.join(target, state.jump == target.jid)
             .select("id", F.col("jjump").alias("jump"),
                     (F.col("d") + F.col("jd")).alias("d"),
-                    (F.col("s") + F.col("js")).alias("s"))
-            .localCheckpoint(eager=True)
+                    (F.col("s") + F.col("js")).alias("s"),
+                    # my new jump is the target's jump, so "my jump is
+                    # a root" is exactly the target's own flag
+                    F.col("jat_root").alias("at_root"))
+            .localCheckpoint(eager=False)
         )
-        new_total = state.agg(F.sum("d")).first()[0]
-        if new_total == total_d:
-            break
-        total_d = new_total
-    else:
-        raise ValueError(
-            f"hierarchy did not converge in {max_iters} doubling rounds "
-            f"— cycle in the parent pointers?")
+        unresolved = new_state.agg(
+            F.sum((~F.col("at_root")).cast("int"))).first()[0] or 0
+        state = new_state
     return (
         base.select("id", "w")
         .join(state, "id")

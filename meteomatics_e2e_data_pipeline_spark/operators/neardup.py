@@ -619,18 +619,25 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     no windows, nothing corpus-quadratic; the working edge set only
     shrinks toward one star per component (edges (v, component_min)),
     from which labels read off directly. Fixed-point detection is a
-    symmetric-difference count on the O(E) edge frame; every round is
-    ``localCheckpoint``-ed to keep plan depth constant, same as the
-    propagation path.
+    symmetric-difference aggregate on the O(E) edge frame, riding the
+    ONE job per round that materializes the round output (guide §5 —
+    the r15 form paid an eager-checkpoint job plus a count job per
+    round, and two more at construction). Rounds are LAZILY
+    localCheckpointed: the plan truncates to a flat LogicalRDD
+    immediately (``work`` appears twice per round, so an untruncated
+    plan would double per round), and materialization rides the
+    fixed-point aggregate. ``verts`` is consumed exactly once (the
+    final label join), so it is left fully lazy: materializing it
+    early would add a job without saving any work.
     """
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .filter(F.col("u") != F.col("v")))
     verts = (edges.select("u")
              .unionByName(edges.select(F.col("v").alias("u")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct())
     work = (edges.select(F.greatest("u", "v").alias("hi"),
                          F.least("u", "v").alias("lo"))
-            .distinct().localCheckpoint(eager=True))
+            .distinct().localCheckpoint(eager=False))
     for _ in range(max_iter):
         # -- large-star --
         sym = (work.select(F.col("hi").alias("n"), F.col("lo").alias("m"))
@@ -652,12 +659,16 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
             .unionByName(withm.filter(F.col("lo") != F.col("mn"))
                          .select(F.col("lo").alias("hi"),
                                  F.col("mn").alias("lo")))
-            .distinct().localCheckpoint(eager=True))
+            .distinct().localCheckpoint(eager=False))
+        # one job: materializes new_work's checkpoint AND answers the
+        # fixed-point test (a full aggregate, not filter+limit+count —
+        # a limit could short-circuit before every partition computes)
         changed = (new_work.unionByName(work)
                    .groupBy("hi", "lo").agg(F.count(F.lit(1)).alias("c"))
-                   .filter("c = 1").limit(1).count())
-        prev, work = work, new_work
-        if changed == 0:
+                   .agg(F.max(F.when(F.col("c") == 1, 1).otherwise(0)))
+                   .first()[0])
+        work = new_work
+        if not changed:
             # fixed point: every edge is (vertex, component_min)
             return (verts.join(
                 work.select(F.col("hi").alias("u"),
@@ -717,6 +728,17 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # MEASURED, NOT CHANGED (r16, guide §1): the lazy-checkpoint
+    # variant of this loop (one combined materialize+convergence job
+    # per iteration instead of eager checkpoint + count) was
+    # implemented and benchmarked — it made the incremental-maintenance
+    # consumer SLOWER and high-variance (2.8 → 3.0–5.1 s): with the
+    # initial labels lazy, iteration 1's job computes the persisted
+    # `edges` from two concurrent subtrees (the neighbor join and the
+    # labels lineage) before the cache lands, duplicating the whole
+    # upstream pair chain; even with an eager seed, the lazy iterations
+    # showed nondeterministic duplicate compute. The eager form keeps
+    # each round's work materialized exactly once, serially.
     labels = (edges.select("u").distinct()
               .select("u", F.col("u").alias("lbl"))
               .localCheckpoint(eager=True))
@@ -1976,26 +1998,36 @@ def pagerank(pairs: DataFrame, iters: int = 3, d: float = PAGERANK_D,
     order-free across partitions, so the fixed-iteration loop unrolls
     into a DuckDB oracle like the Lloyd and power-iteration unrolls.
     Scale shapes: each step is one shuffle keyed on the destination
-    node (partial-aggregatable); state per iteration is |nodes| rows,
-    localCheckpointed to cut lineage exactly like label propagation in
-    :func:`dup_clusters`. Per-key work is bounded by degree; a template
+    node (partial-aggregatable); state per iteration is |nodes| rows
+    over persisted edge/degree leaves — the fixed-iteration chain runs
+    lazily inside the consumer's one action (no mid-loop driver sync).
+    Per-key work is bounded by degree; a template
     hub with extreme degree is the same skew exposure as the cluster
     ops (AQE skew-join handles it at scale).
 
     Output: (doc_id, degree, pagerank) for every node of the graph.
     """
+    from pyspark import StorageLevel
+
     # Materialize the edge list ONCE: without this every iteration's
     # join re-runs whatever pipeline produced `pairs` (for the near-dup
     # graph that is the full banded discovery — iters× the dominant
     # cost). Same artifact discipline as the incremental pair cache.
+    # r16 (guide §5): edges/deg are persisted and BOTH ride the one
+    # unavoidable driver action (the N count); the fixed-iteration loop
+    # itself is left fully lazy — no driver ever reads a mid-loop
+    # frame, so the old per-iteration eager checkpoints were pure
+    # blocking-job overhead (3 extra driver syncs per query). Plan
+    # depth is iters (=3) joins over cached leaves — O(1) per round for
+    # the planner via InMemoryRelation substitution.
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"),
                                   F.col(src).alias("v")))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")) \
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     n = deg.count()
     base = (1.0 - d) / n
     pr = deg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("pr"))
@@ -2009,7 +2041,6 @@ def pagerank(pairs: DataFrame, iters: int = 3, d: float = PAGERANK_D,
                          .cast("double"), 12).alias("s"))
             .select("node",
                     (F.lit(base) + F.lit(d) * F.col("s")).alias("pr"))
-            .localCheckpoint()
         )
     return (
         pr.join(deg, pr.node == deg.u)
@@ -2035,16 +2066,21 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
 
     Scale shape: each round is one map-side-combinable degree aggregate
     plus two keyed LEFT SEMI joins (edge endpoint ∈ survivors) — no
-    broadcast of vertex sets needed, no all-pairs anything; rounds are
-    ``localCheckpoint``-ed so plan depth stays constant like the other
-    iterative graph loops. Real k-core peel counts are tiny in practice
-    (peeling is monotone: total work is bounded by Σ rounds · |E|)."""
+    broadcast of vertex sets needed, no all-pairs anything; each
+    round's edge set is LAZILY localCheckpointed so every round
+    materializes at most once inside the consumer's ONE action and the
+    plan stays a flat LogicalRDD per round (r16, guide §5: the old
+    per-round eager checkpoints cost rounds+1 driver-blocking jobs per
+    query for a loop no driver decision ever reads — fixed rounds, so
+    the whole peel chains lazily). Real k-core peel counts are tiny in
+    practice (peeling is monotone: total work is bounded by
+    Σ rounds · |E|)."""
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("u"),
                          F.col("doc_a").alias("v")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -2052,7 +2088,7 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
         edges = (
             edges.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (edges.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree"))
             .select(F.col("u").alias("doc_id"), "core_degree"))

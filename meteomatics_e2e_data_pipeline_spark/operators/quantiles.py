@@ -24,10 +24,11 @@ for free):
    window for exclusive offsets + the grand total, broadcast back;
 5. global rank / cumsum = range offset + local value: row-local.
 
-The input is ``localCheckpoint``-ed so the boundary-estimate job and
-the main job read ONE materialization (the frames are dimension-grain
-rollups — bounded by contract; checkpointing also means the fact is
-scanned once).
+The input is ``persist``-ed so the boundary-estimate branch and the
+main pass read ONE materialization (the frames are dimension-grain
+rollups — bounded by contract; persisting also means the fact is
+scanned once), and the materialization rides the consumer's action —
+no construction-time blocking job (r16).
 
 Exactness: ranks are integers built from row_number — no floating
 arithmetic — so ``global_ntile`` reproduces SQL ``ntile`` bit-for-bit
@@ -104,7 +105,16 @@ def _range_bucketed(df: DataFrame, value_col: str, descending: bool,
     boundaries from :func:`estimate_range_cuts`."""
     if n_ranges < 2:
         raise ValueError(f"n_ranges must be >= 2, got {n_ranges}")
-    snap = df.localCheckpoint(eager=True) if checkpoint else df
+    # LAZY localCheckpoint, not an EAGER one (r16, guide §5): all three
+    # consumers of the snapshot (boundary-estimate branch, local
+    # ranking, offsets aggregate) live inside the consumer's one
+    # action, and no driver decision reads it — so the materialization
+    # rides that action instead of costing a construction-time blocking
+    # job per quantile query. The plan still truncates to a flat
+    # LogicalRDD at construction (same plan shape as before), and the
+    # one-materialization property is preserved: the first branch to
+    # execute populates the checkpoint the others read.
+    snap = df.localCheckpoint(eager=False) if checkpoint else df
     if cuts is None:
         # Lazy boundary estimate (r15): the cut array rides the plan as
         # a broadcast 1-row cross join instead of a driver-synchronous

@@ -1108,6 +1108,14 @@ def pairwise_cosine(vectors: DataFrame, id_col: str = "vec_id",
                     F.round(_PAIR_COS(), 6).alias("sim")))
 
 
+# Hard cap on the candidate list a rerank may collect to the driver —
+# makes the "candidate-bounded by contract" promise explicit (guide §5:
+# the driver must never hold data-sized state). 4096 candidates ≈ 16M
+# psim rows worst-case, comfortably under driver limits; any first-stage
+# ranker feeding a rerank emits far fewer.
+MMR_MAX_CANDS = 4096
+
+
 def mmr_rerank(cands: DataFrame, psim: DataFrame, k: int,
                lam: float = 0.7, id_col: str = "doc_id",
                rel_col: str = "rel") -> DataFrame:
@@ -1121,45 +1129,60 @@ def mmr_rerank(cands: DataFrame, psim: DataFrame, k: int,
     first-stage ranker — and ``psim`` (id_a, id_b, sim), the pairwise
     similarities among candidates (both directions). The greedy loop is
     inherently sequential and its inputs are candidate-bounded BY
-    CONTRACT, so the selection runs as one bounded driver fold over the
-    two checkpointed frames (the codebook/centroid-trainer discipline),
-    and the output ranks/scores are recomputed in-plan from the
-    selection — one small job instead of k driver-synchronous join
-    jobs. Ties break on ``id_col``; scores are λ-combinations of
-    6-dp-gridded doubles (max is order-free), deterministic
-    cross-engine; round at display only.
+    CONTRACT (enforced: > ``MMR_MAX_CANDS`` raises), so the selection
+    runs as one bounded driver fold over the two collected frames (the
+    codebook/centroid-trainer discipline), and the output scores are
+    recomputed in-plan from the selection's components — two input
+    jobs plus a trivial local-scan output instead of k
+    driver-synchronous join jobs. Ties break on ``id_col``; scores are
+    λ-combinations of 6-dp-gridded doubles (max is order-free),
+    deterministic cross-engine; round at display only.
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    # Truncate lineage ONCE on the two candidate-bounded inputs (they
-    # are read by the selection fold below AND by the output plan, and
-    # each is ≤ |cands|(²) rows — checkpointing is exactly "materialize
-    # the candidate list before reranking", which a serving stack does
-    # anyway).
-    cands = cands.localCheckpoint()
-    psim = psim.localCheckpoint()
-    # Greedy selection is inherently sequential; r15 runs it as ONE
-    # bounded driver fold over the two checkpointed frames (the same
+    # Greedy selection is inherently sequential; it runs as ONE bounded
+    # driver fold over the two collected candidate frames (the same
     # bounded-collect discipline as the codebook/centroid trainers)
     # instead of k unrolled driver-synchronous join jobs — at k=5 the
     # unrolled form cost ~7 blocking jobs (~1.9 s) of pure scheduling
-    # latency at ANY corpus size. Both inputs carry 6-dp-rounded
-    # doubles, and λ·rel − (1−λ)·max(sim) is the same IEEE-double
-    # arithmetic the unrolled plan evaluated, so the selected set and
-    # order are bit-identical; ties break on id ascending, as before.
-    # The OUTPUT rows (ranks + scores) are then recomputed IN-PLAN from
-    # the selection, keeping score typing/rounding in Spark.
-    crows = cands.select(id_col, rel_col).collect()
+    # latency at ANY corpus size. r16: the r15 form ADDITIONALLY paid
+    # two localCheckpoint jobs before the collects and re-joined the
+    # checkpointed frames in the output plan — 5 blocking jobs total
+    # (measured 1.35 s steady); each input is now collected DIRECTLY
+    # (2 jobs: the plans execute exactly once each, same total work)
+    # and the output is a literal local frame, so the timed action is a
+    # trivial local scan. The collect is candidate-bounded BY CONTRACT
+    # and the bound is now EXPLICIT: |cands| must stay under
+    # MMR_MAX_CANDS or the operator raises rather than silently pulling
+    # a corpus to the driver (guide §5).
+    # Both inputs carry 6-dp-rounded doubles, and λ·rel − (1−λ)·max(sim)
+    # is the same IEEE-double arithmetic the unrolled plan evaluated, so
+    # the selected set and order are bit-identical; ties break on id
+    # ascending, as before. The OUTPUT scores are recomputed IN-PLAN
+    # from the selection's (rel, maxred) components, keeping score
+    # typing/rounding in Spark.
+    crows = cands.select(id_col, rel_col).limit(MMR_MAX_CANDS + 1).collect()
+    if len(crows) > MMR_MAX_CANDS:
+        raise ValueError(
+            f"mmr_rerank candidate list exceeds MMR_MAX_CANDS "
+            f"({MMR_MAX_CANDS}): the inputs are candidate-bounded by "
+            f"contract — rerank a first-stage top-k, not a corpus")
     rel = {r[id_col]: r[rel_col] for r in crows
            if r[rel_col] is not None}
     sims: dict = {}
-    for r in psim.select("id_a", "id_b", "sim").collect():
-        sims.setdefault(r["id_a"], {})[r["id_b"]] = r["sim"]
-    sel: list = []
+    # None sims are skipped, matching the old unrolled plan's F.max
+    # (which ignores NULLs) — a NULL sim (zero-norm vector) can then
+    # never crash the fold or win a max.
+    for r in psim.select("id_a", "id_b", "sim") \
+            .limit(MMR_MAX_CANDS * MMR_MAX_CANDS).collect():
+        if r["sim"] is not None:
+            sims.setdefault(r["id_a"], {})[r["id_b"]] = r["sim"]
+    sel: list = []  # [(id, rel, maxred_at_selection | None)]
     if rel:
-        sel.append(min(rel, key=lambda d: (-rel[d], d)))
+        first = min(rel, key=lambda d: (-rel[d], d))
+        sel.append((first, rel[first], None))
     while rel and len(sel) < k:
-        chosen = set(sel)
+        chosen = {d for d, _, _ in sel}
         best = None
         for d, dr in rel.items():
             if d in chosen:
@@ -1169,37 +1192,34 @@ def mmr_rerank(cands: DataFrame, psim: DataFrame, k: int,
             if not reds:
                 continue  # no sim edge to the selected set: ineligible
                 # (the unrolled form's inner joins drop such rows too)
-            score = lam * dr - (1.0 - lam) * max(reds)
+            maxred = max(reds)
+            score = lam * dr - (1.0 - lam) * maxred
             if best is None or (-score, d) < (-best[0], best[1]):
-                best = (score, d)
+                best = (score, d, maxred)
         if best is None:
             break  # selection can never grow again
-        sel.append(best[1])
+        sel.append((best[1], rel[best[1]], best[2]))
     if not sel:
         return (cands.select(id_col,
                              F.lit(1).cast("int").alias("mmr_rank"),
                              F.round(F.col(rel_col), 6)
                              .alias("mmr_score"))
                 .limit(0))
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
     spark = cands.sparkSession
     sel_df = spark.createDataFrame(
-        [(d, i + 1) for i, d in enumerate(sel)],
+        [(d, i + 1, float(r), None if m is None else float(m))
+         for i, (d, r, m) in enumerate(sel)],
         StructType([StructField(id_col, cands.schema[id_col].dataType,
                                 False),
-                    StructField("mmr_rank", IntegerType(), False)]))
-    red = (sel_df.join(psim, sel_df[id_col] == psim["id_a"])
-           .join(sel_df.select(F.col(id_col).alias("__pid"),
-                               F.col("mmr_rank").alias("__prank")),
-                 F.col("id_b") == F.col("__pid"))
-           .filter(F.col("__prank") < sel_df["mmr_rank"])
-           .groupBy(sel_df[id_col].alias(id_col))
-           .agg(F.max("sim").alias("__maxred")))
-    return (sel_df.join(cands.select(id_col, rel_col), id_col)
-            .join(red, id_col, "left")
+                    StructField("mmr_rank", IntegerType(), False),
+                    StructField("__rel", DoubleType(), False),
+                    StructField("__maxred", DoubleType(), True)]))
+    return (sel_df
             .withColumn("mmr_score",
-                        F.when(F.col("mmr_rank") == 1, F.col(rel_col))
-                        .otherwise(F.lit(lam) * F.col(rel_col)
+                        F.when(F.col("mmr_rank") == 1, F.col("__rel"))
+                        .otherwise(F.lit(lam) * F.col("__rel")
                                    - F.lit(1.0 - lam)
                                    * F.col("__maxred")))
             .select(id_col, F.col("mmr_rank").cast("int")

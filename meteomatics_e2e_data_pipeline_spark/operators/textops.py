@@ -328,7 +328,13 @@ def repetition_signals(docs, id_col: str = "doc_id",
             *[dup_scan(w, denom, n).alias(f"dup_{n}gram_char_frac")
               for n in REP_DUP_NS])
 
-    return docs.select(
+    # r16 (guide §2.5): spread before the projection — the four
+    # sort+run-length HOF scans per row are interpreted (not codegen),
+    # so per-core CPU is the bottleneck and a single-file scan pins the
+    # WHOLE corpus chain to one task (measured: the 8→32-core bench
+    # ratio was 1.03, i.e. zero parallelism; a no-op on real multi-file
+    # lakes, same contract as the n-gram family's _spread).
+    return spread_for_fanout(docs.select(id_col, text_col), id_col).select(
         id_col,
         F.inline(F.transform(F.array(tokens(F.col(text_col))),
                              row_struct)))
@@ -548,7 +554,8 @@ def rrf_fuse(rankings, k: int, id_col: str = "doc_id",
 BIGRAM_LAMBDA = 0.7  # interpolation weight on the conditional bigram term
 
 
-def bigram_nll(docs: DataFrame, total_tokens: int, id_col: str = "doc_id",
+def bigram_nll(docs: DataFrame, total_tokens: int | None = None,
+               id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Interpolated bigram-LM scoring (the KenLM-shaped upgrade of
     :func:`unigram_logprob`): per document, the average negative
@@ -571,9 +578,20 @@ def bigram_nll(docs: DataFrame, total_tokens: int, id_col: str = "doc_id",
     (w1, w2) order — the pinned-order sequential fold that keeps the
     float sum engine-independent for the DuckDB oracle. Documents with
     fewer than two tokens have no bigrams and drop out on both engines.
+
+    r16 (guide §2.5/§5): the corpus scan is spread before the explode
+    (a single-file source would otherwise pin the split+explode+partial
+    aggregate of every count frame to ONE core — the bench's 8→32-core
+    ratio for this query was 0.89, i.e. no parallelism), and when
+    ``total_tokens`` is omitted the corpus token count N rides the plan
+    as a broadcast 1-row aggregate over the already-built ``cu`` frame
+    (sum(cu) — no extra scan) instead of a caller-side blocking
+    ``count()`` over a third corpus pass. N < 2^53, so the in-plan
+    double is bit-identical to the collected literal.
     """
+    sp = spread_for_fanout(docs.select(id_col, text_col), id_col)
     w = tokens(F.col(text_col))
-    tok = docs.select(id_col, w.alias("w")).filter(F.size("w") >= 2)
+    tok = sp.select(id_col, w.alias("w")).filter(F.size("w") >= 2)
     big = tok.select(
         id_col,
         F.explode(F.arrays_zip(
@@ -583,16 +601,24 @@ def bigram_nll(docs: DataFrame, total_tokens: int, id_col: str = "doc_id",
     tf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
     cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
     cw1 = cb.groupBy("w1").agg(F.sum("cb").alias("cw1"))
-    cu = (docs.select(F.explode(tokens(F.col(text_col))).alias("w2"))
+    cu = (sp.select(F.explode(tokens(F.col(text_col))).alias("w2"))
           .groupBy("w2").agg(F.count(F.lit(1)).alias("cu")))
     lam = float(BIGRAM_LAMBDA)
+    if total_tokens is None:
+        n_tok = F.col("__n_tok").cast("double")
+    else:
+        n_tok = F.lit(float(total_tokens))
     p = (F.lit(lam) * (F.col("cb").cast("double") / F.col("cw1").cast("double"))
-         + F.lit(1.0 - lam) * (F.col("cu").cast("double") / F.lit(float(total_tokens))))
-    per_pair = (
-        tf.join(cb, ["w1", "w2"]).join(cw1, "w1").join(cu, "w2")
-        .select(id_col, "w1", "w2", "tf",
-                (F.col("tf").cast("double") * F.log(p)).alias("v"))
-    )
+         + F.lit(1.0 - lam) * (F.col("cu").cast("double") / n_tok))
+    per_pair = tf.join(cb, ["w1", "w2"]).join(cw1, "w1").join(cu, "w2")
+    if total_tokens is None:
+        # 1-row corpus-total frame (bounded by construction: an agg
+        # with no grouping keys), broadcast like the quantile cuts row
+        per_pair = per_pair.join(
+            F.broadcast(cu.agg(F.sum("cu").alias("__n_tok"))))
+    per_pair = per_pair.select(
+        id_col, "w1", "w2", "tf",
+        (F.col("tf").cast("double") * F.log(p)).alias("v"))
     return (
         per_pair.groupBy(id_col)
         .agg(F.sum("tf").alias("n_bigrams"),

@@ -2339,9 +2339,11 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact — and the as-of date rides the plan as a broadcast 1-row
     scalar (r15: the collected-``first()`` form plus a separate
     boundary-estimate action cost two driver-synchronous jobs per run;
-    now the only construction-time job is the rollup checkpoint — the
-    per-axis boundary estimates are lazy broadcast branches inside
-    ``global_ntile`` itself). Each quartile runs through
+    r16: the rollup is persisted rather than eagerly checkpointed, so
+    construction runs ZERO blocking jobs — the per-axis boundary
+    estimates are lazy broadcast branches inside ``global_ntile``
+    itself and the one materialization rides the final action). Each
+    quartile runs through
     ``operators/quantiles.global_ntile`` (round 7): range-bucketed
     parallel ranking + broadcast offsets that reproduce SQL ntile
     bit-for-bit with NO single-partition sort, so the three-window
@@ -2363,8 +2365,11 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE materialization feeds all three quartile passes
     # (checkpoint=False skips the per-call copy), and the three
     # (custkey, bucket) frames join back on the key — custkey-keyed
-    # shuffles, no windowed chain.
-    snap = rollup.localCheckpoint(eager=True)
+    # shuffles, no windowed chain. r16: LAZY localCheckpoint, not an
+    # eager one — every consumer lives inside the final action, so the
+    # materialization rides it and construction runs ZERO blocking
+    # jobs (guide §5; the r15 form still paid the checkpoint job).
+    snap = rollup.localCheckpoint(eager=False)
     quart = snap
     for value, desc, out in (("recency_days", False, "r_quartile"),
                              ("frequency", True, "f_quartile"),

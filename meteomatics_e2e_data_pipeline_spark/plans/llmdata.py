@@ -3507,10 +3507,11 @@ def q_docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood of token bigrams under λ·p(w2|w1) + (1−λ)·p(w2) —
     the KenLM-shaped second-order signal beside ``docs_unigram_nll``
     (operators/textops.py:bigram_nll — row-local bigram fan-out,
-    pinned-order fold for float parity)."""
+    pinned-order fold for float parity; r16: the corpus token count N
+    rides the plan as a broadcast 1-row aggregate instead of a
+    construction-time blocking ``count()`` over a third corpus scan)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))))
-    return textops.bigram_nll(docs, tok.count())
+    return textops.bigram_nll(docs)
 
 
 def _oracle_bigram_nll() -> str:

@@ -73,10 +73,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every table and register it as a temp view (for the SQL API)."""
-    out: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
-        df = load_table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
-        out[name] = df
+    """Load every table and register it as a temp view (for the SQL API).
+
+    Registration is memoized per (session, sf_dir): each
+    ``createOrReplaceTempView`` is a catalog round-trip over py4j, and
+    the SQL-surface queries call this on every invocation — re-binding
+    ten identical views per query was pure fixed driver cost (guide §5).
+    A different ``sf_dir`` re-registers (views are replaced), so the
+    visible behavior is unchanged."""
+    cache = _HANDLES.setdefault(spark, {})
+    out = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    if cache.get("__registered_sf_dir") != sf_dir:
+        for name, df in out.items():
+            df.createOrReplaceTempView(name)
+        cache["__registered_sf_dir"] = sf_dir
     return out

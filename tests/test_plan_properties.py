@@ -150,7 +150,13 @@ def test_bnlj_only_in_intended_queries(all_plans):
                "docs_scrub_fixpoint",
                # 1-row centroid-cosine frame crossJoined onto the
                # dims-bounded per-dimension table
-               "emb_centroid_drift"}
+               "emb_centroid_drift",
+               # r16: the corpus token count N rides the plan as a
+               # broadcast 1-row sum(cu) aggregate (no grouping keys —
+               # one row BY CONSTRUCTION at any data size) instead of a
+               # caller-side blocking count() over a third corpus scan;
+               # same bounded scalar-frame shape as bm25's stats row.
+               "docs_bigram_nll"}
     for name, plan in all_plans.items():
         if "BroadcastNestedLoopJoin" in plan:
             assert name in allowed, f"unexpected BNLJ in {name}"
