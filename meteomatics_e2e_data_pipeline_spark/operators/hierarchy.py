@@ -16,18 +16,20 @@ reassociates the path addition, so float weights could drift vs a
 sequential oracle walk; decimal addition is associative and matches
 the recursive-CTE oracle bit-for-bit.
 
-Driver-job budget (r16, guide §5): ONE blocking job per round. Each
-round's state is LAZILY localCheckpointed — the plan truncates to a
-flat LogicalRDD immediately (the state appears twice per round, as
-itself and as its own join target, so an untruncated plan would double
-per round and Catalyst's tree walks would go exponential in depth) and
-the convergence aggregate rides the job that materializes it. The r15
-form paid TWO jobs per round (eager localCheckpoint + a separate
-fixpoint agg) plus a standalone orphan-check job and needed one extra
-no-change round to detect the fixpoint. The state now carries
-``at_root`` ("my jump pointer is a root"), which composes exactly (new
-at_root = target's at_root), so the loop stops the same round
-convergence happens; the orphan test rides the first aggregate.
+Driver-job budget (r16, guide §5): each round is ONE eager
+localCheckpoint job plus a cheap convergence aggregate over the
+truncated frame. A persist()-based round (single combined job) was
+implemented and REVERTED: persist does not truncate the logical plan,
+and the state appears twice per round (as itself and as its own join
+target), so the analyzed tree has 2^rounds paths — analyzer tree
+walks hung the driver and OOMed the heap on deep chains; only the
+checkpoint's plan→LogicalRDD truncation bounds the tree (and its RDDs
+are ContextCleaner-collectable, so repeated calls don't leak cache
+entries). vs r15 the round count still shrinks: the state carries
+``at_root`` ("my jump pointer is a root"), which composes exactly
+(new at_root = target's at_root), so the loop stops the same round
+convergence happens — no extra no-change round — and the orphan test
+rides the first aggregate instead of its own job.
 
 No reference-repo counterpart (its SQL is non-recursive dbt models);
 this serves the analytics extension surface.
@@ -88,9 +90,9 @@ def ancestor_rollup(nodes: DataFrame, id_col: str = "id",
             # the orphan signal (a NULL parent also lands here — ``~is_root``
             # would go NULL on it and hide the orphan from max())
             F.col("_parent_seen").isNull().alias("__orphan"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    # one job: materializes the state's checkpoint AND answers both the
+    # one cheap aggregate over the truncated state answers both the
     # orphan test and "how many nodes still point below a root"
     row = state.agg(
         F.max(F.col("__orphan").cast("int")).alias("bad"),
@@ -123,7 +125,7 @@ def ancestor_rollup(nodes: DataFrame, id_col: str = "id",
                     # my new jump is the target's jump, so "my jump is
                     # a root" is exactly the target's own flag
                     F.col("jat_root").alias("at_root"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         unresolved = new_state.agg(
             F.sum((~F.col("at_root")).cast("int"))).first()[0] or 0

@@ -28,6 +28,7 @@ S-curve crosses ~50% candidate probability near Jaccard ≈ (1/6)^(1/4) ≈
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
 from .textops import MINHASH_P, base_hash48, tokens
@@ -619,16 +620,17 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
     no windows, nothing corpus-quadratic; the working edge set only
     shrinks toward one star per component (edges (v, component_min)),
     from which labels read off directly. Fixed-point detection is a
-    symmetric-difference aggregate on the O(E) edge frame, riding the
-    ONE job per round that materializes the round output (guide §5 —
-    the r15 form paid an eager-checkpoint job plus a count job per
-    round, and two more at construction). Rounds are LAZILY
-    localCheckpointed: the plan truncates to a flat LogicalRDD
-    immediately (``work`` appears twice per round, so an untruncated
-    plan would double per round), and materialization rides the
-    fixed-point aggregate. ``verts`` is consumed exactly once (the
-    final label join), so it is left fully lazy: materializing it
-    early would add a job without saving any work.
+    symmetric-difference aggregate on the O(E) edge frame: each round
+    is ONE eager localCheckpoint job plus a cheap fixed-point
+    aggregate over the truncated frames (the r15 form paid the same
+    checkpoint plus a filter+limit+count job per round and two more at
+    construction). The checkpoint's plan truncation is STRUCTURAL, not
+    optional — ``work`` appears twice per round, so an untruncated
+    tree doubles per round; a persist()-based round (no truncation)
+    was tried in r16 and reverted after the analyzer hung/OOMed on
+    deep graphs in the sibling propagation loop. ``verts`` is consumed
+    exactly once (the final label join), so it is left fully lazy:
+    materializing it early would add a job without saving any work.
     """
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .filter(F.col("u") != F.col("v")))
@@ -637,7 +639,7 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
              .distinct())
     work = (edges.select(F.greatest("u", "v").alias("hi"),
                          F.least("u", "v").alias("lo"))
-            .distinct().localCheckpoint(eager=False))
+            .distinct().localCheckpoint(eager=True))
     for _ in range(max_iter):
         # -- large-star --
         sym = (work.select(F.col("hi").alias("n"), F.col("lo").alias("m"))
@@ -659,7 +661,7 @@ def connected_components_star(pairs: DataFrame, src: str = "doc_a",
             .unionByName(withm.filter(F.col("lo") != F.col("mn"))
                          .select(F.col("lo").alias("hi"),
                                  F.col("mn").alias("lo")))
-            .distinct().localCheckpoint(eager=False))
+            .distinct().localCheckpoint(eager=True))
         # one job: materializes new_work's checkpoint AND answers the
         # fixed-point test (a full aggregate, not filter+limit+count —
         # a limit could short-circuit before every partition computes)
@@ -728,17 +730,20 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # MEASURED, NOT CHANGED (r16, guide §1): the lazy-checkpoint
-    # variant of this loop (one combined materialize+convergence job
-    # per iteration instead of eager checkpoint + count) was
-    # implemented and benchmarked — it made the incremental-maintenance
-    # consumer SLOWER and high-variance (2.8 → 3.0–5.1 s): with the
-    # initial labels lazy, iteration 1's job computes the persisted
-    # `edges` from two concurrent subtrees (the neighbor join and the
-    # labels lineage) before the cache lands, duplicating the whole
-    # upstream pair chain; even with an eager seed, the lazy iterations
-    # showed nondeterministic duplicate compute. The eager form keeps
-    # each round's work materialized exactly once, serially.
+    # Rounds MUST be localCheckpoint(eager=True) — measured AND
+    # structural (r16): a persist()-based round (one combined
+    # materialize+convergence job) was implemented and it EXPLODED on
+    # deep graphs — persist does not truncate the logical plan, each
+    # round references the previous one twice (own ∪ neighbor), so the
+    # analyzed tree has 2^iterations paths and analyzer rules like
+    # UpdateAttributeNullability walk (and reallocate) every path: a
+    # 15-vertex chain graph hung the driver in the ANALYZER and the
+    # property-test lane OOMed an 8 GB heap. Only the checkpoint's
+    # DataFrame-level truncation (plan → LogicalRDD) bounds the tree;
+    # its RDDs are also ContextCleaner-collectable, unlike CacheManager
+    # entries, so repeated calls in one session do not leak. The
+    # convergence aggregate then reads the truncated frame — a cheap
+    # second job per round on the already-materialized RDD.
     labels = (edges.select("u").distinct()
               .select("u", F.col("u").alias("lbl"))
               .localCheckpoint(eager=True))
@@ -748,8 +753,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             # OWN current label; the propagation aggregate then yields
             # both the new label (min over own+neighbors) and the old one
             # (min over the single own row) in ONE job, so convergence
-            # detection is a filter over the checkpointed O(V) frame —
-            # no separate old-vs-new join job per iteration.
+            # detection needs no separate old-vs-new join per iteration.
             own = labels.select("u", "lbl", F.lit(True).alias("__own"))
             neighbor = (
                 edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -764,9 +768,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                         (F.col("lbl") != F.col("__old")).alias("__chg"))
                 .localCheckpoint(eager=True)
             )
-            changed = new_labels.filter("__chg").limit(1).count()
+            changed = new_labels.agg(
+                F.max(F.col("__chg").cast("int"))).first()[0]
             labels = new_labels.select("u", "lbl")
-            if changed == 0:
+            if not changed:
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
@@ -1715,8 +1720,17 @@ def scrub_effect_summary(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    # persist (r16, guide §5): both consumers (the before-metric
+    # window and the scrub rewrite) live inside the ONE final action
+    # and no driver decision reads the frame, so the materialization
+    # rides that action instead of costing construction-time blocking
+    # jobs (persist, not a lazy localCheckpoint — the latter still
+    # materializes upstream stages at construction under AQE); the
+    # first branch to execute populates the cache the other reads
+    # (block locks serialize concurrent computation of a partition, so
+    # the gram scan still runs once).
     dup = _dup_span_starts(docs, id_col, text_col, span_len
-                           ).localCheckpoint(eager=True)
+                           ).persist(StorageLevel.MEMORY_AND_DISK)
     w = Window.partitionBy(id_col).orderBy("pos")
     before = (dup.withColumn(
         "contrib",
@@ -1727,13 +1741,15 @@ def scrub_effect_summary(docs: DataFrame, id_col: str = "doc_id",
     tok_before = docs.agg(
         F.sum(F.size(tokens(F.col(text_col)))).cast("bigint")
         .alias("tokens_before"))
-    # localCheckpoint: the after-metric's self-join + base branch would
+    # persist: the after-metric's self-join + base branch would
     # otherwise re-execute the whole scrub rewrite three times; the
     # rebuilt corpus is docs-sized, exactly what a real pipeline would
-    # have written to the lake before re-measuring
+    # have written to the lake before re-measuring. Lazy for the same
+    # reason as ``dup`` above — the after-metric is the only consumer
+    # tree and it runs inside the final action.
     clean = (_scrub_rewrite(docs, dup, id_col, text_col, span_len)
              .select(id_col, F.col("clean_text").alias(text_col))
-             .localCheckpoint(eager=True))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     after = (dup_span_coverage(clean, id_col, text_col, span_len)
              .agg(F.sum("n_tokens").cast("bigint").alias("tokens_after"),
                   F.sum("covered_tokens").cast("bigint")
@@ -1829,9 +1845,15 @@ def exact_substring_scrub_fixpoint(docs: DataFrame, id_col: str = "doc_id",
                     F.round(F.lit(0).cast("bigint") / F.col("tokens"), 6)
                     .alias("coverage")))
             break
+        # persist, lazy (r16, guide §5): the next pass's eager ``dup``
+        # checkpoint job materializes this cache en route, and the
+        # pass's token/coverage readers then hit it — one construction
+        # job per pass instead of two. ``dup`` itself stays an EAGER
+        # checkpoint: the isEmpty convergence probe is a driver
+        # decision that reads it immediately.
         cur = (_scrub_rewrite(cur, dup, id_col, text_col, span_len)
                .select(id_col, F.col("clean_text").alias(text_col))
-               .localCheckpoint(eager=True))
+               .persist(StorageLevel.MEMORY_AND_DISK))
     return reduce(DataFrame.unionAll, rows)
 
 
@@ -2067,12 +2089,15 @@ def kcore(pairs: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
     Scale shape: each round is one map-side-combinable degree aggregate
     plus two keyed LEFT SEMI joins (edge endpoint ∈ survivors) — no
     broadcast of vertex sets needed, no all-pairs anything; each
-    round's edge set is LAZILY localCheckpointed so every round
-    materializes at most once inside the consumer's ONE action and the
-    plan stays a flat LogicalRDD per round (r16, guide §5: the old
-    per-round eager checkpoints cost rounds+1 driver-blocking jobs per
-    query for a loop no driver decision ever reads — fixed rounds, so
-    the whole peel chains lazily). Real k-core peel counts are tiny in
+    round's edge set is a LAZY localCheckpoint: the plan truncates to
+    a LogicalRDD per round (essential — each round references the
+    previous one three times, so an untruncated tree would grow 3^r;
+    a persist()-based round was tried in r16 and reverted for exactly
+    that analyzer blowup on the sibling loops) while the
+    materialization of the final stage rides the consumer's ONE
+    action (r16, guide §5: the r15 per-round EAGER checkpoints cost
+    rounds+1 driver-blocking jobs for a loop no driver decision ever
+    reads). Real k-core peel counts are tiny in
     practice (peeling is monotone: total work is bounded by
     Σ rounds · |E|)."""
     edges = (

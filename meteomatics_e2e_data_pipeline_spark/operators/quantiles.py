@@ -60,6 +60,7 @@ module serves the engine's analytics extension with the documented
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -105,16 +106,20 @@ def _range_bucketed(df: DataFrame, value_col: str, descending: bool,
     boundaries from :func:`estimate_range_cuts`."""
     if n_ranges < 2:
         raise ValueError(f"n_ranges must be >= 2, got {n_ranges}")
-    # LAZY localCheckpoint, not an EAGER one (r16, guide §5): all three
+    # persist(), NOT localCheckpoint (r16, guide §5): all three
     # consumers of the snapshot (boundary-estimate branch, local
     # ranking, offsets aggregate) live inside the consumer's one
     # action, and no driver decision reads it — so the materialization
-    # rides that action instead of costing a construction-time blocking
-    # job per quantile query. The plan still truncates to a flat
-    # LogicalRDD at construction (same plan shape as before), and the
-    # one-materialization property is preserved: the first branch to
-    # execute populates the checkpoint the others read.
-    snap = df.localCheckpoint(eager=False) if checkpoint else df
+    # must ride that action. A localCheckpoint cannot deliver that even
+    # with eager=False: building the checkpoint RDD calls toRdd, and
+    # under AQE that MATERIALIZES every upstream query stage as
+    # construction-time jobs (measured: a 2-stage plan paid 2 jobs /
+    # 4.5 s at lazy-checkpoint construction vs 0 for persist). persist
+    # is genuinely lazy, and the cache substitutes into every consumer
+    # pre-optimization, preserving the one-materialization / one-scan
+    # property (the frames are dimension-grain rollups — bounded).
+    snap = (df.persist(StorageLevel.MEMORY_AND_DISK)
+            if checkpoint else df)
     if cuts is None:
         # Lazy boundary estimate (r15): the cut array rides the plan as
         # a broadcast 1-row cross join instead of a driver-synchronous

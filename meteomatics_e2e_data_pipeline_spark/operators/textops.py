@@ -398,7 +398,8 @@ def quality_percentile_filter(docs, frac: float = 0.25,
             .select(id_col, key_col, metric_col))
 
 
-def unigram_logprob(docs, total_tokens: int, id_col: str = "doc_id",
+def unigram_logprob(docs, total_tokens: int | None = None,
+                    id_col: str = "doc_id",
                     text_col: str = "text"):
     """CCNet-style unigram language-model scoring: per document, the
     average negative log-likelihood under the corpus' own unigram
@@ -417,18 +418,43 @@ def unigram_logprob(docs, total_tokens: int, id_col: str = "doc_id",
     per-doc array is bounded by the doc's distinct-term count, not the
     vocabulary.
 
-    ``total_tokens`` is the corpus token count (one scalar; compute it
-    once with a count action like tf-idf's n_docs — keeping it an
-    argument keeps this operator action-free).
+    ``total_tokens`` is the corpus token count (one scalar). When
+    omitted (r16, guide §5), N rides the plan as a broadcast 1-row
+    aggregate over the already-built ``corpus_c`` frame (Σ c ≡ the
+    token count, since every token lands in exactly one (doc, term)
+    group — no extra corpus scan, no caller-side blocking ``count()``;
+    N < 2^53 so the in-plan double is bit-identical to the collected
+    literal). Passing an explicit scalar keeps the operator action-free
+    for callers that already know N.
+
+    r16 (guide §1.2/§2.5): ``tf`` feeds both the per-term left side and
+    the corpus-count aggregate — unpersisted, each reference
+    re-expanded the tokenize→explode scan; the lazy persist
+    (materialized inside the consumer's one action) reads the corpus
+    once. The scan is spread before the explode fan-out so a
+    single-file source cannot pin the chain to one core.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
-    tf = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    sp = spread_for_fanout(docs.select(id_col, text_col), id_col)
+    tok = sp.select(id_col, F.explode(tokens(F.col(text_col))).alias("t"))
+    tf = (tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     corpus_c = tf.groupBy("t").agg(F.sum("tf").alias("c"))
+    if total_tokens is None:
+        n_tok = F.col("__n_tok").cast("double")
+    else:
+        n_tok = F.lit(float(total_tokens))
     val = (F.col("tf").cast("double")
-           * F.log(F.col("c").cast("double") / float(total_tokens)))
-    per_term = tf.join(corpus_c, "t").select(
+           * F.log(F.col("c").cast("double") / n_tok))
+    per_term = tf.join(corpus_c, "t")
+    if total_tokens is None:
+        # 1-row corpus-total frame (bounded by construction: an agg
+        # with no grouping keys), broadcast like the bigram N row
+        per_term = per_term.join(
+            F.broadcast(corpus_c.agg(F.sum("c").alias("__n_tok"))))
+    per_term = per_term.select(
         id_col, F.col("t"), F.col("tf"), val.alias("v"))
     return (
         per_term.groupBy(id_col)
@@ -598,11 +624,24 @@ def bigram_nll(docs: DataFrame, total_tokens: int | None = None,
             F.slice(F.col("w"), 1, F.size("w") - 1).alias("w1"),
             F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2"))).alias("b"),
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    tf = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    # r16 (guide §1.2): ``tf`` feeds THREE plan branches (the per-pair
+    # left side, the corpus bigram count cb, and through cb the w1
+    # marginal cw1) and ``cu`` feeds two (the unigram join and the
+    # broadcast corpus-total row). Unpersisted, each reference
+    # re-expanded the tokenize→explode subtree — the before-plan ran
+    # TEN corpus scans; with the two lazy persists (materialized inside
+    # the consumer's one action) the plan reads the corpus twice: once
+    # for the bigram aggregate, once for the unigram counts. Both
+    # cached frames are count-aggregated (≪ corpus) at any scale.
+    from pyspark import StorageLevel
+
+    tf = (big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     cb = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
     cw1 = cb.groupBy("w1").agg(F.sum("cb").alias("cw1"))
     cu = (sp.select(F.explode(tokens(F.col(text_col))).alias("w2"))
-          .groupBy("w2").agg(F.count(F.lit(1)).alias("cu")))
+          .groupBy("w2").agg(F.count(F.lit(1)).alias("cu"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     lam = float(BIGRAM_LAMBDA)
     if total_tokens is None:
         n_tok = F.col("__n_tok").cast("double")

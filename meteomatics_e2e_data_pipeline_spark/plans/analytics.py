@@ -23,6 +23,7 @@ parquet.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2365,11 +2366,19 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE materialization feeds all three quartile passes
     # (checkpoint=False skips the per-call copy), and the three
     # (custkey, bucket) frames join back on the key — custkey-keyed
-    # shuffles, no windowed chain. r16: LAZY localCheckpoint, not an
-    # eager one — every consumer lives inside the final action, so the
-    # materialization rides it and construction runs ZERO blocking
-    # jobs (guide §5; the r15 form still paid the checkpoint job).
-    snap = rollup.localCheckpoint(eager=False)
+    # shuffles, no windowed chain. r16 MEASURED DECISION: this snap
+    # stays an EAGER localCheckpoint. The truly-lazy persist() form
+    # (zero construction jobs) was implemented and A-B-A-B-measured
+    # SLOWER here — 2.8–3.2 s vs 2.0–2.6 s best-of-5 — because this
+    # one frame feeds ~10 plan branches (3 × {boundary estimate, local
+    # ranking, offsets} + the final attach): re-reading a flat
+    # materialized row RDD ten times beats ten columnar-cache scans
+    # plus the extra AQE stage waves the unmaterialized form schedules.
+    # Single-pass quantile consumers (parts_abc, supplier_revenue_
+    # ranks, spend quartiles) measured FASTER with persist — that form
+    # lives in quantiles._range_bucketed; the crossover is the consumer
+    # count.
+    snap = rollup.localCheckpoint(eager=True)
     quart = snap
     for value, desc, out in (("recency_days", False, "r_quartile"),
                              ("frequency", True, "f_quartile"),

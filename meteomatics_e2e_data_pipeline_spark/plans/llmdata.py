@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import weakref
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -645,8 +646,13 @@ def q_docs_classifier_threshold(spark: SparkSession,
     (bounded by the 6-dp score domain, not the corpus) plus two
     bounded aggregates per criterion — no per-threshold rescan of the
     corpus, no single-partition window."""
+    # persist, not an eager localCheckpoint (r16, guide §5): both
+    # consumers of the metrics frame (the maxima aggregate and the
+    # sweep join below) live inside the final action and no driver
+    # decision reads it — the eager checkpoint cost ~9 construction-
+    # time stage jobs per run; the cache rides the action instead.
     m = _classifier_threshold_metrics(spark, sf_dir) \
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     # one aggregate finds BOTH criteria's maxima; matching rows tag
     # themselves via a row-local explode, and the min-threshold tie
     # break is a broadcast semi-aggregate — 2 bounded jobs total
@@ -1025,8 +1031,18 @@ def q_docs_minhash_calibration(spark: SparkSession,
     6-dp grid) sums as DECIMAL(18,6) — so both engines aggregate
     exactly and divide once (correctly rounded). Work is |candidates|
     row-local comparisons + one partial agg."""
+    from pyspark import StorageLevel
+
     sh = _shingles(spark, sf_dir)
-    sigs = neardup.minhash_from_shingles(sh, "doc_id")
+    # The signature frame feeds THREE plan branches (the LSH banding
+    # inside lsh_candidate_pairs plus both sides of the coordinate-
+    # agreement self-join below); unpersisted, the 24-permutation min
+    # aggregate over the full shingle table ran 3× per invocation
+    # (r16, guide §1.2 — the before-plan shows the partial_min(...)×24
+    # HashAggregate three times). A lazy persist rides the consumer's
+    # one action; |docs| signature rows is a small cache at any scale.
+    sigs = (neardup.minhash_from_shingles(sh, "doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK))
     cand = neardup.lsh_candidate_pairs(sigs, "doc_id")
     exact = neardup.verify_jaccard(cand, sh, "doc_id", 0.0)
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
@@ -2934,10 +2950,11 @@ def q_docs_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: per-doc average negative log-likelihood
     under the corpus' own unigram distribution (CCNet-style signal;
     operators/textops.py:unigram_logprob — pinned-order fold for float
-    parity)."""
+    parity; r16: the corpus token count N rides the plan as a broadcast
+    1-row aggregate instead of a construction-time blocking ``count()``
+    over a second corpus scan)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens(F.col("text"))))
-    return textops_unigram(docs, tok.count())
+    return textops_unigram(docs)
 
 
 def _oracle_unigram_nll() -> str:
@@ -5049,7 +5066,23 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. Scale shape: two hash aggregates on (doc, bucket) and
     (bucket); the bucket histogram is config-sized (64 rows, broadcast);
     per-doc reduction is a bounded array fold — no shuffle touches raw
-    tokens twice, nothing is corpus²."""
+    tokens twice, nothing is corpus².
+
+    r16 (guide §1.2/§2.3/§5): the token-bucket rows previously fed FOUR
+    plan references (the two blocking corpus counts n_raw/n_tgt, the
+    raw and target histograms, and the per-doc counts) — each re-ran
+    the tokenize→explode→hash scan. Now ONE corpus scan aggregates
+    straight to the (doc_id, lang, bucket) rollup (doc_id determines
+    lang, so the grain equals (doc_id, bucket); ≤ |docs|·B rows at any
+    scale — metadata, not tokens, is what persists), and every other
+    frame derives from that cached rollup: histograms as sum(c)
+    re-aggregates, and the two corpus totals as a broadcast 1-row
+    aggregate riding the plan (bounded by construction) instead of two
+    construction-time blocking count() jobs. Integer sums reproduce
+    the row counts exactly; N < 2^53 keeps the in-plan doubles
+    bit-identical to the collected literals."""
+    from pyspark import StorageLevel
+
     B = DSIR_BUCKETS
     docs = load_table(spark, sf_dir, "documents")
     tb = (docs.select("doc_id", "lang",
@@ -5057,17 +5090,24 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", "lang",
                   (textops.base_hash48(F.col("t")) % B)
                   .cast("int").alias("b")))
-    n_raw = tb.count()
-    n_tgt = tb.filter(F.col("lang") == "en").count()
-    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (tb.filter(F.col("lang") == "en")
-           .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    dlb = (tb.groupBy("doc_id", "lang", "b")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    raw = dlb.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = (dlb.filter(F.col("lang") == "en")
+           .groupBy("b").agg(F.sum("c").alias("ct")))
+    totals = dlb.agg(
+        F.sum("c").alias("__nr"),
+        F.coalesce(F.sum(F.when(F.col("lang") == "en", F.col("c"))),
+                   F.lit(0)).alias("__nt"))
     lam = (raw.join(tgt, "b", "left").na.fill(0, ["ct"])
+           .join(F.broadcast(totals))
            .select("b", (F.log((F.col("ct") + 1).cast("double")
-                               / float(n_tgt + B))
+                               / (F.col("__nt") + B).cast("double"))
                          - F.log((F.col("cr") + 1).cast("double")
-                                 / float(n_raw + B))).alias("lam")))
-    db = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+                                 / (F.col("__nr") + B).cast("double")))
+                   .alias("lam")))
+    db = dlb.groupBy("doc_id", "b").agg(F.sum("c").alias("c"))
     per = db.join(F.broadcast(lam), "b").select(
         "doc_id", "c",
         F.struct(F.col("b"), (F.col("c").cast("double") * F.col("lam"))

@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 from .plans.weather import flatten_bronze
 from .sources.bronze import RAW_WEATHER_SCHEMA
 
+# (session → {events glob → footer ts dtype}) — WeakKeyDictionary so a
+# stopped session's entries are collectable, mirroring load_table's
+# handle cache.
+import weakref
+
+_TS_TYPE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def read_bronze_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming twin of ``sources.bronze.read_bronze`` — same schema,
@@ -58,8 +65,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     # Probe via the same glob the stream uses so a split layout
     # (events_0.parquet, events_1.parquet, … — the multi-batch test
     # fixture) probes identically to the standard single file.
+    # The probe (file listing + footer read) is memoized per
+    # (session, glob) — r16, guide §5: every stream build re-ran it as
+    # pure fixed driver cost; the fixture layout is immutable within a
+    # session (same contract as sources.tables.load_table's handle
+    # cache).
     events_path = os.path.join(sf_dir, "events*.parquet")
-    ts_type = dict(spark.read.parquet(events_path).dtypes).get("ts", "")
+    probe_cache = _TS_TYPE_CACHE.setdefault(spark, {})
+    if events_path not in probe_cache:
+        probe_cache[events_path] = dict(
+            spark.read.parquet(events_path).dtypes).get("ts", "")
+    ts_type = probe_cache[events_path]
     schema = (f"event_id bigint, ts {ts_type or 'timestamp'}, user_id bigint, "
               "event_type string, value double, props string")
     reader = (

@@ -2872,3 +2872,38 @@ def test_incremental_near_dup_equals_filtered_full_join(heavy_results):
     ex = heavy_results["test_incremental_near_dup_equals_filtered_full_join"]
     if ex is not None:
         raise ex
+
+
+def test_nll_in_plan_total_matches_explicit_scalar(spark):
+    """r16: when total_tokens is omitted, both LM scorers derive N as a
+    broadcast 1-row in-plan aggregate — the values must be BIT-identical
+    to passing the collected scalar (the pre-r16 caller shape)."""
+    from meteomatics_e2e_data_pipeline_spark.operators.textops import (
+        bigram_nll, unigram_logprob)
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x"),
+         (4, "the and of to in the and")],
+        "doc_id long, text string")
+    total = 8 + 7  # all tokens, including the bigram-less doc 3
+    for fn in (unigram_logprob, bigram_nll):
+        explicit = sorted(map(tuple, fn(docs, total).collect()))
+        in_plan = sorted(map(tuple, fn(docs).collect()))
+        assert in_plan == explicit, fn.__name__
+
+
+def test_mmr_rerank_enforces_candidate_cap(spark):
+    """r16: the candidate-bounded-by-contract promise is enforced — a
+    first-stage list wider than MMR_MAX_CANDS raises instead of silently
+    collecting a corpus to the driver."""
+    import pytest
+
+    from meteomatics_e2e_data_pipeline_spark.operators.similarity import (
+        MMR_MAX_CANDS, mmr_rerank)
+
+    cands = spark.range(MMR_MAX_CANDS + 1).select(
+        F.col("id").alias("doc_id"), F.lit(0.5).alias("rel"))
+    psim = spark.createDataFrame(
+        [], "id_a bigint, id_b bigint, sim double")
+    with pytest.raises(ValueError, match="MMR_MAX_CANDS"):
+        mmr_rerank(cands, psim, k=3)

@@ -156,7 +156,17 @@ def test_bnlj_only_in_intended_queries(all_plans):
                # one row BY CONSTRUCTION at any data size) instead of a
                # caller-side blocking count() over a third corpus scan;
                # same bounded scalar-frame shape as bm25's stats row.
-               "docs_bigram_nll"}
+               "docs_bigram_nll",
+               # r16: same N-in-plan rework as docs_bigram_nll — the
+               # unigram corpus total rides as a broadcast 1-row sum(c)
+               # aggregate (one row BY CONSTRUCTION) instead of a
+               # caller-side blocking count() over a second corpus scan
+               "docs_unigram_nll",
+               # r16: the two DSIR corpus totals (n_raw, n_tgt) ride as
+               # ONE broadcast 1-row aggregate over the cached
+               # (doc, lang, bucket) rollup (one row BY CONSTRUCTION)
+               # instead of two construction-time blocking count() jobs
+               "docs_dsir_weights"}
     for name, plan in all_plans.items():
         if "BroadcastNestedLoopJoin" in plan:
             assert name in allowed, f"unexpected BNLJ in {name}"
